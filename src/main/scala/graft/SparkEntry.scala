@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * `queries` aggregates every implemented operator's declared query; `oracleSql` holds the
+ * DuckDB-equivalent ANSI SQL for each (omitted only for non-SQL-expressible operators,
+ * which then get a rows-only check).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.map(_._1).reduce(_ ++ _)
+
+  /** DuckDB-runnable twin for each query (same column names, same ordering). */
+  def oracleSql: Map[String, String] =
+    groups.map(_._2).reduce(_ ++ _)
 }

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * The engine's scalar string-function library: text cleaners, expressed as Catalyst
+ * column expressions (codegen'd built-ins — `regexp_replace`, `translate`, `trim` — no UDFs
+ * in the hot path).
+ *
+ * Semantics follow the reference cleaners (`/root/reference/unstructured/cleaners/core.py`);
+ * each function cites its counterpart. String-level (parser-side) twins live in
+ * [[CleanersImpl]] for use inside format partitioners.
+ *
+ * Source is kept pure-ASCII: all non-ASCII characters appear as \\uXXXX escapes.
+ */
+object Cleaners {
+
+  /**
+   * Unicode bullet alternation — `nlp/patterns.py:29-55`. Includes the PUA bullet
+   * (U+F0B7) emitted by some PDF extractors, `-`, en-dash and `*`.
+   */
+  val BulletsPattern: String = Seq(
+    "\u0095", "\u2022", "\u2023", "\u2043", "\u3164", "\u204C",
+    "\u204D", "\u2219", "\u25CB", "\u25CF", "\u25D8", "\u25E6",
+    "\u2619", "\u2765", "\u2767", "\u29BE", "\u29BF", "\u002D",
+    "\u2013", "\uF0B7", "\\*", "\u00B7").mkString("|")
+
+  /** One bullet not followed by another — `UNICODE_BULLETS_RE`, `patterns.py:55`. */
+  val UnicodeBulletsRegex: String = s"(?:$BulletsPattern)(?!$BulletsPattern)"
+
+  /**
+   * Python-`str.strip()` equivalent: trims ALL leading/trailing whitespace (Spark's `trim`
+   * only removes spaces).
+   */
+  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
+  /** `clean_extra_whitespace` — `core.py:325-334`: NBSP/newline -> space, collapse runs, strip. */
+  def cleanExtraWhitespace(c: Column): Column =
+    pyStrip(regexp_replace(regexp_replace(c, "[\u00A0\n]", " "), " {2,}", " "))
+
+  /** `clean_bullets` — `core.py:37-49`: strip ONE leading unicode bullet, then strip ws. */
+  def cleanBullets(c: Column): Column = {
+    val anchored = s"^(?:$BulletsPattern)(?!$BulletsPattern)"
+    when(regexp_like(c, lit(anchored)), pyStrip(regexp_replace(c, anchored, "")))
+      .otherwise(c)
+  }
+
+  /**
+   * `clean_ordered_bullets` — `core.py:52-73`: drop a leading `1.1.x` / `a.b`-style ordered
+   * bullet token (first whitespace token containing ".", no "..", head segment of at most
+   * 2 chars).
+   */
+  def cleanOrderedBullets(c: Column): Column = {
+    val parts = split(pyStrip(c), "\\s+")
+    val t0 = element_at(parts, 1)
+    val head = element_at(split(t0, "\\."), 1)
+    val isBullet = t0.contains(".") && !t0.contains("..") && (length(head) <= 2)
+    when(isBullet && size(parts) > 1, array_join(slice(parts, 2, 100000), " "))
+      .when(isBullet, lit(""))
+      .otherwise(c)
+  }
+
+  /** Ligature map — `core.py:76-104`. */
+  val LigaturesMap: Seq[(String, String)] = Seq(
+    "\u00E6" -> "ae", "\u00C6" -> "AE", "\uFB00" -> "ff", "\uFB01" -> "fi",
+    "\uFB02" -> "fl", "\uFB03" -> "ffi", "\uFB04" -> "ffl", "\uFB05" -> "ft",
+    "\u02AA" -> "ls", "\u0153" -> "oe", "\u0152" -> "OE", "\u0239" -> "qp",
+    "\uFB06" -> "st", "\u02A6" -> "ts")
+
+  /** `clean_ligatures` — `core.py:76-104`: 14-entry ligature expansion. */
+  def cleanLigatures(c: Column): Column =
+    LigaturesMap.foldLeft(c) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+
+  /** `clean_dashes` — `core.py:337-345`: `-` and en-dash -> space, strip. */
+  def cleanDashes(c: Column): Column =
+    pyStrip(regexp_replace(c, "[-\u2013]", " "))
+
+  /** `clean_trailing_punctuation` — `core.py:348-355`: strip, then rstrip `.,:;`. */
+  def cleanTrailingPunctuation(c: Column): Column =
+    regexp_replace(pyStrip(c), "[.,:;]+$", "")
+
+  /** `clean_non_ascii_chars` — `core.py:25-34`: drop all non-ASCII code points. */
+  def cleanNonAsciiChars(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]", "")
+
+  /**
+   * Mojibake / smart-quote repair table — `core.py:271-303` (order preserved; the
+   * reference table's `\x91..\x94` C1 controls and UTF-8-as-latin-1 `\xe2\x80..`
+   * sequences are spelled with explicit escapes).
+   */
+  val UnicodeQuotesMap: Seq[(String, String)] = Seq(
+    "\u0091" -> "\u2018", "\u0092" -> "\u2019",
+    "\u0093" -> "\u201C", "\u0094" -> "\u201D",
+    "&apos;" -> "'", "\u00E2\u0080\u0099" -> "'",
+    "\u00E2\u0080\u201C" -> "\u2014", "\u00E2\u0080\u201D" -> "\u2013",
+    "\u00E2\u0080\u02DC" -> "\u2018", "\u00E2\u0080\u00A6" -> "\u2026",
+    "\u00E2\u0080\u2122" -> "\u2019", "\u00E2\u0080\u0153" -> "\u201C",
+    "\u00E2\u0080?" -> "\u201D", "\u00E2\u0080\u0165" -> "\u201D",
+    "\u00E2\u0080\u015B" -> "\u201C", "\u00E2\u0080\u00A8" -> "\u2014",
+    "\u00E2\u0080\u0142" -> "\u2033", "\u00E2\u0080\u017D" -> "",
+    "\u00E2\u0080\u201A" -> "", "\u00E2\u0080\u2030" -> "",
+    "\u00E2\u0080\u200B" -> "", "\u00E2\u0080" -> "",
+    "\u00E2\u0080s'" -> "")
+
+  /** `replace_unicode_quotes` — `core.py:271-303`: sequential literal replacements. */
+  def replaceUnicodeQuotes(c: Column): Column =
+    UnicodeQuotesMap.foldLeft(c) { case (acc, (k, v)) =>
+      if (v.isEmpty) regexp_replace(acc, java.util.regex.Pattern.quote(k), "")
+      else replace(acc, lit(k), lit(v))
+    }
+
+  /** `remove_punctuation` — `core.py:311-313`: drop all Unicode-category-P chars. */
+  def removePunctuation(c: Column): Column =
+    regexp_replace(c, "\\p{P}", "")
+
+  /** `remove_sentence_punctuation` — `core.py:316-322`: drop punctuation except exclusions. */
+  def removeSentencePunctuation(c: Column, exclude: Seq[String]): Column =
+    if (exclude.isEmpty) removePunctuation(c)
+    else {
+      val excl = exclude.map(java.util.regex.Pattern.quote).mkString("|")
+      regexp_replace(c, s"(?!$excl)\\p{P}", "")
+    }
+
+  /** `clean_prefix` — `core.py:369-383`: strip a regex prefix; optional lstrip. */
+  def cleanPrefix(c: Column, pattern: String, ignoreCase: Boolean = false,
+      strip: Boolean = true): Column = {
+    val p = (if (ignoreCase) "(?i)" else "") + "^(?:" + pattern + ")"
+    val stripped = regexp_replace(c, p, "")
+    if (strip) regexp_replace(stripped, "^\\s+", "") else stripped
+  }
+
+  /** `clean_postfix` — `core.py:386-400`: strip a regex suffix; optional rstrip. */
+  def cleanPostfix(c: Column, pattern: String, ignoreCase: Boolean = false,
+      strip: Boolean = true): Column = {
+    val p = (if (ignoreCase) "(?i)" else "") + "(?:" + pattern + ")$"
+    val stripped = regexp_replace(c, p, "")
+    if (strip) regexp_replace(stripped, "\\s+$", "") else stripped
+  }
+
+  /**
+   * `clean` — `core.py:403-429` composite, reference application order:
+   * lowercase -> trailing punctuation -> dashes -> extra whitespace -> bullets -> final strip.
+   */
+  def clean(c: Column, extraWhitespace: Boolean = false, dashes: Boolean = false,
+      bullets: Boolean = false, trailingPunctuation: Boolean = false,
+      lowercase: Boolean = false): Column = {
+    var x = if (lowercase) lower(c) else c
+    if (trailingPunctuation) x = cleanTrailingPunctuation(x)
+    if (dashes) x = cleanDashes(x)
+    if (extraWhitespace) x = cleanExtraWhitespace(x)
+    if (bullets) x = cleanBullets(x)
+    pyStrip(x)
+  }
+}

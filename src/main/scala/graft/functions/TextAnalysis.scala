@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token counting,
+ * quality scoring, language-ID heuristic, document fingerprinting, SimHash and MinHash
+ * primitives.
+ *
+ * Everything here is a pure, codegen-friendly column expression built from Spark
+ * higher-order functions — no UDFs, no shuffles, deterministic across retries (a
+ * requirement for speculative execution; cf. the reference's seeded langdetect,
+ * `/root/reference/unstructured/partition/common/lang.py:453`). The hash family is a
+ * simple 31-base polynomial rolling hash mod 1e9+7, chosen because it is exactly
+ * reproducible in ANSI SQL (DuckDB oracle) with integer arithmetic only.
+ */
+object TextAnalysis {
+
+  val HashMod = 1000000007L
+
+  /** Word tokens: split on whitespace, drop empties. */
+  def words(c: Column): Column = filter(split(c, "\\s+"), w => w =!= "")
+
+  /**
+   * Polynomial rolling hash of a string: `h = fold(h * 31 + codepoint) mod 1e9+7`.
+   * The per-character loop stays inside one codegen'd higher-order expression.
+   */
+  def polyHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % HashMod)
+
+  /** A keyed hash family over [[polyHash]]: `h_k(s) = ((2k+1) * h(s) + 7919k) mod p`. */
+  def keyedHash(c: Column, k: Int): Column =
+    (polyHash(c) * (2L * k + 1L) + 7919L * k) % HashMod
+
+  /** Whitespace token count. */
+  def tokenCountWhitespace(c: Column): Column = size(words(c))
+
+  /**
+   * BPE-ish token count: letter runs, digit runs, and isolated non-alphanumeric
+   * symbols each count as one token (a cheap proxy for subword tokenizer counts).
+   */
+  def tokenCountRegex(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Ratio helpers (all computed over the raw string, 0.0 when empty). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+
+  def punctRatio(c: Column): Column =
+    ratio(length(c) - length(regexp_replace(c, "\\p{P}", "")), length(c))
+
+  def digitRatio(c: Column): Column =
+    ratio(length(c) - length(regexp_replace(c, "[0-9]", "")), length(c))
+
+  def upperRatio(c: Column): Column =
+    ratio(length(c) - length(regexp_replace(c, "[A-Z]", "")), length(c))
+
+  def meanWordLength(c: Column): Column =
+    ratio(aggregate(words(c), lit(0L), (acc, w) => acc + length(w)),
+      tokenCountWhitespace(c))
+
+  /** English stopwords used by the quality score and the language-ID heuristic. */
+  val StopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "was", "are", "be")
+  val StopwordsEs: Seq[String] = Seq(
+    "el", "la", "los", "las", "de", "y", "en", "que", "un", "una", "es", "por")
+  val StopwordsDe: Seq[String] = Seq(
+    "der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit")
+  val StopwordsFr: Seq[String] = Seq(
+    "le", "la", "les", "de", "et", "un", "une", "est", "que", "pour", "dans")
+
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
+    size(array_intersect_multi(words(lower(c)), stopwords))
+
+  /** Count of elements of `arr` contained in `set`, multiplicity preserved. */
+  private def array_intersect_multi(arr: Column, set: Seq[String]): Column =
+    filter(arr, w => set.map(s => w === lit(s)).reduce(_ || _))
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = StopwordsEn): Column =
+    ratio(stopwordCount(c, stopwords), tokenCountWhitespace(c))
+
+  /**
+   * Document quality score in [0,1] — the reference-style length/punct/stopword
+   * heuristics (cf. `is_possible_narrative_text` signals) blended into one number:
+   * rewards reasonable length, mid-range word length, stopword presence; penalizes
+   * punctuation/digit noise.
+   */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val wordLen = meanWordLength(c)
+    val wordLenScore = when(wordLen >= 3 && wordLen <= 10, 1.0).otherwise(0.5)
+    val stopScore = least(stopwordRatio(c) * 5.0, lit(1.0))
+    val punctPenalty = punctRatio(c)
+    val digitPenalty = digitRatio(c)
+    round(
+      greatest(
+        lit(0.0),
+        lenScore * 0.3 + wordLenScore * 0.2 + stopScore * 0.3 -
+          punctPenalty * 0.1 - digitPenalty * 0.1 + lit(0.3)),
+      4)
+  }
+
+  /**
+   * N-gram (word-shingle) heuristic language ID: scores each language by stopword
+   * hits; highest score wins with a fixed tie-break order (en, es, de, fr), `und`
+   * when no stopword hits at all. Deterministic analog of the reference's seeded
+   * langdetect (`partition/common/lang.py:412-505`), ISO-639-1 codes.
+   */
+  def langIdHeuristic(c: Column): Column = {
+    val en = stopwordCount(c, StopwordsEn)
+    val es = stopwordCount(c, StopwordsEs)
+    val de = stopwordCount(c, StopwordsDe)
+    val fr = stopwordCount(c, StopwordsFr)
+    when(greatest(en, es, de, fr) === 0, "und")
+      .when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  /**
+   * Document fingerprint: polynomial hash of the whitespace-normalized, lowercased
+   * text — the exact-dedup key (cheaper than sha2 to mirror in SQL, and stable).
+   */
+  def docFingerprint(c: Column): Column =
+    polyHash(lower(Cleaners.cleanExtraWhitespace(c)))
+
+  /**
+   * 16-bit SimHash over word tokens: bit j of the result is set when the sum of
+   * (+1/-1) votes from each word's hash bit j is positive. Near-dup docs differ in
+   * few bits (compare via Hamming distance).
+   */
+  def simHash16(c: Column): Column = {
+    val hashes = transform(words(lower(c)), w => polyHash(w) % 65536L)
+    aggregate(
+      sequence(lit(0), lit(15)),
+      lit(0L),
+      (acc, j) => {
+        val pow2j = floor(pow(lit(2.0), j)).cast("long")
+        val votes = aggregate(hashes, lit(0L),
+          (v, h) => v + floor(h / pow2j).cast("long") % 2L * 2L - 1L)
+        acc + when(votes > 0, pow2j).otherwise(lit(0L))
+      })
+  }
+
+  /** Word n-gram shingles: `n` consecutive words joined by a single space. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ws = words(c)
+    when(size(ws) >= n,
+      transform(
+        sequence(lit(1), size(ws) - (n - 1)),
+        i => array_join(slice(ws, i, lit(n)), " ")))
+      .otherwise(array(array_join(ws, " ")))
+  }
+
+  /**
+   * MinHash signature over `n`-word shingles with `k` keyed hash functions:
+   * `sig[j] = min over shingles of h_j(shingle)`. The standard scale path for
+   * near-dup detection: LSH-band the signature and bucket-join (no O(n^2) pairs).
+   */
+  def minHashSignature(c: Column, k: Int, shingleN: Int = 3): Column = {
+    val shingles = wordShingles(c, shingleN)
+    val baseHashes = transform(shingles, s =>
+      aggregate(filter(split(s, ""), ch => ch =!= ""), lit(0L),
+        (acc, ch) => (acc * 31L + ascii(ch)) % HashMod))
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(baseHashes,
+        h => (h * (j.cast("long") * 2L + 1L) + j.cast("long") * 7919L) % HashMod)))
+  }
+
+  /**
+   * LSH band keys from a MinHash signature: adjacent pairs of signature entries
+   * combined into one band hash -> `k/2` band keys per document. Docs sharing any
+   * band key are near-dup candidates.
+   */
+  def lshBands(sig: Column, rows: Int = 2): Column =
+    transform(
+      sequence(lit(0), (size(sig) / rows) - 1),
+      b => {
+        val i = b * rows
+        (element_at(sig, i + 1) * 31L + element_at(sig, i + 2)) % HashMod
+      })
+}

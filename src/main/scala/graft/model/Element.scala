@@ -1,0 +1,156 @@
+package graft.model
+
+/**
+ * The engine's single tuple type: a typed, flat element record.
+ *
+ * Mirrors the reference data model (`/root/reference/unstructured/documents/elements.py:718`
+ * `Element`, `:150-487` `ElementMetadata`) re-expressed as Scala case classes with Spark
+ * `Encoder`s. Two columns are added relative to the reference, where they are implicit:
+ * `doc_id` (the source document — the reference's per-call file scope) and `seq` (reading-order
+ * ordinal — the reference's implicit list order). All order-sensitive operators
+ * (chunking, hierarchy, overlap) sort by `(doc_id, seq)` and never rely on row order.
+ *
+ * Sparse-metadata semantics (reference deletes None attributes,
+ * `elements.py:356-364`) map to nullable fields (`Option`); the JSON sink omits
+ * null fields to stay wire-compatible (`staging/base.py:424-455`).
+ */
+final case class Point(x: Double, y: Double)
+
+/** `CoordinatesMetadata` — `elements.py:55-127`; serialized shape `elements.py:81-87`. */
+final case class Coordinates(
+    points: Seq[Point] = Nil,
+    system: Option[String] = None,
+    layout_width: Option[Double] = None,
+    layout_height: Option[Double] = None)
+
+/** `Link` TypedDict — `elements.py:130-135`. */
+final case class LinkMeta(text: Option[String], url: Option[String], start_index: Option[Int])
+
+/** `DataSourceMetadata` — `elements.py:31-52`. Dates kept as ISO-8601 strings (wire-compat). */
+final case class DataSource(
+    url: Option[String] = None,
+    version: Option[String] = None,
+    record_locator: Option[Map[String, String]] = None,
+    date_created: Option[String] = None,
+    date_modified: Option[String] = None,
+    date_processed: Option[String] = None,
+    permissions_data: Option[String] = None)
+
+/** Sparse metadata struct — field set follows `elements.py:163-236`. */
+final case class ElementMetadata(
+    // provenance
+    filename: Option[String] = None,
+    file_directory: Option[String] = None,
+    filetype: Option[String] = None,
+    url: Option[String] = None,
+    last_modified: Option[String] = None,
+    attached_to_filename: Option[String] = None,
+    data_source: Option[DataSource] = None,
+    // position
+    page_number: Option[Int] = None,
+    page_name: Option[String] = None,
+    coordinates: Option[Coordinates] = None,
+    category_depth: Option[Int] = None,
+    parent_id: Option[String] = None,
+    // text decoration
+    emphasized_text_contents: Option[Seq[String]] = None,
+    emphasized_text_tags: Option[Seq[String]] = None,
+    link_texts: Option[Seq[String]] = None,
+    link_urls: Option[Seq[String]] = None,
+    link_start_indexes: Option[Seq[Int]] = None,
+    links: Option[Seq[LinkMeta]] = None,
+    languages: Option[Seq[String]] = None,
+    // tables
+    text_as_html: Option[String] = None,
+    table_id: Option[String] = None,
+    chunk_index: Option[Int] = None,
+    num_carried_over_header_rows: Option[Int] = None,
+    // images
+    image_base64: Option[String] = None,
+    image_mime_type: Option[String] = None,
+    image_path: Option[String] = None,
+    image_url: Option[String] = None,
+    // email
+    sent_from: Option[Seq[String]] = None,
+    sent_to: Option[Seq[String]] = None,
+    cc_recipient: Option[Seq[String]] = None,
+    bcc_recipient: Option[Seq[String]] = None,
+    subject: Option[String] = None,
+    signature: Option[String] = None,
+    email_message_id: Option[String] = None,
+    // chunking artifacts
+    is_continuation: Option[Boolean] = None,
+    orig_elements: Option[String] = None, // base64-gzipped JSON, `elements.py:450-451`
+    // ML provenance
+    detection_class_prob: Option[Double] = None,
+    detection_origin: Option[String] = None,
+    // audio
+    segment_start_seconds: Option[Double] = None,
+    segment_end_seconds: Option[Double] = None)
+
+object ElementMetadata {
+  val empty: ElementMetadata = ElementMetadata()
+}
+
+/**
+ * One element row. `type` values follow the reference subtype table
+ * (`elements.py:819-1049`): Title, NarrativeText, ListItem, Table, TableChunk,
+ * CompositeElement, Address, EmailAddress, Image, PageBreak, Header, Footer,
+ * CodeSnippet, PageNumber, Formula, FigureCaption, Form, CheckBox, UncategorizedText, ...
+ */
+final case class Element(
+    element_id: String,
+    `type`: String,
+    text: String,
+    doc_id: String,
+    seq: Long,
+    metadata: ElementMetadata = ElementMetadata.empty,
+    embeddings: Option[Seq[Float]] = None)
+
+object ElementType {
+  val Title = "Title"
+  val NarrativeText = "NarrativeText"
+  val UncategorizedText = "UncategorizedText"
+  val ListItem = "ListItem"
+  val Address = "Address"
+  val EmailAddress = "EmailAddress"
+  val Image = "Image"
+  val PageBreak = "PageBreak"
+  val Table = "Table"
+  val TableChunk = "TableChunk"
+  val CompositeElement = "CompositeElement"
+  val Header = "Header"
+  val Footer = "Footer"
+  val Formula = "Formula"
+  val FigureCaption = "FigureCaption"
+  val CodeSnippet = "CodeSnippet"
+  val PageNumber = "PageNumber"
+  val Form = "Form"
+  val CheckBox = "CheckBox"
+
+  /**
+   * Many-to-one normalization of layout-model labels to canonical element types —
+   * `TYPE_TO_TEXT_ELEMENT_MAP`, `elements.py:1051-1090`.
+   */
+  val NormalizationMap: Map[String, String] = Map(
+    "Caption" -> FigureCaption,
+    "Figure" -> Image,
+    "Picture" -> Image,
+    "Footnote" -> NarrativeText,
+    "Headline" -> Title,
+    "Subheadline" -> Title,
+    "Section-header" -> Title,
+    "Abstract" -> NarrativeText,
+    "Text" -> NarrativeText,
+    "Paragraph" -> NarrativeText,
+    "Field-Name" -> Title,
+    "Value" -> NarrativeText,
+    "Link" -> NarrativeText,
+    "List" -> ListItem,
+    "List-item" -> ListItem,
+    "Page-header" -> Header,
+    "Page-footer" -> Footer,
+    "Page-number" -> PageNumber)
+
+  def normalize(raw: String): String = NormalizationMap.getOrElse(raw, raw)
+}
