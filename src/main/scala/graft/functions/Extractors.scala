@@ -58,7 +58,10 @@ object Extractors {
    */
   def extractDatetimeTz(c: Column): Column = {
     val m = regexp_extract(c, EmailDatetimeTzPattern, 0)
-    when(m =!= "", to_timestamp(m, "EEE, d MMM yyyy HH:mm:ss Z"))
+    // Spark >= 3.0's datetime parser rejects day-of-week patterns (EEE); the weekday
+    // is redundant in RFC-2822 dates, so strip it before parsing.
+    val noDow = regexp_replace(m, "^[A-Za-z]{3},\\s", "")
+    when(m =!= "", to_timestamp(noDow, "d MMM yyyy HH:mm:ss Z"))
       .otherwise(lit(null).cast("timestamp"))
   }
 

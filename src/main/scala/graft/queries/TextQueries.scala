@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Cleaners, Extractors, Predicates}
+import graft.queries.{OracleSql => O}
+
+/**
+ * Scalar-function operator coverage (SURVEY §2.2-§2.3): every cleaner, predicate and
+ * extractor declared as a query over the `documents` table with a DuckDB oracle.
+ *
+ * Inputs are constructed (bullets/punctuation/mojibake wrapped around `text`) so each
+ * function's interesting path actually executes; the same construction is mirrored in
+ * the oracle SQL. All queries are narrow projections over one parquet scan — no
+ * shuffle, fully codegen'd, trivially scalable.
+ */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "documents")
+
+  private def one(s: SparkSession, dir: String)(c: Column, name: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), c.as(name)).orderBy("doc_id")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clean_extra_whitespace" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanExtraWhitespace(concat(lit("  "), col("text"), lit("  end"))),
+      "cleaned")),
+
+    "q_clean_bullets" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanBullets(concat(lit("\u2022  "), col("text"))), "cleaned")),
+
+    "q_clean_ordered_bullets" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanOrderedBullets(
+        concat((col("doc_id") % 3 + 1).cast("string"), lit("."),
+          (col("doc_id") % 5 + 1).cast("string"), lit(" "), col("text"))), "cleaned")),
+
+    "q_clean_dashes" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanDashes(regexp_replace(col("text"), " ", "-")), "cleaned")),
+
+    "q_clean_trailing_punctuation" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanTrailingPunctuation(concat(col("text"), lit(" .,;:"))), "cleaned")),
+
+    "q_clean_non_ascii" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanNonAsciiChars(concat(col("text"), lit("\u00E9\u4E2D"))), "cleaned")),
+
+    "q_replace_unicode_quotes" -> ((s, dir) => one(s, dir)(
+      Cleaners.replaceUnicodeQuotes(
+        concat(lit("\u0091"), col("text"), lit("\u0092"))), "cleaned")),
+
+    "q_remove_punctuation" -> ((s, dir) => one(s, dir)(
+      Cleaners.removePunctuation(concat(col("text"), lit(".,!?;:"))), "cleaned")),
+
+    "q_clean_ligatures" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanLigatures(regexp_replace(col("text"), "fi", "\uFB01")), "cleaned")),
+
+    "q_clean_prefix_postfix" -> ((s, dir) => one(s, dir)(
+      Cleaners.cleanPostfix(
+        Cleaners.cleanPrefix(concat(lit("PRE: "), col("text"), lit(" :POST")), "PRE:"),
+        ":POST"), "cleaned")),
+
+    "q_clean_composite" -> ((s, dir) => one(s, dir)(
+      Cleaners.clean(concat(lit("\u2022 "), upper(col("text")), lit(" .")),
+        extraWhitespace = true, dashes = true, bullets = true,
+        trailingPunctuation = true, lowercase = true), "cleaned")),
+
+    "q_classify_text" -> ((s, dir) => one(s, dir)(
+      Predicates.classifyText(col("text")), "element_type")),
+
+    "q_element_type_frequency" -> ((s, dir) =>
+      docs(s, dir)
+        .select(Predicates.classifyText(col("text")).as("element_type"))
+        .groupBy("element_type").agg(count(lit(1)).as("n"))
+        .orderBy("element_type")),
+
+    "q_is_possible_title" -> ((s, dir) => one(s, dir)(
+      Predicates.isPossibleTitle(col("text")), "flag")),
+
+    "q_is_possible_narrative" -> ((s, dir) => one(s, dir)(
+      Predicates.isPossibleNarrativeText(col("text")), "flag")),
+
+    "q_under_non_alpha_ratio" -> ((s, dir) => one(s, dir)(
+      Predicates.underNonAlphaRatio(concat(col("text"), lit(" 123!!"))), "flag")),
+
+    "q_exceeds_cap_ratio" -> ((s, dir) => one(s, dir)(
+      Predicates.exceedsCapRatio(initcap(col("text"))), "flag")),
+
+    "q_sentence_count" -> ((s, dir) => one(s, dir)(
+      Predicates.sentenceCount(replace(col("text"), lit(" the "), lit(". ")), 3),
+      "n_sentences")),
+
+    "q_is_bulleted_text" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Predicates.isBulletedText(col("text")).as("raw_flag"),
+        Predicates.isBulletedText(concat(lit("\u2023 "), col("text"))).as("bulleted_flag"))
+        .orderBy("doc_id")),
+
+    "q_is_email_address" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Predicates.isEmailAddress(col("text")).as("raw_flag"),
+        Predicates.isEmailAddress(concat(col("source"), lit("@example.com")))
+          .as("addr_flag"))
+        .orderBy("doc_id")),
+
+    "q_is_numbered_list" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Predicates.isPossibleNumberedList(col("text")).as("raw_flag"),
+        Predicates.isPossibleNumberedList(
+          concat((col("doc_id") % 9 + 1).cast("string"), lit(". "), col("text")))
+          .as("listy_flag"))
+        .orderBy("doc_id")),
+
+    "q_contains_us_phone" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Predicates.containsUsPhoneNumber(
+          concat(lit("call 215-867-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .as("phone_flag"),
+        Extractors.extractUsPhoneNumber(
+          concat(lit("call 215-867-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .as("phone"))
+        .orderBy("doc_id")),
+
+    "q_extract_email_address" -> ((s, dir) => one(s, dir)(
+      array_join(Extractors.extractEmailAddress(
+        concat(lit("a "), col("source"), lit("@test.com b "), col("source"),
+          lit("@mail.org"))), ","), "emails")),
+
+    "q_extract_ip_address" -> ((s, dir) => one(s, dir)(
+      array_join(Extractors.extractIpAddress(
+        concat(lit("from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit(" via proxy"))), ","), "ips")),
+
+    "q_extract_ip_address_name" -> ((s, dir) => one(s, dir)(
+      array_join(Extractors.extractIpAddressName(
+        concat(lit("host "), col("source"), lit(".example.com down"))), ","), "names")),
+
+    "q_extract_mapi_id" -> ((s, dir) => one(s, dir)(
+      array_join(Extractors.extractMapiId(
+        concat(lit("id 1.2.3."), col("doc_id").cast("string"), lit("; end"))), ","),
+      "mapi_ids")),
+
+    "q_extract_datetimetz" -> ((s, dir) => one(s, dir)(
+      unix_seconds(Extractors.extractDatetimeTz(
+        when(col("doc_id") % 2 === 0,
+          concat(lit("Date: Fri, 26 Mar 2021 11:04:09 +1200 x"), col("source")))
+          .otherwise(col("text")))), "epoch_s")),
+
+    "q_extract_text_before_after" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        Extractors.extractTextBefore(col("text"), "merge").as("before_txt"),
+        Extractors.extractTextAfter(col("text"), "merge").as("after_txt"))
+        .orderBy("doc_id")),
+
+    "q_extract_ordered_bullets" -> ((s, dir) => {
+      val in = concat((col("doc_id") % 3 + 1).cast("string"), lit("."),
+        (col("doc_id") % 5 + 1).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".2")).otherwise(lit("")),
+        lit(" "), col("text"))
+      val b = Extractors.extractOrderedBullets(in)
+      docs(s, dir).select(
+        col("doc_id"),
+        b.getField("section").as("section"),
+        b.getField("sub_section").as("sub_section"),
+        b.getField("sub_sub_section").as("sub_sub_section"))
+        .orderBy("doc_id")
+    }),
+
+    "q_extract_image_urls" -> ((s, dir) => one(s, dir)(
+      array_join(Extractors.extractImageUrlsFromHtml(
+        concat(lit("<img src=\"https://img.example.com/pic"),
+          (col("doc_id") % 9).cast("string"), lit(".png\"> and more"))), ","), "urls")))
+
+  private def docSel(expr: String, name: String): String =
+    s"SELECT doc_id, $expr AS $name FROM documents ORDER BY doc_id"
+
+  def oracles: Map[String, String] = Map(
+    "q_clean_extra_whitespace" ->
+      docSel(O.cleanExtraWhitespace("'  ' || text || '  end'"), "cleaned"),
+
+    "q_clean_bullets" ->
+      docSel(O.strip(s"regexp_replace(chr(8226) || '  ' || text, '^(?:${O.bulletsAlt})', '')"),
+        "cleaned"),
+
+    // Constructed input always carries a valid ordered bullet -> result is the raw text.
+    "q_clean_ordered_bullets" -> docSel("text", "cleaned"),
+
+    "q_clean_dashes" ->
+      docSel(O.strip("regexp_replace(regexp_replace(text, ' ', '-', 'g'), " +
+        "'[-\\x{2013}]', ' ', 'g')"), "cleaned"),
+
+    "q_clean_trailing_punctuation" ->
+      docSel(s"regexp_replace(${O.strip("text || ' .,;:'")}, '[.,:;]+$$', '')", "cleaned"),
+
+    "q_clean_non_ascii" ->
+      docSel("regexp_replace(text || chr(233) || chr(20013), '[^\\x00-\\x7F]', '', 'g')",
+        "cleaned"),
+
+    "q_replace_unicode_quotes" ->
+      docSel("replace(replace(chr(145) || text || chr(146), chr(145), chr(8216)), " +
+        "chr(146), chr(8217))", "cleaned"),
+
+    "q_remove_punctuation" ->
+      docSel("regexp_replace(text || '.,!?;:', '\\p{P}', '', 'g')", "cleaned"),
+
+    // fi -> ligature -> cleaned back to fi == identity on the raw text.
+    "q_clean_ligatures" -> docSel("text", "cleaned"),
+
+    "q_clean_prefix_postfix" ->
+      docSel(O.rstrip(s"regexp_replace(${O.lstrip("regexp_replace('PRE: ' || text || ' :POST', '^(?:PRE:)', '')")}, '(?::POST)$$', '')"),
+        "cleaned"),
+
+    "q_clean_composite" -> {
+      // Mirror Cleaners.clean application order: lowercase -> trailing punct ->
+      // dashes -> extra ws -> bullets -> final strip.
+      val lowered = "lower(chr(8226) || ' ' || upper(text) || ' .')"
+      val noTrail = s"regexp_replace(${O.strip(lowered)}, '[.,:;]+$$', '')"
+      val noDash = O.strip(s"regexp_replace($noTrail, '[-\\x{2013}]', ' ', 'g')")
+      val noWs = O.cleanExtraWhitespace(noDash)
+      val noBullet = O.strip(s"regexp_replace($noWs, '^(?:${O.bulletsAlt})', '')")
+      docSel(O.strip(noBullet), "cleaned")
+    },
+
+    "q_classify_text" -> docSel(O.classify("text"), "element_type"),
+
+    "q_element_type_frequency" ->
+      s"""SELECT ${O.classify("text")} AS element_type, count(*) AS n
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_is_possible_title" -> docSel(O.isPossibleTitle("text"), "flag"),
+
+    "q_is_possible_narrative" -> docSel(O.isPossibleNarrative("text"), "flag"),
+
+    "q_under_non_alpha_ratio" ->
+      docSel(O.underNonAlphaRatio("(text || ' 123!!')"), "flag"),
+
+    "q_exceeds_cap_ratio" ->
+      // initcap on lowercase words == DuckDB's per-word capitalization... DuckDB has no
+      // initcap; mirror with a regexp-based word-initial uppercase.
+      docSel(O.exceedsCapRatio(
+        "array_to_string(list_transform(string_split(text, ' '), " +
+          "w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' ')"), "flag"),
+
+    "q_sentence_count" ->
+      docSel(O.sentenceCount("replace(text, ' the ', '. ')", 3), "n_sentences"),
+
+    "q_is_bulleted_text" ->
+      s"""SELECT doc_id, ${O.isBulleted("text")} AS raw_flag,
+         |  ${O.isBulleted("chr(8227) || ' ' || text")} AS bulleted_flag
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_is_email_address" ->
+      s"""SELECT doc_id, ${O.isEmailAddr("text")} AS raw_flag,
+         |  ${O.isEmailAddr("source || '@example.com'")} AS addr_flag
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_is_numbered_list" ->
+      s"""SELECT doc_id, ${O.isNumberedList("text")} AS raw_flag,
+         |  ${O.isNumberedList("(doc_id % 9 + 1) || '. ' || text")} AS listy_flag
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_contains_us_phone" ->
+      s"""SELECT doc_id,
+         |  regexp_matches(${O.strip("'call 215-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")},
+         |    '${Predicates.UsPhonePattern.replace("\\", "\\")}') AS phone_flag,
+         |  ${O.strip(s"regexp_extract('call 215-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '${Predicates.UsPhonePattern}')")}
+         |    AS phone
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_extract_email_address" ->
+      docSel("array_to_string(regexp_extract_all(lower('a ' || source || '@test.com b ' " +
+        s"|| source || '@mail.org'), '${Predicates.EmailAddressPattern}'), ',')", "emails"),
+
+    "q_extract_ip_address" ->
+      docSel("array_to_string(regexp_extract_all('from 10.0.' || (doc_id % 256) || '.' " +
+        s"|| ((doc_id * 7) % 256) || ' via proxy', '${graft.functions.Extractors.IpAddressPattern}'), ',')",
+        "ips"),
+
+    "q_extract_ip_address_name" ->
+      docSel("array_to_string(regexp_extract_all('host ' || source || '.example.com down', " +
+        s"'${graft.functions.Extractors.IpAddressNamePattern}'), ',')", "names"),
+
+    "q_extract_mapi_id" ->
+      docSel("array_to_string(list_transform(regexp_extract_all('id 1.2.3.' || doc_id " +
+        s"|| '; end', '${graft.functions.Extractors.MapiIdPattern}'), m -> replace(m, ';', '')), ',')",
+        "mapi_ids"),
+
+    "q_extract_datetimetz" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN
+         |    CAST(epoch(strptime(regexp_extract(
+         |      'Date: Fri, 26 Mar 2021 11:04:09 +1200 x' || source,
+         |      '${graft.functions.Extractors.EmailDatetimeTzPattern}'),
+         |      '%a, %d %b %Y %H:%M:%S %z')) AS BIGINT)
+         |  ELSE NULL END AS epoch_s
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_extract_text_before_after" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN strpos(text, 'merge') > 0
+         |    THEN ${O.rstrip("substring(text, 1, strpos(text, 'merge') - 1)")}
+         |    ELSE NULL END AS before_txt,
+         |  CASE WHEN strpos(text, 'merge') > 0
+         |    THEN ${O.lstrip("substring(text, strpos(text, 'merge') + 5)")}
+         |    ELSE NULL END AS after_txt
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_extract_ordered_bullets" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 3 + 1 AS VARCHAR) AS section,
+        |  CAST(doc_id % 5 + 1 AS VARCHAR) AS sub_section,
+        |  CASE WHEN doc_id % 2 = 0 THEN '2' ELSE NULL END AS sub_sub_section
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_extract_image_urls" ->
+      docSel("array_to_string(regexp_extract_all('<img src=\"https://img.example.com/pic' " +
+        s"|| (doc_id % 9) || '.png\"> and more', '${graft.functions.Extractors.ImageUrlPattern}'), ',')",
+        "urls"))
+}
