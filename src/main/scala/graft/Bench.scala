@@ -1,5 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/**
+ * Benchmark main — runs every declared query against `SPARK_GRAFT_SF_DIR` and prints
+ * ONE JSON line with per-query wall seconds.
+ *
+ * Protocol notes (round-1 verdict fixes):
+ *  - each query is materialized through the `noop` sink, not `.count()` — a count lets
+ *    Catalyst prune every computed column and times a bare parquet scan;
+ *  - one full un-timed warm-up pass precedes the timed pass (JIT/codegen/session
+ *    warm-up amortized — mirrors the reference's own protocol,
+ *    `scripts/performance/time_partition.py:19-30`);
+ *  - the JSON line is also written to `bench_result.json` so the driver can parse it
+ *    even if sbt decorates stdout.
+ */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +22,32 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(n => runOne(n, SparkEntry.queries(n))) // warm-up pass (not recorded)
+    val results = names.map(n => n -> runOne(n, SparkEntry.queries(n)))
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_result.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

@@ -71,13 +71,16 @@ object Predicates {
     regexp_like(pyStrip(c), lit(UsPhonePattern))
 
   /**
-   * `sentence_count` — `text_type.py:208-238`. Sentences = segments split at `[.!?]+`
-   * followed by whitespace; with `minLength`, a sentence only counts when it has at least
-   * that many word tokens after punctuation removal.
+   * `sentence_count` — `text_type.py:208-238`. Sentences = maximal segments matching
+   * `[^.!?]+[.!?]+` plus a trailing unterminated segment — the IDENTICAL extraction
+   * pattern the DuckDB oracle uses (`OracleSql.sentences`), so the two engines agree on
+   * every input, including periods not followed by whitespace ("3.14", "e.g.").
+   * With `minLength`, a sentence only counts when it has at least that many word tokens
+   * after punctuation removal.
    */
   def sentenceCount(c: Column, minLength: Int = 0): Column = {
     val sentences = filter(
-      split(pyStrip(c), "(?<=[.!?])\\s+"),
+      regexp_extract_all(pyStrip(c), lit("[^.!?]+[.!?]+|[^.!?]+$"), lit(0)),
       s => pyStrip(s) =!= "")
     if (minLength <= 0) size(sentences)
     else

@@ -4,10 +4,10 @@ package graft.queries
  * DuckDB SQL snippet builders mirroring the Spark column functions in
  * `graft.functions.*` formula-for-formula. Each builder takes a SQL expression string
  * and returns the equivalent DuckDB expression — the oracle side of the driver's
- * correctness compare. RE2 restrictions (no lookahead/lookbehind) mean a few snippets
- * are written differently from the Java-regex Spark side but compute the same value on
- * any input (e.g. sentence segmentation via `regexp_extract_all` instead of
- * lookbehind-split — the Spark side uses the identical extraction pattern).
+ * correctness compare. Sentence segmentation uses the literally identical extraction
+ * pattern (`[^.!?]+[.!?]+|[^.!?]+$`) on both engines (`Predicates.sentenceCount` uses
+ * `regexp_extract_all`, not a lookbehind split), so counts agree on every input,
+ * including periods not followed by whitespace.
  */
 object OracleSql {
 
@@ -135,5 +135,48 @@ object OracleSql {
   def stopwordCount(x: String, stopwords: Seq[String]): String = {
     val set = stopwords.map(s => s"'$s'").mkString(", ")
     s"len(list_filter(${words(s"lower($x)")}, w -> w IN ($set)))"
+  }
+
+  /** A string literal as a chr()-concatenation — safe for any unicode/quote content. */
+  def chrLit(s: String): String =
+    if (s.isEmpty) "''"
+    else s.map(ch => s"chr(${ch.toInt})").mkString(" || ")
+
+  /** Full 14-entry ligature expansion — mirrors `Cleaners.cleanLigatures` order. */
+  def cleanLigatures(x: String): String =
+    graft.functions.Cleaners.LigaturesMap.foldLeft(x) { case (acc, (k, v)) =>
+      s"replace($acc, ${chrLit(k)}, '$v')"
+    }
+
+  /** Full mojibake/smart-quote table — mirrors `Cleaners.replaceUnicodeQuotes` order. */
+  def replaceUnicodeQuotes(x: String): String =
+    graft.functions.Cleaners.UnicodeQuotesMap.foldLeft(x) { case (acc, (k, v)) =>
+      s"replace($acc, ${chrLit(k)}, ${chrLit(v)})"
+    }
+
+  /** Whitespace tokens of the stripped input (mirrors `split(pyStrip(c), "\\s+")`). */
+  private def bulletToks(x: String): String =
+    s"string_split_regex(${strip(x)}, '\\s+')"
+
+  /** First-token ordered-bullet test — mirrors `Cleaners.cleanOrderedBullets` guards. */
+  private def isOrderedBullet(t0: String): String =
+    s"(contains($t0, '.') AND NOT contains($t0, '..') " +
+      s"AND length(string_split($t0, '.')[1]) <= 2)"
+
+  /** `clean_ordered_bullets` mirror — drop the bullet token, else identity. */
+  def cleanOrderedBullets(x: String): String = {
+    val toks = bulletToks(x)
+    val isB = isOrderedBullet(s"($toks)[1]")
+    s"(CASE WHEN $isB AND len($toks) > 1 " +
+      s"THEN array_to_string(list_slice($toks, 2, len($toks)), ' ') " +
+      s"WHEN $isB THEN '' ELSE $x END)"
+  }
+
+  /** `extract_ordered_bullets` mirror: (section, sub_section, sub_sub_section) fields. */
+  def orderedBulletField(x: String, idx: Int): String = {
+    val t0 = s"(${bulletToks(x)})[1]"
+    val parts = s"list_filter(string_split($t0, '.'), p -> p <> '')"
+    s"(CASE WHEN ${isOrderedBullet(t0)} AND len($parts) >= $idx " +
+      s"THEN ($parts)[$idx] ELSE NULL END)"
   }
 }

@@ -39,15 +39,19 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // TPC-H Q3-flavor: broadcast dims, top-10 revenue orders in one segment.
+    // TPC-H Q3-flavor: top-10 revenue orders in one segment. Scale-safe plan: only the
+    // filtered CUSTOMER dim is broadcast; lineitem |><| orders is a shuffle join on the
+    // order key (orders is a fact table — broadcasting it would OOM at 100x; AQE picks
+    // the physical strategy at runtime).
     "q3_top_revenue_orders" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         .select("c_custkey")
-      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       val l = t(s, dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
-      l.join(broadcast(o.join(broadcast(c), o("o_custkey") === c("c_custkey"))),
-          l("l_orderkey") === o("o_orderkey"))
+      val keys = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select("o_orderkey")
+      l.join(keys, l("l_orderkey") === keys("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
@@ -55,21 +59,23 @@ object RelationalQueries {
         .limit(10)
     }),
 
-    // TPC-H Q5-flavor: region->nation->customer->orders->lineitem star join,
-    // revenue per nation for one region. All dims broadcast; one shuffle (final agg).
+    // TPC-H Q5-flavor: region->nation->customer->orders->lineitem star join, revenue
+    // per nation for one region. Scale-safe plan: only true dims (region, nation) are
+    // broadcast; customer|><|orders and orders|><|lineitem are shuffle joins on their
+    // keys — both sides are fact-sized at 100x, so no fact-side broadcast anywhere.
     "q5_region_nation_revenue" -> ((s, dir) => {
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       val l = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
       val dims = c
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select(col("c_custkey"), col("n_name"))
-      val ord = o.join(broadcast(dims), o("o_custkey") === dims("c_custkey"))
+      val ord = o.join(dims, o("o_custkey") === dims("c_custkey"))
         .select(col("o_orderkey"), col("n_name"))
-      l.join(broadcast(ord), l("l_orderkey") === ord("o_orderkey"))
+      l.join(ord, l("l_orderkey") === ord("o_orderkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))

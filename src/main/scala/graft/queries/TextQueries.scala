@@ -31,10 +31,14 @@ object TextQueries {
     "q_clean_bullets" -> ((s, dir) => one(s, dir)(
       Cleaners.cleanBullets(concat(lit("\u2022  "), col("text"))), "cleaned")),
 
+    // Adversarial rows included: doc_id%4==0 gets a double-dot token (NOT a bullet),
+    // %4==1 a long head token (NOT a bullet) — the oracle runs the full token logic.
     "q_clean_ordered_bullets" -> ((s, dir) => one(s, dir)(
       Cleaners.cleanOrderedBullets(
-        concat((col("doc_id") % 3 + 1).cast("string"), lit("."),
-          (col("doc_id") % 5 + 1).cast("string"), lit(" "), col("text"))), "cleaned")),
+        when(col("doc_id") % 4 === 0, concat(lit("1..2 "), col("text")))
+          .when(col("doc_id") % 4 === 1, concat(lit("abc.def "), col("text")))
+          .otherwise(concat((col("doc_id") % 3 + 1).cast("string"), lit("."),
+            (col("doc_id") % 5 + 1).cast("string"), lit(" "), col("text")))), "cleaned")),
 
     "q_clean_dashes" -> ((s, dir) => one(s, dir)(
       Cleaners.cleanDashes(regexp_replace(col("text"), " ", "-")), "cleaned")),
@@ -45,15 +49,22 @@ object TextQueries {
     "q_clean_non_ascii" -> ((s, dir) => one(s, dir)(
       Cleaners.cleanNonAsciiChars(concat(col("text"), lit("\u00E9\u4E2D"))), "cleaned")),
 
+    // Exercises C1 controls, &apos;, and a 3-byte mojibake sequence; oracle mirrors the
+    // full 23-entry table.
     "q_replace_unicode_quotes" -> ((s, dir) => one(s, dir)(
       Cleaners.replaceUnicodeQuotes(
-        concat(lit("\u0091"), col("text"), lit("\u0092"))), "cleaned")),
+        concat(lit("\u0091"), col("text"),
+          lit("\u0092 &apos; \u00e2\u0080\u0099 \u0093q\u0094"))), "cleaned")),
 
     "q_remove_punctuation" -> ((s, dir) => one(s, dir)(
       Cleaners.removePunctuation(concat(col("text"), lit(".,!?;:"))), "cleaned")),
 
+    // Input carries an injected fi-ligature plus ae/ffl ligatures appended; the oracle
+    // applies the full 14-entry expansion (not identity).
     "q_clean_ligatures" -> ((s, dir) => one(s, dir)(
-      Cleaners.cleanLigatures(regexp_replace(col("text"), "fi", "\uFB01")), "cleaned")),
+      Cleaners.cleanLigatures(
+        concat(regexp_replace(col("text"), "fi", "\uFB01"),
+          lit(" \u00E6x\uFB04"))), "cleaned")),
 
     "q_clean_prefix_postfix" -> ((s, dir) => one(s, dir)(
       Cleaners.cleanPostfix(
@@ -158,10 +169,13 @@ object TextQueries {
         .orderBy("doc_id")),
 
     "q_extract_ordered_bullets" -> ((s, dir) => {
-      val in = concat((col("doc_id") % 3 + 1).cast("string"), lit("."),
-        (col("doc_id") % 5 + 1).cast("string"),
-        when(col("doc_id") % 2 === 0, lit(".2")).otherwise(lit("")),
-        lit(" "), col("text"))
+      // doc_id%7==0 rows carry a double-dot first token (NOT a bullet -> all nulls);
+      // the oracle runs the same extraction logic, not the construction formula.
+      val in = when(col("doc_id") % 7 === 0, concat(lit("x..y "), col("text")))
+        .otherwise(concat((col("doc_id") % 3 + 1).cast("string"), lit("."),
+          (col("doc_id") % 5 + 1).cast("string"),
+          when(col("doc_id") % 2 === 0, lit(".2")).otherwise(lit("")),
+          lit(" "), col("text")))
       val b = Extractors.extractOrderedBullets(in)
       docs(s, dir).select(
         col("doc_id"),
@@ -187,8 +201,12 @@ object TextQueries {
       docSel(O.strip(s"regexp_replace(chr(8226) || '  ' || text, '^(?:${O.bulletsAlt})', '')"),
         "cleaned"),
 
-    // Constructed input always carries a valid ordered bullet -> result is the raw text.
-    "q_clean_ordered_bullets" -> docSel("text", "cleaned"),
+    "q_clean_ordered_bullets" -> docSel(
+      O.cleanOrderedBullets(
+        "(CASE WHEN doc_id % 4 = 0 THEN '1..2 ' || text " +
+          "WHEN doc_id % 4 = 1 THEN 'abc.def ' || text " +
+          "ELSE (doc_id % 3 + 1) || '.' || (doc_id % 5 + 1) || ' ' || text END)"),
+      "cleaned"),
 
     "q_clean_dashes" ->
       docSel(O.strip("regexp_replace(regexp_replace(text, ' ', '-', 'g'), " +
@@ -202,14 +220,18 @@ object TextQueries {
         "cleaned"),
 
     "q_replace_unicode_quotes" ->
-      docSel("replace(replace(chr(145) || text || chr(146), chr(145), chr(8216)), " +
-        "chr(146), chr(8217))", "cleaned"),
+      docSel(O.replaceUnicodeQuotes(
+        "(chr(145) || text || chr(146) || ' &apos; ' || " +
+          "chr(226) || chr(128) || chr(153) || ' ' || chr(147) || 'q' || chr(148))"),
+        "cleaned"),
 
     "q_remove_punctuation" ->
       docSel("regexp_replace(text || '.,!?;:', '\\p{P}', '', 'g')", "cleaned"),
 
-    // fi -> ligature -> cleaned back to fi == identity on the raw text.
-    "q_clean_ligatures" -> docSel("text", "cleaned"),
+    "q_clean_ligatures" -> docSel(
+      O.cleanLigatures(
+        "(regexp_replace(text, 'fi', chr(64257), 'g') || ' ' || chr(230) || 'x' || chr(64260))"),
+      "cleaned"),
 
     "q_clean_prefix_postfix" ->
       docSel(O.rstrip(s"regexp_replace(${O.lstrip("regexp_replace('PRE: ' || text || ' :POST', '^(?:PRE:)', '')")}, '(?::POST)$$', '')"),
@@ -240,11 +262,11 @@ object TextQueries {
       docSel(O.underNonAlphaRatio("(text || ' 123!!')"), "flag"),
 
     "q_exceeds_cap_ratio" ->
-      // initcap on lowercase words == DuckDB's per-word capitalization... DuckDB has no
-      // initcap; mirror with a regexp-based word-initial uppercase.
+      // DuckDB has no initcap; mirror Spark's semantics exactly: word-initial uppercase
+      // AND lowercase remainder of each space-separated word.
       docSel(O.exceedsCapRatio(
         "array_to_string(list_transform(string_split(text, ' '), " +
-          "w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' ')"), "flag"),
+          "w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))), ' ')"), "flag"),
 
     "q_sentence_count" ->
       docSel(O.sentenceCount("replace(text, ' the ', '. ')", 3), "n_sentences"),
@@ -310,12 +332,16 @@ object TextQueries {
          |    ELSE NULL END AS after_txt
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_extract_ordered_bullets" ->
-      """SELECT doc_id,
-        |  CAST(doc_id % 3 + 1 AS VARCHAR) AS section,
-        |  CAST(doc_id % 5 + 1 AS VARCHAR) AS sub_section,
-        |  CASE WHEN doc_id % 2 = 0 THEN '2' ELSE NULL END AS sub_sub_section
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_extract_ordered_bullets" -> {
+      val in = "(CASE WHEN doc_id % 7 = 0 THEN 'x..y ' || text " +
+        "ELSE (doc_id % 3 + 1) || '.' || (doc_id % 5 + 1) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN '.2' ELSE '' END) || ' ' || text END)"
+      s"""SELECT doc_id,
+         |  ${O.orderedBulletField(in, 1)} AS section,
+         |  ${O.orderedBulletField(in, 2)} AS sub_section,
+         |  ${O.orderedBulletField(in, 3)} AS sub_sub_section
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_extract_image_urls" ->
       docSel("array_to_string(regexp_extract_all('<img src=\"https://img.example.com/pic' " +
