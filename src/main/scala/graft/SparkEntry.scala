@@ -18,7 +18,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
-      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles))
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
+      (graft.queries.AnalysisQueries.queries, graft.queries.AnalysisQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -181,7 +181,7 @@ object TextAnalysis {
    */
   def lshBands(sig: Column, rows: Int = 2): Column =
     transform(
-      sequence(lit(0), (size(sig) / rows) - 1),
+      sequence(lit(0), (size(sig) / lit(rows)).cast("int") - 1),
       b => {
         val i = b * rows
         (element_at(sig, i + 1) * 31L + element_at(sig, i + 2)) % HashMod

@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.queries.{OracleSql => O}
+
+/**
+ * LLM-training-data-pipeline operators as declared queries (builder's brief + SURVEY
+ * §2.9/§2.11): token counting, quality scoring, language ID, document fingerprinting,
+ * exact dedup, MinHash+LSH near-dup, SimHash, embedding similarity search (brute-force
+ * cosine top-k and an LSH-bucketed variant), bag-of-words, percent-missing-text and
+ * n-gram overlap metrics.
+ *
+ * Scale shapes (the point at 100 TB):
+ *  - exact dedup = `groupBy(fingerprint)` — one hash-partitioned shuffle, map-side
+ *    partial aggregation; never a self-join;
+ *  - near-dup = MinHash signature → LSH band keys → explode → equi-join on band key —
+ *    candidate pairs only, O(n·bands) not O(n²);
+ *  - ANN = brute-force per-partition scan with a broadcast query vector (baseline), and
+ *    a sign-bit LSH bucket variant that prunes the scan to one bucket (scale path);
+ *  - metrics = explode → groupBy(word) with map-side combine.
+ */
+object AnalysisQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "embeddings")
+
+  private def one(s: SparkSession, dir: String)(c: Column, name: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), c.as(name)).orderBy("doc_id")
+
+  /** documents ∪ exact copies of every 5th doc (ids +10000) — the exact-dedup corpus. */
+  private def withExactDups(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-copies (one appended token) of every 7th doc — the near-dup corpus. */
+  private def withNearDups(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id"), col("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text")))
+  }
+
+  /** BOW normalization (reference `metrics/text_extraction.py:123-157`): lowercase,
+    * strip punctuation, whitespace-split. */
+  private def bowWords(c: Column): Column =
+    TextAnalysis.words(regexp_replace(lower(c), "\\p{P}", ""))
+
+  /** Per-(doc,word) counts of a text expression. */
+  private def wordCounts(d: DataFrame, text: Column, n: String): DataFrame =
+    d.select(col("doc_id"), explode(bowWords(text)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as(n))
+
+  /** Per-(doc,gram) counts of word 2-grams of a text expression. */
+  private def gramCounts(d: DataFrame, text: Column, n: String): DataFrame =
+    d.select(col("doc_id"), explode(TextAnalysis.wordShingles(lower(text), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as(n))
+
+  // "output" texts whose divergence from the source the metrics measure — the
+  // construction is mirrored verbatim in the oracle SQL.
+  private val missingWordsOut: Column => Column =
+    t => regexp_replace(t, "\\S*e\\S*", "")
+  private val ngramOut: Column => Column =
+    t => array_join(slice(TextAnalysis.words(t), lit(1),
+      greatest(size(TextAnalysis.words(t)) - 5, lit(1))), " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWhitespace(col("text")).as("n_ws_tokens"),
+        TextAnalysis.tokenCountRegex(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "q_quality_score" -> ((s, dir) => one(s, dir)(
+      TextAnalysis.qualityScore(col("text")), "quality")),
+
+    "q_lang_id" -> ((s, dir) => one(s, dir)(
+      TextAnalysis.langIdHeuristic(col("text")), "lang_pred")),
+
+    "q_doc_fingerprint" -> ((s, dir) => one(s, dir)(
+      TextAnalysis.docFingerprint(col("text")), "fp")),
+
+    // Exact dedup: fingerprint → groupBy → keep collision groups. One shuffle on the
+    // hash key; at 100 TB this is the canonical dedup plan (no pairwise compare).
+    "q_exact_dedup" -> ((s, dir) =>
+      withExactDups(docs(s, dir))
+        .select(col("doc_id"), TextAnalysis.docFingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")),
+
+    "q_minhash_signature" -> ((s, dir) => one(s, dir)(
+      concat_ws(",", TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3)),
+      "sig_str")),
+
+    // Near-dup end-to-end: MinHash(8) → 4 LSH bands → explode → self-equi-join on
+    // (band_idx, band_key) → distinct candidate pairs. Join is hash-partitioned on the
+    // band key — candidates only, never O(n²).
+    "q_lsh_near_dup" -> ((s, dir) => {
+      val inp = withNearDups(docs(s, dir))
+      val sig = inp.select(col("doc_id"),
+        TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(TextAnalysis.lshBands(col("sig"), rows = 2))
+          .as(Seq("band_idx", "band_key")))
+      val a = bands.alias("a")
+      val b = bands.alias("b")
+      a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q_simhash" -> ((s, dir) => one(s, dir)(
+      TextAnalysis.simHash16(col("text")), "simhash")),
+
+    // Brute-force cosine top-k against a broadcast query vector — the ANN baseline.
+    "q_ann_cosine_topk" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dot = aggregate(
+        zip_with(col("embedding"), col("qv"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val norm = (c: Column) => sqrt(aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(dot / (norm(col("embedding")) * norm(col("qv"))), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // LSH-bucketed ANN (scale path): sign bits of the first 8 dims form a bucket key;
+    // only the query's bucket is scanned. At 100 TB the element lake is written
+    // bucketed/partitioned by this key, so the scan prunes to one partition.
+    "q_ann_lsh_bucket" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val bucket = (c: Column) => aggregate(
+        sequence(lit(0), lit(7)),
+        lit(0L),
+        (acc, i) => acc + when(element_at(c, i + 1) > 0f,
+          floor(pow(lit(2.0), i)).cast("long")).otherwise(lit(0L)))
+      val withB = e.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      val q = withB.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      val dot = aggregate(
+        zip_with(col("embedding"), col("qv"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val norm = (c: Column) => sqrt(aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      withB.join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("bucket"),
+          round(dot / (norm(col("embedding")) * norm(col("qv"))), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // Corpus-level word frequency (reference `bag_of_words`).
+    "q_bag_of_words" -> ((s, dir) =>
+      docs(s, dir).select(explode(bowWords(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("word"))
+        .limit(100)),
+
+    // percent_missing_text (reference `text_extraction.py:160-203`): 1 − shared word
+    // mass / source mass, via per-(doc,word) BOW counts and a left join.
+    "q_percent_missing_text" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val src = wordCounts(d, col("text"), "sn")
+      val out = wordCounts(d, missingWordsOut(col("text")), "on")
+      src.join(out, Seq("doc_id", "w"), "left")
+        .groupBy("doc_id")
+        .agg(round(lit(1.0) -
+          sum(least(col("sn"), coalesce(col("on"), lit(0L)))).cast("double") /
+            sum(col("sn")).cast("double"), 4).as("pct_missing"))
+        .orderBy("doc_id")
+    }),
+
+    // shared n-gram percentage (reference `metrics/utils.py:213-246`): shared 2-gram
+    // mass / source 2-gram mass, as a percentage rounded to 2dp.
+    "q_ngram_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val src = gramCounts(d, col("text"), "sn")
+      val out = gramCounts(d, ngramOut(col("text")), "on")
+      src.join(out, Seq("doc_id", "g"), "left")
+        .groupBy("doc_id")
+        .agg(round(lit(100.0) *
+          sum(least(col("sn"), coalesce(col("on"), lit(0L)))).cast("double") /
+            sum(col("sn")).cast("double"), 2).as("shared_pct"))
+        .orderBy("doc_id")
+    }))
+
+  // -- oracle SQL ------------------------------------------------------------------
+
+  private val ph: String => String = O.polyHash
+  private def wordsL(x: String): String = O.words(s"lower($x)")
+
+  private def docSel(expr: String, name: String): String =
+    s"SELECT doc_id, $expr AS $name FROM documents ORDER BY doc_id"
+
+  private val dupUnion =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)"
+
+  private val nearDupUnion =
+    "(SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 10000 AS doc_id, text || ' xtra' AS text FROM documents WHERE doc_id % 7 = 0)"
+
+  /** clean_extra_whitespace → lower → polyHash — mirrors `TextAnalysis.docFingerprint`. */
+  private def fingerprint(x: String): String =
+    ph(s"lower(${O.cleanExtraWhitespace(x)})")
+
+  private def bowWordsSql(x: String): String =
+    O.words(s"regexp_replace(lower($x), '\\p{P}', '', 'g')")
+
+  private val missingOutSql = "regexp_replace(text, '\\S*e\\S*', '', 'g')"
+  private val ngramOutSql = {
+    val ws = O.words("text")
+    s"array_to_string(list_slice($ws, 1, greatest(len($ws) - 5, 1)), ' ')"
+  }
+
+  private def grams2(x: String): String = O.shingles2(O.words(s"lower($x)"))
+
+  private def qualitySql(x: String): String = {
+    val ws = O.words(x)
+    val nWords = s"len($ws)"
+    val lenScore = s"least(length($x)::DOUBLE / 500.0, 1.0)"
+    val sumWordLen = s"CAST(list_sum(list_prepend(0, list_transform($ws, w -> length(w)))) AS DOUBLE)"
+    val meanWl = s"(CASE WHEN $nWords > 0 THEN $sumWordLen / $nWords ELSE 0.0 END)"
+    val wlScore = s"(CASE WHEN $meanWl >= 3 AND $meanWl <= 10 THEN 1.0 ELSE 0.5 END)"
+    val stopCnt = O.stopwordCount(x, TextAnalysis.StopwordsEn)
+    val stopRatio = s"(CASE WHEN $nWords > 0 THEN $stopCnt::DOUBLE / $nWords ELSE 0.0 END)"
+    val stopScore = s"least($stopRatio * 5.0, 1.0)"
+    def charRatio(pat: String) =
+      s"(CASE WHEN length($x) > 0 THEN " +
+        s"(length($x) - length(regexp_replace($x, '$pat', '', 'g')))::DOUBLE / length($x) " +
+        s"ELSE 0.0 END)"
+    val punct = charRatio("\\p{P}")
+    val digit = charRatio("[0-9]")
+    s"round(greatest(0.0, $lenScore * 0.3 + $wlScore * 0.2 + $stopScore * 0.3 " +
+      s"- $punct * 0.1 - $digit * 0.1 + 0.3), 4)"
+  }
+
+  private def langIdSql(x: String): String = {
+    val en = O.stopwordCount(x, TextAnalysis.StopwordsEn)
+    val es = O.stopwordCount(x, TextAnalysis.StopwordsEs)
+    val de = O.stopwordCount(x, TextAnalysis.StopwordsDe)
+    val fr = O.stopwordCount(x, TextAnalysis.StopwordsFr)
+    s"(CASE WHEN greatest($en, $es, $de, $fr) = 0 THEN 'und' " +
+      s"WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en' " +
+      s"WHEN $es >= $de AND $es >= $fr THEN 'es' " +
+      s"WHEN $de >= $fr THEN 'de' ELSE 'fr' END)"
+  }
+
+  /** `sig` SQL: k=8 minhash over 3-shingles of lowercased words — mirrors
+    * `minHashSignature(c, 8, 3)`. NB the Spark side shingles the RAW text's words;
+    * mirror exactly (no lowercase). */
+  private def minhashSigSql(x: String): String = {
+    val ws = O.words(x)
+    val sh3 = O.shingles3(ws)
+    s"list_transform(range(0, 8), j -> list_min(list_transform(" +
+      s"list_transform($sh3, s -> ${ph("s")}), " +
+      s"h -> (h * (2*j + 1) + 7919*j) % 1000000007)))"
+  }
+
+  private def simhashSql(x: String): String =
+    s"CAST(list_sum(list_transform(range(0, 16), j -> " +
+      s"CASE WHEN CAST(list_sum(list_transform(hs, h -> ((h // (1::BIGINT << j)) % 2) * 2 - 1)) AS BIGINT) > 0 " +
+      s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
+
+  private val cosSimSql: String =
+    "round(list_sum(list_transform(range(1, len(embedding) + 1), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) / " +
+      "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+
+  def oracles: Map[String, String] = Map(
+    "q_token_counts" ->
+      ("SELECT doc_id, CAST(len(" + O.words("text") + ") AS INT) AS n_ws_tokens, " +
+        "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) " +
+        "AS n_bpe_tokens FROM documents ORDER BY doc_id"),
+
+    "q_quality_score" -> docSel(qualitySql("text"), "quality"),
+
+    "q_lang_id" -> docSel(langIdSql("text"), "lang_pred"),
+
+    "q_doc_fingerprint" -> docSel(fingerprint("text"), "fp"),
+
+    "q_exact_dedup" ->
+      s"""SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM (SELECT doc_id, ${fingerprint("text")} AS fp FROM $dupUnion)
+         |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "q_minhash_signature" ->
+      docSel(s"array_to_string(${minhashSigSql("text")}, ',')", "sig_str"),
+
+    "q_lsh_near_dup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, ${minhashSigSql("text")} AS sig FROM $nearDupUnion),
+         |bands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
+         |    {'band_idx': b,
+         |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
+         |    recursive := true)
+         |  FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""SELECT doc_id, ${simhashSql("text")} AS simhash
+         |FROM (SELECT doc_id, list_transform(${wordsL("text")}, w -> ${ph("w")} % 65536) AS hs
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_ann_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, $cosSimSql AS cos_sim
+         |FROM embeddings, q
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_lsh_bucket" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(0, 8), i ->
+         |      CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)
+         |      AS bucket
+         |  FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, bucket, $cosSimSql AS cos_sim
+         |FROM b, q WHERE bucket = qbucket
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_bag_of_words" ->
+      s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+         |FROM (SELECT unnest(${bowWordsSql("text")}) AS w FROM documents)
+         |GROUP BY w ORDER BY n DESC, word LIMIT 100""".stripMargin,
+
+    "q_percent_missing_text" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, w, count(*) AS sn
+         |  FROM (SELECT doc_id, unnest(${bowWordsSql("text")}) AS w FROM documents)
+         |  GROUP BY doc_id, w),
+         |outw AS (
+         |  SELECT doc_id, w, count(*) AS onn
+         |  FROM (SELECT doc_id, unnest(${bowWordsSql(missingOutSql)}) AS w FROM documents)
+         |  GROUP BY doc_id, w)
+         |SELECT src.doc_id,
+         |  round(1.0 - SUM(LEAST(sn, coalesce(onn, 0)))::DOUBLE / SUM(sn)::DOUBLE, 4)
+         |    AS pct_missing
+         |FROM src LEFT JOIN outw ON src.doc_id = outw.doc_id AND src.w = outw.w
+         |GROUP BY src.doc_id ORDER BY src.doc_id""".stripMargin,
+
+    "q_ngram_overlap" ->
+      s"""WITH src AS (
+         |  SELECT doc_id, g, count(*) AS sn
+         |  FROM (SELECT doc_id, unnest(${grams2("text")}) AS g FROM documents)
+         |  GROUP BY doc_id, g),
+         |outg AS (
+         |  SELECT doc_id, g, count(*) AS onn
+         |  FROM (SELECT doc_id, unnest(${grams2(ngramOutSql)}) AS g FROM documents)
+         |  GROUP BY doc_id, g)
+         |SELECT src.doc_id,
+         |  round(100.0 * SUM(LEAST(sn, coalesce(onn, 0)))::DOUBLE / SUM(sn)::DOUBLE, 2)
+         |    AS shared_pct
+         |FROM src LEFT JOIN outg ON src.doc_id = outg.doc_id AND src.g = outg.g
+         |GROUP BY src.doc_id ORDER BY src.doc_id""".stripMargin)
+}
