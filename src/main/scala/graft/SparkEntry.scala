@@ -19,7 +19,8 @@ object SparkEntry {
     Seq(
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
-      (graft.queries.AnalysisQueries.queries, graft.queries.AnalysisQueries.oracles))
+      (graft.queries.AnalysisQueries.queries, graft.queries.AnalysisQueries.oracles),
+      (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,683 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+
+import graft.model.{Element, ElementMetadata, ElementType}
+import graft.sinks.ElementJson
+
+/**
+ * The chunking kernel — `chunk_elements` ("basic") and `chunk_by_title`, re-expressed as
+ * a per-document streaming fold.
+ *
+ * Semantics follow the reference chunker
+ * (`/root/reference/unstructured/chunking/base.py`, `basic.py`, `title.py`):
+ *
+ *  - [[PreChunkBuilder]] — greedy element accumulator with soft/hard window and
+ *    `"\n\n"`-separator accounting (`base.py:505-650`, will-fit `:575-611`);
+ *  - semantic boundaries — `Title` elements, and page changes when
+ *    `multipageSections=false` (`title.py:144-158`, `base.py:1831-1874`);
+ *  - table isolation — a `Table` never shares a pre-chunk (`base.py:587-597`), drops
+ *    inbound overlap (`base.py:533-540`) and never donates an overlap tail
+ *    (`base.py:566-571`);
+ *  - [[TextSplitter]] — oversized text split at the rightmost `"\n"`/`" "` before the
+ *    window edge, with overlap carry (`base.py:1396-1624`);
+ *  - metadata consolidation per the `ConsolidationStrategy` field table
+ *    (`documents/elements.py:517-579`), `orig_elements` as base64-gzip JSON;
+ *  - [[PreChunkCombiner]] — by-title small-chunk recombination under
+ *    `combineTextUnderNChars` (`base.py:1734-1809`);
+ *  - `_TableChunker` — single-table pre-chunks emit `Table` or row-packed `TableChunk`s
+ *    with repeated header rows and `num_carried_over_header_rows` (`base.py:957-1190`).
+ *    HTML row/cell handling here is a simplified regex row model over the engine's own
+ *    `<table><tr><td>` shape (the reference uses a full lxml model).
+ *
+ * Scale design: the Spark operator is `groupByKey(doc_id).flatMapSortedGroups(seq)` —
+ * one shuffle on `doc_id`, secondary-sorted by Spark (no in-memory doc sort), and the
+ * fold itself is an O(window) streaming iterator, so a 1225-page skew-document holds
+ * only the work-in-progress pre-chunk in memory, never the whole document.
+ *
+ * Chunk ids differ from the reference by design: the reference assigns random UUIDs
+ * (`base.py:1110`); Spark task retries/speculation require deterministic output, so ids
+ * are content hashes (sha-256, 32 hex).
+ */
+final case class ChunkingOptions(
+    maxCharacters: Int = 500, // CHUNK_MAX_CHARS_DEFAULT, base.py:33
+    newAfterNChars: Option[Int] = None, // soft max; defaults to hard max, base.py:249-278
+    combineTextUnderNChars: Option[Int] = None, // by_title only; title.py:160-171
+    overlap: Int = 0, // base.py:239-246
+    overlapAll: Boolean = false, // base.py:229-236
+    multipageSections: Boolean = true, // CHUNK_MULTI_PAGE_DEFAULT, base.py:42
+    includeOrigElements: Boolean = true,
+    repeatTableHeaders: Boolean = true,
+    skipTableChunking: Boolean = false,
+    isolateTable: Boolean = true,
+    byTitle: Boolean = false) {
+  require(maxCharacters > 0, "maxCharacters must be > 0")
+  require(overlap >= 0 && overlap < maxCharacters, "overlap must be in [0, maxCharacters)")
+  val hardMax: Int = maxCharacters
+  val softMax: Int = newAfterNChars.map(n => math.min(math.max(n, 0), hardMax)).getOrElse(hardMax)
+  val combineUnder: Int = combineTextUnderNChars.getOrElse(hardMax)
+  require(combineUnder >= 0 && combineUnder <= hardMax,
+    "combineTextUnderNChars must be in [0, maxCharacters]")
+  val interChunkOverlap: Int = if (overlapAll) overlap else 0
+  val separator: String = "\n\n"
+}
+
+object Chunker {
+
+  // ---------------------------------------------------------------- string helpers
+
+  /** Python `" ".join(s.strip().split())`: collapse all whitespace runs to one space. */
+  private[operators] def normalizeWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var inWs = true // leading whitespace dropped
+    s.foreach { c =>
+      if (Character.isWhitespace(c)) { if (!inWs) { sb.append(' '); inWs = true } }
+      else { sb.append(c); inWs = false }
+    }
+    if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  private[operators] def isTableFamily(e: Element): Boolean =
+    e.`type` == ElementType.Table || e.`type` == ElementType.TableChunk
+
+  private def sha32(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 32)
+
+  // ---------------------------------------------------------------- text splitter
+
+  /**
+   * `_TextSplitter` char mode — `base.py:1396-1460,1585-1624`. `apply` returns
+   * (fragment, remainder); remainder is "" once the input fits the window.
+   */
+  final class TextSplitter(opts: ChunkingOptions) {
+    private val maxlen = opts.hardMax
+    private val overlap = opts.overlap
+
+    def apply(s: String): (String, String) = {
+      if (s.length <= maxlen) return (s, "")
+      for (sep <- Seq('\n', ' ')) {
+        splitFromMaxlen(sep, s) match {
+          case Some((frag, rem)) if frag.nonEmpty && rem.length < s.length =>
+            return (frag.stripTrailing(), rem.stripLeading())
+          case _ => ()
+        }
+      }
+      // arbitrary-character back-stop — no separator between tail and remainder
+      (s.substring(0, maxlen).stripTrailing(),
+        s.substring(maxlen - overlap).stripLeading())
+    }
+
+    /**
+     * Split on the rightmost `sep` whose index is in `[overlap+1, maxlen]` (a split not
+     * longer than the overlap would not progress). The separator is removed; the
+     * overlap tail re-joins the remainder with a single space.
+     */
+    private def splitFromMaxlen(sep: Char, s: String): Option[(String, String)] = {
+      val i = s.lastIndexOf(sep.toInt, maxlen)
+      if (i < overlap + 1) None
+      else {
+        val fragment = s.substring(0, i).stripTrailing()
+        val rawRemainder = s.substring(i + 1).stripLeading()
+        if (overlap <= 1) Some((fragment, rawRemainder))
+        else {
+          val tail = fragment.takeRight(overlap - 1).stripLeading()
+          Some((fragment, tail + " " + rawRemainder))
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- consolidation
+
+  /**
+   * Per-field consolidation over a pre-chunk's elements — the strategy table at
+   * `documents/elements.py:517-579`. FIRST = first populated value; LIST_CONCATENATE =
+   * in-order concat of populated lists; LIST_UNIQUE = order-preserving union;
+   * STRING_CONCATENATE = space-joined stripped values; everything else DROPs.
+   */
+  private[operators] def consolidatedMetadata(elements: Seq[Element]): ElementMetadata = {
+    val ms = elements.map(_.metadata)
+    def first[A](get: ElementMetadata => Option[A]): Option[A] =
+      ms.iterator.flatMap(get(_)).nextOption()
+    def listConcat[A](get: ElementMetadata => Option[Seq[A]]): Option[Seq[A]] = {
+      val vs = ms.flatMap(get)
+      if (vs.isEmpty) None else Some(vs.flatten)
+    }
+    def listUnique[A](get: ElementMetadata => Option[Seq[A]]): Option[Seq[A]] = {
+      val vs = ms.flatMap(get)
+      if (vs.isEmpty) None else Some(vs.flatten.distinct)
+    }
+    def stringConcat(get: ElementMetadata => Option[String]): Option[String] = {
+      val vs = ms.flatMap(get)
+      if (vs.isEmpty) None else Some(vs.map(_.strip).mkString(" "))
+    }
+    ElementMetadata(
+      filename = first(_.filename),
+      file_directory = first(_.file_directory),
+      filetype = first(_.filetype),
+      url = first(_.url),
+      last_modified = first(_.last_modified),
+      attached_to_filename = first(_.attached_to_filename),
+      data_source = first(_.data_source),
+      page_number = first(_.page_number),
+      page_name = first(_.page_name),
+      emphasized_text_contents = listConcat(_.emphasized_text_contents),
+      emphasized_text_tags = listConcat(_.emphasized_text_tags),
+      link_texts = listConcat(_.link_texts),
+      link_urls = listConcat(_.link_urls),
+      languages = listUnique(_.languages),
+      text_as_html = stringConcat(_.text_as_html),
+      sent_from = first(_.sent_from),
+      sent_to = first(_.sent_to),
+      cc_recipient = first(_.cc_recipient),
+      bcc_recipient = first(_.bcc_recipient),
+      subject = first(_.subject),
+      signature = first(_.signature),
+      email_message_id = first(_.email_message_id))
+    // all other fields (coordinates, category_depth, parent_id, images, detection_*,
+    // segment_*, chunking artifacts) are DROP
+  }
+
+  /** Table-chunk base metadata: original table metadata minus DROP fields — `base.py:1128-1155`. */
+  private def tableChunkMetadata(table: Element): ElementMetadata =
+    table.metadata.copy(
+      coordinates = None, category_depth = None, parent_id = None,
+      image_base64 = None, image_mime_type = None, image_path = None, image_url = None,
+      detection_class_prob = None, detection_origin = None,
+      links = None, link_start_indexes = None,
+      is_continuation = None, orig_elements = None,
+      table_id = None, chunk_index = None, num_carried_over_header_rows = None,
+      segment_start_seconds = None, segment_end_seconds = None)
+
+  // ---------------------------------------------------------------- pre-chunk
+
+  /** A staged run of elements that will form one chunk (or several, if oversized). */
+  final case class PreChunk(elements: Vector[Element], overlapPrefix: String,
+      opts: ChunkingOptions) {
+
+    /** Overlap prefix + each element's whitespace-normalized non-empty text, in order
+      * (`base.py:734-750`; CodeSnippet keeps raw whitespace). */
+    def textSegments: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      if (overlapPrefix.nonEmpty) b += overlapPrefix
+      elements.foreach { e =>
+        val t = e.text
+        if (t != null && t.nonEmpty) {
+          if (e.`type` == ElementType.CodeSnippet) b += t
+          else { val n = normalizeWs(t); if (n.nonEmpty) b += n }
+        }
+      }
+      b.result()
+    }
+
+    lazy val text: String = textSegments.mkString(opts.separator)
+
+    /** Tail to prefix the next chunk — empty unless `overlapAll` (`base.py:723-732`). */
+    def overlapTail: String =
+      if (opts.interChunkOverlap > 0 && text.nonEmpty)
+        text.takeRight(opts.interChunkOverlap).strip()
+      else ""
+
+    def combine(other: PreChunk): PreChunk =
+      PreChunk(elements ++ other.elements, overlapPrefix, opts)
+
+    /** `can_combine` — `base.py:675-694`. */
+    def canCombine(other: PreChunk): Boolean = {
+      val tableForbids = opts.isolateTable &&
+        (elements.exists(isTableFamily) || other.elements.exists(isTableFamily))
+      !tableForbids &&
+        text.length < opts.combineUnder &&
+        combine(other).text.length <= opts.hardMax
+    }
+  }
+
+  // ---------------------------------------------------------------- builder (fold state)
+
+  private final class PreChunkBuilder(opts: ChunkingOptions) {
+    private val sepLen = opts.separator.length
+    private var elements = Vector.empty[Element]
+    private var overlapPrefix = ""
+    private var nSegs = 0
+    private var textLen = 0
+
+    private def textLength: Int =
+      textLen + (if (nSegs > 0) (nSegs - 1) * sepLen else 0)
+
+    def willFit(e: Element): Boolean = {
+      if (opts.isolateTable) {
+        if (isTableFamily(e)) return elements.isEmpty
+        if (elements.exists(isTableFamily)) return false
+      }
+      if (elements.isEmpty) return true
+      if (textLength > opts.softMax) return false
+      val remaining = opts.hardMax - textLen - sepLen * nSegs
+      val elLen = if (e.text == null) 0 else e.text.length
+      remaining >= elLen
+    }
+
+    def add(e: Element): Unit = {
+      // a table-only pre-chunk never takes the prior chunk's narrative overlap
+      if (opts.isolateTable && elements.isEmpty && isTableFamily(e)) {
+        overlapPrefix = ""; nSegs = 0; textLen = 0
+      }
+      elements :+= e
+      if (e.text != null && e.text.nonEmpty) { nSegs += 1; textLen += e.text.length }
+    }
+
+    def flush(): Option[PreChunk] = {
+      if (elements.isEmpty) None
+      else {
+        val pc = PreChunk(elements, overlapPrefix, opts)
+        val overlapForNext =
+          if (opts.isolateTable && elements.size == 1 && isTableFamily(elements.head)) ""
+          else pc.overlapTail
+        overlapPrefix = overlapForNext
+        elements = Vector.empty
+        nSegs = if (overlapForNext.nonEmpty) 1 else 0
+        textLen = overlapForNext.length
+        Some(pc)
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- pre-chunker
+
+  /** Streaming fold: elements (doc order) -> pre-chunks. O(window) memory. */
+  def preChunks(els: Iterator[Element], opts: ChunkingOptions): Iterator[PreChunk] = {
+    val builder = new PreChunkBuilder(opts)
+    // page-boundary predicate state (`is_on_next_page`, base.py:1831-1874)
+    var pageIsFirst = true
+    var currentPage = 1
+    def isNewSemanticUnit(e: Element): Boolean = {
+      if (!opts.byTitle) return false
+      val titleBoundary = e.`type` == ElementType.Title
+      var pageBoundary = false
+      if (!opts.multipageSections) {
+        val pn = e.metadata.page_number
+        if (pageIsFirst) { currentPage = pn.getOrElse(1); pageIsFirst = false }
+        else pn match {
+          case Some(p) if p != currentPage => currentPage = p; pageBoundary = true
+          case _ => ()
+        }
+      }
+      titleBoundary || pageBoundary // both predicates always evaluated (state update)
+    }
+    els.flatMap { e =>
+      val flushed =
+        if (isNewSemanticUnit(e) || !builder.willFit(e)) builder.flush() else None
+      builder.add(e)
+      flushed.iterator
+    } ++ Iterator.single(()).flatMap(_ => builder.flush().iterator)
+  }
+
+  /** `PreChunkCombiner` — adjacent small pre-chunks merged when they fit (by_title). */
+  def combinePreChunks(pcs: Iterator[PreChunk], opts: ChunkingOptions): Iterator[PreChunk] = {
+    var accum: PreChunk = null
+    pcs.flatMap { pc =>
+      if (accum == null) { accum = pc; Iterator.empty }
+      else if (accum.canCombine(pc)) { accum = accum.combine(pc); Iterator.empty }
+      else { val out = accum; accum = pc; Iterator.single(out) }
+    } ++ Iterator.single(()).flatMap { _ =>
+      if (accum == null) Iterator.empty
+      else { val out = accum; accum = null; Iterator.single(out) }
+    }
+  }
+
+  // ---------------------------------------------------------------- chunk emission
+
+  /** Emit chunks for one pre-chunk (seq/ids assigned by the caller). */
+  private def iterChunks(docId: String, pc: PreChunk, opts: ChunkingOptions,
+      split: TextSplitter): Iterator[Element] = {
+    if (pc.elements.size == 1 && pc.elements.head.`type` == ElementType.Table) {
+      if (opts.skipTableChunking) Iterator.single(pc.elements.head)
+      else TableChunker.iterChunks(docId, pc.elements.head, pc.overlapPrefix, opts, split)
+    } else {
+      iterCompositeChunks(docId, pc, opts, split)
+    }
+  }
+
+  /** `_Chunker.iter_chunks` — `base.py:767-806`. */
+  private def iterCompositeChunks(docId: String, pc: PreChunk, opts: ChunkingOptions,
+      split: TextSplitter): Iterator[Element] = {
+    val text = pc.text
+    if (text.isEmpty) return Iterator.empty
+    val baseMeta = consolidatedMetadata(pc.elements)
+    val origEls =
+      if (opts.includeOrigElements) Some(ElementJson.encodeOrigElements(pc.elements))
+      else None
+    def mk(t: String, isCont: Boolean): Element =
+      Element(
+        element_id = "", // assigned by caller (content hash over doc/seq/text)
+        `type` = ElementType.CompositeElement,
+        text = t,
+        doc_id = docId,
+        seq = 0L,
+        metadata = baseMeta.copy(
+          is_continuation = if (isCont) Some(true) else None,
+          orig_elements = origEls))
+    new Iterator[Element] {
+      private var remainder: String = text
+      private var isFirst = true
+      def hasNext: Boolean = remainder.nonEmpty
+      def next(): Element = {
+        val (s, r) = split(remainder)
+        remainder = r
+        val e = mk(s, !isFirst)
+        isFirst = false
+        e
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- table chunker
+  /**
+   * `_TableChunker` + `_HtmlTableSplitter` — `base.py:957-1393`, over a simplified
+   * regex HTML model (`common/html_table.py` semantics: rows/cells flattened to
+   * normalized text, attributes stripped, `thead`/`th` mark header rows; nested inline
+   * markup inside cells is flattened to text — a documented simplification of the
+   * lxml model). The algorithm is faithful:
+   *
+   *  - fits-whole → single `Table` with compactified HTML;
+   *  - no HTML (or window < 50) → text-only `TableChunk` splits;
+   *  - else whole-row packing by TEXT length (`_RowAccumulator`, base.py:1675-1726),
+   *    oversized rows split on cell boundaries (`_CellAccumulator`, :1627-1672),
+   *    oversized lone cells text-split with a fresh `maxlen-33` splitter (:1269-1291);
+   *  - leading header rows are packed normally into the FIRST chunk and prepended
+   *    synthetically (text + `<thead>` html) to continuations (:1355-1374), window
+   *    reduced by header length (:1347-1353), disabled when a header row exceeds half
+   *    the window (:1330-1338).
+   */
+  private[operators] object TableChunker {
+
+    /** One `<tr>`: normalized cell texts (empty kept for `<td/>` slots) + header flag. */
+    final case class Row(cellTexts: Vector[String], isHeader: Boolean) {
+      def nonEmptyTexts: Vector[String] = cellTexts.filter(_.nonEmpty)
+      def text: String = nonEmptyTexts.mkString(" ")
+      def html: String =
+        "<tr>" + cellTexts.map(t => if (t.isEmpty) "<td/>" else s"<td>${escapeHtml(t)}</td>").mkString + "</tr>"
+      def headerHtml: String =
+        "<tr>" + cellTexts.map(t => if (t.isEmpty) "<th/>" else s"<th>${escapeHtml(t)}</th>").mkString + "</tr>"
+    }
+
+    private[operators] def escapeHtml(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    private def unescapeHtml(s: String): String =
+      s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+        .replace("&#x27;", "'").replace("&apos;", "'").replace("&amp;", "&")
+
+    private val TrRe = "(?s)<tr\\b[^>]*>.*?</tr>".r
+    private val TheadRe = "(?s)<thead\\b[^>]*>.*?</thead>".r
+    private val CellRe = "(?s)<t([dh])\\b[^>]*?/>|<t([dh])\\b[^>]*>(.*?)</t[dh]>".r
+    private val TagRe = "(?s)<[^>]*>".r
+
+    /** All `<tr>` rows of an HTML table in order, header-flagged when inside `<thead>`
+      * or containing a `<th>` cell — `html_table.py:74-80`. */
+    def parseRows(html: String): Vector[Row] = {
+      val theadSpans = TheadRe.findAllMatchIn(html).map(m => (m.start, m.end)).toVector
+      TrRe.findAllMatchIn(html).map { m =>
+        val inThead = theadSpans.exists { case (s, e) => m.start >= s && m.end <= e }
+        val rowHtml = m.matched
+        var hasTh = false
+        val cells = CellRe.findAllMatchIn(rowHtml).map { cm =>
+          val tag = if (cm.group(1) != null) cm.group(1) else cm.group(2)
+          if (tag == "h") hasTh = true
+          val inner = Option(cm.group(3)).getOrElse("")
+          normalizeWs(unescapeHtml(TagRe.replaceAllIn(inner, " ")))
+        }.toVector
+        Row(cells, inThead || hasTh)
+      }.toVector
+    }
+
+    def iterChunks(docId: String, table: Element, overlapPrefix: String,
+        opts: ChunkingOptions, split: TextSplitter): Iterator[Element] = {
+      val tableText = if (table.text == null) "" else normalizeWs(table.text)
+      if (tableText.isEmpty) return Iterator.empty
+
+      val textWithOverlap =
+        if (overlapPrefix.nonEmpty) overlapPrefix + "\n" + table.text.strip()
+        else table.text.strip()
+      val rows = table.metadata.text_as_html.map(_.strip).filter(_.nonEmpty)
+        .map(parseRows).getOrElse(Vector.empty)
+      val compactHtml =
+        if (rows.isEmpty) "" else "<table>" + rows.map(_.html).mkString + "</table>"
+      val baseMeta = tableChunkMetadata(table)
+      val origEls =
+        if (opts.includeOrigElements) Some(ElementJson.encodeOrigElements(Seq(table)))
+        else None
+
+      // fits whole -> single Table element with compactified html
+      if (textWithOverlap.length <= opts.hardMax && compactHtml.length <= opts.hardMax) {
+        return Iterator.single(Element("", ElementType.Table, textWithOverlap, docId, 0L,
+          baseMeta.copy(
+            text_as_html = if (compactHtml.isEmpty) None else Some(compactHtml),
+            orig_elements = origEls)))
+      }
+
+      val (pairs, carried) =
+        if (compactHtml.isEmpty || opts.hardMax < 50) (textOnlySplits(textWithOverlap, split), 0)
+        else syncSplits(rows, opts)
+
+      val tableId = sha32(docId + " " + table.seq)
+      pairs.iterator.zipWithIndex.map { case ((t, h), i) =>
+        Element("", ElementType.TableChunk, t, docId, 0L,
+          baseMeta.copy(
+            text_as_html = h,
+            is_continuation = if (i > 0) Some(true) else None,
+            num_carried_over_header_rows = Some(if (i > 0) carried else 0),
+            table_id = Some(tableId),
+            chunk_index = Some(i),
+            orig_elements = origEls))
+      }
+    }
+
+    /** `_iter_text_only_table_chunks` — repeated application of the shared splitter. */
+    private def textOnlySplits(text: String, split: TextSplitter): Vector[(String, Option[String])] = {
+      val out = Vector.newBuilder[(String, Option[String])]
+      var rem = text
+      while (rem.nonEmpty) { val (s, r) = split(rem); out += ((s, None)); rem = r }
+      out.result()
+    }
+
+    /** `_HtmlTableSplitter._iter_subtables` — (text, html) pairs + carried-header count. */
+    private def syncSplits(rows: Vector[Row], opts: ChunkingOptions)
+        : (Vector[(String, Option[String])], Int) = {
+      val headerRows =
+        if (opts.repeatTableHeaders) rows.takeWhile(_.isHeader) else Vector.empty[Row]
+      val headerText = headerRows.flatMap(_.nonEmptyTexts).mkString(" ")
+      val maxHeaderRowLen = if (headerRows.isEmpty) 0 else headerRows.map(_.text.length).max
+      // guard against pathological headers consuming more than half the window
+      val shouldRepeat = headerRows.nonEmpty && maxHeaderRowLen <= (opts.hardMax + 1) / 2
+      val carried = if (shouldRepeat) headerRows.size else 0
+      val theadHtml =
+        if (shouldRepeat) "<thead>" + headerRows.map(_.headerHtml).mkString + "</thead>"
+        else ""
+
+      var isFirst = true
+      def maxlenNow: Int =
+        if (isFirst || !shouldRepeat) opts.hardMax
+        else math.max(1, opts.hardMax - headerText.length - 1)
+
+      def prepend(text: String, html: String): (String, Option[String]) = {
+        if (isFirst || !shouldRepeat) (text, Some(html))
+        else {
+          val t =
+            if (headerText.nonEmpty && text.nonEmpty) headerText + " " + text
+            else if (headerText.nonEmpty) headerText
+            else text
+          val inner = html.stripPrefix("<table>").stripSuffix("</table>")
+          (t, Some("<table>" + theadHtml + inner + "</table>"))
+        }
+      }
+
+      val out = Vector.newBuilder[(String, Option[String])]
+      var accRows = Vector.empty[Row]
+      var accLen = 0
+      var curMax = maxlenNow
+      // separators: one trailing space per accumulated row (base.py:1717-1722)
+      def willFit(r: Row): Boolean = curMax - accRows.size - accLen >= r.text.length
+      def flushAcc(): Unit = if (accRows.nonEmpty) {
+        val text = accRows.flatMap(_.nonEmptyTexts).mkString(" ")
+        val html = "<table>" + accRows.map(_.html).mkString + "</table>"
+        out += prepend(text, html)
+        isFirst = false
+        accRows = Vector.empty; accLen = 0
+      }
+
+      rows.foreach { row =>
+        if (!willFit(row)) { flushAcc(); curMax = maxlenNow }
+        if (willFit(row)) { accRows :+= row; accLen += row.text.length }
+        else {
+          // single row bigger than the window: split on cell boundaries
+          iterRowSplits(row, curMax, opts).foreach { case (t, h) =>
+            out += prepend(t, h); isFirst = false
+          }
+          curMax = maxlenNow
+        }
+      }
+      flushAcc()
+      (out.result(), carried)
+    }
+
+    /** `_iter_row_splits` — cell packing; a lone oversized cell is text-split. */
+    private def iterRowSplits(row: Row, maxlen: Int, opts: ChunkingOptions)
+        : Vector[(String, String)] = {
+      val out = Vector.newBuilder[(String, String)]
+      var cells = Vector.empty[String]
+      def remaining = maxlen - cells.size - cells.map(_.length).sum
+      def willFit(cell: String): Boolean = remaining >= cell.length
+      def flush(): Unit = if (cells.nonEmpty) {
+        val t = cells.filter(_.nonEmpty).mkString(" ")
+        val h = "<table><tr>" + cells.map(c =>
+          if (c.isEmpty) "<td/>" else s"<td>${escapeHtml(c)}</td>").mkString + "</tr></table>"
+        out += ((t, h)); cells = Vector.empty
+      }
+      row.cellTexts.foreach { cell =>
+        if (!willFit(cell)) flush()
+        if (willFit(cell)) cells :+= cell
+        else {
+          // 33 = len("<table><tr><td></td></tr></table>") html overhead (base.py:1277)
+          val sub = new TextSplitter(ChunkingOptions(
+            maxCharacters = math.max(1, maxlen - 33)))
+          var rem = cell
+          while (rem.nonEmpty) {
+            val (s, r) = sub(rem)
+            out += ((s, s"<table><tr><td>${escapeHtml(s)}</td></tr></table>"))
+            rem = r
+          }
+        }
+      }
+      flush()
+      out.result()
+    }
+  }
+
+  // ---------------------------------------------------------------- driver API
+
+  /**
+   * Pure per-document fold: elements in reading order -> chunk elements. The unit the
+   * behavior tests exercise directly.
+   */
+  def chunkDoc(docId: String, els: Iterator[Element], opts: ChunkingOptions): Iterator[Element] = {
+    val split = new TextSplitter(opts)
+    val pcs0 = preChunks(els, opts)
+    val pcs = if (opts.byTitle) combinePreChunks(pcs0, opts) else pcs0
+    var chunkSeq = 0L
+    pcs.flatMap(pc => iterChunks(docId, pc, opts, split)).map { c =>
+      val id = sha32(docId + " " + chunkSeq + " " + c.text)
+      val out = c.copy(element_id = id, seq = chunkSeq)
+      chunkSeq += 1
+      out
+    }
+  }
+
+  /** `chunk_elements` — basic strategy (`chunking/basic.py:24-120`). */
+  def chunkElements(ds: Dataset[Element], opts: ChunkingOptions = ChunkingOptions()): Dataset[Element] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    val o = opts.copy(byTitle = false)
+    ds.groupByKey(_.doc_id)
+      .flatMapSortedGroups(col("seq"))((doc, it) => chunkDoc(doc, it, o))
+  }
+
+  /** `chunk_by_title` — section-boundary strategy (`chunking/title.py:23-127`). */
+  def chunkByTitle(ds: Dataset[Element], opts: ChunkingOptions = ChunkingOptions()): Dataset[Element] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    val o = opts.copy(byTitle = true)
+    ds.groupByKey(_.doc_id)
+      .flatMapSortedGroups(col("seq"))((doc, it) => chunkDoc(doc, it, o))
+  }
+
+  /**
+   * `reconstruct_table_from_chunks` — inverse aggregation (`chunking/dispatch.py:146-325`):
+   * order one table's `TableChunk`s by `chunk_index`, strip synthetic carried-over
+   * header text from continuations (`:290-325`), merge HTML with one canonical
+   * `<thead>` (`:233-253`), and drop the chunking bookkeeping metadata.
+   */
+  def reconstructTable(chunks: Seq[Element]): Option[Element] = {
+    val sorted = chunks.sortBy(c => (c.metadata.chunk_index.isEmpty, c.metadata.chunk_index.getOrElse(0)))
+    sorted.headOption.map { head =>
+      def rowsOf(c: Element): Vector[TableChunker.Row] =
+        c.metadata.text_as_html.map(TableChunker.parseRows).getOrElse(Vector.empty)
+      def carriedOf(c: Element): Int = c.metadata.num_carried_over_header_rows.getOrElse(0)
+
+      // strip carried header text from each continuation chunk's text (`:290-325`)
+      def strippedText(c: Element): String = {
+        val carried = carriedOf(c)
+        if (carried == 0) return c.text
+        val rws = rowsOf(c)
+        if (carried > rws.size) return c.text
+        val headerText = rws.take(carried).flatMap(_.nonEmptyTexts).mkString(" ")
+        if (headerText.isEmpty) return c.text
+        val t = c.text.stripLeading()
+        if (t == headerText) ""
+        else if (t.startsWith(headerText + " ")) t.substring(headerText.length + 1)
+        else if (t.startsWith(headerText)) t.substring(headerText.length).stripLeading()
+        else c.text
+      }
+      val text = sorted.map(strippedText).filter(_.nonEmpty).mkString(" ")
+
+      // canonical header rows: first continuation whose carried rows match the first
+      // chunk's leading rows by cell-text signature (`:233-253`)
+      val firstRows = rowsOf(head)
+      val canonical: Option[Vector[TableChunker.Row]] =
+        sorted.iterator.flatMap { c =>
+          val carried = carriedOf(c)
+          if (carried <= 0) None
+          else {
+            val rws = rowsOf(c)
+            if (carried > rws.size || firstRows.size < carried) None
+            else {
+              val cr = rws.take(carried)
+              val matches = firstRows.take(carried).map(_.cellTexts) == cr.map(_.cellTexts)
+              if (matches) Some(cr) else None
+            }
+          }
+        }.nextOption()
+
+      val html: Option[String] =
+        if (sorted.forall(_.metadata.text_as_html.exists(_.nonEmpty))) {
+          val thead = canonical
+            .map(rs => "<thead>" + rs.map(_.headerHtml).mkString + "</thead>").getOrElse("")
+          val body = sorted.zipWithIndex.flatMap { case (c, i) =>
+            val skip = if (i == 0 && canonical.isDefined) canonical.get.size else carriedOf(c)
+            rowsOf(c).drop(skip).map(_.html)
+          }.mkString
+          Some("<table>" + thead + body + "</table>")
+        } else None
+
+      head.copy(
+        `type` = ElementType.Table,
+        text = text,
+        metadata = head.metadata.copy(
+          text_as_html = html,
+          is_continuation = None, table_id = None, chunk_index = None,
+          num_carried_over_header_rows = None))
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Element
+import graft.operators.{Chunker, ChunkingOptions}
+import graft.queries.{OracleSql => O}
+import graft.sources.TextSource
+
+/**
+ * The partition → chunk pipeline as declared queries: `partition_text` produces
+ * element rows from the `documents` corpus (paragraph breaks injected by replacing a
+ * frequent token — construction mirrored in the oracle), and the chunking kernel
+ * consumes them.
+ *
+ * The chunk oracles are an INDEPENDENT re-implementation of the greedy fold as a
+ * DuckDB recursive CTE (per-doc sequential walk), not a replay of the Spark code —
+ * they verify pre-chunk packing with separator accounting and (for by_title) Title
+ * boundaries. Element texts are truncated to 100 chars so no element exceeds the
+ * window (the oversized-split path is covered by ChunkerSpec unit tests, which the
+ * CTE could not express).
+ *
+ * Scale: partition is a per-doc flatMap (no shuffle); chunking is one shuffle on
+ * doc_id with streaming per-group folds — the plan at 100 TB is scan → exchange on
+ * doc_id → per-group fold, with AQE handling skewed giant documents.
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "documents")
+
+  /** documents with paragraph breaks injected at every " merge " token. */
+  private def withParagraphs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      replace(col("text"), lit(" merge "), lit("\n\n")).as("text"))
+
+  private def partitioned(s: SparkSession, dir: String): DataFrame =
+    TextSource.partitionText(withParagraphs(s, dir), col("text"))
+
+  /** Element stream for the chunkers: texts truncated to 100 chars. */
+  private def elements(s: SparkSession, dir: String): Dataset[Element] = {
+    import s.implicits._
+    partitioned(s, dir)
+      .select(col("doc_id"), col("seq"), col("element_type"), substring(col("text"), 1, 100).as("text"))
+      .as[(String, Long, String, String)]
+      .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
+  }
+
+  private def chunkResult(chunked: Dataset[Element]): DataFrame =
+    chunked.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("seq").as("chunk_seq"),
+      col("text"))
+      .orderBy("doc_id", "chunk_seq")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_text" -> ((s, dir) =>
+      partitioned(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("seq"),
+          col("element_type"), col("text"))
+        .orderBy("doc_id", "seq")),
+
+    "q_chunk_basic" -> ((s, dir) =>
+      chunkResult(Chunker.chunkElements(elements(s, dir),
+        ChunkingOptions(maxCharacters = 120, includeOrigElements = false)))),
+
+    "q_chunk_by_title" -> ((s, dir) =>
+      chunkResult(Chunker.chunkByTitle(elements(s, dir),
+        ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
+          combineTextUnderNChars = Some(0))))))
+
+  // -- oracle SQL ------------------------------------------------------------------
+
+  private val inputExpr =
+    O.strip("replace(text, ' merge ', chr(10)||chr(10))")
+
+  /** Stripped non-empty paragraphs per doc (`_split_by_paragraph` mirror). */
+  private val parsCte =
+    s"""pars AS (
+       |  SELECT doc_id, list_filter(list_transform(
+       |    string_split_regex($inputExpr, '\\s*\\n\\s*'),
+       |    p -> ${O.strip("p")}), p -> p <> '') AS ps
+       |  FROM documents)""".stripMargin
+
+  /** `clean_bullets` mirror for the element text (identity off the bullet path). */
+  private def cleanBullets(x: String): String =
+    s"(CASE WHEN regexp_matches($x, '^(?:${O.bulletsAlt})') " +
+      s"THEN ${O.strip(s"regexp_replace($x, '^(?:${O.bulletsAlt})', '')")} ELSE $x END)"
+
+  /** Greedy-fold walk as a recursive CTE; `boundaryExpr` references e.* columns. */
+  private def chunkWalkSql(boundaryExpr: String): String =
+    s"""WITH RECURSIVE $parsCte,
+       |els AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+       |    {'seq': i, 'full_text': ps[i],
+       |     'text': substring(${cleanBullets("ps[i]")}, 1, 100)}), recursive := true)
+       |  FROM pars),
+       |walk AS (
+       |  SELECT doc_id, seq, text, 0 AS chunk_idx, length(text) AS acc_len
+       |  FROM els WHERE seq = 1
+       |  UNION ALL
+       |  SELECT e.doc_id, e.seq, e.text,
+       |    CASE WHEN NOT ($boundaryExpr)
+       |           AND w.acc_len + 2 + length(e.text) <= 120
+       |         THEN w.chunk_idx ELSE w.chunk_idx + 1 END,
+       |    CASE WHEN NOT ($boundaryExpr)
+       |           AND w.acc_len + 2 + length(e.text) <= 120
+       |         THEN w.acc_len + 2 + length(e.text) ELSE length(e.text) END
+       |  FROM els e JOIN walk w ON e.doc_id = w.doc_id AND e.seq = w.seq + 1)
+       |SELECT doc_id, chunk_idx AS chunk_seq,
+       |  string_agg(regexp_replace(${O.strip("text")}, '\\s+', ' ', 'g'),
+       |             chr(10)||chr(10) ORDER BY seq) AS text
+       |FROM walk GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_seq""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_partition_text" ->
+      s"""WITH $parsCte
+         |SELECT doc_id, seq, ${O.classify("full_text")} AS element_type,
+         |  ${cleanBullets("full_text")} AS text
+         |FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+         |    {'seq': i, 'full_text': ps[i]}), recursive := true)
+         |  FROM pars)
+         |ORDER BY doc_id, seq""".stripMargin,
+
+    "q_chunk_basic" -> chunkWalkSql("FALSE"),
+
+    "q_chunk_by_title" -> chunkWalkSql(O.classify("e.full_text") + " = 'Title'"))
+}

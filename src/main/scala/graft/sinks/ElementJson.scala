@@ -1,0 +1,174 @@
+package graft.sinks
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import graft.model._
+
+/**
+ * Canonical element wire format: sparse JSON, matching the reference's serialization
+ * semantics (`/root/reference/unstructured/staging/base.py:434-455`,
+ * `documents/elements.py:424-455`): fields that are unpopulated (None/null) are OMITTED
+ * from the output, `metadata` is a nested sparse object, and `orig_elements` is a
+ * base64-gzipped JSON array (`elements.py:450-451`, `staging/base.py:241-260`).
+ *
+ * Two engine-added fields (`doc_id`, `seq`) are serialized too — they are implicit in
+ * the reference (per-call file scope and list order); a reference-strict consumer can
+ * ignore them.
+ *
+ * The writer is hand-rolled (deterministic field order, no nulls ever emitted) because
+ * Spark's `to_json` null-field behavior is config-dependent and struct fields are not
+ * sparse. Reading back uses `spark.read.schema(schema).json` — absent fields become
+ * nulls, the exact inverse.
+ */
+object ElementJson {
+
+  def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def jStr(s: String): String = "\"" + esc(s) + "\""
+
+  private def jArr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+
+  /** Sparse field list: only populated fields appear, in declaration order. */
+  private def metadataFields(m: ElementMetadata): Seq[(String, String)] = {
+    val b = Seq.newBuilder[(String, String)]
+    def s(n: String, v: Option[String]): Unit = v.foreach(x => b += n -> jStr(x))
+    def i(n: String, v: Option[Int]): Unit = v.foreach(x => b += n -> x.toString)
+    def d(n: String, v: Option[Double]): Unit = v.foreach(x => b += n -> x.toString)
+    def bool(n: String, v: Option[Boolean]): Unit = v.foreach(x => b += n -> x.toString)
+    def ss(n: String, v: Option[Seq[String]]): Unit =
+      v.foreach(x => b += n -> jArr(x.map(jStr)))
+
+    s("filename", m.filename)
+    s("file_directory", m.file_directory)
+    s("filetype", m.filetype)
+    s("url", m.url)
+    s("last_modified", m.last_modified)
+    s("attached_to_filename", m.attached_to_filename)
+    m.data_source.foreach { ds =>
+      val f = Seq.newBuilder[(String, String)]
+      ds.url.foreach(x => f += "url" -> jStr(x))
+      ds.version.foreach(x => f += "version" -> jStr(x))
+      ds.record_locator.foreach { rl =>
+        f += "record_locator" -> rl.toSeq.sortBy(_._1)
+          .map { case (k, v) => jStr(k) + ":" + jStr(v) }.mkString("{", ",", "}")
+      }
+      ds.date_created.foreach(x => f += "date_created" -> jStr(x))
+      ds.date_modified.foreach(x => f += "date_modified" -> jStr(x))
+      ds.date_processed.foreach(x => f += "date_processed" -> jStr(x))
+      ds.permissions_data.foreach(x => f += "permissions_data" -> jStr(x))
+      b += "data_source" -> f.result().map { case (k, v) => jStr(k) + ":" + v }
+        .mkString("{", ",", "}")
+    }
+    i("page_number", m.page_number)
+    s("page_name", m.page_name)
+    m.coordinates.foreach { c =>
+      val pts = jArr(c.points.map(p => s"[${p.x},${p.y}]"))
+      val f = Seq.newBuilder[(String, String)]
+      f += "points" -> pts
+      c.system.foreach(x => f += "system" -> jStr(x))
+      c.layout_width.foreach(x => f += "layout_width" -> x.toString)
+      c.layout_height.foreach(x => f += "layout_height" -> x.toString)
+      b += "coordinates" -> f.result().map { case (k, v) => jStr(k) + ":" + v }
+        .mkString("{", ",", "}")
+    }
+    i("category_depth", m.category_depth)
+    s("parent_id", m.parent_id)
+    ss("emphasized_text_contents", m.emphasized_text_contents)
+    ss("emphasized_text_tags", m.emphasized_text_tags)
+    ss("link_texts", m.link_texts)
+    ss("link_urls", m.link_urls)
+    m.link_start_indexes.foreach(x => b += "link_start_indexes" -> x.mkString("[", ",", "]"))
+    m.links.foreach { ls =>
+      b += "links" -> jArr(ls.map { l =>
+        val f = Seq.newBuilder[(String, String)]
+        l.text.foreach(x => f += "text" -> jStr(x))
+        l.url.foreach(x => f += "url" -> jStr(x))
+        l.start_index.foreach(x => f += "start_index" -> x.toString)
+        f.result().map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
+      })
+    }
+    ss("languages", m.languages)
+    s("text_as_html", m.text_as_html)
+    s("table_id", m.table_id)
+    i("chunk_index", m.chunk_index)
+    i("num_carried_over_header_rows", m.num_carried_over_header_rows)
+    s("image_base64", m.image_base64)
+    s("image_mime_type", m.image_mime_type)
+    s("image_path", m.image_path)
+    s("image_url", m.image_url)
+    ss("sent_from", m.sent_from)
+    ss("sent_to", m.sent_to)
+    ss("cc_recipient", m.cc_recipient)
+    ss("bcc_recipient", m.bcc_recipient)
+    s("subject", m.subject)
+    s("signature", m.signature)
+    s("email_message_id", m.email_message_id)
+    bool("is_continuation", m.is_continuation)
+    s("orig_elements", m.orig_elements)
+    d("detection_class_prob", m.detection_class_prob)
+    s("detection_origin", m.detection_origin)
+    d("segment_start_seconds", m.segment_start_seconds)
+    d("segment_end_seconds", m.segment_end_seconds)
+    b.result()
+  }
+
+  /** One element as a sparse JSON object string. */
+  def elementJson(e: Element): String = {
+    val meta = metadataFields(e.metadata)
+      .map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
+    val fields = Seq.newBuilder[String]
+    fields += jStr("type") + ":" + jStr(e.`type`)
+    fields += jStr("element_id") + ":" + jStr(e.element_id)
+    fields += jStr("text") + ":" + jStr(e.text)
+    fields += jStr("doc_id") + ":" + jStr(e.doc_id)
+    fields += jStr("seq") + ":" + e.seq.toString
+    fields += jStr("metadata") + ":" + meta
+    e.embeddings.foreach(v => fields += jStr("embeddings") + ":" + v.mkString("[", ",", "]"))
+    fields.result().mkString("{", ",", "}")
+  }
+
+  /** Elements as a JSON array (the `elements_to_json` document form). */
+  def elementsJson(els: Seq[Element]): String =
+    els.map(elementJson).mkString("[", ",", "]")
+
+  def gzipBase64(s: String): String = {
+    val bos = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(s.getBytes(StandardCharsets.UTF_8))
+    gz.close()
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  def gunzipBase64(s: String): String = {
+    val in = new GZIPInputStream(
+      new ByteArrayInputStream(java.util.Base64.getDecoder.decode(s)))
+    new String(in.readAllBytes(), StandardCharsets.UTF_8)
+  }
+
+  /**
+   * `orig_elements` codec — base64-gzipped JSON array of the pre-chunk's elements with
+   * their own `orig_elements` stripped (no recursion) — `staging/base.py:241-260`,
+   * `chunking/base.py:941-954`.
+   */
+  def encodeOrigElements(els: Seq[Element]): String =
+    gzipBase64(elementsJson(els.map { e =>
+      if (e.metadata.orig_elements.isEmpty) e
+      else e.copy(metadata = e.metadata.copy(orig_elements = None))
+    }))
+
+  def decodeOrigElementsJson(s: String): String = gunzipBase64(s)
+}

@@ -1,0 +1,309 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Element, ElementMetadata, ElementType}
+import graft.sinks.ElementJson
+
+/**
+ * Behavior tests for the chunking kernel, ported from the reference suite
+ * (`/root/reference/test_unstructured/chunking/test_title.py`, `test_basic.py`,
+ * `test_base.py`) — same inputs, same expected outputs.
+ */
+class ChunkerSpec extends AnyFunSuite {
+
+  private var nextSeq = 0L
+  private def el(tpe: String, text: String, page: Option[Int] = None,
+      html: Option[String] = None): Element = {
+    nextSeq += 1
+    Element("", tpe, text, "doc1", nextSeq,
+      ElementMetadata(page_number = page, text_as_html = html))
+  }
+  private def title(t: String) = el(ElementType.Title, t)
+  private def text(t: String) = el(ElementType.NarrativeText, t)
+  private def table(t: String, html: Option[String] = None) =
+    el(ElementType.Table, t, html = html)
+
+  private def byTitle(els: Seq[Element], opts: ChunkingOptions = ChunkingOptions()): Vector[Element] =
+    Chunker.chunkDoc("doc1", els.iterator, opts.copy(byTitle = true)).toVector
+
+  private def basic(els: Seq[Element], opts: ChunkingOptions = ChunkingOptions()): Vector[Element] =
+    Chunker.chunkDoc("doc1", els.iterator, opts.copy(byTitle = false)).toVector
+
+  // -- test_it_splits_a_large_text_element_into_multiple_chunks (test_title.py:163) --
+  test("splits a large text element into multiple chunks") {
+    val els = Seq(
+      title("Introduction"),
+      text("Lorem ipsum dolor sit amet consectetur adipiscing elit. In rhoncus ipsum sed lectus" +
+        " porta volutpat."))
+    val chunks = byTitle(els, ChunkingOptions(maxCharacters = 50))
+    assert(chunks.map(_.text) == Vector(
+      "Introduction",
+      "Lorem ipsum dolor sit amet consectetur adipiscing",
+      "elit. In rhoncus ipsum sed lectus porta volutpat."))
+    assert(chunks.forall(_.`type` == ElementType.CompositeElement))
+    // chunk 1 is the FIRST split of its (oversized) pre-chunk — not a continuation
+    assert(chunks(0).metadata.is_continuation.isEmpty)
+    assert(chunks(1).metadata.is_continuation.isEmpty)
+    assert(chunks(2).metadata.is_continuation.contains(true))
+  }
+
+  // -- test_it_considers_separator_length_when_pre_chunking (test_title.py:525) --
+  test("considers separator length when pre-chunking") {
+    val els = Seq(
+      title("Chunking Priorities"), // 19 chars
+      el(ElementType.ListItem, "Divide text into manageable chunks"), // 34
+      el(ElementType.ListItem, "Preserve semantic boundaries"), // 28
+      el(ElementType.ListItem, "Minimize mid-text chunk-splitting")) // 33
+    val chunks = byTitle(els, ChunkingOptions(maxCharacters = 115))
+    assert(chunks.map(_.text) == Vector(
+      "Chunking Priorities" +
+        "\n\nDivide text into manageable chunks" +
+        "\n\nPreserve semantic boundaries",
+      "Minimize mid-text chunk-splitting"))
+  }
+
+  // -- test_it_splits_elements_by_title_and_table (test_title.py:181) --
+  test("splits elements by title and table") {
+    val els = Seq(
+      title("A Great Day"),
+      text("Today is a great day."),
+      text("It is sunny outside."),
+      table("Heading\nCell text"),
+      title("An Okay Day"),
+      text("Today is an okay day."),
+      text("It is rainy outside."),
+      title("A Bad Day"),
+      text("Today is a bad day."),
+      text("It is storming outside."),
+      el(ElementType.CheckBox, ""))
+    val chunks = byTitle(els,
+      ChunkingOptions(combineTextUnderNChars = Some(0), includeOrigElements = true))
+    assert(chunks.size == 4)
+    assert(chunks(0).`type` == ElementType.CompositeElement)
+    assert(chunks(0).text == "A Great Day\n\nToday is a great day.\n\nIt is sunny outside.")
+    assert(chunks(1).`type` == ElementType.Table)
+    assert(chunks(1).text == "Heading\nCell text")
+    assert(chunks(2).text == "An Okay Day\n\nToday is an okay day.\n\nIt is rainy outside.")
+    assert(chunks(3).text == "A Bad Day\n\nToday is a bad day.\n\nIt is storming outside.")
+    // orig_elements round-trips through the base64-gzip codec
+    val orig = ElementJson.decodeOrigElementsJson(chunks(0).metadata.orig_elements.get)
+    assert(orig.contains("A Great Day") && orig.contains("Today is a great day."))
+    val origLast = ElementJson.decodeOrigElementsJson(chunks(3).metadata.orig_elements.get)
+    assert(origLast.contains("CheckBox"))
+  }
+
+  // -- Describe_chunk_by_title: combining small chunks --
+  test("combines adjacent small pre-chunks under combine_text_under_n_chars") {
+    val els = Seq(
+      title("A Great Day"),
+      text("Today is a great day."),
+      title("An Okay Day"),
+      text("Today is an okay day."))
+    val chunks = byTitle(els) // default combine = maxCharacters = 500
+    assert(chunks.size == 1)
+    assert(chunks(0).text ==
+      "A Great Day\n\nToday is a great day.\n\nAn Okay Day\n\nToday is an okay day.")
+    // with combining disabled, the Title boundary splits them
+    val noCombine = byTitle(els, ChunkingOptions(combineTextUnderNChars = Some(0)))
+    assert(noCombine.size == 2)
+  }
+
+  // -- page-boundary predicate (multipage_sections=False) --
+  test("breaks on page change only when multipageSections is false") {
+    val els = Seq(
+      text("Page one text."),
+      el(ElementType.NarrativeText, "More page one.", page = Some(1)),
+      el(ElementType.NarrativeText, "Page two text.", page = Some(2)))
+    val multi = byTitle(els, ChunkingOptions(combineTextUnderNChars = Some(0)))
+    assert(multi.size == 1)
+    val perPage = byTitle(els,
+      ChunkingOptions(combineTextUnderNChars = Some(0), multipageSections = false))
+    assert(perPage.map(_.text) == Vector(
+      "Page one text.\n\nMore page one.", "Page two text."))
+  }
+
+  // -- test_skip_table_chunking_does_not_combine_table_with_adjacent_text (test_basic) --
+  test("table is isolated from adjacent text even when everything fits") {
+    val tableText = ("cell " * 200).trim
+    val els = Seq(
+      text("Hello world"),
+      table(tableText),
+      text("Goodbye world"))
+    val chunks = byTitle(els, ChunkingOptions(
+      maxCharacters = 5000, combineTextUnderNChars = Some(5000), skipTableChunking = true))
+    assert(chunks.map(_.`type`) == Vector(
+      ElementType.CompositeElement, ElementType.Table, ElementType.CompositeElement))
+    assert(chunks(1).text == tableText)
+  }
+
+  // -- test_it_repeats_table_headers_by_default_but_can_opt_out (test_title.py:96) --
+  private val headerTableHtml =
+    "<table>" +
+      "<thead>" +
+      "<tr><th>Header A</th><th>Header B</th></tr>" +
+      "<tr><th>Subhead A</th><th>Subhead B</th></tr>" +
+      "</thead>" +
+      "<tbody>" +
+      "<tr><td>Body 1</td><td>Alpha</td></tr>" +
+      "<tr><td>Body 2</td><td>Bravo</td></tr>" +
+      "<tr><td>Body 3</td><td>Charlie</td></tr>" +
+      "<tr><td>Body 4</td><td>Delta</td></tr>" +
+      "</tbody>" +
+      "</table>"
+  private val headerTableText =
+    "Header A Header B\nSubhead A Subhead B\nBody 1 Alpha\nBody 2 Bravo\n" +
+      "Body 3 Charlie\nBody 4 Delta"
+
+  test("repeats table headers by default") {
+    val chunks = byTitle(
+      Seq(table(headerTableText, Some(headerTableHtml))),
+      ChunkingOptions(combineTextUnderNChars = Some(0), maxCharacters = 55))
+    assert(chunks.size == 4)
+    assert(chunks.forall(_.`type` == ElementType.TableChunk))
+    assert(chunks.map(_.text) == Vector(
+      "Header A Header B Subhead A Subhead B Body 1 Alpha",
+      "Header A Header B Subhead A Subhead B Body 2 Bravo",
+      "Header A Header B Subhead A Subhead B Body 3 Charlie",
+      "Header A Header B Subhead A Subhead B Body 4 Delta"))
+    assert(chunks(1).metadata.num_carried_over_header_rows.contains(2))
+    assert(chunks(0).metadata.num_carried_over_header_rows.contains(0))
+    assert(chunks(1).metadata.text_as_html.get.startsWith(
+      "<table><thead><tr><th>Header A</th><th>Header B</th></tr>"))
+    assert(chunks.map(_.metadata.chunk_index) == Vector(Some(0), Some(1), Some(2), Some(3)))
+    assert(chunks.map(_.metadata.table_id).distinct.size == 1)
+  }
+
+  test("header repeat can be opted out") {
+    val chunks = byTitle(
+      Seq(table(headerTableText, Some(headerTableHtml))),
+      ChunkingOptions(combineTextUnderNChars = Some(0), maxCharacters = 55,
+        repeatTableHeaders = false))
+    assert(chunks.map(_.text) == Vector(
+      "Header A Header B Subhead A Subhead B Body 1 Alpha",
+      "Body 2 Bravo Body 3 Charlie Body 4 Delta"))
+  }
+
+  // -- test_skip_table_chunking_passes_oversized_table_through_unchanged --
+  test("skipTableChunking passes oversized table through unchanged") {
+    val big = ("cell " * 300).trim
+    val chunks = byTitle(Seq(table(big)), ChunkingOptions(skipTableChunking = true))
+    assert(chunks.size == 1)
+    assert(chunks(0).`type` == ElementType.Table)
+    assert(chunks(0).text == big)
+  }
+
+  // -- oversized table without html -> text-only TableChunks --
+  test("oversized table without html splits into text-only TableChunks") {
+    val big = (1 to 300).map(i => s"cell$i").mkString(" ")
+    val chunks = byTitle(Seq(table(big)), ChunkingOptions(maxCharacters = 500))
+    assert(chunks.size > 1)
+    assert(chunks.forall(_.`type` == ElementType.TableChunk))
+    assert(chunks.forall(_.text.length <= 500))
+    assert(chunks.forall(_.metadata.text_as_html.isEmpty))
+    assert(chunks.head.metadata.is_continuation.isEmpty)
+    assert(chunks.tail.forall(_.metadata.is_continuation.contains(true)))
+    // no text lost at the seams
+    assert(chunks.map(_.text).mkString(" ") == big)
+  }
+
+  // -- overlap_all carries the tail of the previous chunk --
+  test("overlapAll prefixes next chunk with tail of previous") {
+    val els = Seq(
+      text("a" * 98 + "zz"),
+      text("next element text here"))
+    val chunks = basic(els, ChunkingOptions(maxCharacters = 100, overlap = 10, overlapAll = true))
+    assert(chunks.size == 2)
+    assert(chunks(1).text.startsWith(chunks(0).text.takeRight(10).trim))
+  }
+
+  // -- PageBreak-only pre-chunk yields no chunk (empty text) --
+  test("pre-chunk with no text produces no chunks") {
+    val chunks = basic(Seq(el(ElementType.PageBreak, "")))
+    assert(chunks.isEmpty)
+  }
+
+  // -- metadata consolidation: FIRST + LIST_UNIQUE + STRING_CONCATENATE --
+  test("consolidates metadata per strategy table") {
+    nextSeq = 0
+    val e1 = Element("", ElementType.Title, "T", "doc1", 1,
+      ElementMetadata(page_number = Some(1), languages = Some(Seq("eng")),
+        filename = Some("a.txt")))
+    val e2 = Element("", ElementType.NarrativeText, "Body", "doc1", 2,
+      ElementMetadata(page_number = Some(2), languages = Some(Seq("eng", "deu")),
+        text_as_html = Some("<p>x</p>")))
+    val chunks = basic(Seq(e1, e2))
+    assert(chunks.size == 1)
+    val m = chunks(0).metadata
+    assert(m.page_number.contains(1)) // FIRST
+    assert(m.languages.contains(Seq("eng", "deu"))) // LIST_UNIQUE
+    assert(m.filename.contains("a.txt")) // FIRST
+    assert(m.text_as_html.contains("<p>x</p>")) // STRING_CONCATENATE
+  }
+
+  // -- chunk ids are deterministic (retry/speculation safety) --
+  test("chunk ids are deterministic across runs") {
+    val els = Seq(title("A"), text("B"), title("C"), text("D"))
+    val a = byTitle(els).map(_.element_id)
+    val b = byTitle(els).map(_.element_id)
+    assert(a == b)
+    assert(a.distinct.size == a.size)
+  }
+
+  // -- reconstruct_table_from_chunks inverse --
+  test("reconstructTable merges TableChunks back into one Table") {
+    val chunks = byTitle(
+      Seq(table(headerTableText, Some(headerTableHtml))),
+      ChunkingOptions(combineTextUnderNChars = Some(0), maxCharacters = 55))
+    val t = Chunker.reconstructTable(chunks).get
+    assert(t.`type` == ElementType.Table)
+    assert(t.text ==
+      "Header A Header B Subhead A Subhead B Body 1 Alpha Body 2 Bravo Body 3 Charlie" +
+        " Body 4 Delta")
+    val html = t.metadata.text_as_html.get
+    assert(html.startsWith("<table><thead><tr><th>Header A</th>"))
+    assert(html.contains("<tr><td>Body 4</td><td>Delta</td></tr>"))
+    assert(t.metadata.table_id.isEmpty && t.metadata.chunk_index.isEmpty)
+  }
+
+  // -- TextSplitter unit behavior (base.py:1396-1460) --
+  test("TextSplitter returns short string unchanged") {
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxCharacters = 100))
+    assert(split("short text") == (("short text", "")))
+  }
+
+  test("TextSplitter splits on rightmost whitespace within maxlen") {
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxCharacters = 20))
+    val (frag, rem) = split("alpha bravo charlie delta echo")
+    assert(frag == "alpha bravo charlie")
+    assert(rem == "delta echo")
+  }
+
+  test("TextSplitter prefers newline over space") {
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxCharacters = 20))
+    val (frag, rem) = split("alpha bravo\ncharlie delta")
+    assert(frag == "alpha bravo")
+    assert(rem == "charlie delta")
+  }
+
+  test("TextSplitter hard-cuts a word longer than maxlen with overlap") {
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxCharacters = 10, overlap = 3))
+    val (frag, rem) = split("abcdefghijklmnop")
+    assert(frag == "abcdefghij")
+    assert(rem == "hijklmnop")
+  }
+
+  test("TextSplitter carries overlap tail through separator splits") {
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxCharacters = 20, overlap = 5))
+    val (frag, rem) = split("alpha bravo charlie delta")
+    assert(frag == "alpha bravo charlie")
+    assert(rem.startsWith("rlie "))
+  }
+
+  // -- normalizeWs --
+  test("normalizeWs collapses all whitespace runs") {
+    assert(Chunker.normalizeWs("  a \t b\n\nc  ") == "a b c")
+    assert(Chunker.normalizeWs("") == "")
+    assert(Chunker.normalizeWs(" \n ") == "")
+  }
+}
