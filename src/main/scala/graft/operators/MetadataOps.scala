@@ -1,0 +1,155 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+
+import graft.model.{Element, ElementMetadata}
+
+/**
+ * The `apply_metadata` post-partition chain
+ * (`/root/reference/unstructured/partition/common/metadata.py:155-281`) in its
+ * normative order: language detect → filetype/filename/url stamping → hash ids
+ * (with parent-id remap) → hierarchy assignment.
+ *
+ * Spark shape: one `groupByKey(doc_id).flatMapSortedGroups(seq)` — the same single
+ * shuffle the chunker uses; language detection and hierarchy are inherently
+ * whole-document operations (the reference also materializes the element list,
+ * `lang.py:525-531`). Memory is O(document); skewed giant docs are bounded by the
+ * element count of one document, not the partition.
+ */
+object MetadataOps {
+
+  /** `HIERARCHY_RULE_SET` — `partition/common/metadata.py:36-60`. */
+  val HierarchyRuleSet: Map[String, Seq[String]] = Map(
+    "Title" -> Seq("Text", "UncategorizedText", "NarrativeText", "ListItem",
+      "BulletedText", "Table", "FigureCaption", "CheckBox"),
+    "Header" -> Seq("Title", "Text", "UncategorizedText", "NarrativeText", "ListItem",
+      "BulletedText", "Table", "FigureCaption", "CheckBox"))
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /**
+   * `set_element_hierarchy` — stack sweep over document order
+   * (`metadata.py:99-147`): the ruleset trumps `category_depth`; depth only breaks
+   * ties within a category. Elements with a pre-assigned `parent_id` or no category
+   * are passed through untouched and never pushed.
+   */
+  def setElementHierarchy(els: Seq[Element],
+      ruleset: Map[String, Seq[String]] = HierarchyRuleSet): Seq[Element] = {
+    val stack = mutable.ArrayBuffer.empty[Element]
+    els.map { element =>
+      if (element.metadata.parent_id.isDefined) element
+      else if (element.`type` == null || element.`type`.isEmpty) element
+      else {
+        val cat = element.`type`
+        val depth = element.metadata.category_depth.getOrElse(0)
+        var parent: Option[String] = None
+        var done = false
+        while (stack.nonEmpty && !done) {
+          val top = stack.last
+          val topCat = top.`type`
+          val topDepth = top.metadata.category_depth.getOrElse(0)
+          if ((topCat == cat && topDepth < depth) ||
+            (topCat != cat && ruleset.getOrElse(topCat, Nil).contains(cat))) {
+            parent = Some(top.element_id)
+            done = true
+          } else stack.remove(stack.length - 1)
+        }
+        val out = element.copy(metadata = element.metadata.copy(parent_id = parent))
+        stack += out
+        out
+      }
+    }
+  }
+
+  /**
+   * `_assign_hash_ids` — `metadata.py:284-312`, `elements.py:789-801`: id =
+   * sha-256 of `filename + text + page_number + seq_on_page` (Python `f"{None}"`
+   * renders as `"None"`), truncated to 32 hex; pre-existing `parent_id`s remapped
+   * through the old→new table.
+   */
+  def assignHashIds(els: Seq[Element]): Seq[Element] = {
+    val pageCounts = mutable.Map.empty[Option[Int], Int]
+    val mapping = mutable.Map.empty[String, String]
+    val hashed = els.map { e =>
+      val page = e.metadata.page_number
+      val seqOnPage = pageCounts.getOrElse(page, 0)
+      pageCounts(page) = seqOnPage + 1
+      val data = e.metadata.filename.getOrElse("None") +
+        Option(e.text).getOrElse("") +
+        page.map(_.toString).getOrElse("None") +
+        seqOnPage
+      val newId = sha256Hex(data).substring(0, 32)
+      if (e.element_id != null && e.element_id.nonEmpty) mapping(e.element_id) = newId
+      e.copy(element_id = newId)
+    }
+    hashed.map { e =>
+      e.metadata.parent_id match {
+        case Some(p) if mapping.contains(p) =>
+          e.copy(metadata = e.metadata.copy(parent_id = Some(mapping(p))))
+        case _ => e
+      }
+    }
+  }
+
+  /** Deterministic stopword-vote language ID (scala twin of
+    * `TextAnalysis.langIdHeuristic`; analog of the reference's seeded langdetect). */
+  def langId(text: String): String = {
+    val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def count(stop: Seq[String]): Int = { val s = stop.toSet; ws.count(s.contains) }
+    import graft.functions.TextAnalysis._
+    val (en, es, de, fr) =
+      (count(StopwordsEn), count(StopwordsEs), count(StopwordsDe), count(StopwordsFr))
+    if (Seq(en, es, de, fr).max == 0) "und"
+    else if (en >= es && en >= de && en >= fr) "en"
+    else if (es >= de && es >= fr) "es"
+    else if (de >= fr) "de"
+    else "fr"
+  }
+
+  /** One document's `apply_metadata` chain in normative order (`metadata.py:196-277`). */
+  def applyMetadataDoc(els: Seq[Element], filename: Option[String] = None,
+      filetype: Option[String] = None, url: Option[String] = None): Seq[Element] = {
+    // 1. doc-level language over concatenated element text (`lang.py:508-559`)
+    val fullText = els.iterator.map(_.text).filter(t => t != null && t.nonEmpty).mkString(" ")
+    val lang = langId(fullText)
+    // 2. stamp languages + filetype/filename/url (attached files keep their own)
+    val stamped = els.map { e =>
+      if (e.metadata.attached_to_filename.isDefined) e
+      else e.copy(metadata = e.metadata.copy(
+        languages = Some(Seq(lang)),
+        filename = filename.orElse(e.metadata.filename),
+        filetype = filetype.orElse(e.metadata.filetype),
+        url = url.orElse(e.metadata.url)))
+    }
+    // 3. hash ids (before hierarchy so parent-id is stable), 4. hierarchy
+    setElementHierarchy(assignHashIds(stamped))
+  }
+
+  /** Dataset-level `apply_metadata`: one shuffle on doc_id, per-doc chain. */
+  def applyMetadata(ds: Dataset[Element], filetype: Option[String] = None,
+      url: Option[String] = None,
+      filenameFor: String => Option[String] = _ => None): Dataset[Element] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    ds.groupByKey(_.doc_id)
+      .flatMapSortedGroups(col("seq"))((doc, it) =>
+        applyMetadataDoc(it.toSeq, filenameFor(doc), filetype, url).iterator)
+  }
+
+  /** `group_elements_by_parent_id` read-side twin: parent/child pairs via self-join
+    * (`utils.py:645-688`) — callers use `df.groupBy("metadata.parent_id")`. */
+  def parentChildPairs(ds: Dataset[Element]): Dataset[(Element, Element)] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    val parents = ds.filter((e: Element) => e.element_id != null && e.element_id.nonEmpty)
+    parents.joinWith(ds,
+      parents("element_id") === ds("metadata.parent_id") &&
+        parents("doc_id") === ds("doc_id"))
+  }
+}

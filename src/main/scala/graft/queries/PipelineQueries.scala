@@ -47,6 +47,15 @@ object PipelineQueries {
       .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
   }
 
+  /** Untruncated element stream for the metadata chain. */
+  private def fullElements(s: SparkSession, dir: String): Dataset[Element] = {
+    import s.implicits._
+    partitioned(s, dir)
+      .select(col("doc_id"), col("seq"), col("element_type"), col("text"))
+      .as[(String, Long, String, String)]
+      .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
+  }
+
   private def chunkResult(chunked: Dataset[Element]): DataFrame =
     chunked.select(
       col("doc_id").cast("long").as("doc_id"),
@@ -68,7 +77,25 @@ object PipelineQueries {
     "q_chunk_by_title" -> ((s, dir) =>
       chunkResult(Chunker.chunkByTitle(elements(s, dir),
         ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
-          combineTextUnderNChars = Some(0))))))
+          combineTextUnderNChars = Some(0))))),
+
+    // apply_metadata chain: doc language -> filename/filetype stamp -> hash ids ->
+    // hierarchy. Oracle recomputes ids (sha-256 of filename+text+page+seq_on_page)
+    // and parents (last preceding Title for ruleset children) independently.
+    "q_apply_metadata" -> ((s, dir) => {
+      val els = graft.operators.MetadataOps.applyMetadata(
+        fullElements(s, dir),
+        filetype = Some("text/plain"),
+        filenameFor = d => Some(s"doc_$d.txt"))
+      els.select(
+        col("doc_id").cast("long").as("doc_id"),
+        col("seq"),
+        col("element_id"),
+        col("metadata.parent_id").as("parent_id"),
+        element_at(col("metadata.languages"), 1).as("lang"),
+        col("metadata.filetype").as("filetype"))
+        .orderBy("doc_id", "seq")
+    }))
 
   // -- oracle SQL ------------------------------------------------------------------
 
@@ -126,5 +153,51 @@ object PipelineQueries {
 
     "q_chunk_basic" -> chunkWalkSql("FALSE"),
 
-    "q_chunk_by_title" -> chunkWalkSql(O.classify("e.full_text") + " = 'Title'"))
+    "q_chunk_by_title" -> chunkWalkSql(O.classify("e.full_text") + " = 'Title'"),
+
+    "q_apply_metadata" -> {
+      val childTypes = graft.operators.MetadataOps.HierarchyRuleSet("Title")
+        .map(t => s"'$t'").mkString(", ")
+      val langSql = {
+        import graft.functions.TextAnalysis._
+        def cnt(stop: Seq[String]) = O.stopwordCount("full_txt", stop)
+        s"(CASE WHEN greatest(${cnt(StopwordsEn)}, ${cnt(StopwordsEs)}, " +
+          s"${cnt(StopwordsDe)}, ${cnt(StopwordsFr)}) = 0 THEN 'und' " +
+          s"WHEN ${cnt(StopwordsEn)} >= ${cnt(StopwordsEs)} AND " +
+          s"${cnt(StopwordsEn)} >= ${cnt(StopwordsDe)} AND " +
+          s"${cnt(StopwordsEn)} >= ${cnt(StopwordsFr)} THEN 'en' " +
+          s"WHEN ${cnt(StopwordsEs)} >= ${cnt(StopwordsDe)} AND " +
+          s"${cnt(StopwordsEs)} >= ${cnt(StopwordsFr)} THEN 'es' " +
+          s"WHEN ${cnt(StopwordsDe)} >= ${cnt(StopwordsFr)} THEN 'de' ELSE 'fr' END)"
+      }
+      s"""WITH $parsCte,
+         |typed AS (
+         |  SELECT doc_id, seq, ${O.classify("full_text")} AS element_type,
+         |    ${cleanBullets("full_text")} AS text
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+         |      {'seq': i, 'full_text': ps[i]}), recursive := true)
+         |    FROM pars)),
+         |hashed AS (
+         |  SELECT *, substring(sha256(
+         |    'doc_' || doc_id || '.txt' || text || 'None' || (seq - 1)::VARCHAR), 1, 32)
+         |    AS element_id
+         |  FROM typed),
+         |withparent AS (
+         |  SELECT *, CASE WHEN element_type IN ($childTypes) THEN
+         |    last_value(CASE WHEN element_type = 'Title' THEN element_id END IGNORE NULLS)
+         |      OVER (PARTITION BY doc_id ORDER BY seq
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    ELSE NULL END AS parent_id
+         |  FROM hashed),
+         |langs AS (
+         |  SELECT doc_id, $langSql AS lang
+         |  FROM (SELECT doc_id, string_agg(text, ' ' ORDER BY seq) AS full_txt
+         |        FROM typed GROUP BY doc_id)
+         |  GROUP BY doc_id, full_txt)
+         |SELECT h.doc_id, h.seq, h.element_id, h.parent_id, l.lang,
+         |  'text/plain' AS filetype
+         |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
+         |ORDER BY h.doc_id, h.seq""".stripMargin
+    })
 }
