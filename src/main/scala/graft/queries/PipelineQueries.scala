@@ -95,6 +95,39 @@ object PipelineQueries {
         element_at(col("metadata.languages"), 1).as("lang"),
         col("metadata.filetype").as("filetype"))
         .orderBy("doc_id", "seq")
+    }),
+
+    // filter_element_types (include mode) — staging/base.py:705-731
+    "q_filter_element_types" -> ((s, dir) =>
+      graft.sinks.ElementSink.filterElementTypes(
+        fullElements(s, dir), include = Seq("Title", "ListItem"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("seq"),
+          col("type").as("element_type"), col("text"))
+        .orderBy("doc_id", "seq")),
+
+    // elements_to_md render per doc — staging/base.py:273-350
+    "q_elements_to_md" -> ((s, dir) =>
+      graft.sinks.ElementSink.elementsToMd(fullElements(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("markdown"))
+        .orderBy("doc_id")),
+
+    // convert_to_text concat per doc — staging/base.py:529-548
+    "q_convert_to_text" -> ((s, dir) =>
+      graft.sinks.ElementSink.convertToText(fullElements(s, dir))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")),
+
+    // convert_to_csv flat projection — staging/base.py:507-526,604-624
+    "q_csv_flatten" -> ((s, dir) => {
+      val els = graft.operators.MetadataOps.applyMetadata(
+        fullElements(s, dir),
+        filetype = Some("text/plain"),
+        filenameFor = d => Some(s"doc_$d.txt"))
+      graft.sinks.ElementSink.flattenForCsv(els)
+        .select(col("type"), col("text"), col("element_id"),
+          col("doc_id").cast("long").as("doc_id"), col("seq"),
+          col("filename"), col("filetype"), col("languages"), col("parent_id"))
+        .orderBy("doc_id", "seq")
     }))
 
   // -- oracle SQL ------------------------------------------------------------------
@@ -155,49 +188,86 @@ object PipelineQueries {
 
     "q_chunk_by_title" -> chunkWalkSql(O.classify("e.full_text") + " = 'Title'"),
 
-    "q_apply_metadata" -> {
-      val childTypes = graft.operators.MetadataOps.HierarchyRuleSet("Title")
-        .map(t => s"'$t'").mkString(", ")
-      val langSql = {
-        import graft.functions.TextAnalysis._
-        def cnt(stop: Seq[String]) = O.stopwordCount("full_txt", stop)
-        s"(CASE WHEN greatest(${cnt(StopwordsEn)}, ${cnt(StopwordsEs)}, " +
-          s"${cnt(StopwordsDe)}, ${cnt(StopwordsFr)}) = 0 THEN 'und' " +
-          s"WHEN ${cnt(StopwordsEn)} >= ${cnt(StopwordsEs)} AND " +
-          s"${cnt(StopwordsEn)} >= ${cnt(StopwordsDe)} AND " +
-          s"${cnt(StopwordsEn)} >= ${cnt(StopwordsFr)} THEN 'en' " +
-          s"WHEN ${cnt(StopwordsEs)} >= ${cnt(StopwordsDe)} AND " +
-          s"${cnt(StopwordsEs)} >= ${cnt(StopwordsFr)} THEN 'es' " +
-          s"WHEN ${cnt(StopwordsDe)} >= ${cnt(StopwordsFr)} THEN 'de' ELSE 'fr' END)"
-      }
-      s"""WITH $parsCte,
-         |typed AS (
-         |  SELECT doc_id, seq, ${O.classify("full_text")} AS element_type,
-         |    ${cleanBullets("full_text")} AS text
-         |  FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
-         |      {'seq': i, 'full_text': ps[i]}), recursive := true)
-         |    FROM pars)),
-         |hashed AS (
-         |  SELECT *, substring(sha256(
-         |    'doc_' || doc_id || '.txt' || text || 'None' || (seq - 1)::VARCHAR), 1, 32)
-         |    AS element_id
-         |  FROM typed),
-         |withparent AS (
-         |  SELECT *, CASE WHEN element_type IN ($childTypes) THEN
-         |    last_value(CASE WHEN element_type = 'Title' THEN element_id END IGNORE NULLS)
-         |      OVER (PARTITION BY doc_id ORDER BY seq
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |    ELSE NULL END AS parent_id
-         |  FROM hashed),
-         |langs AS (
-         |  SELECT doc_id, $langSql AS lang
-         |  FROM (SELECT doc_id, string_agg(text, ' ' ORDER BY seq) AS full_txt
-         |        FROM typed GROUP BY doc_id)
-         |  GROUP BY doc_id, full_txt)
+    "q_apply_metadata" ->
+      s"""$applyMetaCtes
          |SELECT h.doc_id, h.seq, h.element_id, h.parent_id, l.lang,
          |  'text/plain' AS filetype
          |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
-         |ORDER BY h.doc_id, h.seq""".stripMargin
-    })
+         |ORDER BY h.doc_id, h.seq""".stripMargin,
+
+    "q_filter_element_types" ->
+      s"""WITH $parsCte,
+         |typed AS ($typedSelect)
+         |SELECT doc_id, seq, element_type, text FROM typed
+         |WHERE element_type IN ('Title', 'ListItem')
+         |ORDER BY doc_id, seq""".stripMargin,
+
+    "q_elements_to_md" ->
+      s"""WITH $parsCte,
+         |typed AS ($typedSelect)
+         |SELECT doc_id, string_agg(
+         |  CASE WHEN element_type = 'Title' THEN '# ' || text ELSE text END,
+         |  chr(10) ORDER BY seq) AS markdown
+         |FROM typed GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_convert_to_text" ->
+      s"""WITH $parsCte,
+         |typed AS ($typedSelect)
+         |SELECT doc_id, string_agg(text, chr(10) ORDER BY seq) AS text
+         |FROM typed WHERE text <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_csv_flatten" ->
+      s"""$applyMetaCtes
+         |SELECT h.element_type AS type, h.text, h.element_id, h.doc_id, h.seq,
+         |  'doc_' || h.doc_id || '.txt' AS filename, 'text/plain' AS filetype,
+         |  l.lang AS languages, h.parent_id
+         |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
+         |ORDER BY h.doc_id, h.seq""".stripMargin)
+
+  /** typed-element projection shared by several oracles. */
+  private lazy val typedSelect: String =
+    s"""
+       |  SELECT doc_id, seq, ${O.classify("full_text")} AS element_type,
+       |    ${cleanBullets("full_text")} AS text
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+       |      {'seq': i, 'full_text': ps[i]}), recursive := true)
+       |    FROM pars)""".stripMargin
+
+  /** Shared CTE chain for the apply_metadata oracles. */
+  private lazy val applyMetaCtes: String = {
+    val childTypes = graft.operators.MetadataOps.HierarchyRuleSet("Title")
+      .map(t => s"'$t'").mkString(", ")
+    val langSql = {
+      import graft.functions.TextAnalysis._
+      def cnt(stop: Seq[String]) = O.stopwordCount("full_txt", stop)
+      s"(CASE WHEN greatest(${cnt(StopwordsEn)}, ${cnt(StopwordsEs)}, " +
+        s"${cnt(StopwordsDe)}, ${cnt(StopwordsFr)}) = 0 THEN 'und' " +
+        s"WHEN ${cnt(StopwordsEn)} >= ${cnt(StopwordsEs)} AND " +
+        s"${cnt(StopwordsEn)} >= ${cnt(StopwordsDe)} AND " +
+        s"${cnt(StopwordsEn)} >= ${cnt(StopwordsFr)} THEN 'en' " +
+        s"WHEN ${cnt(StopwordsEs)} >= ${cnt(StopwordsDe)} AND " +
+        s"${cnt(StopwordsEs)} >= ${cnt(StopwordsFr)} THEN 'es' " +
+        s"WHEN ${cnt(StopwordsDe)} >= ${cnt(StopwordsFr)} THEN 'de' ELSE 'fr' END)"
+    }
+    s"""WITH $parsCte,
+       |typed AS ($typedSelect),
+       |hashed AS (
+       |  SELECT *, substring(sha256(
+       |    'doc_' || doc_id || '.txt' || text || 'None' || (seq - 1)::VARCHAR), 1, 32)
+       |    AS element_id
+       |  FROM typed),
+       |withparent AS (
+       |  SELECT *, CASE WHEN element_type IN ($childTypes) THEN
+       |    last_value(CASE WHEN element_type = 'Title' THEN element_id END IGNORE NULLS)
+       |      OVER (PARTITION BY doc_id ORDER BY seq
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    ELSE NULL END AS parent_id
+       |  FROM hashed),
+       |langs AS (
+       |  SELECT doc_id, $langSql AS lang
+       |  FROM (SELECT doc_id, string_agg(text, ' ' ORDER BY seq) AS full_txt
+       |        FROM typed GROUP BY doc_id)
+       |  GROUP BY doc_id, full_txt)""".stripMargin
+  }
 }

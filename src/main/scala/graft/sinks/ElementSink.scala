@@ -1,0 +1,143 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Element, ElementType}
+
+/**
+ * Staging/sink operators (`/root/reference/unstructured/staging/base.py`):
+ * NDJSON/JSON element round-trip, type filtering, markdown/text rendering, CSV
+ * flattening and precision rounding.
+ *
+ * The JSON writer emits the sparse wire format via [[ElementJson]] (absent = null);
+ * reading back uses a schema-first `spark.read.json` so absent fields rehydrate as
+ * nulls — the exact inverse (`partition_json`, `partition/json.py:30-100`).
+ */
+object ElementSink {
+
+  private val elementEncoder = Encoders.product[Element]
+
+  /** One sparse-JSON line per element — `elements_to_ndjson` (`staging/base.py:458-478`). */
+  def toNdjson(ds: Dataset[Element]): Dataset[String] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    ds.map(ElementJson.elementJson _)
+  }
+
+  /** `elements_to_ndjson` to disk. Sorting by (doc_id, seq) inside partitions keeps
+    * reading order stable per file. */
+  def writeNdjson(ds: Dataset[Element], path: String): Unit =
+    toNdjson(ds.sortWithinPartitions(col("doc_id"), col("seq"))).write.mode("overwrite").text(path)
+
+  /** `elements_from_json` / `partition_json` rehydrate — schema-first JSON read. */
+  def readNdjson(spark: SparkSession, path: String): Dataset[Element] =
+    spark.read.schema(elementEncoder.schema).json(path).as(elementEncoder)
+
+  /** Parse a single element JSON line (driver/test-side rehydrate). */
+  def parseNdjson(spark: SparkSession, lines: Seq[String]): Dataset[Element] = {
+    import spark.implicits._
+    spark.read.schema(elementEncoder.schema).json(lines.toDS()).as(elementEncoder)
+  }
+
+  /**
+   * `filter_element_types` — include XOR exclude (`staging/base.py:705-731`).
+   * Plain predicate pushdown-friendly filter: at scale this prunes at the parquet
+   * row-group level when the lake is written with `type` statistics.
+   */
+  def filterElementTypes(ds: Dataset[Element], include: Seq[String] = Nil,
+      exclude: Seq[String] = Nil): Dataset[Element] = {
+    require(include.isEmpty || exclude.isEmpty,
+      "Only one of include and exclude may be specified") // base.py:714-718
+    if (include.nonEmpty) ds.filter(col("type").isin(include: _*))
+    else if (exclude.nonEmpty) ds.filter(!col("type").isin(exclude: _*))
+    else ds
+  }
+
+  /** `element_to_md` render — `staging/base.py:273-305` — as a codegen'd expression
+    * over (type, text, text_as_html, image_base64, image_mime_type, image_url). */
+  def elementMd(tpe: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
+      textAsHtml: org.apache.spark.sql.Column,
+      imageBase64: org.apache.spark.sql.Column,
+      imageMime: org.apache.spark.sql.Column,
+      imageUrl: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(tpe === ElementType.Title, concat(lit("# "), text))
+      .when(tpe === ElementType.Formula,
+        concat(lit("$$"), text, lit("$$")))
+      .when(tpe === ElementType.Table && textAsHtml.isNotNull, textAsHtml)
+      .when(tpe === ElementType.Image && imageBase64.isNotNull && imageMime.isNull,
+        concat(lit("!["), text, lit("](data:image/*;base64,"), imageBase64, lit(")")))
+      .when(tpe === ElementType.Image && imageBase64.isNotNull,
+        concat(lit("!["), text, lit("](data:"), imageMime, lit(";base64,"), imageBase64, lit(")")))
+      .when(tpe === ElementType.Image && imageUrl.isNotNull,
+        concat(lit("!["), text, lit("]("), imageUrl, lit(")")))
+      .otherwise(text)
+
+  /** `elements_to_md` — per-doc markdown document (`staging/base.py:307-350`). */
+  def elementsToMd(ds: Dataset[Element]): DataFrame =
+    ds.select(col("doc_id"), col("seq"),
+      elementMd(col("type"), col("text"), col("metadata.text_as_html"),
+        col("metadata.image_base64"), col("metadata.image_mime_type"),
+        col("metadata.image_url")).as("md"))
+      .groupBy("doc_id")
+      .agg(concat_ws("\n", array_sort(collect_list(struct(col("seq"), col("md"))))
+        .getField("md")).as("markdown"))
+
+  /** `convert_to_text` — newline-joined non-empty element text per doc
+    * (`staging/base.py:529-548`). */
+  def convertToText(ds: Dataset[Element]): DataFrame =
+    ds.filter(col("text").isNotNull && col("text") =!= "")
+      .groupBy("doc_id")
+      .agg(concat_ws("\n", array_sort(collect_list(struct(col("seq"), col("text"))))
+        .getField("text")).as("text"))
+
+  /** `convert_to_csv` flat column set — `staging/base.py:507-526,604-624`: core
+    * fields + flattened metadata (coordinates exploded, `sender` = first sent_from). */
+  def flattenForCsv(ds: Dataset[Element]): DataFrame =
+    ds.select(
+      col("type"), col("text"), col("element_id"),
+      col("doc_id"), col("seq"),
+      col("metadata.filename").as("filename"),
+      col("metadata.file_directory").as("file_directory"),
+      col("metadata.filetype").as("filetype"),
+      col("metadata.url").as("url"),
+      col("metadata.last_modified").as("last_modified"),
+      col("metadata.page_number").as("page_number"),
+      col("metadata.page_name").as("page_name"),
+      col("metadata.category_depth").as("category_depth"),
+      col("metadata.parent_id").as("parent_id"),
+      concat_ws(";", col("metadata.languages")).as("languages"),
+      col("metadata.text_as_html").as("text_as_html"),
+      col("metadata.is_continuation").as("is_continuation"),
+      element_at(col("metadata.sent_from"), 1).as("sender"),
+      col("metadata.subject").as("subject"),
+      to_json(col("metadata.coordinates.points")).as("coordinates_points"),
+      col("metadata.coordinates.system").as("coordinates_system"),
+      col("metadata.coordinates.layout_width").as("coordinates_layout_width"),
+      col("metadata.coordinates.layout_height").as("coordinates_layout_height"))
+
+  /** `_fix_metadata_field_precision` — coords to 1dp (PixelSpace; 2dp otherwise),
+    * detection prob to 5dp (`staging/base.py:481-504`). */
+  def fixMetadataFieldPrecision(ds: Dataset[Element]): Dataset[Element] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    ds.map { e =>
+      val m = e.metadata
+      val m2 = m.coordinates match {
+        case Some(c) =>
+          val p = if (c.system.contains("PixelSpace")) 1 else 2
+          def r(v: Double): Double =
+            BigDecimal(v).setScale(p, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+          m.copy(coordinates = Some(c.copy(points = c.points.map(pt =>
+            pt.copy(x = r(pt.x), y = r(pt.y))))))
+        case None => m
+      }
+      val m3 = m2.detection_class_prob match {
+        case Some(v) => m2.copy(detection_class_prob = Some(
+          BigDecimal(v).setScale(5, BigDecimal.RoundingMode.HALF_EVEN).toDouble))
+        case None => m2
+      }
+      e.copy(metadata = m3)
+    }
+  }
+}

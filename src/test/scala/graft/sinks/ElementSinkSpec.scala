@@ -1,0 +1,92 @@
+package graft.sinks
+
+import java.nio.file.Files
+
+import graft.SparkSuiteBase
+import graft.model.{Element, ElementMetadata, ElementType}
+import graft.operators.{Chunker, ChunkingOptions}
+
+/** Wire-format round-trip and staging-operator tests. */
+class ElementSinkSpec extends SparkSuiteBase {
+
+  private def sampleElements: Seq[Element] = Seq(
+    Element("id1", ElementType.Title, "A Great Day", "d1", 1,
+      ElementMetadata(filename = Some("a.txt"), languages = Some(Seq("en")),
+        page_number = Some(1))),
+    Element("id2", ElementType.NarrativeText, "Quote \"x\" and\nnewline", "d1", 2,
+      ElementMetadata(parent_id = Some("id1"))),
+    Element("id3", ElementType.Table, "Heading Cell", "d1", 3,
+      ElementMetadata(text_as_html = Some("<table><tr><td>Heading Cell</td></tr></table>"))),
+    Element("id4", ElementType.ListItem, "item one", "d2", 1,
+      ElementMetadata(is_continuation = Some(true)),
+      embeddings = Some(Seq(0.5f, -1.25f))))
+
+  test("ndjson write -> read -> write is a fixpoint") {
+    import spark.implicits._
+    val ds = sampleElements.toDS()
+    val dir = Files.createTempDirectory("graft-ndjson").toString
+    ElementSink.writeNdjson(ds, dir)
+    val back = ElementSink.readNdjson(spark, dir)
+    val lines1 = ElementSink.toNdjson(back).collect().sorted
+    val lines0 = sampleElements.map(ElementJson.elementJson).sorted
+    assert(lines1.toSeq == lines0)
+    // field-level fidelity
+    val byId = back.collect().map(e => e.element_id -> e).toMap
+    assert(byId("id2").text == "Quote \"x\" and\nnewline")
+    assert(byId("id2").metadata.parent_id.contains("id1"))
+    assert(byId("id3").metadata.text_as_html.get.startsWith("<table>"))
+    assert(byId("id4").embeddings.contains(Seq(0.5f, -1.25f)))
+    assert(byId("id1").metadata.page_number.contains(1))
+    // sparse: absent fields are None after rehydrate
+    assert(byId("id1").metadata.parent_id.isEmpty)
+    assert(byId("id1").metadata.is_continuation.isEmpty)
+  }
+
+  test("sparse json omits unpopulated fields") {
+    val j = ElementJson.elementJson(sampleElements.head)
+    assert(!j.contains("parent_id") && !j.contains("is_continuation"))
+    assert(j.contains("\"filename\":\"a.txt\""))
+    assert(j.contains("\"languages\":[\"en\"]"))
+  }
+
+  test("filterElementTypes include xor exclude") {
+    import spark.implicits._
+    val ds = sampleElements.toDS()
+    assert(ElementSink.filterElementTypes(ds, include = Seq("Title"))
+      .collect().map(_.element_id).toSeq == Seq("id1"))
+    assert(ElementSink.filterElementTypes(ds, exclude = Seq("Title"))
+      .collect().map(_.element_id).sorted.toSeq == Seq("id2", "id3", "id4"))
+    intercept[IllegalArgumentException] {
+      ElementSink.filterElementTypes(ds, include = Seq("Title"), exclude = Seq("Table"))
+    }
+  }
+
+  test("markdown render: title heading, table html, plain text") {
+    import spark.implicits._
+    val md = ElementSink.elementsToMd(sampleElements.toDS())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(md("d1") ==
+      "# A Great Day\nQuote \"x\" and\nnewline\n<table><tr><td>Heading Cell</td></tr></table>")
+    assert(md("d2") == "item one")
+  }
+
+  test("convertToText joins non-empty texts per doc") {
+    import spark.implicits._
+    val withEmpty = sampleElements :+
+      Element("id5", ElementType.PageBreak, "", "d2", 2, ElementMetadata())
+    val txt = ElementSink.convertToText(withEmpty.toDS())
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(txt("d2") == "item one")
+  }
+
+  test("orig_elements codec survives the Dataset chunking path") {
+    import spark.implicits._
+    val els = Seq(
+      Element("", ElementType.Title, "T1", "docA", 1),
+      Element("", ElementType.NarrativeText, "Body text", "docA", 2)).toDS()
+    val chunks = Chunker.chunkByTitle(els, ChunkingOptions()).collect()
+    assert(chunks.length == 1)
+    val decoded = ElementJson.decodeOrigElementsJson(chunks(0).metadata.orig_elements.get)
+    assert(decoded.contains("\"text\":\"T1\"") && decoded.contains("\"text\":\"Body text\""))
+  }
+}
