@@ -20,7 +20,8 @@ object SparkEntry {
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
       (graft.queries.AnalysisQueries.queries, graft.queries.AnalysisQueries.oracles),
-      (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles))
+      (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
+      (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -68,7 +68,7 @@ object Chunker {
   // ---------------------------------------------------------------- string helpers
 
   /** Python `" ".join(s.strip().split())`: collapse all whitespace runs to one space. */
-  private[operators] def normalizeWs(s: String): String = {
+  private[graft] def normalizeWs(s: String): String = {
     val sb = new StringBuilder(s.length)
     var inWs = true // leading whitespace dropped
     s.foreach { c =>
@@ -391,7 +391,7 @@ object Chunker {
    *    reduced by header length (:1347-1353), disabled when a header row exceeds half
    *    the window (:1330-1338).
    */
-  private[operators] object TableChunker {
+  private[graft] object TableChunker {
 
     /** One `<tr>`: normalized cell texts (empty kept for `<td/>` slots) + header flag. */
     final case class Row(cellTexts: Vector[String], isHeader: Boolean) {
@@ -403,7 +403,7 @@ object Chunker {
         "<tr>" + cellTexts.map(t => if (t.isEmpty) "<th/>" else s"<th>${escapeHtml(t)}</th>").mkString + "</tr>"
     }
 
-    private[operators] def escapeHtml(s: String): String =
+    private[graft] def escapeHtml(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
     private def unescapeHtml(s: String): String =

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.queries.{OracleSql => O}
+import graft.sources.HtmlSource
+
+/**
+ * Partitioner coverage queries: HTML documents constructed from the `documents`
+ * corpus (title → `<h1>`, paragraphs → `<p>`, a list and a table per doc), run
+ * through the real flow/phrasing partitioner; the oracle mirrors the construction
+ * and independently applies the derive-from-text rules (`parser.py:921-936`).
+ */
+object SourceQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "documents")
+
+  private def htmlCorpus(s: SparkSession, dir: String): DataFrame = {
+    val title3 = array_join(slice(TextAnalysis.words(col("text")), lit(1), lit(3)), " ")
+    val paras = transform(split(col("text"), " merge "),
+      p => concat(lit("<p>"), p, lit("</p>")))
+    docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        lit("<html><body><h1>"), title3, lit("</h1>"),
+        array_join(paras, ""),
+        lit("<ul><li>item "), (col("doc_id") % 5).cast("string"),
+        lit("</li><li>second item</li></ul>"),
+        lit("<table><tr><td>k</td><td>"), col("source"),
+        lit("</td></tr></table></body></html>")).as("html"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_html" -> ((s, dir) =>
+      HtmlSource.partitionHtml(htmlCorpus(s, dir), col("html"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("seq"),
+          col("element_type"), col("category_depth"), col("text"), col("text_as_html"))
+        .orderBy("doc_id", "seq")))
+
+  // -- oracle ----------------------------------------------------------------------
+
+  /** `derive_element_type_from_text` mirror; NULL = paragraph skipped. */
+  private def derive(x: String): String =
+    s"(CASE WHEN ${O.isBulleted(x)} THEN 'ListItem' " +
+      s"WHEN ${O.isUsCityStateZip(x)} THEN 'Address' " +
+      s"WHEN ${O.isEmailAddr(x)} THEN 'EmailAddress' " +
+      s"WHEN length($x) < 2 THEN NULL " +
+      s"WHEN ${O.isPossibleNarrative(x)} THEN 'NarrativeText' " +
+      s"ELSE 'UncategorizedText' END)"
+
+  def oracles: Map[String, String] = Map(
+    "q_partition_html" -> {
+      val ws = O.words("text")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' merge ') AS ps,
+         |    array_to_string(list_slice($ws, 1, 3), ' ') AS title3, source
+         |  FROM documents),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
+         |    0 AS category_depth, title3 AS text, NULL AS text_as_html
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${derive("ps[i]")}, NULL, ps[i], NULL
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  WHERE ${derive("ps[i]")} IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, 'ListItem', 1, 'item ' || (doc_id % 5), NULL FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 2, 2, 'ListItem', 1, 'second item', NULL FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3, 1, 'Table', NULL, 'k ' || source,
+         |    '<table><tr><td>k</td><td>' || source || '</td></tr></table>'
+         |  FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, category_depth, text, text_as_html
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    })
+}

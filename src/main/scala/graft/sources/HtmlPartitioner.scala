@@ -1,0 +1,333 @@
+package graft.sources
+
+import scala.collection.mutable
+
+/**
+ * `partition_html` (v1 flow/phrasing model) —
+ * `/root/reference/unstructured/partition/html/partition.py:28-292` and
+ * `partition/html/parser.py` (principles at `:1-77`):
+ *
+ *  - elements are paragraphs; empty paragraphs are skipped;
+ *  - whitespace is normalized (except inside `<pre>`);
+ *  - block items (`h1..h6`, `p`, `pre`, `li`, `table`, `img`) start new paragraphs;
+ *    phrasing (`a`, `b/strong`, `i/em`, `span`, …) flows within one;
+ *  - `h1..h6` → Title (`category_depth` = level-1), `li` → ListItem (depth = list
+ *    nesting), `pre` → CodeSnippet, `table` → Table with compact `text_as_html`,
+ *    `img` → Image; an un-typed paragraph derives its type from its text
+ *    (`derive_element_type_from_text`, `parser.py:921-936`);
+ *  - `script`/`style`/comments and removed blocks (`nav`, `form`, `figure`, …) are
+ *    dropped (contents AND text), removed phrasing (`button`, `label`) drops contents
+ *    but keeps flowing;
+ *  - `<a>` produces link annotations, `b/strong`/`i/em` produce emphasis annotations.
+ *
+ * The DOM is a minimal hand-rolled parser (no external deps): tolerant tokenizer,
+ * void elements, raw-text elements, implicit `</p>`/`</li>`/`</tr>`/`</td>` closes.
+ * Element typing for derived paragraphs happens downstream in the codegen'd
+ * classifier column (see `HtmlSource`), keeping the predicates single-sourced.
+ */
+object HtmlPartitioner {
+
+  // ----------------------------------------------------------------- minimal DOM
+
+  sealed trait HNode
+  final case class HText(s: String) extends HNode
+  final case class HElem(tag: String, attrs: Map[String, String],
+      var children: Vector[HNode]) extends HNode
+
+  private val VoidTags = Set("br", "img", "hr", "input", "meta", "link", "wbr",
+    "area", "base", "col", "embed", "source", "track")
+  private val RawTextTags = Set("script", "style")
+  /** opener -> set of tags it implicitly closes (browser recovery rules). */
+  private val ImplicitClose: Map[String, Set[String]] = Map(
+    "p" -> Set("p"), "li" -> Set("li"), "tr" -> Set("tr", "td", "th"),
+    "td" -> Set("td", "th"), "th" -> Set("td", "th"),
+    "thead" -> Set("tr", "td", "th"), "tbody" -> Set("tr", "td", "th"))
+
+  def unescape(s: String): String = {
+    if (!s.contains('&')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i)
+        if (semi > i && semi - i <= 10) {
+          val ent = s.substring(i + 1, semi)
+          val rep: Option[String] = ent match {
+            case "amp" => Some("&")
+            case "lt" => Some("<")
+            case "gt" => Some(">")
+            case "quot" => Some("\"")
+            case "apos" => Some("'")
+            case "nbsp" => Some(" ")
+            case e if e.startsWith("#x") || e.startsWith("#X") =>
+              scala.util.Try(Integer.parseInt(e.drop(2), 16)).toOption
+                .map(Character.toChars(_).mkString)
+            case e if e.startsWith("#") =>
+              scala.util.Try(e.drop(1).toInt).toOption
+                .map(Character.toChars(_).mkString)
+            case _ => None
+          }
+          rep match {
+            case Some(r) => sb.append(r); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private val AttrRe =
+    """([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+)))?""".r
+
+  /** Tolerant HTML parse into a tree rooted at a synthetic element. */
+  def parse(html: String): HElem = {
+    val root = HElem("#root", Map.empty, Vector.empty)
+    val stack = mutable.ArrayBuffer[HElem](root)
+    def top = stack.last
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) {
+        if (i < n) top.children :+= HText(unescape(html.substring(i)))
+        i = n
+      } else {
+        if (lt > i) top.children :+= HText(unescape(html.substring(i, lt)))
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt)
+          i = if (end < 0) n else end + 3
+        } else if (html.startsWith("<!", lt) || html.startsWith("<?", lt)) {
+          val end = html.indexOf('>', lt)
+          i = if (end < 0) n else end + 1
+        } else if (html.startsWith("</", lt)) {
+          val end = html.indexOf('>', lt)
+          val name = html.substring(lt + 2, if (end < 0) n else end).trim.toLowerCase
+          // pop to matching open tag if present
+          val idx = stack.lastIndexWhere(_.tag == name)
+          if (idx > 0) stack.takeInPlace(idx)
+          i = if (end < 0) n else end + 1
+        } else {
+          val end = html.indexOf('>', lt)
+          if (end < 0) { i = n }
+          else {
+            val inner = html.substring(lt + 1, end)
+            val selfClose = inner.endsWith("/")
+            val body = if (selfClose) inner.dropRight(1) else inner
+            val sp = body.indexWhere(Character.isWhitespace)
+            val name = (if (sp < 0) body else body.substring(0, sp)).toLowerCase
+            val attrStr = if (sp < 0) "" else body.substring(sp)
+            val attrs = AttrRe.findAllMatchIn(attrStr).map { m =>
+              val v = Option(m.group(2)).orElse(Option(m.group(3)))
+                .orElse(Option(m.group(4))).getOrElse("")
+              m.group(1).toLowerCase -> unescape(v)
+            }.toMap
+            if (name.isEmpty || !name.head.isLetter) {
+              top.children :+= HText(unescape(html.substring(lt, end + 1)))
+              i = end + 1
+            } else {
+              // implicit closes
+              ImplicitClose.get(name).foreach { closes =>
+                while (stack.size > 1 && closes.contains(top.tag))
+                  stack.takeInPlace(stack.size - 1)
+              }
+              val el = HElem(name, attrs, Vector.empty)
+              top.children :+= el
+              i = end + 1
+              if (RawTextTags.contains(name)) {
+                // consume raw text up to the matching close tag, discard content
+                val close = "</" + name
+                val ci = html.toLowerCase.indexOf(close, i)
+                i = if (ci < 0) n else html.indexOf('>', ci) + 1
+              } else if (!selfClose && !VoidTags.contains(name)) {
+                stack += el
+              }
+            }
+          }
+        }
+      }
+    }
+    root
+  }
+
+  // ----------------------------------------------------------------- walk model
+
+  private val FlowTags = Set("address", "article", "aside", "blockquote", "body",
+    "center", "div", "footer", "header", "hgroup", "main", "section",
+    "html", "#root", "head")
+  private val HeadingTags = Map("h1" -> 0, "h2" -> 1, "h3" -> 2, "h4" -> 3,
+    "h5" -> 4, "h6" -> 5)
+  private val RemovedBlocks = Set("details", "dl", "dd", "dt", "figure", "hr",
+    "nav", "template", "form", "input", "summary", "title")
+  private val RemovedPhrasing = Set("button", "label")
+  private val EmphasisTags = Map("b" -> "b", "strong" -> "b", "i" -> "i", "em" -> "i")
+  private val PhrasingTags = Set("a", "b", "strong", "i", "em", "abbr", "bdi",
+    "bdo", "big", "br", "cite", "code", "data", "dfn", "kbd", "mark", "meter",
+    "q", "s", "samp", "small", "span", "strike", "sub", "sup", "time", "tt",
+    "u", "var", "wbr") ++ RemovedPhrasing
+
+  /** One parsed paragraph; `elementType` None = derive from text downstream. */
+  final case class RawPara(
+      text: String,
+      elementType: Option[String],
+      categoryDepth: Option[Int] = None,
+      textAsHtml: Option[String] = None,
+      imageUrl: Option[String] = None,
+      imageBase64: Option[String] = None,
+      imageMime: Option[String] = None,
+      emphasizedContents: Seq[String] = Nil,
+      emphasizedTags: Seq[String] = Nil,
+      linkTexts: Seq[String] = Nil,
+      linkUrls: Seq[String] = Nil)
+
+  def normalizeWs(s: String): String = graft.operators.Chunker.normalizeWs(s)
+
+  private final class Accum {
+    val segs = mutable.ArrayBuffer.empty[String]
+    val emphC = mutable.ArrayBuffer.empty[String]
+    val emphT = mutable.ArrayBuffer.empty[String]
+    val linkT = mutable.ArrayBuffer.empty[String]
+    val linkU = mutable.ArrayBuffer.empty[String]
+    def isEmpty: Boolean = segs.isEmpty
+    def flush(tpe: Option[String], depth: Option[Int], out: mutable.ArrayBuffer[RawPara],
+        preserveWs: Boolean = false): Unit = {
+      if (segs.nonEmpty) {
+        val joined = segs.mkString
+        val text =
+          if (preserveWs) joined.stripPrefix("\n").stripSuffix("\n")
+          else normalizeWs(joined)
+        if (text.nonEmpty) {
+          out += RawPara(text, tpe, depth,
+            emphasizedContents = emphC.toSeq, emphasizedTags = emphT.toSeq,
+            linkTexts = linkT.toSeq, linkUrls = linkU.toSeq)
+        }
+        segs.clear(); emphC.clear(); emphT.clear(); linkT.clear(); linkU.clear()
+      }
+    }
+  }
+
+  private val Base64ImageRe = "^data:(image/[^;]+);base64,(.*)".r
+
+  /** Walk an element's subtree, emitting paragraphs. */
+  def partition(html: String, skipHeadersAndFooters: Boolean = false): Vector[RawPara] = {
+    val dom = parse(html)
+    // root jump: <main> if present, else <body>, else whole document
+    def find(el: HElem, tag: String): Option[HElem] =
+      if (el.tag == tag) Some(el)
+      else el.children.iterator.collect { case e: HElem => find(e, tag) }
+        .collectFirst { case Some(hit) => hit }
+    val root = find(dom, "main").orElse(find(dom, "body")).getOrElse(dom)
+    val out = mutable.ArrayBuffer.empty[RawPara]
+    walkFlow(root, None, 0, out, skipHeadersAndFooters)
+    out.toVector
+  }
+
+  private def walkFlow(el: HElem, cls: Option[String], listDepth: Int,
+      out: mutable.ArrayBuffer[RawPara], skipHF: Boolean): Unit = {
+    val acc = new Accum
+    val isPre = el.tag == "pre"
+    val depth: Option[Int] = cls match {
+      case Some("Title") => Some(HeadingTags.getOrElse(el.tag, 0))
+      case Some("ListItem") => Some(listDepth)
+      case _ => None
+    }
+    el.children.foreach {
+      case HText(s) => if (s.nonEmpty) acc.segs += s
+      case child: HElem =>
+        val tag = child.tag
+        if (RemovedBlocks.contains(tag)) () // dropped entirely
+        else if (skipHF && (tag == "header" || tag == "footer")) ()
+        else if (PhrasingTags.contains(tag)) walkPhrasing(child, "", acc)
+        else {
+          // block boundary: flush accumulated phrasing as its own paragraph
+          acc.flush(cls, depth, out, isPre)
+          tag match {
+            case t if HeadingTags.contains(t) =>
+              walkFlow(child, Some("Title"), listDepth, out, skipHF)
+            case "li" =>
+              walkFlow(child, Some("ListItem"), listDepth, out, skipHF)
+            case "ul" | "ol" =>
+              walkFlow(child, None, listDepth + 1, out, skipHF)
+            case "pre" =>
+              walkFlow(child, Some("CodeSnippet"), listDepth, out, skipHF)
+            case "p" =>
+              walkFlow(child, None, listDepth, out, skipHF)
+            case "table" => emitTable(child, out)
+            case "img" => emitImage(child, out)
+            case _ => walkFlow(child, None, listDepth, out, skipHF)
+          }
+        }
+    }
+    acc.flush(cls, depth, out, isPre)
+  }
+
+  private def walkPhrasing(el: HElem, emphasis: String, acc: Accum): Unit = {
+    val tag = el.tag
+    if (tag == "br") { acc.segs += "\n"; return }
+    if (RemovedPhrasing.contains(tag)) return // contents dropped, flow continues
+    val emph = EmphasisTags.get(tag) match {
+      case Some(e) if !emphasis.contains(e) => emphasis + e
+      case _ => emphasis
+    }
+    val textStart = acc.segs.length
+    el.children.foreach {
+      case HText(s) => if (s.nonEmpty) acc.segs += s
+      case c: HElem if PhrasingTags.contains(c.tag) => walkPhrasing(c, emph, acc)
+      case c: HElem => // nested block inside phrasing (invalid but tolerated): inline its text
+        c.children.foreach { case HText(s) => acc.segs += s; case _ => () }
+    }
+    val innerText = normalizeWs(acc.segs.drop(textStart).mkString)
+    if (innerText.nonEmpty) {
+      if (emph.nonEmpty && emphasis.isEmpty) {
+        emph.foreach { e => acc.emphC += innerText; acc.emphT += e.toString }
+      }
+      if (tag == "a") {
+        el.attrs.get("href").filter(_.nonEmpty).foreach { href =>
+          acc.linkT += innerText; acc.linkU += href
+        }
+      }
+    }
+  }
+
+  private def emitTable(el: HElem, out: mutable.ArrayBuffer[RawPara]): Unit = {
+    val html = render(el)
+    val rows = graft.operators.Chunker.TableChunker.parseRows(html)
+    if (rows.isEmpty) return
+    val text = rows.flatMap(_.nonEmptyTexts).mkString(" ")
+    if (text.isEmpty) return
+    val compact = "<table>" + rows.map(_.html).mkString + "</table>"
+    out += RawPara(text, Some("Table"), textAsHtml = Some(compact))
+  }
+
+  private def emitImage(el: HElem, out: mutable.ArrayBuffer[RawPara]): Unit = {
+    val src = el.attrs.get("data-src").map(_.trim).filter(_.nonEmpty)
+      .orElse(el.attrs.get("src").map(_.trim).filter(_.nonEmpty))
+    val alt = el.attrs.get("alt").map(_.trim).getOrElse("")
+    src match {
+      case None => ()
+      case Some(Base64ImageRe(mime, b64)) =>
+        out += RawPara(alt, Some("Image"), imageBase64 = Some(b64), imageMime = Some(mime))
+      case Some(url) =>
+        out += RawPara(alt, Some("Image"), imageUrl = Some(url))
+    }
+  }
+
+  /** Re-render a subtree to HTML (for table extraction). */
+  private def render(el: HElem): String = {
+    val sb = new StringBuilder
+    def esc(s: String) = graft.operators.Chunker.TableChunker.escapeHtml(s)
+    def go(n: HNode): Unit = n match {
+      case HText(s) => sb.append(esc(s))
+      case e: HElem =>
+        sb.append('<').append(e.tag)
+        e.attrs.foreach { case (k, v) => sb.append(' ').append(k).append("=\"")
+          .append(esc(v)).append('"') }
+        sb.append('>')
+        e.children.foreach(go)
+        sb.append("</").append(e.tag).append('>')
+    }
+    go(el)
+    sb.toString
+  }
+}

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the HTML flow/phrasing partitioner (reference:
+  * `test_unstructured/partition/html/` + parser principles `parser.py:1-77`). */
+class HtmlPartitionerSpec extends AnyFunSuite {
+
+  private def types(html: String): Vector[Option[String]] =
+    HtmlPartitioner.partition(html).map(_.elementType)
+  private def texts(html: String): Vector[String] =
+    HtmlPartitioner.partition(html).map(_.text)
+
+  test("headings become Title with zero-indexed depth") {
+    val ps = HtmlPartitioner.partition("<h1>Top</h1><h2>Sub</h2><h6>Deep</h6>")
+    assert(ps.map(_.text) == Vector("Top", "Sub", "Deep"))
+    assert(ps.map(_.elementType) == Vector(Some("Title"), Some("Title"), Some("Title")))
+    assert(ps.map(_.categoryDepth) == Vector(Some(0), Some(1), Some(5)))
+  }
+
+  test("paragraphs are untyped (derived downstream); whitespace normalized") {
+    val ps = HtmlPartitioner.partition("<p>  Hello   <b>bold</b>\n world </p>")
+    assert(ps.size == 1)
+    assert(ps(0).text == "Hello bold world")
+    assert(ps(0).elementType.isEmpty)
+    assert(ps(0).emphasizedContents == Seq("bold"))
+    assert(ps(0).emphasizedTags == Seq("b"))
+  }
+
+  test("list items typed ListItem with nesting depth") {
+    val ps = HtmlPartitioner.partition(
+      "<ul><li>one</li><li>two<ul><li>nested</li></ul></li></ul>")
+    assert(ps.map(_.text) == Vector("one", "two", "nested"))
+    assert(ps.forall(_.elementType.contains("ListItem")))
+    assert(ps.map(_.categoryDepth) == Vector(Some(1), Some(1), Some(2)))
+  }
+
+  test("empty paragraphs are skipped") {
+    assert(HtmlPartitioner.partition("<p>  </p><p></p><div>\n\t</div>").isEmpty)
+  }
+
+  test("script, style, comments and removed blocks are dropped") {
+    val ps = HtmlPartitioner.partition(
+      "<div><script>var x = '<p>no</p>';</script><style>p{}</style>" +
+        "<!-- comment --><nav>menu</nav><form>f</form>real text here</div>")
+    assert(ps.map(_.text) == Vector("real text here"))
+  }
+
+  test("pre preserves interior whitespace as CodeSnippet") {
+    val ps = HtmlPartitioner.partition("<pre>\ndef f():\n    return 1\n</pre>")
+    assert(ps.size == 1)
+    assert(ps(0).elementType.contains("CodeSnippet"))
+    assert(ps(0).text == "def f():\n    return 1")
+  }
+
+  test("table becomes Table with compact text_as_html") {
+    val ps = HtmlPartitioner.partition(
+      "<table border=\"1\"><thead><tr><th> H1 </th></tr></thead>" +
+        "<tbody><tr><td> a  b </td><td/></tr></tbody></table>")
+    assert(ps.size == 1)
+    assert(ps(0).elementType.contains("Table"))
+    assert(ps(0).text == "H1 a b")
+    assert(ps(0).textAsHtml.contains("<table><tr><td>H1</td></tr><tr><td>a b</td><td/></tr></table>"))
+  }
+
+  test("img with src becomes Image with alt text") {
+    val ps = HtmlPartitioner.partition("<img src=\"http://x/y.png\" alt=\"A pic\">")
+    assert(ps.size == 1)
+    assert(ps(0).elementType.contains("Image"))
+    assert(ps(0).text == "A pic")
+    assert(ps(0).imageUrl.contains("http://x/y.png"))
+    // no src -> no element
+    assert(HtmlPartitioner.partition("<img alt=\"x\">").isEmpty)
+  }
+
+  test("anchor produces link annotations") {
+    val ps = HtmlPartitioner.partition(
+      "<p>See <a href=\"https://example.com\">the docs</a> now</p>")
+    assert(ps(0).text == "See the docs now")
+    assert(ps(0).linkTexts == Seq("the docs"))
+    assert(ps(0).linkUrls == Seq("https://example.com"))
+  }
+
+  test("main root jump ignores content outside <main>") {
+    val ps = HtmlPartitioner.partition(
+      "<body><div>outside</div><main><p>inside</p></main></body>")
+    assert(ps.map(_.text) == Vector("inside"))
+  }
+
+  test("skip_headers_and_footers drops header/footer subtrees") {
+    val html = "<body><header>site nav</header><p>content</p><footer>legal</footer></body>"
+    assert(texts(html) == Vector("site nav", "content", "legal"))
+    assert(HtmlPartitioner.partition(html, skipHeadersAndFooters = true)
+      .map(_.text) == Vector("content"))
+  }
+
+  test("entities are unescaped") {
+    assert(texts("<p>a &amp; b &lt;c&gt; &#65; &#x42;</p>") == Vector("a & b <c> A B"))
+  }
+
+  test("implicitly closed <p> tags split paragraphs") {
+    assert(texts("<p>first<p>second") == Vector("first", "second"))
+  }
+
+  test("br contributes a line break (normalized to space)") {
+    assert(texts("<p>one<br>two</p>") == Vector("one two"))
+  }
+
+  test("removed phrasing drops contents but keeps the flow") {
+    assert(texts("<p>keep <button>click me</button> going</p>") == Vector("keep going"))
+  }
+
+  test("nested blocks inside a div flush surrounding text separately") {
+    assert(texts("<div>before<p>middle</p>after</div>") ==
+      Vector("before", "middle", "after"))
+  }
+}
