@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cleaners
+
+/**
+ * The `partition()` auto-router as a Spark source
+ * (`/root/reference/unstructured/partition/auto.py:30-300`): `binaryFile` scan →
+ * per-file type detection → per-format parser → element rows.
+ *
+ * Scale shape: detection + parsing run inside one `flatMap` over the file scan
+ * (embarrassingly parallel per file, no shuffle); the elements then flow into the
+ * shared classifier column and, downstream, the `apply_metadata` chain and chunker
+ * (one shuffle on doc_id). For a 100 TB lake the output is written partitioned by
+ * `filetype` so later scans prune by format.
+ */
+object AutoSource {
+
+  /**
+   * Partition a directory of files of any supported type. Returns element rows:
+   * `doc_id` (file path), `filetype` (MIME), `seq`, `element_type`,
+   * `category_depth`, `text`, `text_as_html`, `page_number`, `page_name`.
+   */
+  def partitionFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val files = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    val raw = files.flatMap { case (path, content) =>
+      val (ft, paras) = Partitioners.partitionAuto(path, content)
+      paras.zipWithIndex.map { case (p, i) =>
+        (path, ft.mimeType, i + 1L, p.elementType.orNull, p.categoryDepth,
+          p.text, p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull)
+      }
+    }.toDF("doc_id", "filetype", "seq", "raw_type", "category_depth", "raw_text",
+      "text_as_html", "page_number", "page_name")
+
+    val derived = HtmlSource.deriveElementType(col("raw_text"))
+    val typed = raw.select(
+      col("doc_id"), col("filetype"), col("seq"),
+      coalesce(col("raw_type"), derived).as("element_type"),
+      col("category_depth"),
+      when(col("raw_type").isNull && derived === "ListItem",
+        Cleaners.cleanBullets(col("raw_text")))
+        .otherwise(col("raw_text")).as("text"),
+      col("text_as_html"), col("page_number"), col("page_name"))
+      .filter(col("element_type").isNotNull && col("text") =!= "")
+    TextSource.resequence(typed)
+  }
+}

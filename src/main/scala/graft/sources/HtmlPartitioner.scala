@@ -179,7 +179,9 @@ object HtmlPartitioner {
       emphasizedContents: Seq[String] = Nil,
       emphasizedTags: Seq[String] = Nil,
       linkTexts: Seq[String] = Nil,
-      linkUrls: Seq[String] = Nil)
+      linkUrls: Seq[String] = Nil,
+      pageNumber: Option[Int] = None,
+      pageName: Option[String] = None)
 
   def normalizeWs(s: String): String = graft.operators.Chunker.normalizeWs(s)
 

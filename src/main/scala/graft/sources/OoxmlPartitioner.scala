@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import scala.collection.mutable
+
+import graft.sources.HtmlPartitioner.RawPara
+
+/**
+ * DOCX / XLSX / PPTX partitioners over raw OPC packages — `java.util.zip` +
+ * lightweight XML scanning, no Apache POI.
+ *
+ * Semantics follow the reference partitioners:
+ *  - DOCX (`partition/docx.py:136-990`): body-order `w:p` / `w:tbl` traversal;
+ *    `Heading N` style → Title with depth N-1 (`:954-970`, `:892-937`); numbering
+ *    (`w:numPr`) or List styles → ListItem; explicit page breaks
+ *    (`<w:br w:type="page"/>`) advance `page_number`; tables → Table with
+ *    `text_as_html` (`:483-543`); untyped paragraphs derive from text.
+ *  - XLSX (`partition/xlsx.py:45-135`): per-sheet cell grid via `sharedStrings`;
+ *    whole-sheet `Table` with HTML, `page_name` = sheet name, `page_number` =
+ *    sheet ordinal (subtable connected-component split is simplified to
+ *    whole-sheet — the reference's `find_subtable=False` mode).
+ *  - PPTX (`partition/pptx.py:83`): slide-order shape traversal; title
+ *    placeholders → Title; body paragraphs derive; `page_number` = slide number.
+ */
+object OoxmlPartitioner {
+
+  /** Read all (or selected) zip members into memory. */
+  private def zipEntries(bytes: Array[Byte],
+      wanted: String => Boolean): Map[String, String] = {
+    val out = mutable.Map.empty[String, String]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && wanted(e.getName)) {
+          out(e.getName) = new String(zin.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  private def xmlUnescape(s: String): String = HtmlPartitioner.unescape(s)
+
+  // ------------------------------------------------------------------------ DOCX
+
+  private val WBlockRe = "(?s)<w:p[ >].*?</w:p>|<w:p/>|<w:tbl>.*?</w:tbl>".r
+  private val WTextRe = "(?s)<w:t(?: [^>]*)?>(.*?)</w:t>|<w:t/>".r
+  private val WStyleRe = "<w:pStyle [^>]*w:val=\"([^\"]+)\"".r
+  private val WNumPrRe = "<w:numPr>".r
+  private val WPageBreakRe = "<w:br [^>]*w:type=\"page\"".r
+  private val WIlvlRe = "<w:ilvl [^>]*w:val=\"([0-9]+)\"".r
+  private val WTrRe = "(?s)<w:tr[ >].*?</w:tr>".r
+  private val WTcRe = "(?s)<w:tc>.*?</w:tc>".r
+  private val HeadingStyleRe = "^Heading ?([1-9])$".r
+
+  def partitionDocx(bytes: Array[Byte]): Seq[RawPara] = {
+    val doc = zipEntries(bytes, _ == "word/document.xml").getOrElse("word/document.xml", "")
+    if (doc.isEmpty) return Nil
+    val out = mutable.ArrayBuffer.empty[RawPara]
+    var page = 1
+    WBlockRe.findAllIn(doc).foreach { block =>
+      if (block.startsWith("<w:tbl")) {
+        val rows = WTrRe.findAllIn(block).toVector.map { tr =>
+          WTcRe.findAllIn(tr).toVector.map(tc =>
+            HtmlPartitioner.normalizeWs(
+              WTextRe.findAllMatchIn(tc).map(m => Option(m.group(1)).getOrElse(""))
+                .map(xmlUnescape).mkString))
+        }
+        val text = rows.map(_.filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty).mkString("\n")
+        if (text.nonEmpty)
+          out += RawPara(text, Some("Table"),
+            textAsHtml = Some(Partitioners.htmlifyMatrix(rows)),
+            pageNumber = Some(page))
+      } else {
+        val text = HtmlPartitioner.normalizeWs(
+          WTextRe.findAllMatchIn(block).map(m => Option(m.group(1)).getOrElse(""))
+            .map(xmlUnescape).mkString)
+        val style = WStyleRe.findFirstMatchIn(block).map(_.group(1))
+        if (text.nonEmpty) {
+          val (tpe, depth) = style match {
+            case Some(HeadingStyleRe(n)) => (Some("Title"), Some(n.toInt - 1))
+            case Some(s) if s.startsWith("List") =>
+              (Some("ListItem"),
+                Some(WIlvlRe.findFirstMatchIn(block).map(_.group(1).toInt).getOrElse(0)))
+            case Some("Title") => (Some("Title"), Some(0))
+            case _ if WNumPrRe.findFirstIn(block).isDefined =>
+              (Some("ListItem"),
+                Some(WIlvlRe.findFirstMatchIn(block).map(_.group(1).toInt).getOrElse(0)))
+            case _ => (None, None)
+          }
+          out += RawPara(text, tpe, depth, pageNumber = Some(page))
+        }
+        if (WPageBreakRe.findFirstIn(block).isDefined) page += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------------ XLSX
+
+  private val SiRe = "(?s)<si>(.*?)</si>".r
+  private val TRe = "(?s)<t(?: [^>]*)?>(.*?)</t>|<t/>".r
+  private val RowRe = "(?s)<row[ >].*?</row>".r
+  private val CellRe = "(?s)<c ([^>]*)>(?:.*?)</c>|<c ([^>]*)/>".r
+  private val CellVRe = "(?s)<v>(.*?)</v>".r
+  private val CellRefRe = "r=\"([A-Z]+)([0-9]+)\"".r
+  private val SheetNameRe = "<sheet [^>]*name=\"([^\"]+)\"[^>]*/?>".r
+
+  private def colIndex(ref: String): Int =
+    ref.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+
+  def partitionXlsx(bytes: Array[Byte]): Seq[RawPara] = {
+    val entries = zipEntries(bytes, n =>
+      n == "xl/sharedStrings.xml" || n == "xl/workbook.xml" ||
+        (n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")))
+    val shared: Vector[String] =
+      entries.get("xl/sharedStrings.xml").map { ss =>
+        SiRe.findAllMatchIn(ss).map(m =>
+          TRe.findAllMatchIn(m.group(1)).map(t => Option(t.group(1)).getOrElse(""))
+            .map(xmlUnescape).mkString).toVector
+      }.getOrElse(Vector.empty)
+    val sheetNames = entries.get("xl/workbook.xml")
+      .map(wb => SheetNameRe.findAllMatchIn(wb).map(_.group(1)).toVector)
+      .getOrElse(Vector.empty)
+
+    val sheets = entries.keys.filter(_.startsWith("xl/worksheets/sheet")).toSeq
+      .sortBy(n => "sheet([0-9]+)".r.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0))
+
+    sheets.zipWithIndex.flatMap { case (name, si) =>
+      val xml = entries(name)
+      val grid = mutable.Map.empty[(Int, Int), String]
+      var maxR = -1
+      var maxC = -1
+      RowRe.findAllIn(xml).foreach { row =>
+        CellRe.findAllMatchIn(row).foreach { cm =>
+          val attrs = Option(cm.group(1)).getOrElse(Option(cm.group(2)).getOrElse(""))
+          CellRefRe.findFirstMatchIn(attrs).foreach { rm =>
+            val c = colIndex(rm.group(1))
+            val r = rm.group(2).toInt - 1
+            val isShared = attrs.contains("t=\"s\"")
+            val v = CellVRe.findFirstMatchIn(cm.matched).map(_.group(1)).getOrElse("")
+            val value =
+              if (isShared) scala.util.Try(shared(v.toInt)).getOrElse("")
+              else xmlUnescape(v)
+            if (value.nonEmpty) {
+              grid((r, c)) = value
+              if (r > maxR) maxR = r
+              if (c > maxC) maxC = c
+            }
+          }
+        }
+      }
+      if (maxR < 0) None
+      else {
+        val matrix = (0 to maxR).map(r => (0 to maxC).map(c => grid.getOrElse((r, c), "")))
+        val text = matrix.map(_.filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty).mkString("\n")
+        if (text.isEmpty) None
+        else Some(RawPara(text, Some("Table"),
+          textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)),
+          pageNumber = Some(si + 1),
+          pageName = sheetNames.lift(si)))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------------ PPTX
+
+  private val ShapeRe = "(?s)<p:sp>.*?</p:sp>".r
+  private val APRe = "(?s)<a:p>(.*?)</a:p>".r
+  private val ATRe = "(?s)<a:t>(.*?)</a:t>|<a:t/>".r
+  private val TitlePhRe = "<p:ph [^>]*type=\"(?:title|ctrTitle)\"".r
+
+  def partitionPptx(bytes: Array[Byte]): Seq[RawPara] = {
+    val entries = zipEntries(bytes,
+      n => n.startsWith("ppt/slides/slide") && n.endsWith(".xml"))
+    val slides = entries.keys.toSeq
+      .sortBy(n => "slide([0-9]+)".r.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0))
+    slides.zipWithIndex.flatMap { case (name, si) =>
+      val xml = entries(name)
+      ShapeRe.findAllIn(xml).toSeq.flatMap { shape =>
+        val isTitle = TitlePhRe.findFirstIn(shape).isDefined
+        APRe.findAllMatchIn(shape).flatMap { pm =>
+          val text = HtmlPartitioner.normalizeWs(
+            ATRe.findAllMatchIn(pm.group(1)).map(m => Option(m.group(1)).getOrElse(""))
+              .map(xmlUnescape).mkString)
+          if (text.isEmpty) None
+          else Some(RawPara(text,
+            if (isTitle) Some("Title") else None,
+            if (isTitle) Some(0) else None,
+            pageNumber = Some(si + 1)))
+        }.toSeq
+      }
+    }
+  }
+}

@@ -1,0 +1,322 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import graft.sources.HtmlPartitioner.RawPara
+
+/**
+ * The light-weight per-format parsers sharing the [[RawPara]] output shape:
+ * CSV/TSV (`partition/csv.py:23-138`, `tsv.py`), RFC-822 email
+ * (`partition/email.py:31-441`), Markdown (`partition/md.py` — md → HTML →
+ * HTML partitioner), XML leaf text (`partition/xml.py:25`), plus the
+ * `partition()` auto-router (`partition/auto.py:30-300`).
+ *
+ * Each is a pure `bytes/str -> Seq[RawPara]` function — executed per file inside a
+ * `flatMap` over a `binaryFile` scan; no shuffle, embarrassingly parallel.
+ */
+object Partitioners {
+
+  // ------------------------------------------------------------------- CSV / TSV
+
+  /** Sniff delimiter among `,;|` (`csv.py:119-138`): the candidate with a
+    * consistent positive per-line count across sample lines wins. */
+  def sniffDelimiter(text: String): Option[Char] = {
+    val lines = text.linesIterator.filter(_.nonEmpty).take(10).toVector
+    if (lines.size < 1) return Some(',')
+    Seq(',', ';', '|').find { d =>
+      val counts = lines.map(countUnquoted(_, d))
+      counts.head > 0 && counts.distinct.size == 1
+    }
+  }
+
+  private def countUnquoted(line: String, d: Char): Int = {
+    var n = 0; var inQ = false
+    line.foreach {
+      case '"' => inQ = !inQ
+      case c if c == d && !inQ => n += 1
+      case _ => ()
+    }
+    n
+  }
+
+  /** RFC-4180-ish line parse honoring quotes and escaped quotes. */
+  def parseCsvLine(line: String, d: Char): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQ) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQ = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQ = true
+        case `d` => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
+
+  /** `htmlify_matrix_of_cell_texts` — `common/html_table.py:19-48`. */
+  def htmlifyMatrix(matrix: Seq[Seq[String]]): String = {
+    if (matrix.isEmpty) return ""
+    val trs = matrix.filter(_.nonEmpty).map { row =>
+      "<tr>" + row.map { s =>
+        val cell = HtmlPartitioner.normalizeWs(
+          graft.operators.Chunker.TableChunker.escapeHtml(s).split("\n").mkString("<br/>"))
+        if (cell.isEmpty) "<td/>" else s"<td>$cell</td>"
+      }.mkString + "</tr>"
+    }
+    s"<table>${trs.mkString}</table>"
+  }
+
+  /** Whole CSV/TSV file → one `Table` element with `text_as_html`
+    * (`csv.py:23-78`). */
+  def partitionCsv(text: String, delimiter: Option[Char] = None): Seq[RawPara] = {
+    val d = delimiter.orElse(sniffDelimiter(text)).getOrElse(',')
+    val rows = text.linesIterator.filter(_.nonEmpty).map(parseCsvLine(_, d)).toVector
+    if (rows.isEmpty) return Nil
+    val html = htmlifyMatrix(rows)
+    val txt = rows.map(r => r.map(HtmlPartitioner.normalizeWs).filter(_.nonEmpty)
+      .mkString(" ")).filter(_.nonEmpty).mkString("\n")
+    if (txt.isEmpty) Nil
+    else Seq(RawPara(txt, Some("Table"), textAsHtml = Some(html)))
+  }
+
+  def partitionTsv(text: String): Seq[RawPara] = partitionCsv(text, Some('\t'))
+
+  // ------------------------------------------------------------------- email (EML)
+
+  final case class EmailMeta(
+      sentFrom: Seq[String], sentTo: Seq[String], cc: Seq[String], bcc: Seq[String],
+      subject: Option[String], messageId: Option[String], date: Option[String])
+
+  /** Unfold RFC-5322 headers (continuation lines start with whitespace). */
+  private def parseHeaders(head: String): Seq[(String, String)] = {
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    head.linesIterator.foreach { line =>
+      if (line.nonEmpty && (line.head == ' ' || line.head == '\t') && out.nonEmpty) {
+        val (k, v) = out.last
+        out(out.length - 1) = (k, v + " " + line.trim)
+      } else {
+        val i = line.indexOf(':')
+        if (i > 0) out += ((line.substring(0, i).trim, line.substring(i + 1).trim))
+      }
+    }
+    out.toSeq
+  }
+
+  private def decodeBody(body: String, encoding: String): String =
+    encoding.toLowerCase match {
+      case "base64" =>
+        scala.util.Try(new String(
+          java.util.Base64.getMimeDecoder.decode(body.replaceAll("\\s", "")),
+          java.nio.charset.StandardCharsets.UTF_8)).getOrElse(body)
+      case "quoted-printable" => decodeQuotedPrintable(body)
+      case _ => body
+    }
+
+  def decodeQuotedPrintable(s: String): String = {
+    val src = s.replace("=\r\n", "").replace("=\n", "")
+    val bytes = mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < src.length) {
+      val c = src.charAt(i)
+      if (c == '=' && i + 3 <= src.length) {
+        scala.util.Try(Integer.parseInt(src.substring(i + 1, i + 3), 16)) match {
+          case scala.util.Success(v) => bytes += v.toByte; i += 3
+          case _ => bytes += c.toByte; i += 1
+        }
+      } else {
+        bytes ++= c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+      }
+    }
+    new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private final case class MimePart(headers: Seq[(String, String)], body: String) {
+    def header(name: String): Option[String] =
+      headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    def contentType: String =
+      header("Content-Type").map(_.split(";").head.trim.toLowerCase).getOrElse("text/plain")
+    def boundary: Option[String] =
+      header("Content-Type").flatMap { ct =>
+        "boundary=\"?([^\";]+)\"?".r.findFirstMatchIn(ct).map(_.group(1))
+      }
+    def decoded: String =
+      decodeBody(body, header("Content-Transfer-Encoding").getOrElse("7bit"))
+  }
+
+  private def parsePart(raw: String): MimePart = {
+    val sep = if (raw.contains("\r\n\r\n")) "\r\n\r\n" else "\n\n"
+    val i = raw.indexOf(sep)
+    if (i < 0) MimePart(parseHeaders(raw), "")
+    else MimePart(parseHeaders(raw.substring(0, i)), raw.substring(i + sep.length))
+  }
+
+  private def flattenParts(p: MimePart): Seq[MimePart] =
+    p.boundary match {
+      case Some(b) =>
+        p.body.split(java.util.regex.Pattern.quote("--" + b)).toSeq
+          .drop(1).filter(s => !s.trim.startsWith("--") || s.trim.length > 2)
+          .map(_.dropWhile(c => c == '\r' || c == '\n'))
+          .filter(_.trim.nonEmpty)
+          .filterNot(_.trim == "--")
+          .map(parsePart).flatMap(flattenParts)
+      case None => Seq(p)
+    }
+
+  /** Parse the RFC-822 message: headers → [[EmailMeta]], body part preference
+    * html > plain (`email.py:152-160`), delegate body to the HTML or text path. */
+  def partitionEmail(raw: String,
+      contentSource: String = "text/html"): (EmailMeta, Seq[RawPara]) = {
+    val msg = parsePart(raw)
+    def addrs(name: String): Seq[String] =
+      msg.header(name).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val meta = EmailMeta(
+      sentFrom = addrs("From"),
+      sentTo = addrs("To"),
+      cc = addrs("Cc"),
+      bcc = addrs("Bcc"),
+      subject = msg.header("Subject"),
+      messageId = msg.header("Message-ID").map(_.strip.stripPrefix("<").stripSuffix(">")),
+      date = msg.header("Date"))
+
+    val parts = flattenParts(msg)
+    val pref =
+      if (contentSource == "text/plain") Seq("text/plain", "text/html")
+      else Seq("text/html", "text/plain")
+    val bodyPart = pref.iterator
+      .flatMap(ct => parts.find(p => p.contentType == ct &&
+        !p.header("Content-Disposition").exists(_.toLowerCase.startsWith("attachment"))))
+      .nextOption()
+
+    val paras = bodyPart match {
+      case Some(p) if p.contentType == "text/html" =>
+        HtmlPartitioner.partition(p.decoded)
+      case Some(p) =>
+        TextSource.splitParagraphs(p.decoded).map(t => RawPara(t, None))
+      case None => Nil
+    }
+    (meta, paras)
+  }
+
+  /** Attachment parts (filename + decoded content) for the recursion union
+    * (`email.py:372-441`). */
+  def emailAttachments(raw: String): Seq[(String, String)] =
+    flattenParts(parsePart(raw)).flatMap { p =>
+      p.header("Content-Disposition").filter(_.toLowerCase.startsWith("attachment")).flatMap { cd =>
+        "filename=\"?([^\";]+)\"?".r.findFirstMatchIn(cd).map(_.group(1))
+      }.map(fn => (fn, p.decoded))
+    }
+
+  // ------------------------------------------------------------------- markdown
+
+  /** Markdown → HTML (commonmark subset) → HTML partitioner (`partition/md.py:48`). */
+  def markdownToHtml(md: String): String = {
+    val out = new StringBuilder("<html><body>")
+    val lines = md.split("\r?\n", -1)
+    var i = 0
+    var inCode = false
+    val code = new StringBuilder
+    val para = mutable.ArrayBuffer.empty[String]
+    var listOpen = false
+    def esc(s: String) = graft.operators.Chunker.TableChunker.escapeHtml(s)
+    def inline(s: String): String = {
+      var t = esc(s)
+      t = "\\*\\*([^*]+)\\*\\*".r.replaceAllIn(t, m => s"<b>${m.group(1)}</b>")
+      t = "(?<!\\*)\\*([^*]+)\\*(?!\\*)".r.replaceAllIn(t, m => s"<i>${m.group(1)}</i>")
+      t = "`([^`]+)`".r.replaceAllIn(t, m => s"<code>${m.group(1)}</code>")
+      t = "\\[([^\\]]+)\\]\\(([^)]+)\\)".r.replaceAllIn(t,
+        m => s"""<a href="${m.group(2)}">${m.group(1)}</a>""")
+      t
+    }
+    def flushPara(): Unit = if (para.nonEmpty) {
+      out.append("<p>").append(inline(para.mkString(" "))).append("</p>")
+      para.clear()
+    }
+    def closeList(): Unit = if (listOpen) { out.append("</ul>"); listOpen = false }
+    val h = "^(#{1,6})\\s+(.*)$".r
+    while (i < lines.length) {
+      val line = lines(i)
+      if (inCode) {
+        if (line.trim.startsWith("```")) {
+          out.append("<pre>").append(esc(code.toString)).append("</pre>")
+          code.clear(); inCode = false
+        } else code.append(line).append("\n")
+      } else if (line.trim.startsWith("```")) {
+        flushPara(); closeList(); inCode = true
+      } else line match {
+        case h(hashes, rest) =>
+          flushPara(); closeList()
+          val n = hashes.length
+          out.append(s"<h$n>").append(inline(rest.trim)).append(s"</h$n>")
+        case l if l.matches("^\\s*[-*+]\\s+.*") =>
+          flushPara()
+          if (!listOpen) { out.append("<ul>"); listOpen = true }
+          out.append("<li>").append(inline(l.replaceFirst("^\\s*[-*+]\\s+", ""))).append("</li>")
+        case l if l.matches("^\\s*\\d+\\.\\s+.*") =>
+          flushPara()
+          if (!listOpen) { out.append("<ul>"); listOpen = true }
+          out.append("<li>").append(inline(l.replaceFirst("^\\s*\\d+\\.\\s+", ""))).append("</li>")
+        case l if l.trim.isEmpty => flushPara(); closeList()
+        case l => closeList(); para += l.trim
+      }
+      i += 1
+    }
+    if (inCode) out.append("<pre>").append(esc(code.toString)).append("</pre>")
+    flushPara(); closeList()
+    out.append("</body></html>").toString
+  }
+
+  def partitionMd(md: String): Seq[RawPara] =
+    HtmlPartitioner.partition(markdownToHtml(md))
+
+  // ------------------------------------------------------------------- xml
+
+  /** Leaf-node text → text-pipeline paragraphs (`partition/xml.py:25`). */
+  def partitionXml(xml: String): Seq[RawPara] = {
+    val texts = mutable.ArrayBuffer.empty[String]
+    val dom = HtmlPartitioner.parse(xml)
+    def walk(n: HtmlPartitioner.HNode): Unit = n match {
+      case HtmlPartitioner.HText(s) =>
+        val t = HtmlPartitioner.normalizeWs(s)
+        if (t.nonEmpty) texts += t
+      case e: HtmlPartitioner.HElem => e.children.foreach(walk)
+    }
+    walk(dom)
+    texts.toSeq.map(t => RawPara(t, None))
+  }
+
+  // ------------------------------------------------------------------- auto router
+
+  /** `partition()` — detect + route (`partition/auto.py:30-300`). Formats whose
+    * parsers need external tools report `partitionerAvailable=false` upstream. */
+  def partitionAuto(filename: String, content: Array[Byte],
+      contentType: Option[String] = None): (FileType, Seq[RawPara]) = {
+    val ft = DetectFiletype.detect(filename, content, contentType)
+    val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+    val paras = ft match {
+      case FileType.Txt => TextSource.splitParagraphs(text).map(t => RawPara(t, None))
+      case FileType.Html => HtmlPartitioner.partition(text)
+      case FileType.Csv => partitionCsv(text)
+      case FileType.Tsv => partitionTsv(text)
+      case FileType.Md => partitionMd(text)
+      case FileType.Xml => partitionXml(text)
+      case FileType.Eml => partitionEmail(text)._2
+      case FileType.Docx => OoxmlPartitioner.partitionDocx(content)
+      case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content)
+      case FileType.Pptx => OoxmlPartitioner.partitionPptx(content)
+      case FileType.Json | FileType.Ndjson => Nil // rehydrate path (ElementSink.readNdjson)
+      case _ => Nil // external-tool formats (pdf hi_res, doc/ppt, …): pluggable stubs
+    }
+    (ft, paras)
+  }
+}
