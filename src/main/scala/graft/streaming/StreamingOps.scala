@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.Element
+import graft.operators.{Chunker, ChunkingOptions}
+
+/**
+ * Structured-Streaming surface (SURVEY §2.12): the reference is batch-only but
+ * stream-shaped (partitioners yield iterators, chunkers consume lazily,
+ * `apply_lang_metadata` documents a "stream interface", `lang.py:518-519`). Here:
+ *
+ *  - file-arrival stream: `readStream.format("binaryFile")` → the same auto-router
+ *    parse used in batch (stateless per file, embarrassingly parallel);
+ *  - streaming chunking: `groupByKey(doc_id).flatMapGroupsWithState` buffering a
+ *    document's elements until a processing-time timeout marks end-of-document,
+ *    then running the identical per-doc fold (`Chunker.chunkDoc`) — batch and
+ *    streaming share one kernel.
+ *
+ * State is bounded per in-flight document; completed docs are removed from the
+ * store. At scale the timeout is the de-facto watermark for late element arrival.
+ */
+object StreamingOps {
+
+  /** Streaming twin of `AutoSource.partitionFiles`: each new file under `path`
+    * becomes element rows. `maxFilesPerTrigger` bounds per-batch work. */
+  def partitionFileStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 100): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    files.flatMap { case (p, content) =>
+      val (ft, paras) = graft.sources.Partitioners.partitionAuto(p, content)
+      paras.zipWithIndex.map { case (para, i) =>
+        (p, ft.mimeType, i + 1L, para.elementType.getOrElse("UncategorizedText"),
+          para.text, para.pageNumber)
+      }
+    }.toDF("doc_id", "filetype", "seq", "element_type", "text", "page_number")
+  }
+
+  /**
+   * Streaming `chunk_elements`/`chunk_by_title`: buffer per-doc elements in group
+   * state; a processing-time timeout of `docTimeoutMs` without new elements marks
+   * the document complete, at which point the batch chunking fold runs and the
+   * chunks are appended downstream.
+   */
+  def chunkStream(els: Dataset[Element], opts: ChunkingOptions,
+      docTimeoutMs: Long = 10000L): Dataset[Element] = {
+    val sp = els.sparkSession
+    import sp.implicits._
+    els.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Vector[Element], Element](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (doc: String, it: Iterator[Element], state: GroupState[Vector[Element]]) =>
+          if (state.hasTimedOut) {
+            val buffered = state.getOption.getOrElse(Vector.empty).sortBy(_.seq)
+            state.remove()
+            Chunker.chunkDoc(doc, buffered.iterator, opts)
+          } else {
+            val buffered = state.getOption.getOrElse(Vector.empty) ++ it
+            state.update(buffered)
+            state.setTimeoutDuration(docTimeoutMs)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuiteBase
+import graft.model.{Element, ElementType}
+import graft.operators.ChunkingOptions
+
+class StreamingOpsSpec extends SparkSuiteBase {
+
+  test("streaming chunker buffers a doc and emits chunks after timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Element]
+    val chunks = StreamingOps.chunkStream(input.toDS(),
+      ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
+        combineTextUnderNChars = Some(0), byTitle = true),
+      docTimeoutMs = 300L)
+    val query = chunks.writeStream
+      .format("memory").queryName("chunks_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      input.addData(
+        Element("", ElementType.Title, "Section One", "docS", 1),
+        Element("", ElementType.NarrativeText, "First body sentence.", "docS", 2),
+        Element("", ElementType.Title, "Section Two", "docS", 3),
+        Element("", ElementType.NarrativeText, "Second body sentence.", "docS", 4))
+      // NOTE: a ProcessingTimeTimeout query never reports idle (the engine always
+      // schedules another batch to check wall-clock timeouts), so
+      // processAllAvailable() would block forever — poll the sink instead.
+      var rows = Array.empty[Element]
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        rows = spark.table("chunks_out").as[Element].collect()
+      }
+      val docS = rows.filter(_.doc_id == "docS").sortBy(_.seq)
+      assert(docS.map(_.text).toSeq == Seq(
+        "Section One\n\nFirst body sentence.",
+        "Section Two\n\nSecond body sentence."))
+      assert(docS.forall(_.`type` == ElementType.CompositeElement))
+    } finally query.stop()
+  }
+
+  test("file-arrival stream partitions new files into elements") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Files.write(java.nio.file.Paths.get(dir, "a.html"),
+      "<html><body><h1>Stream Title</h1><p>stream body text</p></body></html>".getBytes)
+    val els = StreamingOps.partitionFileStream(spark, dir)
+    val query = els.writeStream.format("memory").queryName("els_out")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("els_out")
+        .select("element_type", "text").as[(String, String)].collect().toSeq
+      assert(rows.contains(("Title", "Stream Title")))
+      assert(rows.exists(_._2 == "stream body text"))
+    } finally query.stop()
+  }
+}
