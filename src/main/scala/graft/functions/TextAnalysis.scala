@@ -23,14 +23,14 @@ object TextAnalysis {
   def words(c: Column): Column = filter(split(c, "\\s+"), w => w =!= "")
 
   /**
-   * Polynomial rolling hash of a string: `h = fold(h * 31 + codepoint) mod 1e9+7`.
-   * The per-character loop stays inside one codegen'd higher-order expression.
+   * Polynomial rolling hash of a string: `h = fold(h * 31 + codepoint) mod 1e9+7`
+   * — a native codegen'd Catalyst expression ([[graft.functions.expr.PolyHash]]);
+   * one compiled loop per value, whole-stage-codegen friendly.
    */
   def polyHash(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => ch =!= ""),
-      lit(0L),
-      (acc, ch) => (acc * 31L + ascii(ch)) % HashMod)
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.PolyHash(
+        org.apache.spark.sql.graft.bridge.expression(c)))
 
   /** A keyed hash family over [[polyHash]]: `h_k(s) = ((2k+1) * h(s) + 7919k) mod p`. */
   def keyedHash(c: Column, k: Int): Column =
@@ -137,24 +137,33 @@ object TextAnalysis {
    */
   def simHash16(c: Column): Column = {
     val hashes = transform(words(lower(c)), w => polyHash(w) % 65536L)
-    aggregate(
-      sequence(lit(0), lit(15)),
-      lit(0L),
-      (acc, j) => {
+    // single pass over the word hashes carrying a 16-wide vote vector (a 16-pass
+    // formulation would re-evaluate the hash array per bit)
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0L), 16),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(15L)), (v, j) => {
         val pow2j = floor(pow(lit(2.0), j)).cast("long")
-        val votes = aggregate(hashes, lit(0L),
-          (v, h) => v + floor(h / pow2j).cast("long") % 2L * 2L - 1L)
-        acc + when(votes > 0, pow2j).otherwise(lit(0L))
-      })
+        v + floor(h / pow2j).cast("long") % 2L * 2L - 1L
+      }))
+    aggregate(
+      zip_with(votes, sequence(lit(0L), lit(15L)),
+        (v, j) => when(v > 0, floor(pow(lit(2.0), j)).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc + b)
   }
 
-  /** Word n-gram shingles: `n` consecutive words joined by a single space. */
+  /**
+   * Word n-gram shingles: `n` consecutive words joined by a single space.
+   * Built by zipping the word array with its own shifted tails (each input array
+   * evaluated once — no per-shingle `slice` copies, no O(words²) re-evaluation).
+   */
   def wordShingles(c: Column, n: Int): Column = {
     val ws = words(c)
-    when(size(ws) >= n,
-      transform(
-        sequence(lit(1), size(ws) - (n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " ")))
+    val zipped = (2 to n).foldLeft(ws) { (acc, k) =>
+      zip_with(acc, slice(ws, lit(k), greatest(size(ws) - (k - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(ws) >= n, filter(zipped, s => s.isNotNull))
       .otherwise(array(array_join(ws, " ")))
   }
 
@@ -165,13 +174,15 @@ object TextAnalysis {
    */
   def minHashSignature(c: Column, k: Int, shingleN: Int = 3): Column = {
     val shingles = wordShingles(c, shingleN)
-    val baseHashes = transform(shingles, s =>
-      aggregate(filter(split(s, ""), ch => ch =!= ""), lit(0L),
-        (acc, ch) => (acc * 31L + ascii(ch)) % HashMod))
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(baseHashes,
-        h => (h * (j.cast("long") * 2L + 1L) + j.cast("long") * 7919L) % HashMod)))
+    val baseHashes = transform(shingles, s => polyHash(s))
+    // one pass over the hashes with a k-wide running-min state: the expensive
+    // shingle+hash input is evaluated ONCE (a k-pass transform would re-evaluate
+    // the whole subtree per hash function)
+    aggregate(
+      baseHashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0L), lit(k - 1L)),
+        (m, j) => least(m, (h * (j * 2L + 1L) + j * 7919L) % HashMod)))
   }
 
   /**
