@@ -21,7 +21,8 @@ object SparkEntry {
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
       (graft.queries.AnalysisQueries.queries, graft.queries.AnalysisQueries.oracles),
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
-      (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracles))
+      (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracles),
+      (graft.queries.LayoutQueries.queries, graft.queries.LayoutQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bounding-box geometry + layout-fusion operators
+ * (`/root/reference/unstructured/utils.py:271-644`,
+ * `partition/pdf_image/pdfminer_processing.py` via `partition/pdf.py:910-929`):
+ *
+ *  - `is_parent_box` containment with pixel tolerance;
+ *  - `calculate_overlap_percentage` with parent / partial / total ratio methods;
+ *  - pairwise overlap diagnostics as a per-page SELF-JOIN (the reference loops
+ *    all pairs per page — here the join is an equi-join on `(doc, page)` with the
+ *    overlap predicate, so per-page pair generation scales out);
+ *  - `merge_inferred_with_extracted_layout` — the hi-res layout fusion: extracted
+ *    text boxes are attached to the inferred region that contains them (tolerance
+ *    `add`), a per-page spatial theta-join; per-page sides are small → broadcast.
+ *
+ * Column helpers operate on flat (x1, y1, x2, y2) columns so the predicates stay
+ * inside whole-stage codegen.
+ */
+object LayoutOps {
+
+  /** `is_parent_box` — child nested within parent expanded by `add` px (`utils.py:271-296`). */
+  def isParentBox(px1: Column, py1: Column, px2: Column, py2: Column,
+      cx1: Column, cy1: Column, cx2: Column, cy2: Column, add: Double = 0.0): Column =
+    cx1 >= px1 - add && cy1 >= py1 - add && cx2 <= px2 + add && cy2 <= py2 + add
+
+  def intersectionArea(ax1: Column, ay1: Column, ax2: Column, ay2: Column,
+      bx1: Column, by1: Column, bx2: Column, by2: Column): Column =
+    greatest(least(ax2, bx2) - greatest(ax1, bx1), lit(0.0)) *
+      greatest(least(ay2, by2) - greatest(ay1, by1), lit(0.0))
+
+  /**
+   * `calculate_overlap_percentage` (`utils.py:299-340`): percentage of overlap
+   * relative to the larger box ("parent"), the smaller box ("partial"), or the
+   * disjunctive union ("total").
+   */
+  def overlapPercentage(ax1: Column, ay1: Column, ax2: Column, ay2: Column,
+      bx1: Column, by1: Column, bx2: Column, by2: Column,
+      method: String = "total"): Column = {
+    val areaA = (ax2 - ax1) * (ay2 - ay1)
+    val areaB = (bx2 - bx1) * (by2 - by1)
+    val inter = intersectionArea(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2)
+    val denom = method match {
+      case "parent" => greatest(areaA, areaB)
+      case "partial" => least(areaA, areaB)
+      case _ => areaA + areaB - inter
+    }
+    when(denom > 0, round(inter / denom * 100.0, 2)).otherwise(lit(0.0))
+  }
+
+  /**
+   * `catch_overlapping_and_nested_bboxes` (`utils.py:461-644` simplified to the
+   * geometric facts): all overlapping pairs per (doc, page) with their case
+   * classification. Input needs columns: doc_id, page_number, seq, element_type,
+   * x1, y1, x2, y2.
+   */
+  def overlappingPairs(boxes: DataFrame, nestedTolerancePx: Double = 5.0): DataFrame = {
+    val a = boxes.alias("a")
+    val b = boxes.alias("b")
+    def c(side: String, n: String) = col(s"$side.$n")
+    val inter = intersectionArea(
+      c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
+      c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"))
+    val aInB = isParentBox(c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"),
+      c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"), nestedTolerancePx)
+    val bInA = isParentBox(c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
+      c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"), nestedTolerancePx)
+    a.join(b,
+        c("a", "doc_id") === c("b", "doc_id") &&
+          c("a", "page_number") === c("b", "page_number") &&
+          c("a", "seq") < c("b", "seq"))
+      .filter(inter > 0)
+      .select(
+        c("a", "doc_id").as("doc_id"),
+        c("a", "page_number").as("page_number"),
+        c("a", "seq").as("seq_a"), c("b", "seq").as("seq_b"),
+        c("a", "element_type").as("type_a"), c("b", "element_type").as("type_b"),
+        when(aInB && bInA, "identical")
+          .when(aInB, "nested Aa_in_Bb")
+          .when(bInA, "nested Bb_in_Aa")
+          .otherwise("partial overlap").as("overlap_case"),
+        overlapPercentage(
+          c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
+          c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"), "partial")
+          .as("overlap_pct"))
+  }
+
+  /**
+   * `merge_inferred_with_extracted_layout` — attach each extracted text box to
+   * the inferred layout region containing it (per-page theta-join; the inferred
+   * side is small per page → broadcast). Unmatched extracted boxes survive with a
+   * null region (the OCR-supplement anti-join is this same join's null side).
+   */
+  def mergeInferredWithExtracted(inferred: DataFrame, extracted: DataFrame,
+      tolerancePx: Double = 5.0): DataFrame = {
+    val i = inferred.alias("i")
+    val e = extracted.alias("e")
+    def c(side: String, n: String) = col(s"$side.$n")
+    e.join(broadcast(i),
+        c("e", "doc_id") === c("i", "doc_id") &&
+          c("e", "page_number") === c("i", "page_number") &&
+          isParentBox(c("i", "x1"), c("i", "y1"), c("i", "x2"), c("i", "y2"),
+            c("e", "x1"), c("e", "y1"), c("e", "x2"), c("e", "y2"), tolerancePx),
+        "left")
+      .select(
+        c("e", "doc_id").as("doc_id"),
+        c("e", "page_number").as("page_number"),
+        c("e", "seq").as("seq"),
+        c("e", "text").as("text"),
+        c("i", "element_type").as("region_type"),
+        c("i", "seq").as("region_seq"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions.col
+
+import graft.model.{Coordinates, Element}
+
+/**
+ * Reading-order sorting — `sort_page_elements`
+ * (`/root/reference/unstructured/partition/utils/sorting.py:99-188`) with the
+ * recursive-XY-cut projection-profile algorithm (`partition/utils/xycut.py:17-213`)
+ * ported directly (same integer histograms, same split rules, both axis orders).
+ *
+ * Spark shape: boxes for one page are small (tens to hundreds) — the cut runs as a
+ * pure per-page function inside a per-doc group fold; the output is a reassigned
+ * dense `seq`, after which every downstream operator (chunker, hierarchy) keeps
+ * using `(doc_id, seq)` ordering. No extra shuffle beyond the doc_id exchange.
+ */
+object Sorting {
+
+  val SortModeXyCut = "xy-cut"
+  val SortModeBasic = "basic"
+  val SortModeDont = "dont"
+
+  type Bbox = (Int, Int, Int, Int) // (left, top, right, bottom)
+
+  /** `coordinates_to_bbox` — `sorting.py:17-32`. */
+  def coordinatesToBbox(c: Coordinates): Bbox = {
+    val xs = c.points.map(_.x)
+    val ys = c.points.map(_.y)
+    (xs.min.toInt, ys.min.toInt, math.ceil(xs.max).toInt, math.ceil(ys.max).toInt)
+  }
+
+  /** `shrink_bbox` — keeps top-left, scales width/height (`sorting.py:35-56`). */
+  def shrinkBbox(b: Bbox, factor: Double): Bbox = {
+    val (l, t, r, bo) = b
+    (l, t, l + ((r - l) * factor).toInt, t + ((bo - t) * factor).toInt)
+  }
+
+  /** `projection_by_bboxes` — per-pixel histogram (`xycut.py:17-40`). */
+  private[operators] def projection(boxes: Seq[Bbox], axis: Int): Array[Int] = {
+    val length = boxes.map(b => if (axis == 0) b._3 else b._4).max
+    if (length <= 0) return Array.empty
+    val res = new Array[Int](length)
+    boxes.foreach { b =>
+      val start = if (axis == 0) b._1 else b._2
+      val end = if (axis == 0) b._3 else b._4
+      var j = math.max(start, 0)
+      while (j < end && j < length) { res(j) += 1; j += 1 }
+    }
+    res
+  }
+
+  /** `split_projection_profile` — (start, end) index pairs of profile groups
+    * separated by gaps > minGap (`xycut.py:47-93`). */
+  private[operators] def splitProfile(arr: Array[Int], minValue: Int, minGap: Int): Seq[(Int, Int)] = {
+    val idx = arr.indices.filter(arr(_) > minValue)
+    if (idx.isEmpty) return Nil
+    val starts = mutable.ArrayBuffer(idx.head)
+    val ends = mutable.ArrayBuffer.empty[Int]
+    idx.sliding(2).foreach {
+      case Seq(a, b) if b - a > minGap => ends += a; starts += b
+      case _ => ()
+    }
+    ends += idx.last
+    starts.zip(ends).map { case (s, e) => (s, e + 1) }.toSeq
+  }
+
+  /** `recursive_xy_cut` — y first, then x (`xycut.py:96-152`). */
+  def recursiveXyCut(boxes: IndexedSeq[Bbox], indices: IndexedSeq[Int],
+      res: mutable.ArrayBuffer[Int]): Unit = {
+    if (boxes.isEmpty) return
+    val order = boxes.indices.sortBy(boxes(_)._2)
+    val yBoxes = order.map(boxes(_))
+    val yIdx = order.map(indices(_))
+    splitProfile(projection(yBoxes, 1), 0, 1).foreach { case (r0, r1) =>
+      val in = yBoxes.indices.filter(i => r0 <= yBoxes(i)._2 && yBoxes(i)._2 < r1)
+      val chunkOrder = in.sortBy(i => yBoxes(i)._1)
+      val xBoxes = chunkOrder.map(yBoxes(_))
+      val xIdx = chunkOrder.map(yIdx(_))
+      if (xBoxes.nonEmpty) {
+        val segs = splitProfile(projection(xBoxes, 0), 0, 1)
+        if (segs.size <= 1) res ++= xIdx
+        else segs.foreach { case (c0, c1) =>
+          val sub = xBoxes.indices.filter(i => c0 <= xBoxes(i)._1 && xBoxes(i)._1 < c1)
+          recursiveXyCut(sub.map(xBoxes(_)), sub.map(xIdx(_)), res)
+        }
+      }
+    }
+  }
+
+  /** `recursive_xy_cut_swapped` — x first, then y (`xycut.py:155-213`). */
+  def recursiveXyCutSwapped(boxes: IndexedSeq[Bbox], indices: IndexedSeq[Int],
+      res: mutable.ArrayBuffer[Int]): Unit = {
+    if (boxes.isEmpty) return
+    val order = boxes.indices.sortBy(boxes(_)._1)
+    val xBoxes = order.map(boxes(_))
+    val xIdx = order.map(indices(_))
+    splitProfile(projection(xBoxes, 0), 0, 1).foreach { case (c0, c1) =>
+      val in = xBoxes.indices.filter(i => c0 <= xBoxes(i)._1 && xBoxes(i)._1 < c1)
+      val chunkOrder = in.sortBy(i => xBoxes(i)._2)
+      val yBoxes = chunkOrder.map(xBoxes(_))
+      val yIdx = chunkOrder.map(xIdx(_))
+      if (yBoxes.nonEmpty) {
+        val segs = splitProfile(projection(yBoxes, 1), 0, 1)
+        if (segs.size <= 1) res ++= yIdx
+        else segs.foreach { case (r0, r1) =>
+          val sub = yBoxes.indices.filter(i => r0 <= yBoxes(i)._2 && yBoxes(i)._2 < r1)
+          recursiveXyCutSwapped(sub.map(yBoxes(_)), sub.map(yIdx(_)), res)
+        }
+      }
+    }
+  }
+
+  /** `sort_page_elements` — one page's elements in reading order. */
+  def sortPageElements(els: Seq[Element], sortMode: String = SortModeXyCut,
+      shrinkFactor: Double = 0.9, primaryDirection: String = "x"): Seq[Element] = {
+    if (els.isEmpty) return els
+    val coords = els.map(_.metadata.coordinates)
+    sortMode match {
+      case SortModeXyCut =>
+        if (coords.exists(c => c.isEmpty || c.get.points.isEmpty)) return els
+        val bboxes = coords.map(c => shrinkBbox(coordinatesToBbox(c.get), shrinkFactor))
+          .toIndexedSeq
+        val res = mutable.ArrayBuffer.empty[Int]
+        if (primaryDirection == "x")
+          recursiveXyCutSwapped(bboxes, bboxes.indices, res)
+        else recursiveXyCut(bboxes, bboxes.indices, res)
+        res.map(els(_)).toSeq
+      case SortModeBasic =>
+        els.sortBy { e =>
+          e.metadata.coordinates.flatMap(_.points.headOption) match {
+            case Some(p) => (p.y, p.x)
+            case None => (Double.MaxValue, Double.MaxValue)
+          }
+        }
+      case _ => els
+    }
+  }
+
+  /** Dataset operator: per-(doc, page) reading-order sort, then reassign a dense
+    * doc-wide `seq` (pages in order, xy-cut order within page). */
+  def assignReadingOrder(ds: Dataset[Element], sortMode: String = SortModeXyCut,
+      shrinkFactor: Double = 0.9, primaryDirection: String = "x"): Dataset[Element] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    ds.groupByKey(_.doc_id)
+      .flatMapSortedGroups(col("metadata.page_number"), col("seq")) { (_, it) =>
+        val byPage = it.toSeq.groupBy(_.metadata.page_number.getOrElse(1)).toSeq.sortBy(_._1)
+        var seq = 0L
+        byPage.iterator.flatMap { case (_, els) =>
+          sortPageElements(els, sortMode, shrinkFactor, primaryDirection).map { e =>
+            seq += 1
+            e.copy(seq = seq)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embedder, TextAnalysis}
+import graft.operators.LayoutOps
+import graft.queries.{OracleSql => O}
+
+/**
+ * Layout/geometry, sorting, weighted-edit-distance and embedding-encoder queries.
+ * Box corpora are constructed deterministically from the `events` table; the
+ * oracle mirrors the construction and recomputes the geometry independently.
+ */
+object LayoutQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "events")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "documents")
+
+  /** Deterministic box corpus: ~1/3 of events become boxes on a 500x500 page. */
+  private def boxes(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_id") % 3 === 0)
+      .select(
+        (col("user_id") % 20).as("doc_id"),
+        lit(1).as("page_number"),
+        col("event_id").as("seq"),
+        col("event_type").as("element_type"),
+        (col("event_id") * 7 % 500).cast("double").as("x1"),
+        (col("event_id") * 13 % 500).cast("double").as("y1"),
+        (col("event_id") * 7 % 500 + col("event_id") % 90 + 10).cast("double").as("x2"),
+        (col("event_id") * 13 % 500 + col("event_id") % 60 + 10).cast("double").as("y2"))
+
+  private val boxesSql =
+    """(SELECT user_id % 20 AS doc_id, 1 AS page_number, event_id AS seq,
+      |  event_type AS element_type,
+      |  CAST(event_id * 7 % 500 AS DOUBLE) AS x1,
+      |  CAST(event_id * 13 % 500 AS DOUBLE) AS y1,
+      |  CAST(event_id * 7 % 500 + event_id % 90 + 10 AS DOUBLE) AS x2,
+      |  CAST(event_id * 13 % 500 + event_id % 60 + 10 AS DOUBLE) AS y2
+      |FROM events WHERE event_id % 3 = 0)""".stripMargin
+
+  /** Quadrant "inferred layout" regions per doc (from the region table: 5 docs). */
+  private def inferredRegions(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.read(s, dir, "region")
+      .select(col("r_regionkey").as("doc_id"),
+        explode(array(
+          struct(lit(1L).as("seq"), lit("Q1").as("element_type"),
+            lit(0.0).as("x1"), lit(0.0).as("y1"), lit(250.0).as("x2"), lit(250.0).as("y2")),
+          struct(lit(2L).as("seq"), lit("Q2").as("element_type"),
+            lit(250.0).as("x1"), lit(0.0).as("y1"), lit(500.0).as("x2"), lit(250.0).as("y2")),
+          struct(lit(3L).as("seq"), lit("Q3").as("element_type"),
+            lit(0.0).as("x1"), lit(250.0).as("y1"), lit(250.0).as("x2"), lit(500.0).as("y2")),
+          struct(lit(4L).as("seq"), lit("Q4").as("element_type"),
+            lit(250.0).as("x1"), lit(250.0).as("y1"), lit(500.0).as("x2"), lit(500.0).as("y2"))))
+          .as("q"))
+      .select(col("doc_id"), lit(1).as("page_number"), col("q.*"))
+
+  private val inferredSql =
+    """(SELECT r_regionkey AS doc_id, 1 AS page_number, q.seq, q.element_type,
+      |  q.x1, q.y1, q.x2, q.y2
+      |FROM region, unnest([
+      |  {'seq': 1, 'element_type': 'Q1', 'x1': 0.0, 'y1': 0.0, 'x2': 250.0, 'y2': 250.0},
+      |  {'seq': 2, 'element_type': 'Q2', 'x1': 250.0, 'y1': 0.0, 'x2': 500.0, 'y2': 250.0},
+      |  {'seq': 3, 'element_type': 'Q3', 'x1': 0.0, 'y1': 250.0, 'x2': 250.0, 'y2': 500.0},
+      |  {'seq': 4, 'element_type': 'Q4', 'x1': 250.0, 'y1': 250.0, 'x2': 500.0, 'y2': 500.0}
+      |]) AS t(q))""".stripMargin
+
+  /** Extracted text boxes for the layout-fusion join: small boxes from events. */
+  private def extractedBoxes(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_id") % 5 === 0)
+      .select(
+        (col("user_id") % 5).as("doc_id"),
+        lit(1).as("page_number"),
+        col("event_id").as("seq"),
+        col("event_type").as("text"),
+        (col("event_id") * 11 % 490).cast("double").as("x1"),
+        (col("event_id") * 17 % 490).cast("double").as("y1"),
+        (col("event_id") * 11 % 490 + 8).cast("double").as("x2"),
+        (col("event_id") * 17 % 490 + 8).cast("double").as("y2"))
+
+  private val extractedSql =
+    """(SELECT user_id % 5 AS doc_id, 1 AS page_number, event_id AS seq,
+      |  event_type AS text,
+      |  CAST(event_id * 11 % 490 AS DOUBLE) AS x1,
+      |  CAST(event_id * 17 % 490 AS DOUBLE) AS y1,
+      |  CAST(event_id * 11 % 490 + 8 AS DOUBLE) AS x2,
+      |  CAST(event_id * 17 % 490 + 8 AS DOUBLE) AS y2
+      |FROM events WHERE event_id % 5 = 0)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // pairwise bbox overlap diagnostics per (doc, page) — self-join, not O(n²) loop
+    "q_bbox_overlap_pairs" -> ((s, dir) =>
+      LayoutOps.overlappingPairs(boxes(s, dir))
+        .orderBy("doc_id", "seq_a", "seq_b")),
+
+    // hi-res layout fusion: extracted text boxes -> containing inferred region
+    "q_merge_layout" -> ((s, dir) =>
+      LayoutOps.mergeInferredWithExtracted(
+        inferredRegions(s, dir), extractedBoxes(s, dir), tolerancePx = 0.0)
+        .orderBy("doc_id", "seq")),
+
+    // sort_page_elements basic mode: (top-left y, x) within page
+    "q_sort_basic" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "page_number").orderBy("y1", "x1", "seq")
+      boxes(s, dir)
+        .select(col("doc_id"), col("page_number"), col("seq").as("orig_seq"),
+          col("y1"), col("x1"),
+          row_number().over(w).cast("long").as("reading_order"))
+        .select(col("doc_id"), col("orig_seq"), col("reading_order"))
+        .orderBy("doc_id", "orig_seq")
+    }),
+
+    // weighted edit distance (ins=2,del=1,sub=1): closed-form-checkable cases —
+    // pure insertions (subsequence) and pure deletions (suffix added)
+    "q_weighted_levenshtein" -> ((s, dir) => {
+      def wlev(a: Column, b: Column): Column =
+        org.apache.spark.sql.graft.bridge.column(
+          graft.functions.expr.WeightedLevenshtein(
+            org.apache.spark.sql.graft.bridge.expression(a),
+            org.apache.spark.sql.graft.bridge.expression(b)))
+      docs(s, dir).select(
+        col("doc_id"),
+        wlev(regexp_replace(col("text"), "e", ""), col("text")).as("ins_dist"),
+        wlev(concat(col("text"), lit("xyz")), col("text")).as("del_dist"),
+        wlev(col("text"), col("text")).as("self_dist"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic hash-embedding encoder: first dims of the normalized vector
+    "q_embed_documents" -> ((s, dir) => {
+      val v = Embedder.embedColumn(col("text"), Embedder.DefaultDim)
+      docs(s, dir).select(
+        col("doc_id"),
+        round(element_at(v, 1).cast("double"), 4).as("e0"),
+        round(element_at(v, 2).cast("double"), 4).as("e1"),
+        round(element_at(v, 16).cast("double"), 4).as("e15"))
+        .orderBy("doc_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q_bbox_overlap_pairs" ->
+      s"""WITH b AS $boxesSql
+         |SELECT a.doc_id, a.page_number, a.seq AS seq_a, b.seq AS seq_b,
+         |  a.element_type AS type_a, b.element_type AS type_b,
+         |  CASE
+         |    WHEN (a.x1 >= b.x1 - 5 AND a.y1 >= b.y1 - 5 AND a.x2 <= b.x2 + 5 AND a.y2 <= b.y2 + 5)
+         |     AND (b.x1 >= a.x1 - 5 AND b.y1 >= a.y1 - 5 AND b.x2 <= a.x2 + 5 AND b.y2 <= a.y2 + 5)
+         |      THEN 'identical'
+         |    WHEN (a.x1 >= b.x1 - 5 AND a.y1 >= b.y1 - 5 AND a.x2 <= b.x2 + 5 AND a.y2 <= b.y2 + 5)
+         |      THEN 'nested Aa_in_Bb'
+         |    WHEN (b.x1 >= a.x1 - 5 AND b.y1 >= a.y1 - 5 AND b.x2 <= a.x2 + 5 AND b.y2 <= a.y2 + 5)
+         |      THEN 'nested Bb_in_Aa'
+         |    ELSE 'partial overlap' END AS overlap_case,
+         |  CASE WHEN least((a.x2-a.x1)*(a.y2-a.y1), (b.x2-b.x1)*(b.y2-b.y1)) > 0
+         |    THEN round(greatest(least(a.x2,b.x2)-greatest(a.x1,b.x1), 0) *
+         |               greatest(least(a.y2,b.y2)-greatest(a.y1,b.y1), 0) /
+         |               least((a.x2-a.x1)*(a.y2-a.y1), (b.x2-b.x1)*(b.y2-b.y1)) * 100.0, 2)
+         |    ELSE 0.0 END AS overlap_pct
+         |FROM b a JOIN b b ON a.doc_id = b.doc_id AND a.page_number = b.page_number
+         |  AND a.seq < b.seq
+         |WHERE greatest(least(a.x2,b.x2)-greatest(a.x1,b.x1), 0) *
+         |      greatest(least(a.y2,b.y2)-greatest(a.y1,b.y1), 0) > 0
+         |ORDER BY a.doc_id, seq_a, seq_b""".stripMargin,
+
+    "q_merge_layout" ->
+      s"""WITH i AS $inferredSql, e AS $extractedSql
+         |SELECT e.doc_id, e.page_number, e.seq, e.text,
+         |  i.element_type AS region_type, i.seq AS region_seq
+         |FROM e LEFT JOIN i ON e.doc_id = i.doc_id AND e.page_number = i.page_number
+         |  AND e.x1 >= i.x1 AND e.y1 >= i.y1 AND e.x2 <= i.x2 AND e.y2 <= i.y2
+         |ORDER BY e.doc_id, e.seq""".stripMargin,
+
+    "q_sort_basic" ->
+      s"""WITH b AS $boxesSql
+         |SELECT doc_id, seq AS orig_seq,
+         |  row_number() OVER (PARTITION BY doc_id, page_number ORDER BY y1, x1, seq)
+         |    AS reading_order
+         |FROM b ORDER BY doc_id, orig_seq""".stripMargin,
+
+    // pure-insertion distance = 2 x (chars removed); pure-deletion = chars added
+    "q_weighted_levenshtein" ->
+      """SELECT doc_id,
+        |  2 * (length(text) - length(replace(text, 'e', ''))) AS ins_dist,
+        |  3 AS del_dist,
+        |  0 AS self_dist
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_documents" -> {
+      val h = O.polyHash("text")
+      val raw = s"list_transform(range(0, ${Embedder.DefaultDim}), i -> " +
+        s"CAST(($h * (i * 2 + 1) + i * 7919) % 1000000007 AS DOUBLE) / 1000000007.0 * 2.0 - 1.0)"
+      s"""WITH v AS (
+         |  SELECT doc_id, raw,
+         |    sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+         |  FROM (SELECT doc_id, $raw AS raw FROM documents)),
+         |n AS (
+         |  SELECT doc_id, list_transform(raw, x ->
+         |    CAST(CASE WHEN nrm > 0 THEN x / nrm ELSE x END AS FLOAT)) AS e
+         |  FROM v)
+         |SELECT doc_id, round(CAST(e[1] AS DOUBLE), 4) AS e0,
+         |  round(CAST(e[2] AS DOUBLE), 4) AS e1,
+         |  round(CAST(e[16] AS DOUBLE), 4) AS e15
+         |FROM n ORDER BY doc_id""".stripMargin
+    })
+}
