@@ -152,4 +152,21 @@ object Cleaners {
     if (bullets) x = cleanBullets(x)
     pyStrip(x)
   }
+
+  /**
+   * `replace_mime_encodings` — quoted-printable decode in the given charset
+   * (`core.py:358-366`). Per-row imperative decode (no column-expression
+   * equivalent): use inside parser flatMaps or via `Registries.registerCleaner`.
+   */
+  def replaceMimeEncodings(text: String, encoding: String = "utf-8"): String = {
+    val raw = graft.sources.Partitioners.decodeQuotedPrintableBytes(text)
+    new String(raw, java.nio.charset.Charset.forName(encoding))
+  }
+
+  /** `bytes_string_to_string` — mojibake repair: chars reinterpreted as raw bytes
+    * then decoded with `encoding` (`core.py:432-437`). */
+  def bytesStringToString(text: String, encoding: String = "utf-8"): String = {
+    val bytes = text.map(_.toByte).toArray
+    new String(bytes, java.nio.charset.Charset.forName(encoding))
+  }
 }

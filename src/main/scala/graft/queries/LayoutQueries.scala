@@ -132,6 +132,28 @@ object LayoutQueries {
         .orderBy("doc_id")
     }),
 
+    // TEDS-like table eval: real parse+cell-match on constructed gold/pred pair —
+    // pred corrupts one of 4 cells for every 3rd part -> score 2*3/8, else 1.0
+    "q_table_eval" -> ((s, dir) => {
+      import s.implicits._
+      val gold = concat(lit("<table><tr><td>"), col("p_brand"), lit("</td><td>"),
+        col("p_type"), lit("</td></tr><tr><td>"), col("p_name"), lit("</td><td>"),
+        col("p_size").cast("string"), lit("</td></tr></table>"))
+      val pred = when(col("p_partkey") % 3 === 0,
+        concat(lit("<table><tr><td>XX</td><td>"), col("p_type"),
+          lit("</td></tr><tr><td>"), col("p_name"), lit("</td><td>"),
+          col("p_size").cast("string"), lit("</td></tr></table>")))
+        .otherwise(gold)
+      graft.Tables.read(s, dir, "part")
+        .select(col("p_partkey"), gold.as("g"), pred.as("p"))
+        .as[(Long, String, String)]
+        .map { case (k, g, p) =>
+          (k, graft.operators.MetricsOps.tableEvalScore(g, p))
+        }
+        .toDF("doc_id", "score")
+        .orderBy("doc_id")
+    }),
+
     // deterministic hash-embedding encoder: first dims of the normalized vector
     "q_embed_documents" -> ((s, dir) => {
       val v = Embedder.embedColumn(col("text"), Embedder.DefaultDim)
@@ -190,6 +212,11 @@ object LayoutQueries {
         |  3 AS del_dist,
         |  0 AS self_dist
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_table_eval" ->
+      """SELECT p_partkey AS doc_id,
+        |  CASE WHEN p_partkey % 3 = 0 THEN 0.75 ELSE 1.0 END AS score
+        |FROM part ORDER BY doc_id""".stripMargin,
 
     "q_embed_documents" -> {
       val h = O.polyHash("text")

@@ -1,0 +1,91 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.Element
+import graft.operators.{Chunker, ChunkingOptions}
+
+/**
+ * Per-tool staging reshapes (the `/root/reference/unstructured/staging` modules) —
+ * each is a projection of the element frame into the shape a downstream tool
+ * ingests.
+ */
+object Staging {
+
+  /** `stage_for_weaviate` (`staging/weaviate.py:23-43`): flattened metadata
+    * properties + `text` + `category` (coordinates/orig_elements excluded). */
+  def stageForWeaviate(ds: Dataset[Element]): DataFrame =
+    ds.select(
+      col("text"), col("type").as("category"),
+      col("metadata.filename").as("filename"),
+      col("metadata.file_directory").as("file_directory"),
+      col("metadata.filetype").as("filetype"),
+      col("metadata.url").as("url"),
+      col("metadata.last_modified").as("last_modified"),
+      col("metadata.page_number").as("page_number"),
+      col("metadata.page_name").as("page_name"),
+      col("metadata.category_depth").as("category_depth"),
+      col("metadata.parent_id").as("parent_id"),
+      col("metadata.languages").as("languages"),
+      col("metadata.text_as_html").as("text_as_html"),
+      col("metadata.sent_from").as("sent_from"),
+      col("metadata.sent_to").as("sent_to"),
+      col("metadata.subject").as("subject"),
+      col("metadata.email_message_id").as("email_message_id"))
+
+  /** `stage_for_prodigy` (`staging/prodigy.py:39-57`): text + meta dict rows. */
+  def stageForProdigy(ds: Dataset[Element]): DataFrame =
+    ds.select(col("text"),
+      struct(col("element_id").as("id"), col("type").as("category"),
+        col("metadata.filename").as("filename")).as("meta"))
+
+  /** `stage_for_label_studio` (`staging/label_studio.py:113+`): one task per
+    * element with the text under `data.text`. */
+  def stageForLabelStudio(ds: Dataset[Element]): DataFrame =
+    ds.select(struct(col("text"), col("element_id").as("ref_id")).as("data"))
+
+  /** `stage_for_baseplate` (`staging/baseplate.py:27`): rows-of-columns layout. */
+  def stageForBaseplate(ds: Dataset[Element]): DataFrame =
+    ds.select(
+      map(lit("text"), col("text"), lit("type"), col("type"),
+        lit("element_id"), col("element_id")).as("data"))
+
+  /**
+   * `stage_for_transformers` / `chunk_by_attention_window`
+   * (`staging/huggingface.py:9-100`): narrative/plain text split into
+   * attention-window-sized chunks (whitespace token count + buffer), other
+   * element types pass through. Reuses the chunking kernel's splitter per doc.
+   */
+  def stageForTransformers(ds: Dataset[Element], maxInputSize: Int = 512,
+      buffer: Int = 2): Dataset[Element] = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    val window = maxInputSize - buffer
+    ds.flatMap { e =>
+      val chunkable = e.`type` == "NarrativeText" || e.`type` == "UncategorizedText"
+      if (!chunkable || e.text == null || e.text.isEmpty) Iterator.single(e)
+      else {
+        // split on word boundaries so each chunk has <= window whitespace tokens
+        val words = e.text.split(" ")
+        if (words.length <= window) Iterator.single(e)
+        else words.grouped(window).map(g => e.copy(text = g.mkString(" ")))
+      }
+    }
+  }
+
+  /** `convert_to_coco` (`staging/base.py:734+`): COCO-style detection records
+    * from elements carrying coordinates. */
+  def convertToCoco(ds: Dataset[Element]): DataFrame =
+    ds.filter(col("metadata.coordinates").isNotNull)
+      .select(
+        col("element_id").as("id"),
+        col("doc_id").as("image_id"),
+        col("type").as("category_name"),
+        struct(
+          element_at(col("metadata.coordinates.points"), 1).getField("x").as("x"),
+          element_at(col("metadata.coordinates.points"), 1).getField("y").as("y"))
+          .as("bbox_origin"),
+        col("metadata.coordinates.layout_width").as("width"),
+        col("metadata.coordinates.layout_height").as("height"))
+}

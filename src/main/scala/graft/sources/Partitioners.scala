@@ -122,7 +122,7 @@ object Partitioners {
       case _ => body
     }
 
-  def decodeQuotedPrintable(s: String): String = {
+  def decodeQuotedPrintableBytes(s: String): Array[Byte] = {
     val src = s.replace("=\r\n", "").replace("=\n", "")
     val bytes = mutable.ArrayBuffer.empty[Byte]
     var i = 0
@@ -138,8 +138,11 @@ object Partitioners {
         i += 1
       }
     }
-    new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+    bytes.toArray
   }
+
+  def decodeQuotedPrintable(s: String): String =
+    new String(decodeQuotedPrintableBytes(s), java.nio.charset.StandardCharsets.UTF_8)
 
   private final case class MimePart(headers: Seq[(String, String)], body: String) {
     def header(name: String): Option[String] =
@@ -302,6 +305,10 @@ object Partitioners {
   def partitionAuto(filename: String, content: Array[Byte],
       contentType: Option[String] = None): (FileType, Seq[RawPara]) = {
     val ft = DetectFiletype.detect(filename, content, contentType)
+    graft.operators.Registries.partitioner(ft) match {
+      case Some(custom) => return (ft, custom(content))
+      case None => ()
+    }
     val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
     val paras = ft match {
       case FileType.Txt => TextSource.splitParagraphs(text).map(t => RawPara(t, None))

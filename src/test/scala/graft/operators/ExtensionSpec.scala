@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSuiteBase
+import graft.model.{Element, ElementMetadata, ElementType}
+import graft.sinks.Staging
+import graft.sources.{FileType, HtmlPartitioner, Partitioners}
+
+/** Registries, staging reshapes, multimodal plumbing, remaining cleaners, table eval. */
+class ExtensionSpec extends SparkSuiteBase {
+
+  private def els = Seq(
+    Element("i1", ElementType.Title, "A Title", "d1", 1,
+      ElementMetadata(filename = Some("f.txt"))),
+    Element("i2", ElementType.NarrativeText, ("word " * 600).trim, "d1", 2))
+
+  test("cleaner registry composes named cleaners over the text column") {
+    import spark.implicits._
+    val ds = Seq(Element("x", "NarrativeText", "  Hello   world;:, ", "d", 1)).toDS()
+    val out = Registries.applyCleaners(ds,
+      Seq("clean_extra_whitespace", "clean_trailing_punctuation"))
+    assert(out.collect()(0).text == "Hello world")
+    intercept[IllegalArgumentException] { Registries.applyCleaners(ds, Seq("nope")) }
+  }
+
+  test("chunker registry dispatches and accepts custom strategies") {
+    import spark.implicits._
+    val ds = Seq(Element("", ElementType.Title, "T", "d", 1),
+      Element("", ElementType.NarrativeText, "body", "d", 2)).toDS()
+    assert(Registries.chunk(ds, "by_title").collect().length == 1)
+    Registries.registerChunkingStrategy("noop", (d, _) => d)
+    assert(Registries.chunk(ds, "noop").collect().length == 2)
+  }
+
+  test("partitioner registry overrides the auto router") {
+    Registries.registerPartitioner(FileType.Rst,
+      _ => Seq(HtmlPartitioner.RawPara("custom rst", Some("Title"))))
+    val (ft, ps) = Partitioners.partitionAuto("doc.rst", "anything".getBytes)
+    assert(ft == FileType.Rst && ps.head.text == "custom rst")
+  }
+
+  test("stage_for_transformers splits long narrative text by attention window") {
+    import spark.implicits._
+    val out = Staging.stageForTransformers(els.toDS(), maxInputSize = 102, buffer = 2)
+      .collect()
+    val title = out.filter(_.`type` == ElementType.Title)
+    val chunks = out.filter(_.`type` == ElementType.NarrativeText)
+    assert(title.length == 1 && title(0).text == "A Title")
+    assert(chunks.length == 6) // 600 words / 100-word window
+    assert(chunks.forall(_.text.split(" ").length <= 100))
+  }
+
+  test("weaviate/prodigy/label-studio reshapes project the element frame") {
+    import spark.implicits._
+    val ds = els.toDS()
+    val w = Staging.stageForWeaviate(ds).collect()
+    assert(w.map(_.getAs[String]("category")).toSet == Set("Title", "NarrativeText"))
+    val p = Staging.stageForProdigy(ds).collect()
+    assert(p(0).getStruct(1).getAs[String]("id") == "i1")
+    val l = Staging.stageForLabelStudio(ds).collect()
+    assert(l(0).getStruct(0).getAs[String]("ref_id") == "i1")
+  }
+
+  test("multimodal: feature extraction and frame sampling plumbing") {
+    import spark.implicits._
+    val df = Seq(("v1", "0123456789abcdef" * 8, 7.0))
+      .toDF("id", "payload_str", "duration")
+      .withColumn("payload", org.apache.spark.sql.functions.col("payload_str")
+        .cast("binary"))
+    val feats = MultimodalOps.extractFeatures(df, "payload", dim = 8).collect()
+    assert(feats(0).getAs[scala.collection.Seq[Float]]("features").length == 8)
+    // deterministic across runs
+    val feats2 = MultimodalOps.extractFeatures(df, "payload", dim = 8).collect()
+    assert(feats(0).getAs[scala.collection.Seq[Float]]("features").toSeq ==
+      feats2(0).getAs[scala.collection.Seq[Float]]("features").toSeq)
+    val frames = MultimodalOps.sampleFrames(df, everyNSeconds = 2, durationCol = "duration")
+    assert(frames.collect().length == 4) // t = 0, 2, 4, 6
+  }
+
+  test("mime-encoding and bytes-string cleaners") {
+    import graft.functions.Cleaners
+    assert(Cleaners.replaceMimeEncodings("Caf=C3=A9") == "Café")
+    assert(Cleaners.bytesStringToString("CafÃ©") == "Café")
+  }
+
+  test("table eval scores cell-level similarity") {
+    val gold = "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+    val predGood = gold
+    val predOneOff =
+      "<table><tr><td>X</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+    assert(MetricsOps.tableEvalScore(gold, predGood) == 1.0)
+    assert(MetricsOps.tableEvalScore(gold, predOneOff) == 0.75)
+    assert(MetricsOps.tableEvalScore(gold, "<table></table>") == 0.0)
+    // content-only ignores position
+    val shuffled =
+      "<table><tr><td>d</td><td>c</td></tr><tr><td>b</td><td>a</td></tr></table>"
+    assert(MetricsOps.tableEvalScore(gold, shuffled, contentOnly = true) == 1.0)
+  }
+}
