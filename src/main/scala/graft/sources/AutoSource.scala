@@ -21,21 +21,41 @@ object AutoSource {
   /**
    * Partition a directory of files of any supported type. Returns element rows:
    * `doc_id` (file path), `filetype` (MIME), `seq`, `element_type`,
-   * `category_depth`, `text`, `text_as_html`, `page_number`, `page_name`.
+   * `category_depth`, `text`, `text_as_html`, `page_number`, `page_name`,
+   * `attached_to_filename`.
+   *
+   * With `processAttachments=true`, email attachments are recursively partitioned
+   * (bounded depth 1, like the reference) and unioned into the stream with the
+   * `attached_to_filename` marker (`partition/email.py:372-441`).
    */
-  def partitionFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+  def partitionFiles(spark: SparkSession, pathGlob: String,
+      processAttachments: Boolean = false): DataFrame = {
     import spark.implicits._
     val files = spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
     val raw = files.flatMap { case (path, content) =>
       val (ft, paras) = Partitioners.partitionAuto(path, content)
-      paras.zipWithIndex.map { case (p, i) =>
+      val main = paras.zipWithIndex.map { case (p, i) =>
         (path, ft.mimeType, i + 1L, p.elementType.orNull, p.categoryDepth,
-          p.text, p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull)
+          p.text, p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull,
+          null.asInstanceOf[String])
       }
+      val attached =
+        if (processAttachments && ft == FileType.Eml) {
+          val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+          Partitioners.emailAttachments(text).flatMap { case (fn, body) =>
+            val (aft, aps) = Partitioners.partitionAuto(fn, body.getBytes("UTF-8"))
+            aps.zipWithIndex.map { case (p, i) =>
+              (path + "!" + fn, aft.mimeType, i + 1L, p.elementType.orNull,
+                p.categoryDepth, p.text, p.textAsHtml.orNull, p.pageNumber,
+                p.pageName.orNull, path)
+            }
+          }
+        } else Nil
+      main ++ attached
     }.toDF("doc_id", "filetype", "seq", "raw_type", "category_depth", "raw_text",
-      "text_as_html", "page_number", "page_name")
+      "text_as_html", "page_number", "page_name", "attached_to_filename")
 
     val derived = HtmlSource.deriveElementType(col("raw_text"))
     val typed = raw.select(
@@ -45,7 +65,8 @@ object AutoSource {
       when(col("raw_type").isNull && derived === "ListItem",
         Cleaners.cleanBullets(col("raw_text")))
         .otherwise(col("raw_text")).as("text"),
-      col("text_as_html"), col("page_number"), col("page_name"))
+      col("text_as_html"), col("page_number"), col("page_name"),
+      col("attached_to_filename"))
       .filter(col("element_type").isNotNull && col("text") =!= "")
     TextSource.resequence(typed)
   }
