@@ -39,7 +39,7 @@ object AutoSource {
       val main = paras.zipWithIndex.map { case (p, i) =>
         (path, ft.mimeType, i + 1L, p.elementType.orNull, p.categoryDepth,
           p.text, p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull,
-          null.asInstanceOf[String])
+          null.asInstanceOf[String], p.classifier)
       }
       val attached =
         if (processAttachments && ft == FileType.Eml) {
@@ -49,15 +49,19 @@ object AutoSource {
             aps.zipWithIndex.map { case (p, i) =>
               (path + "!" + fn, aft.mimeType, i + 1L, p.elementType.orNull,
                 p.categoryDepth, p.text, p.textAsHtml.orNull, p.pageNumber,
-                p.pageName.orNull, path)
+                p.pageName.orNull, path, p.classifier)
             }
           }
         } else Nil
       main ++ attached
     }.toDF("doc_id", "filetype", "seq", "raw_type", "category_depth", "raw_text",
-      "text_as_html", "page_number", "page_name", "attached_to_filename")
+      "text_as_html", "page_number", "page_name", "attached_to_filename", "classifier")
 
-    val derived = HtmlSource.deriveElementType(col("raw_text"))
+    // untyped paragraphs derive per their source's cascade: the text partitioner's
+    // first-match classifier (has Title) vs the HTML parser's derive rules
+    val derived = when(col("classifier") === "text",
+      graft.functions.Predicates.classifyText(col("raw_text")))
+      .otherwise(HtmlSource.deriveElementType(col("raw_text")))
     val typed = raw.select(
       col("doc_id"), col("filetype"), col("seq"),
       coalesce(col("raw_type"), derived).as("element_type"),

@@ -181,7 +181,10 @@ object HtmlPartitioner {
       linkTexts: Seq[String] = Nil,
       linkUrls: Seq[String] = Nil,
       pageNumber: Option[Int] = None,
-      pageName: Option[String] = None)
+      pageName: Option[String] = None,
+      /** Which derive cascade types an untyped paragraph: "html"
+        * (`derive_element_type_from_text`) or "text" (`element_from_text`). */
+      classifier: String = "html")
 
   def normalizeWs(s: String): String = graft.operators.Chunker.normalizeWs(s)
 

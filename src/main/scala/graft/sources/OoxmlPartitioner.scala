@@ -114,7 +114,94 @@ object OoxmlPartitioner {
   private def colIndex(ref: String): Int =
     ref.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
-  def partitionXlsx(bytes: Array[Byte]): Seq[RawPara] = {
+  /**
+   * Subtable detection — `partition/xlsx.py:273-400`: connected components over
+   * the populated-cell grid (4-neighbor), row-overlapping components merged
+   * (sorted by top row, merge while `next.minRow <= current.maxRow`), then each
+   * component's leading/trailing single-cell rows become classified `Text`-family
+   * elements and the remaining core rectangle a `Table`.
+   */
+  private[sources] final case class Component(cells: Set[(Int, Int)]) {
+    lazy val minRow: Int = cells.map(_._1).min
+    lazy val maxRow: Int = cells.map(_._1).max
+    def merge(o: Component): Component = Component(cells ++ o.cells)
+  }
+
+  private[sources] def connectedComponents(populated: Set[(Int, Int)]): Seq[Component] = {
+    val seen = mutable.Set.empty[(Int, Int)]
+    val out = mutable.ArrayBuffer.empty[Component]
+    populated.toSeq.sorted.foreach { start =>
+      if (!seen.contains(start)) {
+        val comp = mutable.Set.empty[(Int, Int)]
+        val queue = mutable.Queue(start)
+        seen += start
+        while (queue.nonEmpty) {
+          val (r, c) = queue.dequeue()
+          comp += ((r, c))
+          Seq((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)).foreach { n =>
+            if (populated.contains(n) && !seen.contains(n)) { seen += n; queue += n }
+          }
+        }
+        out += Component(comp.toSet)
+      }
+    }
+    // merge row-overlapping components (`:320-352`)
+    val sorted = out.sortBy(_.minRow)
+    val merged = mutable.ArrayBuffer.empty[Component]
+    sorted.foreach { comp =>
+      if (merged.nonEmpty && comp.minRow <= merged.last.maxRow)
+        merged(merged.length - 1) = merged.last.merge(comp)
+      else merged += comp
+    }
+    merged.toSeq
+  }
+
+  /** Subtable split of one sheet's populated-cell grid into element paras. */
+  private def subtableElements(grid: Map[(Int, Int), String], page: Int,
+      sheetName: Option[String]): Seq[RawPara] = {
+    if (grid.isEmpty) return Nil
+    connectedComponents(grid.keySet).flatMap { comp =>
+      val rows = (comp.minRow to comp.maxRow).map { r =>
+        grid.view.filterKeys(_._1 == r).toSeq.sortBy(_._1._2).map(_._2)
+      }
+      val singleCell = rows.map(_.size == 1)
+      val leading = singleCell.takeWhile(identity).size
+      val trailing =
+        if (leading == rows.size) 0
+        else singleCell.reverse.takeWhile(identity).size
+      val out = mutable.ArrayBuffer.empty[RawPara]
+      // leading single-cell rows -> classified Text-family elements
+      (0 until leading).foreach { i =>
+        out += RawPara(rows(i).head, None, classifier = "text",
+          pageNumber = Some(page), pageName = sheetName)
+      }
+      // core rectangle -> Table with html
+      val core = rows.slice(leading, rows.size - trailing)
+      if (core.nonEmpty) {
+        // rectangularize over the core's populated column span
+        val coreRows = (comp.minRow + leading) to (comp.maxRow - trailing)
+        val cols = grid.keySet.filter(k => coreRows.contains(k._1)).map(_._2)
+        val matrix = coreRows.map(r =>
+          (cols.min to cols.max).map(c => grid.getOrElse((r, c), "")))
+        val text = matrix.map(_.filter(_.nonEmpty).mkString(" "))
+          .filter(_.nonEmpty).mkString("\n")
+        if (text.nonEmpty)
+          out += RawPara(text, Some("Table"),
+            textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)),
+            pageNumber = Some(page), pageName = sheetName)
+      }
+      (0 until trailing).foreach { i =>
+        out += RawPara(rows(rows.size - trailing + i).head, None, classifier = "text",
+          pageNumber = Some(page), pageName = sheetName)
+      }
+      out.toSeq
+    }
+  }
+
+  def partitionXlsx(bytes: Array[Byte]): Seq[RawPara] =
+    partitionXlsx(bytes, findSubtable = true)
+
+  def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean): Seq[RawPara] = {
     val entries = zipEntries(bytes, n =>
       n == "xl/sharedStrings.xml" || n == "xl/workbook.xml" ||
         (n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")))
@@ -155,12 +242,14 @@ object OoxmlPartitioner {
           }
         }
       }
-      if (maxR < 0) None
-      else {
+      if (maxR < 0) Nil
+      else if (findSubtable) {
+        subtableElements(grid.toMap, si + 1, sheetNames.lift(si))
+      } else {
         val matrix = (0 to maxR).map(r => (0 to maxC).map(c => grid.getOrElse((r, c), "")))
         val text = matrix.map(_.filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty).mkString("\n")
-        if (text.isEmpty) None
-        else Some(RawPara(text, Some("Table"),
+        if (text.isEmpty) Nil
+        else Seq(RawPara(text, Some("Table"),
           textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)),
           pageNumber = Some(si + 1),
           pageName = sheetNames.lift(si)))

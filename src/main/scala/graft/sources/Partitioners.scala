@@ -311,7 +311,8 @@ object Partitioners {
     }
     val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
     val paras = ft match {
-      case FileType.Txt => TextSource.splitParagraphs(text).map(t => RawPara(t, None))
+      case FileType.Txt =>
+        TextSource.splitParagraphs(text).map(t => RawPara(t, None, classifier = "text"))
       case FileType.Html => HtmlPartitioner.partition(text)
       case FileType.Csv => partitionCsv(text)
       case FileType.Tsv => partitionTsv(text)

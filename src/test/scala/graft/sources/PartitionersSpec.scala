@@ -194,6 +194,50 @@ class PartitionersSpec extends AnyFunSuite {
       "<table><tr><td>Name</td><td>42</td></tr><tr><td>Alice</td><td>7</td></tr></table>"))
   }
 
+  test("xlsx: subtable connected-components split sheet into titles and tables") {
+    // layout (rows 1-8):  "Sales Report" title row, 2x2 table, blank row,
+    // then a second 2x2 table with a trailing note row
+    val shared = "<sst>" + Seq("Sales Report", "h1", "h2", "a", "b",
+      "x1", "x2", "c", "d", "note below").zipWithIndex
+      .map { case (s, _) => s"<si><t>$s</t></si>" }.mkString + "</sst>"
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>1</v></c><c r="B2" t="s"><v>2</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3" t="s"><v>4</v></c></row>
+        |<row r="5"><c r="A5" t="s"><v>5</v></c><c r="B5" t="s"><v>6</v></c></row>
+        |<row r="6"><c r="A6" t="s"><v>7</v></c><c r="B6" t="s"><v>8</v></c></row>
+        |<row r="7"><c r="A7" t="s"><v>9</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val ps = OoxmlPartitioner.partitionXlsx(zip(
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet), findSubtable = true)
+    assert(ps.map(_.text) == Seq(
+      "Sales Report", "h1 h2\na b", "x1 x2\nc d", "note below"))
+    assert(ps(0).elementType.isEmpty && ps(0).classifier == "text") // classified downstream
+    assert(ps(1).elementType.contains("Table"))
+    assert(ps(1).textAsHtml.contains(
+      "<table><tr><td>h1</td><td>h2</td></tr><tr><td>a</td><td>b</td></tr></table>"))
+    assert(ps(3).elementType.isEmpty) // trailing single-cell row
+    // the title row is NOT merged into the table: single-cell rows split off
+  }
+
+  test("xlsx: row-overlapping components merge into one subtable") {
+    // two column groups sharing rows -> one component after row-merge
+    val shared = "<sst>" + Seq("a", "b").map(s => s"<si><t>$s</t></si>").mkString + "</sst>"
+    val sheet =
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="D1" t="s"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val ps = OoxmlPartitioner.partitionXlsx(zip(
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet), findSubtable = true)
+    // one row, two disconnected cells, same row -> merged -> one core table row
+    assert(ps.size == 1)
+    assert(ps(0).elementType.contains("Table"))
+    assert(ps(0).text == "a b")
+  }
+
   // ------------------------------------------------------------- pptx
 
   test("pptx: title placeholder and body paragraphs per slide") {
