@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object SparkEntry {
 
-  /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks rows > 0. */
+  /** Flagship pipeline on /root/testdata/sf0.001 — the engine's signature path:
+    * partition_text → classifier cascade → chunk_by_title fold. Driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q_chunk_by_title")(spark, "/root/testdata/sf0.001")
 
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(

@@ -117,6 +117,36 @@ object PipelineQueries {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // group_elements_by_parent_id (utils.py:645-688): children per Title parent
+    "q_group_by_parent" -> ((s, dir) => {
+      val els = graft.operators.MetadataOps.applyMetadata(
+        fullElements(s, dir),
+        filetype = Some("text/plain"),
+        filenameFor = d => Some(s"doc_$d.txt"))
+      els.filter(col("metadata.parent_id").isNotNull)
+        .groupBy(col("metadata.parent_id").as("parent_id"))
+        .agg(count(lit(1)).as("n_children"),
+          min("seq").as("first_child_seq"))
+        .orderBy("parent_id")
+    }),
+
+    // element-type frequency accuracy (metrics/element_type.py): histogram of
+    // classified types for the corpus vs the truncated-text corpus, scored as
+    // sum(min(freq_out, freq_gt)) / sum(freq_gt)
+    "q_element_type_accuracy" -> ((s, dir) => {
+      val p = partitioned(s, dir)
+      val gt = p.groupBy("element_type").agg(count(lit(1)).as("gt_n"))
+      val out = TextSource.partitionText(
+        withParagraphs(s, dir),
+        expr("substring(text, 1, greatest(length(text) - 5, 1))"))
+        .groupBy("element_type").agg(count(lit(1)).as("out_n"))
+      gt.join(out, Seq("element_type"), "full")
+        .agg(round(
+          sum(least(coalesce(col("gt_n"), lit(0L)), coalesce(col("out_n"), lit(0L))))
+            .cast("double") /
+            sum(coalesce(col("gt_n"), lit(0L))).cast("double"), 4).as("accuracy"))
+    }),
+
     // convert_to_csv flat projection — staging/base.py:507-526,604-624
     "q_csv_flatten" -> ((s, dir) => {
       val els = graft.operators.MetadataOps.applyMetadata(
@@ -215,6 +245,35 @@ object PipelineQueries {
          |typed AS ($typedSelect)
          |SELECT doc_id, string_agg(text, chr(10) ORDER BY seq) AS text
          |FROM typed WHERE text <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_group_by_parent" ->
+      s"""$applyMetaCtes
+         |SELECT parent_id, CAST(count(*) AS BIGINT) AS n_children,
+         |  min(seq) AS first_child_seq
+         |FROM withparent WHERE parent_id IS NOT NULL
+         |GROUP BY parent_id ORDER BY parent_id""".stripMargin,
+
+    "q_element_type_accuracy" -> {
+      val replaced = "replace(text, ' merge ', chr(10)||chr(10))"
+      val trunc = s"substring($replaced, 1, greatest(length($replaced) - 5, 1))"
+      def parsOf(input: String) =
+        s"""SELECT doc_id, list_filter(list_transform(
+           |    string_split_regex(${O.strip(input)}, '\\s*\\n\\s*'),
+           |    p -> ${O.strip("p")}), p -> p <> '') AS ps
+           |  FROM documents""".stripMargin
+      def histOf(pars: String) =
+        s"""SELECT ${O.classify("full_text")} AS element_type, count(*) AS n
+           |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+           |    {'seq': i, 'full_text': ps[i]}), recursive := true) FROM $pars)
+           |  GROUP BY 1""".stripMargin
+      s"""WITH parsA AS (${parsOf(O.strip(replaced))}),
+         |parsB AS (${parsOf(trunc)}),
+         |gt AS (${histOf("parsA")}),
+         |outt AS (${histOf("parsB")})
+         |SELECT round(SUM(LEAST(coalesce(gt.n, 0), coalesce(outt.n, 0)))::DOUBLE /
+         |  SUM(coalesce(gt.n, 0))::DOUBLE, 4) AS accuracy
+         |FROM gt FULL JOIN outt ON gt.element_type = outt.element_type""".stripMargin
+    },
 
     "q_csv_flatten" ->
       s"""$applyMetaCtes
