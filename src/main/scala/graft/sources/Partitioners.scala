@@ -322,8 +322,9 @@ object Partitioners {
       case FileType.Docx => OoxmlPartitioner.partitionDocx(content)
       case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content)
       case FileType.Pptx => OoxmlPartitioner.partitionPptx(content)
+      case FileType.Pdf => PdfPartitioner.partitionPdf(content) // fast strategy
       case FileType.Json | FileType.Ndjson => Nil // rehydrate path (ElementSink.readNdjson)
-      case _ => Nil // external-tool formats (pdf hi_res, doc/ppt, …): pluggable stubs
+      case _ => Nil // external-tool formats (pdf hi_res/ocr, doc/ppt, …): pluggable stubs
     }
     (ft, paras)
   }
