@@ -41,12 +41,32 @@ object Bench {
     names.foreach(n => runOne(n, SparkEntry.queries(n))) // warm-up pass (not recorded)
     val results = names.map(n => n -> runOne(n, SparkEntry.queries(n)))
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonLine(entries: Seq[(String, Double)], total: Double): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+
     val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("bench_result.json"), line + "\n")
+    // Full per-query detail goes to bench_result.json for post-hoc analysis.
+    Files.writeString(Paths.get("bench_result.json"), jsonLine(results, total) + "\n")
+
+    // The driver keeps only the last ~2000 chars of stdout, and sbt appends a
+    // "[success] Total time: ..." line after us — the printed JSON line must fit
+    // in that window or the round records no bench. Print the headline subset,
+    // padded with the slowest remaining queries up to the length budget.
+    val headline = Seq(
+      "q1_pricing_summary", "q_partition_html", "q_partition_text", "q_chunk_by_title",
+      "q_chunk_basic", "q_apply_metadata", "q_lsh_near_dup", "q_minhash_signature",
+      "q_ann_cosine_topk", "q_classify_text", "q_hash_ids", "q_csv_flatten")
+    val byName = results.toMap
+    val rest = results.filterNot(r => headline.contains(r._1)).sortBy(-_._2).map(_._1)
+    var chosen = headline.filter(byName.contains) ++ rest
+    var line = jsonLine(chosen.map(n => n -> byName(n)), total)
+    while (line.length > 1700 && chosen.size > 1) {
+      chosen = chosen.dropRight(1)
+      line = jsonLine(chosen.map(n => n -> byName(n)), total)
+    }
     println(line)
     spark.stop()
   }
