@@ -158,15 +158,76 @@ object Cleaners {
    * (`core.py:358-366`). Per-row imperative decode (no column-expression
    * equivalent): use inside parser flatMaps or via `Registries.registerCleaner`.
    */
+  /**
+   * `format_encoding_str` — `file_utils/encoding.py:35-50`: lowercase, underscores to
+   * dashes, strip iso-8859 directional annotations; plus the Python codec aliases
+   * (`latin-1`) Java's `Charset` doesn't know.
+   */
+  def formatEncodingStr(encoding: String): java.nio.charset.Charset = {
+    var e = encoding.toLowerCase.replace('_', '-')
+    if (Seq("iso-8859-6-i", "iso-8859-6-e", "iso-8859-8-i", "iso-8859-8-e").contains(e))
+      e = e.dropRight(2)
+    if (e == "latin-1" || e == "latin1") e = "ISO-8859-1"
+    java.nio.charset.Charset.forName(e)
+  }
+
   def replaceMimeEncodings(text: String, encoding: String = "utf-8"): String = {
     val raw = graft.sources.Partitioners.decodeQuotedPrintableBytes(text)
-    new String(raw, java.nio.charset.Charset.forName(encoding))
+    new String(raw, formatEncodingStr(encoding))
   }
 
   /** `bytes_string_to_string` — mojibake repair: chars reinterpreted as raw bytes
     * then decoded with `encoding` (`core.py:432-437`). */
   def bytesStringToString(text: String, encoding: String = "utf-8"): String = {
     val bytes = text.map(_.toByte).toArray
-    new String(bytes, java.nio.charset.Charset.forName(encoding))
+    new String(bytes, formatEncodingStr(encoding))
+  }
+
+  /**
+   * `clean_extra_whitespace_with_index_run` — `core.py:440-497`: NBSP/newline -> space,
+   * collapse space runs, strip; also returns, for every position of the CLEANED text,
+   * how many characters were dropped before it (the "moved index"), so downstream
+   * link/annotation offsets can be remapped. `moved` has `text.length` slots; positions
+   * past the cleaned length carry the final distance (mirrors the numpy tail-fill).
+   */
+  def cleanExtraWhitespaceWithIndexRun(text: String): (String, Array[Long]) = {
+    val translated = text.map(c => if (c == '\u00A0' || c == '\n') ' ' else c)
+    val cleaned = translated.replaceAll(" {2,}", " ").strip
+    val moved = new Array[Long](text.length)
+    var distance = 0L
+    var oi = 0
+    var ci = 0
+    while (ci < cleaned.length) {
+      val cOrig = text.charAt(oi)
+      val cClean = cleaned.charAt(ci)
+      if (cOrig == cClean || ((cOrig == '\u00A0' || cOrig == '\n') && cClean == ' ')) {
+        moved(ci) = distance
+        oi += 1
+        ci += 1
+      } else {
+        distance += 1
+        moved(ci) = distance
+        oi += 1
+      }
+    }
+    java.util.Arrays.fill(moved, ci, text.length, distance)
+    (cleaned, moved)
+  }
+
+  /** `index_adjustment_after_clean_extra_whitespace` — `core.py:500-507`. */
+  def indexAdjustmentAfterCleanExtraWhitespace(index: Int, moved: Array[Long]): Long =
+    index - moved(index)
+
+  /**
+   * `translate_text` — `cleaners/translate.py:24-72`. The reference shells out to a
+   * Helsinki-NLP opus-mt model; no MT model is available in this environment, so the
+   * model call is STUBBED with a deterministic fake (text tagged with the language
+   * pair) while the plumbing — source-language detection via [[TextAnalysis]],
+   * same-language short-circuit, empty-input passthrough — is real.
+   */
+  def translateText(text: String, sourceLang: String, targetLang: String = "en"): String = {
+    if (text == null || text.strip.isEmpty) return text
+    if (sourceLang == targetLang) text
+    else s"[mt-stub $sourceLang->$targetLang] $text"
   }
 }

@@ -188,7 +188,81 @@ object TextQueries {
     "q_extract_image_urls" -> ((s, dir) => one(s, dir)(
       array_join(Extractors.extractImageUrlsFromHtml(
         concat(lit("<img src=\"https://img.example.com/pic"),
-          (col("doc_id") % 9).cast("string"), lit(".png\"> and more"))), ","), "urls")))
+          (col("doc_id") % 9).cast("string"), lit(".png\"> and more"))), ","), "urls")),
+
+    // -- string-level cleaners (imperative decode paths, run in a Dataset map like the
+    // -- format parsers; the column construction stays codegen'd) ---------------------
+
+    // quoted-printable decode incl. a multi-byte UTF-8 escape (=E2=80=99 -> U+2019).
+    "q_mime_encodings" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"),
+          concat(regexp_replace(
+            Cleaners.cleanExtraWhitespace(regexp_replace(col("text"), "=", "")),
+            " ", "=20"), lit("=E2=80=99")).as("enc"))
+        .as[(Long, String)]
+        .map { case (d, t) => (d, Cleaners.replaceMimeEncodings(t)) }
+        .toDF("doc_id", "decoded").orderBy("doc_id")
+    }),
+
+    // latin-1-misdecoded UTF-8 repair: C3 A9 -> e-acute, E6 AF 8F -> U+6BCF.
+    "q_bytes_to_string" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id"),
+          concat(Cleaners.cleanNonAsciiChars(col("text")),
+            lit(" \u00C3\u00A9 \u00E6\u00AF\u008F")).as("moji"))
+        .as[(Long, String)]
+        .map { case (d, t) => (d, Cleaners.bytesStringToString(t)) }
+        .toDF("doc_id", "fixed").orderBy("doc_id")
+    }),
+
+    // Three-paragraph input: a line-broken paragraph (merged iff any line has >= 5
+    // words -- the oracle computes the rule from the word count), an all-short-lines
+    // block kept split, and a bullet paragraph with a wrapped line.
+    "q_group_broken_paragraphs" -> ((s, dir) => {
+      import s.implicits._
+      val base = Cleaners.cleanExtraWhitespace(concat(lit("w "), col("text")))
+      val input = concat(base,
+        lit("\naa bb cc\n\nApache License\nVersion 2.0\nhttp example\n\n" +
+          "\u2022 first bullet line\nwrapped tail\n\u2022 second bullet"))
+      docs(s, dir).select(col("doc_id"), input.as("raw"))
+        .as[(Long, String)]
+        .map { case (d, t) => (d, graft.sources.TextSource.groupBrokenParagraphs(t)) }
+        .toDF("doc_id", "grouped").orderBy("doc_id")
+    }),
+
+    // Newline-ratio routing (threshold 0.1): even docs have no blank lines (new-line
+    // grouper), odd docs one blank line in four (broken-paragraph grouper) -- the two
+    // routes produce observably different joins.
+    "q_paragraph_grouper_auto" -> ((s, dir) => {
+      import s.implicits._
+      val base = Cleaners.cleanExtraWhitespace(concat(lit("w "), col("text")))
+      val input = when(col("doc_id") % 2 === 0,
+        concat(lit("aa bb cc dd ee ff\n"), base, lit("\ngg hh ii")))
+        .otherwise(concat(lit("aa bb cc dd ee ff\n"), base, lit("\n\ngg hh ii")))
+      docs(s, dir).select(col("doc_id"), input.as("raw"))
+        .as[(Long, String)]
+        .map { case (d, t) => (d, graft.sources.TextSource.autoParagraphGrouper(t)) }
+        .toDF("doc_id", "grouped").orderBy("doc_id")
+    }),
+
+    // Whitespace collapse with index mapping: every space inflated to three, so the
+    // moved-index at the last cleaned position is exactly 2x the space count.
+    "q_whitespace_index_run" -> ((s, dir) => {
+      import s.implicits._
+      val base = Cleaners.cleanExtraWhitespace(concat(lit("w "), col("text")))
+      docs(s, dir).select(col("doc_id"), regexp_replace(base, " ", "   ").as("raw"))
+        .as[(Long, String)]
+        .map { case (d, t) =>
+          val (cleaned, moved) = Cleaners.cleanExtraWhitespaceWithIndexRun(t)
+          val last = cleaned.length - 1
+          val movedLast = if (last >= 0) moved(last) else 0L
+          val adjLast = if (last >= 0)
+            Cleaners.indexAdjustmentAfterCleanExtraWhitespace(last, moved) else 0L
+          (d, cleaned, movedLast, adjLast)
+        }
+        .toDF("doc_id", "cleaned", "moved_last", "adj_last").orderBy("doc_id")
+    }))
 
   private def docSel(expr: String, name: String): String =
     s"SELECT doc_id, $expr AS $name FROM documents ORDER BY doc_id"
@@ -346,5 +420,55 @@ object TextQueries {
     "q_extract_image_urls" ->
       docSel("array_to_string(regexp_extract_all('<img src=\"https://img.example.com/pic' " +
         s"|| (doc_id % 9) || '.png\"> and more', '${graft.functions.Extractors.ImageUrlPattern}'), ',')",
-        "urls"))
+        "urls"),
+
+    // quoted-printable decode: every space round-trips through =20, plus the
+    // appended =E2=80=99 decodes to U+2019.
+    "q_mime_encodings" ->
+      docSel(O.cleanExtraWhitespace("regexp_replace(text, '=', '', 'g')") + " || chr(8217)",
+        "decoded"),
+
+    // latin-1-misdecoded UTF-8 repair: appended (U+00C3,U+00A9) -> e-acute and
+    // (U+00E6,U+00AF,U+008F) -> U+6BCF.
+    "q_bytes_to_string" ->
+      docSel("regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') || ' ' || chr(233) || ' ' || chr(27599)",
+        "fixed"),
+
+    "q_group_broken_paragraphs" -> {
+      val base = O.cleanExtraWhitespace("('w ' || text)")
+      val nn = "chr(10) || chr(10)"
+      s"""WITH b AS (
+         |  SELECT doc_id, $base AS base FROM documents)
+         |SELECT doc_id,
+         |  (CASE WHEN len(string_split(base, ' ')) < 5
+         |     THEN base || $nn || 'aa bb cc'
+         |     ELSE base || ' aa bb cc' END)
+         |  || $nn || 'Apache License' || $nn || 'Version 2.0' || $nn || 'http example'
+         |  || $nn || chr(8226) || ' first bullet line wrapped tail '
+         |  || $nn || chr(8226) || ' second bullet' AS grouped
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q_paragraph_grouper_auto" -> {
+      val base = O.cleanExtraWhitespace("('w ' || text)")
+      val nn = "chr(10) || chr(10)"
+      s"""WITH b AS (
+         |  SELECT doc_id, $base AS base FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN 'aa bb cc dd ee ff' || $nn || base || $nn || 'gg hh ii'
+         |    ELSE 'aa bb cc dd ee ff ' || base || $nn || 'gg hh ii' END AS grouped
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q_whitespace_index_run" -> {
+      val base = O.cleanExtraWhitespace("('w ' || text)")
+      s"""WITH b AS (
+         |  SELECT doc_id, $base AS base FROM documents)
+         |SELECT doc_id, base AS cleaned,
+         |  CAST(2 * (length(base) - length(replace(base, ' ', ''))) AS BIGINT) AS moved_last,
+         |  CAST(length(base) - 1 - 2 * (length(base) - length(replace(base, ' ', ''))) AS BIGINT)
+         |    AS adj_last
+         |FROM b ORDER BY doc_id""".stripMargin
+    })
 }
