@@ -77,4 +77,23 @@ object MultimodalOps {
           lit(everyNSeconds))))
       .withColumn("frame_payload",
         col(payload).substr(col("frame_ts") * 16 + 1, lit(16)))
+
+  /**
+   * `partition_audio` — `/root/reference/unstructured/partition/audio.py:26`:
+   * speech-to-text segments become elements carrying `segment_start_seconds` /
+   * `segment_end_seconds`. KERNEL STUB: no STT model ships here, so segments are
+   * deterministic functions of the payload hash (count 1-3, 5 s apiece, text
+   * tagged with the segment ordinal); the element/explode shape, timing columns,
+   * and per-partition batching slot are the real plumbing a provider drops into.
+   */
+  def transcribeAudio(df: DataFrame, payload: String = "payload"): DataFrame = {
+    val nSegs = (pmod(xxhash64(col(payload)), lit(3)) + 1).cast("int")
+    df.withColumn("segment_idx", explode(sequence(lit(0), nSegs - 1)))
+      .withColumn("segment_start_seconds", (col("segment_idx") * 5).cast("double"))
+      .withColumn("segment_end_seconds", (col("segment_idx") * 5 + 5).cast("double"))
+      .withColumn("element_type", lit("NarrativeText"))
+      .withColumn("text",
+        concat(lit("[stt-stub segment "), col("segment_idx").cast("string"),
+          lit(" of "), abs(xxhash64(col(payload))).cast("string"), lit("]")))
+  }
 }

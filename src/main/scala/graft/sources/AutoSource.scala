@@ -42,10 +42,17 @@ object AutoSource {
           null.asInstanceOf[String], p.classifier)
       }
       val attached =
-        if (processAttachments && ft == FileType.Eml) {
-          val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
-          Partitioners.emailAttachments(text).flatMap { case (fn, body) =>
-            val (aft, aps) = Partitioners.partitionAuto(fn, body.getBytes("UTF-8"))
+        if (processAttachments && (ft == FileType.Eml || ft == FileType.Msg)) {
+          val items: Seq[(String, Array[Byte])] =
+            if (ft == FileType.Msg) MsgPartitioner.msgAttachments(content)
+            else {
+              val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+              Partitioners.emailAttachments(text).map { case (fn, body) =>
+                (fn, body.getBytes("UTF-8"))
+              }
+            }
+          items.flatMap { case (fn, body) =>
+            val (aft, aps) = Partitioners.partitionAuto(fn, body)
             aps.zipWithIndex.map { case (p, i) =>
               (path + "!" + fn, aft.mimeType, i + 1L, p.elementType.orNull,
                 p.categoryDepth, p.text, p.textAsHtml.orNull, p.pageNumber,

@@ -24,21 +24,24 @@ object FileType {
   case object Docx extends FileType("docx",
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document", Seq(".docx"))
   case object Eml extends FileType("eml", "message/rfc822", Seq(".eml", ".p7s"))
-  case object Epub extends FileType("epub", "application/epub+zip", Seq(".epub"), false)
+  case object Epub extends FileType("epub", "application/epub+zip", Seq(".epub"))
   case object Html extends FileType("html", "text/html", Seq(".html", ".htm"))
   case object Json extends FileType("json", "application/json", Seq(".json"))
   case object Md extends FileType("md", "text/markdown", Seq(".md", ".markdown"))
-  case object Msg extends FileType("msg", "application/vnd.ms-outlook", Seq(".msg"), false)
+  case object Msg extends FileType("msg", "application/vnd.ms-outlook", Seq(".msg"))
   case object Ndjson extends FileType("ndjson", "application/x-ndjson", Seq(".ndjson", ".jsonl"))
-  case object Odt extends FileType("odt", "application/vnd.oasis.opendocument.text", Seq(".odt"), false)
+  case object Odt extends FileType("odt", "application/vnd.oasis.opendocument.text", Seq(".odt"))
+  case object Org extends FileType("org", "text/org", Seq(".org"))
   case object Pdf extends FileType("pdf", "application/pdf", Seq(".pdf"), false)
   case object Ppt extends FileType("ppt", "application/vnd.ms-powerpoint", Seq(".ppt"), false)
   case object Pptx extends FileType("pptx",
     "application/vnd.openxmlformats-officedocument.presentationml.presentation", Seq(".pptx"))
-  case object Rst extends FileType("rst", "text/x-rst", Seq(".rst"), false)
-  case object Rtf extends FileType("rtf", "text/rtf", Seq(".rtf"), false)
+  case object Rst extends FileType("rst", "text/x-rst", Seq(".rst"))
+  case object Rtf extends FileType("rtf", "text/rtf", Seq(".rtf"))
   case object Tsv extends FileType("tsv", "text/tsv", Seq(".tsv"))
   case object Txt extends FileType("txt", "text/plain", Seq(".txt", ".text", ".log"))
+  case object Wav extends FileType("wav", "audio/wav",
+    Seq(".wav", ".mp3", ".m4a", ".flac", ".ogg"), false)
   case object Xls extends FileType("xls", "application/vnd.ms-excel", Seq(".xls"), false)
   case object Xlsx extends FileType("xlsx",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", Seq(".xlsx"))
@@ -47,7 +50,7 @@ object FileType {
   case object Unknown extends FileType("unknown", "application/octet-stream", Nil, false)
 
   lazy val all: Seq[FileType] = Seq(Csv, Doc, Docx, Eml, Epub, Html, Json, Md, Msg, Ndjson,
-    Odt, Pdf, Ppt, Pptx, Rst, Rtf, Tsv, Txt, Xls, Xlsx, Xml, Zip)
+    Odt, Org, Pdf, Ppt, Pptx, Rst, Rtf, Tsv, Txt, Wav, Xls, Xlsx, Xml, Zip)
 
   def fromExtension(ext: String): Option[FileType] = {
     val e = if (ext.startsWith(".")) ext.toLowerCase else "." + ext.toLowerCase
@@ -88,6 +91,7 @@ object DetectFiletype {
     else if (s.contains("xl/")) FileType.Xlsx
     else if (s.contains("ppt/")) FileType.Pptx
     else if (s.contains("mimetypeapplication/epub+zip")) FileType.Epub
+    else if (s.contains("mimetypeapplication/vnd.oasis.opendocument.text")) FileType.Odt
     else extOf(filename).flatMap(FileType.fromExtension).getOrElse(FileType.Zip)
   }
 
@@ -148,6 +152,8 @@ object DetectFiletype {
     else if (startsWith(head, OleMagic)) oleFamily(filename)
     else if (startsWith(head, "%PDF".getBytes)) FileType.Pdf
     else if (startsWith(head, "{\\rtf".getBytes)) FileType.Rtf
+    else if (startsWith(head, "RIFF".getBytes) || startsWith(head, "ID3".getBytes))
+      FileType.Wav
     else contentType.flatMap(FileType.fromMimeType) match {
       case Some(t) => t
       case None =>

@@ -323,8 +323,14 @@ object Partitioners {
       case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content)
       case FileType.Pptx => OoxmlPartitioner.partitionPptx(content)
       case FileType.Pdf => PdfPartitioner.partitionPdf(content) // fast strategy
+      case FileType.Rtf => ConvertedFormats.partitionRtf(text)
+      case FileType.Odt => ConvertedFormats.partitionOdt(content)
+      case FileType.Epub => ConvertedFormats.partitionEpub(content)
+      case FileType.Org => ConvertedFormats.partitionOrg(text)
+      case FileType.Rst => ConvertedFormats.partitionRst(text)
+      case FileType.Msg => MsgPartitioner.partitionMsg(content)._2
       case FileType.Json | FileType.Ndjson => Nil // rehydrate path (ElementSink.readNdjson)
-      case _ => Nil // external-tool formats (pdf hi_res/ocr, doc/ppt, …): pluggable stubs
+      case _ => Nil // external-tool formats (pdf hi_res/ocr, doc/ppt, audio): pluggable stubs
     }
     (ft, paras)
   }
