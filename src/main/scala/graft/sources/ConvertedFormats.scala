@@ -126,8 +126,11 @@ object ConvertedFormats {
             case "u" =>
               val cp = param.toString.toIntOption.getOrElse(63)
               para.append((if (cp < 0) cp + 65536 else cp).toChar)
-              // RTF spec: one fallback char follows \uN; consume it
-              if (k < n && rtf.charAt(k) != '\\' && rtf.charAt(k) != '{' &&
+              // RTF spec: one fallback char follows \uN; consume it. Word commonly
+              // emits the fallback as a hex escape (\uNNNN followed by \'hh), so a
+              // following \'hh is the fallback, not document text.
+              if (k + 4 <= n && rtf.charAt(k) == '\\' && rtf.charAt(k + 1) == '\'') k += 4
+              else if (k < n && rtf.charAt(k) != '\\' && rtf.charAt(k) != '{' &&
                 rtf.charAt(k) != '}') k += 1
             case _ => ()
           }
@@ -219,6 +222,35 @@ object ConvertedFormats {
   private val AttrRe = "([a-zA-Z:-]+)=\"([^\"]*)\"".r
   private val ItemrefRe = "<itemref [^>]*/?>".r
 
+  /** Percent-decode an href (no '+'-as-space: hrefs are paths, not query strings). */
+  private[sources] def percentDecode(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        scala.util.Try(Integer.parseInt(s.substring(i + 1, i + 3), 16)) match {
+          case scala.util.Success(v) => sb.append(v.toChar); i += 3
+          case _ => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Resolve an OPF-relative href against the OPF directory: percent-decode and
+    * collapse `./` / `../` segments so the zip-member lookup matches. */
+  private[sources] def resolveHref(dir: String, href: String): String = {
+    val segs = (dir + percentDecode(href)).split("/")
+    val out = segs.foldLeft(List.empty[String]) {
+      case (acc, "" | ".") => acc
+      case (_ :: rest, "..") => rest
+      case (acc, "..") => acc
+      case (acc, seg) => seg :: acc
+    }
+    out.reverse.mkString("/")
+  }
+
   /**
    * `partition_epub` — reference: pandoc -> HTML -> partition_html
    * (`partition/epub.py:15`). Native equivalent: read the OPF spine for chapter
@@ -243,10 +275,11 @@ object ConvertedFormats {
             case m if m.group(1) == "idref" => m.group(2)
           }
         }.toSeq
-        val fromSpine = spine.flatMap(id => hrefById.get(id)).map(dir + _)
+        val fromSpine = spine.flatMap(id => hrefById.get(id)).map(resolveHref(dir, _))
           .filter(byName.contains)
         if (fromSpine.nonEmpty) fromSpine
-        else members.map(_._1).filter(n => n.endsWith(".xhtml") || n.endsWith(".html"))
+        else members.map(_._1).filter(n =>
+          n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm"))
       case None =>
         members.map(_._1).filter(n =>
           n.endsWith(".xhtml") || n.endsWith(".html") || n.endsWith(".htm"))

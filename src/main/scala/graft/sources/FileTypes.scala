@@ -152,8 +152,11 @@ object DetectFiletype {
     else if (startsWith(head, OleMagic)) oleFamily(filename)
     else if (startsWith(head, "%PDF".getBytes)) FileType.Pdf
     else if (startsWith(head, "{\\rtf".getBytes)) FileType.Rtf
-    else if (startsWith(head, "RIFF".getBytes) || startsWith(head, "ID3".getBytes))
-      FileType.Wav
+    else if (startsWith(head, "RIFF".getBytes)) {
+      // RIFF heads WAV but also AVI/WebP — the form type at offset 8 decides.
+      val form = if (head.length >= 12) ascii(head.drop(8), 4) else ""
+      if (form == "WAVE") FileType.Wav else FileType.Unknown
+    } else if (startsWith(head, "ID3".getBytes)) FileType.Wav
     else contentType.flatMap(FileType.fromMimeType) match {
       case Some(t) => t
       case None =>

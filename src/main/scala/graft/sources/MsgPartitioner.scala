@@ -168,11 +168,14 @@ object MsgPartitioner {
         out
       } else readChain(e.startSector, e.size)
 
-    /** Entries with storage-qualified paths (red-black sibling walk from root). */
+    /** Entries with storage-qualified paths (red-black sibling walk from root).
+      * A visited set guards against sibling/child cycles in corrupt directories
+      * (which would otherwise recurse unboundedly and kill the task). */
     lazy val pathedEntries: Vector[DirEntry] = {
       val out = mutable.ArrayBuffer.empty[DirEntry]
+      val visited = mutable.Set.empty[Int]
       def walkSiblings(id: Int, prefix: String): Unit = {
-        if (id >= 0 && id < entries.length && id != 0xFFFFFFFF) {
+        if (id >= 0 && id < entries.length && id != 0xFFFFFFFF && visited.add(id)) {
           val e = entries(id)
           if (e.entryType == 1 || e.entryType == 2) {
             walkSiblings(e.leftId, prefix)
@@ -195,29 +198,76 @@ object MsgPartitioner {
       Some((name.substring(12, 16), name.substring(16, 20)))
     else None
 
-  private def decode(bytes: Array[Byte], typ: String): String = typ match {
-    case "001F" => new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
-    case "001E" => new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    case "0102" => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    case _ => ""
+  private def decode(bytes: Array[Byte], typ: String,
+      cs: java.nio.charset.Charset = java.nio.charset.StandardCharsets.ISO_8859_1): String =
+    typ match {
+      case "001F" => new String(bytes, java.nio.charset.StandardCharsets.UTF_16LE)
+      case "001E" => new String(bytes, cs)
+      case "0102" => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      case _ => ""
+    }
+
+  /** Fixed-width top-level properties from `__properties_version1.0` — 32-byte
+    * header then 16-byte entries tag(4) flags(4) value(8); PT_LONG/PT_SHORT/
+    * PT_BOOLEAN values surface as the low dword ([MS-OXMSG] 2.4; the reference's
+    * oxmsg reads the codepage this way). Keyed by 4-hex-digit property id. */
+  def fixedProps(cfb: Cfb): Map[String, Long] =
+    cfb.pathedEntries.find(e => e.entryType == 2 && !e.path.contains("/") &&
+        e.name == "__properties_version1.0").map { e =>
+      val b = cfb.readStream(e)
+      val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      val out = mutable.Map.empty[String, Long]
+      var off = 32
+      while (off + 16 <= b.length) {
+        val tag = bb.getInt(off).toLong & 0xFFFFFFFFL
+        val typ = (tag & 0xFFFFL).toInt
+        if (typ == 0x0003 || typ == 0x0002 || typ == 0x000B)
+          out(f"${(tag >> 16).toInt}%04X") = bb.getInt(off + 8).toLong & 0xFFFFFFFFL
+        off += 16
+      }
+      out.toMap
+    }.getOrElse(Map.empty)
+
+  /** PR_MESSAGE_CODEPAGE (3FFD) / PR_INTERNET_CPID (3FDE) → Java charset;
+    * ISO-8859-1 when absent or unmappable. Legacy non-Latin messages store
+    * PT_STRING8 bodies in this codepage. */
+  def messageCharset(cfb: Cfb): java.nio.charset.Charset = {
+    val props = fixedProps(cfb)
+    props.get("3FFD").orElse(props.get("3FDE")).flatMap { cp =>
+      val name = cp match {
+        case 65001 => "UTF-8"
+        case 1200 => "UTF-16LE"
+        case 932 => "windows-31j"
+        case 936 => "GBK"
+        case 949 => "x-windows-949"
+        case 950 => "Big5"
+        case 20127 => "US-ASCII"
+        case 28591 => "ISO-8859-1"
+        case n => "windows-" + n
+      }
+      scala.util.Try(java.nio.charset.Charset.forName(name)).toOption
+    }.getOrElse(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
   /** Top-level (non-storage) MAPI string properties, keyed by 4-hex-digit tag. */
-  def topLevelProps(cfb: Cfb): Map[String, String] =
+  def topLevelProps(cfb: Cfb): Map[String, String] = {
+    val cs = messageCharset(cfb)
     cfb.pathedEntries.iterator
       .filter(e => e.entryType == 2 && !e.path.contains("/"))
       .flatMap { e =>
-        substgTag(e.name).map { case (tag, typ) => tag -> decode(cfb.readStream(e), typ) }
+        substgTag(e.name).map { case (tag, typ) => tag -> decode(cfb.readStream(e), typ, cs) }
       }.toMap
+  }
 
   /** Recipient display names / addresses from `__recip_version1.0_#N` storages. */
   def recipients(cfb: Cfb): Seq[String] = {
+    val cs = messageCharset(cfb)
     val byStorage = cfb.pathedEntries
       .filter(e => e.entryType == 2 && e.path.startsWith("__recip_version1.0_"))
       .groupBy(_.path.takeWhile(_ != '/'))
     byStorage.toSeq.sortBy(_._1).map { case (_, es) =>
       val props = es.flatMap(e => substgTag(e.name).map { case (tag, typ) =>
-        tag -> decode(cfb.readStream(e), typ)
+        tag -> decode(cfb.readStream(e), typ, cs)
       }).toMap
       props.get("39FE").orElse(props.get("3003")).orElse(props.get("3001")).getOrElse("")
     }.filter(_.nonEmpty)
@@ -226,13 +276,14 @@ object MsgPartitioner {
   /** Attachments: (filename, bytes) from `__attach_version1.0_#N` storages. */
   def msgAttachments(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val cfb = new Cfb(bytes)
+    val cs = messageCharset(cfb)
     val byStorage = cfb.pathedEntries
       .filter(e => e.entryType == 2 && e.path.startsWith("__attach_version1.0_"))
       .groupBy(_.path.takeWhile(_ != '/'))
     byStorage.toSeq.sortBy(_._1).flatMap { case (_, es) =>
       val named = es.flatMap(e => substgTag(e.name).map { case (tag, typ) => (tag, typ, e) })
-      val fn = named.collectFirst { case ("3707", typ, e) => decode(cfb.readStream(e), typ) }
-        .orElse(named.collectFirst { case ("3704", typ, e) => decode(cfb.readStream(e), typ) })
+      val fn = named.collectFirst { case ("3707", typ, e) => decode(cfb.readStream(e), typ, cs) }
+        .orElse(named.collectFirst { case ("3704", typ, e) => decode(cfb.readStream(e), typ, cs) })
       val data = named.collectFirst { case ("3701", "0102", e) => cfb.readStream(e) }
       (fn, data) match {
         case (Some(f), Some(d)) if f.nonEmpty => Some(f -> d)
