@@ -113,6 +113,16 @@ object OracleSql {
       s"WHEN ${isPossibleTitle(x)} THEN 'Title' " +
       s"ELSE 'UncategorizedText' END)"
 
+  /** `derive_element_type_from_text` mirror (the HTML parser's cascade,
+    * `parser.py:921-936`); NULL = paragraph skipped. */
+  def deriveHtml(x: String): String =
+    s"(CASE WHEN ${isBulleted(x)} THEN 'ListItem' " +
+      s"WHEN ${isUsCityStateZip(x)} THEN 'Address' " +
+      s"WHEN ${isEmailAddr(x)} THEN 'EmailAddress' " +
+      s"WHEN length($x) < 2 THEN NULL " +
+      s"WHEN ${isPossibleNarrative(x)} THEN 'NarrativeText' " +
+      s"ELSE 'UncategorizedText' END)"
+
   /** Polynomial rolling hash mod 1e9+7 — mirrors `TextAnalysis.polyHash`. */
   def polyHash(x: String): String =
     s"list_reduce(list_prepend(0::BIGINT, " +

@@ -205,7 +205,8 @@ object Partitioners {
       case Some(p) if p.contentType == "text/html" =>
         HtmlPartitioner.partition(p.decoded)
       case Some(p) =>
-        TextSource.splitParagraphs(p.decoded).map(t => RawPara(t, None))
+        // plain body routes through partition_text -> TEXT cascade (email.py:152-160)
+        TextSource.splitParagraphs(p.decoded).map(t => RawPara(t, None, classifier = "text"))
       case None => Nil
     }
     (meta, paras)
@@ -284,7 +285,8 @@ object Partitioners {
 
   // ------------------------------------------------------------------- xml
 
-  /** Leaf-node text → text-pipeline paragraphs (`partition/xml.py:25`). */
+  /** Leaf-node text → text-pipeline paragraphs (`partition/xml.py:25`; each leaf
+    * classifies via `element_from_text` = the TEXT cascade, `xml.py:18,62-78`). */
   def partitionXml(xml: String): Seq[RawPara] = {
     val texts = mutable.ArrayBuffer.empty[String]
     val dom = HtmlPartitioner.parse(xml)
@@ -295,7 +297,7 @@ object Partitioners {
       case e: HtmlPartitioner.HElem => e.children.foreach(walk)
     }
     walk(dom)
-    texts.toSeq.map(t => RawPara(t, None))
+    texts.toSeq.map(t => RawPara(t, None, classifier = "text"))
   }
 
   // ------------------------------------------------------------------- auto router
