@@ -25,6 +25,7 @@ object SparkEntry {
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
       (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracles),
       (graft.queries.FormatQueries.queries, graft.queries.FormatQueries.oracles),
+      (graft.queries.BinaryFormatQueries.queries, graft.queries.BinaryFormatQueries.oracles),
       (graft.queries.LayoutQueries.queries, graft.queries.LayoutQueries.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -29,6 +29,17 @@ object Cleaners {
   /** One bullet not followed by another — `UNICODE_BULLETS_RE`, `patterns.py:55`. */
   val UnicodeBulletsRegex: String = s"(?:$BulletsPattern)(?!$BulletsPattern)"
 
+  private lazy val BulletAnchorRe = ("^" + UnicodeBulletsRegex).r
+
+  /** String-level `is_bulleted_text` for per-file parsers (`text_type.py:165-167`). */
+  def isBulletedTextStr(s: String): Boolean =
+    BulletAnchorRe.findFirstIn(s.strip).isDefined
+
+  /** String-level `clean_bullets` (`core.py:37-49`). */
+  def cleanBulletsStr(s: String): String =
+    if (!BulletAnchorRe.findFirstIn(s).isDefined) s
+    else BulletAnchorRe.replaceFirstIn(s, "").strip
+
   /**
    * Python-`str.strip()` equivalent: trims ALL leading/trailing whitespace (Spark's `trim`
    * only removes spaces).

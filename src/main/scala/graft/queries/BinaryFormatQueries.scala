@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Cleaners, TextAnalysis}
+import graft.queries.CorpusBytes.Doc
+import graft.queries.{OracleSql => O}
+import graft.sources.{ConvertedFormats, HtmlSource, MsgPartitioner, OoxmlPartitioner,
+  PdfPartitioner, TextSource}
+import graft.sources.HtmlPartitioner.RawPara
+
+/**
+ * Driver-visible coverage for the binary-format partitioners — DOCX, XLSX, PPTX,
+ * ODT, EPUB, PDF, MSG. [[CorpusBytes]] builds real container bytes (OPC/ODF zips,
+ * FlateDecode PDF, CFB) from `documents`-table fields inside the flatMap; the
+ * REAL partitioner parses them back; the DuckDB oracle predicts the output from
+ * the same fields without ever touching bytes. Container-level bugs (zip reads,
+ * sector chains, inflate, XML scanning, codepages) surface as hash mismatches.
+ */
+object BinaryFormatQueries {
+
+  private def docBase(s: SparkSession, dir: String): Dataset[Doc] = {
+    import s.implicits._
+    graft.Tables.read(s, dir, "documents").select(
+      col("doc_id").cast("long").as("docId"),
+      array_join(slice(TextAnalysis.words(col("text")), lit(1), lit(3)), " ").as("t3"),
+      split(col("text"), " merge ").as("ps"),
+      element_at(TextAnalysis.words(col("text")), 1).as("w1"),
+      col("source"),
+      col("n_chars").cast("long").as("nChars")).as[Doc]
+  }
+
+  /** Build → parse → type-resolve → dense reseq; the same classifier routing the
+    * production auto-router uses. */
+  private def partitionBinary(ds: Dataset[Doc], build: Doc => Array[Byte],
+      parse: Array[Byte] => Seq[RawPara]): DataFrame = {
+    val sp = ds.sparkSession
+    import sp.implicits._
+    val raw = ds.flatMap { d =>
+      parse(build(d)).zipWithIndex.map { case (p, i) =>
+        (d.docId, i + 1L, p.elementType.orNull, p.categoryDepth, p.text,
+          p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull, p.classifier)
+      }
+    }.toDF("doc_id", "seq", "raw_type", "category_depth", "raw_text",
+      "text_as_html", "page_number", "page_name", "classifier")
+    val derived = HtmlSource.classifierCascade(col("classifier"), col("raw_text"))
+    val typed = raw.select(
+      col("doc_id"), col("seq"),
+      coalesce(col("raw_type"), derived).as("element_type"),
+      HtmlSource.adjustedDepth(col("classifier"), col("raw_type"), derived,
+        col("category_depth")).as("category_depth"),
+      when(col("raw_type").isNull && derived === "ListItem",
+        Cleaners.cleanBullets(col("raw_text")))
+        .otherwise(col("raw_text")).as("text"),
+      col("text_as_html"), col("page_number"), col("page_name"))
+      .filter(col("element_type").isNotNull && col("text") =!= "")
+    TextSource.resequence(typed)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_partition_docx" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.docx, OoxmlPartitioner.partitionDocx)
+        .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
+          col("text"), col("text_as_html"), col("page_number"))
+        .orderBy("doc_id", "seq")),
+
+    "q_partition_xlsx" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.xlsx,
+        b => OoxmlPartitioner.partitionXlsx(b))
+        .select(col("doc_id"), col("seq"), col("element_type"), col("text"),
+          col("text_as_html"), col("page_number"), col("page_name"))
+        .orderBy("doc_id", "seq")),
+
+    "q_partition_pptx" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.pptx, OoxmlPartitioner.partitionPptx)
+        .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
+          col("text"), col("page_number"))
+        .orderBy("doc_id", "seq")),
+
+    "q_partition_odt" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.odt, ConvertedFormats.partitionOdt)
+        .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
+          col("text"), col("text_as_html"))
+        .orderBy("doc_id", "seq")),
+
+    "q_partition_epub" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.epub, ConvertedFormats.partitionEpub)
+        .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
+          col("text"))
+        .orderBy("doc_id", "seq")),
+
+    "q_partition_pdf" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.pdf, PdfPartitioner.partitionPdf)
+        .select(col("doc_id"), col("seq"), col("element_type"), col("text"),
+          col("page_number"))
+        .orderBy("doc_id", "seq")),
+
+    "q_partition_msg" -> ((s, dir) => {
+      import s.implicits._
+      val raw = docBase(s, dir).flatMap { d =>
+        val (meta, paras) = MsgPartitioner.partitionMsg(CorpusBytes.msg(d))
+        paras.zipWithIndex.map { case (p, i) =>
+          (d.docId, i + 1L, p.elementType.orNull, p.text, p.classifier,
+            meta.subject.orNull, meta.sentFrom.mkString(","), meta.sentTo.mkString(","))
+        }
+      }.toDF("doc_id", "seq", "raw_type", "raw_text", "classifier",
+        "subject", "sent_from", "sent_to")
+      val derived = HtmlSource.classifierCascade(col("classifier"), col("raw_text"))
+      val typed = raw.select(
+        col("doc_id"), col("seq"),
+        coalesce(col("raw_type"), derived).as("element_type"),
+        col("raw_text").as("text"),
+        col("subject"), col("sent_from"), col("sent_to"))
+        .filter(col("element_type").isNotNull && col("text") =!= "")
+      TextSource.resequence(typed).orderBy("doc_id", "seq")
+    }))
+
+  // ----------------------------------------------------------------- oracles
+
+  private val base =
+    s"""SELECT doc_id, string_split(text, ' merge ') AS ps,
+       |  array_to_string(list_slice(${O.words("text")}, 1, 3), ' ') AS title3,
+       |  (${O.words("text")})[1] AS w1, source, n_chars
+       |FROM documents""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_partition_docx" -> {
+      val mixed = "('A&B ' || w1)"
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
+         |    0 AS category_depth, title3 AS text, NULL AS text_as_html, 1 AS page_number
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.deriveDocx("ps[i]")}, NULL, ps[i], NULL, 1
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, 'ListItem', 1, 'item ' || (doc_id % 5), NULL, 1 FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3, 1, ${O.deriveDocx(mixed)}, NULL, $mixed, NULL, 1 FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 4, 1, ${O.deriveDocx("('page two ' || source)")}, NULL,
+         |    'page two ' || source, NULL, 2 FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 5, 1, 'Table', NULL, 'k ' || source,
+         |    '<table><tr><td>k</td><td>' || source || '</td></tr></table>', 2 FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, category_depth, text, text_as_html, page_number
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
+
+    "q_partition_xlsx" ->
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, ${O.classify("('Report ' || source)")} AS element_type,
+         |    'Report ' || source AS text, NULL AS text_as_html FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, 'Table',
+         |    'k v' || chr(10) || w1 || ' ' || n_chars,
+         |    '<table><tr><td>k</td><td>v</td></tr><tr><td>' || w1 || '</td><td>' ||
+         |      n_chars || '</td></tr></table>' FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'Table',
+         |    'x y' || chr(10) || 'end ' || doc_id,
+         |    '<table><tr><td>x</td><td>y</td></tr><tr><td>end</td><td>' || doc_id ||
+         |      '</td></tr></table>' FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS seq,
+         |  element_type, text, text_as_html, 1 AS page_number, 'S1' AS page_name
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
+
+    "q_partition_pptx" -> {
+      val closing = "('closing remarks ' || source)"
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
+         |    0 AS category_depth, title3 AS text, 1 AS page_number FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.derivePptx("ps[i]")},
+         |    CASE WHEN ${O.derivePptx("ps[i]")} = 'Title' THEN 1 ELSE 0 END, ps[i], 1
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, 'ListItem', 0, 'item ' || (doc_id % 5), 1 FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3, 1, 'Title', 0, 'Next ' || w1, 2 FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 4, 1, ${O.derivePptx(closing)},
+         |    CASE WHEN ${O.derivePptx(closing)} = 'Title' THEN 1 ELSE 0 END,
+         |    'closing remarks ' || source, 2 FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, category_depth, text, page_number
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
+
+    "q_partition_odt" ->
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
+         |    0 AS category_depth, title3 AS text, NULL AS text_as_html FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.classify("ps[i]")}, NULL, ps[i], NULL
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, 'ListItem', 0, 'item ' || (doc_id % 5), NULL FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 2, 2, 'ListItem', 0, 'second item', NULL FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3, 1, 'Table', NULL, 'k ' || source,
+         |    '<table><tr><td>k</td><td>' || source || '</td></tr></table>' FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, category_depth, text, text_as_html
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
+
+    "q_partition_epub" -> {
+      val closing = "('closing ' || source)"
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
+         |    0 AS category_depth, title3 AS text FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.deriveHtml("ps[i]")}, NULL, ps[i]
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  WHERE ${O.deriveHtml("ps[i]")} IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, 'Title', 1, 'The End' FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3, 1, ${O.deriveHtml(closing)}, NULL, 'closing ' || source
+         |  FROM base WHERE ${O.deriveHtml(closing)} IS NOT NULL)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, category_depth, text
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
+
+    "q_partition_pdf" -> {
+      val cafe = s"(CASE WHEN i = 1 THEN 'caf' || chr(233) || ' (plus) ' || ps[i] " +
+        "ELSE ps[i] END)"
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, ${O.classify("title3")} AS element_type,
+         |    title3 AS text, 1 AS page_number FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.classify(cafe)}, $cafe, 1
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, ${O.classify("('page two ' || source)")},
+         |    'page two ' || source, 2 FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, text, page_number
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
+
+    "q_partition_msg" -> {
+      val cafe = s"(CASE WHEN i = 1 THEN 'caf' || chr(233) || ' ' || ps[i] ELSE ps[i] END)"
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type, title3 AS text
+         |  FROM base WHERE doc_id % 2 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.deriveHtml("ps[i]")}, ps[i]
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  WHERE doc_id % 2 = 0 AND ${O.deriveHtml("ps[i]")} IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.classify(cafe)}, $cafe
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  WHERE doc_id % 2 = 1)
+         |SELECT r.doc_id,
+         |  row_number() OVER (PARTITION BY r.doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, text,
+         |  'Update ' || b.title3 AS subject,
+         |  '"Alice" <' || b.source || '@example.com>' AS sent_from,
+         |  'bob@example.com,carol@example.com' AS sent_to
+         |FROM rows0 r JOIN base b USING (doc_id)
+         |ORDER BY doc_id, seq""".stripMargin
+    })
+}

@@ -1,0 +1,402 @@
+package graft.queries
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16LE, UTF_8}
+import java.util.zip.{CRC32, Deflater, ZipEntry, ZipOutputStream}
+
+import scala.collection.mutable
+
+/**
+ * Deterministic in-memory document builders for the binary-format coverage
+ * queries: OPC/ODF zip packages, a minimal PDF with FlateDecode content streams,
+ * and a from-scratch CFB (OLE2) container for Outlook .msg. These are
+ * CONSTRUCTION-side only — independent of the parsers they feed
+ * ([[graft.sources.OoxmlPartitioner]], [[graft.sources.PdfPartitioner]],
+ * [[graft.sources.MsgPartitioner]]): a parser bug surfaces as a mismatch against
+ * the DuckDB oracle's construction-predicted output, not a silently shared code
+ * path.
+ */
+object CorpusBytes {
+
+  /** The per-document fields every corpus derives from (mirrored in oracle SQL). */
+  final case class Doc(docId: Long, t3: String, ps: Seq[String], w1: String,
+      source: String, nChars: Long)
+
+  def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  // -------------------------------------------------------------------- ZIP (OPC)
+
+  /** All entries STORED (uncompressed) so member names AND contents stay
+    * byte-sniffable; timestamps pinned for determinism. */
+  def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    entries.foreach { case (name, data) =>
+      val e = new ZipEntry(name)
+      e.setMethod(ZipEntry.STORED)
+      e.setSize(data.length.toLong)
+      e.setCompressedSize(data.length.toLong)
+      val crc = new CRC32(); crc.update(data); e.setCrc(crc.getValue)
+      e.setTime(315532800000L) // 1980-01-01, the zip epoch
+      zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------------ DOCX
+
+  /** Heading + prose + numPr list item + split-run escape + page break + table. */
+  def docx(d: Doc): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\"?><w:document><w:body>")
+    sb.append("<w:p><w:pPr><w:pStyle w:val=\"Heading1\"/></w:pPr><w:r><w:t>")
+      .append(xmlEscape(d.t3)).append("</w:t></w:r></w:p>")
+    d.ps.foreach { p =>
+      sb.append("<w:p><w:r><w:t>").append(xmlEscape(p)).append("</w:t></w:r></w:p>")
+    }
+    sb.append("<w:p><w:pPr><w:numPr><w:ilvl w:val=\"1\"/><w:numId w:val=\"1\"/>")
+      .append("</w:numPr></w:pPr><w:r><w:t>item ").append(d.docId % 5)
+      .append("</w:t></w:r></w:p>")
+    // two runs + an XML escape: joined text is "A&B <w1>"
+    sb.append("<w:p><w:r><w:t xml:space=\"preserve\">A&amp;B </w:t></w:r><w:r><w:t>")
+      .append(xmlEscape(d.w1)).append("</w:t></w:r></w:p>")
+    sb.append("<w:p><w:r><w:br w:type=\"page\"/></w:r></w:p>")
+    sb.append("<w:p><w:r><w:t>page two ").append(xmlEscape(d.source))
+      .append("</w:t></w:r></w:p>")
+    sb.append("<w:tbl><w:tr><w:tc><w:p><w:r><w:t>k</w:t></w:r></w:p></w:tc>")
+      .append("<w:tc><w:p><w:r><w:t>").append(xmlEscape(d.source))
+      .append("</w:t></w:r></w:p></w:tc></w:tr></w:tbl>")
+    sb.append("</w:body></w:document>")
+    zip(Seq(
+      "[Content_Types].xml" -> "<?xml version=\"1.0\"?><Types/>".getBytes(UTF_8),
+      "word/document.xml" -> sb.toString.getBytes(UTF_8)))
+  }
+
+  // ------------------------------------------------------------------------ XLSX
+
+  /** One sheet, two connected components: a leading single-cell title row over a
+    * 2x2 core, an empty row gap, then a second 2x2 block. Strings go through
+    * sharedStrings, numbers are inline `<v>`. */
+  def xlsx(d: Doc): Array[Byte] = {
+    val shared = Seq(s"Report ${d.source}", "k", "v", d.w1, "x", "y", "end")
+    val ss = "<?xml version=\"1.0\"?><sst>" +
+      shared.map(s => s"<si><t>${xmlEscape(s)}</t></si>").mkString + "</sst>"
+    val wb = "<?xml version=\"1.0\"?><workbook><sheets>" +
+      "<sheet name=\"S1\" sheetId=\"1\"/></sheets></workbook>"
+    val sheet = "<?xml version=\"1.0\"?><worksheet><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c></row>" +
+      "<row r=\"2\"><c r=\"A2\" t=\"s\"><v>1</v></c><c r=\"B2\" t=\"s\"><v>2</v></c></row>" +
+      s"""<row r="3"><c r="A3" t="s"><v>3</v></c><c r="B3"><v>${d.nChars}</v></c></row>""" +
+      "<row r=\"5\"><c r=\"A5\" t=\"s\"><v>4</v></c><c r=\"B5\" t=\"s\"><v>5</v></c></row>" +
+      s"""<row r="6"><c r="A6" t="s"><v>6</v></c><c r="B6"><v>${d.docId}</v></c></row>""" +
+      "</sheetData></worksheet>"
+    zip(Seq(
+      "xl/workbook.xml" -> wb.getBytes(UTF_8),
+      "xl/sharedStrings.xml" -> ss.getBytes(UTF_8),
+      "xl/worksheets/sheet1.xml" -> sheet.getBytes(UTF_8)))
+  }
+
+  // ------------------------------------------------------------------------ PPTX
+
+  /** Slide 1: title placeholder + body paragraphs + one buChar bullet;
+    * slide 2: ctrTitle + one body paragraph. */
+  def pptx(d: Doc): Array[Byte] = {
+    def sp(body: String): String = s"<p:sp>$body</p:sp>"
+    def ap(text: String): String = s"<a:p><a:r><a:t>${xmlEscape(text)}</a:t></a:r></a:p>"
+    val slide1 = "<?xml version=\"1.0\"?><p:sld><p:cSld><p:spTree>" +
+      sp("<p:nvSpPr><p:nvPr><p:ph type=\"title\"/></p:nvPr></p:nvSpPr><p:txBody>" +
+        ap(d.t3) + "</p:txBody>") +
+      sp("<p:txBody>" + d.ps.map(ap).mkString +
+        s"""<a:p><a:pPr><a:buChar char="•"/></a:pPr><a:r><a:t>item ${d.docId % 5}</a:t></a:r></a:p>""" +
+        "</p:txBody>") +
+      "</p:spTree></p:cSld></p:sld>"
+    val slide2 = "<?xml version=\"1.0\"?><p:sld><p:cSld><p:spTree>" +
+      sp("<p:nvSpPr><p:nvPr><p:ph type=\"ctrTitle\"/></p:nvPr></p:nvSpPr><p:txBody>" +
+        ap(s"Next ${d.w1}") + "</p:txBody>") +
+      sp("<p:txBody>" + ap(s"closing remarks ${d.source}") + "</p:txBody>") +
+      "</p:spTree></p:cSld></p:sld>"
+    zip(Seq(
+      "ppt/slides/slide1.xml" -> slide1.getBytes(UTF_8),
+      "ppt/slides/slide2.xml" -> slide2.getBytes(UTF_8)))
+  }
+
+  // ------------------------------------------------------------------------- ODT
+
+  def odt(d: Doc): Array[Byte] = {
+    val content = "<?xml version=\"1.0\"?><office:document-content><office:body>" +
+      "<office:text>" +
+      s"""<text:h text:outline-level="1">${xmlEscape(d.t3)}</text:h>""" +
+      d.ps.map(p => s"<text:p>${xmlEscape(p)}</text:p>").mkString +
+      "<text:list><text:list-item><text:p>item " + (d.docId % 5) +
+      "</text:p></text:list-item>" +
+      "<text:list-item><text:p>second item</text:p></text:list-item></text:list>" +
+      "<table:table><table:table-row>" +
+      "<table:table-cell><text:p>k</text:p></table:table-cell>" +
+      s"<table:table-cell><text:p>${xmlEscape(d.source)}</text:p></table:table-cell>" +
+      "</table:table-row></table:table>" +
+      "</office:text></office:body></office:document-content>"
+    zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes(UTF_8),
+      "content.xml" -> content.getBytes(UTF_8)))
+  }
+
+  // ------------------------------------------------------------------------ EPUB
+
+  /** Two spine chapters; chapter 1's href is percent-encoded AND `../`-relative
+    * to exercise href resolution. */
+  def epub(d: Doc): Array[Byte] = {
+    val opf = "<?xml version=\"1.0\"?><package><manifest>" +
+      "<item id=\"c1\" href=\"text/../ch%201.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "<item id=\"c2\" href=\"ch2.xhtml\" media-type=\"application/xhtml+xml\"/>" +
+      "</manifest><spine><itemref idref=\"c1\"/><itemref idref=\"c2\"/></spine></package>"
+    val ch1 = s"<html><body><h1>${xmlEscape(d.t3)}</h1>" +
+      d.ps.map(p => s"<p>${xmlEscape(p)}</p>").mkString + "</body></html>"
+    val ch2 = s"<html><body><h2>The End</h2><p>closing ${xmlEscape(d.source)}</p></body></html>"
+    zip(Seq(
+      "mimetype" -> "application/epub+zip".getBytes(UTF_8),
+      "OEBPS/content.opf" -> opf.getBytes(UTF_8),
+      "OEBPS/ch 1.xhtml" -> ch1.getBytes(UTF_8),
+      "OEBPS/ch2.xhtml" -> ch2.getBytes(UTF_8)))
+  }
+
+  // ------------------------------------------------------------------------- PDF
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Escape a PDF paren-string (parens + backslash). */
+  private def pdfStr(s: String): String =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /**
+   * Two-page PDF, FlateDecode content streams. Page 1: title line + paragraphs,
+   * the first carrying an octal escape (`\351` = é) and escaped parens; page 2 a
+   * single line. Lines break on `TD` y-motion.
+   */
+  def pdf(d: Doc): Array[Byte] = {
+    def content(lines: Seq[String]): Array[Byte] = {
+      val body = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i > 0) body.append("0 -16 TD ")
+        body.append("(").append(l).append(") Tj ")
+      }
+      body.append("ET")
+      deflate(body.toString.getBytes(ISO_8859_1))
+    }
+    val page1 = content(
+      pdfStr(d.t3) +: d.ps.zipWithIndex.map { case (p, i) =>
+        if (i == 0) "caf\\351 \\(plus\\) " + pdfStr(p) else pdfStr(p)
+      })
+    val page2 = content(Seq("page two " + pdfStr(d.source)))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${page1.length} /Filter /FlateDecode >> stream\n")
+    out.write(page1); w("endstream endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${page2.length} /Filter /FlateDecode >> stream\n")
+    out.write(page2); w("endstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------- CFB / MSG
+
+  private val FreeSect = 0xFFFFFFFF
+  private val EndOfChain = 0xFFFFFFFE
+  private val FatSect = 0xFFFFFFFD
+
+  private final case class CfbNode(name: String, isStorage: Boolean,
+      data: Array[Byte], children: mutable.ArrayBuffer[CfbNode] = mutable.ArrayBuffer())
+
+  /**
+   * Write a Compound File Binary v3 container: 512-byte sectors, 64-byte mini
+   * sectors, 4096 mini cutoff. Every stream here is small, so stream data lives
+   * in the root mini stream with a real miniFAT — the same layout Outlook writes
+   * and the same path [[graft.sources.MsgPartitioner.Cfb]] reads.
+   * Directory siblings form a rightId chain (a legal, if unbalanced, red-black
+   * tree).
+   */
+  def cfb(streams: Seq[(String, Array[Byte])]): Array[Byte] = {
+    // ---- build the storage tree
+    val root = CfbNode("Root Entry", isStorage = true, Array.empty)
+    streams.foreach { case (path, data) =>
+      val parts = path.split("/")
+      var cur = root
+      parts.dropRight(1).foreach { seg =>
+        cur = cur.children.find(_.name == seg).getOrElse {
+          val n = CfbNode(seg, isStorage = true, Array.empty)
+          cur.children += n; n
+        }
+      }
+      cur.children += CfbNode(parts.last, isStorage = false, data)
+    }
+
+    // ---- assign directory ids (root first, then DFS)
+    val order = mutable.ArrayBuffer.empty[CfbNode]
+    def visit(n: CfbNode): Unit = { order += n; n.children.foreach(visit) }
+    visit(root)
+    // reference identity — structurally equal nodes (same name in two storages)
+    // must keep distinct ids
+    def idOf(n: CfbNode): Int = order.indexWhere(_ eq n)
+
+    // ---- mini stream: each stream padded to 64B; record first mini sector
+    val miniData = new ByteArrayOutputStream()
+    val miniStart = mutable.Map.empty[Int, Int] // dir id -> first mini sector
+    val miniChainLinks = mutable.ArrayBuffer.empty[Int]
+    order.foreach { n =>
+      if (!n.isStorage && n.data.nonEmpty) {
+        val first = miniData.size() / 64
+        miniStart(idOf(n)) = first
+        val nSect = (n.data.length + 63) / 64
+        miniData.write(n.data)
+        val pad = nSect * 64 - n.data.length
+        miniData.write(new Array[Byte](pad))
+        (0 until nSect).foreach { i =>
+          miniChainLinks += (if (i == nSect - 1) EndOfChain else first + i + 1)
+        }
+      }
+    }
+    val miniBytes = miniData.toByteArray
+
+    // ---- regular sector layout: [dir][miniFAT][miniStream][FAT]
+    val nDirSectors = math.max(1, (order.length * 128 + 511) / 512)
+    val nMiniFatSectors = (miniChainLinks.length * 4 + 511) / 512
+    val nMiniStreamSectors = (miniBytes.length + 511) / 512
+    val dirStart = 0
+    val miniFatStartSector = dirStart + nDirSectors
+    val miniStreamStartSector = miniFatStartSector + nMiniFatSectors
+    val fatStartSector = miniStreamStartSector + nMiniStreamSectors
+    // one FAT sector covers 128 sectors — enough for this corpus, assert anyway
+    val nFatSectors = (fatStartSector + 1 + 127) / 128
+    require(nFatSectors <= 109, "corpus CFB exceeds header DIFAT")
+    val totalSectors = fatStartSector + nFatSectors
+
+    // ---- FAT
+    val fat = Array.fill(nFatSectors * 128)(FreeSect)
+    def chainRange(start: Int, count: Int): Unit =
+      (0 until count).foreach { i =>
+        fat(start + i) = if (i == count - 1) EndOfChain else start + i + 1
+      }
+    chainRange(dirStart, nDirSectors)
+    if (nMiniFatSectors > 0) chainRange(miniFatStartSector, nMiniFatSectors)
+    if (nMiniStreamSectors > 0) chainRange(miniStreamStartSector, nMiniStreamSectors)
+    (0 until nFatSectors).foreach(i => fat(fatStartSector + i) = FatSect)
+
+    // ---- directory sectors
+    val dirBytes = new Array[Byte](nDirSectors * 512)
+    val db = ByteBuffer.wrap(dirBytes).order(ByteOrder.LITTLE_ENDIAN)
+    // empty entries: type 0, ids -1
+    (0 until dirBytes.length / 128).foreach { i =>
+      db.putInt(i * 128 + 68, FreeSect)
+      db.putInt(i * 128 + 72, FreeSect)
+      db.putInt(i * 128 + 76, FreeSect)
+    }
+    order.foreach { n =>
+      val base = idOf(n) * 128
+      val nameBytes = n.name.getBytes(UTF_16LE)
+      System.arraycopy(nameBytes, 0, dirBytes, base, math.min(nameBytes.length, 62))
+      db.putShort(base + 64, (math.min(nameBytes.length, 62) + 2).toShort)
+      dirBytes(base + 66) = if (n eq root) 5.toByte else if (n.isStorage) 1.toByte else 2.toByte
+      dirBytes(base + 67) = 1 // black
+      db.putInt(base + 68, FreeSect) // leftId
+      // rightId: next sibling in parent's child list
+      val parent = order.find(p => p.children.exists(_ eq n))
+      val right = parent.flatMap { p =>
+        val i = p.children.indexWhere(_ eq n)
+        if (i >= 0 && i + 1 < p.children.length) Some(idOf(p.children(i + 1))) else None
+      }
+      db.putInt(base + 72, right.getOrElse(FreeSect))
+      val child = if (n.children.nonEmpty) idOf(n.children.head) else FreeSect
+      db.putInt(base + 76, child)
+      if (n eq root) {
+        db.putInt(base + 116, if (nMiniStreamSectors > 0) miniStreamStartSector else EndOfChain)
+        db.putLong(base + 120, miniBytes.length.toLong)
+      } else if (!n.isStorage) {
+        db.putInt(base + 116, if (n.data.nonEmpty) miniStart(idOf(n)) else EndOfChain)
+        db.putLong(base + 120, n.data.length.toLong)
+      }
+    }
+
+    // ---- assemble: header + sectors
+    val out = new Array[Byte]((totalSectors + 1) * 512)
+    val hb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    hb.putLong(0, 0xE11AB1A1E011CFD0L)
+    hb.putShort(24, 0x3E.toShort) // minor
+    hb.putShort(26, 3.toShort) // major (v3)
+    hb.putShort(28, 0xFFFE.toShort) // byte order
+    hb.putShort(30, 9.toShort) // sector shift
+    hb.putShort(32, 6.toShort) // mini shift
+    hb.putInt(44, nFatSectors)
+    hb.putInt(48, dirStart)
+    hb.putInt(56, 4096) // mini cutoff
+    hb.putInt(60, if (nMiniFatSectors > 0) miniFatStartSector else EndOfChain)
+    hb.putInt(64, nMiniFatSectors)
+    hb.putInt(68, EndOfChain) // no DIFAT chain
+    hb.putInt(72, 0)
+    (0 until 109).foreach(i =>
+      hb.putInt(76 + i * 4, if (i < nFatSectors) fatStartSector + i else FreeSect))
+
+    def sectorOff(s: Int): Int = (s + 1) * 512
+    System.arraycopy(dirBytes, 0, out, sectorOff(dirStart), dirBytes.length)
+    val mfBytes = new Array[Byte](nMiniFatSectors * 512)
+    val mfb = ByteBuffer.wrap(mfBytes).order(ByteOrder.LITTLE_ENDIAN)
+    java.util.Arrays.fill(mfBytes, 0xFF.toByte) // free
+    miniChainLinks.zipWithIndex.foreach { case (l, i) => mfb.putInt(i * 4, l) }
+    System.arraycopy(mfBytes, 0, out, sectorOff(miniFatStartSector), mfBytes.length)
+    System.arraycopy(miniBytes, 0, out, sectorOff(miniStreamStartSector), miniBytes.length)
+    val fatBytes = new Array[Byte](nFatSectors * 512)
+    val fb = ByteBuffer.wrap(fatBytes).order(ByteOrder.LITTLE_ENDIAN)
+    fat.zipWithIndex.foreach { case (v, i) => fb.putInt(i * 4, v) }
+    System.arraycopy(fatBytes, 0, out, sectorOff(fatStartSector), fatBytes.length)
+    out
+  }
+
+  /** Outlook message: UTF-16 subject/sender props, cp1252 PT_STRING8 text body
+    * (odd doc_id — exercises the codepage property), UTF-8 PT_BINARY HTML body
+    * (even doc_id), two recipient storages. */
+  def msg(d: Doc): Array[Byte] = {
+    def u16(s: String): Array[Byte] = s.getBytes(UTF_16LE)
+    val propsStream = {
+      // 32-byte header + one PT_LONG entry: PR_MESSAGE_CODEPAGE = 1252
+      val b = ByteBuffer.allocate(48).order(ByteOrder.LITTLE_ENDIAN)
+      b.position(32)
+      b.putInt(0x3FFD0003) // tag
+      b.putInt(0x00000006) // flags (readable|writable)
+      b.putInt(1252); b.putInt(0)
+      b.array()
+    }
+    val body: (String, Array[Byte]) =
+      if (d.docId % 2 == 0) {
+        val html = s"<html><body><h1>${xmlEscape(d.t3)}</h1>" +
+          d.ps.map(p => s"<p>${xmlEscape(p)}</p>").mkString + "</body></html>"
+        "__substg1.0_10130102" -> html.getBytes(UTF_8)
+      } else {
+        val text = "café " + d.ps.mkString("\n\n")
+        "__substg1.0_1000001E" -> text.getBytes("windows-1252")
+      }
+    cfb(Seq(
+      "__properties_version1.0" -> propsStream,
+      "__substg1.0_0037001F" -> u16(s"Update ${d.t3}"),
+      "__substg1.0_0C1A001F" -> u16("Alice"),
+      "__substg1.0_0C1F001F" -> u16(s"${d.source}@example.com"),
+      body,
+      "__recip_version1.0_#00000000/__substg1.0_3001001F" -> u16("Bob"),
+      "__recip_version1.0_#00000000/__substg1.0_39FE001F" -> u16("bob@example.com"),
+      "__recip_version1.0_#00000001/__substg1.0_39FE001F" -> u16("carol@example.com")))
+  }
+}

@@ -46,13 +46,12 @@ object FormatQueries {
         }
       }.toDF("doc_id", "seq", "raw_type", "category_depth", "raw_text",
         "text_as_html", "classifier")
-    val derived = when(col("classifier") === "text",
-      graft.functions.Predicates.classifyText(col("raw_text")))
-      .otherwise(HtmlSource.deriveElementType(col("raw_text")))
+    val derived = HtmlSource.classifierCascade(col("classifier"), col("raw_text"))
     val typed = raw.select(
       col("doc_id"), col("seq"),
       coalesce(col("raw_type"), derived).as("element_type"),
-      col("category_depth"),
+      HtmlSource.adjustedDepth(col("classifier"), col("raw_type"), derived,
+        col("category_depth")).as("category_depth"),
       when(col("raw_type").isNull && derived === "ListItem",
         Cleaners.cleanBullets(col("raw_text")))
         .otherwise(col("raw_text")).as("text"),
@@ -168,9 +167,7 @@ object FormatQueries {
           }
         }.toDF("doc_id", "seq", "raw_type", "raw_text", "classifier",
           "subject", "sent_from", "sent_to", "message_id")
-      val derived = when(col("classifier") === "text",
-        graft.functions.Predicates.classifyText(col("raw_text")))
-        .otherwise(HtmlSource.deriveElementType(col("raw_text")))
+      val derived = HtmlSource.classifierCascade(col("classifier"), col("raw_text"))
       val typed = raw.select(
         col("doc_id"), col("seq"),
         coalesce(col("raw_type"), derived).as("element_type"),

@@ -123,6 +123,20 @@ object OracleSql {
       s"WHEN ${isPossibleNarrative(x)} THEN 'NarrativeText' " +
       s"ELSE 'UncategorizedText' END)"
 
+  /** DOCX untyped-paragraph cascade mirror (`docx.py:938-951`): never NULL. */
+  def deriveDocx(x: String): String =
+    s"(CASE WHEN ${isUsCityStateZip(x)} THEN 'Address' " +
+      s"WHEN ${isEmailAddr(x)} THEN 'EmailAddress' " +
+      s"WHEN ${isPossibleNarrative(x)} THEN 'NarrativeText' " +
+      s"ELSE 'UncategorizedText' END)"
+
+  /** PPTX body-paragraph cascade mirror (`pptx.py:225-245`): never NULL. */
+  def derivePptx(x: String): String =
+    s"(CASE WHEN ${isEmailAddr(x)} THEN 'EmailAddress' " +
+      s"WHEN ${isPossibleNarrative(x)} THEN 'NarrativeText' " +
+      s"WHEN ${isPossibleTitle(x)} THEN 'Title' " +
+      s"ELSE 'UncategorizedText' END)"
+
   /** Polynomial rolling hash mod 1e9+7 — mirrors `TextAnalysis.polyHash`. */
   def polyHash(x: String): String =
     s"list_reduce(list_prepend(0::BIGINT, " +

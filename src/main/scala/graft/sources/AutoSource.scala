@@ -65,14 +65,14 @@ object AutoSource {
       "text_as_html", "page_number", "page_name", "attached_to_filename", "classifier")
 
     // untyped paragraphs derive per their source's cascade: the text partitioner's
-    // first-match classifier (has Title) vs the HTML parser's derive rules
-    val derived = when(col("classifier") === "text",
-      graft.functions.Predicates.classifyText(col("raw_text")))
-      .otherwise(HtmlSource.deriveElementType(col("raw_text")))
+    // first-match classifier (has Title), the DOCX/PPTX variants, or the HTML
+    // parser's derive rules
+    val derived = HtmlSource.classifierCascade(col("classifier"), col("raw_text"))
     val typed = raw.select(
       col("doc_id"), col("filetype"), col("seq"),
       coalesce(col("raw_type"), derived).as("element_type"),
-      col("category_depth"),
+      HtmlSource.adjustedDepth(col("classifier"), col("raw_type"), derived,
+        col("category_depth")).as("category_depth"),
       when(col("raw_type").isNull && derived === "ListItem",
         Cleaners.cleanBullets(col("raw_text")))
         .otherwise(col("raw_text")).as("text"),

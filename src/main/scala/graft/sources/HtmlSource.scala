@@ -24,6 +24,40 @@ object HtmlSource {
       .when(Predicates.isPossibleNarrativeText(c), "NarrativeText")
       .otherwise("UncategorizedText")
 
+  /** The DOCX untyped-paragraph cascade (`docx.py:938-951`): city/state/zip →
+    * email → narrative, falling back to `Text` (never skipped; list items are
+    * recognized in the partitioner before this runs). */
+  def deriveDocx(c: Column): Column =
+    when(Predicates.isUsCityStateZip(c), "Address")
+      .when(Predicates.isEmailAddress(c), "EmailAddress")
+      .when(Predicates.isPossibleNarrativeText(c), "NarrativeText")
+      .otherwise("UncategorizedText")
+
+  /** The PPTX body-paragraph cascade (`pptx.py:225-245`): email → narrative →
+    * possible-title (which bumps category_depth by one) → `Text`; XML-level
+    * bullets are recognized in the partitioner. */
+  def derivePptx(c: Column): Column =
+    when(Predicates.isEmailAddress(c), "EmailAddress")
+      .when(Predicates.isPossibleNarrativeText(c), "NarrativeText")
+      .when(Predicates.isPossibleTitle(c), "Title")
+      .otherwise("UncategorizedText")
+
+  /** Untyped-paragraph routing by the RawPara `classifier` tag — the one place
+    * every source (auto-router, format queries) resolves element types. */
+  def classifierCascade(classifier: Column, text: Column): Column =
+    when(classifier === "text", Predicates.classifyText(text))
+      .when(classifier === "docx", deriveDocx(text))
+      .when(classifier === "pptx", derivePptx(text))
+      .otherwise(deriveElementType(text))
+
+  /** PPTX text-derived Titles carry `category_depth = level + 1`
+    * (`pptx.py:240-243`); everything else keeps the partitioner's depth. */
+  def adjustedDepth(classifier: Column, rawType: Column, derived: Column,
+      depth: Column): Column =
+    when(classifier === "pptx" && rawType.isNull && derived === "Title",
+      coalesce(depth, lit(0)) + 1)
+      .otherwise(depth)
+
   /**
    * Partition an HTML corpus into element rows. Input: (`doc_id`, `htmlCol`).
    * Output: `doc_id, seq, element_type, category_depth, text, text_as_html,

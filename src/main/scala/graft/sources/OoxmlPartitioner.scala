@@ -82,18 +82,25 @@ object OoxmlPartitioner {
             .map(xmlUnescape).mkString)
         val style = WStyleRe.findFirstMatchIn(block).map(_.group(1))
         if (text.nonEmpty) {
-          val (tpe, depth) = style match {
-            case Some(HeadingStyleRe(n)) => (Some("Title"), Some(n.toInt - 1))
-            case Some(s) if s.startsWith("List") =>
-              (Some("ListItem"),
-                Some(WIlvlRe.findFirstMatchIn(block).map(_.group(1).toInt).getOrElse(0)))
-            case Some("Title") => (Some("Title"), Some(0))
-            case _ if WNumPrRe.findFirstIn(block).isDefined =>
-              (Some("ListItem"),
-                Some(WIlvlRe.findFirstMatchIn(block).map(_.group(1).toInt).getOrElse(0)))
-            case _ => (None, None)
+          // list-item first (bulleted text OR w:numPr), before styles — docx.py:455-465,589-594
+          if (graft.functions.Cleaners.isBulletedTextStr(text) ||
+            WNumPrRe.findFirstIn(block).isDefined) {
+            val clean = graft.functions.Cleaners.cleanBulletsStr(text).strip
+            if (clean.nonEmpty)
+              out += RawPara(clean, Some("ListItem"),
+                Some(WIlvlRe.findFirstMatchIn(block).map(_.group(1).toInt).getOrElse(0)),
+                pageNumber = Some(page))
+          } else {
+            val (tpe, depth) = style match {
+              case Some(HeadingStyleRe(n)) => (Some("Title"), Some(n.toInt - 1))
+              case Some(s) if s.startsWith("List") => (Some("ListItem"), Some(0))
+              case Some("Title") => (Some("Title"), Some(0))
+              case _ => (None, None)
+            }
+            // untyped paragraphs classify by the DOCX text cascade downstream
+            out += RawPara(text, tpe, depth, pageNumber = Some(page),
+              classifier = if (tpe.isEmpty) "docx" else "html")
           }
-          out += RawPara(text, tpe, depth, pageNumber = Some(page))
         }
         if (WPageBreakRe.findFirstIn(block).isDefined) page += 1
       }
@@ -263,6 +270,7 @@ object OoxmlPartitioner {
   private val APRe = "(?s)<a:p>(.*?)</a:p>".r
   private val ATRe = "(?s)<a:t>(.*?)</a:t>|<a:t/>".r
   private val TitlePhRe = "<p:ph [^>]*type=\"(?:title|ctrTitle)\"".r
+  private val BulletPrRe = "<a:bu(?:Char|AutoNum)[ />]".r
 
   def partitionPptx(bytes: Array[Byte]): Seq[RawPara] = {
     val entries = zipEntries(bytes,
@@ -277,11 +285,17 @@ object OoxmlPartitioner {
           val text = HtmlPartitioner.normalizeWs(
             ATRe.findAllMatchIn(pm.group(1)).map(m => Option(m.group(1)).getOrElse(""))
               .map(xmlUnescape).mkString)
+          // XML-level bullets (a:buChar / a:buAutoNum) → ListItem — pptx.py:177-186
+          val isBullet = BulletPrRe.findFirstIn(pm.group(1)).isDefined
           if (text.isEmpty) None
-          else Some(RawPara(text,
-            if (isTitle) Some("Title") else None,
-            if (isTitle) Some(0) else None,
-            pageNumber = Some(si + 1)))
+          else if (isTitle)
+            Some(RawPara(text, Some("Title"), Some(0), pageNumber = Some(si + 1)))
+          else if (isBullet)
+            Some(RawPara(text, Some("ListItem"), Some(0), pageNumber = Some(si + 1)))
+          else
+            // body paragraphs carry level (0) and classify via the PPTX cascade
+            Some(RawPara(text, None, Some(0), pageNumber = Some(si + 1),
+              classifier = "pptx"))
         }.toSeq
       }
     }
