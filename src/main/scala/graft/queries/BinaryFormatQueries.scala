@@ -96,6 +96,37 @@ object BinaryFormatQueries {
           col("page_number"))
         .orderBy("doc_id", "seq")),
 
+    // The `partition()` auto-router: 10 payload kinds per document spanning every
+    // branch of the 4-strategy detection chain (binary magic, zip-member sniff,
+    // OLE+extension, text differentiators, extension), then per-format routing.
+    "q_partition_auto" -> ((s, dir) => {
+      import s.implicits._
+      docBase(s, dir).flatMap { d =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val eml = s"From: a@b.c\nTo: d@e.f\nSubject: hi\n\nhello ${d.w1}\n\nbye"
+        val payloads: Seq[(String, String, Array[Byte])] = Seq(
+          ("txt", "a.txt",
+            s"alpha beta gamma ${d.w1}\n\nsecond part ${d.source}".getBytes(utf8)),
+          ("html", "page.txt",
+            s"<html><body><p>from ${d.source} comes html</p></body></html>".getBytes(utf8)),
+          ("csv", "data.csv", s"a,b\n${d.w1},${d.source}".getBytes(utf8)),
+          ("eml", "mail", eml.getBytes(utf8)),
+          ("json", "doc", "{\"a\": 1}".getBytes(utf8)),
+          ("ndjson", "stream", "{\"a\": 1}\n{\"b\": 2}".getBytes(utf8)),
+          ("pdf", "x.pdf", CorpusBytes.pdf(d)),
+          ("rtf", "note", s"{\\rtf1\\ansi {\\pard hi ${d.source} note\\par}}".getBytes(utf8)),
+          ("docx", "box", CorpusBytes.docx(d)),
+          ("msg", "m.msg", CorpusBytes.msg(d)))
+        payloads.map { case (kind, fn, bytes) =>
+          val (ft, paras) = graft.sources.Partitioners.partitionAuto(fn, bytes)
+          (d.docId, kind, ft.name, ft.mimeType, ft.partitionerAvailable,
+            paras.size.toLong, paras.headOption.map(_.text).getOrElse(""))
+        }
+      }.toDF("doc_id", "kind", "file_type", "mime", "available", "n_elements",
+        "first_text")
+        .orderBy("doc_id", "kind")
+    }),
+
     "q_partition_msg" -> ((s, dir) => {
       import s.implicits._
       val raw = docBase(s, dir).flatMap { d =>
@@ -254,6 +285,34 @@ object BinaryFormatQueries {
          |  element_type, text, page_number
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin
     },
+
+    "q_partition_auto" ->
+      s"""WITH base AS ($base)
+         |SELECT * FROM (
+         |  SELECT doc_id, 'txt' AS kind, 'txt' AS file_type, 'text/plain' AS mime,
+         |    true AS available, 2::BIGINT AS n_elements,
+         |    'alpha beta gamma ' || w1 AS first_text FROM base
+         |  UNION ALL SELECT doc_id, 'html', 'html', 'text/html', true, 1,
+         |    'from ' || source || ' comes html' FROM base
+         |  UNION ALL SELECT doc_id, 'csv', 'csv', 'text/csv', true, 1,
+         |    'a b' || chr(10) || w1 || ' ' || source FROM base
+         |  UNION ALL SELECT doc_id, 'eml', 'eml', 'message/rfc822', true, 2,
+         |    'hello ' || w1 FROM base
+         |  UNION ALL SELECT doc_id, 'json', 'json', 'application/json', true, 0, '' FROM base
+         |  UNION ALL SELECT doc_id, 'ndjson', 'ndjson', 'application/x-ndjson', true, 0, ''
+         |  FROM base
+         |  UNION ALL SELECT doc_id, 'pdf', 'pdf', 'application/pdf', false,
+         |    len(ps) + 2, title3 FROM base
+         |  UNION ALL SELECT doc_id, 'rtf', 'rtf', 'text/rtf', true, 1,
+         |    'hi ' || source || ' note' FROM base
+         |  UNION ALL SELECT doc_id, 'docx', 'docx',
+         |    'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
+         |    true, len(ps) + 5, title3 FROM base
+         |  UNION ALL SELECT doc_id, 'msg', 'msg', 'application/vnd.ms-outlook', true,
+         |    CASE WHEN doc_id % 2 = 0 THEN len(ps) + 1 ELSE len(ps) END,
+         |    CASE WHEN doc_id % 2 = 0 THEN title3
+         |         ELSE 'caf' || chr(233) || ' ' || ps[1] END FROM base)
+         |ORDER BY doc_id, kind""".stripMargin,
 
     "q_partition_msg" -> {
       val cafe = s"(CASE WHEN i = 1 THEN 'caf' || chr(233) || ' ' || ps[i] ELSE ps[i] END)"

@@ -153,6 +153,39 @@ object FormatQueries {
         .select(col("doc_id"), col("seq"), col("element_type"), col("text"))
         .orderBy("doc_id", "seq")),
 
+    // partition_json / elements_from_json rehydrate as a distributed fixpoint:
+    // Element → sparse NDJSON line (ElementJson) → from_json with the Element
+    // schema → fields back out. A writer/reader asymmetry (wrong key, type, or
+    // sparse-null handling) breaks the construction-predicted compare.
+    "q_json_rehydrate" -> ((s, dir) => {
+      import s.implicits._
+      val elems: org.apache.spark.sql.Dataset[graft.model.Element] =
+        docs(s, dir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            posexplode(ps).as(Seq("pos", "ptext")))
+          .select(col("doc_id"), (col("pos") + 1).as("seq"),
+            graft.functions.Predicates.classifyText(col("ptext")).as("element_type"),
+            col("ptext").as("text"))
+          .as[(Long, Long, String, String)]
+          .map { case (d, q, tpe, t) =>
+            graft.model.Element(s"e$d-$q", tpe, t, d.toString, q,
+              graft.model.ElementMetadata.empty.copy(
+                filename = Some(s"doc$d.txt"),
+                page_number = Some(((q - 1) / 2 + 1).toInt),
+                languages = Some(Seq("eng", "spa"))))
+          }
+      val lines = graft.sinks.ElementSink.toNdjson(elems)
+      val schema = org.apache.spark.sql.Encoders.product[graft.model.Element].schema
+      lines.select(from_json(col("value"), schema).as("e"))
+        .select(col("e.doc_id").cast("long").as("doc_id"), col("e.seq").as("seq"),
+          col("e.type").as("element_type"), col("e.text").as("text"),
+          col("e.element_id").as("element_id"),
+          col("e.metadata.page_number").as("page_number"),
+          col("e.metadata.filename").as("filename"),
+          array_join(col("e.metadata.languages"), ",").as("langs"))
+        .orderBy("doc_id", "seq")
+    }),
+
     "q_partition_eml" -> ((s, dir) => {
       import s.implicits._
       val raw = docs(s, dir)
@@ -245,6 +278,16 @@ object FormatQueries {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
          |  element_type, text
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
+
+    "q_json_rehydrate" ->
+      s"""WITH base AS ($base)
+         |SELECT doc_id, i AS seq, ${O.classify("ps[i]")} AS element_type, ps[i] AS text,
+         |  'e' || doc_id || '-' || i AS element_id,
+         |  ((i - 1) // 2 + 1) AS page_number,
+         |  'doc' || doc_id || '.txt' AS filename,
+         |  'eng,spa' AS langs
+         |FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |ORDER BY doc_id, seq""".stripMargin,
 
     "q_partition_eml" -> {
       val cafe = s"(CASE WHEN i = 1 THEN 'caf' || chr(233) || ' ' || ps[i] ELSE ps[i] END)"
