@@ -26,7 +26,9 @@ final case class Coordinates(
 /** `Link` TypedDict — `elements.py:130-135`. */
 final case class LinkMeta(text: Option[String], url: Option[String], start_index: Option[Int])
 
-/** `DataSourceMetadata` — `elements.py:31-52`. Dates kept as ISO-8601 strings (wire-compat). */
+/** `DataSourceMetadata` — `elements.py:31-52`. Dates kept as ISO-8601 strings;
+  * `permissions_data` is a list of attribute maps (e.g. `[{"mode": 33188}]`) on
+  * the wire — the ingest goldens pin that shape. */
 final case class DataSource(
     url: Option[String] = None,
     version: Option[String] = None,
@@ -34,7 +36,7 @@ final case class DataSource(
     date_created: Option[String] = None,
     date_modified: Option[String] = None,
     date_processed: Option[String] = None,
-    permissions_data: Option[String] = None)
+    permissions_data: Option[Seq[Map[String, Long]]] = None)
 
 /** Sparse metadata struct — field set follows `elements.py:163-236`. */
 final case class ElementMetadata(

@@ -69,7 +69,11 @@ object ElementJson {
       ds.date_created.foreach(x => f += "date_created" -> jStr(x))
       ds.date_modified.foreach(x => f += "date_modified" -> jStr(x))
       ds.date_processed.foreach(x => f += "date_processed" -> jStr(x))
-      ds.permissions_data.foreach(x => f += "permissions_data" -> jStr(x))
+      ds.permissions_data.foreach { pd =>
+        f += "permissions_data" -> jArr(pd.map(m =>
+          m.toSeq.sortBy(_._1).map { case (k, v) => jStr(k) + ":" + v.toString }
+            .mkString("{", ",", "}")))
+      }
       b += "data_source" -> f.result().map { case (k, v) => jStr(k) + ":" + v }
         .mkString("{", ",", "}")
     }

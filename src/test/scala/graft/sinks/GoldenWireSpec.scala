@@ -1,0 +1,105 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Encoders, functions => F}
+
+import graft.SparkSuiteBase
+import graft.model.Element
+
+/**
+ * Wire-compat against the reference's own ingest goldens
+ * (`/root/reference/test_unstructured_ingest/expected-structured-output/`, the
+ * corpus its `check-diff-expected-output.sh` pins): each file is a JSON array of
+ * sparse elements as the reference serialized them. We rehydrate with the
+ * schema-first reader, re-serialize with [[ElementJson]], parse our own output
+ * back, and require the fixpoint — plus spot-asserts that reference-written
+ * values (ids, languages, data_source, coordinates, tables, email routing)
+ * survive the trip and that the writer stays sparse (no null fields emitted).
+ */
+class GoldenWireSpec extends SparkSuiteBase {
+
+  private val root = "/root/reference/test_unstructured_ingest/expected-structured-output/"
+
+  /** One golden per partitioner family the engine implements. */
+  private val goldens = Seq(
+    "local-single-file/UDHR_first_article_all.txt.json",
+    "Sharepoint/ideas-page.html.json",
+    "Sharepoint/permissions-fake-text.docx.json",
+    "s3-minio/wiki_movie_plots_small.csv.json",
+    "outlook/21be155fb0c95885.eml.json",
+    "dropbox/science-exploration-1p.pptx.json",
+    "Sharepoint/stanley-cups.xlsx.json",
+    "salesforce/Campaign/701Hu000001eX9EIAU.xml.json",
+    "Sharepoint/nested/2023-Jan-economic-outlook.pdf.json")
+
+  private lazy val elementSchema = Encoders.product[Element].schema
+
+  /** Rehydrate a golden array file; the engine-added doc_id/seq (implicit in the
+    * reference: file scope + array order) are filled deterministically. */
+  private def readGolden(rel: String): Seq[Element] = {
+    val df = spark.read.option("multiLine", "true").schema(elementSchema)
+      .json(root + rel)
+      .withColumn("doc_id", F.coalesce(F.col("doc_id"), F.lit(rel)))
+      .withColumn("seq", F.coalesce(F.col("seq"), F.lit(0L)))
+    df.as(Encoders.product[Element]).collect().toSeq
+  }
+
+  private def sorted(els: Seq[Element]): Seq[Element] =
+    els.sortBy(e => (e.element_id, e.`type`, e.text))
+
+  test("golden fixpoint: reference wire -> model -> our writer -> our reader is lossless") {
+    goldens.foreach { g =>
+      val once = readGolden(g)
+      assert(once.nonEmpty, s"$g rehydrated empty")
+      val lines = once.map(ElementJson.elementJson)
+      val back = ElementSink.parseNdjson(spark, lines).collect().toSeq
+      assert(sorted(back) == sorted(once), s"$g did not round-trip")
+    }
+  }
+
+  test("golden corpus volume: hundreds of reference-written elements survive") {
+    val total = goldens.map(readGolden(_).size).sum
+    assert(total > 600)
+  }
+
+  test("reference-written values survive the trip (UDHR txt)") {
+    val els = readGolden("local-single-file/UDHR_first_article_all.txt.json")
+    assert(els.size == 526)
+    val head = els.find(_.element_id == "f604d94aa69cf0073e13e3be1dced533").get
+    assert(head.`type` == "Title")
+    assert(head.text.startsWith("Universal Declaration of Human Right"))
+    assert(head.metadata.languages.contains(Seq("ind", "est")))
+    assert(head.metadata.filetype.contains("text/plain"))
+    val ds = head.metadata.data_source.get
+    assert(ds.record_locator.get("path").endsWith("language-docs/UDHR_first_article_all.txt"))
+    assert(ds.permissions_data.contains(Seq(Map("mode" -> 33188L))))
+  }
+
+  test("writer stays sparse on golden elements: absent fields are omitted, never null") {
+    val els = readGolden("local-single-file/UDHR_first_article_all.txt.json")
+    val line = ElementJson.elementJson(els.head)
+    assert(line.contains("\"languages\""))
+    assert(line.contains("\"filetype\""))
+    assert(line.contains("\"permissions_data\":[{\"mode\":33188}]"))
+    assert(!line.contains("null"), s"writer emitted a null: $line")
+    assert(!line.contains("page_number") && !line.contains("coordinates") &&
+      !line.contains("text_as_html"))
+  }
+
+  test("layout metadata survives: PDF coordinates and page numbers") {
+    val els = readGolden("Sharepoint/nested/2023-Jan-economic-outlook.pdf.json")
+    val withCoords = els.filter(_.metadata.coordinates.exists(_.points.nonEmpty))
+    assert(withCoords.nonEmpty)
+    assert(els.exists(_.metadata.page_number.isDefined))
+    val lines = withCoords.take(5).map(ElementJson.elementJson)
+    val back = ElementSink.parseNdjson(spark, lines).collect().toSeq
+    assert(sorted(back) == sorted(withCoords.take(5)))
+  }
+
+  test("table and email metadata survive: XLSX text_as_html, EML routing headers") {
+    val xlsx = readGolden("Sharepoint/stanley-cups.xlsx.json")
+    assert(xlsx.exists(_.metadata.text_as_html.exists(_.contains("<table>"))))
+    val eml = readGolden("outlook/21be155fb0c95885.eml.json")
+    assert(eml.exists(e => e.metadata.sent_from.isDefined || e.metadata.sent_to.isDefined ||
+      e.metadata.subject.isDefined))
+  }
+}
