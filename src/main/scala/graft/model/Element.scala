@@ -26,9 +26,12 @@ final case class Coordinates(
 /** `Link` TypedDict — `elements.py:130-135`. */
 final case class LinkMeta(text: Option[String], url: Option[String], start_index: Option[Int])
 
-/** `DataSourceMetadata` — `elements.py:31-52`. Dates kept as ISO-8601 strings;
-  * `permissions_data` is a list of attribute maps (e.g. `[{"mode": 33188}]`) on
-  * the wire — the ingest goldens pin that shape. */
+/** `DataSourceMetadata` — `elements.py:31-52`. Dates kept as ISO-8601 strings.
+  * `permissions_data` is a list of arbitrary attribute dicts on the wire (local
+  * filesystem writes `[{"mode": 33188}]`; connector goldens carry string/bool/nested
+  * values — `List[Dict[str, Any]]` in the reference), so values are held as raw JSON
+  * value strings: Spark's string converter captures any JSON token verbatim on read,
+  * and [[graft.sinks.ElementJson]] re-emits number/bool/object tokens untyped-quoted. */
 final case class DataSource(
     url: Option[String] = None,
     version: Option[String] = None,
@@ -36,7 +39,7 @@ final case class DataSource(
     date_created: Option[String] = None,
     date_modified: Option[String] = None,
     date_processed: Option[String] = None,
-    permissions_data: Option[Seq[Map[String, Long]]] = None)
+    permissions_data: Option[Seq[Map[String, String]]] = None)
 
 /** Sparse metadata struct — field set follows `elements.py:163-236`. */
 final case class ElementMetadata(

@@ -40,6 +40,19 @@ object ElementJson {
 
   private def jStr(s: String): String = "\"" + esc(s) + "\""
 
+  /**
+   * Re-emit a raw JSON value string captured by the reader (Spark's string converter
+   * stringifies any token: numbers/bools keep their literal text, objects/arrays their
+   * raw JSON). Tokens that parse as JSON scalars or containers pass through unquoted so
+   * `{"mode": 33188}` round-trips as a number, not `"33188"`.
+   */
+  private def jRaw(raw: String): String =
+    if (raw == "true" || raw == "false" || raw == "null" ||
+        raw.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") ||
+        (raw.length >= 2 && ((raw.head == '{' && raw.last == '}') ||
+          (raw.head == '[' && raw.last == ']')))) raw
+    else jStr(raw)
+
   private def jArr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
 
   /** Sparse field list: only populated fields appear, in declaration order. */
@@ -71,7 +84,7 @@ object ElementJson {
       ds.date_processed.foreach(x => f += "date_processed" -> jStr(x))
       ds.permissions_data.foreach { pd =>
         f += "permissions_data" -> jArr(pd.map(m =>
-          m.toSeq.sortBy(_._1).map { case (k, v) => jStr(k) + ":" + v.toString }
+          m.toSeq.sortBy(_._1).map { case (k, v) => jStr(k) + ":" + jRaw(v) }
             .mkString("{", ",", "}")))
       }
       b += "data_source" -> f.result().map { case (k, v) => jStr(k) + ":" + v }
@@ -80,7 +93,9 @@ object ElementJson {
     i("page_number", m.page_number)
     s("page_name", m.page_name)
     m.coordinates.foreach { c =>
-      val pts = jArr(c.points.map(p => s"[${p.x},${p.y}]"))
+      // points can be null (not Nil) after a permissive wire read of a malformed
+      // coordinates object — guard rather than NPE the whole writer.
+      val pts = jArr(Option(c.points).getOrElse(Nil).map(p => s"[${p.x},${p.y}]"))
       val f = Seq.newBuilder[(String, String)]
       f += "points" -> pts
       c.system.foreach(x => f += "system" -> jStr(x))

@@ -1,7 +1,8 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.model.{Element, ElementType}
 
@@ -18,6 +19,39 @@ object ElementSink {
 
   private val elementEncoder = Encoders.product[Element]
 
+  /**
+   * The on-the-wire read schema: the `Element` encoder schema with
+   * `metadata.coordinates.points` retyped to `ARRAY<ARRAY<DOUBLE>>`. The reference
+   * serializes points as pair arrays `[[x, y], ...]` (`elements.py:81-87`), not as
+   * `{x, y}` objects — reading a golden with the struct-typed encoder schema would
+   * silently null the field under Spark's permissive JSON parsing.
+   */
+  lazy val wireSchema: StructType = {
+    def patch(st: StructType, path: List[String], dt: DataType): StructType =
+      StructType(st.fields.map { f =>
+        path match {
+          case name :: Nil if f.name == name => f.copy(dataType = dt)
+          case name :: rest if f.name == name =>
+            f.copy(dataType = patch(f.dataType.asInstanceOf[StructType], rest, dt))
+          case _ => f
+        }
+      })
+    patch(elementEncoder.schema, List("metadata", "coordinates", "points"),
+      ArrayType(ArrayType(DoubleType)))
+  }
+
+  /** Convert a wire-schema frame (pair-array points) to the typed element model. */
+  def fromWire(df: DataFrame): Dataset[Element] = {
+    val points = transform(col("metadata.coordinates.points"),
+      p => struct(p.getItem(0).as("x"), p.getItem(1).as("y")))
+    df.withColumn("metadata", col("metadata").withField("coordinates.points", points))
+      .as(elementEncoder)
+  }
+
+  /** Read reference-serialized element JSON (array files or NDJSON) into the model. */
+  def readWireJson(spark: SparkSession, path: String, multiLine: Boolean = false): DataFrame =
+    spark.read.option("multiLine", multiLine.toString).schema(wireSchema).json(path)
+
   /** One sparse-JSON line per element — `elements_to_ndjson` (`staging/base.py:458-478`). */
   def toNdjson(ds: Dataset[Element]): Dataset[String] = {
     val sp = ds.sparkSession
@@ -30,14 +64,15 @@ object ElementSink {
   def writeNdjson(ds: Dataset[Element], path: String): Unit =
     toNdjson(ds.sortWithinPartitions(col("doc_id"), col("seq"))).write.mode("overwrite").text(path)
 
-  /** `elements_from_json` / `partition_json` rehydrate — schema-first JSON read. */
+  /** `elements_from_json` / `partition_json` rehydrate — schema-first JSON read
+    * through the wire shim (pair-array points → `Point` structs). */
   def readNdjson(spark: SparkSession, path: String): Dataset[Element] =
-    spark.read.schema(elementEncoder.schema).json(path).as(elementEncoder)
+    fromWire(readWireJson(spark, path))
 
-  /** Parse a single element JSON line (driver/test-side rehydrate). */
+  /** Parse element JSON lines (driver/test-side rehydrate). */
   def parseNdjson(spark: SparkSession, lines: Seq[String]): Dataset[Element] = {
     import spark.implicits._
-    spark.read.schema(elementEncoder.schema).json(lines.toDS()).as(elementEncoder)
+    fromWire(spark.read.schema(wireSchema).json(lines.toDS()))
   }
 
   /**

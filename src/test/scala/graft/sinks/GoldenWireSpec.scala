@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{Encoders, functions => F}
+import org.apache.spark.sql.{functions => F}
 
 import graft.SparkSuiteBase
 import graft.model.Element
@@ -31,16 +31,13 @@ class GoldenWireSpec extends SparkSuiteBase {
     "salesforce/Campaign/701Hu000001eX9EIAU.xml.json",
     "Sharepoint/nested/2023-Jan-economic-outlook.pdf.json")
 
-  private lazy val elementSchema = Encoders.product[Element].schema
-
   /** Rehydrate a golden array file; the engine-added doc_id/seq (implicit in the
     * reference: file scope + array order) are filled deterministically. */
   private def readGolden(rel: String): Seq[Element] = {
-    val df = spark.read.option("multiLine", "true").schema(elementSchema)
-      .json(root + rel)
+    val df = ElementSink.readWireJson(spark, root + rel, multiLine = true)
       .withColumn("doc_id", F.coalesce(F.col("doc_id"), F.lit(rel)))
       .withColumn("seq", F.coalesce(F.col("seq"), F.lit(0L)))
-    df.as(Encoders.product[Element]).collect().toSeq
+    ElementSink.fromWire(df).collect().toSeq
   }
 
   private def sorted(els: Seq[Element]): Seq[Element] =
@@ -71,7 +68,7 @@ class GoldenWireSpec extends SparkSuiteBase {
     assert(head.metadata.filetype.contains("text/plain"))
     val ds = head.metadata.data_source.get
     assert(ds.record_locator.get("path").endsWith("language-docs/UDHR_first_article_all.txt"))
-    assert(ds.permissions_data.contains(Seq(Map("mode" -> 33188L))))
+    assert(ds.permissions_data.contains(Seq(Map("mode" -> "33188"))))
   }
 
   test("writer stays sparse on golden elements: absent fields are omitted, never null") {
@@ -80,7 +77,7 @@ class GoldenWireSpec extends SparkSuiteBase {
     assert(line.contains("\"languages\""))
     assert(line.contains("\"filetype\""))
     assert(line.contains("\"permissions_data\":[{\"mode\":33188}]"))
-    assert(!line.contains("null"), s"writer emitted a null: $line")
+    assert(!line.contains(":null"), s"writer emitted a null: $line")
     assert(!line.contains("page_number") && !line.contains("coordinates") &&
       !line.contains("text_as_html"))
   }
@@ -97,7 +94,9 @@ class GoldenWireSpec extends SparkSuiteBase {
 
   test("table and email metadata survive: XLSX text_as_html, EML routing headers") {
     val xlsx = readGolden("Sharepoint/stanley-cups.xlsx.json")
-    assert(xlsx.exists(_.metadata.text_as_html.exists(_.contains("<table>"))))
+    // pandas-style render: `<table border="1" class="dataframe">` (DataFrame.to_html)
+    assert(xlsx.exists(_.metadata.text_as_html.exists(
+      _.startsWith("<table border=\"1\" class=\"dataframe\">"))))
     val eml = readGolden("outlook/21be155fb0c95885.eml.json")
     assert(eml.exists(e => e.metadata.sent_from.isDefined || e.metadata.sent_to.isDefined ||
       e.metadata.subject.isDefined))
