@@ -189,12 +189,12 @@ object BinaryFormatQueries {
          |    'Report ' || source AS text, NULL AS text_as_html FROM base
          |  UNION ALL
          |  SELECT doc_id, 1, 'Table',
-         |    'k v' || chr(10) || w1 || ' ' || n_chars,
+         |    'k v ' || w1 || ' ' || n_chars,
          |    '<table><tr><td>k</td><td>v</td></tr><tr><td>' || w1 || '</td><td>' ||
          |      n_chars || '</td></tr></table>' FROM base
          |  UNION ALL
          |  SELECT doc_id, 2, 'Table',
-         |    'x y' || chr(10) || 'end ' || doc_id,
+         |    'x y end ' || doc_id,
          |    '<table><tr><td>x</td><td>y</td></tr><tr><td>end</td><td>' || doc_id ||
          |      '</td></tr></table>' FROM base)
          |SELECT doc_id,
@@ -295,7 +295,7 @@ object BinaryFormatQueries {
          |  UNION ALL SELECT doc_id, 'html', 'html', 'text/html', true, 1,
          |    'from ' || source || ' comes html' FROM base
          |  UNION ALL SELECT doc_id, 'csv', 'csv', 'text/csv', true, 1,
-         |    'a b' || chr(10) || w1 || ' ' || source FROM base
+         |    'a b ' || w1 || ' ' || source FROM base
          |  UNION ALL SELECT doc_id, 'eml', 'eml', 'message/rfc822', true, 2,
          |    'hello ' || w1 FROM base
          |  UNION ALL SELECT doc_id, 'json', 'json', 'application/json', true, 0, '' FROM base

@@ -223,8 +223,8 @@ object FormatQueries {
     "q_partition_csv" ->
       s"""WITH base AS ($base)
          |SELECT doc_id, 'Table' AS element_type,
-         |  'k v' || chr(10) || 'a,' || source || ' w' || doc_id || chr(10) ||
-         |    'say "hi" ' || w1 || chr(10) || 'plain ' || n_chars AS text,
+         |  'k v a,' || source || ' w' || doc_id ||
+         |    ' say "hi" ' || w1 || ' plain ' || n_chars AS text,
          |  '<table><tr><td>k</td><td>v</td></tr><tr><td>a,' || source ||
          |    '</td><td>w' || doc_id || '</td></tr><tr><td>say "hi"</td><td>' || w1 ||
          |    '</td></tr><tr><td>plain</td><td>' || n_chars || '</td></tr></table>'
@@ -234,8 +234,8 @@ object FormatQueries {
     "q_partition_tsv" ->
       s"""WITH base AS ($base)
          |SELECT doc_id, 'Table' AS element_type,
-         |  'k v z' || chr(10) || source || ' ' || w1 || chr(10) ||
-         |    'end ' || doc_id || ' last' AS text,
+         |  'k v z ' || source || ' ' || w1 ||
+         |    ' end ' || doc_id || ' last' AS text,
          |  '<table><tr><td>k</td><td>v</td><td>z</td></tr><tr><td>' || source ||
          |    '</td><td/><td>' || w1 || '</td></tr><tr><td>end</td><td>' || doc_id ||
          |    '</td><td>last</td></tr></table>' AS text_as_html

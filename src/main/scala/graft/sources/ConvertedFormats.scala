@@ -61,8 +61,7 @@ object ConvertedFormats {
 
     def flushTable(): Unit = if (rows.nonEmpty) {
       val matrix = rows.toVector
-      val text = matrix.map(_.filter(_.nonEmpty).mkString(" "))
-        .filter(_.nonEmpty).mkString("\n")
+      val text = Partitioners.tableText(matrix)
       if (text.nonEmpty)
         out += RawPara(text, Some("Table"),
           textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)))
@@ -194,11 +193,10 @@ object ConvertedFormats {
         val rows = OdtRowRe.findAllIn(block).toVector.map { tr =>
           OdtCellRe.findAllIn(tr).toVector.map(odtText)
         }
-        val text = rows.map(_.filter(_.nonEmpty).mkString(" "))
-          .filter(_.nonEmpty).mkString("\n")
+        val text = Partitioners.tableText(rows)
         if (text.nonEmpty)
           out += RawPara(text, Some("Table"),
-            textAsHtml = Some(Partitioners.htmlifyMatrix(rows)))
+            textAsHtml = Some(Partitioners.htmlifyMatrix(rows, escapeQuotes = true)))
       } else if (block.startsWith("<text:list")) {
         OdtListItemRe.findAllIn(block).foreach { li =>
           val text = odtText(li)
@@ -310,7 +308,7 @@ object ConvertedFormats {
     }
     def flushTable(): Unit = if (tableRows.nonEmpty) {
       val matrix = tableRows.toVector
-      val t = matrix.map(_.filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty).mkString("\n")
+      val t = Partitioners.tableText(matrix)
       if (t.nonEmpty) out += RawPara(t, Some("Table"),
         textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)))
       tableRows.clear()

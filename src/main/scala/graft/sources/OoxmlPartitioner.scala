@@ -71,10 +71,11 @@ object OoxmlPartitioner {
               WTextRe.findAllMatchIn(tc).map(m => Option(m.group(1)).getOrElse(""))
                 .map(xmlUnescape).mkString))
         }
-        val text = rows.map(_.filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty).mkString("\n")
+        // table text is every non-empty cell space-joined — docx.py:769
+        val text = Partitioners.tableText(rows)
         if (text.nonEmpty)
           out += RawPara(text, Some("Table"),
-            textAsHtml = Some(Partitioners.htmlifyMatrix(rows)),
+            textAsHtml = Some(Partitioners.htmlifyMatrix(rows, escapeQuotes = true)),
             pageNumber = Some(page))
       } else {
         val text = HtmlPartitioner.normalizeWs(
@@ -190,8 +191,7 @@ object OoxmlPartitioner {
         val cols = grid.keySet.filter(k => coreRows.contains(k._1)).map(_._2)
         val matrix = coreRows.map(r =>
           (cols.min to cols.max).map(c => grid.getOrElse((r, c), "")))
-        val text = matrix.map(_.filter(_.nonEmpty).mkString(" "))
-          .filter(_.nonEmpty).mkString("\n")
+        val text = Partitioners.tableText(matrix)
         if (text.nonEmpty)
           out += RawPara(text, Some("Table"),
             textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)),
@@ -254,7 +254,7 @@ object OoxmlPartitioner {
         subtableElements(grid.toMap, si + 1, sheetNames.lift(si))
       } else {
         val matrix = (0 to maxR).map(r => (0 to maxC).map(c => grid.getOrElse((r, c), "")))
-        val text = matrix.map(_.filter(_.nonEmpty).mkString(" ")).filter(_.nonEmpty).mkString("\n")
+        val text = Partitioners.tableText(matrix)
         if (text.isEmpty) Nil
         else Seq(RawPara(text, Some("Table"),
           textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)),

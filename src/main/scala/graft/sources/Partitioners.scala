@@ -63,13 +63,51 @@ object Partitioners {
     out.result()
   }
 
-  /** `htmlify_matrix_of_cell_texts` — `common/html_table.py:19-48`. */
-  def htmlifyMatrix(matrix: Seq[Seq[String]]): String = {
+  /** `HtmlTable.text` — `common/html_table.py:139-146`: the clean concatenated
+    * table text, every non-empty whitespace-normalized cell joined by one space
+    * (rows are NOT newline-separated). */
+  def tableText(matrix: Seq[Seq[String]]): String =
+    matrix.flatten.map(HtmlPartitioner.normalizeWs).filter(_.nonEmpty).mkString(" ")
+
+  /**
+   * Legacy pandas-style table render — byte-compatible with
+   * `DataFrame.to_html(index=False, header=header, na_rep="")`, the form older
+   * reference versions stored in `text_as_html` (e.g. the Sharepoint
+   * `stanley-cups.xlsx.json` ingest golden) before `HtmlTable` compactification
+   * (`common/html_table.py:83-96`) became the default. Offered as an optional
+   * render style for wire-compat with archives written by those versions.
+   */
+  def pandasTableHtml(matrix: Seq[Seq[String]], header: Boolean = false): String = {
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val sb = new StringBuilder("<table border=\"1\" class=\"dataframe\">\n")
+    val (head, body) = if (header && matrix.nonEmpty) (matrix.take(1), matrix.drop(1))
+      else (Nil, matrix)
+    head.foreach { row =>
+      sb.append("  <thead>\n    <tr style=\"text-align: right;\">\n")
+      row.foreach(c => sb.append("      <th>").append(esc(c)).append("</th>\n"))
+      sb.append("    </tr>\n  </thead>\n")
+    }
+    sb.append("  <tbody>\n")
+    body.foreach { row =>
+      sb.append("    <tr>\n")
+      row.foreach(c => sb.append("      <td>").append(esc(c)).append("</td>\n"))
+      sb.append("    </tr>\n")
+    }
+    sb.append("  </tbody>\n</table>")
+    sb.toString
+  }
+
+  /** `htmlify_matrix_of_cell_texts` — `common/html_table.py:19-48`. `escapeQuotes`
+    * mirrors the DOCX/PPTX matrix path (Python `html.escape`, quote=True); the
+    * CSV/TSV/XLSX path re-serializes through lxml, which leaves quotes raw. */
+  def htmlifyMatrix(matrix: Seq[Seq[String]], escapeQuotes: Boolean = false): String = {
     if (matrix.isEmpty) return ""
     val trs = matrix.filter(_.nonEmpty).map { row =>
       "<tr>" + row.map { s =>
-        val cell = HtmlPartitioner.normalizeWs(
-          graft.operators.Chunker.TableChunker.escapeHtml(s).split("\n").mkString("<br/>"))
+        val esc0 = graft.operators.Chunker.TableChunker.escapeHtml(s)
+        val esc = if (escapeQuotes) esc0.replace("\"", "&quot;").replace("'", "&#x27;") else esc0
+        val cell = HtmlPartitioner.normalizeWs(esc.split("\n").mkString("<br/>"))
         if (cell.isEmpty) "<td/>" else s"<td>$cell</td>"
       }.mkString + "</tr>"
     }
@@ -77,14 +115,15 @@ object Partitioners {
   }
 
   /** Whole CSV/TSV file → one `Table` element with `text_as_html`
-    * (`csv.py:23-78`). */
-  def partitionCsv(text: String, delimiter: Option[Char] = None): Seq[RawPara] = {
+    * (`csv.py:23-78`); text is the `HtmlTable.text` space-join. `pandasHtml`
+    * selects the legacy pandas render for wire-compat with old archives. */
+  def partitionCsv(text: String, delimiter: Option[Char] = None,
+      pandasHtml: Boolean = false): Seq[RawPara] = {
     val d = delimiter.orElse(sniffDelimiter(text)).getOrElse(',')
     val rows = text.linesIterator.filter(_.nonEmpty).map(parseCsvLine(_, d)).toVector
     if (rows.isEmpty) return Nil
-    val html = htmlifyMatrix(rows)
-    val txt = rows.map(r => r.map(HtmlPartitioner.normalizeWs).filter(_.nonEmpty)
-      .mkString(" ")).filter(_.nonEmpty).mkString("\n")
+    val html = if (pandasHtml) pandasTableHtml(rows) else htmlifyMatrix(rows)
+    val txt = tableText(rows)
     if (txt.isEmpty) Nil
     else Seq(RawPara(txt, Some("Table"), textAsHtml = Some(html)))
   }

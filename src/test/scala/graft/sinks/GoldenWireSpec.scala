@@ -92,6 +92,33 @@ class GoldenWireSpec extends SparkSuiteBase {
     assert(sorted(back) == sorted(withCoords.take(5)))
   }
 
+  test("legacy pandas render reproduces the old-era XLSX golden's text_as_html bytes") {
+    val els = readGolden("Sharepoint/stanley-cups.xlsx.json")
+    val golden = els.find(e => e.`type` == "Table" && e.metadata.text_as_html.isDefined)
+      .get.metadata.text_as_html.get
+    val matrix = Seq(
+      Seq("Team", "Location", "Stanley Cups"),
+      Seq("Blues", "STL", "1"),
+      Seq("Flyers", "PHI", "2"),
+      Seq("Maple Leafs", "TOR", "13"))
+    assert(graft.sources.Partitioners.pandasTableHtml(matrix) == golden)
+  }
+
+  test("compact render and table text match the current-era CSV golden byte-for-byte") {
+    val els = readGolden("s3-minio/wiki_movie_plots_small.csv.json")
+    val table = els.find(_.`type` == "Table").get
+    val html = table.metadata.text_as_html.get
+    // parse the golden's own cells back out, re-render, require the byte fixpoint
+    val rows = "(?s)<tr>(.*?)</tr>".r.findAllMatchIn(html).map { tr =>
+      "(?s)<td>(.*?)</td>|<td/>".r.findAllMatchIn(tr.group(1)).map(c =>
+        Option(c.group(1)).getOrElse("").replace("<br/>", "\n")
+          .replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")).toSeq
+    }.toSeq
+    assert(rows.nonEmpty)
+    assert(graft.sources.Partitioners.htmlifyMatrix(rows) == html)
+    assert(graft.sources.Partitioners.tableText(rows) == table.text)
+  }
+
   test("table and email metadata survive: XLSX text_as_html, EML routing headers") {
     val xlsx = readGolden("Sharepoint/stanley-cups.xlsx.json")
     // pandas-style render: `<table border="1" class="dataframe">` (DataFrame.to_html)

@@ -63,7 +63,7 @@ class PartitionersSpec extends AnyFunSuite {
     val ps = Partitioners.partitionCsv("name,note\n\"Smith, Jo\",\"said \"\"hi\"\"\"")
     assert(ps.size == 1)
     assert(ps(0).elementType.contains("Table"))
-    assert(ps(0).text == "name note\nSmith, Jo said \"hi\"")
+    assert(ps(0).text == "name note Smith, Jo said \"hi\"")
     assert(ps(0).textAsHtml.get ==
       "<table><tr><td>name</td><td>note</td></tr>" +
         "<tr><td>Smith, Jo</td><td>said \"hi\"</td></tr></table>")
@@ -71,7 +71,7 @@ class PartitionersSpec extends AnyFunSuite {
 
   test("tsv partitions with tab delimiter") {
     val ps = Partitioners.partitionTsv("a\tb\nc\td")
-    assert(ps(0).text == "a b\nc d")
+    assert(ps(0).text == "a b c d")
   }
 
   // ------------------------------------------------------------- email
@@ -188,7 +188,7 @@ class PartitionersSpec extends AnyFunSuite {
       "xl/worksheets/sheet1.xml" -> sheet))
     assert(ps.size == 1)
     assert(ps(0).elementType.contains("Table"))
-    assert(ps(0).text == "Name 42\nAlice 7")
+    assert(ps(0).text == "Name 42 Alice 7")
     assert(ps(0).pageName.contains("People"))
     assert(ps(0).textAsHtml.contains(
       "<table><tr><td>Name</td><td>42</td></tr><tr><td>Alice</td><td>7</td></tr></table>"))
@@ -213,7 +213,7 @@ class PartitionersSpec extends AnyFunSuite {
       "xl/sharedStrings.xml" -> shared,
       "xl/worksheets/sheet1.xml" -> sheet), findSubtable = true)
     assert(ps.map(_.text) == Seq(
-      "Sales Report", "h1 h2\na b", "x1 x2\nc d", "note below"))
+      "Sales Report", "h1 h2 a b", "x1 x2 c d", "note below"))
     assert(ps(0).elementType.isEmpty && ps(0).classifier == "text") // classified downstream
     assert(ps(1).elementType.contains("Table"))
     assert(ps(1).textAsHtml.contains(
