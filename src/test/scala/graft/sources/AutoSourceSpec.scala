@@ -32,7 +32,7 @@ class AutoSourceSpec extends SparkSuiteBase {
     // attachment partitioned recursively, marked with the parent path
     val att = out.filter(_.getString(0).endsWith("!data.csv"))
     assert(att.length == 1)
-    assert(att(0).getString(2) == "Table" && att(0).getString(3) == "x y\n3 4")
+    assert(att(0).getString(2) == "Table" && att(0).getString(3) == "x y 3 4")
     assert(att(0).getString(4) != null && att(0).getString(4).endsWith("mail.eml"))
   }
 }
