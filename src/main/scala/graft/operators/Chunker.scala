@@ -51,16 +51,32 @@ final case class ChunkingOptions(
     repeatTableHeaders: Boolean = true,
     skipTableChunking: Boolean = false,
     isolateTable: Boolean = true,
-    byTitle: Boolean = false) {
+    byTitle: Boolean = false,
+    // token mode — window measured in tokens, base.py:176-190,249-266. Mutually
+    // exclusive with character limits; the deterministic regex tokenizer stands in
+    // for tiktoken (`TokenCounter`, base.py:54-78), which needs a model download.
+    maxTokens: Option[Int] = None,
+    newAfterNTokens: Option[Int] = None) {
   require(maxCharacters > 0, "maxCharacters must be > 0")
-  require(overlap >= 0 && overlap < maxCharacters, "overlap must be in [0, maxCharacters)")
-  val hardMax: Int = maxCharacters
-  val softMax: Int = newAfterNChars.map(n => math.min(math.max(n, 0), hardMax)).getOrElse(hardMax)
+  require(maxTokens.forall(_ > 0), "maxTokens must be > 0")
+  /** `use_token_counting` — base.py:316-318. */
+  val useTokenCounting: Boolean = maxTokens.isDefined
+  /** Window size in the active unit (tokens when `maxTokens` is set). */
+  val hardMax: Int = maxTokens.getOrElse(maxCharacters)
+  require(overlap >= 0 && overlap < hardMax, "overlap must be in [0, hardMax)")
+  /** Soft max — base.py:249-278: defaults to hardMax; larger values clamp to it. */
+  val softMax: Int =
+    if (useTokenCounting)
+      newAfterNTokens.map(n => math.min(math.max(n, 0), hardMax)).getOrElse(hardMax)
+    else newAfterNChars.map(n => math.min(math.max(n, 0), hardMax)).getOrElse(hardMax)
   val combineUnder: Int = combineTextUnderNChars.getOrElse(hardMax)
   require(combineUnder >= 0 && combineUnder <= hardMax,
-    "combineTextUnderNChars must be in [0, maxCharacters]")
+    "combineTextUnderNChars must be in [0, hardMax]")
   val interChunkOverlap: Int = if (overlapAll) overlap else 0
   val separator: String = "\n\n"
+  /** `measure` — base.py:320-326: size of `text` in the active unit. */
+  def measure(text: String): Int =
+    if (useTokenCounting) Chunker.tokenCount(text) else text.length
 }
 
 object Chunker {
@@ -77,6 +93,18 @@ object Chunker {
     }
     if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
     sb.toString
+  }
+
+  /** Deterministic BPE-ish token count — letter runs, digit runs, and isolated
+    * symbols each count once; mirrors [[graft.functions.TextAnalysis.tokenCountRegex]]
+    * so SQL oracles can reproduce it (`regexp_extract_all` + `len`). */
+  private val TokenRe = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
+  private[graft] def tokenCount(s: String): Int = {
+    val m = TokenRe.matcher(s)
+    var n = 0
+    while (m.find()) n += 1
+    n
   }
 
   private[operators] def isTableFamily(e: Element): Boolean =
@@ -98,6 +126,11 @@ object Chunker {
     private val overlap = opts.overlap
 
     def apply(s: String): (String, String) = {
+      if (opts.useTokenCounting) {
+        // token mode dispatch — base.py:1434-1438
+        if (opts.measure(s) <= maxlen) return (s, "")
+        return splitByTokens(s)
+      }
       if (s.length <= maxlen) return (s, "")
       for (sep <- Seq('\n', ' ')) {
         splitFromMaxlen(sep, s) match {
@@ -116,6 +149,68 @@ object Chunker {
      * longer than the overlap would not progress). The separator is removed; the
      * overlap tail re-joins the remainder with a single space.
      */
+    /**
+     * `_split_by_tokens` — base.py:1462-1532: rightmost separator split whose
+     * fragment fits the token window; whitespace-boundary binary-search fallback;
+     * token-measured overlap tail carried into the remainder.
+     */
+    private def splitByTokens(s: String): (String, String) = {
+      for (sep <- Seq('\n', ' ')) {
+        var i = s.lastIndexOf(sep.toInt)
+        while (i >= 0) {
+          val fragment = s.substring(0, i).stripTrailing()
+          val m = opts.measure(fragment)
+          if (m <= maxlen && m > 0)
+            return withTokenOverlap(fragment, s.substring(i + 1).stripLeading())
+          i = if (i == 0) -1 else s.lastIndexOf(sep.toInt, i - 1)
+        }
+      }
+      // fallback — binary search the char position holding ≤ maxlen tokens
+      var low = 0
+      var high = s.length
+      var bestPos = math.max(overlap + 1, 1)
+      while (low <= high) {
+        val mid = (low + high) / 2
+        if (opts.measure(s.substring(0, mid)) <= maxlen) { bestPos = mid; low = mid + 1 }
+        else high = mid - 1
+      }
+      // back up to a whitespace boundary when one is in range
+      var splitPos = bestPos
+      var i = bestPos
+      var found = false
+      while (!found && i > math.max(overlap, 0)) {
+        if (i < s.length && Character.isWhitespace(s.charAt(i))) { splitPos = i; found = true }
+        i -= 1
+      }
+      var fragment = s.substring(0, splitPos).stripTrailing()
+      if (opts.measure(fragment) > maxlen && splitPos > overlap + 1) {
+        fragment = s.substring(0, bestPos).stripTrailing()
+        splitPos = bestPos
+      }
+      withTokenOverlap(fragment, s.substring(splitPos).stripLeading())
+    }
+
+    private def withTokenOverlap(fragment: String, rawRemainder: String): (String, String) =
+      if (overlap > 0 && fragment.nonEmpty)
+        (fragment, tokenOverlapTail(fragment, overlap) + " " + rawRemainder)
+      else (fragment, rawRemainder)
+
+    /** `_get_token_overlap_tail` — base.py:1534-1568: tail holding ~`target` tokens,
+      * adjusted forward to a word boundary. */
+    private def tokenOverlapTail(text: String, target: Int): String = {
+      if (opts.measure(text) <= target) return text.strip()
+      var low = 0
+      var high = text.length
+      while (low < high) {
+        val mid = (low + high) / 2
+        if (opts.measure(text.substring(mid)) > target) low = mid + 1 else high = mid
+      }
+      var pos = low
+      while (pos < text.length && !Character.isWhitespace(text.charAt(pos))) pos += 1
+      while (pos < text.length && Character.isWhitespace(text.charAt(pos))) pos += 1
+      if (pos >= text.length) text.substring(low).stripLeading() else text.substring(pos)
+    }
+
     private def splitFromMaxlen(sep: Char, s: String): Option[(String, String)] = {
       val i = s.lastIndexOf(sep.toInt, maxlen)
       if (i < overlap + 1) None
@@ -230,8 +325,8 @@ object Chunker {
       val tableForbids = opts.isolateTable &&
         (elements.exists(isTableFamily) || other.elements.exists(isTableFamily))
       !tableForbids &&
-        text.length < opts.combineUnder &&
-        combine(other).text.length <= opts.hardMax
+        opts.measure(text) < opts.combineUnder &&
+        opts.measure(combine(other).text) <= opts.hardMax
     }
   }
 
@@ -243,9 +338,14 @@ object Chunker {
     private var overlapPrefix = ""
     private var nSegs = 0
     private var textLen = 0
+    // token mode keeps the raw segments: sizes don't add, the join must be re-measured
+    // (`_text_length`, base.py:628-650)
+    private var segs = Vector.empty[String]
 
     private def textLength: Int =
-      textLen + (if (nSegs > 0) (nSegs - 1) * sepLen else 0)
+      if (opts.useTokenCounting) {
+        if (segs.isEmpty) 0 else opts.measure(segs.mkString(opts.separator))
+      } else textLen + (if (nSegs > 0) (nSegs - 1) * sepLen else 0)
 
     def willFit(e: Element): Boolean = {
       if (opts.isolateTable) {
@@ -254,6 +354,11 @@ object Chunker {
       }
       if (elements.isEmpty) return true
       if (textLength > opts.softMax) return false
+      if (opts.useTokenCounting) {
+        // measure the would-be joined text — base.py:604-609
+        val cand = if (e.text == null || e.text.isEmpty) segs else segs :+ e.text
+        return opts.measure(cand.mkString(opts.separator)) <= opts.hardMax
+      }
       val remaining = opts.hardMax - textLen - sepLen * nSegs
       val elLen = if (e.text == null) 0 else e.text.length
       remaining >= elLen
@@ -262,10 +367,12 @@ object Chunker {
     def add(e: Element): Unit = {
       // a table-only pre-chunk never takes the prior chunk's narrative overlap
       if (opts.isolateTable && elements.isEmpty && isTableFamily(e)) {
-        overlapPrefix = ""; nSegs = 0; textLen = 0
+        overlapPrefix = ""; nSegs = 0; textLen = 0; segs = Vector.empty
       }
       elements :+= e
-      if (e.text != null && e.text.nonEmpty) { nSegs += 1; textLen += e.text.length }
+      if (e.text != null && e.text.nonEmpty) {
+        nSegs += 1; textLen += e.text.length; segs :+= e.text
+      }
     }
 
     def flush(): Option[PreChunk] = {
@@ -279,6 +386,7 @@ object Chunker {
         elements = Vector.empty
         nSegs = if (overlapForNext.nonEmpty) 1 else 0
         textLen = overlapForNext.length
+        segs = if (overlapForNext.nonEmpty) Vector(overlapForNext) else Vector.empty
         Some(pc)
       }
     }
@@ -450,16 +558,20 @@ object Chunker {
         if (opts.includeOrigElements) Some(ElementJson.encodeOrigElements(Seq(table)))
         else None
 
-      // fits whole -> single Table element with compactified html
-      if (textWithOverlap.length <= opts.hardMax && compactHtml.length <= opts.hardMax) {
+      // fits whole -> single Table element with compactified html (base.py:982-994)
+      if (opts.measure(textWithOverlap) <= opts.hardMax &&
+          opts.measure(compactHtml) <= opts.hardMax) {
         return Iterator.single(Element("", ElementType.Table, textWithOverlap, docId, 0L,
           baseMeta.copy(
             text_as_html = if (compactHtml.isEmpty) None else Some(compactHtml),
             orig_elements = origEls)))
       }
 
+      // html is impractical below ~50 chars / ~15 tokens of window (base.py:996-1003)
+      val minHtmlThreshold = if (opts.useTokenCounting) 15 else 50
       val (pairs, carried) =
-        if (compactHtml.isEmpty || opts.hardMax < 50) (textOnlySplits(textWithOverlap, split), 0)
+        if (compactHtml.isEmpty || opts.hardMax < minHtmlThreshold)
+          (textOnlySplits(textWithOverlap, split), 0)
         else syncSplits(rows, opts)
 
       val tableId = sha32(docId + " " + table.seq)
@@ -489,7 +601,8 @@ object Chunker {
       val headerRows =
         if (opts.repeatTableHeaders) rows.takeWhile(_.isHeader) else Vector.empty[Row]
       val headerText = headerRows.flatMap(_.nonEmptyTexts).mkString(" ")
-      val maxHeaderRowLen = if (headerRows.isEmpty) 0 else headerRows.map(_.text.length).max
+      val maxHeaderRowLen =
+        if (headerRows.isEmpty) 0 else headerRows.map(r => opts.measure(r.text)).max
       // guard against pathological headers consuming more than half the window
       val shouldRepeat = headerRows.nonEmpty && maxHeaderRowLen <= (opts.hardMax + 1) / 2
       val carried = if (shouldRepeat) headerRows.size else 0
@@ -500,7 +613,7 @@ object Chunker {
       var isFirst = true
       def maxlenNow: Int =
         if (isFirst || !shouldRepeat) opts.hardMax
-        else math.max(1, opts.hardMax - headerText.length - 1)
+        else math.max(1, opts.hardMax - opts.measure(headerText) - 1)
 
       def prepend(text: String, html: String): (String, Option[String]) = {
         if (isFirst || !shouldRepeat) (text, Some(html))
@@ -518,8 +631,12 @@ object Chunker {
       var accRows = Vector.empty[Row]
       var accLen = 0
       var curMax = maxlenNow
-      // separators: one trailing space per accumulated row (base.py:1717-1722)
-      def willFit(r: Row): Boolean = curMax - accRows.size - accLen >= r.text.length
+      // separators: one trailing space per accumulated row (base.py:1717-1722);
+      // token mode re-measures the joined candidate (base.py:1272-1280)
+      def willFit(r: Row): Boolean =
+        if (opts.useTokenCounting)
+          opts.measure(((accRows :+ r).flatMap(_.nonEmptyTexts)).mkString(" ")) <= curMax
+        else curMax - accRows.size - accLen >= r.text.length
       def flushAcc(): Unit = if (accRows.nonEmpty) {
         val text = accRows.flatMap(_.nonEmptyTexts).mkString(" ")
         val html = "<table>" + accRows.map(_.html).mkString + "</table>"
@@ -549,7 +666,10 @@ object Chunker {
       val out = Vector.newBuilder[(String, String)]
       var cells = Vector.empty[String]
       def remaining = maxlen - cells.size - cells.map(_.length).sum
-      def willFit(cell: String): Boolean = remaining >= cell.length
+      def willFit(cell: String): Boolean =
+        if (opts.useTokenCounting)
+          opts.measure((cells :+ cell).filter(_.nonEmpty).mkString(" ")) <= maxlen
+        else remaining >= cell.length
       def flush(): Unit = if (cells.nonEmpty) {
         val t = cells.filter(_.nonEmpty).mkString(" ")
         val h = "<table><tr>" + cells.map(c =>

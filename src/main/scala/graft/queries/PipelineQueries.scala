@@ -79,6 +79,13 @@ object PipelineQueries {
         ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
           combineTextUnderNChars = Some(0))))),
 
+    // token-mode chunking: window measured with the deterministic regex tokenizer
+    // (max_tokens, chunking/base.py:176-190). Oversized elements exercise the
+    // token splitter's rightmost-space scan (greedy word packing).
+    "q_chunk_tokens" -> ((s, dir) =>
+      chunkResult(Chunker.chunkElements(elements(s, dir),
+        ChunkingOptions(maxTokens = Some(24), includeOrigElements = false)))),
+
     // apply_metadata chain: doc language -> filename/filetype stamp -> hash ids ->
     // hierarchy. Oracle recomputes ids (sha-256 of filename+text+page+seq_on_page)
     // and parents (last preceding Title for ruleset children) independently.
@@ -217,6 +224,65 @@ object PipelineQueries {
     "q_chunk_basic" -> chunkWalkSql("FALSE"),
 
     "q_chunk_by_title" -> chunkWalkSql(O.classify("e.full_text") + " = 'Title'"),
+
+    // Token-mode fold: element packing in token units (separator "\n\n" is pure
+    // whitespace, so token counts are additive across the join), then oversized
+    // pre-chunks — necessarily single-element, since willFit re-measures the join —
+    // word-walked greedily, mirroring the splitter's rightmost-fitting-space scan.
+    "q_chunk_tokens" -> {
+      val tokOf = (x: String) =>
+        s"len(regexp_extract_all($x, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+      s"""WITH RECURSIVE $parsCte,
+         |els AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+         |    {'seq': i, 'text': substring(${cleanBullets("ps[i]")}, 1, 100)}),
+         |    recursive := true)
+         |  FROM pars),
+         |toks AS (
+         |  SELECT doc_id, seq, text, ${tokOf("text")} AS tok FROM els),
+         |walk AS (
+         |  SELECT doc_id, seq, text, tok, 0 AS chunk_idx, tok AS acc_tok
+         |  FROM toks WHERE seq = 1
+         |  UNION ALL
+         |  SELECT e.doc_id, e.seq, e.text, e.tok,
+         |    CASE WHEN w.acc_tok + e.tok <= 24 THEN w.chunk_idx ELSE w.chunk_idx + 1 END,
+         |    CASE WHEN w.acc_tok + e.tok <= 24 THEN w.acc_tok + e.tok ELSE e.tok END
+         |  FROM toks e JOIN walk w ON e.doc_id = w.doc_id AND e.seq = w.seq + 1),
+         |chunks AS (
+         |  SELECT doc_id, chunk_idx,
+         |    string_agg(regexp_replace(${O.strip("text")}, '\\s+', ' ', 'g'),
+         |               chr(10)||chr(10) ORDER BY seq) AS ctext,
+         |    sum(tok) AS total_tok
+         |  FROM walk GROUP BY doc_id, chunk_idx),
+         |words AS (
+         |  SELECT doc_id, chunk_idx, unnest(list_transform(range(1, len(ws)+1), i ->
+         |    {'widx': i, 'word': ws[i]}), recursive := true)
+         |  FROM (SELECT doc_id, chunk_idx, string_split(ctext, ' ') AS ws
+         |        FROM chunks WHERE total_tok > 24)),
+         |wtoks AS (
+         |  SELECT doc_id, chunk_idx, widx, word, ${tokOf("word")} AS wtok FROM words),
+         |wwalk AS (
+         |  SELECT doc_id, chunk_idx, widx, word, wtok, 0 AS frag_idx, wtok AS acc
+         |  FROM wtoks WHERE widx = 1
+         |  UNION ALL
+         |  SELECT x.doc_id, x.chunk_idx, x.widx, x.word, x.wtok,
+         |    CASE WHEN w.acc + x.wtok <= 24 THEN w.frag_idx ELSE w.frag_idx + 1 END,
+         |    CASE WHEN w.acc + x.wtok <= 24 THEN w.acc + x.wtok ELSE x.wtok END
+         |  FROM wtoks x JOIN wwalk w
+         |    ON x.doc_id = w.doc_id AND x.chunk_idx = w.chunk_idx AND x.widx = w.widx + 1),
+         |frags AS (
+         |  SELECT doc_id, chunk_idx, frag_idx,
+         |    string_agg(word, ' ' ORDER BY widx) AS ctext
+         |  FROM wwalk GROUP BY doc_id, chunk_idx, frag_idx),
+         |allchunks AS (
+         |  SELECT doc_id, chunk_idx, 0 AS sub, ctext FROM chunks WHERE total_tok <= 24
+         |  UNION ALL
+         |  SELECT doc_id, chunk_idx, frag_idx, ctext FROM frags)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY chunk_idx, sub) - 1 AS chunk_seq,
+         |  ctext AS text
+         |FROM allchunks ORDER BY doc_id, chunk_seq""".stripMargin
+    },
 
     "q_apply_metadata" ->
       s"""$applyMetaCtes

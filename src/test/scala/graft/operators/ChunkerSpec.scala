@@ -300,6 +300,80 @@ class ChunkerSpec extends AnyFunSuite {
     assert(rem.startsWith("rlie "))
   }
 
+  // -- token mode (max_tokens, chunking/base.py:176-190,1434-1568) --
+
+  test("token mode: short string measured in tokens returns unchanged") {
+    // 7 words = 7 tokens but 40+ chars — fits a 10-token window
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxTokens = Some(10)))
+    val s = "alpha bravo charlie delta echo foxtrot golf"
+    assert(split(s) == ((s, "")))
+  }
+
+  test("token mode: splits on rightmost space whose fragment fits the token budget") {
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxTokens = Some(3)))
+    val (frag, rem) = split("alpha bravo charlie delta echo")
+    assert(frag == "alpha bravo charlie")
+    assert(rem == "delta echo")
+  }
+
+  test("token mode: punctuation counts as tokens") {
+    // "a-b" is 3 tokens (letter run, symbol, letter run)
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxTokens = Some(4)))
+    val (frag, rem) = split("a-b cd ef gh")
+    assert(frag == "a-b cd")
+    assert(rem == "ef gh")
+  }
+
+  test("token mode: binary-search fallback splits an unbroken token run") {
+    // no whitespace at all: falls back to the char-position binary search
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxTokens = Some(3)))
+    val (frag, rem) = split("a.b.c.d.e")
+    assert(Chunker.tokenCount(frag) <= 3 && frag.nonEmpty)
+    assert(frag + rem == "a.b.c.d.e")
+  }
+
+  test("token mode: overlap tail carries ~overlap tokens into the remainder") {
+    val split = new Chunker.TextSplitter(ChunkingOptions(maxTokens = Some(4), overlap = 2))
+    val (frag, rem) = split("alpha bravo charlie delta echo foxtrot")
+    assert(frag == "alpha bravo charlie delta")
+    assert(rem == "charlie delta echo foxtrot")
+  }
+
+  test("token mode: pre-chunk packing folds on token sums, not characters") {
+    // each element is 2 tokens but 13 chars; a 6-token window packs three of them
+    val els = Seq(text("aaaaaa bbbbbb"), text("cccccc dddddd"),
+      text("eeeeee ffffff"), text("gggggg hhhhhh"))
+    val chunks = basic(els, ChunkingOptions(maxTokens = Some(6)))
+    assert(chunks.map(_.text) == Vector(
+      "aaaaaa bbbbbb\n\ncccccc dddddd\n\neeeeee ffffff", "gggggg hhhhhh"))
+  }
+
+  test("token mode: oversized element is token-split into fitting fragments") {
+    val els = Seq(text("one two three four five six seven eight nine ten"))
+    val chunks = basic(els, ChunkingOptions(maxTokens = Some(4)))
+    assert(chunks.map(_.text) == Vector(
+      "one two three four", "five six seven eight", "nine ten"))
+    assert(chunks.forall(c => Chunker.tokenCount(c.text) <= 4))
+  }
+
+  test("token mode: newAfterNTokens soft max closes a pre-chunk early") {
+    val els = Seq(text("aa bb"), text("cc dd"), text("ee ff"))
+    val chunks = basic(els, ChunkingOptions(maxTokens = Some(10), newAfterNTokens = Some(3)))
+    // first element (2 tokens) fits; adding the second makes 4 > soft-max 3, so the
+    // THIRD element opens a new pre-chunk (soft max is checked before appending)
+    assert(chunks.map(_.text) == Vector("aa bb\n\ncc dd", "ee ff"))
+  }
+
+  test("token mode: table fitting is judged in tokens") {
+    val html = "<table><tr><td>aaaaaaaa bbbbbbbb cccccccc</td></tr></table>"
+    // 3 text tokens and 24 html tokens fit a 30-token window even though the
+    // html is 60 chars; char mode at the same numeric window would split
+    val chunks = basic(Seq(table("aaaaaaaa bbbbbbbb cccccccc", html = Some(html))),
+      ChunkingOptions(maxTokens = Some(30)))
+    assert(chunks.size == 1 && chunks.head.`type` == ElementType.Table)
+    assert(chunks.head.metadata.text_as_html.contains(html))
+  }
+
   // -- normalizeWs --
   test("normalizeWs collapses all whitespace runs") {
     assert(Chunker.normalizeWs("  a \t b\n\nc  ") == "a b c")
