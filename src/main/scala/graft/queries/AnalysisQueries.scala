@@ -105,9 +105,10 @@ object AnalysisQueries {
       concat_ws(",", TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3)),
       "sig_str")),
 
-    // Near-dup end-to-end: MinHash(8) → 4 LSH bands → explode → self-equi-join on
-    // (band_idx, band_key) → distinct candidate pairs. Join is hash-partitioned on the
-    // band key — candidates only, never O(n²).
+    // Near-dup end-to-end: MinHash(8) → 4 LSH bands → explode → hot-band guard
+    // (buckets over 1000 members dropped before the join — a degenerate band key is
+    // otherwise a quadratic blowup inside one task) → self-equi-join on
+    // (band_idx, band_key) → distinct candidate pairs. Candidates only, never O(n²).
     "q_lsh_near_dup" -> ((s, dir) => {
       val inp = withNearDups(docs(s, dir))
       val sig = inp.select(col("doc_id"),
@@ -115,14 +116,7 @@ object AnalysisQueries {
       val bands = sig.select(col("doc_id"),
         posexplode(TextAnalysis.lshBands(col("sig"), rows = 2))
           .as(Seq("band_idx", "band_key")))
-      val a = bands.alias("a")
-      val b = bands.alias("b")
-      a.join(b,
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_key") === col("b.band_key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      graft.operators.Dedup.lshCandidatePairs(bands, maxBandSize = 1000)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -322,9 +316,15 @@ object AnalysisQueries {
          |    {'band_idx': b,
          |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
          |    recursive := true)
-         |  FROM sig)
+         |  FROM sig),
+         |safe AS (
+         |  SELECT band_idx, band_key FROM bands
+         |  GROUP BY band_idx, band_key HAVING count(*) <= 1000),
+         |bounded AS (
+         |  SELECT b.* FROM bands b JOIN safe s
+         |    ON b.band_idx = s.band_idx AND b.band_key = s.band_key)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM bounded a JOIN bounded b
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 

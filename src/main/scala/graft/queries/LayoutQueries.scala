@@ -116,19 +116,30 @@ object LayoutQueries {
         .orderBy("doc_id", "orig_seq")
     }),
 
-    // weighted edit distance (ins=2,del=1,sub=1): closed-form-checkable cases —
-    // pure insertions (subsequence) and pure deletions (suffix added)
+    // weighted edit distance (ins=2,del=1,sub=1): closed-form cases (pure
+    // insertion/deletion/substitution over the full document text — '§' never
+    // occurs in the corpus, so each replaced char is exactly one substitution)
+    // plus mixed-edit word pairs whose weighted distances were precomputed with
+    // an independent DP, selected per row by doc_id so the compare covers them all
     "q_weighted_levenshtein" -> ((s, dir) => {
       def wlev(a: Column, b: Column): Column =
         org.apache.spark.sql.graft.bridge.column(
           graft.functions.expr.WeightedLevenshtein(
             org.apache.spark.sql.graft.bridge.expression(a),
             org.apache.spark.sql.graft.bridge.expression(b)))
+      val pairs = Seq(("kitten", "sitting"), ("sunday", "saturday"), ("flaw", "lawn"),
+        ("ab", "ba"), ("intention", "execution"), ("distributed", "structured"))
+      val pairA = element_at(array(pairs.map(p => lit(p._1)): _*),
+        (col("doc_id") % 6).cast("int") + 1)
+      val pairB = element_at(array(pairs.map(p => lit(p._2)): _*),
+        (col("doc_id") % 6).cast("int") + 1)
       docs(s, dir).select(
         col("doc_id"),
         wlev(regexp_replace(col("text"), "e", ""), col("text")).as("ins_dist"),
         wlev(concat(col("text"), lit("xyz")), col("text")).as("del_dist"),
-        wlev(col("text"), col("text")).as("self_dist"))
+        wlev(col("text"), col("text")).as("self_dist"),
+        wlev(regexp_replace(col("text"), "e", "§"), col("text")).as("sub_dist"),
+        wlev(pairA, pairB).as("mixed_dist"))
         .orderBy("doc_id")
     }),
 
@@ -205,12 +216,17 @@ object LayoutQueries {
          |    AS reading_order
          |FROM b ORDER BY doc_id, orig_seq""".stripMargin,
 
-    // pure-insertion distance = 2 x (chars removed); pure-deletion = chars added
+    // pure-insertion = 2 x (chars removed); pure-deletion = chars added;
+    // pure-substitution = chars replaced; mixed-edit pairs precomputed by an
+    // independent DP (ins=2, del=1, sub=1)
     "q_weighted_levenshtein" ->
       """SELECT doc_id,
         |  2 * (length(text) - length(replace(text, 'e', ''))) AS ins_dist,
         |  3 AS del_dist,
-        |  0 AS self_dist
+        |  0 AS self_dist,
+        |  length(text) - length(replace(text, 'e', '')) AS sub_dist,
+        |  CASE doc_id % 6 WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 3
+        |                  WHEN 3 THEN 2 WHEN 4 THEN 5 WHEN 5 THEN 7 END AS mixed_dist
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_table_eval" ->
