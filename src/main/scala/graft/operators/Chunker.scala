@@ -110,6 +110,10 @@ object Chunker {
   private[operators] def isTableFamily(e: Element): Boolean =
     e.`type` == ElementType.Table || e.`type` == ElementType.TableChunk
 
+  /** Deterministic chunk id: content hash over (doc, ordinal, text). */
+  private def chunkId(docId: String, chunkSeq: Long, text: String): String =
+    sha32(docId + " " + chunkSeq + " " + text)
+
   private def sha32(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -332,15 +336,18 @@ object Chunker {
 
   // ---------------------------------------------------------------- builder (fold state)
 
-  private final class PreChunkBuilder(opts: ChunkingOptions) {
+  private final class PreChunkBuilder(opts: ChunkingOptions,
+      initialOverlapPrefix: String = "") {
     private val sepLen = opts.separator.length
     private var elements = Vector.empty[Element]
-    private var overlapPrefix = ""
-    private var nSegs = 0
-    private var textLen = 0
+    private var overlapPrefix = initialOverlapPrefix
+    private var nSegs = if (initialOverlapPrefix.nonEmpty) 1 else 0
+    private var textLen = initialOverlapPrefix.length
     // token mode keeps the raw segments: sizes don't add, the join must be re-measured
     // (`_text_length`, base.py:628-650)
-    private var segs = Vector.empty[String]
+    private var segs =
+      if (initialOverlapPrefix.nonEmpty) Vector(initialOverlapPrefix)
+      else Vector.empty[String]
 
     private def textLength: Int =
       if (opts.useTokenCounting) {
@@ -394,9 +401,11 @@ object Chunker {
 
   // ---------------------------------------------------------------- pre-chunker
 
-  /** Streaming fold: elements (doc order) -> pre-chunks. O(window) memory. */
-  def preChunks(els: Iterator[Element], opts: ChunkingOptions): Iterator[PreChunk] = {
-    val builder = new PreChunkBuilder(opts)
+  /** Streaming fold: elements (doc order) -> pre-chunks. O(window) memory.
+    * `initialOverlapPrefix` seeds the first pre-chunk (incremental resume). */
+  def preChunks(els: Iterator[Element], opts: ChunkingOptions,
+      initialOverlapPrefix: String = ""): Iterator[PreChunk] = {
+    val builder = new PreChunkBuilder(opts, initialOverlapPrefix)
     // page-boundary predicate state (`is_on_next_page`, base.py:1831-1874)
     var pageIsFirst = true
     var currentPage = 1
@@ -708,11 +717,51 @@ object Chunker {
     val pcs = if (opts.byTitle) combinePreChunks(pcs0, opts) else pcs0
     var chunkSeq = 0L
     pcs.flatMap(pc => iterChunks(docId, pc, opts, split)).map { c =>
-      val id = sha32(docId + " " + chunkSeq + " " + c.text)
+      val id = chunkId(docId, chunkSeq, c.text)
       val out = c.copy(element_id = id, seq = chunkSeq)
       chunkSeq += 1
       out
     }
+  }
+
+  /**
+   * Incremental (resumable) variant of [[chunkDoc]] for streaming: chunks and emits
+   * every CLOSED pre-chunk, returning the elements of the still-open trailing
+   * pre-chunk (which a future element could extend — or, under `byTitle`
+   * combining, absorb) as the carry for the next call. The carry is bounded by the
+   * chunking window — one pre-chunk, or one combinable run capped at `hardMax` —
+   * plus at most one oversized element, so resume state is O(window) regardless of
+   * document length.
+   *
+   * The fold is a left fold with state (open builder content, overlap prefix), so
+   * re-folding `carry ++ newElements` with the returned `overlapPrefix` and
+   * `startSeq` reproduces exactly the chunks the one-shot fold would emit.
+   * `finalFlush` closes everything (end of document).
+   */
+  def chunkDocIncremental(docId: String, els: Seq[Element], opts: ChunkingOptions,
+      startSeq: Long, overlapPrefix: String, finalFlush: Boolean)
+      : (Vector[Element], Vector[Element], Long, String) = {
+    val split = new TextSplitter(opts)
+    val pcs0 = preChunks(els.iterator, opts, overlapPrefix).toVector
+    val pcs = if (opts.byTitle) combinePreChunks(pcs0.iterator, opts).toVector else pcs0
+    val (closed, open) =
+      if (finalFlush || pcs.isEmpty) (pcs, Vector.empty[PreChunk])
+      else (pcs.init, Vector(pcs.last))
+    var seq = startSeq
+    val out = Vector.newBuilder[Element]
+    closed.foreach { pc =>
+      iterChunks(docId, pc, opts, split).foreach { c =>
+        val id = chunkId(docId, seq, c.text)
+        out += c.copy(element_id = id, seq = seq)
+        seq += 1
+      }
+    }
+    // overlap prefix the open pre-chunk would have received from the last closed one
+    val nextPrefix = closed.lastOption.map { pc =>
+      if (opts.isolateTable && pc.elements.size == 1 && isTableFamily(pc.elements.head)) ""
+      else pc.overlapTail
+    }.getOrElse(overlapPrefix)
+    (out.result(), open.flatMap(_.elements), seq, nextPrefix)
   }
 
   /** `chunk_elements` — basic strategy (`chunking/basic.py:24-120`). */

@@ -50,29 +50,45 @@ object StreamingOps {
     }.toDF("doc_id", "filetype", "seq", "element_type", "text", "page_number")
   }
 
+  /** Resume state for the incremental streaming chunk fold: the still-open trailing
+    * pre-chunk's elements (O(window), never the whole document), the next chunk seq,
+    * and the inter-chunk overlap prefix. */
+  final case class ChunkStreamState(
+      carry: Vector[Element], nextSeq: Long, overlapPrefix: String)
+
   /**
-   * Streaming `chunk_elements`/`chunk_by_title`: buffer per-doc elements in group
-   * state; a processing-time timeout of `docTimeoutMs` without new elements marks
-   * the document complete, at which point the batch chunking fold runs and the
-   * chunks are appended downstream.
+   * Streaming `chunk_elements`/`chunk_by_title`: each micro-batch folds the carried
+   * open pre-chunk plus the newly-arrived elements through
+   * [[Chunker.chunkDocIncremental]], emitting every closed pre-chunk's chunks
+   * immediately and keeping only the open tail in group state — state is bounded by
+   * the chunking window, independent of document length. A processing-time timeout
+   * of `docTimeoutMs` without new elements marks end-of-document and flushes the
+   * tail. Elements are folded in (arrival-batch, seq) order: each batch is sorted
+   * by seq, matching a source that emits documents in reading order.
    */
   def chunkStream(els: Dataset[Element], opts: ChunkingOptions,
       docTimeoutMs: Long = 10000L): Dataset[Element] = {
     val sp = els.sparkSession
     import sp.implicits._
     els.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Vector[Element], Element](
+      .flatMapGroupsWithState[ChunkStreamState, Element](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (doc: String, it: Iterator[Element], state: GroupState[Vector[Element]]) =>
+        (doc: String, it: Iterator[Element], state: GroupState[ChunkStreamState]) =>
           if (state.hasTimedOut) {
-            val buffered = state.getOption.getOrElse(Vector.empty).sortBy(_.seq)
+            val st = state.getOption.getOrElse(ChunkStreamState(Vector.empty, 0L, ""))
             state.remove()
-            Chunker.chunkDoc(doc, buffered.iterator, opts)
+            val (chunks, _, _, _) = Chunker.chunkDocIncremental(
+              doc, st.carry, opts, st.nextSeq, st.overlapPrefix, finalFlush = true)
+            chunks.iterator
           } else {
-            val buffered = state.getOption.getOrElse(Vector.empty) ++ it
-            state.update(buffered)
+            val st = state.getOption.getOrElse(ChunkStreamState(Vector.empty, 0L, ""))
+            val arrived = it.toVector.sortBy(_.seq)
+            val (chunks, carry, nextSeq, prefix) = Chunker.chunkDocIncremental(
+              doc, st.carry ++ arrived, opts, st.nextSeq, st.overlapPrefix,
+              finalFlush = false)
+            state.update(ChunkStreamState(carry, nextSeq, prefix))
             state.setTimeoutDuration(docTimeoutMs)
-            Iterator.empty
+            chunks.iterator
           }
       }
   }

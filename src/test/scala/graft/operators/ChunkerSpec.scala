@@ -374,6 +374,54 @@ class ChunkerSpec extends AnyFunSuite {
     assert(chunks.head.metadata.text_as_html.contains(html))
   }
 
+  // -- incremental (streaming) fold --
+
+  private def runIncremental(els: Seq[Element], opts: ChunkingOptions,
+      batchSize: Int): (Vector[Element], Int) = {
+    var carry = Vector.empty[Element]
+    var seqN = 0L
+    var prefix = ""
+    var out = Vector.empty[Element]
+    var maxCarry = 0
+    els.grouped(batchSize).foreach { batchEls =>
+      val (chunks, c, s2, p) = Chunker.chunkDocIncremental(
+        "docB", carry ++ batchEls, opts, seqN, prefix, finalFlush = false)
+      out ++= chunks; carry = c; seqN = s2; prefix = p
+      maxCarry = math.max(maxCarry, carry.size)
+    }
+    val (last, rest, _, _) =
+      Chunker.chunkDocIncremental("docB", carry, opts, seqN, prefix, finalFlush = true)
+    assert(rest.isEmpty)
+    (out ++ last, maxCarry)
+  }
+
+  test("incremental fold: carry is bounded by the window and output equals the batch fold") {
+    val els = (1 to 500).map(i => Element("", ElementType.NarrativeText,
+      s"Sentence number $i of the endless document.", "docB", i.toLong))
+    val opts = ChunkingOptions(maxCharacters = 80, includeOrigElements = false)
+    val batch = Chunker.chunkDoc("docB", els.iterator, opts).toVector
+    val (streamed, maxCarry) = runIncremental(els, opts, batchSize = 7)
+    assert(streamed == batch)
+    // open pre-chunk holds at most two ~43-char elements in an 80-char window —
+    // the carry never scales with the 500-element document
+    assert(maxCarry <= 3)
+  }
+
+  test("incremental fold matches batch with overlap and by-title combining") {
+    val els = (1 to 300).flatMap { i =>
+      val t = Element("", ElementType.Title, s"Part $i", "docB", i * 10L)
+      val b = Element("", ElementType.NarrativeText,
+        s"Body text for section $i with some padding words.", "docB", i * 10L + 1)
+      Seq(t, b)
+    }
+    val opts = ChunkingOptions(maxCharacters = 150, includeOrigElements = false,
+      overlap = 20, overlapAll = true, byTitle = true)
+    val batch = Chunker.chunkDoc("docB", els.iterator, opts.copy(byTitle = true)).toVector
+    val (streamed, maxCarry) = runIncremental(els, opts.copy(byTitle = true), batchSize = 5)
+    assert(streamed == batch)
+    assert(maxCarry <= 8) // combinable run is capped at hardMax, not doc length
+  }
+
   // -- normalizeWs --
   test("normalizeWs collapses all whitespace runs") {
     assert(Chunker.normalizeWs("  a \t b\n\nc  ") == "a b c")

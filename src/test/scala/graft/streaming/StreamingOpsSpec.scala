@@ -33,9 +33,11 @@ class StreamingOpsSpec extends SparkSuiteBase {
       // NOTE: a ProcessingTimeTimeout query never reports idle (the engine always
       // schedules another batch to check wall-clock timeouts), so
       // processAllAvailable() would block forever — poll the sink instead.
+      // the incremental fold emits the first chunk as soon as its pre-chunk closes
+      // (Title boundary) and the last at the timeout flush — wait for both
       var rows = Array.empty[Element]
       val deadline = System.currentTimeMillis() + 60000
-      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+      while (rows.length < 2 && System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
         rows = spark.table("chunks_out").as[Element].collect()
       }
