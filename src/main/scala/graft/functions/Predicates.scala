@@ -166,8 +166,8 @@ object Predicates {
    * The element-type classification cascade — `partition/text.py:111-166`, first match
    * wins, in the reference's normative order: bullet, email, US city/state/zip,
    * numbered list, narrative, title, fallback UncategorizedText.
-   * (Positional header/footer checks apply only when coordinates exist and are handled
-   * by the partitioners.)
+   * (Positional header/footer checks apply only when coordinates exist —
+   * [[classifyTextPositional]].)
    */
   def classifyText(c: Column): Column =
     when(pyStrip(c) === "", "UncategorizedText")
@@ -178,4 +178,18 @@ object Predicates {
       .when(isPossibleNarrativeText(c), "NarrativeText")
       .when(isPossibleTitle(c), "Title")
       .otherwise("UncategorizedText")
+
+  /**
+   * `element_from_text` with coordinates — the positional branches come FIRST in the
+   * cascade (`partition/text.py:111-127`): mean point y as a fraction of the layout
+   * height below 0.07 classifies Header, above 0.93 Footer
+   * (`_is_in_header_position`/`_is_in_footer_position`, `text.py:174-211`); rows
+   * without coordinates fall through to the text cascade.
+   */
+  def classifyTextPositional(c: Column, avgY: Column, layoutHeight: Column): Column = {
+    val pct = avgY / layoutHeight
+    when(avgY.isNotNull && layoutHeight.isNotNull && pct < 0.07, "Header")
+      .when(avgY.isNotNull && layoutHeight.isNotNull && pct > 0.93, "Footer")
+      .otherwise(classifyText(c))
+  }
 }

@@ -116,6 +116,17 @@ object LayoutQueries {
         .orderBy("doc_id", "orig_seq")
     }),
 
+    // positional header/footer classification (partition/text.py:111-127,174-211):
+    // mean box y under 7% of the layout height -> Header, over 93% -> Footer,
+    // otherwise the text cascade classifies a constructed text
+    "q_classify_positional" -> ((s, dir) =>
+      boxes(s, dir).select(
+        col("doc_id"), col("seq"),
+        graft.functions.Predicates.classifyTextPositional(
+          concat(lit("Note "), col("element_type")),
+          (col("y1") + col("y2")) / lit(2.0), lit(520.0)).as("element_type"))
+        .orderBy("doc_id", "seq")),
+
     // weighted edit distance (ins=2,del=1,sub=1): closed-form cases (pure
     // insertion/deletion/substitution over the full document text — '§' never
     // occurs in the corpus, so each replaced char is exactly one substitution)
@@ -215,6 +226,14 @@ object LayoutQueries {
          |  row_number() OVER (PARTITION BY doc_id, page_number ORDER BY y1, x1, seq)
          |    AS reading_order
          |FROM b ORDER BY doc_id, orig_seq""".stripMargin,
+
+    "q_classify_positional" ->
+      s"""WITH b AS $boxesSql
+         |SELECT doc_id, seq,
+         |  CASE WHEN (y1 + y2) / 2.0 / 520.0 < 0.07 THEN 'Header'
+         |       WHEN (y1 + y2) / 2.0 / 520.0 > 0.93 THEN 'Footer'
+         |       ELSE ${O.classify("'Note ' || element_type")} END AS element_type
+         |FROM b ORDER BY doc_id, seq""".stripMargin,
 
     // pure-insertion = 2 x (chars removed); pure-deletion = chars added;
     // pure-substitution = chars replaced; mixed-edit pairs precomputed by an
