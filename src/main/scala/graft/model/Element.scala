@@ -89,6 +89,8 @@ final case class ElementMetadata(
     // ML provenance
     detection_class_prob: Option[Double] = None,
     detection_origin: Option[String] = None,
+    // dict-of-lists provenance (`enrichment_origins`, elements.py:512-515,534)
+    enrichment_origins: Option[Map[String, Seq[String]]] = None,
     // audio
     segment_start_seconds: Option[Double] = None,
     segment_end_seconds: Option[Double] = None)

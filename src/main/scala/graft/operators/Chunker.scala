@@ -254,6 +254,17 @@ object Chunker {
       val vs = ms.flatMap(get)
       if (vs.isEmpty) None else Some(vs.map(_.strip).mkString(" "))
     }
+    // DICT_LIST_UNIQUE — elements.py:512-515: union keys; per key concatenate the
+    // lists then drop duplicates, preserving first-seen order
+    def dictListUnique(get: ElementMetadata => Option[Map[String, Seq[String]]])
+        : Option[Map[String, Seq[String]]] = {
+      val vs = ms.flatMap(get)
+      if (vs.isEmpty) None
+      else {
+        val keys = vs.flatMap(_.keys).distinct
+        Some(keys.map(k => k -> vs.flatMap(_.getOrElse(k, Nil)).distinct).toMap)
+      }
+    }
     ElementMetadata(
       filename = first(_.filename),
       file_directory = first(_.file_directory),
@@ -269,6 +280,7 @@ object Chunker {
       link_texts = listConcat(_.link_texts),
       link_urls = listConcat(_.link_urls),
       languages = listUnique(_.languages),
+      enrichment_origins = dictListUnique(_.enrichment_origins),
       text_as_html = stringConcat(_.text_as_html),
       sent_from = first(_.sent_from),
       sent_to = first(_.sent_to),

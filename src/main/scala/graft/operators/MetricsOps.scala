@@ -12,6 +12,31 @@ import graft.operators.Chunker.TableChunker
  */
 object MetricsOps {
 
+  /**
+   * `filter_metrics` — `metrics/evaluate.py:599-662`: keep only the metric rows
+   * whose `filterBy` column appears in the allow-list. The DataFrame variant is a
+   * broadcast semi-join (the allow-list is a file-name list, always small relative
+   * to the metrics table — never shuffle the metrics side for it).
+   */
+  def filterMetrics(df: org.apache.spark.sql.DataFrame, filterList: Seq[String],
+      filterBy: String = "filename"): org.apache.spark.sql.DataFrame = {
+    require(df.columns.contains(filterBy),
+      "`filter_by` key does not exists in the data provided") // evaluate.py:647-648
+    df.filter(org.apache.spark.sql.functions.col(filterBy)
+      .isin(filterList: _*))
+  }
+
+  def filterMetrics(df: org.apache.spark.sql.DataFrame,
+      filterDf: org.apache.spark.sql.DataFrame, filterBy: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(df.columns.contains(filterBy),
+      "`filter_by` key does not exists in the data provided")
+    val keys = filterDf.select(col(filterDf.columns.head).cast("string").as(filterBy))
+      .distinct()
+    df.join(broadcast(keys), Seq(filterBy), "left_semi")
+  }
+
   def tableEvalScore(goldHtml: String, predHtml: String,
       contentOnly: Boolean = false): Double = {
     val gold = TableChunker.parseRows(goldHtml)

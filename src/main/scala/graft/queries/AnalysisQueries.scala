@@ -73,6 +73,17 @@ object AnalysisQueries {
     t => array_join(slice(TextAnalysis.words(t), lit(1),
       greatest(size(TextAnalysis.words(t)) - 5, lit(1))), " ")
 
+  /** Non-BMP suffix (crab emoji U+1F980 + CJK-ext-B U+2A6B2) appended to every 9th
+    * doc in the hash corpora — a UTF-16-code-unit hash would diverge from the
+    * oracle's codepoint iteration on exactly these rows. */
+  private val NonBmpSuffix = " 🦀上𪚲"
+
+  private def withNonBmp(t: Column): Column =
+    when(col("doc_id") % 9 === 0, concat(t, lit(NonBmpSuffix))).otherwise(t)
+
+  private def withNonBmpSql(x: String): String =
+    s"(CASE WHEN doc_id % 9 = 0 THEN $x || '$NonBmpSuffix' ELSE $x END)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_counts" -> ((s, dir) =>
       docs(s, dir).select(
@@ -88,7 +99,7 @@ object AnalysisQueries {
       TextAnalysis.langIdHeuristic(col("text")), "lang_pred")),
 
     "q_doc_fingerprint" -> ((s, dir) => one(s, dir)(
-      TextAnalysis.docFingerprint(col("text")), "fp")),
+      TextAnalysis.docFingerprint(withNonBmp(col("text"))), "fp")),
 
     // Exact dedup: fingerprint → groupBy → keep collision groups. One shuffle on the
     // hash key; at 100 TB this is the canonical dedup plan (no pairwise compare).
@@ -102,7 +113,8 @@ object AnalysisQueries {
         .orderBy("fp")),
 
     "q_minhash_signature" -> ((s, dir) => one(s, dir)(
-      concat_ws(",", TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3)),
+      concat_ws(",",
+        TextAnalysis.minHashSignature(withNonBmp(col("text")), k = 8, shingleN = 3)),
       "sig_str")),
 
     // Near-dup end-to-end: MinHash(8) → 4 LSH bands → explode → hot-band guard
@@ -121,7 +133,7 @@ object AnalysisQueries {
     }),
 
     "q_simhash" -> ((s, dir) => one(s, dir)(
-      TextAnalysis.simHash16(col("text")), "simhash")),
+      TextAnalysis.simHash16(withNonBmp(col("text"))), "simhash")),
 
     // Brute-force cosine top-k against a broadcast query vector — the ANN baseline.
     "q_ann_cosine_topk" -> ((s, dir) => {
@@ -297,7 +309,7 @@ object AnalysisQueries {
 
     "q_lang_id" -> docSel(langIdSql("text"), "lang_pred"),
 
-    "q_doc_fingerprint" -> docSel(fingerprint("text"), "fp"),
+    "q_doc_fingerprint" -> docSel(fingerprint(withNonBmpSql("text")), "fp"),
 
     "q_exact_dedup" ->
       s"""SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
@@ -306,7 +318,7 @@ object AnalysisQueries {
          |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
     "q_minhash_signature" ->
-      docSel(s"array_to_string(${minhashSigSql("text")}, ',')", "sig_str"),
+      docSel(s"array_to_string(${minhashSigSql(withNonBmpSql("text"))}, ',')", "sig_str"),
 
     "q_lsh_near_dup" ->
       s"""WITH sig AS (

@@ -135,6 +135,36 @@ object RelationalQueries {
         .orderBy("l_orderkey")
     }),
 
+    // DICT_LIST_UNIQUE (enrichment_origins, elements.py:512-515): per element a
+    // dict {l_linestatus -> [l_returnflag]}; consolidation unions keys and per key
+    // concatenates then dedupes in first-seen (l_linenumber, value) order. Rendered
+    // "K:v1,v2;K2:v3" with keys sorted for a deterministic compare.
+    "q_consolidate_dict_list_unique" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_linestatus")
+        .agg(array_join(array_distinct(transform(
+          array_sort(collect_list(struct(col("l_linenumber").as("ln"),
+            col("l_returnflag").as("rf")))),
+          x => x.getField("rf"))), ",").as("vals"))
+        .groupBy("l_orderkey")
+        .agg(array_join(array_sort(collect_list(
+          concat(col("l_linestatus"), lit(":"), col("vals")))), ";").as("dict_str"))
+        .orderBy("l_orderkey")
+    }),
+
+    // filter_metrics (metrics/evaluate.py:599-662): semi-join a per-doc metrics
+    // frame on a filename allow-list (broadcast — the list side is always small)
+    "q_filter_metrics" -> ((s, dir) => {
+      val metrics = graft.Tables.read(s, dir, "documents")
+        .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("filename"),
+          col("n_chars"), length(col("text")).cast("long").as("text_len"))
+      val allow = graft.Tables.read(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(concat(lit("doc_"), col("doc_id"), lit(".txt")).as("filename"))
+      graft.operators.MetricsOps.filterMetrics(metrics, allow, "filename")
+        .orderBy("filename")
+    }),
+
     // LIST_CONCATENATE: order-sensitive list append.
     "q_consolidate_list_concat" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -262,6 +292,22 @@ object RelationalQueries {
         |  string_agg(l_linestatus, ',' ORDER BY l_linenumber, l_linestatus)
         |    AS all_status
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_consolidate_dict_list_unique" ->
+      """WITH per_val AS (
+        |  -- first-seen dedupe: each value keeps its earliest (linenumber, value) slot
+        |  SELECT l_orderkey, l_linestatus, l_returnflag, min(l_linenumber) AS first_ln
+        |  FROM lineitem GROUP BY l_orderkey, l_linestatus, l_returnflag),
+        |per_key AS (
+        |  SELECT l_orderkey, l_linestatus,
+        |    string_agg(l_returnflag, ',' ORDER BY first_ln, l_returnflag) AS vals
+        |  FROM per_val GROUP BY l_orderkey, l_linestatus)
+        |SELECT l_orderkey,
+        |  string_agg(l_linestatus || ':' || vals, ';' ORDER BY l_linestatus || ':' || vals)
+        |    AS dict_str
+        |FROM per_key GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_filter_metrics" ->
+      """SELECT 'doc_' || doc_id || '.txt' AS filename, n_chars, length(text) AS text_len
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY filename""".stripMargin,
     "q_hash_ids" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  row_number() OVER (PARTITION BY l_orderkey

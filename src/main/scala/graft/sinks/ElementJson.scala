@@ -140,6 +140,11 @@ object ElementJson {
     s("orig_elements", m.orig_elements)
     d("detection_class_prob", m.detection_class_prob)
     s("detection_origin", m.detection_origin)
+    m.enrichment_origins.foreach { eo =>
+      b += "enrichment_origins" -> eo.toSeq.sortBy(_._1)
+        .map { case (k, vs) => jStr(k) + ":" + jArr(vs.map(jStr)) }
+        .mkString("{", ",", "}")
+    }
     d("segment_start_seconds", m.segment_start_seconds)
     d("segment_end_seconds", m.segment_end_seconds)
     b.result()

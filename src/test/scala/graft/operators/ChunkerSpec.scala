@@ -374,6 +374,20 @@ class ChunkerSpec extends AnyFunSuite {
     assert(chunks.head.metadata.text_as_html.contains(html))
   }
 
+  test("consolidates enrichment_origins with DICT_LIST_UNIQUE") {
+    val e1 = el(ElementType.NarrativeText, "one").copy(metadata = ElementMetadata(
+      enrichment_origins = Some(Map("ner" -> Seq("model-a", "model-b")))))
+    val e2 = el(ElementType.NarrativeText, "two").copy(metadata = ElementMetadata(
+      enrichment_origins = Some(Map("ner" -> Seq("model-b", "model-c"),
+        "summary" -> Seq("model-d")))))
+    val chunks = basic(Seq(e1, e2), ChunkingOptions(includeOrigElements = false))
+    assert(chunks.size == 1)
+    // union keys; per key concatenate then dedupe, preserving first-seen order
+    assert(chunks.head.metadata.enrichment_origins.contains(Map(
+      "ner" -> Seq("model-a", "model-b", "model-c"),
+      "summary" -> Seq("model-d"))))
+  }
+
   // -- incremental (streaming) fold --
 
   private def runIncremental(els: Seq[Element], opts: ChunkingOptions,
