@@ -130,10 +130,18 @@ object TextAnalysis {
   def docFingerprint(c: Column): Column =
     polyHash(lower(Cleaners.cleanExtraWhitespace(c)))
 
+  /** 64-bit SimHash (native expression, one compiled pass — see
+    * [[graft.functions.expr.SimHash64]]). The production near-dup sketch. */
+  def simHash64(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.SimHash64(
+        org.apache.spark.sql.graft.bridge.expression(lower(c))))
+
   /**
-   * 16-bit SimHash over word tokens: bit j of the result is set when the sum of
-   * (+1/-1) votes from each word's hash bit j is positive. Near-dup docs differ in
-   * few bits (compare via Hamming distance).
+   * Legacy 16-bit SimHash over word tokens: bit j of the result is set when the sum
+   * of (+1/-1) votes from each word's hash bit j is positive. Near-dup docs differ
+   * in few bits (compare via Hamming distance). Superseded by [[simHash64]] — 16
+   * bits saturate on large corpora (birthday collisions at ~2^8 docs).
    */
   def simHash16(c: Column): Column = {
     val hashes = transform(words(lower(c)), w => polyHash(w) % 65536L)

@@ -132,8 +132,16 @@ object AnalysisQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    "q_simhash" -> ((s, dir) => one(s, dir)(
-      TextAnalysis.simHash16(withNonBmp(col("text"))), "simhash")),
+    // 64-bit SimHash rendered as 16 hex chars (hi/lo halves, so the oracle's
+    // BIGINT arithmetic never touches the sign bit)
+    "q_simhash" -> ((s, dir) => {
+      val h = TextAnalysis.simHash64(withNonBmp(col("text")))
+      docs(s, dir).select(col("doc_id"),
+        format_string("%08x%08x",
+          shiftrightunsigned(h, 32),
+          h.bitwiseAND(lit(0xFFFFFFFFL))).as("simhash"))
+        .orderBy("doc_id")
+    }),
 
     // Brute-force cosine top-k against a broadcast query vector — the ANN baseline.
     "q_ann_cosine_topk" -> ((s, dir) => {
@@ -288,10 +296,16 @@ object AnalysisQueries {
       s"h -> (h * (2*j + 1) + 7919*j) % 1000000007)))"
   }
 
-  private def simhashSql(x: String): String =
-    s"CAST(list_sum(list_transform(range(0, 16), j -> " +
-      s"CASE WHEN CAST(list_sum(list_transform(hs, h -> ((h // (1::BIGINT << j)) % 2) * 2 - 1)) AS BIGINT) > 0 " +
-      s"THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
+  /** Vote total for simhash bit j over word hashes `hs`: parity of the keyed
+    * variant `(h·(2j+1) + 7919j) mod 1e9+7` contributes ±1. */
+  private def simhashVote(j: String): String =
+    s"CAST(list_sum(list_transform(hs, h -> " +
+      s"(((h * (2 * $j + 1) + 7919 * $j) % 1000000007) % 2) * 2 - 1)) AS BIGINT)"
+
+  /** One 32-bit half of the 64-bit simhash: bits [base, base+32). */
+  private def simhashHalf(base: Int): String =
+    s"CAST(list_sum(list_transform(range($base, ${base + 32}), j -> " +
+      s"CASE WHEN ${simhashVote("j")} > 0 THEN (1::BIGINT << (j - $base)) ELSE 0 END)) AS BIGINT)"
 
   private val cosSimSql: String =
     "round(list_sum(list_transform(range(1, len(embedding) + 1), " +
@@ -341,8 +355,9 @@ object AnalysisQueries {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_simhash" ->
-      s"""SELECT doc_id, ${simhashSql("text")} AS simhash
-         |FROM (SELECT doc_id, list_transform(${wordsL("text")}, w -> ${ph("w")} % 65536) AS hs
+      s"""SELECT doc_id, printf('%08x%08x', ${simhashHalf(32)}, ${simhashHalf(0)}) AS simhash
+         |FROM (SELECT doc_id,
+         |        list_transform(${wordsL(withNonBmpSql("text"))}, w -> ${ph("w")}) AS hs
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
