@@ -220,19 +220,28 @@ object ConvertedFormats {
   private val AttrRe = "([a-zA-Z:-]+)=\"([^\"]*)\"".r
   private val ItemrefRe = "<itemref [^>]*/?>".r
 
-  /** Percent-decode an href (no '+'-as-space: hrefs are paths, not query strings). */
+  /** Percent-decode an href (no '+'-as-space: hrefs are paths, not query strings).
+    * Consecutive `%hh` escapes form ONE UTF-8 byte sequence — `ch%C3%A9.xhtml`
+    * decodes to `ché.xhtml`, matching the UTF-8-decoded zip member names; a
+    * per-byte `toChar` (Latin-1) would miss the lookup and drop the chapter. */
   private[sources] def percentDecode(s: String): String = {
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     val sb = new StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream(8)
+    def flush(): Unit = if (bytes.size > 0) {
+      sb.append(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        scala.util.Try(Integer.parseInt(s.substring(i + 1, i + 3), 16)) match {
-          case scala.util.Success(v) => sb.append(v.toChar); i += 3
-          case _ => sb.append(c); i += 1
-        }
-      } else { sb.append(c); i += 1 }
+      if (c == '%' && i + 3 <= s.length && hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { flush(); sb.append(c); i += 1 }
     }
+    flush()
     sb.toString
   }
 

@@ -29,6 +29,10 @@ object MsgPartitioner {
       size: Long, childId: Int, leftId: Int, rightId: Int, path: String = "")
 
   final class Cfb(bytes: Array[Byte]) {
+    /** Message codepage, computed once per container (consulted from the top-level
+      * props, recipients and attachments passes). */
+    lazy val charset: java.nio.charset.Charset = MsgPartitioner.computeCharset(this)
+
     private val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
 
     require(bytes.length >= 512 &&
@@ -230,8 +234,12 @@ object MsgPartitioner {
 
   /** PR_MESSAGE_CODEPAGE (3FFD) / PR_INTERNET_CPID (3FDE) → Java charset;
     * ISO-8859-1 when absent or unmappable. Legacy non-Latin messages store
-    * PT_STRING8 bodies in this codepage. */
-  def messageCharset(cfb: Cfb): java.nio.charset.Charset = {
+    * PT_STRING8 bodies in this codepage. Memoized per Cfb — partitioning one
+    * message consults it from three places (top-level props, recipients,
+    * attachments), each of which would otherwise re-walk the property stream. */
+  def messageCharset(cfb: Cfb): java.nio.charset.Charset = cfb.charset
+
+  private[sources] def computeCharset(cfb: Cfb): java.nio.charset.Charset = {
     val props = fixedProps(cfb)
     props.get("3FFD").orElse(props.get("3FDE")).flatMap { cp =>
       val name = cp match {
