@@ -73,6 +73,12 @@ object TextAnalysis {
     "der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von", "mit")
   val StopwordsFr: Seq[String] = Seq(
     "le", "la", "les", "de", "et", "un", "une", "est", "que", "pour", "dans")
+  val StopwordsIt: Seq[String] = Seq(
+    "il", "lo", "gli", "che", "di", "non", "sono", "anche", "ma", "nel", "della")
+  val StopwordsPt: Seq[String] = Seq(
+    "o", "os", "uma", "não", "são", "mais", "mas", "foi", "ele", "isso", "como")
+  val StopwordsNl: Seq[String] = Seq(
+    "de", "het", "een", "van", "ik", "je", "niet", "met", "zijn", "voor", "maar")
 
   def stopwordCount(c: Column, stopwords: Seq[String]): Column =
     size(array_intersect_multi(words(lower(c)), stopwords))
@@ -121,6 +127,42 @@ object TextAnalysis {
       .when(es >= de && es >= fr, "es")
       .when(de >= fr, "de")
       .otherwise("fr")
+  }
+
+  /**
+   * `detect_languages` "auto" mode re-expressed deterministically
+   * (`partition/common/lang.py:412-505`): ISO-639-3 output codes; Chinese variants
+   * normalize to `zho` (`:489-495`); ASCII text under 5 words defaults to `eng`
+   * (`:446-451`); empty text yields null (`:441-443`). The seeded langdetect
+   * n-gram model (`:452-453`, a model download this engine avoids) is replaced by
+   * a deterministic cascade: unicode-script counts route the non-Latin scripts
+   * (kana before han so Japanese isn't misread as Chinese), then a 7-language
+   * stopword vote handles Latin text. Entirely codegen'd column expressions.
+   */
+  def detectLanguages(c: Column): Column = {
+    def cnt(re: String) = regexp_count(c, lit(re))
+    val langs = Seq(
+      "eng" -> StopwordsEn, "spa" -> StopwordsEs, "deu" -> StopwordsDe,
+      "fra" -> StopwordsFr, "ita" -> StopwordsIt, "por" -> StopwordsPt,
+      "nld" -> StopwordsNl)
+    val counts = langs.map { case (code, sw) => code -> stopwordCount(c, sw) }
+    val maxCount = greatest(counts.map(_._2): _*)
+    // first language (in declaration order) reaching the max vote wins
+    val vote = counts.foldRight(lit("und")) { case ((code, n), els) =>
+      when(maxCount > 0 && n === maxCount, lit(code)).otherwise(els)
+    }
+    when(trim(c) === "", lit(null).cast("string"))
+      .when(cnt("[\\u3040-\\u30FF]") > 0, "jpn")
+      .when(cnt("[\\uAC00-\\uD7AF]") > 0, "kor")
+      .when(cnt("[\\u4E00-\\u9FFF]") > 0, "zho")
+      .when(cnt("[\\u0400-\\u04FF]") > 0, "rus")
+      .when(cnt("[\\u0600-\\u06FF]") > 0, "ara")
+      .when(cnt("[\\u0900-\\u097F]") > 0, "hin")
+      .when(cnt("[\\u0370-\\u03FF]") > 0, "ell")
+      .when(cnt("[\\u0590-\\u05FF]") > 0, "heb")
+      .when(cnt("[\\u0E00-\\u0E7F]") > 0, "tha")
+      .when(c.rlike("^[\\x00-\\x7F]*$") && tokenCountWhitespace(c) < 5, "eng")
+      .otherwise(vote)
   }
 
   /**

@@ -84,6 +84,36 @@ object AnalysisQueries {
   private def withNonBmpSql(x: String): String =
     s"(CASE WHEN doc_id % 9 = 0 THEN $x || '$NonBmpSuffix' ELSE $x END)"
 
+  /** The detect_languages corpus: one branch per doc_id residue, constructed
+    * identically on both sides (script suffixes ride on the English text — the
+    * script checks precede the stopword vote, so the carrier is irrelevant). */
+  private val LangPhrases: Seq[(Int, String, Boolean)] = Seq(
+    // (residue, phrase, replaceWholeText)
+    (0, "ok", true), // ASCII, <5 words -> eng default
+    (1, " 汉字处理系统", false), // han -> zho
+    (2, " これはテストです", false), // kana -> jpn
+    (3, " 한국어 텍스트", false), // hangul -> kor
+    (4, " русский текст", false), // cyrillic -> rus
+    (5, " نص عربي", false), // arabic -> ara
+    (6, "la casa es grande y el perro come en la cocina", true), // spa
+    (7, "der Hund ist im Haus und die Katze ist von dem Tisch", true), // deu
+    (8, "le chien est dans la maison et le chat est pour toi", true), // fra
+    (9, "il cane non mangia anche se il gatto è nel giardino della casa", true), // ita
+    (10, "o cão não come mais mas ele foi como isso", true)) // por
+    // residue 11: the English document text itself -> eng by vote
+
+  private def langCorpusText(docId: Column, text: Column): Column =
+    LangPhrases.foldRight(text) { case ((r, phrase, replace), els) =>
+      when(docId % 12 === r,
+        if (replace) lit(phrase) else concat(text, lit(phrase))).otherwise(els)
+    }
+
+  private def langCorpusTextSql(x: String): String =
+    LangPhrases.foldRight(x) { case ((r, phrase, replace), els) =>
+      val v = if (replace) s"'$phrase'" else s"$x || '$phrase'"
+      s"(CASE WHEN doc_id % 12 = $r THEN $v ELSE $els END)"
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_counts" -> ((s, dir) =>
       docs(s, dir).select(
@@ -97,6 +127,13 @@ object AnalysisQueries {
 
     "q_lang_id" -> ((s, dir) => one(s, dir)(
       TextAnalysis.langIdHeuristic(col("text")), "lang_pred")),
+
+    // detect_languages (ISO-639-3) over a 12-way corpus: per doc_id residue the
+    // text is replaced/suffixed to route every cascade branch — scripts (zho, jpn,
+    // kor, rus, ara), the short-ASCII eng default, and six Latin stopword votes
+    "q_detect_languages" -> ((s, dir) => one(s, dir)(
+      TextAnalysis.detectLanguages(langCorpusText(col("doc_id"), col("text"))),
+      "lang_pred")),
 
     "q_doc_fingerprint" -> ((s, dir) => one(s, dir)(
       TextAnalysis.docFingerprint(withNonBmp(col("text"))), "fp")),
@@ -285,6 +322,34 @@ object AnalysisQueries {
       s"WHEN $de >= $fr THEN 'de' ELSE 'fr' END)"
   }
 
+  /** Mirrors `TextAnalysis.detectLanguages` over a text expression `x` (keep `x`
+    * small — it is inlined many times; the oracle wraps the corpus in a subquery). */
+  private def detectLanguagesSql(x: String): String = {
+    def cnt(re: String) = s"len(regexp_extract_all($x, '$re'))"
+    val pairs = Seq(
+      "eng" -> TextAnalysis.StopwordsEn, "spa" -> TextAnalysis.StopwordsEs,
+      "deu" -> TextAnalysis.StopwordsDe, "fra" -> TextAnalysis.StopwordsFr,
+      "ita" -> TextAnalysis.StopwordsIt, "por" -> TextAnalysis.StopwordsPt,
+      "nld" -> TextAnalysis.StopwordsNl)
+    val counts = pairs.map { case (code, sw) => code -> O.stopwordCount(x, sw) }
+    val mx = s"greatest(${counts.map(_._2).mkString(", ")})"
+    val vote = counts.foldRight("'und'") { case ((code, n), els) =>
+      s"(CASE WHEN $mx > 0 AND $n = $mx THEN '$code' ELSE $els END)"
+    }
+    s"(CASE WHEN trim($x) = '' THEN NULL " +
+      s"WHEN ${cnt("[\\x{3040}-\\x{30FF}]")} > 0 THEN 'jpn' " +
+      s"WHEN ${cnt("[\\x{AC00}-\\x{D7AF}]")} > 0 THEN 'kor' " +
+      s"WHEN ${cnt("[\\x{4E00}-\\x{9FFF}]")} > 0 THEN 'zho' " +
+      s"WHEN ${cnt("[\\x{0400}-\\x{04FF}]")} > 0 THEN 'rus' " +
+      s"WHEN ${cnt("[\\x{0600}-\\x{06FF}]")} > 0 THEN 'ara' " +
+      s"WHEN ${cnt("[\\x{0900}-\\x{097F}]")} > 0 THEN 'hin' " +
+      s"WHEN ${cnt("[\\x{0370}-\\x{03FF}]")} > 0 THEN 'ell' " +
+      s"WHEN ${cnt("[\\x{0590}-\\x{05FF}]")} > 0 THEN 'heb' " +
+      s"WHEN ${cnt("[\\x{0E00}-\\x{0E7F}]")} > 0 THEN 'tha' " +
+      s"WHEN regexp_matches($x, '^[\\x00-\\x7f]*$$') AND len(${O.words(x)}) < 5 " +
+      s"THEN 'eng' ELSE $vote END)"
+  }
+
   /** `sig` SQL: k=8 minhash over 3-shingles of lowercased words — mirrors
     * `minHashSignature(c, 8, 3)`. NB the Spark side shingles the RAW text's words;
     * mirror exactly (no lowercase). */
@@ -322,6 +387,11 @@ object AnalysisQueries {
     "q_quality_score" -> docSel(qualitySql("text"), "quality"),
 
     "q_lang_id" -> docSel(langIdSql("text"), "lang_pred"),
+
+    "q_detect_languages" ->
+      s"""SELECT doc_id, ${detectLanguagesSql("t")} AS lang_pred
+         |FROM (SELECT doc_id, ${langCorpusTextSql("text")} AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" -> docSel(fingerprint(withNonBmpSql("text")), "fp"),
 

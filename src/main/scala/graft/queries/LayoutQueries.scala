@@ -144,12 +144,15 @@ object LayoutQueries {
         (col("doc_id") % 6).cast("int") + 1)
       val pairB = element_at(array(pairs.map(p => lit(p._2)): _*),
         (col("doc_id") % 6).cast("int") + 1)
+      // the DP is O(n·m) per column — cap the input at 500 chars (mirrored in the
+      // oracle) so four DP columns stay a sub-second scan, not the bench tail
+      val t = substring(col("text"), 1, 500)
       docs(s, dir).select(
         col("doc_id"),
-        wlev(regexp_replace(col("text"), "e", ""), col("text")).as("ins_dist"),
-        wlev(concat(col("text"), lit("xyz")), col("text")).as("del_dist"),
-        wlev(col("text"), col("text")).as("self_dist"),
-        wlev(regexp_replace(col("text"), "e", "§"), col("text")).as("sub_dist"),
+        wlev(regexp_replace(t, "e", ""), t).as("ins_dist"),
+        wlev(concat(t, lit("xyz")), t).as("del_dist"),
+        wlev(t, t).as("self_dist"),
+        wlev(regexp_replace(t, "e", "§"), t).as("sub_dist"),
         wlev(pairA, pairB).as("mixed_dist"))
         .orderBy("doc_id")
     }),
@@ -240,13 +243,14 @@ object LayoutQueries {
     // independent DP (ins=2, del=1, sub=1)
     "q_weighted_levenshtein" ->
       """SELECT doc_id,
-        |  2 * (length(text) - length(replace(text, 'e', ''))) AS ins_dist,
+        |  2 * (length(t) - length(replace(t, 'e', ''))) AS ins_dist,
         |  3 AS del_dist,
         |  0 AS self_dist,
-        |  length(text) - length(replace(text, 'e', '')) AS sub_dist,
+        |  length(t) - length(replace(t, 'e', '')) AS sub_dist,
         |  CASE doc_id % 6 WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 3
         |                  WHEN 3 THEN 2 WHEN 4 THEN 5 WHEN 5 THEN 7 END AS mixed_dist
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM (SELECT doc_id, substring(text, 1, 500) AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_table_eval" ->
       """SELECT p_partkey AS doc_id,
