@@ -27,11 +27,12 @@ object Dedup {
    * `maxBandSize`.
    */
   def lshCandidatePairs(bands: DataFrame, maxBandSize: Int = 1000): DataFrame = {
-    val safeBuckets = bands.groupBy("band_idx", "band_key")
-      .agg(count(lit(1)).as("band_n"))
+    // unordered window count: one hash exchange on the join key (reused by the
+    // self-join below), no sort, no separate aggregate + semi-join
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
+    val bounded = bands.withColumn("band_n", count(lit(1)).over(w))
       .filter(col("band_n") <= maxBandSize)
-      .select("band_idx", "band_key")
-    val bounded = bands.join(safeBuckets, Seq("band_idx", "band_key"), "left_semi")
+      .drop("band_n")
     val a = bounded.alias("a")
     val b = bounded.alias("b")
     a.join(b,
