@@ -36,6 +36,20 @@ object Registries {
   def registerCleaner(name: String, fn: Column => Column): Unit = cleaners(name) = fn
   def cleaner(name: String): Option[Column => Column] = cleaners.get(name)
 
+  // ------------------------------------------------- picture partitioner (DOCX)
+
+  /** `register_picture_partitioner` — `partition/docx.py:97-99`: module-lifetime
+    * pluggable sub-partitioner for DOCX pictures; default extracts nothing. */
+  @volatile private var picturePartitioner: graft.sources.OoxmlPartitioner.DocxPicturePartitioner =
+    graft.sources.OoxmlPartitioner.NullPicturePartitioner
+
+  def registerPicturePartitioner(
+      p: graft.sources.OoxmlPartitioner.DocxPicturePartitioner): Unit =
+    picturePartitioner = p
+
+  def docxPicturePartitioner: graft.sources.OoxmlPartitioner.DocxPicturePartitioner =
+    picturePartitioner
+
   /** `Text.apply(*cleaners)` — fold named cleaners over the text column. */
   def applyCleaners(ds: Dataset[Element], names: Seq[String]): Dataset[Element] = {
     val sp = ds.sparkSession

@@ -26,6 +26,38 @@ import graft.sources.HtmlPartitioner.RawPara
  */
 object OoxmlPartitioner {
 
+  /**
+   * Pluggable DOCX picture sub-partitioner — the `PicturePartitionerT` protocol
+   * (`partition/docx.py:97-126`): receives each picture-bearing paragraph's XML and
+   * a media resolver (relationship id → image bytes) and yields `Image` paras. The
+   * default extracts nothing (the reference's `_NullPicturePartitioner`). Register
+   * via [[graft.operators.Registries.registerPicturePartitioner]]; registration is
+   * JVM-lifetime, so on a cluster it must run in executor startup (a static
+   * initializer / `--conf spark.executor.plugins`), not just on the driver.
+   */
+  trait DocxPicturePartitioner extends Serializable {
+    def elements(paragraphXml: String, media: String => Option[Array[Byte]]): Seq[RawPara]
+  }
+
+  object NullPicturePartitioner extends DocxPicturePartitioner {
+    def elements(paragraphXml: String, media: String => Option[Array[Byte]]): Seq[RawPara] = Nil
+  }
+
+  /** Read selected zip members as raw bytes (media entries are not text). */
+  private[sources] def zipEntriesRaw(bytes: Array[Byte],
+      wanted: String => Boolean): Map[String, Array[Byte]] = {
+    val out = mutable.Map.empty[String, Array[Byte]]
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory && wanted(e.getName)) out(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
   /** Read all (or selected) zip members into memory. */
   private def zipEntries(bytes: Array[Byte],
       wanted: String => Boolean): Map[String, String] = {
@@ -57,10 +89,30 @@ object OoxmlPartitioner {
   private val WTrRe = "(?s)<w:tr[ >].*?</w:tr>".r
   private val WTcRe = "(?s)<w:tc>.*?</w:tc>".r
   private val HeadingStyleRe = "^Heading ?([1-9])$".r
+  private val RelTagRe = "<Relationship [^>]*/?>".r
+  private val RelIdRe = "Id=\"([^\"]+)\"".r
+  private val RelTargetRe = "Target=\"([^\"]+)\"".r
 
   def partitionDocx(bytes: Array[Byte]): Seq[RawPara] = {
     val doc = zipEntries(bytes, _ == "word/document.xml").getOrElse("word/document.xml", "")
     if (doc.isEmpty) return Nil
+    // media resolver for the picture sub-partitioner — materialized only if a
+    // picture-bearing paragraph is actually reached
+    lazy val relMap: Map[String, String] = RelTagRe
+      .findAllIn(zipEntries(bytes, _ == "word/_rels/document.xml.rels")
+        .getOrElse("word/_rels/document.xml.rels", ""))
+      .flatMap { tag =>
+        for {
+          id <- RelIdRe.findFirstMatchIn(tag).map(_.group(1))
+          t <- RelTargetRe.findFirstMatchIn(tag).map(_.group(1))
+        } yield id -> t
+      }.toMap
+    lazy val media = zipEntriesRaw(bytes, _.startsWith("word/media/"))
+    val mediaFor: String => Option[Array[Byte]] = rid =>
+      relMap.get(rid).flatMap { t =>
+        val path = if (t.startsWith("word/")) t else "word/" + t.stripPrefix("./")
+        media.get(path)
+      }
     val out = mutable.ArrayBuffer.empty[RawPara]
     var page = 1
     WBlockRe.findAllIn(doc).foreach { block =>
@@ -102,6 +154,13 @@ object OoxmlPartitioner {
             out += RawPara(text, tpe, depth, pageNumber = Some(page),
               classifier = if (tpe.isEmpty) "docx" else "html")
           }
+        }
+        // pictures in this paragraph go to the pluggable sub-partitioner
+        // (`_iter_paragraph_images`, docx.py:654-659), after the paragraph's text
+        if (block.contains("<a:blip")) {
+          graft.operators.Registries.docxPicturePartitioner
+            .elements(block, mediaFor)
+            .foreach(p => out += p.copy(pageNumber = p.pageNumber.orElse(Some(page))))
         }
         if (WPageBreakRe.findFirstIn(block).isDefined) page += 1
       }

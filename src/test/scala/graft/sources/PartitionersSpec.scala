@@ -172,6 +172,46 @@ class PartitionersSpec extends AnyFunSuite {
     assert(ps(4).textAsHtml.contains("<table><tr><td>h1</td><td>h2</td></tr></table>"))
   }
 
+  test("docx picture partitioner protocol: registered sub-partitioner emits Images") {
+    val docXml =
+      """<w:document><w:body>
+        |<w:p><w:r><w:t>Before pic</w:t></w:r>
+        |<w:drawing><a:blip r:embed="rId5"/></w:drawing></w:p>
+        |</w:body></w:document>""".stripMargin
+    val rels =
+      """<Relationships><Relationship Id="rId5" Type="http://x/image" """ +
+        """Target="media/image1.png"/></Relationships>"""
+    val bytes = zip(
+      "word/document.xml" -> docXml,
+      "word/_rels/document.xml.rels" -> rels,
+      "word/media/image1.png" -> "PNGBYTES")
+
+    // default (null) partitioner extracts nothing — docx.py's _NullPicturePartitioner
+    assert(!OoxmlPartitioner.partitionDocx(bytes).exists(_.elementType.contains("Image")))
+
+    object B64PicturePartitioner extends OoxmlPartitioner.DocxPicturePartitioner {
+      private val Blip = "r:embed=\"([^\"]+)\"".r
+      def elements(paragraphXml: String,
+          media: String => Option[Array[Byte]]): Seq[HtmlPartitioner.RawPara] =
+        Blip.findAllMatchIn(paragraphXml).flatMap(m => media(m.group(1))).map { b =>
+          HtmlPartitioner.RawPara("", Some("Image"),
+            imageBase64 = Some(java.util.Base64.getEncoder.encodeToString(b)),
+            imageMime = Some("image/png"))
+        }.toSeq
+    }
+    graft.operators.Registries.registerPicturePartitioner(B64PicturePartitioner)
+    try {
+      val ps = OoxmlPartitioner.partitionDocx(bytes)
+      assert(ps(0).text == "Before pic")
+      val img = ps.find(_.elementType.contains("Image")).get
+      assert(img.imageBase64.contains(
+        java.util.Base64.getEncoder.encodeToString("PNGBYTES".getBytes("UTF-8"))))
+      assert(img.imageMime.contains("image/png"))
+      assert(img.pageNumber.contains(1))
+    } finally graft.operators.Registries.registerPicturePartitioner(
+      OoxmlPartitioner.NullPicturePartitioner)
+  }
+
   // ------------------------------------------------------------- xlsx
 
   test("xlsx: shared strings, cell grid, sheet name") {
