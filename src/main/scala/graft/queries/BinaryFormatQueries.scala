@@ -59,6 +59,21 @@ object BinaryFormatQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // picture-partitioner protocol end-to-end: the corpus docx carries a
+    // drawing-only paragraph + rels + media entry; the injected sub-partitioner
+    // extracts each blip's media as a base64 Image with magic-sniffed MIME
+    "q_docx_pictures" -> ((s, dir) => {
+      import s.implicits._
+      docBase(s, dir).flatMap { d =>
+        OoxmlPartitioner.partitionDocx(CorpusBytes.docx(d),
+            OoxmlPartitioner.Base64PicturePartitioner)
+          .filter(_.elementType.contains("Image"))
+          .map(p => (d.docId, p.imageBase64.orNull, p.imageMime.orNull,
+            p.pageNumber.getOrElse(0)))
+      }.toDF("doc_id", "image_base64", "image_mime", "page_number")
+        .orderBy("doc_id")
+    }),
+
     "q_partition_docx" -> ((s, dir) =>
       partitionBinary(docBase(s, dir), CorpusBytes.docx, OoxmlPartitioner.partitionDocx)
         .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
@@ -156,6 +171,11 @@ object BinaryFormatQueries {
        |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_docx_pictures" ->
+      """SELECT doc_id, base64(from_hex('89504E47') || source::BLOB) AS image_base64,
+        |  'image/png' AS image_mime, 1 AS page_number
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_partition_docx" -> {
       val mixed = "('A&B ' || w1)"
       s"""WITH base AS ($base),

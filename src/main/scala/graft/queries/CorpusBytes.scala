@@ -64,6 +64,9 @@ object CorpusBytes {
     // two runs + an XML escape: joined text is "A&B <w1>"
     sb.append("<w:p><w:r><w:t xml:space=\"preserve\">A&amp;B </w:t></w:r><w:r><w:t>")
       .append(xmlEscape(d.w1)).append("</w:t></w:r></w:p>")
+    // drawing-only paragraph: invisible to text partitioning (no w:t), feeds the
+    // pluggable picture sub-partitioner when one is injected
+    sb.append("<w:p><w:r><w:drawing><a:blip r:embed=\"rIdImg\"/></w:drawing></w:r></w:p>")
     sb.append("<w:p><w:r><w:br w:type=\"page\"/></w:r></w:p>")
     sb.append("<w:p><w:r><w:t>page two ").append(xmlEscape(d.source))
       .append("</w:t></w:r></w:p>")
@@ -73,7 +76,16 @@ object CorpusBytes {
     sb.append("</w:body></w:document>")
     zip(Seq(
       "[Content_Types].xml" -> "<?xml version=\"1.0\"?><Types/>".getBytes(UTF_8),
-      "word/document.xml" -> sb.toString.getBytes(UTF_8)))
+      "word/document.xml" -> sb.toString.getBytes(UTF_8),
+      "word/_rels/document.xml.rels" ->
+        ("<?xml version=\"1.0\"?><Relationships><Relationship Id=\"rIdImg\" " +
+          "Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/image\" " +
+          "Target=\"media/image1.png\"/></Relationships>").getBytes(UTF_8),
+      // PNG magic + source bytes: magic-sniffable, and the oracle reproduces the
+      // base64 as base64(from_hex('89504E47') || source::BLOB)
+      "word/media/image1.png" ->
+        (Array[Byte](0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte) ++
+          d.source.getBytes(UTF_8))))
   }
 
   // ------------------------------------------------------------------------ XLSX

@@ -43,6 +43,26 @@ object OoxmlPartitioner {
     def elements(paragraphXml: String, media: String => Option[Array[Byte]]): Seq[RawPara] = Nil
   }
 
+  /** Ready-made picture partitioner: each `a:blip` media reference becomes an
+    * `Image` element carrying the bytes base64 with a magic-sniffed MIME type. */
+  object Base64PicturePartitioner extends DocxPicturePartitioner {
+    private val BlipEmbedRe = "<a:blip [^>]*r:embed=\"([^\"]+)\"".r
+
+    private def sniffMime(b: Array[Byte]): String =
+      if (b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+        "image/png"
+      else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) "image/jpeg"
+      else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "image/gif"
+      else "application/octet-stream"
+
+    def elements(paragraphXml: String, media: String => Option[Array[Byte]]): Seq[RawPara] =
+      BlipEmbedRe.findAllMatchIn(paragraphXml).flatMap(m => media(m.group(1))).map { b =>
+        RawPara("", Some("Image"),
+          imageBase64 = Some(java.util.Base64.getEncoder.encodeToString(b)),
+          imageMime = Some(sniffMime(b)))
+      }.toSeq
+  }
+
   /** Read selected zip members as raw bytes (media entries are not text). */
   private[sources] def zipEntriesRaw(bytes: Array[Byte],
       wanted: String => Boolean): Map[String, Array[Byte]] = {
@@ -93,7 +113,13 @@ object OoxmlPartitioner {
   private val RelIdRe = "Id=\"([^\"]+)\"".r
   private val RelTargetRe = "Target=\"([^\"]+)\"".r
 
-  def partitionDocx(bytes: Array[Byte]): Seq[RawPara] = {
+  def partitionDocx(bytes: Array[Byte]): Seq[RawPara] =
+    partitionDocx(bytes, graft.operators.Registries.docxPicturePartitioner)
+
+  /** Variant with an explicitly injected picture sub-partitioner — the Spark-safe
+    * form (no JVM-global registration needed on executors). */
+  def partitionDocx(bytes: Array[Byte],
+      pictures: DocxPicturePartitioner): Seq[RawPara] = {
     val doc = zipEntries(bytes, _ == "word/document.xml").getOrElse("word/document.xml", "")
     if (doc.isEmpty) return Nil
     // media resolver for the picture sub-partitioner — materialized only if a
@@ -158,8 +184,7 @@ object OoxmlPartitioner {
         // pictures in this paragraph go to the pluggable sub-partitioner
         // (`_iter_paragraph_images`, docx.py:654-659), after the paragraph's text
         if (block.contains("<a:blip")) {
-          graft.operators.Registries.docxPicturePartitioner
-            .elements(block, mediaFor)
+          pictures.elements(block, mediaFor)
             .foreach(p => out += p.copy(pageNumber = p.pageNumber.orElse(Some(page))))
         }
         if (WPageBreakRe.findFirstIn(block).isDefined) page += 1
