@@ -86,6 +86,23 @@ object PipelineQueries {
       chunkResult(Chunker.chunkElements(elements(s, dir),
         ChunkingOptions(maxTokens = Some(24), includeOrigElements = false)))),
 
+    // inter-chunk overlap (overlap_all, base.py:229-246,723-732): each pre-chunk
+    // after the first is seeded with the stripped 20-char tail of the previous
+    // chunk's text, which also consumes window capacity. 80-char elements keep
+    // prefix + separator + element under the window, so the fold (not the
+    // splitter) is what the oracle walks.
+    "q_chunk_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val els = partitioned(s, dir)
+        .select(col("doc_id"), col("seq"), col("element_type"),
+          substring(col("text"), 1, 80).as("text"))
+        .as[(String, Long, String, String)]
+        .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
+      chunkResult(Chunker.chunkElements(els,
+        ChunkingOptions(maxCharacters = 120, overlap = 20, overlapAll = true,
+          includeOrigElements = false)))
+    }),
+
     // apply_metadata chain: doc language -> filename/filetype stamp -> hash ids ->
     // hierarchy. Oracle recomputes ids (sha-256 of filename+text+page+seq_on_page)
     // and parents (last preceding Title for ruleset children) independently.
@@ -224,6 +241,43 @@ object PipelineQueries {
     "q_chunk_basic" -> chunkWalkSql("FALSE"),
 
     "q_chunk_by_title" -> chunkWalkSql(O.classify("e.full_text") + " = 'Title'"),
+
+    // Overlap fold: the walk carries (nsegs, raw-length sum, accumulated chunk
+    // text); a boundary seeds the next chunk with strip(right(acc, 20)), which
+    // counts as a segment in the separator/capacity arithmetic exactly as the
+    // builder's seeded state does.
+    "q_chunk_overlap" -> {
+      val fits = "NOT (w.textlen + (w.nsegs - 1) * 2 > 120) " +
+        "AND (120 - w.textlen - 2 * w.nsegs >= e.len)"
+      val tail = s"${O.strip("right(w.acc, 20)")}"
+      s"""WITH RECURSIVE $parsCte,
+         |els AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+         |    {'seq': i, 'text': substring(${cleanBullets("ps[i]")}, 1, 80)}),
+         |    recursive := true)
+         |  FROM pars),
+         |norm AS (
+         |  SELECT doc_id, seq,
+         |    regexp_replace(${O.strip("text")}, '\\s+', ' ', 'g') AS t,
+         |    length(text) AS len
+         |  FROM els),
+         |walk AS (
+         |  SELECT doc_id, seq, 0 AS chunk_idx, 1 AS nsegs, len AS textlen, t AS acc
+         |  FROM norm WHERE seq = 1
+         |  UNION ALL
+         |  SELECT e.doc_id, e.seq,
+         |    CASE WHEN $fits THEN w.chunk_idx ELSE w.chunk_idx + 1 END,
+         |    CASE WHEN $fits THEN w.nsegs + 1
+         |         WHEN $tail = '' THEN 1 ELSE 2 END,
+         |    CASE WHEN $fits THEN w.textlen + e.len
+         |         ELSE length($tail) + e.len END,
+         |    CASE WHEN $fits THEN w.acc || chr(10)||chr(10) || e.t
+         |         WHEN $tail = '' THEN e.t
+         |         ELSE $tail || chr(10)||chr(10) || e.t END
+         |  FROM norm e JOIN walk w ON e.doc_id = w.doc_id AND e.seq = w.seq + 1)
+         |SELECT doc_id, chunk_idx AS chunk_seq, arg_max(acc, seq) AS text
+         |FROM walk GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_seq""".stripMargin
+    },
 
     // Token-mode fold: element packing in token units (separator "\n\n" is pure
     // whitespace, so token counts are additive across the join), then oversized
