@@ -142,6 +142,20 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "kind")
     }),
 
+    "q_partition_doc" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.doc,
+        graft.sources.LegacyOfficePartitioner.partitionDoc)
+        .select(col("doc_id"), col("seq"), col("element_type"), col("text"),
+          col("page_number"))
+        .orderBy("doc_id", "seq")),
+
+    "q_partition_ppt" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.ppt,
+        graft.sources.LegacyOfficePartitioner.partitionPpt)
+        .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
+          col("text"), col("page_number"))
+        .orderBy("doc_id", "seq")),
+
     "q_partition_msg" -> ((s, dir) => {
       import s.implicits._
       val raw = docBase(s, dir).flatMap { d =>
@@ -333,6 +347,48 @@ object BinaryFormatQueries {
          |    CASE WHEN doc_id % 2 = 0 THEN title3
          |         ELSE 'caf' || chr(233) || ' ' || ps[1] END FROM base)
          |ORDER BY doc_id, kind""".stripMargin,
+
+    "q_partition_doc" -> {
+      // piece boundary sits mid-paragraph: 'café ' (cp1252 piece) + ps[1] (UTF-16)
+      val cafe = s"(CASE WHEN i = 1 THEN 'caf' || chr(233) || ' ' || ps[i] ELSE ps[i] END)"
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, ${O.classify("title3")} AS element_type,
+         |    title3 AS text, 1 AS page_number FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.classify(cafe)}, $cafe, 1
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, ${O.classify("('page two ' || source)")},
+         |    'page two ' || source, 2 FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, text, page_number
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
+
+    "q_partition_ppt" -> {
+      val closing = "('closing remarks ' || source)"
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
+         |    0 AS category_depth, title3 AS text, 1 AS page_number FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, i, ${O.derivePptx("ps[i]")},
+         |    CASE WHEN ${O.derivePptx("ps[i]")} = 'Title' THEN 1 ELSE 0 END, ps[i], 1
+         |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
+         |  UNION ALL
+         |  SELECT doc_id, 2, 1, 'Title', 0,
+         |    'Next caf' || chr(233) || ' ' || w1, 2 FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3, 1, ${O.derivePptx(closing)},
+         |    CASE WHEN ${O.derivePptx(closing)} = 'Title' THEN 1 ELSE 0 END,
+         |    'closing remarks ' || source, 2 FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
+         |  element_type, category_depth, text, page_number
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
 
     "q_partition_msg" -> {
       val cafe = s"(CASE WHEN i = 1 THEN 'caf' || chr(233) || ' ' || ps[i] ELSE ps[i] END)"

@@ -226,6 +226,75 @@ object CorpusBytes {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------- DOC / PPT
+
+  /**
+   * Word 97 binary file: FIB in the `WordDocument` stream, Clx piece table in
+   * `1Table`. Two pieces — cp1252 (fCompressed, carries é) then UTF-16LE — with
+   * the piece boundary mid-paragraph, a leading Prc block before the Pcdt, and a
+   * 0x0C page break ([MS-DOC] layout; parsed by
+   * [[graft.sources.LegacyOfficePartitioner.partitionDoc]]).
+   */
+  def doc(d: Doc): Array[Byte] = {
+    val p1 = d.t3 + "\r" + "café "
+    val p2 = d.ps.mkString("\r") + "\r\fpage two " + d.source + "\r"
+    val p1b = p1.getBytes("windows-1252")
+    val p2b = p2.getBytes(UTF_16LE)
+    val textOff = 0x600
+    val wd = new Array[Byte](textOff + p1b.length + p2b.length)
+    val wb = ByteBuffer.wrap(wd).order(ByteOrder.LITTLE_ENDIAN)
+    wb.putShort(0, 0xA5EC.toShort) // wIdent
+    wb.putShort(2, 0x00C1.toShort) // nFib (Word 97)
+    wb.putShort(0x0A, 0x0200.toShort) // fWhichTblStm -> 1Table
+    wb.putInt(0x4C, p1.length + p2.length) // ccpText
+    wb.putInt(0x1A2, 0) // fcClx: Clx at offset 0 of 1Table
+    System.arraycopy(p1b, 0, wd, textOff, p1b.length)
+    System.arraycopy(p2b, 0, wd, textOff + p1b.length, p2b.length)
+
+    val n = 2
+    val lcb = (n + 1) * 4 + n * 8
+    val clx = ByteBuffer.allocate(5 + 5 + lcb).order(ByteOrder.LITTLE_ENDIAN)
+    clx.put(0x01.toByte); clx.putShort(2.toShort); clx.putShort(0.toShort) // Prc
+    clx.put(0x02.toByte); clx.putInt(lcb) // Pcdt
+    clx.putInt(0); clx.putInt(p1.length); clx.putInt(p1.length + p2.length)
+    clx.putShort(0); clx.putInt((textOff * 2) | 0x40000000); clx.putShort(0)
+    clx.putShort(0); clx.putInt(textOff + p1b.length); clx.putShort(0)
+    val tbl = clx.array()
+    wb.putInt(0x1A6, tbl.length) // lcbClx
+    cfb(Seq("WordDocument" -> wd, "1Table" -> tbl))
+  }
+
+  /**
+   * PowerPoint 97 file: record tree in the `PowerPoint Document` stream. Slide 1
+   * carries a title, a multi-paragraph body (CR-separated TextCharsAtom) and a
+   * notes text that must be dropped; slide 2 a centerTitle and body via cp1252
+   * TextBytesAtoms ([MS-PPT] record layout; parsed by
+   * [[graft.sources.LegacyOfficePartitioner.partitionPpt]]).
+   */
+  def ppt(d: Doc): Array[Byte] = {
+    def rec(verInst: Int, typ: Int, body: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(verInst.toShort); b.putShort(typ.toShort); b.putInt(body.length)
+      b.put(body); b.array()
+    }
+    def atom(typ: Int, body: Array[Byte]): Array[Byte] = rec(0x0000, typ, body)
+    def tha(txType: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(txType)
+      atom(0x0F9F, b.array())
+    }
+    def chars(s: String): Array[Byte] = atom(0x0FA0, s.getBytes(UTF_16LE))
+    def bytesAtom(s: String): Array[Byte] = atom(0x0FA8, s.getBytes("windows-1252"))
+    val slide1 = rec(0x000F, 0x03EE,
+      tha(0) ++ chars(d.t3) ++
+        tha(1) ++ chars(d.ps.mkString("\r")) ++
+        tha(2) ++ chars("speaker notes"))
+    val slide2 = rec(0x000F, 0x03EE,
+      tha(6) ++ bytesAtom(s"Next café ${d.w1}") ++
+        tha(1) ++ bytesAtom(s"closing remarks ${d.source}"))
+    cfb(Seq("PowerPoint Document" -> rec(0x000F, 0x03E8, slide1 ++ slide2)))
+  }
+
   // ------------------------------------------------------------------- CFB / MSG
 
   private val FreeSect = 0xFFFFFFFF

@@ -90,6 +90,13 @@ object RelationalQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // The same hourly aggregation executed through Structured Streaming
+    // (readStream → window() → AvailableNow → memory sink) — SURVEY §2.12
+    // driver-visible: batch oracle, streaming execution.
+    "q_stream_hourly_window" -> ((s, dir) =>
+      graft.streaming.StreamingOps.hourlyWindowAvailableNow(s, s"$dir/events.parquet")
+        .orderBy("hour", "event_type")),
+
     // Top-k per group via ranking window (partitioned by group key — scales out).
     "q_topk_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
@@ -263,6 +270,10 @@ object RelationalQueries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q_events_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

@@ -20,7 +20,7 @@ sealed abstract class FileType(
 
 object FileType {
   case object Csv extends FileType("csv", "text/csv", Seq(".csv"))
-  case object Doc extends FileType("doc", "application/msword", Seq(".doc"), false)
+  case object Doc extends FileType("doc", "application/msword", Seq(".doc"))
   case object Docx extends FileType("docx",
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document", Seq(".docx"))
   case object Eml extends FileType("eml", "message/rfc822", Seq(".eml", ".p7s"))
@@ -33,7 +33,7 @@ object FileType {
   case object Odt extends FileType("odt", "application/vnd.oasis.opendocument.text", Seq(".odt"))
   case object Org extends FileType("org", "text/org", Seq(".org"))
   case object Pdf extends FileType("pdf", "application/pdf", Seq(".pdf"), false)
-  case object Ppt extends FileType("ppt", "application/vnd.ms-powerpoint", Seq(".ppt"), false)
+  case object Ppt extends FileType("ppt", "application/vnd.ms-powerpoint", Seq(".ppt"))
   case object Pptx extends FileType("pptx",
     "application/vnd.openxmlformats-officedocument.presentationml.presentation", Seq(".pptx"))
   case object Rst extends FileType("rst", "text/x-rst", Seq(".rst"))
@@ -95,13 +95,32 @@ object DetectFiletype {
     else extOf(filename).flatMap(FileType.fromExtension).getOrElse(FileType.Zip)
   }
 
-  /** OLE container: DOC/PPT/XLS/MSG share the magic; extension differentiates
-    * (`filetype.py:667-726`; full CFB directory walk needs the whole file). */
-  private def oleFamily(filename: String): FileType =
+  /** OLE container: DOC/PPT/XLS/MSG share the magic. The directory stream's
+    * UTF-16LE entry names differentiate — `WordDocument`, `PowerPoint Document`,
+    * `Workbook` — like the reference's root-storage walk (`filetype.py:667-726`);
+    * extension breaks remaining ties. */
+  private def oleFamily(bytes: Array[Byte], filename: String): FileType = {
+    def hasU16(name: String): Boolean = {
+      val pat = name.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+      var i = 0
+      while (i + pat.length <= bytes.length) {
+        var j = 0
+        while (j < pat.length && bytes(i + j) == pat(j)) j += 1
+        if (j == pat.length) return true
+        i += 1
+      }
+      false
+    }
     extOf(filename).flatMap(FileType.fromExtension) match {
       case Some(t @ (FileType.Doc | FileType.Ppt | FileType.Xls | FileType.Msg)) => t
+      // extension-less: sniff stream names; a whole-file scan could also hit an
+      // ATTACHED container's directory, so the extension keeps priority above
+      case _ if hasU16("WordDocument") => FileType.Doc
+      case _ if hasU16("PowerPoint Document") => FileType.Ppt
+      case _ if hasU16("Workbook") => FileType.Xls
       case _ => FileType.Msg
     }
+  }
 
   private def extOf(filename: String): Option[String] = {
     val base = filename.substring(filename.lastIndexOf('/') + 1)
@@ -149,7 +168,7 @@ object DetectFiletype {
   def detect(filename: String, head: Array[Byte],
       contentType: Option[String] = None): FileType = {
     if (startsWith(head, ZipMagic)) zipFamily(head, filename)
-    else if (startsWith(head, OleMagic)) oleFamily(filename)
+    else if (startsWith(head, OleMagic)) oleFamily(head, filename)
     else if (startsWith(head, "%PDF".getBytes)) FileType.Pdf
     else if (startsWith(head, "{\\rtf".getBytes)) FileType.Rtf
     else if (startsWith(head, "RIFF".getBytes)) {

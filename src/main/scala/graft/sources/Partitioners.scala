@@ -370,6 +370,8 @@ object Partitioners {
       case FileType.Org => ConvertedFormats.partitionOrg(text)
       case FileType.Rst => ConvertedFormats.partitionRst(text)
       case FileType.Msg => MsgPartitioner.partitionMsg(content)._2
+      case FileType.Doc => LegacyOfficePartitioner.partitionDoc(content)
+      case FileType.Ppt => LegacyOfficePartitioner.partitionPpt(content)
       case FileType.Json | FileType.Ndjson => Nil // rehydrate path (ElementSink.readNdjson)
       case _ => Nil // external-tool formats (pdf hi_res/ocr, doc/ppt, audio): pluggable stubs
     }

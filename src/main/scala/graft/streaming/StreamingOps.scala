@@ -1,8 +1,10 @@
 package graft.streaming
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.model.Element
 import graft.operators.{Chunker, ChunkingOptions}
@@ -48,6 +50,39 @@ object StreamingOps {
           para.text, para.pageNumber)
       }
     }.toDF("doc_id", "filetype", "seq", "element_type", "text", "page_number")
+  }
+
+  private val sinkSeq = new AtomicInteger(0)
+
+  /**
+   * Tumbling event-time window aggregation run THROUGH the streaming engine:
+   * `readStream` over the parquet → `window(ts, 1 hour)` groupBy → memory sink,
+   * `Trigger.AvailableNow` draining the backlog to completion so the result is
+   * deterministic and comparable to the batch oracle. Complete output mode keeps
+   * one state row per (window, event_type) — O(distinct windows), not O(events),
+   * so the state store stays small at any data scale; a production job would
+   * swap the memory sink (driver-sized result, verification-only) for a real
+   * sink and optionally Append+watermark for eviction.
+   */
+  def hourlyWindowAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
+    graft.Tables.configure(spark) // events.parquet carries TIMESTAMP(NANOS) — read as long
+    val schema = spark.read.parquet(eventsPath).schema
+    // FileStreamSource wants a directory; expose the single file through one
+    // (a real deployment streams an arrival directory anyway)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"), java.nio.file.Path.of(eventsPath))
+    val agg = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val name = s"graft_stream_hourly_${sinkSeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
   }
 
   /** Resume state for the incremental streaming chunk fold: the still-open trailing

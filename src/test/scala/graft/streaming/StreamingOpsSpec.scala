@@ -65,4 +65,17 @@ class StreamingOpsSpec extends SparkSuiteBase {
       assert(rows.exists(_._2 == "stream body text"))
     } finally query.stop()
   }
+
+  test("AvailableNow windowed aggregation matches the batch plan") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists())
+    val streamed = StreamingOps.hourlyWindowAvailableNow(spark, path)
+      .orderBy("hour", "event_type").collect().toSeq
+    val batch = graft.Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
 }
