@@ -37,7 +37,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     names.foreach(n => runOne(n, SparkEntry.queries(n))) // warm-up pass (not recorded)
     val results = names.map(n => n -> runOne(n, SparkEntry.queries(n)))
 

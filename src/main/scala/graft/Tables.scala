@@ -28,11 +28,28 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    if (name == "events") {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    val df =
+      if (name == "events") {
+        spark.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        spark.read.parquet(s"$dir/$name.parquet")
+      }
+    rebalance(spark, df)
+  }
+
+  /**
+   * Adaptive small-scan rebalance: a parquet scan yields at most one task per row
+   * group, so a small table (one file, one row group) funnels every downstream
+   * CPU-heavy operator — document parsers, edit-distance DP, embedding folds —
+   * through a single core. When the scan produces fewer partitions than the
+   * cluster's parallelism, round-robin repartition; the shuffled volume is by
+   * construction tiny (it IS the small table), and the downstream work fans out
+   * across all cores. At scale the scan already has >= parallelism splits and this
+   * is a no-op — no shuffle is added to a 100 TB read.
+   */
+  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 }

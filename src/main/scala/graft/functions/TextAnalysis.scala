@@ -80,8 +80,21 @@ object TextAnalysis {
   val StopwordsNl: Seq[String] = Seq(
     "de", "het", "een", "van", "ik", "je", "niet", "met", "zijn", "voor", "maar")
 
-  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
-    size(array_intersect_multi(words(lower(c)), stopwords))
+  /** One `ARRAY<INT>` of stopword hit counts per language (single compiled
+    * tokenize pass — [[graft.functions.expr.LangStopwordVotes]]). */
+  private def langVotes(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.LangStopwordVotes(
+        org.apache.spark.sql.graft.bridge.expression(c)))
+
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column = {
+    // the 7 built-in lists resolve to one shared native vote pass (duplicate
+    // langVotes subtrees collapse under codegen subexpression elimination);
+    // arbitrary lists fall back to the generic HOF formulation
+    val idx = graft.functions.expr.LangStopwordVotes.lists.indexWhere(_ == stopwords)
+    if (idx >= 0) element_at(langVotes(c), idx + 1)
+    else size(array_intersect_multi(words(lower(c)), stopwords))
+  }
 
   /** Count of elements of `arr` contained in `set`, multiplicity preserved. */
   private def array_intersect_multi(arr: Column, set: Seq[String]): Column =
@@ -137,33 +150,13 @@ object TextAnalysis {
    * n-gram model (`:452-453`, a model download this engine avoids) is replaced by
    * a deterministic cascade: unicode-script counts route the non-Latin scripts
    * (kana before han so Japanese isn't misread as Chinese), then a 7-language
-   * stopword vote handles Latin text. Entirely codegen'd column expressions.
+   * stopword vote handles Latin text. One native compiled pass per row
+   * ([[graft.functions.expr.DetectLanguage]]).
    */
-  def detectLanguages(c: Column): Column = {
-    def cnt(re: String) = regexp_count(c, lit(re))
-    val langs = Seq(
-      "eng" -> StopwordsEn, "spa" -> StopwordsEs, "deu" -> StopwordsDe,
-      "fra" -> StopwordsFr, "ita" -> StopwordsIt, "por" -> StopwordsPt,
-      "nld" -> StopwordsNl)
-    val counts = langs.map { case (code, sw) => code -> stopwordCount(c, sw) }
-    val maxCount = greatest(counts.map(_._2): _*)
-    // first language (in declaration order) reaching the max vote wins
-    val vote = counts.foldRight(lit("und")) { case ((code, n), els) =>
-      when(maxCount > 0 && n === maxCount, lit(code)).otherwise(els)
-    }
-    when(trim(c) === "", lit(null).cast("string"))
-      .when(cnt("[\\u3040-\\u30FF]") > 0, "jpn")
-      .when(cnt("[\\uAC00-\\uD7AF]") > 0, "kor")
-      .when(cnt("[\\u4E00-\\u9FFF]") > 0, "zho")
-      .when(cnt("[\\u0400-\\u04FF]") > 0, "rus")
-      .when(cnt("[\\u0600-\\u06FF]") > 0, "ara")
-      .when(cnt("[\\u0900-\\u097F]") > 0, "hin")
-      .when(cnt("[\\u0370-\\u03FF]") > 0, "ell")
-      .when(cnt("[\\u0590-\\u05FF]") > 0, "heb")
-      .when(cnt("[\\u0E00-\\u0E7F]") > 0, "tha")
-      .when(c.rlike("^[\\x00-\\x7F]*$") && tokenCountWhitespace(c) < 5, "eng")
-      .otherwise(vote)
-  }
+  def detectLanguages(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.DetectLanguage(
+        org.apache.spark.sql.graft.bridge.expression(c)))
 
   /**
    * Document fingerprint: polynomial hash of the whitespace-normalized, lowercased

@@ -373,7 +373,7 @@ object Partitioners {
       case FileType.Doc => LegacyOfficePartitioner.partitionDoc(content)
       case FileType.Ppt => LegacyOfficePartitioner.partitionPpt(content)
       case FileType.Json | FileType.Ndjson => Nil // rehydrate path (ElementSink.readNdjson)
-      case _ => Nil // external-tool formats (pdf hi_res/ocr, doc/ppt, audio): pluggable stubs
+      case _ => Nil // external-tool formats (pdf hi_res/ocr, image, audio): pluggable stubs
     }
     (ft, paras)
   }
