@@ -225,6 +225,44 @@ object AnalysisQueries {
         .limit(10)
     }),
 
+    // Embedding-cosine near-dup dedup (scale path): sign-bit LSH bucket on the
+    // first 8 dims -> self-equi-join per bucket -> cosine >= 0.999 filter. The
+    // corpus unions exact copies of every 10th vector (ids +100000), which land in
+    // the same bucket with cosine 1.0. Candidates only — never the O(n²) cross
+    // join; at 100 TB the lake is written bucketed by this key so the join is
+    // co-located, and a degenerate hot bucket would be guarded like the MinHash
+    // LSH path (band-size cap).
+    "q_embed_near_dup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val inp = e.unionByName(
+        e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val bucket = (c: Column) => aggregate(
+        sequence(lit(0), lit(7)),
+        lit(0L),
+        (acc, i) => acc + when(element_at(c, i + 1) > 0f,
+          floor(pow(lit(2.0), i)).cast("long")).otherwise(lit(0L)))
+      val withB = inp.select(col("vec_id"), col("embedding"),
+        bucket(col("embedding")).as("bucket"))
+      val a = withB.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))
+      val b = withB.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))
+      val dot = aggregate(
+        zip_with(col("ea"), col("eb"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val norm = (c: Column) => sqrt(aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(dot / (norm(col("ea")) * norm(col("eb"))), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.999)
+        .orderBy("vec_a", "vec_b")
+    }),
+
     // Corpus-level word frequency (reference `bag_of_words`).
     "q_bag_of_words" -> ((s, dir) =>
       docs(s, dir).select(explode(bowWords(col("text"))).as("word"))
@@ -448,6 +486,30 @@ object AnalysisQueries {
          |SELECT vec_id, bucket, $cosSimSql AS cos_sim
          |FROM b, q WHERE bucket = qbucket
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_near_dup" ->
+      s"""WITH inp AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |b AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_sum(list_transform(range(0, 8), i ->
+         |      CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)
+         |      AS bucket
+         |  FROM inp)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(a.embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(b2.embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |WHERE cos_sim >= 0.999
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_bag_of_words" ->
       s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n

@@ -116,6 +116,34 @@ object LayoutQueries {
         .orderBy("doc_id", "orig_seq")
     }),
 
+    // recursive XY-cut reading order (partition/utils/xycut.py:96-213) through the
+    // real per-page cut: a constructed 2-column, 3-row grid per page (clear
+    // projection gaps both ways, 2 pages per doc) whose cut order has a closed
+    // form — column-major within page, pages in order — that the oracle predicts
+    "q_sort_xycut" -> ((s, dir) => {
+      import s.implicits._
+      val els = docs(s, dir).select(col("doc_id")).as[Long].flatMap { d =>
+        (0 until 12).map { i =>
+          val j = i % 6
+          val x1 = (j % 2) * 300.0
+          val y1 = (j / 2) * 50.0
+          graft.model.Element(
+            element_id = s"$d-$i", `type` = "NarrativeText", text = i.toString,
+            doc_id = d.toString, seq = i.toLong,
+            metadata = graft.model.ElementMetadata(
+              page_number = Some(i / 6 + 1),
+              coordinates = Some(graft.model.Coordinates(points = Seq(
+                graft.model.Point(x1, y1), graft.model.Point(x1, y1 + 20),
+                graft.model.Point(x1 + 100, y1 + 20), graft.model.Point(x1 + 100, y1))))))
+        }
+      }
+      graft.operators.Sorting.assignReadingOrder(els)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("text").cast("long").as("orig_seq"),
+          col("seq").as("reading_order"))
+        .orderBy("doc_id", "orig_seq")
+    }),
+
     // positional header/footer classification (partition/text.py:111-127,174-211):
     // mean box y under 7% of the layout height -> Header, over 93% -> Footer,
     // otherwise the text cascade classifies a constructed text
@@ -229,6 +257,13 @@ object LayoutQueries {
          |  row_number() OVER (PARTITION BY doc_id, page_number ORDER BY y1, x1, seq)
          |    AS reading_order
          |FROM b ORDER BY doc_id, orig_seq""".stripMargin,
+
+    // grid cut order closed form: page offset + column-major rank within page
+    "q_sort_xycut" ->
+      """SELECT doc_id, i AS orig_seq,
+        |  (i // 6) * 6 + ((i % 6) % 2) * 3 + ((i % 6) // 2) + 1 AS reading_order
+        |FROM documents, range(0, 12) t(i)
+        |ORDER BY doc_id, orig_seq""".stripMargin,
 
     "q_classify_positional" ->
       s"""WITH b AS $boxesSql

@@ -29,7 +29,8 @@ class GoldenWireSpec extends SparkSuiteBase {
     "dropbox/science-exploration-1p.pptx.json",
     "Sharepoint/stanley-cups.xlsx.json",
     "salesforce/Campaign/701Hu000001eX9EIAU.xml.json",
-    "Sharepoint/nested/2023-Jan-economic-outlook.pdf.json")
+    "Sharepoint/nested/2023-Jan-economic-outlook.pdf.json",
+    "google-drive/fake.docx.json")
 
   /** Rehydrate a golden array file; the engine-added doc_id/seq (implicit in the
     * reference: file scope + array order) are filled deterministically. */
@@ -80,6 +81,22 @@ class GoldenWireSpec extends SparkSuiteBase {
     assert(!line.contains(":null"), s"writer emitted a null: $line")
     assert(!line.contains("page_number") && !line.contains("coordinates") &&
       !line.contains("text_as_html"))
+  }
+
+  test("connector permissions_data round-trips arbitrary value types (gdrive)") {
+    // the gdrive golden's permission dicts carry string/bool values (id, role,
+    // emailAddress, deleted) — the raw-JSON-token representation must hold them
+    // all, not just the local-filesystem [{"mode": int}] shape
+    val els = readGolden("google-drive/fake.docx.json")
+    val pd = els.head.metadata.data_source.get.permissions_data.get
+    assert(pd.size >= 3)
+    assert(pd.exists(m => m.get("role").contains("reader")))
+    assert(pd.exists(m => m.get("emailAddress").exists(_.contains("@"))))
+    assert(pd.exists(m => m.get("deleted").contains("false")))
+    // writer re-emits bools/strings with their JSON types intact
+    val line = ElementJson.elementJson(els.head)
+    assert(line.contains("\"role\":\"reader\""))
+    assert(line.contains("\"deleted\":false"))
   }
 
   test("layout metadata survives: PDF coordinates and page numbers") {
