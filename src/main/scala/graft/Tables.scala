@@ -28,28 +28,32 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    val df =
-      if (name == "events") {
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else {
-        spark.read.parquet(s"$dir/$name.parquet")
-      }
-    rebalance(spark, df)
+    if (name == "events") {
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
   }
 
   /**
-   * Adaptive small-scan rebalance: a parquet scan yields at most one task per row
-   * group, so a small table (one file, one row group) funnels every downstream
-   * CPU-heavy operator — document parsers, edit-distance DP, embedding folds —
-   * through a single core. When the scan produces fewer partitions than the
-   * cluster's parallelism, round-robin repartition; the shuffled volume is by
-   * construction tiny (it IS the small table), and the downstream work fans out
-   * across all cores. At scale the scan already has >= parallelism splits and this
-   * is a no-op — no shuffle is added to a 100 TB read.
+   * Opt-in small-scan fan-out for CPU-heavy consumers: a parquet scan yields at
+   * most one task per split, so a small table (one file, one row group) funnels
+   * every downstream per-row-expensive operator — document parsers, edit-distance
+   * DP, hash folds — through a single core. Callers whose per-row work dwarfs the
+   * shuffle cost read through this; plain columnar scans use [[read]] and keep the
+   * shuffle-free plan (round 6 measured the unconditional variant costing +6-17 s
+   * on scan-bound queries while saving 5-10 s on parse-bound ones — hence opt-in).
+   *
+   * The split estimate uses the file listing only (no `df.rdd`, which would force
+   * full physical planning eagerly); `repartition(n)` with an explicit count is
+   * not coalesced by AQE, so the fan-out survives to execution. At scale the scan
+   * has >= parallelism file splits and this is a no-op — no shuffle is added to a
+   * 100 TB read.
    */
-  private def rebalance(spark: SparkSession, df: DataFrame): DataFrame = {
+  def readFanout(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = read(spark, dir, name)
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 }

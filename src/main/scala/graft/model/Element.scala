@@ -30,8 +30,12 @@ final case class LinkMeta(text: Option[String], url: Option[String], start_index
   * `permissions_data` is a list of arbitrary attribute dicts on the wire (local
   * filesystem writes `[{"mode": 33188}]`; connector goldens carry string/bool/nested
   * values — `List[Dict[str, Any]]` in the reference), so values are held as raw JSON
-  * value strings: Spark's string converter captures any JSON token verbatim on read,
-  * and [[graft.sinks.ElementJson]] re-emits number/bool/object tokens untyped-quoted. */
+  * value tokens: strings KEEP their quotes (`"\"reader\""`), numbers/bools/null and
+  * nested containers their literal source text ("33188", "false"). The wire reader
+  * captures each dict's source verbatim and [[graft.sinks.RawJson]] splits it;
+  * [[graft.sinks.ElementJson]] re-emits the tokens unchanged, preserving the
+  * string/number distinction (a gdrive string id like "03887..." must not become a
+  * bare — and syntactically invalid — leading-zero number). */
 final case class DataSource(
     url: Option[String] = None,
     version: Option[String] = None,

@@ -25,10 +25,10 @@ import graft.queries.{OracleSql => O}
 object AnalysisQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.read(s, dir, "documents")
+    graft.Tables.readFanout(s, dir, "documents")
 
   private def embs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.read(s, dir, "embeddings")
+    graft.Tables.readFanout(s, dir, "embeddings")
 
   private def one(s: SparkSession, dir: String)(c: Column, name: String): DataFrame =
     docs(s, dir).select(col("doc_id"), c.as(name)).orderBy("doc_id")
@@ -100,19 +100,22 @@ object AnalysisQueries {
     (8, "le chien est dans la maison et le chat est pour toi", true), // fra
     (9, "il cane non mangia anche se il gatto è nel giardino della casa", true), // ita
     (10, "o cão não come mais mas ele foi como isso", true)) // por
-    // residue 11: the English document text itself -> eng by vote
-
+  // residue 11: NULL text — pins the cascade's null-propagation (NULL in -> NULL
+  // out, NOT 'und'); residue 12: the English document text itself -> eng by vote.
   private def langCorpusText(docId: Column, text: Column): Column =
-    LangPhrases.foldRight(text) { case ((r, phrase, replace), els) =>
-      when(docId % 12 === r,
-        if (replace) lit(phrase) else concat(text, lit(phrase))).otherwise(els)
-    }
+    when(docId % 13 === 11, lit(null).cast("string")).otherwise(
+      LangPhrases.foldRight(text) { case ((r, phrase, replace), els) =>
+        when(docId % 13 === r,
+          if (replace) lit(phrase) else concat(text, lit(phrase))).otherwise(els)
+      })
 
-  private def langCorpusTextSql(x: String): String =
-    LangPhrases.foldRight(x) { case ((r, phrase, replace), els) =>
+  private def langCorpusTextSql(x: String): String = {
+    val latin = LangPhrases.foldRight(x) { case ((r, phrase, replace), els) =>
       val v = if (replace) s"'$phrase'" else s"$x || '$phrase'"
-      s"(CASE WHEN doc_id % 12 = $r THEN $v ELSE $els END)"
+      s"(CASE WHEN doc_id % 13 = $r THEN $v ELSE $els END)"
     }
+    s"(CASE WHEN doc_id % 13 = 11 THEN NULL ELSE $latin END)"
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_counts" -> ((s, dir) =>
@@ -374,7 +377,10 @@ object AnalysisQueries {
     val vote = counts.foldRight("'und'") { case ((code, n), els) =>
       s"(CASE WHEN $mx > 0 AND $n = $mx THEN '$code' ELSE $els END)"
     }
-    s"(CASE WHEN trim($x) = '' THEN NULL " +
+    // NULL propagates (a bare CASE would fall through every WHEN to 'und');
+    // the corpus' residue-11 NULL row pins this against the native expression.
+    s"(CASE WHEN $x IS NULL THEN NULL " +
+      s"WHEN trim($x) = '' THEN NULL " +
       s"WHEN ${cnt("[\\x{3040}-\\x{30FF}]")} > 0 THEN 'jpn' " +
       s"WHEN ${cnt("[\\x{AC00}-\\x{D7AF}]")} > 0 THEN 'kor' " +
       s"WHEN ${cnt("[\\x{4E00}-\\x{9FFF}]")} > 0 THEN 'zho' " +

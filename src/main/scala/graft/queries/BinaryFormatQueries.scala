@@ -22,7 +22,7 @@ object BinaryFormatQueries {
 
   private def docBase(s: SparkSession, dir: String): Dataset[Doc] = {
     import s.implicits._
-    graft.Tables.read(s, dir, "documents").select(
+    graft.Tables.readFanout(s, dir, "documents").select(
       col("doc_id").cast("long").as("docId"),
       array_join(slice(TextAnalysis.words(col("text")), lit(1), lit(3)), " ").as("t3"),
       split(col("text"), " merge ").as("ps"),

@@ -19,7 +19,7 @@ import graft.sources.HtmlPartitioner.RawPara
 object FormatQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.read(s, dir, "documents")
+    graft.Tables.readFanout(s, dir, "documents")
 
   private def title3: Column =
     array_join(slice(TextAnalysis.words(col("text")), lit(1), lit(3)), " ")

@@ -15,10 +15,10 @@ import graft.queries.{OracleSql => O}
 object LayoutQueries {
 
   private def events(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.read(s, dir, "events")
+    graft.Tables.readFanout(s, dir, "events")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.read(s, dir, "documents")
+    graft.Tables.readFanout(s, dir, "documents")
 
   /** Deterministic box corpus: ~1/3 of events become boxes on a 500x500 page. */
   private def boxes(s: SparkSession, dir: String): DataFrame =
@@ -197,7 +197,7 @@ object LayoutQueries {
           lit("</td></tr><tr><td>"), col("p_name"), lit("</td><td>"),
           col("p_size").cast("string"), lit("</td></tr></table>")))
         .otherwise(gold)
-      graft.Tables.read(s, dir, "part")
+      graft.Tables.readFanout(s, dir, "part")
         .select(col("p_partkey"), gold.as("g"), pred.as("p"))
         .as[(Long, String, String)]
         .map { case (k, g, p) =>

@@ -16,7 +16,7 @@ import graft.sources.HtmlSource
 object SourceQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.read(s, dir, "documents")
+    graft.Tables.readFanout(s, dir, "documents")
 
   private def htmlCorpus(s: SparkSession, dir: String): DataFrame = {
     val title3 = array_join(slice(TextAnalysis.words(col("text")), lit(1), lit(3)), " ")

@@ -41,14 +41,18 @@ object ElementJson {
   private def jStr(s: String): String = "\"" + esc(s) + "\""
 
   /**
-   * Re-emit a raw JSON value string captured by the reader (Spark's string converter
-   * stringifies any token: numbers/bools keep their literal text, objects/arrays their
-   * raw JSON). Tokens that parse as JSON scalars or containers pass through unquoted so
-   * `{"mode": 33188}` round-trips as a number, not `"33188"`.
+   * Re-emit a raw JSON value token captured by the wire reader
+   * ([[ElementSink.fromWire]] keeps permission-dict values verbatim: string values
+   * WITH their quotes, numbers/bools/null/containers their literal source text).
+   * Valid tokens pass through unchanged, so `{"mode": 33188}` round-trips as a
+   * number and a gdrive `"id": "03887..."` stays a string (emitting it bare would
+   * be a leading-zero JSON syntax error). Anything else — e.g. a value constructed
+   * programmatically rather than read off the wire — is emitted as a JSON string.
    */
   private def jRaw(raw: String): String =
     if (raw == "true" || raw == "false" || raw == "null" ||
-        raw.matches("-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?") ||
+        raw.matches("-?(0|[1-9]\\d*)(\\.\\d+)?([eE][+-]?\\d+)?") ||
+        (raw.length >= 2 && raw.head == '"' && raw.last == '"') ||
         (raw.length >= 2 && ((raw.head == '{' && raw.last == '}') ||
           (raw.head == '[' && raw.last == ']')))) raw
     else jStr(raw)

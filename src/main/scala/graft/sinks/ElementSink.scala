@@ -21,10 +21,16 @@ object ElementSink {
 
   /**
    * The on-the-wire read schema: the `Element` encoder schema with
-   * `metadata.coordinates.points` retyped to `ARRAY<ARRAY<DOUBLE>>`. The reference
-   * serializes points as pair arrays `[[x, y], ...]` (`elements.py:81-87`), not as
-   * `{x, y}` objects — reading a golden with the struct-typed encoder schema would
-   * silently null the field under Spark's permissive JSON parsing.
+   * `metadata.coordinates.points` retyped to `ARRAY<ARRAY<DOUBLE>>`, and
+   * `metadata.data_source.permissions_data` retyped to `ARRAY<STRING>`. The
+   * reference serializes points as pair arrays `[[x, y], ...]`
+   * (`elements.py:81-87`), not as `{x, y}` objects — reading a golden with the
+   * struct-typed encoder schema would silently null the field under Spark's
+   * permissive JSON parsing. Permission dicts are captured as raw JSON object
+   * text (a `STRING` field under a JSON object token keeps the verbatim source),
+   * because a `MAP<STRING, STRING>` read strips the quotes off string values —
+   * `"id": "03887..."` (gdrive string id) and `"mode": 33188` (local int mode)
+   * would become indistinguishable and could not be re-emitted faithfully.
    */
   lazy val wireSchema: StructType = {
     def patch(st: StructType, path: List[String], dt: DataType): StructType =
@@ -36,15 +42,28 @@ object ElementSink {
           case _ => f
         }
       })
-    patch(elementEncoder.schema, List("metadata", "coordinates", "points"),
-      ArrayType(ArrayType(DoubleType)))
+    patch(
+      patch(elementEncoder.schema, List("metadata", "coordinates", "points"),
+        ArrayType(ArrayType(DoubleType))),
+      List("metadata", "data_source", "permissions_data"), ArrayType(StringType))
   }
 
-  /** Convert a wire-schema frame (pair-array points) to the typed element model. */
+  /** Raw permission-dict JSON -> map of raw value tokens (string values keep their
+    * quotes; numbers/bools/null/containers their literal text) — the writer re-emits
+    * them verbatim, so `"03887..."` stays a string and `33188` stays a number. */
+  private val permsToMaps =
+    udf((arr: Seq[String]) =>
+      if (arr == null) null else arr.map(RawJson.objectRawTokens))
+
+  /** Convert a wire-schema frame (pair-array points, raw permission dicts) to the
+    * typed element model. */
   def fromWire(df: DataFrame): Dataset[Element] = {
     val points = transform(col("metadata.coordinates.points"),
       p => struct(p.getItem(0).as("x"), p.getItem(1).as("y")))
-    df.withColumn("metadata", col("metadata").withField("coordinates.points", points))
+    df.withColumn("metadata", col("metadata")
+        .withField("coordinates.points", points)
+        .withField("data_source.permissions_data",
+          permsToMaps(col("metadata.data_source.permissions_data"))))
       .as(elementEncoder)
   }
 
@@ -174,5 +193,107 @@ object ElementSink {
       }
       e.copy(metadata = m3)
     }
+  }
+}
+
+/**
+ * Minimal raw-token scanner for wire permission dicts: splits one JSON object's
+ * source text into (key, raw value token) pairs without interpreting the values.
+ * Spark's own JSON map reader cannot do this — it converts every scalar token to
+ * its unquoted text, losing the string/number distinction the reference wire
+ * carries (`DataSourceMetadata.permissions_data: List[Dict[str, Any]]`).
+ */
+private[sinks] object RawJson {
+
+  def objectRawTokens(src: String): Map[String, String] = {
+    val s = if (src == null) "" else src
+    val n = s.length
+    var i = 0
+
+    def skipWs(): Unit = { while (i < n && Character.isWhitespace(s.charAt(i))) i += 1 }
+
+    // scan a quoted string starting at s(i) == '"'; returns the raw slice with quotes
+    def scanString(): String = {
+      val start = i
+      i += 1
+      while (i < n && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') i += 1
+        i += 1
+      }
+      if (i < n) i += 1
+      s.substring(start, i)
+    }
+
+    def scanValue(): String = {
+      skipWs()
+      if (i >= n) return ""
+      s.charAt(i) match {
+        case '"' => scanString()
+        case '{' | '[' =>
+          val start = i
+          var depth = 0
+          while (i < n) {
+            s.charAt(i) match {
+              case '"' => scanString()
+              case c @ ('{' | '[') => depth += 1; i += 1; val _ = c
+              case c @ ('}' | ']') =>
+                depth -= 1; i += 1; val _ = c
+                if (depth == 0) return s.substring(start, i)
+              case _ => i += 1
+            }
+          }
+          s.substring(start, i)
+        case _ =>
+          val start = i
+          while (i < n && s.charAt(i) != ',' && s.charAt(i) != '}' && s.charAt(i) != ']' &&
+            !Character.isWhitespace(s.charAt(i))) i += 1
+          s.substring(start, i)
+      }
+    }
+
+    // JSON string unescape for keys (keys in permission dicts are plain names, but
+    // handle the full escape set anyway)
+    def unescapeKey(raw: String): String = {
+      val body = raw.stripPrefix("\"").stripSuffix("\"")
+      if (!body.contains('\\')) return body
+      val b = new java.lang.StringBuilder(body.length)
+      var j = 0
+      while (j < body.length) {
+        val c = body.charAt(j)
+        if (c == '\\' && j + 1 < body.length) {
+          body.charAt(j + 1) match {
+            case 'n' => b.append('\n'); j += 2
+            case 't' => b.append('\t'); j += 2
+            case 'r' => b.append('\r'); j += 2
+            case 'b' => b.append('\b'); j += 2
+            case 'f' => b.append('\f'); j += 2
+            case 'u' if j + 5 < body.length + 1 =>
+              b.append(Integer.parseInt(body.substring(j + 2, j + 6), 16).toChar); j += 6
+            case other => b.append(other); j += 2
+          }
+        } else { b.append(c); j += 1 }
+      }
+      b.toString
+    }
+
+    val out = Map.newBuilder[String, String]
+    skipWs()
+    if (i < n && s.charAt(i) == '{') {
+      i += 1
+      var done = false
+      while (!done) {
+        skipWs()
+        if (i >= n || s.charAt(i) == '}') done = true
+        else {
+          val key = unescapeKey(scanString())
+          skipWs()
+          if (i < n && s.charAt(i) == ':') i += 1
+          out += key -> scanValue()
+          skipWs()
+          if (i < n && s.charAt(i) == ',') i += 1 else done = true
+        }
+      }
+    }
+    out.result()
   }
 }

@@ -90,13 +90,18 @@ class GoldenWireSpec extends SparkSuiteBase {
     val els = readGolden("google-drive/fake.docx.json")
     val pd = els.head.metadata.data_source.get.permissions_data.get
     assert(pd.size >= 3)
-    assert(pd.exists(m => m.get("role").contains("reader")))
+    // raw-token values: strings keep their quotes, bools their literal text
+    assert(pd.exists(m => m.get("role").contains("\"reader\"")))
     assert(pd.exists(m => m.get("emailAddress").exists(_.contains("@"))))
     assert(pd.exists(m => m.get("deleted").contains("false")))
+    // the golden's numeric-looking ids are STRINGS (one even has a leading zero,
+    // which would be a JSON syntax error if re-emitted bare) — they must stay quoted
+    assert(pd.exists(m => m.get("id").contains("\"03887347926440898356\"")))
     // writer re-emits bools/strings with their JSON types intact
     val line = ElementJson.elementJson(els.head)
     assert(line.contains("\"role\":\"reader\""))
     assert(line.contains("\"deleted\":false"))
+    assert(line.contains("\"id\":\"03887347926440898356\""))
   }
 
   test("layout metadata survives: PDF coordinates and page numbers") {
