@@ -135,6 +135,29 @@ object Predicates {
   }
 
   /**
+   * `contains_english_word` — `text_type.py:193-205`: any lowercased token of
+   * length > 1 present in the English wordlist. The reference ships a 25k-word
+   * list (`nlp/english_words.py`); this deterministic built-in subset covers the
+   * high-frequency head (callers can pass their own list). The membership test
+   * is `arrays_overlap` against a literal array — codegen'd, no shuffle, no UDF.
+   */
+  val EnglishWords: Seq[String] = Seq(
+    "the", "and", "for", "that", "this", "with", "from", "have", "has", "had",
+    "not", "but", "you", "all", "can", "her", "was", "one", "our", "out",
+    "are", "his", "they", "she", "will", "there", "their", "what", "when",
+    "which", "who", "how", "were", "been", "more", "some", "than", "then",
+    "them", "these", "two", "may", "first", "any", "its", "only", "other",
+    "new", "into", "time", "data", "table", "order", "line", "part", "value",
+    "key", "row", "group", "join", "sort", "merge", "filter", "query", "batch",
+    "stream", "window", "small", "big", "fast", "slow", "hash", "scan",
+    "column", "vector", "customer")
+
+  def containsEnglishWord(c: Column, words: Seq[String] = EnglishWords): Column =
+    arrays_overlap(
+      filter(split(lower(c), "[^a-z]+"), w => length(w) > 1),
+      lit(words.toArray))
+
+  /**
    * `is_possible_narrative_text` — `text_type.py:27-88` (default thresholds, no
    * language-specific checks): non-empty, not numeric, cap-ratio and non-alpha-ratio in
    * bounds, and at least 2 sentences or a verb.

@@ -90,7 +90,17 @@ object TextAnalysis {
   def stopwordCount(c: Column, stopwords: Seq[String]): Column = {
     // the 7 built-in lists resolve to one shared native vote pass (duplicate
     // langVotes subtrees collapse under codegen subexpression elimination);
-    // arbitrary lists fall back to the generic HOF formulation
+    // arbitrary lists fall back to the generic HOF formulation.
+    // CONTRACT: the two engines tokenize-and-lower differently (native path:
+    // per-token String.toLowerCase(Locale.ROOT); HOF path: whole-string
+    // UTF8String lowercasing before split). They agree only while every
+    // built-in list stays within the ASCII/Latin-1 casing-equivalent subset —
+    // LangStopwordVotes.lists is the single source of truth for which lists
+    // take the native path, and any content-equal caller-supplied copy takes
+    // it too (the match below is by content, not identity).
+    require(graft.functions.expr.LangStopwordVotes.lists.forall(_.forall(_.forall(ch =>
+      ch < 0x100 || Character.toLowerCase(Character.toUpperCase(ch)) == ch))),
+      "built-in stopword lists must stay casing-equivalent across both tokenizers")
     val idx = graft.functions.expr.LangStopwordVotes.lists.indexWhere(_ == stopwords)
     if (idx >= 0) element_at(langVotes(c), idx + 1)
     else size(array_intersect_multi(words(lower(c)), stopwords))

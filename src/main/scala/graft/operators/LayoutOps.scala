@@ -113,4 +113,44 @@ object LayoutOps {
         c("i", "element_type").as("region_type"),
         c("i", "seq").as("region_seq"))
   }
+
+  /**
+   * OCR supplement (`pdf_image/ocr.py:491`, called `partition/pdf.py:916-929`):
+   * inferred layout regions that contain NO extracted text box get their text
+   * from an OCR kernel; regions with extracted text keep it (boxes concatenated
+   * in reading order). The "regions lacking text" set is the null side of the
+   * same containment left-join hi-res fusion uses — an anti-join, never a loop.
+   * The OCR kernel is pluggable (the sandbox ships no OCR model; callers pass a
+   * deterministic stub — cf. MultimodalOps); at scale the kernel is the only
+   * per-region expensive step and runs map-side after the per-page broadcast
+   * join, so the plan is scan → broadcast-join → groupBy(region) → kernel.
+   */
+  def supplementWithOcr(inferred: DataFrame, extracted: DataFrame,
+      ocrKernel: Seq[Column] => Column, tolerancePx: Double = 5.0): DataFrame = {
+    val i = inferred.alias("i")
+    val e = extracted.alias("e")
+    def c(side: String, n: String) = col(s"$side.$n")
+    i.join(broadcast(e),
+        c("i", "doc_id") === c("e", "doc_id") &&
+          c("i", "page_number") === c("e", "page_number") &&
+          isParentBox(c("i", "x1"), c("i", "y1"), c("i", "x2"), c("i", "y2"),
+            c("e", "x1"), c("e", "y1"), c("e", "x2"), c("e", "y2"), tolerancePx),
+        "left")
+      .groupBy(
+        c("i", "doc_id").as("doc_id"),
+        c("i", "page_number").as("page_number"),
+        c("i", "seq").as("seq"),
+        c("i", "element_type").as("element_type"),
+        c("i", "x1").as("x1"), c("i", "y1").as("y1"),
+        c("i", "x2").as("x2"), c("i", "y2").as("y2"))
+      .agg(sort_array(collect_list(when(c("e", "seq").isNotNull,
+        struct(c("e", "seq").as("s"), c("e", "text").as("t"))))).as("ordered"))
+      .select(col("doc_id"), col("page_number"), col("seq"), col("element_type"),
+        when(size(col("ordered")) > 0,
+          concat_ws(" ", transform(col("ordered"), o => o.getField("t"))))
+          .otherwise(ocrKernel(Seq(col("element_type"),
+            col("x1"), col("y1"), col("x2"), col("y2"))))
+          .as("text"),
+        (size(col("ordered")) === 0).as("from_ocr"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
@@ -228,29 +229,39 @@ object AnalysisQueries {
         .limit(10)
     }),
 
-    // Embedding-cosine near-dup dedup (scale path): sign-bit LSH bucket on the
-    // first 8 dims -> self-equi-join per bucket -> cosine >= 0.999 filter. The
-    // corpus unions exact copies of every 10th vector (ids +100000), which land in
-    // the same bucket with cosine 1.0. Candidates only — never the O(n²) cross
-    // join; at 100 TB the lake is written bucketed by this key so the join is
-    // co-located, and a degenerate hot bucket would be guarded like the MinHash
-    // LSH path (band-size cap).
+    // Embedding-cosine near-dup dedup (scale path): 4 OR-ed sign-bit LSH bands
+    // (8 dims each over dims 0-31) -> per-band self-equi-join -> distinct
+    // candidate pairs -> cosine >= 0.999 verify. A single band drops any true
+    // near-dup whose near-zero components in that one slice flip sign; OR-ing
+    // bands makes a pair a candidate if it agrees on ANY slice. Candidates only
+    // — never the O(n²) cross join — and a window count caps degenerate hot
+    // buckets (all-zero/boilerplate embeddings) exactly like the MinHash LSH
+    // path. The corpus unions exact copies of every 10th vector (ids +100000),
+    // which agree on all 4 bands with cosine 1.0.
     "q_embed_near_dup" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val inp = e.unionByName(
         e.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      val bucket = (c: Column) => aggregate(
+      val bandKey = (c: Column, band: Int) => aggregate(
         sequence(lit(0), lit(7)),
         lit(0L),
-        (acc, i) => acc + when(element_at(c, i + 1) > 0f,
+        (acc, i) => acc + when(element_at(c, lit(band * 8) + i + 1) > 0f,
           floor(pow(lit(2.0), i)).cast("long")).otherwise(lit(0L)))
-      val withB = inp.select(col("vec_id"), col("embedding"),
-        bucket(col("embedding")).as("bucket"))
-      val a = withB.select(col("bucket"), col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))
-      val b = withB.select(col("bucket"), col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))
+      val bands = inp.select(col("vec_id"),
+        posexplode(array((0 until 4).map(b => bandKey(col("embedding"), b)): _*))
+          .as(Seq("band_idx", "band_key")))
+      val safe = bands.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+        .filter(col("bucket_n") <= 1000)
+        .drop("bucket_n")
+      val cand = safe.as("a")
+        .join(safe.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
       val dot = aggregate(
         zip_with(col("ea"), col("eb"),
           (x, y) => x.cast("double") * y.cast("double")),
@@ -258,8 +269,9 @@ object AnalysisQueries {
       val norm = (c: Column) => sqrt(aggregate(
         transform(c, x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, v) => acc + v))
-      a.join(b, Seq("bucket"))
-        .filter(col("vec_a") < col("vec_b"))
+      cand
+        .join(inp.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+        .join(inp.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"),
           round(dot / (norm(col("ea")) * norm(col("eb"))), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.999)
@@ -499,21 +511,36 @@ object AnalysisQueries {
          |  UNION ALL
          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
          |  WHERE vec_id % 10 = 0),
-         |b AS (
-         |  SELECT vec_id, embedding,
-         |    CAST(list_sum(list_transform(range(0, 8), i ->
-         |      CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)
-         |      AS bucket
-         |  FROM inp)
+         |bands AS (
+         |  SELECT vec_id, unnest(list_transform(range(0, 4), b ->
+         |    {'band_idx': b,
+         |     'band_key': CAST(list_sum(list_transform(range(0, 8), i ->
+         |       CASE WHEN embedding[b * 8 + i + 1] > 0 THEN (1::BIGINT << i)
+         |            ELSE 0 END)) AS BIGINT)}),
+         |    recursive := true)
+         |  FROM inp),
+         |safe AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id, band_idx, band_key,
+         |      count(*) OVER (PARTITION BY band_idx, band_key) AS bucket_n
+         |    FROM bands)
+         |  WHERE bucket_n <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         |  FROM safe a JOIN safe b2
+         |    ON a.band_idx = b2.band_idx AND a.band_key = b2.band_key
+         |   AND a.vec_id < b2.vec_id)
          |SELECT vec_a, vec_b, cos_sim FROM (
-         |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-         |    round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE))) /
-         |      (sqrt(list_sum(list_transform(a.embedding,
+         |  SELECT vec_a, vec_b,
+         |    round(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+         |        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(ea.embedding,
          |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
-         |       sqrt(list_sum(list_transform(b2.embedding,
+         |       sqrt(list_sum(list_transform(eb.embedding,
          |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos_sim
-         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+         |  FROM cand
+         |  JOIN inp ea ON cand.vec_a = ea.vec_id
+         |  JOIN inp eb ON cand.vec_b = eb.vec_id)
          |WHERE cos_sim >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin,
 

@@ -216,6 +216,42 @@ object LayoutQueries {
         round(element_at(v, 2).cast("double"), 4).as("e1"),
         round(element_at(v, 16).cast("double"), 4).as("e15"))
         .orderBy("doc_id")
+    }),
+
+    // OCR supplement (ocr.py:491, pdf.py:916-929): inferred regions with no
+    // contained extracted box get text from the (stubbed, deterministic) OCR
+    // kernel; others concatenate their boxes in reading order. Anti-join shape.
+    "q_ocr_supplement" -> ((s, dir) => {
+      val kernel = (cols: Seq[Column]) => concat(lit("[OCR "), cols(0), lit(" @"),
+        cols(1).cast("int").cast("string"), lit(","),
+        cols(2).cast("int").cast("string"), lit("]"))
+      LayoutOps.supplementWithOcr(
+        inferredRegions(s, dir), extractedBoxes(s, dir), kernel, tolerancePx = 0.0)
+        .orderBy("doc_id", "seq")
+    }),
+
+    // convert_to_coco (staging/base.py:734+): detection records from elements
+    // carrying coordinates; four-corner points built from the box corpus.
+    "q_convert_to_coco" -> ((s, dir) => {
+      import s.implicits._
+      import graft.model.{Coordinates, Element, ElementMetadata, Point}
+      val els = boxes(s, dir)
+        .select(col("doc_id").cast("string"), col("seq"), col("element_type"),
+          col("x1"), col("y1"), col("x2"), col("y2"))
+        .as[(String, Long, String, Double, Double, Double, Double)]
+        .map { case (d, q, tpe, x1, y1, x2, y2) =>
+          Element(s"b$q", tpe, "", d, q,
+            ElementMetadata(coordinates = Some(Coordinates(
+              points = Seq(Point(x1, y1), Point(x1, y2), Point(x2, y2), Point(x2, y1)),
+              system = Some("PixelSpace"),
+              layout_width = Some(500.0), layout_height = Some(500.0)))))
+        }
+      graft.sinks.Staging.convertToCoco(els)
+        .select(col("image_id").cast("long").as("image_id"), col("id"),
+          col("category_name"),
+          col("bbox_origin.x").as("x"), col("bbox_origin.y").as("y"),
+          col("width"), col("height"))
+        .orderBy("image_id", "id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -308,5 +344,28 @@ object LayoutQueries {
          |  round(CAST(e[2] AS DOUBLE), 4) AS e1,
          |  round(CAST(e[16] AS DOUBLE), 4) AS e15
          |FROM n ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q_ocr_supplement" ->
+      s"""WITH i AS $inferredSql, e AS $extractedSql,
+         |j AS (
+         |  SELECT i.doc_id, i.page_number, i.seq, i.element_type,
+         |    i.x1, i.y1, i.x2, i.y2, e.seq AS es, e.text AS et
+         |  FROM i LEFT JOIN e ON i.doc_id = e.doc_id AND i.page_number = e.page_number
+         |    AND e.x1 >= i.x1 AND e.y1 >= i.y1 AND e.x2 <= i.x2 AND e.y2 <= i.y2)
+         |SELECT doc_id, page_number, seq, element_type,
+         |  CASE WHEN count(es) > 0 THEN string_agg(et, ' ' ORDER BY es)
+         |       ELSE '[OCR ' || element_type || ' @' ||
+         |         CAST(CAST(x1 AS INT) AS VARCHAR) || ',' ||
+         |         CAST(CAST(y1 AS INT) AS VARCHAR) || ']' END AS text,
+         |  count(es) = 0 AS from_ocr
+         |FROM j GROUP BY doc_id, page_number, seq, element_type, x1, y1, x2, y2
+         |ORDER BY doc_id, seq""".stripMargin,
+
+    "q_convert_to_coco" ->
+      s"""WITH b AS $boxesSql
+         |SELECT doc_id AS image_id, 'b' || CAST(seq AS VARCHAR) AS id,
+         |  element_type AS category_name, x1 AS x, y1 AS y,
+         |  CAST(500.0 AS DOUBLE) AS width, CAST(500.0 AS DOUBLE) AS height
+         |FROM b ORDER BY image_id, id""".stripMargin)
 }

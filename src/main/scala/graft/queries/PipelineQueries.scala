@@ -182,7 +182,89 @@ object PipelineQueries {
           col("doc_id").cast("long").as("doc_id"), col("seq"),
           col("filename"), col("filetype"), col("languages"), col("parent_id"))
         .orderBy("doc_id", "seq")
+    }),
+
+    // stage_for_weaviate property projection — staging/weaviate.py:23-43. The
+    // sink drops engine provenance (doc_id/seq), so the compare orders by the
+    // projected business columns (ties only between fully identical rows).
+    "q_stage_weaviate" -> ((s, dir) => {
+      graft.sinks.Staging.stageForWeaviate(metaElements(s, dir))
+        .select(col("filename"), col("category"), col("text"),
+          col("filetype"), col("parent_id"),
+          element_at(col("languages"), 1).as("lang"))
+        .orderBy(col("filename"), col("text"), col("category"),
+          coalesce(col("parent_id"), lit("")))
+    }),
+
+    // stage_for_prodigy text+meta rows — staging/prodigy.py:39-57
+    "q_stage_prodigy" -> ((s, dir) =>
+      graft.sinks.Staging.stageForProdigy(metaElements(s, dir))
+        .select(col("text"), col("meta.id").as("meta_id"),
+          col("meta.category").as("meta_category"),
+          col("meta.filename").as("meta_filename"))
+        .orderBy("meta_id")),
+
+    // stage_for_label_studio task records — staging/label_studio.py:113+
+    "q_stage_label_studio" -> ((s, dir) =>
+      graft.sinks.Staging.stageForLabelStudio(metaElements(s, dir))
+        .select(col("data.text").as("text"), col("data.ref_id").as("ref_id"))
+        .orderBy("ref_id")),
+
+    // stage_for_baseplate rows-of-columns — staging/baseplate.py:27
+    "q_stage_baseplate" -> ((s, dir) =>
+      graft.sinks.Staging.stageForBaseplate(metaElements(s, dir))
+        .select(element_at(col("data"), "element_id").as("element_id"),
+          element_at(col("data"), "type").as("type"),
+          element_at(col("data"), "text").as("text"))
+        .orderBy("element_id")),
+
+    // stage_for_transformers / chunk_by_attention_window — staging/huggingface.py:
+    // narrative text split into attention-window-sized word groups (window =
+    // max_input_size - buffer = 10), other types pass through.
+    "q_stage_transformers" -> ((s, dir) => {
+      import s.implicits._
+      val els = partitioned(s, dir)
+        .select(col("doc_id"), col("seq"), col("element_type"),
+          regexp_replace(col("text"), "\\s+", " ").as("text"))
+        .as[(String, Long, String, String)]
+        .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
+      graft.sinks.Staging.stageForTransformers(els, maxInputSize = 12, buffer = 2)
+        .select(col("doc_id").cast("long").as("doc_id"), col("seq"),
+          col("type").as("element_type"), col("text"))
+        .orderBy("doc_id", "seq", "text")
+    }),
+
+    // orig_elements codec fixpoint (staging/base.py:241-260): per doc, encode the
+    // element stream to the base64-gzipped JSON array and decode it back; the
+    // oracle predicts the decoded rows straight from the paragraph walk, so any
+    // encoder/decoder asymmetry (JSON escaping, gzip framing, base64) breaks the
+    // hash.
+    "q_orig_elements_codec" -> ((s, dir) => {
+      import s.implicits._
+      val els = fullElements(s, dir)
+      val decoded = els.groupByKey(_.doc_id)
+        .mapGroups { (d, it) =>
+          val sorted = it.toSeq.sortBy(_.seq)
+          val enc = graft.sinks.ElementJson.encodeOrigElements(sorted)
+          (d, graft.sinks.ElementJson.decodeOrigElementsJson(enc))
+        }
+        .toDF("doc_id", "json")
+      decoded
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(from_json(col("json"),
+            org.apache.spark.sql.types.DataType.fromDDL(
+              "ARRAY<STRUCT<`type`: STRING, text: STRING, seq: BIGINT>>"))).as("e"))
+        .select(col("doc_id"), col("e.seq").as("seq"),
+          col("e.type").as("element_type"), col("e.text").as("text"))
+        .orderBy("doc_id", "seq")
     }))
+
+  /** apply_metadata-enriched element stream shared by the staging-sink queries. */
+  private def metaElements(s: SparkSession, dir: String): Dataset[Element] =
+    graft.operators.MetadataOps.applyMetadata(
+      fullElements(s, dir),
+      filetype = Some("text/plain"),
+      filenameFor = d => Some(s"doc_$d.txt"))
 
   // -- oracle SQL ------------------------------------------------------------------
 
@@ -401,7 +483,61 @@ object PipelineQueries {
          |  'doc_' || h.doc_id || '.txt' AS filename, 'text/plain' AS filetype,
          |  l.lang AS languages, h.parent_id
          |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
-         |ORDER BY h.doc_id, h.seq""".stripMargin)
+         |ORDER BY h.doc_id, h.seq""".stripMargin,
+
+    "q_stage_weaviate" ->
+      s"""$applyMetaCtes
+         |SELECT 'doc_' || h.doc_id || '.txt' AS filename,
+         |  h.element_type AS category, h.text, 'text/plain' AS filetype,
+         |  h.parent_id, l.lang
+         |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
+         |ORDER BY filename, h.text, category, coalesce(h.parent_id, '')""".stripMargin,
+
+    "q_stage_prodigy" ->
+      s"""$applyMetaCtes
+         |SELECT h.text, h.element_id AS meta_id, h.element_type AS meta_category,
+         |  'doc_' || h.doc_id || '.txt' AS meta_filename
+         |FROM withparent h ORDER BY meta_id""".stripMargin,
+
+    "q_stage_label_studio" ->
+      s"""$applyMetaCtes
+         |SELECT h.text, h.element_id AS ref_id
+         |FROM withparent h ORDER BY ref_id""".stripMargin,
+
+    "q_stage_baseplate" ->
+      s"""$applyMetaCtes
+         |SELECT h.element_id, h.element_type AS type, h.text
+         |FROM withparent h ORDER BY element_id""".stripMargin,
+
+    "q_stage_transformers" ->
+      s"""WITH $parsCte,
+         |typed AS ($typedSelect),
+         |norm AS (
+         |  SELECT doc_id, seq, element_type,
+         |    regexp_replace(text, '\\s+', ' ', 'g') AS text FROM typed),
+         |parts AS (
+         |  SELECT doc_id, seq, element_type, text,
+         |    string_split(text, ' ') AS ws FROM norm),
+         |expanded AS (
+         |  SELECT doc_id, seq, element_type,
+         |    CASE WHEN element_type IN ('NarrativeText', 'UncategorizedText')
+         |           AND len(ws) > 10
+         |      THEN list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
+         |             g -> array_to_string(ws[g * 10 + 1 : g * 10 + 10], ' '))
+         |      ELSE [text] END AS pieces
+         |  FROM parts)
+         |SELECT doc_id, seq, element_type, unnest(pieces) AS text
+         |FROM expanded ORDER BY doc_id, seq, text""".stripMargin,
+
+    "q_orig_elements_codec" ->
+      s"""WITH $parsCte
+         |SELECT doc_id, seq, ${O.classify("full_text")} AS element_type,
+         |  ${cleanBullets("full_text")} AS text
+         |FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+         |    {'seq': i, 'full_text': ps[i]}), recursive := true)
+         |  FROM pars)
+         |ORDER BY doc_id, seq""".stripMargin)
 
   /** typed-element projection shared by several oracles. */
   private lazy val typedSelect: String =

@@ -262,6 +262,39 @@ object TextQueries {
           (d, cleaned, movedLast, adjLast)
         }
         .toDF("doc_id", "cleaned", "moved_last", "adj_last").orderBy("doc_id")
+    }),
+
+    // remove_sentence_punctuation (core.py:316-322): all punctuation except the
+    // sentence-structural exclusions.
+    "q_remove_sentence_punctuation" -> ((s, dir) => one(s, dir)(
+      Cleaners.removeSentencePunctuation(
+        concat(col("text"), lit(" End: (test), ok.")), Seq(".", ",")),
+      "cleaned")),
+
+    // contains_english_word (text_type.py:193-205): every 3rd doc replaced with
+    // gibberish so both branches appear.
+    "q_contains_english_word" -> ((s, dir) => one(s, dir)(
+      Predicates.containsEnglishWord(
+        when(col("doc_id") % 3 === 0, lit("zzqxx kjvvw qqptt x"))
+          .otherwise(col("text"))),
+      "has_english")),
+
+    // group_bullet_paragraph (core.py:107-134): a constructed bullet paragraph per
+    // doc — OCR'd `e`-bullet first line, a wrapped bullet line, a trailing bullet —
+    // split at bullets with wrapped lines rejoined.
+    "q_group_bullet_paragraph" -> ((s, dir) => {
+      import s.implicits._
+      val input = concat(lit("e wrapped OCR\n\u2022 alpha "),
+        substring(col("text"), 1, 30), lit("\nwrapped tail\n\u2022 beta"))
+      docs(s, dir).select(col("doc_id"), input.as("p"))
+        .as[(Long, String)]
+        .flatMap { case (d, p) =>
+          graft.sources.TextSource.groupBulletParagraph(p).zipWithIndex.map {
+            case (piece, i) => (d, i + 1L, piece)
+          }
+        }
+        .toDF("doc_id", "piece_idx", "piece")
+        .orderBy("doc_id", "piece_idx")
     }))
 
   private def docSel(expr: String, name: String): String =
@@ -470,5 +503,45 @@ object TextQueries {
          |  CAST(length(base) - 1 - 2 * (length(base) - length(replace(base, ' ', ''))) AS BIGINT)
          |    AS adj_last
          |FROM b ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    // RE2 has no lookahead; punctuation-except-exclusions is the negated class of
+    // (non-punctuation or excluded chars) — same set as the engine's
+    // (?!excl)\p{P}.
+    "q_remove_sentence_punctuation" ->
+      docSel("regexp_replace(text || ' End: (test), ok.', '[^\\P{P}.,]', '', 'g')",
+        "cleaned"),
+
+    "q_contains_english_word" -> {
+      val wordsArr = graft.functions.Predicates.EnglishWords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      docSel("list_has_any(list_filter(string_split_regex(lower(" +
+        "CASE WHEN doc_id % 3 = 0 THEN 'zzqxx kjvvw qqptt x' ELSE text END), " +
+        s"'[^a-z]+'), w -> len(w) > 1), $wordsArr)", "has_english")
+    },
+
+    "q_group_bullet_paragraph" ->
+      s"""WITH inp AS (
+         |  SELECT doc_id,
+         |    'e wrapped OCR' || chr(10) || chr(8226) || ' alpha ' ||
+         |    substring(text, 1, 30) || chr(10) || 'wrapped tail' || chr(10) ||
+         |    chr(8226) || ' beta' AS p0
+         |  FROM documents),
+         |prep AS (
+         |  SELECT doc_id, regexp_replace(regexp_replace(
+         |    regexp_replace(p0, '(?m)^e(\\s)', chr(183) || '\\1', 'g'),
+         |    '^\\s+', ''), '\\s+$$', '') AS p
+         |  FROM inp),
+         |pieces AS (
+         |  SELECT doc_id, list_filter(string_split(
+         |    replace(replace(p, chr(8226), chr(1) || chr(8226)),
+         |            chr(183), chr(1) || chr(183)), chr(1)), x -> x <> '') AS ps
+         |  FROM prep)
+         |SELECT doc_id, piece_idx,
+         |  regexp_replace(piece, '\\s*\\n\\s*', ' ', 'g') AS piece
+         |FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ps) + 1), i ->
+         |    {'piece_idx': i, 'piece': ps[i]}), recursive := true)
+         |  FROM pieces)
+         |ORDER BY doc_id, piece_idx""".stripMargin)
 }

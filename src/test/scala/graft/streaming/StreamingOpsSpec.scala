@@ -35,12 +35,15 @@ class StreamingOpsSpec extends SparkSuiteBase {
       // processAllAvailable() would block forever — poll the sink instead.
       // the incremental fold emits the first chunk as soon as its pre-chunk closes
       // (Title boundary) and the last at the timeout flush — wait for both
+      // 180 s: under a full parallel-suite run the executor pool is contended and
+      // the wall-clock timeout batch can lag far behind the 300 ms nominal
       var rows = Array.empty[Element]
-      val deadline = System.currentTimeMillis() + 60000
+      val deadline = System.currentTimeMillis() + 180000
       while (rows.length < 2 && System.currentTimeMillis() < deadline) {
         Thread.sleep(250)
         rows = spark.table("chunks_out").as[Element].collect()
       }
+      assert(rows.length >= 2, s"sink rows after deadline: ${rows.mkString("; ")}")
       val docS = rows.filter(_.doc_id == "docS").sortBy(_.seq)
       assert(docS.map(_.text).toSeq == Seq(
         "Section One\n\nFirst body sentence.",
