@@ -218,6 +218,29 @@ object PipelineQueries {
           element_at(col("data"), "text").as("text"))
         .orderBy("element_id")),
 
+    // stage_for_label_box import-config records — staging/label_box.py:40-100
+    "q_stage_label_box" -> ((s, dir) =>
+      graft.sinks.Staging.stageForLabelBox(metaElements(s, dir), "https://cdn.example.com/els/")
+        .select(col("data"), col("externalId"), size(col("attachments")).as("n_attachments"),
+          col("text"))
+        .orderBy("externalId")),
+
+    // stage_for_datasaur text+entities rows — staging/datasaur.py:6-24
+    "q_stage_datasaur" -> ((s, dir) =>
+      graft.sinks.Staging.stageForDatasaur(metaElements(s, dir))
+        .select(col("text"), size(col("entities")).as("n_entities"))
+        .orderBy("text")),
+
+    // stage_for_argilla text-classification records — staging/argilla.py:14-60
+    "q_stage_argilla" -> ((s, dir) =>
+      graft.sinks.Staging.stageForArgilla(metaElements(s, dir))
+        .orderBy("id")),
+
+    // stage_csv_for_prodigy — staging/prodigy.py:60-90
+    "q_stage_prodigy_csv" -> ((s, dir) =>
+      graft.sinks.Staging.stageCsvForProdigy(metaElements(s, dir))
+        .orderBy("id")),
+
     // stage_for_transformers / chunk_by_attention_window — staging/huggingface.py:
     // narrative text split into attention-window-sized word groups (window =
     // max_input_size - buffer = 10), other types pass through.
@@ -508,6 +531,27 @@ object PipelineQueries {
       s"""$applyMetaCtes
          |SELECT h.element_id, h.element_type AS type, h.text
          |FROM withparent h ORDER BY element_id""".stripMargin,
+
+    "q_stage_label_box" ->
+      s"""$applyMetaCtes
+         |SELECT 'https://cdn.example.com/els/' || h.element_id || '.txt' AS data,
+         |  h.element_id AS externalId, CAST(0 AS INT) AS n_attachments, h.text
+         |FROM withparent h ORDER BY externalId""".stripMargin,
+
+    "q_stage_datasaur" ->
+      s"""$applyMetaCtes
+         |SELECT h.text, CAST(0 AS INT) AS n_entities
+         |FROM withparent h ORDER BY h.text""".stripMargin,
+
+    "q_stage_argilla" ->
+      s"""$applyMetaCtes
+         |SELECT h.element_id AS id, h.text
+         |FROM withparent h ORDER BY id""".stripMargin,
+
+    "q_stage_prodigy_csv" ->
+      s"""$applyMetaCtes
+         |SELECT h.text, h.element_id AS id
+         |FROM withparent h ORDER BY id""".stripMargin,
 
     "q_stage_transformers" ->
       s"""WITH $parsCte,

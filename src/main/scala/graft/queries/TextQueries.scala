@@ -23,6 +23,13 @@ object TextQueries {
   private def one(s: SparkSession, dir: String)(c: Column, name: String): DataFrame =
     docs(s, dir).select(col("doc_id"), c.as(name)).orderBy("doc_id")
 
+  /** Fan-out variant for per-row CPU-heavy expressions (classifier cascade,
+    * sentence extraction, HOF token passes) — see [[graft.Tables.readFanout]];
+    * cheap single-regex cleaners keep the shuffle-free [[one]] plan. */
+  private def oneF(s: SparkSession, dir: String)(c: Column, name: String): DataFrame =
+    graft.Tables.readFanout(s, dir, "documents")
+      .select(col("doc_id"), c.as(name)).orderBy("doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_clean_extra_whitespace" -> ((s, dir) => one(s, dir)(
       Cleaners.cleanExtraWhitespace(concat(lit("  "), col("text"), lit("  end"))),
@@ -76,28 +83,28 @@ object TextQueries {
         extraWhitespace = true, dashes = true, bullets = true,
         trailingPunctuation = true, lowercase = true), "cleaned")),
 
-    "q_classify_text" -> ((s, dir) => one(s, dir)(
+    "q_classify_text" -> ((s, dir) => oneF(s, dir)(
       Predicates.classifyText(col("text")), "element_type")),
 
     "q_element_type_frequency" -> ((s, dir) =>
-      docs(s, dir)
+      graft.Tables.readFanout(s, dir, "documents")
         .select(Predicates.classifyText(col("text")).as("element_type"))
         .groupBy("element_type").agg(count(lit(1)).as("n"))
         .orderBy("element_type")),
 
-    "q_is_possible_title" -> ((s, dir) => one(s, dir)(
+    "q_is_possible_title" -> ((s, dir) => oneF(s, dir)(
       Predicates.isPossibleTitle(col("text")), "flag")),
 
-    "q_is_possible_narrative" -> ((s, dir) => one(s, dir)(
+    "q_is_possible_narrative" -> ((s, dir) => oneF(s, dir)(
       Predicates.isPossibleNarrativeText(col("text")), "flag")),
 
-    "q_under_non_alpha_ratio" -> ((s, dir) => one(s, dir)(
+    "q_under_non_alpha_ratio" -> ((s, dir) => oneF(s, dir)(
       Predicates.underNonAlphaRatio(concat(col("text"), lit(" 123!!"))), "flag")),
 
-    "q_exceeds_cap_ratio" -> ((s, dir) => one(s, dir)(
+    "q_exceeds_cap_ratio" -> ((s, dir) => oneF(s, dir)(
       Predicates.exceedsCapRatio(initcap(col("text"))), "flag")),
 
-    "q_sentence_count" -> ((s, dir) => one(s, dir)(
+    "q_sentence_count" -> ((s, dir) => oneF(s, dir)(
       Predicates.sentenceCount(replace(col("text"), lit(" the "), lit(". ")), 3),
       "n_sentences")),
 

@@ -74,6 +74,37 @@ object Staging {
     }
   }
 
+  /** `stage_for_datasaur` (`staging/datasaur.py:6-24`): text + entity-list rows
+    * (entities default empty; caller-supplied column must match the reference's
+    * `{text, type, start_idx, end_idx}` entity shape). */
+  def stageForDatasaur(ds: Dataset[Element],
+      entities: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    ds.select(col("text"),
+      entities.getOrElse(array().cast(
+        "array<struct<text:string,type:string,start_idx:int,end_idx:int>>"))
+        .as("entities"))
+
+  /** `stage_for_label_box` (`staging/label_box.py:40-100`): import-config records
+    * (`{data, attachments, externalId}`); the reference's driver loop writing one
+    * text file per element becomes the `data`-addressed frame a
+    * `DataFrameWriter.partitionBy` dump materializes executor-side. */
+  def stageForLabelBox(ds: Dataset[Element], urlPrefix: String): DataFrame =
+    ds.select(
+      concat(lit(urlPrefix.stripSuffix("/") + "/"), col("element_id"), lit(".txt"))
+        .as("data"),
+      array().cast("array<struct<type:string,value:string>>").as("attachments"),
+      col("element_id").as("externalId"),
+      col("text"))
+
+  /** `stage_for_argilla` text-classification records (`staging/argilla.py:14-60`):
+    * id + text (task-specific prediction/annotation columns ride along unchanged). */
+  def stageForArgilla(ds: Dataset[Element]): DataFrame =
+    ds.select(col("element_id").as("id"), col("text"))
+
+  /** `stage_csv_for_prodigy` (`staging/prodigy.py:60-90`): the text,id CSV form. */
+  def stageCsvForProdigy(ds: Dataset[Element]): DataFrame =
+    ds.select(col("text"), col("element_id").as("id"))
+
   /** `convert_to_coco` (`staging/base.py:734+`): COCO-style detection records
     * from elements carrying coordinates. */
   def convertToCoco(ds: Dataset[Element]): DataFrame =
