@@ -25,17 +25,38 @@ object MultimodalOps {
     StructField("n_channels", IntegerType), StructField("format", StringType)))
 
   /**
-   * Decode image metadata from payload bytes. KERNEL STUB: real impl parses the
-   * codec headers (PNG IHDR / JPEG SOF); the fake derives deterministic pseudo
-   * dimensions from the payload hash so downstream logic is exercisable.
+   * Decode image metadata from payload bytes. PNG (IHDR) and GIF (logical screen
+   * descriptor) headers are parsed FOR REAL — pure byte decoding through
+   * codegen'd built-ins (`substring` on binary + `hex`/`conv`), no image library
+   * and no UDF, so the scan stays in whole-stage codegen. Formats without a
+   * fixed-offset header (JPEG needs a marker walk) fall back to the documented
+   * deterministic pseudo-dims stub.
+   *
+   * PNG layout (public spec): 8-byte signature, 4-byte IHDR length, "IHDR",
+   * width/height as 4-byte big-endian at offsets 16/20 (0-based), bit depth at
+   * 24, color type at 25 (0 grey=1ch, 2 rgb=3, 3 palette=1, 4 grey+a=2, 6
+   * rgba=4). GIF: "GIF87a"/"GIF89a", then width/height as 2-byte little-endian.
    */
-  def decodeImageMeta(df: DataFrame, payload: String = "payload"): DataFrame =
+  def decodeImageMeta(df: DataFrame, payload: String = "payload"): DataFrame = {
+    val p = col(payload)
+    // 1-based substring offsets; conv(hex(bytes)) decodes big-endian
+    def be32(off: Int) = conv(hex(substring(p, off, 4)), 16, 10).cast("int")
+    def u8(off: Int) = conv(hex(substring(p, off, 1)), 16, 10).cast("int")
+    def le16(off: Int) = (u8(off) + u8(off + 1) * 256).cast("int")
+    val pngSig = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val isPng = substring(p, 1, 8) === pngSig
+    val isGif = substring(p, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    val pngChannels = when(u8(26) === 2, 3).when(u8(26) === 4, 2)
+      .when(u8(26) === 6, 4).otherwise(1)
     df.withColumn("image_meta", struct(
-      (pmod(xxhash64(col(payload)), lit(1920)) + 1).cast("int").as("width"),
-      (pmod(xxhash64(col(payload), lit(1)), lit(1080)) + 1).cast("int").as("height"),
-      lit(3).as("n_channels"),
-      when(substring(col(payload), 1, 4) === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')), "png")
-        .otherwise("unknown").as("format")))
+      when(isPng, be32(17)).when(isGif, le16(7))
+        .otherwise((pmod(xxhash64(p), lit(1920)) + 1).cast("int")).as("width"),
+      when(isPng, be32(21)).when(isGif, le16(9))
+        .otherwise((pmod(xxhash64(p, lit(1)), lit(1080)) + 1).cast("int")).as("height"),
+      when(isPng, pngChannels).when(isGif, lit(3)).otherwise(lit(3)).as("n_channels"),
+      when(isPng, lit("png")).when(isGif, lit("gif"))
+        .otherwise(lit("unknown")).as("format")))
+  }
 
   /**
    * Feature-extract: fixed-size float vector per payload. KERNEL STUB: real impl
@@ -81,19 +102,24 @@ object MultimodalOps {
   /**
    * `partition_audio` — `/root/reference/unstructured/partition/audio.py:26`:
    * speech-to-text segments become elements carrying `segment_start_seconds` /
-   * `segment_end_seconds`. KERNEL STUB: no STT model ships here, so segments are
-   * deterministic functions of the payload hash (count 1-3, 5 s apiece, text
-   * tagged with the segment ordinal); the element/explode shape, timing columns,
-   * and per-partition batching slot are the real plumbing a provider drops into.
+   * `segment_end_seconds`. Segmentation is REAL: one 5 s window per slice of the
+   * clip's duration (the shape a streaming STT provider emits), with the last
+   * window clamped to the clip end. Only the transcript text is a KERNEL STUB
+   * (no STT model ships here) — a provider replaces the `text` expression with a
+   * batched model call in `mapPartitions`; the explode shape, timing columns and
+   * element typing are the production plumbing.
    */
-  def transcribeAudio(df: DataFrame, payload: String = "payload"): DataFrame = {
-    val nSegs = (pmod(xxhash64(col(payload)), lit(3)) + 1).cast("int")
+  def transcribeAudio(df: DataFrame, durationCol: String,
+      payload: String = "payload"): DataFrame = {
+    val dur = col(durationCol).cast("double")
+    val nSegs = greatest(ceil(dur / 5.0).cast("int"), lit(1))
     df.withColumn("segment_idx", explode(sequence(lit(0), nSegs - 1)))
       .withColumn("segment_start_seconds", (col("segment_idx") * 5).cast("double"))
-      .withColumn("segment_end_seconds", (col("segment_idx") * 5 + 5).cast("double"))
+      .withColumn("segment_end_seconds",
+        least((col("segment_idx") * 5 + 5).cast("double"), greatest(dur, lit(0.0))))
       .withColumn("element_type", lit("NarrativeText"))
       .withColumn("text",
         concat(lit("[stt-stub segment "), col("segment_idx").cast("string"),
-          lit(" of "), abs(xxhash64(col(payload))).cast("string"), lit("]")))
+          lit(" @"), (col("segment_idx") * 5).cast("string"), lit("s]")))
   }
 }

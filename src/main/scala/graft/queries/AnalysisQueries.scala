@@ -278,6 +278,63 @@ object AnalysisQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // Image-metadata decode over a constructed PNG/GIF payload corpus: the PNG
+    // IHDR / GIF screen-descriptor parse is REAL byte decoding (MultimodalOps),
+    // and the oracle predicts dims from the construction — any header-layout or
+    // endianness bug in the parser breaks the hash.
+    "q_image_meta" -> ((s, dir) => {
+      val w = (col("doc_id") % 1000 + 1).cast("int")
+      val h = (col("doc_id") % 700 + 1).cast("int")
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A")), // signature
+        unhex(lit("0000000D")), // IHDR chunk length
+        lit("IHDR").cast("binary"),
+        unhex(lpad(hex(w), 8, "0")), // width BE32
+        unhex(lpad(hex(h), 8, "0")), // height BE32
+        unhex(lit("0806000000"))) // bit depth 8, color type 6 (rgba)
+      val gif = concat(
+        lit("GIF89a").cast("binary"),
+        unhex(lpad(hex(pmod(w, lit(256))), 2, "0")), // width LE16: low byte
+        unhex(lpad(hex(floor(w / 256).cast("int")), 2, "0")), // high byte
+        unhex(lpad(hex(pmod(h, lit(256))), 2, "0")),
+        unhex(lpad(hex(floor(h / 256).cast("int")), 2, "0")))
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, png).otherwise(gif).as("payload"))
+      graft.operators.MultimodalOps.decodeImageMeta(d)
+        .select(col("doc_id"),
+          col("image_meta.width").as("width"),
+          col("image_meta.height").as("height"),
+          col("image_meta.n_channels").as("n_channels"),
+          col("image_meta.format").as("format"))
+        .orderBy("doc_id")
+    }),
+
+    // partition_audio segmentation: duration-driven 5 s windows, last clamped to
+    // the clip end; transcript text is the documented deterministic STT stub.
+    "q_transcribe_audio" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 23 + 1).cast("double").as("duration"),
+        col("text").cast("binary").as("payload"))
+      graft.operators.MultimodalOps.transcribeAudio(d, "duration")
+        .select(col("doc_id"), col("segment_idx"),
+          col("segment_start_seconds"), col("segment_end_seconds"), col("text"))
+        .orderBy("doc_id", "segment_idx")
+    }),
+
+    // Video frame sampling: one row per sampled offset, frame payload a byte
+    // slice of the source (stub kernel, real explode shape).
+    "q_frame_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (col("doc_id") % 7 + 3).cast("int").as("duration"),
+        substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 200)
+          .cast("binary").as("payload"))
+      graft.operators.MultimodalOps.sampleFrames(d, everyNSeconds = 2,
+        durationCol = "duration")
+        .select(col("doc_id"), col("frame_ts"),
+          col("frame_payload").cast("string").as("frame_str"))
+        .orderBy("doc_id", "frame_ts")
+    }),
+
     // Corpus-level word frequency (reference `bag_of_words`).
     "q_bag_of_words" -> ((s, dir) =>
       docs(s, dir).select(explode(bowWords(col("text"))).as("word"))
@@ -543,6 +600,37 @@ object AnalysisQueries {
          |  JOIN inp eb ON cand.vec_b = eb.vec_id)
          |WHERE cos_sim >= 0.999
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_image_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 1000 + 1 AS INT) AS width,
+        |  CAST(doc_id % 700 + 1 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_transcribe_audio" ->
+      """SELECT doc_id, CAST(i AS INT) AS segment_idx,
+        |  CAST(i * 5 AS DOUBLE) AS segment_start_seconds,
+        |  CAST(least(i * 5 + 5, doc_id % 23 + 1) AS DOUBLE) AS segment_end_seconds,
+        |  '[stt-stub segment ' || i || ' @' || (i * 5) || 's]' AS text
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, CAST(ceil((doc_id % 23 + 1) / 5.0) AS INT)), x -> {'i': x}),
+        |    recursive := true)
+        |  FROM documents)
+        |ORDER BY doc_id, segment_idx""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT doc_id, CAST(t AS INT) AS frame_ts,
+        |  substring(payload, CAST(t AS INT) * 16 + 1, 16) AS frame_str
+        |FROM (
+        |  SELECT doc_id,
+        |    substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS payload,
+        |    unnest(list_transform(range(0, doc_id % 7 + 3, 2), x -> {'t': x}),
+        |      recursive := true)
+        |  FROM documents)
+        |ORDER BY doc_id, frame_ts""".stripMargin,
 
     "q_bag_of_words" ->
       s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n

@@ -121,9 +121,46 @@ object FormatQueries {
     when(col("doc_id") % 2 === 0, multipart).otherwise(single)
   }
 
+  /** multipart/mixed EML: one plain body paragraph + an attached .txt with two
+    * paragraphs (`email.py:372-441` attachment recursion corpus). */
+  private def emlAttPayload: Column = concat(
+    emlHeaders,
+    lit("MIME-Version: 1.0\nContent-Type: multipart/mixed; boundary=\"MX\"\n\n--MX\n"),
+    lit("Content-Type: text/plain\n\nbody para "), w1,
+    lit("\n--MX\nContent-Type: text/plain\nContent-Disposition: attachment; " +
+      "filename=\"note_"),
+    col("doc_id").cast("string"),
+    lit(".txt\"\n\nattached first "), w1, lit("\n\nattached second\n--MX--\n"))
+
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // attachment recursion (email.py:372-441): the attachment is re-partitioned
+    // (bounded depth 1) and unioned with the body stream under an
+    // `attached_to` marker — the AutoSource.partitionFiles union, corpus-shaped.
+    "q_partition_attachments" -> ((s, dir) => {
+      import s.implicits._
+      val raw = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), emlAttPayload.as("payload"))
+        .as[(Long, String)]
+        .flatMap { case (d, t) =>
+          val payload = if (t == null) "" else t
+          val (_, paras) = Partitioners.partitionEmail(payload)
+          val main = paras.zipWithIndex.map { case (p, i) =>
+            (d, "main", i + 1L, p.text, null.asInstanceOf[String])
+          }
+          val atts = Partitioners.emailAttachments(payload).flatMap { case (fn, body) =>
+            TextSource.splitParagraphs(body).zipWithIndex.map { case (p, i) =>
+              (d, fn, i + 1L, p, s"doc_$d.eml")
+            }
+          }
+          main ++ atts
+        }.toDF("doc_id", "part", "seq", "text", "attached_to")
+      raw.select(col("doc_id"), col("part"), col("seq"),
+        graft.functions.Predicates.classifyText(col("text")).as("element_type"),
+        col("text"), col("attached_to"))
+        .orderBy("doc_id", "part", "seq")
+    }),
     "q_partition_csv" -> ((s, dir) =>
       partitionRows(
         docs(s, dir).select(col("doc_id"), csvPayload.as("payload")),
@@ -220,6 +257,22 @@ object FormatQueries {
        |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_partition_attachments" ->
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 'main' AS part, CAST(1 AS BIGINT) AS seq,
+         |    'body para ' || w1 AS text, CAST(NULL AS VARCHAR) AS attached_to
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'note_' || doc_id || '.txt', CAST(1 AS BIGINT),
+         |    'attached first ' || w1, 'doc_' || doc_id || '.eml' FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'note_' || doc_id || '.txt', CAST(2 AS BIGINT),
+         |    'attached second', 'doc_' || doc_id || '.eml' FROM base)
+         |SELECT doc_id, part, seq, ${O.classify("text")} AS element_type,
+         |  text, attached_to
+         |FROM rows0 ORDER BY doc_id, part, seq""".stripMargin,
+
     "q_partition_csv" ->
       s"""WITH base AS ($base)
          |SELECT doc_id, 'Table' AS element_type,

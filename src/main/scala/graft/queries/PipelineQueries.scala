@@ -27,8 +27,11 @@ import graft.sources.TextSource
  */
 object PipelineQueries {
 
+  // fan-out read: the paragraph split + classifier cascade run BEFORE the
+  // chunkers' doc_id shuffle, so a single-split scan would funnel that CPU work
+  // through one core (see Tables.readFanout — no-op at real scale)
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Tables.read(s, dir, "documents")
+    graft.Tables.readFanout(s, dir, "documents")
 
   /** documents with paragraph breaks injected at every " merge " token. */
   private def withParagraphs(s: SparkSession, dir: String): DataFrame =
