@@ -76,6 +76,39 @@ class ExtensionSpec extends SparkSuiteBase {
     assert(frames.collect().length == 4) // t = 0, 2, 4, 6
   }
 
+  test("multimodal: image header decode parses PNG/GIF and falls back elsewhere") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      Array[Byte](0, 0, 1, 0x2c, 0, 0, 0, 0x96.toByte, 8, 2, 0, 0, 0) // 300x150 rgb
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xf0.toByte, 0) // 320x240 LE
+    val other = "notanimage".getBytes
+    val df = Seq(("png", png), ("gif", gif), ("other", other)).toDF("id", "payload")
+    val out = MultimodalOps.decodeImageMeta(df).collect()
+      .map(r => r.getAs[String]("id") -> r.getStruct(2)).toMap
+    assert(out("png").getAs[Int]("width") == 300)
+    assert(out("png").getAs[Int]("height") == 150)
+    assert(out("png").getAs[Int]("n_channels") == 3)
+    assert(out("png").getAs[String]("format") == "png")
+    assert(out("gif").getAs[Int]("width") == 320)
+    assert(out("gif").getAs[Int]("height") == 240)
+    assert(out("gif").getAs[String]("format") == "gif")
+    assert(out("other").getAs[String]("format") == "unknown")
+    assert(out("other").getAs[Int]("width") >= 1) // deterministic stub dims
+  }
+
+  test("multimodal: STT segmentation follows clip duration") {
+    import spark.implicits._
+    val df = Seq(("a", 12.0), ("b", 3.0)).toDF("id", "duration")
+      .withColumn("payload", org.apache.spark.sql.functions.lit("x").cast("binary"))
+    val segs = MultimodalOps.transcribeAudio(df, "duration").collect()
+      .groupBy(_.getAs[String]("id"))
+    assert(segs("a").length == 3) // ceil(12/5)
+    assert(segs("a").map(_.getAs[Double]("segment_end_seconds")).max == 12.0)
+    assert(segs("b").length == 1)
+    assert(segs("b")(0).getAs[Double]("segment_end_seconds") == 3.0)
+  }
+
   test("mime-encoding and bytes-string cleaners") {
     import graft.functions.Cleaners
     assert(Cleaners.replaceMimeEncodings("Caf=C3=A9") == "Café")
