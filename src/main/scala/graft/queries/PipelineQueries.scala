@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.Element
+import graft.model.{Element, ElementMetadata, ElementType}
 import graft.operators.{Chunker, ChunkingOptions}
 import graft.queries.{OracleSql => O}
 import graft.sources.TextSource
@@ -221,6 +221,59 @@ object PipelineQueries {
           element_at(col("data"), "text").as("text"))
         .orderBy("element_id")),
 
+    // Oversized-text splitter, char mode (base.py:1396-1460): one whole-document
+    // element per doc (far over the 100-char window) forces the repeated
+    // rightmost-space split; the oracle re-walks the identical algorithm as a
+    // recursive CTE (rightmost separator within [1, maxlen], rstrip fragment,
+    // lstrip remainder, hard cut when no separator).
+    "q_chunk_split" -> ((s, dir) => {
+      import s.implicits._
+      val els = docs(s, dir)
+        .select(col("doc_id").cast("string").as("doc_id"),
+          trim(regexp_replace(col("text"), "\\s+", " ")).as("t"))
+        .as[(String, String)]
+        .map { case (d, t) => Element("", ElementType.NarrativeText, t, d, 1L) }
+      chunkResult(Chunker.chunkElements(els,
+        ChunkingOptions(maxCharacters = 100, includeOrigElements = false)))
+    }),
+
+    // Table chunk -> reconstruct fixpoint (base.py:957-1393 + dispatch.py:146-325):
+    // an oversized Table with a <thead> header splits into TableChunks with the
+    // header repeated on continuations, then reconstruct_table_from_chunks
+    // inverts the split. The oracle predicts the reconstructed element straight
+    // from the construction, so header carry/strip, row packing, or the
+    // canonical-thead rebuild breaking shows as a hash mismatch. Row widths vary
+    // per doc (cycled words), so the packing boundaries differ across rows.
+    "q_reconstruct_table" -> ((s, dir) => {
+      import s.implicits._
+      val ws = graft.functions.TextAnalysis.words(col("text"))
+      val idx = (i: Column) => pmod(i - 1, size(ws)) + 1
+      val rowText = transform(sequence(lit(1), lit(12)),
+        i => concat(element_at(ws, idx(i)), lit(" cell"), i.cast("string")))
+      val rowHtml = transform(sequence(lit(1), lit(12)),
+        i => concat(lit("<tr><td>"), element_at(ws, idx(i)),
+          lit("</td><td>cell"), i.cast("string"), lit("</td></tr>")))
+      val src = docs(s, dir).select(
+        col("doc_id").cast("string").as("doc_id"),
+        concat(lit("hA hB "), array_join(rowText, " ")).as("ttext"),
+        concat(lit("<table><thead><tr><th>hA</th><th>hB</th></tr></thead>"),
+          array_join(rowHtml, ""), lit("</table>")).as("thtml"))
+        .as[(String, String, String)]
+        .map { case (d, t, h) =>
+          Element("", ElementType.Table, t, d, 1L,
+            ElementMetadata(text_as_html = Some(h)))
+        }
+      val chunked = Chunker.chunkElements(src,
+        ChunkingOptions(maxCharacters = 80, includeOrigElements = false))
+      chunked.groupByKey(_.doc_id)
+        .mapGroups { (d, it) =>
+          val r = Chunker.reconstructTable(it.toSeq).get
+          (d.toLong, r.`type`, r.text, r.metadata.text_as_html.getOrElse(""))
+        }
+        .toDF("doc_id", "element_type", "text", "text_as_html")
+        .orderBy("doc_id")
+    }),
+
     // stage_for_label_box import-config records — staging/label_box.py:40-100
     "q_stage_label_box" -> ((s, dir) =>
       graft.sinks.Staging.stageForLabelBox(metaElements(s, dir), "https://cdn.example.com/els/")
@@ -260,19 +313,22 @@ object PipelineQueries {
         .orderBy("doc_id", "seq", "text")
     }),
 
-    // orig_elements codec fixpoint (staging/base.py:241-260): per doc, encode the
-    // element stream to the base64-gzipped JSON array and decode it back; the
-    // oracle predicts the decoded rows straight from the paragraph walk, so any
-    // encoder/decoder asymmetry (JSON escaping, gzip framing, base64) breaks the
-    // hash.
+    // orig_elements codec fixpoint (staging/base.py:241-260): elements encode to
+    // the base64-gzipped JSON array and decode back; the oracle predicts the
+    // decoded rows straight from the paragraph walk, so any encoder/decoder
+    // asymmetry (JSON escaping, gzip framing, base64) breaks the hash. Encoding
+    // is scoped to 8-element groups — the pre-chunk scope orig_elements actually
+    // carries in the reference (chunking/base.py:941-954), and whole-document
+    // arrays produced multi-MB humongous allocations that made the query's wall
+    // time GC-bound and erratic (2 s to 65 s run-to-run at sf0.1).
     "q_orig_elements_codec" -> ((s, dir) => {
       import s.implicits._
       val els = fullElements(s, dir)
-      val decoded = els.groupByKey(_.doc_id)
-        .mapGroups { (d, it) =>
+      val decoded = els.groupByKey(e => (e.doc_id, (e.seq - 1) / 8))
+        .mapGroups { (k: (String, Long), it: Iterator[Element]) =>
           val sorted = it.toSeq.sortBy(_.seq)
           val enc = graft.sinks.ElementJson.encodeOrigElements(sorted)
-          (d, graft.sinks.ElementJson.decodeOrigElementsJson(enc))
+          (k._1, graft.sinks.ElementJson.decodeOrigElementsJson(enc))
         }
         .toDF("doc_id", "json")
       decoded
@@ -534,6 +590,41 @@ object PipelineQueries {
       s"""$applyMetaCtes
          |SELECT h.element_id, h.element_type AS type, h.text
          |FROM withparent h ORDER BY element_id""".stripMargin,
+
+    "q_chunk_split" ->
+      s"""WITH RECURSIVE nrm AS (
+         |  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         |  FROM documents),
+         |walk AS (
+         |  SELECT doc_id, t AS rem, 0 AS idx, CAST(NULL AS VARCHAR) AS frag FROM nrm
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    CASE WHEN len(rem) <= 100 THEN ''
+         |         WHEN sp = 0 THEN ltrim(substring(rem, 101))
+         |         ELSE ltrim(substring(rem, sp + 1)) END,
+         |    idx + 1,
+         |    CASE WHEN len(rem) <= 100 THEN rem
+         |         WHEN sp = 0 THEN rtrim(substring(rem, 1, 100))
+         |         ELSE rtrim(substring(rem, 1, sp - 1)) END
+         |  FROM (
+         |    SELECT doc_id, rem, idx,
+         |      CASE WHEN strpos(reverse(substring(rem, 1, 101)), ' ') = 0 THEN 0
+         |           ELSE 102 - strpos(reverse(substring(rem, 1, 101)), ' ') END AS sp
+         |    FROM walk WHERE rem <> ''))
+         |SELECT doc_id, CAST(idx - 1 AS BIGINT) AS chunk_seq, frag AS text
+         |FROM walk WHERE frag IS NOT NULL
+         |ORDER BY doc_id, chunk_seq""".stripMargin,
+
+    "q_reconstruct_table" ->
+      s"""WITH tb AS (SELECT doc_id, ${O.words("text")} AS ws FROM documents)
+         |SELECT doc_id, 'Table' AS element_type,
+         |  'hA hB ' || array_to_string(list_transform(range(1, 13), i ->
+         |    ws[CAST((i - 1) % len(ws) AS INT) + 1] || ' cell' || i), ' ') AS text,
+         |  '<table><thead><tr><th>hA</th><th>hB</th></tr></thead>' ||
+         |  array_to_string(list_transform(range(1, 13), i ->
+         |    '<tr><td>' || ws[CAST((i - 1) % len(ws) AS INT) + 1] ||
+         |    '</td><td>cell' || i || '</td></tr>'), '') || '</table>' AS text_as_html
+         |FROM tb ORDER BY doc_id""".stripMargin,
 
     "q_stage_label_box" ->
       s"""$applyMetaCtes
