@@ -59,6 +59,38 @@ object MultimodalOps {
   }
 
   /**
+   * JPEG dimensions via the real marker walk (public JFIF/EXIF structure): skip
+   * 0xFF-prefixed segments by their big-endian lengths until a start-of-frame
+   * marker (SOF0-SOF15 except DHT/JPG/DAC), whose payload holds height then
+   * width as big-endian u16 at offsets 3/5. Pure bytes, no library — a loop, so
+   * it lives JVM-side for `mapPartitions` image pipelines rather than in the
+   * column path (which handles the fixed-offset PNG/GIF headers).
+   */
+  def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 4 ||
+      (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return None
+      val marker = u8(i + 1)
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      else if (marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        // SOFn: len(2) precision(1) height(2) width(2)
+        if (i + 8 >= bytes.length) return None
+        return Some((u16(i + 7), u16(i + 5))) // (width, height)
+      } else {
+        val len = u16(i + 2)
+        if (len < 2) return None
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /**
    * Feature-extract: fixed-size float vector per payload. KERNEL STUB: real impl
    * runs a vision encoder batched per partition (`mapPartitions` so model init is
    * amortized per task, exactly where a real model call would sit).

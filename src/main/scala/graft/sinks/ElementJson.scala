@@ -184,7 +184,11 @@ object ElementJson {
   def gunzipBase64(s: String): String = {
     val in = new GZIPInputStream(
       new ByteArrayInputStream(java.util.Base64.getDecoder.decode(s)))
-    new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    // close() ends the native Inflater NOW — leaving it to finalization leaks
+    // native zlib streams at one-per-group rates and stalls long-running JVMs
+    // on the finalizer queue (observed 4 s -> 20-65 s drift for the codec query)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /**

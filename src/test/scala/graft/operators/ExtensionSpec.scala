@@ -97,6 +97,20 @@ class ExtensionSpec extends SparkSuiteBase {
     assert(out("other").getAs[Int]("width") >= 1) // deterministic stub dims
   }
 
+  test("multimodal: JPEG marker walk finds SOF dimensions") {
+    // SOI, APP0 (JFIF, 16 bytes), DQT (dummy 4 bytes), SOF0 with 640x480
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++ new Array[Byte](14) ++
+      Array[Byte](0xff.toByte, 0xdb.toByte, 0, 4) ++ new Array[Byte](2) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8,
+        0x01, 0xe0.toByte, // height 480
+        0x02, 0x80.toByte, // width 640
+        1, 0x11, 0, 0)
+    assert(MultimodalOps.jpegDims(jpeg) == Some((640, 480)))
+    assert(MultimodalOps.jpegDims("nope".getBytes) == None)
+    assert(MultimodalOps.jpegDims(Array(0xff.toByte, 0xd8.toByte)) == None)
+  }
+
   test("multimodal: STT segmentation follows clip duration") {
     import spark.implicits._
     val df = Seq(("a", 12.0), ("b", 3.0)).toDF("id", "duration")
