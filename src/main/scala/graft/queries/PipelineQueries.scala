@@ -82,6 +82,24 @@ object PipelineQueries {
         ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
           combineTextUnderNChars = Some(0))))),
 
+    // by_title with small-chunk recombination ENABLED (PreChunkCombiner,
+    // base.py:1734-1809): 30-char elements make most pre-chunks far under the
+    // window, so adjacent small sections genuinely recombine (first under
+    // combine_text_under_n_chars AND joint within max_characters). The oracle
+    // re-walks both folds: the boundary/fit pre-chunk walk, then the adjacent
+    // combine walk over pre-chunk texts.
+    "q_chunk_combine" -> ((s, dir) => {
+      import s.implicits._
+      val els = partitioned(s, dir)
+        .select(col("doc_id"), col("seq"), col("element_type"),
+          substring(col("text"), 1, 30).as("text"))
+        .as[(String, Long, String, String)]
+        .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
+      chunkResult(Chunker.chunkByTitle(els,
+        ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
+          combineTextUnderNChars = Some(120))))
+    }),
+
     // token-mode chunking: window measured with the deterministic regex tokenizer
     // (max_tokens, chunking/base.py:176-190). Oversized elements exercise the
     // token splitter's rightmost-space scan (greedy word packing).
@@ -590,6 +608,49 @@ object PipelineQueries {
       s"""$applyMetaCtes
          |SELECT h.element_id, h.element_type AS type, h.text
          |FROM withparent h ORDER BY element_id""".stripMargin,
+
+    "q_chunk_combine" -> {
+      val boundary = O.classify("e.full_text") + " = 'Title'"
+      val nn = "chr(10)||chr(10)"
+      s"""WITH RECURSIVE $parsCte,
+         |els AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+         |    {'seq': i, 'full_text': ps[i],
+         |     'text': substring(${cleanBullets("ps[i]")}, 1, 30)}), recursive := true)
+         |  FROM pars),
+         |walk AS (
+         |  SELECT doc_id, seq, text, 0 AS chunk_idx, length(text) AS acc_len
+         |  FROM els WHERE seq = 1
+         |  UNION ALL
+         |  SELECT e.doc_id, e.seq, e.text,
+         |    CASE WHEN NOT ($boundary)
+         |           AND w.acc_len + 2 + length(e.text) <= 120
+         |         THEN w.chunk_idx ELSE w.chunk_idx + 1 END,
+         |    CASE WHEN NOT ($boundary)
+         |           AND w.acc_len + 2 + length(e.text) <= 120
+         |         THEN w.acc_len + 2 + length(e.text) ELSE length(e.text) END
+         |  FROM els e JOIN walk w ON e.doc_id = w.doc_id AND e.seq = w.seq + 1),
+         |pchunks AS (
+         |  SELECT doc_id, chunk_idx,
+         |    string_agg(regexp_replace(${O.strip("text")}, '\\s+', ' ', 'g'),
+         |               $nn ORDER BY seq) AS ptext
+         |  FROM walk GROUP BY doc_id, chunk_idx),
+         |cwalk AS (
+         |  SELECT doc_id, chunk_idx, ptext, 0 AS comb_idx, length(ptext) AS acc_len
+         |  FROM pchunks WHERE chunk_idx = 0
+         |  UNION ALL
+         |  SELECT p.doc_id, p.chunk_idx, p.ptext,
+         |    CASE WHEN c.acc_len < 120 AND c.acc_len + 2 + length(p.ptext) <= 120
+         |         THEN c.comb_idx ELSE c.comb_idx + 1 END,
+         |    CASE WHEN c.acc_len < 120 AND c.acc_len + 2 + length(p.ptext) <= 120
+         |         THEN c.acc_len + 2 + length(p.ptext) ELSE length(p.ptext) END
+         |  FROM pchunks p JOIN cwalk c
+         |    ON p.doc_id = c.doc_id AND p.chunk_idx = c.chunk_idx + 1)
+         |SELECT doc_id, comb_idx AS chunk_seq,
+         |  string_agg(ptext, $nn ORDER BY chunk_idx) AS text
+         |FROM cwalk GROUP BY doc_id, comb_idx
+         |ORDER BY doc_id, chunk_seq""".stripMargin
+    },
 
     "q_chunk_split" ->
       s"""WITH RECURSIVE nrm AS (
