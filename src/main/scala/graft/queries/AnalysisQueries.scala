@@ -173,6 +173,32 @@ object AnalysisQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Completes the near-dup dedup pipeline: LSH band candidates -> EXACT
+    // n-gram (3-shingle set) Jaccard >= 0.8 verify. The verify runs only on
+    // candidate pairs (never all pairs), which is the canonical two-stage shape
+    // at 100 TB: cheap recall stage, exact precision stage. The near-copy
+    // corpus makes the filter discriminative — short docs' appended-token
+    // copies fall below 0.8 and are pruned, long docs' survive.
+    "q_jaccard_near_dup" -> ((s, dir) => {
+      val inp = withNearDups(docs(s, dir))
+      val sig = inp.select(col("doc_id"),
+        TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(TextAnalysis.lshBands(col("sig"), rows = 2))
+          .as(Seq("band_idx", "band_key")))
+      val cand = graft.operators.Dedup.lshCandidatePairs(bands, maxBandSize = 1000)
+      val sh = inp.select(col("doc_id"),
+        array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // 64-bit SimHash rendered as 16 hex chars (hi/lo halves, so the oracle's
     // BIGINT arithmetic never touches the sign bit)
     "q_simhash" -> ((s, dir) => {
@@ -535,6 +561,39 @@ object AnalysisQueries {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bounded a JOIN bounded b
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_jaccard_near_dup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, ${minhashSigSql("text")} AS sig FROM $nearDupUnion),
+         |bands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
+         |    {'band_idx': b,
+         |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
+         |    recursive := true)
+         |  FROM sig),
+         |safe AS (
+         |  SELECT band_idx, band_key FROM bands
+         |  GROUP BY band_idx, band_key HAVING count(*) <= 1000),
+         |bounded AS (
+         |  SELECT b.* FROM bands b JOIN safe s
+         |    ON b.band_idx = s.band_idx AND b.band_key = s.band_key),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bounded a JOIN bounded b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
+         |  FROM $nearDupUnion)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |      len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id)
+         |WHERE jaccard >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_simhash" ->
