@@ -255,6 +255,44 @@ object AnalysisQueries {
         .limit(10)
     }),
 
+    // IVF-style ANN (the second scale path beside the sign-bit LSH bucket): a
+    // coarse quantizer assigns every vector to its nearest of 8 centroids (the
+    // vectors with vec_id < 8 — deterministic stand-ins for trained k-means
+    // centroids), and the query probes ONLY its own cell. At 100 TB the lake is
+    // written partitioned by cell, so the probe is a partition-pruned scan; the
+    // centroid table is tiny and broadcast. Assignment is a single fold over
+    // the sorted centroid array (first-max tie-break = lowest centroid id).
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val dot2 = (a: Column, b: Column) => aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val norm = (c: Column) => sqrt(aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      val cos = (a: Column, b: Column) => dot2(a, b) / (norm(a) * norm(b))
+      val cents = e.filter(col("vec_id") < 8)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv")))).as("cents"))
+      val best = aggregate(
+        col("cents"),
+        struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+        (acc, c) => {
+          val sim = cos(col("embedding"), c.getField("cv"))
+          when(sim > acc.getField("sim"),
+            struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
+        })
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), best.getField("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") === 1)
+        .select(col("embedding").as("qv"), col("cell").as("qcell"))
+      assigned.join(broadcast(q), col("cell") === col("qcell"))
+        .select(col("vec_id"), col("cell"),
+          round(cos(col("embedding"), col("qv")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup dedup (scale path): 4 OR-ed sign-bit LSH bands
     // (8 dims each over dims 0-31) -> per-band self-equi-join -> distinct
     // candidate pairs -> cosine >= 0.999 verify. A single band drops any true
@@ -517,6 +555,13 @@ object AnalysisQueries {
       "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
       "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
 
+  /** Unrounded cosine between two named list columns. */
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+
   def oracles: Map[String, String] = Map(
     "q_token_counts" ->
       ("SELECT doc_id, CAST(len(" + O.words("text") + ") AS INT) AS n_ws_tokens, " +
@@ -619,6 +664,23 @@ object AnalysisQueries {
          |q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
          |SELECT vec_id, bucket, $cosSimSql AS cos_sim
          |FROM b, q WHERE bucket = qbucket
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e, cents c),
+         |cells AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |q AS (SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 1)
+         |SELECT vec_id, cell, $cosSimSql AS cos_sim
+         |FROM cells, q WHERE cell = qcell
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_embed_near_dup" ->
