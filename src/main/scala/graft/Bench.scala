@@ -37,8 +37,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration; tokens
+    // are trimmed and a set-but-empty var means "no restriction".
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     names.foreach(n => runOne(n, SparkEntry.queries(n))) // warm-up pass (not recorded)

@@ -45,15 +45,32 @@ object Tables {
    * shuffle-free plan (round 6 measured the unconditional variant costing +6-17 s
    * on scan-bound queries while saving 5-10 s on parse-bound ones — hence opt-in).
    *
-   * The split estimate uses the file listing only (no `df.rdd`, which would force
-   * full physical planning eagerly); `repartition(n)` with an explicit count is
-   * not coalesced by AQE, so the fan-out survives to execution. At scale the scan
-   * has >= parallelism file splits and this is a no-op — no shuffle is added to a
-   * 100 TB read.
+   * The split estimate uses the file listing plus byte sizes (no `df.rdd`, which
+   * would force full physical planning eagerly): Spark slices each file at
+   * `spark.sql.files.maxPartitionBytes`, so estimated splits =
+   * max(file count, ceil(total bytes / maxPartitionBytes)) — a few large files
+   * on a real cluster already yield >= parallelism splits and the fan-out is a
+   * no-op (a file-count-only estimate would wrongly shuffle the whole table
+   * there). `repartition(n)` with an explicit count is not coalesced by AQE, so
+   * the fan-out survives to execution.
    */
   def readFanout(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = read(spark, dir, name)
     val p = spark.sparkContext.defaultParallelism
-    if (df.inputFiles.length < p) df.repartition(p) else df
+    val files = df.inputFiles
+    if (files.length >= p) df
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val totalBytes = files.map { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        try path.getFileSystem(hconf).getFileStatus(path).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      val maxSplit = math.max(1L,
+        org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+      val estSplits = math.max(files.length.toLong,
+        (totalBytes + maxSplit - 1) / maxSplit)
+      if (estSplits < p) df.repartition(p) else df
+    }
   }
 }

@@ -74,8 +74,12 @@ object MultimodalOps {
     var i = 2
     while (i + 3 < bytes.length) {
       if (u8(i) != 0xff) return None
+      // B.1.1.2: any number of 0xFF fill bytes may precede a marker
+      while (i + 3 < bytes.length && u8(i + 1) == 0xff) i += 1
       val marker = u8(i + 1)
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone
+      if (marker == 0xd8 || marker == 0x01 ||
+        (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone: SOI, TEM, RSTn
+      else if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no SOF seen
       else if (marker >= 0xc0 && marker <= 0xcf &&
         marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
         // SOFn: len(2) precision(1) height(2) width(2)

@@ -34,6 +34,21 @@ object AnalysisQueries {
   private def one(s: SparkSession, dir: String)(c: Column, name: String): DataFrame =
     docs(s, dir).select(col("doc_id"), c.as(name)).orderBy("doc_id")
 
+  /** Σ aᵢ·bᵢ over two float-array columns, accumulated as DOUBLE. */
+  private def dotCol(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  private def normCol(c: Column): Column = sqrt(aggregate(
+    transform(c, x => x.cast("double") * x.cast("double")),
+    lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity — the ONE definition every ANN/near-dup query (and, via
+    * [[cosSql]], every oracle) derives from, so a precision/summation-order
+    * change lands everywhere at once. */
+  private def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
   /** documents ∪ exact copies of every 5th doc (ids +10000) — the exact-dedup corpus. */
   private def withExactDups(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"), col("text"))
@@ -132,7 +147,8 @@ object AnalysisQueries {
     "q_lang_id" -> ((s, dir) => one(s, dir)(
       TextAnalysis.langIdHeuristic(col("text")), "lang_pred")),
 
-    // detect_languages (ISO-639-3) over a 12-way corpus: per doc_id residue the
+    // detect_languages (ISO-639-3) over a 13-way corpus (residue 11 = NULL text,
+    // pinning NULL -> NULL): per doc_id residue the
     // text is replaced/suffixed to route every cascade branch — scripts (zho, jpn,
     // kor, rus, ara), the short-ASCII eng default, and six Latin stopword votes
     "q_detect_languages" -> ((s, dir) => one(s, dir)(
@@ -214,16 +230,9 @@ object AnalysisQueries {
     "q_ann_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val dot = aggregate(
-        zip_with(col("embedding"), col("qv"),
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val norm = (c: Column) => sqrt(aggregate(
-        transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(dot / (norm(col("embedding")) * norm(col("qv"))), 6).as("cos_sim"))
+          round(cosineCol(col("embedding"), col("qv")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -241,16 +250,9 @@ object AnalysisQueries {
       val withB = e.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
       val q = withB.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
-      val dot = aggregate(
-        zip_with(col("embedding"), col("qv"),
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val norm = (c: Column) => sqrt(aggregate(
-        transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
       withB.join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          round(dot / (norm(col("embedding")) * norm(col("qv"))), 6).as("cos_sim"))
+          round(cosineCol(col("embedding"), col("qv")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -264,13 +266,7 @@ object AnalysisQueries {
     // the sorted centroid array (first-max tie-break = lowest centroid id).
     "q_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val dot2 = (a: Column, b: Column) => aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val norm = (c: Column) => sqrt(aggregate(
-        transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
-      val cos = (a: Column, b: Column) => dot2(a, b) / (norm(a) * norm(b))
+      val cos = cosineCol _
       val cents = e.filter(col("vec_id") < 8)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
           col("embedding").as("cv")))).as("cents"))
@@ -326,18 +322,11 @@ object AnalysisQueries {
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
-      val dot = aggregate(
-        zip_with(col("ea"), col("eb"),
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-      val norm = (c: Column) => sqrt(aggregate(
-        transform(c, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, v) => acc + v))
       cand
         .join(inp.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
         .join(inp.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(dot / (norm(col("ea")) * norm(col("eb"))), 6).as("cos_sim"))
+          round(cosineCol(col("ea"), col("eb")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.999)
         .orderBy("vec_a", "vec_b")
     }),
@@ -549,11 +538,7 @@ object AnalysisQueries {
     s"CAST(list_sum(list_transform(range($base, ${base + 32}), j -> " +
       s"CASE WHEN ${simhashVote("j")} > 0 THEN (1::BIGINT << (j - $base)) ELSE 0 END)) AS BIGINT)"
 
-  private val cosSimSql: String =
-    "round(list_sum(list_transform(range(1, len(embedding) + 1), " +
-      "i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) / " +
-      "(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
-      "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)"
+  private val cosSimSql: String = s"round(${cosSql("embedding", "qv")}, 6)"
 
   /** Unrounded cosine between two named list columns. */
   private def cosSql(a: String, b: String): String =

@@ -288,11 +288,16 @@ object TextQueries {
 
     // group_bullet_paragraph (core.py:107-134): a constructed bullet paragraph per
     // doc — OCR'd `e`-bullet first line, a wrapped bullet line, a trailing bullet —
-    // split at bullets with wrapped lines rejoined.
+    // split at bullets with wrapped lines rejoined. The document slice is
+    // sanitized to [a-z0-9 ] first: the engine splits on the FULL bullet
+    // alternation (which includes '-' and '*'), while the oracle marks only the
+    // two bullets the construction injects — a stray bullet char inside raw
+    // text would make the sides diverge on a regenerated corpus.
     "q_group_bullet_paragraph" -> ((s, dir) => {
       import s.implicits._
       val input = concat(lit("e wrapped OCR\n\u2022 alpha "),
-        substring(col("text"), 1, 30), lit("\nwrapped tail\n\u2022 beta"))
+        substring(regexp_replace(col("text"), "[^a-z0-9 ]", ""), 1, 30),
+        lit("\nwrapped tail\n\u2022 beta"))
       docs(s, dir).select(col("doc_id"), input.as("p"))
         .as[(Long, String)]
         .flatMap { case (d, p) =>
@@ -531,7 +536,8 @@ object TextQueries {
       s"""WITH inp AS (
          |  SELECT doc_id,
          |    'e wrapped OCR' || chr(10) || chr(8226) || ' alpha ' ||
-         |    substring(text, 1, 30) || chr(10) || 'wrapped tail' || chr(10) ||
+         |    substring(regexp_replace(text, '[^a-z0-9 ]', '', 'g'), 1, 30) ||
+         |    chr(10) || 'wrapped tail' || chr(10) ||
          |    chr(8226) || ' beta' AS p0
          |  FROM documents),
          |prep AS (

@@ -267,7 +267,9 @@ private[sinks] object RawJson {
             case 'r' => b.append('\r'); j += 2
             case 'b' => b.append('\b'); j += 2
             case 'f' => b.append('\f'); j += 2
-            case 'u' if j + 5 < body.length + 1 =>
+            case 'u' if j + 5 < body.length &&
+                body.substring(j + 2, j + 6).forall(ch =>
+                  Character.digit(ch, 16) >= 0) =>
               b.append(Integer.parseInt(body.substring(j + 2, j + 6), 16).toChar); j += 6
             case other => b.append(other); j += 2
           }
