@@ -136,21 +136,208 @@ object Predicates {
 
   /**
    * `contains_english_word` — `text_type.py:193-205`: any lowercased token of
-   * length > 1 present in the English wordlist. The reference ships a 25k-word
-   * list (`nlp/english_words.py`); this deterministic built-in subset covers the
-   * high-frequency head (callers can pass their own list). The membership test
-   * is `arrays_overlap` against a literal array — codegen'd, no shuffle, no UDF.
+   * length > 1 present in the English wordlist. The reference loads a ~25k-word
+   * list from a data file (`nlp/english_words.py` — the `english-words.txt`
+   * payload is absent from this checkout, so it cannot be reproduced verbatim);
+   * this built-in list is the ~1000-word high-frequency head of general English
+   * (standard frequency-list vocabulary), which covers ordinary prose — callers
+   * with a fuller lexicon pass their own `words`. Recall on rare/technical
+   * vocabulary is below the reference's 25k list; precision semantics are
+   * identical. The membership test is `arrays_overlap` against a literal
+   * array — codegen'd, no shuffle, no UDF. At 25k words the same shape holds
+   * (or swap to a broadcast join against a lexicon table).
    */
   val EnglishWords: Seq[String] = Seq(
+    // function words / pronouns / determiners
     "the", "and", "for", "that", "this", "with", "from", "have", "has", "had",
     "not", "but", "you", "all", "can", "her", "was", "one", "our", "out",
     "are", "his", "they", "she", "will", "there", "their", "what", "when",
-    "which", "who", "how", "were", "been", "more", "some", "than", "then",
-    "them", "these", "two", "may", "first", "any", "its", "only", "other",
-    "new", "into", "time", "data", "table", "order", "line", "part", "value",
-    "key", "row", "group", "join", "sort", "merge", "filter", "query", "batch",
-    "stream", "window", "small", "big", "fast", "slow", "hash", "scan",
-    "column", "vector", "customer")
+    "which", "who", "whom", "whose", "how", "were", "been", "more", "some",
+    "than", "then", "them", "these", "those", "two", "three", "four", "five",
+    "six", "seven", "eight", "nine", "ten", "may", "might", "must", "shall",
+    "should", "would", "could", "first", "second", "third", "last", "next",
+    "any", "its", "only", "other", "another", "each", "every", "either",
+    "neither", "both", "few", "many", "much", "most", "several", "such",
+    "own", "same", "very", "too", "also", "just", "even", "still", "yet",
+    "again", "once", "twice", "here", "where", "why", "because", "since",
+    "until", "while", "although", "though", "unless", "whether", "about",
+    "above", "across", "after", "against", "along", "among", "around",
+    "before", "behind", "below", "beneath", "beside", "between", "beyond",
+    "during", "except", "inside", "into", "near", "off", "onto", "over",
+    "past", "through", "toward", "towards", "under", "upon", "within",
+    "without", "nor", "nothing", "something", "anything", "everything",
+    "someone", "anyone", "everyone", "nobody", "somebody", "anybody",
+    "everybody", "himself", "herself", "itself", "themselves", "myself",
+    "yourself", "ourselves",
+    // common verbs (base + inflected)
+    "be", "is", "am", "being", "do", "does", "did", "doing", "done", "go",
+    "goes", "went", "going", "gone", "get", "gets", "got", "getting", "make",
+    "makes", "made", "making", "know", "knows", "knew", "known", "knowing",
+    "think", "thinks", "thought", "thinking", "take", "takes", "took", "taken",
+    "taking", "see", "sees", "saw", "seen", "seeing", "come", "comes", "came",
+    "coming", "want", "wants", "wanted", "wanting", "look", "looks", "looked",
+    "looking", "use", "uses", "used", "using", "find", "finds", "found",
+    "finding", "give", "gives", "gave", "given", "giving", "tell", "tells",
+    "told", "telling", "work", "works", "worked", "working", "call", "calls",
+    "called", "calling", "try", "tries", "tried", "trying", "ask", "asks",
+    "asked", "asking", "need", "needs", "needed", "needing", "feel", "feels",
+    "felt", "feeling", "become", "becomes", "became", "becoming", "leave",
+    "leaves", "left", "leaving", "put", "puts", "putting", "mean", "means",
+    "meant", "meaning", "keep", "keeps", "kept", "keeping", "let", "lets",
+    "letting", "begin", "begins", "began", "begun", "beginning", "seem",
+    "seems", "seemed", "seeming", "help", "helps", "helped", "helping",
+    "talk", "talks", "talked", "talking", "turn", "turns", "turned",
+    "turning", "start", "starts", "started", "starting", "show", "shows",
+    "showed", "shown", "showing", "hear", "hears", "heard", "hearing",
+    "play", "plays", "played", "playing", "run", "runs", "ran", "running",
+    "move", "moves", "moved", "moving", "like", "likes", "liked", "liking",
+    "live", "lives", "lived", "living", "believe", "believes", "believed",
+    "hold", "holds", "held", "holding", "bring", "brings", "brought",
+    "bringing", "happen", "happens", "happened", "happening", "write",
+    "writes", "wrote", "written", "writing", "provide", "provides",
+    "provided", "providing", "sit", "sits", "sat", "sitting", "stand",
+    "stands", "stood", "standing", "lose", "loses", "lost", "losing", "pay",
+    "pays", "paid", "paying", "meet", "meets", "met", "meeting", "include",
+    "includes", "included", "including", "continue", "continues",
+    "continued", "continuing", "set", "sets", "setting", "learn", "learns",
+    "learned", "learning", "change", "changes", "changed", "changing",
+    "lead", "leads", "leading", "understand", "understands", "understood",
+    "watch", "watches", "watched", "watching", "follow", "follows",
+    "followed", "following", "stop", "stops", "stopped", "stopping",
+    "create", "creates", "created", "creating", "speak", "speaks", "spoke",
+    "spoken", "speaking", "read", "reads", "reading", "allow", "allows",
+    "allowed", "allowing", "add", "adds", "added", "adding", "spend",
+    "spends", "spent", "spending", "grow", "grows", "grew", "grown",
+    "growing", "open", "opens", "opened", "opening", "walk", "walks",
+    "walked", "walking", "win", "wins", "won", "winning", "offer", "offers",
+    "offered", "offering", "remember", "remembers", "remembered", "love",
+    "loves", "loved", "loving", "consider", "considers", "considered",
+    "appear", "appears", "appeared", "buy", "buys", "bought", "buying",
+    "wait", "waits", "waited", "waiting", "serve", "serves", "served",
+    "serving", "die", "dies", "died", "dying", "send", "sends", "sent",
+    "sending", "expect", "expects", "expected", "build", "builds", "built",
+    "building", "stay", "stays", "stayed", "staying", "fall", "falls",
+    "fell", "fallen", "falling", "cut", "cuts", "cutting", "reach",
+    "reaches", "reached", "reaching", "kill", "kills", "killed", "remain",
+    "remains", "remained", "suggest", "suggests", "suggested", "raise",
+    "raises", "raised", "pass", "passes", "passed", "passing", "sell",
+    "sells", "sold", "selling", "require", "requires", "required", "report",
+    "reports", "reported", "decide", "decides", "decided", "pull", "pulls",
+    "pulled", "return", "returns", "returned", "explain", "explains",
+    "explained", "hope", "hopes", "hoped", "develop", "develops",
+    "developed", "carry", "carries", "carried", "break", "breaks", "broke",
+    "broken", "receive", "receives", "received", "agree", "agrees",
+    "agreed", "support", "supports", "supported", "hit", "hits", "hitting",
+    "produce", "produces", "produced", "eat", "eats", "ate", "eaten",
+    "eating", "cover", "covers", "covered", "catch", "catches", "caught",
+    "draw", "draws", "drew", "drawn", "choose", "chooses", "chose",
+    "chosen", "wear", "wears", "wore", "worn", "fight", "fights", "fought",
+    "throw", "throws", "threw", "thrown", "fill", "fills", "filled",
+    "drop", "drops", "dropped", "push", "pushes", "pushed", "check",
+    "checks", "checked", "checking", "test", "tests", "tested", "testing",
+    // common nouns
+    "time", "year", "years", "people", "way", "ways", "day", "days", "man",
+    "men", "woman", "women", "child", "children", "world", "life", "hand",
+    "hands", "eye", "eyes", "place", "places", "week", "weeks", "case",
+    "cases", "point", "points", "government", "company", "companies",
+    "number", "numbers", "group", "groups", "problem", "problems", "fact",
+    "facts", "money", "month", "months", "lot", "right", "study", "studies",
+    "book", "books", "word", "words", "business", "issue", "issues", "side",
+    "kind", "head", "house", "houses", "service", "services", "friend",
+    "friends", "father", "mother", "power", "hour", "hours", "game",
+    "games", "end", "member", "members", "law", "laws", "car", "cars",
+    "city", "cities", "community", "name", "names", "president", "team",
+    "teams", "minute", "minutes", "idea", "ideas", "kid", "kids", "body",
+    "information", "back", "parent", "parents", "face", "others", "level",
+    "levels", "office", "door", "doors", "health", "person", "art", "war",
+    "history", "party", "parties", "result", "results", "morning", "reason",
+    "reasons", "research", "girl", "girls", "guy", "guys", "moment", "air",
+    "teacher", "teachers", "force", "education", "foot", "feet", "boy",
+    "boys", "age", "ages", "policy", "process", "music", "market",
+    "markets", "sense", "nation", "plan", "plans", "college", "interest",
+    "death", "experience", "effect", "effects", "class", "classes",
+    "control", "care", "field", "fields", "development", "role", "roles",
+    "student", "students", "effort", "efforts", "rate", "rates", "heart",
+    "drug", "drugs", "show", "leader", "leaders", "light", "voice", "wife",
+    "police", "mind", "price", "prices", "report", "decision", "decisions",
+    "son", "view", "views", "relationship", "town", "road", "roads", "arm",
+    "arms", "difference", "value", "values", "building", "buildings",
+    "action", "actions", "model", "models", "season", "society", "tax",
+    "taxes", "director", "position", "positions", "player", "players",
+    "record", "records", "paper", "papers", "space", "ground", "form",
+    "forms", "event", "events", "official", "officials", "matter", "center",
+    "couple", "site", "sites", "project", "projects", "activity",
+    "activities", "star", "stars", "table", "tables", "need", "needs",
+    "court", "courts", "oil", "situation", "cost", "costs", "industry",
+    "figure", "figures", "street", "streets", "image", "images", "phone",
+    "phones", "data", "picture", "pictures", "practice", "piece", "pieces",
+    "land", "product", "products", "doctor", "doctors", "wall", "walls",
+    "patient", "patients", "worker", "workers", "news", "test", "movie",
+    "movies", "north", "south", "east", "west", "love", "support",
+    "technology", "water", "fire", "food", "earth", "school", "schools",
+    "country", "countries", "state", "states", "family", "families",
+    "system", "systems", "program", "programs", "question", "questions",
+    "work", "night", "nights", "home", "homes", "room", "rooms", "mother",
+    "area", "areas", "story", "stories", "month", "line", "lines",
+    "letter", "letters", "page", "pages", "answer", "answers", "computer",
+    "computers", "language", "languages", "science", "window", "windows",
+    "tree", "trees", "river", "rivers", "mountain", "mountains", "animal",
+    "animals", "bird", "birds", "fish", "horse", "horses", "dog", "dogs",
+    "cat", "cats", "sun", "moon", "sky", "sea", "rain", "snow", "wind",
+    "summer", "winter", "spring", "autumn", "color", "colors", "sound",
+    "sounds", "machine", "machines", "engine", "engines", "train",
+    "trains", "plane", "planes", "ship", "ships", "bridge", "bridges",
+    // common adjectives / adverbs
+    "good", "better", "best", "bad", "worse", "worst", "great", "little",
+    "old", "older", "oldest", "young", "younger", "youngest", "new",
+    "newer", "newest", "long", "longer", "longest", "short", "shorter",
+    "high", "higher", "highest", "low", "lower", "lowest", "big", "bigger",
+    "biggest", "small", "smaller", "smallest", "large", "larger",
+    "largest", "early", "earlier", "late", "later", "latest", "important",
+    "public", "able", "different", "possible", "certain", "clear", "easy",
+    "easier", "hard", "harder", "strong", "stronger", "free", "full",
+    "true", "false", "whole", "real", "sure", "open", "close", "closed",
+    "human", "local", "social", "national", "international", "political",
+    "economic", "personal", "special", "general", "common", "simple",
+    "single", "available", "likely", "recent", "current", "major", "minor",
+    "final", "main", "similar", "various", "entire", "medical", "legal",
+    "financial", "military", "religious", "natural", "physical", "serious",
+    "ready", "happy", "sad", "angry", "afraid", "alone", "together",
+    "quickly", "slowly", "fast", "slow", "well", "really", "actually",
+    "probably", "perhaps", "maybe", "always", "never", "often", "sometimes",
+    "usually", "rarely", "already", "almost", "quite", "rather", "enough",
+    "especially", "particularly", "certainly", "clearly", "simply",
+    "finally", "recently", "currently", "directly", "exactly", "nearly",
+    "generally", "far", "away", "ago", "today", "tomorrow", "yesterday",
+    "now", "soon", "ever", "however", "therefore", "instead", "otherwise",
+    "meanwhile", "moreover", "indeed", "white", "black", "red", "green",
+    "blue", "yellow", "brown", "dark", "bright", "heavy", "light", "deep",
+    "wide", "narrow", "thick", "thin", "warm", "cold", "hot", "cool",
+    "dry", "wet", "clean", "dirty", "quiet", "loud", "rich", "poor",
+    "safe", "dangerous", "beautiful", "nice", "fine", "wonderful",
+    "terrible", "amazing", "interesting", "boring", "useful", "useless",
+    // domain vocabulary the synthetic corpus uses
+    "order", "part", "key", "row", "join", "sort", "merge", "filter",
+    "query", "batch", "stream", "hash", "scan", "column", "columns",
+    "vector", "customer", "customers", "supplier", "suppliers", "region",
+    "regions", "account", "accounts", "package", "packages", "request",
+    "requests", "deposit", "deposits", "instruction", "instructions",
+    "document", "documents", "element", "elements", "text", "title",
+    "section", "sections", "chapter", "chapters", "paragraph", "paragraphs",
+    "sentence", "sentences", "item", "items", "list", "lists", "type",
+    "types", "source", "sources", "target", "targets", "file", "files",
+    "folder", "folders", "user", "users", "server", "servers", "network",
+    "networks", "code", "codes", "version", "versions", "update", "updates",
+    "message", "messages", "email", "address", "addresses", "total",
+    "totals", "amount", "amounts", "quantity", "quantities", "status",
+    "date", "dates", "size", "sizes", "width", "height", "length", "depth",
+    "weight", "speed", "limit", "limits", "range", "ranges", "average",
+    "maximum", "minimum", "count", "counts", "index", "indexes", "node",
+    "nodes", "edge", "edges", "graph", "graphs", "path", "paths", "map",
+    "maps", "store", "stores", "cache", "disk", "memory", "thread",
+    "threads", "task", "tasks", "job", "jobs", "step", "steps", "stage",
+    "stages", "phase", "phases", "input", "inputs", "output", "outputs"
+  ).distinct
 
   def containsEnglishWord(c: Column, words: Seq[String] = EnglishWords): Column =
     arrays_overlap(

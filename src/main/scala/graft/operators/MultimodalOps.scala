@@ -76,6 +76,10 @@ object MultimodalOps {
       if (u8(i) != 0xff) return None
       // B.1.1.2: any number of 0xFF fill bytes may precede a marker
       while (i + 3 < bytes.length && u8(i + 1) == 0xff) i += 1
+      // the fill-byte skip can stop at the buffer edge (e.g. FF D8 FF FF FF FF):
+      // every branch below reads at least bytes(i+3), so a truncated payload must
+      // return None here rather than over-read
+      if (i + 3 >= bytes.length) return None
       val marker = u8(i + 1)
       if (marker == 0xd8 || marker == 0x01 ||
         (marker >= 0xd0 && marker <= 0xd7)) i += 2 // standalone: SOI, TEM, RSTn
@@ -147,7 +151,10 @@ object MultimodalOps {
    */
   def transcribeAudio(df: DataFrame, durationCol: String,
       payload: String = "payload"): DataFrame = {
-    val dur = col(durationCol).cast("double")
+    // NULL duration (missing metadata) must not silently drop the clip: a NULL
+    // would make sequence() NULL and explode() eliminate the row. Coalesce to 0
+    // so the clip still yields one clamped [0, 0] segment.
+    val dur = coalesce(col(durationCol).cast("double"), lit(0.0))
     val nSegs = greatest(ceil(dur / 5.0).cast("int"), lit(1))
     df.withColumn("segment_idx", explode(sequence(lit(0), nSegs - 1)))
       .withColumn("segment_start_seconds", (col("segment_idx") * 5).cast("double"))

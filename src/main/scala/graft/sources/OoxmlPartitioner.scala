@@ -18,9 +18,11 @@ import graft.sources.HtmlPartitioner.RawPara
  *    (`<w:br w:type="page"/>`) advance `page_number`; tables → Table with
  *    `text_as_html` (`:483-543`); untyped paragraphs derive from text.
  *  - XLSX (`partition/xlsx.py:45-135`): per-sheet cell grid via `sharedStrings`;
- *    whole-sheet `Table` with HTML, `page_name` = sheet name, `page_number` =
- *    sheet ordinal (subtable connected-component split is simplified to
- *    whole-sheet — the reference's `find_subtable=False` mode).
+ *    `page_name` = sheet name, `page_number` = sheet ordinal. With
+ *    `findSubtable=true` (the default, matching the reference) each sheet is
+ *    split into connected components of non-empty cells: single-cell components
+ *    become Title/NarrativeText/Text leaves, larger ones `Table` elements with
+ *    HTML; `findSubtable=false` renders the whole sheet as one `Table`.
  *  - PPTX (`partition/pptx.py:83`): slide-order shape traversal; title
  *    placeholders → Title; body paragraphs derive; `page_number` = slide number.
  */

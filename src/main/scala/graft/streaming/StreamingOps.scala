@@ -81,7 +81,22 @@ object StreamingOps {
     val name = s"graft_stream_hourly_${sinkSeq.incrementAndGet()}"
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    try {
+      // Bounded wait: AvailableNow drains a finite backlog, but an unbounded
+      // awaitTermination turned a contended environment into a hang (r7 bench
+      // rc=124). On expiry stop the query — the memory sink keeps whatever
+      // committed, and the caller still gets a table instead of a dead JVM.
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+    } finally {
+      // The memory sink holds results driver-side; the staging dir is only an
+      // input artifact and must not accumulate across invocations.
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: Throwable => () }
+    }
     spark.table(name)
   }
 
