@@ -142,6 +142,39 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "kind")
     }),
 
+    // partition_image (partition/image.py:17) THROUGH the auto-router: five real
+    // header formats (PNG, GIF, JPEG SOF walk, BMP DIB, TIFF IFD in both byte
+    // orders) constructed with doc_id-derived dims, plus a truncated-JPEG
+    // payload that must yield zero rows (the malformed-input guard, in-gate).
+    // Filenames carry no extension — detection is pure binary magic.
+    "q_partition_image" -> ((s, dir) => {
+      import s.implicits._
+      docBase(s, dir).flatMap { d =>
+        val id = d.docId
+        val payloads: Seq[(String, Array[Byte])] = Seq(
+          ("bmp", CorpusBytes.bmp((id % 807 + 1).toInt, (id % 611 + 1).toInt)),
+          ("gif", CorpusBytes.gif((id % 643 + 2).toInt, (id % 499 + 2).toInt)),
+          ("jpg", CorpusBytes.jpeg((id % 1999 + 1).toInt, (id % 1201 + 1).toInt)),
+          ("png", CorpusBytes.png((id % 997 + 1).toInt, (id % 641 + 1).toInt)),
+          ("tif_ii", CorpusBytes.tiff((id % 1501 + 1).toInt, (id % 901 + 1).toInt,
+            bigEndian = false)),
+          ("tif_mm", CorpusBytes.tiff((id % 321 + 5).toInt, (id % 249 + 7).toInt,
+            bigEndian = true)),
+          ("trunc", Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte,
+            0xFF.toByte, 0xFF.toByte, 0xFF.toByte)))
+        payloads.flatMap { case (kind, bytes) =>
+          val (ft, paras) = graft.sources.Partitioners.partitionAuto("img", bytes)
+          graft.sources.ImagePartitioner.imageMeta(bytes).map { m =>
+            (d.docId, kind, ft.name,
+              paras.headOption.flatMap(_.elementType).getOrElse(""),
+              m.format, m.mime, m.width, m.height, m.nChannels)
+          }
+        }
+      }.toDF("doc_id", "kind", "file_type", "element_type", "format", "mime",
+        "width", "height", "n_channels")
+        .orderBy("doc_id", "kind")
+    }),
+
     "q_partition_doc" -> ((s, dir) =>
       partitionBinary(docBase(s, dir), CorpusBytes.doc,
         graft.sources.LegacyOfficePartitioner.partitionDoc)
@@ -185,6 +218,25 @@ object BinaryFormatQueries {
        |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // one row per (doc, decodable format) with construction-predicted dims; the
+    // truncated-JPEG kind is absent by design (the parser must reject it)
+    "q_partition_image" ->
+      """WITH k AS (
+        |  SELECT * FROM (VALUES
+        |    ('bmp',    'bmp',  'bmp',  'image/bmp',  807,  1, 611, 1, 3),
+        |    ('gif',    'gif',  'gif',  'image/gif',  643,  2, 499, 2, 3),
+        |    ('jpg',    'jpg',  'jpeg', 'image/jpeg', 1999, 1, 1201, 1, 3),
+        |    ('png',    'png',  'png',  'image/png',  997,  1, 641, 1, 4),
+        |    ('tif_ii', 'tiff', 'tiff', 'image/tiff', 1501, 1, 901, 1, 3),
+        |    ('tif_mm', 'tiff', 'tiff', 'image/tiff', 321,  5, 249, 7, 3)
+        |  ) AS t(kind, file_type, format, mime, wmod, woff, hmod, hoff, n_channels))
+        |SELECT d.doc_id, k.kind, k.file_type, 'Image' AS element_type, k.format,
+        |  k.mime, CAST(d.doc_id % k.wmod + k.woff AS INT) AS width,
+        |  CAST(d.doc_id % k.hmod + k.hoff AS INT) AS height,
+        |  k.n_channels
+        |FROM documents d CROSS JOIN k
+        |ORDER BY doc_id, kind""".stripMargin,
+
     "q_docx_pictures" ->
       """SELECT doc_id, base64(from_hex('89504E47') || source::BLOB) AS image_base64,
         |  'image/png' AS image_mime, 1 AS page_number

@@ -480,4 +480,80 @@ object CorpusBytes {
       "__recip_version1.0_#00000000/__substg1.0_39FE001F" -> u16("bob@example.com"),
       "__recip_version1.0_#00000001/__substg1.0_39FE001F" -> u16("carol@example.com")))
   }
+
+  // ------------------------------------------------------------------ images
+
+  /** Minimal real PNG header: signature + IHDR with the given dims, RGBA. */
+  def png(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(8 + 4 + 4 + 13).order(ByteOrder.BIG_ENDIAN)
+    b.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    b.putInt(13).put("IHDR".getBytes(ISO_8859_1))
+    b.putInt(w).putInt(h)
+    b.put(8.toByte).put(6.toByte) // bit depth 8, color type 6 (rgba)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  /** GIF89a logical screen descriptor with LE16 dims. */
+  def gif(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(6 + 7).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes(ISO_8859_1))
+    b.putShort(w.toShort).putShort(h.toShort)
+    b.put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  /** Minimal real JPEG: SOI, APP0/JFIF, SOF0 (8-bit, 3 components) carrying the
+    * dims, EOI — the exact segment walk `jpegDims` performs. */
+  def jpeg(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(2 + 18 + 19 + 2).order(ByteOrder.BIG_ENDIAN)
+    b.put(0xFF.toByte).put(0xD8.toByte) // SOI
+    b.put(0xFF.toByte).put(0xE0.toByte).putShort(16) // APP0 len 16
+    b.put("JFIF".getBytes(ISO_8859_1)).put(0.toByte)
+    b.put(1.toByte).put(1.toByte) // version 1.1
+    b.put(0.toByte) // units
+    b.putShort(1).putShort(1) // density
+    b.put(0.toByte).put(0.toByte) // thumbnail
+    b.put(0xFF.toByte).put(0xC0.toByte).putShort(17) // SOF0 len 8+3*3
+    b.put(8.toByte) // precision
+    b.putShort(h.toShort).putShort(w.toShort)
+    b.put(3.toByte) // n components
+    for (c <- 1 to 3) { b.put(c.toByte).put(0x11.toByte).put(0.toByte) }
+    b.put(0xFF.toByte).put(0xD9.toByte) // EOI
+    b.array()
+  }
+
+  /** BMP: "BM" file header + BITMAPINFOHEADER (dib size 40) with LE32 dims and
+    * 24 bpp; no pixel data (header-only, like the other image payloads). */
+  def bmp(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(14 + 40).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54) // file size (header-only)
+    b.putShort(0).putShort(0)
+    b.putInt(54) // pixel-array offset
+    b.putInt(40) // DIB header size
+    b.putInt(w).putInt(h)
+    b.putShort(1) // planes
+    b.putShort(24) // bpp
+    b.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    b.array()
+  }
+
+  /** TIFF in either byte order: header + one IFD with ImageWidth(256),
+    * ImageLength(257), SamplesPerPixel(277) SHORT entries. */
+  def tiff(w: Int, h: Int, bigEndian: Boolean): Array[Byte] = {
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val b = ByteBuffer.allocate(8 + 2 + 3 * 12 + 4).order(order)
+    if (bigEndian) b.put('M'.toByte).put('M'.toByte).putShort(42)
+    else b.put('I'.toByte).put('I'.toByte).putShort(42)
+    b.putInt(8) // IFD offset
+    b.putShort(3) // entry count
+    def entry(tag: Int, value: Int): Unit = {
+      b.putShort(tag.toShort).putShort(3 /* SHORT */).putInt(1)
+      b.putShort(value.toShort).putShort(0) // left-justified in the value field
+    }
+    entry(256, w); entry(257, h); entry(277, 3)
+    b.putInt(0) // next-IFD terminator
+    b.array()
+  }
 }

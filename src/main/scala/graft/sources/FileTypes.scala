@@ -42,6 +42,14 @@ object FileType {
   case object Txt extends FileType("txt", "text/plain", Seq(".txt", ".text", ".log"))
   case object Wav extends FileType("wav", "audio/wav",
     Seq(".wav", ".mp3", ".m4a", ".flac", ".ogg"), false)
+  // image family (`file_utils/model.py:247-450`: BMP/HEIC/JPG/PNG/TIFF; GIF
+  // added — same decode path, common in document corpora)
+  case object Png extends FileType("png", "image/png", Seq(".png"))
+  case object Jpg extends FileType("jpg", "image/jpeg", Seq(".jpg", ".jpeg"))
+  case object Bmp extends FileType("bmp", "image/bmp", Seq(".bmp"))
+  case object Tiff extends FileType("tiff", "image/tiff", Seq(".tiff", ".tif"))
+  case object Gif extends FileType("gif", "image/gif", Seq(".gif"))
+  case object Heic extends FileType("heic", "image/heic", Seq(".heic"), false)
   case object Xls extends FileType("xls", "application/vnd.ms-excel", Seq(".xls"), false)
   case object Xlsx extends FileType("xlsx",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", Seq(".xlsx"))
@@ -50,7 +58,8 @@ object FileType {
   case object Unknown extends FileType("unknown", "application/octet-stream", Nil, false)
 
   lazy val all: Seq[FileType] = Seq(Csv, Doc, Docx, Eml, Epub, Html, Json, Md, Msg, Ndjson,
-    Odt, Org, Pdf, Ppt, Pptx, Rst, Rtf, Tsv, Txt, Wav, Xls, Xlsx, Xml, Zip)
+    Odt, Org, Pdf, Ppt, Pptx, Rst, Rtf, Tsv, Txt, Wav, Xls, Xlsx, Xml, Zip,
+    Png, Jpg, Bmp, Tiff, Gif, Heic)
 
   def fromExtension(ext: String): Option[FileType] = {
     val e = if (ext.startsWith(".")) ext.toLowerCase else "." + ext.toLowerCase
@@ -171,6 +180,18 @@ object DetectFiletype {
     else if (startsWith(head, OleMagic)) oleFamily(head, filename)
     else if (startsWith(head, "%PDF".getBytes)) FileType.Pdf
     else if (startsWith(head, "{\\rtf".getBytes)) FileType.Rtf
+    else if (startsWith(head, Array[Byte](0x89.toByte, 'P', 'N', 'G'))) FileType.Png
+    else if (startsWith(head, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte)))
+      FileType.Jpg
+    else if (startsWith(head, "GIF8".getBytes)) FileType.Gif
+    else if (startsWith(head, Array[Byte]('I', 'I', 42, 0)) ||
+      startsWith(head, Array[Byte]('M', 'M', 0, 42))) FileType.Tiff
+    else if (head.length >= 12 && ascii(head.drop(4), 4) == "ftyp" &&
+      Seq("heic", "heix", "heif").contains(ascii(head.drop(8), 4))) FileType.Heic
+    else if (head.length >= 26 && startsWith(head, "BM".getBytes) &&
+      Seq(12L, 40L, 52L, 56L, 108L, 124L).contains(
+        (head(14) & 0xffL) | ((head(15) & 0xffL) << 8) |
+          ((head(16) & 0xffL) << 16) | ((head(17) & 0xffL) << 24))) FileType.Bmp
     else if (startsWith(head, "RIFF".getBytes)) {
       // RIFF heads WAV but also AVI/WebP — the form type at offset 8 decides.
       val form = if (head.length >= 12) ascii(head.drop(8), 4) else ""

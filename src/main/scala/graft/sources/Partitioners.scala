@@ -373,7 +373,9 @@ object Partitioners {
       case FileType.Doc => LegacyOfficePartitioner.partitionDoc(content)
       case FileType.Ppt => LegacyOfficePartitioner.partitionPpt(content)
       case FileType.Json | FileType.Ndjson => Nil // rehydrate path (ElementSink.readNdjson)
-      case _ => Nil // external-tool formats (pdf hi_res/ocr, image, audio): pluggable stubs
+      case FileType.Png | FileType.Jpg | FileType.Bmp | FileType.Tiff | FileType.Gif =>
+        ImagePartitioner.partitionImage(content) // header-decode real, OCR kernel stubbed
+      case _ => Nil // external-tool formats (pdf hi_res/ocr, heic, audio): pluggable stubs
     }
     (ft, paras)
   }
