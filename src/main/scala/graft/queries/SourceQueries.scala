@@ -56,12 +56,69 @@ object SourceQueries {
 
   private def title3 = array_join(slice(TextAnalysis.words(col("text")), lit(1), lit(3)), " ")
 
+  /** Ontology-annotated HTML (the v2 schema) built from the same corpus: two
+    * `Page` containers with ids, headings at two levels, mergeable text runs
+    * (NarrativeText+Hyperlink; Quote+PhoneNumber+plain p), a table, an image
+    * with alt text, fallback-classified tags, a checkbox and a PageBreak. An
+    * attr-less `<div>` wrapper and an empty `<p></p>` exercise preprocessing. */
+  private def htmlV2Corpus(s: SparkSession, dir: String): DataFrame = {
+    val paras = transform(split(col("text"), " merge "),
+      p => concat(lit("""<p class="NarrativeText">"""), p, lit("</p>")))
+    val d = col("doc_id").cast("string")
+    docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        lit("""<body class="Document" id="b"""), d, lit("""">"""),
+        lit("""<div class="Page" data-page-number="1" id="p1-"""), d, lit("""">"""),
+        lit("""<h1 class="Title">"""), title3, lit("</h1><div>"),
+        array_join(paras, ""),
+        lit("""<a class="Hyperlink" href="https://example.com/"""), d,
+        lit("""">see also """), (col("doc_id") % 7).cast("string"), lit("</a></div>"),
+        lit("""<table class="Table"><tbody class="TableBody"><tr class="TableRow">""" +
+          """<td class="TableCell">k</td><td class="TableCell">"""), col("source"),
+        lit("</td></tr></tbody></table>"),
+        lit("""<img class="Image" alt="figure """), (col("doc_id") % 11).cast("string"),
+        lit(""""/></div>"""),
+        lit("""<div class="Page" data-page-number="2" id="p2-"""), d, lit("""">"""),
+        lit("""<h3 class="Heading">section """), (col("doc_id") % 5).cast("string"),
+        lit("""</h3><p></p><blockquote class="Quote">quoted """),
+        (col("doc_id") % 17).cast("string"),
+        lit("""</blockquote><span class="PhoneNumber">215-555-"""),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit("""</span><p>plain paragraph """), (col("doc_id") % 3).cast("string"),
+        lit("""</p><foo>mystery """), (col("doc_id") % 13).cast("string"),
+        lit("""</foo><div class="Quote">misplaced """), (col("doc_id") % 19).cast("string"),
+        lit("""</div><input class="Checkbox" type="checkbox" checked/>"""),
+        lit("""<hr class="PageBreak" id="br-"""), d, lit(""""/>"""),
+        lit("""<pre class="CodeBlock">let x = """), d, lit("</pre></div></body>")
+      ).as("html"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_partition_html" -> ((s, dir) =>
       HtmlSource.partitionHtml(htmlCorpus(s, dir), col("html"))
         .select(col("doc_id").cast("long").as("doc_id"), col("seq"),
           col("element_type"), col("category_depth"), col("text"), col("text_as_html"))
         .orderBy("doc_id", "seq")),
+
+    // html_parser_version="v2": the full ontology flow (parse → flatten →
+    // inline-merge) per doc in a flatMap — no shuffle until the final
+    // oracle-determinism sort; scales as one task per input split.
+    "q_partition_html_v2" -> ((s, dir) => {
+      import s.implicits._
+      htmlV2Corpus(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("html"))
+        .as[(Long, String)]
+        .flatMap { case (d, h) =>
+          graft.sources.HtmlOntology.partition(h).zipWithIndex.map { case (e, i) =>
+            (d, i + 1L, e.elementType, e.text, e.textAsHtml, e.categoryDepth,
+              e.pageNumber, e.parentId)
+          }
+        }
+        .toDF("doc_id", "seq", "element_type", "text", "text_as_html",
+          "category_depth", "page_number", "parent_id")
+        .orderBy("doc_id", "seq")
+    }),
 
     // RTF corpus: heading (outlinelevel0) + one group per paragraph + one table row.
     "q_partition_rtf" -> ((s, dir) => {
@@ -136,6 +193,71 @@ object SourceQueries {
          |SELECT doc_id,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
          |  element_type, category_depth, text, text_as_html
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
+
+    // v2 ontology flow over the constructed two-page corpus: 13 rows per doc,
+    // every field (merge runs, normalized HTML, heading depths, container
+    // parent ids, page numbers) predicted independently from `documents`.
+    "q_partition_html_v2" -> {
+      val ws = O.words("text")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' merge ') AS ps,
+         |    array_to_string(list_slice($ws, 1, 3), ' ') AS title3, source,
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ph
+         |  FROM documents),
+         |rows0 AS (
+         |  SELECT doc_id, 1 AS ord, 'Text' AS element_type, '' AS text,
+         |    '<div class="Page" data-page-number="1" />' AS text_as_html,
+         |    CAST(NULL AS INT) AS category_depth, 1 AS page_number,
+         |    'b' || doc_id AS parent_id FROM base
+         |  UNION ALL SELECT doc_id, 2, 'Title', title3,
+         |    '<h1 class="Title">' || title3 || '</h1>', 0, 1, NULL FROM base
+         |  UNION ALL SELECT doc_id, 3, 'NarrativeText',
+         |    array_to_string(ps, ' ') || ' see also ' || (doc_id % 7),
+         |    array_to_string(list_transform(ps,
+         |      p -> '<p class="NarrativeText">' || p || '</p>'), '')
+         |      || '<a class="Hyperlink" href="https://example.com/' || doc_id
+         |      || '">see also ' || (doc_id % 7) || '</a>',
+         |    NULL, 1, NULL FROM base
+         |  UNION ALL SELECT doc_id, 4, 'Table', 'k ' || source,
+         |    '<table class="Table"><tbody><tr><td>k</td><td>' || source ||
+         |      '</td></tr></tbody></table>', NULL, 1, NULL FROM base
+         |  UNION ALL SELECT doc_id, 5, 'Image', 'figure ' || (doc_id % 11),
+         |    '<img class="Image" alt="figure ' || (doc_id % 11) || '" />',
+         |    NULL, 1, NULL FROM base
+         |  UNION ALL SELECT doc_id, 6, 'Text', '',
+         |    '<div class="Page" data-page-number="2" />', NULL, 2,
+         |    'b' || doc_id FROM base
+         |  UNION ALL SELECT doc_id, 7, 'Title', 'section ' || (doc_id % 5),
+         |    '<h3 class="Heading">section ' || (doc_id % 5) || '</h3>', 2, 2,
+         |    NULL FROM base
+         |  UNION ALL SELECT doc_id, 8, 'NarrativeText',
+         |    'quoted ' || (doc_id % 17) || ' 215-555-' || ph ||
+         |      ' plain paragraph ' || (doc_id % 3),
+         |    '<blockquote class="Quote">quoted ' || (doc_id % 17) ||
+         |      '</blockquote><span class="PhoneNumber">215-555-' || ph ||
+         |      '</span><p class="Paragraph">plain paragraph ' || (doc_id % 3) ||
+         |      '</p>', NULL, 2, NULL FROM base
+         |  UNION ALL SELECT doc_id, 9, 'Text', 'mystery ' || (doc_id % 13),
+         |    '<span class="UncategorizedText">mystery ' || (doc_id % 13) ||
+         |      '</span>', NULL, 2, NULL FROM base
+         |  UNION ALL SELECT doc_id, 10, 'NarrativeText',
+         |    'misplaced ' || (doc_id % 19),
+         |    '<blockquote class="Quote">misplaced ' || (doc_id % 19) ||
+         |      '</blockquote>', NULL, 2, NULL FROM base
+         |  UNION ALL SELECT doc_id, 11, 'Text', '',
+         |    '<input class="Checkbox" type="checkbox" checked />', NULL, 2,
+         |    NULL FROM base
+         |  UNION ALL SELECT doc_id, 12, 'Text', '',
+         |    '<hr class="PageBreak" />', NULL, 2, 'p2-' || doc_id FROM base
+         |  UNION ALL SELECT doc_id, 13, 'CodeSnippet', 'let x = ' || doc_id,
+         |    '<pre class="CodeBlock">let x = ' || doc_id || '</pre>', NULL, 2,
+         |    NULL FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS seq,
+         |  element_type, text, text_as_html, category_depth, page_number,
+         |  parent_id
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin
     },
 

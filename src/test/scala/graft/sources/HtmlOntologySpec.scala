@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference's v2 parser tests
+  * (`test_unstructured/partition/html/test_partition_v2.py`,
+  * `test_html_to_ontology_parsing.py`) against [[HtmlOntology]]. */
+class HtmlOntologySpec extends AnyFunSuite {
+
+  private def body(inner: String) = s"""<body class="Document">$inner</body>"""
+
+  test("category_depth follows heading level on a multi-level page (ML-1328 AC1)") {
+    val html = body(
+      """<div class="Page" data-page-number="1">
+        |<h1 class="Title">Cost Share Summary</h1>
+        |<p class="NarrativeText">Intro paragraph.</p>
+        |<h2 class="Heading">Accumulation Period</h2>
+        |<p class="NarrativeText">Accumulation body.</p>
+        |<h2 class="Heading">Cost Share Summary Tables by Benefit</h2>
+        |<h3 class="Heading">How to read the Cost Share summary tables</h3>
+        |<p class="NarrativeText">How-to body.</p>
+        |</div>""".stripMargin)
+    val es = HtmlOntology.partition(html)
+    val byText = es.map(e => e.text -> e).toMap
+    assert(byText("Cost Share Summary").categoryDepth.contains(0))
+    assert(byText("Accumulation Period").categoryDepth.contains(1))
+    assert(byText("Cost Share Summary Tables by Benefit").categoryDepth.contains(1))
+    assert(byText("How to read the Cost Share summary tables").categoryDepth.contains(2))
+    assert(es.forall(_.textAsHtml.nonEmpty))
+  }
+
+  test("category_depth does not change with multi-column layout (ML-1328 AC2)") {
+    val single = body(
+      """<div class="Page" data-page-number="1">
+        |<h1 class="Title">Introduction</h1><h2 class="Heading">About</h2>
+        |</div>""".stripMargin)
+    val multi = body(
+      """<div class="Page" data-page-number="1">
+        |<div class="Column"><h1 class="Title">Introduction</h1>
+        |<h2 class="Heading">About</h2></div>
+        |<div class="Column"><h2 class="Heading">Contact</h2></div>
+        |</div>""".stripMargin)
+    val s = HtmlOntology.partition(single).map(e => e.text -> e).toMap
+    val m = HtmlOntology.partition(multi).map(e => e.text -> e).toMap
+    assert(s("Introduction").categoryDepth.contains(0))
+    assert(m("Introduction").categoryDepth.contains(0))
+    assert(s("About").categoryDepth.contains(1))
+    assert(m("About").categoryDepth.contains(1))
+    assert(m("Contact").categoryDepth.contains(1))
+  }
+
+  test("image alt text included/excluded via image_alt_mode") {
+    val html = """<div class="Page"><img src="my-logo.png" alt="ALT TEXT Logo"/></div>"""
+    val withAlt = HtmlOntology.partition(html, addImgAltText = true)
+    assert(withAlt.last.text.contains("ALT TEXT Logo"))
+    val noAlt = HtmlOntology.partition(html, addImgAltText = false)
+    assert(!noAlt.last.text.contains("ALT TEXT Logo"))
+  }
+
+  test("image alt text propagates through an enclosing paragraph") {
+    val html =
+      """<div class="Page"><p class="Paragraph"><img src="l.png" alt="ALT TEXT Logo"/></p></div>"""
+    val es = HtmlOntology.partition(html)
+    assert(es.last.text.contains("ALT TEXT Logo"))
+    assert(es.last.elementType == "NarrativeText") // Paragraph maps to NarrativeText
+  }
+
+  test("table keeps non-class attrs and img/input class; sorted attrs, checked=\"\"") {
+    val html = body(
+      """<div class="Page"><table class="Table"><tbody><tr>
+        |<td colspan="2">Some text</td>
+        |<td><input checked="" class="Checkbox" type="checkbox"/></td>
+        |</tr></tbody></table></div>""".stripMargin)
+    val table = HtmlOntology.partition(html).find(_.elementType == "Table").get
+    assert(table.textAsHtml.contains(
+      """<input checked="" class="Checkbox" type="checkbox"/>"""))
+    assert(table.textAsHtml.contains("""colspan="2""""))
+    assert(table.textAsHtml.startsWith("""<table class="Table">"""))
+    assert(!table.textAsHtml.contains("TableCell")) // inner classes stripped
+  }
+
+  test("class inferred from tag when missing; layout aside unwraps text to Paragraph") {
+    val ont = HtmlOntology.parseOntology(
+      body("""<div class="Page"><aside>Some text</aside></div>""")).get
+    val page = ont.children.head
+    val aside = page.children.head
+    assert(aside.cls.name == "Sidebar" && aside.tag == "aside")
+    assert(aside.children.head.cls.name == "Paragraph")
+    assert(aside.children.head.text == "Some text")
+  }
+
+  test("wrong tag with known class: tag overwritten from allowed_tags") {
+    val ont = HtmlOntology.parseOntology(
+      body("""<div class="Page"><p class="Sidebar">Some text</p></div>""")).get
+    val aside = ont.children.head.children.head
+    assert(aside.cls.name == "Sidebar" && aside.tag == "aside")
+  }
+
+  test("unknown tag and class fall back to UncategorizedText as span") {
+    val es = HtmlOntology.partition(
+      body("""<div class="Page"><newtag class="wrongclass">Some text</newtag></div>"""))
+    val t = es.last
+    assert(t.elementType == "Text")
+    assert(t.textAsHtml == """<span class="UncategorizedText">Some text</span>""")
+  }
+
+  test("attr-less divs are unwrapped; divs with attrs are kept with their id") {
+    val ont = HtmlOntology.parseOntology(body(
+      """<div class="Page"><div><input class="RadioButton" name="h" type="radio"/></div></div>"""))
+      .get
+    val page = ont.children.head
+    assert(page.children.head.cls.name == "RadioButton") // div spliced out
+    val ont2 = HtmlOntology.parseOntology(body(
+      """<div class="Page"><div style="color: blue" id="important_div">
+        |<input class="RadioButton" name="h" type="radio"/></div></div>""".stripMargin)).get
+    val div = ont2.children.head.children.head
+    assert(div.id.contains("important_div"))
+  }
+
+  test("bare text between tags becomes Paragraph elements") {
+    val ont = HtmlOntology.parseOntology(body(
+      """<div class="Page">About the same
+        |<input class="RadioButton" name="h" type="radio"/>
+        |Some text</div>""".stripMargin)).get
+    val kinds = ont.children.head.children.map(_.cls.name)
+    assert(kinds == Vector("Paragraph", "RadioButton", "Paragraph"))
+  }
+
+  test("FormFieldValue keeps keyword-only attrs and appends value to text") {
+    val es = HtmlOntology.partition(body(
+      """<input class="FormFieldValue" type="radio" name="options" value="2" checked>"""))
+    val f = es.last
+    assert(f.textAsHtml ==
+      """<input class="FormFieldValue" type="radio" name="options" value="2" checked />""")
+    assert(f.text == "2") // FormFieldValue.to_text appends the value attr
+  }
+
+  test("input without matching class dispatches on type attr") {
+    val ont = HtmlOntology.parseOntology(body(
+      """<div class="Page"><form class="Form"><label class="FormField" for="o1">
+        |<input type="radio" name="o1" value="2" checked>
+        |<span class="UncategorizedText">Option 1</span>
+        |</label></form></div>""".stripMargin)).get
+    val label = ont.children.head.children.head.children.head
+    assert(label.cls.name == "FormField")
+    assert(label.children.map(_.cls.name) == Vector("RadioButton", "UncategorizedText"))
+  }
+
+  test("empty p/span/div/h tags are removed before parsing") {
+    val es = HtmlOntology.partition(body(
+      """<div class="Page"><p></p><h2></h2><p class="NarrativeText">kept</p></div>"""))
+    assert(es.map(_.text) == Vector("", "kept"))
+  }
+
+  test("consecutive text and inline elements merge; others break the run") {
+    val es = HtmlOntology.partition(body(
+      """<div class="Page"><blockquote class="Quote">quoted</blockquote><span class="PhoneNumber">555</span><p>plain</p><foo>stop</foo><pre class="CodeBlock">x</pre></div>"""))
+    val types = es.map(_.elementType)
+    assert(types == Vector("Text", "NarrativeText", "Text", "CodeSnippet"))
+    val merged = es(1)
+    assert(merged.text == "quoted 555 plain")
+    assert(merged.textAsHtml ==
+      """<blockquote class="Quote">quoted</blockquote><span class="PhoneNumber">555</span><p class="Paragraph">plain</p>""")
+  }
+
+  test("layout containers carry parent_id chain and page numbers") {
+    val es = HtmlOntology.partition(
+      """<body class="Document" id="b1">
+        |<div class="Page" data-page-number="1" id="p1"><p class="NarrativeText">a</p></div>
+        |<div class="Page" data-page-number="2" id="p2"><hr class="PageBreak" id="br1"/></div>
+        |</body>""".stripMargin)
+    val page1 = es(0)
+    assert(page1.elementType == "Text" && page1.text == "")
+    assert(page1.textAsHtml == """<div class="Page" data-page-number="1" />""")
+    assert(page1.pageNumber.contains(1) && page1.parentId.contains("b1"))
+    assert(es(1).pageNumber.contains(1) && es(1).parentId.isEmpty) // content row
+    val hr = es(3)
+    assert(hr.textAsHtml == """<hr class="PageBreak" />""")
+    assert(hr.parentId.contains("p2") && hr.pageNumber.contains(2))
+  }
+
+  test("br becomes an empty Paragraph with no css class (double-space quirk)") {
+    val es = HtmlOntology.partition(body("""<div class="Page"><br/></div>"""))
+    assert(es.last.textAsHtml == "<br  />") // f"<{tag} {''} />" — faithful quirk
+  }
+
+  test("malformed input yields zero elements, never throws") {
+    assert(HtmlOntology.partition("<p>no document root</p>").isEmpty)
+    assert(HtmlOntology.partition("").isEmpty)
+    assert(HtmlOntology.partition(null).isEmpty)
+  }
+}
