@@ -142,6 +142,43 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "kind")
     }),
 
+    // partition(url=...) — `partition/auto.py:303-320`: URL → bytes +
+    // content-type → detect → route. file:// exercises the filesystem fetcher
+    // (temp file written and removed inside the task); data: URLs exercise
+    // content-type-driven routing (the html payload is deliberately
+    // un-sniffable so only the declared type can route it) and the
+    // no-content-type default path.
+    "q_partition_url" -> ((s, dir) => {
+      import s.implicits._
+      docBase(s, dir).flatMap { d =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val b64 = java.util.Base64.getEncoder
+        val id = d.docId
+        def run(kind: String, url: String) = {
+          val (ft, paras) = graft.sources.UrlSource.partitionUrl(url)
+          (id, kind, ft.name, ft.mimeType, paras.size.toLong,
+            paras.headOption.map(_.text).getOrElse(""))
+        }
+        val fileRow = {
+          val html =
+            s"<html><body><h1>url doc $id</h1><p>This is document $id.</p></body></html>"
+          val tmp = java.nio.file.Files.createTempFile("graft-url-", ".html")
+          try {
+            java.nio.file.Files.write(tmp, html.getBytes(utf8))
+            run("file_html", "file://" + tmp.toAbsolutePath)
+          } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+        }
+        Seq(
+          fileRow,
+          run("data_csv", "data:text/csv;base64," +
+            b64.encodeToString(s"k,v\n$id,${d.source}".getBytes(utf8))),
+          run("data_html_ct", "data:text/html;base64," +
+            b64.encodeToString(s"<p>from data url $id</p>".getBytes(utf8))),
+          run("data_txt", s"data:,This%20is%20note%20$id."))
+      }.toDF("doc_id", "kind", "file_type", "mime", "n_elements", "first_text")
+        .orderBy("doc_id", "kind")
+    }),
+
     // partition_image (partition/image.py:17) THROUGH the auto-router: five real
     // header formats (PNG, GIF, JPEG SOF walk, BMP DIB, TIFF IFD in both byte
     // orders) constructed with doc_id-derived dims, plus a truncated-JPEG
@@ -218,6 +255,26 @@ object BinaryFormatQueries {
        |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // four URLs per doc: routing outcome + element count + first text, all
+    // predictable from the corpus fields
+    "q_partition_url" ->
+      """WITH k AS (
+        |  SELECT * FROM (VALUES
+        |    ('data_csv',     'csv',  'text/csv',   1),
+        |    ('data_html_ct', 'html', 'text/html',  1),
+        |    ('data_txt',     'txt',  'text/plain', 1),
+        |    ('file_html',    'html', 'text/html',  2)
+        |  ) AS t(kind, file_type, mime, n_elements))
+        |SELECT d.doc_id, k.kind, k.file_type, k.mime,
+        |  CAST(k.n_elements AS BIGINT) AS n_elements,
+        |  CASE k.kind
+        |    WHEN 'file_html' THEN 'url doc ' || d.doc_id
+        |    WHEN 'data_csv' THEN 'k v ' || d.doc_id || ' ' || d.source
+        |    WHEN 'data_html_ct' THEN 'from data url ' || d.doc_id
+        |    ELSE 'This is note ' || d.doc_id || '.' END AS first_text
+        |FROM documents d CROSS JOIN k
+        |ORDER BY doc_id, kind""".stripMargin,
+
     // one row per (doc, decodable format) with construction-predicted dims; the
     // truncated-JPEG kind is absent by design (the parser must reject it)
     "q_partition_image" ->
