@@ -92,7 +92,47 @@ object LayoutQueries {
       |  CAST(event_id * 17 % 490 + 8 AS DOUBLE) AS y2
       |FROM events WHERE event_id % 5 = 0)""".stripMargin
 
+  /** OD-metrics corpus: per (doc, class c∈0..2), (doc_id%3)+2 disjoint ground
+    * truths on a 1000x1000 page; each but the last gets a prediction whose
+    * horizontal shift pins its IoU to one of {1.0, 95/105, 80/120, 60/140};
+    * plus a high-confidence near-miss on target 0 (IoU 46/154 < 0.5) and a
+    * no-overlap false positive. Greedy matching therefore reduces to the
+    * closed form `IoU > threshold` the oracle recomputes. */
+  private def odBoxes(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long")).as[Long].flatMap { id =>
+      val shifts = Array(0.0, 5.0, 20.0, 40.0)
+      (0 until 3).flatMap { c =>
+        val tC = (id % 3).toInt + 2
+        val y = c * 250.0
+        val gts = (0 until tC).map(j => graft.operators.ObjectDetection.BoxRow(
+          id, "gt", 1, c, j * 200.0, y, j * 200.0 + 100, y + 100, 0.0))
+        val reals = (0 until tC - 1).map { j =>
+          val sft = shifts(((id + j + c) % 4).toInt)
+          graft.operators.ObjectDetection.BoxRow(
+            id, "pred", 1, c, j * 200.0 + sft, y, j * 200.0 + 100 + sft, y + 100,
+            0.9 - j * 0.1)
+        }
+        val nearMiss = graft.operators.ObjectDetection.BoxRow(
+          id, "pred", 1, c, 54.0, y, 154.0, y + 100, 0.95)
+        val falsePos = graft.operators.ObjectDetection.BoxRow(
+          id, "pred", 1, c, 850.0, y, 950.0, y + 100, 0.3)
+        gts ++ reals ++ Seq(nearMiss, falsePos)
+      }
+    }.toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // object-detection mAP@[.5:.95] + P/R/F1 per document over the synthetic
+    // box corpus (metrics/evaluate.py:665-831, object_detection.py)
+    "q_od_map" -> ((s, dir) =>
+      graft.operators.ObjectDetection.evaluate(odBoxes(s, dir), 1000.0, 1000.0)
+        .select(col("doc_id"), round(col("m_ap"), 4).as("m_ap"),
+          round(col("precision"), 4).as("precision"),
+          round(col("recall"), 4).as("recall"),
+          round(col("f1_score"), 4).as("f1_score"))
+        .orderBy("doc_id")),
+
     // pairwise bbox overlap diagnostics per (doc, page) — self-join, not O(n²) loop
     "q_bbox_overlap_pairs" -> ((s, dir) =>
       LayoutOps.overlappingPairs(boxes(s, dir))
@@ -255,6 +295,64 @@ object LayoutQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // Re-derives the full metric pipeline in SQL: per-pred IoU from the shift
+    // table, cumulative TP/FP over confidence, reversed-cummax precision
+    // envelope, 101-point AP, P/R at the 0.1 score cut, then per-doc means
+    // over the 30 (class, IoU-threshold) cells.
+    "q_od_map" ->
+      """WITH d AS (SELECT DISTINCT doc_id, (doc_id % 3) + 2 AS tc FROM documents),
+        |cls AS (SELECT unnest(range(0, 3)) AS c),
+        |thr AS (SELECT unnest([0.50,0.55,0.60,0.65,0.70,0.75,0.80,0.85,0.90,0.95]) AS thr),
+        |real AS (
+        |  SELECT d.doc_id, d.tc, cls.c, j.j, 0.9 - j.j*0.1 AS conf,
+        |    CASE (d.doc_id + j.j + cls.c) % 4
+        |      WHEN 0 THEN 1.0 WHEN 1 THEN 95.0/105.0
+        |      WHEN 2 THEN 80.0/120.0 ELSE 60.0/140.0 END AS iou
+        |  FROM d CROSS JOIN cls CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+        |  WHERE j.j < d.tc - 1),
+        |preds AS (
+        |  SELECT * FROM real
+        |  UNION ALL SELECT doc_id, tc, c, -1, 0.95, 46.0/154.0 FROM d CROSS JOIN cls
+        |  UNION ALL SELECT doc_id, tc, c, 99, 0.3, 0.0 FROM d CROSS JOIN cls),
+        |pt AS (
+        |  SELECT p.*, t.thr, CASE WHEN p.iou > t.thr THEN 1 ELSE 0 END AS tp
+        |  FROM preds p CROSS JOIN thr t),
+        |roll AS (
+        |  SELECT *,
+        |    SUM(tp) OVER w AS tpc,
+        |    COUNT(*) OVER w - SUM(tp) OVER w AS fpc,
+        |    SUM(tp) OVER w / CAST(tc AS DOUBLE) AS rec
+        |  FROM pt
+        |  WINDOW w AS (PARTITION BY doc_id, c, thr ORDER BY conf DESC
+        |    ROWS UNBOUNDED PRECEDING)),
+        |adj AS (
+        |  SELECT *, MAX(tpc / (tpc + fpc + 2.220446049250313e-16)) OVER
+        |    (PARTITION BY doc_id, c, thr ORDER BY conf DESC
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS prec_adj
+        |  FROM roll),
+        |rt AS (SELECT unnest(range(0, 101)) AS k),
+        |ap AS (
+        |  SELECT doc_id, c, thr, AVG(samp) AS ap FROM (
+        |    SELECT a.doc_id, a.c, a.thr, rt.k,
+        |      COALESCE(MAX(CASE WHEN a.rec >= rt.k/100.0 THEN a.prec_adj END), 0.0)
+        |        AS samp
+        |    FROM adj a CROSS JOIN rt
+        |    GROUP BY a.doc_id, a.c, a.thr, rt.k)
+        |  GROUP BY doc_id, c, thr),
+        |pr AS (
+        |  SELECT doc_id, c, thr,
+        |    MAX(CASE WHEN rn = 1 THEN prec_adj END) AS p,
+        |    MAX(CASE WHEN rn = 1 THEN rec END) AS r
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, c, thr
+        |    ORDER BY conf ASC) AS rn FROM adj)
+        |  GROUP BY doc_id, c, thr),
+        |f AS (
+        |  SELECT pr.doc_id, ap.ap, pr.p, pr.r,
+        |    2*pr.p*pr.r/(pr.p + pr.r + 1e-16) AS f1
+        |  FROM pr JOIN ap USING (doc_id, c, thr))
+        |SELECT doc_id, round(AVG(ap), 4) AS m_ap, round(AVG(p), 4) AS precision,
+        |  round(AVG(r), 4) AS recall, round(AVG(f1), 4) AS f1_score
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bbox_overlap_pairs" ->
       s"""WITH b AS $boxesSql
          |SELECT a.doc_id, a.page_number, a.seq AS seq_a, b.seq AS seq_b,
