@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-regression guard: builds the physical plan of every declared query at
+ * sf0.001 and pins the scale-critical facts so a future edit that de-optimizes
+ * a plan fails CI instead of shipping:
+ *
+ *  - no `CartesianProduct` anywhere;
+ *  - `BroadcastNestedLoopJoin` only in the two ANN probes whose build side is
+ *    a broadcast single-row / 8-row frame (q_ann_cosine_topk, q_ann_ivf);
+ *  - `SortMergeJoin` only where both sides are genuinely large
+ *    (q_element_type_accuracy's gold×pred join);
+ *  - parquet filter pushdown (`PushedFilters`) present on the queries that
+ *    filter base tables;
+ *  - per-query Exchange (shuffle) counts never exceed today's plan — a raised
+ *    count means a new shuffle crept in; if intentional, raise the cap here
+ *    in the same commit.
+ *
+ * Plans are built with AQE off (same as `PlanAudit`) so counts are static.
+ * The streaming query is excluded: building its "plan" executes the stream.
+ */
+class PlanGuardSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries allowed a BroadcastNestedLoopJoin (broadcast tiny-frame probes). */
+  private val bnlAllowed = Map("q_ann_cosine_topk" -> 1, "q_ann_ivf" -> 2)
+  private val smjAllowed = Map("q_element_type_accuracy" -> 1)
+
+  /** Queries whose scan must show non-empty PushedFilters. */
+  private val mustPushFilters = Seq("q1_pricing_summary", "q3_top_revenue_orders",
+    "q5_region_nation_revenue", "q_bbox_overlap_pairs", "q_classify_positional",
+    "q_convert_to_coco", "q_merge_layout", "q_sort_basic")
+
+  /** Shuffle-count caps above the default; everything else gets [[DefaultExchCap]]. */
+  private val exchCapOverrides = Map(
+    "q_embed_near_dup" -> 13, "q_jaccard_near_dup" -> 13, "q_lsh_near_dup" -> 8,
+    "q_ann_ivf" -> 8, "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
+    "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
+    "q_bbox_overlap_pairs" -> 5)
+  private val DefaultExchCap = 4
+
+  private lazy val plans: Map[String, String] = {
+    val spark = SparkSuiteBase.session
+    Tables.configure(spark)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(_ == "q_stream_hourly_window")
+        .map { n =>
+          n -> SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString
+        }.toMap
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  private def count(plan: String, re: String): Int = re.r.findAllIn(plan).size
+
+  test("no CartesianProduct in any query plan") {
+    val offenders = plans.filter { case (_, p) => p.contains("CartesianProduct") }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.keys.toSeq.sorted}")
+  }
+
+  test("BroadcastNestedLoopJoin only in the broadcast-tiny ANN probes") {
+    val offenders = plans.flatMap { case (n, p) =>
+      val c = count(p, "BroadcastNestedLoopJoin")
+      if (c > bnlAllowed.getOrElse(n, 0)) Some(s"$n=$c") else None
+    }
+    assert(offenders.isEmpty, s"unexpected BNL joins: ${offenders.toSeq.sorted}")
+  }
+
+  test("SortMergeJoin only where both sides are large") {
+    val offenders = plans.flatMap { case (n, p) =>
+      val c = count(p, "SortMergeJoin")
+      if (c > smjAllowed.getOrElse(n, 0)) Some(s"$n=$c") else None
+    }
+    assert(offenders.isEmpty,
+      s"new sort-merge joins (broadcast the small side?): ${offenders.toSeq.sorted}")
+  }
+
+  test("parquet filter pushdown present on filtering queries") {
+    val missing = mustPushFilters.filter { n =>
+      !"PushedFilters: \\[[^\\]]".r.findFirstIn(plans(n)).isDefined
+    }
+    assert(missing.isEmpty, s"filters not pushed to scan in: $missing")
+  }
+
+  test("shuffle counts do not exceed the pinned caps") {
+    val offenders = plans.flatMap { case (n, p) =>
+      val c = count(p, "Exchange")
+      val cap = exchCapOverrides.getOrElse(n, DefaultExchCap)
+      if (c > cap) Some(s"$n=$c(cap $cap)") else None
+    }
+    assert(offenders.isEmpty, s"shuffle regressions: ${offenders.toSeq.sorted}")
+  }
+}
