@@ -30,7 +30,24 @@ class GoldenWireSpec extends SparkSuiteBase {
     "Sharepoint/stanley-cups.xlsx.json",
     "salesforce/Campaign/701Hu000001eX9EIAU.xml.json",
     "Sharepoint/nested/2023-Jan-economic-outlook.pdf.json",
-    "google-drive/fake.docx.json")
+    "google-drive/fake.docx.json",
+    // round-8 widening: permissions-bearing variants, formula PDF, more
+    // DOCX/HTML/TXT families, and the db-connector element dumps
+    "Sharepoint-with-permissions/permissions-fake-text.docx.json",
+    "Sharepoint-with-permissions/fake-text.txt.json",
+    "Sharepoint-with-permissions/stanley-cups.xlsx.json",
+    "Sharepoint-with-permissions/SitePages/This-is-a-title.aspx.json",
+    "azure/spring-weather.html.json",
+    "azure/rfc854.txt.json",
+    "azure/IRS-form-1987.pdf.json",
+    "s3/page-with-formula.pdf.json",
+    "box/handbook-1p.docx.json",
+    "google-drive/test-drive-doc.docx.json",
+    "elasticsearch/movies-0-57554198.json",
+    "delta-table/0-9d594ee0-ad36-4e7e-a6be-f53975fe3d10-0.json",
+    "confluence-diff/MFS/1540126.json",
+    "astradb/25b75f1d-a2ea-4c97-b75f-1da2eadc97f7.csv.json",
+    "mongodb/659daefa21dd8c9054b084b6.json")
 
   /** Rehydrate a golden array file; the engine-added doc_id/seq (implicit in the
     * reference: file scope + array order) are filled deterministically. */
@@ -149,5 +166,29 @@ class GoldenWireSpec extends SparkSuiteBase {
     val eml = readGolden("outlook/21be155fb0c95885.eml.json")
     assert(eml.exists(e => e.metadata.sent_from.isDefined || e.metadata.sent_to.isDefined ||
       e.metadata.subject.isDefined))
+  }
+
+  test("Formula elements and their text survive (page-with-formula PDF)") {
+    val els = readGolden("s3/page-with-formula.pdf.json")
+    val formula = els.find(_.`type` == "Formula").get
+    assert(formula.element_id == "2f5b0b2ffa8872dde498f34cd4af6bd9")
+    assert(formula.text.startsWith("MultiHead(Q, K, V )"))
+    assert(formula.metadata.page_number.contains(1))
+    val back = ElementSink.parseNdjson(spark,
+      Seq(ElementJson.elementJson(formula))).collect().toSeq
+    assert(back == Seq(formula))
+  }
+
+  test("db-connector element dumps round-trip (elasticsearch, delta-table, mongodb)") {
+    Seq("elasticsearch/movies-0-57554198.json",
+      "delta-table/0-9d594ee0-ad36-4e7e-a6be-f53975fe3d10-0.json",
+      "mongodb/659daefa21dd8c9054b084b6.json").foreach { g =>
+      val els = readGolden(g)
+      assert(els.nonEmpty, s"$g empty")
+      // every element must carry the connector's data_source through the trip
+      val lines = els.map(ElementJson.elementJson)
+      val back = ElementSink.parseNdjson(spark, lines).collect().toSeq
+      assert(sorted(back) == sorted(els), s"$g did not round-trip")
+    }
   }
 }
