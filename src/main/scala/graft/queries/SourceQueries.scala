@@ -120,6 +120,25 @@ object SourceQueries {
         .orderBy("doc_id", "seq")
     }),
 
+    // v2 inverse: flattened elements -> ontology tree -> serialized HTML
+    // (`unstructured_elements_to_ontology`). The rebuilt document is the
+    // id-less normalization of the corpus (merged runs re-split per tag,
+    // fallback-classified tags normalized, post-break content nested inside
+    // the PageBreak container — the reference's stack semantics).
+    "q_html_v2_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      htmlV2Corpus(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("html"))
+        .as[(Long, String)]
+        .map { case (d, h) =>
+          val els = graft.sources.HtmlOntology.partition(h)
+          (d, graft.sources.HtmlOntology.toHtml(
+            graft.sources.HtmlOntology.elementsToOntology(els)))
+        }
+        .toDF("doc_id", "html")
+        .orderBy("doc_id")
+    }),
+
     // RTF corpus: heading (outlinelevel0) + one group per paragraph + one table row.
     "q_partition_rtf" -> ((s, dir) => {
       val paras = transform(split(col("text"), " merge "),
@@ -259,6 +278,38 @@ object SourceQueries {
          |  element_type, text, text_as_html, category_depth, page_number,
          |  parent_id
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin
+    },
+
+    // the rebuilt document as one string per doc
+    "q_html_v2_roundtrip" -> {
+      val ws = O.words("text")
+      s"""WITH base AS (
+         |  SELECT doc_id, string_split(text, ' merge ') AS ps,
+         |    array_to_string(list_slice($ws, 1, 3), ' ') AS title3, source,
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ph
+         |  FROM documents)
+         |SELECT doc_id,
+         |  '<body class="Document"><div class="Page" data-page-number="1">' ||
+         |  '<h1 class="Title">' || title3 || '</h1>' ||
+         |  array_to_string(list_transform(ps,
+         |    p -> '<p class="NarrativeText">' || p || '</p>'), '') ||
+         |  '<a class="Hyperlink" href="https://example.com/' || doc_id ||
+         |    '">see also ' || (doc_id % 7) || '</a>' ||
+         |  '<table class="Table"><tbody><tr><td>k</td><td>' || source ||
+         |    '</td></tr></tbody></table>' ||
+         |  '<img class="Image" alt="figure ' || (doc_id % 11) || '" />' ||
+         |  '</div><div class="Page" data-page-number="2">' ||
+         |  '<h3 class="Heading">section ' || (doc_id % 5) || '</h3>' ||
+         |  '<blockquote class="Quote">quoted ' || (doc_id % 17) || '</blockquote>' ||
+         |  '<span class="PhoneNumber">215-555-' || ph || '</span>' ||
+         |  '<p class="Paragraph">plain paragraph ' || (doc_id % 3) || '</p>' ||
+         |  '<span class="UncategorizedText">mystery ' || (doc_id % 13) || '</span>' ||
+         |  '<blockquote class="Quote">misplaced ' || (doc_id % 19) || '</blockquote>' ||
+         |  '<input class="Checkbox" type="checkbox" checked />' ||
+         |  '<hr class="PageBreak"><pre class="CodeBlock">let x = ' || doc_id ||
+         |    '</pre></hr>' ||
+         |  '</div></body>' AS html
+         |FROM base ORDER BY doc_id""".stripMargin
     },
 
     "q_partition_rtf" -> convertedOracle(listItems = Nil, table = true),

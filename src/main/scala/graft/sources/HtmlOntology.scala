@@ -534,4 +534,49 @@ object HtmlOntology {
     else parseOntology(html).toVector
       .flatMap(worker(_, None, None, 0, addImgAltText))
       .map(_.e)
+
+  // ----------------------------------------------- inverse: elements -> tree
+
+  private final class MutNode(val o: ONode) {
+    val kids = mutable.ArrayBuffer.empty[Either[MutNode, ONode]]
+    def freeze: ONode = o.copy(children = o.children ++ kids.map {
+      case Left(m) => m.freeze
+      case Right(n) => n
+    })
+  }
+
+  /**
+   * `unstructured_elements_to_ontology` (`transformations.py:302-374`): rebuild
+   * the ontology tree from a flattened element list. Layout containers (which
+   * keep their tree `parent_id`) drive the nesting via a stack keyed on their
+   * own element ids; content elements nest in the innermost open container.
+   * A container whose `parent_id` matches no open container attaches to the
+   * current innermost one instead of mis-popping to root. Each element's
+   * `text_as_html` re-parses through the ontology classifier, so merged runs
+   * contribute one node per top-level tag.
+   */
+  def elementsToOntology(els: Seq[V2Element]): ONode = {
+    val rootId = els.headOption.flatMap(_.parentId)
+    val rootAttrs = rootId.map(id => Vector("id" -> id)).getOrElse(Vector.empty)
+    val root = new MutNode(ONode(byName("Document"), "body", rootAttrs, "",
+      Vector.empty, Some("Document")))
+    // (container element id, node); bottom frame is the Document root
+    val stack = mutable.ArrayBuffer[(Option[String], MutNode)]((rootId, root))
+    for (e <- els if e.textAsHtml != null && e.textAsHtml.nonEmpty) {
+      val dom = parseDom(e.textAsHtml)
+      for (tag <- dom.children.collect { case el: Elem => el }) {
+        val o = toOntology(tag, 1)
+        if (o.cls.cat == Layout) {
+          val parentId = e.parentId.orElse(rootId)
+          if (stack.exists(_._1 == parentId))
+            while (stack.size > 1 && stack.last._1 != parentId)
+              stack.remove(stack.size - 1)
+          val m = new MutNode(o)
+          stack.last._2.kids += Left(m)
+          stack += ((e.elementId, m))
+        } else stack.last._2.kids += Right(o)
+      }
+    }
+    root.freeze
+  }
 }

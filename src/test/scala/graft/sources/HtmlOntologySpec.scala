@@ -189,4 +189,56 @@ class HtmlOntologySpec extends AnyFunSuite {
     assert(HtmlOntology.partition("").isEmpty)
     assert(HtmlOntology.partition(null).isEmpty)
   }
+
+  // ------------------------------------- inverse: elements -> ontology tree
+
+  test("round trip: partition -> elements_to_ontology -> to_html is the fixpoint") {
+    // the reference's test_simple_narrative_text_with_id shape
+    val html = """<body class="Document"><div class="Page" data-page-number="1">""" +
+      """<p class="NarrativeText">DEALER ONLY</p></div></body>"""
+    val els = HtmlOntology.partition(html)
+    val back = HtmlOntology.elementsToOntology(els)
+    assert(HtmlOntology.toHtml(back) == html)
+  }
+
+  test("round trip preserves multi-page nesting driven by container parent ids") {
+    val html = """<body class="Document" id="b1">""" +
+      """<div class="Page" data-page-number="1" id="p1"><h1 class="Title">One</h1></div>""" +
+      """<div class="Page" data-page-number="2" id="p2"><p class="NarrativeText">Two</p></div>""" +
+      """</body>"""
+    val back = HtmlOntology.elementsToOntology(HtmlOntology.partition(html))
+    // ids live only on the element rows (to_html pops them), so the rebuilt
+    // HTML is the id-less normalization of the input
+    assert(HtmlOntology.toHtml(back) ==
+      """<body class="Document"><div class="Page" data-page-number="1">""" +
+        """<h1 class="Title">One</h1></div><div class="Page" data-page-number="2">""" +
+        """<p class="NarrativeText">Two</p></div></body>""")
+  }
+
+  test("round trip: merged runs re-split into one node per top-level tag") {
+    val html = """<body class="Document"><div class="Page">""" +
+      """<blockquote class="Quote">q</blockquote><span class="PhoneNumber">5</span>""" +
+      """</div></body>"""
+    val els = HtmlOntology.partition(html)
+    assert(els.size == 2) // container + one merged element
+    val back = HtmlOntology.elementsToOntology(els)
+    val page = back.children.head
+    assert(page.children.map(_.cls.name) == Vector("Quote", "PhoneNumber"))
+  }
+
+  test("round trip: table survives through its bs4-normalized HTML") {
+    val html = """<body class="Document"><div class="Page">""" +
+      """<table class="Table"><tbody class="TableBody"><tr class="TableRow">""" +
+      """<td class="TableCell">k</td></tr></tbody></table></div></body>"""
+    val back = HtmlOntology.elementsToOntology(HtmlOntology.partition(html))
+    val table = back.children.head.children.head
+    assert(table.cls.name == "Table")
+    assert(HtmlOntology.toHtml(table) ==
+      """<table class="Table"><tbody><tr><td>k</td></tr></tbody></table>""")
+  }
+
+  test("empty element list yields an empty Document") {
+    val doc = HtmlOntology.elementsToOntology(Vector.empty)
+    assert(doc.cls.name == "Document" && doc.children.isEmpty)
+  }
 }
