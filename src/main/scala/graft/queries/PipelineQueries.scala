@@ -162,6 +162,54 @@ object PipelineQueries {
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")),
 
+    // elements_to_html render per doc — partition/html/convert.py:305-320:
+    // constructed two-page element corpus exercising parent-div wrapping,
+    // consecutive-ListItem ol grouping, table style injection, the image data
+    // URI and checkbox rendering; the oracle re-builds the prettified document
+    "q_elements_to_html" -> ((s, dir) => {
+      val d = col("doc_id").cast("long")
+      val t3 = array_join(slice(graft.functions.TextAnalysis.words(col("text")),
+        lit(1), lit(3)), " ")
+      val p1 = element_at(split(col("text"), " merge "), 1)
+      def e(seq: Int, id: Column, tpe: String, text: Column,
+          parent: Column = lit(null), page: Int = 1,
+          depth: Column = lit(null), html: Column = lit(null),
+          b64: Column = lit(null), mime: Column = lit(null)) =
+        struct(lit(seq.toLong).as("seq"), id.as("element_id"),
+          lit(tpe).as("element_type"), text.as("text"),
+          parent.cast("string").as("parent_id"),
+          lit(page).as("page_number"), depth.cast("int").as("category_depth"),
+          html.cast("string").as("text_as_html"),
+          b64.cast("string").as("image_base64"), mime.cast("string").as("image_mime"),
+          lit(null).cast("string").as("url"))
+      val els = graft.Tables.readFanout(s, dir, "documents").select(
+        d.as("doc_id"),
+        explode(array(
+          e(1, concat(lit("t1-"), d), "Title", t3, depth = lit(0)),
+          e(2, concat(lit("n1-"), d), "NarrativeText", p1,
+            parent = concat(lit("t1-"), d)),
+          e(3, concat(lit("li1-"), d), "ListItem",
+            concat(lit("item "), (d % 5).cast("string")),
+            parent = concat(lit("t1-"), d)),
+          e(4, concat(lit("li2-"), d), "ListItem", lit("second item"),
+            parent = concat(lit("t1-"), d)),
+          e(5, concat(lit("tb-"), d), "Table", concat(lit("k "), col("source")),
+            html = concat(lit("<table><tr><td>k</td><td>"), col("source"),
+              lit("</td></tr></table>"))),
+          e(6, concat(lit("t2-"), d), "Title",
+            concat(lit("section "), (d % 5).cast("string")), page = 2,
+            depth = lit(2)),
+          e(7, concat(lit("im-"), d), "Image",
+            concat(lit("figure "), (d % 11).cast("string")),
+            parent = concat(lit("t2-"), d), page = 2,
+            b64 = lit("QUJDRA=="), mime = lit("image/png")),
+          e(8, concat(lit("cb-"), d), "CheckBoxChecked", lit(""),
+            parent = concat(lit("t2-"), d), page = 2))).as("el"))
+        .select(col("doc_id"), col("el.*"))
+      graft.sinks.ElementsToHtml.elementsToHtml(els)
+        .orderBy("doc_id")
+    }),
+
     // group_elements_by_parent_id (utils.py:645-688): children per Title parent
     "q_group_by_parent" -> ((s, dir) => {
       val els = graft.operators.MetadataOps.applyMetadata(
@@ -547,6 +595,68 @@ object PipelineQueries {
          |typed AS ($typedSelect)
          |SELECT doc_id, string_agg(text, chr(10) ORDER BY seq) AS text
          |FROM typed WHERE text <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the prettified two-page document, rebuilt line by line
+    "q_elements_to_html" -> {
+      val ws = O.words("text")
+      s"""WITH base AS (
+         |  SELECT doc_id, array_to_string(list_slice($ws, 1, 3), ' ') AS t3,
+         |    string_split(text, ' merge ')[1] AS p1, source
+         |  FROM documents)
+         |SELECT doc_id,
+         | '<!DOCTYPE html>' || chr(10) ||
+         | '<html lang="en">' || chr(10) ||
+         | ' <head>' || chr(10) ||
+         | '  <meta charset="UTF-8"/>' || chr(10) ||
+         | '  <meta content="width=device-width, initial-scale=1.0" name="viewport"/>' || chr(10) ||
+         | '  <title>' || chr(10) ||
+         | '  </title>' || chr(10) ||
+         | ' </head>' || chr(10) ||
+         | ' <body>' || chr(10) ||
+         | '  <div data-page_number="1">' || chr(10) ||
+         | '   <div>' || chr(10) ||
+         | '    <h1 class="Title" id="t1-' || doc_id || '">' || chr(10) ||
+         | '     ' || t3 || chr(10) ||
+         | '    </h1>' || chr(10) ||
+         | '    <p class="NarrativeText" id="n1-' || doc_id || '">' || chr(10) ||
+         | '     ' || p1 || chr(10) ||
+         | '    </p>' || chr(10) ||
+         | '    <ol class="UncategorizedText">' || chr(10) ||
+         | '     <li class="ListItem" id="li1-' || doc_id || '">' || chr(10) ||
+         | '      item ' || (doc_id % 5) || chr(10) ||
+         | '     </li>' || chr(10) ||
+         | '     <li class="ListItem" id="li2-' || doc_id || '">' || chr(10) ||
+         | '      second item' || chr(10) ||
+         | '     </li>' || chr(10) ||
+         | '    </ol>' || chr(10) ||
+         | '   </div>' || chr(10) ||
+         | '   <table class="Table" id="tb-' || doc_id ||
+         |   '" style="border: 1px solid black; border-collapse: collapse;">' || chr(10) ||
+         | '    <tr style="border: 1px solid black;">' || chr(10) ||
+         | '     <td style="border: 1px solid black;">' || chr(10) ||
+         | '      k' || chr(10) ||
+         | '     </td>' || chr(10) ||
+         | '     <td style="border: 1px solid black;">' || chr(10) ||
+         | '      ' || source || chr(10) ||
+         | '     </td>' || chr(10) ||
+         | '    </tr>' || chr(10) ||
+         | '   </table>' || chr(10) ||
+         | '  </div>' || chr(10) ||
+         | '  <div data-page_number="2">' || chr(10) ||
+         | '   <div>' || chr(10) ||
+         | '    <h2 class="Title" id="t2-' || doc_id || '">' || chr(10) ||
+         | '     section ' || (doc_id % 5) || chr(10) ||
+         | '    </h2>' || chr(10) ||
+         | '    <img alt="figure ' || (doc_id % 11) || '" class="Image" id="im-' ||
+         |   doc_id || '" src="data:image/png;base64,QUJDRA=="/>' || chr(10) ||
+         | '    <input checked="true" class="CheckBoxChecked" id="cb-' || doc_id ||
+         |   '" type="checkbox"/>' || chr(10) ||
+         | '   </div>' || chr(10) ||
+         | '  </div>' || chr(10) ||
+         | ' </body>' || chr(10) ||
+         | '</html>' AS html
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
 
     "q_group_by_parent" ->
       s"""$applyMetaCtes
