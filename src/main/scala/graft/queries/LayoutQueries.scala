@@ -133,6 +133,24 @@ object LayoutQueries {
           round(col("f1_score"), 4).as("f1_score"))
         .orderBy("doc_id")),
 
+    // coordinate-system conversion (documents/coordinates.py): the 500x500
+    // PixelSpace box corpus re-expressed in a 1000x800 PointSpace (y-axis
+    // flip through the relative system) and in relative coordinates — pure
+    // codegen'd projection, no shuffle beyond the determinism sort
+    "q_convert_coordinates" -> ((s, dir) => {
+      import graft.functions.{Coordinates => C}
+      val from = C.pixelSpace(500, 500)
+      val toPoint = C.pointSpace(1000, 800)
+      boxes(s, dir).select(col("doc_id"), col("seq"),
+        C.convertX(col("x1"), from, toPoint).as("px1"),
+        C.convertY(col("y1"), from, toPoint).as("py1"),
+        C.convertX(col("x2"), from, toPoint).as("px2"),
+        C.convertY(col("y2"), from, toPoint).as("py2"),
+        C.convertX(col("x1"), from, C.relative).as("rx1"),
+        C.convertY(col("y1"), from, C.relative).as("ry1"))
+        .orderBy("doc_id", "seq")
+    }),
+
     // pairwise bbox overlap diagnostics per (doc, page) — self-join, not O(n²) loop
     "q_bbox_overlap_pairs" -> ((s, dir) =>
       LayoutOps.overlappingPairs(boxes(s, dir))
@@ -295,6 +313,14 @@ object LayoutQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // identical closed forms: x rescale, y flip through the relative system
+    "q_convert_coordinates" ->
+      s"""SELECT doc_id, seq,
+         |  x1 / 500 * 1000 AS px1, (1.0 - y1 / 500) * 800 AS py1,
+         |  x2 / 500 * 1000 AS px2, (1.0 - y2 / 500) * 800 AS py2,
+         |  x1 / 500 * 1.0 AS rx1, (1.0 - y1 / 500) * 1.0 AS ry1
+         |FROM $boxesSql b ORDER BY doc_id, seq""".stripMargin,
+
     // Re-derives the full metric pipeline in SQL: per-pred IoU from the shift
     // table, cumulative TP/FP over confidence, reversed-cummax precision
     // envelope, 101-point AP, P/R at the 0.1 score cut, then per-doc means
