@@ -179,6 +179,41 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "kind")
     }),
 
+    // detect_file_encoding (file_utils/encoding.py): BOM identification in
+    // both UTF-16/32 orders, NUL-pattern detection for BOM-less UTF-16,
+    // strict-UTF-8 validation, the iso-8859-1 fallback — plus one UTF-16
+    // HTML payload routed through the auto-router to prove sniffing works on
+    // decoded characters, not UTF-8 mojibake.
+    "q_detect_encoding" -> ((s, dir) => {
+      import s.implicits._
+      docBase(s, dir).flatMap { d =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val u16le = java.nio.charset.StandardCharsets.UTF_16LE
+        val u16be = java.nio.charset.StandardCharsets.UTF_16BE
+        def bom(b: Int*) = b.map(_.toByte).toArray
+        val payloads: Seq[(String, Array[Byte])] = Seq(
+          ("latin1", s"café ${d.w1}".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+          ("utf16be_bom", bom(0xFE, 0xFF) ++ s"tall ${d.w1}".getBytes(u16be)),
+          ("utf16le_bare", s"bare ${d.w1}".getBytes(u16le)),
+          ("utf16le_bom", bom(0xFF, 0xFE) ++ s"wide ${d.w1}".getBytes(u16le)),
+          ("utf8", s"plain ${d.w1} text".getBytes(utf8)),
+          ("utf8_bom", bom(0xEF, 0xBB, 0xBF) ++ s"bom ${d.w1}".getBytes(utf8)))
+        val decoded = payloads.map { case (kind, bytes) =>
+          val (enc, _) = graft.sources.Encodings.detect(bytes)
+          (d.docId, kind, enc, graft.sources.Encodings.decodeText(bytes))
+        }
+        val routed = {
+          val html = s"<html><body><p>wide markup ${d.w1}</p></body></html>"
+          val bytes = bom(0xFF, 0xFE) ++ html.getBytes(u16le)
+          val (ft, paras) = graft.sources.Partitioners.partitionAuto("page", bytes)
+          (d.docId, "utf16_html_" + ft.name, "utf-16-le",
+            paras.headOption.map(_.text).getOrElse(""))
+        }
+        decoded :+ routed
+      }.toDF("doc_id", "kind", "encoding", "text")
+        .orderBy("doc_id", "kind")
+    }),
+
     // partition_image (partition/image.py:17) THROUGH the auto-router: five real
     // header formats (PNG, GIF, JPEG SOF walk, BMP DIB, TIFF IFD in both byte
     // orders) constructed with doc_id-derived dims, plus a truncated-JPEG
@@ -255,6 +290,25 @@ object BinaryFormatQueries {
        |FROM documents""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // seven payloads per doc: detected encoding + decoded (BOM-stripped) text
+    "q_detect_encoding" ->
+      s"""WITH w AS (SELECT doc_id, (${O.words("text")})[1] AS w1 FROM documents),
+        |k AS (
+        |  SELECT * FROM (VALUES
+        |    ('latin1',         'iso-8859-1', 'café '),
+        |    ('utf16be_bom',    'utf-16-be',  'tall '),
+        |    ('utf16le_bare',   'utf-16-le',  'bare '),
+        |    ('utf16le_bom',    'utf-16-le',  'wide '),
+        |    ('utf8',           'utf-8',      'plain '),
+        |    ('utf8_bom',       'utf-8',      'bom '),
+        |    ('utf16_html_html','utf-16-le',  'wide markup ')
+        |  ) AS t(kind, encoding, prefix))
+        |SELECT w.doc_id, k.kind, k.encoding,
+        |  k.prefix || w.w1 || CASE WHEN k.kind = 'utf8' THEN ' text' ELSE '' END
+        |    AS text
+        |FROM w CROSS JOIN k
+        |ORDER BY doc_id, kind""".stripMargin,
+
     // four URLs per doc: routing outcome + element count + first text, all
     // predictable from the corpus fields
     "q_partition_url" ->

@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+/**
+ * Text-encoding detection — `file_utils/encoding.py:1-150`. The reference
+ * calls charset_normalizer's statistical `detect` and falls back through
+ * `COMMON_ENCODINGS` in order when confidence is low; offline we use the
+ * deterministic subset that covers real corpora: BOM identification
+ * (UTF-8/16/32 in both orders), NUL-pattern detection for BOM-less UTF-16 of
+ * ASCII-dominant text, strict UTF-8 validation, and the reference's own
+ * first-successful-fallback (`iso-8859-1`, the first non-UTF-8 entry of
+ * `COMMON_ENCODINGS` that always decodes). `format_encoding_str` /
+ * `validate_encoding` are ported as-is (`encoding.py:35-60`).
+ *
+ * Used by the auto router and filetype sniffer so UTF-16/Latin-1 payloads
+ * route and decode correctly instead of garbling through a blind UTF-8 read.
+ */
+object Encodings {
+
+  /** `format_encoding_str`: lower-case, underscores to dashes, directional
+    * annotations stripped. */
+  def formatEncodingStr(encoding: String): String = {
+    val f = encoding.toLowerCase.replace("_", "-")
+    val annotated = Set("iso-8859-6-i", "iso-8859-6-e", "iso-8859-8-i", "iso-8859-8-e")
+    if (annotated.contains(f)) f.dropRight(2) else f
+  }
+
+  /** `COMMON_ENCODINGS` (`encoding.py:11-31`). */
+  val CommonEncodings: Seq[String] = Seq(
+    "utf_8", "iso_8859_1", "iso_8859_6", "iso_8859_8", "ascii", "big5",
+    "utf_16", "utf_16_be", "utf_16_le", "utf_32", "utf_32_be", "utf_32_le",
+    "euc_jis_2004", "euc_jisx0213", "euc_jp", "euc_kr", "gb18030",
+    "shift_jis", "shift_jis_2004", "shift_jisx0213")
+
+  /** `validate_encoding`: membership in the common list, format-insensitive. */
+  def validateEncoding(encoding: String): Boolean =
+    CommonEncodings.exists(c => formatEncodingStr(c) == formatEncodingStr(encoding))
+
+  private def isValidUtf8(bytes: Array[Byte], from: Int): Boolean = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try { dec.decode(java.nio.ByteBuffer.wrap(bytes, from, bytes.length - from)); true }
+    catch { case _: java.nio.charset.CharacterCodingException => false }
+  }
+
+  /** Detected (normalized encoding name, payload offset past any BOM). */
+  def detect(bytes: Array[Byte]): (String, Int) = {
+    val n = bytes.length
+    def b(i: Int) = bytes(i) & 0xff
+    if (n >= 4 && b(0) == 0xff && b(1) == 0xfe && b(2) == 0 && b(3) == 0)
+      return ("utf-32-le", 4)
+    if (n >= 4 && b(0) == 0 && b(1) == 0 && b(2) == 0xfe && b(3) == 0xff)
+      return ("utf-32-be", 4)
+    if (n >= 3 && b(0) == 0xef && b(1) == 0xbb && b(2) == 0xbf) return ("utf-8", 3)
+    if (n >= 2 && b(0) == 0xff && b(1) == 0xfe) return ("utf-16-le", 2)
+    if (n >= 2 && b(0) == 0xfe && b(1) == 0xff) return ("utf-16-be", 2)
+    if (n >= 4 && n % 2 == 0) {
+      // BOM-less UTF-16 of ASCII-dominant text: one side of byte pairs ~NUL
+      var zeroOdd = 0; var zeroEven = 0
+      var i = 0
+      while (i < n) { if (b(i) == 0) { if (i % 2 == 1) zeroOdd += 1 else zeroEven += 1 }; i += 1 }
+      val half = n / 2
+      if (zeroOdd > 0.6 * half && zeroEven < 0.1 * half) return ("utf-16-le", 0)
+      if (zeroEven > 0.6 * half && zeroOdd < 0.1 * half) return ("utf-16-be", 0)
+    }
+    if (isValidUtf8(bytes, 0)) ("utf-8", 0)
+    // first always-decoding fallback in COMMON_ENCODINGS order
+    else ("iso-8859-1", 0)
+  }
+
+  private def charsetOf(name: String): Charset = name match {
+    case "utf-8" => StandardCharsets.UTF_8
+    case "utf-16-le" => StandardCharsets.UTF_16LE
+    case "utf-16-be" => StandardCharsets.UTF_16BE
+    case "utf-32-le" => Charset.forName("UTF-32LE")
+    case "utf-32-be" => Charset.forName("UTF-32BE")
+    case _ => StandardCharsets.ISO_8859_1
+  }
+
+  /** Detect + decode, BOM stripped. */
+  def decodeText(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) return ""
+    val (enc, off) = detect(bytes)
+    new String(bytes, off, bytes.length - off, charsetOf(enc))
+  }
+}

@@ -200,7 +200,9 @@ object DetectFiletype {
     else contentType.flatMap(FileType.fromMimeType) match {
       case Some(t) => t
       case None =>
-        val text = new String(head, java.nio.charset.StandardCharsets.UTF_8)
+        // encoding-aware decode so BOM'd / UTF-16 text sniffs on real
+        // characters rather than UTF-8 mojibake
+        val text = Encodings.decodeText(head)
         val byExt = extOf(filename).flatMap(FileType.fromExtension)
         byExt match {
           case Some(FileType.Txt) | None => sniffText(text, filename)

@@ -350,7 +350,9 @@ object Partitioners {
       case Some(custom) => return (ft, custom(content))
       case None => ()
     }
-    val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+    // encoding-aware decode (BOM / UTF-16 / Latin-1 fallback) — a blind UTF-8
+    // read garbles wide text (`file_utils/encoding.py`)
+    val text = Encodings.decodeText(content)
     val paras = ft match {
       case FileType.Txt =>
         TextSource.splitParagraphs(text).map(t => RawPara(t, None, classifier = "text"))

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Encoding detection (`file_utils/encoding.py`). */
+class EncodingsSpec extends AnyFunSuite {
+
+  import java.nio.charset.StandardCharsets._
+
+  private def bom(b: Int*) = b.map(_.toByte).toArray
+
+  test("format_encoding_str normalizes case/underscores and annotations") {
+    assert(Encodings.formatEncodingStr("UTF_8") == "utf-8")
+    assert(Encodings.formatEncodingStr("ISO-8859-6-I") == "iso-8859-6")
+    assert(Encodings.formatEncodingStr("Shift_JIS") == "shift-jis")
+  }
+
+  test("validate_encoding accepts the common list in any spelling") {
+    assert(Encodings.validateEncoding("UTF-8"))
+    assert(Encodings.validateEncoding("iso_8859_1"))
+    assert(!Encodings.validateEncoding("klingon-1"))
+  }
+
+  test("BOMs identify utf-8/16/32 in both orders and are stripped") {
+    assert(Encodings.detect(bom(0xEF, 0xBB, 0xBF) ++ "x".getBytes(UTF_8)) == (("utf-8", 3)))
+    assert(Encodings.detect(bom(0xFF, 0xFE) ++ "x".getBytes(UTF_16LE)) == (("utf-16-le", 2)))
+    assert(Encodings.detect(bom(0xFE, 0xFF) ++ "x".getBytes(UTF_16BE)) == (("utf-16-be", 2)))
+    assert(Encodings.detect(bom(0xFF, 0xFE, 0, 0))._1 == "utf-32-le")
+    assert(Encodings.detect(bom(0, 0, 0xFE, 0xFF))._1 == "utf-32-be")
+    assert(Encodings.decodeText(bom(0xFF, 0xFE) ++ "hello wide".getBytes(UTF_16LE))
+      == "hello wide")
+  }
+
+  test("BOM-less UTF-16 of ASCII text detects from the NUL pattern") {
+    assert(Encodings.detect("plain ascii text".getBytes(UTF_16LE))._1 == "utf-16-le")
+    assert(Encodings.detect("plain ascii text".getBytes(UTF_16BE))._1 == "utf-16-be")
+  }
+
+  test("valid UTF-8 multibyte stays utf-8; invalid falls back to iso-8859-1") {
+    assert(Encodings.detect("naïve café".getBytes(UTF_8))._1 == "utf-8")
+    val latin = "café".getBytes(ISO_8859_1) // 0xE9 alone is invalid UTF-8
+    assert(Encodings.detect(latin)._1 == "iso-8859-1")
+    assert(Encodings.decodeText(latin) == "café")
+  }
+
+  test("auto-router sniffs UTF-16 HTML as html, not garbled text") {
+    val html = "<html><body><p>wide markup</p></body></html>"
+    val bytes = bom(0xFF, 0xFE) ++ html.getBytes(UTF_16LE)
+    val (ft, paras) = Partitioners.partitionAuto("page", bytes)
+    assert(ft == FileType.Html)
+    assert(paras.map(_.text) == Seq("wide markup"))
+  }
+}
