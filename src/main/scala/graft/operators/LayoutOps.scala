@@ -89,6 +89,99 @@ object LayoutOps {
   }
 
   /**
+   * `calculate_largest_ngram_percentage` (`utils.py:213-270`): over the two
+   * texts' word lists, find the largest n (starting from shorter-length - 1,
+   * descending) whose n-gram sets intersect; the percentage is distinct shared
+   * n-grams over the SHORTER text's n-gram list (duplicates counted in the
+   * denominator). Returns (pct — 0.0 when nothing shared, n — null when
+   * nothing shared). Pure HOF columns; runs on overlap-pair rows only, so the
+   * k-pass lambda re-evaluation stays off the hot path.
+   */
+  def largestNgramPct(textA: Column, textB: Column): (Column, Column) = {
+    val wa = split(textA, " ")
+    val wb = split(textB, " ")
+    val firstW = when(size(wa) < size(wb), wa).otherwise(wb) // shorter (ties: b)
+    val secondW = when(size(wa) < size(wb), wb).otherwise(wa)
+    val n0 = size(firstW) - 1
+    def ng(words: Column, n: Column): Column =
+      when(size(words) - n >= 0,
+        transform(sequence(lit(1), size(words) - n + 1), i => slice(words, i, n)))
+        .otherwise(array().cast("array<array<string>>"))
+    val candidates = when(n0 >= 1,
+      filter(sequence(n0, lit(1), lit(-1)),
+        n => arrays_overlap(ng(firstW, n), ng(secondW, n))))
+      .otherwise(array().cast("array<int>"))
+    val bestN = try_element_at(candidates, lit(1)) // empty -> null, not an error
+    val pct = when(bestN.isNotNull,
+      round(size(array_intersect(ng(firstW, bestN), ng(secondW, bestN)))
+        .cast("double") / size(ng(firstW, bestN)) * 100.0, 2))
+      .otherwise(lit(0.0))
+    (pct, bestN)
+  }
+
+  /**
+   * `identify_overlapping_case` (`utils.py:348-448`) on top of the pair join:
+   * nested/identical pairs keep their geometric label; partial overlaps refine
+   * through the reference's five text cases — below the 10% small-overlap
+   * threshold, empty content on either side, substring-duplicate text, no
+   * shared vocabulary, or the largest shared n-gram with its percentage (the
+   * case string reproduces the reference's `"from" + ref_type + "(n-gram)"`
+   * formatting, ref_type = the type of the shorter text). Input needs the
+   * overlappingPairs columns plus `text`.
+   */
+  def overlappingPairsWithText(boxes: DataFrame, nestedTolerancePx: Double = 5.0,
+      smOverlapThreshold: Double = 10.0): DataFrame = {
+    val a = boxes.alias("a")
+    val b = boxes.alias("b")
+    def c(side: String, n: String) = col(s"$side.$n")
+    val inter = intersectionArea(
+      c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
+      c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"))
+    val aInB = isParentBox(c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"),
+      c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"), nestedTolerancePx)
+    val bInA = isParentBox(c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
+      c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"), nestedTolerancePx)
+    val pctPartial = overlapPercentage(
+      c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
+      c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"), "partial")
+    val ta = coalesce(c("a", "text"), lit(""))
+    val tb = coalesce(c("b", "text"), lit(""))
+    val (ngPct, ngN) = largestNgramPct(ta, tb)
+    val refType = when(size(split(ta, " ")) < size(split(tb, " ")),
+      c("a", "element_type")).otherwise(c("b", "element_type"))
+    val geometric = aInB || bInA
+    val textCasesApply = !geometric && pctPartial >= smOverlapThreshold &&
+      ta =!= "" && tb =!= "" && !tb.contains(ta) && !ta.contains(tb)
+    a.join(b,
+        c("a", "doc_id") === c("b", "doc_id") &&
+          c("a", "page_number") === c("b", "page_number") &&
+          c("a", "seq") < c("b", "seq"))
+      .filter(inter > 0)
+      .select(
+        c("a", "doc_id").as("doc_id"),
+        c("a", "page_number").as("page_number"),
+        c("a", "seq").as("seq_a"), c("b", "seq").as("seq_b"),
+        c("a", "element_type").as("type_a"), c("b", "element_type").as("type_b"),
+        when(aInB && bInA, lit("identical"))
+          .when(aInB, lit("nested Aa_in_Bb"))
+          .when(bInA, lit("nested Bb_in_Aa"))
+          .when(pctPartial < smOverlapThreshold, lit("Small partial overlap"))
+          .when(ta === "", concat(lit("partial overlap with empty content in "),
+            c("a", "element_type")))
+          .when(tb === "", concat(lit("partial overlap with empty content in "),
+            c("b", "element_type")))
+          .when(tb.contains(ta) || ta.contains(tb),
+            lit("partial overlap with duplicate text"))
+          .when(ngPct === 0.0, lit("partial overlap without sharing text"))
+          .otherwise(concat(lit("partial overlap sharing "),
+            ngPct.cast("string"), lit("% of the text from"), refType,
+            lit("("), ngN.cast("string"), lit("-gram)")))
+          .as("overlap_case"),
+        pctPartial.as("overlap_pct"),
+        when(textCasesApply, ngPct).as("largest_ngram_pct"))
+  }
+
+  /**
    * `merge_inferred_with_extracted_layout` — attach each extracted text box to
    * the inferred layout region containing it (per-page theta-join; the inferred
    * side is small per page → broadcast). Unmatched extracted boxes survive with a

@@ -156,6 +156,33 @@ object LayoutQueries {
       LayoutOps.overlappingPairs(boxes(s, dir))
         .orderBy("doc_id", "seq_a", "seq_b")),
 
+    // identify_overlapping_case text refinement (utils.py:348-448): one page
+    // per engineered pair hitting each of the five cases — empty content,
+    // substring-duplicate, sub-threshold small overlap, disjoint vocabulary,
+    // and a shared 2-gram with the reference's from<type>(n-gram) wording
+    "q_overlap_cases" -> ((s, dir) => {
+      def box(seq: Int, page: Int, tpe: String, x1: Double, text: String) =
+        struct(lit(seq.toLong).as("seq"), lit(page).as("page_number"),
+          lit(tpe).as("element_type"), lit(x1).as("x1"), lit(0.0).as("y1"),
+          lit(x1 + 100.0).as("x2"), lit(100.0).as("y2"), lit(text).as("text"))
+      val boxesDf = docs(s, dir).select(
+        col("doc_id").cast("long").as("doc_id"),
+        explode(array(
+          box(1, 1, "Title", 0, ""),
+          box(2, 1, "NarrativeText", 50, "filler words here"),
+          box(3, 2, "ListItem", 0, "alpha beta"),
+          box(4, 2, "Text", 50, "x alpha beta y"),
+          box(5, 3, "Image", 0, "aa"),
+          box(6, 3, "Table", 95, "bb"),
+          box(7, 4, "Header", 0, "q1x q2x q3x"),
+          box(8, 4, "Footer", 50, "q4x q5x q6x q7x"),
+          box(9, 5, "Caption", 0, "one two three four"),
+          box(10, 5, "UncategorizedText", 50, "two three five six seven"))).as("b"))
+        .select(col("doc_id"), col("b.*"))
+      LayoutOps.overlappingPairsWithText(boxesDf)
+        .orderBy("doc_id", "page_number")
+    }),
+
     // hi-res layout fusion: extracted text boxes -> containing inferred region
     "q_merge_layout" -> ((s, dir) =>
       LayoutOps.mergeInferredWithExtracted(
@@ -313,6 +340,28 @@ object LayoutQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    // one engineered pair per page with its predicted classification
+    "q_overlap_cases" ->
+      """WITH k AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 1, 2, 'Title', 'NarrativeText',
+        |     'partial overlap with empty content in Title', 50.0, CAST(NULL AS DOUBLE)),
+        |    (2, 3, 4, 'ListItem', 'Text',
+        |     'partial overlap with duplicate text', 50.0, NULL),
+        |    (3, 5, 6, 'Image', 'Table', 'Small partial overlap', 5.0, NULL),
+        |    (4, 7, 8, 'Header', 'Footer',
+        |     'partial overlap without sharing text', 50.0, 0.0),
+        |    (5, 9, 10, 'Caption', 'UncategorizedText',
+        |     'partial overlap sharing 33.33% of the text fromCaption(2-gram)',
+        |     50.0, 33.33)
+        |  ) AS t(page_number, seq_a, seq_b, type_a, type_b, overlap_case,
+        |         overlap_pct, largest_ngram_pct))
+        |SELECT d.doc_id, k.page_number, CAST(k.seq_a AS BIGINT) AS seq_a,
+        |  CAST(k.seq_b AS BIGINT) AS seq_b, k.type_a, k.type_b, k.overlap_case,
+        |  k.overlap_pct, k.largest_ngram_pct
+        |FROM documents d CROSS JOIN k
+        |ORDER BY doc_id, page_number""".stripMargin,
+
     // identical closed forms: x rescale, y flip through the relative system
     "q_convert_coordinates" ->
       s"""SELECT doc_id, seq,

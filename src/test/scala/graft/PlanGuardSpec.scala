@@ -39,7 +39,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embed_near_dup" -> 13, "q_jaccard_near_dup" -> 13, "q_lsh_near_dup" -> 8,
     "q_ann_ivf" -> 8, "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
-    "q_bbox_overlap_pairs" -> 5)
+    "q_bbox_overlap_pairs" -> 5,
+    "q_overlap_cases" -> 5) // pair self-join on the exploded case corpus
   private val DefaultExchCap = 4
 
   private lazy val plans: Map[String, String] = {
