@@ -277,20 +277,26 @@ object HtmlPartitioner {
     }
     val textStart = acc.segs.length
     el.children.foreach {
-      case HText(s) => if (s.nonEmpty) acc.segs += s
+      case HText(s) =>
+        if (s.nonEmpty) {
+          acc.segs += s
+          // one annotation entry PER TEXT LEAF with the composite emphasis
+          // string at that leaf ("b", "bi", ...) — `<b>x <i>y</i></b>` yields
+          // contents [x, y] / tags [b, bi], and an anchor boundary splits the
+          // run (parser.py Bold/Italic `iter_text_segments`)
+          if (emph.nonEmpty) {
+            val norm = normalizeWs(s)
+            if (norm.nonEmpty) { acc.emphC += norm; acc.emphT += emph }
+          }
+        }
       case c: HElem if PhrasingTags.contains(c.tag) => walkPhrasing(c, emph, acc)
       case c: HElem => // nested block inside phrasing (invalid but tolerated): inline its text
         c.children.foreach { case HText(s) => acc.segs += s; case _ => () }
     }
     val innerText = normalizeWs(acc.segs.drop(textStart).mkString)
-    if (innerText.nonEmpty) {
-      if (emph.nonEmpty && emphasis.isEmpty) {
-        emph.foreach { e => acc.emphC += innerText; acc.emphT += e.toString }
-      }
-      if (tag == "a") {
-        el.attrs.get("href").filter(_.nonEmpty).foreach { href =>
-          acc.linkT += innerText; acc.linkU += href
-        }
+    if (innerText.nonEmpty && tag == "a") {
+      el.attrs.get("href").filter(_.nonEmpty).foreach { href =>
+        acc.linkT += innerText; acc.linkU += href
       }
     }
   }

@@ -63,6 +63,43 @@ class HtmlPartitionerSpec extends AnyFunSuite {
     assert(ps(0).textAsHtml.contains("<table><tr><td>H1</td></tr><tr><td>a b</td><td/></tr></table>"))
   }
 
+  test("emphasis annotates per text leaf with composite tags (DescribeBold)") {
+    // parser.py Bold: `<b>rhombus <i>pentagon</i></b>` -> one entry per leaf,
+    // nested leaf carries the composite "bi"
+    val ps = HtmlPartitioner.partition("<p><b>rhombus <i>pentagon</i></b></p>")
+    assert(ps(0).emphasizedContents == Seq("rhombus", "pentagon"))
+    assert(ps(0).emphasizedTags == Seq("b", "bi"))
+    // tails are NOT emphasized
+    val tail = HtmlPartitioner.partition("<p><b>rhombus</b> pentagon</p>")
+    assert(tail(0).text == "rhombus pentagon")
+    assert(tail(0).emphasizedContents == Seq("rhombus"))
+  }
+
+  test("an anchor boundary splits an enclosing emphasis run (DescribeAnchor)") {
+    val ps = HtmlPartitioner.partition(
+      """<p>I am <strong><a href="http://eie.io">one with</a> the Force.</strong></p>""")
+    assert(ps(0).text == "I am one with the Force.")
+    assert(ps(0).emphasizedContents == Seq("one with", "the Force."))
+    assert(ps(0).emphasizedTags == Seq("b", "b"))
+    assert(ps(0).linkTexts == Seq("one with"))
+    assert(ps(0).linkUrls == Seq("http://eie.io"))
+  }
+
+  test("nested phrasing inside an anchor annotates the full link text (DescribeAnchor)") {
+    val ps = HtmlPartitioner.partition(
+      """<p>I am <a href="http://eie.io">one <u>with<i> the</i></u> Force</a>.</p>""")
+    assert(ps(0).text == "I am one with the Force.")
+    assert(ps(0).emphasizedContents == Seq("the"))
+    assert(ps(0).emphasizedTags == Seq("i"))
+    assert(ps(0).linkTexts == Seq("one with the Force"))
+  }
+
+  test("br splits butted-up phrasing without joining words (DescribeLineBreak)") {
+    val ps = HtmlPartitioner.partition(
+      "<p><cite>spaceships of the<br/>Vogon Constructor Fleet</cite></p>")
+    assert(ps(0).text == "spaceships of the Vogon Constructor Fleet")
+  }
+
   test("img with src becomes Image with alt text") {
     val ps = HtmlPartitioner.partition("<img src=\"http://x/y.png\" alt=\"A pic\">")
     assert(ps.size == 1)
