@@ -101,6 +101,33 @@ object SourceQueries {
           col("element_type"), col("category_depth"), col("text"), col("text_as_html"))
         .orderBy("doc_id", "seq")),
 
+    // v1 annotation surface (parser.py Bold/Italic/Anchor iter_text_segments):
+    // per-leaf emphasis entries with composite tags, anchor link text/url
+    // pairs — flattened to one row per annotation so the gate is scalar
+    "q_html_annotations" -> ((s, dir) => {
+      import s.implicits._
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<p>intro <b>bold one <i>nest "), (col("doc_id") % 7).cast("string"),
+        lit("</i></b> <a href=\"https://example.com/"), d,
+        lit("\">link "), (col("doc_id") % 5).cast("string"),
+        lit("</a> tail</p>"))
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), html.as("html"))
+        .as[(Long, String)]
+        .flatMap { case (id, h) =>
+          val ps = graft.sources.HtmlPartitioner.partition(h)
+          ps.headOption.toSeq.flatMap { p =>
+            p.emphasizedContents.zip(p.emphasizedTags).zipWithIndex.map {
+              case ((c, t), i) => (id, "emphasis", i + 1L, c, t)
+            } ++ p.linkTexts.zip(p.linkUrls).zipWithIndex.map {
+              case ((c, u), i) => (id, "link", i + 1L, c, u)
+            }
+          }
+        }
+        .toDF("doc_id", "kind", "idx", "content", "extra")
+        .orderBy("doc_id", "kind", "idx")
+    }),
+
     // html_parser_version="v2": the full ontology flow (parse → flatten →
     // inline-merge) per doc in a flatMap — no shuffle until the final
     // oracle-determinism sort; scales as one task per input split.
@@ -214,6 +241,17 @@ object SourceQueries {
          |  element_type, category_depth, text, text_as_html
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin
     },
+
+    // three annotation rows per doc: two emphasis leaves (b, bi) + one link
+    "q_html_annotations" ->
+      """SELECT doc_id, kind, idx, content, extra FROM (
+        |  SELECT doc_id, 'emphasis' AS kind, CAST(1 AS BIGINT) AS idx,
+        |    'bold one' AS content, 'b' AS extra FROM documents
+        |  UNION ALL SELECT doc_id, 'emphasis', 2,
+        |    'nest ' || (doc_id % 7), 'bi' FROM documents
+        |  UNION ALL SELECT doc_id, 'link', 1, 'link ' || (doc_id % 5),
+        |    'https://example.com/' || doc_id FROM documents)
+        |ORDER BY doc_id, kind, idx""".stripMargin,
 
     // v2 ontology flow over the constructed two-page corpus: 13 rows per doc,
     // every field (merge runs, normalized HTML, heading depths, container
