@@ -151,9 +151,13 @@ object ObjectDetection {
     (ap, prec, rec)
   }
 
-  /** Evaluate one document's boxes → aggregated metrics. */
-  def evaluateDoc(docId: Long, rows: Iterator[BoxRow], pageWidth: Double,
-      pageHeight: Double): DocMetrics = {
+  final case class ClassMetrics(doc_id: Long, cls: Int, ap: Double,
+      precision: Double, recall: Double, f1_score: Double)
+
+  /** Per-(present)class metrics for one document: threshold-averaged AP/P/R/F1
+    * (`get_metrics:200-213` — `*_per_class = *_per_present_classes.mean(1)`). */
+  def evaluateDocPerClass(docId: Long, rows: Iterator[BoxRow], pageWidth: Double,
+      pageHeight: Double): Seq[ClassMetrics] = {
     val all = rows.toVector
     val preds = all.filter(_.kind == "pred")
     val targets = all.filter(_.kind == "gt")
@@ -170,26 +174,29 @@ object ObjectDetection {
     }
     val matchedRows = mm.result()
     val targetRows = allTargets.result()
-
     val uniqueClasses = targetRows.map(_.cls).distinct.sorted
-    if (uniqueClasses.isEmpty)
-      return DocMetrics(docId, -1.0, -1.0, -1.0, -1.0) // reference sentinel
-
-    var sAp = 0.0; var sP = 0.0; var sR = 0.0; var sF1 = 0.0
-    var cells = 0
-    for (c <- uniqueClasses) {
+    uniqueClasses.map { c =>
       val cp = matchedRows.filter(_._1.cls == c)
       val (ap, p, r) = perClassCurves(cp.map(_._2), cp.map(_._3),
         cp.map(_._1.score), targetRows.count(_.cls == c))
-      var j = 0
-      while (j < IouThresholds.length) {
-        sAp += ap(j); sP += p(j); sR += r(j)
-        sF1 += 2 * p(j) * r(j) / (p(j) + r(j) + F1Eps)
-        cells += 1
-        j += 1
-      }
+      val n = IouThresholds.length
+      val f1 = (0 until n).map(j => 2 * p(j) * r(j) / (p(j) + r(j) + F1Eps))
+      ClassMetrics(docId, c, ap.sum / n, p.sum / n, r.sum / n, f1.sum / n)
     }
-    DocMetrics(docId, sAp / cells, sP / cells, sR / cells, sF1 / cells)
+  }
+
+  /** Evaluate one document's boxes → aggregated metrics (mean over the
+    * per-class × per-threshold cells, `get_metrics:186-199`). */
+  def evaluateDoc(docId: Long, rows: Iterator[BoxRow], pageWidth: Double,
+      pageHeight: Double): DocMetrics = {
+    val perClass = evaluateDocPerClass(docId, rows, pageWidth, pageHeight)
+    if (perClass.isEmpty)
+      return DocMetrics(docId, -1.0, -1.0, -1.0, -1.0) // reference sentinel
+    // classes carry equal threshold counts, so the cell mean = class mean
+    val n = perClass.size
+    DocMetrics(docId,
+      perClass.map(_.ap).sum / n, perClass.map(_.precision).sum / n,
+      perClass.map(_.recall).sum / n, perClass.map(_.f1_score).sum / n)
   }
 
   /**
@@ -197,7 +204,7 @@ object ObjectDetection {
    * (doc_id, kind in {pred, gt}, page, cls, x1, y1, x2, y2, score). One
    * doc_id shuffle; per-doc greedy matching in the task.
    */
-  def evaluate(boxes: DataFrame, pageWidth: Double, pageHeight: Double): DataFrame = {
+  private def typedBoxes(boxes: DataFrame): Dataset[BoxRow] = {
     val sp = boxes.sparkSession
     import sp.implicits._
     boxes.select(
@@ -207,8 +214,26 @@ object ObjectDetection {
       col("x2").cast("double"), col("y2").cast("double"),
       col("score").cast("double").as("score"))
       .as[BoxRow]
+  }
+
+  def evaluate(boxes: DataFrame, pageWidth: Double, pageHeight: Double): DataFrame = {
+    val sp = boxes.sparkSession
+    import sp.implicits._
+    typedBoxes(boxes)
       .groupByKey(_.doc_id)
       .mapGroups((id, rows) => evaluateDoc(id, rows, pageWidth, pageHeight))
+      .toDF()
+  }
+
+  /** Per-(doc, class) rows — `ObjectDetectionPerClassMetricsCalculator`
+    * (`metrics/evaluate.py:784-898`). Same single doc_id shuffle. */
+  def evaluatePerClass(boxes: DataFrame, pageWidth: Double,
+      pageHeight: Double): DataFrame = {
+    val sp = boxes.sparkSession
+    import sp.implicits._
+    typedBoxes(boxes)
+      .groupByKey(_.doc_id)
+      .flatMapGroups((id, rows) => evaluateDocPerClass(id, rows, pageWidth, pageHeight))
       .toDF()
   }
 }

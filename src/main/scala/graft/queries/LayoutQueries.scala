@@ -151,6 +151,16 @@ object LayoutQueries {
         .orderBy("doc_id", "seq")
     }),
 
+    // per-class variant (ObjectDetectionPerClassMetricsCalculator): one row
+    // per (doc, present class) with threshold-averaged AP/P/R/F1
+    "q_od_map_per_class" -> ((s, dir) =>
+      graft.operators.ObjectDetection.evaluatePerClass(odBoxes(s, dir), 1000.0, 1000.0)
+        .select(col("doc_id"), col("cls"), round(col("ap"), 4).as("ap"),
+          round(col("precision"), 4).as("precision"),
+          round(col("recall"), 4).as("recall"),
+          round(col("f1_score"), 4).as("f1_score"))
+        .orderBy("doc_id", "cls")),
+
     // pairwise bbox overlap diagnostics per (doc, page) — self-join, not O(n²) loop
     "q_bbox_overlap_pairs" -> ((s, dir) =>
       LayoutOps.overlappingPairs(boxes(s, dir))
@@ -339,7 +349,68 @@ object LayoutQueries {
         .orderBy("image_id", "id")
     }))
 
+  /** Shared OD-metric pipeline in SQL (per doc/class/threshold cells) — see
+    * q_od_map for the derivation. Ends with CTE `f(doc_id, c, ap, p, r, f1)`. */
+  private val odMetricCtes: String =
+    """WITH d AS (SELECT DISTINCT doc_id, (doc_id % 3) + 2 AS tc FROM documents),
+      |cls AS (SELECT unnest(range(0, 3)) AS c),
+      |thr AS (SELECT unnest([0.50,0.55,0.60,0.65,0.70,0.75,0.80,0.85,0.90,0.95]) AS thr),
+      |real AS (
+      |  SELECT d.doc_id, d.tc, cls.c, j.j, 0.9 - j.j*0.1 AS conf,
+      |    CASE (d.doc_id + j.j + cls.c) % 4
+      |      WHEN 0 THEN 1.0 WHEN 1 THEN 95.0/105.0
+      |      WHEN 2 THEN 80.0/120.0 ELSE 60.0/140.0 END AS iou
+      |  FROM d CROSS JOIN cls CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
+      |  WHERE j.j < d.tc - 1),
+      |preds AS (
+      |  SELECT * FROM real
+      |  UNION ALL SELECT doc_id, tc, c, -1, 0.95, 46.0/154.0 FROM d CROSS JOIN cls
+      |  UNION ALL SELECT doc_id, tc, c, 99, 0.3, 0.0 FROM d CROSS JOIN cls),
+      |pt AS (
+      |  SELECT p.*, t.thr, CASE WHEN p.iou > t.thr THEN 1 ELSE 0 END AS tp
+      |  FROM preds p CROSS JOIN thr t),
+      |roll AS (
+      |  SELECT *,
+      |    SUM(tp) OVER w AS tpc,
+      |    COUNT(*) OVER w - SUM(tp) OVER w AS fpc,
+      |    SUM(tp) OVER w / CAST(tc AS DOUBLE) AS rec
+      |  FROM pt
+      |  WINDOW w AS (PARTITION BY doc_id, c, thr ORDER BY conf DESC
+      |    ROWS UNBOUNDED PRECEDING)),
+      |adj AS (
+      |  SELECT *, MAX(tpc / (tpc + fpc + 2.220446049250313e-16)) OVER
+      |    (PARTITION BY doc_id, c, thr ORDER BY conf DESC
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS prec_adj
+      |  FROM roll),
+      |rt AS (SELECT unnest(range(0, 101)) AS k),
+      |ap AS (
+      |  SELECT doc_id, c, thr, AVG(samp) AS ap FROM (
+      |    SELECT a.doc_id, a.c, a.thr, rt.k,
+      |      COALESCE(MAX(CASE WHEN a.rec >= rt.k/100.0 THEN a.prec_adj END), 0.0)
+      |        AS samp
+      |    FROM adj a CROSS JOIN rt
+      |    GROUP BY a.doc_id, a.c, a.thr, rt.k)
+      |  GROUP BY doc_id, c, thr),
+      |pr AS (
+      |  SELECT doc_id, c, thr,
+      |    MAX(CASE WHEN rn = 1 THEN prec_adj END) AS p,
+      |    MAX(CASE WHEN rn = 1 THEN rec END) AS r
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, c, thr
+      |    ORDER BY conf ASC) AS rn FROM adj)
+      |  GROUP BY doc_id, c, thr),
+      |f AS (
+      |  SELECT pr.doc_id, pr.c, ap.ap, pr.p, pr.r,
+      |    2*pr.p*pr.r/(pr.p + pr.r + 1e-16) AS f1
+      |  FROM pr JOIN ap USING (doc_id, c, thr))""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    // per-class rows: same cells grouped by (doc, class)
+    "q_od_map_per_class" ->
+      s"""$odMetricCtes
+         |SELECT doc_id, c AS cls, round(AVG(ap), 4) AS ap,
+         |  round(AVG(p), 4) AS precision, round(AVG(r), 4) AS recall,
+         |  round(AVG(f1), 4) AS f1_score
+         |FROM f GROUP BY doc_id, c ORDER BY doc_id, cls""".stripMargin,
     // one engineered pair per page with its predicted classification
     "q_overlap_cases" ->
       """WITH k AS (
@@ -375,59 +446,10 @@ object LayoutQueries {
     // envelope, 101-point AP, P/R at the 0.1 score cut, then per-doc means
     // over the 30 (class, IoU-threshold) cells.
     "q_od_map" ->
-      """WITH d AS (SELECT DISTINCT doc_id, (doc_id % 3) + 2 AS tc FROM documents),
-        |cls AS (SELECT unnest(range(0, 3)) AS c),
-        |thr AS (SELECT unnest([0.50,0.55,0.60,0.65,0.70,0.75,0.80,0.85,0.90,0.95]) AS thr),
-        |real AS (
-        |  SELECT d.doc_id, d.tc, cls.c, j.j, 0.9 - j.j*0.1 AS conf,
-        |    CASE (d.doc_id + j.j + cls.c) % 4
-        |      WHEN 0 THEN 1.0 WHEN 1 THEN 95.0/105.0
-        |      WHEN 2 THEN 80.0/120.0 ELSE 60.0/140.0 END AS iou
-        |  FROM d CROSS JOIN cls CROSS JOIN (SELECT unnest(range(0, 3)) AS j) j
-        |  WHERE j.j < d.tc - 1),
-        |preds AS (
-        |  SELECT * FROM real
-        |  UNION ALL SELECT doc_id, tc, c, -1, 0.95, 46.0/154.0 FROM d CROSS JOIN cls
-        |  UNION ALL SELECT doc_id, tc, c, 99, 0.3, 0.0 FROM d CROSS JOIN cls),
-        |pt AS (
-        |  SELECT p.*, t.thr, CASE WHEN p.iou > t.thr THEN 1 ELSE 0 END AS tp
-        |  FROM preds p CROSS JOIN thr t),
-        |roll AS (
-        |  SELECT *,
-        |    SUM(tp) OVER w AS tpc,
-        |    COUNT(*) OVER w - SUM(tp) OVER w AS fpc,
-        |    SUM(tp) OVER w / CAST(tc AS DOUBLE) AS rec
-        |  FROM pt
-        |  WINDOW w AS (PARTITION BY doc_id, c, thr ORDER BY conf DESC
-        |    ROWS UNBOUNDED PRECEDING)),
-        |adj AS (
-        |  SELECT *, MAX(tpc / (tpc + fpc + 2.220446049250313e-16)) OVER
-        |    (PARTITION BY doc_id, c, thr ORDER BY conf DESC
-        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS prec_adj
-        |  FROM roll),
-        |rt AS (SELECT unnest(range(0, 101)) AS k),
-        |ap AS (
-        |  SELECT doc_id, c, thr, AVG(samp) AS ap FROM (
-        |    SELECT a.doc_id, a.c, a.thr, rt.k,
-        |      COALESCE(MAX(CASE WHEN a.rec >= rt.k/100.0 THEN a.prec_adj END), 0.0)
-        |        AS samp
-        |    FROM adj a CROSS JOIN rt
-        |    GROUP BY a.doc_id, a.c, a.thr, rt.k)
-        |  GROUP BY doc_id, c, thr),
-        |pr AS (
-        |  SELECT doc_id, c, thr,
-        |    MAX(CASE WHEN rn = 1 THEN prec_adj END) AS p,
-        |    MAX(CASE WHEN rn = 1 THEN rec END) AS r
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, c, thr
-        |    ORDER BY conf ASC) AS rn FROM adj)
-        |  GROUP BY doc_id, c, thr),
-        |f AS (
-        |  SELECT pr.doc_id, ap.ap, pr.p, pr.r,
-        |    2*pr.p*pr.r/(pr.p + pr.r + 1e-16) AS f1
-        |  FROM pr JOIN ap USING (doc_id, c, thr))
-        |SELECT doc_id, round(AVG(ap), 4) AS m_ap, round(AVG(p), 4) AS precision,
-        |  round(AVG(r), 4) AS recall, round(AVG(f1), 4) AS f1_score
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$odMetricCtes
+         |SELECT doc_id, round(AVG(ap), 4) AS m_ap, round(AVG(p), 4) AS precision,
+         |  round(AVG(r), 4) AS recall, round(AVG(f1), 4) AS f1_score
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bbox_overlap_pairs" ->
       s"""WITH b AS $boxesSql
          |SELECT a.doc_id, a.page_number, a.seq AS seq_a, b.seq AS seq_b,

@@ -61,6 +61,20 @@ class ObjectDetectionSpec extends AnyFunSuite {
     assert(math.abs(m.m_ap - 1.0) < 1e-6)
   }
 
+  test("per-class rows split the aggregate by ground-truth class") {
+    val rows = Seq(
+      box("gt", 0, 0, 0, 100, 100), // class 0: perfect pred
+      box("pred", 0, 0, 0, 100, 100, score = 0.9),
+      box("gt", 1, 300, 0, 100, 100)) // class 1: missed entirely
+    val per = ObjectDetection.evaluateDocPerClass(1L, rows.iterator, 1000, 1000)
+    assert(per.map(_.cls) == Seq(0, 1))
+    assert(math.abs(per(0).recall - 1.0) < 1e-9 && per(0).ap > 0.99)
+    assert(per(1).recall == 0.0 && per(1).ap == 0.0)
+    // aggregate = mean of the per-class rows (equal threshold counts)
+    val agg = evaluateDoc(1L, rows.iterator, 1000, 1000)
+    assert(math.abs(agg.recall - 0.5) < 1e-9)
+  }
+
   test("no targets yields the reference's -1 sentinel row") {
     val m = evaluateDoc(1L,
       Seq(box("pred", 0, 0, 0, 100, 100, score = 0.9)).iterator, 1000, 1000)
