@@ -81,4 +81,23 @@ class StreamingOpsSpec extends SparkSuiteBase {
       .orderBy("hour", "event_type").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("hourly-window staging dirs are cleaned up after each invocation") {
+    // the round-7 bench leaked one graft-stream-events temp dir + symlink per
+    // call; the bounded-wait fix also deletes them on completion
+    val path = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(path).exists())
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def stagingDirs: Seq[String] = {
+      val s = Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("graft-stream-events")).toVector
+      } finally s.close()
+    }
+    val before = stagingDirs
+    StreamingOps.hourlyWindowAvailableNow(spark, path).collect()
+    assert(stagingDirs == before, "staging dir leaked")
+  }
 }
