@@ -241,4 +241,54 @@ class HtmlOntologySpec extends AnyFunSuite {
     val doc = HtmlOntology.elementsToOntology(Vector.empty)
     assert(doc.cls.name == "Document" && doc.children.isEmpty)
   }
+
+  private def el(tpe: String, id: String, text: String, html: String,
+      parent: Option[String] = None) =
+    HtmlOntology.V2Element(tpe, Some(id), text, html, None, None, parent)
+
+  test("reconstruction works when the first element has no parent id") {
+    val doc = HtmlOntology.elementsToOntology(Vector(
+      el("Text", "1", "", """<div class="Page"/>"""),
+      el("NarrativeText", "2", "Example text",
+        """<p class="Paragraph"> Example text </p>""", parent = Some("1"))))
+    assert(doc.children.map(_.cls.name) == Vector("Page"))
+    val para = doc.children.head.children.head
+    assert(para.cls.name == "Paragraph" && para.text == "Example text")
+  }
+
+  test("elements without text_as_html are skipped, not fatal") {
+    val doc = HtmlOntology.elementsToOntology(Vector(
+      el("Text", "1", "", """<div class="Page"/>"""),
+      el("NarrativeText", "2", "no html payload", null, parent = Some("1")),
+      el("NarrativeText", "3", "Example text",
+        """<p class="Paragraph"> Example text </p>""", parent = Some("1"))))
+    assert(doc.children.head.children.map(_.text) == Vector("Example text"))
+  }
+
+  test("nested layout containers rebuild column nesting (ML-1328)") {
+    val doc = HtmlOntology.elementsToOntology(Vector(
+      el("Text", "page", "", """<div class="Page"/>"""),
+      el("Text", "col1", "", """<div class="Column"/>""", parent = Some("page")),
+      el("NarrativeText", "c1", "Left column text",
+        """<p class="Paragraph"> Left column text </p>""", parent = Some("col1")),
+      el("Text", "col2", "", """<div class="Column"/>""", parent = Some("page")),
+      el("NarrativeText", "c2", "Right column text",
+        """<p class="Paragraph"> Right column text </p>""", parent = Some("col2"))))
+    val page = doc.children.head
+    assert(page.children.map(_.cls.name) == Vector("Column", "Column"))
+    assert(page.children(0).children.map(_.text) == Vector("Left column text"))
+    assert(page.children(1).children.map(_.text) == Vector("Right column text"))
+  }
+
+  test("container with unknown parent id nests in place, never pops to root") {
+    val doc = HtmlOntology.elementsToOntology(Vector(
+      el("Text", "page", "", """<div class="Page"/>"""),
+      el("Text", "col", "", """<div class="Column"/>""",
+        parent = Some("DOES_NOT_EXIST")),
+      el("NarrativeText", "c1", "Body text",
+        """<p class="Paragraph"> Body text </p>""", parent = Some("col"))))
+    val page = doc.children.head
+    assert(page.children.map(_.cls.name) == Vector("Column"))
+    assert(page.children.head.children.map(_.text) == Vector("Body text"))
+  }
 }
