@@ -151,7 +151,10 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
 
     // Warm-up: headline subset only, abandoned past 40% of the budget.
-    val warmNames = names.filter(headline.contains)
+    // SPARK_GRAFT_WARM_ALL=1 warms every selected query (local iteration only —
+    // the driver protocol relies on the short headline warm-up).
+    val warmAll = sys.env.get("SPARK_GRAFT_WARM_ALL").exists(_.trim.nonEmpty)
+    val warmNames = if (warmAll) names else names.filter(headline.contains)
     warmNames.takeWhile(_ => elapsedS < 0.4 * budgetS).foreach { n =>
       System.err.println(s"[bench] warm-up $n")
       val sec = runOne(n, SparkEntry.queries(n))

@@ -128,6 +128,14 @@ object LayoutOps {
    * case string reproduces the reference's `"from" + ref_type + "(n-gram)"`
    * formatting, ref_type = the type of the shorter text). Input needs the
    * overlappingPairs columns plus `text`.
+   *
+   * The n-gram refinement is staged through intermediate projections: the word
+   * arrays, best-n search, and best-n n-gram arrays are each materialized ONCE
+   * as columns and referenced downstream (multi-referenced non-cheap producers
+   * are kept by CollapseProject), and the whole search is gated behind the
+   * text-case predicate — the naive single-select formulation re-expanded the
+   * O(words²) n-gram subtree four times per row and was the bench's slowest
+   * query by 4×.
    */
   def overlappingPairsWithText(boxes: DataFrame, nestedTolerancePx: Double = 5.0,
       smOverlapThreshold: Double = 10.0): DataFrame = {
@@ -146,13 +154,8 @@ object LayoutOps {
       c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"), "partial")
     val ta = coalesce(c("a", "text"), lit(""))
     val tb = coalesce(c("b", "text"), lit(""))
-    val (ngPct, ngN) = largestNgramPct(ta, tb)
-    val refType = when(size(split(ta, " ")) < size(split(tb, " ")),
-      c("a", "element_type")).otherwise(c("b", "element_type"))
-    val geometric = aInB || bInA
-    val textCasesApply = !geometric && pctPartial >= smOverlapThreshold &&
-      ta =!= "" && tb =!= "" && !tb.contains(ta) && !ta.contains(tb)
-    a.join(b,
+
+    val joined = a.join(b,
         c("a", "doc_id") === c("b", "doc_id") &&
           c("a", "page_number") === c("b", "page_number") &&
           c("a", "seq") < c("b", "seq"))
@@ -162,23 +165,65 @@ object LayoutOps {
         c("a", "page_number").as("page_number"),
         c("a", "seq").as("seq_a"), c("b", "seq").as("seq_b"),
         c("a", "element_type").as("type_a"), c("b", "element_type").as("type_b"),
-        when(aInB && bInA, lit("identical"))
-          .when(aInB, lit("nested Aa_in_Bb"))
-          .when(bInA, lit("nested Bb_in_Aa"))
-          .when(pctPartial < smOverlapThreshold, lit("Small partial overlap"))
-          .when(ta === "", concat(lit("partial overlap with empty content in "),
-            c("a", "element_type")))
-          .when(tb === "", concat(lit("partial overlap with empty content in "),
-            c("b", "element_type")))
-          .when(tb.contains(ta) || ta.contains(tb),
-            lit("partial overlap with duplicate text"))
-          .when(ngPct === 0.0, lit("partial overlap without sharing text"))
-          .otherwise(concat(lit("partial overlap sharing "),
-            ngPct.cast("string"), lit("% of the text from"), refType,
-            lit("("), ngN.cast("string"), lit("-gram)")))
-          .as("overlap_case"),
+        aInB.as("a_in_b"), bInA.as("b_in_a"),
         pctPartial.as("overlap_pct"),
-        when(textCasesApply, ngPct).as("largest_ngram_pct"))
+        ta.as("ta"), tb.as("tb"))
+
+    def ng(words: Column, n: Column): Column =
+      when(size(words) - n >= 0,
+        transform(sequence(lit(1), size(words) - n + 1), i => slice(words, i, n)))
+        .otherwise(array().cast("array<array<string>>"))
+
+    val textCasesApply = !(col("a_in_b") || col("b_in_a")) &&
+      col("overlap_pct") >= smOverlapThreshold &&
+      col("ta") =!= "" && col("tb") =!= "" &&
+      !col("tb").contains(col("ta")) && !col("ta").contains(col("tb"))
+    val n0 = size(col("first_w")) - 1
+
+    val staged = joined
+      .withColumn("text_case", textCasesApply)
+      .withColumn("wa", split(col("ta"), " "))
+      .withColumn("wb", split(col("tb"), " "))
+      .withColumn("first_w",
+        when(size(col("wa")) < size(col("wb")), col("wa")).otherwise(col("wb")))
+      .withColumn("second_w",
+        when(size(col("wa")) < size(col("wb")), col("wb")).otherwise(col("wa")))
+      .withColumn("best_n", // utils.py:240-255 — largest n whose n-gram sets intersect
+        when(col("text_case") && n0 >= 1,
+          try_element_at(
+            filter(sequence(n0, lit(1), lit(-1)),
+              n => arrays_overlap(ng(col("first_w"), n), ng(col("second_w"), n))),
+            lit(1))))
+      .withColumn("ng_first", when(col("best_n").isNotNull, ng(col("first_w"), col("best_n"))))
+      .withColumn("ng_second", when(col("best_n").isNotNull, ng(col("second_w"), col("best_n"))))
+      .withColumn("ng_pct",
+        when(col("best_n").isNotNull,
+          round(size(array_intersect(col("ng_first"), col("ng_second"))).cast("double") /
+            size(col("ng_first")) * 100.0, 2))
+          .otherwise(lit(0.0)))
+
+    val refType = when(size(col("wa")) < size(col("wb")), col("type_a"))
+      .otherwise(col("type_b"))
+    staged.select(
+      col("doc_id"), col("page_number"), col("seq_a"), col("seq_b"),
+      col("type_a"), col("type_b"),
+      when(col("a_in_b") && col("b_in_a"), lit("identical"))
+        .when(col("a_in_b"), lit("nested Aa_in_Bb"))
+        .when(col("b_in_a"), lit("nested Bb_in_Aa"))
+        .when(col("overlap_pct") < smOverlapThreshold, lit("Small partial overlap"))
+        .when(col("ta") === "", concat(lit("partial overlap with empty content in "),
+          col("type_a")))
+        .when(col("tb") === "", concat(lit("partial overlap with empty content in "),
+          col("type_b")))
+        .when(col("tb").contains(col("ta")) || col("ta").contains(col("tb")),
+          lit("partial overlap with duplicate text"))
+        .when(col("ng_pct") === 0.0, lit("partial overlap without sharing text"))
+        .otherwise(concat(lit("partial overlap sharing "),
+          col("ng_pct").cast("string"), lit("% of the text from"), refType,
+          lit("("), col("best_n").cast("string"), lit("-gram)")))
+        .as("overlap_case"),
+      col("overlap_pct"),
+      when(col("text_case"), col("ng_pct")).as("largest_ngram_pct"))
   }
 
   /**
