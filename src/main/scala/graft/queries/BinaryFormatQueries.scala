@@ -111,6 +111,54 @@ object BinaryFormatQueries {
           col("page_number"))
         .orderBy("doc_id", "seq")),
 
+    // PDF strategy auto-selection (`strategies.py:24-109` + `pdf.py:618-744`):
+    // 11 scenarios per doc spanning auto-resolution (text → fast, no text →
+    // ocr_only, tables → hi_res), the vector-drawing complexity probe, every
+    // dependency-fallback edge, and both validation errors. Probe thresholds
+    // are lowered (they are parameters in the reference too) so a ~2 KB
+    // constructed vector PDF stands in for the >1 MB CAD case; the spec covers
+    // the default thresholds.
+    "q_pdf_strategy" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.PdfStrategy
+      import PdfStrategy.Deps
+      docBase(s, dir).flatMap { d =>
+        val text = CorpusBytes.pdf(d)
+        val vector = CorpusBytes.vectorPdf(d)
+        val noText = CorpusBytes.noTextPdf(d)
+        // booleans travel as 'true'/'false' strings: a NULL boolean round-trips
+        // asymmetrically through the two parquet→pandas paths the oracle
+        // compare uses (NaN vs None), while NULL strings compare cleanly
+        def decide(kind: String, bytes: Array[Byte], strategy: String, deps: Deps,
+            inferTables: Boolean = false)
+            : (Long, String, String, String, String, String) =
+          PdfStrategy.decideForPdf(bytes, strategy, inferTableStructure = inferTables,
+              deps = deps, maxGraphicsOps = 100, minFileSizeBytes = 1024,
+              minRawStreamBytes = 256) match {
+            case Right(dec) => (d.docId, kind, dec.strategy,
+              dec.textExtractable.toString, dec.tooComplex.toString, null)
+            case Left(err) => (d.docId, kind, null, null, null, err)
+          }
+        Seq(
+          decide("text_auto", text, PdfStrategy.Auto, Deps()),
+          decide("text_auto_table", text, PdfStrategy.Auto, Deps(inference = true),
+            inferTables = true),
+          decide("text_hires_nodeps", text, PdfStrategy.HiRes, Deps()),
+          decide("text_hires_ocr", text, PdfStrategy.HiRes, Deps(ocr = true)),
+          decide("text_ocronly_nodeps", text, PdfStrategy.OcrOnly, Deps()),
+          decide("vector_auto", vector, PdfStrategy.Auto,
+            Deps(inference = true, ocr = true)),
+          decide("vector_auto_nodeps", vector, PdfStrategy.Auto, Deps()),
+          decide("vector_ocronly_infer", vector, PdfStrategy.OcrOnly,
+            Deps(inference = true)),
+          decide("notext_auto_ocr", noText, PdfStrategy.Auto, Deps(ocr = true)),
+          decide("bad_name", text, "fastest", Deps()),
+          (d.docId, "image_fast", null: String, null: String, null: String,
+            PdfStrategy.validateStrategy(PdfStrategy.Fast, isImage = true).orNull))
+      }.toDF("doc_id", "kind", "strategy", "text_extractable", "too_complex", "err")
+        .orderBy("doc_id", "kind")
+    }),
+
     // The `partition()` auto-router: 10 payload kinds per document spanning every
     // branch of the 4-strategy detection chain (binary magic, zip-member sniff,
     // OLE+extension, text differentiators, extension), then per-format routing.
@@ -482,6 +530,30 @@ object BinaryFormatQueries {
          |  element_type, text, page_number
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin
     },
+
+    // every scenario's outcome is a pure function of the constructed corpus, so
+    // the oracle is a constant table per doc — a routing-rule regression (wrong
+    // fallback edge, probe misfire) shows up as a value mismatch
+    "q_pdf_strategy" ->
+      s"""WITH base AS ($base),
+         |k AS (SELECT * FROM (VALUES
+         |  ('bad_name', NULL, NULL, NULL, 'fastest is not a valid strategy.'),
+         |  ('image_fast', NULL, NULL, NULL,
+         |   'The fast strategy is not available for image files.'),
+         |  ('notext_auto_ocr', 'ocr_only', 'false', 'false', NULL),
+         |  ('text_auto', 'fast', 'true', 'false', NULL),
+         |  ('text_auto_table', 'hi_res', 'true', 'false', NULL),
+         |  ('text_hires_nodeps', 'fast', 'true', 'false', NULL),
+         |  ('text_hires_ocr', 'ocr_only', 'true', 'false', NULL),
+         |  ('text_ocronly_nodeps', 'fast', 'true', 'false', NULL),
+         |  ('vector_auto', 'ocr_only', 'false', 'true', NULL),
+         |  ('vector_auto_nodeps', NULL, NULL, NULL,
+         |   'the layout model and OCR engine are unavailable and the text of the PDF is not extractable'),
+         |  ('vector_ocronly_infer', 'hi_res', 'false', 'true', NULL)
+         |  ) AS t(kind, strategy, text_extractable, too_complex, err))
+         |SELECT doc_id, kind, strategy, text_extractable, too_complex, err
+         |FROM base CROSS JOIN k
+         |ORDER BY doc_id, kind""".stripMargin,
 
     "q_partition_auto" ->
       s"""WITH base AS ($base)

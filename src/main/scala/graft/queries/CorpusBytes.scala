@@ -226,6 +226,41 @@ object CorpusBytes {
     out.toByteArray
   }
 
+  /** Minimal single-page PDF wrapper around one raw (uncompressed) content
+    * stream — the strategy-probe corpora below share it. */
+  private def onePagePdf(body: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${body.length} >> stream\n")
+    out.write(body); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /**
+   * CAD-style vector drawing: a ~2 KB content stream of path-paint operators
+   * (`m`/`l`/`S`) and zero text operators, the shape `is_pdf_too_complex`
+   * exists to catch (`partition/pdf.py:618-744`). Sized for q_pdf_strategy's
+   * lowered probe thresholds — the reference's own tests lower them the same
+   * way rather than shipping >1 MB fixtures.
+   */
+  def vectorPdf(d: Doc): Array[Byte] = {
+    val ops = new StringBuilder()
+    var i = 0
+    while (i < 120) { ops.append(i).append(" 0 m 10 ").append(i % 7).append(" l S\n"); i += 1 }
+    onePagePdf(ops.toString.getBytes(ISO_8859_1))
+  }
+
+  /** A drawing-only PDF small enough to skip the complexity probe: no text
+    * operators, so fast extraction finds nothing (the scanned-PDF case that
+    * routes auto → ocr_only). */
+  def noTextPdf(d: Doc): Array[Byte] =
+    onePagePdf("0 0 m 5 5 l S\n0 5 m 5 0 l S\n".getBytes(ISO_8859_1))
+
   // ------------------------------------------------------------------- DOC / PPT
 
   /**

@@ -365,7 +365,19 @@ object Partitioners {
       case FileType.Docx => OoxmlPartitioner.partitionDocx(content)
       case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content)
       case FileType.Pptx => OoxmlPartitioner.partitionPptx(content)
-      case FileType.Pdf => PdfPartitioner.partitionPdf(content) // fast strategy
+      case FileType.Pdf =>
+        // per-file strategy resolution (`partition/pdf.py:300-338`): probe
+        // complexity, reuse the fast extraction from the extractability probe,
+        // then resolve. With no model kernels registered, fast is the only
+        // real path — hi_res/ocr_only resolutions land on the pluggable stubs.
+        val tooComplex = PdfStrategy.isPdfTooComplex(content)
+        val extracted =
+          if (tooComplex) Nil else PdfPartitioner.partitionPdf(content)
+        PdfStrategy.determineStrategy(PdfStrategy.Auto,
+            pdfTextExtractable = extracted.exists(_.text.trim.nonEmpty)) match {
+          case Right(PdfStrategy.Fast) => extracted
+          case _ => Nil
+        }
       case FileType.Rtf => ConvertedFormats.partitionRtf(text)
       case FileType.Odt => ConvertedFormats.partitionOdt(content)
       case FileType.Epub => ConvertedFormats.partitionEpub(content)

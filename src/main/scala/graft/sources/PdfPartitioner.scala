@@ -22,12 +22,12 @@ import graft.sources.HtmlPartitioner.RawPara
  */
 object PdfPartitioner {
 
-  private val StreamRe = "(?s)stream\r?\n(.*?)endstream".r
+  private[sources] val StreamRe = "(?s)stream\r?\n(.*?)endstream".r
 
   def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length > 4 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
 
-  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+  private[sources] def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
