@@ -139,15 +139,33 @@ object Predicates {
    * length > 1 present in the English wordlist. The reference loads a ~25k-word
    * list from a data file (`nlp/english_words.py` — the `english-words.txt`
    * payload is absent from this checkout, so it cannot be reproduced verbatim);
-   * this built-in list is the ~1000-word high-frequency head of general English
-   * (standard frequency-list vocabulary), which covers ordinary prose — callers
-   * with a fuller lexicon pass their own `words`. Recall on rare/technical
-   * vocabulary is below the reference's 25k list; precision semantics are
-   * identical. The membership test is `arrays_overlap` against a literal
-   * array — codegen'd, no shuffle, no UDF. At 25k words the same shape holds
-   * (or swap to a broadcast join against a lexicon table).
+   * this lexicon is the union of a derived list and a curated head:
+   *
+   *  - `graft/english-words.txt` (~11.5k words): the full qualifying vocabulary
+   *    of the English text that IS in the checkout — the reference's own
+   *    public-domain test corpus (book-war-and-peace-1225p.txt + the English
+   *    .txt/.html example docs), regenerable via `dev/gen_english_words.py`
+   *    (deterministic filters; tokens only ever seen capitalized are dropped to
+   *    exclude proper nouns). Like the reference's nltk-based list it carries a
+   *    residue of off-register entries (archaic forms, the novel's French
+   *    passages) — harmless for a contains-ANY-English heuristic;
+   *  - [[CuratedEnglishWords]] (~1.3k): high-frequency + technical vocabulary
+   *    the 19th-century corpus lacks ("cache", "email", "software").
+   *
+   * Membership runs as a native expression probing one shared static hash set —
+   * O(tokens) per row regardless of lexicon size ([[expr.ContainsEnglishWord]]);
+   * `arrays_overlap` against a 11.5k-element literal would probe the whole
+   * lexicon per row. Callers with their own `words` keep the literal-array path.
    */
-  val EnglishWords: Seq[String] = Seq(
+  lazy val EnglishWords: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/english-words.txt")
+    val derived =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
+      finally in.close()
+    (derived ++ CuratedEnglishWords).distinct.sorted
+  }
+
+  private[graft] val CuratedEnglishWords: Seq[String] = Seq(
     // function words / pronouns / determiners
     "the", "and", "for", "that", "this", "with", "from", "have", "has", "had",
     "not", "but", "you", "all", "can", "her", "was", "one", "our", "out",
@@ -340,9 +358,12 @@ object Predicates {
   ).distinct
 
   def containsEnglishWord(c: Column, words: Seq[String] = EnglishWords): Column =
-    arrays_overlap(
-      filter(split(lower(c), "[^a-z]+"), w => length(w) > 1),
-      lit(words.toArray))
+    if (words eq EnglishWords)
+      graft.functions.expr.Exprs.containsEnglishWord(c)
+    else
+      arrays_overlap(
+        filter(split(lower(c), "[^a-z]+"), w => length(w) > 1),
+        lit(words.toArray))
 
   /**
    * `is_possible_narrative_text` — `text_type.py:27-88` (default thresholds, no

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.SparkSuiteBase
+import graft.functions.expr.ContainsEnglishWord
+
+/** `contains_english_word` (`text_type.py:193-205`) over the shipped lexicon. */
+class PredicatesSpec extends SparkSuiteBase {
+
+  test("lexicon loads from the resource, merged with the curated head") {
+    val words = Predicates.EnglishWords
+    assert(words.size > 11000, s"expected >11k words, got ${words.size}")
+    assert(words == words.sorted && words == words.distinct)
+    // curated technical vocabulary the 19th-century corpus lacks
+    assert(words.contains("cache") && words.contains("software"))
+    // corpus-derived literary vocabulary the old 1.3k head lacked
+    assert(words.contains("battlefield") && words.contains("regiment") &&
+      words.contains("abandonment"))
+  }
+
+  private def check(s: String): Boolean =
+    ContainsEnglishWord.containsWord(UTF8String.fromString(s))
+
+  test("membership kernel: tokens, case, and the len>1 rule") {
+    assert(check("The regiment advanced"))
+    assert(check("UPPERCASE THE WORDS")) // lowercased before probing
+    assert(check("punctuation,separated;words"))
+    assert(!check("zzqxx kjvvw qqptt")) // gibberish
+    assert(!check("")) // empty
+    assert(!check("a I x 9")) // single-letter tokens never match
+    assert(!check("BLAH BLAHBLAH 123")) // reference test: not words
+  }
+
+  test("native kernel is bit-identical to the columnar HOF formulation") {
+    val sp = spark
+    import sp.implicits._
+    val samples = Seq("The regiment advanced", "zzqxx kjvvw", "Tab\tand\nnewline",
+      "café au lait", "mixedCASE Words-with-dashes", "", "  ", "a b c",
+      "Élève STRAßE weiter", "it's a test")
+    val df = samples.toDF("t")
+    val words = Predicates.EnglishWords
+    val hof = arrays_overlap(
+      filter(split(lower(col("t")), "[^a-z]+"), w => length(w) > 1),
+      lit(words.toArray))
+    val rows = df.select(Predicates.containsEnglishWord(col("t")).as("native"),
+      hof.as("columnar")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getBoolean(0) == r.getBoolean(1), s"diverged on: '$s'")
+    }
+  }
+
+  test("a custom wordlist still takes the literal-array path") {
+    val sp = spark
+    import sp.implicits._
+    val got = Seq("alpha beta", "gamma").toDF("t")
+      .select(Predicates.containsEnglishWord(col("t"), Seq("beta")).as("b"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false))
+  }
+}
