@@ -54,9 +54,19 @@ object ElementsToHtml {
       textAsHtml: Option[String], imgB64: Option[String],
       imgMime: Option[String], url: Option[String])
 
-  /** Render tree: tag + unsorted attrs (sorted at print) + text + children. */
+  /** Render tree: tag + unsorted attrs (sorted at print) + ordered content —
+    * text runs and child tags interleaved exactly as in the source, the way
+    * bs4 prettify preserves node order (ADVICE r8: a `(text, children)` pair
+    * reordered mixed content text-first). */
   private final case class R(tag: String, attrs: Map[String, String],
-      text: String, children: Vector[R], void: Boolean = false)
+      content: Vector[Either[String, R]], void: Boolean = false) {
+    def children: Vector[R] = content.collect { case Right(r) => r }
+    def withKids(kids: Vector[R]): R =
+      copy(content = content ++ kids.map(Right(_)))
+  }
+
+  private def textContent(s: String): Vector[Either[String, R]] =
+    if (s.isEmpty) Vector.empty else Vector(Left(s))
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -67,10 +77,13 @@ object ElementsToHtml {
   /** Parsed `text_as_html` → render tree, with optional per-tag attr inject. */
   private def fromDom(el: HtmlOntology.Elem,
       inject: String => Map[String, String]): R = {
-    val kids = el.children.collect { case c: HtmlOntology.Elem => fromDom(c, inject) }
-    val text = el.children.collect { case HtmlOntology.TextNode(s) => s }
-      .mkString.trim
-    R(el.tag, el.attrs.toMap ++ inject(el.tag), text, kids.toVector,
+    val content = el.children.flatMap {
+      case c: HtmlOntology.Elem => Vector(Right(fromDom(c, inject)))
+      case HtmlOntology.TextNode(s) =>
+        val t = s.trim
+        if (t.isEmpty) Vector.empty else Vector(Left(t))
+    }
+    R(el.tag, el.attrs.toMap ++ inject(el.tag), content.toVector,
       void = VoidTags.contains(el.tag))
   }
 
@@ -90,13 +103,29 @@ object ElementsToHtml {
     case _ => "div"
   }
 
+  /** `_inject_html_element_attrs` (`convert.py:104-175`) — ALWAYS runs on the
+    * element's root tag, whether that tag was adopted from `text_as_html` or
+    * synthesized (ADVICE r8: a Link/checkbox with text_as_html was rendered
+    * without href/type/checked; a synthesized Table went unstyled). Descendant
+    * tr/th/td styling for parsed tables happens in [[fromDom]]'s inject. */
+  private def injectRootAttrs(e: E, attrs: Map[String, String]): Map[String, String] =
+    e.tpe match {
+      case "Table" => attrs + ("style" -> TableStyle)
+      case "Link" => attrs + ("href" -> e.url.getOrElse(""))
+      case t if CheckedTypes.contains(t) =>
+        attrs + ("type" -> "checkbox") + ("checked" -> "true")
+      case t if UncheckedTypes.contains(t) => attrs + ("type" -> "checkbox")
+      case "RadioButtonChecked" => attrs + ("type" -> "radio") + ("checked" -> "true")
+      case "RadioButtonUnchecked" => attrs + ("type" -> "radio")
+      case _ => attrs
+    }
+
   /** One element → its render node (before child wrapping). */
   private def elementNode(e: E, excludeBinary: Boolean): R = {
     val base = e.textAsHtml.map(HtmlOntology.parseDom)
       .flatMap(_.children.collectFirst { case t: HtmlOntology.Elem => t })
     val injected: String => Map[String, String] =
       if (e.tpe == "Table") {
-        case "table" => Map("style" -> TableStyle)
         case "tr" | "th" | "td" => Map("style" -> TableBorder)
         case _ => Map.empty
       } else _ => Map.empty
@@ -111,42 +140,48 @@ object ElementsToHtml {
           }
           attrs("alt") = e.text
           text = ""
-        case "a" => attrs("href") = e.url.getOrElse("")
-        case "input" =>
-          if (CheckedTypes.contains(e.tpe)) {
-            attrs("type") = "checkbox"; attrs("checked") = "true"
-          } else if (e.tpe == "RadioButtonChecked") {
-            attrs("type") = "radio"; attrs("checked") = "true"
-          } else if (UncheckedTypes.contains(e.tpe)) attrs("type") = "checkbox"
-          else if (e.tpe == "RadioButtonUnchecked") attrs("type") = "radio"
-          text = ""
+        case "input" => text = ""
         case _ => ()
       }
-      R(tag, attrs.toMap, text, Vector.empty, void = VoidTags.contains(tag))
+      R(tag, attrs.toMap, textContent(text), void = VoidTags.contains(tag))
     }
-    node.copy(attrs = node.attrs ++ Map("class" -> e.tpe, "id" -> e.id))
+    node.copy(attrs =
+      injectRootAttrs(e, node.attrs ++ Map("class" -> e.tpe, "id" -> e.id)))
   }
 
   private def isListContainer(tag: String): Boolean =
     tag == "ol" || tag == "ul" || tag == "li"
 
-  /** Parent nesting + consecutive-ListItem grouping for one page/doc group. */
+  /** Parent nesting + consecutive-ListItem grouping for one page/doc group.
+    * Keyed by `seq`, not element id: hash ids collide for identical text, and
+    * the reference keeps a list — every element renders, and a parent_id
+    * resolves to the FIRST element carrying that id
+    * (`_elements_to_html_tags_by_parent`'s `next(...)` lookup,
+    * `convert.py:246-258`; ADVICE r8: an id-keyed Map dropped all but the last
+    * duplicate). */
   private def assemble(els: Seq[E], excludeBinary: Boolean): Vector[R] = {
-    val nodes = els.map(e => e.id -> (e, elementNode(e, excludeBinary))).toMap
-    val childIds = els.filter(_.parentId.isDefined)
-      .groupBy(_.parentId.get).view.mapValues(_.map(_.id)).toMap
+    val nodes: Map[Long, (E, R)] =
+      els.map(e => e.seq -> (e, elementNode(e, excludeBinary))).toMap
+    val firstSeqForId: Map[String, Long] =
+      els.groupBy(_.id).view.mapValues(_.map(_.seq).min).toMap
+    // children in document order, attached to their parent id's first carrier;
+    // a self-parent (identical-text hash collision between parent and child)
+    // is dropped rather than recursed into
+    val childSeqs: Map[Long, Seq[Long]] = els.filter(_.parentId.isDefined)
+      .groupBy(e => firstSeqForId.getOrElse(e.parentId.get, -1L))
+      .view.mapValues(_.map(_.seq)).toMap
 
-    def grouped(ids: Seq[String]): Vector[R] = {
+    def grouped(seqs: Seq[Long]): Vector[R] = {
       val out = Vector.newBuilder[R]
       val run = mutable.ArrayBuffer.empty[R]
       def flushRun(): Unit = if (run.nonEmpty) {
         // synthetic ordered-list wrapper: base Element category, no stable id
-        out += R("ol", Map("class" -> "UncategorizedText"), "", run.toVector)
+        out += R("ol", Map("class" -> "UncategorizedText"), run.toVector.map(Right(_)))
         run.clear()
       }
-      for (id <- ids) {
-        val (e, _) = nodes(id)
-        val built = build(id)
+      for (seq <- seqs) {
+        val (e, _) = nodes(seq)
+        val built = build(seq)
         if (ListTypes.contains(e.tpe)) run += built
         else { flushRun(); out += built }
       }
@@ -154,15 +189,16 @@ object ElementsToHtml {
       out.result()
     }
 
-    def build(id: String): R = {
-      val (e, node) = nodes(id)
-      val kids = childIds.get(id).map(grouped).getOrElse(Vector.empty)
+    def build(seq: Long): R = {
+      val (_, node) = nodes(seq)
+      val kids = childSeqs.get(seq).map(ss => grouped(ss.filter(_ != seq)))
+        .getOrElse(Vector.empty)
       if (kids.isEmpty) node
-      else if (isListContainer(node.tag)) node.copy(children = node.children ++ kids)
-      else R("div", Map.empty, "", node +: kids) // plain wrapper div
+      else if (isListContainer(node.tag)) node.withKids(kids)
+      else R("div", Map.empty, (node +: kids).map(Right(_))) // plain wrapper div
     }
 
-    els.filter(_.parentId.isEmpty).map(e => build(e.id)).toVector
+    els.filter(_.parentId.isEmpty).map(e => build(e.seq)).toVector
   }
 
   /** prettify-style print: one space per depth, sorted attrs, text on its own
@@ -174,8 +210,10 @@ object ElementsToHtml {
     val attrPart = if (attrs.isEmpty) "" else " " + attrs
     if (n.void) { sb.append(s"$pad<${n.tag}$attrPart/>\n"); return }
     sb.append(s"$pad<${n.tag}$attrPart>\n")
-    if (n.text.nonEmpty) sb.append(" " * (depth + 1)).append(esc(n.text)).append('\n')
-    n.children.foreach(render(_, depth + 1, sb))
+    n.content.foreach {
+      case Left(text) => sb.append(" " * (depth + 1)).append(esc(text)).append('\n')
+      case Right(child) => render(child, depth + 1, sb)
+    }
     sb.append(s"$pad</${n.tag}>\n")
   }
 
@@ -187,7 +225,8 @@ object ElementsToHtml {
     sb.append("  <title>\n  </title>\n </head>\n <body>\n")
     if (byPage) groups.zipWithIndex.foreach { case (g, i) =>
       // enumeration index, not the source page number (`convert.py:281`)
-      val page = R("div", Map("data-page_number" -> (i + 1).toString), "", g)
+      val page = R("div", Map("data-page_number" -> (i + 1).toString),
+        g.map(Right(_)))
       render(page, 2, sb)
     }
     else groups.flatten.foreach(render(_, 2, sb))

@@ -66,16 +66,21 @@ object UrlSource {
   }
 
   private def percentDecode(s: String): String = {
-    val sb = new StringBuilder(s.length)
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length) {
         out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
-      } else { out.write(c.toByte); i += 1 }
+      } else {
+        // literal run: emit UTF-8 bytes — truncating a non-ASCII literal to one
+        // byte (ADVICE r8) forms invalid UTF-8 that decodes to U+FFFD, and
+        // chars above 0xFF lose their high byte entirely
+        val end = { var j = i + 1; while (j < s.length && s.charAt(j) != '%') j += 1; j }
+        out.write(s.substring(i, end).getBytes(StandardCharsets.UTF_8))
+        i = end
+      }
     }
-    sb.append(new String(out.toByteArray, StandardCharsets.UTF_8)).toString
+    new String(out.toByteArray, StandardCharsets.UTF_8)
   }
 
   /** Filename hint from the URL path — drives extension-based routing exactly

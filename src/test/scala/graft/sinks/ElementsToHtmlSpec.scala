@@ -94,4 +94,40 @@ class ElementsToHtmlSpec extends SparkSuiteBase {
     val out = html(Seq(row(1, "f1", "Formula", "x = 1")))
     assert(out.contains("<div class=\"Formula\" id=\"f1\">"))
   }
+
+  test("per-type attrs inject into adopted text_as_html too (convert.py always runs them)") {
+    // a Link that carries text_as_html still gets href
+    val link = html(Seq(row(1, "l1", "Link", "click",
+      tah = Some("<a>click</a>"), url = Some("https://x.io"))))
+    assert(link.contains("href=\"https://x.io\""))
+    // a checked checkbox with text_as_html still gets type + checked
+    val box = html(Seq(row(1, "c1", "CheckBoxChecked", "",
+      tah = Some("<input/>"))))
+    assert(box.contains("checked=\"true\"") && box.contains("type=\"checkbox\""))
+    // a synthesized Table (no text_as_html) is styled like an adopted one
+    val tbl = html(Seq(row(1, "tb1", "Table", "k v")))
+    assert(tbl.contains("style=\"border: 1px solid black; border-collapse: collapse;\""))
+  }
+
+  test("duplicate element ids all render; parent links resolve to the first carrier") {
+    // identical text -> identical hash id; the reference keeps a list and
+    // renders every element, resolving parent_id by first match
+    val rows = Seq(
+      row(1, "dup", "NarrativeText", "same text"),
+      row(2, "dup", "NarrativeText", "same text"),
+      row(3, "k1", "NarrativeText", "child", parent = Some("dup")))
+    val out = html(rows)
+    assert("class=\"NarrativeText\" id=\"dup\"".r.findAllIn(out).size == 2)
+    // the child nests under the FIRST dup (wrapper div precedes the second dup)
+    val wrapIdx = out.indexOf("<div>")
+    assert(wrapIdx >= 0 && out.indexOf("child") > wrapIdx)
+  }
+
+  test("mixed text/element content preserves source order") {
+    val out = html(Seq(row(1, "t1", "Table", "before x after",
+      tah = Some("<table><tr><td>before <b>x</b> after</td></tr></table>"))))
+    val td = out.substring(out.indexOf("<td"))
+    assert(td.indexOf("before") < td.indexOf("<b"))
+    assert(td.indexOf("<b") < td.indexOf("after"))
+  }
 }

@@ -20,6 +20,14 @@ class UrlSourceSpec extends AnyFunSuite {
     assert(paras.map(_.text) == Seq("This is a note."))
   }
 
+  test("non-ASCII literals in a data: payload survive percent-decoding") {
+    // literal é (U+00E9), 漢 (above 0xFF), and an emoji surrogate pair mixed
+    // with %XX escapes — each must decode intact, not to U+FFFD
+    val (ft, paras) = UrlSource.partitionUrl("data:,café%20漢%20😀%20ok")
+    assert(ft == FileType.Txt)
+    assert(paras.map(_.text) == Seq("café 漢 😀 ok"))
+  }
+
   test("charset parameter is stripped from the content-type") {
     assert(UrlSource.normalizeContentType(Some("text/HTML; charset=utf-8"))
       .contains("text/html"))
