@@ -437,6 +437,207 @@ class ChunkerSpec extends AnyFunSuite {
   }
 
   // -- normalizeWs --
+  // -- test_chunk_by_title (test_title.py:232) --
+  test("chunk_by_title: the reference's canonical 11-element case") {
+    def emph(tpe: String, t: String, contents: Seq[String]): Element = {
+      nextSeq += 1
+      Element("", tpe, t, "doc1", nextSeq,
+        ElementMetadata(emphasized_text_contents = Some(contents)))
+    }
+    val els = Seq(
+      emph(ElementType.Title, "A Great Day", Seq("Day")),
+      emph(ElementType.NarrativeText, "Today is a great day.", Seq("day")),
+      text("It is sunny outside."),
+      table("Heading\nCell text"),
+      title("An Okay Day"),
+      text("Today is an okay day."),
+      text("It is rainy outside."),
+      title("A Bad Day"),
+      text("Today is a bad day."),
+      text("It is storming outside."),
+      el(ElementType.CheckBox, "")) // no text -> contributes no chunk
+    val chunks = byTitle(els, ChunkingOptions(combineTextUnderNChars = Some(0),
+      includeOrigElements = false))
+    assert(chunks.map(_.text) == Vector(
+      "A Great Day\n\nToday is a great day.\n\nIt is sunny outside.",
+      "Heading\nCell text",
+      "An Okay Day\n\nToday is an okay day.\n\nIt is rainy outside.",
+      "A Bad Day\n\nToday is a bad day.\n\nIt is storming outside."))
+    assert(chunks.map(_.`type`) == Vector(ElementType.CompositeElement,
+      ElementType.Table, ElementType.CompositeElement, ElementType.CompositeElement))
+    // emphasized_text_contents consolidate in document order
+    assert(chunks(0).metadata.emphasized_text_contents.contains(Seq("Day", "day")))
+  }
+
+  // -- test_chunk_by_title_separates_by_page_number (:264) + respects_multipage
+  // -- (:293) + groups_across_pages (:322): same elements, both option values --
+  test("chunk_by_title: page boundaries split only with multipageSections=false") {
+    def make(): Seq[Element] = Seq(
+      el(ElementType.Title, "A Great Day", page = Some(1)),
+      el(ElementType.NarrativeText, "Today is a great day.", page = Some(2)),
+      el(ElementType.NarrativeText, "It is sunny outside.", page = Some(2)),
+      table("Heading\nCell text"),
+      title("An Okay Day"),
+      text("Today is an okay day."),
+      text("It is rainy outside."),
+      title("A Bad Day"),
+      text("Today is a bad day."),
+      text("It is storming outside."),
+      el(ElementType.CheckBox, ""))
+    val perPage = byTitle(make(), ChunkingOptions(multipageSections = false,
+      combineTextUnderNChars = Some(0)))
+    assert(perPage.map(_.text) == Vector(
+      "A Great Day",
+      "Today is a great day.\n\nIt is sunny outside.",
+      "Heading\nCell text",
+      "An Okay Day\n\nToday is an okay day.\n\nIt is rainy outside.",
+      "A Bad Day\n\nToday is a bad day.\n\nIt is storming outside."))
+    val multi = byTitle(make(), ChunkingOptions(multipageSections = true,
+      combineTextUnderNChars = Some(0)))
+    assert(multi.size == 4)
+    assert(multi(0).text ==
+      "A Great Day\n\nToday is a great day.\n\nIt is sunny outside.")
+  }
+
+  // fixture texts from testfiles/chunking/*.json (title_table_200 et al.)
+  private val RfpTableText = "RFP Number: 2024-PMO-01 RFP Title: PMO Services RFP " +
+    "RFP Due Date and Time: Number of Pages: #189 05/30/2024 by 5:00pm Central Time"
+  private val CsvNoteText = "Format: CSV file for Export and Download Contact: " +
+    "Charles Stringham cstringham@alsde.edu to arrange secure data transfer OR " +
+    "with technical questions nickey.johnson@alsde.edu for other questions"
+
+  // -- test_it_chunks_text_followed_by_table_together_when_both_fit (:38) and
+  // -- table_followed_by_text (:48), fixtures title_table_200 / table_text_200 --
+  test("text and table that both fit still emit separate Composite/Table chunks") {
+    val opts = ChunkingOptions(combineTextUnderNChars = Some(0))
+    val a = byTitle(Seq(title("REQUEST FOR PROPOSALS"), table(RfpTableText)), opts)
+    assert(a.map(_.`type`) ==
+      Vector(ElementType.CompositeElement, ElementType.Table))
+    val b = byTitle(Seq(table(RfpTableText), text("REQUEST FOR PROPOSALS")), opts)
+    assert(b.map(_.`type`) ==
+      Vector(ElementType.Table, ElementType.CompositeElement))
+  }
+
+  // -- test_it_starts_new_chunk_for_table_after_full_text_chunk (:145) and
+  // -- text_after_full_table_chunk (:154), fixtures long_text_table_200 /
+  // -- full_table_long_text_250 at max_characters=250 --
+  test("a full chunk on either side of a text/table boundary starts a new chunk") {
+    val opts = ChunkingOptions(maxCharacters = 250)
+    val a = byTitle(Seq(text(CsvNoteText), table(RfpTableText)), opts)
+    assert(a.map(_.`type`) ==
+      Vector(ElementType.CompositeElement, ElementType.Table))
+    assert(a(0).text == CsvNoteText && a(1).text == RfpTableText)
+    val b = byTitle(Seq(table(RfpTableText), text(CsvNoteText)), opts)
+    assert(b.map(_.`type`) ==
+      Vector(ElementType.Table, ElementType.CompositeElement))
+  }
+
+  // -- Describe_ByTitleChunkingOptions (:636-709): option validation edges --
+  test("option validation matches the reference's ValueError edges") {
+    // combine_text_under_n_chars < 0 rejected (-1, -42)
+    for (n <- Seq(-1, -42))
+      assertThrows[IllegalArgumentException](
+        byTitle(Seq(text("x")), ChunkingOptions(combineTextUnderNChars = Some(n))))
+    // 0 disables combining without error
+    assert(byTitle(Seq(text("x")),
+      ChunkingOptions(combineTextUnderNChars = Some(0))).nonEmpty)
+    // combine > max_characters rejected, against default (500) and explicit max
+    assertThrows[IllegalArgumentException](
+      byTitle(Seq(text("x")), ChunkingOptions(combineTextUnderNChars = Some(600))))
+    assertThrows[IllegalArgumentException](
+      byTitle(Seq(text("x")), ChunkingOptions(maxCharacters = 450,
+        combineTextUnderNChars = Some(600))))
+    // new_after_n_chars accepted alone; multipage default is true
+    assert(ChunkingOptions(newAfterNChars = Some(200)).softMax == 200)
+    assert(ChunkingOptions().multipageSections)
+  }
+
+  // -- test_html_output.py:15/38/78 — text_as_html consolidation, both strategies --
+  private def withHtml(tpe: String, t: String, html: String,
+      parent: Option[String] = None): Element = {
+    nextSeq += 1
+    Element("", tpe, t, "doc1", nextSeq,
+      ElementMetadata(text_as_html = Some(html), parent_id = parent))
+  }
+
+  test("text_as_html space-joins across combined elements in both strategies") {
+    val m1 = """<h1 class="Title" id="1">Header </h1>"""
+    val m2 = """<time class="CalendarDate" id="2">Date: October 30, 2023 </time>"""
+    val m3 = """<form class="Form" id="3"> """ +
+      """<label class="FormField" for="company-name" id="4">Form field name </label>""" +
+      """<input class="FormFieldValue" id="5" value="Example value" /></form>"""
+    def els() = Seq(
+      withHtml(ElementType.Title, "Header", m1),
+      withHtml(ElementType.NarrativeText, "Date: October 30, 2023", m2),
+      withHtml(ElementType.NarrativeText, "Form field name Example value", m3))
+    for (chunks <- Seq(basic(els()),
+        byTitle(els(), ChunkingOptions(combineTextUnderNChars = Some(0))))) {
+      assert(chunks.size == 1)
+      assert(chunks(0).metadata.text_as_html.contains(s"$m1 $m2 $m3"))
+    }
+  }
+
+  test("text_as_html from a parent container lands on the first chunk only") {
+    val m1 = """<div class="Section" id="1" />"""
+    val m2 = """<p class="Paragraph" id="2">First </p>"""
+    val m3 = """<p class="Paragraph" id="3">Second </p>"""
+    def els() = Seq(
+      withHtml(ElementType.NarrativeText, "", m1),
+      withHtml(ElementType.NarrativeText, "First", m2, parent = Some("1")),
+      withHtml(ElementType.NarrativeText, "Second", m3, parent = Some("1")))
+    for (chunks <- Seq(basic(els(), ChunkingOptions(maxCharacters = 6)),
+        byTitle(els(), ChunkingOptions(maxCharacters = 6,
+          combineTextUnderNChars = Some(0))))) {
+      assert(chunks.map(_.text) == Vector("First", "Second"))
+      assert(chunks(0).metadata.text_as_html.contains(s"$m1 $m2"))
+      assert(chunks(1).metadata.text_as_html.contains(m3))
+    }
+  }
+
+  test("text_as_html repeats on every split of an oversized element") {
+    val m1 = """<h1 class="Title" id="1">Header </h1>"""
+    def els() = Seq(withHtml(ElementType.Title, "Header", m1))
+    for (chunks <- Seq(basic(els(), ChunkingOptions(maxCharacters = 3)),
+        byTitle(els(), ChunkingOptions(maxCharacters = 3,
+          combineTextUnderNChars = Some(0))))) {
+      assert(chunks.map(_.text) == Vector("Hea", "der"))
+      assert(chunks(0).metadata.text_as_html.contains(m1))
+      assert(chunks(1).metadata.text_as_html.contains(m1))
+    }
+  }
+
+  // -- test_table_isolation.py DescribeTableIsolationDisabled (:241-295) --
+  test("isolateTable=false restores table/text sharing and combining") {
+    val els = Seq(text("preamble"), table("H\nC"), text("post"))
+    val chunks = basic(els, ChunkingOptions(isolateTable = false))
+    assert(chunks.size == 1)
+    assert(chunks(0).`type` == ElementType.CompositeElement)
+    assert(chunks(0).text.contains("preamble") && chunks(0).text.contains("post"))
+    // ...while the default still isolates the same inputs into three chunks
+    assert(basic(els.map(e => e.copy()), ChunkingOptions()).size == 3)
+  }
+
+  // -- DescribeTableIsolationOverlapAll (:297-345) --
+  test("overlap never crosses a table boundary in either direction") {
+    val o = ChunkingOptions(newAfterNChars = Some(0), overlap = 5, overlapAll = true)
+    val a = basic(Seq(text("Alpha beta gamma delta."), table("H\nC")), o)
+    val t = a.filter(_.`type` == ElementType.Table)
+    assert(t.size == 1)
+    assert(!t(0).text.contains("Alpha") && !t(0).text.contains("elta"))
+    val b = basic(Seq(table("H\nC"), text("Omega sigma tau upsilon.")), o)
+    val comp = b.filter(_.`type` == ElementType.CompositeElement)
+    assert(comp.size == 1)
+    assert(comp(0).text.startsWith("Omega"))
+  }
+
+  // -- DescribeTableIsolationChunkElements (:193-217) --
+  test("two adjacent tables yield two distinct Table chunks even in a huge window") {
+    val els = Seq(table("A\n1"), table("B\n2"))
+    val chunks = basic(els, ChunkingOptions(maxCharacters = 10000))
+    assert(chunks.map(_.`type`) == Vector(ElementType.Table, ElementType.Table))
+    assert(chunks.map(_.text) == Vector("A\n1", "B\n2"))
+  }
+
   test("normalizeWs collapses all whitespace runs") {
     assert(Chunker.normalizeWs("  a \t b\n\nc  ") == "a b c")
     assert(Chunker.normalizeWs("") == "")

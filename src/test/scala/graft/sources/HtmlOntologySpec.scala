@@ -291,4 +291,81 @@ class HtmlOntologySpec extends AnyFunSuite {
     assert(page.children.map(_.cls.name) == Vector("Column"))
     assert(page.children.head.children.map(_.text) == Vector("Body text"))
   }
+
+  // -- test_parsing_header_and_footer_into_correct_ontologyelement (:31) --
+  test("header and footer parse into their ontology classes") {
+    val page = HtmlOntology.parseOntology(body(
+      """<div class="Page"><header class="Header"> this is a header </header>""" +
+        """<footer class="Footer"> this is a footer </footer></div>""")).get
+      .children.head
+    assert(page.children.size == 2)
+    val Vector(header, footer) = page.children
+    assert(header.cls.name == "Header" && header.tag == "header")
+    assert(HtmlOntology.toText(header) == "this is a header")
+    assert(footer.cls.name == "Footer" && footer.tag == "footer")
+    assert(HtmlOntology.toText(footer) == "this is a footer")
+  }
+
+  // -- test_table_and_time (:418): table internals drop classes, keep tags/attrs --
+  test("time and span inside a table keep tags and attrs but lose classes") {
+    val ont = HtmlOntology.parseOntology(body(
+      """<div class="Page"><table class="Table"><thead class="TableHeader">""" +
+        """<tr class="TableRow"><th class="TableCellHeader" colspan="6">Carrying Value</th></tr></thead>""" +
+        """<tbody class="TableBody"><tr class="TableRow"><td class="TableCell" colspan="5">""" +
+        """<time class="CalendarDate">June 30, 2023</time></td>""" +
+        """<td class="TableCell"><span class="Currency">$—</span></td></tr></tbody></table></div>""")).get
+    val table = ont.children.head.children.head
+    assert(table.cls.name == "Table")
+    assert(HtmlOntology.toHtml(table) ==
+      """<table class="Table"><thead><tr><th colspan="6">Carrying Value</th></tr></thead>""" +
+        """<tbody><tr><td colspan="5"><time>June 30, 2023</time></td>""" +
+        """<td><span>$—</span></td></tr></tbody></table>""")
+  }
+
+  // -- test_input_tag_type_is_mapped_to_correct_ontology_class (:684) --
+  test("bare input tags classify from their type attribute") {
+    def one(typeAttr: String): HtmlOntology.ONode =
+      HtmlOntology.parseOntology(body(
+        s"""<div class="Page"><input$typeAttr name="field" /></div>""")).get
+        .children.head.children.head
+    assert(one(""" type="checkbox"""").cls.name == "Checkbox")
+    assert(one(""" type="radio"""").cls.name == "RadioButton")
+    assert(one(""" type="text"""").cls.name == "FormFieldValue")
+    assert(one("").cls.name == "FormFieldValue") // missing type attribute
+    assert(one(""" type="radio"""").tag == "input")
+  }
+
+  // -- test_text_in_form_field_value (:577) / _with_null_value (:592) --
+  test("FormFieldValue to_text comes from the value attr, empty when blank") {
+    def field(value: String): HtmlOntology.ONode =
+      HtmlOntology.parseOntology(body(
+        s"""<div class="Page"><input class="FormFieldValue" value="$value"/></div>""")).get
+        .children.head.children.head
+    assert(HtmlOntology.toText(field("Random Input Value")) == "Random Input Value")
+    assert(field("Random Input Value").text == "")
+    assert(HtmlOntology.toText(field("")) == "")
+  }
+
+  // -- test_recursion_limit_is_limiting_parsing (:625) + to_text (:642) --
+  test("recursion limit caps parse depth; deeper HTML is kept as raw text") {
+    val nested = (1 to 100).foldLeft("some text") {
+      (inner, _) => s"""<p class="Paragraph">$inner</p>"""
+    }
+    val ont = HtmlOntology.parseOntology(body(nested)).get
+    var last = ont.children.head
+    var depth = 1
+    while (last.children.nonEmpty) { last = last.children.head; depth += 1 }
+    assert(depth == 50) // RECURSION_LIMIT, transformations.py:21
+    assert(last.text.startsWith("""<p class="Paragraph">"""))
+    assert(HtmlOntology.toText(last) == "some text")
+  }
+
+  // -- test_uncategorizedtest_has_image_and_no_text (:656) --
+  test("UncategorizedText div holding only an img classifies as Image") {
+    val el = HtmlOntology.parseOntology(body(
+      """<div class="Page"><div class="UncategorizedText">""" +
+        """<img src="https://www.example.com/image.jpg"/></div></div>""")).get
+      .children.head.children.head
+    assert(el.cls.name == "Image")
+  }
 }
