@@ -607,7 +607,7 @@ object PipelineQueries {
          | '<!DOCTYPE html>' || chr(10) ||
          | '<html lang="en">' || chr(10) ||
          | ' <head>' || chr(10) ||
-         | '  <meta charset="UTF-8"/>' || chr(10) ||
+         | '  <meta charset="utf-8"/>' || chr(10) ||
          | '  <meta content="width=device-width, initial-scale=1.0" name="viewport"/>' || chr(10) ||
          | '  <title>' || chr(10) ||
          | '  </title>' || chr(10) ||

@@ -117,7 +117,7 @@ object ElementSink {
       imageUrl: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(tpe === ElementType.Title, concat(lit("# "), text))
       .when(tpe === ElementType.Formula,
-        concat(lit("$$"), text, lit("$$")))
+        graft.functions.expr.FormulaMarkdown.column(text))
       .when(tpe === ElementType.Table && textAsHtml.isNotNull, textAsHtml)
       .when(tpe === ElementType.Image && imageBase64.isNotNull && imageMime.isNull,
         concat(lit("!["), text, lit("](data:image/*;base64,"), imageBase64, lit(")")))

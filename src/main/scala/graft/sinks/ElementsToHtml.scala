@@ -220,7 +220,9 @@ object ElementsToHtml {
   private def renderDoc(groups: Vector[Vector[R]], byPage: Boolean): String = {
     val sb = new StringBuilder
     sb.append("<!DOCTYPE html>\n<html lang=\"en\">\n <head>\n")
-    sb.append("  <meta charset=\"UTF-8\"/>\n")
+    // bs4's formatter rewrites the template's UTF-8 to lowercase (pinned by the
+    // reference's own expected-structured-output-html goldens)
+    sb.append("  <meta charset=\"utf-8\"/>\n")
     sb.append("  <meta content=\"width=device-width, initial-scale=1.0\" name=\"viewport\"/>\n")
     sb.append("  <title>\n  </title>\n </head>\n <body>\n")
     if (byPage) groups.zipWithIndex.foreach { case (g, i) =>

@@ -47,7 +47,26 @@ class GoldenWireSpec extends SparkSuiteBase {
     "delta-table/0-9d594ee0-ad36-4e7e-a6be-f53975fe3d10-0.json",
     "confluence-diff/MFS/1540126.json",
     "astradb/25b75f1d-a2ea-4c97-b75f-1da2eadc97f7.csv.json",
-    "mongodb/659daefa21dd8c9054b084b6.json")
+    "mongodb/659daefa21dd8c9054b084b6.json",
+    // round-9 widening: more eml (outlook + salesforce EmailMessage), the
+    // connector dumps whose renders GoldenRenderSpec pins (notion, hubspot,
+    // jira, discord, kafka, slack), nested onedrive/gcs txt, github html,
+    // and the formula PDF
+    "outlook/497eba8c81c801c6.eml.json",
+    "outlook/4a16a411f162ebbb.eml.json",
+    "salesforce/EmailMessage/02sHu00001efErPIAU.eml.json",
+    "salesforce/EmailMessage/02sHu00001efErQIAU.eml.json",
+    "notion/122b2c22-996b-435b-9de2-ee0e9d2b04bc.json",
+    "hubspot/products/2362691415.json",
+    "hubspot/tickets/1976928828.json",
+    "jira-diff/1/10000.json",
+    "discord/1099442333440802930.json",
+    "kafka/fake-topic.json",
+    "slack/C07ABKJ83C6.json",
+    "onedrive/utic-test-ingest-fixtures/fake-text.txt.json",
+    "gcs/nested-1/fake-text.txt.json",
+    "github/test.html.json",
+    "s3/2023-Jan-economic-outlook.pdf.json")
 
   /** Rehydrate a golden array file; the engine-added doc_id/seq (implicit in the
     * reference: file scope + array order) are filled deterministically. */
