@@ -65,18 +65,41 @@ object Extractors {
       .otherwise(lit(null).cast("timestamp"))
   }
 
-  /** `extract_text_before` — `extract.py:31-43` (first occurrence): prefix before match. */
-  def extractTextBefore(c: Column, pattern: String, strip: Boolean = true): Column = {
-    val pos = regexp_instr(c, lit(pattern)) // 1-based start of first match; 0 if none
-    val before = when(pos > 0, substring(c, lit(1), pos - 1)).otherwise(lit(null))
+  private def nthMatchSpan(c: Column, pattern: String, index: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.NthMatch(
+        org.apache.spark.sql.graft.bridge.expression(c), pattern, index))
+
+  /** `extract_text_before` — `extract.py:31-43`: prefix before the `index`-th
+    * match (0-based, `_get_indexed_match`); null when absent. */
+  def extractTextBefore(c: Column, pattern: String, strip: Boolean = true,
+      index: Int = 0): Column = {
+    val before =
+      if (index == 0) {
+        val pos = regexp_instr(c, lit(pattern)) // 1-based start of first match; 0 if none
+        when(pos > 0, substring(c, lit(1), pos - 1)).otherwise(lit(null))
+      } else {
+        val span = nthMatchSpan(c, pattern, index)
+        when(span.isNotNull,
+          substring(c, lit(1), element_at(span, 1) - 1)).otherwise(lit(null))
+      }
     if (strip) regexp_replace(before, "\\s+$", "") else before
   }
 
-  /** `extract_text_after` — `extract.py:46-58` (first occurrence): suffix after match. */
-  def extractTextAfter(c: Column, pattern: String, strip: Boolean = true): Column = {
-    val m = regexp_extract(c, pattern, 0)
-    val pos = regexp_instr(c, lit(pattern))
-    val after = when(pos > 0, substring(c, pos + length(m), lit(1000000))).otherwise(lit(null))
+  /** `extract_text_after` — `extract.py:46-58`: suffix after the `index`-th
+    * match (0-based); null when absent. */
+  def extractTextAfter(c: Column, pattern: String, strip: Boolean = true,
+      index: Int = 0): Column = {
+    val after =
+      if (index == 0) {
+        val m = regexp_extract(c, pattern, 0)
+        val pos = regexp_instr(c, lit(pattern))
+        when(pos > 0, substring(c, pos + length(m), lit(1000000))).otherwise(lit(null))
+      } else {
+        val span = nthMatchSpan(c, pattern, index)
+        when(span.isNotNull,
+          substring(c, element_at(span, 2) + 1, lit(1000000))).otherwise(lit(null))
+      }
     if (strip) regexp_replace(after, "^\\s+", "") else after
   }
 
