@@ -68,8 +68,11 @@ object AnalysisQueries {
 
   /** BOW normalization (reference `metrics/text_extraction.py:123-157`): lowercase,
     * strip punctuation, whitespace-split. */
+  // reference-faithful bag_of_words tokenization (text_extraction.py:123-156):
+  // in-word '/- survive, spaced-out single-char runs drop, isolated alnum
+  // singles stay — one native pass ([[graft.functions.expr.BagOfWordsTokens]])
   private def bowWords(c: Column): Column =
-    TextAnalysis.words(regexp_replace(lower(c), "\\p{P}", ""))
+    graft.functions.expr.BagOfWordsTokens.column(c)
 
   /** Per-(doc,word) counts of a text expression. */
   private def wordCounts(d: DataFrame, text: Column, n: String): DataFrame =
@@ -443,8 +446,25 @@ object AnalysisQueries {
   private def fingerprint(x: String): String =
     ph(s"lower(${O.cleanExtraWhitespace(x)})")
 
-  private def bowWordsSql(x: String): String =
-    O.words(s"regexp_replace(lower($x), '\\p{P}', '', 'g')")
+  /** Two CTEs (`<alias>0`, `<alias>`) holding the reference bag_of_words
+    * tokens of `x` per doc: punctuation removal excluding `'`/`-`, one leading
+    * bullet cleaned (RE2 has no lookahead, so "not followed by another bullet"
+    * is a second anchored match), whitespace split, then the single-char run
+    * rule — a single survives only isolated AND alphanumeric. */
+  private def bowKeptSql(x: String, alias: String): String = {
+    val noPunct = s"regexp_replace(lower($x), '[^\\P{P}''-]', '', 'g')"
+    val alt = s"(?:${O.bulletsAlt})"
+    val deBullet = s"(CASE WHEN regexp_matches($noPunct, '^$alt') AND NOT " +
+      s"regexp_matches($noPunct, '^$alt$alt') THEN " +
+      O.strip(s"regexp_replace($noPunct, '^$alt', '')") + s" ELSE $noPunct END)"
+    val toks = s"list_filter(string_split_regex($deBullet, '\\s+'), w -> w <> '')"
+    s"""${alias}0 AS (SELECT doc_id, $toks AS t FROM documents),
+       |$alias AS (
+       |  SELECT doc_id, t[i] AS w FROM ${alias}0, unnest(range(1, len(t)+1)) AS u(i)
+       |  WHERE length(t[i]) > 1 OR (
+       |    regexp_matches(t[i], '^[\\pL\\p{Nd}]$$') AND
+       |    (i = 1 OR length(t[i-1]) > 1) AND (i = len(t) OR length(t[i+1]) > 1)))""".stripMargin
+  }
 
   private val missingOutSql = "regexp_replace(text, '\\S*e\\S*', '', 'g')"
   private val ngramOutSql = {
@@ -739,19 +759,18 @@ object AnalysisQueries {
         |ORDER BY doc_id, frame_ts""".stripMargin,
 
     "q_bag_of_words" ->
-      s"""SELECT w AS word, CAST(count(*) AS BIGINT) AS n
-         |FROM (SELECT unnest(${bowWordsSql("text")}) AS w FROM documents)
+      s"""WITH ${bowKeptSql("text", "kept")}
+         |SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+         |FROM kept
          |GROUP BY w ORDER BY n DESC, word LIMIT 100""".stripMargin,
 
     "q_percent_missing_text" ->
-      s"""WITH src AS (
-         |  SELECT doc_id, w, count(*) AS sn
-         |  FROM (SELECT doc_id, unnest(${bowWordsSql("text")}) AS w FROM documents)
-         |  GROUP BY doc_id, w),
+      s"""WITH ${bowKeptSql("text", "srck")},
+         |${bowKeptSql(missingOutSql, "outk")},
+         |src AS (
+         |  SELECT doc_id, w, count(*) AS sn FROM srck GROUP BY doc_id, w),
          |outw AS (
-         |  SELECT doc_id, w, count(*) AS onn
-         |  FROM (SELECT doc_id, unnest(${bowWordsSql(missingOutSql)}) AS w FROM documents)
-         |  GROUP BY doc_id, w)
+         |  SELECT doc_id, w, count(*) AS onn FROM outk GROUP BY doc_id, w)
          |SELECT src.doc_id,
          |  round(1.0 - SUM(LEAST(sn, coalesce(onn, 0)))::DOUBLE / SUM(sn)::DOUBLE, 4)
          |    AS pct_missing
