@@ -121,6 +121,27 @@ object Cleaners {
       else replace(acc, lit(k), lit(v))
     }
 
+  /** The 19 double- and 20 single-quote codepoints the reference's
+    * `standardize_quotes` folds to ASCII (`metrics/text_extraction.py:7-54`) —
+    * includes the three supplementary sans-serif ornament quotes (U+1F676-78),
+    * so lengths below are CODEPOINT counts, not char counts. */
+  val DoubleQuoteCodepoints: String =
+    "\"“”„‟«»❝❞⹂" +
+      new String(Character.toChars(0x1F676)) +
+      new String(Character.toChars(0x1F677)) +
+      new String(Character.toChars(0x1F678)) +
+      "⠦⠴〝〞〟＂"
+  val SingleQuoteCodepoints: String =
+    "'‘’‚‛‹›❛❜" +
+      "「」『』﹁﹂﹃﹄＇｢｣"
+
+  /** `standardize_quotes` — `metrics/text_extraction.py:214-224` (the
+    * reference's own pytest micro-benchmark target): one codepoint-level
+    * `translate`, no regex. */
+  def standardizeQuotes(c: Column): Column =
+    translate(c, DoubleQuoteCodepoints + SingleQuoteCodepoints,
+      "\"" * 19 + "'" * 20)
+
   /** `remove_punctuation` — `core.py:311-313`: drop all Unicode-category-P chars. */
   def removePunctuation(c: Column): Column =
     regexp_replace(c, "\\p{P}", "")

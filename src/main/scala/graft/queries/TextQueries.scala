@@ -63,6 +63,17 @@ object TextQueries {
         concat(lit("\u0091"), col("text"),
           lit("\u0092 &apos; \u00e2\u0080\u0099 \u0093q\u0094"))), "cleaned")),
 
+    // standardize_quotes (metrics/text_extraction.py:214-224): smart doubles,
+    // corner brackets, ornament quotes, and a supplementary sans-serif ornament
+    // (U+1F676) all fold to ASCII around the document text
+    "q_standardize_quotes" -> ((s, dir) => one(s, dir)(
+      Cleaners.standardizeQuotes(
+        concat(lit("\u201c"), col("text"),
+          lit("\u201d \u2018tis \u300cch 1\u300d \u275dq\u275e " +
+            new String(Character.toChars(0x1F676)) + "deep" +
+            new String(Character.toChars(0x1F677)) + " \u00abfin\u00bb"))),
+      "cleaned")),
+
     "q_remove_punctuation" -> ((s, dir) => one(s, dir)(
       Cleaners.removePunctuation(concat(col("text"), lit(".,!?;:"))), "cleaned")),
 
@@ -343,6 +354,21 @@ object TextQueries {
         "(chr(145) || text || chr(146) || ' &apos; ' || " +
           "chr(226) || chr(128) || chr(153) || ' ' || chr(147) || 'q' || chr(148))"),
         "cleaned"),
+
+    // from/to are generated from the SAME codepoint constants the engine
+    // translates with, so a table edit can never silently diverge
+    "q_standardize_quotes" -> {
+      val allFrom = (graft.functions.Cleaners.DoubleQuoteCodepoints +
+        graft.functions.Cleaners.SingleQuoteCodepoints)
+        .codePoints.toArray.map(cp => s"chr($cp)").mkString(" || ")
+      val input = "chr(8220) || text || chr(8221) || ' ' || chr(8216) || 'tis ' || " +
+        "chr(12300) || 'ch 1' || chr(12301) || ' ' || chr(10077) || 'q' || " +
+        "chr(10078) || ' ' || chr(128630) || 'deep' || chr(128631) || ' ' || " +
+        "chr(171) || 'fin' || chr(187)"
+      docSel(
+        s"""translate($input, $allFrom, repeat('"', 19) || repeat(chr(39), 20))""",
+        "cleaned")
+    },
 
     "q_remove_punctuation" ->
       docSel("regexp_replace(text || '.,!?;:', '\\p{P}', '', 'g')", "cleaned"),
