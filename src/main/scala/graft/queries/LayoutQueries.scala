@@ -280,6 +280,34 @@ object LayoutQueries {
         .orderBy("doc_id")
     }),
 
+    // calculate_edit_distance / calculate_accuracy (text_extraction.py:69-120):
+    // the FULL pipeline — prepare_str whitespace collapse, standardize_quotes
+    // (smart-quoted output vs ASCII-quoted source must cost nothing), weighted
+    // DP, then the division-safe bounded score. The output corrupts via
+    // substitution only ('e' -> '§', a char absent from the corpus) so the
+    // closed-form distance is exactly the 'e' count.
+    "q_edit_distance_accuracy" -> ((s, dir) => {
+      def wlev(a: Column, b: Column): Column =
+        org.apache.spark.sql.graft.bridge.column(
+          graft.functions.expr.WeightedLevenshtein(
+            org.apache.spark.sql.graft.bridge.expression(a),
+            org.apache.spark.sql.graft.bridge.expression(b)))
+      val prep: Column => Column = x =>
+        graft.functions.Cleaners.standardizeQuotes(
+          array_join(filter(split(x, "\\s+"), w => w =!= ""), " "))
+      val t = substring(col("text"), 1, 500)
+      val source = prep(concat(lit("\""), t, lit("\"")))
+      val output = prep(concat(lit("“"),
+        regexp_replace(regexp_replace(t, "e", "§"), " ", "   "),
+        lit("”")))
+      val dist = wlev(output, source).cast("long")
+      val score = round(lit(1.0) - least(greatest(
+        dist.cast("double") / greatest(length(source), lit(1)).cast("double"),
+        lit(0.0)), lit(1.0)), 4)
+      docs(s, dir).select(col("doc_id"), dist.as("edit_dist"),
+        score.as("accuracy")).orderBy("doc_id")
+    }),
+
     // TEDS-like table eval: real parse+cell-match on constructed gold/pred pair —
     // pred corrupts one of 4 cells for every 3rd part -> score 2*3/8, else 1.0
     "q_table_eval" -> ((s, dir) => {
@@ -515,6 +543,17 @@ object LayoutQueries {
         |  length(t) - length(replace(t, 'e', '')) AS sub_dist,
         |  CASE doc_id % 6 WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 3
         |                  WHEN 3 THEN 2 WHEN 4 THEN 5 WHEN 5 THEN 7 END AS mixed_dist
+        |FROM (SELECT doc_id, substring(text, 1, 500) AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // substitution-only corruption: distance = 'e' count; source length after
+    // quote-wrapping = len + 2; score = 1 - bounded(dist / max(len, 1))
+    "q_edit_distance_accuracy" ->
+      """SELECT doc_id,
+        |  CAST(length(t) - length(replace(t, 'e', '')) AS BIGINT) AS edit_dist,
+        |  round(1.0 - LEAST(GREATEST(
+        |    (length(t) - length(replace(t, 'e', '')))::DOUBLE /
+        |      GREATEST(length(t) + 2, 1)::DOUBLE, 0.0), 1.0), 4) AS accuracy
         |FROM (SELECT doc_id, substring(text, 1, 500) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
