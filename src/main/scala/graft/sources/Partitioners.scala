@@ -151,15 +151,25 @@ object Partitioners {
     out.toSeq
   }
 
-  private def decodeBody(body: String, encoding: String): String =
+  /** Resolve a MIME `charset=` parameter, falling back to UTF-8 — a base64 or
+    * quoted-printable part in e.g. windows-1255 or iso-8859-1 garbles when
+    * decoded blindly as UTF-8 (`email.py` honors the part charset). */
+  private def partCharset(name: Option[String]): java.nio.charset.Charset =
+    name.flatMap(n => scala.util.Try(java.nio.charset.Charset.forName(n.trim)).toOption)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def decodeBody(body: String, encoding: String,
+      charset: Option[String] = None): String = {
+    val cs = partCharset(charset)
     encoding.toLowerCase match {
       case "base64" =>
         scala.util.Try(new String(
-          java.util.Base64.getMimeDecoder.decode(body.replaceAll("\\s", "")),
-          java.nio.charset.StandardCharsets.UTF_8)).getOrElse(body)
-      case "quoted-printable" => decodeQuotedPrintable(body)
+          java.util.Base64.getMimeDecoder.decode(body.replaceAll("\\s", "")), cs))
+          .getOrElse(body)
+      case "quoted-printable" => new String(decodeQuotedPrintableBytes(body), cs)
       case _ => body
     }
+  }
 
   def decodeQuotedPrintableBytes(s: String): Array[Byte] = {
     val src = s.replace("=\r\n", "").replace("=\n", "")
@@ -192,8 +202,13 @@ object Partitioners {
       header("Content-Type").flatMap { ct =>
         "boundary=\"?([^\";]+)\"?".r.findFirstMatchIn(ct).map(_.group(1))
       }
+    def charsetParam: Option[String] =
+      header("Content-Type").flatMap { ct =>
+        "(?i)charset=\"?([^\";]+)\"?".r.findFirstMatchIn(ct).map(_.group(1))
+      }
     def decoded: String =
-      decodeBody(body, header("Content-Transfer-Encoding").getOrElse("7bit"))
+      decodeBody(body, header("Content-Transfer-Encoding").getOrElse("7bit"),
+        charsetParam)
   }
 
   private def parsePart(raw: String): MimePart = {
