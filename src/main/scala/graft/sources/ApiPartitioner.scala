@@ -32,6 +32,13 @@ object ApiPartitioner {
   trait ApiClient extends Serializable {
     def post(url: String, apiKey: String, fileName: String,
         content: Array[Byte], params: Map[String, String]): ApiResponse
+    /** One batched multipart POST carrying several files
+      * (`partition_multiple_via_api`'s single request). */
+    def postMultiple(url: String, apiKey: String,
+        files: Seq[(String, Array[Byte])],
+        params: Map[String, String]): ApiResponse =
+      throw new UnsupportedOperationException(
+        "this client does not support batched partitioning")
   }
 
   /** `connectionError=true` models a transport-level failure (no status). */
@@ -113,6 +120,44 @@ object ApiPartitioner {
     }
     if (response.connectionError) Left("Connection error from the API.")
     else if (response.statusCode == 200) Right(response.body)
+    else Left(s"Receive unexpected status code ${response.statusCode} from the API.")
+  }
+
+  /**
+   * `partition_multiple_via_api` (`api.py:232-337`): one batched multipart
+   * POST for several documents. Validation mirrors the reference — paired
+   * content-type lengths, metadata_filenames required (and length-matched)
+   * for in-memory files, the metadata/file_filenames conflict. On 200 the
+   * caller receives the raw body (a list of element lists; a single-document
+   * response degenerates to one list, exactly the quirk the reference
+   * normalizes — `api.py:330-336`).
+   */
+  def partitionMultipleViaApi(
+      fileNames: Seq[String],
+      contents: Seq[Array[Byte]],
+      contentTypes: Option[Seq[String]] = None,
+      metadataFilenames: Option[Seq[String]] = None,
+      fileFilenames: Option[Seq[String]] = None,
+      apiUrl: String = DefaultApiUrl,
+      apiKey: String = "",
+      client: ApiClient,
+      requestParams: Map[String, String] = Map.empty): Either[String, String] = {
+    if (metadataFilenames.isDefined && fileFilenames.isDefined)
+      return Left("Only one of metadata_filenames and file_filenames is specified. " +
+        "metadata_filenames is preferred. file_filenames is marked for deprecation.")
+    val metaNames = metadataFilenames.orElse(fileFilenames)
+    if (contentTypes.exists(_.size != contents.size))
+      return Left("content_types and files must have the same length.")
+    if (fileNames.isEmpty) {
+      if (metaNames.isEmpty)
+        return Left("metadata_filenames must be specified if files are passed")
+      if (metaNames.exists(_.size != contents.size))
+        return Left("metadata_filenames and files must have the same length.")
+    }
+    val names = if (fileNames.nonEmpty) fileNames else metaNames.get
+    val response = client.postMultiple(apiUrl, apiKey, names.zip(contents),
+      requestParams)
+    if (response.statusCode == 200) Right(response.body)
     else Left(s"Receive unexpected status code ${response.statusCode} from the API.")
   }
 

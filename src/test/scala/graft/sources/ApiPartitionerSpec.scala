@@ -98,6 +98,38 @@ class ApiPartitionerSpec extends SparkSuiteBase {
     assert(c2.calls.size >= 2 && c2.calls.size <= 4) // bounded, not infinite
   }
 
+  test("partition_multiple_via_api batches one request and validates lengths") {
+    val seen = mutable.ArrayBuffer.empty[Seq[String]]
+    val batch = new ApiClient {
+      def post(url: String, apiKey: String, fileName: String,
+          content: Array[Byte], params: Map[String, String]): ApiResponse =
+        fail("single post must not be called for a batch")
+      override def postMultiple(url: String, apiKey: String,
+          files: Seq[(String, Array[Byte])],
+          params: Map[String, String]): ApiResponse = {
+        seen += files.map(_._1)
+        ApiResponse(200, "[[], []]")
+      }
+    }
+    val ok = ApiPartitioner.partitionMultipleViaApi(
+      fileNames = Seq("a.txt", "b.txt"),
+      contents = Seq("x".getBytes, "y".getBytes), client = batch)
+    assert(ok.exists(_ == "[[], []]"))
+    assert(seen.toSeq == Seq(Seq("a.txt", "b.txt"))) // ONE request for both files
+    // in-memory files demand matching metadata_filenames
+    val noMeta = ApiPartitioner.partitionMultipleViaApi(fileNames = Seq.empty,
+      contents = Seq("x".getBytes), client = batch)
+    assert(noMeta.swap.exists(_.contains("metadata_filenames must be specified")))
+    val badLen = ApiPartitioner.partitionMultipleViaApi(fileNames = Seq.empty,
+      contents = Seq("x".getBytes), metadataFilenames = Some(Seq("a", "b")),
+      client = batch)
+    assert(badLen.swap.exists(_.contains("must have the same length")))
+    val badCt = ApiPartitioner.partitionMultipleViaApi(fileNames = Seq("a.txt"),
+      contents = Seq("x".getBytes), contentTypes = Some(Seq("t/a", "t/b")),
+      client = batch)
+    assert(badCt.swap.exists(_.contains("must have the same length")))
+  }
+
   test("a 200 body rehydrates through the shared wire reader") {
     val c = new FakeClient(Seq(ApiResponse(200, okBody)))
     val els = ApiPartitioner.partitionViaApi(fileName = Some("a.txt"), client = c)
