@@ -172,6 +172,16 @@ object AnalysisQueries {
         .filter(col("n_docs") > 1)
         .orderBy("fp")),
 
+    // the same exact-dedup aggregation executed THROUGH Structured Streaming
+    // (readStream → fingerprint → stateful groupBy → AvailableNow): state is
+    // one row per distinct fingerprint, and min(doc_id) keeps the winner
+    // order-independent across racing file splits
+    "q_stream_exact_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .exactDedupAvailableNow(s, s"$dir/documents.parquet")
+        .filter(col("n_docs") > 1)
+        .orderBy("fp")),
+
     "q_minhash_signature" -> ((s, dir) => one(s, dir)(
       concat_ws(",",
         TextAnalysis.minHashSignature(withNonBmp(col("text")), k = 8, shingleN = 3)),
@@ -588,6 +598,17 @@ object AnalysisQueries {
       s"""SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM (SELECT doc_id, ${fingerprint("text")} AS fp FROM $dupUnion)
+         |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    // every doc_id % 3 == 0 re-emitted under id+1000000 -> exactly those
+    // fingerprints form duplicate groups with first_doc = the original id
+    "q_stream_exact_dedup" ->
+      s"""SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+         |FROM (
+         |  SELECT doc_id, ${fingerprint("text")} AS fp FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, ${fingerprint("text")} AS fp FROM documents
+         |  WHERE doc_id % 3 = 0)
          |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
     "q_minhash_signature" ->

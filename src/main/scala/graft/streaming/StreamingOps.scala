@@ -100,6 +100,51 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /**
+   * Streaming exact deduplication: `readStream` over the corpus → content
+   * fingerprint → `groupBy(fp)` keep-first aggregation, drained with
+   * `Trigger.AvailableNow` into a memory sink. Every third document is
+   * re-emitted under a shifted id so duplicate groups exist deterministically
+   * (mirrored in the batch oracle). State is one row per DISTINCT fingerprint
+   * — the same O(uniques) bound a production `dropDuplicates`-with-watermark
+   * pipeline carries; min(doc_id) keeps the winner order-independent, so the
+   * result is identical however the file splits race.
+   */
+  def exactDedupAvailableNow(spark: SparkSession, documentsPath: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
+    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (id % 3 == 0) Seq((id, text), (id + 1000000L, text))
+        else Seq((id, text))
+      }.toDF("doc_id", "text")
+    val agg = docs
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.docFingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+    val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+    } finally {
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: Throwable => () }
+    }
+    spark.table(name)
+  }
+
   /** Resume state for the incremental streaming chunk fold: the still-open trailing
     * pre-chunk's elements (O(window), never the whole document), the next chunk seq,
     * and the inter-chunk overlap prefix. */

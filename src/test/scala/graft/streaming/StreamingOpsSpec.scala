@@ -100,4 +100,28 @@ class StreamingOpsSpec extends SparkSuiteBase {
     StreamingOps.hourlyWindowAvailableNow(spark, path).collect()
     assert(stagingDirs == before, "staging dir leaked")
   }
+
+  test("streaming exact-dedup groups duplicates with an order-independent winner") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(path).exists())
+    val out = StreamingOps.exactDedupAvailableNow(spark, path)
+    val dups = out.filter(col("n_docs") > 1).collect()
+    assert(dups.nonEmpty) // every doc_id % 3 == 0 is re-emitted shifted
+    // the kept winner is always the ORIGINAL (unshifted) id
+    assert(dups.forall(r => r.getLong(2) < 1000000L))
+    // and a batch groupBy over the same synthesized union agrees exactly
+    val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val union = docs.unionByName(
+      docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val batch = union
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.docFingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("fp").collect().toSeq
+    assert(out.orderBy("fp").collect().toSeq == batch)
+  }
 }
