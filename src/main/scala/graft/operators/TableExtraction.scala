@@ -1,0 +1,126 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import graft.sources.HtmlOntology
+
+/**
+ * Table cell extraction for evaluation
+ * (`/root/reference/unstructured/metrics/table/table_extraction.py:1-288`):
+ * the "Deckerd" cell format `(x, y, w, h, content)` and its conversions —
+ * HTML → Deckerd (with the spanned-cell right-shift fix), Deckerd → HTML
+ * (thead/tbody regrouping with the max-colspan header-row quirk), and the
+ * `(row_index, col_index, content)` extraction rows the table metrics consume.
+ * Pure per-table functions: at corpus scale each runs inside a `flatMap` over
+ * the Table elements of one document — no shuffle beyond the caller's.
+ */
+object TableExtraction {
+
+  /** One cell in Deckerd format. */
+  final case class DCell(x: Int, y: Int, w: Int, h: Int, content: String)
+
+  /** One extracted evaluation cell. */
+  final case class Cell(rowIndex: Int, colIndex: Int, content: String)
+
+  private final class MCell(var x: Int, var y: Int, var w: Int, var h: Int,
+      val content: String)
+
+  /** `_move_cells_for_spanned_cells` (`:15-38`): walking cells in (y, x) order,
+    * a cell landing on a grid position already covered by an earlier span
+    * pushes itself and everything to its right one column over. */
+  private def moveCellsForSpannedCells(cells: Seq[MCell]): Seq[MCell] = {
+    val sorted = cells.sortBy(c => (c.y, c.x))
+    val occupied = mutable.Set.empty[(Int, Int)]
+    sorted.foreach { cell =>
+      if (cell.w > 1 || cell.h > 1) {
+        for (i <- cell.y until cell.y + cell.h; j <- cell.x until cell.x + cell.w)
+          if ((i, j) != (cell.y, cell.x)) occupied += ((i, j))
+      }
+      while (occupied.contains((cell.y, cell.x))) {
+        val (cy, cx) = (cell.y, cell.x)
+        sorted.filter(c => c.y == cy && c.x >= cx).foreach(_.x += 1)
+        occupied -= ((cy, cx))
+      }
+    }
+    sorted
+  }
+
+  /** `html_table_to_deckerd` (`:41-68`): rows are `<tr>` in document order,
+    * cells `<th>`/`<td>`, spans from colspan/rowspan attrs. */
+  def htmlTableToDeckerd(content: String): Seq[DCell] = {
+    val dom = HtmlOntology.parseDom(content)
+    def findAll(e: HtmlOntology.Elem, tags: Set[String]): Vector[HtmlOntology.Elem] = {
+      val self = if (tags.contains(e.tag)) Vector(e) else Vector.empty
+      self ++ e.children.collect { case c: HtmlOntology.Elem => findAll(c, tags) }.flatten
+    }
+    def textOf(e: HtmlOntology.Elem): String = e.children.map {
+      case HtmlOntology.TextNode(s) => s
+      case c: HtmlOntology.Elem => textOf(c)
+    }.mkString
+    val table = findAll(dom, Set("table")).headOption
+      .getOrElse(return Seq.empty)
+    val cells = for {
+      (row, i) <- findAll(table, Set("tr")).zipWithIndex
+      (cell, j) <- findAll(row, Set("th", "td")).zipWithIndex
+    } yield new MCell(j, i,
+      cell.attrs.collectFirst { case ("colspan", v) => v.trim.toInt }.getOrElse(1),
+      cell.attrs.collectFirst { case ("rowspan", v) => v.trim.toInt }.getOrElse(1),
+      textOf(cell))
+    moveCellsForSpannedCells(cells).map(c => DCell(c.x, c.y, c.w, c.h, c.content))
+  }
+
+  /** `deckerd_table_to_html` (`:70-98`): header rows are `range(max colspan of
+    * the first row)` — the reference's quirk, reproduced —, rendered as
+    * `<thead>`/`<tbody>` sections with span attrs only when > 1. */
+  def deckerdTableToHtml(cells: Seq[DCell]): String = {
+    if (cells.isEmpty) return "<table></table>"
+    val headerLength = cells.filter(_.y == 0).map(_.w).max
+    val headerRows = (0 until headerLength).toSet
+    val byRow = cells.groupBy(_.y).toSeq.sortBy(_._1)
+    def render(c: DCell, header: Boolean): String = {
+      val tag = if (header) "th" else "td"
+      val attrs = (if (c.w > 1) s""" colspan="${c.w}"""" else "") +
+        (if (c.h > 1) s""" rowspan="${c.h}"""" else "")
+      s"<$tag$attrs>${c.content}</$tag>"
+    }
+    val (head, body) = byRow.partition { case (y, _) => headerRows.contains(y) }
+    def rows(rs: Seq[(Int, Seq[DCell])], header: Boolean): String =
+      rs.map { case (_, cs) =>
+        "<tr>" + cs.sortBy(_.x).map(render(_, header)).mkString + "</tr>"
+      }.mkString
+    val headHtml = if (head.isEmpty) "" else s"<thead>${rows(head, header = true)}</thead>"
+    val bodyHtml = if (body.isEmpty) "" else s"<tbody>${rows(body, header = false)}</tbody>"
+    s"<table>$headHtml$bodyHtml</table>"
+  }
+
+  private def sortCells(cells: Seq[Cell]): Seq[Cell] =
+    cells.sortBy(c => (c.rowIndex, c.colIndex))
+
+  /** `extract_cells_from_text_as_html` (`:213-237`): None when the html is
+    * absent or carries no `<table>`. */
+  def extractCellsFromTextAsHtml(textAsHtml: Option[String]): Option[Seq[Cell]] =
+    textAsHtml.filter(_.contains("<table>")).map { html =>
+      htmlTableToDeckerd(html).map(d => Cell(d.y, d.x, d.content))
+    }
+
+  /** `extract_cells_from_table_as_cells` (`:260-288`). */
+  def extractCellsFromTableAsCells(tableAsCells: Option[Seq[DCell]]): Option[Seq[Cell]] =
+    tableAsCells.filter(_.nonEmpty)
+      .map(_.map(d => Cell(d.y, d.x, d.content)))
+
+  /** `extract_and_convert_tables_from_prediction` (`:170-211`) for one element:
+    * the requested source, falling back to the other when it yields nothing. */
+  def extractFromPrediction(textAsHtml: Option[String],
+      tableAsCells: Option[Seq[DCell]], sourceType: String = "html"): Seq[Cell] = {
+    require(sourceType == "html" || sourceType == "cells",
+      s"""source_type $sourceType is not valid. Allowed source_types are "html" and "cells"""")
+    val primary =
+      if (sourceType == "html") extractCellsFromTextAsHtml(textAsHtml)
+      else extractCellsFromTableAsCells(tableAsCells)
+    val chosen = primary.filter(_.nonEmpty).orElse {
+      if (sourceType == "html") extractCellsFromTableAsCells(tableAsCells)
+      else extractCellsFromTextAsHtml(textAsHtml)
+    }
+    chosen.map(sortCells).getOrElse(Seq.empty)
+  }
+}

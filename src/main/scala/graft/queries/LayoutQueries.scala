@@ -308,6 +308,30 @@ object LayoutQueries {
         score.as("accuracy")).orderBy("doc_id")
     }),
 
+    // table cell extraction for evaluation (metrics/table/table_extraction.py):
+    // a spanned thead/tbody table per doc runs html -> Deckerd (with the
+    // spanned-cell right-shift) -> (row, col, content) rows; two cells carry
+    // doc fields so the compare is per-doc, the layout is the reference
+    // round-trip fixture's
+    "q_table_cells_extract" -> ((s, dir) => {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        element_at(TextAnalysis.words(col("text")), 1).as("w1"), col("source"))
+        .as[(Long, String, String)]
+        .flatMap { case (id, w1, source) =>
+          val html = "<table><thead><tr>" +
+            s"""<th rowspan="2">$w1</th><th colspan="2">$source</th><th>h1col4</th>""" +
+            "</tr><tr><th>h2col2</th><th colspan=\"2\">h2col34</th></tr></thead>" +
+            "<tbody><tr><td>r3col1</td><td>r3col2</td>" +
+            "<td colspan=\"2\" rowspan=\"2\">r34col34</td></tr>" +
+            "<tr><td colspan=\"2\">r4col12</td></tr></tbody></table>"
+          graft.operators.TableExtraction
+            .extractFromPrediction(Some(html), None)
+            .map(c => (id, c.rowIndex, c.colIndex, c.content))
+        }.toDF("doc_id", "row_index", "col_index", "content")
+        .orderBy("doc_id", "row_index", "col_index")
+    }),
+
     // TEDS-like table eval: real parse+cell-match on constructed gold/pred pair —
     // pred corrupts one of 4 cells for every 3rd part -> score 2*3/8, else 1.0
     "q_table_eval" -> ((s, dir) => {
@@ -556,6 +580,22 @@ object LayoutQueries {
         |      GREATEST(length(t) + 2, 1)::DOUBLE, 0.0), 1.0), 4) AS accuracy
         |FROM (SELECT doc_id, substring(text, 1, 500) AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the constant spanned layout resolves to 9 grid positions; the rowspan
+    // pushes the second header row right, the 2x2 body span leaves row 4 at 0
+    "q_table_cells_extract" ->
+      s"""WITH w AS (SELECT doc_id, (${O.words("text")})[1] AS w1, source
+         |  FROM documents),
+         |k AS (SELECT * FROM (VALUES
+         |  (0, 0, 'W1'), (0, 1, 'SRC'), (0, 3, 'h1col4'),
+         |  (1, 1, 'h2col2'), (1, 2, 'h2col34'),
+         |  (2, 0, 'r3col1'), (2, 1, 'r3col2'), (2, 2, 'r34col34'),
+         |  (3, 0, 'r4col12')) AS t(row_index, col_index, content))
+         |SELECT doc_id, row_index, col_index,
+         |  CASE content WHEN 'W1' THEN w1 WHEN 'SRC' THEN source
+         |       ELSE content END AS content
+         |FROM w CROSS JOIN k
+         |ORDER BY doc_id, row_index, col_index""".stripMargin,
 
     "q_table_eval" ->
       """SELECT p_partkey AS doc_id,

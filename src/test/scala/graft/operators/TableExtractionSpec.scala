@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import TableExtraction.{Cell, DCell}
+
+/** Table cell-extraction ports
+  * (`test_unstructured/metrics/test_text_extraction.py:645-900`). */
+class TableExtractionSpec extends AnyFunSuite {
+
+  test("cells extraction from table_as_cells (:645)") {
+    val cells = Seq(
+      DCell(0, 0, 1, 1, "Month A."),
+      DCell(0, 1, 1, 1, "22"))
+    assert(TableExtraction.extractCellsFromTableAsCells(Some(cells)) ==
+      Some(Seq(Cell(0, 0, "Month A."), Cell(1, 0, "22"))))
+  }
+
+  test("cells extraction from text_as_html (:800)") {
+    val html = "<table><thead><tr><th>Month A.</th></tr></thead>" +
+      "<tbody><tr><td>22</td></tr></tbody></table>"
+    assert(TableExtraction.extractCellsFromTextAsHtml(Some(html)) ==
+      Some(Seq(Cell(0, 0, "Month A."), Cell(1, 0, "22"))))
+  }
+
+  test("missing prediction yields None for both sources (:810)") {
+    assert(TableExtraction.extractCellsFromTextAsHtml(Some("")) == None)
+    assert(TableExtraction.extractCellsFromTableAsCells(Some(Seq.empty)) == None)
+    assert(TableExtraction.extractCellsFromTextAsHtml(None) == None)
+  }
+
+  test("prediction extraction falls back to the other source when empty") {
+    val cells = Seq(DCell(0, 0, 1, 1, "x"))
+    // html requested but absent -> falls back to cells
+    assert(TableExtraction.extractFromPrediction(None, Some(cells)) ==
+      Seq(Cell(0, 0, "x")))
+    assertThrows[IllegalArgumentException](
+      TableExtraction.extractFromPrediction(None, None, sourceType = "nope"))
+  }
+
+  // -- test_deckerd_html_converter (:821-900): html -> deckerd -> html fixpoint --
+  private def trimHtml(html: String): String =
+    html.split("\n").map(_.trim).filter(_.nonEmpty).mkString
+
+  private val roundTrips = Seq(
+    """<table>
+      |    <thead>
+      |        <tr>
+      |            <th>Month A.</th>
+      |        </tr>
+      |    </thead>
+      |    <tbody>
+      |        <tr>
+      |            <td>22</td>
+      |        </tr>
+      |    </tbody>
+      |</table>""".stripMargin,
+    """<table>
+      |    <thead>
+      |        <tr>
+      |            <th>Month A.</th>
+      |            <th>Month B.</th>
+      |            <th>Month C.</th>
+      |        </tr>
+      |    </thead>
+      |    <tbody>
+      |        <tr>
+      |            <td>11</td>
+      |            <td>12</td>
+      |            <td>13</td>
+      |        </tr>
+      |        <tr>
+      |            <td>21</td>
+      |            <td>22</td>
+      |            <td>23</td>
+      |        </tr>
+      |    </tbody>
+      |</table>""".stripMargin,
+    """<table>
+      |    <thead>
+      |        <tr>
+      |            <th rowspan="2">h12col1</th>
+      |            <th colspan="2">h1col23</th>
+      |            <th>h1col4</th>
+      |        </tr>
+      |        <tr>
+      |            <th>h2col2</th>
+      |            <th colspan="2">h2col34</th>
+      |        </tr>
+      |    </thead>
+      |    <tbody>
+      |        <tr>
+      |            <td>r3col1</td>
+      |            <td>r3col2</td>
+      |            <td colspan="2" rowspan="2">r34col34</td>
+      |        </tr>
+      |        <tr>
+      |            <td colspan="2">r4col12</td>
+      |        </tr>
+      |    </tbody>
+      |</table>""".stripMargin)
+
+  test("deckerd html round-trip fixpoint, spans included") {
+    roundTrips.foreach { html =>
+      val deckerd = TableExtraction.htmlTableToDeckerd(html)
+      assert(TableExtraction.deckerdTableToHtml(deckerd) == trimHtml(html),
+        "round trip diverged")
+    }
+  }
+
+  test("spanned-cell right-shift produces the rendered grid positions") {
+    val cells = TableExtraction.htmlTableToDeckerd(roundTrips(2))
+    val pos = cells.map(c => (c.y, c.x) -> c.content).toMap
+    // second header row starts at x=1 (pushed right by the rowspan above)
+    assert(pos((1, 1)) == "h2col2" && pos((1, 2)) == "h2col34")
+    // fourth row keeps x=0 (the 2x2 span occupies columns 2-3 only)
+    assert(pos((3, 0)) == "r4col12")
+  }
+}
