@@ -17,23 +17,30 @@ import org.apache.spark.unsafe.types.UTF8String
  * block gets the conservative Unicode→LaTeX substitutions (`\times{}` etc.,
  * `{}`-terminated so the next char can't fuse into the command name).
  */
-case class FormulaMarkdown(child: Expression) extends UnaryExpression {
+case class FormulaMarkdown(child: Expression, normalize: Boolean = true,
+    style: String = FormulaMarkdown.Auto) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "formula_markdown"
 
   override protected def nullSafeEval(input: Any): Any =
-    FormulaMarkdown.render(input.asInstanceOf[UTF8String])
+    FormulaMarkdown.render(input.asInstanceOf[UTF8String], normalize, style)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.expr.FormulaMarkdown.render($c)")
+      c => s"""graft.functions.expr.FormulaMarkdown.render($c, $normalize, "$style")""")
 
   override protected def withNewChildInternal(newChild: Expression): FormulaMarkdown =
     copy(child = newChild)
 }
 
 object FormulaMarkdown {
+
+  // staging/base.py:43-48 — the three formula_markdown_style values
+  val Auto = "auto"
+  val DisplayMath = "display_math"
+  val Plain = "plain"
+  private val Styles = Set(Auto, DisplayMath, Plain)
 
   // staging/base.py:67-82 — order matters only for readability; keys are disjoint
   private val substitutions: Seq[(String, String)] = Seq(
@@ -78,20 +85,34 @@ object FormulaMarkdown {
     if (raw.length >= 80 && proseHint.matcher(raw).find()) score(raw) >= 3
     else score(raw) >= 2
 
-  /** `_emit_formula_markdown` with the default auto style + normalization. */
-  def renderString(rawText: String): String = {
+  /** `_emit_formula_markdown` (`staging/base.py:127-163`): `plain` returns the
+    * stripped raw text untouched (never normalized); embedded `$` always blocks
+    * wrapping; `display_math` wraps whenever safe; `auto` wraps only when the raw
+    * text scores as notation. Normalization applies only inside `$$` blocks. */
+  def renderString(rawText: String, normalize: Boolean = true,
+      style: String = Auto): String = {
     val raw = rawText.strip()
     if (raw.isEmpty) return raw
+    val st = style.strip().toLowerCase
+    require(Styles.contains(st),
+      s"formula_markdown_style must be one of ${Styles.toSeq.sorted.mkString(", ")}, got '$style'")
+    if (st == Plain) return raw
     if (raw.contains("$")) return raw // unsafe markdown delimiters
-    if (!useDisplayMath(raw)) return raw
-    val body = substitutions.foldLeft(raw) { case (acc, (k, v)) => acc.replace(k, v) }
+    if (st == Auto && !useDisplayMath(raw)) return raw
+    val body =
+      if (normalize) substitutions.foldLeft(raw) { case (acc, (k, v)) => acc.replace(k, v) }
+      else raw
     s"$$$$\n$body\n$$$$"
   }
 
-  def render(input: UTF8String): UTF8String =
-    UTF8String.fromString(renderString(input.toString))
+  def render(input: UTF8String, normalize: Boolean, style: String): UTF8String =
+    UTF8String.fromString(renderString(input.toString, normalize, style))
 
-  def column(c: Column): Column =
+  def render(input: UTF8String): UTF8String = render(input, normalize = true, Auto)
+
+  def column(c: Column): Column = column(c, normalize = true, Auto)
+
+  def column(c: Column, normalize: Boolean, style: String): Column =
     org.apache.spark.sql.graft.bridge.column(
-      FormulaMarkdown(org.apache.spark.sql.graft.bridge.expression(c)))
+      FormulaMarkdown(org.apache.spark.sql.graft.bridge.expression(c), normalize, style))
 }

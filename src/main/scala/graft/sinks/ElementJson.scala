@@ -1,8 +1,7 @@
 package graft.sinks
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import graft.model._
 
@@ -173,22 +172,66 @@ object ElementJson {
   def elementsJson(els: Seq[Element]): String =
     els.map(elementJson).mkString("[", ",", "]")
 
+  /** Decompression cap mirroring `staging/base.py:41` (`MAX_DECOMPRESSED_SIZE`). */
+  val MaxDecompressedSize: Long = 200L * 1024 * 1024
+
+  /** Thrown when a compressed payload inflates past [[MaxDecompressedSize]]
+    * (`unstructured/errors.py` `DecompressedSizeExceededError`). */
+  final class DecompressedSizeExceededException(message: String)
+    extends RuntimeException(message)
+
+  /** Despite the reference's function NAME (`elements_to_base64_gzipped_json`),
+    * its wire format is zlib/DEFLATE (`zlib.compress`, `staging/base.py:256`) —
+    * payloads start with 0x78 ("eJ…" in base64), not a gzip magic. Emitting real
+    * gzip here would make our `orig_elements` unreadable by reference consumers
+    * and vice versa, so these use `Deflater`/`Inflater` in their default zlib
+    * wrapping. Names kept aligned with the reference's (misleading) terminology. */
   def gzipBase64(s: String): String = {
-    val bos = new ByteArrayOutputStream()
-    val gz = new GZIPOutputStream(bos)
-    gz.write(s.getBytes(StandardCharsets.UTF_8))
-    gz.close()
-    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    val input = s.getBytes(StandardCharsets.UTF_8)
+    val deflater = new java.util.zip.Deflater()
+    // end() frees the native zlib stream NOW — leaving it to finalization leaks
+    // native streams at one-per-group rates and stalls long-running JVMs
+    // on the finalizer queue (observed 4 s -> 20-65 s drift for the codec query)
+    try {
+      deflater.setInput(input)
+      deflater.finish()
+      val bos = new ByteArrayOutputStream(math.max(64, input.length / 4))
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        bos.write(buf, 0, n)
+      }
+      java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    } finally deflater.end()
   }
 
-  def gunzipBase64(s: String): String = {
-    val in = new GZIPInputStream(
-      new ByteArrayInputStream(java.util.Base64.getDecoder.decode(s)))
-    // close() ends the native Inflater NOW — leaving it to finalization leaks
-    // native zlib streams at one-per-group rates and stalls long-running JVMs
-    // on the finalizer queue (observed 4 s -> 20-65 s drift for the codec query)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    finally in.close()
+  /** Inverse of [[gzipBase64]] with the reference's two failure modes
+    * (`staging/base.py:166-200`): a truncated stream raises, and decompression
+    * past `maxBytes` raises [[DecompressedSizeExceededException]]. */
+  def gunzipBase64(s: String, maxBytes: Long = MaxDecompressedSize): String = {
+    val data = java.util.Base64.getDecoder.decode(s)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(data)
+      val bos = new ByteArrayOutputStream(
+        math.max(64, math.min(data.length.toLong * 4, 1L << 20).toInt))
+      val buf = new Array[Byte](8192)
+      while (!inflater.finished()) {
+        val n = inflater.inflate(buf)
+        if (n == 0) {
+          if (inflater.finished()) ()
+          else if (inflater.needsInput() || inflater.needsDictionary())
+            throw new java.util.zip.ZipException(
+              "incomplete zlib stream: ran out of input before end-of-stream")
+        } else {
+          bos.write(buf, 0, n)
+          if (bos.size() > maxBytes)
+            throw new DecompressedSizeExceededException(
+              s"Decompressed size exceeds the maximum allowed size of $maxBytes bytes")
+        }
+      }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally inflater.end()
   }
 
   /**

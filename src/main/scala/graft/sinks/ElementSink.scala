@@ -109,30 +109,41 @@ object ElementSink {
   }
 
   /** `element_to_md` render — `staging/base.py:273-305` — as a codegen'd expression
-    * over (type, text, text_as_html, image_base64, image_mime_type, image_url). */
+    * over (type, text, text_as_html, image_base64, image_mime_type, image_url).
+    * With `excludeBinary` the base64 data-URL cases are skipped and an Image falls
+    * through to its `image_url` render (if any) or bare text, matching the
+    * reference's guard ordering. */
   def elementMd(tpe: org.apache.spark.sql.Column, text: org.apache.spark.sql.Column,
       textAsHtml: org.apache.spark.sql.Column,
       imageBase64: org.apache.spark.sql.Column,
       imageMime: org.apache.spark.sql.Column,
-      imageUrl: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      imageUrl: org.apache.spark.sql.Column,
+      excludeBinary: Boolean = false,
+      normalizeFormula: Boolean = true,
+      formulaStyle: String = graft.functions.expr.FormulaMarkdown.Auto)
+      : org.apache.spark.sql.Column = {
+    val binary = lit(!excludeBinary)
     when(tpe === ElementType.Title, concat(lit("# "), text))
       .when(tpe === ElementType.Formula,
-        graft.functions.expr.FormulaMarkdown.column(text))
+        graft.functions.expr.FormulaMarkdown.column(text, normalizeFormula, formulaStyle))
       .when(tpe === ElementType.Table && textAsHtml.isNotNull, textAsHtml)
-      .when(tpe === ElementType.Image && imageBase64.isNotNull && imageMime.isNull,
+      .when(tpe === ElementType.Image && imageBase64.isNotNull && imageMime.isNull && binary,
         concat(lit("!["), text, lit("](data:image/*;base64,"), imageBase64, lit(")")))
-      .when(tpe === ElementType.Image && imageBase64.isNotNull,
+      .when(tpe === ElementType.Image && imageBase64.isNotNull && binary,
         concat(lit("!["), text, lit("](data:"), imageMime, lit(";base64,"), imageBase64, lit(")")))
       .when(tpe === ElementType.Image && imageUrl.isNotNull,
         concat(lit("!["), text, lit("]("), imageUrl, lit(")")))
       .otherwise(text)
+  }
 
   /** `elements_to_md` — per-doc markdown document (`staging/base.py:307-350`). */
-  def elementsToMd(ds: Dataset[Element]): DataFrame =
+  def elementsToMd(ds: Dataset[Element], excludeBinary: Boolean = false,
+      normalizeFormula: Boolean = true,
+      formulaStyle: String = graft.functions.expr.FormulaMarkdown.Auto): DataFrame =
     ds.select(col("doc_id"), col("seq"),
       elementMd(col("type"), col("text"), col("metadata.text_as_html"),
         col("metadata.image_base64"), col("metadata.image_mime_type"),
-        col("metadata.image_url")).as("md"))
+        col("metadata.image_url"), excludeBinary, normalizeFormula, formulaStyle).as("md"))
       .groupBy("doc_id")
       .agg(concat_ws("\n", array_sort(collect_list(struct(col("seq"), col("md"))))
         .getField("md")).as("markdown"))

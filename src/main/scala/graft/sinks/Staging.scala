@@ -119,4 +119,43 @@ object Staging {
           .as("bbox_origin"),
         col("metadata.coordinates.layout_width").as("width"),
         col("metadata.coordinates.layout_height").as("height"))
+
+  /**
+   * `flatten_dict` (`staging/base.py:551-600`) — the driver-side nested-map
+   * flattener used when reshaping dynamic JSON metadata (e.g. the weaviate /
+   * label-studio property bags). Engine-side metadata flattening is schema-driven
+   * (`ElementSink.flattenForCsv`); this covers the arbitrary-JSON case.
+   *
+   * Keys in `keysToOmit` are kept with their UNflattened value; with an omitted
+   * nested key, address it as `parent<separator>key`. `flattenLists` expands
+   * `Seq` values to indexed keys; `removeNone` drops `null`/`None` values
+   * (including inside expanded lists).
+   */
+  def flattenDict(dictionary: Seq[(String, Any)], parentKey: String = "",
+      separator: String = "_", flattenLists: Boolean = false,
+      removeNone: Boolean = false, keysToOmit: Seq[String] = Nil): Map[String, Any] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    def isNone(v: Any): Boolean = v == null || v == None
+    dictionary.foreach { case (key, value) =>
+      val newKey = if (parentKey.nonEmpty) s"$parentKey$separator$key" else key
+      if (keysToOmit.contains(newKey)) out += newKey -> value
+      else if (isNone(value) && removeNone) ()
+      else value match {
+        case m: Map[_, _] =>
+          out ++= flattenDict(m.toSeq.asInstanceOf[Seq[(String, Any)]], newKey,
+            separator, flattenLists, removeNone, keysToOmit)
+        case l: Seq[_] if flattenLists =>
+          l.zipWithIndex.foreach { case (item, i) =>
+            out ++= flattenDict(Seq(s"$newKey$separator$i" -> item), "", separator,
+              flattenLists, removeNone, keysToOmit)
+          }
+        case other => out += newKey -> other
+      }
+    }
+    out.toMap
+  }
+
+  /** Map overload — insertion order is irrelevant to the flattened result. */
+  def flattenDict(dictionary: Map[String, Any]): Map[String, Any] =
+    flattenDict(dictionary.toSeq)
 }
