@@ -174,7 +174,9 @@ object BinaryFormatQueries {
             s"<html><body><p>from ${d.source} comes html</p></body></html>".getBytes(utf8)),
           ("csv", "data.csv", s"a,b\n${d.w1},${d.source}".getBytes(utf8)),
           ("eml", "mail", eml.getBytes(utf8)),
-          ("json", "doc", "{\"a\": 1}".getBytes(utf8)),
+          // pretty-printed so the first line alone doesn't parse — JSON, not
+          // 1-record NDJSON (filetype.py:163-186)
+          ("json", "doc", "{\n  \"a\": 1\n}".getBytes(utf8)),
           ("ndjson", "stream", "{\"a\": 1}\n{\"b\": 2}".getBytes(utf8)),
           ("pdf", "x.pdf", CorpusBytes.pdf(d)),
           ("rtf", "note", s"{\\rtf1\\ansi {\\pard hi ${d.source} note\\par}}".getBytes(utf8)),

@@ -55,6 +55,8 @@ object FileType {
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", Seq(".xlsx"))
   case object Xml extends FileType("xml", "application/xml", Seq(".xml"))
   case object Zip extends FileType("zip", "application/zip", Seq(".zip"), false)
+  /** Zero-byte input (`file_utils/model.py` `FileType.EMPTY`). */
+  case object Empty extends FileType("empty", "inode/x-empty", Nil, false)
   case object Unknown extends FileType("unknown", "application/octet-stream", Nil, false)
 
   lazy val all: Seq[FileType] = Seq(Csv, Doc, Docx, Eml, Epub, Html, Json, Md, Msg, Ndjson,
@@ -148,19 +150,162 @@ object DetectFiletype {
       t.take(2048).contains("<html")) FileType.Html
     else if (EmlHeaderRe.findFirstIn(text.take(4096)).isDefined &&
       firstLines.headOption.exists(_.matches("^[!-9;-~]+:.*"))) FileType.Eml
-    else if ((t.startsWith("{") || t.startsWith("[")) && looksLikeJson(t)) {
-      if (text.linesIterator.filter(_.trim.nonEmpty).drop(1).nonEmpty &&
-        text.linesIterator.filter(_.trim.nonEmpty).forall(l => l.trim.startsWith("{")))
-        FileType.Ndjson
-      else FileType.Json
-    } else if (t.startsWith("<?xml")) FileType.Xml
-    else extOf(filename).flatMap(FileType.fromExtension) match {
+    else if ((t.startsWith("{") || t.startsWith("[")) && looksLikeJson(t))
+      disambiguateJson(text)
+    else if (t.startsWith("<?xml")) FileType.Xml
+    // extension fallback honors only textual extensions — a binary-format
+    // extension (.pdf, .png, …) on sniffable text was already disproved upstream
+    else extOf(filename).flatMap(FileType.fromExtension)
+      .filter(TextExtTypes.contains) match {
       case Some(t2) => t2
-      case None =>
-        // CSV heuristic: >= 2 lines with a consistent non-zero comma count
-        val counts = firstLines.filter(_.nonEmpty).map(_.count(_ == ','))
-        if (counts.size >= 2 && counts.distinct.size == 1 && counts.head > 0) FileType.Csv
-        else FileType.Txt
+      case None => if (looksLikeCsv(text)) FileType.Csv else FileType.Txt
+    }
+  }
+
+  /** `_disambiguate_json_file_type` (`filetype.py:260-276`): NDJSON has the
+    * strictest signature, so it's checked first; everything else JSON-shaped is
+    * JSON (the JSON partitioner re-validates downstream). */
+  private def disambiguateJson(text: String): FileType =
+    if (isNdjsonProcessable(text)) FileType.Ndjson else FileType.Json
+
+  /** `is_ndjson_processable` (`filetype.py:137-186`): text must open with `{`;
+    * a complete single-line object is 1-record NDJSON; multi-line requires the
+    * FIRST line alone to parse as a JSON object (a pretty-printed object's first
+    * line is a bare `{` fragment, which doesn't). */
+  private[sources] def isNdjsonProcessable(text: String): Boolean = {
+    val t = text.stripLeading()
+    if (t.isEmpty || t.charAt(0) != '{') false
+    else {
+      val nl = t.indexOf('\n')
+      if (nl == -1) parsesAsJsonObject(t)
+      else {
+        val first = t.substring(0, nl).stripTrailing()
+        first.nonEmpty && parsesAsJsonObject(first)
+      }
+    }
+  }
+
+  /** True when `s` is exactly one complete, valid JSON object. */
+  private[sources] def parsesAsJsonObject(s: String): Boolean = {
+    val n = s.length
+    var i = 0
+    def ws(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+    def lit(w: String): Boolean =
+      s.startsWith(w, i) && { i += w.length; true }
+    def num(): Boolean = {
+      if (i < n && s.charAt(i) == '-') i += 1
+      var d = 0
+      while (i < n && s.charAt(i).isDigit) { i += 1; d += 1 }
+      if (d == 0) return false
+      if (i < n && s.charAt(i) == '.') {
+        i += 1; var d2 = 0
+        while (i < n && s.charAt(i).isDigit) { i += 1; d2 += 1 }
+        if (d2 == 0) return false
+      }
+      if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+        i += 1
+        if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+        var d3 = 0
+        while (i < n && s.charAt(i).isDigit) { i += 1; d3 += 1 }
+        if (d3 == 0) return false
+      }
+      true
+    }
+    def str(): Boolean = {
+      i += 1 // opening quote
+      while (i < n) {
+        s.charAt(i) match {
+          case '\\' => i += 2
+          case '"' => i += 1; return true
+          case _ => i += 1
+        }
+      }
+      false
+    }
+    def value(): Boolean = {
+      ws()
+      if (i >= n) false
+      else s.charAt(i) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true")
+        case 'f' => lit("false")
+        case 'n' => lit("null")
+        case c if c == '-' || c.isDigit => num()
+        case _ => false
+      }
+    }
+    def obj(): Boolean = {
+      i += 1; ws()
+      if (i < n && s.charAt(i) == '}') { i += 1; return true }
+      var ok = true
+      var done = false
+      while (ok && !done) {
+        ws()
+        if (i >= n || s.charAt(i) != '"' || !str()) ok = false
+        else {
+          ws()
+          if (i >= n || s.charAt(i) != ':') ok = false
+          else {
+            i += 1
+            if (!value()) ok = false
+            else {
+              ws()
+              if (i < n && s.charAt(i) == ',') i += 1
+              else if (i < n && s.charAt(i) == '}') { i += 1; done = true }
+              else ok = false
+            }
+          }
+        }
+      }
+      ok
+    }
+    def arr(): Boolean = {
+      i += 1; ws()
+      if (i < n && s.charAt(i) == ']') { i += 1; return true }
+      var ok = true
+      var done = false
+      while (ok && !done) {
+        if (!value()) ok = false
+        else {
+          ws()
+          if (i < n && s.charAt(i) == ',') i += 1
+          else if (i < n && s.charAt(i) == ']') { i += 1; done = true }
+          else ok = false
+        }
+      }
+      ok
+    }
+    ws()
+    if (i >= n || s.charAt(i) != '{') return false
+    val ok = obj()
+    ws()
+    ok && i == n
+  }
+
+  /** `_TextFileDifferentiator._is_csv` (`filetype.py:790-809`): >= 2 lines (first
+    * 10 checked), every line holds at least one comma, and every line's
+    * outside-quotes comma count equals the header's. */
+  private[sources] def looksLikeCsv(text: String): Boolean = {
+    def countCommas(line: String): Int = {
+      // the reference's lookahead regex counts commas followed by an even number
+      // of quotes — i.e. commas outside double-quoted spans (escapes not handled)
+      var inQuotes = false
+      var count = 0
+      line.foreach {
+        case '"' => inQuotes = !inQuotes
+        case ',' if !inQuotes => count += 1
+        case _ => ()
+      }
+      count
+    }
+    val lines = text.strip().linesIterator.take(10).toVector
+    if (lines.size < 2) false
+    else if (lines.exists(!_.contains(','))) false
+    else {
+      val header = countCommas(lines.head)
+      lines.tail.forall(countCommas(_) == header)
     }
   }
 
@@ -170,13 +315,52 @@ object DetectFiletype {
       head.startsWith("[")
   }
 
+  /** Types whose extensions the text differentiator honors directly
+    * (`filetype.py:752-766` extension list). */
+  private val TextExtTypes: Set[FileType] = Set(FileType.Csv, FileType.Eml,
+    FileType.Html, FileType.Json, FileType.Ndjson, FileType.Md, FileType.Org,
+    FileType.Rst, FileType.Rtf, FileType.Tsv, FileType.Txt, FileType.Xml)
+
+  /** True when decoded "text" is control-character soup — i.e. the bytes were
+    * binary and the latin-1 fallback decoded garbage. Mirrors the reference,
+    * where `text_head` raising `UnicodeDecodeError` skips the text strategy. */
+  private def looksBinaryText(text: String): Boolean = {
+    val n = math.min(text.length, 4096)
+    if (n == 0) return false
+    var ctrl = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\u0000') return true
+      if (c < '\t' || (c > '\r' && c < ' ')) ctrl += 1
+      i += 1
+    }
+    ctrl.toDouble / n > 0.05
+  }
+
+  /** Content-types invalidated when the file turns out not to be an OLE
+    * container (`filetype.py:536-549` `rule_out_cfb_content_types`). */
+  private val CfbTypes: Set[FileType] =
+    Set(FileType.Doc, FileType.Msg, FileType.Ppt, FileType.Xls)
+
+  /** Content-types invalidated when the file turns out not to be a ZIP archive
+    * (`filetype.py:551-566` `rule_out_zip_content_types`). */
+  private val ZipTypes: Set[FileType] = Set(FileType.Docx, FileType.Epub,
+    FileType.Odt, FileType.Pptx, FileType.Xlsx, FileType.Zip)
+
   /**
    * The 4-strategy chain (`filetype.py:200-231`): binary magic first, then the
-   * asserted content-type, then text sniffing, then extension.
+   * asserted content-type, then text sniffing, then extension. Mirrors the
+   * reference's refinements: a zero-byte input is `Empty`; an asserted
+   * MS-Office type is ruled out when the container magic disproves it (so an
+   * XLS-asserted CSV still sniffs as CSV); an XML content-type with an
+   * .html/.htm extension is HTML; and any JSON result is re-disambiguated
+   * against NDJSON's stricter signature.
    */
   def detect(filename: String, head: Array[Byte],
       contentType: Option[String] = None): FileType = {
-    if (startsWith(head, ZipMagic)) zipFamily(head, filename)
+    if (head.isEmpty) FileType.Empty
+    else if (startsWith(head, ZipMagic)) zipFamily(head, filename)
     else if (startsWith(head, OleMagic)) oleFamily(head, filename)
     else if (startsWith(head, "%PDF".getBytes)) FileType.Pdf
     else if (startsWith(head, "{\\rtf".getBytes)) FileType.Rtf
@@ -197,17 +381,40 @@ object DetectFiletype {
       val form = if (head.length >= 12) ascii(head.drop(8), 4) else ""
       if (form == "WAVE") FileType.Wav else FileType.Unknown
     } else if (startsWith(head, "ID3".getBytes)) FileType.Wav
-    else contentType.flatMap(FileType.fromMimeType) match {
-      case Some(t) => t
-      case None =>
-        // encoding-aware decode so BOM'd / UTF-16 text sniffs on real
-        // characters rather than UTF-8 mojibake
-        val text = Encodings.decodeText(head)
-        val byExt = extOf(filename).flatMap(FileType.fromExtension)
-        byExt match {
-          case Some(FileType.Txt) | None => sniffText(text, filename)
-          case Some(t) => t
-        }
+    else {
+      // magic disproved any asserted container type — rule it out rather than
+      // letting a wrong asserted type (e.g. XLS on a CSV) win below
+      val asserted = contentType.flatMap(FileType.fromMimeType)
+        .filterNot(t => CfbTypes.contains(t) || ZipTypes.contains(t))
+      val ext = extOf(filename)
+      val resolved = asserted match {
+        case Some(FileType.Xml) if ext.exists(e => e == ".html" || e == ".htm") =>
+          FileType.Html // filetype.py:296-298
+        case Some(t) => t
+        case None =>
+          // encoding-aware decode so BOM'd / UTF-16 text sniffs on real
+          // characters rather than UTF-8 mojibake
+          val text = Encodings.decodeText(head)
+          val extType = ext.flatMap(FileType.fromExtension)
+          if (looksBinaryText(text))
+            // undecodable content: the text differentiator is not applicable
+            // (reference: UnicodeDecodeError skips strategy 3) — extension decides
+            extType.getOrElse(FileType.Unknown)
+          else extType match {
+            // a textual extension the reference's differentiator honors directly
+            // (filetype.py:752-766); .txt itself still sniffs (JSON/CSV/EML
+            // checks run before the .txt fallback there)
+            case Some(t) if TextExtTypes.contains(t) && t != FileType.Txt => t
+            // texty content with a binary-format extension: the content already
+            // disproved the extension (no magic matched), so sniff — a JSON
+            // payload named `filename.pdf` is JSON (test_filetype.py:1069-1092)
+            case _ => sniffText(text, filename)
+          }
+      }
+      // a JSON result from ANY strategy is re-checked against NDJSON's stricter
+      // signature (filetype.py:225-229); an NDJSON result is trusted as-is
+      if (resolved == FileType.Json) disambiguateJson(Encodings.decodeText(head))
+      else resolved
     }
   }
 }

@@ -42,7 +42,10 @@ class PartitionersSpec extends AnyFunSuite {
 
   test("detect: text differentiators for ambiguous text") {
     assert(DetectFiletype.detect("f", "<!DOCTYPE html><html></html>".getBytes) == FileType.Html)
-    assert(DetectFiletype.detect("f", "{\"a\": 1}".getBytes) == FileType.Json)
+    // a COMPLETE single-line object is 1-record NDJSON (filetype.py:163-167);
+    // a multi-line JSON value is JSON
+    assert(DetectFiletype.detect("f", "{\"a\": 1}".getBytes) == FileType.Ndjson)
+    assert(DetectFiletype.detect("f", "{\n  \"a\": 1\n}".getBytes) == FileType.Json)
     assert(DetectFiletype.detect("f", "{\"a\": 1}\n{\"a\": 2}\n".getBytes) == FileType.Ndjson)
     assert(DetectFiletype.detect("f",
       "From: a@b.com\nTo: c@d.com\nSubject: hi\n\nbody".getBytes) == FileType.Eml)
