@@ -74,6 +74,11 @@ final case class ElementMetadata(
     table_id: Option[String] = None,
     chunk_index: Option[Int] = None,
     num_carried_over_header_rows: Option[Int] = None,
+    // forms: the hi_res form-extraction key/value pairs (`elements.py` FormKeysValues).
+    // The reference shape is RECURSIVE (each key/value may carry a full nested
+    // element), which a Spark struct schema cannot express — held as the raw
+    // JSON array text, schema-opaque, round-tripped verbatim by the wire codec.
+    key_value_pairs: Option[String] = None,
     // images
     image_base64: Option[String] = None,
     image_mime_type: Option[String] = None,
@@ -101,6 +106,15 @@ final case class ElementMetadata(
 
 object ElementMetadata {
   val empty: ElementMetadata = ElementMetadata()
+
+  /** The reference `ElementMetadata` constructor splits a path-ish `filename`
+    * into directory + basename (`elements.py` — `file_directory` is only set
+    * when the filename argument carries a directory part). */
+  def splitFilename(path: String): (Option[String], String) = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) (None, path)
+    else (Some(path.substring(0, i)).filter(_.nonEmpty), path.substring(i + 1))
+  }
 }
 
 /**
@@ -137,6 +151,7 @@ object ElementType {
   val CodeSnippet = "CodeSnippet"
   val PageNumber = "PageNumber"
   val Form = "Form"
+  val FormKeysValues = "FormKeysValues"
   val CheckBox = "CheckBox"
 
   /**

@@ -118,12 +118,21 @@ object MetadataOps {
     // 1. doc-level language over concatenated element text (`lang.py:508-559`)
     val fullText = els.iterator.map(_.text).filter(t => t != null && t.nonEmpty).mkString(" ")
     val lang = langId(fullText)
-    // 2. stamp languages + filetype/filename/url (attached files keep their own)
+    // 2. stamp languages + filetype/filename/url (attached files keep their own).
+    // A path-ish filename splits into file_directory + basename, as the
+    // reference ElementMetadata constructor does.
+    val (fnDir, fnBase) = filename match {
+      case Some(p) =>
+        val (d, b) = graft.model.ElementMetadata.splitFilename(p)
+        (d, Some(b))
+      case None => (None, None)
+    }
     val stamped = els.map { e =>
       if (e.metadata.attached_to_filename.isDefined) e
       else e.copy(metadata = e.metadata.copy(
         languages = Some(Seq(lang)),
-        filename = filename.orElse(e.metadata.filename),
+        filename = fnBase.orElse(e.metadata.filename),
+        file_directory = fnDir.orElse(e.metadata.file_directory),
         filetype = filetype.orElse(e.metadata.filetype),
         url = url.orElse(e.metadata.url)))
     }

@@ -128,6 +128,11 @@ object ElementJson {
     s("table_id", m.table_id)
     i("chunk_index", m.chunk_index)
     i("num_carried_over_header_rows", m.num_carried_over_header_rows)
+    // raw JSON array, NOT a quoted string — the reference serializes the
+    // recursive key/value structure inline. Minified: a pretty-printed source
+    // (reference files are indented) would embed newlines and break the
+    // one-line NDJSON contract.
+    m.key_value_pairs.foreach(x => b += "key_value_pairs" -> minifyJson(x))
     s("image_base64", m.image_base64)
     s("image_mime_type", m.image_mime_type)
     s("image_path", m.image_path)
@@ -171,6 +176,24 @@ object ElementJson {
   /** Elements as a JSON array (the `elements_to_json` document form). */
   def elementsJson(els: Seq[Element]): String =
     els.map(elementJson).mkString("[", ",", "]")
+
+  /** Compacts raw JSON text: drops whitespace outside string literals. */
+  def minifyJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var inStr = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        sb.append(c)
+        if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 1 }
+        else if (c == '"') inStr = false
+      } else if (c == '"') { inStr = true; sb.append(c) }
+      else if (!Character.isWhitespace(c)) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
 
   /** Decompression cap mirroring `staging/base.py:41` (`MAX_DECOMPRESSED_SIZE`). */
   val MaxDecompressedSize: Long = 200L * 1024 * 1024
