@@ -301,6 +301,18 @@ object Partitioners {
       para.clear()
     }
     def closeList(): Unit = if (listOpen) { out.append("</ul>"); listOpen = false }
+    // pipe tables (the `tables` extension, on by default — `partition/md.py`):
+    // a header row with `|`, a `---|---` separator of equal arity, body rows
+    def splitRow(s: String): Seq[String] = {
+      var t = s.trim
+      if (t.startsWith("|")) t = t.substring(1)
+      if (t.endsWith("|")) t = t.dropRight(1)
+      t.split("\\|", -1).map(_.trim).toSeq
+    }
+    def isTableSep(s: String): Boolean = s.contains("-") && {
+      val cells = splitRow(s)
+      cells.nonEmpty && cells.forall(_.matches(":?-+:?"))
+    }
     val h = "^(#{1,6})\\s+(.*)$".r
     while (i < lines.length) {
       val line = lines(i)
@@ -324,6 +336,22 @@ object Partitioners {
           flushPara()
           if (!listOpen) { out.append("<ul>"); listOpen = true }
           out.append("<li>").append(inline(l.replaceFirst("^\\s*\\d+\\.\\s+", ""))).append("</li>")
+        case l if l.contains("|") && i + 1 < lines.length && isTableSep(lines(i + 1)) &&
+          splitRow(l).size == splitRow(lines(i + 1)).size =>
+          flushPara(); closeList()
+          out.append("<table><thead><tr>")
+          splitRow(l).foreach(c => out.append("<th>").append(inline(c)).append("</th>"))
+          out.append("</tr></thead><tbody>")
+          i += 1 // the separator line
+          while (i + 1 < lines.length && lines(i + 1).contains("|") &&
+            lines(i + 1).trim.nonEmpty) {
+            i += 1
+            out.append("<tr>")
+            splitRow(lines(i)).foreach(c =>
+              out.append("<td>").append(inline(c)).append("</td>"))
+            out.append("</tr>")
+          }
+          out.append("</tbody></table>")
         case l if l.trim.isEmpty => flushPara(); closeList()
         case l => closeList(); para += l.trim
       }
