@@ -364,8 +364,9 @@ object PipelineQueries {
         .orderBy("id")),
 
     // stage_for_transformers / chunk_by_attention_window — staging/huggingface.py:
-    // narrative text split into attention-window-sized word groups (window =
-    // max_input_size - buffer = 10), other types pass through.
+    // every textual element (all types are `Text` subclasses upstream) split
+    // into attention-window-sized word groups (window = max_input_size -
+    // buffer = 10).
     "q_stage_transformers" -> ((s, dir) => {
       import s.implicits._
       val els = partitioned(s, dir)
@@ -829,8 +830,7 @@ object PipelineQueries {
          |    string_split(text, ' ') AS ws FROM norm),
          |expanded AS (
          |  SELECT doc_id, seq, element_type,
-         |    CASE WHEN element_type IN ('NarrativeText', 'UncategorizedText')
-         |           AND len(ws) > 10
+         |    CASE WHEN len(ws) > 10
          |      THEN list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS INT)),
          |             g -> array_to_string(ws[g * 10 + 1 : g * 10 + 10], ' '))
          |      ELSE [text] END AS pieces

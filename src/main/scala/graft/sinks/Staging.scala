@@ -41,9 +41,11 @@ object Staging {
         col("metadata.filename").as("filename")).as("meta"))
 
   /** `stage_for_label_studio` (`staging/label_studio.py:113+`): one task per
-    * element with the text under `data.text`. */
-  def stageForLabelStudio(ds: Dataset[Element]): DataFrame =
-    ds.select(struct(col("text"), col("element_id").as("ref_id")).as("data"))
+    * element with the text under `data.<text_field>` and the element id under
+    * `data.<id_field>` (both names caller-configurable, as upstream). */
+  def stageForLabelStudio(ds: Dataset[Element], textField: String = "text",
+      idField: String = "ref_id"): DataFrame =
+    ds.select(struct(col("text").as(textField), col("element_id").as(idField)).as("data"))
 
   /** `stage_for_baseplate` (`staging/baseplate.py:27`): rows-of-columns layout. */
   def stageForBaseplate(ds: Dataset[Element]): DataFrame =
@@ -57,20 +59,33 @@ object Staging {
    * attention-window-sized chunks (whitespace token count + buffer), other
    * element types pass through. Reuses the chunking kernel's splitter per doc.
    */
+  /** `chunk_by_attention_window` on one string (`staging/huggingface.py:32-100`):
+    * whitespace segments greedily packed into `maxInputSize - buffer` token
+    * windows; the buffer accounts for special tokens like `[CLS]`. */
+  def chunkByAttentionWindow(text: String, maxInputSize: Int = 512,
+      buffer: Int = 2): Seq[String] = {
+    require(buffer >= 0 && buffer < maxInputSize,
+      s"buffer is set to $buffer. Must be greater than zero and smaller than " +
+        s"max_input_size, which is $maxInputSize.")
+    val window = maxInputSize - buffer
+    val words = text.split(" ")
+    if (words.length <= window) Seq(text)
+    else words.grouped(window).map(_.mkString(" ")).toSeq
+  }
+
   def stageForTransformers(ds: Dataset[Element], maxInputSize: Int = 512,
       buffer: Int = 2): Dataset[Element] = {
+    require(buffer >= 0 && buffer < maxInputSize,
+      s"buffer is set to $buffer. Must be greater than zero and smaller than " +
+        s"max_input_size, which is $maxInputSize.")
     val sp = ds.sparkSession
     import sp.implicits._
-    val window = maxInputSize - buffer
     ds.flatMap { e =>
-      val chunkable = e.`type` == "NarrativeText" || e.`type` == "UncategorizedText"
-      if (!chunkable || e.text == null || e.text.isEmpty) Iterator.single(e)
-      else {
-        // split on word boundaries so each chunk has <= window whitespace tokens
-        val words = e.text.split(" ")
-        if (words.length <= window) Iterator.single(e)
-        else words.grouped(window).map(g => e.copy(text = g.mkString(" ")))
-      }
+      // the reference chunks every `Text` subclass — which is every textual
+      // element type in the model; empty/absent text passes through untouched
+      if (e.text == null || e.text.isEmpty) Iterator.single(e)
+      else chunkByAttentionWindow(e.text, maxInputSize, buffer).iterator
+        .map(t => e.copy(text = t))
     }
   }
 
