@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.Cleaners
+import graft.functions.expr.WeightedLevenshtein
+
+/**
+ * Driver-side `calculate_edit_distance` / `calculate_accuracy`
+ * (`metrics/text_extraction.py:69-130`) — the same pipeline the distributed
+ * `q_edit_distance_accuracy` query runs column-wise: prepare (whitespace
+ * collapse), quote standardization, weighted Levenshtein (ins=2, del=1,
+ * sub=1), then the division-safe bounded score.
+ */
+object TextExtractionMetrics {
+
+  /** `prepare_str` (`text_extraction.py:206-211`): null-safe; optionally
+    * collapses all whitespace runs to single spaces and trims. */
+  def prepareStr(s: String, standardizeWhitespaces: Boolean = false): String =
+    if (s == null || s.isEmpty) ""
+    else if (standardizeWhitespaces) s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    else s
+
+  /** `standardize_quotes` (`text_extraction.py:214-224`) at the string level —
+    * same codepoint table as the column-wise `Cleaners.standardizeQuotes`. */
+  def standardizeQuotes(s: String): String = {
+    val doubles = Cleaners.DoubleQuoteCodepoints.codePoints().toArray.toSet
+    val singles = Cleaners.SingleQuoteCodepoints.codePoints().toArray.toSet
+    val sb = new java.lang.StringBuilder(s.length)
+    s.codePoints().forEach { cp =>
+      if (doubles.contains(cp)) sb.append('"')
+      else if (singles.contains(cp)) sb.append('\'')
+      else sb.appendCodePoint(cp)
+    }
+    sb.toString
+  }
+
+  /** `calculate_edit_distance` (`text_extraction.py:69-120`). `returnAs` is
+    * one of `"distance"` (raw weighted distance) or `"score"` (1 - bounded
+    * percentage distance, with the source length floored at 1 so an empty
+    * source scores 0 rather than dividing by zero). */
+  def calculateEditDistance(output: String, source: String,
+      returnAs: String = "distance",
+      standardizeWhitespaces: Boolean = true): Double = {
+    require(returnAs == "score" || returnAs == "distance",
+      s"Invalid return value type. Expected one of: score, distance; got $returnAs")
+    val o = standardizeQuotes(prepareStr(output, standardizeWhitespaces))
+    val s = standardizeQuotes(prepareStr(source, standardizeWhitespaces))
+    val distance = WeightedLevenshtein.distance(o, s, 2, 1, 1).toDouble
+    if (returnAs == "distance") distance
+    else {
+      val bounded = math.min(math.max(distance / math.max(s.length, 1.0), 0.0), 1.0)
+      1.0 - bounded
+    }
+  }
+
+  /** `calculate_accuracy` (`text_extraction.py:123-130`): the score form. */
+  def calculateAccuracy(output: String, source: String,
+      standardizeWhitespaces: Boolean = true): Double =
+    calculateEditDistance(output, source, returnAs = "score",
+      standardizeWhitespaces = standardizeWhitespaces)
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `calculate_edit_distance` scoring ports
+  * (`test_unstructured/metrics/test_text_extraction.py:15-240`). */
+class TextExtractionMetricsSpec extends AnyFunSuite {
+
+  private def score(output: String, source: String): Double =
+    BigDecimal(TextExtractionMetrics.calculateEditDistance(output, source,
+      returnAs = "score")).setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+
+  private val source = "I like pizza. I like bagels."
+
+  // -- test_calculate_edit_distance (:15-105) — the reference's exact scores
+  test("edit distance score vectors match the reference") {
+    assert(score(source, source) == 1.0)
+    assert(score("I like p i z z a . I like bagles.", source) == 0.75)
+    assert(score("\\s+".r.replaceAllIn(source.mkString(" "), " "), source) == 0.39)
+    assert(score(source.replace(" ", ""), source) == 0.64)
+    assert(score("I like pizza.", source) == 0.0)
+    assert(score("I like pizza. I like .", source) == 0.57)
+    assert(score("I like pizza. I like beagles.", source) == 0.89)
+    assert(score("I like pizza pizza. I like bagels.", source) == 0.79)
+  }
+
+  test("invalid return_as raises") {
+    intercept[IllegalArgumentException] {
+      TextExtractionMetrics.calculateEditDistance("a", "b", returnAs = "nope")
+    }
+  }
+
+  // -- test_calculate_edit_distance_with_various_whitespace_1 (:187-240)
+  test("whitespace standardization makes layout-only differences free") {
+    val pairs = Seq(
+      ("The  dog\rloved the cat, but\t\n    the cat\tloved the\n cow",
+        "The dog loved the cat, but the cat loved the cow"),
+      ("Hello    my\tname\tis H a r p e r, \nwhat's your\u000Bname?",
+        "Hello my name is H a r p e r, what's your name?"),
+      ("I have a\t\n\tdog and a\tcat,\fI love my\n\n\n\ndog.",
+        "I have a dog and a cat, I love my dog."))
+    pairs.foreach { case (a, b) =>
+      assert(TextExtractionMetrics.calculateEditDistance(a, b,
+        returnAs = "score", standardizeWhitespaces = true) == 1.0)
+      assert(TextExtractionMetrics.calculateEditDistance(a, b,
+        returnAs = "distance", standardizeWhitespaces = true) == 0.0)
+      assert(TextExtractionMetrics.calculateEditDistance(a, b,
+        returnAs = "score", standardizeWhitespaces = false) < 1.0)
+      assert(TextExtractionMetrics.calculateEditDistance(a, b,
+        returnAs = "distance", standardizeWhitespaces = false) > 0.0)
+    }
+  }
+
+  // -- test_calculate_edit_distance_with_various_whitespace_2 (:210-240)
+  test("standardized whitespace improves the tab-vs-border table score") {
+    val tabs = "\n  Name\tAge\tCity\tOccupation\n  Alice\t30\tNew York\tEngineer\n" +
+      "  Bob\t25\tLos Angeles\tDesigner\n  Charlie\t35\tChicago\tTeacher\n" +
+      "  David\t40\tSan Francisco\tDeveloper\n  "
+    val borders = "\n\n  | Name    | Age | City         | Occupation     |\n" +
+      "  |---------|-----|--------------|----------------|\n" +
+      "  | Alice   | 30  | New York     | Engineer       |\n" +
+      "  | Bob     | 25  | Los Angeles  | Designer       |\n" +
+      "  | Charlie | 35  | Chicago      | Teacher        |\n" +
+      "  | David   | 40  | San Francisco| Developer      |\n\n  "
+    def s(std: Boolean) = TextExtractionMetrics.calculateEditDistance(
+      tabs, borders, returnAs = "score", standardizeWhitespaces = std)
+    def d(std: Boolean) = TextExtractionMetrics.calculateEditDistance(
+      tabs, borders, returnAs = "distance", standardizeWhitespaces = std)
+    assert(s(std = true) > s(std = false))
+    assert(d(std = true) < d(std = false))
+  }
+
+  // -- smart quotes cost nothing (standardize_quotes in the pipeline)
+  test("smart-quoted output matches ascii-quoted source exactly") {
+    assert(TextExtractionMetrics.calculateEditDistance(
+      "“I like pizza.”", "\"I like pizza.\"", returnAs = "distance") == 0.0)
+    assert(TextExtractionMetrics.calculateAccuracy(
+      "It’s fine", "It's fine") == 1.0)
+  }
+
+  // -- empty source is floored at length 1 (division-by-zero guard)
+  test("empty source yields score 0 for non-empty output") {
+    assert(TextExtractionMetrics.calculateEditDistance("abc", "",
+      returnAs = "score") == 0.0)
+    assert(TextExtractionMetrics.calculateEditDistance("", "",
+      returnAs = "score") == 1.0)
+  }
+}
