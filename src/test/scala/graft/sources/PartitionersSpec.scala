@@ -314,4 +314,30 @@ class PartitionersSpec extends AnyFunSuite {
     val (ft4, _) = Partitioners.partitionAuto("a.pdf", "%PDF-1.4".getBytes)
     assert(ft4 == FileType.Pdf)
   }
+
+  // -- common/test_html_table.py Describe_htmlify_matrix_of_cell_texts --------
+
+  test("htmlify matrix: empty cells render self-closing td") {
+    assert(Partitioners.htmlifyMatrix(
+      Seq(Seq("cell1", "", "cell3"), Seq("", "cell5", ""))) ==
+      "<table><tr><td>cell1</td><td/><td>cell3</td></tr>" +
+        "<tr><td/><td>cell5</td><td/></tr></table>")
+  }
+
+  test("htmlify matrix: special characters escape and newlines become br") {
+    assert(Partitioners.htmlifyMatrix(Seq(Seq("<>&\"", "newline\n")),
+      escapeQuotes = true) ==
+      "<table><tr><td>&lt;&gt;&amp;&quot;</td><td>newline<br/></td></tr></table>")
+  }
+
+  test("htmlify matrix: multiple rows and cells") {
+    assert(Partitioners.htmlifyMatrix(
+      Seq(Seq("cell1", "cell2"), Seq("cell3", "cell4"))) ==
+      "<table><tr><td>cell1</td><td>cell2</td></tr>" +
+        "<tr><td>cell3</td><td>cell4</td></tr></table>")
+  }
+
+  test("htmlify matrix: empty matrix renders empty string") {
+    assert(Partitioners.htmlifyMatrix(Nil) == "")
+  }
 }
