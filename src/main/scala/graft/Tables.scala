@@ -4,11 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Test-table reader. The driver's `events` table carries a parquet TIMESTAMP(NANOS)
- * column, which Spark does not decode natively ([PARQUET_TYPE_ILLEGAL]); we read it as
- * a raw nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
- * microseconds with integer arithmetic (a double division would lose precision at
- * 1e18 ns magnitudes).
+ * Test-table reader. The driver's `events.ts` column has shipped in two physical
+ * shapes across rounds: parquet TIMESTAMP(NANOS) — which Spark does not decode
+ * natively ([PARQUET_TYPE_ILLEGAL]), so it's read as a raw nanosecond long
+ * (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to microseconds with
+ * integer arithmetic — and plain TIMESTAMP(MICROS) without UTC adjustment, which
+ * Spark reads as TIMESTAMP_NTZ. [[read]] normalizes both to a session-TZ
+ * TIMESTAMP (sessions run UTC), so downstream queries and the DuckDB oracle see
+ * identical wall-clock values either way.
  */
 object Tables {
 
@@ -28,13 +31,19 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    if (name == "events") {
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
-    }
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeTs(df) else df
   }
+
+  /** Normalize `ts` to TIMESTAMP regardless of the parquet physical type. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampType) => df
+      case Some(_) => df.withColumn("ts", col("ts").cast("timestamp"))
+      case None => df
+    }
 
   /**
    * Opt-in small-scan fan-out for CPU-heavy consumers: a parquet scan yields at

@@ -107,7 +107,8 @@ object Partitioners {
       "<tr>" + row.map { s =>
         val esc0 = graft.operators.Chunker.TableChunker.escapeHtml(s)
         val esc = if (escapeQuotes) esc0.replace("\"", "&quot;").replace("'", "&#x27;") else esc0
-        val cell = HtmlPartitioner.normalizeWs(esc.split("\n").mkString("<br/>"))
+        // limit -1: Python's split keeps trailing empties, so "x\n" -> "x<br/>"
+        val cell = HtmlPartitioner.normalizeWs(esc.split("\n", -1).mkString("<br/>"))
         if (cell.isEmpty) "<td/>" else s"<td>$cell</td>"
       }.mkString + "</tr>"
     }

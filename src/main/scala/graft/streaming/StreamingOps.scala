@@ -65,15 +65,15 @@ object StreamingOps {
    * sink and optionally Append+watermark for eviction.
    */
   def hourlyWindowAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
-    graft.Tables.configure(spark) // events.parquet carries TIMESTAMP(NANOS) — read as long
+    graft.Tables.configure(spark) // legacy events.parquet carries TIMESTAMP(NANOS) — read as long
     val schema = spark.read.parquet(eventsPath).schema
     // FileStreamSource wants a directory; expose the single file through one
     // (a real deployment streams an arrival directory anyway)
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"), java.nio.file.Path.of(eventsPath))
-    val agg = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"),
