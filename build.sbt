@@ -29,5 +29,24 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 executor threads allocating concurrently need heap headroom or G1 goes
+  // collection-bound and per-query times turn erratic (observed 3 s → 20 s on
+  // the same query in one bench run at 8g); the box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Spark whole-stage codegen emits thousands of janino classes across a
+  // 147-query bench; the JVM default 240m code cache fills, JIT disables, and
+  // stages intermittently run interpreted (observed 3 s → 43 s on one query).
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  // Shuffle/spill to tmpfs: /tmp is disk-backed here and intermittent writeback
+  // stalls serialized whole stages on shuffle-file opens (observed 3 s → 40 s
+  // run-to-run on an unchanged query); on a real cluster this is the NVMe
+  // scratch volume.
+  "-Dspark.local.dir=/dev/shm/spark-local",
+  // AQE's coalescer targets bytes, but the CPU-heavy typed stages (chunk fold,
+  // table reconstruct, doc parsers) carry kilobytes of shuffle data per core of
+  // work — at the default 1m floor they collapse to 1-2 tasks and run serial
+  // (observed wall == executorRunTime on 32 cores). A 16k floor keeps small-SF
+  // runs parallel; at real scale partitions exceed any floor and this is inert.
+  "-Dspark.sql.adaptive.coalescePartitions.minPartitionSize=16k",
 )

@@ -115,9 +115,7 @@ object Chunker {
     sha32(docId + " " + chunkSeq + " " + text)
 
   private def sha32(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString.substring(0, 32)
+    graft.operators.Hashing.sha256Hex(s).substring(0, 32)
 
   // ---------------------------------------------------------------- text splitter
 

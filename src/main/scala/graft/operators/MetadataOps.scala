@@ -28,10 +28,7 @@ object MetadataOps {
     "Header" -> Seq("Title", "Text", "UncategorizedText", "NarrativeText", "ListItem",
       "BulletedText", "Table", "FigureCaption", "CheckBox"))
 
-  private def sha256Hex(s: String): String =
-    java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"$b%02x").mkString
+  private def sha256Hex(s: String): String = graft.operators.Hashing.sha256Hex(s)
 
   /**
    * `set_element_hierarchy` — stack sweep over document order

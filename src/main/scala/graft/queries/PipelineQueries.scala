@@ -312,20 +312,19 @@ object PipelineQueries {
     // per doc (cycled words), so the packing boundaries differ across rows.
     "q_reconstruct_table" -> ((s, dir) => {
       import s.implicits._
-      val ws = graft.functions.TextAnalysis.words(col("text"))
-      val idx = (i: Column) => pmod(i - 1, size(ws)) + 1
-      val rowText = transform(sequence(lit(1), lit(12)),
-        i => concat(element_at(ws, idx(i)), lit(" cell"), i.cast("string")))
-      val rowHtml = transform(sequence(lit(1), lit(12)),
-        i => concat(lit("<tr><td>"), element_at(ws, idx(i)),
-          lit("</td><td>cell"), i.cast("string"), lit("</td></tr>")))
+      // corpus built in the typed map: a HOF-lambda `element_at(words(text), i)`
+      // re-splits the text per element per column (24 non-codegen regex splits
+      // per row — dominated CPU samples); here the split runs once per row
       val src = docs(s, dir).select(
-        col("doc_id").cast("string").as("doc_id"),
-        concat(lit("hA hB "), array_join(rowText, " ")).as("ttext"),
-        concat(lit("<table><thead><tr><th>hA</th><th>hB</th></tr></thead>"),
-          array_join(rowHtml, ""), lit("</table>")).as("thtml"))
-        .as[(String, String, String)]
-        .map { case (d, t, h) =>
+        col("doc_id").cast("string").as("doc_id"), col("text"))
+        .as[(String, String)]
+        .map { case (d, text) =>
+          val ws = text.split("\\s+").filter(_.nonEmpty)
+          val cells = (1 to 12).map(i => (ws((i - 1) % ws.length), i))
+          val t = "hA hB " + cells.map { case (w, i) => s"$w cell$i" }.mkString(" ")
+          val h = "<table><thead><tr><th>hA</th><th>hB</th></tr></thead>" +
+            cells.map { case (w, i) => s"<tr><td>$w</td><td>cell$i</td></tr>" }.mkString +
+            "</table>"
           Element("", ElementType.Table, t, d, 1L,
             ElementMetadata(text_as_html = Some(h)))
         }
