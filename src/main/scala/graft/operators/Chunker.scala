@@ -615,7 +615,7 @@ object Chunker {
     }
 
     /** `_HtmlTableSplitter._iter_subtables` — (text, html) pairs + carried-header count. */
-    private def syncSplits(rows: Vector[Row], opts: ChunkingOptions)
+    private[graft] def syncSplits(rows: Vector[Row], opts: ChunkingOptions)
         : (Vector[(String, Option[String])], Int) = {
       val headerRows =
         if (opts.repeatTableHeaders) rows.takeWhile(_.isHeader) else Vector.empty[Row]

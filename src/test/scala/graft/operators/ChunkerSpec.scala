@@ -638,6 +638,120 @@ class ChunkerSpec extends AnyFunSuite {
     assert(chunks.map(_.text) == Vector("A\n1", "B\n2"))
   }
 
+  // -- test_base.py Describe_HtmlTableSplitter ------------------------------------
+  // The reference vectors pin row/cell/word split boundaries AND the bs4 text
+  // normalization of messy source whitespace. Exercised through the public chunk
+  // path: one Table element whose html carries the reference's exact markup.
+
+  private def subtables(tableText: String, html: String, maxChars: Int): Vector[(String, String)] =
+    if (maxChars >= 50)
+      // public path (threshold allows html below a 50-char window only in the
+      // direct-splitter tests; iter_chunks falls back to text-only there)
+      byTitle(Seq(table(tableText, Some(html))), ChunkingOptions(maxCharacters = maxChars))
+        .map(c => (c.text, c.metadata.text_as_html.getOrElse("")))
+    else
+      Chunker.TableChunker.syncSplits(Chunker.TableChunker.parseRows(html),
+        ChunkingOptions(maxCharacters = maxChars))._1
+        .map { case (t, h) => (t, h.getOrElse("")) }
+
+  test("html table splits on whole-row boundaries when possible (test_base.py:2828)") {
+    val html =
+      """<table border="1" class="dataframe"><tbody>
+        |<tr><td>Stanley
+        |    Cups</td><td></td><td></td></tr>
+        |<tr><td>Team</td><td>Location</td><td>Stanley Cups</td></tr>
+        |<tr><td>Blues</td><td>STL</td><td>1</td></tr>
+        |<tr><td>Flyers</td><td>PHI</td><td>2</td></tr>
+        |<tr><td>Maple Leafs</td><td>TOR</td><td>13</td></tr>
+        |</tbody></table>""".stripMargin
+    val text = "Stanley Cups Team Location Stanley Cups Blues STL 1 Flyers PHI 2 " +
+      "Maple Leafs TOR 13"
+    assert(subtables(text, html, 40) == Vector(
+      ("Stanley Cups Team Location Stanley Cups",
+        "<table>" +
+          "<tr><td>Stanley Cups</td><td/><td/></tr>" +
+          "<tr><td>Team</td><td>Location</td><td>Stanley Cups</td></tr>" +
+          "</table>"),
+      ("Blues STL 1 Flyers PHI 2",
+        "<table>" +
+          "<tr><td>Blues</td><td>STL</td><td>1</td></tr>" +
+          "<tr><td>Flyers</td><td>PHI</td><td>2</td></tr>" +
+          "</table>"),
+      ("Maple Leafs TOR 13",
+        "<table><tr><td>Maple Leafs</td><td>TOR</td><td>13</td></tr></table>")))
+  }
+
+  test("oversized row splits on an even cell boundary (test_base.py:2886)") {
+    val html =
+      """<table>
+        |<tr><td>Lorem ipsum dolor sit amet.</td>
+        |<td>   Consectetur    adipiscing     elit.   </td>
+        |<td>
+        |  Laboris nisi ut
+        |  aliquip ex ea commodo.
+        |</td></tr>
+        |<tr><td>Duis</td><td>Dolor</td></tr>
+        |<tr><td>Duis</td><td>Cillum</td></tr>
+        |</table>""".stripMargin
+    val text = "Lorem ipsum dolor sit amet. Consectetur adipiscing elit. " +
+      "Laboris nisi ut aliquip ex ea commodo. Duis Dolor Duis Cillum"
+    assert(subtables(text, html, 93) == Vector(
+      ("Lorem ipsum dolor sit amet. Consectetur adipiscing elit.",
+        "<table><tr>" +
+          "<td>Lorem ipsum dolor sit amet.</td>" +
+          "<td>Consectetur adipiscing elit.</td>" +
+          "</tr></table>"),
+      ("Laboris nisi ut aliquip ex ea commodo.",
+        "<table><tr><td>Laboris nisi ut aliquip ex ea commodo.</td></tr></table>"),
+      ("Duis Dolor Duis Cillum",
+        "<table>" +
+          "<tr><td>Duis</td><td>Dolor</td></tr>" +
+          "<tr><td>Duis</td><td>Cillum</td></tr>" +
+          "</table>")))
+  }
+
+  test("oversized cell splits on an even word boundary (test_base.py:2932)") {
+    // thead row exceeds half the window, so the header-repeat guard disables
+    // carrying it and the rows split as plain content
+    val html =
+      """<table><thead><tr>
+        |<td>
+        |  Lorem ipsum dolor sit amet,
+        |  consectetur adipiscing elit.
+        |  Sed do eiusmod tempor
+        |  incididunt ut labore et dolore magna aliqua.
+        |</td>
+        |<td> Ut enim ad minim veniam.           </td>
+        |<td> Quis nostrud exercitation ullamco. </td>
+        |</tr></thead><tbody>
+        |<tr><td>Duis aute irure dolor</td></tr>
+        |<tr><td>In reprehenderit voluptate.</td></tr>
+        |</tbody></table>""".stripMargin
+    val text = "Lorem ipsum dolor sit amet, consectetur adipiscing elit. " +
+      "Sed do eiusmod tempor incididunt ut labore et dolore magna aliqua. " +
+      "Ut enim ad minim veniam. Quis nostrud exercitation ullamco. " +
+      "Duis aute irure dolor In reprehenderit voluptate."
+    assert(subtables(text, html, 100) == Vector(
+      ("Lorem ipsum dolor sit amet, consectetur adipiscing elit. Sed do",
+        "<table>" +
+          "<tr><td>Lorem ipsum dolor sit amet, consectetur adipiscing elit. Sed do</td></tr>" +
+          "</table>"),
+      ("eiusmod tempor incididunt ut labore et dolore magna aliqua.",
+        "<table>" +
+          "<tr><td>eiusmod tempor incididunt ut labore et dolore magna aliqua.</td></tr>" +
+          "</table>"),
+      ("Ut enim ad minim veniam. Quis nostrud exercitation ullamco.",
+        "<table><tr>" +
+          "<td>Ut enim ad minim veniam.</td>" +
+          "<td>Quis nostrud exercitation ullamco.</td>" +
+          "</tr></table>"),
+      ("Duis aute irure dolor In reprehenderit voluptate.",
+        "<table>" +
+          "<tr><td>Duis aute irure dolor</td></tr>" +
+          "<tr><td>In reprehenderit voluptate.</td></tr>" +
+          "</table>")))
+  }
+
   test("normalizeWs collapses all whitespace runs") {
     assert(Chunker.normalizeWs("  a \t b\n\nc  ") == "a b c")
     assert(Chunker.normalizeWs("") == "")
