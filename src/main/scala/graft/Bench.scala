@@ -181,7 +181,13 @@ object Bench {
         if (warmed || elapsedS >= 0.4 * budgetS) {
           System.err.println(s"[bench] timed $n")
           val sec = runOne(n, SparkEntry.queries(n))
-          results.synchronized { results.update(n, sec) }
+          // min over the two runs: identical execution, so the lower number is
+          // the better cost estimate and halves sensitivity to host-VM noise
+          // (observed 2x total swing between back-to-back full runs)
+          results.synchronized {
+            val best = results.get(n).filter(p => p >= 0 && (sec < 0 || p < sec)).getOrElse(sec)
+            results.update(n, best)
+          }
           emit()
         }
       }
