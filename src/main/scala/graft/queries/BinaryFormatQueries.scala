@@ -200,31 +200,34 @@ object BinaryFormatQueries {
     // no-content-type default path.
     "q_partition_url" -> ((s, dir) => {
       import s.implicits._
-      docBase(s, dir).flatMap { d =>
+      docBase(s, dir).mapPartitions { it =>
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val b64 = java.util.Base64.getEncoder
-        val id = d.docId
-        def run(kind: String, url: String) = {
-          val (ft, paras) = graft.sources.UrlSource.partitionUrl(url)
-          (id, kind, ft.name, ft.mimeType, paras.size.toLong,
-            paras.headOption.map(_.text).getOrElse(""))
-        }
-        val fileRow = {
-          val html =
-            s"<html><body><h1>url doc $id</h1><p>This is document $id.</p></body></html>"
-          val tmp = java.nio.file.Files.createTempFile("graft-url-", ".html")
-          try {
+        // one scratch file per partition, overwritten per row (a per-row
+        // create+delete was this query's dominant cost — r8 advice)
+        val tmp = java.nio.file.Files.createTempFile("graft-url-", ".html")
+        tmp.toFile.deleteOnExit()
+        it.flatMap { d =>
+          val id = d.docId
+          def run(kind: String, url: String) = {
+            val (ft, paras) = graft.sources.UrlSource.partitionUrl(url)
+            (id, kind, ft.name, ft.mimeType, paras.size.toLong,
+              paras.headOption.map(_.text).getOrElse(""))
+          }
+          val fileRow = {
+            val html =
+              s"<html><body><h1>url doc $id</h1><p>This is document $id.</p></body></html>"
             java.nio.file.Files.write(tmp, html.getBytes(utf8))
             run("file_html", "file://" + tmp.toAbsolutePath)
-          } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+          }
+          Seq(
+            fileRow,
+            run("data_csv", "data:text/csv;base64," +
+              b64.encodeToString(s"k,v\n$id,${d.source}".getBytes(utf8))),
+            run("data_html_ct", "data:text/html;base64," +
+              b64.encodeToString(s"<p>from data url $id</p>".getBytes(utf8))),
+            run("data_txt", s"data:,This%20is%20note%20$id."))
         }
-        Seq(
-          fileRow,
-          run("data_csv", "data:text/csv;base64," +
-            b64.encodeToString(s"k,v\n$id,${d.source}".getBytes(utf8))),
-          run("data_html_ct", "data:text/html;base64," +
-            b64.encodeToString(s"<p>from data url $id</p>".getBytes(utf8))),
-          run("data_txt", s"data:,This%20is%20note%20$id."))
       }.toDF("doc_id", "kind", "file_type", "mime", "n_elements", "first_text")
         .orderBy("doc_id", "kind")
     }),
