@@ -61,6 +61,9 @@ final case class ElementMetadata(
     coordinates: Option[Coordinates] = None,
     category_depth: Option[Int] = None,
     parent_id: Option[String] = None,
+    // which header/footer definition produced a Header/Footer element:
+    // "primary" | "first_page" | "even_page" (`elements.py:186`, docx.py:684,713)
+    header_footer_type: Option[String] = None,
     // text decoration
     emphasized_text_contents: Option[Seq[String]] = None,
     emphasized_text_tags: Option[Seq[String]] = None,

@@ -40,10 +40,11 @@ object BinaryFormatQueries {
     val raw = ds.flatMap { d =>
       parse(build(d)).zipWithIndex.map { case (p, i) =>
         (d.docId, i + 1L, p.elementType.orNull, p.categoryDepth, p.text,
-          p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull, p.classifier)
+          p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull, p.classifier,
+          p.headerFooterType.orNull)
       }
     }.toDF("doc_id", "seq", "raw_type", "category_depth", "raw_text",
-      "text_as_html", "page_number", "page_name", "classifier")
+      "text_as_html", "page_number", "page_name", "classifier", "header_footer_type")
     val derived = HtmlSource.classifierCascade(col("classifier"), col("raw_text"))
     val typed = raw.select(
       col("doc_id"), col("seq"),
@@ -53,8 +54,11 @@ object BinaryFormatQueries {
       when(col("raw_type").isNull && derived === "ListItem",
         Cleaners.cleanBullets(col("raw_text")))
         .otherwise(col("raw_text")).as("text"),
-      col("text_as_html"), col("page_number"), col("page_name"))
-      .filter(col("element_type").isNotNull && col("text") =!= "")
+      col("text_as_html"), col("page_number"), col("page_name"),
+      col("header_footer_type"))
+      // untyped empties drop; explicitly-typed empty elements (PageBreak) survive
+      .filter(col("element_type").isNotNull &&
+        (col("raw_type").isNotNull || col("text") =!= ""))
     TextSource.resequence(typed)
   }
 
@@ -77,7 +81,7 @@ object BinaryFormatQueries {
     "q_partition_docx" -> ((s, dir) =>
       partitionBinary(docBase(s, dir), CorpusBytes.docx, OoxmlPartitioner.partitionDocx)
         .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
-          col("text"), col("text_as_html"), col("page_number"))
+          col("text"), col("text_as_html"), col("page_number"), col("header_footer_type"))
         .orderBy("doc_id", "seq")),
 
     "q_partition_xlsx" -> ((s, dir) =>
@@ -410,25 +414,32 @@ object BinaryFormatQueries {
       val mixed = "('A&B ' || w1)"
       s"""WITH base AS ($base),
          |rows0 AS (
-         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
-         |    0 AS category_depth, title3 AS text, NULL AS text_as_html, 1 AS page_number
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Header' AS element_type,
+         |    0 AS category_depth, 'hdr ' || source AS text, NULL AS text_as_html,
+         |    CAST(NULL AS INTEGER) AS page_number, 'primary' AS header_footer_type
          |  FROM base
          |  UNION ALL
-         |  SELECT doc_id, 1, i, ${O.deriveDocx("ps[i]")}, NULL, ps[i], NULL, 1
+         |  SELECT doc_id, 1, 0, 'Title', 0, title3, NULL, 1, NULL FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 2, i, ${O.deriveDocx("ps[i]")}, 0, ps[i], NULL, 1, NULL
          |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
          |  UNION ALL
-         |  SELECT doc_id, 2, 1, 'ListItem', 1, 'item ' || (doc_id % 5), NULL, 1 FROM base
+         |  SELECT doc_id, 3, 1, 'ListItem', 1, 'item ' || (doc_id % 5), NULL, 1, NULL FROM base
          |  UNION ALL
-         |  SELECT doc_id, 3, 1, ${O.deriveDocx(mixed)}, NULL, $mixed, NULL, 1 FROM base
+         |  SELECT doc_id, 4, 1, ${O.deriveDocx(mixed)}, 0, $mixed, NULL, 1, NULL FROM base
          |  UNION ALL
-         |  SELECT doc_id, 4, 1, ${O.deriveDocx("('page two ' || source)")}, NULL,
-         |    'page two ' || source, NULL, 2 FROM base
+         |  SELECT doc_id, 5, 1, 'PageBreak', NULL, '', NULL, NULL, NULL FROM base
          |  UNION ALL
-         |  SELECT doc_id, 5, 1, 'Table', NULL, 'k ' || source,
-         |    '<table><tr><td>k</td><td>' || source || '</td></tr></table>', 2 FROM base)
+         |  SELECT doc_id, 6, 1, ${O.deriveDocx("('page two ' || source)")}, 0,
+         |    'page two ' || source, NULL, 2, NULL FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 7, 1, 'Table', NULL, 'k ' || source,
+         |    '<table><tr><td>k</td><td>' || source || '</td></tr></table>', 2, NULL FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 8, 0, 'Footer', 0, 'ftr ' || source, NULL, NULL, 'primary' FROM base)
          |SELECT doc_id,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,
-         |  element_type, category_depth, text, text_as_html, page_number
+         |  element_type, category_depth, text, text_as_html, page_number, header_footer_type
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin
     },
 
@@ -581,7 +592,7 @@ object BinaryFormatQueries {
          |    'hi ' || source || ' note' FROM base
          |  UNION ALL SELECT doc_id, 'docx', 'docx',
          |    'application/vnd.openxmlformats-officedocument.wordprocessingml.document',
-         |    true, len(ps) + 5, title3 FROM base
+         |    true, len(ps) + 8, 'hdr ' || source FROM base
          |  UNION ALL SELECT doc_id, 'msg', 'msg', 'application/vnd.ms-outlook', true,
          |    CASE WHEN doc_id % 2 = 0 THEN len(ps) + 1 ELSE len(ps) END,
          |    CASE WHEN doc_id % 2 = 0 THEN title3

@@ -67,20 +67,35 @@ object CorpusBytes {
     // drawing-only paragraph: invisible to text partitioning (no w:t), feeds the
     // pluggable picture sub-partitioner when one is injected
     sb.append("<w:p><w:r><w:drawing><a:blip r:embed=\"rIdImg\"/></w:drawing></w:r></w:p>")
-    sb.append("<w:p><w:r><w:br w:type=\"page\"/></w:r></w:p>")
-    sb.append("<w:p><w:r><w:t>page two ").append(xmlEscape(d.source))
-      .append("</w:t></w:r></w:p>")
+    // rendered page-break (docx.py:314-333): splits this paragraph into an empty
+    // page-1 fragment, a PageBreak element, and the page-2 text
+    sb.append("<w:p><w:r><w:lastRenderedPageBreak/><w:t>page two ")
+      .append(xmlEscape(d.source)).append("</w:t></w:r></w:p>")
     sb.append("<w:tbl><w:tr><w:tc><w:p><w:r><w:t>k</w:t></w:r></w:p></w:tc>")
       .append("<w:tc><w:p><w:r><w:t>").append(xmlEscape(d.source))
       .append("</w:t></w:r></w:p></w:tc></w:tr></w:tbl>")
+    sb.append("<w:sectPr><w:headerReference w:type=\"default\" r:id=\"rIdH\"/>")
+      .append("<w:footerReference w:type=\"default\" r:id=\"rIdF\"/></w:sectPr>")
     sb.append("</w:body></w:document>")
     zip(Seq(
       "[Content_Types].xml" -> "<?xml version=\"1.0\"?><Types/>".getBytes(UTF_8),
       "word/document.xml" -> sb.toString.getBytes(UTF_8),
+      "word/styles.xml" ->
+        ("<?xml version=\"1.0\"?><w:styles><w:style w:type=\"paragraph\" " +
+          "w:styleId=\"Heading1\"><w:name w:val=\"heading 1\"/></w:style></w:styles>")
+          .getBytes(UTF_8),
+      "word/header1.xml" ->
+        ("<w:hdr><w:p><w:r><w:t>hdr " + xmlEscape(d.source) +
+          "</w:t></w:r></w:p></w:hdr>").getBytes(UTF_8),
+      "word/footer1.xml" ->
+        ("<w:ftr><w:p><w:r><w:t>ftr " + xmlEscape(d.source) +
+          "</w:t></w:r></w:p></w:ftr>").getBytes(UTF_8),
       "word/_rels/document.xml.rels" ->
         ("<?xml version=\"1.0\"?><Relationships><Relationship Id=\"rIdImg\" " +
           "Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/image\" " +
-          "Target=\"media/image1.png\"/></Relationships>").getBytes(UTF_8),
+          "Target=\"media/image1.png\"/>" +
+          "<Relationship Id=\"rIdH\" Target=\"header1.xml\"/>" +
+          "<Relationship Id=\"rIdF\" Target=\"footer1.xml\"/></Relationships>").getBytes(UTF_8),
       // PNG magic + source bytes: magic-sniffable, and the oracle reproduces the
       // base64 as base64(from_hex('89504E47') || source::BLOB)
       "word/media/image1.png" ->

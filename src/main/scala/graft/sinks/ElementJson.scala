@@ -109,6 +109,7 @@ object ElementJson {
     }
     i("category_depth", m.category_depth)
     s("parent_id", m.parent_id)
+    s("header_footer_type", m.header_footer_type)
     ss("emphasized_text_contents", m.emphasized_text_contents)
     ss("emphasized_text_tags", m.emphasized_text_tags)
     ss("link_texts", m.link_texts)

@@ -78,7 +78,10 @@ object AutoSource {
         .otherwise(col("raw_text")).as("text"),
       col("text_as_html"), col("page_number"), col("page_name"),
       col("attached_to_filename"))
-      .filter(col("element_type").isNotNull && col("text") =!= "")
+      // untyped empties drop; explicitly-typed empty elements (PageBreak, Image)
+      // survive like the reference stream
+      .filter(col("element_type").isNotNull &&
+        (col("raw_type").isNotNull || col("text") =!= ""))
     TextSource.resequence(typed)
   }
 }

@@ -184,7 +184,11 @@ object HtmlPartitioner {
       pageName: Option[String] = None,
       /** Which derive cascade types an untyped paragraph: "html"
         * (`derive_element_type_from_text`) or "text" (`element_from_text`). */
-      classifier: String = "html")
+      classifier: String = "html",
+      linkStartIndexes: Seq[Int] = Nil,
+      /** "primary" | "first_page" | "even_page" on Header/Footer elements
+        * (docx.py:684,713). */
+      headerFooterType: Option[String] = None)
 
   def normalizeWs(s: String): String = graft.operators.Chunker.normalizeWs(s)
 

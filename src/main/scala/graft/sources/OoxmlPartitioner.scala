@@ -81,7 +81,7 @@ object OoxmlPartitioner {
   }
 
   /** Read all (or selected) zip members into memory. */
-  private def zipEntries(bytes: Array[Byte],
+  private[sources] def zipEntries(bytes: Array[Byte],
       wanted: String => Boolean): Map[String, String] = {
     val out = mutable.Map.empty[String, String]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
@@ -102,98 +102,15 @@ object OoxmlPartitioner {
 
   // ------------------------------------------------------------------------ DOCX
 
-  private val WBlockRe = "(?s)<w:p[ >].*?</w:p>|<w:p/>|<w:tbl>.*?</w:tbl>".r
-  private val WTextRe = "(?s)<w:t(?: [^>]*)?>(.*?)</w:t>|<w:t/>".r
-  private val WStyleRe = "<w:pStyle [^>]*w:val=\"([^\"]+)\"".r
-  private val WNumPrRe = "<w:numPr>".r
-  private val WPageBreakRe = "<w:br [^>]*w:type=\"page\"".r
-  private val WIlvlRe = "<w:ilvl [^>]*w:val=\"([0-9]+)\"".r
-  private val WTrRe = "(?s)<w:tr[ >].*?</w:tr>".r
-  private val WTcRe = "(?s)<w:tc>.*?</w:tc>".r
-  private val HeadingStyleRe = "^Heading ?([1-9])$".r
-  private val RelTagRe = "<Relationship [^>]*/?>".r
-  private val RelIdRe = "Id=\"([^\"]+)\"".r
-  private val RelTargetRe = "Target=\"([^\"]+)\"".r
-
+  /** Reference-faithful DOCX partitioning — see [[DocxPartitioner]]. */
   def partitionDocx(bytes: Array[Byte]): Seq[RawPara] =
-    partitionDocx(bytes, graft.operators.Registries.docxPicturePartitioner)
+    DocxPartitioner.partition(bytes)
 
   /** Variant with an explicitly injected picture sub-partitioner — the Spark-safe
     * form (no JVM-global registration needed on executors). */
   def partitionDocx(bytes: Array[Byte],
-      pictures: DocxPicturePartitioner): Seq[RawPara] = {
-    val doc = zipEntries(bytes, _ == "word/document.xml").getOrElse("word/document.xml", "")
-    if (doc.isEmpty) return Nil
-    // media resolver for the picture sub-partitioner — materialized only if a
-    // picture-bearing paragraph is actually reached
-    lazy val relMap: Map[String, String] = RelTagRe
-      .findAllIn(zipEntries(bytes, _ == "word/_rels/document.xml.rels")
-        .getOrElse("word/_rels/document.xml.rels", ""))
-      .flatMap { tag =>
-        for {
-          id <- RelIdRe.findFirstMatchIn(tag).map(_.group(1))
-          t <- RelTargetRe.findFirstMatchIn(tag).map(_.group(1))
-        } yield id -> t
-      }.toMap
-    lazy val media = zipEntriesRaw(bytes, _.startsWith("word/media/"))
-    val mediaFor: String => Option[Array[Byte]] = rid =>
-      relMap.get(rid).flatMap { t =>
-        val path = if (t.startsWith("word/")) t else "word/" + t.stripPrefix("./")
-        media.get(path)
-      }
-    val out = mutable.ArrayBuffer.empty[RawPara]
-    var page = 1
-    WBlockRe.findAllIn(doc).foreach { block =>
-      if (block.startsWith("<w:tbl")) {
-        val rows = WTrRe.findAllIn(block).toVector.map { tr =>
-          WTcRe.findAllIn(tr).toVector.map(tc =>
-            HtmlPartitioner.normalizeWs(
-              WTextRe.findAllMatchIn(tc).map(m => Option(m.group(1)).getOrElse(""))
-                .map(xmlUnescape).mkString))
-        }
-        // table text is every non-empty cell space-joined — docx.py:769
-        val text = Partitioners.tableText(rows)
-        if (text.nonEmpty)
-          out += RawPara(text, Some("Table"),
-            textAsHtml = Some(Partitioners.htmlifyMatrix(rows, escapeQuotes = true)),
-            pageNumber = Some(page))
-      } else {
-        val text = HtmlPartitioner.normalizeWs(
-          WTextRe.findAllMatchIn(block).map(m => Option(m.group(1)).getOrElse(""))
-            .map(xmlUnescape).mkString)
-        val style = WStyleRe.findFirstMatchIn(block).map(_.group(1))
-        if (text.nonEmpty) {
-          // list-item first (bulleted text OR w:numPr), before styles — docx.py:455-465,589-594
-          if (graft.functions.Cleaners.isBulletedTextStr(text) ||
-            WNumPrRe.findFirstIn(block).isDefined) {
-            val clean = graft.functions.Cleaners.cleanBulletsStr(text).strip
-            if (clean.nonEmpty)
-              out += RawPara(clean, Some("ListItem"),
-                Some(WIlvlRe.findFirstMatchIn(block).map(_.group(1).toInt).getOrElse(0)),
-                pageNumber = Some(page))
-          } else {
-            val (tpe, depth) = style match {
-              case Some(HeadingStyleRe(n)) => (Some("Title"), Some(n.toInt - 1))
-              case Some(s) if s.startsWith("List") => (Some("ListItem"), Some(0))
-              case Some("Title") => (Some("Title"), Some(0))
-              case _ => (None, None)
-            }
-            // untyped paragraphs classify by the DOCX text cascade downstream
-            out += RawPara(text, tpe, depth, pageNumber = Some(page),
-              classifier = if (tpe.isEmpty) "docx" else "html")
-          }
-        }
-        // pictures in this paragraph go to the pluggable sub-partitioner
-        // (`_iter_paragraph_images`, docx.py:654-659), after the paragraph's text
-        if (block.contains("<a:blip")) {
-          pictures.elements(block, mediaFor)
-            .foreach(p => out += p.copy(pageNumber = p.pageNumber.orElse(Some(page))))
-        }
-        if (WPageBreakRe.findFirstIn(block).isDefined) page += 1
-      }
-    }
-    out.toSeq
-  }
+      pictures: DocxPicturePartitioner): Seq[RawPara] =
+    DocxPartitioner.partition(bytes, pictures = pictures)
 
   // ------------------------------------------------------------------------ XLSX
 

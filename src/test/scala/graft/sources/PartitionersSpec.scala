@@ -155,24 +155,37 @@ class PartitionersSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------- docx
 
-  test("docx: headings, lists, page breaks, tables") {
+  test("docx: headings, lists, rendered page breaks, tables") {
     val docXml =
       """<w:document><w:body>
         |<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>Intro</w:t></w:r></w:p>
         |<w:p><w:r><w:t>Body text one.</w:t><w:t> And more.</w:t></w:r></w:p>
         |<w:p><w:pPr><w:numPr><w:ilvl w:val="0"/></w:numPr></w:pPr><w:r><w:t>bullet</w:t></w:r></w:p>
-        |<w:p><w:r><w:br w:type="page"/><w:t>after break</w:t></w:r></w:p>
+        |<w:p><w:r><w:lastRenderedPageBreak/><w:t>after break</w:t></w:r></w:p>
         |<w:tbl><w:tr><w:tc><w:p><w:r><w:t>h1</w:t></w:r></w:p></w:tc>
         |<w:tc><w:p><w:r><w:t>h2</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
         |</w:body></w:document>""".stripMargin
     val ps = OoxmlPartitioner.partitionDocx(zip("word/document.xml" -> docXml))
     assert(ps(0).elementType.contains("Title") && ps(0).categoryDepth.contains(0))
-    assert(ps(0).text == "Intro")
+    assert(ps(0).text == "Intro" && ps(0).pageNumber.contains(1))
     assert(ps(1).text == "Body text one. And more." && ps(1).elementType.isEmpty)
-    assert(ps(2).elementType.contains("ListItem"))
-    assert(ps(3).text == "after break" && ps(3).pageNumber.contains(1))
-    assert(ps(4).elementType.contains("Table") && ps(4).pageNumber.contains(2))
-    assert(ps(4).textAsHtml.contains("<table><tr><td>h1</td><td>h2</td></tr></table>"))
+    assert(ps(2).elementType.contains("ListItem") && ps(2).categoryDepth.contains(0))
+    // the rendered page-break splits the paragraph: PageBreak, then page-2 text
+    assert(ps(3).elementType.contains("PageBreak") && ps(3).text == "")
+    assert(ps(4).text == "after break" && ps(4).pageNumber.contains(2))
+    assert(ps(5).elementType.contains("Table") && ps(5).pageNumber.contains(2))
+    assert(ps(5).textAsHtml.contains("<table><tr><td>h1</td><td>h2</td></tr></table>"))
+  }
+
+  test("docx: hard page breaks alone no longer page-number the stream") {
+    val docXml =
+      """<w:document><w:body>
+        |<w:p><w:r><w:t>one</w:t><w:br w:type="page"/></w:r></w:p>
+        |<w:p><w:r><w:t>two</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val ps = OoxmlPartitioner.partitionDocx(zip("word/document.xml" -> docXml))
+    assert(!ps.exists(_.elementType.contains("PageBreak")))
+    assert(ps.forall(_.pageNumber.isEmpty))
   }
 
   test("docx picture partitioner protocol: registered sub-partitioner emits Images") {
@@ -210,7 +223,8 @@ class PartitionersSpec extends AnyFunSuite {
       assert(img.imageBase64.contains(
         java.util.Base64.getEncoder.encodeToString("PNGBYTES".getBytes("UTF-8"))))
       assert(img.imageMime.contains("image/png"))
-      assert(img.pageNumber.contains(1))
+      // no rendered page-breaks in the doc -> page metadata omitted (docx.py:270-282)
+      assert(img.pageNumber.isEmpty)
     } finally graft.operators.Registries.registerPicturePartitioner(
       OoxmlPartitioner.NullPicturePartitioner)
   }
