@@ -476,6 +476,8 @@ object BinaryFormatQueries {
          |  UNION ALL
          |  SELECT doc_id, 2, 1, 'ListItem', 0, 'item ' || (doc_id % 5), 1 FROM base
          |  UNION ALL
+         |  SELECT doc_id, 3, 0, 'PageBreak', NULL, '', 1 FROM base
+         |  UNION ALL
          |  SELECT doc_id, 3, 1, 'Title', 0, 'Next ' || w1, 2 FROM base
          |  UNION ALL
          |  SELECT doc_id, 4, 1, ${O.derivePptx(closing)},

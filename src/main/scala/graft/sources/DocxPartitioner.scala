@@ -55,7 +55,7 @@ object DocxPartitioner {
 
   /** Next occurrence of `open` (e.g. "<w:p") followed by a tag delimiter — so
     * "<w:p" matches `<w:p>`/`<w:p/>`/`<w:p attr>` but never `<w:pPr>`. */
-  private def indexOfTag(xml: String, open: String, from: Int): Int = {
+  private[sources] def indexOfTag(xml: String, open: String, from: Int): Int = {
     var i = xml.indexOf(open, from)
     while (i >= 0) {
       val j = i + open.length
@@ -70,7 +70,7 @@ object DocxPartitioner {
 
   /** End index (exclusive) of the element opening at `start`, handling nested
     * same-name elements and self-closing forms. */
-  private def spanEnd(xml: String, start: Int, name: String): Int = {
+  private[sources] def spanEnd(xml: String, start: Int, name: String): Int = {
     val open = "<" + name
     val close = "</" + name + ">"
     val gt = xml.indexOf('>', start)
@@ -119,7 +119,7 @@ object DocxPartitioner {
   }
 
   /** Content between the open tag's '>' and the close tag (empty if self-closing). */
-  private def innerOf(span: String, name: String): String = {
+  private[sources] def innerOf(span: String, name: String): String = {
     val gt = span.indexOf('>')
     if (gt < 0 || span.charAt(gt - 1) == '/') return ""
     val close = "</" + name + ">"
@@ -128,7 +128,7 @@ object DocxPartitioner {
   }
 
   /** `xml` with every `name` element (and its subtree) removed. */
-  private def stripSpans(xml: String, name: String): String = {
+  private[sources] def stripSpans(xml: String, name: String): String = {
     var i = indexOfTag(xml, "<" + name, 0)
     if (i < 0) return xml
     // java StringBuilder: its 3-arg append is the (CharSequence, start, end)
@@ -144,7 +144,7 @@ object DocxPartitioner {
     sb.toString
   }
 
-  private def firstSpan(xml: String, name: String): Option[String] = {
+  private[sources] def firstSpan(xml: String, name: String): Option[String] = {
     val i = indexOfTag(xml, "<" + name, 0)
     if (i < 0) None else Some(xml.substring(i, spanEnd(xml, i, name)))
   }
@@ -178,7 +178,7 @@ object DocxPartitioner {
     flatText(stripSpans(stripSpans(stripSpans(runInner, "w:drawing"), "w:pict"), "w:object"))
 
   /** Tri-state boolean property: `<w:b/>` true, explicit val "0"/"false" false. */
-  private def boolProp(xml: String, name: String): Boolean = {
+  private[sources] def boolProp(xml: String, name: String): Boolean = {
     val re = ("<" + java.util.regex.Pattern.quote(name) + "(?:\\s([^>]*?))?/>").r
     re.findFirstMatchIn(xml) match {
       case None => false

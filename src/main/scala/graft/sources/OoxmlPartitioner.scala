@@ -269,38 +269,7 @@ object OoxmlPartitioner {
 
   // ------------------------------------------------------------------------ PPTX
 
-  private val ShapeRe = "(?s)<p:sp>.*?</p:sp>".r
-  private val APRe = "(?s)<a:p>(.*?)</a:p>".r
-  private val ATRe = "(?s)<a:t>(.*?)</a:t>|<a:t/>".r
-  private val TitlePhRe = "<p:ph [^>]*type=\"(?:title|ctrTitle)\"".r
-  private val BulletPrRe = "<a:bu(?:Char|AutoNum)[ />]".r
-
-  def partitionPptx(bytes: Array[Byte]): Seq[RawPara] = {
-    val entries = zipEntries(bytes,
-      n => n.startsWith("ppt/slides/slide") && n.endsWith(".xml"))
-    val slides = entries.keys.toSeq
-      .sortBy(n => "slide([0-9]+)".r.findFirstMatchIn(n).map(_.group(1).toInt).getOrElse(0))
-    slides.zipWithIndex.flatMap { case (name, si) =>
-      val xml = entries(name)
-      ShapeRe.findAllIn(xml).toSeq.flatMap { shape =>
-        val isTitle = TitlePhRe.findFirstIn(shape).isDefined
-        APRe.findAllMatchIn(shape).flatMap { pm =>
-          val text = HtmlPartitioner.normalizeWs(
-            ATRe.findAllMatchIn(pm.group(1)).map(m => Option(m.group(1)).getOrElse(""))
-              .map(xmlUnescape).mkString)
-          // XML-level bullets (a:buChar / a:buAutoNum) → ListItem — pptx.py:177-186
-          val isBullet = BulletPrRe.findFirstIn(pm.group(1)).isDefined
-          if (text.isEmpty) None
-          else if (isTitle)
-            Some(RawPara(text, Some("Title"), Some(0), pageNumber = Some(si + 1)))
-          else if (isBullet)
-            Some(RawPara(text, Some("ListItem"), Some(0), pageNumber = Some(si + 1)))
-          else
-            // body paragraphs carry level (0) and classify via the PPTX cascade
-            Some(RawPara(text, None, Some(0), pageNumber = Some(si + 1),
-              classifier = "pptx"))
-        }.toSeq
-      }
-    }
-  }
+  /** Reference-faithful PPTX partitioning — see [[PptxPartitioner]]. */
+  def partitionPptx(bytes: Array[Byte]): Seq[RawPara] =
+    PptxPartitioner.partition(bytes)
 }

@@ -304,14 +304,17 @@ class PartitionersSpec extends AnyFunSuite {
         |<p:txBody><a:p><a:r><a:t>Slide Title</a:t></a:r></a:p></p:txBody></p:sp>
         |<p:sp><p:txBody><a:p><a:r><a:t>Body paragraph.</a:t></a:r></a:p></p:txBody></p:sp>
         |</p:spTree></p:cSld></p:sld>""".stripMargin
-    val slide2 = "<p:sld><p:sp><p:txBody><a:p><a:r><a:t>Second slide text</a:t></a:r></a:p></p:txBody></p:sp></p:sld>"
+    val slide2 = "<p:sld><p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r>" +
+      "<a:t>Second slide text</a:t></a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
     val ps = OoxmlPartitioner.partitionPptx(zip(
       "ppt/slides/slide1.xml" -> slide1,
       "ppt/slides/slide2.xml" -> slide2))
     assert(ps(0).elementType.contains("Title") && ps(0).text == "Slide Title")
     assert(ps(0).pageNumber.contains(1))
     assert(ps(1).text == "Body paragraph." && ps(1).elementType.isEmpty)
-    assert(ps(2).text == "Second slide text" && ps(2).pageNumber.contains(2))
+    // slide boundary emits a PageBreak carrying the page it closes (pptx.py:382-396)
+    assert(ps(2).elementType.contains("PageBreak") && ps(2).pageNumber.contains(1))
+    assert(ps(3).text == "Second slide text" && ps(3).pageNumber.contains(2))
   }
 
   // ------------------------------------------------------------- auto router
