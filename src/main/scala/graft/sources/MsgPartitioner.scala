@@ -227,6 +227,9 @@ object MsgPartitioner {
         val typ = (tag & 0xFFFFL).toInt
         if (typ == 0x0003 || typ == 0x0002 || typ == 0x000B)
           out(f"${(tag >> 16).toInt}%04X") = bb.getInt(off + 8).toLong & 0xFFFFFFFFL
+        // PT_SYSTIME (FILETIME): full 64-bit tick count
+        else if (typ == 0x0040)
+          out(f"${(tag >> 16).toInt}%04X") = bb.getLong(off + 8)
         off += 16
       }
       out.toMap
@@ -300,7 +303,40 @@ object MsgPartitioner {
     }
   }
 
-  /** Parse an Outlook message into (metadata, element paragraphs). */
+  /** RFC-5322 headers from the transport-headers property text (unfolded,
+    * lower-cased keys, first occurrence wins — python `email` semantics). */
+  private def parseTransportHeaders(text: String): Map[String, String] = {
+    val out = mutable.LinkedHashMap.empty[String, String]
+    var current: String = null
+    text.linesIterator.takeWhile(_.nonEmpty).foreach { line =>
+      if ((line.startsWith(" ") || line.startsWith("\t")) && current != null)
+        out(current) = out(current) + " " + line.trim
+      else {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val k = line.substring(0, i).toLowerCase
+          if (!out.contains(k)) { out(k) = line.substring(i + 1).trim; current = k }
+          else current = null
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** PT_SYSTIME property (FILETIME, 100 ns ticks since 1601) → ISO-8601 UTC in
+    * python `datetime.isoformat()` shape ("...+00:00"). */
+  private def sysTimeIso(ticks: Long): String = {
+    val secs = ticks / 10000000L - 11644473600L
+    val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+    dt.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "+00:00"
+  }
+
+  /** Parse an Outlook message into (metadata, element paragraphs).
+    *
+    * Reference semantics (`partition/msg.py`): cc/bcc/Message-Id come from the
+    * transport message headers (:92-103), the sent date (PR_CLIENT_SUBMIT_TIME)
+    * feeds `last_modified` (:135-138), and a Content-Type containing
+    * "encrypted" short-circuits to zero elements (:114-123,186-190). */
   def partitionMsg(bytes: Array[Byte]): (EmailMeta, Seq[RawPara]) = {
     val cfb = new Cfb(bytes)
     val props = topLevelProps(cfb)
@@ -313,8 +349,22 @@ object MsgPartitioner {
       else if (senderName.nonEmpty) Seq(senderName)
       else Nil
     val to = recipients(cfb)
-    val meta = EmailMeta(sentFrom = from, sentTo = to, cc = Nil, bcc = Nil,
-      subject = Option(subject).filter(_.nonEmpty), messageId = None, date = None)
+    // transport headers (PR_TRANSPORT_MESSAGE_HEADERS, 007D)
+    val headers = props.get("007D").map(parseTransportHeaders).getOrElse(Map.empty)
+    def splitAddrs(h: String): Seq[String] =
+      h.split(",").map(_.strip).filter(_.nonEmpty).toSeq
+    val date = fixedProps(cfb).get("0039").map(sysTimeIso)
+    val meta = EmailMeta(sentFrom = from, sentTo = to,
+      cc = headers.get("cc").map(splitAddrs).getOrElse(Nil),
+      bcc = headers.get("bcc").map(splitAddrs).getOrElse(Nil),
+      subject = Option(subject).filter(_.nonEmpty),
+      messageId = headers.get("message-id")
+        .map(_.strip.stripPrefix("<").stripSuffix(">")).filter(_.nonEmpty),
+      date = date)
+
+    // PGP/SMIME: "encrypted" Content-Type partitions to nothing (msg.py:114-123)
+    if (headers.get("content-type").exists(_.contains("encrypted")))
+      return (meta, Nil)
 
     val htmlBody = props.get("1013").filter(_.nonEmpty)
     val textBody = props.get("1000").filter(_.nonEmpty)

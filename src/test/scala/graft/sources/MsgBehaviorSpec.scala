@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+import graft.sources.HtmlPartitioner.RawPara
+
+/**
+ * Behavior suite ported from the reference's MSG tests
+ * (`/root/reference/test_unstructured/partition/test_msg.py`) over the same
+ * example messages, exercising the hand-rolled CFB reader end-to-end.
+ */
+class MsgBehaviorSpec extends SparkSuiteBase {
+
+  private val docs = "/root/reference/example-docs/"
+
+  private def bytes(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(docs + name))
+
+  private def typed(ps: Seq[RawPara]): Seq[(String, String)] = {
+    val sp = spark
+    import sp.implicits._
+    val df = ps.zipWithIndex
+      .map { case (p, i) => (i, p.elementType.orNull, p.text, p.classifier) }
+      .toDF("i", "raw_type", "text", "classifier")
+    val derived = HtmlSource.classifierCascade(col("classifier"), col("text"))
+    df.select(col("i"), coalesce(col("raw_type"), derived).as("t"),
+        when(col("raw_type").isNull && derived === "ListItem",
+          graft.functions.Cleaners.cleanBullets(col("text")))
+          .otherwise(col("text")).as("text"))
+      .orderBy("i").collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+  }
+
+  // -- test_partition_msg_from_filename -------------------------------------------
+
+  test("fake-email.msg: body elements match EXPECTED_MSG_OUTPUT") {
+    val (_, ps) = MsgPartitioner.partitionMsg(bytes("fake-email.msg"))
+    assert(typed(ps) == Seq(
+      ("NarrativeText", "This is a test email to use for unit tests."),
+      ("UncategorizedText", "Important points:"),
+      ("ListItem", "Roses are red"),
+      ("ListItem", "Violets are blue")))
+  }
+
+  test("fake-email.msg: sender, recipient, subject, and sent-date metadata") {
+    val (meta, _) = MsgPartitioner.partitionMsg(bytes("fake-email.msg"))
+    assert(meta.sentFrom == Seq("\"Matthew Robinson\" <mrobinson@unstructured.io>"))
+    assert(meta.sentTo == Seq("mrobinson@unstructured.io"))
+    assert(meta.subject.contains("Test Email"))
+    // last_modified pulls from PR_CLIENT_SUBMIT_TIME (msg.py:135-138)
+    assert(meta.date.contains("2023-03-28T17:00:31+00:00"))
+  }
+
+  // -- transport-header metadata --------------------------------------------------
+
+  test("cc and bcc recipients surface from the transport headers") {
+    val (meta, ps) = MsgPartitioner.partitionMsg(bytes("fake-email-with-cc-and-bcc.msg"))
+    assert(ps.nonEmpty)
+    assert((meta.cc ++ meta.bcc).nonEmpty,
+      s"expected cc/bcc from transport headers, got cc=${meta.cc} bcc=${meta.bcc}")
+    assert((meta.cc ++ meta.bcc).forall(_.contains("@")))
+  }
+
+  // -- test_partition_msg_with_pgp_encrypted_message ------------------------------
+
+  test("encrypted message partitions to zero elements") {
+    val (_, ps) = MsgPartitioner.partitionMsg(bytes("fake-encrypted.msg"))
+    assert(ps.isEmpty)
+  }
+
+  // -- attachment processing ------------------------------------------------------
+
+  test("attachments extract with filenames and partition through the auto router") {
+    val atts = MsgPartitioner.msgAttachments(bytes("fake-email-attachment.msg"))
+    assert(atts.map(_._1) == Seq("fake-attachment.txt"))
+    val (ft, ps) = Partitioners.partitionAuto(atts.head._1, atts.head._2)
+    assert(ft == FileType.Txt)
+    assert(ps.nonEmpty)
+    assert(ps.head.text == "Hey this is a fake attachment!")
+  }
+}
