@@ -122,6 +122,17 @@ object OoxmlPartitioner {
   private val CellRefRe = "r=\"([A-Z]+)([0-9]+)\"".r
   private val SheetNameRe = "<sheet [^>]*name=\"([^\"]+)\"[^>]*/?>".r
 
+  /** Numeric cells stored as "1.0"/"2.0" render as whole numbers — the
+    * reference reads sheets through pandas where integral floats display
+    * without a decimal part (`EXPECTED_TABLE_XLSX`, test_constants.py:31-38);
+    * non-integral values keep their literal text. */
+  private def formatNumericCell(raw: String): String =
+    if (raw.indexOf('.') >= 0 || raw.indexOf('e') >= 0 || raw.indexOf('E') >= 0)
+      scala.util.Try(raw.toDouble).toOption
+        .filter(d => d.isWhole && math.abs(d) < 1e15)
+        .map(_.toLong.toString).getOrElse(raw)
+    else raw
+
   private def colIndex(ref: String): Int =
     ref.foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
 
@@ -243,6 +254,7 @@ object OoxmlPartitioner {
             val v = CellVRe.findFirstMatchIn(cm.matched).map(_.group(1)).getOrElse("")
             val value =
               if (isShared) scala.util.Try(shared(v.toInt)).getOrElse("")
+              else if (!attrs.contains("t=\"")) formatNumericCell(xmlUnescape(v))
               else xmlUnescape(v)
             if (value.nonEmpty) {
               grid((r, c)) = value

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+import graft.sources.HtmlPartitioner.RawPara
+
+/**
+ * Behavior suite ported from the reference's auto-router tests
+ * (`/root/reference/test_unstructured/partition/test_auto.py`) over the same
+ * example documents: every file routes through `Partitioners.partitionAuto`
+ * exactly as the production file-scan source does, with untyped paragraphs
+ * resolving through the per-format classifier cascade.
+ */
+class AutoBehaviorSpec extends SparkSuiteBase {
+
+  private val docs = "/root/reference/example-docs/"
+
+  private def route(name: String): (FileType, Seq[RawPara]) =
+    Partitioners.partitionAuto(name.split('/').last,
+      Files.readAllBytes(Paths.get(docs + name)))
+
+  /** (type, text) pairs after the per-format derive cascade, including the
+    * derived-ListItem bullet cleaning the production query path applies. */
+  private def typed(ps: Seq[RawPara]): Seq[(String, String)] = {
+    val sp = spark
+    import sp.implicits._
+    val df = ps.zipWithIndex
+      .map { case (p, i) => (i, p.elementType.orNull, p.text, p.classifier) }
+      .toDF("i", "raw_type", "text", "classifier")
+    val derived = HtmlSource.classifierCascade(col("classifier"), col("text"))
+    df.select(col("i"), coalesce(col("raw_type"), derived).as("t"),
+        when(col("raw_type").isNull && derived === "ListItem",
+          graft.functions.Cleaners.cleanBullets(col("text")))
+          .otherwise(col("text")).as("text"))
+      .filter(col("t").isNotNull && (col("raw_type").isNotNull || col("text") =!= ""))
+      .orderBy("i").collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+  }
+
+  private val ExpectedStanleyText =
+    "Stanley Cups Team Location Stanley Cups Blues STL 1 Flyers PHI 2 Maple Leafs TOR 13"
+  private val ExpectedStanleyTable =
+    "<table>" +
+      "<tr><td>Stanley Cups</td><td/><td/></tr>" +
+      "<tr><td>Team</td><td>Location</td><td>Stanley Cups</td></tr>" +
+      "<tr><td>Blues</td><td>STL</td><td>1</td></tr>" +
+      "<tr><td>Flyers</td><td>PHI</td><td>2</td></tr>" +
+      "<tr><td>Maple Leafs</td><td>TOR</td><td>13</td></tr>" +
+      "</table>"
+
+  private val ExpectedDocxElements = Seq(
+    ("Title", "These are a few of my favorite things:"),
+    ("ListItem", "Parrots"),
+    ("ListItem", "Hockey"),
+    ("UncategorizedText", "Analysis"),
+    ("NarrativeText", "This is my first thought. This is my second thought."),
+    ("NarrativeText", "This is my third thought."),
+    ("UncategorizedText", "2023"),
+    ("Address", "DOYLESTOWN, PA 18901"))
+
+  private val ExpectedPptxElements = Seq(
+    ("Title", "Adding a Bullet Slide"),
+    ("ListItem", "Find the bullet slide layout"),
+    ("ListItem", "Use _TextFrame.text for first bullet"),
+    ("ListItem", "Use _TextFrame.add_paragraph() for subsequent bullets"),
+    ("NarrativeText", "Here is a lot of text!"),
+    ("NarrativeText", "Here is some text in a text box!"))
+
+  test("csv routes to one Table with the stanley-cups text and html") {
+    val (ft, ps) = route("stanley-cups.csv")
+    assert(ft == FileType.Csv && ft.mimeType == "text/csv")
+    assert(HtmlPartitioner.normalizeWs(ps.head.text) == ExpectedStanleyText)
+    assert(ps.head.textAsHtml.contains(ExpectedStanleyTable))
+  }
+
+  test("tsv routes to one Table with the stanley-cups text and html") {
+    val (ft, ps) = route("stanley-cups.tsv")
+    assert(ft == FileType.Tsv && ft.mimeType == "text/tsv")
+    assert(HtmlPartitioner.normalizeWs(ps.head.text) == ExpectedStanleyText)
+    assert(ps.head.textAsHtml.contains(ExpectedStanleyTable))
+  }
+
+  test("docx routes to the expected_docx_elements fixture stream") {
+    val (ft, ps) = route("simple.docx")
+    assert(ft == FileType.Docx)
+    assert(typed(ps) == ExpectedDocxElements)
+  }
+
+  test("legacy doc routes to the same text stream as its docx twin") {
+    // the reference converts .doc -> .docx via LibreOffice before partitioning;
+    // the native Word-97 reader recovers the text stream but not paragraph
+    // styles, so types come from the text cascade alone (documented seam)
+    val (ft, ps) = route("simple.doc")
+    assert(ft == FileType.Doc)
+    assert(typed(ps).map(_._2) == ExpectedDocxElements.map(_._2))
+  }
+
+  test("eml routes to the EXPECTED_EMAIL_OUTPUT stream") {
+    val (ft, ps) = route("eml/fake-email.eml")
+    assert(ft == FileType.Eml)
+    assert(typed(ps) == Seq(
+      ("NarrativeText", "This is a test email to use for unit tests."),
+      ("UncategorizedText", "Important points:"),
+      ("ListItem", "Roses are red"),
+      ("ListItem", "Violets are blue")))
+  }
+
+  test("txt routes through the text cascade; all-whitespace file yields nothing") {
+    val (ft, ps) = route("fake-text.txt")
+    assert(ft == FileType.Txt)
+    assert(typed(ps) == Seq(
+      ("NarrativeText", "This is a test document to use for unit tests."),
+      ("Address", "Doylestown, PA 18901"),
+      ("Title", "Important points:"),
+      ("ListItem", "Hamburgers are delicious"),
+      ("ListItem", "Dogs are the best"),
+      ("ListItem", "I love fuzzy blankets")))
+    assert(typed(route("fake-text-all-whitespace.txt")._2).isEmpty)
+  }
+
+  test("pptx routes to the EXPECTED_PPTX_OUTPUT stream") {
+    val (ft, ps) = route("fake-power-point.pptx")
+    assert(ft == FileType.Pptx)
+    assert(typed(ps) == ExpectedPptxElements)
+  }
+
+  test("xlsx routes to two title/table subtable pairs across two sheets") {
+    val (ft, ps) = route("stanley-cups.xlsx")
+    assert(ft == FileType.Xlsx)
+    assert(ps.size == 4)
+    assert(ps.count(_.elementType.contains("Table")) == 2)
+    assert(HtmlPartitioner.normalizeWs(ps(0).text) == "Stanley Cups")
+    assert(HtmlPartitioner.normalizeWs(ps(1).text) ==
+      "Team Location Stanley Cups Blues STL 1 Flyers PHI 2 Maple Leafs TOR 13")
+    assert(ps(1).textAsHtml.contains(
+      "<table>" +
+        "<tr><td>Team</td><td>Location</td><td>Stanley Cups</td></tr>" +
+        "<tr><td>Blues</td><td>STL</td><td>1</td></tr>" +
+        "<tr><td>Flyers</td><td>PHI</td><td>2</td></tr>" +
+        "<tr><td>Maple Leafs</td><td>TOR</td><td>13</td></tr>" +
+        "</table>"))
+    assert(ps.take(2).flatMap(_.pageNumber) == Seq(1, 1))
+    assert(ps.drop(2).flatMap(_.pageNumber) == Seq(2, 2))
+  }
+
+  test("epub routes with the Gutenberg header near the stream head") {
+    val (ft, ps) = route("winter-sports.epub")
+    assert(ft == FileType.Epub)
+    assert(ps.exists(_.text.startsWith("The Project Gutenberg eBook of Winter Sports")))
+  }
+
+  test("org and rst route through pandoc-style conversion") {
+    val (ftOrg, psOrg) = route("README.org")
+    assert(ftOrg == FileType.Org && psOrg.nonEmpty)
+    val (ftRst, psRst) = route("README.rst")
+    assert(ftRst == FileType.Rst && psRst.nonEmpty)
+    assert(psRst.exists(_.text.contains("Example Docs")) ||
+      psOrg.exists(_.text.contains("Example Docs")))
+  }
+}
