@@ -200,6 +200,9 @@ object Cleaners {
     if (Seq("iso-8859-6-i", "iso-8859-6-e", "iso-8859-8-i", "iso-8859-8-e").contains(e))
       e = e.dropRight(2)
     if (e == "latin-1" || e == "latin1") e = "ISO-8859-1"
+    // python codec names "utf-16-le"/"utf-32-be" → Java "UTF-16LE"/"UTF-32BE"
+    val m = "^(utf-(?:16|32))-(le|be)$".r.findFirstMatchIn(e)
+    m.foreach(x => e = x.group(1) + x.group(2))
     java.nio.charset.Charset.forName(e)
   }
 

@@ -752,6 +752,45 @@ class ChunkerSpec extends AnyFunSuite {
           "</table>")))
   }
 
+  // -- PreChunk._text join vectors (test_base.py:879-910) -------------------------
+
+  test("pre-chunk text joins non-empty segments with blank lines, prefix first") {
+    def pcText(els: Seq[Element], prefix: String): String =
+      Chunker.PreChunk(els.toVector, prefix, ChunkingOptions()).text
+    val pb = el(ElementType.PageBreak, "")
+    assert(pcText(Seq(text("foo"), text("bar")), "bah da bing.") == "bah da bing.\n\nfoo\n\nbar")
+    assert(pcText(Seq(text("foo"), pb, text("bar")), "da bang.") == "da bang.\n\nfoo\n\nbar")
+    assert(pcText(Seq(pb, text("foo")), "bah da boom.") == "bah da boom.\n\nfoo")
+    assert(pcText(Seq(text("foo"), text("bar"), pb), "") == "foo\n\nbar")
+  }
+
+  test("overlap tail takes the last overlap chars, stripped (test_base.py:862-877)") {
+    def tail(t: String): String =
+      Chunker.PreChunk(Vector(text(t)), "",
+        ChunkingOptions(overlap = 20, overlapAll = true)).overlapTail
+    assert(tail("In rhoncus ipsum sed lectus porta volutpat.") == "ctus porta volutpat.")
+    assert(tail("In rhoncus ipsum sed lect us   portas volutpat.  ") == "us portas volutpat.")
+  }
+
+  // -- CodeSnippet whitespace preservation (test_base.py:899-930) -----------------
+
+  test("CodeSnippet elements keep internal whitespace in pre-chunk text") {
+    val code = "def hello():\n    print('Hello')\n    return True"
+    val pc = Chunker.PreChunk(Vector(el(ElementType.CodeSnippet, code)), "", ChunkingOptions())
+    assert(pc.text == code)
+  }
+
+  test("CodeSnippet whitespace survives mixing with normalized text elements") {
+    val code = "for i in range(10):\n    print(i)"
+    val pc = Chunker.PreChunk(
+      Vector(el(ElementType.UncategorizedText, "Here is some code:"),
+        el(ElementType.CodeSnippet, code),
+        el(ElementType.UncategorizedText, "That was the code.")),
+      "", ChunkingOptions())
+    assert(pc.text.contains(code))
+    assert(pc.text.startsWith("Here is some code:\n\n"))
+  }
+
   test("normalizeWs collapses all whitespace runs") {
     assert(Chunker.normalizeWs("  a \t b\n\nc  ") == "a b c")
     assert(Chunker.normalizeWs("") == "")
