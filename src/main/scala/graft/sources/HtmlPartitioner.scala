@@ -305,14 +305,35 @@ object HtmlPartitioner {
     }
   }
 
+  /** `TableBlock.iter_elements` (parser.py:528-563): direct rows only (a nested
+    * table reduces to text inside its containing cell), cell text is the
+    * stripped-text-node join, html renders the cell matrix through
+    * `htmlify_matrix_of_cell_texts` (newlines inside a cell become `<br/>`). */
   private def emitTable(el: HElem, out: mutable.ArrayBuffer[RawPara]): Unit = {
-    val html = render(el)
-    val rows = graft.operators.Chunker.TableChunker.parseRows(html)
-    if (rows.isEmpty) return
-    val text = rows.flatMap(_.nonEmptyTexts).mkString(" ")
+    val sectionTags = Set("thead", "tbody", "tfoot")
+    val trs: Vector[HElem] = el.children.toVector.flatMap {
+      case e: HElem if e.tag == "tr" => Vector(e)
+      case e: HElem if sectionTags(e.tag) =>
+        e.children.collect { case t: HElem if t.tag == "tr" => t }
+      case _ => Vector.empty
+    }
+    if (trs.isEmpty) return
+    def cellText(td: HElem): String = {
+      val b = Vector.newBuilder[String]
+      def go(n: HNode): Unit = n match {
+        case HText(s) => val t = s.strip; if (t.nonEmpty) b += t
+        case e: HElem => e.children.foreach(go)
+      }
+      td.children.foreach(go)
+      b.result().mkString(" ")
+    }
+    val matrix = trs.map(tr => tr.children.toVector.collect {
+      case c: HElem if c.tag == "td" || c.tag == "th" => cellText(c)
+    })
+    val text = matrix.map(_.filter(_.nonEmpty).mkString(" ")).mkString(" ").strip
     if (text.isEmpty) return
-    val compact = "<table>" + rows.map(_.html).mkString + "</table>"
-    out += RawPara(text, Some("Table"), textAsHtml = Some(compact))
+    out += RawPara(text, Some("Table"),
+      textAsHtml = Some(Partitioners.htmlifyMatrix(matrix, escapeQuotes = true)))
   }
 
   private def emitImage(el: HElem, out: mutable.ArrayBuffer[RawPara]): Unit = {

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+import graft.sources.HtmlPartitioner.RawPara
+
+/**
+ * Behavior suite ported from the reference's HTML partitioner tests
+ * (`/root/reference/test_unstructured/partition/html/test_partition.py`) —
+ * same inputs, same expected element streams, untyped paragraphs resolved
+ * through the production HTML derive cascade.
+ */
+class HtmlBehaviorSpec extends SparkSuiteBase {
+
+  private def typed(ps: Seq[RawPara]): Seq[(String, String)] = {
+    val sp = spark
+    import sp.implicits._
+    val df = ps.zipWithIndex
+      .map { case (p, i) => (i, p.elementType.orNull, p.text, p.classifier) }
+      .toDF("i", "raw_type", "text", "classifier")
+    val derived = HtmlSource.classifierCascade(col("classifier"), col("text"))
+    df.select(col("i"), coalesce(col("raw_type"), derived).as("t"), col("text"))
+      .orderBy("i").collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+  }
+
+  private def parts(html: String): Seq[RawPara] = HtmlPartitioner.partition(html)
+
+  // -- test_partition_html_processes_chinese_chracters ----------------------------
+
+  test("chinese characters pass through") {
+    assert(parts("<html><div><p>每日新闻</p></div></html>").head.text == "每日新闻")
+  }
+
+  // -- test_emoji_appears_with_emoji_utf8_code ------------------------------------
+
+  test("numeric character references decode to emoji") {
+    val ps = typed(parts("<html charset=\"utf-8\"><p>Hello &#128512;</p></html>"))
+    assert(ps == Seq(("UncategorizedText", "Hello 😀")))
+  }
+
+  // -- test_it_can_parse_a_bare_bones_table_to_a_Table_element --------------------
+
+  test("bare-bones table: joined text and compact html with br for newline") {
+    val html =
+      "<html>\n<body>\n  <table>\n" +
+        "    <tr><td>Lorem</td><td>Ipsum</td></tr>\n" +
+        "    <tr><td>Ut enim non</td><td>ad minim\nveniam quis</td></tr>\n" +
+        "  </table>\n</body>\n</html>"
+    val ps = parts(html)
+    assert(ps.size == 1)
+    assert(ps.head.elementType.contains("Table"))
+    assert(ps.head.textAsHtml.contains(
+      "<table>" +
+        "<tr><td>Lorem</td><td>Ipsum</td></tr>" +
+        "<tr><td>Ut enim non</td><td>ad minim<br/>veniam quis</td></tr>" +
+        "</table>"))
+  }
+
+  // -- test_it_accommodates_column_heading_cells_enclosed_in_thead_tbody_and_tfoot --
+
+  test("thead/tbody/tfoot rows flatten into plain tr rows") {
+    val html =
+      "<table>\n" +
+        "  <thead>\n    <tr><th>Lorem</th><th>Ipsum</th></tr>\n  </thead>\n" +
+        "  <tbody>\n" +
+        "    <tr><th>Lorem ipsum</th><td>dolor sit amet nulla</td></tr>\n" +
+        "    <tr><th>Ut enim non</th><td>ad minim\nveniam quis</td></tr>\n" +
+        "  </tbody>\n" +
+        "  <tfoot>\n    <tr><th>Dolor</th><td>Equis</td></tr>\n  </tfoot>\n" +
+        "</table>"
+    val ps = parts(html)
+    assert(ps.head.textAsHtml.contains(
+      "<table>" +
+        "<tr><td>Lorem</td><td>Ipsum</td></tr>" +
+        "<tr><td>Lorem ipsum</td><td>dolor sit amet nulla</td></tr>" +
+        "<tr><td>Ut enim non</td><td>ad minim<br/>veniam quis</td></tr>" +
+        "<tr><td>Dolor</td><td>Equis</td></tr>" +
+        "</table>"))
+  }
+
+  // -- test_it_does_not_emit_a_Table_element_for_a_table_with_no_text -------------
+
+  test("whitespace-only table emits nothing") {
+    val html = "<table><tr><td> </td><td> </td></tr><tr><td> </td><td> </td></tr></table>"
+    assert(parts(html).isEmpty)
+  }
+
+  // -- test_partition_html_reduces_a_nested_table_to_its_text ---------------------
+
+  test("nested tables reduce to text inside the containing cell") {
+    val html =
+      "<table>\n <tr>\n  <td>\n   <table>\n" +
+        "     <tr><td>foo</td><td>bar</td></tr>\n" +
+        "     <tr><td>baz</td><td>bng</td></tr>\n" +
+        "   </table>\n  </td>\n  <td>\n   <table>\n" +
+        "     <tr><td>fizz</td><td>bang</td></tr>\n" +
+        "   </table>\n  </td>\n </tr>\n</table>"
+    val ps = parts(html)
+    assert(ps.size == 1)
+    assert(HtmlPartitioner.normalizeWs(ps.head.text) == "foo bar baz bng fizz bang")
+    assert(ps.head.textAsHtml.contains(
+      "<table><tr><td>foo bar baz bng</td><td>fizz bang</td></tr></table>"))
+  }
+
+  // -- test_partition_html_recognizes_h1_to_h6_as_Title_with_category_depth -------
+
+  test("h1-h6 headings are Titles with zero-indexed depth; nested li wins") {
+    val html =
+      "<p>This is narrative text, it's long, flows and has meaning</p>\n" +
+        "<h1>This heading is a title, even though it's long, flows and has meaning</h1>\n" +
+        "<h2>A heading that is at the second level</h2>\n" +
+        "<h3>Finally, the third heading</h3>\n" +
+        "<h4>December 1-17, 2017</h4>\n" +
+        "<h5>email@example.com</h5>\n" +
+        "<h6>* bullet point</h6>\n" +
+        "<h3><li>- invalidly nested list item</li></h3>\n"
+    val ps = parts(html)
+    assert(ps.size == 8)
+    val ts = typed(ps)
+    assert(ts(0) == (("NarrativeText", "This is narrative text, it's long, flows and has meaning")))
+    assert(ps(0).categoryDepth.isEmpty)
+    (1 to 6).foreach { i =>
+      assert(ps(i).elementType.contains("Title"), s"element $i")
+      assert(ps(i).categoryDepth.contains(i - 1), s"element $i depth")
+    }
+    assert(ps(7).elementType.contains("ListItem"))
+    assert(ps(7).categoryDepth.contains(0))
+  }
+
+  // -- test_pre_tag_parsing_respects_order ----------------------------------------
+
+  test("pre tags interleave with flow content in document order") {
+    val ts = typed(parts(
+      "<pre>The Big Brown Bear</pre>\n" +
+        "<div>The big brown bear is growling.</div>\n" +
+        "<pre>The big brown bear is sleeping.</pre>\n" +
+        "<div>The Big Blue Bear</div>\n"))
+    assert(ts == Seq(
+      ("CodeSnippet", "The Big Brown Bear"),
+      ("NarrativeText", "The big brown bear is growling."),
+      ("CodeSnippet", "The big brown bear is sleeping."),
+      ("UncategorizedText", "The Big Blue Bear")))
+  }
+
+  // -- test_partition_html_with_widely_encompassing_pre_tag -----------------------
+
+  test("document wrapped in a pre tag partitions as CodeSnippet") {
+    val html = new String(Files.readAllBytes(
+      Paths.get("/root/reference/example-docs/fake-html-pre.htm")), "UTF-8")
+    val ps = parts(html)
+    assert(ps.nonEmpty)
+    assert(ps.head.elementType.contains("CodeSnippet"))
+    assert(HtmlPartitioner.normalizeWs(ps.head.text)
+      .startsWith("[107th Congress Public Law 56]"))
+  }
+
+  // -- test_partition_html_tag_tail_parsing ---------------------------------------
+
+  test("tag tails emit in document order around nested blocks") {
+    val ps = parts(
+      "<html>\n<body>\n<div>\n    Head\n" +
+        "    <div><span>Nested</span></div>\n    Tail\n</div>\n</body>\n</html>\n")
+    assert(ps.map(_.text) == Seq("Head", "Nested", "Tail"))
+  }
+
+  // -- test_partition_html_from_text_works_with_empty_string ----------------------
+
+  test("empty html yields no elements") {
+    assert(parts("").isEmpty)
+  }
+
+  // -- test_it_does_not_extract_text_in_script_tags / style -----------------------
+
+  test("script and style content never leaks into elements") {
+    val html = "<html><body><p>Keep me</p>" +
+      "<script>var x = 'drop me';</script><style>p { color: red; }</style></body></html>"
+    val ps = parts(html)
+    assert(ps.map(_.text) == Seq("Keep me"))
+  }
+
+  // -- test_html_grabs_bulleted_text_in_tags / paras ------------------------------
+
+  test("bulleted paragraph text types as ListItem with the bullet stripped") {
+    val sp = spark
+    import sp.implicits._
+    val ps = parts("<html><body><p>• Bullet one</p><p>●Bullet two</p></body></html>")
+    val df = ps.map(p => (p.text, p.classifier)).toDF("text", "classifier")
+    val derived = HtmlSource.classifierCascade(col("classifier"), col("text"))
+    val out = df.select(derived.as("t"),
+      graft.functions.Cleaners.cleanBullets(col("text")).as("clean")).collect()
+    assert(out.forall(_.getString(0) == "ListItem"))
+    assert(out.map(_.getString(1)).toSeq == Seq("Bullet one", "Bullet two"))
+  }
+}
