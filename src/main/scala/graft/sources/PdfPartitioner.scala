@@ -8,17 +8,30 @@ import graft.sources.HtmlPartitioner.RawPara
 
 /**
  * `partition_pdf` FAST strategy (`/root/reference/unstructured/partition/pdf.py:430-588`
- * — pdfminer text extraction) re-implemented as a minimal native content-stream
- * reader: FlateDecode streams are inflated with `java.util.zip.Inflater`, text
- * rendered by `Tj`/`'`/`TJ` operators is decoded (paren strings with escapes +
- * octal, hex strings), line breaks derived from `Td`/`TD`/`Tm`/`T*` y-motion, and
- * the per-page text then flows through the same paragraph-split + classifier
- * cascade as `partition_text`.
+ * — pdfminer text extraction) re-implemented as a native PDF reader:
  *
- * Scope (documented): simple fonts with ASCII-compatible encodings — the 80% fast
- * path. CID/Type0-composite fonts, encrypted PDFs and scanned pages need the
- * hi_res/OCR strategies, which remain pluggable external-model traits (the
- * reference also shells out for those).
+ *  - **Object model**: the cross-reference-free scan collects `N G obj … endobj`
+ *    bodies (streams delimited by `/Length` when available), the page tree is
+ *    walked from the catalog (`/Pages` → `/Kids`), and `/Contents` streams are
+ *    concatenated per page — so image-only pages (e.g. a scanned page rendering
+ *    one JPEG) correctly produce no text instead of leaking compressed bytes.
+ *  - **Filters**: `/FlateDecode` and `/ASCII85Decode`, alone or chained.
+ *  - **Encryption**: the standard security handler with an empty user password —
+ *    RC4 (V≤2) and AES-128-CBC (`/CFM /AESV2`, V4) object keys per
+ *    PDF-1.7 §7.6.2, so "copy-protected" documents extract like the reference.
+ *  - **Fonts**: per-page `/Resources` → `/Font` maps; `Tf` switches the active
+ *    font during content interpretation. Glyph codes decode through the font's
+ *    embedded `/ToUnicode` CMap (bfchar/bfrange, 1- and 2-byte codespaces — how
+ *    subset fonts and ligatures like ﬁ recover their Unicode), then simple-font
+ *    `/Encoding /Differences` glyph names via an Adobe-glyph-list subset, then
+ *    WinAnsi fallbacks.
+ *  - **Layout**: line breaks derive from `Td`/`TD`/`Tm`/`T*` y-motion and large
+ *    `TJ` kerns, and the per-page text flows through the same paragraph-split +
+ *    classifier cascade as `partition_text`.
+ *
+ * Scope (documented): text-bearing PDFs — the reference's FAST path. Scanned
+ * pages and layout models remain hi_res/OCR strategies behind pluggable seams
+ * (the reference also delegates those to external models).
  */
 object PdfPartitioner {
 
@@ -26,6 +39,8 @@ object PdfPartitioner {
 
   def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length > 4 && bytes(0) == '%' && bytes(1) == 'P' && bytes(2) == 'D' && bytes(3) == 'F'
+
+  // ------------------------------------------------------------------ filters
 
   private[sources] def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new Inflater()
@@ -40,7 +55,45 @@ object PdfPartitioner {
     } catch { case _: Exception => None } finally inf.end()
   }
 
-  /** Decode a PDF paren-string body: escapes `\\ \( \) \n \r \t` + octal `\ddd`. */
+  /** ASCII85 (base-85) decode, `z` shorthand and `~>` terminator handled. */
+  private[sources] def ascii85(data: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length)
+      var tuple = 0L
+      var count = 0
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val c = data(i).toChar
+        if (c == '~') done = true
+        else if (c == 'z' && count == 0) out.write(Array[Byte](0, 0, 0, 0))
+        else if (c >= '!' && c <= 'u') {
+          tuple = tuple * 85 + (c - '!')
+          count += 1
+          if (count == 5) {
+            out.write(((tuple >> 24) & 0xFF).toInt); out.write(((tuple >> 16) & 0xFF).toInt)
+            out.write(((tuple >> 8) & 0xFF).toInt); out.write((tuple & 0xFF).toInt)
+            tuple = 0; count = 0
+          }
+        }
+        i += 1
+      }
+      if (count > 0) {
+        // partial group: pad with 'u', emit count-1 bytes
+        var t = tuple
+        (count until 5).foreach(_ => t = t * 85 + 84)
+        val bs = Array(((t >> 24) & 0xFF).toByte, ((t >> 16) & 0xFF).toByte,
+          ((t >> 8) & 0xFF).toByte, (t & 0xFF).toByte)
+        out.write(bs, 0, count - 1)
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------------------ strings
+
+  /** Decode a PDF paren-string body: escapes `\\ \( \) \n \r \t` + octal `\ddd`.
+    * The result is a byte-string (one char per byte) awaiting font decoding. */
   private[sources] def decodePdfString(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
@@ -67,18 +120,7 @@ object PdfPartitioner {
     sb.toString
   }
 
-  // text-showing / positioning operator scan within a BT..ET block
-  private val TokenRe =
-    ("""\(((?:[^()\\]|\\.)*)\)\s*(Tj|')""" + // (s) Tj  or  (s) '
-      """|<([0-9A-Fa-f\s]+)>\s*Tj""" + // <hex> Tj
-      """|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[-0-9.\s])*)\]\s*TJ""" + // [..] TJ
-      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(Td|TD)""" +
-      """|(?:-?[0-9.]+\s+){4}(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" +
-      """|T\*""").r
-
-  private val TjPartRe = """\(((?:[^()\\]|\\.)*)\)|(-?[0-9.]+)""".r
-
-  private def decodeHex(h: String): String = {
+  private def decodeHexString(h: String): String = {
     val clean = h.replaceAll("\\s", "")
     val sb = new StringBuilder
     var i = 0
@@ -89,31 +131,403 @@ object PdfPartitioner {
     sb.toString
   }
 
+  private def hexToBytes(h: String): Array[Byte] = {
+    val clean = h.replaceAll("\\s", "")
+    val out = new Array[Byte](clean.length / 2)
+    var i = 0
+    while (i + 1 < clean.length) {
+      out(i / 2) = Integer.parseInt(clean.substring(i, i + 2), 16).toByte
+      i += 2
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------ objects
+
+  private final case class PdfObj(num: Int, gen: Int, dict: String,
+      dataStart: Int, dataEnd: Int) {
+    def hasStream: Boolean = dataEnd > dataStart
+  }
+
+  private val ObjHeadRe = """(\d+)\s+(\d+)\s+obj\b""".r
+  private val LengthRe = """/Length\s+(\d+)(?![\d\s]+R)""".r
+  private val RefRe = """(\d+)\s+\d+\s+R""".r
+
+  private def parseObjects(raw: String): Vector[PdfObj] = {
+    val out = Vector.newBuilder[PdfObj]
+    ObjHeadRe.findAllMatchIn(raw).foreach { m =>
+      val start = m.end
+      val streamKw = raw.indexOf("stream", start)
+      val endObj = raw.indexOf("endobj", start)
+      // "stream" must belong to this object and be the keyword (followed by EOL)
+      val isStream = streamKw >= 0 && (endObj < 0 || streamKw < endObj) &&
+        streamKw + 6 < raw.length &&
+        (raw.charAt(streamKw + 6) == '\r' || raw.charAt(streamKw + 6) == '\n')
+      if (isStream) {
+        val dict = raw.substring(start, streamKw)
+        var dataStart = streamKw + 6
+        if (raw.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+        // prefer the declared /Length when it checks out (binary data can
+        // contain the bytes of "endstream")
+        val byLength = LengthRe.findFirstMatchIn(dict).map(_.group(1).toInt)
+          .filter { len =>
+            val p = dataStart + len
+            p <= raw.length && raw.indexOf("endstream", p) >= 0 &&
+              raw.indexOf("endstream", p) - p < 4
+          }
+        val dataEnd = byLength.map(dataStart + _).getOrElse {
+          val e = raw.indexOf("endstream", dataStart)
+          if (e < 0) dataStart else e
+        }
+        out += PdfObj(m.group(1).toInt, m.group(2).toInt, dict, dataStart, dataEnd)
+      } else {
+        val end = if (endObj < 0) raw.length else endObj
+        out += PdfObj(m.group(1).toInt, m.group(2).toInt, raw.substring(start, end), 0, 0)
+      }
+    }
+    out.result()
+  }
+
+  /** Naive dict-value extraction: the token(s) following `/key`. Handles refs,
+    * names, numbers, balanced arrays and dicts. */
+  private def dictValue(dict: String, key: String): Option[String] = {
+    val k = "/" + key
+    var i = dict.indexOf(k)
+    while (i >= 0) {
+      val after = i + k.length
+      // must be a full name token (next char not alphanumeric)
+      if (after >= dict.length || !dict.charAt(after).isLetterOrDigit) {
+        var j = after
+        while (j < dict.length && (dict.charAt(j) == ' ' || dict.charAt(j) == '\n' ||
+          dict.charAt(j) == '\r' || dict.charAt(j) == '\t')) j += 1
+        if (j < dict.length) {
+          dict.charAt(j) match {
+            case '[' =>
+              var depth = 0; var e = j
+              while (e < dict.length && { val c = dict.charAt(e)
+                if (c == '[') depth += 1 else if (c == ']') depth -= 1; depth > 0 || c != ']' }) e += 1
+              return Some(dict.substring(j, math.min(e + 1, dict.length)))
+            case '<' if j + 1 < dict.length && dict.charAt(j + 1) == '<' =>
+              var depth = 0; var e = j
+              while (e + 1 < dict.length && {
+                if (dict.charAt(e) == '<' && dict.charAt(e + 1) == '<') { depth += 1; true }
+                else if (dict.charAt(e) == '>' && dict.charAt(e + 1) == '>') {
+                  depth -= 1; depth > 0
+                } else true
+              }) e += 1
+              return Some(dict.substring(j, math.min(e + 2, dict.length)))
+            case '<' =>
+              val e = dict.indexOf('>', j)
+              return Some(dict.substring(j, if (e < 0) dict.length else e + 1))
+            case '(' =>
+              var e = j + 1; var depth = 1
+              while (e < dict.length && depth > 0) {
+                val c = dict.charAt(e)
+                if (c == '\\') e += 1
+                else if (c == '(') depth += 1
+                else if (c == ')') depth -= 1
+                e += 1
+              }
+              return Some(dict.substring(j, e))
+            case _ =>
+              // ref "12 0 R", name "/X", or number
+              val refM = RefRe.findPrefixMatchOf(dict.substring(j))
+              if (refM.isDefined) return Some(refM.get.matched)
+              var e = j
+              if (dict.charAt(e) == '/') e += 1
+              while (e < dict.length && !" \t\r\n/<>[]()".contains(dict.charAt(e))) e += 1
+              return Some(dict.substring(j, e))
+          }
+        }
+      }
+      i = dict.indexOf(k, i + 1)
+    }
+    None
+  }
+
+  // ------------------------------------------------------------------ crypto
+
+  private val PadBytes: Array[Byte] = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  /** Standard security handler with the empty user password (PDF-1.7 §7.6.3). */
+  private final class Decryptor(fileKey: Array[Byte], aes: Boolean) {
+    private def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val ext = Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+        ((num >> 16) & 0xFF).toByte, (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+      val objKey = md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+      try {
+        if (aes) {
+          if (data.length < 16) return Array.emptyByteArray
+          val cipher = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+          cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(objKey, "AES"),
+            new javax.crypto.spec.IvParameterSpec(data.take(16)))
+          val out = cipher.doFinal(data.drop(16))
+          // strip PKCS#5 padding
+          if (out.nonEmpty) {
+            val pad = out.last & 0xFF
+            if (pad >= 1 && pad <= 16 && pad <= out.length) out.dropRight(pad) else out
+          } else out
+        } else {
+          val cipher = javax.crypto.Cipher.getInstance("RC4")
+          cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(objKey, "RC4"))
+          cipher.doFinal(data)
+        }
+      } catch { case _: Exception => Array.emptyByteArray }
+    }
+  }
+
+  private def setupDecryptor(raw: String, objs: Map[Int, PdfObj]): Option[Decryptor] = {
+    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(raw).toSeq.lastOption
+      .map(_.group(1).toInt)
+    val enc = encRef.flatMap(objs.get).map(_.dict).getOrElse {
+      val i = raw.lastIndexOf("/Encrypt")
+      if (i < 0) return None else return None
+    }
+    if (!enc.contains("/Standard")) return None
+    val v = dictValue(enc, "V").flatMap(s => s.toIntOption).getOrElse(0)
+    val r = dictValue(enc, "R").flatMap(_.toIntOption).getOrElse(2)
+    val lengthBits = dictValue(enc, "Length").flatMap(_.toIntOption).getOrElse(40)
+    val p = dictValue(enc, "P").flatMap(_.toLongOption).getOrElse(-1L)
+    val aes = enc.contains("AESV2")
+    val oVal = dictValue(enc, "O").getOrElse(return None)
+    val oBytes =
+      if (oVal.startsWith("<")) hexToBytes(oVal.stripPrefix("<").stripSuffix(">"))
+      else decodePdfString(oVal.stripPrefix("(").stripSuffix(")"))
+        .map(_.toByte).toArray
+    // first file identifier from the last /ID entry
+    val idHex = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findAllMatchIn(raw).toSeq.lastOption
+      .map(_.group(1)).getOrElse("")
+    val idBytes = hexToBytes(idHex)
+    val keyLen = if (v <= 1) 5 else lengthBits / 8
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(PadBytes) // empty user password → pure padding
+    d.update(oBytes.take(32))
+    val pLe = Array[Byte]((p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+      ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
+    d.update(pLe)
+    d.update(idBytes)
+    if (r >= 4 && !enc.contains("/EncryptMetadata true") && enc.contains("/EncryptMetadata"))
+      d.update(Array[Byte](-1, -1, -1, -1))
+    var key = d.digest().take(keyLen)
+    if (r >= 3) (0 until 50).foreach { _ =>
+      key = java.security.MessageDigest.getInstance("MD5").digest(key).take(keyLen)
+    }
+    Some(new Decryptor(key, aes))
+  }
+
+  // ------------------------------------------------------------------ fonts
+
+  /** A content-stream font: ToUnicode CMap + simple-encoding fallbacks. */
+  private[sources] final case class PdfFont(
+      toUnicode: Map[Int, String],
+      twoByte: Boolean,
+      differences: Map[Int, String])
+
+  // compact Adobe-glyph-list subset: ligatures, punctuation, and the common
+  // named glyphs that appear in /Differences arrays
+  private val GlyphNames: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "fi" -> "ﬁ", "fl" -> "ﬂ", "ffi" -> "ﬃ", "ffl" -> "ﬄ", "ff" -> "ﬀ",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "dagger" -> "†", "daggerdbl" -> "‡",
+    "trademark" -> "™", "copyright" -> "©", "registered" -> "®",
+    "degree" -> "°", "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
+    "ccedilla" -> "ç", "adieresis" -> "ä", "odieresis" -> "ö",
+    "udieresis" -> "ü", "ntilde" -> "ñ")
+
+  private def glyphToText(name: String): Option[String] = {
+    if (name.length == 1) return Some(name)
+    GlyphNames.get(name).orElse {
+      // uniXXXX AGL form
+      if (name.startsWith("uni") && name.length >= 7)
+        scala.util.Try(Integer.parseInt(name.substring(3, 7), 16).toChar.toString).toOption
+      else None
+    }
+  }
+
+  private val BfCharRe = "(?s)beginbfchar(.*?)endbfchar".r
+  private val BfRangeRe = "(?s)beginbfrange(.*?)endbfrange".r
+  private val CodespaceRe = "(?s)begincodespacerange(.*?)endcodespacerange".r
+  private val HexTokRe = "<([0-9A-Fa-f]+)>".r
+  private val BfRangeEntryRe =
+    "(?s)<([0-9A-Fa-f]+)>\\s*<([0-9A-Fa-f]+)>\\s*(<[0-9A-Fa-f]+>|\\[(?:\\s*<[0-9A-Fa-f]*>)*\\s*\\])".r
+
+  private def utf16Hex(h: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + 3 < h.length + 1 && i + 4 <= h.length) {
+      sb.append(Integer.parseInt(h.substring(i, i + 4), 16).toChar)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** Parse a ToUnicode CMap stream into (code→text, twoByte).
+    *
+    * The code width comes from the WIDTH OF THE SOURCE CODES in the
+    * bfchar/bfrange entries, not the codespacerange: subset-font ToUnicode
+    * streams routinely declare `<0000> <FFFF>` while mapping 1-byte codes
+    * (pdfminer keys on the font type the same way). */
+  private[sources] def parseToUnicode(cmap: String): (Map[Int, String], Boolean) = {
+    val map = mutable.Map.empty[Int, String]
+    var twoByte = false
+    BfCharRe.findAllMatchIn(cmap).foreach { m =>
+      val toks = HexTokRe.findAllMatchIn(m.group(1)).map(_.group(1)).toVector
+      toks.grouped(2).foreach {
+        case Vector(src, dst) =>
+          if (src.length > 2) twoByte = true
+          map(Integer.parseInt(src, 16)) = utf16Hex(dst)
+        case _ => ()
+      }
+    }
+    BfRangeRe.findAllMatchIn(cmap).foreach { m =>
+      BfRangeEntryRe.findAllMatchIn(m.group(1)).foreach { e =>
+        val lo = Integer.parseInt(e.group(1), 16)
+        val hi = Integer.parseInt(e.group(2), 16)
+        if (e.group(1).length > 2) twoByte = true
+        val dst = e.group(3)
+        if (dst.startsWith("[")) {
+          val dsts = HexTokRe.findAllMatchIn(dst).map(_.group(1)).toVector
+          dsts.zipWithIndex.foreach { case (d, i) =>
+            if (lo + i <= hi) map(lo + i) = utf16Hex(d)
+          }
+        } else {
+          val base = dst.stripPrefix("<").stripSuffix(">")
+          val baseText = utf16Hex(base)
+          if (baseText.nonEmpty) {
+            val baseLast = baseText.last
+            (lo to math.min(hi, lo + 65535)).foreach { c =>
+              map(c) = baseText.dropRight(1) + (baseLast + (c - lo)).toChar
+            }
+          }
+        }
+      }
+    }
+    (map.toMap, twoByte)
+  }
+
+  private val DiffNameRe = "(\\d+)|/([A-Za-z0-9.]+)".r
+
+  private def parseDifferences(arr: String): Map[Int, String] = {
+    val out = mutable.Map.empty[Int, String]
+    var code = 0
+    DiffNameRe.findAllMatchIn(arr).foreach { m =>
+      if (m.group(1) != null) code = m.group(1).toInt
+      else {
+        glyphToText(m.group(2)).foreach(t => out(code) = t)
+        code += 1
+      }
+    }
+    out.toMap
+  }
+
+  // WinAnsi (cp1252) 0x80-0x9F differences from Latin-1
+  private val WinAnsiHigh: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„',
+    0x85 -> '…', 0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ',
+    0x89 -> '‰', 0x8A -> 'Š', 0x8B -> '‹', 0x8C -> 'Œ',
+    0x8E -> 'Ž', 0x91 -> '‘', 0x92 -> '’', 0x93 -> '“',
+    0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
+    0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
+
+  /** Decode a byte-string through `font` (None → identity Latin-1). */
+  private[sources] def decodeWithFont(s: String, font: Option[PdfFont]): String =
+    font match {
+      case None => s
+      case Some(f) if f.twoByte =>
+        val sb = new StringBuilder
+        var i = 0
+        while (i + 1 < s.length) {
+          val code = (s.charAt(i) << 8) | (s.charAt(i + 1) & 0xFF)
+          f.toUnicode.get(code).foreach(sb.append)
+          i += 2
+        }
+        sb.toString
+      case Some(f) =>
+        val sb = new StringBuilder
+        s.foreach { c =>
+          val code = c & 0xFF
+          f.toUnicode.get(code)
+            .orElse(f.differences.get(code))
+            .orElse(WinAnsiHigh.get(code).map(_.toString)) match {
+            case Some(t) => sb.append(t)
+            case None => sb.append(c)
+          }
+        }
+        sb.toString
+    }
+
+  // ------------------------------------------------------------------ content
+
+  // text-showing / positioning / font operator scan within content
+  private val TokenRe =
+    ("""\(((?:[^()\\]|\\.)*)\)\s*(Tj|'|")""" + // (s) Tj / ' / "
+      """|<([0-9A-Fa-f\s]+)>\s*Tj""" + // <hex> Tj
+      """|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[-0-9.\s])*)\]\s*TJ""" + // [..] TJ
+      """|/([A-Za-z0-9.+_-]+)\s+[-0-9.]+\s+Tf""" + // font select
+      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(Td|TD)""" +
+      """|(?:-?[0-9.]+\s+){4}(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" +
+      """|T\*""").r
+
+  private val TjPartRe = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)""".r
+
   /** Extract reading text from one decompressed content stream: lines split on
-    * y-motion, words joined in operator order. */
-  private[sources] def extractText(content: String): String = {
+    * y-motion, strings decoded through the active font. */
+  private[sources] def extractText(content: String,
+      fonts: Map[String, PdfFont] = Map.empty): String = {
     val lines = mutable.ArrayBuffer.empty[StringBuilder]
     var cur = new StringBuilder
     def newLine(): Unit = { if (cur.nonEmpty) lines += cur; cur = new StringBuilder }
     var lastY = Double.NaN
+    var font: Option[PdfFont] = None
     TokenRe.findAllMatchIn(content).foreach { m =>
       if (m.matched == "T*") newLine()
-      else if (m.group(1) != null) { // (s) Tj or '
-        if (m.group(2) == "'") newLine()
-        cur.append(decodePdfString(m.group(1)))
+      else if (m.group(1) != null) { // (s) Tj / ' / "
+        if (m.group(2) != "Tj") newLine()
+        cur.append(decodeWithFont(decodePdfString(m.group(1)), font))
       } else if (m.group(3) != null) { // <hex> Tj
-        cur.append(decodeHex(m.group(3)))
+        cur.append(decodeWithFont(decodeHexString(m.group(3)), font))
       } else if (m.group(4) != null) { // [..] TJ — strings + kern numbers
         TjPartRe.findAllMatchIn(m.group(4)).foreach { p =>
-          if (p.group(1) != null) cur.append(decodePdfString(p.group(1)))
-          else if (p.group(2) != null && math.abs(p.group(2).toDouble) > 180)
+          if (p.group(1) != null)
+            cur.append(decodeWithFont(decodePdfString(p.group(1)), font))
+          else if (p.group(2) != null)
+            cur.append(decodeWithFont(decodeHexString(p.group(2)), font))
+          else if (p.group(3) != null && math.abs(p.group(3).toDouble) > 180)
             cur.append(' ') // large negative kern ~ inter-word gap
         }
-      } else if (m.group(7) != null) { // Td/TD — y motion starts a new line
-        val dy = m.group(6).toDouble
+      } else if (m.group(5) != null) { // Tf
+        font = fonts.get(m.group(5))
+      } else if (m.group(8) != null) { // Td/TD — y motion starts a new line
+        val dy = m.group(7).toDouble
         if (dy != 0.0) newLine() else cur.append(' ')
-      } else if (m.group(8) != null) { // Tm — absolute: new line when y changes
-        val y = m.group(9).toDouble
+      } else if (m.group(9) != null) { // Tm — absolute: new line when y changes
+        val y = m.group(10).toDouble
         if (lastY.isNaN || y != lastY) newLine()
         lastY = y
       }
@@ -122,26 +536,195 @@ object PdfPartitioner {
     lines.map(_.toString.trim).filter(_.nonEmpty).mkString("\n")
   }
 
-  /** The fast-strategy partitioner: pages (content streams with text ops) →
-    * paragraph split → classifier cascade downstream (classifier="text"). */
+  // ------------------------------------------------------------------ document
+
+  private final class PdfDoc(raw: String) {
+    val objList: Vector[PdfObj] = parseObjects(raw)
+    val objs: Map[Int, PdfObj] = objList.map(o => o.num -> o).toMap
+    val decryptor: Option[Decryptor] = setupDecryptor(raw, objs)
+
+    def refTarget(v: String): Option[PdfObj] =
+      RefRe.findPrefixMatchOf(v.trim).flatMap(m => objs.get(m.group(1).toInt))
+
+    /** Value for `key`, following one level of indirection. */
+    def resolved(dict: String, key: String): Option[String] =
+      dictValue(dict, key).map { v =>
+        refTarget(v).map(_.dict).getOrElse(v)
+      }
+
+    def streamData(o: PdfObj): Option[Array[Byte]] = {
+      if (!o.hasStream) return None
+      var data = raw.substring(o.dataStart, o.dataEnd)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      decryptor.foreach(d => data = d.decrypt(o.num, o.gen, data))
+      val filters = dictValue(o.dict, "Filter").toSeq.flatMap { f =>
+        "/([A-Za-z0-9]+)".r.findAllMatchIn(f).map(_.group(1)).toSeq
+      }
+      if (filters.isEmpty) Some(data)
+      else {
+        var cur = data
+        filters.foreach {
+          case "ASCII85Decode" => cur = ascii85(cur).getOrElse(cur)
+          case "FlateDecode" => cur = inflate(cur).getOrElse(Array.emptyByteArray)
+          case _ => () // unsupported (DCT etc.) — leave as-is, text scan finds nothing
+        }
+        Some(cur).filter(_.nonEmpty)
+      }
+    }
+
+    /** Page objects in page-tree order (catalog → Pages → Kids), falling back
+      * to file order of `/Type /Page` objects. */
+    def pages: Vector[PdfObj] = {
+      val rootDict = """/Root\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(raw).toSeq.lastOption
+        .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict)
+      val out = Vector.newBuilder[PdfObj]
+      val seen = mutable.Set.empty[Int]
+      def walk(node: PdfObj): Unit = {
+        if (seen.add(node.num)) {
+          if (node.dict.contains("/Kids")) {
+            dictValue(node.dict, "Kids").foreach { kids =>
+              RefRe.findAllMatchIn(kids).foreach { k =>
+                objs.get(k.group(1).toInt).foreach(walk)
+              }
+            }
+          } else if (node.dict.contains("/Page") || node.dict.contains("/Contents")) {
+            out += node
+          }
+        }
+      }
+      rootDict.flatMap(d => dictValue(d, "Pages")).flatMap(refTarget) match {
+        case Some(pagesRoot) => walk(pagesRoot)
+        case None => ()
+      }
+      val walked = out.result()
+      if (walked.nonEmpty) walked
+      else objList.filter(o => "/Type\\s*/Page[^s]".r.findFirstIn(o.dict + " ").isDefined)
+    }
+
+    def pageContent(page: PdfObj): String = {
+      val base = dictValue(page.dict, "Contents").toSeq.flatMap { v =>
+        RefRe.findAllMatchIn(v).map(_.group(1).toInt).toSeq
+      }.flatMap(objs.get).flatMap { o =>
+        if (o.hasStream) streamData(o).toSeq
+        else // `/Contents 73 0 R` where 73 is an array object `[ 18 0 R ]`
+          RefRe.findAllMatchIn(o.dict).map(_.group(1).toInt).toSeq
+            .flatMap(objs.get).flatMap(streamData)
+      }.map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
+        .mkString("\n")
+      spliceForms(base, resourcesOf(page), 0)
+    }
+
+    /** Replace each `/Name Do` whose XObject is a Form with that form's content
+      * stream, in place — form text (e.g. letterheads, chart labels) then flows
+      * through extraction in paint order like pdfminer's interpreter. */
+    private def spliceForms(content: String, resources: Option[String], depth: Int): String = {
+      if (depth > 3) return content
+      val xobjDict = resources.flatMap(r => resolved(r, "XObject")).getOrElse(return content)
+      var cur = content
+      """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(xobjDict).foreach { m =>
+        val name = m.group(1)
+        objs.get(m.group(2).toInt).foreach { xo =>
+          if (xo.dict.contains("/Form") && cur.contains("/" + name + " Do")) {
+            val inner = streamData(xo)
+              .map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
+              .getOrElse("")
+            val spliced = spliceForms(inner, dictValue(xo.dict, "Resources")
+              .map(v => refTarget(v).map(_.dict).getOrElse(v)).orElse(resources), depth + 1)
+            cur = cur.replace("/" + name + " Do", "\n" + spliced + "\n")
+          }
+        }
+      }
+      cur
+    }
+
+    /** Resources walk up the /Parent chain (inheritable attribute). */
+    private def resourcesOf(page: PdfObj): Option[String] = {
+      var cur: Option[PdfObj] = Some(page)
+      var depth = 0
+      while (cur.isDefined && depth < 32) {
+        val d = cur.get.dict
+        if (d.contains("/Resources")) return resolved(d, "Resources")
+        cur = dictValue(d, "Parent").flatMap(refTarget)
+        depth += 1
+      }
+      None
+    }
+
+    def pageFonts(page: PdfObj): Map[String, PdfFont] = {
+      val pageRes = resourcesOf(page)
+      // spliced form XObjects resolve font names against their own resources;
+      // collect those too (page-level names win on collision)
+      val formRes = pageRes.flatMap(r => resolved(r, "XObject")).toSeq.flatMap { xd =>
+        RefRe.findAllMatchIn(xd).map(_.group(1).toInt).toSeq
+          .flatMap(objs.get).filter(_.dict.contains("/Form"))
+          .flatMap(xo => dictValue(xo.dict, "Resources")
+            .map(v => refTarget(v).map(_.dict).getOrElse(v)))
+      }
+      (formRes ++ pageRes.toSeq).flatMap { res =>
+        val fontDict = resolved(res, "Font").getOrElse("")
+        """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict).flatMap { m =>
+          objs.get(m.group(2).toInt).map(fo => m.group(1) -> parseFont(fo))
+        }
+      }.toMap
+    }
+
+    private val fontCache = mutable.Map.empty[Int, PdfFont]
+
+    private def parseFont(fo: PdfObj): PdfFont = fontCache.getOrElseUpdate(fo.num, {
+      val (toUni, two) = dictValue(fo.dict, "ToUnicode").flatMap(refTarget)
+        .flatMap(streamData)
+        .map(b => parseToUnicode(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        .getOrElse((Map.empty[Int, String], false))
+      val isType0 = fo.dict.contains("/Type0")
+      val diffs = resolved(fo.dict, "Encoding")
+        .flatMap(enc => dictValue(enc, "Differences"))
+        .map(parseDifferences).getOrElse(Map.empty)
+      // a ToUnicode codespace authoritatively fixes the code width (an embedded
+      // 1-byte Encoding CMap makes even a Type0 font single-byte); only default
+      // to 2-byte (Identity-H) when the font gives no codespace at all
+      val twoByte = if (toUni.nonEmpty) two else isType0
+      PdfFont(toUni, twoByte, diffs)
+    })
+  }
+
+  // ------------------------------------------------------------------ main
+
+  /** The fast-strategy partitioner: page tree → per-page content + fonts →
+    * text → paragraph split → classifier cascade (classifier="text"). */
   def partitionPdf(bytes: Array[Byte]): Seq[RawPara] = {
     if (!isPdf(bytes)) return Nil
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doc = new PdfDoc(raw)
     val out = mutable.ArrayBuffer.empty[RawPara]
-    var page = 0
-    StreamRe.findAllMatchIn(raw).foreach { m =>
-      val body = m.group(1).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      val content = inflate(body) match {
-        case Some(d) => new String(d, java.nio.charset.StandardCharsets.ISO_8859_1)
-        case None => m.group(1)
+    val pages = doc.pages
+    if (pages.nonEmpty) {
+      pages.zipWithIndex.foreach { case (page, i) =>
+        val content = doc.pageContent(page)
+        if (content.contains("BT")) {
+          val text = extractText(content, doc.pageFonts(page))
+          if (text.nonEmpty) {
+            TextSource.splitParagraphs(text).foreach { p =>
+              out += RawPara(p, None, classifier = "text", pageNumber = Some(i + 1))
+            }
+          }
+        }
       }
-      if (content.contains("BT") && (content.contains("Tj") || content.contains("TJ"))) {
-        val text = extractText(content)
-        if (text.nonEmpty) {
-          page += 1
-          // same paragraph-grouping path as partition_text
-          TextSource.splitParagraphs(text).foreach { p =>
-            out += RawPara(p, None, classifier = "text", pageNumber = Some(page))
+    } else {
+      // no parseable page tree (e.g. truncated file): legacy whole-file scan
+      var page = 0
+      StreamRe.findAllMatchIn(raw).foreach { m =>
+        val body = m.group(1).getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val content = inflate(body) match {
+          case Some(d) => new String(d, java.nio.charset.StandardCharsets.ISO_8859_1)
+          case None => m.group(1)
+        }
+        if (content.contains("BT") && (content.contains("Tj") || content.contains("TJ"))) {
+          val text = extractText(content)
+          if (text.nonEmpty) {
+            page += 1
+            TextSource.splitParagraphs(text).foreach { p =>
+              out += RawPara(p, None, classifier = "text", pageNumber = Some(page))
+            }
           }
         }
       }
