@@ -125,7 +125,18 @@ object Predicates {
     "can", "could", "shall", "should", "may", "might", "must",
     "go", "goes", "went", "get", "gets", "got", "make", "makes",
     "made", "see", "sees", "saw", "run", "runs", "ran", "contains",
-    "met", "walk", "walking", "said", "says")
+    "met", "walk", "walking", "said", "says",
+    // common imperative/plain forms the tagger flags as VB/VBP
+    "ask", "asks", "look", "looks", "take", "takes", "took",
+    "give", "gives", "gave", "tell", "tells", "told", "know", "knows",
+    "knew", "think", "thinks", "find", "finds", "come", "comes", "came",
+    "want", "wants", "use", "uses", "put", "puts", "call", "calls",
+    "keep", "keeps", "kept", "let", "lets", "begin", "begins", "began",
+    "show", "shows", "hear", "hears", "heard", "play", "plays",
+    "move", "moves", "bring", "brings", "brought", "write", "writes",
+    "wrote", "read", "reads", "sit", "sits", "sat", "stand", "stands",
+    "stood", "lose", "loses", "lost", "pay", "pays", "paid", "meet",
+    "meets", "set", "sets", "learn", "learns", "lead", "leads", "led")
 
   def containsVerb(c: Column): Column = {
     val words = split(lower(c), "[^a-z]+")
@@ -135,8 +146,11 @@ object Predicates {
   }
 
   /**
-   * `contains_english_word` — `text_type.py:193-205`: any lowercased token of
-   * length > 1 present in the English wordlist. The reference loads a ~25k-word
+   * `contains_english_word` — `text_type.py:191-205`: the lowercased text splits
+   * on `ENGLISH_WORD_SPLIT_RE` (`[\s\-,.!?_/]+`), every remaining non-`[a-z]`
+   * char is dropped from each token (`"beggar's"` → `beggars`), and any stripped
+   * token of length > 1 present in the English wordlist qualifies. The reference
+   * loads a ~25k-word
    * list from a data file (`nlp/english_words.py` — the `english-words.txt`
    * payload is absent from this checkout, so it cannot be reproduced verbatim);
    * this lexicon is the union of a derived list and a curated head:
@@ -301,6 +315,7 @@ object Predicates {
     "computers", "language", "languages", "science", "window", "windows",
     "tree", "trees", "river", "rivers", "mountain", "mountains", "animal",
     "animals", "bird", "birds", "fish", "horse", "horses", "dog", "dogs",
+    "parrot", "parrots", "beak", "beaks", "sheep", "goat", "goats",
     "cat", "cats", "sun", "moon", "sky", "sea", "rain", "snow", "wind",
     "summer", "winter", "spring", "autumn", "color", "colors", "sound",
     "sounds", "machine", "machines", "engine", "engines", "train",
@@ -357,12 +372,18 @@ object Predicates {
     "stages", "phase", "phases", "input", "inputs", "output", "outputs"
   ).distinct
 
+  /** `ENGLISH_WORD_SPLIT_RE` (`text_type.py:24`) as a Java regex. */
+  val EnglishWordSplitPattern = "[\\s\\u00a0\\u0085\\-,.!?_/]+"
+
   def containsEnglishWord(c: Column, words: Seq[String] = EnglishWords): Column =
     if (words eq EnglishWords)
       graft.functions.expr.Exprs.containsEnglishWord(c)
     else
       arrays_overlap(
-        filter(split(lower(c), "[^a-z]+"), w => length(w) > 1),
+        filter(
+          transform(split(lower(c), EnglishWordSplitPattern),
+            t => regexp_replace(t, "[^a-z]", "")),
+          w => length(w) > 1),
         lit(words.toArray))
 
   /**
@@ -371,9 +392,10 @@ object Predicates {
    * bounds, and at least 2 sentences or a verb.
    */
   def isPossibleNarrativeText(c: Column, capThreshold: Double = 0.5,
-      nonAlphaThreshold: Double = 0.5): Column =
+      nonAlphaThreshold: Double = 0.5, languageChecks: Boolean = false): Column =
     (length(c) > 0) &&
       !isNumericText(c) &&
+      (if (languageChecks) containsEnglishWord(c) else lit(true)) &&
       !exceedsCapRatio(c, capThreshold) &&
       !underNonAlphaRatio(c, nonAlphaThreshold) &&
       ((sentenceCount(c, 3) >= 2) || containsVerb(c))
@@ -384,12 +406,14 @@ object Predicates {
    * trailing comma, not numeric, at most one (>=5-word) sentence.
    */
   def isPossibleTitle(c: Column, sentenceMinLength: Int = 5,
-      titleMaxWordLength: Int = 12, nonAlphaThreshold: Double = 0.5): Column =
+      titleMaxWordLength: Int = 12, nonAlphaThreshold: Double = 0.5,
+      languageChecks: Boolean = false): Column =
     (length(c) > 0) &&
       !(isUpperText(c) && regexp_like(c, lit(EndsInPunctPattern))) &&
       (size(split(c, " ")) <= titleMaxWordLength) &&
       !underNonAlphaRatio(c, nonAlphaThreshold) &&
       !c.endsWith(",") &&
+      (if (languageChecks) containsEnglishWord(c) else lit(true)) &&
       !isNumericText(c) &&
       (sentenceCount(c, sentenceMinLength) <= 1)
 

@@ -7,17 +7,20 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * `contains_english_word` (`text_type.py:193-205`) membership kernel: any
- * `[a-z]` run of length > 1 in the lowercased text present in
+ * `contains_english_word` (`text_type.py:191-205`) membership kernel, with the
+ * reference's exact two-stage tokenization: the lowercased text splits on
+ * `ENGLISH_WORD_SPLIT_RE = [\s\-,.!?_/]+`, then every remaining non-`[a-z]`
+ * char is DROPPED from each token (`NON_LOWERCASE_ALPHA_RE`) — so
+ * `"beggar's"` probes as `beggars` and `notaWordHa'parrot'` stays ONE token
+ * (`notawordhaparrot`, no match), while `zombie?parrot` splits at the `?`.
+ * A token survives if its stripped form has length > 1 and is in
  * [[graft.functions.Predicates.EnglishWords]].
  *
- * Bit-identical to the columnar
- * `arrays_overlap(filter(split(lower(c), "[^a-z]+"), len > 1), lit(words))`
- * (lowercasing goes through the same `UTF8String.toLowerCase` the `lower()`
- * function uses), but probes ONE shared static hash set and exits on the first
- * hit — O(tokens) per row, while `arrays_overlap` walks the full 11.5k-element
- * literal per row (its hash fast path builds a set from the SMALLER side each
- * evaluation, then probes every lexicon entry against it).
+ * Bit-identical to the columnar HOF formulation (split + per-token strip +
+ * `arrays_overlap`), but probes ONE shared static hash set and exits on the
+ * first hit — O(tokens) per row, while `arrays_overlap` walks the full
+ * 11.5k-element literal per row (its hash fast path builds a set from the
+ * SMALLER side each evaluation, then probes every lexicon entry against it).
  */
 case class ContainsEnglishWord(child: Expression) extends UnaryExpression {
 
@@ -44,15 +47,30 @@ object ContainsEnglishWord {
     s
   }
 
+  /** `ENGLISH_WORD_SPLIT_RE` membership (`text_type.py:24`): token boundaries.
+    * Python's `\s` is unicode-aware, so NBSP/NEL count alongside
+    * `Character.isWhitespace`. */
+  private def isSplit(ch: Char): Boolean =
+    Character.isWhitespace(ch) || ch == '\u00a0' || ch == '\u0085' ||
+      ch == '-' || ch == ',' || ch == '.' || ch == '!' || ch == '?' ||
+      ch == '_' || ch == '/'
+
   def containsWord(input: UTF8String): Boolean = {
     val s = input.toLowerCase.toString
     val n = s.length
+    val tok = new java.lang.StringBuilder(24)
     var i = 0
-    while (i < n) {
-      while (i < n && (s.charAt(i) < 'a' || s.charAt(i) > 'z')) i += 1
-      val start = i
-      while (i < n && s.charAt(i) >= 'a' && s.charAt(i) <= 'z') i += 1
-      if (i - start > 1 && lexicon.contains(s.substring(start, i))) return true
+    while (i <= n) {
+      if (i == n || isSplit(s.charAt(i))) {
+        if (tok.length > 1 && lexicon.contains(tok.toString)) return true
+        tok.setLength(0)
+      } else {
+        val c = s.charAt(i)
+        // non-split, non-[a-z] chars (apostrophes, digits, accents) are dropped
+        // WITHOUT ending the token — NON_LOWERCASE_ALPHA_RE.sub (text_type.py:200)
+        if (c >= 'a' && c <= 'z') tok.append(c)
+      }
+      i += 1
     }
     false
   }

@@ -553,9 +553,12 @@ object TextQueries {
     "q_contains_english_word" -> {
       val wordsArr = graft.functions.Predicates.EnglishWords
         .map(w => s"'$w'").mkString("[", ", ", "]")
-      docSel("list_has_any(list_filter(string_split_regex(lower(" +
+      // two-stage tokenization (text_type.py:24,191-205): split on the word
+      // separators, then strip residual non-[a-z] chars per token
+      docSel("list_has_any(list_filter(list_transform(string_split_regex(lower(" +
         "CASE WHEN doc_id % 3 = 0 THEN 'zzqxx kjvvw qqptt x' ELSE text END), " +
-        s"'[^a-z]+'), w -> len(w) > 1), $wordsArr)", "has_english")
+        "'[\\s\\-,.!?_/]+'), t -> regexp_replace(t, '[^a-z]', '', 'g')), " +
+        s"w -> len(w) > 1), $wordsArr)", "has_english")
     },
 
     "q_group_bullet_paragraph" ->

@@ -26,11 +26,21 @@ class PredicatesSpec extends SparkSuiteBase {
   test("membership kernel: tokens, case, and the len>1 rule") {
     assert(check("The regiment advanced"))
     assert(check("UPPERCASE THE WORDS")) // lowercased before probing
-    assert(check("punctuation,separated;words"))
+    assert(check("punctuation,separated words"))
     assert(!check("zzqxx kjvvw qqptt")) // gibberish
     assert(!check("")) // empty
     assert(!check("a I x 9")) // single-letter tokens never match
     assert(!check("BLAH BLAHBLAH 123")) // reference test: not words
+  }
+
+  test("two-stage tokenization: strip inside tokens, split only on separators") {
+    // NON_LOWERCASE_ALPHA_RE.sub after ENGLISH_WORD_SPLIT_RE (text_type.py:24,200)
+    assert(check("beggar's feast")) // "beggar's" strips to "beggars"
+    assert(check("zombie?parrot")) // '?' is a split char
+    assert(!check("notaWordHa'parrot'")) // apostrophe does NOT split
+    assert(check("Big/Brown/Sheet")) // '/' is a split char
+    assert(check("1.A.RISKS")) // '.' is a split char; "risks" qualifies
+    assert(!check("sem;colon;only")) // ';' neither splits nor survives the strip
   }
 
   test("native kernel is bit-identical to the columnar HOF formulation") {
@@ -38,11 +48,14 @@ class PredicatesSpec extends SparkSuiteBase {
     import sp.implicits._
     val samples = Seq("The regiment advanced", "zzqxx kjvvw", "Tab\tand\nnewline",
       "café au lait", "mixedCASE Words-with-dashes", "", "  ", "a b c",
-      "Élève STRAßE weiter", "it's a test")
+      "Élève STRAßE weiter", "it's a test", "zombie?parrot", "notaWordHa'parrot'")
     val df = samples.toDF("t")
     val words = Predicates.EnglishWords
     val hof = arrays_overlap(
-      filter(split(lower(col("t")), "[^a-z]+"), w => length(w) > 1),
+      filter(
+        transform(split(lower(col("t")), Predicates.EnglishWordSplitPattern),
+          t => regexp_replace(t, "[^a-z]", "")),
+        w => length(w) > 1),
       lit(words.toArray))
     val rows = df.select(Predicates.containsEnglishWord(col("t")).as("native"),
       hof.as("columnar")).collect()
