@@ -26,17 +26,42 @@ object Sorting {
 
   type Bbox = (Int, Int, Int, Int) // (left, top, right, bottom)
 
-  /** `coordinates_to_bbox` — `sorting.py:17-32`. */
+  /** `coordinates_to_bbox` — `sorting.py:17-32`: top-left is `points[0]`,
+    * bottom-right is `points[2]` (the canonical clockwise-from-top-left point
+    * order), truncated to int — NOT a min/max envelope. */
   def coordinatesToBbox(c: Coordinates): Bbox = {
-    val xs = c.points.map(_.x)
-    val ys = c.points.map(_.y)
-    (xs.min.toInt, ys.min.toInt, math.ceil(xs.max).toInt, math.ceil(ys.max).toInt)
+    val p0 = c.points.head
+    val p2 = c.points(2)
+    (p0.x.toInt, p0.y.toInt, p2.x.toInt, p2.y.toInt)
   }
 
-  /** `shrink_bbox` — keeps top-left, scales width/height (`sorting.py:35-56`). */
+  /** `shrink_bbox` — keeps top-left, scales width/height (`sorting.py:35-59`). */
   def shrinkBbox(b: Bbox, factor: Double): Bbox = {
     val (l, t, r, bo) = b
-    (l, t, l + ((r - l) * factor).toInt, t + ((bo - t) * factor).toInt)
+    val dw = (r - l) - (r - l) * factor
+    val dh = (bo - t) - (bo - t) * factor
+    (l, t, (r - dw).toInt, (bo - dh).toInt)
+  }
+
+  /** `coord_has_valid_points` — `sorting.py:62-79`: exactly 4 points, all
+    * non-negative. (The reference's non-numeric/arity point checks are
+    * unrepresentable in the typed model.) */
+  def coordHasValidPoints(c: Coordinates): Boolean =
+    c.points.length == 4 && c.points.forall(p => p.x >= 0 && p.y >= 0)
+
+  /** `points_to_bbox` — `xycut.py:215-228`: flat `[x1,y1,…,x4,y4]` to a
+    * min/max envelope with every edge clamped at 0. */
+  def pointsToBbox(points: Seq[Int]): Bbox = {
+    require(points.length == 8, s"expected 8 coords, got ${points.length}")
+    val xs = Seq(points(0), points(2), points(4), points(6))
+    val ys = Seq(points(1), points(3), points(5), points(7))
+    (math.max(xs.min, 0), math.max(ys.min, 0), math.max(xs.max, 0), math.max(ys.max, 0))
+  }
+
+  /** `bbox2points` — `xycut.py:231-233`: clockwise from top-left. */
+  def bboxToPoints(b: Bbox): Seq[Int] = {
+    val (l, t, r, bo) = b
+    Seq(l, t, r, t, r, bo, l, bo)
   }
 
   /** `projection_by_bboxes` — per-pixel histogram (`xycut.py:17-40`). */
@@ -119,9 +144,14 @@ object Sorting {
       shrinkFactor: Double = 0.9, primaryDirection: String = "x"): Seq[Element] = {
     if (els.isEmpty) return els
     val coords = els.map(_.metadata.coordinates)
+    // _coords_ok (sorting.py:138-153): any missing/empty coordinates skip the
+    // sort in both modes; invalid points (negatives) only gate xy-cut.
+    def coordsOk(strictPoints: Boolean): Boolean =
+      coords.forall(c => c.exists(_.points.nonEmpty) &&
+        (!strictPoints || coordHasValidPoints(c.get)))
     sortMode match {
       case SortModeXyCut =>
-        if (coords.exists(c => c.isEmpty || c.get.points.isEmpty)) return els
+        if (!coordsOk(strictPoints = true)) return els
         val bboxes = coords.map(c => shrinkBbox(coordinatesToBbox(c.get), shrinkFactor))
           .toIndexedSeq
         val res = mutable.ArrayBuffer.empty[Int]
@@ -130,6 +160,7 @@ object Sorting {
         else recursiveXyCut(bboxes, bboxes.indices, res)
         res.map(els(_)).toSeq
       case SortModeBasic =>
+        if (!coordsOk(strictPoints = false)) return els
         els.sortBy { e =>
           e.metadata.coordinates.flatMap(_.points.headOption) match {
             case Some(p) => (p.y, p.x)

@@ -31,12 +31,19 @@ class SortingSpec extends AnyFunSuite {
     assert(sorted.map(_.element_id) == Seq("L1", "R1", "L2", "R2"))
   }
 
-  test("basic sort orders by top-left (y, x); missing coords go last") {
-    val noCoords = Element("N", "NarrativeText", "N", "d", 0, ElementMetadata())
+  test("basic sort orders by top-left (y, x)") {
     val sorted = Sorting.sortPageElements(
-      Seq(noCoords, el("B", 0, 30, 10, 40), el("A", 5, 0, 15, 10)),
+      Seq(el("B", 0, 30, 10, 40), el("A", 5, 0, 15, 10)),
       Sorting.SortModeBasic)
-    assert(sorted.map(_.element_id) == Seq("A", "B", "N"))
+    assert(sorted.map(_.element_id) == Seq("A", "B"))
+  }
+
+  test("basic sort skips when any element lacks coordinates (_coords_ok)") {
+    // sorting.py:138-153 — a missing coord aborts the sort in BOTH modes
+    val noCoords = Element("N", "NarrativeText", "N", "d", 0, ElementMetadata())
+    val input = Seq(noCoords, el("B", 0, 30, 10, 40), el("A", 5, 0, 15, 10))
+    assert(Sorting.sortPageElements(input, Sorting.SortModeBasic)
+      .map(_.element_id) == Seq("N", "B", "A"))
   }
 
   test("xy-cut falls back to input order when coordinates are missing") {
