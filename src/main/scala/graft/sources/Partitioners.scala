@@ -368,20 +368,33 @@ object Partitioners {
 
   // ------------------------------------------------------------------- xml
 
-  /** Leaf-node text → text-pipeline paragraphs (`partition/xml.py:25`; each leaf
-    * classifies via `element_from_text` = the TEXT cascade, `xml.py:18,62-78`). */
+  /**
+   * `partition_xml(xml_keep_tags=False)` — `partition/xml.py:25-129`. The
+   * reference iterparses with end events and yields each element's LEADING
+   * text (`element.text` — text before the first child element) when
+   * non-blank, RAW (no whitespace normalization); tails after child elements
+   * are never emitted, and an element's children all end (and so yield)
+   * before the element itself. Each yielded string classifies via
+   * `element_from_text` = the text cascade (`xml.py:82-84`).
+   */
   def partitionXml(xml: String): Seq[RawPara] = {
     val texts = mutable.ArrayBuffer.empty[String]
-    val dom = HtmlPartitioner.parse(xml)
-    def walk(n: HtmlPartitioner.HNode): Unit = n match {
-      case HtmlPartitioner.HText(s) =>
-        val t = HtmlPartitioner.normalizeWs(s)
-        if (t.nonEmpty) texts += t
-      case e: HtmlPartitioner.HElem => e.children.foreach(walk)
+    def walk(e: HtmlPartitioner.HElem): Unit = {
+      e.children.foreach { case c: HtmlPartitioner.HElem => walk(c); case _ => () }
+      val leading = e.children.iterator
+        .takeWhile(_.isInstanceOf[HtmlPartitioner.HText])
+        .collect { case HtmlPartitioner.HText(s) => s }
+        .mkString
+      if (leading.trim.nonEmpty) texts += leading
     }
-    walk(dom)
+    walk(HtmlPartitioner.parse(xml))
     texts.toSeq.map(t => RawPara(t, None, classifier = "text"))
   }
+
+  /** `partition_xml(xml_keep_tags=True)` — `xml.py:62-71`: the whole decoded
+    * document as ONE untyped `Text` element, markup intact. */
+  def partitionXmlKeepTags(xml: String): Seq[RawPara] =
+    Seq(RawPara(xml, Some("UncategorizedText"), classifier = "text"))
 
   // ------------------------------------------------------------------- auto router
 
