@@ -38,6 +38,57 @@ class CoordinatesSpec extends SparkSuiteBase {
     assert(math.abs(x - 320.0) < 1e-9 && math.abs(y - 120.0) < 1e-9)
   }
 
+  // --- ported vectors from test_unstructured/documents/test_coordinates.py ---
+
+  test("convert_coordinate vectors: orientation flip on one axis") {
+    // (old_t, old_max, new_max, orientation, expected): the y-axis kernel
+    val vectors = Seq(
+      (0.0, 7.0, 5.0, true, 0.0), (7.0, 7.0, 5.0, true, 5.0),
+      (0.0, 7.0, 5.0, false, 5.0), (7.0, 7.0, 5.0, false, 0.0))
+    vectors.foreach { case (t, oldMax, newMax, sameOrientation, expected) =>
+      // same orientation = cartesian->cartesian; flip = screen->cartesian
+      val from = if (sameOrientation) C.pointSpace(1, oldMax) else C.pixelSpace(1, oldMax)
+      val Seq(got) = one(C.convertY(lit(t), from, C.pointSpace(1, newMax)))
+      assert(got == expected, s"($t, $oldMax, $newMax, $sameOrientation)")
+    }
+  }
+
+  test("convert_from_relative vectors") {
+    // (width, height, orientation, relX, relY, expX, expY)
+    val cart = C.pointSpace(100, 300)
+    val Seq(x1, y1) = one(C.convertX(lit(0.8), C.relative, cart),
+      C.convertY(lit(0.4), C.relative, cart))
+    assert((x1, y1) == ((80.0, 120.0)))
+    val screen = C.pixelSpace(100, 300)
+    val Seq(x2, y2) = one(C.convertX(lit(0.8), C.relative, screen),
+      C.convertY(lit(0.6), C.relative, screen))
+    assert((x2, y2) == ((80.0, 120.0)))
+  }
+
+  test("convert_to_relative vectors") {
+    val cart = C.pointSpace(100, 300)
+    val Seq(x1, y1) = one(C.convertX(lit(80.0), cart, C.relative),
+      C.convertY(lit(120.0), cart, C.relative))
+    assert((x1, y1) == ((0.8, 0.4)))
+    val screen = C.pixelSpace(100, 300)
+    val Seq(x2, y2) = one(C.convertX(lit(80.0), screen, C.relative),
+      C.convertY(lit(120.0), screen, C.relative))
+    assert((x2, y2) == ((0.8, 0.6)))
+  }
+
+  test("convert_to_new_system vectors: all four orientation pairings") {
+    // systems: (100x200) -> (1000x2000), point (80, 120)
+    val vectors = Seq(
+      (C.pointSpace(100, 200), C.pointSpace(1000, 2000), 800.0, 1200.0),
+      (C.pointSpace(100, 200), C.pixelSpace(1000, 2000), 800.0, 800.0),
+      (C.pixelSpace(100, 200), C.pointSpace(1000, 2000), 800.0, 800.0),
+      (C.pixelSpace(100, 200), C.pixelSpace(1000, 2000), 800.0, 1200.0))
+    vectors.foreach { case (from, to, expX, expY) =>
+      val Seq(x, y) = one(C.convertX(lit(80.0), from, to), C.convertY(lit(120.0), from, to))
+      assert((x, y) == ((expX, expY)), s"$from -> $to")
+    }
+  }
+
   test("convertPoints maps every [x, y] pair") {
     import spark.implicits._
     val df = Seq(1).toDF("i").select(
