@@ -94,6 +94,66 @@ object ElementSink {
     fromWire(spark.read.schema(wireSchema).json(lines.toDS()))
   }
 
+  /** Element type strings `elements_from_dicts` recognizes
+    * (`TYPE_TO_TEXT_ELEMENT_MAP`, `elements.py:1051-1090`, plus CheckBox):
+    * canonical names and every layout-label alias. */
+  val KnownWireTypes: Set[String] = {
+    val T = graft.model.ElementType
+    Set(T.Title, T.NarrativeText, T.UncategorizedText, T.ListItem, T.Address,
+      T.EmailAddress, T.Image, T.PageBreak, T.Table, T.TableChunk,
+      T.CompositeElement, T.Header, T.Footer, T.Formula, T.FigureCaption,
+      T.CodeSnippet, T.PageNumber, T.Form, T.FormKeysValues, T.CheckBox,
+      "DocumentData", "BulletedText", "List-item-other", "Threading") ++
+      T.NormalizationMap.keySet
+  }
+
+  /**
+   * `partition_json` — `partition/json.py:30-103`: rehydrate serialized
+   * elements with the reference's validation semantics. Blank text yields no
+   * elements; text that does not look like a JSON array of objects
+   * (`LIST_OF_DICTS_PATTERN`, `nlp/patterns.py:115`), or parses but contains
+   * no dict with a recognized `type` (`elements_from_dicts` skips unknowns),
+   * raises; malformed JSON (trailing garbage, unbalanced brackets) raises.
+   * Dicts with unrecognized types are dropped, as in the reference.
+   */
+  def partitionJson(spark: SparkSession, text: String): Dataset[Element] = {
+    import spark.implicits._
+    if (text.trim.isEmpty) return spark.emptyDataset[Element]
+    if (!RawJson.looksLikeListOfDicts(text))
+      throw new IllegalArgumentException(
+        "JSON cannot be partitioned. Schema does not match the Unstructured schema.")
+    val objs = RawJson.splitStrictJsonArray(text)
+    if (objs.isEmpty) return spark.emptyDataset[Element]
+    val known = objs.filter { o =>
+      RawJson.objectRawTokens(o).get("type")
+        .map(_.stripPrefix("\"").stripSuffix("\""))
+        .exists(KnownWireTypes.contains)
+    }
+    if (known.isEmpty)
+      throw new IllegalArgumentException(
+        "JSON cannot be partitioned. Schema does not match the Unstructured schema.")
+    parseNdjson(spark, known)
+  }
+
+  /** `partition_ndjson` — one serialized element per line; same per-dict
+    * validation as [[partitionJson]] (`partition/ndjson.py`). */
+  def partitionNdjsonText(spark: SparkSession, text: String): Dataset[Element] = {
+    val lines = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) return {
+      import spark.implicits._; spark.emptyDataset[Element]
+    }
+    val objs = lines.flatMap(l => RawJson.splitStrictJsonArray(s"[$l]"))
+    val known = objs.filter { o =>
+      RawJson.objectRawTokens(o).get("type")
+        .map(_.stripPrefix("\"").stripSuffix("\""))
+        .exists(KnownWireTypes.contains)
+    }
+    if (known.isEmpty)
+      throw new IllegalArgumentException(
+        "NDJSON cannot be partitioned. Schema does not match the Unstructured schema.")
+    parseNdjson(spark, known)
+  }
+
   /**
    * `filter_element_types` — include XOR exclude (`staging/base.py:705-731`).
    * Plain predicate pushdown-friendly filter: at scale this prunes at the parquet
@@ -308,5 +368,103 @@ private[sinks] object RawJson {
       }
     }
     out.result()
+  }
+
+  /** `LIST_OF_DICTS_PATTERN` (`nlp/patterns.py:115`) — prefix probe only. */
+  def looksLikeListOfDicts(text: String): Boolean = {
+    var i = 0
+    val n = text.length
+    while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+    i < n && text.charAt(i) == '['
+  }
+
+  /**
+   * Strict top-level JSON array splitter: returns the raw text of each array
+   * entry, validating bracket/string structure and rejecting trailing garbage
+   * (`json.loads` strictness — `'[...]]'` raises). Entry contents are NOT
+   * fully validated (the schema-first Spark reader handles field-level
+   * parsing); structure is.
+   */
+  def splitStrictJsonArray(text: String): Seq[String] = {
+    val s = text
+    val n = s.length
+    var i = 0
+    def fail(): Nothing = throw new IllegalArgumentException("Not a valid json")
+    def ws(): Unit = { while (i < n && Character.isWhitespace(s.charAt(i))) i += 1 }
+    def skipString(): Unit = {
+      // at s(i) == '"'
+      i += 1
+      while (i < n && s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') i += 1
+        i += 1
+      }
+      if (i >= n) fail()
+      i += 1
+    }
+    def skipValue(): Unit = {
+      ws()
+      if (i >= n) fail()
+      s.charAt(i) match {
+        case '"' => skipString()
+        case '{' =>
+          i += 1; ws()
+          if (i < n && s.charAt(i) == '}') { i += 1 }
+          else {
+            var done = false
+            while (!done) {
+              ws()
+              if (i >= n || s.charAt(i) != '"') fail()
+              skipString(); ws()
+              if (i >= n || s.charAt(i) != ':') fail()
+              i += 1
+              skipValue(); ws()
+              if (i < n && s.charAt(i) == ',') i += 1
+              else if (i < n && s.charAt(i) == '}') { i += 1; done = true }
+              else fail()
+            }
+          }
+        case '[' =>
+          i += 1; ws()
+          if (i < n && s.charAt(i) == ']') { i += 1 }
+          else {
+            var done = false
+            while (!done) {
+              skipValue(); ws()
+              if (i < n && s.charAt(i) == ',') i += 1
+              else if (i < n && s.charAt(i) == ']') { i += 1; done = true }
+              else fail()
+            }
+          }
+        case c if c == '-' || (c >= '0' && c <= '9') =>
+          val numStart = i
+          while (i < n && "+-.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+          if (i == numStart) fail()
+        case 't' if s.startsWith("true", i) => i += 4
+        case 'f' if s.startsWith("false", i) => i += 5
+        case 'n' if s.startsWith("null", i) => i += 4
+        case _ => fail()
+      }
+    }
+    ws()
+    if (i >= n || s.charAt(i) != '[') fail()
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    i += 1; ws()
+    if (i < n && s.charAt(i) == ']') i += 1
+    else {
+      var done = false
+      while (!done) {
+        ws()
+        val start = i
+        skipValue()
+        out += s.substring(start, i)
+        ws()
+        if (i < n && s.charAt(i) == ',') i += 1
+        else if (i < n && s.charAt(i) == ']') { i += 1; done = true }
+        else fail()
+      }
+    }
+    ws()
+    if (i != n) fail()
+    out.toSeq
   }
 }
