@@ -199,6 +199,45 @@ object LayoutQueries {
         inferredRegions(s, dir), extractedBoxes(s, dir), tolerancePx = 0.0)
         .orderBy("doc_id", "seq")),
 
+    // normalize_layout_element (partition/common/common.py:34-154) over the box
+    // corpus: seq%8 routes every branch — plain Title, Headline/Subheadline
+    // depth assignment, Figure->Image label mapping, enumerated-List fan-out,
+    // checkable, unknown-label fallback, Text->NarrativeText. Pure flatMap over
+    // regions: no shuffle beyond the final presentation sort.
+    "q_normalize_layout" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.LayoutNormalize
+      boxes(s, dir)
+        .select(col("doc_id"), col("seq"), (col("seq") % 8).cast("int").as("variant"),
+          col("x1"), col("y1"), col("x2"), col("y2"))
+        .as[(Long, Long, Int, Double, Double, Double, Double)]
+        .flatMap { case (doc, seq, v, x1, y1, x2, y2) =>
+          val label = v match {
+            case 0 => "Title"
+            case 1 => "Headline"
+            case 2 => "Subheadline"
+            case 3 => "Figure"
+            case 4 => "List"
+            case 5 => "CheckBoxChecked"
+            case 6 => "Aliens"
+            case _ => "Text"
+          }
+          val text =
+            if (label == "List") "1. alpha item 2. beta item 3. gamma item"
+            else s"region $seq"
+          LayoutNormalize.normalizeLayoutElement(
+            LayoutNormalize.LayoutRegion(Some(label), text,
+              LayoutNormalize.bboxPoints(x1, y1, x2, y2)),
+            Some("PixelSpace")).zipWithIndex.map { case (e, i) =>
+            (doc, seq, i + 1, e.`type`, e.metadata.category_depth, e.text,
+              e.metadata.coordinates.map(_.points.head.x))
+          }
+        }
+        .toDF("doc_id", "seq", "sub", "element_type", "category_depth", "text",
+          "coord_x1")
+        .orderBy("doc_id", "seq", "sub")
+    }),
+
     // sort_page_elements basic mode: (top-left y, x) within page
     "q_sort_basic" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -533,6 +572,25 @@ object LayoutQueries {
          |FROM e LEFT JOIN i ON e.doc_id = i.doc_id AND e.page_number = i.page_number
          |  AND e.x1 >= i.x1 AND e.y1 >= i.y1 AND e.x2 <= i.x2 AND e.y2 <= i.y2
          |ORDER BY e.doc_id, e.seq""".stripMargin,
+
+    "q_normalize_layout" ->
+      s"""WITH b AS $boxesSql,
+         |v AS (SELECT doc_id, seq, CAST(seq % 8 AS INT) AS variant, x1 FROM b),
+         |rows0 AS (
+         |  SELECT doc_id, seq, 1 AS sub,
+         |    CASE variant WHEN 0 THEN 'Title' WHEN 1 THEN 'Title' WHEN 2 THEN 'Title'
+         |      WHEN 3 THEN 'Image' WHEN 5 THEN 'CheckBoxChecked'
+         |      WHEN 6 THEN 'UncategorizedText' WHEN 7 THEN 'NarrativeText' END
+         |      AS element_type,
+         |    CASE variant WHEN 1 THEN 1 WHEN 2 THEN 2 END AS category_depth,
+         |    'region ' || seq AS text, x1 AS coord_x1
+         |  FROM v WHERE variant <> 4
+         |  UNION ALL
+         |  SELECT doc_id, seq, i, 'ListItem', NULL,
+         |    (['alpha item', 'beta item', 'gamma item'])[i], x1
+         |  FROM v, unnest([1, 2, 3]) AS t(i) WHERE variant = 4)
+         |SELECT doc_id, seq, sub, element_type, category_depth, text, coord_x1
+         |FROM rows0 ORDER BY doc_id, seq, sub""".stripMargin,
 
     "q_sort_basic" ->
       s"""WITH b AS $boxesSql
