@@ -603,16 +603,19 @@ object BinaryFormatQueries {
 
     "q_partition_doc" -> {
       // piece boundary sits mid-paragraph: 'café ' (cp1252 piece) + ps[1] (UTF-16)
+      // unstyled .doc paragraphs classify via the docx RESTRICTED cascade
+      // (docx.py:938-951) — the corpus ships no STSH styles and no paragraph
+      // starts with a bullet, so deriveDocx covers every row
       val cafe = s"(CASE WHEN i = 1 THEN 'caf' || chr(233) || ' ' || ps[i] ELSE ps[i] END)"
       s"""WITH base AS ($base),
          |rows0 AS (
-         |  SELECT doc_id, 0 AS ord, 0 AS sub, ${O.classify("title3")} AS element_type,
+         |  SELECT doc_id, 0 AS ord, 0 AS sub, ${O.deriveDocx("title3")} AS element_type,
          |    title3 AS text, 1 AS page_number FROM base
          |  UNION ALL
-         |  SELECT doc_id, 1, i, ${O.classify(cafe)}, $cafe, 1
+         |  SELECT doc_id, 1, i, ${O.deriveDocx(cafe)}, $cafe, 1
          |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
          |  UNION ALL
-         |  SELECT doc_id, 2, 1, ${O.classify("('page two ' || source)")},
+         |  SELECT doc_id, 2, 1, ${O.deriveDocx("('page two ' || source)")},
          |    'page two ' || source, 2 FROM base)
          |SELECT doc_id,
          |  row_number() OVER (PARTITION BY doc_id ORDER BY ord, sub) AS seq,

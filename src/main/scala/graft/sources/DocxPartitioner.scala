@@ -192,7 +192,7 @@ object DocxPartitioner {
   // ---------------------------------------------------------------- styles
 
   /** `STYLE_TO_ELEMENT_MAPPING` (docx.py:58-89), keyed by lowercased UI name. */
-  private val StyleTypeMap: Map[String, String] = {
+  private[sources] val StyleTypeMap: Map[String, String] = {
     val title = Seq("subtitle", "tocheading", "title") ++ (1 to 9).map(n => s"heading $n")
     val list = Seq("list", "list 2", "list 3", "list bullet", "list bullet 2",
       "list bullet 3", "list continue", "list continue 2", "list continue 3",
@@ -225,7 +225,7 @@ object DocxPartitioner {
     }
 
   /** `_parse_category_depth_by_style_name` (docx.py:914-937). */
-  private def depthByStyleName(name: String): Int = {
+  private[sources] def depthByStyleName(name: String): Int = {
     val n = name.toLowerCase
     def num: Int = {
       val parts = n.trim.split(" ")

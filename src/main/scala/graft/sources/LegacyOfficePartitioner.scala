@@ -38,8 +38,21 @@ object LegacyOfficePartitioner {
 
   // -------------------------------------------------------------------- MS-DOC
 
-  /** Raw main-document text via the piece table ([MS-DOC] 2.8.35 PlcPcd). */
-  private[sources] def docText(bytes: Array[Byte]): String = {
+  /** A parsed .doc: main text, per-char WordDocument-stream FC (for PAPX
+    * paragraph-property lookup), and the streams + FIB pointers the style
+    * subsystem needs. */
+  private[sources] final case class DocFile(
+      text: String,
+      charFcs: Array[Int],
+      wd: Array[Byte],
+      tb: Array[Byte],
+      fcStshf: Int, lcbStshf: Int,
+      fcPlcfBtePapx: Int, lcbPlcfBtePapx: Int)
+
+  /** Raw main-document text via the piece table ([MS-DOC] 2.8.35 PlcPcd),
+    * keeping each char's FC so paragraph marks can be resolved to their PAPX
+    * (and so their Word style). */
+  private[sources] def docFile(bytes: Array[Byte]): DocFile = {
     val cfb = new Cfb(bytes)
     val wdEntry = cfb.pathedEntries
       .find(e => e.entryType == 2 && e.path == "WordDocument")
@@ -56,73 +69,191 @@ object LegacyOfficePartitioner {
       .find(e => e.entryType == 2 && e.path == tableName)
       .map(cfb.readStream)
       .getOrElse(throw new IllegalArgumentException(s"no $tableName stream"))
+    // fibRgFcLcb97: fcStshf/lcbStshf at entry 2/3, fcPlcfBtePapx/lcb at 26/27
+    val fcStshf = wb.getInt(0xA2)
+    val lcbStshf = wb.getInt(0xA6)
+    val fcBtePapx = wb.getInt(0x102)
+    val lcbBtePapx = wb.getInt(0x106)
 
     // Clx = Prc* then Pcdt ([MS-DOC] 2.9.38): skip property blocks, land on 0x02.
     var off = fcClx
     val end = fcClx + lcbClx
+    var text = ""
+    val fcs = mutable.ArrayBuffer.empty[Int]
     while (off < end && tb(off) == 0x01) {
       val cb = ((tb(off + 1) & 0xFF) | ((tb(off + 2) & 0xFF) << 8))
       off += 3 + cb
     }
-    if (off >= end || tb(off) != 0x02) return ""
-    val bb = ByteBuffer.wrap(tb).order(ByteOrder.LITTLE_ENDIAN)
-    val lcb = bb.getInt(off + 1)
-    val plc = off + 5
-    val n = (lcb - 4) / 12 // n+1 CPs (4B) + n PCDs (8B)
-    val sb = new StringBuilder
-    var i = 0
-    while (i < n && sb.length < ccpText) {
-      val cpStart = bb.getInt(plc + i * 4)
-      val cpEnd = bb.getInt(plc + (i + 1) * 4)
-      val fcRaw = bb.getInt(plc + (n + 1) * 4 + i * 8 + 2)
-      val nChars = cpEnd - cpStart
-      if (nChars > 0) {
-        if ((fcRaw & 0x40000000) != 0) { // fCompressed: cp1252, one byte per char
-          val fc = (fcRaw & 0x3FFFFFFF) >>> 1
-          sb.append(new String(wd, fc, nChars, Cp1252))
-        } else {
-          val fc = fcRaw & 0x3FFFFFFF
-          sb.append(new String(wd, fc, nChars * 2, java.nio.charset.StandardCharsets.UTF_16LE))
+    if (off < end && tb(off) == 0x02) {
+      val bb = ByteBuffer.wrap(tb).order(ByteOrder.LITTLE_ENDIAN)
+      val lcb = bb.getInt(off + 1)
+      val plc = off + 5
+      val n = (lcb - 4) / 12 // n+1 CPs (4B) + n PCDs (8B)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < n && sb.length < ccpText) {
+        val cpStart = bb.getInt(plc + i * 4)
+        val cpEnd = bb.getInt(plc + (i + 1) * 4)
+        val fcRaw = bb.getInt(plc + (n + 1) * 4 + i * 8 + 2)
+        val nChars = cpEnd - cpStart
+        if (nChars > 0) {
+          if ((fcRaw & 0x40000000) != 0) { // fCompressed: cp1252, one byte per char
+            val fc = (fcRaw & 0x3FFFFFFF) >>> 1
+            val piece = new String(wd, fc, nChars, Cp1252)
+            sb.append(piece)
+            piece.indices.foreach(k => fcs += fc + k)
+          } else {
+            val fc = fcRaw & 0x3FFFFFFF
+            val piece = new String(wd, fc, nChars * 2,
+              java.nio.charset.StandardCharsets.UTF_16LE)
+            sb.append(piece)
+            piece.indices.foreach(k => fcs += fc + 2 * k)
+          }
         }
+        i += 1
       }
-      i += 1
+      text = sb.take(ccpText).toString
     }
-    sb.take(ccpText).toString
+    DocFile(text, fcs.take(text.length).toArray, wd, tb,
+      fcStshf, lcbStshf, fcBtePapx, lcbBtePapx)
+  }
+
+  /** Backwards-compatible raw text accessor. */
+  private[sources] def docText(bytes: Array[Byte]): String = docFile(bytes).text
+
+  /** Style names by istd from the STSH ([MS-DOC] 2.9.271-275): LPStd array
+    * (2-byte aligned) whose index IS the istd; each STD carries its UI name as
+    * an Xstz at `cbSTDBaseInFile`. */
+  private[sources] def styleNames(doc: DocFile): Array[String] = {
+    val tb = doc.tb
+    if (doc.lcbStshf <= 0 || doc.fcStshf < 0 ||
+      doc.fcStshf + 4 > tb.length) return Array.empty
+    val bb = ByteBuffer.wrap(tb).order(ByteOrder.LITTLE_ENDIAN)
+    val cbStshi = bb.getShort(doc.fcStshf) & 0xFFFF
+    val stshi = doc.fcStshf + 2
+    val cstd = bb.getShort(stshi) & 0xFFFF
+    val cbStdBase = bb.getShort(stshi + 2) & 0xFFFF
+    val names = Array.fill(cstd)("")
+    var off = stshi + cbStshi
+    var k = 0
+    while (k < cstd && off + 2 <= tb.length) {
+      val cbStd = bb.getShort(off) & 0xFFFF
+      off += 2
+      if (cbStd > 0 && off + cbStd <= tb.length) {
+        val nameOff = off + cbStdBase
+        if (nameOff + 2 <= off + cbStd) {
+          val cch = bb.getShort(nameOff) & 0xFFFF
+          if (nameOff + 2 + cch * 2 <= off + cbStd)
+            names(k) = new String(tb, nameOff + 2, cch * 2,
+              java.nio.charset.StandardCharsets.UTF_16LE)
+        }
+        off += cbStd
+        if ((cbStd & 1) == 1) off += 1 // LPStd 2-byte alignment
+      }
+      k += 1
+    }
+    names
+  }
+
+  /** Paragraph istd for the paragraph containing `fc`: PlcfBtePapx bin →
+    * PAPX FKP page → run lookup ([MS-DOC] 2.8.7, 2.9.175). -1 when the
+    * lookup cannot resolve (damaged file) — caller falls back to Normal. */
+  private[sources] def istdForFc(doc: DocFile, fc: Int): Int = {
+    val bb = ByteBuffer.wrap(doc.tb).order(ByteOrder.LITTLE_ENDIAN)
+    val base = doc.fcPlcfBtePapx
+    val n = (doc.lcbPlcfBtePapx - 4) / 8
+    if (n <= 0 || base < 0 || base + doc.lcbPlcfBtePapx > doc.tb.length) return -1
+    var i = 0
+    while (i < n && !(bb.getInt(base + i * 4) <= fc && fc < bb.getInt(base + (i + 1) * 4)))
+      i += 1
+    if (i >= n) return -1
+    val pn = bb.getInt(base + (n + 1) * 4 + i * 4)
+    val page = pn.toLong * 512
+    if (page < 0 || page + 512 > doc.wd.length) return -1
+    val pg = ByteBuffer.wrap(doc.wd, page.toInt, 512).order(ByteOrder.LITTLE_ENDIAN).slice()
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val crun = pg.get(511) & 0xFF
+    if (crun == 0 || (crun + 1) * 4 + crun * 13 > 511) return -1
+    var j = 0
+    while (j < crun && !(pg.getInt(j * 4) <= fc && fc < pg.getInt((j + 1) * 4))) j += 1
+    if (j >= crun) return -1
+    val bOffset = pg.get((crun + 1) * 4 + j * 13) & 0xFF
+    if (bOffset == 0) return 0 // no PAPX: default (Normal) paragraph properties
+    val papx = bOffset * 2
+    val cb = pg.get(papx) & 0xFF
+    if (cb == 0) pg.getShort(papx + 2) & 0xFFFF
+    else pg.getShort(papx + 1) & 0xFFFF
   }
 
   /** Word control chars in main text: CR ends a paragraph, 0x07 ends a table
     * cell/row (treated as a paragraph break), 0x0C is a page/section break,
-    * 0x0B a line break; field chars 0x13/0x14/0x15 and the object markers drop. */
+    * 0x0B a line break; field chars 0x13/0x14/0x15 and the object markers drop.
+    *
+    * Classification mirrors `partition_docx` on the LibreOffice conversion
+    * (`_classify_paragraph_to_element`, docx.py:435-482): literal-bullet text
+    * → ListItem (bullet stripped, `_is_list_item` docx.py:589-594); else the
+    * paragraph mark's Word style (STSH + PAPX istd) through
+    * `STYLE_TO_ELEMENT_MAPPING`; else the docx RESTRICTED cascade
+    * (Address/Email/Narrative/Text — no Title guess), which runs downstream
+    * as `classifier = "docx"`. */
   def partitionDoc(bytes: Array[Byte]): Seq[RawPara] = {
-    val text = docText(bytes)
+    val doc = docFile(bytes)
+    val names = styleNames(doc)
     val out = mutable.ArrayBuffer.empty[RawPara]
     var page = 1
     val cur = new StringBuilder
-    def flush(): Unit = {
+    def flush(paraMarkIdx: Int): Unit = {
       val t = HtmlPartitioner.normalizeWs(cur.toString)
-      if (t.nonEmpty) out += RawPara(t, None, pageNumber = Some(page), classifier = "text")
       cur.clear()
+      if (t.isEmpty) return
+      if (graft.functions.Cleaners.isBulletedTextStr(t)) {
+        val clean = graft.functions.Cleaners.cleanBulletsStr(t).strip
+        if (clean.nonEmpty)
+          out += RawPara(clean, Some("ListItem"), pageNumber = Some(page),
+            classifier = "docx")
+        return
+      }
+      val styleName =
+        if (paraMarkIdx >= 0 && paraMarkIdx < doc.charFcs.length) {
+          val istd = istdForFc(doc, doc.charFcs(paraMarkIdx))
+          if (istd >= 0 && istd < names.length) names(istd) else ""
+        } else ""
+      DocxPartitioner.StyleTypeMap.get(styleName.toLowerCase) match {
+        case Some(tpe) =>
+          val depth = math.max(DocxPartitioner.depthByStyleName(styleName), 0)
+          out += RawPara(t, Some(tpe), Some(depth), pageNumber = Some(page),
+            classifier = "docx")
+        case None =>
+          out += RawPara(t, None, pageNumber = Some(page), classifier = "docx")
+      }
     }
     var inFieldInstr = false // between field-begin 0x13 and separator 0x14
-    text.foreach {
-      case '\r' | '\u0007' => flush()
-      case '\f' => flush(); page += 1
-      case '\u0013' => inFieldInstr = true
-      case '\u0014' | '\u0015' => inFieldInstr = false
-      case _ if inFieldInstr => () // field instruction (e.g. HYPERLINK), not text
-      case '\u000B' => cur.append(' ')
-      case c if c >= ' ' || c == '\t' => cur.append(c)
-      case _ => () // object markers
+    var idx = 0
+    doc.text.foreach { c =>
+      c match {
+        case '\r' | '' => flush(idx)
+        case '\f' => flush(idx); page += 1
+        case '' => inFieldInstr = true
+        case '' | '' => inFieldInstr = false
+        case _ if inFieldInstr => () // field instruction (e.g. HYPERLINK), not text
+        case '' => cur.append(' ')
+        case ch if ch >= ' ' || ch == '\t' => cur.append(ch)
+        case _ => () // object markers
+      }
+      idx += 1
     }
-    flush()
+    flush(doc.text.length - 1)
     out.toSeq
   }
 
   // -------------------------------------------------------------------- MS-PPT
 
   private val RtSlide = 0x03EE
+  private val RtMainMaster = 0x03F8
+  private val RtNotes = 0x03F0
   private val RtTextHeaderAtom = 0x0F9F
   private val RtTextCharsAtom = 0x0FA0
+  private val RtStyleTextPropAtom = 0x0FA1
   private val RtTextBytesAtom = 0x0FA8
 
   // TextTypeEnum ([MS-PPT] 2.13.33)
@@ -130,8 +261,62 @@ object LegacyOfficePartitioner {
   private val TxNotes = 2
   private val TxCenterTitle = 6
 
-  /** One placeholder text with its TextHeaderAtom type and slide ordinal. */
-  private[sources] final case class PptText(txType: Int, slide: Int, text: String)
+  /** One placeholder text with its TextHeaderAtom type, slide ordinal, and
+    * per-paragraph bullet flags from the trailing StyleTextPropAtom. */
+  private[sources] final case class PptText(txType: Int, slide: Int, text: String,
+      paraBullets: Seq[Boolean] = Nil)
+
+  /**
+   * Per-paragraph-run `(charCount, fHasBullet)` from a StyleTextPropAtom body
+   * ([MS-PPT] 2.9.43): TextPFRun* — {count u32, indentLevel u16,
+   * TextPFException}. TextPFException = masks u32 + optional fields in wire
+   * order; only the bullet flag is kept, the rest is skipped by size (tab
+   * stops are the one variable-length field). Parsing stops at the first
+   * malformed run.
+   */
+  private[sources] def parseParaBullets(body: Array[Byte], from: Int, len: Int,
+      textLen: Int): Seq[(Int, Boolean)] = {
+    val bb = ByteBuffer.wrap(body).order(ByteOrder.LITTLE_ENDIAN)
+    val end = from + len
+    val runs = mutable.ArrayBuffer.empty[(Int, Boolean)]
+    var off = from
+    var covered = 0
+    while (off + 10 <= end && covered <= textLen) {
+      val count = bb.getInt(off)
+      val masks = bb.getInt(off + 6)
+      var p = off + 10
+      var bullet = false
+      if ((masks & 0x000F) != 0) { // bulletFlags present
+        if (p + 2 > end) return runs.toSeq
+        bullet = (bb.getShort(p) & 0x0001) != 0 // fHasBullet
+        p += 2
+      }
+      // fixed-size optional fields, in wire order
+      if ((masks & 0x0080) != 0) p += 2 // bulletChar
+      if ((masks & 0x0010) != 0) p += 2 // bulletFontRef
+      if ((masks & 0x0040) != 0) p += 2 // bulletSize
+      if ((masks & 0x0020) != 0) p += 4 // bulletColor
+      if ((masks & 0x0800) != 0) p += 2 // textAlignment
+      if ((masks & 0x1000) != 0) p += 2 // lineSpacing
+      if ((masks & 0x2000) != 0) p += 2 // spaceBefore
+      if ((masks & 0x4000) != 0) p += 2 // spaceAfter
+      if ((masks & 0x0100) != 0) p += 2 // leftMargin
+      if ((masks & 0x0400) != 0) p += 2 // indent
+      if ((masks & 0x8000) != 0) p += 2 // defaultTabSize
+      if ((masks & 0x100000) != 0) { // tabStops: count-prefixed 4-byte entries
+        if (p + 2 > end) return runs.toSeq
+        p += 2 + 4 * (bb.getShort(p) & 0xFFFF)
+      }
+      if ((masks & 0x10000) != 0) p += 2 // fontAlign
+      if ((masks & 0xE0000) != 0) p += 2 // wrapFlags (charWrap|wordWrap|overflow)
+      if ((masks & 0x200000) != 0) p += 2 // textDirection
+      if (count <= 0 || p > end) return runs.toSeq
+      runs += ((count, bullet))
+      covered += count
+      off = p
+    }
+    runs.toSeq
+  }
 
   private[sources] def pptTexts(bytes: Array[Byte]): Seq[PptText] = {
     val cfb = new Cfb(bytes)
@@ -152,8 +337,13 @@ object LegacyOfficePartitioner {
         val bodyEnd = math.min(limit, off + 8 + recLen)
         if (recLen < 0 || off + 8 + recLen > limit) return // truncated record
         if ((verInst & 0x000F) == 0x000F) { // container
-          if (recType == RtSlide) { slide += 1; pendingType = -1 }
-          walk(off + 8, bodyEnd)
+          // master layouts and speaker notes carry placeholder scaffolding
+          // ("Click to edit ...") the rendered deck never shows — skip them,
+          // as the reference's LibreOffice pptx conversion does
+          if (recType != RtMainMaster && recType != RtNotes) {
+            if (recType == RtSlide) { slide += 1; pendingType = -1 }
+            walk(off + 8, bodyEnd)
+          }
         } else recType match {
           case RtTextHeaderAtom if recLen >= 4 =>
             pendingType = bb.getInt(off + 8)
@@ -164,6 +354,20 @@ object LegacyOfficePartitioner {
           case RtTextBytesAtom =>
             out += PptText(pendingType, slide, new String(doc, off + 8, recLen, Cp1252))
             pendingType = -1
+          case RtStyleTextPropAtom if out.nonEmpty =>
+            // applies to the immediately preceding text atom
+            val last = out.last
+            val runs = parseParaBullets(doc, off + 8, recLen, last.text.length + 1)
+            // one flag per \r-paragraph: run j covers [sum(count_0..j-1), sum(..j))
+            val runEnds = runs.scanLeft(0)(_ + _._1).drop(1)
+            val paras = last.text.split("\r", -1)
+            var charPos = 0
+            val flags = paras.map { para =>
+              val runIdx = runEnds.indexWhere(charPos < _)
+              charPos += para.length + 1
+              runIdx >= 0 && runs(runIdx)._2
+            }.toSeq
+            out(out.length - 1) = last.copy(paraBullets = flags)
           case _ => ()
         }
         off = bodyEnd
@@ -176,14 +380,20 @@ object LegacyOfficePartitioner {
   def partitionPpt(bytes: Array[Byte]): Seq[RawPara] =
     pptTexts(bytes).flatMap { pt =>
       if (pt.txType == TxNotes) Nil
-      else pt.text.split("[\r\n]").toSeq
-        .map(p => HtmlPartitioner.normalizeWs(p.replace('\u000B', ' ')))
-        .filter(_.nonEmpty)
-        .map { p =>
-          val page = Some(math.max(pt.slide, 1))
-          if (pt.txType == TxTitle || pt.txType == TxCenterTitle)
-            RawPara(p, Some("Title"), Some(0), pageNumber = page)
-          else RawPara(p, None, Some(0), pageNumber = page, classifier = "pptx")
-        }
+      else pt.text.split("\r", -1).toSeq.zipWithIndex.flatMap { case (raw, i) =>
+        raw.split("\n").toSeq
+          .map(p => HtmlPartitioner.normalizeWs(p.replace('', ' ')))
+          .filter(_.nonEmpty)
+          .map { p =>
+            val page = Some(math.max(pt.slide, 1))
+            if (pt.txType == TxTitle || pt.txType == TxCenterTitle)
+              RawPara(p, Some("Title"), Some(0), pageNumber = page)
+            else if (pt.paraBullets.lift(i).contains(true))
+              // bulleted outline paragraph → ListItem, as the pptx
+              // conversion's buChar path classifies (pptx.py:225-245)
+              RawPara(p, Some("ListItem"), Some(0), pageNumber = page)
+            else RawPara(p, None, Some(0), pageNumber = page, classifier = "pptx")
+          }
+      }
     }
 }

@@ -21,7 +21,8 @@ class LegacyOfficeSpec extends AnyFunSuite {
       "second one follows.",
       "page two crm"))
     assert(paras.map(_.pageNumber.get) == Seq(1, 1, 1, 2))
-    assert(paras.forall(_.classifier == "text"))
+    // unstyled paragraphs classify via the docx restricted cascade
+    assert(paras.forall(_.classifier == "docx"))
   }
 
   test("doc: cell marks split paragraphs; field instructions drop; ccpText truncates") {
