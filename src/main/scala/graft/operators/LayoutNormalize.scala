@@ -95,6 +95,37 @@ object LayoutNormalize {
     }
   }
 
+  /** `ocr_data_to_elements` (`common.py:435-460`): normalize each OCR region
+    * against a PixelSpace sized to the source image; layout dims ride in the
+    * coordinates metadata. */
+  def ocrDataToElements(regions: Seq[LayoutRegion], imageWidth: Double,
+      imageHeight: Double, inferListItems: Boolean = true): Seq[Element] =
+    regions.flatMap { r =>
+      normalizeLayoutElement(r, Some("PixelSpace"), inferListItems).map { e =>
+        e.copy(metadata = e.metadata.copy(coordinates = e.metadata.coordinates.map(
+          _.copy(layout_width = Some(imageWidth), layout_height = Some(imageHeight)))))
+      }
+    }
+
+  /** `contains_emoji` (`common.py:395-406`) — codepoint-block probe standing
+    * in for the emoji package's sequence tables: pictographs, symbols,
+    * dingbats, flags, and the emoji variation selector. */
+  def containsEmoji(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val emoji =
+        (cp >= 0x1F000 && cp <= 0x1FAFF) || // pictographs, symbols, extended
+          (cp >= 0x2600 && cp <= 0x27BF) || // misc symbols + dingbats
+          (cp >= 0x1F1E6 && cp <= 0x1F1FF) || // regional indicators (flags)
+          (cp >= 0x2B00 && cp <= 0x2BFF) || // arrows/stars block (⭐)
+          cp == 0xFE0F || cp == 0x203C || cp == 0x2049
+      if (emoji) return true
+      i += Character.charCount(cp)
+    }
+    false
+  }
+
   /** `layout_list_to_list_items` (`common.py:127-154`): split on enumerated
     * bullets, falling back to unicode bullets when nothing splits; blank
     * segments are dropped and survivors stripped. */

@@ -91,6 +91,32 @@ class LayoutNormalizeSpec extends AnyFunSuite {
     assert(els.map(_.text) == Seq("1. a 2. b") && els.head.`type` == "ListItem")
   }
 
+  test("contains_emoji vectors") {
+    assert(LayoutNormalize.containsEmoji(
+      "<table><tbody><tr><td>👨\\U+1F3FB🔧</td></tr></tbody></table>"))
+    assert(!LayoutNormalize.containsEmoji(
+      "<table><tbody><tr><td>Hello!</td></tr></tbody></table>"))
+  }
+
+  test("ocr_data_to_elements: one element per region, PixelSpace coords with dims") {
+    val regions = Seq(
+      LayoutRegion(Some("UncategorizedText"),
+        "LayoutParser: A Unified Toolkit for Deep",
+        bboxPoints(163, 115, 452, 129)),
+      LayoutRegion(Some("UncategorizedText"),
+        "Learning Based Document Image Analysis",
+        bboxPoints(156, 132, 457, 147)))
+    val els = LayoutNormalize.ocrDataToElements(regions, 612, 792)
+    assert(els.length == regions.length)
+    assert(els.forall(_.`type` == "UncategorizedText"))
+    els.zip(regions).foreach { case (e, r) =>
+      val c = e.metadata.coordinates.get
+      assert(c.points == r.coordinates)
+      assert(c.system.contains("PixelSpace"))
+      assert(c.layout_width.contains(612.0) && c.layout_height.contains(792.0))
+    }
+  }
+
   test("detection class prob and origin ride into metadata") {
     val Seq(e) = normalizeLayoutElement(
       LayoutRegion(Some("Title"), "t", pts, prob = Some(0.87), source = Some("yolox")),
