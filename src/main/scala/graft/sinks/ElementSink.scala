@@ -132,8 +132,24 @@ object ElementSink {
     if (known.isEmpty)
       throw new IllegalArgumentException(
         "JSON cannot be partitioned. Schema does not match the Unstructured schema.")
-    parseNdjson(spark, known)
+    parseNdjson(spark, withEngineIds(known))
   }
+
+  /** The reference wire has no doc_id/seq (implicit: file scope + array
+    * order); inject them at the token level so rehydrated elements keep their
+    * serialized order under any partitioning. */
+  private def withEngineIds(objs: Seq[String]): Seq[String] =
+    objs.zipWithIndex.map { case (o, i) =>
+      val toks = RawJson.objectRawTokens(o)
+      val inject = Seq(
+        if (toks.contains("seq")) None else Some(s""""seq":${i + 1}"""),
+        if (toks.contains("doc_id")) None else Some(""""doc_id":"json"""")).flatten
+      if (inject.isEmpty) o
+      else {
+        val body = o.trim.stripPrefix("{").trim
+        "{" + inject.mkString(",") + (if (body.startsWith("}")) "" else ",") + body
+      }
+    }
 
   /** `partition_ndjson` — one serialized element per line; same per-dict
     * validation as [[partitionJson]] (`partition/ndjson.py`). */
@@ -151,7 +167,7 @@ object ElementSink {
     if (known.isEmpty)
       throw new IllegalArgumentException(
         "NDJSON cannot be partitioned. Schema does not match the Unstructured schema.")
-    parseNdjson(spark, known)
+    parseNdjson(spark, withEngineIds(known))
   }
 
   /**
