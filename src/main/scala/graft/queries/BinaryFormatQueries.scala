@@ -495,7 +495,7 @@ object BinaryFormatQueries {
          |  SELECT doc_id, 0 AS ord, 0 AS sub, 'Title' AS element_type,
          |    0 AS category_depth, title3 AS text, NULL AS text_as_html FROM base
          |  UNION ALL
-         |  SELECT doc_id, 1, i, ${O.classify("ps[i]")}, NULL, ps[i], NULL
+         |  SELECT doc_id, 1, i, ${O.deriveDocx("ps[i]")}, NULL, ps[i], NULL
          |  FROM base, unnest(range(1, len(ps) + 1)) AS t(i)
          |  UNION ALL
          |  SELECT doc_id, 2, 1, 'ListItem', 0, 'item ' || (doc_id % 5), NULL FROM base

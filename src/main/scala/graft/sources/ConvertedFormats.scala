@@ -207,8 +207,17 @@ object ConvertedFormats {
         val lvl = OdtOutlineRe.findFirstMatchIn(block).map(_.group(1).toInt).getOrElse(1)
         if (text.nonEmpty) out += RawPara(text, Some("Title"), Some(lvl - 1))
       } else {
+        // the reference converts ODT -> DOCX and runs partition_docx
+        // (_classify_paragraph_to_element, docx.py:435-482): literal-bullet
+        // paragraphs become ListItems with the bullet stripped, everything
+        // else takes the docx RESTRICTED cascade (no Title guess)
         val text = odtText(block)
-        if (text.nonEmpty) out += RawPara(text, None, classifier = "text")
+        if (text.nonEmpty) {
+          if (graft.functions.Cleaners.isBulletedTextStr(text)) {
+            val clean = graft.functions.Cleaners.cleanBulletsStr(text).strip
+            if (clean.nonEmpty) out += RawPara(clean, Some("ListItem"))
+          } else out += RawPara(text, None, classifier = "docx")
+        }
       }
     }
     out.toSeq

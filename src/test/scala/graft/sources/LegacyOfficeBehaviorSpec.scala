@@ -43,6 +43,11 @@ class LegacyOfficeBehaviorSpec extends SparkSuiteBase {
     assert(partitionDoc("simple.doc") == partitionDoc("simple.docx"))
   }
 
+  // -- test_auto.py::test_auto_partition_odt_from_filename (:457-460) --
+  test("simple.odt routes to the same eight typed elements as simple.docx") {
+    assert(partitionDoc("simple.odt") == partitionDoc("simple.docx"))
+  }
+
   // -- test_ppt.py::EXPECTED_PPT_OUTPUT (:14-21) --
   test("fake-power-point.ppt partitions to the reference's six typed elements") {
     val out = partitionDoc("fake-power-point.ppt")
