@@ -194,4 +194,16 @@ class HtmlBehaviorSpec extends SparkSuiteBase {
     assert(out.forall(_.getString(0) == "ListItem"))
     assert(out.map(_.getString(1)).toSeq == Seq("Bullet one", "Bullet two"))
   }
+
+  // -- test_auto.py::test_auto_partition_html_pre_from_file (:271-280) --
+  test("fake-html-pre.htm leads with a CodeSnippet, no PageBreaks") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/example-docs/fake-html-pre.htm"))
+    val ps = parts(Encodings.decodeText(bytes))
+    assert(ps.nonEmpty)
+    assert(ps.head.elementType.contains("CodeSnippet"))
+    assert(graft.operators.Chunker.normalizeWs(ps.head.text)
+      .startsWith("[107th Congress Public Law 56]"))
+    assert(!ps.exists(_.elementType.contains("PageBreak")))
+  }
 }
