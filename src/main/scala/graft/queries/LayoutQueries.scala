@@ -371,6 +371,35 @@ object LayoutQueries {
         .orderBy("doc_id", "row_index", "col_index")
     }),
 
+    // TableEvalProcessor (metrics/table/table_eval.py:230-327) end-to-end:
+    // even docs predict the ground-truth table exactly (perfect scores through
+    // the full difflib alignment machinery), odd docs predict nothing (the
+    // zeros branch) — every metric lands on an oracle-predictable constant
+    // while the real ratio/alignment/grouping code runs on every row
+    "q_table_eval_processor" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{TableEval, TableExtraction}
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " merge ").as("ps"))
+        .as[(Long, Seq[String])]
+        .map { case (doc, ps) =>
+          // cells capped at 30 chars: identical long strings score BELOW 1.0
+          // under difflib's autojunk popularity rule (b >= 200 chars), which
+          // would make the oracle constant wrong — short cells sidestep it
+          val cells = ps.take(4).zipWithIndex.map { case (p, i) =>
+            TableExtraction.Cell(i / 2, i % 2, p.take(30))
+          }
+          val pred = if (doc % 2 == 0) Seq(cells) else Nil
+          val r = TableEval.processFile(pred, Seq(cells))
+          (doc, r.totalTables, r.totalPredictedTables, r.tableLevelAcc,
+            r.tableDetectionF1, r.elementRowLevelIndexAcc,
+            r.elementColLevelContentAcc, r.compositeStructureAcc)
+        }
+        .toDF("doc_id", "total_tables", "total_predicted", "table_level_acc",
+          "detection_f1", "row_index_acc", "col_content_acc", "composite_acc")
+        .orderBy("doc_id")
+    }),
+
     // TEDS-like table eval: real parse+cell-match on constructed gold/pred pair —
     // pred corrupts one of 4 cells for every 3rd part -> score 2*3/8, else 1.0
     "q_table_eval" -> ((s, dir) => {
@@ -659,6 +688,17 @@ object LayoutQueries {
       """SELECT p_partkey AS doc_id,
         |  CASE WHEN p_partkey % 3 = 0 THEN 0.75 ELSE 1.0 END AS score
         |FROM part ORDER BY doc_id""".stripMargin,
+
+    // identical pred (even docs) -> 1.0 across the board; no pred (odd) -> 0s
+    "q_table_eval_processor" ->
+      """SELECT doc_id, 1 AS total_tables,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS total_predicted,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS table_level_acc,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS detection_f1,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS row_index_acc,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS col_content_acc,
+        |  CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS composite_acc
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_embed_documents" -> {
       val h = O.polyHash("text")
