@@ -96,6 +96,18 @@ object TableExtraction {
   private def sortCells(cells: Seq[Cell]): Seq[Cell] =
     cells.sortBy(c => (c.rowIndex, c.colIndex))
 
+  /** `SimpleTableCell.from_table_transformer_cell`
+    * (`metrics/table/table_formats.py`): a table-transformer span cell —
+    * `row_nums`/`column_nums` index lists — to the (x, y, w, h) Deckerd
+    * shape; empty index lists are an error. */
+  def fromTableTransformerCell(rowNums: Seq[Int], columnNums: Seq[Int],
+      text: String): DCell = {
+    require(rowNums.nonEmpty, "Cell has missing values under \"row_nums\" key")
+    require(columnNums.nonEmpty, "Cell has missing values under \"column_nums\" key")
+    DCell(x = columnNums.min, y = rowNums.min,
+      w = columnNums.length, h = rowNums.length, content = text)
+  }
+
   /** `extract_cells_from_text_as_html` (`:213-237`): None when the html is
     * absent or carries no `<table>`. */
   def extractCellsFromTextAsHtml(textAsHtml: Option[String]): Option[Seq[Cell]] =

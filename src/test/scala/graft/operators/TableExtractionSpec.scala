@@ -116,4 +116,23 @@ class TableExtractionSpec extends AnyFunSuite {
     // fourth row keeps x=0 (the 2x2 span occupies columns 2-3 only)
     assert(pos((3, 0)) == "r4col12")
   }
+
+  // -- metrics/test_table_formats.py --
+  test("from_table_transformer_cell vectors and empty-list errors") {
+    import TableExtraction.{fromTableTransformerCell, DCell}
+    assert(fromTableTransformerCell(Seq(3, 2, 1), Seq(6, 7), "text")
+      == DCell(6, 1, 2, 3, "text"))
+    assert(fromTableTransformerCell(Seq(2), Seq(6, 7), "text")
+      == DCell(6, 2, 2, 1, "text"))
+    assert(fromTableTransformerCell(Seq(1, 2, 3), Seq(20), "text")
+      == DCell(20, 1, 1, 3, "text"))
+    assert(fromTableTransformerCell(Seq(5), Seq(5), "text")
+      == DCell(5, 5, 1, 1, "text"))
+    intercept[IllegalArgumentException] {
+      fromTableTransformerCell(Seq.empty, Seq(1), "text")
+    }
+    intercept[IllegalArgumentException] {
+      fromTableTransformerCell(Seq(1), Seq.empty, "text")
+    }
+  }
 }
