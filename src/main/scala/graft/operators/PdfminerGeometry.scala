@@ -1,0 +1,175 @@
+package graft.operators
+
+/**
+ * The hi_res path's pdfminer post-processing geometry —
+ * `partition/pdf_image/pdfminer_processing.py`: bbox rotation/validation,
+ * vectorized pixel-inclusive intersection/IoU/subregion tests, near-duplicate
+ * removal, pdfminer-inside-table cleanup, and per-block embedded-text
+ * aggregation with extraction-coverage status.
+ *
+ * The matrix kernels keep the reference's +1 pixel-inclusive area convention
+ * (a degenerate box has area 1 and matches itself); `_aggregated_iou` uses
+ * plain areas, as upstream. All functions are pure per-page math — on a
+ * cluster they run inside the per-(doc, page) groupBy of the layout-merge
+ * stage, no cross-page state.
+ */
+object PdfminerGeometry {
+
+  /** `EPSILON_AREA` / env defaults (`pdfminer_processing.py:38`,
+    * `utils/config.py:201-208,285-288`). */
+  val EpsilonArea = 0.01
+  val EmbeddedTextAggregationSubregionThreshold = 0.99
+  val TextCoverageThreshold = 0.25
+
+  type Bbox = (Double, Double, Double, Double) // (x1, y1, x2, y2)
+
+  /** `_rotate_bboxes` (`:62-82`) — mirror a PIL counter-clockwise
+    * `rotate(angle, expand=True)` of a width x height page image. */
+  def rotateBboxes(coords: Seq[Bbox], angle: Int, width: Double,
+      height: Double): Seq[Bbox] = {
+    val a = ((angle % 360) + 360) % 360
+    a match {
+      case 90 => coords.map { case (x1, y1, x2, y2) => (y1, width - x2, y2, width - x1) }
+      case 180 => coords.map { case (x1, y1, x2, y2) =>
+        (width - x2, height - y2, width - x1, height - y1) }
+      case 270 => coords.map { case (x1, y1, x2, y2) =>
+        (height - y2, x1, height - y1, x2) }
+      case _ => coords
+    }
+  }
+
+  /** `_validate_bbox` (`:84-85`): four present values with positive extent
+    * (NaN fails both comparisons, like None/np.nan upstream). */
+  def validateBbox(bbox: Seq[Double]): Boolean =
+    bbox.length == 4 && bbox.forall(v => !v.isNaN) &&
+      bbox(2) - bbox(0) > 0 && bbox(3) - bbox(1) > 0
+
+  /** `_minimum_containing_coords` (`:88-104`) for one pair. */
+  def minimumContainingCoords(a: Bbox, b: Bbox): Bbox =
+    (math.min(a._1, b._1), math.min(a._2, b._2),
+      math.max(a._3, b._3), math.max(a._4, b._4))
+
+  /** Pixel-inclusive intersection area (`areas_of_boxes_and_intersection_area`,
+    * `:691-705`). */
+  private def interAreaPlus1(a: Bbox, b: Bbox): Double =
+    math.max(math.min(a._3, b._3) - math.max(a._1, b._1) + 1, 0) *
+      math.max(math.min(a._4, b._4) - math.max(a._2, b._2) + 1, 0)
+
+  private def areaPlus1(b: Bbox): Double = (b._3 - b._1 + 1) * (b._4 - b._2 + 1)
+
+  /** `bboxes1_is_almost_subregion_of_bboxes2` (`:707-722`):
+    * inter/area1 > threshold AND area1 <= area2. */
+  def isAlmostSubregionOf(bboxes1: Seq[Bbox], bboxes2: Seq[Bbox],
+      threshold: Double = 0.5): Seq[Seq[Boolean]] =
+    bboxes1.map { b1 =>
+      bboxes2.map { b2 =>
+        interAreaPlus1(b1, b2) / math.max(areaPlus1(b1), EpsilonArea) > threshold &&
+          areaPlus1(b1) <= areaPlus1(b2)
+      }
+    }
+
+  /** `boxes_iou` (`:733-748`): inter > threshold * union. */
+  def boxesIou(bboxes1: Seq[Bbox], bboxes2: Seq[Bbox],
+      threshold: Double = 0.75): Seq[Seq[Boolean]] =
+    bboxes1.map { b1 =>
+      bboxes2.map { b2 =>
+        val inter = interAreaPlus1(b1, b2)
+        val union = math.max(EpsilonArea, areaPlus1(b1) + areaPlus1(b2) - inter)
+        inter > threshold * union
+      }
+    }
+
+  /** `boxes_self_iou` (`:724-731`). */
+  def boxesSelfIou(bboxes: Seq[Bbox], threshold: Double = 0.5): Seq[Seq[Boolean]] =
+    boxesIou(bboxes, bboxes, threshold)
+
+  /** `remove_duplicate_elements` (`:863-893`): drop an element only when it
+    * near-duplicates (IoU over `threshold`) a LATER element — the strict
+    * upper triangle of the self-IoU matrix. (The reference's split-matrix
+    * memory capping with per-chunk diagonal offsets collapses to the direct
+    * triangle here; same result by construction.) */
+  def removeDuplicateIndices(bboxes: Seq[Bbox], threshold: Double = 0.5): Seq[Int] = {
+    val iou = boxesSelfIou(bboxes, threshold)
+    bboxes.indices.filter { i =>
+      !(i + 1 until bboxes.length).exists(j => iou(i)(j))
+    }
+  }
+
+  /** One page row for [[cleanPdfminerInnerElements]]. */
+  final case class PageRegion(bbox: Bbox, isPdfminer: Boolean)
+
+  /** `clean_pdfminer_inner_elements` (`:831-860`): remove pdfminer-sourced
+    * regions that sit inside exactly ONE non-pdfminer region (table-interior
+    * scaffolding); returns the kept indices in original order. */
+  def cleanPdfminerInnerElements(regions: Seq[PageRegion],
+      threshold: Double = EmbeddedTextAggregationSubregionThreshold): Seq[Int] = {
+    val pdfminerIdx = regions.indices.filter(regions(_).isPdfminer)
+    val otherIdx = regions.indices.filterNot(regions(_).isPdfminer)
+    if (pdfminerIdx.isEmpty || otherIdx.isEmpty) return regions.indices
+    val sub = isAlmostSubregionOf(
+      pdfminerIdx.map(regions(_).bbox), otherIdx.map(regions(_).bbox), threshold)
+    val dropped = pdfminerIdx.zip(sub).collect {
+      case (i, row) if row.count(identity) == 1 => i
+    }.toSet
+    regions.indices.filterNot(dropped.contains)
+  }
+
+  /** `calculate_intersection_area` / `calculate_bbox_area`
+    * (`:1358-1406`) — the plain (non-inclusive) variants. */
+  def bboxArea(b: Bbox): Double = (b._3 - b._1) * (b._4 - b._2)
+
+  def intersectionArea(a: Bbox, b: Bbox): Double = {
+    val x1 = math.max(a._1, b._1)
+    val y1 = math.max(a._2, b._2)
+    val x2 = math.min(a._3, b._3)
+    val y2 = math.min(a._4, b._4)
+    if (x1 < x2 && y1 < y2) bboxArea((x1, y1, x2, y2)) else 0.0
+  }
+
+  /** `_aggregated_iou` (`:893-906`). */
+  def aggregatedIou(sources: Seq[Bbox], target: Bbox): Double = {
+    var intersection = 0.0
+    var sumAreas = bboxArea(target)
+    sources.foreach { s =>
+      intersection += intersectionArea(s, target)
+      sumAreas += bboxArea(s)
+    }
+    val union = sumAreas - intersection
+    if (union == 0) 1.0 else intersection / union
+  }
+
+  /** One embedded source region for [[aggregateEmbeddedTextByBlock]]. */
+  final case class SourceRegion(bbox: Bbox, text: Option[String], isExtracted: Boolean)
+
+  /** `IsExtracted` result states. */
+  val ExtractedTrue = "true"
+  val ExtractedPartial = "partial"
+  val ExtractedFalse = "false"
+
+  /**
+   * `aggregate_embedded_text_by_block` (`:908-946`): join the texts of
+   * source regions that are almost-subregions of the target block; the
+   * extraction status is `true` only when every contributing region was
+   * fully extracted AND their aggregate IoU with the block clears the
+   * coverage threshold, `partial` otherwise, `false` when nothing landed.
+   */
+  def aggregateEmbeddedTextByBlock(target: Bbox, sources: Seq[SourceRegion],
+      subregionThreshold: Double = EmbeddedTextAggregationSubregionThreshold,
+      textCoverageThreshold: Double = TextCoverageThreshold)
+      : (String, Option[String]) = {
+    if (sources.isEmpty) return ("", None)
+    val mask = isAlmostSubregionOf(sources.map(_.bbox), Seq(target),
+      subregionThreshold).map(_.head)
+    val inside = sources.zip(mask).collect { case (s, true) => s }
+    val text = inside.flatMap(_.text).filter(_.nonEmpty).mkString(" ")
+    val status =
+      if (inside.isEmpty) ExtractedFalse
+      else {
+        val iou = aggregatedIou(inside.map(_.bbox), target)
+        if (inside.forall(_.isExtracted) && iou > textCoverageThreshold)
+          ExtractedTrue
+        else ExtractedPartial
+      }
+    (text, Some(status))
+  }
+}

@@ -371,6 +371,30 @@ object LayoutQueries {
         .orderBy("doc_id", "row_index", "col_index")
     }),
 
+    // clean_pdfminer_inner_elements (pdfminer_processing.py:831-860) per doc:
+    // one fixed non-pdfminer "table" region per page; every corpus box is
+    // pdfminer-sourced and survives unless it is an almost-subregion (0.99,
+    // +1 pixel-inclusive areas) of the table — the oracle recomputes the
+    // same inclusive-area arithmetic in SQL
+    "q_pdfminer_cleanup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.PdfminerGeometry
+      import graft.operators.PdfminerGeometry.PageRegion
+      boxes(s, dir)
+        .select(col("doc_id"), col("seq"), col("x1"), col("y1"), col("x2"), col("y2"))
+        .as[(Long, Long, Double, Double, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (doc, it) =>
+          val rows = it.toSeq.sortBy(_._2)
+          val regions = PageRegion((0.0, 0.0, 250.0, 250.0), isPdfminer = false) +:
+            rows.map(r => PageRegion((r._3, r._4, r._5, r._6), isPdfminer = true))
+          val kept = PdfminerGeometry.cleanPdfminerInnerElements(regions).toSet
+          rows.zipWithIndex.map { case (r, i) => (doc, r._2, kept.contains(i + 1)) }
+        }
+        .toDF("doc_id", "seq", "kept")
+        .orderBy("doc_id", "seq")
+    }),
+
     // TableEvalProcessor (metrics/table/table_eval.py:230-327) end-to-end:
     // even docs predict the ground-truth table exactly (perfect scores through
     // the full difflib alignment machinery), odd docs predict nothing (the
@@ -688,6 +712,17 @@ object LayoutQueries {
       """SELECT p_partkey AS doc_id,
         |  CASE WHEN p_partkey % 3 = 0 THEN 0.75 ELSE 1.0 END AS score
         |FROM part ORDER BY doc_id""".stripMargin,
+
+    "q_pdfminer_cleanup" ->
+      s"""WITH b AS $boxesSql
+         |SELECT doc_id, seq,
+         |  NOT (
+         |    (GREATEST(LEAST(x2, 250) - GREATEST(x1, 0) + 1, 0) *
+         |     GREATEST(LEAST(y2, 250) - GREATEST(y1, 0) + 1, 0))
+         |      / GREATEST((x2 - x1 + 1) * (y2 - y1 + 1), 0.01) > 0.99
+         |    AND (x2 - x1 + 1) * (y2 - y1 + 1) <= 251.0 * 251.0
+         |  ) AS kept
+         |FROM b ORDER BY doc_id, seq""".stripMargin,
 
     // identical pred (even docs) -> 1.0 across the board; no pred (odd) -> 0s
     "q_table_eval_processor" ->

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PdfminerGeometry._
+
+/**
+ * Behavior port of `test_unstructured/partition/pdf_image/
+ * test_pdfminer_processing.py` — the pure-geometry slice of the hi_res
+ * post-processing pipeline over the reference's numeric vectors. (The
+ * pdfminer/LTChar parsing and file-driven cases are model/library-bound.)
+ */
+class PdfminerGeometrySpec extends AnyFunSuite {
+
+  test("rotate_bboxes matches PIL counter-clockwise expand rotation") {
+    val w = 100.0
+    val h = 200.0
+    val box: Seq[Bbox] = Seq((10.0, 20.0, 30.0, 60.0))
+    assert(rotateBboxes(box, 0, w, h) == box)
+    assert(rotateBboxes(box, 360, w, h) == box)
+    val r90 = rotateBboxes(box, 90, w, h)
+    assert(r90 == Seq((20.0, w - 30.0, 60.0, w - 10.0)))
+    assert(rotateBboxes(box, 180, w, h)
+      == Seq((w - 30.0, h - 60.0, w - 10.0, h - 20.0)))
+    assert(rotateBboxes(box, 270, w, h)
+      == Seq((h - 60.0, 10.0, h - 20.0, 30.0)))
+    // 90 then 270 about the rotated canvas restores the original
+    assert(rotateBboxes(r90, 270, h, w) == box)
+    Seq(90, 180, 270).foreach { a =>
+      val Seq((x1, y1, x2, y2)) = rotateBboxes(box, a, w, h)
+      assert(x1 < x2 && y1 < y2, a)
+    }
+  }
+
+  test("validate_bbox vectors") {
+    assert(!validateBbox(Seq(0, 1, 0, 1))) // zero width
+    assert(validateBbox(Seq(0, 1, 1, 2)))
+    assert(!validateBbox(Seq(0, 1, 1, Double.NaN))) // missing value
+    assert(!validateBbox(Seq(0, 1, -1, 0))) // negative extent
+    assert(!validateBbox(Seq(0, 1, -1, 2)))
+  }
+
+  test("bboxes1_is_almost_subregion_of_bboxes2 matrices") {
+    def m(c1: Seq[Seq[Int]], c2: Seq[Seq[Int]]): Seq[Seq[Boolean]] =
+      isAlmostSubregionOf(
+        c1.map(r => (r(0).toDouble, r(1).toDouble, r(2).toDouble, r(3).toDouble)),
+        c2.map(r => (r(0).toDouble, r(1).toDouble, r(2).toDouble, r(3).toDouble)))
+    assert(m(
+      Seq(Seq(0, 0, 10, 10), Seq(10, 0, 20, 10), Seq(10, 10, 20, 20)),
+      Seq(Seq(0, 0, 10, 10), Seq(0, 0, 12, 12)))
+      == Seq(Seq(true, true), Seq(false, false), Seq(false, false)))
+    assert(m(
+      Seq(Seq(0, 0, 10, 10), Seq(10, 0, 20, 10), Seq(10, 10, 20, 20)),
+      Seq(Seq(0, 0, 10, 10), Seq(10, 10, 22, 22), Seq(0, 0, 5, 5)))
+      == Seq(Seq(true, false, false), Seq(false, false, false),
+        Seq(false, true, false)))
+    // a degenerate box is a subregion of anything containing its pixel
+    assert(m(
+      Seq(Seq(0, 0, 10, 10), Seq(10, 10, 10, 10)),
+      Seq(Seq(0, 0, 10, 10), Seq(10, 10, 22, 22), Seq(0, 0, 5, 5)))
+      == Seq(Seq(true, false, false), Seq(true, true, false)))
+  }
+
+  test("boxes_self_iou matrices at 0.5 and 0.9 thresholds") {
+    def boxes(c: Seq[Seq[Int]]): Seq[Bbox] =
+      c.map(r => (r(0).toDouble, r(1).toDouble, r(2).toDouble, r(3).toDouble))
+    val three = boxes(Seq(Seq(0, 0, 10, 10), Seq(2, 2, 12, 12), Seq(10, 10, 20, 20)))
+    assert(boxesSelfIou(three, 0.5)
+      == Seq(Seq(true, true, false), Seq(true, true, false), Seq(false, false, true)))
+    assert(boxesSelfIou(three, 0.9)
+      == Seq(Seq(true, false, false), Seq(false, true, false), Seq(false, false, true)))
+    val degenerate = boxes(Seq(Seq(0, 0, 10, 10), Seq(10, 10, 10, 10)))
+    assert(boxesSelfIou(degenerate, 0.5)
+      == Seq(Seq(true, false), Seq(false, true)))
+  }
+
+  test("remove_duplicate_elements keeps the LAST of a near-duplicate pair") {
+    val boxes: Seq[Bbox] = Seq((0, 0, 10, 10), (0, 0, 10, 10), (20, 20, 30, 30))
+    assert(removeDuplicateIndices(boxes) == Seq(1, 2))
+  }
+
+  test("dense pages are not decimated (cross-pair duplicate only)") {
+    // 2500 unique non-overlapping boxes + one exact duplicate of the first
+    val unique: Seq[Bbox] = (0 until 2500).map { i =>
+      val x = (i % 50) * 20.0
+      val y = (i / 50) * 20.0
+      (x, y, x + 10, y + 10)
+    }
+    val boxes = unique :+ unique.head
+    assert(removeDuplicateIndices(boxes).length == 2500)
+  }
+
+  test("clean_pdfminer_inner_elements removes table-interior pdfminer regions") {
+    // deletable: both pdfminer boxes sit inside the one table -> only it remains
+    val deletable = Seq(
+      PageRegion((0, 0, 100, 100), isPdfminer = false),
+      PageRegion((50, 50, 70, 70), isPdfminer = true),
+      PageRegion((70, 70, 80, 80), isPdfminer = true))
+    assert(cleanPdfminerInnerElements(deletable) == Seq(0))
+    // nothing pdfminer-sourced -> untouched
+    val noDeletable = deletable.map(_.copy(isPdfminer = false))
+    assert(cleanPdfminerInnerElements(noDeletable) == Seq(0, 1, 2))
+    // mix: 8 regions, 3 pdfminer-inside-table removals -> 5 survive
+    val mix = Seq(
+      PageRegion((0, 0, 100, 100), isPdfminer = false), // Table1
+      PageRegion((50, 50, 70, 70), isPdfminer = false), // inside, not pdfminer
+      PageRegion((70, 70, 80, 80), isPdfminer = true), // inside Table1
+      PageRegion((150, 150, 170, 170), isPdfminer = true), // outside
+      PageRegion((180, 180, 200, 200), isPdfminer = true), // outside
+      PageRegion((0, 500, 100, 700), isPdfminer = false), // Table2
+      PageRegion((0, 510, 50, 600), isPdfminer = true), // inside Table2
+      PageRegion((0, 550, 70, 650), isPdfminer = true)) // inside Table2
+    assert(cleanPdfminerInnerElements(mix) == Seq(0, 1, 3, 4, 5))
+  }
+
+  test("aggregate_embedded_text_by_block: full coverage -> true") {
+    val target: Bbox = (0, 0, 300, 300)
+    val sources = Seq(
+      SourceRegion((0, 0, 300, 20), Some("Inside region1"), isExtracted = true),
+      SourceRegion((0, 20, 300, 80), None, isExtracted = true),
+      SourceRegion((0, 80, 200, 300), Some("Inside region2"), isExtracted = true),
+      SourceRegion((250, 250, 350, 350), Some("Outside region"), isExtracted = true))
+    val (text, status) = aggregateEmbeddedTextByBlock(target, sources)
+    assert(text == "Inside region1 Inside region2")
+    assert(status.contains(ExtractedTrue))
+  }
+
+  test("aggregate: partial fill -> partial") {
+    val (text, status) = aggregateEmbeddedTextByBlock((0, 0, 300, 300),
+      Seq(SourceRegion((0, 0, 20, 20), Some("Inside region1"), isExtracted = true)))
+    assert(text == "Inside region1")
+    assert(status.contains(ExtractedPartial))
+  }
+
+  test("aggregate: nothing inside -> false") {
+    val (text, status) = aggregateEmbeddedTextByBlock((0, 0, 300, 300),
+      Seq(SourceRegion((300, 0, 400, 20), Some("outside"), isExtracted = true)))
+    assert(text == "")
+    assert(status.contains(ExtractedFalse))
+  }
+
+  test("minimum containing coords") {
+    assert(minimumContainingCoords((0, 5, 10, 10), (2, 0, 12, 8)) == ((0.0, 0.0, 12.0, 10.0)))
+  }
+}
