@@ -146,6 +146,156 @@ object PdfminerGeometry {
   val ExtractedPartial = "partial"
   val ExtractedFalse = "false"
 
+  // ------------------------------------------------------- layout merge
+
+  /** `FULL_PAGE_REGION_THRESHOLD` + unstructured-inference config defaults
+    * (`LAYOUT_SAME_REGION_THRESHOLD` / `LAYOUT_SUBREGION_THRESHOLD`). */
+  val FullPageRegionThreshold = 0.99
+  val LayoutSameRegionThreshold = 0.75
+  val LayoutSubregionThreshold = 0.75
+
+  /** One layout region for the merge: `classId` 0 = text, 1 = image (the
+    * extracted side's pdfminer classes); `elementType` carries the inferred
+    * side's label for the text/table masks. */
+  final case class LayoutRegion(
+      bbox: Bbox,
+      text: Option[String],
+      classId: Int = 0,
+      elementType: String = "",
+      isExtracted: Boolean = false)
+
+  /** `_inferred_is_text` (`:122-135`): non-image-like inferred types. */
+  private val ImageLikeTypes = Set("Figure", "Image", "PageBreak", "Table")
+  private val PictureLikeTypes = Set("Figure", "Image", "Picture")
+
+  /**
+   * `array_merge_inferred_layout_with_extracted_layout` (`:250-410`) — the
+   * hi_res merge of the OD model's inferred regions with pdfminer's extracted
+   * regions, rule for rule:
+   *
+   *  0. full-page extracted images are dropped;
+   *  1. inferred regions almost-same as a kept extracted image are dropped;
+   *  2. extracted text almost-same as an inferred region merges INTO it
+   *     (text + extraction state adopted, bbox extended to contain both);
+   *  3. up to `maxRounds` passes: extracted text subregions of an unprocessed
+   *     inferred TEXT region are absorbed, expanding the inferred bbox;
+   *  4. non-table inferred regions in any subregion relationship with a kept
+   *     extracted region are dropped;
+   *  5. everything else: kept extracted regions (original order) then
+   *     surviving inferred regions.
+   */
+  def arrayMergeInferredWithExtracted(
+      inferred0: Seq[LayoutRegion],
+      extracted: Seq[LayoutRegion],
+      pageWidth: Double,
+      pageHeight: Double,
+      sameRegionThreshold: Double = LayoutSameRegionThreshold,
+      subregionThreshold: Double = LayoutSubregionThreshold,
+      maxRounds: Int = 5): Seq[LayoutRegion] = {
+    if (extracted.isEmpty) return inferred0
+    if (inferred0.isEmpty) return extracted
+
+    val fullPage: Bbox = (0, 0, pageWidth, pageHeight)
+
+    // RULE 0
+    val imageIdx0 = extracted.indices.filter(extracted(_).classId == 1)
+    val imageIdxKeep = imageIdx0.filterNot { i =>
+      boxesIou(Seq(extracted(i).bbox), Seq(fullPage), FullPageRegionThreshold).head.head
+    }
+
+    // RULE 1
+    val keptImageBoxes = imageIdxKeep.map(extracted(_).bbox)
+    val inferred = scala.collection.mutable.ArrayBuffer.from(
+      inferred0.filterNot { inf =>
+        keptImageBoxes.nonEmpty &&
+          boxesIou(Seq(inf.bbox), keptImageBoxes, sameRegionThreshold).head.exists(identity)
+      })
+    val inferredToKeep = Array.fill(inferred.length)(true)
+
+    val textIdx = extracted.indices.filter(extracted(_).classId == 0)
+    if (textIdx.isEmpty)
+      return inferred.toSeq ++ imageIdxKeep.map(extracted(_))
+    if (inferred.isEmpty)
+      return (imageIdxKeep ++ textIdx).sorted.map(extracted(_))
+
+    // RULE 2 — the almost-same matrix is computed ONCE against the original
+    // inferred boxes; duplicate first-matches resolve last-write-wins, and the
+    // containing bbox derives from the ORIGINAL inferred coords (numpy
+    // fancy-index assignment semantics, :138-176)
+    val extractedText = scala.collection.mutable.ArrayBuffer.from(textIdx.map(extracted(_)))
+    val extractedRemoved = Array.fill(extractedText.length)(false)
+    val originalInferredBoxes = inferred.map(_.bbox).toSeq
+    val lastMatchFor = scala.collection.mutable.Map.empty[Int, Int] // inferred -> extracted
+    extractedText.indices.foreach { e =>
+      val row = boxesIou(Seq(extractedText(e).bbox), originalInferredBoxes,
+        sameRegionThreshold).head
+      val first = row.indexOf(true)
+      if (first >= 0) {
+        extractedRemoved(e) = true
+        lastMatchFor(first) = e
+      }
+    }
+    lastMatchFor.foreach { case (i, e) =>
+      inferred(i) = inferred(i).copy(
+        text = extractedText(e).text,
+        isExtracted = extractedText(e).isExtracted,
+        bbox = minimumContainingCoords(originalInferredBoxes(i), extractedText(e).bbox))
+    }
+
+    // RULE 3
+    val inferredToProc = Array.tabulate(inferred.length)(i =>
+      !ImageLikeTypes.contains(inferred(i).elementType))
+    val extractedToProc = extractedRemoved.map(!_)
+    var rounds = 0
+    var changed = true
+    while (rounds < maxRounds && changed &&
+      inferredToProc.contains(true) && extractedToProc.contains(true)) {
+      rounds += 1
+      changed = false
+      val procInferred = inferred.indices.filter(inferredToProc)
+      val procExtracted = extractedText.indices.filter(extractedToProc)
+      val sub = isAlmostSubregionOf(
+        procExtracted.map(extractedText(_).bbox),
+        procInferred.map(inferred(_).bbox), subregionThreshold)
+      procInferred.zipWithIndex.foreach { case (infIdx, col) =>
+        val matches = procExtracted.indices.filter(r => sub(r)(col))
+        if (matches.nonEmpty) {
+          changed = true
+          inferredToProc(infIdx) = false
+          var box = inferred(infIdx).bbox
+          matches.foreach { r =>
+            extractedToProc(procExtracted(r)) = false
+            box = minimumContainingCoords(box, extractedText(procExtracted(r)).bbox)
+          }
+          inferred(infIdx) = inferred(infIdx).copy(bbox = box)
+        }
+      }
+    }
+
+    // RULE 4
+    val keptExtracted: Seq[LayoutRegion] =
+      imageIdxKeep.map(extracted(_)) ++
+        extractedText.indices.filter(extractedToProc).map(extractedText(_))
+    if (keptExtracted.nonEmpty) {
+      val proc = inferred.indices.filter { i =>
+        inferredToProc(i) || PictureLikeTypes.contains(inferred(i).elementType)
+      }
+      val keptBoxes = keptExtracted.map(_.bbox)
+      proc.foreach { i =>
+        if (inferredToKeep(i)) {
+          val infSubOfExt = isAlmostSubregionOf(Seq(inferred(i).bbox), keptBoxes,
+            subregionThreshold).head.exists(identity)
+          val extSubOfInf = isAlmostSubregionOf(keptBoxes, Seq(inferred(i).bbox),
+            subregionThreshold).exists(_.head)
+          if (infSubOfExt || extSubOfInf) inferredToKeep(i) = false
+        }
+      }
+    }
+
+    // RULE 5
+    keptExtracted ++ inferred.indices.filter(inferredToKeep).map(inferred(_))
+  }
+
   /**
    * `aggregate_embedded_text_by_block` (`:908-946`): join the texts of
    * source regions that are almost-subregions of the target block; the

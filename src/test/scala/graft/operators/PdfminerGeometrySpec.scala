@@ -142,4 +142,52 @@ class PdfminerGeometrySpec extends AnyFunSuite {
   test("minimum containing coords") {
     assert(minimumContainingCoords((0, 5, 10, 10), (2, 0, 12, 8)) == ((0.0, 0.0, 12.0, 10.0)))
   }
+
+  // -- test_merge_elements.py --
+  test("merge preserves extracted text and state on an almost-same region") {
+    import PdfminerGeometry.{arrayMergeInferredWithExtracted, LayoutRegion}
+    val inferred = Seq(LayoutRegion((0, 0, 100, 50), None, elementType = "NarrativeText"))
+    val extracted = Seq(
+      LayoutRegion((0, 0, 100, 50), Some("Extracted text"), isExtracted = true))
+    val merged = arrayMergeInferredWithExtracted(inferred, extracted, 200, 200)
+    assert(merged.flatMap(_.text) == Seq("Extracted text"))
+    assert(merged.exists(_.isExtracted))
+  }
+
+  test("a lone extracted text region absorbs an inferred subregion") {
+    import PdfminerGeometry.{arrayMergeInferredWithExtracted, LayoutRegion}
+    val inferred = Seq(
+      LayoutRegion((10, 10, 40, 40), None, elementType = "Section-header"))
+    val extracted = Seq(
+      LayoutRegion((0, 0, 100, 50), Some("Extracted text")))
+    val merged = arrayMergeInferredWithExtracted(inferred, extracted, 200, 200)
+    assert(merged.length == 1)
+    assert(merged.head.text.contains("Extracted text"))
+  }
+
+  test("full-page extracted images are dropped; others kept (RULE 0)") {
+    import PdfminerGeometry.{arrayMergeInferredWithExtracted, LayoutRegion}
+    val inferred = Seq(
+      LayoutRegion((500, 500, 600, 600), Some("inf"), elementType = "NarrativeText"))
+    val extracted = Seq(
+      LayoutRegion((0, 0, 200, 200), None, classId = 1), // full page
+      LayoutRegion((10, 10, 50, 50), None, classId = 1)) // partial image
+    val merged = arrayMergeInferredWithExtracted(inferred, extracted, 200, 200)
+    // full-page image gone; partial image + far-away inferred survive
+    assert(merged.length == 2)
+    assert(merged.count(_.classId == 1) == 1)
+  }
+
+  test("extracted subregions expand the inferred text region (RULE 3)") {
+    import PdfminerGeometry.{arrayMergeInferredWithExtracted, LayoutRegion}
+    val inferred = Seq(
+      LayoutRegion((10, 10, 100, 100), None, elementType = "NarrativeText"))
+    val extracted = Seq(
+      LayoutRegion((20, 20, 60, 60), Some("a")),
+      LayoutRegion((50, 50, 105, 95), Some("b"))) // pokes out on x
+    val merged = arrayMergeInferredWithExtracted(inferred, extracted, 500, 500)
+    // both extracted absorbed; inferred bbox expanded to contain them
+    assert(merged.length == 1)
+    assert(merged.head.bbox == ((10.0, 10.0, 105.0, 100.0)))
+  }
 }
