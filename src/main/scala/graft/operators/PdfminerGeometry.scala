@@ -146,6 +146,67 @@ object PdfminerGeometry {
   val ExtractedPartial = "partial"
   val ExtractedFalse = "false"
 
+  // ------------------------------------------------------- OCR merge
+
+  /** `OCR_LAYOUT_SUBREGION_THRESHOLD` default (`utils/config.py:186-193`). */
+  val OcrLayoutSubregionThreshold = 0.5
+
+  /** `valid_text` (`pdf_image/pdf_image_utils.py:257-261`): non-empty and no
+    * unresolved `(cid:` glyph references. */
+  def validText(text: Option[String]): Boolean =
+    text.exists(t => t.nonEmpty && !t.contains("(cid:"))
+
+  /** Single-pair `Rectangle.is_almost_subregion_of` — PLAIN areas, unlike the
+    * +1-inclusive matrix kernels (the inference library's scalar variant). */
+  def isAlmostSubregionPlain(a: Bbox, b: Bbox, threshold: Double): Boolean =
+    intersectionArea(a, b) / math.max(bboxArea(a), EpsilonArea) > threshold &&
+      bboxArea(a) <= bboxArea(b)
+
+  /** `aggregate_ocr_text_by_block` (`ocr.py:414-432`): plain-area scalar
+    * subregion test, texts joined with spaces. */
+  def aggregateOcrTextByBlock(ocr: Seq[SourceRegion], region: Bbox,
+      subregionThreshold: Double = OcrLayoutSubregionThreshold): String =
+    ocr.collect {
+      case r if isAlmostSubregionPlain(r.bbox, region, subregionThreshold) &&
+        r.text.exists(_.nonEmpty) => r.text.get
+    }.mkString(" ")
+
+  /** `supplement_layout_with_ocr_elements` (`ocr.py:436-491`): OCR regions
+    * that are (+1-matrix) subregions of an existing layout element are
+    * dropped; the rest append as UncategorizedText regions. */
+  def supplementLayoutWithOcrElements(layout: Seq[LayoutRegion],
+      ocr: Seq[SourceRegion],
+      subregionThreshold: Double = OcrLayoutSubregionThreshold): Seq[LayoutRegion] = {
+    if (ocr.isEmpty) return layout
+    val toAdd =
+      if (layout.isEmpty) ocr
+      else {
+        val sub = isAlmostSubregionOf(ocr.map(_.bbox), layout.map(_.bbox),
+          subregionThreshold)
+        ocr.zip(sub).collect { case (r, row) if !row.exists(identity) => r }
+      }
+    layout ++ toAdd.map(r =>
+      LayoutRegion(r.bbox, r.text, classId = 0, elementType = "UncategorizedText"))
+  }
+
+  /** `merge_out_layout_with_ocr_layout` (`ocr.py:373-411`): OD elements whose
+    * text is invalid adopt the aggregated OCR text inside their box; the
+    * layout is then optionally supplemented with uncovered OCR regions. */
+  def mergeOutLayoutWithOcrLayout(outLayout: Seq[LayoutRegion],
+      ocrLayout: Seq[SourceRegion],
+      supplementWithOcrElements: Boolean = true,
+      subregionThreshold: Double = OcrLayoutSubregionThreshold): Seq[LayoutRegion] = {
+    if (outLayout.isEmpty || ocrLayout.isEmpty) return outLayout
+    val updated = outLayout.map { el =>
+      if (validText(el.text)) el
+      else el.copy(text = Some(aggregateEmbeddedTextByBlock(el.bbox, ocrLayout,
+        subregionThreshold)._1))
+    }
+    if (supplementWithOcrElements)
+      supplementLayoutWithOcrElements(updated, ocrLayout, subregionThreshold)
+    else updated
+  }
+
   // ------------------------------------------------------- layout merge
 
   /** `FULL_PAGE_REGION_THRESHOLD` + unstructured-inference config defaults

@@ -190,4 +190,67 @@ class PdfminerGeometrySpec extends AnyFunSuite {
     assert(merged.length == 1)
     assert(merged.head.bbox == ((10.0, 10.0, 105.0, 100.0)))
   }
+
+  // -- test_ocr.py (pure-geometry slice) --
+
+  private def embeddedTextRegions: Seq[Bbox] = Seq(
+    (453.00277777777774, 317.319341111111, 711.5338541666665, 358.28571222222206),
+    (726.4778125, 317.319341111111, 760.3308594444444, 357.1698966666667),
+    (775.2748177777777, 317.319341111111, 917.3579885555555, 357.1698966666667),
+    (932.3019468888888, 317.319341111111, 1071.8426522222221, 357.1698966666667),
+    (1086.7866105555556, 317.319341111111, 1141.2105142777777, 357.1698966666667),
+    (1156.154472611111, 317.319341111111, 1256.334784222222, 357.1698966666667),
+    (437.83888888888885, 367.13322999999986, 610.0171992222222, 406.9837855555556),
+    (624.9611575555555, 367.13322999999986, 741.6754646666665, 406.9837855555556),
+    (756.619423, 367.13322999999986, 958.3867708333332, 406.9837855555556),
+    (973.3307291666665, 367.13322999999986, 1092.0535042777776, 406.9837855555556))
+
+  private def mockOcrRegions: Seq[SourceRegion] = Seq(
+    SourceRegion((10, 10, 90, 90), Some("0"), isExtracted = false),
+    SourceRegion((200, 200, 300, 300), Some("1"), isExtracted = false),
+    SourceRegion((500, 320, 600, 350), Some("3"), isExtracted = false))
+
+  test("aggregate_ocr_text_by_block uses plain-area subregion semantics") {
+    val ocr = Seq(
+      SourceRegion((0, 0, 20, 20), Some("A"), isExtracted = false),
+      SourceRegion((50, 50, 150, 150), Some("Unified"), isExtracted = false),
+      SourceRegion((150, 150, 300, 250), Some("Toolkit"), isExtracted = false),
+      SourceRegion((200, 250, 300, 350), Some("Deep"), isExtracted = false))
+    assert(aggregateOcrTextByBlock(ocr, (0, 0, 250, 350), 0.5) == "A Unified Toolkit")
+  }
+
+  test("supplement_layout_with_ocr_elements keeps layout, appends uncovered OCR") {
+    val layout = embeddedTextRegions.zipWithIndex.map { case (b, i) =>
+      LayoutRegion(b, Some(s"t$i"), elementType = "UncategorizedText")
+    }
+    val out = supplementLayoutWithOcrElements(layout, mockOcrRegions)
+    // every original element survives
+    layout.foreach(el => assert(out.contains(el)))
+    // OCR "0" and "1" are uncovered and appended; "3" sits inside layout[0]
+    assert(out.exists(_.text.contains("0")))
+    assert(out.exists(_.text.contains("1")))
+    assert(!out.exists(_.text.contains("3")))
+  }
+
+  test("merge_out_layout_with_ocr_layout fills invalid text from OCR") {
+    val outLayout = embeddedTextRegions.map(b =>
+      LayoutRegion(b, Some(""), elementType = "Text"))
+    val merged = mergeOutLayoutWithOcrLayout(outLayout, mockOcrRegions)
+    // first element adopts the OCR text of the region inside its bbox
+    assert(merged.head.text.contains("3"))
+    assert(merged.head.bbox == outLayout.head.bbox)
+    // other out elements keep their (empty-aggregated) place
+    assert(merged.length == outLayout.length + 2) // + OCR "0" and "1"
+    // a valid-text element is never overwritten
+    val withValid = outLayout.updated(0, outLayout.head.copy(text = Some("keep me")))
+    assert(mergeOutLayoutWithOcrLayout(withValid, mockOcrRegions)
+      .head.text.contains("keep me"))
+  }
+
+  test("valid_text rejects empty and cid-bearing strings") {
+    assert(!validText(None))
+    assert(!validText(Some("")))
+    assert(!validText(Some("foo (cid:123) bar")))
+    assert(validText(Some("plain text")))
+  }
 }
