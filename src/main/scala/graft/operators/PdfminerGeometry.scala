@@ -146,6 +146,58 @@ object PdfminerGeometry {
   val ExtractedPartial = "partial"
   val ExtractedFalse = "false"
 
+  // ------------------------------------------------- OCR region building
+
+  /** `merge_text_regions` (`pdf_image/inference_utils.py:86-110`): envelope
+    * bbox + space-joined non-empty texts, in region order. */
+  def mergeTextRegions(regions: Seq[(Bbox, Option[String])]): (Bbox, String) = {
+    require(regions.nonEmpty, "The text regions to be merged must be provided.")
+    val bbox = (
+      regions.map(_._1._1).min, regions.map(_._1._2).min,
+      regions.map(_._1._3).max, regions.map(_._1._4).max)
+    (bbox, regions.flatMap(_._2).filter(_.nonEmpty).mkString(" "))
+  }
+
+  /**
+   * `build_layout_elements_from_ocr_regions(group_by_ocr_text=True)`
+   * (`inference_utils.py:43-83`): the OCR full-text splits on blank lines;
+   * each section claims, in scan order over still-unclaimed regions, one
+   * region per matching word (duplicates claim the earliest remaining);
+   * each claimed group merges into one UncategorizedText element.
+   * (The `group_by_ocr_text=False` branch delegates to the inference
+   * library's proximity grouping and stays behind the OCR seam.)
+   */
+  def buildLayoutElementsFromOcrText(regions: Seq[(Bbox, Option[String])],
+      ocrText: String): Seq[LayoutRegion] = {
+    val claimed = Array.fill(regions.length)(false)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    ocrText.split("\n\n", -1).foreach { section =>
+      val words = scala.collection.mutable.ArrayBuffer.from(
+        section.replace("\n", " ").split("\\s+").filter(_.nonEmpty))
+      val group = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < regions.length && words.nonEmpty) {
+        if (!claimed(i)) {
+          val text = regions(i)._2.getOrElse("")
+          val w = words.indexOf(text)
+          if (w >= 0) {
+            group += i
+            words.remove(w)
+          }
+        }
+        i += 1
+      }
+      if (group.nonEmpty) {
+        group.foreach(claimed(_) = true)
+        groups += group.toSeq
+      }
+    }
+    groups.map { g =>
+      val (bbox, text) = mergeTextRegions(g.map(regions(_)))
+      LayoutRegion(bbox, Some(text), classId = 0, elementType = "UncategorizedText")
+    }.toSeq
+  }
+
   // ------------------------------------------------------- OCR merge
 
   /** `OCR_LAYOUT_SUBREGION_THRESHOLD` default (`utils/config.py:186-193`). */

@@ -253,4 +253,74 @@ class PdfminerGeometrySpec extends AnyFunSuite {
     assert(!validText(Some("foo (cid:123) bar")))
     assert(validText(Some("plain text")))
   }
+
+  // -- test_inference_utils.py --
+
+  private def lineOne: Seq[(Bbox, Option[String])] = Seq(
+    ((453.00277777777774, 317.319341111111, 711.5338541666665, 358.28571222222206),
+      Some("LayoutParser:")),
+    ((726.4778125, 317.319341111111, 760.3308594444444, 357.1698966666667), Some("A")),
+    ((775.2748177777777, 317.319341111111, 917.3579885555555, 357.1698966666667),
+      Some("Unified")),
+    ((932.3019468888888, 317.319341111111, 1071.8426522222221, 357.1698966666667),
+      Some("Toolkit")),
+    ((1086.7866105555556, 317.319341111111, 1141.2105142777777, 357.1698966666667),
+      Some("for")),
+    ((1156.154472611111, 317.319341111111, 1256.334784222222, 357.1698966666667),
+      Some("Deep")),
+    ((437.83888888888885, 367.13322999999986, 610.0171992222222, 406.9837855555556),
+      Some("Learning")),
+    ((624.9611575555555, 367.13322999999986, 741.6754646666665, 406.9837855555556),
+      Some("Based")),
+    ((756.619423, 367.13322999999986, 958.3867708333332, 406.9837855555556),
+      Some("Document")),
+    ((973.3307291666665, 367.13322999999986, 1092.0535042777776, 406.9837855555556),
+      Some("Image")))
+
+  test("merge_text_regions: envelope bbox + joined text") {
+    val (bbox, text) = mergeTextRegions(lineOne)
+    assert(bbox == ((437.83888888888885, 317.319341111111,
+      1256.334784222222, 406.9837855555556)))
+    assert(text == "LayoutParser: A Unified Toolkit for Deep Learning Based Document Image")
+  }
+
+  test("group_by_ocr_text: one section claims everything") {
+    val out = buildLayoutElementsFromOcrText(lineOne,
+      "LayoutParser: A Unified Toolkit for Deep Learning Based Document Image")
+    assert(out.length == 1)
+    assert(out.head.text.contains(
+      "LayoutParser: A Unified Toolkit for Deep Learning Based Document Image"))
+    assert(out.head.elementType == "UncategorizedText")
+  }
+
+  test("group_by_ocr_text: blank-line sections split the groups") {
+    val out = buildLayoutElementsFromOcrText(lineOne,
+      "LayoutParser: \n\nA Unified Toolkit for Deep Learning Based Document Image")
+    assert(out.length == 2)
+    assert(out(0).text.contains("LayoutParser:"))
+    assert(out(0).bbox == ((453.00277777777774, 317.319341111111,
+      711.5338541666665, 358.28571222222206)))
+    assert(out(1).text.contains("A Unified Toolkit for Deep Learning Based Document Image"))
+    assert(out(1).bbox == ((437.83888888888885, 317.319341111111,
+      1256.334784222222, 406.9837855555556)))
+  }
+
+  test("group_by_ocr_text: repeated words claim later duplicate regions") {
+    val extra: Seq[(Bbox, Option[String])] = Seq(
+      ((453.00277777777774, 417.319341111111, 711.5338541666665, 458.28571222222206),
+        Some("LayoutParser")),
+      ((453.00277777777774, 468.319341111111, 711.5338541666665, 478.28571222222206),
+        Some("for")),
+      ((453.00277777777774, 488.319341111111, 711.5338541666665, 500.28571222222206),
+        Some("Deep")),
+      ((453.00277777777774, 510.319341111111, 711.5338541666665, 550.28571222222206),
+        Some("Learning")))
+    val out = buildLayoutElementsFromOcrText(lineOne ++ extra,
+      "LayoutParser: \n\nA Unified Toolkit for Deep Learning Based Document Image\n\n" +
+        "LayoutParser for Deep Learning")
+    assert(out.length == 3)
+    assert(out(2).text.contains("LayoutParser for Deep Learning"))
+    assert(out(2).bbox == ((453.00277777777774, 417.319341111111,
+      711.5338541666665, 550.28571222222206)))
+  }
 }
