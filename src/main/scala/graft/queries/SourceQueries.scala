@@ -264,7 +264,7 @@ object SourceQueries {
          |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ph
          |  FROM documents),
          |rows0 AS (
-         |  SELECT doc_id, 1 AS ord, 'Text' AS element_type, '' AS text,
+         |  SELECT doc_id, 1 AS ord, 'UncategorizedText' AS element_type, '' AS text,
          |    '<div class="Page" data-page-number="1" />' AS text_as_html,
          |    CAST(NULL AS INT) AS category_depth, 1 AS page_number,
          |    'b' || doc_id AS parent_id FROM base
@@ -283,7 +283,7 @@ object SourceQueries {
          |  UNION ALL SELECT doc_id, 5, 'Image', 'figure ' || (doc_id % 11),
          |    '<img class="Image" alt="figure ' || (doc_id % 11) || '" />',
          |    NULL, 1, NULL FROM base
-         |  UNION ALL SELECT doc_id, 6, 'Text', '',
+         |  UNION ALL SELECT doc_id, 6, 'UncategorizedText', '',
          |    '<div class="Page" data-page-number="2" />', NULL, 2,
          |    'b' || doc_id FROM base
          |  UNION ALL SELECT doc_id, 7, 'Title', 'section ' || (doc_id % 5),
@@ -296,17 +296,17 @@ object SourceQueries {
          |      '</blockquote><span class="PhoneNumber">215-555-' || ph ||
          |      '</span><p class="Paragraph">plain paragraph ' || (doc_id % 3) ||
          |      '</p>', NULL, 2, NULL FROM base
-         |  UNION ALL SELECT doc_id, 9, 'Text', 'mystery ' || (doc_id % 13),
+         |  UNION ALL SELECT doc_id, 9, 'UncategorizedText', 'mystery ' || (doc_id % 13),
          |    '<span class="UncategorizedText">mystery ' || (doc_id % 13) ||
          |      '</span>', NULL, 2, NULL FROM base
          |  UNION ALL SELECT doc_id, 10, 'NarrativeText',
          |    'misplaced ' || (doc_id % 19),
          |    '<blockquote class="Quote">misplaced ' || (doc_id % 19) ||
          |      '</blockquote>', NULL, 2, NULL FROM base
-         |  UNION ALL SELECT doc_id, 11, 'Text', '',
+         |  UNION ALL SELECT doc_id, 11, 'UncategorizedText', '',
          |    '<input class="Checkbox" type="checkbox" checked />', NULL, 2,
          |    NULL FROM base
-         |  UNION ALL SELECT doc_id, 12, 'Text', '',
+         |  UNION ALL SELECT doc_id, 12, 'UncategorizedText', '',
          |    '<hr class="PageBreak" />', NULL, 2, 'p2-' || doc_id FROM base
          |  UNION ALL SELECT doc_id, 13, 'CodeSnippet', 'let x = ' || doc_id,
          |    '<pre class="CodeBlock">let x = ' || doc_id || '</pre>', NULL, 2,

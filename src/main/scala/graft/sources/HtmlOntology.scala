@@ -508,7 +508,9 @@ object HtmlOntology {
       val self =
         if (isDoc) Vector.empty
         else Vector(WElem(
-          V2Element("Text", el.id, "", toHtml(el, addChildren = false),
+          // the ontology maps these to the `Text` CLASS, whose serialized
+          // category is UncategorizedText (elements.py Text.category)
+          V2Element("UncategorizedText", el.id, "", toHtml(el, addChildren = false),
             None, pn, parentId),
           depth, Vector(Part(el.cls, hasKids = false))))
       val childDepth = if (isDoc) 0 else depth + 1
@@ -516,7 +518,8 @@ object HtmlOntology {
         worker(c, el.id, pn, childDepth, addImgAlt))
       self ++ combine(kids)
     } else {
-      val mapped = el.cls.mapped
+      val mapped0 = el.cls.mapped
+      val mapped = if (mapped0 == "Text") "UncategorizedText" else mapped0
       val catDepth =
         if (mapped == "Title") Some(HeadingDepth.getOrElse(el.tag, 0))
         else if (mapped == "ListItem") Some(0)

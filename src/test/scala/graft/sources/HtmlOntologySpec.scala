@@ -100,7 +100,7 @@ class HtmlOntologySpec extends AnyFunSuite {
     val es = HtmlOntology.partition(
       body("""<div class="Page"><newtag class="wrongclass">Some text</newtag></div>"""))
     val t = es.last
-    assert(t.elementType == "Text")
+    assert(t.elementType == "UncategorizedText")
     assert(t.textAsHtml == """<span class="UncategorizedText">Some text</span>""")
   }
 
@@ -156,7 +156,7 @@ class HtmlOntologySpec extends AnyFunSuite {
     val es = HtmlOntology.partition(body(
       """<div class="Page"><blockquote class="Quote">quoted</blockquote><span class="PhoneNumber">555</span><p>plain</p><foo>stop</foo><pre class="CodeBlock">x</pre></div>"""))
     val types = es.map(_.elementType)
-    assert(types == Vector("Text", "NarrativeText", "Text", "CodeSnippet"))
+    assert(types == Vector("UncategorizedText", "NarrativeText", "UncategorizedText", "CodeSnippet"))
     val merged = es(1)
     assert(merged.text == "quoted 555 plain")
     assert(merged.textAsHtml ==
@@ -170,7 +170,7 @@ class HtmlOntologySpec extends AnyFunSuite {
         |<div class="Page" data-page-number="2" id="p2"><hr class="PageBreak" id="br1"/></div>
         |</body>""".stripMargin)
     val page1 = es(0)
-    assert(page1.elementType == "Text" && page1.text == "")
+    assert(page1.elementType == "UncategorizedText" && page1.text == "")
     assert(page1.textAsHtml == """<div class="Page" data-page-number="1" />""")
     assert(page1.pageNumber.contains(1) && page1.parentId.contains("b1"))
     assert(es(1).pageNumber.contains(1) && es(1).parentId.isEmpty) // content row
@@ -248,7 +248,7 @@ class HtmlOntologySpec extends AnyFunSuite {
 
   test("reconstruction works when the first element has no parent id") {
     val doc = HtmlOntology.elementsToOntology(Vector(
-      el("Text", "1", "", """<div class="Page"/>"""),
+      el("UncategorizedText", "1", "", """<div class="Page"/>"""),
       el("NarrativeText", "2", "Example text",
         """<p class="Paragraph"> Example text </p>""", parent = Some("1"))))
     assert(doc.children.map(_.cls.name) == Vector("Page"))
@@ -258,7 +258,7 @@ class HtmlOntologySpec extends AnyFunSuite {
 
   test("elements without text_as_html are skipped, not fatal") {
     val doc = HtmlOntology.elementsToOntology(Vector(
-      el("Text", "1", "", """<div class="Page"/>"""),
+      el("UncategorizedText", "1", "", """<div class="Page"/>"""),
       el("NarrativeText", "2", "no html payload", null, parent = Some("1")),
       el("NarrativeText", "3", "Example text",
         """<p class="Paragraph"> Example text </p>""", parent = Some("1"))))
@@ -267,11 +267,11 @@ class HtmlOntologySpec extends AnyFunSuite {
 
   test("nested layout containers rebuild column nesting (ML-1328)") {
     val doc = HtmlOntology.elementsToOntology(Vector(
-      el("Text", "page", "", """<div class="Page"/>"""),
-      el("Text", "col1", "", """<div class="Column"/>""", parent = Some("page")),
+      el("UncategorizedText", "page", "", """<div class="Page"/>"""),
+      el("UncategorizedText", "col1", "", """<div class="Column"/>""", parent = Some("page")),
       el("NarrativeText", "c1", "Left column text",
         """<p class="Paragraph"> Left column text </p>""", parent = Some("col1")),
-      el("Text", "col2", "", """<div class="Column"/>""", parent = Some("page")),
+      el("UncategorizedText", "col2", "", """<div class="Column"/>""", parent = Some("page")),
       el("NarrativeText", "c2", "Right column text",
         """<p class="Paragraph"> Right column text </p>""", parent = Some("col2"))))
     val page = doc.children.head
@@ -282,8 +282,8 @@ class HtmlOntologySpec extends AnyFunSuite {
 
   test("container with unknown parent id nests in place, never pops to root") {
     val doc = HtmlOntology.elementsToOntology(Vector(
-      el("Text", "page", "", """<div class="Page"/>"""),
-      el("Text", "col", "", """<div class="Column"/>""",
+      el("UncategorizedText", "page", "", """<div class="Page"/>"""),
+      el("UncategorizedText", "col", "", """<div class="Column"/>""",
         parent = Some("DOES_NOT_EXIST")),
       el("NarrativeText", "c1", "Body text",
         """<p class="Paragraph"> Body text </p>""", parent = Some("col"))))
