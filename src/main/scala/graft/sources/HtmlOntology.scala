@@ -35,9 +35,11 @@ import scala.collection.mutable
  *    before parsing (`transformations.py:406-438`).
  *
  * Divergence (documented): the reference generates UUID ids for elements whose
- * HTML carries no `id` attribute; this port leaves them absent (None) so output
- * is deterministic — `parent_id` is therefore only populated for containers
- * whose tree parent carried an explicit `id`. A malformed document (no
+ * HTML carries no `id` attribute; this port assigns id-less CONTAINERS a
+ * deterministic per-document counter id ("gen-N", element-only — never
+ * rendered into `text_as_html`) so the inverse can tell sibling containers
+ * apart, and leaves id-less content elements absent (the hash-ids pass
+ * assigns those downstream). A malformed document (no
  * `<body class="Document">` / `<div class="Page">`) yields zero elements
  * instead of raising, so a bad row can never kill a Spark task.
  */
@@ -498,24 +500,30 @@ object HtmlOntology {
 
   /** `_ontology_to_unstructured_elements` (`transformations.py:86-172`). */
   private def worker(el: ONode, parentId: Option[String],
-      pageNumber0: Option[Int], depth: Int, addImgAlt: Boolean): Vector[WElem] = {
+      pageNumber0: Option[Int], depth: Int, addImgAlt: Boolean,
+      genId: () => String): Vector[WElem] = {
     if (el.cls.cat == Layout && depth <= RecursionLimit) {
       val pn =
         if (pageNumber0.isEmpty && el.cls.name == "Page")
           el.attr("data-page-number").flatMap(_.toIntOption)
         else pageNumber0
       val isDoc = el.cls.name == "Document"
+      // the reference assigns every element a UUID when the source HTML has
+      // no id; a deterministic per-document counter stands in here so the
+      // inverse (elementsToOntology) can tell sibling containers apart —
+      // synthetic ids live on the element only, never in text_as_html
+      val cid = el.id.orElse(if (isDoc) None else Some(genId()))
       val self =
         if (isDoc) Vector.empty
         else Vector(WElem(
           // the ontology maps these to the `Text` CLASS, whose serialized
           // category is UncategorizedText (elements.py Text.category)
-          V2Element("UncategorizedText", el.id, "", toHtml(el, addChildren = false),
+          V2Element("UncategorizedText", cid, "", toHtml(el, addChildren = false),
             None, pn, parentId),
           depth, Vector(Part(el.cls, hasKids = false))))
       val childDepth = if (isDoc) 0 else depth + 1
       val kids = el.children.flatMap(c =>
-        worker(c, el.id, pn, childDepth, addImgAlt))
+        worker(c, cid, pn, childDepth, addImgAlt, genId))
       self ++ combine(kids)
     } else {
       val mapped0 = el.cls.mapped
@@ -532,10 +540,13 @@ object HtmlOntology {
   }
 
   /** Full v2 partition: HTML string -> flattened element list. */
-  def partition(html: String, addImgAltText: Boolean = true): Vector[V2Element] =
-    if (html == null || html.trim.isEmpty) Vector.empty
-    else parseOntology(html).toVector
-      .flatMap(worker(_, None, None, 0, addImgAltText))
+  def partition(html: String, addImgAltText: Boolean = true): Vector[V2Element] = {
+    if (html == null || html.trim.isEmpty) return Vector.empty
+    var n = 0
+    val genId = () => { n += 1; s"gen-$n" }
+    parseOntology(html).toVector
+      .flatMap(worker(_, None, None, 0, addImgAltText, genId))
+  }
       .map(_.e)
 
   // ----------------------------------------------- inverse: elements -> tree
