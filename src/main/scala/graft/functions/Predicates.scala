@@ -136,7 +136,8 @@ object Predicates {
     "move", "moves", "bring", "brings", "brought", "write", "writes",
     "wrote", "read", "reads", "sit", "sits", "sat", "stand", "stands",
     "stood", "lose", "loses", "lost", "pay", "pays", "paid", "meet",
-    "meets", "set", "sets", "learn", "learns", "lead", "leads", "led")
+    "meets", "set", "sets", "learn", "learns", "lead", "leads", "led",
+    "happen", "happens", "become", "becomes", "became", "seem", "seems")
 
   def containsVerb(c: Column): Column = {
     val words = split(lower(c), "[^a-z]+")
