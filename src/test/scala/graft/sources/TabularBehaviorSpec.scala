@@ -124,4 +124,16 @@ class TabularBehaviorSpec extends AnyFunSuite {
     assert(ps.size == 1)
     assert(ps.head.elementType.contains("Table"))
   }
+
+  // -- test_xlsx.py::test_partition_xlsx_with_find_subtables_False (:308-319) --
+  test("find_subtable=false emits one Table per worksheet") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/example-docs/stanley-cups.xlsx"))
+    val ps = OoxmlPartitioner.partitionXlsx(bytes, findSubtable = false)
+    assert(ps.map(_.text) == Seq(
+      "Stanley Cups Team Location Stanley Cups Blues STL 1 Flyers PHI 2 Maple Leafs TOR 13",
+      "Stanley Cups Since 67 Team Location Stanley Cups Blues STL 1 Flyers PHI 2 Maple" +
+        " Leafs TOR 0"))
+    assert(ps.forall(_.elementType.contains("Table")))
+  }
 }
