@@ -150,7 +150,12 @@ object DetectFiletype {
       t.take(2048).contains("<html")) FileType.Html
     else if (EmlHeaderRe.findFirstIn(text.take(4096)).isDefined &&
       firstLines.headOption.exists(_.matches("^[!-9;-~]+:.*"))) FileType.Eml
-    else if ((t.startsWith("{") || t.startsWith("[")) && looksLikeJson(t))
+    // JSON route on either signature the reference accepts: the strict NDJSON
+    // first-line probe (magic-mime disambiguation path) or a fully-parsing
+    // JSON collection (_is_json, json.load over the whole file) — truncated
+    // JSON matches neither and falls through to TXT (filetype.py:821-841)
+    else if ((t.startsWith("{") || t.startsWith("[")) &&
+      (isNdjsonProcessable(text) || parsesAsJsonCollection(text)))
       disambiguateJson(text)
     else if (t.startsWith("<?xml")) FileType.Xml
     // extension fallback honors only textual extensions — a binary-format
@@ -186,7 +191,17 @@ object DetectFiletype {
   }
 
   /** True when `s` is exactly one complete, valid JSON object. */
-  private[sources] def parsesAsJsonObject(s: String): Boolean = {
+  private[sources] def parsesAsJsonObject(s: String): Boolean =
+    parsesAsJson(s, allowArray = false)
+
+  /** `_TextFileDifferentiator._is_json` (`filetype.py:821-841`): a COMPLETE
+    * top-level JSON collection (object or array) — the reference runs
+    * `json.load` over the whole file, so truncated/malformed JSON falls
+    * through to the TXT route instead of dead-ending in the rehydrator. */
+  private[sources] def parsesAsJsonCollection(s: String): Boolean =
+    parsesAsJson(s, allowArray = true)
+
+  private def parsesAsJson(s: String, allowArray: Boolean): Boolean = {
     val n = s.length
     var i = 0
     def ws(): Unit = while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
@@ -278,8 +293,12 @@ object DetectFiletype {
       ok
     }
     ws()
-    if (i >= n || s.charAt(i) != '{') return false
-    val ok = obj()
+    if (i >= n) return false
+    val ok = s.charAt(i) match {
+      case '{' => obj()
+      case '[' if allowArray => arr()
+      case _ => false
+    }
     ws()
     ok && i == n
   }
@@ -307,12 +326,6 @@ object DetectFiletype {
       val header = countCommas(lines.head)
       lines.tail.forall(countCommas(_) == header)
     }
-  }
-
-  private def looksLikeJson(t: String): Boolean = {
-    val head = t.take(1000).trim
-    head.startsWith("{") && head.drop(1).trim.headOption.exists(c => c == '"' || c == '}') ||
-      head.startsWith("[")
   }
 
   /** Types whose extensions the text differentiator honors directly

@@ -52,7 +52,9 @@ class ExampleDocsSweepSpec extends SparkSuiteBase {
     // the corpus's deliberately content-free samples: encrypted containers
     // (guards yield nothing rather than throwing), whitespace-only text, and
     // picture-only decks (pictures need the injected sub-partitioner)
-    val knownEmpty = Set("fake-encrypted.msg", "fake-incomplete-json.txt",
+    // (fake-incomplete-json.txt routes to TXT — truncated JSON fails the
+    // strict parse and partitions as plain text, as in the reference)
+    val knownEmpty = Set("fake-encrypted.msg",
       "fake-text-all-whitespace.txt", "password_protected.xlsx",
       "picture.pptx", "test-image-jpg-mime.pptx")
     assert(empties.toSet == knownEmpty,
