@@ -269,13 +269,20 @@ object PdfminerGeometry {
 
   /** One layout region for the merge: `classId` 0 = text, 1 = image (the
     * extracted side's pdfminer classes); `elementType` carries the inferred
-    * side's label for the text/table masks. */
+    * side's label for the text/table masks. `source` tracks provenance
+    * ("pdfminer" vs "inferred", `LayoutElements.sources`) through the merge so
+    * [[cleanPdfminerInnerElements]] can run on the merged stream; `prob` is the
+    * detector confidence (`detection_class_prob`). Rule-2 merges keep the
+    * inferred side's source/prob, as upstream (only text/coords/is_extracted
+    * copy across). */
   final case class LayoutRegion(
       bbox: Bbox,
       text: Option[String],
       classId: Int = 0,
       elementType: String = "",
-      isExtracted: Boolean = false)
+      isExtracted: Boolean = false,
+      source: String = "inferred",
+      prob: Option[Double] = None)
 
   /** `_inferred_is_text` (`:122-135`): non-image-like inferred types. */
   private val ImageLikeTypes = Set("Figure", "Image", "PageBreak", "Table")

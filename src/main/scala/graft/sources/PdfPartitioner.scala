@@ -637,6 +637,24 @@ object PdfPartitioner {
       cur
     }
 
+    /** `/MediaBox [x0 y0 x1 y1]` walking up the /Parent chain (inheritable);
+      * pdfminer's default letter box (612x792 pt) when absent. */
+    def mediaBox(page: PdfObj): (Double, Double) = {
+      var cur: Option[PdfObj] = Some(page)
+      var depth = 0
+      while (cur.isDefined && depth < 32) {
+        val d = cur.get.dict
+        dictValue(d, "MediaBox").foreach { v =>
+          val nums = """-?[0-9.]+""".r.findAllIn(v).toSeq.flatMap(s =>
+            scala.util.Try(s.toDouble).toOption)
+          if (nums.length == 4) return (nums(2) - nums(0), nums(3) - nums(1))
+        }
+        cur = dictValue(d, "Parent").flatMap(refTarget)
+        depth += 1
+      }
+      (612.0, 792.0)
+    }
+
     /** Resources walk up the /Parent chain (inheritable attribute). */
     private def resourcesOf(page: PdfObj): Option[String] = {
       var cur: Option[PdfObj] = Some(page)
@@ -688,6 +706,25 @@ object PdfPartitioner {
   }
 
   // ------------------------------------------------------------------ main
+
+  /** One page's raw material for region-level consumers (the hi_res pipeline):
+    * decompressed content stream, resolved fonts, and media-box extent in
+    * points. */
+  final case class PageStream(pageNumber: Int, content: String,
+      fonts: Map[String, PdfFont], width: Double, height: Double)
+
+  /** Per-page content + fonts + page size, page-tree order — the input
+    * [[PdfHiRes]] builds its extracted layout from. Empty for non-PDF bytes or
+    * documents with no parseable page tree (hi_res falls back to the
+    * whole-file fast scan upstream of this call). */
+  def pageStreams(bytes: Array[Byte]): Seq[PageStream] = {
+    if (!isPdf(bytes)) return Nil
+    val doc = new PdfDoc(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+    doc.pages.zipWithIndex.map { case (page, i) =>
+      val (w, h) = doc.mediaBox(page)
+      PageStream(i + 1, doc.pageContent(page), doc.pageFonts(page), w, h)
+    }
+  }
 
   /** The fast-strategy partitioner: page tree → per-page content + fonts →
     * text → paragraph split → classifier cascade (classifier="text"). */
