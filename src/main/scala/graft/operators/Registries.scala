@@ -76,6 +76,20 @@ object Registries {
     chunkers.getOrElse(strategy,
       throw new IllegalArgumentException(s"unknown chunking strategy: $strategy"))(ds, opts)
 
+  // -------------------------------------------------------------- layout detector
+
+  /** The hi_res OD-model seam (`process_file_with_model`,
+    * `unstructured_inference.inference.layout`): when a detector is
+    * registered, [[graft.sources.PdfHiRes.partitionHiRes]] callers can resolve
+    * it here; None = the model-bound default (hi_res unavailable, strategy
+    * router falls back — `strategies.py:75-86`). */
+  @volatile private var detector: Option[graft.sources.PdfHiRes.Detector] = None
+
+  def registerLayoutDetector(d: graft.sources.PdfHiRes.Detector): Unit =
+    detector = Some(d)
+
+  def layoutDetector: Option[graft.sources.PdfHiRes.Detector] = detector
+
   // ------------------------------------------------------------------- partitioners
 
   import graft.sources.{FileType, HtmlPartitioner}

@@ -115,6 +115,52 @@ object BinaryFormatQueries {
           col("page_number"))
         .orderBy("doc_id", "seq")),
 
+    // The hi_res pipeline end-to-end (`pdf.py:779-1106`) with a deterministic
+    // fake OD detector injected at the model seam. Per page-1 the detector
+    // emits a Headline box equal to the first extracted line (merge RULE 2:
+    // text adopted), a NarrativeText envelope over the remaining lines
+    // (RULE 3: absorbed, then aggregate_embedded_text_by_block fills the
+    // text), and a Table box over empty space (aggregates nothing → dropped
+    // by the final empty-text filter). Page-2 emits a small box strictly
+    // inside the extracted line (RULE 4: inferred dropped, the pdfminer
+    // region survives as UncategorizedText). Exercises the merge rules,
+    // basic + XY-cut sorts, headline-driven Title depth, and the final
+    // whitespace cleanup composing in one pass.
+    "q_partition_pdf_hires" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.PdfminerGeometry.LayoutRegion
+      import graft.sources.PdfHiRes
+      docBase(s, dir).flatMap { d =>
+        val detector: PdfHiRes.Detector = pages => pages.map { p =>
+          val text = p.regions.filter(_.classId == 0)
+          if (text.isEmpty) Nil
+          else if (p.pageNumber == 1) {
+            val head = LayoutRegion(text.head.bbox, None,
+              elementType = "Headline", prob = Some(0.92))
+            val rest = text.tail
+            val nar =
+              if (rest.isEmpty) Nil
+              else Seq(LayoutRegion(
+                (rest.map(_.bbox._1).min - 6, rest.map(_.bbox._2).min - 6,
+                  rest.map(_.bbox._3).max + 6, rest.map(_.bbox._4).max + 6),
+                None, elementType = "NarrativeText", prob = Some(0.87)))
+            (head +: nar) :+
+              LayoutRegion((400, 650, 500, 750), None,
+                elementType = "Table", prob = Some(0.8))
+          } else {
+            val l = text.head.bbox
+            Seq(LayoutRegion((l._1 + 2, l._2 + 2, l._1 + 8, l._2 + 8), None,
+              elementType = "NarrativeText", prob = Some(0.5)))
+          }
+        }
+        PdfHiRes.partitionHiRes(CorpusBytes.pdf(d), detector).map(e =>
+          (d.docId, e.seq, e.`type`, e.metadata.category_depth, e.text,
+            e.metadata.page_number))
+      }.toDF("doc_id", "seq", "element_type", "category_depth", "text",
+        "page_number")
+        .orderBy("doc_id", "seq")
+    }),
+
     // PDF strategy auto-selection (`strategies.py:24-109` + `pdf.py:618-744`):
     // 11 scenarios per doc spanning auto-resolution (text → fast, no text →
     // ocr_only, tables → hi_res), the vector-drawing complexity probe, every
@@ -548,6 +594,25 @@ object BinaryFormatQueries {
          |  element_type, text, page_number
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin
     },
+
+    // the fake detector's geometry makes each merge rule's outcome a pure
+    // function of the corpus fields: RULE 2 adopts the title line, RULE 3 +
+    // aggregation yields the space-joined remaining lines, RULE 4 leaves the
+    // page-2 pdfminer region as UncategorizedText, and the empty Table drops
+    "q_partition_pdf_hires" ->
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 1::BIGINT AS seq, 'Title' AS element_type,
+         |    1 AS category_depth, title3 AS text, 1 AS page_number FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 2::BIGINT, 'NarrativeText', NULL,
+         |    'caf' || chr(233) || ' (plus) ' || array_to_string(ps, ' '), 1
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 3::BIGINT, 'UncategorizedText', NULL,
+         |    'page two ' || source, 2 FROM base)
+         |SELECT doc_id, seq, element_type, category_depth, text, page_number
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
 
     // every scenario's outcome is a pure function of the constructed corpus, so
     // the oracle is a constant table per doc — a routing-rule regression (wrong

@@ -1,0 +1,314 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import graft.model.{Element, ElementType}
+import graft.operators.{LayoutNormalize, PdfminerGeometry, Sorting}
+import graft.operators.PdfminerGeometry.{Bbox, LayoutRegion, SourceRegion}
+
+/**
+ * The hi_res PDF pipeline end-to-end —
+ * `partition/pdf.py:779-1106` `_partition_pdf_or_image_local`, composed from
+ * the already-ported kernels:
+ *
+ *  1. extracted layout: per-line text regions WITH bounding boxes from the
+ *     object-model content-stream reader (the pdfminer layer,
+ *     `pdfminer_processing.py:568-664` `process_data_with_pdfminer` — text
+ *     regions are LTTextLine-granular, class 0, source "pdfminer",
+ *     is_extracted true);
+ *  2. per-class near-duplicate removal (text 0.9 / image 0.6 thresholds,
+ *     `utils/config.py:196-213`) then the basic lexsort (y1, x1, y2, x2);
+ *  3. inferred layout from the pluggable layout DETECTOR (the OD model is the
+ *     one genuinely model-bound seam — `process_file_with_model`; the seam
+ *     function receives the extracted page layouts so deterministic fakes can
+ *     align boxes without rasterizing);
+ *  4. [[PdfminerGeometry.arrayMergeInferredWithExtracted]] per page, basic
+ *     sort, then `aggregate_embedded_text_by_block` for regions the merge left
+ *     textless + `remove_control_characters`
+ *     (`pdfminer_processing.py:772-830`);
+ *  5. optional OCR supplement per page (`ocr.py:373-411`) when an OCR source
+ *     is supplied — the OCR inference call itself stays a seam;
+ *  6. `clean_pdfminer_inner_elements` over the merged stream
+ *     (`pdfminer_processing.py:831-860`);
+ *  7. `document_to_element_list` (`pdf.py:1400-1533`): per-region
+ *     normalization with `infer_list_items=False`, headline-driven Title
+ *     depth, XY-cut reading order, optional PageBreaks, and the final
+ *     whitespace cleanup / empty-drop (`pdf.py:1047-1066`).
+ *
+ * Scale shape: everything here is pure per-document logic — on a cluster it
+ * runs inside the same `flatMap` over document bytes as the fast path, one
+ * task per document, no shuffle and no driver-side state.
+ */
+object PdfHiRes {
+
+  /** One page's extracted (pdfminer-layer) regions plus geometry, in rendered
+    * pixel space (`coef = dpi / 72` applied, `pdfminer_processing.py:589`). */
+  final case class PageLayout(pageNumber: Int, width: Double, height: Double,
+      regions: Seq[LayoutRegion])
+
+  /** The OD-model seam: extracted page layouts in, one inferred-region list
+    * per page out (types are layout labels: Title, NarrativeText, Table,
+    * Picture, Headline, ...). The real implementation rasterizes pages and
+    * runs the detector; fakes derive regions from the page geometry. */
+  type Detector = Seq[PageLayout] => Seq[Seq[LayoutRegion]]
+
+  /** Per-page OCR seam (`ocr_agent.get_layout_elements_from_image`): page in,
+    * OCR word/line regions out. */
+  type OcrSource = PageLayout => Seq[SourceRegion]
+
+  // ------------------------------------------------ extracted layout (pdfminer layer)
+
+  // text-showing / positioning operators, extended over the fast path's scan
+  // with Tf size, Tm scale, and TL/T* leading tracking
+  private val RegionTokenRe =
+    ("""\(((?:[^()\\]|\\.)*)\)\s*(Tj|'|")""" + // 1 str, 2 op
+      """|<([0-9A-Fa-f\s]+)>\s*Tj""" + // 3 hex
+      """|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[-0-9.\s])*)\]\s*TJ""" + // 4 TJ
+      """|/([A-Za-z0-9.+_-]+)\s+(-?[0-9.]+)\s+Tf""" + // 5 name, 6 size
+      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(Td|TD)""" + // 7 tx, 8 ty, 9 op
+      """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" + // 10 a, 11 d, 12 e, 13 f
+      """|(-?[0-9.]+)\s+TL""" + // 14 leading
+      """|(T\*|BT)""").r // 15
+
+  private val TjPartRe = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)""".r
+
+  /** Average glyph advance as a fraction of the font size. The object-model
+    * reader does not parse per-glyph `/Widths` tables, so region widths are
+    * ESTIMATED at the Helvetica-ish average; pdfminer computes exact widths.
+    * Deterministic, and only geometry-threshold comparisons consume it. */
+  val GlyphWidthEm = 0.5
+
+  /**
+   * Per-line text regions with bboxes from one content stream — the stand-in
+   * for pdfminer's LTTextLine layer. Tracks the text-line matrix (`Td`/`TD`/
+   * `Tm`/`T*`/`TL`), font size (`Tf`, scaled by Tm's d), and advances the pen
+   * by the estimated glyph width per shown char. Output bboxes are top-left
+   * origin (`rect_to_bbox`, `pdfminer_utils.py`) scaled by `coef`.
+   */
+  private[sources] def extractLineRegions(content: String,
+      fonts: Map[String, PdfPartitioner.PdfFont], pageHeight: Double,
+      coef: Double): Seq[LayoutRegion] = {
+    val out = mutable.ArrayBuffer.empty[LayoutRegion]
+    var font: Option[PdfPartitioner.PdfFont] = None
+    var fontSize = 12.0
+    var scaleY = 1.0
+    var lineX, lineY = 0.0
+    var leading = 0.0
+    var curX = 0.0
+    val run = new StringBuilder
+    var runX0, runY, runSize = 0.0
+
+    def effSize: Double = fontSize * (if (scaleY == 0) 1.0 else math.abs(scaleY))
+
+    def flush(): Unit = {
+      val text = run.toString.trim
+      if (text.nonEmpty && curX > runX0) {
+        val bbox: Bbox = (runX0 * coef, (pageHeight - runY - runSize) * coef,
+          curX * coef, (pageHeight - runY) * coef)
+        if (PdfminerGeometry.validateBbox(Seq(bbox._1, bbox._2, bbox._3, bbox._4)))
+          out += LayoutRegion(bbox, Some(text), classId = 0,
+            elementType = ElementType.UncategorizedText, isExtracted = true,
+            source = "pdfminer")
+      }
+      run.clear()
+    }
+
+    def show(decoded: String): Unit = {
+      if (decoded.nonEmpty) {
+        if (run.isEmpty) { runX0 = curX; runY = lineY; runSize = effSize }
+        run.append(decoded)
+        curX += decoded.length * GlyphWidthEm * effSize
+      }
+    }
+
+    def newlineTo(x: Double, y: Double): Unit = { flush(); lineX = x; lineY = y; curX = x }
+
+    RegionTokenRe.findAllMatchIn(content).foreach { m =>
+      if (m.group(15) != null) { // T* / BT
+        if (m.group(15) == "BT") newlineTo(0, 0)
+        else newlineTo(lineX, lineY - leading)
+      } else if (m.group(1) != null) { // (s) Tj / ' / "
+        if (m.group(2) != "Tj") newlineTo(lineX, lineY - leading)
+        show(PdfPartitioner.decodeWithFont(
+          PdfPartitioner.decodePdfString(m.group(1)), font))
+      } else if (m.group(3) != null) { // <hex> Tj
+        show(PdfPartitioner.decodeWithFont(
+          PdfPartitioner.decodeHexString(m.group(3)), font))
+      } else if (m.group(4) != null) { // [..] TJ
+        TjPartRe.findAllMatchIn(m.group(4)).foreach { p =>
+          if (p.group(1) != null)
+            show(PdfPartitioner.decodeWithFont(
+              PdfPartitioner.decodePdfString(p.group(1)), font))
+          else if (p.group(2) != null)
+            show(PdfPartitioner.decodeWithFont(
+              PdfPartitioner.decodeHexString(p.group(2)), font))
+          else if (p.group(3) != null) {
+            val n = p.group(3).toDouble
+            curX -= n / 1000.0 * effSize
+            if (math.abs(n) > 180) show(" ")
+          }
+        }
+      } else if (m.group(5) != null) { // Tf
+        font = fonts.get(m.group(5))
+        fontSize = m.group(6).toDouble
+      } else if (m.group(9) != null) { // Td / TD
+        val tx = m.group(7).toDouble
+        val ty = m.group(8).toDouble
+        if (m.group(9) == "TD") leading = -ty
+        if (ty != 0.0) newlineTo(lineX + tx, lineY + ty)
+        else { flush(); lineX += tx; curX = lineX }
+      } else if (m.group(12) != null) { // Tm
+        scaleY = m.group(11).toDouble
+        newlineTo(m.group(12).toDouble, m.group(13).toDouble)
+      } else if (m.group(14) != null) { // TL
+        leading = m.group(14).toDouble
+      }
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** `sort_text_regions(..., SORT_MODE_BASIC)` — lexsort by (y1, x1, y2, x2)
+    * (`utils/sorting.py:259-264`). */
+  def sortBasic(regions: Seq[LayoutRegion]): Seq[LayoutRegion] =
+    regions.sortBy(r => (r.bbox._2, r.bbox._1, r.bbox._4, r.bbox._3))
+
+  /** The pdfminer-layer page pass (`process_data_with_pdfminer`): extract line
+    * regions, remove near-duplicates per class (fake-bold double renders),
+    * basic sort. */
+  def extractedPageLayouts(bytes: Array[Byte], dpi: Int = 72): Seq[PageLayout] = {
+    val coef = dpi / 72.0
+    PdfPartitioner.pageStreams(bytes).map { ps =>
+      val regions = extractLineRegions(ps.content, ps.fonts, ps.height, coef)
+      val deduped = Seq(0 -> 0.9, 1 -> 0.6).flatMap { case (cls, thr) =>
+        val ofClass = regions.filter(_.classId == cls)
+        PdfminerGeometry.removeDuplicateIndices(ofClass.map(_.bbox), thr)
+          .map(ofClass(_))
+      }
+      PageLayout(ps.pageNumber, ps.width * coef, ps.height * coef,
+        sortBasic(deduped))
+    }
+  }
+
+  // --------------------------------------------------------------- pipeline
+
+  /** `remove_control_characters` (`pdf_image_utils.py:432-439`): tabs/newlines
+    * become spaces, all other Unicode category-C codepoints drop. */
+  def removeControlCharacters(text: String): String = {
+    val sb = new StringBuilder(text.length)
+    text.foreach { c =>
+      if (c == '\t' || c == '\n') sb.append(' ')
+      else Character.getType(c) match {
+        case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+          Character.PRIVATE_USE | Character.UNASSIGNED => ()
+        case _ => sb.append(c)
+      }
+    }
+    sb.toString
+  }
+
+  private val ImageClasses = Set(ElementType.Image, "Picture")
+
+  /** The per-page merge wrapper (`merge_inferred_with_extracted_layout`,
+    * `pdfminer_processing.py:772-830`): array merge → basic sort → aggregate
+    * embedded text into still-textless regions (+ is_extracted status for
+    * non-image classes) → control-char cleanup. */
+  def mergePage(inferred: Seq[LayoutRegion], extracted: PageLayout)
+      : Seq[LayoutRegion] = {
+    val merged0 = PdfminerGeometry.arrayMergeInferredWithExtracted(
+      inferred, extracted.regions, extracted.width, extracted.height)
+    val sources = extracted.regions.filter(_.classId == 0)
+      .map(r => SourceRegion(r.bbox, r.text, r.isExtracted))
+    sortBasic(merged0).map { r =>
+      r.text match {
+        case Some(t) => r.copy(text = Some(removeControlCharacters(t)))
+        case None =>
+          val (text, _) = PdfminerGeometry.aggregateEmbeddedTextByBlock(
+            r.bbox, sources)
+          // the reference also records the IsExtracted status for non-image
+          // classes (`:819-827`); the flag is carried for downstream ops
+          val extractedNow = !ImageClasses.contains(r.elementType) &&
+            sources.nonEmpty && text.nonEmpty
+          r.copy(text = Some(removeControlCharacters(text)),
+            isExtracted = r.isExtracted || extractedNow)
+      }
+    }
+  }
+
+  /** `clean_pdfminer_inner_elements` for one merged page
+    * (`pdfminer_processing.py:831-860`). */
+  def cleanPage(regions: Seq[LayoutRegion]): Seq[LayoutRegion] = {
+    val kept = PdfminerGeometry.cleanPdfminerInnerElements(
+      regions.map(r => PdfminerGeometry.PageRegion(r.bbox, r.source == "pdfminer")))
+    kept.map(regions(_))
+  }
+
+  /** `document_to_element_list` for one page (`pdf.py:1400-1533`):
+    * normalization (no list-item inference, `pdf.py:1002-1006`), headline
+    * Title depth, XY-cut order, and the final text cleanup / empty-drop. */
+  def pageToElements(regions: Seq[LayoutRegion], page: PageLayout): Seq[Element] = {
+    val hasHeadline = regions.exists(r =>
+      r.elementType == "Headline" || r.elementType == "Subheadline")
+    val normalized = regions.flatMap { r =>
+      val lr = LayoutNormalize.LayoutRegion(
+        tpe = Option(r.elementType).filter(_.nonEmpty),
+        text = r.text.getOrElse(""),
+        coordinates = LayoutNormalize.bboxPoints(
+          r.bbox._1, r.bbox._2, r.bbox._3, r.bbox._4),
+        prob = r.prob,
+        source = Some(r.source))
+      LayoutNormalize.normalizeLayoutElement(lr, Some("PixelSpace"),
+        inferListItems = false).map { e =>
+        val depth =
+          if (e.`type` == ElementType.Title &&
+            e.metadata.category_depth.isEmpty && hasHeadline) Some(0)
+          else e.metadata.category_depth
+        e.copy(metadata = e.metadata.copy(
+          page_number = Some(page.pageNumber),
+          category_depth = depth,
+          coordinates = e.metadata.coordinates.map(_.copy(
+            layout_width = Some(page.width), layout_height = Some(page.height)))))
+      }
+    }
+    val sorted = Sorting.sortPageElements(normalized, Sorting.SortModeXyCut)
+    sorted.flatMap { e =>
+      if (e.`type` == ElementType.Image) Some(e)
+      else {
+        val cleaned =
+          if (e.`type` == ElementType.Table)
+            e.text.replaceAll("[^\\S\\n]+", " ").trim
+          else e.text.replaceAll("\\s+", " ").trim
+        if (cleaned.nonEmpty || e.`type` == ElementType.PageBreak)
+          Some(e.copy(text = cleaned))
+        else None
+      }
+    }
+  }
+
+  /**
+   * `_partition_pdf_or_image_local` — the full composition. Elements come
+   * back with `seq` assigned in final reading order; `doc_id`/ids are the
+   * caller's (hash-ids pass), as everywhere else in the engine.
+   */
+  def partitionHiRes(bytes: Array[Byte], detector: Detector, dpi: Int = 72,
+      includePageBreaks: Boolean = false,
+      ocr: Option[OcrSource] = None): Seq[Element] = {
+    val extracted = extractedPageLayouts(bytes, dpi)
+    if (extracted.isEmpty) return Nil
+    val inferred = detector(extracted)
+    val out = mutable.ArrayBuffer.empty[Element]
+    extracted.zipWithIndex.foreach { case (page, i) =>
+      val inf = if (i < inferred.length) inferred(i) else Nil
+      var merged = mergePage(inf, page)
+      ocr.foreach { o =>
+        merged = PdfminerGeometry.mergeOutLayoutWithOcrLayout(merged, o(page))
+      }
+      val cleaned = cleanPage(merged)
+      out ++= pageToElements(cleaned, page)
+      if (includePageBreaks)
+        out += Element("", ElementType.PageBreak, "", "", 0,
+          graft.model.ElementMetadata(page_number = Some(page.pageNumber)))
+    }
+    out.toSeq.zipWithIndex.map { case (e, i) => e.copy(seq = i + 1L) }
+  }
+}

@@ -120,7 +120,7 @@ object PdfPartitioner {
     sb.toString
   }
 
-  private def decodeHexString(h: String): String = {
+  private[sources] def decodeHexString(h: String): String = {
     val clean = h.replaceAll("\\s", "")
     val sb = new StringBuilder
     var i = 0

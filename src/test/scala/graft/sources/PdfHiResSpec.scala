@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PdfminerGeometry.LayoutRegion
+
+/**
+ * End-to-end hi_res pipeline (`_partition_pdf_or_image_local`,
+ * `partition/pdf.py:779-1106`): the five merge rules, inner-element cleanup,
+ * text aggregation, normalization, and reading-order sort COMPOSING in one
+ * pass — the piecewise kernels are pinned in PdfminerGeometrySpec; here the
+ * stream flows through the whole pipeline.
+ */
+class PdfHiResSpec extends AnyFunSuite {
+
+  private def refPdf(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(s"/root/reference/example-docs/pdf/$name"))
+
+  // ------------------------------------------------- content-stream geometry
+
+  test("extractLineRegions tracks Td/TD/Tm/TL/T* and flips to top-left space") {
+    val content = "BT /F1 10 Tf 72 700 Td (first) Tj 0 -20 TD (second) Tj " +
+      "14 TL T* (third) Tj 1 0 0 2 300 100 Tm (scaled) Tj ET"
+    val rs = PdfHiRes.extractLineRegions(content, Map.empty, 792, 1.0)
+    assert(rs.map(_.text.get) === Seq("first", "second", "third", "scaled"))
+    val first = rs.head.bbox
+    // baseline 700, size 10 -> top-left y span (792-710, 792-700)
+    assert(first._1 === 72.0 && first._2 === 82.0 && first._4 === 92.0)
+    // width estimate: 5 chars * 0.5em * 10pt
+    assert(first._3 === 72.0 + 25.0)
+    // TD moved to y=680; T* applied the 14pt leading from TL -> y=666
+    assert(rs(1).bbox._4 === 792.0 - 680.0)
+    assert(rs(2).bbox._4 === 792.0 - 666.0)
+    // Tm d=2 doubles the effective size (10 -> 20) at (300, 100)
+    assert(rs(3).bbox === ((300.0, 792.0 - 120.0, 300.0 + 6 * 0.5 * 20, 792.0 - 100.0)))
+  }
+
+  test("extractLineRegions groups same-baseline shows into one region") {
+    val content = "BT /F1 12 Tf 72 700 Td (one ) Tj (two) Tj 50 0 Td (gap) Tj ET"
+    val rs = PdfHiRes.extractLineRegions(content, Map.empty, 792, 1.0)
+    // same Td line: "one two" merges; the x-only Td starts a new region at the
+    // same baseline (pdfminer would likewise split on the horizontal jump)
+    assert(rs.map(_.text.get) === Seq("one two", "gap"))
+    assert(rs(0).bbox._2 === rs(1).bbox._2)
+  }
+
+  test("removeControlCharacters mirrors the reference cleanup") {
+    // tab/newline -> space; the zero-width space (Cf) and BEL (Cc) drop
+    assert(PdfHiRes.removeControlCharacters("a\tb\ncd\u200b\u0007ef") === "a b cdef")
+  }
+
+  // --------------------------------------------- all five merge rules compose
+
+  /** One synthetic page through mergePage → cleanPage → pageToElements:
+    * RULE 0 (full-page extracted image dropped), RULE 1 (inferred Figure
+    * matching a kept extracted image dropped), RULE 2 (extracted line
+    * almost-same as inferred Title -> text adopted), RULE 3 (lines absorbed
+    * into inferred NarrativeText, text aggregated), RULE 4 (inferred box in
+    * subregion relation with a kept extracted line dropped), RULE 5 (the kept
+    * line survives as UncategorizedText), plus the pdfminer-inside-table
+    * cleanup (a line under an inferred Table aggregates into the Table and
+    * the scaffolding region is removed). */
+  test("five merge rules + inner cleanup compose end-to-end on one page") {
+    def line(bb: (Double, Double, Double, Double), t: String) =
+      LayoutRegion(bb, Some(t), classId = 0, elementType = "UncategorizedText",
+        isExtracted = true, source = "pdfminer")
+    val extracted = Seq(
+      LayoutRegion((0, 0, 1000, 800), None, classId = 1,
+        elementType = "Image", source = "pdfminer"), // full page -> RULE 0
+      LayoutRegion((700, 50, 900, 150), None, classId = 1,
+        elementType = "Image", source = "pdfminer"), // kept image
+      line((100, 50, 300, 70), "Heading line"), // RULE 2 target
+      line((100, 100, 400, 115), "body one"), // RULE 3
+      line((100, 120, 380, 135), "body two"), // RULE 3
+      line((100, 300, 420, 320), "standalone kept"), // RULE 4/5
+      line((120, 520, 280, 540), "cell text")) // inside Table -> cleanup
+    val inferred = Seq(
+      LayoutRegion((700, 50, 900, 150), None, elementType = "Figure",
+        prob = Some(0.9)), // RULE 1: same as kept image
+      LayoutRegion((100, 50, 300, 70), None, elementType = "Title",
+        prob = Some(0.95)), // RULE 2
+      LayoutRegion((95, 95, 405, 140), None, elementType = "NarrativeText",
+        prob = Some(0.9)), // RULE 3
+      LayoutRegion((150, 305, 260, 315), None, elementType = "NarrativeText",
+        prob = Some(0.4)), // RULE 4: subregion of the standalone line
+      LayoutRegion((100, 500, 300, 560), None, elementType = "Table",
+        prob = Some(0.8))) // aggregates "cell text"; line cleaned up after
+    val page = PdfHiRes.PageLayout(1, 1000, 800, extracted)
+    val merged = PdfHiRes.mergePage(inferred, page)
+    val cleaned = PdfHiRes.cleanPage(merged)
+    val els = PdfHiRes.pageToElements(cleaned, page)
+    assert(els.map(e => (e.`type`, e.text)) === Seq(
+      "Title" -> "Heading line",
+      "NarrativeText" -> "body one body two",
+      "UncategorizedText" -> "standalone kept",
+      "Table" -> "cell text",
+      "Image" -> ""))
+    // the rule-1-dropped Figure and the rule-4-dropped box are gone; the
+    // full-page image never surfaced; the in-table scaffolding line is gone
+    assert(els.count(_.`type` == "Image") === 1)
+    // rule-2 merge carried the detector provenance, not the pdfminer one
+    assert(els.head.metadata.detection_class_prob === Some(0.95))
+  }
+
+  // ------------------------------------------- real document, golden-pinned
+
+  /** Deterministic stand-in detector: clusters the extracted lines into
+    * blocks on vertical gaps (what a layout model's region proposals look
+    * like over a clean two-column paper), labels the first page-1 block Title
+    * and the rest NarrativeText. */
+  private def blockDetector(pages: Seq[PdfHiRes.PageLayout]): Seq[Seq[LayoutRegion]] =
+    pages.map { p =>
+      val text = p.regions.filter(_.classId == 0)
+      val blocks = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[LayoutRegion]]
+      text.foreach { r =>
+        if (blocks.nonEmpty && r.bbox._2 - blocks.last.map(_.bbox._4).max <= 6)
+          blocks.last += r
+        else blocks += mutable.ArrayBuffer(r)
+      }
+      blocks.zipWithIndex.map { case (b, i) =>
+        val bb = (b.map(_.bbox._1).min - 3, b.map(_.bbox._2).min - 3,
+          b.map(_.bbox._3).max + 3, b.map(_.bbox._4).max + 3)
+        LayoutRegion(bb, None,
+          elementType = if (p.pageNumber == 1 && i == 0) "Title" else "NarrativeText",
+          prob = Some(0.9))
+      }.toSeq
+    }
+
+  test("layout-parser-paper-fast.pdf partitions hi_res against the golden") {
+    val els = PdfHiRes.partitionHiRes(
+      refPdf("layout-parser-paper-fast.pdf"), blockDetector)
+    assert(els.nonEmpty)
+    // the paper's title (reference expected-structured-output for this doc
+    // family) must come through the merge as the page-1 Title element
+    val title = els.find(_.`type` == "Title").get
+    assert(title.text.contains("LayoutParser"))
+    assert(title.text.contains("Toolkit"))
+    assert(title.metadata.page_number === Some(1))
+    // the merged hi_res stream carries exactly the fast path's content: the
+    // two paths glue TJ fragments differently around ligature kerns and sort
+    // in different orders, so compare the letter/digit character multiset
+    def letterBag(texts: Seq[String]): Map[Char, Int] =
+      texts.flatten.filter(_.isLetterOrDigit).groupBy(identity).view.mapValues(_.size).toMap
+    val fastBag = letterBag(
+      PdfPartitioner.partitionPdf(refPdf("layout-parser-paper-fast.pdf")).map(_.text))
+    assert(letterBag(els.map(_.text)) === fastBag)
+
+    val rendered = els.map(e =>
+      s"${e.metadata.page_number.get}|${e.`type`}|" +
+        s"${e.metadata.category_depth.getOrElse(-1)}|${e.text}").mkString("\n")
+    val goldenPath = Paths.get("src/test/resources/graft/hires/layout-parser-paper-fast.golden.txt")
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) {
+      Files.writeString(goldenPath, rendered)
+    }
+    assert(rendered === Files.readString(goldenPath))
+  }
+
+  test("hi_res element stream is deterministic across runs") {
+    val bytes = refPdf("layout-parser-paper-fast.pdf")
+    val a = PdfHiRes.partitionHiRes(bytes, blockDetector)
+    val b = PdfHiRes.partitionHiRes(bytes, blockDetector)
+    assert(a === b)
+  }
+}
