@@ -284,6 +284,15 @@ object MsgPartitioner {
     }.filter(_.nonEmpty)
   }
 
+  /** `_AttachmentPartitioner._attachment_file_name` (`partition/msg.py:286-306`):
+    * strip path components (both separator conventions) to block traversal,
+    * drop null bytes, and fall back to "unknown" for empty/dot results. */
+  def sanitizeAttachmentFileName(raw: Option[String]): String = {
+    val base = raw.getOrElse("unknown").replace("\\", "/").split("/").lastOption.getOrElse("")
+    val safe = base.replace("\u0000", "")
+    if (safe.isEmpty || safe == "." || safe == "..") "unknown" else safe
+  }
+
   /** Attachments: (filename, bytes) from `__attach_version1.0_#N` storages. */
   def msgAttachments(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val cfb = new Cfb(bytes)
@@ -296,10 +305,7 @@ object MsgPartitioner {
       val fn = named.collectFirst { case ("3707", typ, e) => decode(cfb.readStream(e), typ, cs) }
         .orElse(named.collectFirst { case ("3704", typ, e) => decode(cfb.readStream(e), typ, cs) })
       val data = named.collectFirst { case ("3701", "0102", e) => cfb.readStream(e) }
-      (fn, data) match {
-        case (Some(f), Some(d)) if f.nonEmpty => Some(f -> d)
-        case _ => None
-      }
+      data.map(d => sanitizeAttachmentFileName(fn.filter(_.nonEmpty)) -> d)
     }
   }
 

@@ -231,6 +231,48 @@ object Partitioners {
       case None => Seq(p)
     }
 
+  private val EncodedWordRe = """=\?([^?]+)\?([BbQq])\?([^?]*)\?=""".r
+
+  /** RFC-2047 encoded-word decoding for header values (`email.header` does
+    * this inside Python's stdlib parser): `=?charset?B?...?=` base64 and
+    * `=?charset?Q?...?=` quoted-printable runs decode through the named
+    * charset; whitespace BETWEEN adjacent encoded words is dropped (RFC 2047
+    * §6.2); undecodable runs stay verbatim. */
+  def decodeEncodedWords(value: String): String = {
+    // collapse whitespace between adjacent encoded words first
+    val joined = """\?=\s+=\?""".r.replaceAllIn(value, "?==?")
+    EncodedWordRe.replaceAllIn(joined, m => {
+      val cs = partCharset(Some(m.group(1)))
+      val decoded = m.group(2).toUpperCase match {
+        case "B" => scala.util.Try(new String(
+          java.util.Base64.getMimeDecoder.decode(m.group(3)), cs)).getOrElse(m.matched)
+        case _ => new String(
+          decodeQuotedPrintableBytes(m.group(3).replace('_', ' ')), cs)
+      }
+      java.util.regex.Matcher.quoteReplacement(decoded)
+    })
+  }
+
+  /** `EmailPartitioningContext._sent_date` (`email.py:280-290`): the Date
+    * header parsed (RFC-2822 or ISO-8601, the formats that occur in the
+    * wild), converted to UTC, ISO-8601 seconds precision; None when absent
+    * or unparseable. */
+  def sentDateIso(dateHeader: String): Option[String] = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val s = dateHeader.trim
+    val parsed: Option[OffsetDateTime] =
+      scala.util.Try(OffsetDateTime.parse(s, DateTimeFormatter.RFC_1123_DATE_TIME))
+        .orElse(scala.util.Try(OffsetDateTime.parse(s)))
+        .orElse(scala.util.Try(Instant.parse(s).atOffset(ZoneOffset.UTC)))
+        .orElse(scala.util.Try(
+          LocalDateTime.parse(s).atOffset(ZoneOffset.UTC)))
+        .toOption
+    parsed.map(_.withOffsetSameInstant(ZoneOffset.UTC)
+      .truncatedTo(temporal.ChronoUnit.SECONDS)
+      .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")))
+  }
+
   /** Parse the RFC-822 message: headers → [[EmailMeta]], body part preference
     * html > plain (`email.py:152-160`), delegate body to the HTML or text path. */
   def partitionEmail(raw: String,
@@ -238,12 +280,13 @@ object Partitioners {
     val msg = parsePart(raw)
     def addrs(name: String): Seq[String] =
       msg.header(name).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .map(decodeEncodedWords)
     val meta = EmailMeta(
       sentFrom = addrs("From"),
       sentTo = addrs("To"),
       cc = addrs("Cc"),
       bcc = addrs("Bcc"),
-      subject = msg.header("Subject"),
+      subject = msg.header("Subject").map(decodeEncodedWords),
       messageId = msg.header("Message-ID").map(_.strip.stripPrefix("<").stripSuffix(">")),
       date = msg.header("Date"))
 

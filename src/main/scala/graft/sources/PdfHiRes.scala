@@ -179,7 +179,15 @@ object PdfHiRes {
   def extractedPageLayouts(bytes: Array[Byte], dpi: Int = 72): Seq[PageLayout] = {
     val coef = dpi / 72.0
     PdfPartitioner.pageStreams(bytes).map { ps =>
-      val regions = extractLineRegions(ps.content, ps.fonts, ps.height, coef)
+      // widget-annotation (AcroForm) values join the extracted layer as
+      // already-extracted text regions (`pdfminer_processing.py:543-552`)
+      val widgetRegions = ps.widgets.map { case (t, (x1, y1, x2, y2)) =>
+        LayoutRegion((x1 * coef, y1 * coef, x2 * coef, y2 * coef), Some(t),
+          classId = 0, elementType = ElementType.UncategorizedText,
+          isExtracted = true, source = "pdfminer")
+      }
+      val regions = extractLineRegions(ps.content, ps.fonts, ps.height, coef) ++
+        widgetRegions
       val deduped = Seq(0 -> 0.9, 1 -> 0.6).flatMap { case (cls, thr) =>
         val ofClass = regions.filter(_.classId == cls)
         PdfminerGeometry.removeDuplicateIndices(ofClass.map(_.bbox), thr)

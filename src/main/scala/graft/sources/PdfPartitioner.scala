@@ -637,6 +637,79 @@ object PdfPartitioner {
       cur
     }
 
+    /**
+     * Filled AcroForm widget values with top-left-frame bboxes for one page —
+     * `get_widget_text_from_annots` (`pdfminer_processing.py:1109-1168`):
+     * `/Annots` entries with `/Subtype /Widget` whose field type resolves to
+     * `/Tx` or `/Ch` (walking the `/Parent` chain for inherited FT/V), value
+     * decoded from literal/hex/name forms (UTF-16BE BOM honored), empty
+     * values skipped, `/Rect` flipped to the top-left frame.
+     */
+    def widgetTexts(page: PdfObj, height: Double): Seq[(String, (Double, Double, Double, Double))] = {
+      val annots = resolved(page.dict, "Annots").getOrElse(return Nil)
+      RefRe.findAllMatchIn(annots).flatMap(m => objs.get(m.group(1).toInt)).flatMap { a =>
+        if (!a.dict.contains("/Widget")) None
+        else {
+          // FT and V may be inherited from a parent field node (bounded walk)
+          var ft = dictValue(a.dict, "FT")
+          var v = dictValue(a.dict, "V")
+          var parent = dictValue(a.dict, "Parent").flatMap(refTarget)
+          var seen = 0
+          while ((ft.isEmpty || v.isEmpty) && parent.isDefined && seen < 32) {
+            val pd = parent.get.dict
+            ft = ft.orElse(dictValue(pd, "FT"))
+            v = v.orElse(dictValue(pd, "V"))
+            parent = dictValue(pd, "Parent").flatMap(refTarget)
+            seen += 1
+          }
+          val isField = ft.exists(t => t.trim == "/Tx" || t.trim == "/Ch")
+          val text = if (isField) v.map(decodeFieldValue).getOrElse("") else ""
+          val rect = dictValue(a.dict, "Rect").toSeq.flatMap(r =>
+            """-?[0-9.]+""".r.findAllIn(r).toSeq.flatMap(s =>
+              scala.util.Try(s.toDouble).toOption))
+          if (text.trim.nonEmpty && rect.length == 4)
+            Some((text.trim, (rect(0), height - rect(3), rect(2), height - rect(1))))
+          else None
+        }
+      }.toSeq
+    }
+
+    /** `_decode_field_value` (`pdfminer_processing.py:1078-1106`): literal
+      * strings, hex strings, name objects (choice export values), and arrays
+      * of those (multi-select choice fields, newline-joined). */
+    private def decodeFieldValue(raw: String): String = {
+      val v = raw.trim
+      def scalar(s: String): Option[String] = {
+        val t = s.trim
+        if (t.startsWith("(") && t.endsWith(")"))
+          Some(utf16IfBom(decodePdfString(t.substring(1, t.length - 1))))
+        else if (t.startsWith("<") && t.endsWith(">"))
+          Some(utf16IfBom(decodeHexString(t.substring(1, t.length - 1))))
+        else if (t.startsWith("/")) Some(t.stripPrefix("/"))
+        else None
+      }
+      if (v.startsWith("[")) {
+        """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|/([A-Za-z0-9.+_-]+)""".r
+          .findAllMatchIn(v).flatMap { m =>
+            if (m.group(1) != null) scalar("(" + m.group(1) + ")")
+            else if (m.group(2) != null) scalar("<" + m.group(2) + ">")
+            else Some(m.group(3))
+          }.map(_.trim).filter(_.nonEmpty).mkString("\n")
+      } else scalar(v).getOrElse("")
+    }
+
+    /** pdfminer `decode_text`: UTF-16BE when the BOM leads, verbatim otherwise. */
+    private def utf16IfBom(s: String): String =
+      if (s.length >= 2 && s.charAt(0) == 0xFE.toChar && s.charAt(1) == 0xFF.toChar) {
+        val sb = new StringBuilder
+        var i = 2
+        while (i + 1 < s.length) {
+          sb.append((((s.charAt(i) & 0xFF) << 8) | (s.charAt(i + 1) & 0xFF)).toChar)
+          i += 2
+        }
+        sb.toString
+      } else s
+
     /** `/MediaBox [x0 y0 x1 y1]` walking up the /Parent chain (inheritable);
       * pdfminer's default letter box (612x792 pt) when absent. */
     def mediaBox(page: PdfObj): (Double, Double) = {
@@ -708,10 +781,11 @@ object PdfPartitioner {
   // ------------------------------------------------------------------ main
 
   /** One page's raw material for region-level consumers (the hi_res pipeline):
-    * decompressed content stream, resolved fonts, and media-box extent in
-    * points. */
+    * decompressed content stream, resolved fonts, media-box extent in points,
+    * and filled AcroForm widget values (text + top-left bbox). */
   final case class PageStream(pageNumber: Int, content: String,
-      fonts: Map[String, PdfFont], width: Double, height: Double)
+      fonts: Map[String, PdfFont], width: Double, height: Double,
+      widgets: Seq[(String, (Double, Double, Double, Double))] = Nil)
 
   /** Per-page content + fonts + page size, page-tree order — the input
     * [[PdfHiRes]] builds its extracted layout from. Empty for non-PDF bytes or
@@ -722,7 +796,8 @@ object PdfPartitioner {
     val doc = new PdfDoc(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
     doc.pages.zipWithIndex.map { case (page, i) =>
       val (w, h) = doc.mediaBox(page)
-      PageStream(i + 1, doc.pageContent(page), doc.pageFonts(page), w, h)
+      PageStream(i + 1, doc.pageContent(page), doc.pageFonts(page), w, h,
+        doc.widgetTexts(page, h))
     }
   }
 
@@ -744,6 +819,13 @@ object PdfPartitioner {
               out += RawPara(p, None, classifier = "text", pageNumber = Some(i + 1))
             }
           }
+        }
+        // filled AcroForm field values live in widget annotations, not the
+        // content stream — the fast strategy emits them as elements too
+        // (`test_pdfminer_processing.py:512-525`)
+        val (_, h) = doc.mediaBox(page)
+        doc.widgetTexts(page, h).foreach { case (t, _) =>
+          out += RawPara(t, None, classifier = "text", pageNumber = Some(i + 1))
         }
       }
     } else {

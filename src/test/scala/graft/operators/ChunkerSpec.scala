@@ -241,6 +241,47 @@ class ChunkerSpec extends AnyFunSuite {
     assert(m.text_as_html.contains("<p>x</p>")) // STRING_CONCATENATE
   }
 
+  // -- test_chunk_by_title_drops_detection_class_prob (test_title.py:402) --
+  test("chunk_by_title drops detection_class_prob from chunk metadata") {
+    nextSeq = 0
+    def withProb(tpe: String, t: String, p: Double): Element = {
+      nextSeq += 1
+      Element("", tpe, t, "doc1", nextSeq,
+        ElementMetadata(detection_class_prob = Some(p)))
+    }
+    val els = Seq(
+      withProb(ElementType.Title, "A Great Day", 0.5),
+      withProb(ElementType.UncategorizedText, "Today is a great day.", 0.62),
+      withProb(ElementType.UncategorizedText, "It is sunny outside.", 0.73),
+      withProb(ElementType.Title, "An Okay Day", 0.84),
+      withProb(ElementType.UncategorizedText, "Today is an okay day.", 0.95))
+    val chunks = byTitle(els, ChunkingOptions(combineTextUnderNChars = Some(0)))
+    assert(chunks.map(_.text) == Seq(
+      "A Great Day\n\nToday is a great day.\n\nIt is sunny outside.",
+      "An Okay Day\n\nToday is an okay day."))
+    assert(chunks.forall(_.metadata.detection_class_prob.isEmpty))
+  }
+
+  // -- test_chunk_by_title_drops_extra_metadata (test_title.py:442) --
+  test("chunk_by_title drops non-consolidatable extra metadata") {
+    nextSeq = 0
+    def withOrigin(tpe: String, t: String): Element = {
+      nextSeq += 1
+      Element("", tpe, t, "doc1", nextSeq,
+        ElementMetadata(detection_origin = Some("yolox"),
+          emphasized_text_contents = Some(Seq(t.take(3)))))
+    }
+    val els = Seq(
+      withOrigin(ElementType.Title, "A Great Day"),
+      withOrigin(ElementType.UncategorizedText, "Today is a great day."))
+    val chunks = byTitle(els, ChunkingOptions(combineTextUnderNChars = Some(0)))
+    assert(chunks.size == 1)
+    // detection_origin is not in the consolidation table -> dropped;
+    // emphasized_text_contents consolidates LIST_CONCATENATE
+    assert(chunks.head.metadata.detection_origin.isEmpty)
+    assert(chunks.head.metadata.emphasized_text_contents.contains(Seq("A G", "Tod")))
+  }
+
   // -- chunk ids are deterministic (retry/speculation safety) --
   test("chunk ids are deterministic across runs") {
     val els = Seq(title("A"), text("B"), title("C"), text("D"))

@@ -101,4 +101,85 @@ class EmailPartitionSpec extends SparkSuiteBase {
     val texts = partitioned("email-inline-content-disposition.eml").map(_.text)
     assert(texts == Seq("This is a test of inline"))
   }
+
+  private def meta(name: String) = Partitioners.partitionEmail(eml(name))._1
+
+  // -- test_partition_email_augments_message_body_elements_with_email_metadata (:182) --
+  test("multi to/cc/bcc headers parse into address lists with message id") {
+    val m = meta("mime-multi-to-cc-bcc.eml")
+    assert(m.sentFrom == Seq("sender@example.com"))
+    assert(m.sentTo == Seq("Bob <bob@example.com>", "Sue <sue@example.com>"))
+    assert(m.cc == Seq("Tom <tom@example.com>", "Alice <alice@example.com>"))
+    assert(m.bcc == Seq("John <john@example.com>", "Mary <mary@example.com>"))
+    assert(m.messageId.contains("2143658709@example.com"))
+    assert(m.subject.contains("Example Plain-Text MIME Message"))
+  }
+
+  // -- DescribeEmailPartitioningContext subject/to accessors (:602-618) --
+  test("RFC-2047 encoded-word subject decodes; absent headers stay None") {
+    assert(meta("mime-word-encoded-subject.eml").subject
+      .contains("Simple email with ☸☿ Unicode subject"))
+    assert(meta("mime-no-subject.eml").subject.isEmpty)
+    assert(meta("mime-no-to.eml").sentTo.isEmpty)
+    assert(meta("mime-simple.eml").bcc.isEmpty)
+  }
+
+  // -- and_it_correctly_parses_various_date_formats_... (:536-548) --
+  test("Date header parses RFC-2822 and ISO-8601 forms to UTC ISO seconds") {
+    assert(meta("test-rfc2822-date.eml").date.flatMap(Partitioners.sentDateIso)
+      .contains("2025-07-29T12:42:06+00:00"))
+    assert(meta("test-iso-8601-date.eml").date.flatMap(Partitioners.sentDateIso)
+      .contains("2025-07-29T12:42:06+00:00"))
+    assert(meta("simple-rfc-822.eml").date.flatMap(Partitioners.sentDateIso)
+      .contains("2024-10-01T17:34:56+00:00"))
+    assert(meta("test-invalid-date.eml").date.flatMap(Partitioners.sentDateIso).isEmpty)
+    assert(meta("rfc822-no-date.eml").date.isEmpty)
+  }
+
+  // -- test_partition_email_from_filename_malformed_encoding (:161) --
+  test("malformed encoding email still yields the canonical four elements") {
+    val out = partitioned("fake-email-malformed-encoding.eml").map(_.text)
+    assert(out == Seq("This is a test email to use for unit tests.",
+      "Important points:", "Roses are red", "Violets are blue"))
+  }
+
+  // -- test_partition_email_also_partitions_attachments_when_so_instructed (:340) --
+  test("attachment whose filename contains '=' partitions after the body") {
+    val raw = eml("email-equals-attachment-filename.eml")
+    val body = Partitioners.partitionEmail(raw)._2.map(_.text)
+    assert(body == Seq("Below is an example of an odd filename"))
+    val atts = Partitioners.emailAttachments(raw)
+    assert(atts.size == 1)
+    val (fn, content) = atts.head
+    assert(fn.startsWith("odd=file=name"))
+    assert(content.contains("Odd filename"))
+  }
+
+  // -- test_partition_email_can_process_attachments (:351) --
+  test("fake-email-attachment.eml routes body + attachment through partitioning") {
+    val raw = eml("fake-email-attachment.eml")
+    val body = Partitioners.partitionEmail(raw)._2.map(_.text)
+    // trailing NBSP from the html body; the cascade cleans it downstream
+    assert(body.head.startsWith("Hello!"))
+    assert(body.exists(_.startsWith("Here's the attachments!")))
+    val atts = Partitioners.emailAttachments(raw)
+    assert(atts.map(_._1) == Seq("fake-attachment.txt"))
+    val attParas = TextSource.splitParagraphs(atts.head._2)
+    assert(attParas == Seq("Hey this is a fake attachment!"))
+    // sent-date flows to last_modified (email.py:222)
+    assert(Partitioners.partitionEmail(raw)._1.date.flatMap(Partitioners.sentDateIso)
+      .contains("2022-12-23T18:08:48+00:00"))
+  }
+
+  // -- test_partition_email_silently_skips_attachments_it_cannot_partition (:374) --
+  test("unpartitionable attachment (mp3) is skipped, body still partitions") {
+    val raw = eml("mime-attach-mp3.eml")
+    val body = Partitioners.partitionEmail(raw)._2.map(_.text)
+    assert(body == Seq("This is an email with an MP3 attachment."))
+    val atts = Partitioners.emailAttachments(raw)
+    // the attachment is surfaced but routes to no partitioner (audio = seam),
+    // so the element stream holds only the body — the reference skips it the
+    // same way via EXPECTED_ATTACHMENT_ERRORS
+    assert(atts.map(_._1).forall(_.endsWith(".mp3")))
+  }
 }

@@ -80,4 +80,24 @@ class MsgBehaviorSpec extends SparkSuiteBase {
     assert(ps.nonEmpty)
     assert(ps.head.text == "Hey this is a fake attachment!")
   }
+
+  // -- Describe_AttachmentPartitioner filename sanitization (test_msg.py:315-460) --
+
+  test("attachment filenames sanitize path traversal, separators, and null bytes") {
+    import MsgPartitioner.{sanitizeAttachmentFileName => sanitize}
+    assert(sanitize(Some("../../../etc/passwd")) == "passwd")
+    assert(sanitize(Some("/etc/passwd")) == "passwd")
+    assert(sanitize(Some("C:\\Windows\\System32\\config\\sam")) == "sam")
+    assert(sanitize(Some("file\u0000.txt")) == "file.txt")
+    assert(sanitize(Some("..\\../\\..\\etc/passwd")) == "passwd")
+  }
+
+  test("attachment filename degenerate cases fall back to 'unknown'") {
+    import MsgPartitioner.{sanitizeAttachmentFileName => sanitize}
+    assert(sanitize(Some(".")) == "unknown")
+    assert(sanitize(Some("..")) == "unknown")
+    assert(sanitize(None) == "unknown")
+    assert(sanitize(Some("")) == "unknown")
+    assert(sanitize(Some("document.pdf")) == "document.pdf")
+  }
 }
