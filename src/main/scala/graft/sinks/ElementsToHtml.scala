@@ -211,7 +211,9 @@ object ElementsToHtml {
     if (n.void) { sb.append(s"$pad<${n.tag}$attrPart/>\n"); return }
     sb.append(s"$pad<${n.tag}$attrPart>\n")
     n.content.foreach {
-      case Left(text) => sb.append(" " * (depth + 1)).append(esc(text)).append('\n')
+      // bs4 prettify emits text nodes stripped (indentation supplies leading
+      // space) — pinned by the handbook-1p.docx golden's trailing-tab lines
+      case Left(text) => sb.append(" " * (depth + 1)).append(esc(text.strip)).append('\n')
       case Right(child) => render(child, depth + 1, sb)
     }
     sb.append(s"$pad</${n.tag}>\n")
@@ -235,6 +237,12 @@ object ElementsToHtml {
     sb.append(" </body>\n</html>")
     sb.toString
   }
+
+  /** The shell a document with no elements renders to (`convert.py` emits the
+    * template with an empty body — pinned by e.g. the SitePages/Home.aspx
+    * ingest golden). Spark can't emit a group for a doc with zero rows, so
+    * callers rendering a known doc list substitute this for missing docs. */
+  def emptyDocumentHtml: String = renderDoc(Vector.empty, byPage = false)
 
   /**
    * Render per-doc HTML. Input columns: doc_id, seq, element_id,

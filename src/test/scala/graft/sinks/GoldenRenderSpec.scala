@@ -48,7 +48,37 @@ class GoldenRenderSpec extends SparkSuiteBase {
     "onedrive/utic-test-ingest-fixtures/fake-text.txt",
     "local-single-file/UDHR_first_article_all.txt",
     // Formula display-math auto-style (staging/base.py:43-164)
-    "s3/page-with-formula.pdf")
+    "s3/page-with-formula.pdf",
+    // hi_res PDFs with tables, figures, forms
+    "azure/IRS-form-1987.pdf",
+    "azure/Core-Skills-for-Biomedical-Data-Scientists-2-pages.pdf",
+    "azure/spring-weather.html",
+    "local-single-file-with-pdf-infer-table-structure/layout-parser-paper.pdf",
+    "local-single-file-with-pdf-infer-table-structure/layout-parser-paper-with-table.jpg",
+    "local-single-file-chunk-no-orig-elements/multi-column-2p.pdf",
+    "local-single-file-basic-chunking/handbook-1p.docx",
+    "local-single-file-with-encoding/fake-html-cp1252.html",
+    "Sharepoint/nested/page-with-formula.pdf",
+    "Sharepoint/nested/2023-Jan-economic-outlook.pdf",
+    "Sharepoint/SitePages/Home.aspx",
+    "s3/Silent-Giant-(1).pdf",
+    "s3/recalibrating-risk-report.pdf",
+    "box/science-exploration-1p.pptx",
+    "dropbox/handbook-1p.docx",
+    "onedrive/utic-test-ingest-fixtures/tests-example.xls",
+    "biomed-path/07/07/sbaa031.073.PMC7234218.pdf",
+    "google-drive/fake.docx",
+    // connector dumps: tables (airtable/astradb), nested lists (notion),
+    // issue/ticket trees (jira/confluence/hubspot)
+    "airtable-diff/app5YQxSfp220fWtm/tblBoUk54tWXGqYai",
+    "astradb/25b75f1d-a2ea-4c97-b75f-1da2eadc97f7.csv",
+    "notion/438dbc49-2e06-4f01-8031-bf283be58a60",
+    "notion/8d8bee42-2167-441c-af6c-7b2cff268809",
+    "hubspot/tickets/1976928828",
+    "jira-diff/JCTP2/10006",
+    "confluence-diff/testteamsp/1867777",
+    "outlook/4a16a411f162ebbb.eml",
+    "salesforce/Campaign/701Hu000001eX9FIAU.xml")
 
   private def read(p: String): String =
     new String(Files.readAllBytes(Paths.get(root + p)), "UTF-8")
@@ -68,7 +98,8 @@ class GoldenRenderSpec extends SparkSuiteBase {
   test("markdown goldens: our elements_to_md matches the reference's .md output byte-for-byte") {
     triples.foreach { rel =>
       val got = ElementSink.elementsToMd(readGolden(rel))
-        .select("markdown").collect().head.getString(0)
+        .select("markdown").collect().headOption.map(_.getString(0))
+        .getOrElse("") // zero-element doc renders as empty markdown
       val expected = read("expected-structured-output-markdown/" + rel + ".md")
       assert(got == expected, s"$rel markdown diverged")
     }
@@ -87,7 +118,8 @@ class GoldenRenderSpec extends SparkSuiteBase {
           F.col("metadata.image_mime_type").as("image_mime"),
           F.col("metadata.url").as("url"))
       val got = ElementsToHtml.elementsToHtml(els, noGroupByPage = true)
-        .select("html").collect().head.getString(0) + "\n"
+        .select("html").collect().headOption.map(_.getString(0))
+        .getOrElse(ElementsToHtml.emptyDocumentHtml) + "\n"
       val expected = read("expected-structured-output-html/" + rel + ".html")
       assert(got == expected, s"$rel html diverged")
     }
