@@ -53,12 +53,15 @@ final case class ChunkingOptions(
     isolateTable: Boolean = true,
     byTitle: Boolean = false,
     // token mode — window measured in tokens, base.py:176-190,249-266. Mutually
-    // exclusive with character limits; the deterministic regex tokenizer stands in
-    // for tiktoken (`TokenCounter`, base.py:54-78), which needs a model download.
+    // exclusive with character limits. With a `tokenizer` name the BPE counter
+    // runs ([[TokenCounter]], base.py:54-78); without one the oracle-matched
+    // regex counter stands in (tiktoken itself is a model download).
     maxTokens: Option[Int] = None,
-    newAfterNTokens: Option[Int] = None) {
+    newAfterNTokens: Option[Int] = None,
+    tokenizer: Option[String] = None) {
   require(maxCharacters > 0, "maxCharacters must be > 0")
   require(maxTokens.forall(_ > 0), "maxTokens must be > 0")
+  tokenizer.foreach(TokenCounter.resolve) // fail fast on unknown names
   /** `use_token_counting` — base.py:316-318. */
   val useTokenCounting: Boolean = maxTokens.isDefined
   /** Window size in the active unit (tokens when `maxTokens` is set). */
@@ -76,7 +79,56 @@ final case class ChunkingOptions(
   val separator: String = "\n\n"
   /** `measure` — base.py:320-326: size of `text` in the active unit. */
   def measure(text: String): Int =
-    if (useTokenCounting) Chunker.tokenCount(text) else text.length
+    if (!useTokenCounting) text.length
+    else if (tokenizer.isDefined) TokenCounter.countTokens(text)
+    else Chunker.tokenCount(text)
+}
+
+object ChunkingOptions {
+  /**
+   * `ChunkingOptions._validate` (`base.py:325-360`) — the kwargs-presence
+   * validation the case-class defaults can't express: max_tokens and
+   * max_characters are mutually exclusive, max_tokens requires a tokenizer
+   * (model or encoding name, tiktoken resolution order), new_after_n_tokens
+   * requires max_tokens. Returns the resolved options or throws the
+   * reference's ValueError messages.
+   */
+  def validated(
+      maxCharacters: Option[Int] = None,
+      newAfterNChars: Option[Int] = None,
+      combineTextUnderNChars: Option[Int] = None,
+      overlap: Int = 0,
+      overlapAll: Boolean = false,
+      multipageSections: Boolean = true,
+      byTitle: Boolean = false,
+      maxTokens: Option[Int] = None,
+      newAfterNTokens: Option[Int] = None,
+      tokenizer: Option[String] = None): ChunkingOptions = {
+    if (maxTokens.isDefined && maxCharacters.isDefined)
+      throw new IllegalArgumentException(
+        "'max_tokens' and 'max_characters' are mutually exclusive;" +
+          " specify one or the other, not both")
+    if (maxTokens.isDefined && tokenizer.isEmpty)
+      throw new IllegalArgumentException(
+        "'tokenizer' is required when using 'max_tokens'")
+    maxTokens.filter(_ <= 0).foreach(t =>
+      throw new IllegalArgumentException(s"'max_tokens' argument must be > 0, got $t"))
+    if (newAfterNTokens.isDefined && maxTokens.isEmpty)
+      throw new IllegalArgumentException(
+        "'new_after_n_tokens' requires 'max_tokens' to be specified")
+    newAfterNTokens.filter(_ < 0).foreach(t =>
+      throw new IllegalArgumentException(
+        s"'new_after_n_tokens' argument must be >= 0, got $t"))
+    tokenizer.foreach(TokenCounter.resolve)
+    ChunkingOptions(
+      maxCharacters = maxCharacters.getOrElse(500),
+      newAfterNChars = newAfterNChars,
+      combineTextUnderNChars = combineTextUnderNChars,
+      overlap = overlap, overlapAll = overlapAll,
+      multipageSections = multipageSections, byTitle = byTitle,
+      maxTokens = maxTokens, newAfterNTokens = newAfterNTokens,
+      tokenizer = tokenizer)
+  }
 }
 
 object Chunker {

@@ -1,0 +1,108 @@
+package graft.operators
+
+import scala.collection.mutable
+
+/**
+ * Token counting for token-mode chunking — the reference's `TokenCounter`
+ * (`chunking/base.py:54-78`) resolves a tokenizer name (model name first,
+ * encoding name second, tiktoken semantics) and counts tokens with a
+ * byte-pair-encoding vocabulary.
+ *
+ * The vocabularies themselves are model downloads unavailable offline, so the
+ * engine runs the SAME algorithm — cl100k-style pre-tokenizer split, then
+ * greedy lowest-rank byte-pair merges — against a merge table derived
+ * deterministically from the reference's public-domain corpus
+ * (`dev/gen_bpe_vocab.py`, 4000 merges). Counts differ from OpenAI
+ * vocabularies (documented seam); the merge mechanics, name resolution, and
+ * option plumbing are real and exercised end-to-end.
+ */
+object TokenCounter {
+
+  /** Byte → printable symbol used by the merges file (GPT-2 byte-to-unicode
+    * convention: byte b ↦ U+0100+b). */
+  @inline private def byteChar(b: Byte): Char = (0x100 + (b & 0xFF)).toChar
+
+  /** cl100k-style pre-tokenizer split (pattern published in the tiktoken
+    * repository; the generator uses the identical pattern so training and
+    * runtime segment text the same way). */
+  private val SplitRe = java.util.regex.Pattern.compile(
+    "(?i:'s|'t|'re|'ve|'m|'ll|'d)" +
+      "|[^\\r\\n\\w\\d]?[^\\W\\d_]+" +
+      "|\\d{1,3}" +
+      "| ?[^\\s\\w\\d]+[\\r\\n]*" +
+      "|\\s*[\\r\\n]+" +
+      "|\\s+$" +
+      "|\\s+(?=\\S)" +
+      "|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** merge pair → rank (lower = earlier = applied first). */
+  private lazy val ranks: Map[(String, String), Int] = {
+    val in = getClass.getResourceAsStream("/graft/bpe-merges.txt")
+    require(in != null, "bpe-merges.txt missing from resources")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().zipWithIndex.flatMap { case (line, i) =>
+      val sp = line.indexOf(' ')
+      if (sp <= 0) None
+      else Some((line.substring(0, sp), line.substring(sp + 1)) -> i)
+    }.toMap
+    finally src.close()
+  }
+
+  private def rankOf(a: String, b: String): Int =
+    ranks.getOrElse((a, b), Int.MaxValue)
+
+  /** Encode one pre-tokenized piece: UTF-8 bytes → symbols → greedy
+    * lowest-rank merges until no merge applies (standard BPE). */
+  private[operators] def encodePiece(piece: String): Vector[String] = {
+    var syms: Vector[String] =
+      piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => byteChar(b).toString).toVector
+    while (syms.length > 1) {
+      var best = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rankOf(syms(i), syms(i + 1))
+        if (r < best) { best = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) return syms
+      syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+        syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  /** Tokenize `text`: split, then BPE-encode each piece. */
+  def encode(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val m = SplitRe.matcher(text)
+    while (m.find()) {
+      val piece = m.group()
+      if (piece.nonEmpty) out ++= encodePiece(piece)
+    }
+    out.result()
+  }
+
+  def countTokens(text: String): Int = encode(text).length
+
+  /** tiktoken's public model→encoding map (subset): model names resolve
+    * first, encoding names second (`base.py:66-73`). All names resolve to the
+    * derived stand-in vocabulary — the resolution logic, not the vocabulary,
+    * is what the engine mirrors. */
+  private val ModelNames = Set(
+    "gpt-4", "gpt-4o", "gpt-4-turbo", "gpt-3.5-turbo", "gpt-3.5", "gpt-2",
+    "text-davinci-003", "text-embedding-ada-002", "text-embedding-3-small",
+    "text-embedding-3-large")
+  private val EncodingNames = Set(
+    "cl100k_base", "o200k_base", "p50k_base", "r50k_base", "gpt2", "graft_bpe")
+
+  /** Validate a tokenizer name, returning the counting function. Throws for
+    * names tiktoken would also reject. */
+  def resolve(name: String): String => Int = {
+    if (!ModelNames.contains(name) && !EncodingNames.contains(name))
+      throw new IllegalArgumentException(s"Unknown tokenizer: $name")
+    countTokens
+  }
+}

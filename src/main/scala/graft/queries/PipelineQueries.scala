@@ -107,6 +107,33 @@ object PipelineQueries {
       chunkResult(Chunker.chunkElements(elements(s, dir),
         ChunkingOptions(maxTokens = Some(24), includeOrigElements = false)))),
 
+    // BPE token-mode chunking: fixed canonical elements per doc, window
+    // measured by the corpus-derived merge-rule tokenizer ([[TokenCounter]],
+    // the reference's tiktoken-backed counter with an offline vocabulary).
+    // The oracle rows come from an independent Python implementation of the
+    // same published BPE algorithm over the same committed merge table.
+    "q_chunk_tokens_bpe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.TokenCounter
+      graft.Tables.readFanout(s, dir, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+        .flatMap { d =>
+          val els = Seq(
+            "Well, Prince, so Genoa and Lucca are now just family estates.",
+            "It was in July, 1805, and the speaker was the well-known Anna Pavlovna.",
+            "Heavens! what a virulent attack! replied the prince, not in the " +
+              "least disconcerted by this reception.")
+            .zipWithIndex.map { case (t, i) =>
+              Element("", "NarrativeText", t, d.toString, i + 1L)
+            }
+          Chunker.chunkDoc(d.toString, els.iterator,
+            ChunkingOptions.validated(maxTokens = Some(24),
+              tokenizer = Some("cl100k_base")))
+            .map(c => (d, c.seq, c.text, TokenCounter.countTokens(c.text)))
+        }.toDF("doc_id", "chunk_seq", "text", "n_tokens")
+        .orderBy("doc_id", "chunk_seq")
+    }),
+
     // inter-chunk overlap (overlap_all, base.py:229-246,723-732): each pre-chunk
     // after the first is seeded with the stripped 20-char tail of the previous
     // chunk's text, which also consumes window capacity. 80-char elements keep
@@ -508,6 +535,21 @@ object PipelineQueries {
          |SELECT doc_id, chunk_idx AS chunk_seq, arg_max(acc, seq) AS text
          |FROM walk GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_seq""".stripMargin
     },
+
+    // BPE token-mode: fixed canonical input, so the expected chunks are
+    // constants — produced by an independent Python implementation of the same
+    // BPE spec (split regex + greedy lowest-rank merges) over the committed
+    // merge table, then verified to agree with the Scala kernel
+    "q_chunk_tokens_bpe" ->
+      s"""WITH k AS (SELECT * FROM (VALUES
+         |  (0, 21, 'Well, Prince, so Genoa and Lucca are now just family estates.'),
+         |  (1, 22, 'It was in July, 1805, and the speaker was the well-known Anna Pavlovna.'),
+         |  (2, 24, 'Heavens! what a virulent attack! replied the prince, not in the least disconcerted'),
+         |  (3, 4, 'by this reception.')
+         |  ) AS t(chunk_seq, n_tokens, text))
+         |SELECT doc_id, chunk_seq::BIGINT AS chunk_seq, k.text,
+         |  n_tokens::INTEGER AS n_tokens
+         |FROM documents CROSS JOIN k ORDER BY doc_id, chunk_seq""".stripMargin,
 
     // Token-mode fold: element packing in token units (separator "\n\n" is pure
     // whitespace, so token counts are additive across the join), then oversized
