@@ -88,7 +88,20 @@ object Registries {
   def registerLayoutDetector(d: graft.sources.PdfHiRes.Detector): Unit =
     detector = Some(d)
 
+  def clearLayoutDetector(): Unit = detector = None
+
   def layoutDetector: Option[graft.sources.PdfHiRes.Detector] = detector
+
+  /** The OCR-engine seam (`OCRAgent.get_agent`, `utils/ocr_models`): page
+    * in, line-level OCR regions out. None = no OCR engine installed (the
+    * strategy router falls back, `strategies.py:75-86`). */
+  @volatile private var ocr: Option[graft.sources.PdfHiRes.OcrSource] = None
+
+  def registerOcrAgent(a: graft.sources.PdfHiRes.OcrSource): Unit = ocr = Some(a)
+
+  def clearOcrAgent(): Unit = ocr = None
+
+  def ocrAgent: Option[graft.sources.PdfHiRes.OcrSource] = ocr
 
   // ------------------------------------------------------------------- partitioners
 

@@ -468,14 +468,26 @@ object Partitioners {
       case FileType.Pdf =>
         // per-file strategy resolution (`partition/pdf.py:300-338`): probe
         // complexity, reuse the fast extraction from the extractability probe,
-        // then resolve. With no model kernels registered, fast is the only
-        // real path — hi_res/ocr_only resolutions land on the pluggable stubs.
+        // then resolve against the REGISTERED model seams — a layout detector
+        // makes hi_res real, an OCR agent makes ocr_only real; with neither,
+        // fast is the only available path and the router falls back to it.
+        import graft.operators.Registries
         val tooComplex = PdfStrategy.isPdfTooComplex(content)
         val extracted =
           if (tooComplex) Nil else PdfPartitioner.partitionPdf(content)
+        val deps = PdfStrategy.Deps(
+          inference = Registries.layoutDetector.isDefined,
+          ocr = Registries.ocrAgent.isDefined)
         PdfStrategy.determineStrategy(PdfStrategy.Auto,
-            pdfTextExtractable = extracted.exists(_.text.trim.nonEmpty)) match {
+            pdfTextExtractable = extracted.exists(_.text.trim.nonEmpty),
+            deps = deps) match {
           case Right(PdfStrategy.Fast) => extracted
+          case Right(PdfStrategy.HiRes) =>
+            Registries.layoutDetector.toSeq.flatMap(det =>
+              PdfHiRes.partitionHiRes(content, det).map(PdfHiRes.toRawPara))
+          case Right(PdfStrategy.OcrOnly) =>
+            Registries.ocrAgent.toSeq.flatMap(a =>
+              PdfHiRes.partitionOcrOnly(content, a).map(PdfHiRes.toRawPara))
           case _ => Nil
         }
       case FileType.Rtf => ConvertedFormats.partitionRtf(text)

@@ -294,6 +294,38 @@ object PdfHiRes {
   }
 
   /**
+   * The ocr_only strategy (`pdf.py:1151-1227`
+   * `_partition_pdf_or_image_with_ocr`): per page, the OCR agent's
+   * line-level regions normalize straight to elements
+   * (`ocr_data_to_elements`, `common.py:435-460`), sort into reading order,
+   * and take the same final cleanup as the hi_res stream. The page
+   * rasterization + OCR inference live behind the [[OcrSource]] seam; the
+   * page geometry, normalization, ordering, and cleanup are real.
+   */
+  def partitionOcrOnly(bytes: Array[Byte], ocr: OcrSource, dpi: Int = 72,
+      includePageBreaks: Boolean = false): Seq[Element] = {
+    val pages = extractedPageLayouts(bytes, dpi)
+    val out = mutable.ArrayBuffer.empty[Element]
+    pages.foreach { page =>
+      val regions = ocr(page).map(r => LayoutRegion(r.bbox, r.text,
+        classId = 0, elementType = ElementType.UncategorizedText,
+        isExtracted = false, source = "ocr_tesseract"))
+      out ++= pageToElements(sortBasic(regions), page)
+      if (includePageBreaks)
+        out += Element("", ElementType.PageBreak, "", "", 0,
+          graft.model.ElementMetadata(page_number = Some(page.pageNumber)))
+    }
+    out.toSeq.zipWithIndex.map { case (e, i) => e.copy(seq = i + 1L) }
+  }
+
+  /** Element → router paragraph, for the auto router's hi_res/ocr_only
+    * branches (the rest of the engine consumes RawPara streams). */
+  def toRawPara(e: Element): HtmlPartitioner.RawPara =
+    HtmlPartitioner.RawPara(e.text, Some(e.`type`),
+      categoryDepth = e.metadata.category_depth,
+      pageNumber = e.metadata.page_number, classifier = "text")
+
+  /**
    * `_partition_pdf_or_image_local` — the full composition. Elements come
    * back with `seq` assigned in final reading order; `doc_id`/ids are the
    * caller's (hash-ids pass), as everywhere else in the engine.
