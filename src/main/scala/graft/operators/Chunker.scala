@@ -62,6 +62,8 @@ final case class ChunkingOptions(
   require(maxCharacters > 0, "maxCharacters must be > 0")
   require(maxTokens.forall(_ > 0), "maxTokens must be > 0")
   tokenizer.foreach(TokenCounter.resolve) // fail fast on unknown names
+  require(!skipTableChunking || isolateTable,
+    "'skip_table_chunking=True' requires 'isolate_table=True'") // base.py:151-156
   /** `use_token_counting` — base.py:316-318. */
   val useTokenCounting: Boolean = maxTokens.isDefined
   /** Window size in the active unit (tokens when `maxTokens` is set). */
@@ -572,15 +574,37 @@ object Chunker {
    */
   private[graft] object TableChunker {
 
-    /** One `<tr>`: normalized cell texts (empty kept for `<td/>` slots) + header flag. */
-    final case class Row(cellTexts: Vector[String], isHeader: Boolean) {
+    /** One cell: normalized text plus the STRUCTURAL attributes compactification
+      * preserves — colspan/rowspan are required to reconstruct merged-cell
+      * layout; cosmetic attrs (class, style, data-*) drop
+      * (`common/html_table.py:87-97`). */
+    final case class Cell(text: String, preserved: Vector[(String, String)] = Vector.empty) {
+      def attrHtml: String = preserved.map { case (k, v) => s""" $k="$v"""" }.mkString
+    }
+
+    /** One `<tr>`: cells (empty kept for `<td/>` slots), header flag, and the
+      * original source `<tr>` markup — captured before compactification so
+      * repeated continuation headers keep their full semantics
+      * (`html_table.py:73-85`, `base.py:1366-1379`). */
+    final case class Row(cells: Vector[Cell], isHeader: Boolean, sourceHtml: String = "") {
+      def cellTexts: Vector[String] = cells.map(_.text)
       def nonEmptyTexts: Vector[String] = cellTexts.filter(_.nonEmpty)
       def text: String = nonEmptyTexts.mkString(" ")
       def html: String =
-        "<tr>" + cellTexts.map(t => if (t.isEmpty) "<td/>" else s"<td>${escapeHtml(t)}</td>").mkString + "</tr>"
+        "<tr>" + cells.map(c =>
+          if (c.text.isEmpty) s"<td${c.attrHtml}/>"
+          else s"<td${c.attrHtml}>${escapeHtml(c.text)}</td>").mkString + "</tr>"
+      /** `_as_header_row_html`: the SOURCE row with direct `<td>` converted to
+        * `<th>`, all original attributes kept (`base.py:1366-1379`). */
       def headerHtml: String =
-        "<tr>" + cellTexts.map(t => if (t.isEmpty) "<th/>" else s"<th>${escapeHtml(t)}</th>").mkString + "</tr>"
+        if (sourceHtml.nonEmpty)
+          sourceHtml.replaceAll("<td\\b", "<th").replaceAll("</td>", "</th>")
+        else
+          "<tr>" + cells.map(c =>
+            if (c.text.isEmpty) s"<th${c.attrHtml}/>"
+            else s"<th${c.attrHtml}>${escapeHtml(c.text)}</th>").mkString + "</tr>"
     }
+
 
     private[graft] def escapeHtml(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -594,8 +618,13 @@ object Chunker {
     private val CellRe = "(?s)<t([dh])\\b[^>]*?/>|<t([dh])\\b[^>]*>(.*?)</t[dh]>".r
     private val TagRe = "(?s)<[^>]*>".r
 
+    private val PreservedAttrRe =
+      "(?i)\\b(colspan|rowspan)\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|(\\S+))".r
+
     /** All `<tr>` rows of an HTML table in order, header-flagged when inside `<thead>`
-      * or containing a `<th>` cell — `html_table.py:74-80`. */
+      * or containing a `<th>` cell — `html_table.py:74-80`. Cell colspan/rowspan
+      * survive compactification; the raw `<tr>` markup rides along for header
+      * repetition. */
     def parseRows(html: String): Vector[Row] = {
       val theadSpans = TheadRe.findAllMatchIn(html).map(m => (m.start, m.end)).toVector
       TrRe.findAllMatchIn(html).map { m =>
@@ -605,10 +634,15 @@ object Chunker {
         val cells = CellRe.findAllMatchIn(rowHtml).map { cm =>
           val tag = if (cm.group(1) != null) cm.group(1) else cm.group(2)
           if (tag == "h") hasTh = true
+          val openTag = cm.matched.takeWhile(_ != '>') + ">"
+          val preserved = PreservedAttrRe.findAllMatchIn(openTag).map { am =>
+            (am.group(1).toLowerCase,
+              Seq(am.group(2), am.group(3), am.group(4)).find(_ != null).getOrElse(""))
+          }.toVector
           val inner = Option(cm.group(3)).getOrElse("")
-          normalizeWs(unescapeHtml(TagRe.replaceAllIn(inner, " ")))
+          Cell(normalizeWs(unescapeHtml(TagRe.replaceAllIn(inner, " "))), preserved)
         }.toVector
-        Row(cells, inThead || hasTh)
+        Row(cells, inThead || hasTh, rowHtml)
       }.toVector
     }
 

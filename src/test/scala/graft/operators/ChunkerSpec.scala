@@ -184,6 +184,102 @@ class ChunkerSpec extends AnyFunSuite {
       "Body 2 Bravo Body 3 Charlie Body 4 Delta"))
   }
 
+  // -- and_it_preserves_colspan_and_rowspan_in_the_first_chunk_header_rows
+  //    (test_base.py:1627) --
+  test("colspan/rowspan survive in first-chunk rows and repeated headers") {
+    val html = "<table><thead>" +
+      "<tr><th rowspan='2'>Region</th><th colspan='2'>Sales</th></tr>" +
+      "<tr><th>Q1</th><th>Q2</th></tr>" +
+      "</thead><tbody>" +
+      "<tr><td>Northwest</td><td>100</td><td>150</td></tr>" +
+      "<tr><td>Southwest</td><td>200</td><td>250</td></tr>" +
+      "<tr><td>Midwest</td><td>300</td><td>350</td></tr>" +
+      "<tr><td>Northeast</td><td>400</td><td>450</td></tr>" +
+      "</tbody></table>"
+    val text = "Region Sales Q1 Q2\nNorthwest 100 150\nSouthwest 200 250\n" +
+      "Midwest 300 350\nNortheast 400 450"
+    val chunks = byTitle(Seq(table(text, Some(html))),
+      ChunkingOptions(combineTextUnderNChars = Some(0), maxCharacters = 80))
+    assert(chunks.size >= 2)
+    // first chunk: header rows packed as normal rows, spans kept on the td's
+    val first = chunks(0).metadata.text_as_html.get
+    assert(first.contains("""<td rowspan="2">Region</td>"""))
+    assert(first.contains("""<td colspan="2">Sales</td>"""))
+    // continuation: repeated thead keeps the spans on the th's (source markup)
+    val cont = chunks(1).metadata.text_as_html.get
+    assert(cont.contains("<thead>"))
+    assert(cont.contains("<th rowspan='2'>Region</th>"))
+    assert(cont.contains("<th colspan='2'>Sales</th>"))
+  }
+
+  // -- and_it_keeps_compactified_contracts_for_non_header_body_cells
+  //    (test_base.py:1673) --
+  test("cosmetic attributes drop from body cells; scope survives on carried headers") {
+    val html = "<table>" +
+      "<thead><tr><th scope='col'>Region</th><th scope='col'>Sales</th></tr></thead>" +
+      "<tbody>" +
+      "<tr><td class='region-cell'>Northwest Territory</td><td data-origin='crm'>1200</td></tr>" +
+      "<tr><td class='region-cell'>Southwest Territory</td><td data-origin='crm'>1400</td></tr>" +
+      "<tr><td class='region-cell'>Midwest Territory</td><td data-origin='crm'>1600</td></tr>" +
+      "</tbody></table>"
+    val text = "Region Sales\nNorthwest Territory 1200\nSouthwest Territory 1400\n" +
+      "Midwest Territory 1600"
+    val chunks = byTitle(Seq(table(text, Some(html))),
+      ChunkingOptions(combineTextUnderNChars = Some(0), maxCharacters = 55))
+    assert(chunks.size >= 2)
+    chunks.foreach { c =>
+      val h = c.metadata.text_as_html.get
+      assert(!h.contains("class="), h)
+      assert(!h.contains("data-origin"), h)
+    }
+    // the repeated thead rides the SOURCE row markup, scope included
+    val cont = chunks(1).metadata.text_as_html.get
+    assert(cont.contains("<th scope='col'>Region</th>"))
+    assert(cont.contains("<th scope='col'>Sales</th>"))
+  }
+
+  // -- and_it_cascades_header_carry_forward_across_three_or_more_continuation_chunks
+  //    + carried counts (test_base.py:1712-1756) --
+  test("header carry cascades across three+ continuations with stable counts") {
+    val chunks = byTitle(
+      Seq(table(headerTableText, Some(headerTableHtml))),
+      ChunkingOptions(combineTextUnderNChars = Some(0), maxCharacters = 55))
+    assert(chunks.size == 4)
+    assert(chunks.map(_.metadata.num_carried_over_header_rows) ==
+      Vector(Some(0), Some(2), Some(2), Some(2)))
+    // every continuation repeats the same two header rows
+    chunks.tail.foreach { c =>
+      val h = c.metadata.text_as_html.get
+      assert(h.contains("<thead><tr><th>Header A</th><th>Header B</th></tr>" +
+        "<tr><th>Subhead A</th><th>Subhead B</th></tr></thead>"), h)
+    }
+    val optOut = byTitle(
+      Seq(table(headerTableText, Some(headerTableHtml))),
+      ChunkingOptions(combineTextUnderNChars = Some(0), maxCharacters = 55,
+        repeatTableHeaders = false))
+    assert(optOut.map(_.metadata.num_carried_over_header_rows) ==
+      Vector(Some(0), Some(0)))
+  }
+
+  // -- it_rejects_skip_table_chunking_when_isolation_is_disabled (test_base.py:151) --
+  test("skip_table_chunking=true without isolate_table is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      ChunkingOptions(skipTableChunking = true, isolateTable = false)
+    }
+    assert(e.getMessage.contains("requires 'isolate_table=True'"))
+  }
+
+  // -- it_accepts_0_for_new_after_n_chars_to_put_each_element_into_its_own_chunk
+  //    (test_base.py:183) --
+  test("newAfterNChars=0 puts each element in its own chunk; larger values clamp") {
+    val els = Seq(text("alpha"), text("bravo"), text("charlie"))
+    val perElement = basic(els, ChunkingOptions(newAfterNChars = Some(0)))
+    assert(perElement.map(_.text) == Vector("alpha", "bravo", "charlie"))
+    // silently accepts new_after_n_chars greater than max_characters (clamps)
+    val clamped = ChunkingOptions(maxCharacters = 100, newAfterNChars = Some(500))
+    assert(clamped.softMax == 100)
+  }
+
   // -- test_skip_table_chunking_passes_oversized_table_through_unchanged --
   test("skipTableChunking passes oversized table through unchanged") {
     val big = ("cell " * 300).trim
