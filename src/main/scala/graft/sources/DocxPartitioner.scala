@@ -151,15 +151,18 @@ object DocxPartitioner {
 
   // ---------------------------------------------------------------- run text
 
-  // python-docx CT_R.text equivalents: w:t content, w:tab -> \t, w:br/w:cr -> \n
+  // python-docx CT_R.text equivalents: w:t content, w:tab -> \t, w:br/w:cr -> \n,
+  // w:noBreakHyphen -> "-"
   private val TokenRe =
-    "(?s)<w:t(?: [^>]*)?>(.*?)</w:t>|<w:t(?: [^>]*)?/>|<w:tab/>|<w:br(?: [^>]*)?/>|<w:cr/>".r
+    ("(?s)<w:t(?: [^>]*)?>(.*?)</w:t>|<w:t(?: [^>]*)?/>|<w:tab/>" +
+      "|<w:br(?: [^>]*)?/>|<w:cr/>|<w:noBreakHyphen/>").r
 
   private def flatText(xml: String): String = {
     val sb = new StringBuilder
     TokenRe.findAllMatchIn(xml).foreach { m =>
       val tok = m.matched
       if (tok.startsWith("<w:tab")) sb.append('\t')
+      else if (tok.startsWith("<w:noBreakHyphen")) sb.append('-')
       else if (tok.startsWith("<w:t")) {
         if (m.group(1) != null) sb.append(HtmlPartitioner.unescape(m.group(1)))
       } else sb.append('\n')
@@ -303,11 +306,46 @@ object DocxPartitioner {
 
   // ---------------------------------------------------------------- tables
 
-  private def vMergeContinue(tcPr: String): Boolean =
+  private[sources] def vMergeContinue(tcPr: String): Boolean =
     "<w:vMerge(?:\\s([^>]*?))?/>".r.findFirstMatchIn(tcPr).exists { m =>
       val attrs = Option(m.group(1)).getOrElse("")
       !"w:val=\"([^\"]+)\"".r.findFirstMatchIn(attrs).map(_.group(1)).contains("restart")
     }
+
+  private val BreakTok = "<w:lastRenderedPageBreak/>"
+
+  /** Move rendered page-breaks that sit inside `<w:hyperlink>` spans to just
+    * after the hyperlink's close tag, so the split keeps the link text whole
+    * (python-docx `RenderedPageBreak.preceding_paragraph_fragment` includes
+    * the entire containing hyperlink). */
+  private[sources] def relocateHyperlinkBreaks(content: String): String = {
+    if (!content.contains(BreakTok)) return content
+    val sb = new java.lang.StringBuilder(content.length)
+    var i = 0
+    var last = 0
+    while ({ i = indexOfTag(content, "<w:hyperlink", last); i >= 0 }) {
+      val end = spanEnd(content, i, "w:hyperlink")
+      sb.append(content, last, i)
+      val span = content.substring(i, end)
+      if (span.contains(BreakTok)) {
+        sb.append(span.replace(BreakTok, ""))
+        sb.append(BreakTok)
+      } else sb.append(span)
+      last = end
+    }
+    sb.append(content, last, content.length)
+    sb.toString
+  }
+
+  /** Cell content with only the cell's OWN `<w:tcPr>` removed. Stripping every
+    * `w:tcPr` in the subtree would erase the vMerge markers of nested-table
+    * cells before the recursion sees them (the docx-hdrftr footer regression:
+    * a nested continuation cell's text leaked into the footer text). */
+  private def dropOwnTcPr(tcInner: String): String = {
+    val i = indexOfTag(tcInner, "<w:tcPr", 0)
+    if (i < 0) tcInner
+    else tcInner.substring(0, i) + tcInner.substring(spanEnd(tcInner, i, "w:tcPr"))
+  }
 
   /** `_iter_table_texts` (docx.py:799-827): stripped non-empty cell texts, vMerge
     * continuation cells skipped, nested tables recursed depth-first. */
@@ -323,7 +361,7 @@ object DocxPartitioner {
   }
 
   private def cellTexts(tcInner: String): Seq[String] =
-    topSpans(stripSpans(tcInner, "w:tcPr"), Seq("w:p", "w:tbl")).flatMap {
+    topSpans(dropOwnTcPr(tcInner), Seq("w:p", "w:tbl")).flatMap {
       case ("w:p", p) =>
         val t = paraText(innerOf(p, "w:p")).strip
         if (t.nonEmpty) Seq(t) else Nil
@@ -355,7 +393,7 @@ object DocxPartitioner {
         val text =
           if (vMergeContinue(tcPr)) colText.getOrElse(gcol, "")
           else HtmlPartitioner.normalizeWs(
-            (topSpans(stripSpans(tcInner, "w:tcPr"), Seq("w:p", "w:tbl")).map {
+            (topSpans(dropOwnTcPr(tcInner), Seq("w:p", "w:tbl")).map {
               case ("w:p", p) => paraText(innerOf(p, "w:p"))
               case (_, t) => tableTexts(t).mkString(" ")
             }).mkString(" "))
@@ -387,7 +425,7 @@ object DocxPartitioner {
 
   /** `_header_footer_text` (docx.py:559-586): paragraph texts and table texts,
     * stripped, non-empty, newline-joined. */
-  private def headerFooterText(partXml: String): String = {
+  private[sources] def headerFooterText(partXml: String): String = {
     val root = firstSpan(partXml, "w:hdr").orElse(firstSpan(partXml, "w:ftr"))
     val inner = root match {
       case Some(r) =>
@@ -486,7 +524,11 @@ object DocxPartitioner {
     def processParagraph(span: String): Unit = {
       val inner = innerOf(span, "w:p")
       val pPr = firstSpan(inner, "w:pPr").getOrElse("")
-      val content = stripSpans(inner, "w:pPr")
+      // a rendered break INSIDE a hyperlink does not split the link: the whole
+      // hyperlink stays in the preceding fragment and the break relocates to
+      // just after it (python-docx RenderedPageBreak fragment semantics,
+      // exercised by test_docx.py:1191-1255)
+      val content = relocateHyperlinkBreaks(stripSpans(inner, "w:pPr"))
       val frags = content.split(java.util.regex.Pattern.quote("<w:lastRenderedPageBreak/>"), -1)
       frags.zipWithIndex.foreach { case (frag, i) =>
         if (i > 0) incrementPage()
