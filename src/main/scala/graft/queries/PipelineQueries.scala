@@ -82,6 +82,15 @@ object PipelineQueries {
         ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
           combineTextUnderNChars = Some(0))))),
 
+    // Structured-Streaming chunk_elements: same derivation and options as
+    // q_chunk_basic, folded incrementally per doc with EndOfDocument control
+    // markers flushing the open tail — verified by the SAME batch oracle (the
+    // incremental fold equals the batch fold, pinned in ChunkerSpec)
+    "q_stream_chunk_basic" -> ((s, dir) =>
+      graft.streaming.StreamingOps.chunkBasicAvailableNow(s,
+        dir + "/documents.parquet",
+        ChunkingOptions(maxCharacters = 120, includeOrigElements = false))),
+
     // by_title with small-chunk recombination ENABLED (PreChunkCombiner,
     // base.py:1734-1809): 30-char elements make most pre-chunks far under the
     // window, so adjacent small sections genuinely recombine (first under
@@ -496,6 +505,9 @@ object PipelineQueries {
          |ORDER BY doc_id, seq""".stripMargin,
 
     "q_chunk_basic" -> chunkWalkSql("FALSE"),
+
+    // streaming result == batch result by the incremental-fold invariant
+    "q_stream_chunk_basic" -> chunkWalkSql("FALSE"),
 
     "q_chunk_by_title" -> chunkWalkSql(O.classify("e.full_text") + " = 'Title'"),
 

@@ -145,6 +145,60 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Control-marker element type: a row of this type signals end-of-document
+    * to the streaming chunk fold, flushing the group's open tail in-batch —
+    * the deterministic alternative to wall-clock timeouts when the source can
+    * mark document completion (e.g. a connector that knows file boundaries). */
+  val EndOfDocument = "__end_of_document__"
+
+  /**
+   * Streaming chunk_elements over the corpus, drained with AvailableNow: the
+   * same element derivation as the batch q_chunk_basic pipeline (paragraph
+   * split → classifier cascade → 100-char truncation), folded per doc through
+   * [[Chunker.chunkDocIncremental]] with O(window) state, flushed by
+   * [[EndOfDocument]] markers derived from the same source. Because the fold
+   * is exactly the batch fold (ChunkerSpec pins the equivalence), the batch
+   * chunk oracle verifies the streaming result.
+   */
+  def chunkBasicAvailableNow(spark: SparkSession, documentsPath: String,
+      opts: ChunkingOptions): DataFrame = {
+    import spark.implicits._
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-chunk")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
+    def docsStream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.replace(
+          col("text"), lit(" merge "), lit("\n\n")).as("text"))
+    val els = graft.sources.TextSource.partitionText(docsStream, col("text"))
+      .select(col("doc_id"), col("seq"), col("element_type"),
+        org.apache.spark.sql.functions.substring(col("text"), 1, 100).as("text"))
+      .as[(String, Long, String, String)]
+      .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
+    val markers = docsStream
+      .select(col("doc_id").cast("string")).as[String]
+      .map(d => Element("", EndOfDocument, "", d, Long.MaxValue))
+    val chunks = chunkStream(els.union(markers), opts)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("seq").as("chunk_seq"), col("text"))
+    val name = s"graft_stream_chunk_${sinkSeq.incrementAndGet()}"
+    val q = chunks.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+    } finally {
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: Throwable => () }
+    }
+    spark.table(name).orderBy("doc_id", "chunk_seq")
+  }
+
   /** Resume state for the incremental streaming chunk fold: the still-open trailing
     * pre-chunk's elements (O(window), never the whole document), the next chunk seq,
     * and the inter-chunk overlap prefix. */
@@ -177,13 +231,23 @@ object StreamingOps {
             chunks.iterator
           } else {
             val st = state.getOption.getOrElse(ChunkStreamState(Vector.empty, 0L, ""))
-            val arrived = it.toVector.sortBy(_.seq)
-            val (chunks, carry, nextSeq, prefix) = Chunker.chunkDocIncremental(
-              doc, st.carry ++ arrived, opts, st.nextSeq, st.overlapPrefix,
-              finalFlush = false)
-            state.update(ChunkStreamState(carry, nextSeq, prefix))
-            state.setTimeoutDuration(docTimeoutMs)
-            chunks.iterator
+            val (markers, arrived) = it.toVector.sortBy(_.seq)
+              .partition(_.`type` == EndOfDocument)
+            if (markers.nonEmpty) {
+              // an EndOfDocument control row closes the document in-batch
+              state.remove()
+              val (chunks, _, _, _) = Chunker.chunkDocIncremental(
+                doc, st.carry ++ arrived, opts, st.nextSeq, st.overlapPrefix,
+                finalFlush = true)
+              chunks.iterator
+            } else {
+              val (chunks, carry, nextSeq, prefix) = Chunker.chunkDocIncremental(
+                doc, st.carry ++ arrived, opts, st.nextSeq, st.overlapPrefix,
+                finalFlush = false)
+              state.update(ChunkStreamState(carry, nextSeq, prefix))
+              state.setTimeoutDuration(docTimeoutMs)
+              chunks.iterator
+            }
           }
       }
   }

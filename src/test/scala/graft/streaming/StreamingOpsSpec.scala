@@ -52,6 +52,33 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("EndOfDocument marker flushes the open tail in-batch, no timeout needed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Element]
+    val chunks = StreamingOps.chunkStream(input.toDS(),
+      ChunkingOptions(maxCharacters = 120, includeOrigElements = false))
+    val query = chunks.writeStream
+      .format("memory").queryName("chunks_marker_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      input.addData(
+        Element("", ElementType.NarrativeText, "Open tail sentence.", "docM", 1),
+        Element("", StreamingOps.EndOfDocument, "", "docM", Long.MaxValue))
+      var rows = Array.empty[Element]
+      val deadline = System.currentTimeMillis() + 180000
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        rows = spark.table("chunks_marker_out").as[Element].collect()
+      }
+      // the tail flushed from the marker alone (well before any 10 s timeout)
+      assert(rows.map(_.text).toSeq == Seq("Open tail sentence."))
+      assert(!rows.exists(_.`type` == StreamingOps.EndOfDocument))
+    } finally query.stop()
+  }
+
   test("file-arrival stream partitions new files into elements") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
