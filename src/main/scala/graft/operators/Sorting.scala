@@ -158,7 +158,10 @@ object Sorting {
         if (primaryDirection == "x")
           recursiveXyCutSwapped(bboxes, bboxes.indices, res)
         else recursiveXyCut(bboxes, bboxes.indices, res)
-        res.map(els(_)).toSeq
+        // degenerate geometry (e.g. zero-extent boxes after int truncation)
+        // can collapse the projection profile and lose indices — a sort must
+        // NEVER drop elements, so fall back to source order when it would
+        if (res.length != els.length) els else res.map(els(_)).toSeq
       case SortModeBasic =>
         if (!coordsOk(strictPoints = false)) return els
         els.sortBy { e =>

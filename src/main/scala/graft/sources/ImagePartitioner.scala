@@ -145,8 +145,32 @@ object ImagePartitioner {
     * elements; the detection/OCR kernel is the documented stub — text empty,
     * structure metadata real). Malformed payloads yield zero elements. */
   def partitionImage(b: Array[Byte]): Seq[RawPara] =
-    imageMeta(b).toSeq.map { m =>
-      RawPara("", elementType = Some("Image"), imageMime = Some(m.mime),
-        pageNumber = Some(1), classifier = "image")
+    partitionImage(b, graft.operators.Registries.ocrAgent)
+
+  /**
+   * With an OCR agent registered the image runs the ocr_only shape
+   * (`partition_pdf_or_image(is_image=True)` → OCR →
+   * `ocr_data_to_elements`): the agent's line regions over the decoded pixel
+   * geometry normalize, sort, and clean exactly like a scanned PDF page. The
+   * OCR inference itself stays the seam; without an agent, the Image element
+   * with decoded metadata is emitted as before.
+   */
+  def partitionImage(b: Array[Byte],
+      ocr: Option[PdfHiRes.OcrSource]): Seq[RawPara] =
+    imageMeta(b).toSeq.flatMap { m =>
+      val imageEl = RawPara("", elementType = Some("Image"),
+        imageMime = Some(m.mime), pageNumber = Some(1), classifier = "image")
+      ocr match {
+        case Some(agent) =>
+          val page = PdfHiRes.PageLayout(1, m.width.toDouble, m.height.toDouble, Nil)
+          val regions = agent(page).map(r =>
+            graft.operators.PdfminerGeometry.LayoutRegion(r.bbox, r.text,
+              classId = 0, elementType = "UncategorizedText",
+              source = "ocr_tesseract"))
+          val ocrEls = PdfHiRes.pageToElements(PdfHiRes.sortBasic(regions), page)
+            .map(PdfHiRes.toRawPara)
+          if (ocrEls.nonEmpty) ocrEls else Seq(imageEl)
+        case None => Seq(imageEl)
+      }
     }
 }

@@ -83,6 +83,31 @@ class RouterModelSeamsSpec extends AnyFunSuite {
     } finally Registries.clearLayoutDetector()
   }
 
+  test("registered OCR agent: image partitions to OCR elements with real geometry") {
+    // 1x1 PNG (smallest valid header) — the OCR seam supplies the text layer
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    try {
+      Registries.registerOcrAgent(page =>
+        Seq(SourceRegion((0, 0, page.width, page.height / 2), Some("ocr line one"),
+          isExtracted = false),
+          SourceRegion((0, page.height / 2, page.width, page.height),
+            Some("ocr line two"), isExtracted = false)))
+      val (ft, paras) = Partitioners.partitionAuto("scan.png", png)
+      assert(ft === FileType.Png)
+      assert(paras.map(_.text) === Seq("ocr line one", "ocr line two"))
+      assert(paras.forall(_.pageNumber.contains(1)))
+    } finally Registries.clearOcrAgent()
+  }
+
+  test("image without OCR agent still yields the metadata-bearing Image element") {
+    Registries.clearOcrAgent()
+    val png = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+    val (_, paras) = Partitioners.partitionAuto("pic.png", png)
+    assert(paras.map(_.elementType) === Seq(Some("Image")))
+  }
+
   test("extractable PDF keeps routing fast even with seams registered") {
     try {
       Registries.registerLayoutDetector(pages => pages.map(_ => Nil))
