@@ -200,7 +200,7 @@ object HtmlPartitioner {
     val linkU = mutable.ArrayBuffer.empty[String]
     def isEmpty: Boolean = segs.isEmpty
     def flush(tpe: Option[String], depth: Option[Int], out: mutable.ArrayBuffer[RawPara],
-        preserveWs: Boolean = false): Unit = {
+        preserveWs: Boolean = false, page: Option[Int] = None): Unit = {
       if (segs.nonEmpty) {
         val joined = segs.mkString
         val text =
@@ -209,7 +209,7 @@ object HtmlPartitioner {
         if (text.nonEmpty) {
           out += RawPara(text, tpe, depth,
             emphasizedContents = emphC.toSeq, emphasizedTags = emphT.toSeq,
-            linkTexts = linkT.toSeq, linkUrls = linkU.toSeq)
+            linkTexts = linkT.toSeq, linkUrls = linkU.toSeq, pageNumber = page)
         }
         segs.clear(); emphC.clear(); emphT.clear(); linkT.clear(); linkU.clear()
       }
@@ -228,12 +228,19 @@ object HtmlPartitioner {
         .collectFirst { case Some(hit) => hit }
     val root = find(dom, "main").orElse(find(dom, "body")).getOrElse(dom)
     val out = mutable.ArrayBuffer.empty[RawPara]
-    walkFlow(root, None, 0, out, skipHeadersAndFooters)
+    walkFlow(root, None, 0, out, skipHeadersAndFooters, None)
     out.toVector
   }
 
   private def walkFlow(el: HElem, cls: Option[String], listDepth: Int,
-      out: mutable.ArrayBuffer[RawPara], skipHF: Boolean): Unit = {
+      out: mutable.ArrayBuffer[RawPara], skipHF: Boolean,
+      inheritedPage: Option[Int] = None): Unit = {
+    // `data-page-number` on the nearest flow ancestor (or self) sets
+    // page_number; a non-numeric value falls back to the outer ancestor's
+    // (`html/parser.py:351-363`)
+    val page: Option[Int] =
+      el.attrs.get("data-page-number").flatMap(_.trim.toIntOption)
+        .orElse(inheritedPage)
     val acc = new Accum
     val isPre = el.tag == "pre"
     val depth: Option[Int] = cls match {
@@ -250,25 +257,25 @@ object HtmlPartitioner {
         else if (PhrasingTags.contains(tag)) walkPhrasing(child, "", acc)
         else {
           // block boundary: flush accumulated phrasing as its own paragraph
-          acc.flush(cls, depth, out, isPre)
+          acc.flush(cls, depth, out, isPre, page)
           tag match {
             case t if HeadingTags.contains(t) =>
-              walkFlow(child, Some("Title"), listDepth, out, skipHF)
+              walkFlow(child, Some("Title"), listDepth, out, skipHF, page)
             case "li" =>
-              walkFlow(child, Some("ListItem"), listDepth, out, skipHF)
+              walkFlow(child, Some("ListItem"), listDepth, out, skipHF, page)
             case "ul" | "ol" =>
-              walkFlow(child, None, listDepth + 1, out, skipHF)
+              walkFlow(child, None, listDepth + 1, out, skipHF, page)
             case "pre" =>
-              walkFlow(child, Some("CodeSnippet"), listDepth, out, skipHF)
+              walkFlow(child, Some("CodeSnippet"), listDepth, out, skipHF, page)
             case "p" =>
-              walkFlow(child, None, listDepth, out, skipHF)
+              walkFlow(child, None, listDepth, out, skipHF, page)
             case "table" => emitTable(child, out)
             case "img" => emitImage(child, out)
-            case _ => walkFlow(child, None, listDepth, out, skipHF)
+            case _ => walkFlow(child, None, listDepth, out, skipHF, page)
           }
         }
     }
-    acc.flush(cls, depth, out, isPre)
+    acc.flush(cls, depth, out, isPre, page)
   }
 
   private def walkPhrasing(el: HElem, emphasis: String, acc: Accum): Unit = {

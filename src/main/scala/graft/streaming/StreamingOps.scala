@@ -180,7 +180,7 @@ object StreamingOps {
     val markers = docsStream
       .select(col("doc_id").cast("string")).as[String]
       .map(d => Element("", EndOfDocument, "", d, Long.MaxValue))
-    val chunks = chunkStream(els.union(markers), opts)
+    val chunks = chunkStream(els.union(markers), opts, useTimeout = false)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("seq").as("chunk_seq"), col("text"))
     val name = s"graft_stream_chunk_${sinkSeq.incrementAndGet()}"
@@ -216,12 +216,19 @@ object StreamingOps {
    * by seq, matching a source that emits documents in reading order.
    */
   def chunkStream(els: Dataset[Element], opts: ChunkingOptions,
-      docTimeoutMs: Long = 10000L): Dataset[Element] = {
+      docTimeoutMs: Long = 10000L,
+      useTimeout: Boolean = true): Dataset[Element] = {
     val sp = els.sparkSession
     import sp.implicits._
+    // ProcessingTimeTimeout keeps the engine scheduling wall-clock check
+    // batches forever — a drain that relies on EndOfDocument markers runs
+    // with NoTimeout so AvailableNow can actually terminate
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     els.groupByKey(_.doc_id)
       .flatMapGroupsWithState[ChunkStreamState, Element](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (doc: String, it: Iterator[Element], state: GroupState[ChunkStreamState]) =>
           if (state.hasTimedOut) {
             val st = state.getOption.getOrElse(ChunkStreamState(Vector.empty, 0L, ""))
@@ -245,7 +252,7 @@ object StreamingOps {
                 doc, st.carry ++ arrived, opts, st.nextSeq, st.overlapPrefix,
                 finalFlush = false)
               state.update(ChunkStreamState(carry, nextSeq, prefix))
-              state.setTimeoutDuration(docTimeoutMs)
+              if (useTimeout) state.setTimeoutDuration(docTimeoutMs)
               chunks.iterator
             }
           }

@@ -206,4 +206,24 @@ class HtmlBehaviorSpec extends SparkSuiteBase {
       .startsWith("[107th Congress Public Law 56]"))
     assert(!ps.exists(_.elementType.contains("PageBreak")))
   }
+
+  // -- parser.py _page_number tests (html/test_parser.py:328-473) --
+  test("data-page-number on the nearest flow ancestor sets page_number") {
+    val paras = HtmlPartitioner.partition(
+      "<div data-page-number=\"2\"><p>on page two</p></div><p>no page</p>")
+    assert(paras.map(p => (p.text, p.pageNumber)) ==
+      Vector(("on page two", Some(2)), ("no page", None)))
+  }
+
+  test("non-numeric data-page-number falls back to the outer ancestor's") {
+    val paras = HtmlPartitioner.partition(
+      "<div data-page-number=\"3\"><div data-page-number=\"x\">" +
+        "<p>inherits three</p></div></div>")
+    assert(paras.head.pageNumber == Some(3))
+    // nearest wins over outer when both are valid
+    val inner = HtmlPartitioner.partition(
+      "<div data-page-number=\"3\"><div data-page-number=\"7\">" +
+        "<p>seven</p></div></div>")
+    assert(inner.head.pageNumber == Some(7))
+  }
 }
