@@ -222,7 +222,16 @@ object OoxmlPartitioner {
   def partitionXlsx(bytes: Array[Byte]): Seq[RawPara] =
     partitionXlsx(bytes, findSubtable = true)
 
-  def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean): Seq[RawPara] = {
+  def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean): Seq[RawPara] =
+    partitionXlsx(bytes, findSubtable, includeHeader = false)
+
+  /** `include_header=True` (`test_xlsx.py:110-118`): the first worksheet row
+    * becomes the column headings — blank headings fill as pandas "Unnamed: N"
+    * — prepended to the table text and rendered as a `<thead>`. Header
+    * consumption precedes subtable detection, and a headed sheet reads as one
+    * table (the pandas `read_excel(header=0)` shape). */
+  def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean,
+      includeHeader: Boolean): Seq[RawPara] = {
     val entries = zipEntries(bytes, n =>
       n == "xl/sharedStrings.xml" || n == "xl/workbook.xml" ||
         (n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")))
@@ -265,7 +274,17 @@ object OoxmlPartitioner {
         }
       }
       if (maxR < 0) Nil
-      else if (findSubtable) {
+      else if (includeHeader) {
+        val matrix0 = (0 to maxR).map(r => (0 to maxC).map(c => grid.getOrElse((r, c), "")))
+        val headers = matrix0.head.zipWithIndex.map { case (h, i) =>
+          if (h.nonEmpty) h else s"Unnamed: $i"
+        }
+        val matrix = headers +: matrix0.tail
+        Seq(RawPara(Partitioners.tableText(matrix), Some("Table"),
+          textAsHtml = Some(Partitioners.pandasTableHtml(matrix, header = true)),
+          pageNumber = Some(si + 1),
+          pageName = sheetNames.lift(si)))
+      } else if (findSubtable) {
         subtableElements(grid.toMap, si + 1, sheetNames.lift(si))
       } else {
         val matrix = (0 to maxR).map(r => (0 to maxC).map(c => grid.getOrElse((r, c), "")))

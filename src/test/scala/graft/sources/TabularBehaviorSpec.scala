@@ -126,6 +126,26 @@ class TabularBehaviorSpec extends AnyFunSuite {
   }
 
   // -- test_xlsx.py::test_partition_xlsx_with_find_subtables_False (:308-319) --
+  // -- test_partition_xlsx_from_filename_with_header (test_xlsx.py:110) --
+  test("include_header=true prepends pandas-style column headings") {
+    val els = OoxmlPartitioner.partitionXlsx(
+      bytes("stanley-cups.xlsx"), findSubtable = true, includeHeader = true)
+    assert(els.size == 2)
+    assert(els.forall(_.elementType.contains("Table")))
+    assert(els.head.text.replaceAll("\\s+", " ").trim ==
+      "Stanley Cups Unnamed: 1 Unnamed: 2 " +
+        "Team Location Stanley Cups Blues STL 1 Flyers PHI 2 Maple Leafs TOR 13")
+    assert(els.head.textAsHtml.exists(_.contains("<thead>")))
+    assert(els.head.textAsHtml.exists(_.contains("<th>Unnamed: 1</th>")))
+  }
+
+  // -- test_partition_xlsx_with_more_than_1k_cells (test_xlsx.py:291): the
+  //    connected-component walk must not blow the stack on a dense sheet --
+  test("a worksheet with more than 1k cells partitions without stack overflow") {
+    val els = OoxmlPartitioner.partitionXlsx(bytes("more-than-1k-cells.xlsx"))
+    assert(els.nonEmpty)
+  }
+
   test("find_subtable=false emits one Table per worksheet") {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/example-docs/stanley-cups.xlsx"))
