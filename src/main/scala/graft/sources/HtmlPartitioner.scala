@@ -269,8 +269,8 @@ object HtmlPartitioner {
               walkFlow(child, Some("CodeSnippet"), listDepth, out, skipHF, page)
             case "p" =>
               walkFlow(child, None, listDepth, out, skipHF, page)
-            case "table" => emitTable(child, out)
-            case "img" => emitImage(child, out)
+            case "table" => emitTable(child, out, page)
+            case "img" => emitImage(child, out, page)
             case _ => walkFlow(child, None, listDepth, out, skipHF, page)
           }
         }
@@ -316,7 +316,13 @@ object HtmlPartitioner {
     * table reduces to text inside its containing cell), cell text is the
     * stripped-text-node join, html renders the cell matrix through
     * `htmlify_matrix_of_cell_texts` (newlines inside a cell become `<br/>`). */
-  private def emitTable(el: HElem, out: mutable.ArrayBuffer[RawPara]): Unit = {
+  private def emitTable(el: HElem, out: mutable.ArrayBuffer[RawPara],
+      inheritedPage: Option[Int]): Unit = {
+    // Table inherits the tracked page number like any flow element
+    // (parser.py:563 attaches page_number=self._page_number); a
+    // data-page-number on the <table> itself wins, as in walkFlow.
+    val page = el.attrs.get("data-page-number").flatMap(_.trim.toIntOption)
+      .orElse(inheritedPage)
     val sectionTags = Set("thead", "tbody", "tfoot")
     val trs: Vector[HElem] = el.children.toVector.flatMap {
       case e: HElem if e.tag == "tr" => Vector(e)
@@ -340,19 +346,25 @@ object HtmlPartitioner {
     val text = matrix.map(_.filter(_.nonEmpty).mkString(" ")).mkString(" ").strip
     if (text.isEmpty) return
     out += RawPara(text, Some("Table"),
-      textAsHtml = Some(Partitioners.htmlifyMatrix(matrix, escapeQuotes = true)))
+      textAsHtml = Some(Partitioners.htmlifyMatrix(matrix, escapeQuotes = true)),
+      pageNumber = page)
   }
 
-  private def emitImage(el: HElem, out: mutable.ArrayBuffer[RawPara]): Unit = {
+  private def emitImage(el: HElem, out: mutable.ArrayBuffer[RawPara],
+      inheritedPage: Option[Int]): Unit = {
+    // Image inherits the tracked page number (parser.py:523).
+    val page = el.attrs.get("data-page-number").flatMap(_.trim.toIntOption)
+      .orElse(inheritedPage)
     val src = el.attrs.get("data-src").map(_.trim).filter(_.nonEmpty)
       .orElse(el.attrs.get("src").map(_.trim).filter(_.nonEmpty))
     val alt = el.attrs.get("alt").map(_.trim).getOrElse("")
     src match {
       case None => ()
       case Some(Base64ImageRe(mime, b64)) =>
-        out += RawPara(alt, Some("Image"), imageBase64 = Some(b64), imageMime = Some(mime))
+        out += RawPara(alt, Some("Image"), imageBase64 = Some(b64),
+          imageMime = Some(mime), pageNumber = page)
       case Some(url) =>
-        out += RawPara(alt, Some("Image"), imageUrl = Some(url))
+        out += RawPara(alt, Some("Image"), imageUrl = Some(url), pageNumber = page)
     }
   }
 

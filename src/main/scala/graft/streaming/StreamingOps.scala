@@ -201,9 +201,13 @@ object StreamingOps {
 
   /** Resume state for the incremental streaming chunk fold: the still-open trailing
     * pre-chunk's elements (O(window), never the whole document), the next chunk seq,
-    * and the inter-chunk overlap prefix. */
+    * and the inter-chunk overlap prefix. `closed` marks a document whose
+    * EndOfDocument marker already arrived — a tombstone kept so elements that
+    * land in a LATER micro-batch (multi-part files under maxFilesPerTrigger)
+    * continue at `nextSeq` instead of re-opening the doc at chunk seq 0. */
   final case class ChunkStreamState(
-      carry: Vector[Element], nextSeq: Long, overlapPrefix: String)
+      carry: Vector[Element], nextSeq: Long, overlapPrefix: String,
+      closed: Boolean = false)
 
   /**
    * Streaming `chunk_elements`/`chunk_by_title`: each micro-batch folds the carried
@@ -240,12 +244,20 @@ object StreamingOps {
             val st = state.getOption.getOrElse(ChunkStreamState(Vector.empty, 0L, ""))
             val (markers, arrived) = it.toVector.sortBy(_.seq)
               .partition(_.`type` == EndOfDocument)
-            if (markers.nonEmpty) {
-              // an EndOfDocument control row closes the document in-batch
-              state.remove()
-              val (chunks, _, _, _) = Chunker.chunkDocIncremental(
+            if (markers.nonEmpty || st.closed) {
+              // An EndOfDocument control row closes the document in-batch.
+              // Instead of state.remove(), keep a `closed` tombstone with the
+              // final seq: if part of the doc only arrives in a later
+              // micro-batch, those elements flush immediately, continuing at
+              // nextSeq — no duplicate chunk_seq values. The tombstone ages
+              // out via the processing-time timeout when one is configured;
+              // under the marker-driven AvailableNow drain the query
+              // terminates anyway.
+              val (chunks, _, finalSeq, _) = Chunker.chunkDocIncremental(
                 doc, st.carry ++ arrived, opts, st.nextSeq, st.overlapPrefix,
                 finalFlush = true)
+              state.update(ChunkStreamState(Vector.empty, finalSeq, "", closed = true))
+              if (useTimeout) state.setTimeoutDuration(docTimeoutMs)
               chunks.iterator
             } else {
               val (chunks, carry, nextSeq, prefix) = Chunker.chunkDocIncremental(

@@ -933,4 +933,18 @@ class ChunkerSpec extends AnyFunSuite {
     assert(Chunker.normalizeWs("") == "")
     assert(Chunker.normalizeWs(" \n ") == "")
   }
+
+  // -- _as_header_row_html (base.py:1366-1379): only DIRECT <td> children of
+  // the header <tr> become <th>; a nested table inside a header cell keeps
+  // its own <td> cells untouched.
+  test("headerHtml converts only top-level cells, not a nested table's") {
+    val src = "<tr><td>Outer A</td>" +
+      "<td><table><tr><td>inner 1</td><td>inner 2</td></tr></table></td>" +
+      "<td colspan=\"2\">Outer B</td></tr>"
+    val row = Chunker.TableChunker.Row(Vector.empty, isHeader = false, sourceHtml = src)
+    assert(row.headerHtml ==
+      "<tr><th>Outer A</th>" +
+        "<th><table><tr><td>inner 1</td><td>inner 2</td></tr></table></th>" +
+        "<th colspan=\"2\">Outer B</th></tr>")
+  }
 }

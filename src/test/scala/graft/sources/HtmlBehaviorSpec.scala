@@ -226,4 +226,23 @@ class HtmlBehaviorSpec extends SparkSuiteBase {
         "<p>seven</p></div></div>")
     assert(inner.head.pageNumber == Some(7))
   }
+
+  // Table gets page_number=self._page_number at parse time (parser.py:563);
+  // Image likewise (parser.py:523) — both inherit from the paged ancestor.
+  test("Table and Image inherit data-page-number from a flow ancestor") {
+    val paras = HtmlPartitioner.partition(
+      "<div data-page-number=\"4\">" +
+        "<p>sibling text</p>" +
+        "<table><tr><td>cell one</td><td>cell two</td></tr></table>" +
+        "<img src=\"http://example.com/pic.png\" alt=\"a pic\"/>" +
+        "</div>")
+    val byType = paras.map(p => p.elementType -> p.pageNumber).toMap
+    assert(paras.forall(_.pageNumber == Some(4)), paras.toString)
+    assert(byType.contains(Some("Table")) && byType.contains(Some("Image")))
+    // a data-page-number on the <table> itself wins over the ancestor's
+    val own = HtmlPartitioner.partition(
+      "<div data-page-number=\"4\">" +
+        "<table data-page-number=\"9\"><tr><td>cell</td></tr></table></div>")
+    assert(own.head.pageNumber == Some(9))
+  }
 }

@@ -79,6 +79,38 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("elements arriving AFTER the marker continue chunk seq, never restart at 0") {
+    // multi-part files under maxFilesPerTrigger can land a doc's tail in a
+    // micro-batch after its EndOfDocument marker; the closed-tombstone state
+    // keeps the next chunk seq so late chunks don't collide with emitted ones
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Element]
+    val chunks = StreamingOps.chunkStream(input.toDS(),
+      ChunkingOptions(maxCharacters = 120, includeOrigElements = false),
+      useTimeout = false)
+    val query = chunks.writeStream
+      .format("memory").queryName("chunks_late_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(100))
+      .start()
+    try {
+      input.addData(
+        Element("", ElementType.NarrativeText, "First part sentence.", "docL", 1),
+        Element("", StreamingOps.EndOfDocument, "", "docL", Long.MaxValue))
+      query.processAllAvailable()
+      // a later micro-batch delivers elements for the already-closed doc
+      input.addData(
+        Element("", ElementType.NarrativeText, "Late straggler sentence.", "docL", 2))
+      query.processAllAvailable()
+      val rows = spark.table("chunks_late_out").as[Element].collect().sortBy(_.seq)
+      assert(rows.map(_.text).toSeq ==
+        Seq("First part sentence.", "Late straggler sentence."))
+      assert(rows.map(_.seq).toSeq == Seq(0L, 1L), "duplicate or restarted chunk_seq")
+      assert(rows.map(_.element_id).distinct.length == 2)
+    } finally query.stop()
+  }
+
   test("file-arrival stream partitions new files into elements") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
