@@ -161,6 +161,45 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "seq")
     }),
 
+    // hi_res image-block extraction (`extract_image_block_types` +
+    // `extract_image_block_to_payload`, `pdf.py:1013-1043` /
+    // `pdf_image_utils.py:117-227`): the corpus PDF embeds a real FlateDecode
+    // RGB image XObject placed at a fixed rect; the fake detector emits a
+    // Picture box exactly on it and a Table box strictly containing the two
+    // short text lines. The save pass composites the page raster from the
+    // embedded image, crops both padded boxes, JPEG-encodes, and stamps
+    // image_base64/image_mime_type. The query decodes each payload back
+    // through ImageIO so the emitted dimensions prove the full
+    // raster→crop→encode→base64 roundtrip; fixed geometry makes them
+    // constants for the oracle.
+    "q_pdf_image_blocks" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.PdfminerGeometry.LayoutRegion
+      import graft.sources.{PdfHiRes, PdfImages}
+      docBase(s, dir).flatMap { d =>
+        val detector: PdfHiRes.Detector = pages => pages.map { p =>
+          if (p.pageNumber == 1) Seq(
+            LayoutRegion((100, 192, 250, 292), None, elementType = "Picture",
+              prob = Some(0.9)),
+            LayoutRegion((60, 40, 600, 150), None, elementType = "Table",
+              prob = Some(0.85)))
+          else Nil
+        }
+        val els = PdfHiRes.partitionHiRes(CorpusBytes.pdfWithImage(d), detector,
+          imageBlocks = PdfImages.ImageBlockOptions(
+            types = Seq("Image", "Table"), toPayload = true))
+        els.filter(_.metadata.image_base64.isDefined).map { e =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(e.metadata.image_base64.get)))
+          (d.docId, e.`type`, e.metadata.page_number.getOrElse(-1),
+            e.metadata.image_mime_type.orNull, img.getWidth, img.getHeight,
+            e.metadata.image_path.isDefined.toString)
+        }
+      }.toDF("doc_id", "element_type", "page_number", "mime", "img_w", "img_h",
+        "has_path")
+        .orderBy("doc_id", "element_type")
+    }),
+
     // PDF strategy auto-selection (`strategies.py:24-109` + `pdf.py:618-744`):
     // 11 scenarios per doc spanning auto-resolution (text → fast, no text →
     // ocr_only, tables → hi_res), the vector-drawing complexity probe, every
@@ -613,6 +652,20 @@ object BinaryFormatQueries {
          |    'page two ' || source, 2 FROM base)
          |SELECT doc_id, seq, element_type, category_depth, text, page_number
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
+
+    // fixed detector geometry + fixed XObject placement make every extracted
+    // block's crop dimensions document-independent constants: the Picture box
+    // is 150x100 pt and the Table envelope int-truncates to 540x110
+    "q_pdf_image_blocks" ->
+      s"""WITH base AS ($base)
+         |SELECT doc_id, element_type, page_number, mime, img_w, img_h, has_path
+         |FROM (
+         |  SELECT doc_id, 'Image' AS element_type, 1 AS page_number,
+         |    'image/jpeg' AS mime, 150 AS img_w, 100 AS img_h,
+         |    'false' AS has_path FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'Table', 1, 'image/jpeg', 540, 110, 'false' FROM base)
+         |ORDER BY doc_id, element_type""".stripMargin,
 
     // every scenario's outcome is a pure function of the constructed corpus, so
     // the oracle is a constant table per doc — a routing-rule regression (wrong

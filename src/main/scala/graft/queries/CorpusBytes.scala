@@ -241,6 +241,53 @@ object CorpusBytes {
     out.toByteArray
   }
 
+  /**
+   * Two-page PDF with an EMBEDDED IMAGE XOBJECT for the image-block
+   * extraction path: page 1 draws a 24×16 FlateDecode /DeviceRGB image
+   * (deterministic per-doc gradient) into the 150×100 pt rect at
+   * bottom-up (100,500)→(250,600) — top-left frame (100,192,250,292) —
+   * plus two short text lines (the doc's first-3-words title and a fixed
+   * caption) whose estimated line boxes stay strictly inside a
+   * (60,40,600,150) envelope; page 2 is one text line. The fixed geometry
+   * makes crop dimensions pure constants for the oracle.
+   */
+  def pdfWithImage(d: Doc): Array[Byte] = {
+    val rgb = new Array[Byte](24 * 16 * 3)
+    var i = 0
+    while (i < 24 * 16) {
+      val x = i % 24; val y = i / 24
+      rgb(i * 3) = ((x * 10 + d.docId) % 256).toByte
+      rgb(i * 3 + 1) = ((y * 16) % 256).toByte
+      rgb(i * 3 + 2) = 100.toByte
+      i += 1
+    }
+    val imgData = deflate(rgb)
+    val body = "q 150 0 0 100 100 500 cm /Im1 Do Q\n" +
+      "BT /F1 12 Tf 72 720 Td (" + pdfStr(d.t3) + ") Tj " +
+      "0 -16 TD (figure caption line) Tj ET"
+    val content = deflate(body.getBytes(ISO_8859_1))
+    val page2 = deflate(("BT /F1 12 Tf 72 720 Td (page two " +
+      pdfStr(d.source) + ") Tj ET").getBytes(ISO_8859_1))
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /XObject << /Im1 7 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
+    out.write(content); w("endstream endobj\n")
+    w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${page2.length} /Filter /FlateDecode >> stream\n")
+    out.write(page2); w("endstream endobj\n")
+    w(s"7 0 obj << /Type /XObject /Subtype /Image /Width 24 /Height 16 " +
+      s"/BitsPerComponent 8 /ColorSpace /DeviceRGB /Filter /FlateDecode " +
+      s"/Length ${imgData.length} >> stream\n")
+    out.write(imgData); w("endstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Minimal single-page PDF wrapper around one raw (uncompressed) content
     * stream — the strategy-probe corpora below share it. */
   private def onePagePdf(body: Array[Byte]): Array[Byte] = {

@@ -329,10 +329,18 @@ object PdfHiRes {
    * `_partition_pdf_or_image_local` — the full composition. Elements come
    * back with `seq` assigned in final reading order; `doc_id`/ids are the
    * caller's (hash-ids pass), as everywhere else in the engine.
+   *
+   * `imageBlocks` runs the `extract_image_block_types` /
+   * `extract_images_in_pdf` save pass over the final elements
+   * (`pdf.py:1013-1043`) — page rasters composite lazily (only pages an
+   * extracted element actually lands on rasterize) at the same `dpi` the
+   * element coordinates use.
    */
   def partitionHiRes(bytes: Array[Byte], detector: Detector, dpi: Int = 72,
       includePageBreaks: Boolean = false,
-      ocr: Option[OcrSource] = None): Seq[Element] = {
+      ocr: Option[OcrSource] = None,
+      imageBlocks: PdfImages.ImageBlockOptions = PdfImages.ImageBlockOptions())
+      : Seq[Element] = {
     val extracted = extractedPageLayouts(bytes, dpi)
     if (extracted.isEmpty) return Nil
     val inferred = detector(extracted)
@@ -349,6 +357,20 @@ object PdfHiRes {
         out += Element("", ElementType.PageBreak, "", "", 0,
           graft.model.ElementMetadata(page_number = Some(page.pageNumber)))
     }
-    out.toSeq.zipWithIndex.map { case (e, i) => e.copy(seq = i + 1L) }
+    val elements = out.toSeq.zipWithIndex.map { case (e, i) => e.copy(seq = i + 1L) }
+    if (!imageBlocks.enabled) elements
+    else {
+      val coef = dpi / 72.0
+      lazy val placements = PdfImages.placedImages(bytes)
+      // page dims in points (PageLayout width/height are already coef-scaled)
+      val dims: Map[Int, (Double, Double)] = extracted
+        .map(p => p.pageNumber -> (p.width / coef, p.height / coef)).toMap
+      val rasterCache = mutable.Map.empty[Int, Option[java.awt.image.BufferedImage]]
+      def raster(page: Int): Option[java.awt.image.BufferedImage] =
+        rasterCache.getOrElseUpdate(page, dims.get(page).map { case (w, h) =>
+          PdfImages.rasterizePage(w, h, coef, placements.getOrElse(page, Nil))
+        })
+      PdfImages.applyImageBlocks(elements, imageBlocks, raster)
+    }
   }
 }

@@ -759,6 +759,72 @@ object PdfPartitioner {
       }.toMap
     }
 
+    /** Image XObjects reachable from this page's resources, name → decoded
+      * raster where the codec is offline-decodable: DCTDecode streams are raw
+      * JFIF bytes (`ImageIO.read`), Flate/uncompressed 8-bit DeviceGray /
+      * DeviceRGB samples build directly. Unsupported codecs (CCITT, JBIG2,
+      * JPX, indexed, predictors) keep their declared pixel dims with no
+      * raster, exactly the cases the reference's renderer also degrades on. */
+    def imageXObjects(page: PdfObj): Map[String, ImageXObject] = {
+      val xobjDict = resourcesOf(page).flatMap(r => resolved(r, "XObject"))
+        .getOrElse(return Map.empty)
+      """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(xobjDict)
+        .flatMap { m =>
+          objs.get(m.group(2).toInt)
+            .filter(xo => dictValue(xo.dict, "Subtype").exists(_.trim == "/Image"))
+            .flatMap { xo =>
+              def intOf(key: String): Option[Int] =
+                dictValue(xo.dict, key).flatMap(v =>
+                  """\d+""".r.findFirstIn(v)).flatMap(_.toIntOption)
+              for { w <- intOf("Width"); h <- intOf("Height") if w > 0 && h > 0 }
+                yield m.group(1) -> ImageXObject(w, h, decodeImageStream(xo, w, h))
+            }
+        }.toMap
+    }
+
+    private def decodeImageStream(xo: PdfObj, w: Int, h: Int)
+        : Option[java.awt.image.BufferedImage] = {
+      val filters = dictValue(xo.dict, "Filter").toSeq.flatMap { f =>
+        "/([A-Za-z0-9]+)".r.findAllMatchIn(f).map(_.group(1)).toSeq
+      }
+      val data = streamData(xo).getOrElse(return None)
+      if (filters.contains("DCTDecode")) {
+        // streamData leaves DCT payloads untouched — they are complete JFIF files
+        scala.util.Try(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(data))).toOption.flatMap(Option(_))
+      } else if (filters.forall(f => f == "FlateDecode" || f == "ASCII85Decode")) {
+        val bpc = dictValue(xo.dict, "BitsPerComponent")
+          .flatMap(v => """\d+""".r.findFirstIn(v)).flatMap(_.toIntOption).getOrElse(8)
+        val predictored = dictValue(xo.dict, "DecodeParms")
+          .orElse(dictValue(xo.dict, "DP")).exists(_.contains("/Predictor"))
+        if (bpc != 8 || predictored) return None
+        val cs = resolved(xo.dict, "ColorSpace").getOrElse("")
+        val comps =
+          if (cs.contains("DeviceRGB")) 3
+          else if (cs.contains("DeviceGray")) 1
+          else return None
+        if (data.length < w.toLong * h * comps) return None
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (y * w + x) * comps
+            val rgb =
+              if (comps == 3)
+                ((data(base) & 0xFF) << 16) | ((data(base + 1) & 0xFF) << 8) |
+                  (data(base + 2) & 0xFF)
+              else { val g = data(base) & 0xFF; (g << 16) | (g << 8) | g }
+            img.setRGB(x, y, rgb)
+            x += 1
+          }
+          y += 1
+        }
+        Some(img)
+      } else None
+    }
+
     private val fontCache = mutable.Map.empty[Int, PdfFont]
 
     private def parseFont(fo: PdfObj): PdfFont = fontCache.getOrElseUpdate(fo.num, {
@@ -786,6 +852,20 @@ object PdfPartitioner {
   final case class PageStream(pageNumber: Int, content: String,
       fonts: Map[String, PdfFont], width: Double, height: Double,
       widgets: Seq[(String, (Double, Double, Double, Double))] = Nil)
+
+  /** One image XObject in a page's resource dict: declared pixel dims plus the
+    * decoded raster when the stream codec is decodable offline. */
+  final case class ImageXObject(widthPx: Int, heightPx: Int,
+      image: Option[java.awt.image.BufferedImage])
+
+  /** Per page (page-tree order, aligned with [[pageStreams]]): image-XObject
+    * name → decoded image — the raw material for [[PdfImages]]' page
+    * compositing and the image-block extraction path. */
+  def pageImageXObjects(bytes: Array[Byte]): Seq[Map[String, ImageXObject]] = {
+    if (!isPdf(bytes)) return Nil
+    val doc = new PdfDoc(new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1))
+    doc.pages.map(doc.imageXObjects)
+  }
 
   /** Per-page content + fonts + page size, page-tree order — the input
     * [[PdfHiRes]] builds its extracted layout from. Empty for non-PDF bytes or
