@@ -26,6 +26,11 @@ final case class Coordinates(
 /** `Link` TypedDict — `elements.py:130-135`. */
 final case class LinkMeta(text: Option[String], url: Option[String], start_index: Option[Int])
 
+/** One `table_as_cells` entry — `SimpleTableCell.to_dict()`
+  * (`metrics/table/table_formats.py:13-20`): grid position, span extents,
+  * and cell text. */
+final case class TableCellMeta(x: Int, y: Int, w: Int, h: Int, content: String)
+
 /** `DataSourceMetadata` — `elements.py:31-52`. Dates kept as ISO-8601 strings.
   * `permissions_data` is a list of arbitrary attribute dicts on the wire (local
   * filesystem writes `[{"mode": 33188}]`; connector goldens carry string/bool/nested
@@ -77,6 +82,9 @@ final case class ElementMetadata(
     table_id: Option[String] = None,
     chunk_index: Option[Int] = None,
     num_carried_over_header_rows: Option[Int] = None,
+    // raw table-agent cells (`elements.py:220`, populated by the hi_res
+    // table-structure supplement when EXTRACT_TABLE_AS_CELLS is on)
+    table_as_cells: Option[Seq[TableCellMeta]] = None,
     // forms: the hi_res form-extraction key/value pairs (`elements.py` FormKeysValues).
     // The reference shape is RECURSIVE (each key/value may carry a full nested
     // element), which a Spark struct schema cannot express — held as the raw

@@ -26,7 +26,9 @@ object LayoutNormalize {
       text: String,
       coordinates: Seq[Point] = Nil,
       prob: Option[Double] = None,
-      source: Option[String] = None)
+      source: Option[String] = None,
+      textAsHtml: Option[String] = None,
+      tableAsCells: Option[Seq[graft.model.TableCellMeta]] = None)
 
   /** `LayoutElement.from_coords` corner order: (x1,y1) → (x1,y2) → (x2,y2) → (x2,y1). */
   def bboxPoints(x1: Double, y1: Double, x2: Double, y2: Double): Seq[Point] =
@@ -67,7 +69,10 @@ object LayoutNormalize {
     val md = ElementMetadata(
       coordinates = coords,
       detection_class_prob = region.prob,
-      detection_origin = region.source)
+      detection_origin = region.source,
+      // `document_to_element_list` copies these unconditionally (pdf.py:1480-1481)
+      text_as_html = region.textAsHtml,
+      table_as_cells = region.tableAsCells)
     def el(tpe: String, text: String, depth: Option[Int] = None): Element =
       Element("", tpe, text, "", 0, md.copy(category_depth = depth))
 

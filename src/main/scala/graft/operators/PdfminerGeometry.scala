@@ -282,7 +282,12 @@ object PdfminerGeometry {
       elementType: String = "",
       isExtracted: Boolean = false,
       source: String = "inferred",
-      prob: Option[Double] = None)
+      prob: Option[Double] = None,
+      /** hi_res table-structure supplement results (`LayoutElements.text_as_html`
+        * / `.table_as_cells`, `ocr.py:292-341`) — ride the region until
+        * `document_to_element_list` copies them into element metadata. */
+      textAsHtml: Option[String] = None,
+      tableAsCells: Option[Seq[graft.model.TableCellMeta]] = None)
 
   /** `_inferred_is_text` (`:122-135`): non-image-like inferred types. */
   private val ImageLikeTypes = Set("Figure", "Image", "PageBreak", "Table")

@@ -93,6 +93,63 @@ object TableExtraction {
     s"<table>$headHtml$bodyHtml</table>"
   }
 
+  /** One table-transformer span cell — the `tables_agent.predict(...,
+    * result_format="cells")` row shape: `row_nums` / `column_nums` index
+    * lists, `cell text`, and the `column header` flag. */
+  final case class TatrCell(rowNums: Seq[Int], columnNums: Seq[Int],
+      text: String, columnHeader: Boolean = false)
+
+  private def escapeXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /**
+   * `cells_to_html` (published unstructured-inference
+   * `models/tables.py` — not vendored in this checkout; behavior re-derived
+   * from its public source): cells sorted by (min row, min col); each new row
+   * index opens a fresh row container — `<thead>` when the row's FIRST cell
+   * is a column header, `<tr>` otherwise — with the row's cell tag (`th` /
+   * `td`) fixed by that same first cell; `colspan`/`rowspan` attrs only when
+   * the span exceeds 1; ElementTree-style text escaping and explicit
+   * close tags for empty cells.
+   */
+  def cellsToHtml(cells: Seq[TatrCell]): String = {
+    val sorted = cells.sortBy(c => (c.rowNums.min, c.columnNums.min))
+    val sb = new StringBuilder("<table>")
+    var currentRow = Int.MinValue
+    var rowTag = "tr"
+    var cellTag = "td"
+    var open = false
+    sorted.foreach { cell =>
+      val thisRow = cell.rowNums.min
+      if (thisRow != currentRow) {
+        currentRow = thisRow
+        if (open) sb.append(s"</$rowTag>")
+        if (cell.columnHeader) { rowTag = "thead"; cellTag = "th" }
+        else { rowTag = "tr"; cellTag = "td" }
+        sb.append(s"<$rowTag>")
+        open = true
+      }
+      val attrs =
+        (if (cell.columnNums.length > 1) s""" colspan="${cell.columnNums.length}""""
+         else "") +
+          (if (cell.rowNums.length > 1) s""" rowspan="${cell.rowNums.length}""""
+          else "")
+      sb.append(s"<$cellTag$attrs>${escapeXml(cell.text)}</$cellTag>")
+    }
+    if (open) sb.append(s"</$rowTag>")
+    sb.append("</table>")
+    sb.toString
+  }
+
+  /** `SimpleTableCell.from_table_transformer_cell(...).to_dict()` over a
+    * predict result — the `table_as_cells` metadata rows
+    * (`ocr.py:336-339`). */
+  def toSimpleCells(cells: Seq[TatrCell]): Seq[graft.model.TableCellMeta] =
+    cells.map { c =>
+      val d = fromTableTransformerCell(c.rowNums, c.columnNums, c.text)
+      graft.model.TableCellMeta(d.x, d.y, d.w, d.h, d.content)
+    }
+
   private def sortCells(cells: Seq[Cell]): Seq[Cell] =
     cells.sortBy(c => (c.rowIndex, c.colIndex))
 

@@ -200,6 +200,43 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "element_type")
     }),
 
+    // hi_res table-structure supplement (`infer_table_structure`,
+    // `ocr.py:292-341`): a Table detector box over the two text lines crops
+    // from the composited page raster; the deterministic fake table agent
+    // maps each crop-local token to one single-cell row (first row = column
+    // header), so `cells_to_html` renders a thead+tr table from the corpus
+    // text and EXTRACT_TABLE_AS_CELLS emits the SimpleTableCell rows —
+    // both pure functions of the document fields.
+    "q_pdf_table_structure" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{PdfminerGeometry, TableExtraction}
+      import graft.sources.PdfHiRes
+      docBase(s, dir).flatMap { d =>
+        val detector: PdfHiRes.Detector = pages => pages.map { p =>
+          if (p.pageNumber == 1)
+            Seq(PdfminerGeometry.LayoutRegion((60, 40, 600, 150), None,
+              elementType = "Table", prob = Some(0.85)))
+          else Nil
+        }
+        val agent: PdfHiRes.TableAgent = (_, tokens) =>
+          tokens.sortBy(t => (t.bbox._2, t.bbox._1)).zipWithIndex.map {
+            case (t, i) =>
+              TableExtraction.TatrCell(Seq(i), Seq(0), t.text,
+                columnHeader = i == 0)
+          }
+        val els = PdfHiRes.partitionHiRes(CorpusBytes.pdfWithImage(d), detector,
+          inferTableStructure = true, tableAgent = Some(agent),
+          extractTableAsCells = true)
+        els.filter(_.`type` == graft.model.ElementType.Table).flatMap { e =>
+          val html = Seq(("text_as_html", e.metadata.text_as_html.getOrElse("")))
+          val cells = e.metadata.table_as_cells.getOrElse(Nil).zipWithIndex.map {
+            case (c, i) => (s"cell_$i", s"${c.x},${c.y},${c.w},${c.h},${c.content}")
+          }
+          (html ++ cells).map { case (k, v) => (d.docId, k, v) }
+        }
+      }.toDF("doc_id", "kind", "value").orderBy("doc_id", "kind")
+    }),
+
     // PDF strategy auto-selection (`strategies.py:24-109` + `pdf.py:618-744`):
     // 11 scenarios per doc spanning auto-resolution (text → fast, no text →
     // ocr_only, tables → hi_res), the vector-drawing complexity probe, every
@@ -666,6 +703,22 @@ object BinaryFormatQueries {
          |  UNION ALL
          |  SELECT doc_id, 'Table', 1, 'image/jpeg', 540, 110, 'false' FROM base)
          |ORDER BY doc_id, element_type""".stripMargin,
+
+    // the fake agent puts each of the two extracted lines in its own
+    // single-cell row (row 0 a column header), so the rendered html and the
+    // SimpleTableCell rows are direct functions of title3
+    "q_pdf_table_structure" ->
+      s"""WITH base AS ($base)
+         |SELECT doc_id, kind, value FROM (
+         |  SELECT doc_id, 'text_as_html' AS kind,
+         |    '<table><thead><th>' || title3 ||
+         |    '</th></thead><tr><td>figure caption line</td></tr></table>' AS value
+         |  FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'cell_0', '0,0,1,1,' || title3 FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'cell_1', '0,1,1,1,figure caption line' FROM base)
+         |ORDER BY doc_id, kind""".stripMargin,
 
     // every scenario's outcome is a pure function of the constructed corpus, so
     // the oracle is a constant table per doc — a routing-rule regression (wrong

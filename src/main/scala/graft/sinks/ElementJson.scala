@@ -129,6 +129,13 @@ object ElementJson {
     s("table_id", m.table_id)
     i("chunk_index", m.chunk_index)
     i("num_carried_over_header_rows", m.num_carried_over_header_rows)
+    // list of SimpleTableCell dicts, field order x/y/w/h/content (to_dict)
+    m.table_as_cells.foreach { cs =>
+      b += "table_as_cells" -> jArr(cs.map { c =>
+        Seq("\"x\":" + c.x, "\"y\":" + c.y, "\"w\":" + c.w, "\"h\":" + c.h,
+          "\"content\":" + jStr(c.content)).mkString("{", ",", "}")
+      })
+    }
     // raw JSON array, NOT a quoted string — the reference serializes the
     // recursive key/value structure inline. Minified: a pretty-printed source
     // (reference files are indented) would embed newlines and break the

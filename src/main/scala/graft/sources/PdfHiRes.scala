@@ -56,6 +56,18 @@ object PdfHiRes {
     * OCR word/line regions out. */
   type OcrSource = PageLayout => Seq[SourceRegion]
 
+  /** One OCR token handed to the table agent (`get_table_tokens`,
+    * `ocr.py:344-370`): bbox in CROP-local pixels, text, and the span index
+    * (line/block numbers are constant 0 in the reference too). */
+  final case class TableToken(bbox: Bbox, text: String, spanNum: Int)
+
+  /** The table-model seam (`tables_agent.predict(..., result_format="cells")`,
+    * `ocr.py:292-341`): cropped table raster + OCR tokens in, TATR span cells
+    * out. An empty result means "table not recognized" — `text_as_html`
+    * becomes `""` exactly like the reference's `tatr_cells == ""` branch. */
+  type TableAgent =
+    (java.awt.image.BufferedImage, Seq[TableToken]) => Seq[graft.operators.TableExtraction.TatrCell]
+
   // ------------------------------------------------ extracted layout (pdfminer layer)
 
   // text-showing / positioning operators, extended over the fast path's scan
@@ -243,6 +255,47 @@ object PdfHiRes {
     }
   }
 
+  /**
+   * `supplement_element_with_table_extraction` for one merged page
+   * (`ocr.py:292-341`): every Table-classed region's padded bbox crops from
+   * the page raster; tokens within the crop translate to crop-local
+   * coordinates (the reference OCRs the crop directly — same frame); the
+   * table agent's span cells render to `text_as_html` via `cells_to_html`,
+   * and — when `extractAsCells` (EXTRACT_TABLE_AS_CELLS) — to the
+   * `table_as_cells` SimpleTableCell rows.
+   */
+  def supplementTablesPage(regions: Seq[LayoutRegion],
+      raster: java.awt.image.BufferedImage, tokens: Seq[SourceRegion],
+      agent: TableAgent, extractAsCells: Boolean = false,
+      pad: Double = 0.0): Seq[LayoutRegion] =
+    regions.map { r =>
+      if (r.elementType != ElementType.Table) r
+      else {
+        val (x1, y1) = (r.bbox._1 - pad, r.bbox._2 - pad)
+        val (x2, y2) = (r.bbox._3 + pad, r.bbox._4 + pad)
+        PdfImages.crop(raster, x1, y1, x2, y2) match {
+          case None => r // degenerate box: nothing to hand the model
+          case Some(img) =>
+            val toks = tokens
+              .filter(t => t.bbox._1 < x2 && t.bbox._3 > x1 &&
+                t.bbox._2 < y2 && t.bbox._4 > y1)
+              .zipWithIndex.map { case (t, i) =>
+                TableToken((t.bbox._1 - x1, t.bbox._2 - y1,
+                  t.bbox._3 - x1, t.bbox._4 - y1), t.text.getOrElse(""), i)
+              }
+            val cells = agent(img, toks)
+            val html =
+              if (cells.isEmpty) ""
+              else graft.operators.TableExtraction.cellsToHtml(cells)
+            r.copy(textAsHtml = Some(html),
+              tableAsCells =
+                if (extractAsCells)
+                  Some(graft.operators.TableExtraction.toSimpleCells(cells))
+                else None)
+        }
+      }
+    }
+
   /** `clean_pdfminer_inner_elements` for one merged page
     * (`pdfminer_processing.py:831-860`). */
   def cleanPage(regions: Seq[LayoutRegion]): Seq[LayoutRegion] = {
@@ -264,7 +317,9 @@ object PdfHiRes {
         coordinates = LayoutNormalize.bboxPoints(
           r.bbox._1, r.bbox._2, r.bbox._3, r.bbox._4),
         prob = r.prob,
-        source = Some(r.source))
+        source = Some(r.source),
+        textAsHtml = r.textAsHtml,
+        tableAsCells = r.tableAsCells)
       LayoutNormalize.normalizeLayoutElement(lr, Some("PixelSpace"),
         inferListItems = false).map { e =>
         val depth =
@@ -339,17 +394,47 @@ object PdfHiRes {
   def partitionHiRes(bytes: Array[Byte], detector: Detector, dpi: Int = 72,
       includePageBreaks: Boolean = false,
       ocr: Option[OcrSource] = None,
-      imageBlocks: PdfImages.ImageBlockOptions = PdfImages.ImageBlockOptions())
-      : Seq[Element] = {
+      imageBlocks: PdfImages.ImageBlockOptions = PdfImages.ImageBlockOptions(),
+      inferTableStructure: Boolean = false,
+      tableAgent: Option[TableAgent] = None,
+      extractTableAsCells: Boolean = false): Seq[Element] = {
     val extracted = extractedPageLayouts(bytes, dpi)
     if (extracted.isEmpty) return Nil
+    if (inferTableStructure && tableAgent.isEmpty)
+      throw new IllegalStateException("Unable to load table extraction agent.")
+    // lazily composited page rasters, shared by the table-structure supplement
+    // and the image-block save pass — only pages one of them actually touches
+    // pay the compositing cost
+    val coef = dpi / 72.0
+    lazy val placements = PdfImages.placedImages(bytes)
+    // page dims in points (PageLayout width/height are already coef-scaled)
+    val dims: Map[Int, (Double, Double)] = extracted
+      .map(p => p.pageNumber -> (p.width / coef, p.height / coef)).toMap
+    val rasterCache = mutable.Map.empty[Int, Option[java.awt.image.BufferedImage]]
+    def raster(page: Int): Option[java.awt.image.BufferedImage] =
+      rasterCache.getOrElseUpdate(page, dims.get(page).map { case (w, h) =>
+        PdfImages.rasterizePage(w, h, coef, placements.getOrElse(page, Nil))
+      })
     val inferred = detector(extracted)
     val out = mutable.ArrayBuffer.empty[Element]
     extracted.zipWithIndex.foreach { case (page, i) =>
       val inf = if (i < inferred.length) inferred(i) else Nil
       var merged = mergePage(inf, page)
-      ocr.foreach { o =>
-        merged = PdfminerGeometry.mergeOutLayoutWithOcrLayout(merged, o(page))
+      val ocrRegions = ocr.map(o => o(page))
+      ocrRegions.foreach { regions =>
+        merged = PdfminerGeometry.mergeOutLayoutWithOcrLayout(merged, regions)
+      }
+      if (inferTableStructure) tableAgent.foreach { agent =>
+        // table tokens come from the page OCR when an agent is wired (the
+        // reference OCRs each crop); otherwise the extracted pdfminer lines
+        // stand in — the same text the OCR would read off the crop
+        val tokens = ocrRegions.getOrElse(
+          page.regions.filter(_.classId == 0)
+            .map(r => SourceRegion(r.bbox, r.text, r.isExtracted)))
+        raster(page.pageNumber).foreach { img =>
+          merged = supplementTablesPage(merged, img, tokens, agent,
+            extractTableAsCells)
+        }
       }
       val cleaned = cleanPage(merged)
       out ++= pageToElements(cleaned, page)
@@ -359,18 +444,6 @@ object PdfHiRes {
     }
     val elements = out.toSeq.zipWithIndex.map { case (e, i) => e.copy(seq = i + 1L) }
     if (!imageBlocks.enabled) elements
-    else {
-      val coef = dpi / 72.0
-      lazy val placements = PdfImages.placedImages(bytes)
-      // page dims in points (PageLayout width/height are already coef-scaled)
-      val dims: Map[Int, (Double, Double)] = extracted
-        .map(p => p.pageNumber -> (p.width / coef, p.height / coef)).toMap
-      val rasterCache = mutable.Map.empty[Int, Option[java.awt.image.BufferedImage]]
-      def raster(page: Int): Option[java.awt.image.BufferedImage] =
-        rasterCache.getOrElseUpdate(page, dims.get(page).map { case (w, h) =>
-          PdfImages.rasterizePage(w, h, coef, placements.getOrElse(page, Nil))
-        })
-      PdfImages.applyImageBlocks(elements, imageBlocks, raster)
-    }
+    else PdfImages.applyImageBlocks(elements, imageBlocks, raster)
   }
 }
