@@ -165,4 +165,84 @@ class PdfHiResSpec extends AnyFunSuite {
     val b = PdfHiRes.partitionHiRes(bytes, blockDetector)
     assert(a === b)
   }
+
+  // ------------------------------------------------- widened golden corpus
+
+  private def render(els: Seq[graft.model.Element]): String =
+    els.map(e =>
+      s"${e.metadata.page_number.getOrElse(-1)}|${e.`type`}|" +
+        s"${e.metadata.category_depth.getOrElse(-1)}|${e.text}").mkString("\n")
+
+  private def checkGolden(name: String, rendered: String): Unit = {
+    val goldenPath = Paths.get(s"src/test/resources/graft/hires/$name")
+    if (sys.env.contains("GRAFT_REGEN_GOLDEN")) Files.writeString(goldenPath, rendered)
+    assert(rendered === Files.readString(goldenPath))
+  }
+
+  test("multi-column-2p.pdf: multi-page reading order with PageBreak emission") {
+    val els = PdfHiRes.partitionHiRes(refPdf("multi-column-2p.pdf"),
+      blockDetector, includePageBreaks = true)
+    // one PageBreak closes each page (include_page_breaks, pdf.py:1047-1050)
+    assert(els.count(_.`type` == "PageBreak") === 2)
+    assert(els.last.`type` === "PageBreak")
+    // reading order never jumps back to an earlier page
+    val pages = els.flatMap(_.metadata.page_number)
+    assert(pages === pages.sorted)
+    assert(pages.distinct === Seq(1, 2))
+    checkGolden("multi-column-2p.golden.txt", render(els))
+  }
+
+  test("fake-memo.pdf: OCR supplement fills a textless region and adds leftovers") {
+    // fake OCR source: one region under a detector box that has no extracted
+    // text (the box text aggregates from OCR), one free-standing region far
+    // from any box (supplement_layout_with_ocr_elements adds it)
+    val ocr: PdfHiRes.OcrSource = _ => Seq(
+      graft.operators.PdfminerGeometry.SourceRegion(
+        (452, 702, 548, 718), Some("RECEIVED MAR 4"), isExtracted = false),
+      graft.operators.PdfminerGeometry.SourceRegion(
+        (50, 740, 180, 760), Some("scanned stamp"), isExtracted = false))
+    val det: PdfHiRes.Detector = pages => blockDetector(pages).zip(pages).map {
+      case (blocks, p) =>
+        if (p.pageNumber == 1)
+          blocks :+ LayoutRegion((445, 695, 555, 725), None,
+            elementType = "NarrativeText", prob = Some(0.8))
+        else blocks
+    }
+    val els = PdfHiRes.partitionHiRes(refPdf("fake-memo.pdf"), det, ocr = Some(ocr))
+    assert(els.exists(_.text == "RECEIVED MAR 4"))
+    assert(els.exists(e => e.text == "scanned stamp" &&
+      e.`type` == "UncategorizedText"))
+    checkGolden("fake-memo-ocr.golden.txt", render(els))
+  }
+
+  test("embedded-images.pdf: real DCT XObjects place, rasterize, and crop") {
+    val bytes = refPdf("embedded-images.pdf")
+    val placed = PdfImages.placedImages(bytes)
+    assert(placed.values.flatten.nonEmpty, "no decoded image placements found")
+    // detector proposes a Picture box exactly on each placed image — what a
+    // layout model does on this fixture — so the block crops are the images
+    val det: PdfHiRes.Detector = pages => pages.map { p =>
+      placed.getOrElse(p.pageNumber, Nil).map(pi =>
+        LayoutRegion(pi.bbox, None, elementType = "Picture", prob = Some(0.95)))
+    }
+    val els = PdfHiRes.partitionHiRes(bytes, det,
+      imageBlocks = PdfImages.ImageBlockOptions(types = Seq("Image"), toPayload = true))
+    val images = els.filter(_.`type` == "Image")
+    assert(images.nonEmpty)
+    val withPayload = images.filter(_.metadata.image_base64.isDefined)
+    assert(withPayload.nonEmpty)
+    withPayload.foreach { e =>
+      assert(e.metadata.image_mime_type.contains("image/jpeg"))
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(e.metadata.image_base64.get)))
+      assert(dec != null && dec.getWidth > 0 && dec.getHeight > 0)
+    }
+    checkGolden("embedded-images.golden.txt",
+      render(els) + "\n--payloads--\n" +
+        withPayload.map { e =>
+          val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(e.metadata.image_base64.get)))
+          s"${e.metadata.page_number.get}|${dec.getWidth}x${dec.getHeight}"
+        }.mkString("\n"))
+  }
 }
