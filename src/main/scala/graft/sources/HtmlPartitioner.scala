@@ -167,6 +167,14 @@ object HtmlPartitioner {
     "q", "s", "samp", "small", "span", "strike", "sub", "sup", "time", "tt",
     "u", "var", "wbr") ++ RemovedPhrasing
 
+  /** Every tag with an assigned element class (parser.py:954-1036). Anything
+    * else is the reference's `DefaultElement` (:872-881): contents skipped
+    * entirely, tail kept, and the surrounding phrase CONTINUES across it —
+    * RemovedBlock and RemovedPhrasing behavior combined. */
+  private val KnownBlockTags: Set[String] =
+    FlowTags ++ HeadingTags.keySet ++ RemovedBlocks ++
+      Set("li", "ul", "ol", "pre", "p", "table", "img")
+
   /** One parsed paragraph; `elementType` None = derive from text downstream. */
   final case class RawPara(
       text: String,
@@ -248,37 +256,50 @@ object HtmlPartitioner {
       case Some("ListItem") => Some(listDepth)
       case _ => None
     }
+    def flushAcc(): Unit = acc.flush(cls, depth, out, isPre, page)
+    // dispatch one block child in this flow's context — reachable both from
+    // the flow loop and from a block nested inside phrasing (parser.py
+    // `_iter_phrasing`: invalid-but-tolerated blocks become their own
+    // elements, like the browser renders them)
+    def emitBlock(child: HElem): Unit = child.tag match {
+      case t if HeadingTags.contains(t) =>
+        walkFlow(child, Some("Title"), listDepth, out, skipHF, page)
+      case "li" =>
+        walkFlow(child, Some("ListItem"), listDepth, out, skipHF, page)
+      case "ul" | "ol" =>
+        walkFlow(child, None, listDepth + 1, out, skipHF, page)
+      case "pre" =>
+        walkFlow(child, Some("CodeSnippet"), listDepth, out, skipHF, page)
+      case "p" =>
+        walkFlow(child, None, listDepth, out, skipHF, page)
+      case "table" => emitTable(child, out, page)
+      case "img" => emitImage(child, out, page)
+      case _ => walkFlow(child, None, listDepth, out, skipHF, page)
+    }
     el.children.foreach {
       case HText(s) => if (s.nonEmpty) acc.segs += s
       case child: HElem =>
         val tag = child.tag
         if (RemovedBlocks.contains(tag)) () // dropped entirely
         else if (skipHF && (tag == "header" || tag == "footer")) ()
-        else if (PhrasingTags.contains(tag)) walkPhrasing(child, "", acc)
-        else {
+        else if (PhrasingTags.contains(tag))
+          walkPhrasing(child, "", acc, () => flushAcc(), emitBlock, out)
+        else if (KnownBlockTags.contains(tag)) {
           // block boundary: flush accumulated phrasing as its own paragraph
-          acc.flush(cls, depth, out, isPre, page)
-          tag match {
-            case t if HeadingTags.contains(t) =>
-              walkFlow(child, Some("Title"), listDepth, out, skipHF, page)
-            case "li" =>
-              walkFlow(child, Some("ListItem"), listDepth, out, skipHF, page)
-            case "ul" | "ol" =>
-              walkFlow(child, None, listDepth + 1, out, skipHF, page)
-            case "pre" =>
-              walkFlow(child, Some("CodeSnippet"), listDepth, out, skipHF, page)
-            case "p" =>
-              walkFlow(child, None, listDepth, out, skipHF, page)
-            case "table" => emitTable(child, out, page)
-            case "img" => emitImage(child, out, page)
-            case _ => walkFlow(child, None, listDepth, out, skipHF, page)
-          }
+          flushAcc()
+          emitBlock(child)
+        } else {
+          // DefaultElement: contents skipped, NO phrase flush — text before
+          // and after (its tail) joins the same element (parser.py:872-881,
+          // DescribeDefaultElement)
         }
     }
-    acc.flush(cls, depth, out, isPre, page)
+    flushAcc()
   }
 
-  private def walkPhrasing(el: HElem, emphasis: String, acc: Accum): Unit = {
+  private def walkPhrasing(el: HElem, emphasis: String, acc: Accum,
+      flushAcc: () => Unit, emitBlock: HElem => Unit,
+      out: mutable.ArrayBuffer[RawPara]): Unit = {
     val tag = el.tag
     if (tag == "br") { acc.segs += "\n"; return }
     if (RemovedPhrasing.contains(tag)) return // contents dropped, flow continues
@@ -286,7 +307,37 @@ object HtmlPartitioner {
       case Some(e) if !emphasis.contains(e) => emphasis + e
       case _ => emphasis
     }
-    val textStart = acc.segs.length
+    val href =
+      if (tag == "a") el.attrs.get("href").map(_.trim).filter(_.nonEmpty) else None
+    // Anchor link annotation goes to the FIRST non-whitespace phrase or the
+    // first element a nested block emits — never both, never later items
+    // (parser.py Anchor.iter_text_segments:695-731). With no href there is
+    // nothing to attach, so the search is born finished.
+    var linkDone = href.isEmpty
+    var textStart = acc.segs.length
+    def handleNestedBlock(c: HElem): Unit = {
+      if (!linkDone) {
+        val leading = normalizeWs(acc.segs.drop(textStart).mkString)
+        if (leading.nonEmpty) {
+          acc.linkT += leading; acc.linkU += href.get; linkDone = true
+        }
+      }
+      // the phrase (including any text accumulated before this anchor) ends
+      // here; the block's elements emit on their own
+      flushAcc()
+      val before = out.length
+      emitBlock(c)
+      if (out.length > before && !linkDone) {
+        // first emitted element ends the link search — annotated only when it
+        // has text (`_link_annotate_element`, preserving existing links)
+        val first = out(before)
+        if (first.text.nonEmpty)
+          out(before) = first.copy(linkTexts = first.linkTexts :+ first.text,
+            linkUrls = first.linkUrls :+ href.get)
+        linkDone = true
+      }
+      textStart = 0 // accumulator was flushed; a fresh phrase follows
+    }
     el.children.foreach {
       case HText(s) =>
         if (s.nonEmpty) {
@@ -300,14 +351,16 @@ object HtmlPartitioner {
             if (norm.nonEmpty) { acc.emphC += norm; acc.emphT += emph }
           }
         }
-      case c: HElem if PhrasingTags.contains(c.tag) => walkPhrasing(c, emph, acc)
-      case c: HElem => // nested block inside phrasing (invalid but tolerated): inline its text
-        c.children.foreach { case HText(s) => acc.segs += s; case _ => () }
+      case c: HElem if PhrasingTags.contains(c.tag) =>
+        walkPhrasing(c, emph, acc, flushAcc, emitBlock, out)
+      case c: HElem if RemovedBlocks.contains(c.tag) => ()
+      case c: HElem if KnownBlockTags.contains(c.tag) => handleNestedBlock(c)
+      case _ => () // DefaultElement inside phrasing: skipped, phrase continues
     }
-    val innerText = normalizeWs(acc.segs.drop(textStart).mkString)
-    if (innerText.nonEmpty && tag == "a") {
-      el.attrs.get("href").filter(_.nonEmpty).foreach { href =>
-        acc.linkT += innerText; acc.linkU += href
+    if (!linkDone) {
+      val innerText = normalizeWs(acc.segs.drop(textStart).mkString)
+      if (innerText.nonEmpty) {
+        acc.linkT += innerText; acc.linkU += href.get
       }
     }
   }

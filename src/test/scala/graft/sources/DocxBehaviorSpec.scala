@@ -208,6 +208,26 @@ class DocxBehaviorSpec extends SparkSuiteBase {
     assert(texts.distinct.size < texts.size, "expected repeated paragraph texts")
   }
 
+  // -- test_partition_docx_assigns_deterministic_and_unique_element_ids --
+  test("hash ids over duplicate paragraphs are deterministic and unique") {
+    import graft.model.{Element, ElementMetadata}
+    def idsOf(): Seq[String] = {
+      val els = paras("duplicate-paragraphs.docx").zipWithIndex.map { case (p, i) =>
+        Element(s"prov-$i", p.elementType.getOrElse("UncategorizedText"), p.text,
+          "d", i.toLong, ElementMetadata(
+            filename = Some("duplicate-paragraphs.docx"),
+            page_number = p.pageNumber))
+      }
+      graft.operators.MetadataOps.assignHashIds(els).map(_.element_id)
+    }
+    val ids = idsOf()
+    // deterministic on content even when partitioned separately
+    assert(ids == idsOf())
+    // unique despite identical texts (the on-page sequence feeds the hash)
+    assert(ids.length == ids.distinct.length)
+    assert(ids.length > 1)
+  }
+
   // -- mock-document equivalent: style map + text cascade -------------------------
 
   private def zipDoc(entries: (String, String)*): Array[Byte] = {

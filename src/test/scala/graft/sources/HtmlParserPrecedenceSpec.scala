@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.HtmlPartitioner.RawPara
+
+/**
+ * Parser content-model precedence cases ported from the reference's
+ * `test_unstructured/partition/html/test_parser.py` (the 1035-LoC
+ * `html/parser.py` flow/phrasing model): blocks nested inside phrasing
+ * become their own elements, and an anchor's link annotation goes to exactly
+ * one item — the first non-whitespace phrase or the first element a nested
+ * block emits (`Anchor.iter_text_segments:695-731`).
+ */
+class HtmlParserPrecedenceSpec extends AnyFunSuite {
+
+  private def parts(html: String): Vector[RawPara] = HtmlPartitioner.partition(html)
+
+  // -- DescribeAnchor.it_generates_enclosed_block_items_as_separate_elements --
+  test("a block inside an anchor splits the phrase into separate elements") {
+    val ps = parts(
+      """<div><a href="http://eie.io">I am <p>one with</p> the Force.</a></div>""")
+    assert(ps.map(_.text) == Vector("I am", "one with", "the Force."))
+    // link annotation only on the leading phrase
+    assert(ps(0).linkTexts == Seq("I am") && ps(0).linkUrls == Seq("http://eie.io"))
+    assert(ps(1).linkTexts.isEmpty && ps(2).linkTexts.isEmpty)
+  }
+
+  // -- and_it_annotates_first_enclosed_block_Element_when_no_non_whitespace_
+  //    phrase_appears_first --
+  test("whitespace-leading anchor annotates the first enclosed block element") {
+    val ps = parts(
+      "<div><a href=\"http://eie.io\"> \n <p>I am one with</p> the Force.</a></div>")
+    assert(ps.map(_.text) == Vector("I am one with", "the Force."))
+    assert(ps(0).linkTexts == Seq("I am one with"))
+    assert(ps(0).linkUrls == Seq("http://eie.io"))
+    assert(ps(1).linkTexts.isEmpty)
+  }
+
+  // -- _link_annotate_element preserves any existing link metadata --
+  test("outer-anchor annotation appends to the block element's existing links") {
+    val ps = parts(
+      """<div><a href="http://outer"> <p><a href="http://inner">inner text</a></p></a></div>""")
+    assert(ps.map(_.text) == Vector("inner text"))
+    assert(ps(0).linkTexts == Seq("inner text", "inner text"))
+    assert(ps(0).linkUrls == Seq("http://inner", "http://outer"))
+  }
+
+  // -- and_not_when_there_is_no_url --
+  test("an anchor without href links nothing, blocks still split") {
+    val ps = parts("<div><a>I am <p>one with</p> the Force.</a></div>")
+    assert(ps.map(_.text) == Vector("I am", "one with", "the Force."))
+    assert(ps.forall(_.linkTexts.isEmpty))
+  }
+
+  // -- the search continues past a block that emits nothing --
+  test("an empty enclosed block leaves the link for the trailing phrase") {
+    val ps = parts("""<div><a href="http://eie.io"> <p>  </p> trailing text</a></div>""")
+    assert(ps.map(_.text) == Vector("trailing text"))
+    assert(ps(0).linkTexts == Seq("trailing text"))
+    assert(ps(0).linkUrls == Seq("http://eie.io"))
+  }
+
+  // -- but_not_when_the_text_is_empty: an emitted element with empty text
+  //    ends the search unannotated --
+  test("an empty-text element (image) consumes the link without annotation") {
+    val ps = parts(
+      """<div><a href="http://eie.io"> <img src="http://pix/x.png"/> after</a></div>""")
+    assert(ps.map(p => (p.elementType, p.text)) ==
+      Vector((Some("Image"), ""), (None, "after")))
+    assert(ps.forall(_.linkTexts.isEmpty))
+  }
+
+  // -- DescribePhrasing.it_generates_elements_for_its_block_children --
+  test("a block inside bold splits the run; block text is not emphasized") {
+    val ps = parts("<p><b>Hulk <div>smash</div> puny</b> god</p>")
+    assert(ps.map(_.text) == Vector("Hulk", "smash", "puny god"))
+    assert(ps(0).emphasizedContents == Seq("Hulk") &&
+      ps(0).emphasizedTags == Seq("b"))
+    // the nested div's text carries no emphasis (iter_elements runs plain)
+    assert(ps(1).emphasizedContents.isEmpty)
+    // post-block bold text re-annotates inside the fresh phrase
+    assert(ps(2).emphasizedContents == Seq("puny") &&
+      ps(2).emphasizedTags == Seq("b"))
+  }
+
+  // -- DescribeBold.but_not_its_tail / DescribeItalic.but_not_its_tail --
+  test("emphasis never covers the tag's tail text") {
+    val ps = parts("<p><b>bold</b> tail stays plain</p>")
+    assert(ps.map(_.text) == Vector("bold tail stays plain"))
+    assert(ps(0).emphasizedContents == Seq("bold"))
+    val it = parts("<p><i>lean</i> upright</p>")
+    assert(it(0).emphasizedContents == Seq("lean") &&
+      it(0).emphasizedTags == Seq("i"))
+  }
+
+  // -- multiple nested blocks: only the first candidate is ever linked --
+  test("link annotation never spans multiple elements") {
+    val ps = parts(
+      """<div><a href="http://u">first <p>alpha</p> mid <p>beta</p> last</a></div>""")
+    assert(ps.map(_.text) == Vector("first", "alpha", "mid", "beta", "last"))
+    assert(ps(0).linkTexts == Seq("first"))
+    assert(ps.drop(1).forall(_.linkTexts.isEmpty))
+  }
+
+  // -- DescribeRemovedBlock.it_is_skipped_during_parsing (inside phrasing) --
+  test("a removed block nested in phrasing drops without splitting the phrase") {
+    val ps = parts("<p><b>keep <nav>chrome junk</nav> going</b></p>")
+    assert(ps.map(_.text) == Vector("keep going"))
+  }
+
+  // -- DescribeDefaultElement.and_it_behaves_like_an_empty_phrasing_element_
+  //    inside_a_block_element (reference's own input verbatim) --
+  test("an unknown element's contents skip and the phrase continues across it") {
+    val ps = parts(
+      "<div>\n" +
+        "  O Deep Thought computer, he said,\n" +
+        "  <foobar>Vogon Constructor Fleet</foobar>\n" +
+        "  The task we have designed you to perform is this.\n" +
+        "  <p>We want you to tell us.... he paused,</p>\n" +
+        "</div>")
+    assert(ps.map(_.text) == Vector(
+      "O Deep Thought computer, he said, The task we have designed you to perform is this.",
+      "We want you to tell us.... he paused,"))
+  }
+
+  // -- DefaultElement nested inside phrasing behaves the same --
+  test("an unknown element inside phrasing skips without splitting the run") {
+    val ps = parts("<p><b>before <gadget>hidden</gadget> after</b></p>")
+    assert(ps.map(_.text) == Vector("before after"))
+    assert(ps(0).emphasizedContents == Seq("before", "after"))
+  }
+
+  // -- a list nested inside an anchor: list items emit with depth --
+  test("a list nested inside an anchor emits ListItems; first item takes the link") {
+    val ps = parts(
+      """<div><a href="http://u"><ul><li>one</li><li>two</li></ul></a></div>""")
+    assert(ps.map(p => (p.elementType, p.text)) ==
+      Vector((Some("ListItem"), "one"), (Some("ListItem"), "two")))
+    assert(ps(0).linkTexts == Seq("one") && ps(0).linkUrls == Seq("http://u"))
+    assert(ps(1).linkTexts.isEmpty)
+  }
+}
