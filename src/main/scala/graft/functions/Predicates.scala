@@ -107,7 +107,9 @@ object Predicates {
    */
   def exceedsCapRatio(c: Column, threshold: Double = 0.5): Column = {
     val tokens = filter(split(c, "[^\\p{L}]+"), w => w =!= "")
-    val capped = filter(tokens, w => regexp_like(w, lit("^[A-Z][a-z]*$|^[A-Z]+$")))
+    // `word.istitle() or word.isupper()` — Unicode-aware like Python's
+    val capped = filter(tokens,
+      w => regexp_like(w, lit("^\\p{Lu}\\p{Ll}*$|^\\p{Lu}+$")))
     when(sentenceCount(c, 3) > 1, lit(false))
       .when(isUpperText(c), lit(true))
       .when(size(tokens) === 0, lit(true))
@@ -393,13 +395,18 @@ object Predicates {
    * bounds, and at least 2 sentences or a verb.
    */
   def isPossibleNarrativeText(c: Column, capThreshold: Double = 0.5,
-      nonAlphaThreshold: Double = 0.5, languageChecks: Boolean = false): Column =
+      nonAlphaThreshold: Double = 0.5, languageChecks: Boolean = false,
+      languages: Seq[String] = Seq("eng")): Column = {
+    // both the vocabulary gate and the sentence/verb gate apply only when
+    // "eng" is among the document languages (`text_type.py:66,83`)
+    val eng = languages.contains("eng")
     (length(c) > 0) &&
       !isNumericText(c) &&
-      (if (languageChecks) containsEnglishWord(c) else lit(true)) &&
+      (if (languageChecks && eng) containsEnglishWord(c) else lit(true)) &&
       !exceedsCapRatio(c, capThreshold) &&
       !underNonAlphaRatio(c, nonAlphaThreshold) &&
-      ((sentenceCount(c, 3) >= 2) || containsVerb(c))
+      (if (eng) (sentenceCount(c, 3) >= 2) || containsVerb(c) else lit(true))
+  }
 
   /**
    * `is_possible_title` — `text_type.py:91-162` (default thresholds): non-empty, not
@@ -408,13 +415,15 @@ object Predicates {
    */
   def isPossibleTitle(c: Column, sentenceMinLength: Int = 5,
       titleMaxWordLength: Int = 12, nonAlphaThreshold: Double = 0.5,
-      languageChecks: Boolean = false): Column =
+      languageChecks: Boolean = false,
+      languages: Seq[String] = Seq("eng")): Column =
     (length(c) > 0) &&
       !(isUpperText(c) && regexp_like(c, lit(EndsInPunctPattern))) &&
       (size(split(c, " ")) <= titleMaxWordLength) &&
       !underNonAlphaRatio(c, nonAlphaThreshold) &&
       !c.endsWith(",") &&
-      (if (languageChecks) containsEnglishWord(c) else lit(true)) &&
+      (if (languageChecks && languages.contains("eng")) containsEnglishWord(c)
+       else lit(true)) &&
       !isNumericText(c) &&
       (sentenceCount(c, sentenceMinLength) <= 1)
 

@@ -61,7 +61,9 @@ object OracleSql {
 
   def exceedsCapRatio(x: String, thr: Double = 0.5): String = {
     val tokens = s"list_filter(string_split_regex($x, '[^\\p{L}]+'), w -> w <> '')"
-    val capped = s"list_filter($tokens, w -> regexp_matches(w, '^[A-Z][a-z]*$$|^[A-Z]+$$'))"
+    // Unicode istitle/isupper, mirroring Predicates.exceedsCapRatio
+    val capped =
+      s"list_filter($tokens, w -> regexp_matches(w, '^\\p{Lu}\\p{Ll}*$$|^\\p{Lu}+$$'))"
     s"(CASE WHEN ${sentenceCount(x, 3)} > 1 THEN false " +
       s"WHEN ${isUpperText(x)} THEN true " +
       s"WHEN len($tokens) = 0 THEN true " +

@@ -10,8 +10,8 @@ import graft.SparkSuiteBase
  * classification predicates evaluated over the same parametrized vectors the
  * reference pins. Cases requiring the reference's nltk POS tagger are covered
  * by the documented closed-verb-list approximation (`Predicates.CommonVerbs`);
- * cases that exercise non-English `languages=[...]` routing are out of scope
- * (the engine's language handling lives in `q_detect_languages`).
+ * non-English `languages=[...]` routing gates the vocabulary and
+ * sentence/verb checks exactly as `text_type.py:66,83,146` do.
  */
 class TextTypeBehaviorSpec extends SparkSuiteBase {
 
@@ -208,5 +208,66 @@ class TextTypeBehaviorSpec extends SparkSuiteBase {
 
   test("under_non_alpha_ratio on whitespace-only text does not divide by zero") {
     assert(eval(Seq(" "))(Predicates.underNonAlphaRatio(_)) == Seq(false))
+  }
+
+  // -- test_text_type_handles_non_english_examples (language checks on) --
+  test("non-english text: eng-gated checks skip when eng is absent") {
+    val narrative = "Я говорю по-русски. Вы тоже?"
+    val title = "Риски"
+    assert(eval(Seq(narrative))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Seq("eng"))) == Seq(false))
+    assert(eval(Seq(narrative))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Nil)) == Seq(true))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Seq("eng"))) == Seq(false))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Nil)) == Seq(false))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleTitle(_, languageChecks = true,
+        languages = Seq("eng"))) == Seq(false))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleTitle(_, languageChecks = true,
+        languages = Nil)) == Seq(true))
+  }
+
+  // -- test_text_type_handles_multi_language_examples --
+  test("multi-language text: checks gate on eng membership, not emptiness") {
+    val narrative = "Я говорю по-русски. Вы тоже? 不，我不会说俄语。"
+    val title = "Риски (Riesgos)"
+    assert(eval(Seq(narrative))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Seq("eng"))) == Seq(false))
+    assert(eval(Seq(narrative))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Seq("chi", "rus"))) == Seq(true))
+    assert(eval(Seq(narrative))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Nil)) == Seq(true))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleNarrativeText(_, languageChecks = true,
+        languages = Seq("spa", "rus"))) == Seq(false))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleTitle(_, languageChecks = true,
+        languages = Seq("eng"))) == Seq(false))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleTitle(_, languageChecks = true,
+        languages = Seq("spa", "rus"))) == Seq(true))
+    assert(eval(Seq(title))(
+      Predicates.isPossibleTitle(_, languageChecks = true,
+        languages = Nil)) == Seq(true))
+  }
+
+  // -- test_item_titles: "ITEM 1(A). THIS IS A TITLE" tokenizes under 2 sentences --
+  test("item titles: short dotted headings count below two sentences") {
+    val sp = spark
+    import sp.implicits._
+    val n = Seq("ITEM 1(A). THIS IS A TITLE").toDF("t")
+      .select(Predicates.sentenceCount(col("t"), 3).as("n"))
+      .collect().head.getInt(0)
+    assert(n < 2)
   }
 }

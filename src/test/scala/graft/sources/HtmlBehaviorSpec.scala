@@ -227,6 +227,87 @@ class HtmlBehaviorSpec extends SparkSuiteBase {
     assert(inner.head.pageNumber == Some(7))
   }
 
+  // -- test_partition_html_accommodates_block_item_nested_inside_phrasing_element --
+  test("a paragraph inside a citation splits the flow into three elements") {
+    val html =
+      """
+      <div>
+        We start out normally
+        <cite>
+          and then add a citation
+          <p>But whoa, this is a paragraph inside a phrasing element.</p>
+          so we close the first element at the start of the block element and emit it, then we
+          <b>emit</b> the block element,
+        </cite>
+        and then start a new element for the tail and whatever phrasing follows it.
+      </div>
+      """
+    val ps = parts(html)
+    assert(ps.map(_.text) == Vector(
+      "We start out normally and then add a citation",
+      "But whoa, this is a paragraph inside a phrasing element.",
+      "so we close the first element at the start of the block element and emit it," +
+        " then we emit the block element," +
+        " and then start a new element for the tail and whatever phrasing follows it."))
+    assert(ps(2).emphasizedContents == Seq("emit"))
+    assert(ps(2).emphasizedTags == Seq("b"))
+  }
+
+  // -- test_partition_html_handles_anchor_with_nested_block_item --
+  test("anchor with nested block: link on the leading phrase only") {
+    val html =
+      """
+      <div>
+        O Deep Thought
+        <a href="http://eie.io">
+          computer, he said,
+          <p>The task we have designed you to perform is this.</p>
+          We want you to tell us....
+        </a>
+        he paused,
+      </div>
+      """
+    val ps = parts(html)
+    assert(ps.map(_.text) == Vector(
+      "O Deep Thought computer, he said,",
+      "The task we have designed you to perform is this.",
+      "We want you to tell us.... he paused,"))
+    assert(ps(0).linkTexts == Seq("computer, he said,"))
+    assert(ps(0).linkUrls == Seq("http://eie.io"))
+    assert(ps.drop(1).forall(p => p.linkTexts.isEmpty && p.linkUrls.isEmpty))
+  }
+
+  // -- test_containers_with_text_are_processed (email-signature div soup) --
+  test("nested text-bearing containers each yield their own typed element") {
+    val html =
+      "<div dir=3D\"ltr\">Hi All,\n" +
+        "  <div><br></div>\n" +
+        "  <div>Get excited for our first annual family day!</div>\n" +
+        "  <div>Best.<br clear=\"all\">\n" +
+        "    <div><br></div>\n" +
+        "    -- <br>\n" +
+        "    <div dir=3D\"ltr\">\n" +
+        "      <div dir=3D\"ltr\">Dino the Datasaur<div>\n" +
+        "      Unstructured Technologies<br>\n" +
+        "      <div>Data Scientist</div>\n" +
+        "      <div>Doylestown, PA 18901</div>\n" +
+        "      <div><br></div>\n" +
+        "    </div>\n" +
+        "  </div>\n" +
+        "  See you there!\n" +
+        "</div>\n"
+    assert(typed(parts(html)) == Seq(
+      ("UncategorizedText", "Hi All,"),
+      ("NarrativeText", "Get excited for our first annual family day!"),
+      ("UncategorizedText", "Best."),
+      ("UncategorizedText", "--"),
+      ("UncategorizedText", "Dino the Datasaur"),
+      ("UncategorizedText", "Unstructured Technologies"),
+      ("UncategorizedText", "Data Scientist"),
+      ("Address", "Doylestown, PA 18901"),
+      ("NarrativeText", "See you there!")))
+  }
+
   // Table gets page_number=self._page_number at parse time (parser.py:563);
   // Image likewise (parser.py:523) — both inherit from the paged ancestor.
   test("Table and Image inherit data-page-number from a flow ancestor") {
