@@ -227,7 +227,9 @@ object HtmlPartitioner {
   private val Base64ImageRe = "^data:(image/[^;]+);base64,(.*)".r
 
   /** Walk an element's subtree, emitting paragraphs. */
-  def partition(html: String, skipHeadersAndFooters: Boolean = false): Vector[RawPara] = {
+  def partition(html: String, skipHeadersAndFooters: Boolean = false,
+      extractImageBlockToPayload: Boolean = false,
+      extractImageBlockTypes: Seq[String] = Nil): Vector[RawPara] = {
     val dom = parse(html)
     // root jump: <main> if present, else <body>, else whole document
     def find(el: HElem, tag: String): Option[HElem] =
@@ -237,7 +239,17 @@ object HtmlPartitioner {
     val root = find(dom, "main").orElse(find(dom, "body")).getOrElse(dom)
     val out = mutable.ArrayBuffer.empty[RawPara]
     walkFlow(root, None, 0, out, skipHeadersAndFooters, None)
-    out.toVector
+    // data-URI image payloads surface as metadata only when asked for —
+    // extract_image_block_to_payload AND "Image" among the requested types
+    // (test_partition.py:306-345); the alt text and element always emit
+    val keepPayload = extractImageBlockToPayload &&
+      PdfImages.checkElementTypesToExtract(extractImageBlockTypes)
+        .contains("Image")
+    if (keepPayload) out.toVector
+    else out.toVector.map { p =>
+      if (p.imageBase64.isDefined) p.copy(imageBase64 = None, imageMime = None)
+      else p
+    }
   }
 
   private def walkFlow(el: HElem, cls: Option[String], listDepth: Int,

@@ -131,6 +131,42 @@ class HtmlParserPrecedenceSpec extends AnyFunSuite {
     assert(ps(0).emphasizedContents == Seq("before", "after"))
   }
 
+  // -- test_exclude_tag_types: del/form/noscript contents never surface --
+  test("del, form, and noscript contents are excluded entirely") {
+    Seq("del", "form", "noscript").foreach { tag =>
+      val ps = parts(s"<body>\n  <$tag>\n    There is some text here.\n  </$tag>\n</body>\n")
+      assert(ps.isEmpty, s"<$tag> leaked content: $ps")
+    }
+  }
+
+  // -- test_partition_html_base64_for_images (4-way parametrize) --
+  test("data-URI image payload surfaces only when requested") {
+    val b64 = "iVBORw0KGgoAAAANSUhEUgAAAAUAAAAFCAYAAACNbyblAAAAHElEQVQI12P4" +
+      "//8/w38GIAXDIBKE0DHxgljNBAAO9TXL0Y4OHwAAAABJRU5ErkJggg=="
+    val html = s"""<div class="Page"><img src="data:image/png;base64,$b64" alt="Base64 Image"></div>"""
+    def img(toPayload: Boolean, types: Seq[String]) =
+      HtmlPartitioner.partition(html, extractImageBlockToPayload = toPayload,
+        extractImageBlockTypes = types).head
+    val on = img(toPayload = true, Seq("Image"))
+    assert(on.elementType.contains("Image") && on.text == "Base64 Image")
+    assert(on.imageBase64.contains(b64) && on.imageMime.contains("image/png"))
+    Seq(
+      img(toPayload = true, Nil),
+      img(toPayload = true, Seq("Table")),
+      img(toPayload = false, Seq("Image"))).foreach { p =>
+      assert(p.text == "Base64 Image" && p.elementType.contains("Image"))
+      assert(p.imageBase64.isEmpty && p.imageMime.isEmpty)
+    }
+  }
+
+  // -- test_partition_html_includes_url_for_images: url is unconditional --
+  test("http image src rides in image_url regardless of payload options") {
+    val ps = parts(
+      """<div class="Page"><img src="https://example.com/image.png" alt="URL Image"></div>""")
+    assert(ps.head.text == "URL Image")
+    assert(ps.head.imageUrl.contains("https://example.com/image.png"))
+  }
+
   // -- a list nested inside an anchor: list items emit with depth --
   test("a list nested inside an anchor emits ListItems; first item takes the link") {
     val ps = parts(
