@@ -77,6 +77,14 @@ object PipelineQueries {
       chunkResult(Chunker.chunkElements(elements(s, dir),
         ChunkingOptions(maxCharacters = 120, includeOrigElements = false)))),
 
+    // the same chunk fold routed through the first-class logical node +
+    // strategy (org.apache.spark.sql.graft.ChunkPlan) — the plan-visible
+    // path the doc-filter pushdown rule targets; identical oracle
+    "q_chunk_plan_node" -> ((s, dir) =>
+      chunkResult(org.apache.spark.sql.graft.ChunkPlan.chunkElements(
+        elements(s, dir),
+        ChunkingOptions(maxCharacters = 120, includeOrigElements = false)))),
+
     "q_chunk_by_title" -> ((s, dir) =>
       chunkResult(Chunker.chunkByTitle(elements(s, dir),
         ChunkingOptions(maxCharacters = 120, includeOrigElements = false,
@@ -505,6 +513,7 @@ object PipelineQueries {
          |ORDER BY doc_id, seq""".stripMargin,
 
     "q_chunk_basic" -> chunkWalkSql("FALSE"),
+    "q_chunk_plan_node" -> chunkWalkSql("FALSE"),
 
     // streaming result == batch result by the incremental-fold invariant
     "q_stream_chunk_basic" -> chunkWalkSql("FALSE"),
