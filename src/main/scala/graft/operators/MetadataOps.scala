@@ -70,7 +70,7 @@ object MetadataOps {
    * renders as `"None"`), truncated to 32 hex; pre-existing `parent_id`s remapped
    * through the old→new table.
    */
-  def assignHashIds(els: Seq[Element]): Seq[Element] = {
+  def assignHashIds(els: Seq[Element], uniqueIds: Boolean = false): Seq[Element] = {
     val pageCounts = mutable.Map.empty[Option[Int], Int]
     val mapping = mutable.Map.empty[String, String]
     val hashed = els.map { e =>
@@ -81,7 +81,11 @@ object MetadataOps {
         Option(e.text).getOrElse("") +
         page.map(_.toString).getOrElse("None") +
         seqOnPage
-      val newId = sha256Hex(data).substring(0, 32)
+      // `unique_element_ids=True` keeps random UUIDs instead of content hashes
+      // (`documents/elements.py` id_to_uuid; every partitioner signature)
+      val newId =
+        if (uniqueIds) java.util.UUID.randomUUID().toString
+        else sha256Hex(data).substring(0, 32)
       if (e.element_id != null && e.element_id.nonEmpty) mapping(e.element_id) = newId
       e.copy(element_id = newId)
     }
@@ -94,29 +98,50 @@ object MetadataOps {
     }
   }
 
-  /** Deterministic stopword-vote language ID (scala twin of
-    * `TextAnalysis.langIdHeuristic`; analog of the reference's seeded langdetect). */
-  def langId(text: String): String = {
-    val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    def count(stop: Seq[String]): Int = { val s = stop.toSet; ws.count(s.contains) }
-    import graft.functions.TextAnalysis._
-    val (en, es, de, fr) =
-      (count(StopwordsEn), count(StopwordsEs), count(StopwordsDe), count(StopwordsFr))
-    if (Seq(en, es, de, fr).max == 0) "und"
-    else if (en >= es && en >= de && en >= fr) "en"
-    else if (es >= de && es >= fr) "es"
-    else if (de >= fr) "de"
-    else "fr"
+  /**
+   * `apply_lang_metadata` (`partition/common/lang.py:508-559`) — the language
+   * pass every partitioner runs. `languages=None` defaults to auto-detection
+   * over the concatenated document text; `languages=[""]` skips the pass
+   * entirely (sub-partitioner convention, `lang.py:526-529`); an explicit
+   * list resolves through the tesseract-name/ISO-639 tables. When the
+   * document-level detection yields exactly one language and
+   * `detectLanguagePerElement` is false, that code stamps every element;
+   * otherwise each element is detected (or resolved) individually over its
+   * own text (`lang.py:543-559` — empty-text elements get no language).
+   * Elements for which `keep` is false (attached files) pass through
+   * untouched.
+   */
+  def applyLangMetadata(els: Seq[Element], languages: Option[Seq[String]] = None,
+      detectLanguagePerElement: Boolean = false,
+      keep: Element => Boolean = _.metadata.attached_to_filename.isEmpty): Seq[Element] = {
+    val langs = languages.getOrElse(Seq("auto"))
+    if (langs == Seq("")) return els
+    def det(t: String): Option[Seq[String]] =
+      graft.functions.LangCodes.detectLanguages(if (t == null) "" else t, Some(langs))
+    val fullText = els.iterator.map(_.text).filter(t => t != null && t.nonEmpty).mkString(" ")
+    val detected = det(fullText)
+    def stamp(e: Element, v: Option[Seq[String]]): Element =
+      if (!keep(e)) e else e.copy(metadata = e.metadata.copy(languages = v))
+    detected match {
+      case Some(ds) if ds.length == 1 && !detectLanguagePerElement =>
+        els.map(e => stamp(e, detected))
+      case _ =>
+        els.map(e => stamp(e, det(e.text)))
+    }
   }
 
   /** One document's `apply_metadata` chain in normative order (`metadata.py:196-277`). */
   def applyMetadataDoc(els: Seq[Element], filename: Option[String] = None,
-      filetype: Option[String] = None, url: Option[String] = None): Seq[Element] = {
-    // 1. doc-level language over concatenated element text (`lang.py:508-559`)
-    val fullText = els.iterator.map(_.text).filter(t => t != null && t.nonEmpty).mkString(" ")
-    val lang = langId(fullText)
-    // 2. stamp languages + filetype/filename/url (attached files keep their own).
-    // A path-ish filename splits into file_directory + basename, as the
+      filetype: Option[String] = None, url: Option[String] = None,
+      lastModified: Option[String] = None,
+      languages: Option[Seq[String]] = None,
+      detectLanguagePerElement: Boolean = false,
+      uniqueElementIds: Boolean = false): Seq[Element] = {
+    // 1. language pass over concatenated element text (`lang.py:508-559`;
+    // attached files keep their own metadata, as with the stamps below)
+    val withLang = applyLangMetadata(els, languages, detectLanguagePerElement)
+    // 2. stamp filetype/filename/url/last_modified (attached files keep their
+    // own). A path-ish filename splits into file_directory + basename, as the
     // reference ElementMetadata constructor does.
     val (fnDir, fnBase) = filename match {
       case Some(p) =>
@@ -124,28 +149,32 @@ object MetadataOps {
         (d, Some(b))
       case None => (None, None)
     }
-    val stamped = els.map { e =>
+    val stamped = withLang.map { e =>
       if (e.metadata.attached_to_filename.isDefined) e
       else e.copy(metadata = e.metadata.copy(
-        languages = Some(Seq(lang)),
         filename = fnBase.orElse(e.metadata.filename),
         file_directory = fnDir.orElse(e.metadata.file_directory),
         filetype = filetype.orElse(e.metadata.filetype),
-        url = url.orElse(e.metadata.url)))
+        url = url.orElse(e.metadata.url),
+        last_modified = lastModified.orElse(e.metadata.last_modified)))
     }
     // 3. hash ids (before hierarchy so parent-id is stable), 4. hierarchy
-    setElementHierarchy(assignHashIds(stamped))
+    setElementHierarchy(assignHashIds(stamped, uniqueElementIds))
   }
 
   /** Dataset-level `apply_metadata`: one shuffle on doc_id, per-doc chain. */
   def applyMetadata(ds: Dataset[Element], filetype: Option[String] = None,
       url: Option[String] = None,
-      filenameFor: String => Option[String] = _ => None): Dataset[Element] = {
+      filenameFor: String => Option[String] = _ => None,
+      lastModified: Option[String] = None,
+      languages: Option[Seq[String]] = None,
+      detectLanguagePerElement: Boolean = false): Dataset[Element] = {
     val sp = ds.sparkSession
     import sp.implicits._
     ds.groupByKey(_.doc_id)
       .flatMapSortedGroups(col("seq"))((doc, it) =>
-        applyMetadataDoc(it.toSeq, filenameFor(doc), filetype, url).iterator)
+        applyMetadataDoc(it.toSeq, filenameFor(doc), filetype, url,
+          lastModified, languages, detectLanguagePerElement).iterator)
   }
 
   /** `group_elements_by_parent_id` read-side twin: parent/child pairs via self-join

@@ -517,7 +517,7 @@ object AnalysisQueries {
 
   /** Mirrors `TextAnalysis.detectLanguages` over a text expression `x` (keep `x`
     * small — it is inlined many times; the oracle wraps the corpus in a subquery). */
-  private def detectLanguagesSql(x: String): String = {
+  private[queries] def detectLanguagesSql(x: String): String = {
     def cnt(re: String) = s"len(regexp_extract_all($x, '$re'))"
     val pairs = Seq(
       "eng" -> TextAnalysis.StopwordsEn, "spa" -> TextAnalysis.StopwordsEs,

@@ -633,7 +633,7 @@ object PipelineQueries {
 
     "q_apply_metadata" ->
       s"""$applyMetaCtes
-         |SELECT h.doc_id, h.seq, h.element_id, h.parent_id, l.lang,
+         |SELECT h.doc_id, h.seq, h.element_id, h.parent_id, $rowLangSql AS lang,
          |  'text/plain' AS filetype
          |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
          |ORDER BY h.doc_id, h.seq""".stripMargin,
@@ -754,7 +754,7 @@ object PipelineQueries {
       s"""$applyMetaCtes
          |SELECT h.element_type AS type, h.text, h.element_id, h.doc_id, h.seq,
          |  'doc_' || h.doc_id || '.txt' AS filename, 'text/plain' AS filetype,
-         |  l.lang AS languages, h.parent_id
+         |  coalesce($rowLangSql, '') AS languages, h.parent_id
          |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
          |ORDER BY h.doc_id, h.seq""".stripMargin,
 
@@ -762,7 +762,7 @@ object PipelineQueries {
       s"""$applyMetaCtes
          |SELECT 'doc_' || h.doc_id || '.txt' AS filename,
          |  h.element_type AS category, h.text, 'text/plain' AS filetype,
-         |  h.parent_id, l.lang
+         |  h.parent_id, $rowLangSql AS lang
          |FROM withparent h JOIN langs l ON h.doc_id = l.doc_id
          |ORDER BY filename, h.text, category, coalesce(h.parent_id, '')""".stripMargin,
 
@@ -924,18 +924,11 @@ object PipelineQueries {
   private lazy val applyMetaCtes: String = {
     val childTypes = graft.operators.MetadataOps.HierarchyRuleSet("Title")
       .map(t => s"'$t'").mkString(", ")
-    val langSql = {
-      import graft.functions.TextAnalysis._
-      def cnt(stop: Seq[String]) = O.stopwordCount("full_txt", stop)
-      s"(CASE WHEN greatest(${cnt(StopwordsEn)}, ${cnt(StopwordsEs)}, " +
-        s"${cnt(StopwordsDe)}, ${cnt(StopwordsFr)}) = 0 THEN 'und' " +
-        s"WHEN ${cnt(StopwordsEn)} >= ${cnt(StopwordsEs)} AND " +
-        s"${cnt(StopwordsEn)} >= ${cnt(StopwordsDe)} AND " +
-        s"${cnt(StopwordsEn)} >= ${cnt(StopwordsFr)} THEN 'en' " +
-        s"WHEN ${cnt(StopwordsEs)} >= ${cnt(StopwordsDe)} AND " +
-        s"${cnt(StopwordsEs)} >= ${cnt(StopwordsFr)} THEN 'es' " +
-        s"WHEN ${cnt(StopwordsDe)} >= ${cnt(StopwordsFr)} THEN 'de' ELSE 'fr' END)"
-    }
+    // `apply_lang_metadata` doc-level detection: the detectLanguages mirror
+    // (part3 codes, script cascade, short-ascii eng fallback, NULL for empty)
+    // with the detector's latin 'und' verdict mapping to no-language, as the
+    // Scala default detector does (`LangCodes.defaultDetector`).
+    val langSql = s"NULLIF(${AnalysisQueries.detectLanguagesSql("full_txt")}, 'und')"
     s"""WITH $parsCte,
        |typed AS ($typedSelect),
        |hashed AS (
@@ -956,4 +949,11 @@ object PipelineQueries {
        |        FROM typed GROUP BY doc_id)
        |  GROUP BY doc_id, full_txt)""".stripMargin
   }
+
+  /** Per-row language under `apply_lang_metadata`: the doc-level code when
+    * detection succeeded, else the per-element detect over the row's own text
+    * (`lang.py:543-559`). `l`/`h` are the langs/withparent aliases. */
+  private lazy val rowLangSql: String =
+    s"(CASE WHEN l.lang IS NOT NULL THEN l.lang " +
+      s"ELSE NULLIF(${AnalysisQueries.detectLanguagesSql("h.text")}, 'und') END)"
 }

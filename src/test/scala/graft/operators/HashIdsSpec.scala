@@ -59,4 +59,25 @@ class HashIdsSpec extends AnyFunSuite {
     assert(one("some text", 0, "some.txt", None) == "1a2627b5760c06b1440102f11a1edb0f")
     assert(one("some text", 1, "some.txt", None) == "e3fd10d867c4a1c0264dde40e3d7e45a")
   }
+
+  // -- test_Text_element_assigns_id_hashes_that_are_unique_and_deterministic
+  // (test_text.py:374) — the no-filename no-page "hello" vector
+  test("partition_text-style ids match the reference hello vector") {
+    val els = (0 until 3).map(_ => text("hello", page = None, filename = None))
+    assert(MetadataOps.assignHashIds(els).map(_.element_id) == Seq(
+      "8657c0ec31a4cfc822f6cd4a5684cafd",
+      "72aefb4a12be063ad160931fdb380163",
+      "ba8c1a216ca585aecdd365a72e6124f1"))
+  }
+
+  // -- test_Text_element_assings_UUID_when_unique_element_ids_is_True (:383)
+  test("unique_element_ids=true assigns distinct v4 UUIDs") {
+    val els = (0 until 3).map(_ => text("hello", page = None, filename = None))
+    val ids = MetadataOps.assignHashIds(els, uniqueIds = true).map(_.element_id)
+    assert(ids.distinct.size == 3)
+    ids.foreach { id =>
+      val u = java.util.UUID.fromString(id)
+      assert(u.version == 4, id)
+    }
+  }
 }
