@@ -171,7 +171,7 @@ object FormatQueries {
     "q_partition_tsv" -> ((s, dir) =>
       partitionRows(
         docs(s, dir).select(col("doc_id"), tsvPayload.as("payload")),
-        Partitioners.partitionTsv)
+        Partitioners.partitionTsv(_))
         .select(col("doc_id"), col("element_type"), col("text"), col("text_as_html"))
         .orderBy("doc_id")),
 

@@ -34,6 +34,34 @@ object Staging {
       col("metadata.subject").as("subject"),
       col("metadata.email_message_id").as("email_message_id"))
 
+  /** Metadata keys `stage_for_weaviate` drops (`staging/weaviate.py:11-20`). */
+  val WeaviateExcludeMetadataKeys: Set[String] = Set(
+    "coordinates", "data_source", "detection_class_prob", "emphasized_texts",
+    "is_continuation", "links", "orig_elements", "key_value_pairs")
+
+  /** `create_unstructured_weaviate_class` (`staging/weaviate.py:45-86`): the
+    * Weaviate class schema for element uploads, derived from the engine's
+    * `ElementMetadata` Spark schema the way the reference derives it from the
+    * dataclass annotations — `text` + `category` first, then every
+    * non-excluded metadata field with its annotation mapped to a Weaviate
+    * dataType (`:88-98`: str→text, int→int, float→number). */
+  def createUnstructuredWeaviateClass(
+      className: String = "UnstructuredDocument"): (String, Seq[(String, Seq[String])]) = {
+    import org.apache.spark.sql.types._
+    def dataTypeOf(dt: DataType): Seq[String] = dt match {
+      case IntegerType | LongType => Seq("int")
+      case DoubleType | FloatType => Seq("number")
+      case ArrayType(e, _) => dataTypeOf(e)
+      case _ => Seq("text") // strings, and str-keyed composites (`"str" in annotation`)
+    }
+    val metaSchema = org.apache.spark.sql.Encoders.product[graft.model.ElementMetadata].schema
+    val props = Seq("text" -> Seq("text"), "category" -> Seq("text")) ++
+      metaSchema.fields.toSeq
+        .filterNot(f => WeaviateExcludeMetadataKeys.contains(f.name))
+        .map(f => f.name -> dataTypeOf(f.dataType))
+    (className, props)
+  }
+
   /** `stage_for_prodigy` (`staging/prodigy.py:39-57`): text + meta dict rows. */
   def stageForProdigy(ds: Dataset[Element]): DataFrame =
     ds.select(col("text"),
@@ -60,17 +88,42 @@ object Staging {
    * element types pass through. Reuses the chunking kernel's splitter per doc.
    */
   /** `chunk_by_attention_window` on one string (`staging/huggingface.py:32-100`):
-    * whitespace segments greedily packed into `maxInputSize - buffer` token
-    * windows; the buffer accounts for special tokens like `[CLS]`. */
+    * `splitFunction` segments greedily packed into `maxInputSize - buffer`
+    * token windows (the buffer accounts for special tokens like `[CLS]`);
+    * a single segment over the window raises, mirroring the reference's
+    * ValueError (`:76-83`). `tokenize` defaults to whitespace tokens — plug
+    * [[graft.operators.TokenCounter]] for a BPE count. */
   def chunkByAttentionWindow(text: String, maxInputSize: Int = 512,
-      buffer: Int = 2): Seq[String] = {
+      buffer: Int = 2,
+      splitFunction: String => Seq[String] = _.split(" ", -1).toSeq,
+      chunkSeparator: String = " ",
+      tokenize: String => Int = _.split(" ", -1).length): Seq[String] = {
     require(buffer >= 0 && buffer < maxInputSize,
       s"buffer is set to $buffer. Must be greater than zero and smaller than " +
         s"max_input_size, which is $maxInputSize.")
-    val window = maxInputSize - buffer
-    val words = text.split(" ")
-    if (words.length <= window) Seq(text)
-    else words.grouped(window).map(_.mkString(" ")).toSeq
+    val maxChunkSize = maxInputSize - buffer
+    val splitText = splitFunction(text)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chunkText = new StringBuilder
+    var chunkSize = 0
+    for ((segment, i) <- splitText.zipWithIndex) {
+      val numTokens = tokenize(segment)
+      if (numTokens > maxChunkSize)
+        throw new IllegalArgumentException(
+          s"The number of tokens in the segment is $numTokens. " +
+            s"The maximum number of tokens is $maxChunkSize.")
+      if (chunkSize + numTokens > maxChunkSize) {
+        chunks += chunkText.toString + chunkSeparator.strip()
+        chunkText.clear()
+        chunkSize = 0
+      }
+      if (chunkSize > 0) chunkText ++= chunkSeparator
+      chunkText ++= segment
+      chunkSize += numTokens
+      if (i == splitText.length - 1 && chunkText.nonEmpty)
+        chunks += chunkText.toString
+    }
+    chunks.toSeq
   }
 
   def stageForTransformers(ds: Dataset[Element], maxInputSize: Int = 512,

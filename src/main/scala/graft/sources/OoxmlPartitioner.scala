@@ -225,6 +225,15 @@ object OoxmlPartitioner {
   def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean): Seq[RawPara] =
     partitionXlsx(bytes, findSubtable, includeHeader = false)
 
+  /** `infer_table_structure=False` keeps the Table elements but drops their
+    * `text_as_html` (`partition/xlsx.py` — `test_xlsx.py:
+    * find_subtables_False_and_infer_table_structure_False`). */
+  def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean,
+      includeHeader: Boolean, inferTableStructure: Boolean): Seq[RawPara] = {
+    val paras = partitionXlsx(bytes, findSubtable, includeHeader)
+    if (inferTableStructure) paras else paras.map(_.copy(textAsHtml = None))
+  }
+
   /** `include_header=True` (`test_xlsx.py:110-118`): the first worksheet row
     * becomes the column headings — blank headings fill as pandas "Unnamed: N"
     * — prepended to the table text and rendered as a `<thead>`. Header

@@ -119,17 +119,22 @@ object Partitioners {
     * (`csv.py:23-78`); text is the `HtmlTable.text` space-join. `pandasHtml`
     * selects the legacy pandas render for wire-compat with old archives. */
   def partitionCsv(text: String, delimiter: Option[Char] = None,
-      pandasHtml: Boolean = false): Seq[RawPara] = {
+      pandasHtml: Boolean = false,
+      inferTableStructure: Boolean = true): Seq[RawPara] = {
     val d = delimiter.orElse(sniffDelimiter(text)).getOrElse(',')
     val rows = text.linesIterator.filter(_.nonEmpty).map(parseCsvLine(_, d)).toVector
     if (rows.isEmpty) return Nil
-    val html = if (pandasHtml) pandasTableHtml(rows) else htmlifyMatrix(rows)
+    // `infer_table_structure=False` drops text_as_html (`partition/csv.py:64-99`)
+    val html =
+      if (!inferTableStructure) None
+      else Some(if (pandasHtml) pandasTableHtml(rows) else htmlifyMatrix(rows))
     val txt = tableText(rows)
     if (txt.isEmpty) Nil
-    else Seq(RawPara(txt, Some("Table"), textAsHtml = Some(html)))
+    else Seq(RawPara(txt, Some("Table"), textAsHtml = html))
   }
 
-  def partitionTsv(text: String): Seq[RawPara] = partitionCsv(text, Some('\t'))
+  def partitionTsv(text: String, inferTableStructure: Boolean = true): Seq[RawPara] =
+    partitionCsv(text, Some('\t'), inferTableStructure = inferTableStructure)
 
   // ------------------------------------------------------------------- email (EML)
 

@@ -76,6 +76,34 @@ class StagingToolsSpec extends SparkSuiteBase {
     }
   }
 
+  // -- test_chunk_by_attention_window (:34) — the reference's exact vectors,
+  // untrimmed input so the trailing empty segment exercises the final-flush path
+  test("chunk_by_attention_window reference vectors with a trailing separator") {
+    val text = "hello " * 20 + "there " * 20
+    val hello = ("hello " * 10).trim
+    val there = ("there " * 10).trim
+    assert(Staging.chunkByAttentionWindow(text, maxInputSize = 20, buffer = 10) ==
+      Seq(hello, hello, there, there))
+    assert(Staging.chunkByAttentionWindow(text, maxInputSize = 20, buffer = 0) ==
+      Seq(("hello " * 20).trim, ("there " * 20).trim))
+  }
+
+  // -- test_chunk_by_attention_window_raises_if_buffer_too_big (:61)
+  test("chunk_by_attention_window raises when the buffer exceeds the window") {
+    intercept[IllegalArgumentException] {
+      Staging.chunkByAttentionWindow("hello " * 20, maxInputSize = 20, buffer = 40)
+    }
+  }
+
+  // -- test_chunk_by_attention_window_raises_if_chunk_exceeds_window (:69)
+  test("chunk_by_attention_window raises when one segment exceeds the window") {
+    val text = "hello " * 100 + "."
+    intercept[IllegalArgumentException] {
+      Staging.chunkByAttentionWindow(text, maxInputSize = 20, buffer = 0,
+        splitFunction = _.split("\\.", -1).toSeq)
+    }
+  }
+
   test("stage_for_transformers chunks long text and passes short elements") {
     import spark.implicits._
     val els = Seq(
@@ -90,6 +118,23 @@ class StagingToolsSpec extends SparkSuiteBase {
       hello, hello, there, there))
     // chunks keep their source element's identity fields
     assert(out.tail.forall(_.element_id == "x"))
+  }
+
+  // -- test_weaviate_schema_is_valid (test_weaviate.py:58) --------------------
+  test("weaviate class schema lists text+category first and maps field types") {
+    val (className, props) = Staging.createUnstructuredWeaviateClass()
+    assert(className == "UnstructuredDocument")
+    assert(props.take(2) == Seq("text" -> Seq("text"), "category" -> Seq("text")))
+    val byName = props.toMap
+    // excluded metadata keys never become properties (weaviate.py:11-20)
+    Staging.WeaviateExcludeMetadataKeys.foreach(k => assert(!byName.contains(k), k))
+    assert(byName("page_number") == Seq("int"))
+    assert(byName("filename") == Seq("text"))
+    assert(byName("languages") == Seq("text"))
+    assert(byName("segment_start_seconds") == Seq("number"))
+    // every property has exactly one dataType and a nonempty name
+    assert(props.forall { case (n, dt) => n.nonEmpty && dt.size == 1 })
+    assert(props.map(_._1).distinct.size == props.size)
   }
 
   // -- test_datasaur.py -------------------------------------------------------

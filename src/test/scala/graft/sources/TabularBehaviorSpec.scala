@@ -146,6 +146,35 @@ class TabularBehaviorSpec extends AnyFunSuite {
     assert(els.nonEmpty)
   }
 
+  // -- test_partition_csv_from_filename_infer_table_structure (test_csv.py)
+  test("infer_table_structure=false drops text_as_html but keeps the table text") {
+    val csv = "Stanley Cups,,\nTeam,Location,Stanley Cups\nBlues,STL,1"
+    val on = Partitioners.partitionCsv(csv)
+    val off = Partitioners.partitionCsv(csv, inferTableStructure = false)
+    assert(on.head.textAsHtml.isDefined)
+    assert(off.head.textAsHtml.isEmpty)
+    assert(off.head.text == on.head.text)
+    assert(off.head.elementType.contains("Table"))
+    // tsv variant takes the same flag
+    val tsvOff = Partitioners.partitionTsv("a\tb\nc\td", inferTableStructure = false)
+    assert(tsvOff.head.textAsHtml.isEmpty)
+  }
+
+  // -- test_partition_xlsx_with_find_subtables_False_and_infer_table_structure_False_works
+  test("xlsx with find_subtables=false and infer_table_structure=false keeps text only") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/example-docs/stanley-cups.xlsx"))
+    val out = OoxmlPartitioner.partitionXlsx(bytes, findSubtable = false,
+      includeHeader = false, inferTableStructure = false)
+    assert(out.nonEmpty)
+    assert(out.forall(_.textAsHtml.isEmpty))
+    assert(out.exists(_.elementType.contains("Table")))
+    // and the html returns when inference is back on
+    val on = OoxmlPartitioner.partitionXlsx(bytes, findSubtable = false,
+      includeHeader = false, inferTableStructure = true)
+    assert(on.exists(_.textAsHtml.isDefined))
+  }
+
   test("find_subtable=false emits one Table per worksheet") {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/example-docs/stanley-cups.xlsx"))
