@@ -96,6 +96,41 @@ object PdfminerGeometry {
   }
 
   /** One page row for [[cleanPdfminerInnerElements]]. */
+  /** One positioned character: glyph text + bbox, the LTChar fields the
+    * fake-bold detector reads (`pdfminer_utils.py:370-421`). */
+  final case class PChar(text: String, x0: Double, y0: Double, x1: Double)
+
+  /**
+   * `_is_duplicate_char` (`pdf_image/pdfminer_utils.py:370-421`): some PDF
+   * generators fake bold by rendering each glyph twice at a sub-pixel offset.
+   * A duplicate is the same glyph within `threshold` of the previous one AND
+   * with >`overlapRatioThreshold` horizontal bbox overlap — legitimate
+   * doubled letters ("ll") are adjacent, not overlapping.
+   */
+  def isDuplicateChar(c1: PChar, c2: PChar, threshold: Double,
+      overlapRatioThreshold: Double = 0.5): Boolean = {
+    if (c1.text != c2.text) return false
+    if (math.abs(c1.x0 - c2.x0) >= threshold ||
+      math.abs(c1.y0 - c2.y0) >= threshold) return false
+    val w1 = c1.x1 - c1.x0
+    val w2 = c2.x1 - c2.x0
+    val overlap = math.max(0.0, math.min(c1.x1, c2.x1) - math.max(c1.x0, c2.x0))
+    val avgWidth = (w1 + w2) / 2
+    val ratio = if (avgWidth > 0) overlap / avgWidth else 0.0
+    ratio > overlapRatioThreshold
+  }
+
+  /** `_deduplicate_ltchars` (`pdfminer_processing.py:1207-1232`): drop each
+    * char that duplicates the previously KEPT char; `threshold <= 0`
+    * disables. */
+  def deduplicateChars(chars: Seq[PChar], threshold: Double): Seq[PChar] = {
+    if (threshold <= 0 || chars.isEmpty) return chars
+    val result = scala.collection.mutable.ArrayBuffer(chars.head)
+    for (c <- chars.tail)
+      if (!isDuplicateChar(result.last, c, threshold)) result += c
+    result.toSeq
+  }
+
   final case class PageRegion(bbox: Bbox, isPdfminer: Boolean)
 
   /** `clean_pdfminer_inner_elements` (`:831-860`): remove pdfminer-sourced

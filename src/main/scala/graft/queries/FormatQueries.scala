@@ -168,6 +168,14 @@ object FormatQueries {
         .select(col("doc_id"), col("element_type"), col("text"), col("text_as_html"))
         .orderBy("doc_id")),
 
+    // infer_table_structure=False: Table text survives, text_as_html drops
+    "q_partition_csv_no_html" -> ((s, dir) =>
+      partitionRows(
+        docs(s, dir).select(col("doc_id"), csvPayload.as("payload")),
+        t => Partitioners.partitionCsv(t, inferTableStructure = false))
+        .select(col("doc_id"), col("element_type"), col("text"), col("text_as_html"))
+        .orderBy("doc_id")),
+
     "q_partition_tsv" -> ((s, dir) =>
       partitionRows(
         docs(s, dir).select(col("doc_id"), tsvPayload.as("payload")),
@@ -282,6 +290,14 @@ object FormatQueries {
          |    '</td><td>w' || doc_id || '</td></tr><tr><td>say "hi"</td><td>' || w1 ||
          |    '</td></tr><tr><td>plain</td><td>' || n_chars || '</td></tr></table>'
          |    AS text_as_html
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_partition_csv_no_html" ->
+      s"""WITH base AS ($base)
+         |SELECT doc_id, 'Table' AS element_type,
+         |  'k v a,' || source || ' w' || doc_id ||
+         |    ' say "hi" ' || w1 || ' plain ' || n_chars AS text,
+         |  CAST(NULL AS VARCHAR) AS text_as_html
          |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_partition_tsv" ->

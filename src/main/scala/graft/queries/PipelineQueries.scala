@@ -168,6 +168,18 @@ object PipelineQueries {
           includeOrigElements = false)))
     }),
 
+    // detect_language_per_element=True (`lang.py:543-559`): every element runs
+    // its own detection instead of inheriting the doc-level code; the oracle
+    // mirrors the detectLanguages SQL per row
+    "q_lang_per_element" -> ((s, dir) => {
+      val els = graft.operators.MetadataOps.applyMetadata(
+        fullElements(s, dir), detectLanguagePerElement = true)
+      els.select(
+        col("doc_id").cast("long").as("doc_id"), col("seq"),
+        element_at(col("metadata.languages"), 1).as("lang"))
+        .orderBy("doc_id", "seq")
+    }),
+
     // apply_metadata chain: doc language -> filename/filetype stamp -> hash ids ->
     // hierarchy. Oracle recomputes ids (sha-256 of filename+text+page+seq_on_page)
     // and parents (last preceding Title for ruleset children) independently.
@@ -629,6 +641,14 @@ object PipelineQueries {
          |  row_number() OVER (PARTITION BY doc_id ORDER BY chunk_idx, sub) - 1 AS chunk_seq,
          |  ctext AS text
          |FROM allchunks ORDER BY doc_id, chunk_seq""".stripMargin
+    },
+
+    "q_lang_per_element" -> {
+      val rowDet = s"NULLIF(${AnalysisQueries.detectLanguagesSql("text")}, 'und')"
+      s"""WITH $parsCte,
+         |typed AS ($typedSelect)
+         |SELECT doc_id, seq, $rowDet AS lang
+         |FROM typed ORDER BY doc_id, seq""".stripMargin
     },
 
     "q_apply_metadata" ->

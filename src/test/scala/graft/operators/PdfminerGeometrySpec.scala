@@ -323,4 +323,56 @@ class PdfminerGeometrySpec extends AnyFunSuite {
     assert(out(2).bbox == ((453.00277777777774, 417.319341111111,
       711.5338541666665, 550.28571222222206)))
   }
+
+  // -- TestDeduplicateLtchars (test_pdfminer_processing.py:620-678) ----------
+  private def ch(t: String, x: Double, y: Double): PdfminerGeometry.PChar =
+    PdfminerGeometry.PChar(t, x, y, x + 10.0) // textwidth=10, like the mock LTChar
+
+  test("char dedup: empty list returns empty") {
+    assert(PdfminerGeometry.deduplicateChars(Nil, 3.0).isEmpty)
+  }
+
+  test("char dedup: threshold zero disables deduplication") {
+    val chars = Seq(ch("A", 10.0, 20.0), ch("A", 10.5, 20.0))
+    assert(PdfminerGeometry.deduplicateChars(chars, 0).size == 2)
+  }
+
+  test("char dedup: fake-bold double-rendered glyphs collapse") {
+    val chars = Seq(ch("A", 10.0, 20.0), ch("A", 10.5, 20.0),
+      ch("B", 25.0, 20.0), ch("B", 25.5, 20.0))
+    val out = PdfminerGeometry.deduplicateChars(chars, 3.0)
+    assert(out.map(_.text) == Seq("A", "B"))
+  }
+
+  test("char dedup: legitimate repeated chars at distinct positions survive") {
+    val chars = Seq(ch("A", 10.0, 20.0), ch("A", 25.0, 20.0))
+    assert(PdfminerGeometry.deduplicateChars(chars, 3.0).size == 2)
+  }
+
+  test("char dedup: single char returns single") {
+    val out = PdfminerGeometry.deduplicateChars(Seq(ch("X", 10.0, 20.0)), 3.0)
+    assert(out.map(_.text) == Seq("X"))
+  }
+
+  test("char dedup: mixed duplicates and normal chars (HELLO case)") {
+    val chars = Seq(
+      ch("H", 10.0, 20.0), ch("H", 10.5, 20.0), // duplicate
+      ch("E", 20.0, 20.0),
+      ch("L", 30.0, 20.0), ch("L", 30.5, 20.0), // duplicate
+      ch("L", 40.0, 20.0),                      // legitimate second L
+      ch("O", 50.0, 20.0))
+    val out = PdfminerGeometry.deduplicateChars(chars, 3.0)
+    assert(out.size == 5)
+    assert(out.map(_.text).mkString == "HELLO")
+  }
+
+  test("char dedup: near positions but low overlap are kept (adjacent ll)") {
+    // same glyph 2.0 apart with width 3 -> overlap 1/3 = 0.33 < 0.5 threshold
+    val a = PdfminerGeometry.PChar("l", 10.0, 20.0, 13.0)
+    val b = PdfminerGeometry.PChar("l", 12.0, 20.0, 15.0)
+    assert(!PdfminerGeometry.isDuplicateChar(a, b, 3.0))
+    // but 70%+ overlap at the same offset collapses
+    val c = PdfminerGeometry.PChar("l", 10.5, 20.0, 13.5)
+    assert(PdfminerGeometry.isDuplicateChar(a, c, 3.0))
+  }
 }
