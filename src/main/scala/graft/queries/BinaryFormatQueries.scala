@@ -91,6 +91,15 @@ object BinaryFormatQueries {
           col("text_as_html"), col("page_number"), col("page_name"))
         .orderBy("doc_id", "seq")),
 
+    // legacy BIFF8 workbook — same cell layout as q_partition_xlsx, so the
+    // oracle rows are identical
+    "q_partition_xls" -> ((s, dir) =>
+      partitionBinary(docBase(s, dir), CorpusBytes.xls,
+        b => graft.sources.XlsPartitioner.partitionXls(b))
+        .select(col("doc_id"), col("seq"), col("element_type"), col("text"),
+          col("text_as_html"), col("page_number"), col("page_name"))
+        .orderBy("doc_id", "seq")),
+
     "q_partition_pptx" -> ((s, dir) =>
       partitionBinary(docBase(s, dir), CorpusBytes.pptx, OoxmlPartitioner.partitionPptx)
         .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
@@ -566,6 +575,26 @@ object BinaryFormatQueries {
     },
 
     "q_partition_xlsx" ->
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 0 AS ord, ${O.classify("('Report ' || source)")} AS element_type,
+         |    'Report ' || source AS text, NULL AS text_as_html FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 1, 'Table',
+         |    'k v ' || w1 || ' ' || n_chars,
+         |    '<table><tr><td>k</td><td>v</td></tr><tr><td>' || w1 || '</td><td>' ||
+         |      n_chars || '</td></tr></table>' FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'Table',
+         |    'x y end ' || doc_id,
+         |    '<table><tr><td>x</td><td>y</td></tr><tr><td>end</td><td>' || doc_id ||
+         |      '</td></tr></table>' FROM base)
+         |SELECT doc_id,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS seq,
+         |  element_type, text, text_as_html, 1 AS page_number, 'S1' AS page_name
+         |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
+
+    "q_partition_xls" ->
       s"""WITH base AS ($base),
          |rows0 AS (
          |  SELECT doc_id, 0 AS ord, ${O.classify("('Report ' || source)")} AS element_type,

@@ -127,6 +127,60 @@ object CorpusBytes {
       "xl/worksheets/sheet1.xml" -> sheet.getBytes(UTF_8)))
   }
 
+  /** The same worksheet as [[xlsx]], authored as a legacy BIFF8 `Workbook`
+    * stream in a CFB container: globals (BOF, BOUNDSHEET, SST, EOF) + one
+    * sheet substream (BOF, LABELSST/RK/NUMBER cells, EOF). Numbers exercise
+    * both the RK and the IEEE-double record paths. */
+  def xls(d: Doc): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def u32(v: Long): Array[Byte] = u16((v & 0xFFFF).toInt) ++ u16(((v >> 16) & 0xFFFF).toInt)
+    def rec(tpe: Int, body: Array[Byte]): Array[Byte] =
+      u16(tpe) ++ u16(body.length) ++ body
+    def bof(dt: Int): Array[Byte] =
+      rec(0x0809, u16(0x0600) ++ u16(dt) ++ u16(0x0DBB) ++ u16(0x07CC) ++ u32(0L) ++ u32(0L))
+    val eof = rec(0x000A, Array.empty)
+
+    val shared = Seq(s"Report ${d.source}", "k", "v", d.w1, "x", "y", "end")
+    def sstString(s: String): Array[Byte] = {
+      val wide = s.exists(_ > 'ÿ')
+      val chars =
+        if (wide) s.getBytes(UTF_16LE)
+        else s.map(c => (c & 0xFF).toByte).toArray
+      u16(s.length) ++ Array((if (wide) 1 else 0).toByte) ++ chars
+    }
+    val sst = rec(0x00FC,
+      u32(shared.length.toLong) ++ u32(shared.length.toLong) ++
+        shared.flatMap(sstString).toArray)
+    def labelSst(row: Int, col: Int, idx: Int): Array[Byte] =
+      rec(0x00FD, u16(row) ++ u16(col) ++ u16(0) ++ u32(idx.toLong))
+    def rk(row: Int, col: Int, v: Int): Array[Byte] =
+      rec(0x027E, u16(row) ++ u16(col) ++ u16(0) ++ u32(((v.toLong << 2) | 0x2L) & 0xFFFFFFFFL))
+    def number(row: Int, col: Int, v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      rec(0x0203, u16(row) ++ u16(col) ++ u16(0) ++
+        (0 until 8).map(i => ((bits >> (8 * i)) & 0xFF).toByte).toArray)
+    }
+
+    val sheet = bof(0x0010) ++
+      labelSst(0, 0, 0) ++
+      labelSst(1, 0, 1) ++ labelSst(1, 1, 2) ++
+      labelSst(2, 0, 3) ++ rk(2, 1, d.nChars.toInt) ++
+      labelSst(4, 0, 4) ++ labelSst(4, 1, 5) ++
+      labelSst(5, 0, 6) ++ number(5, 1, d.docId.toDouble) ++
+      eof
+    // BOUNDSHEET: u32 stream pos (globals length, patched below), visibility,
+    // sheet type, then the len8 compressed name
+    def boundsheet(pos: Long): Array[Byte] =
+      rec(0x0085, u32(pos) ++ Array(0.toByte, 0.toByte,
+        2.toByte, 0.toByte) ++ "S1".map(c => (c & 0xFF).toByte).toArray)
+    val globalsLen = (bof(0x0005) ++ boundsheet(0) ++ sst ++ eof).length
+    val globals = bof(0x0005) ++ boundsheet(globalsLen.toLong) ++ sst ++ eof
+    out.write(globals)
+    out.write(sheet)
+    cfb(Seq("Workbook" -> out.toByteArray))
+  }
+
   // ------------------------------------------------------------------------ PPTX
 
   /** Slide 1: title placeholder + body paragraphs + one buChar bullet;

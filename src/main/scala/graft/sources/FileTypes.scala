@@ -50,7 +50,7 @@ object FileType {
   case object Tiff extends FileType("tiff", "image/tiff", Seq(".tiff", ".tif"))
   case object Gif extends FileType("gif", "image/gif", Seq(".gif"))
   case object Heic extends FileType("heic", "image/heic", Seq(".heic"), false)
-  case object Xls extends FileType("xls", "application/vnd.ms-excel", Seq(".xls"), false)
+  case object Xls extends FileType("xls", "application/vnd.ms-excel", Seq(".xls"))
   case object Xlsx extends FileType("xlsx",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet", Seq(".xlsx"))
   case object Xml extends FileType("xml", "application/xml", Seq(".xml"))

@@ -179,7 +179,7 @@ object OoxmlPartitioner {
   }
 
   /** Subtable split of one sheet's populated-cell grid into element paras. */
-  private def subtableElements(grid: Map[(Int, Int), String], page: Int,
+  private[sources] def subtableElements(grid: Map[(Int, Int), String], page: Int,
       sheetName: Option[String]): Seq[RawPara] = {
     if (grid.isEmpty) return Nil
     connectedComponents(grid.keySet).flatMap { comp =>

@@ -469,6 +469,7 @@ object Partitioners {
       case FileType.Eml => partitionEmail(text)._2
       case FileType.Docx => OoxmlPartitioner.partitionDocx(content)
       case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content)
+      case FileType.Xls => XlsPartitioner.partitionXls(content)
       case FileType.Pptx => OoxmlPartitioner.partitionPptx(content)
       case FileType.Pdf =>
         // per-file strategy resolution (`partition/pdf.py:300-338`): probe
