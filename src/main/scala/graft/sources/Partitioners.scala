@@ -446,11 +446,30 @@ object Partitioners {
 
   // ------------------------------------------------------------------- auto router
 
+  /** `decide_table_extraction` (`auto.py:323-338`): infer table structure for
+    * a filetype unless its name is listed in `skip_infer_table_types` (pdf
+    * additionally honors the deprecated `pdf_infer_table_structure=True`
+    * override). */
+  def decideTableExtraction(filetype: FileType,
+      skipInferTableTypes: Seq[String],
+      pdfInferTableStructure: Boolean = false): Boolean = {
+    val docType = filetype.name.toLowerCase
+    if (docType == "pdf")
+      pdfInferTableStructure || !skipInferTableTypes.contains(docType)
+    else !skipInferTableTypes.contains(docType)
+  }
+
+  /** The `partition()` default (`auto.py:41`). */
+  val DefaultSkipInferTableTypes: Seq[String] = Seq("pdf", "jpg", "png", "heic")
+
   /** `partition()` — detect + route (`partition/auto.py:30-300`). Formats whose
     * parsers need external tools report `partitionerAvailable=false` upstream. */
   def partitionAuto(filename: String, content: Array[Byte],
-      contentType: Option[String] = None): (FileType, Seq[RawPara]) = {
+      contentType: Option[String] = None,
+      skipInferTableTypes: Seq[String] = DefaultSkipInferTableTypes,
+      pdfInferTableStructure: Boolean = false): (FileType, Seq[RawPara]) = {
     val ft = DetectFiletype.detect(filename, content, contentType)
+    val inferTables = decideTableExtraction(ft, skipInferTableTypes, pdfInferTableStructure)
     graft.operators.Registries.partitioner(ft) match {
       case Some(custom) => return (ft, custom(content))
       case None => ()
@@ -462,15 +481,19 @@ object Partitioners {
       case FileType.Txt =>
         TextSource.splitParagraphs(text).map(t => RawPara(t, None, classifier = "text"))
       case FileType.Html => HtmlPartitioner.partition(text)
-      case FileType.Csv => partitionCsv(text)
-      case FileType.Tsv => partitionTsv(text)
+      case FileType.Csv => partitionCsv(text, inferTableStructure = inferTables)
+      case FileType.Tsv => partitionTsv(text, inferTableStructure = inferTables)
       case FileType.Md => partitionMd(text)
       case FileType.Xml => partitionXml(text)
       case FileType.Eml => partitionEmail(text)._2
-      case FileType.Docx => OoxmlPartitioner.partitionDocx(content)
-      case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content)
-      case FileType.Xls => XlsPartitioner.partitionXls(content)
-      case FileType.Pptx => OoxmlPartitioner.partitionPptx(content)
+      case FileType.Docx => DocxPartitioner.partition(content,
+        DocxPartitioner.DocxOptions(inferTableStructure = inferTables))
+      case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content,
+        findSubtable = true, includeHeader = false, inferTableStructure = inferTables)
+      case FileType.Xls => XlsPartitioner.partitionXls(content,
+        inferTableStructure = inferTables)
+      case FileType.Pptx => PptxPartitioner.partition(content,
+        PptxPartitioner.PptxOptions(inferTableStructure = inferTables))
       case FileType.Pdf =>
         // per-file strategy resolution (`partition/pdf.py:300-338`): probe
         // complexity, reuse the fast extraction from the extractability probe,

@@ -159,4 +159,30 @@ class AutoBehaviorSpec extends SparkSuiteBase {
     assert(psRst.exists(_.text.contains("Example Docs")) ||
       psOrg.exists(_.text.contains("Example Docs")))
   }
+
+  // -- test_auto_partition_respects_skip_infer_table_types (test_auto.py:1183)
+  test("skip_infer_table_types suppresses text_as_html per filetype") {
+    val csv = Files.readAllBytes(Paths.get(docs + "stanley-cups.csv"))
+    val (_, withHtml) = Partitioners.partitionAuto("stanley-cups.csv", csv)
+    assert(withHtml.exists(_.textAsHtml.isDefined))
+    val (_, noHtml) = Partitioners.partitionAuto("stanley-cups.csv", csv,
+      skipInferTableTypes = Seq("csv"))
+    assert(noHtml.nonEmpty && noHtml.forall(_.textAsHtml.isEmpty))
+    assert(noHtml.map(_.text) == withHtml.map(_.text))
+    // the xlsx twin honors the same list
+    val xlsx = Files.readAllBytes(Paths.get(docs + "stanley-cups.xlsx"))
+    val (_, noXlsxHtml) = Partitioners.partitionAuto("stanley-cups.xlsx", xlsx,
+      skipInferTableTypes = Seq("xlsx"))
+    assert(noXlsxHtml.forall(_.textAsHtml.isEmpty))
+  }
+
+  // -- decide_table_extraction (auto.py:323-338)
+  test("decide_table_extraction honors the pdf legacy override") {
+    import Partitioners.decideTableExtraction
+    val skip = Partitioners.DefaultSkipInferTableTypes
+    assert(!decideTableExtraction(FileType.Pdf, skip))
+    assert(decideTableExtraction(FileType.Pdf, skip, pdfInferTableStructure = true))
+    assert(decideTableExtraction(FileType.Xlsx, skip))
+    assert(!decideTableExtraction(FileType.Xlsx, Seq("xlsx")))
+  }
 }
