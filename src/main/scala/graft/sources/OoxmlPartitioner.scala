@@ -226,11 +226,16 @@ object OoxmlPartitioner {
     partitionXlsx(bytes, findSubtable, includeHeader = false)
 
   /** `infer_table_structure=False` keeps the Table elements but drops their
-    * `text_as_html` (`partition/xlsx.py` — `test_xlsx.py:
-    * find_subtables_False_and_infer_table_structure_False`). */
+    * `text_as_html`; `starting_page_number` offsets the sheet-index page
+    * numbers (`partition/xlsx.py`; `test_auto.py:899`). */
   def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean,
-      includeHeader: Boolean, inferTableStructure: Boolean): Seq[RawPara] = {
-    val paras = partitionXlsx(bytes, findSubtable, includeHeader)
+      includeHeader: Boolean, inferTableStructure: Boolean,
+      startingPageNumber: Int = 1): Seq[RawPara] = {
+    val paras0 = partitionXlsx(bytes, findSubtable, includeHeader)
+    val paras =
+      if (startingPageNumber == 1) paras0
+      else paras0.map(p => p.copy(pageNumber =
+        p.pageNumber.map(_ + startingPageNumber - 1)))
     if (inferTableStructure) paras else paras.map(_.copy(textAsHtml = None))
   }
 

@@ -467,7 +467,8 @@ object Partitioners {
   def partitionAuto(filename: String, content: Array[Byte],
       contentType: Option[String] = None,
       skipInferTableTypes: Seq[String] = DefaultSkipInferTableTypes,
-      pdfInferTableStructure: Boolean = false): (FileType, Seq[RawPara]) = {
+      pdfInferTableStructure: Boolean = false,
+      startingPageNumber: Int = 1): (FileType, Seq[RawPara]) = {
     val ft = DetectFiletype.detect(filename, content, contentType)
     val inferTables = decideTableExtraction(ft, skipInferTableTypes, pdfInferTableStructure)
     graft.operators.Registries.partitioner(ft) match {
@@ -487,13 +488,16 @@ object Partitioners {
       case FileType.Xml => partitionXml(text)
       case FileType.Eml => partitionEmail(text)._2
       case FileType.Docx => DocxPartitioner.partition(content,
-        DocxPartitioner.DocxOptions(inferTableStructure = inferTables))
+        DocxPartitioner.DocxOptions(inferTableStructure = inferTables,
+          startingPageNumber = startingPageNumber))
       case FileType.Xlsx => OoxmlPartitioner.partitionXlsx(content,
-        findSubtable = true, includeHeader = false, inferTableStructure = inferTables)
+        findSubtable = true, includeHeader = false, inferTableStructure = inferTables,
+        startingPageNumber = startingPageNumber)
       case FileType.Xls => XlsPartitioner.partitionXls(content,
-        inferTableStructure = inferTables)
+        inferTableStructure = inferTables, startingPageNumber = startingPageNumber)
       case FileType.Pptx => PptxPartitioner.partition(content,
-        PptxPartitioner.PptxOptions(inferTableStructure = inferTables))
+        PptxPartitioner.PptxOptions(inferTableStructure = inferTables,
+          startingPageNumber = startingPageNumber))
       case FileType.Pdf =>
         // per-file strategy resolution (`partition/pdf.py:300-338`): probe
         // complexity, reuse the fast extraction from the extractability probe,

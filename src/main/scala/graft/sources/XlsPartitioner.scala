@@ -232,7 +232,8 @@ object XlsPartitioner {
   }
 
   def partitionXls(bytes: Array[Byte], findSubtable: Boolean = true,
-      inferTableStructure: Boolean = true): Seq[RawPara] = {
+      inferTableStructure: Boolean = true,
+      startingPageNumber: Int = 1): Seq[RawPara] = {
     val cfb = new Cfb(bytes)
     val stream = workbookStream(cfb).getOrElse(return Nil)
     val recs = records(stream)
@@ -273,7 +274,7 @@ object XlsPartitioner {
         val paras =
           if (grid.isEmpty) Nil
           else if (findSubtable)
-            OoxmlPartitioner.subtableElements(grid, si + 1, Some(name))
+            OoxmlPartitioner.subtableElements(grid, si + startingPageNumber, Some(name))
           else {
             val maxR = grid.keys.map(_._1).max
             val maxC = grid.keys.map(_._2).max
@@ -282,7 +283,7 @@ object XlsPartitioner {
             if (text.isEmpty) Nil
             else Seq(RawPara(text, Some("Table"),
               textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)),
-              pageNumber = Some(si + 1), pageName = Some(name)))
+              pageNumber = Some(si + startingPageNumber), pageName = Some(name)))
           }
         if (inferTableStructure) paras else paras.map(_.copy(textAsHtml = None))
       }

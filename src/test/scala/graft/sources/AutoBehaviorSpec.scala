@@ -185,4 +185,18 @@ class AutoBehaviorSpec extends SparkSuiteBase {
     assert(decideTableExtraction(FileType.Xlsx, skip))
     assert(!decideTableExtraction(FileType.Xlsx, Seq("xlsx")))
   }
+
+  // -- test_auto_partition_xlsx_respects_starting_page_number_argument (:899)
+  test("starting_page_number offsets sheet pages in auto xlsx and xls") {
+    val xlsx = Files.readAllBytes(Paths.get(docs + "stanley-cups.xlsx"))
+    val (_, shifted) = Partitioners.partitionAuto("stanley-cups.xlsx", xlsx,
+      startingPageNumber = 3)
+    assert(shifted.take(2).forall(_.pageNumber.contains(3)))
+    assert(shifted.drop(2).forall(_.pageNumber.contains(4)))
+    val xls = Files.readAllBytes(Paths.get(docs + "tests-example.xls"))
+    val (_, xlsShifted) = Partitioners.partitionAuto("tests-example.xls", xls,
+      startingPageNumber = 5)
+    assert(xlsShifted.head.pageNumber.contains(5))
+    assert(xlsShifted.map(_.pageNumber.getOrElse(0)).max >= 6)
+  }
 }
