@@ -149,6 +149,30 @@ object MultimodalOps {
    * batched model call in `mapPartitions`; the explode shape, timing columns and
    * element typing are the production plumbing.
    */
+  /** RIFF/WAVE header walk → clip duration in seconds (data-chunk bytes /
+    * fmt byte-rate). Model-free: gives [[transcribeAudio]] a REAL duration
+    * for `.wav` payloads instead of a metadata-supplied one. Returns None
+    * for non-WAV bytes or a malformed chunk list. */
+  def wavDuration(bytes: Array[Byte]): Option[Double] = {
+    if (bytes.length < 44 ||
+      new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(bytes, 8, 4, "US-ASCII") != "WAVE") return None
+    def u32(p: Int): Long =
+      (bytes(p) & 0xFFL) | ((bytes(p + 1) & 0xFFL) << 8) |
+        ((bytes(p + 2) & 0xFFL) << 16) | ((bytes(p + 3) & 0xFFL) << 24)
+    var i = 12
+    var byteRate = 0L
+    var dataLen = -1L
+    while (i + 8 <= bytes.length && (byteRate == 0 || dataLen < 0)) {
+      val cid = new String(bytes, i, 4, "US-ASCII")
+      val sz = u32(i + 4)
+      if (cid == "fmt " && i + 16 + 4 <= bytes.length) byteRate = u32(i + 16)
+      else if (cid == "data") dataLen = math.min(sz, (bytes.length - i - 8).toLong)
+      i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (byteRate > 0 && dataLen >= 0) Some(dataLen.toDouble / byteRate) else None
+  }
+
   def transcribeAudio(df: DataFrame, durationCol: String,
       payload: String = "payload"): DataFrame = {
     // NULL duration (missing metadata) must not silently drop the clip: a NULL

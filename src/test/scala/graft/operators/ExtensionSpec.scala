@@ -142,4 +142,13 @@ class ExtensionSpec extends SparkSuiteBase {
       "<table><tr><td>d</td><td>c</td></tr><tr><td>b</td><td>a</td></tr></table>"
     assert(MetricsOps.tableEvalScore(gold, shuffled, contentOnly = true) == 1.0)
   }
+
+  // -- partition_audio's model-free half: real WAV duration from the header
+  test("multimodal: wav header duration matches the reference clip exactly") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/example-docs/CantinaBand3.wav"))
+    assert(MultimodalOps.wavDuration(bytes).contains(3.0))
+    assert(MultimodalOps.wavDuration("not audio".getBytes).isEmpty)
+    assert(MultimodalOps.wavDuration(bytes.take(20)).isEmpty)
+  }
 }
