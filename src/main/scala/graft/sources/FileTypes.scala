@@ -40,8 +40,15 @@ object FileType {
   case object Rtf extends FileType("rtf", "text/rtf", Seq(".rtf"))
   case object Tsv extends FileType("tsv", "text/tsv", Seq(".tsv"))
   case object Txt extends FileType("txt", "text/plain", Seq(".txt", ".text", ".log"))
-  case object Wav extends FileType("wav", "audio/wav",
-    Seq(".wav", ".mp3", ".m4a", ".flac", ".ogg"), false)
+  // audio family (`file_utils/model.py:296-521`): detection + routing are
+  // real; the STT kernel stays a registered-agent seam, hence `false`
+  case object Wav extends FileType("wav", "audio/wav", Seq(".wav"), false)
+  case object Flac extends FileType("flac", "audio/flac", Seq(".flac"), false)
+  case object Mp3 extends FileType("mp3", "audio/mpeg", Seq(".mp3"), false)
+  case object M4a extends FileType("m4a", "audio/mp4", Seq(".m4a"), false)
+  case object Ogg extends FileType("ogg", "audio/ogg", Seq(".ogg", ".oga"), false)
+  case object Opus extends FileType("opus", "audio/opus", Seq(".opus"), false)
+  case object Webm extends FileType("webm", "audio/webm", Seq(".webm"), false)
   // image family (`file_utils/model.py:247-450`: BMP/HEIC/JPG/PNG/TIFF; GIF
   // added — same decode path, common in document corpora)
   case object Png extends FileType("png", "image/png", Seq(".png"))
@@ -61,7 +68,7 @@ object FileType {
 
   lazy val all: Seq[FileType] = Seq(Csv, Doc, Docx, Eml, Epub, Html, Json, Md, Msg, Ndjson,
     Odt, Org, Pdf, Ppt, Pptx, Rst, Rtf, Tsv, Txt, Wav, Xls, Xlsx, Xml, Zip,
-    Png, Jpg, Bmp, Tiff, Gif, Heic)
+    Png, Jpg, Bmp, Tiff, Gif, Heic, Flac, Mp3, M4a, Ogg, Opus, Webm)
 
   def fromExtension(ext: String): Option[FileType] = {
     val e = if (ext.startsWith(".")) ext.toLowerCase else "." + ext.toLowerCase
@@ -393,7 +400,19 @@ object DetectFiletype {
       // RIFF heads WAV but also AVI/WebP — the form type at offset 8 decides.
       val form = if (head.length >= 12) ascii(head.drop(8), 4) else ""
       if (form == "WAVE") FileType.Wav else FileType.Unknown
-    } else if (startsWith(head, "ID3".getBytes)) FileType.Wav
+    } else if (startsWith(head, "fLaC".getBytes)) FileType.Flac
+    else if (startsWith(head, "OggS".getBytes)) {
+      // an Opus stream is an Ogg container whose first page opens with OpusHead
+      if (head.length >= 36 && ascii(head.drop(28), 8) == "OpusHead") FileType.Opus
+      else FileType.Ogg
+    } else if (startsWith(head, Array(0x1A.toByte, 0x45.toByte, 0xDF.toByte, 0xA3.toByte)))
+      FileType.Webm // EBML header (Matroska/WebM)
+    else if (head.length >= 8 && ascii(head.drop(4), 4) == "ftyp" &&
+      (head.length >= 12 && ascii(head.drop(8), 3) == "M4A"))
+      FileType.M4a
+    else if (startsWith(head, "ID3".getBytes)) FileType.Mp3
+    // NB: no bare MPEG frame-sync (0xFFEx) probe — it collides with UTF-16/32
+    // BOMs (0xFF 0xFE); headerless MP3 falls back to the .mp3 extension
     else {
       // magic disproved any asserted container type — rule it out rather than
       // letting a wrong asserted type (e.g. XLS on a CSV) win below

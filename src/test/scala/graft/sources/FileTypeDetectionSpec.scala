@@ -188,4 +188,25 @@ class FileTypeDetectionSpec extends AnyFunSuite {
     val bytes = Files.readAllBytes(Paths.get(path))
     assert(DetectFiletype.detect("", bytes) == FileType.Docx)
   }
+
+  // -- audio family magic detection (`file_utils/model.py:296-521`) ----------
+  test("audio magics: flac, ogg, opus, webm, mp3, m4a") {
+    import DetectFiletype.detect
+    assert(detect("a.bin", "fLaC\u0000\u0000\u0000\u0022".getBytes("ISO-8859-1")) ==
+      FileType.Flac)
+    val ogg = ("OggS" + "\u0000" * 24 + "vorbisxx").getBytes("ISO-8859-1")
+    assert(detect("a.bin", ogg) == FileType.Ogg)
+    val opus = ("OggS" + "\u0000" * 24 + "OpusHead").getBytes("ISO-8859-1")
+    assert(detect("a.bin", opus) == FileType.Opus)
+    val webm = Array(0x1A, 0x45, 0xDF, 0xA3, 0x01, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(detect("a.bin", webm) == FileType.Webm)
+    assert(detect("a.bin", ("ID3\u0003" + "\u0000" * 8).getBytes("ISO-8859-1")) ==
+      FileType.Mp3)
+    // a bare frame-sync stays undetected (0xFFFE would collide with UTF-16 BOMs)
+    assert(detect("a.mp3", Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte)) == FileType.Mp3)
+    val m4a = ("\u0000\u0000\u0000\u0020ftypM4A \u0000\u0000\u0000\u0000").getBytes("ISO-8859-1")
+    assert(detect("a.bin", m4a) == FileType.M4a)
+    // extension fallback when the payload is headerless
+    assert(detect("x.opus", Array[Byte]()) == FileType.Empty)
+  }
 }
