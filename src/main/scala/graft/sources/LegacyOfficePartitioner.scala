@@ -47,7 +47,8 @@ object LegacyOfficePartitioner {
       wd: Array[Byte],
       tb: Array[Byte],
       fcStshf: Int, lcbStshf: Int,
-      fcPlcfBtePapx: Int, lcbPlcfBtePapx: Int)
+      fcPlcfBtePapx: Int, lcbPlcfBtePapx: Int,
+      fcPlcfBteChpx: Int = -1, lcbPlcfBteChpx: Int = 0)
 
   /** Raw main-document text via the piece table ([MS-DOC] 2.8.35 PlcPcd),
     * keeping each char's FC so paragraph marks can be resolved to their PAPX
@@ -69,9 +70,12 @@ object LegacyOfficePartitioner {
       .find(e => e.entryType == 2 && e.path == tableName)
       .map(cfb.readStream)
       .getOrElse(throw new IllegalArgumentException(s"no $tableName stream"))
-    // fibRgFcLcb97: fcStshf/lcbStshf at entry 2/3, fcPlcfBtePapx/lcb at 26/27
+    // fibRgFcLcb97: fcStshf/lcbStshf at entry 2/3, fcPlcfBteChpx/lcb at 24/25,
+    // fcPlcfBtePapx/lcb at 26/27
     val fcStshf = wb.getInt(0xA2)
     val lcbStshf = wb.getInt(0xA6)
+    val fcBteChpx = wb.getInt(0xFA)
+    val lcbBteChpx = wb.getInt(0xFE)
     val fcBtePapx = wb.getInt(0x102)
     val lcbBtePapx = wb.getInt(0x106)
 
@@ -115,7 +119,7 @@ object LegacyOfficePartitioner {
       text = sb.take(ccpText).toString
     }
     DocFile(text, fcs.take(text.length).toArray, wd, tb,
-      fcStshf, lcbStshf, fcBtePapx, lcbBtePapx)
+      fcStshf, lcbStshf, fcBtePapx, lcbBtePapx, fcBteChpx, lcbBteChpx)
   }
 
   /** Backwards-compatible raw text accessor. */
@@ -185,6 +189,69 @@ object LegacyOfficePartitioner {
     else pg.getShort(papx + 1) & 0xFFFF
   }
 
+  /** Operand byte-size of a Word 97 sprm by its spra bits ([MS-DOC] 2.2.5.1);
+    * spra 6 is variable — the first operand byte holds the size. */
+  private def sprmOperandSize(sprm: Int, grpprl: Array[Byte], at: Int): Int =
+    (sprm >>> 13) match {
+      case 0 | 1 => 1
+      case 2 | 4 | 5 => 2
+      case 3 => 4
+      case 7 => 3
+      case _ => // 6: variable
+        if (at < grpprl.length) 1 + (grpprl(at) & 0xFF) else 1
+    }
+
+  private val SprmCFBold = 0x0835
+  private val SprmCFItalic = 0x0836
+
+  /** Direct character formatting for the char at `fc`, via the PlcfBteChpx →
+    * ChpxFkp chain ([MS-DOC] 2.8.3, 2.9.33): bit 0 = bold, bit 1 = italic.
+    * CHPX toggles 1 (on) and 0x81 (opposite of the — assumed plain — style)
+    * both read as on. Returns 0 when no CHPX covers the char. */
+  private[sources] def charFormatForFc(doc: DocFile, fc: Int): Int = {
+    val base = doc.fcPlcfBteChpx
+    val n = (doc.lcbPlcfBteChpx - 4) / 8
+    if (n <= 0 || base < 0 || base + doc.lcbPlcfBteChpx > doc.tb.length) return 0
+    val bb = ByteBuffer.wrap(doc.tb).order(ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n && !(bb.getInt(base + i * 4) <= fc && fc < bb.getInt(base + (i + 1) * 4)))
+      i += 1
+    if (i >= n) return 0
+    val pn = bb.getInt(base + (n + 1) * 4 + i * 4)
+    val page = pn.toLong * 512
+    if (page < 0 || page + 512 > doc.wd.length) return 0
+    val pg = ByteBuffer.wrap(doc.wd, page.toInt, 512).order(ByteOrder.LITTLE_ENDIAN).slice()
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val crun = pg.get(511) & 0xFF
+    if (crun == 0 || (crun + 1) * 4 + crun > 511) return 0
+    var j = 0
+    while (j < crun && !(pg.getInt(j * 4) <= fc && fc < pg.getInt((j + 1) * 4))) j += 1
+    if (j >= crun) return 0
+    val bOffset = pg.get((crun + 1) * 4 + j) & 0xFF
+    if (bOffset == 0) return 0 // no CHPX: style-default formatting
+    val chpx = bOffset * 2
+    if (chpx >= 511) return 0
+    val cb = pg.get(chpx) & 0xFF
+    if (chpx + 1 + cb > 512) return 0
+    val grpprl = new Array[Byte](cb)
+    pg.position(chpx + 1)
+    pg.get(grpprl)
+    var k = 0
+    var mask = 0
+    while (k + 2 <= grpprl.length) {
+      val sprm = (grpprl(k) & 0xFF) | ((grpprl(k + 1) & 0xFF) << 8)
+      k += 2
+      val size = sprmOperandSize(sprm, grpprl, k)
+      if (k < grpprl.length) {
+        val op = grpprl(k) & 0xFF
+        if (sprm == SprmCFBold && (op == 1 || op == 0x81)) mask |= 1
+        if (sprm == SprmCFItalic && (op == 1 || op == 0x81)) mask |= 2
+      }
+      k += size
+    }
+    mask
+  }
+
   /** Word control chars in main text: CR ends a paragraph, 0x07 ends a table
     * cell/row (treated as a paragraph break), 0x0C is a page/section break,
     * 0x0B a line break; field chars 0x13/0x14/0x15 and the object markers drop.
@@ -202,15 +269,46 @@ object LegacyOfficePartitioner {
     val out = mutable.ArrayBuffer.empty[RawPara]
     var page = 1
     val cur = new StringBuilder
+    val curIdx = mutable.ArrayBuffer.empty[Int] // source index per cur char
+
+    // per-run bold/italic emphasis, the docx `runsEmphasis` analog: group
+    // consecutive chars with the same direct CHPX formatting; each formatted
+    // run contributes its stripped text under "b" and/or "i"
+    def paraEmphasis(): (Seq[String], Seq[String]) = {
+      val c = Seq.newBuilder[String]
+      val tg = Seq.newBuilder[String]
+      var i = 0
+      while (i < curIdx.length) {
+        val fmt =
+          if (curIdx(i) < doc.charFcs.length) charFormatForFc(doc, doc.charFcs(curIdx(i)))
+          else 0
+        var j = i
+        while (j < curIdx.length && (if (curIdx(j) < doc.charFcs.length)
+          charFormatForFc(doc, doc.charFcs(curIdx(j))) else 0) == fmt) j += 1
+        if (fmt != 0) {
+          val text = cur.substring(i, j).strip
+          if (text.nonEmpty) {
+            if ((fmt & 1) != 0) { c += text; tg += "b" }
+            if ((fmt & 2) != 0) { c += text; tg += "i" }
+          }
+        }
+        i = j
+      }
+      (c.result(), tg.result())
+    }
+
     def flush(paraMarkIdx: Int): Unit = {
+      val (emC, emT) = paraEmphasis()
       val t = HtmlPartitioner.normalizeWs(cur.toString)
       cur.clear()
+      curIdx.clear()
       if (t.isEmpty) return
       if (graft.functions.Cleaners.isBulletedTextStr(t)) {
         val clean = graft.functions.Cleaners.cleanBulletsStr(t).strip
         if (clean.nonEmpty)
           out += RawPara(clean, Some("ListItem"), pageNumber = Some(page),
-            classifier = "docx")
+            classifier = "docx",
+            emphasizedContents = emC, emphasizedTags = emT)
         return
       }
       val styleName =
@@ -222,9 +320,11 @@ object LegacyOfficePartitioner {
         case Some(tpe) =>
           val depth = math.max(DocxPartitioner.depthByStyleName(styleName), 0)
           out += RawPara(t, Some(tpe), Some(depth), pageNumber = Some(page),
-            classifier = "docx")
+            classifier = "docx",
+            emphasizedContents = emC, emphasizedTags = emT)
         case None =>
-          out += RawPara(t, None, pageNumber = Some(page), classifier = "docx")
+          out += RawPara(t, None, pageNumber = Some(page), classifier = "docx",
+            emphasizedContents = emC, emphasizedTags = emT)
       }
     }
     var inFieldInstr = false // between field-begin 0x13 and separator 0x14
@@ -236,8 +336,8 @@ object LegacyOfficePartitioner {
         case '' => inFieldInstr = true
         case '' | '' => inFieldInstr = false
         case _ if inFieldInstr => () // field instruction (e.g. HYPERLINK), not text
-        case '' => cur.append(' ')
-        case ch if ch >= ' ' || ch == '\t' => cur.append(ch)
+        case '' => cur.append(' '); curIdx += idx
+        case ch if ch >= ' ' || ch == '\t' => cur.append(ch); curIdx += idx
         case _ => () // object markers
       }
       idx += 1

@@ -64,4 +64,21 @@ class LegacyOfficeBehaviorSpec extends SparkSuiteBase {
   test("fake-power-point.ppt matches fake-power-point.pptx element-for-element") {
     assert(partitionDoc("fake-power-point.ppt") == partitionDoc("fake-power-point.pptx"))
   }
+
+  // -- test_partition_doc_grabs_emphasized_texts (test_doc.py:222): CHPX
+  // bold/italic runs surface as emphasis metadata
+  test("fake-doc-emphasized-text.doc yields the reference emphasis runs") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/example-docs/fake-doc-emphasized-text.doc"))
+    val els = LegacyOfficePartitioner.partitionDoc(bytes)
+    val narrative = els.find(_.text == "I am a bold italic bold-italic text.")
+    assert(narrative.isDefined, els.map(_.text))
+    assert(narrative.get.emphasizedContents ==
+      Seq("bold", "italic", "bold-italic", "bold-italic"))
+    assert(narrative.get.emphasizedTags == Seq("b", "i", "b", "i"))
+    val normal = els.find(_.text == "I am a normal text.")
+    assert(normal.isDefined)
+    assert(normal.get.emphasizedContents.isEmpty)
+    assert(normal.get.emphasizedTags.isEmpty)
+  }
 }
