@@ -189,6 +189,62 @@ object LegacyOfficePartitioner {
     else pg.getShort(papx + 1) & 0xFFFF
   }
 
+  private val SprmPFInTable = 0x2416
+  private val SprmPFTtp = 0x2417
+
+  /** Table flags from the PAPX of the paragraph containing `fc`
+    * ([MS-DOC] 2.9.175 PapxInFkp): bit 0 = fInTable (paragraph is a table
+    * cell), bit 1 = fTtp (the mark is a table-row terminator). 0 when no
+    * PAPX resolves — plain body text. */
+  private[sources] def papxFlagsForFc(doc: DocFile, fc: Int): Int = {
+    val bb = ByteBuffer.wrap(doc.tb).order(ByteOrder.LITTLE_ENDIAN)
+    val base = doc.fcPlcfBtePapx
+    val n = (doc.lcbPlcfBtePapx - 4) / 8
+    if (n <= 0 || base < 0 || base + doc.lcbPlcfBtePapx > doc.tb.length) return 0
+    var i = 0
+    while (i < n && !(bb.getInt(base + i * 4) <= fc && fc < bb.getInt(base + (i + 1) * 4)))
+      i += 1
+    if (i >= n) return 0
+    val pn = bb.getInt(base + (n + 1) * 4 + i * 4)
+    val page = pn.toLong * 512
+    if (page < 0 || page + 512 > doc.wd.length) return 0
+    val pg = ByteBuffer.wrap(doc.wd, page.toInt, 512).order(ByteOrder.LITTLE_ENDIAN).slice()
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val crun = pg.get(511) & 0xFF
+    if (crun == 0 || (crun + 1) * 4 + crun * 13 > 511) return 0
+    var j = 0
+    while (j < crun && !(pg.getInt(j * 4) <= fc && fc < pg.getInt((j + 1) * 4))) j += 1
+    if (j >= crun) return 0
+    val bOffset = pg.get((crun + 1) * 4 + j * 13) & 0xFF
+    if (bOffset == 0) return 0
+    val papx = bOffset * 2
+    if (papx >= 512) return 0
+    val cb = pg.get(papx) & 0xFF
+    // PapxInFkp: cb!=0 → 2*cb-1 content bytes at papx+1; cb==0 → cb' at
+    // papx+1, 2*cb' content bytes at papx+2. Content = istd (2B) + grpprl.
+    val (contentAt, contentLen) =
+      if (cb != 0) (papx + 1, 2 * cb - 1)
+      else (papx + 2, 2 * (pg.get(papx + 1) & 0xFF))
+    if (contentLen < 2 || contentAt + contentLen > 512) return 0
+    val grpprl = new Array[Byte](contentLen - 2)
+    pg.position(contentAt + 2)
+    pg.get(grpprl)
+    var k = 0
+    var mask = 0
+    while (k + 2 <= grpprl.length) {
+      val sprm = (grpprl(k) & 0xFF) | ((grpprl(k + 1) & 0xFF) << 8)
+      k += 2
+      val size = sprmOperandSize(sprm, grpprl, k)
+      if (k < grpprl.length) {
+        val op = grpprl(k) & 0xFF
+        if (sprm == SprmPFInTable && op != 0) mask |= 1
+        if (sprm == SprmPFTtp && op != 0) mask |= 2
+      }
+      k += size
+    }
+    mask
+  }
+
   /** Operand byte-size of a Word 97 sprm by its spra bits ([MS-DOC] 2.2.5.1);
     * spra 6 is variable — the first operand byte holds the size. */
   private def sprmOperandSize(sprm: Int, grpprl: Array[Byte], at: Int): Int =
@@ -270,6 +326,12 @@ object LegacyOfficePartitioner {
     var page = 1
     val cur = new StringBuilder
     val curIdx = mutable.ArrayBuffer.empty[Int] // source index per cur char
+    // table assembly state: cell texts row-major + emphasis accumulated in
+    // cell order (the docx `_iter_table_emphasis` walk, docx.py:786-797)
+    val tableRows = mutable.ArrayBuffer.empty[Vector[String]]
+    val curRowCells = mutable.ArrayBuffer.empty[String]
+    val tableEmC = mutable.ArrayBuffer.empty[String]
+    val tableEmT = mutable.ArrayBuffer.empty[String]
 
     // per-run bold/italic emphasis, the docx `runsEmphasis` analog: group
     // consecutive chars with the same direct CHPX formatting; each formatted
@@ -295,6 +357,21 @@ object LegacyOfficePartitioner {
         i = j
       }
       (c.result(), tg.result())
+    }
+
+    def flushTable(): Unit = {
+      if (curRowCells.nonEmpty) { tableRows += curRowCells.toVector; curRowCells.clear() }
+      if (tableRows.isEmpty) return
+      val width = tableRows.map(_.length).max
+      val matrix = tableRows.toSeq.map(r => r.padTo(width, ""))
+      tableRows.clear()
+      val text = Partitioners.tableText(matrix)
+      if (text.nonEmpty)
+        out += RawPara(text, Some("Table"),
+          textAsHtml = Some(Partitioners.htmlifyMatrix(matrix)),
+          pageNumber = Some(page), classifier = "docx",
+          emphasizedContents = tableEmC.toSeq, emphasizedTags = tableEmT.toSeq)
+      tableEmC.clear(); tableEmT.clear()
     }
 
     def flush(paraMarkIdx: Int): Unit = {
@@ -331,8 +408,31 @@ object LegacyOfficePartitioner {
     var idx = 0
     doc.text.foreach { c =>
       c match {
-        case '\r' | '' => flush(idx)
-        case '\f' => flush(idx); page += 1
+        case '' =>
+          // cell/row mark: fInTable paragraphs assemble into a Table
+          // ([MS-DOC] table marks); a bare 0x07 without PAPX table flags
+          // keeps the legacy split-paragraph behavior
+          val flags7 =
+            if (idx < doc.charFcs.length) papxFlagsForFc(doc, doc.charFcs(idx)) else 0
+          if ((flags7 & 1) != 0) {
+            if ((flags7 & 2) != 0) { // TTP row terminator
+              cur.clear(); curIdx.clear()
+              if (curRowCells.nonEmpty) { tableRows += curRowCells.toVector; curRowCells.clear() }
+            } else { // cell end: bank the cell text + its emphasis runs
+              val (cc, ct) = paraEmphasis()
+              tableEmC ++= cc; tableEmT ++= ct
+              curRowCells += HtmlPartitioner.normalizeWs(cur.toString)
+              cur.clear(); curIdx.clear()
+            }
+          } else flush(idx)
+        case '\r' =>
+          // a CR inside a table cell is an intra-cell paragraph break;
+          // a CR outside closes any open table, then the paragraph
+          val flagsCr =
+            if (idx < doc.charFcs.length) papxFlagsForFc(doc, doc.charFcs(idx)) else 0
+          if ((flagsCr & 1) != 0) { cur.append(' '); curIdx += idx }
+          else { flushTable(); flush(idx) }
+        case '\f' => flushTable(); flush(idx); page += 1
         case '' => inFieldInstr = true
         case '' | '' => inFieldInstr = false
         case _ if inFieldInstr => () // field instruction (e.g. HYPERLINK), not text
@@ -342,6 +442,7 @@ object LegacyOfficePartitioner {
       }
       idx += 1
     }
+    flushTable()
     flush(doc.text.length - 1)
     out.toSeq
   }

@@ -81,4 +81,17 @@ class LegacyOfficeBehaviorSpec extends SparkSuiteBase {
     assert(normal.get.emphasizedContents.isEmpty)
     assert(normal.get.emphasizedTags.isEmpty)
   }
+
+  // -- the reference's converted .doc yields a real Table element first
+  // (test_doc.py:222 asserts isinstance(elements[0], Table))
+  test("fake-doc-emphasized-text.doc assembles its table with emphasis and html") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/example-docs/fake-doc-emphasized-text.doc"))
+    val els = LegacyOfficePartitioner.partitionDoc(bytes)
+    assert(els.head.elementType.contains("Table"), els.map(e => (e.elementType, e.text)))
+    assert(els.head.textAsHtml.exists(_.startsWith("<table>")))
+    assert(els.head.emphasizedContents ==
+      Seq("bold", "italic", "bold-italic", "bold-italic"))
+    assert(els.head.emphasizedTags == Seq("b", "i", "b", "i"))
+  }
 }
