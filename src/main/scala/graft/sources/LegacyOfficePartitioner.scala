@@ -189,6 +189,9 @@ object LegacyOfficePartitioner {
     else pg.getShort(papx + 1) & 0xFFFF
   }
 
+  /** HYPERLINK field instruction: quoted or bare target ([MS-DOC] flds). */
+  private val HyperlinkRe = """HYPERLINK\s+(?:"([^"]+)"|(\S+))""".r
+
   private val SprmPFInTable = 0x2416
   private val SprmPFTtp = 0x2417
 
@@ -330,6 +333,12 @@ object LegacyOfficePartitioner {
     // cell order (the docx `_iter_table_emphasis` walk, docx.py:786-797)
     val tableRows = mutable.ArrayBuffer.empty[Vector[String]]
     val curRowCells = mutable.ArrayBuffer.empty[String]
+    val fieldInstr = new StringBuilder // the instruction text (e.g. HYPERLINK "url")
+    var pendingLinkUrl: Option[String] = None
+    var pendingLinkStart = 0 // cur offset where the displayed text begins
+    val linkTexts = mutable.ArrayBuffer.empty[String]
+    val linkUrls = mutable.ArrayBuffer.empty[String]
+    val linkStarts = mutable.ArrayBuffer.empty[Int]
     val tableEmC = mutable.ArrayBuffer.empty[String]
     val tableEmT = mutable.ArrayBuffer.empty[String]
 
@@ -376,6 +385,8 @@ object LegacyOfficePartitioner {
 
     def flush(paraMarkIdx: Int): Unit = {
       val (emC, emT) = paraEmphasis()
+      val (lT, lU, lS) = (linkTexts.toSeq, linkUrls.toSeq, linkStarts.toSeq)
+      linkTexts.clear(); linkUrls.clear(); linkStarts.clear()
       val t = HtmlPartitioner.normalizeWs(cur.toString)
       cur.clear()
       curIdx.clear()
@@ -385,7 +396,8 @@ object LegacyOfficePartitioner {
         if (clean.nonEmpty)
           out += RawPara(clean, Some("ListItem"), pageNumber = Some(page),
             classifier = "docx",
-            emphasizedContents = emC, emphasizedTags = emT)
+            emphasizedContents = emC, emphasizedTags = emT,
+            linkTexts = lT, linkUrls = lU, linkStartIndexes = lS)
         return
       }
       val styleName =
@@ -398,10 +410,12 @@ object LegacyOfficePartitioner {
           val depth = math.max(DocxPartitioner.depthByStyleName(styleName), 0)
           out += RawPara(t, Some(tpe), Some(depth), pageNumber = Some(page),
             classifier = "docx",
-            emphasizedContents = emC, emphasizedTags = emT)
+            emphasizedContents = emC, emphasizedTags = emT,
+            linkTexts = lT, linkUrls = lU, linkStartIndexes = lS)
         case None =>
           out += RawPara(t, None, pageNumber = Some(page), classifier = "docx",
-            emphasizedContents = emC, emphasizedTags = emT)
+            emphasizedContents = emC, emphasizedTags = emT,
+            linkTexts = lT, linkUrls = lU, linkStartIndexes = lS)
       }
     }
     var inFieldInstr = false // between field-begin 0x13 and separator 0x14
@@ -433,9 +447,24 @@ object LegacyOfficePartitioner {
           if ((flagsCr & 1) != 0) { cur.append(' '); curIdx += idx }
           else { flushTable(); flush(idx) }
         case '\f' => flushTable(); flush(idx); page += 1
-        case '' => inFieldInstr = true
-        case '' | '' => inFieldInstr = false
-        case _ if inFieldInstr => () // field instruction (e.g. HYPERLINK), not text
+        case '' => inFieldInstr = true; fieldInstr.clear()
+        case '' =>
+          inFieldInstr = false
+          // HYPERLINK "url" field instruction -> link over the displayed text
+          pendingLinkUrl = HyperlinkRe.findFirstMatchIn(fieldInstr.toString)
+            .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+          pendingLinkStart = cur.length
+          fieldInstr.clear()
+        case '' =>
+          inFieldInstr = false
+          pendingLinkUrl.foreach { url =>
+            val text = cur.substring(pendingLinkStart)
+            if (text.nonEmpty) {
+              linkTexts += text; linkUrls += url; linkStarts += pendingLinkStart
+            }
+          }
+          pendingLinkUrl = None
+        case ch if inFieldInstr => fieldInstr.append(ch) // instruction, not body text
         case '' => cur.append(' '); curIdx += idx
         case ch if ch >= ' ' || ch == '\t' => cur.append(ch); curIdx += idx
         case _ => () // object markers

@@ -80,4 +80,28 @@ class LegacyOfficeSpec extends AnyFunSuite {
     val (ftP, parasP) = Partitioners.partitionAuto("a.ppt", CorpusBytes.ppt(d))
     assert(ftP == FileType.Ppt && ftP.partitionerAvailable && parasP.size == 5)
   }
+
+  // HYPERLINK fields surface as link metadata over the displayed text
+  test("doc: HYPERLINK field instruction yields link text, url, and offset") {
+    val text = "see \u0013HYPERLINK \"https://example.com/x\"\u0014our site\u0015 now\r"
+    val p1b = text.getBytes("windows-1252")
+    val wd = new Array[Byte](0x600 + p1b.length)
+    val wb = java.nio.ByteBuffer.wrap(wd).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wb.putShort(0, 0xA5EC.toShort)
+    wb.putShort(0x0A, 0x0000.toShort)
+    wb.putInt(0x4C, text.length)
+    wb.putInt(0x1A2, 0)
+    System.arraycopy(p1b, 0, wd, 0x600, p1b.length)
+    val clx = java.nio.ByteBuffer.allocate(5 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    clx.put(0x02.toByte); clx.putInt(16)
+    clx.putInt(0); clx.putInt(text.length)
+    clx.putShort(0); clx.putInt((0x600 * 2) | 0x40000000); clx.putShort(0)
+    wb.putInt(0x1A6, clx.array().length)
+    val bytes = CorpusBytes.cfb(Seq("WordDocument" -> wd, "0Table" -> clx.array()))
+    val paras = LegacyOfficePartitioner.partitionDoc(bytes)
+    assert(paras.map(_.text) == Seq("see our site now"))
+    assert(paras.head.linkTexts == Seq("our site"))
+    assert(paras.head.linkUrls == Seq("https://example.com/x"))
+    assert(paras.head.linkStartIndexes == Seq(4))
+  }
 }
