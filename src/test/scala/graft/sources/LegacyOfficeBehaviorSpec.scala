@@ -94,4 +94,18 @@ class LegacyOfficeBehaviorSpec extends SparkSuiteBase {
       Seq("bold", "italic", "bold-italic", "bold-italic"))
     assert(els.head.emphasizedTags == Seq("b", "i", "b", "i"))
   }
+
+  test("emphasized .doc narrative matches its .docx twin's emphasis") {
+    val doc = LegacyOfficePartitioner.partitionDoc(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/example-docs/fake-doc-emphasized-text.doc")))
+    val docx = DocxPartitioner.partition(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        "/root/reference/example-docs/fake-doc-emphasized-text.docx")))
+    def em(ps: Seq[HtmlPartitioner.RawPara], t: String) =
+      ps.find(_.text == t).map(p => (p.emphasizedContents, p.emphasizedTags))
+    val t = "I am a bold italic bold-italic text."
+    assert(em(doc, t).isDefined && em(docx, t).isDefined)
+    assert(em(doc, t) == em(docx, t))
+  }
 }
