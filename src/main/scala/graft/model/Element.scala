@@ -109,11 +109,70 @@ final case class ElementMetadata(
     // ML provenance
     detection_class_prob: Option[Double] = None,
     detection_origin: Option[String] = None,
-    // dict-of-lists provenance (`enrichment_origins`, elements.py:512-515,534)
-    enrichment_origins: Option[Map[String, Seq[String]]] = None,
+    // dict-of-list-of-dicts provenance (`enrichment_origins`,
+    // elements.py:175 `Optional[dict[str, list[dict[str, str]]]]`, :512-515,534):
+    // each entry is a flat record like {"type":..., "provider":..., "model":...}
+    enrichment_origins: Option[Map[String, Seq[Map[String, String]]]] = None,
     // audio
     segment_start_seconds: Option[Double] = None,
-    segment_end_seconds: Option[Double] = None)
+    segment_end_seconds: Option[Double] = None) {
+
+  /**
+   * `ElementMetadata.update` (`elements.py:457-475`) — `dict.update()` semantics:
+   * every field populated on `other` overwrites this instance's value; fields
+   * unpopulated on `other` are kept. Used by the email/msg flows to stamp
+   * message-level metadata over per-element metadata (`partition/msg.py:235`,
+   * `partition/email.py:333`, `partition/common/common.py:221`). Immutable
+   * variant: returns the merged copy. (The reference's ad-hoc user fields have
+   * no typed-model counterpart; known fields all participate.)
+   */
+  def updateFrom(other: ElementMetadata): ElementMetadata = ElementMetadata(
+    filename = other.filename.orElse(filename),
+    file_directory = other.file_directory.orElse(file_directory),
+    filetype = other.filetype.orElse(filetype),
+    url = other.url.orElse(url),
+    last_modified = other.last_modified.orElse(last_modified),
+    attached_to_filename = other.attached_to_filename.orElse(attached_to_filename),
+    data_source = other.data_source.orElse(data_source),
+    page_number = other.page_number.orElse(page_number),
+    page_name = other.page_name.orElse(page_name),
+    coordinates = other.coordinates.orElse(coordinates),
+    category_depth = other.category_depth.orElse(category_depth),
+    parent_id = other.parent_id.orElse(parent_id),
+    header_footer_type = other.header_footer_type.orElse(header_footer_type),
+    emphasized_text_contents = other.emphasized_text_contents.orElse(emphasized_text_contents),
+    emphasized_text_tags = other.emphasized_text_tags.orElse(emphasized_text_tags),
+    link_texts = other.link_texts.orElse(link_texts),
+    link_urls = other.link_urls.orElse(link_urls),
+    link_start_indexes = other.link_start_indexes.orElse(link_start_indexes),
+    links = other.links.orElse(links),
+    languages = other.languages.orElse(languages),
+    text_as_html = other.text_as_html.orElse(text_as_html),
+    table_id = other.table_id.orElse(table_id),
+    chunk_index = other.chunk_index.orElse(chunk_index),
+    num_carried_over_header_rows =
+      other.num_carried_over_header_rows.orElse(num_carried_over_header_rows),
+    table_as_cells = other.table_as_cells.orElse(table_as_cells),
+    key_value_pairs = other.key_value_pairs.orElse(key_value_pairs),
+    image_base64 = other.image_base64.orElse(image_base64),
+    image_mime_type = other.image_mime_type.orElse(image_mime_type),
+    image_path = other.image_path.orElse(image_path),
+    image_url = other.image_url.orElse(image_url),
+    sent_from = other.sent_from.orElse(sent_from),
+    sent_to = other.sent_to.orElse(sent_to),
+    cc_recipient = other.cc_recipient.orElse(cc_recipient),
+    bcc_recipient = other.bcc_recipient.orElse(bcc_recipient),
+    subject = other.subject.orElse(subject),
+    signature = other.signature.orElse(signature),
+    email_message_id = other.email_message_id.orElse(email_message_id),
+    is_continuation = other.is_continuation.orElse(is_continuation),
+    orig_elements = other.orig_elements.orElse(orig_elements),
+    detection_class_prob = other.detection_class_prob.orElse(detection_class_prob),
+    detection_origin = other.detection_origin.orElse(detection_origin),
+    enrichment_origins = other.enrichment_origins.orElse(enrichment_origins),
+    segment_start_seconds = other.segment_start_seconds.orElse(segment_start_seconds),
+    segment_end_seconds = other.segment_end_seconds.orElse(segment_end_seconds))
+}
 
 object ElementMetadata {
   val empty: ElementMetadata = ElementMetadata()

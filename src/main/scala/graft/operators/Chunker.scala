@@ -308,8 +308,8 @@ object Chunker {
     }
     // DICT_LIST_UNIQUE — elements.py:512-515: union keys; per key concatenate the
     // lists then drop duplicates, preserving first-seen order
-    def dictListUnique(get: ElementMetadata => Option[Map[String, Seq[String]]])
-        : Option[Map[String, Seq[String]]] = {
+    def dictListUnique(get: ElementMetadata => Option[Map[String, Seq[Map[String, String]]]])
+        : Option[Map[String, Seq[Map[String, String]]]] = {
       val vs = ms.flatMap(get)
       if (vs.isEmpty) None
       else {

@@ -156,9 +156,15 @@ object ElementJson {
     s("orig_elements", m.orig_elements)
     d("detection_class_prob", m.detection_class_prob)
     s("detection_origin", m.detection_origin)
+    // dict of list-of-record-dicts (elements.py:175): each entry serializes as
+    // a JSON object; keys sorted for a deterministic wire (the reference emits
+    // dict insertion order, which is unobservable across a Scala Map)
     m.enrichment_origins.foreach { eo =>
+      def record(r: Map[String, String]): String =
+        r.toSeq.sortBy(_._1).map { case (k, v) => jStr(k) + ":" + jStr(v) }
+          .mkString("{", ",", "}")
       b += "enrichment_origins" -> eo.toSeq.sortBy(_._1)
-        .map { case (k, vs) => jStr(k) + ":" + jArr(vs.map(jStr)) }
+        .map { case (k, vs) => jStr(k) + ":" + jArr(vs.map(record)) }
         .mkString("{", ",", "}")
     }
     d("segment_start_seconds", m.segment_start_seconds)
@@ -166,10 +172,14 @@ object ElementJson {
     b.result()
   }
 
+  /** Metadata alone as a sparse JSON object (the reference's
+    * `ElementMetadata.to_dict()` wire shape — unpopulated fields omitted). */
+  def metadataJson(m: ElementMetadata): String =
+    metadataFields(m).map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
+
   /** One element as a sparse JSON object string. */
   def elementJson(e: Element): String = {
-    val meta = metadataFields(e.metadata)
-      .map { case (k, v) => jStr(k) + ":" + v }.mkString("{", ",", "}")
+    val meta = metadataJson(e.metadata)
     val fields = Seq.newBuilder[String]
     fields += jStr("type") + ":" + jStr(e.`type`)
     fields += jStr("element_id") + ":" + jStr(e.element_id)

@@ -512,17 +512,20 @@ class ChunkerSpec extends AnyFunSuite {
   }
 
   test("consolidates enrichment_origins with DICT_LIST_UNIQUE") {
+    // entries are flat record dicts (elements.py:175); dedupe is by record
+    // equality (test_elements.py it_merges_and_dedupes_enrichment_origins)
+    def rec(t: String) = Map("type" -> t, "provider" -> "p", "model" -> "m")
     val e1 = el(ElementType.NarrativeText, "one").copy(metadata = ElementMetadata(
-      enrichment_origins = Some(Map("ner" -> Seq("model-a", "model-b")))))
+      enrichment_origins = Some(Map("text" -> Seq(rec("a"), rec("b"))))))
     val e2 = el(ElementType.NarrativeText, "two").copy(metadata = ElementMetadata(
-      enrichment_origins = Some(Map("ner" -> Seq("model-b", "model-c"),
-        "summary" -> Seq("model-d")))))
+      enrichment_origins = Some(Map("text" -> Seq(rec("b"), rec("c")),
+        "embeddings" -> Seq(rec("d"))))))
     val chunks = basic(Seq(e1, e2), ChunkingOptions(includeOrigElements = false))
     assert(chunks.size == 1)
     // union keys; per key concatenate then dedupe, preserving first-seen order
     assert(chunks.head.metadata.enrichment_origins.contains(Map(
-      "ner" -> Seq("model-a", "model-b", "model-c"),
-      "summary" -> Seq("model-d"))))
+      "text" -> Seq(rec("a"), rec("b"), rec("c")),
+      "embeddings" -> Seq(rec("d")))))
   }
 
   // -- incremental (streaming) fold --
