@@ -246,6 +246,51 @@ object BinaryFormatQueries {
       }.toDF("doc_id", "kind", "value").orderBy("doc_id", "kind")
     }),
 
+    // hi_res analysis dumps (`partition_pdf(analysis=True)`,
+    // `pdf_image/analysis/layout_dump.py`): the OD-model and final layout
+    // dumps flattened to one row per (doc, source, page) with element counts
+    // and the type sequence — both pure functions of the fixed fake-detector
+    // geometry, so the oracle predicts them as constants per doc.
+    "q_pdf_analysis_dump" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.PdfminerGeometry.LayoutRegion
+      import graft.sources.{PdfAnalysis, PdfHiRes}
+      docBase(s, dir).flatMap { d =>
+        val bytes = CorpusBytes.pdf(d)
+        val detector: PdfHiRes.Detector = pages => pages.map { p =>
+          val text = p.regions.filter(_.classId == 0)
+          if (text.isEmpty) Nil
+          else if (p.pageNumber == 1) {
+            val head = LayoutRegion(text.head.bbox, None,
+              elementType = "Headline", prob = Some(0.92))
+            val rest = text.tail
+            val nar =
+              if (rest.isEmpty) Nil
+              else Seq(LayoutRegion(
+                (rest.map(_.bbox._1).min - 6, rest.map(_.bbox._2).min - 6,
+                  rest.map(_.bbox._3).max + 6, rest.map(_.bbox._4).max + 6),
+                None, elementType = "NarrativeText", prob = Some(0.87)))
+            (head +: nar) :+
+              LayoutRegion((400, 650, 500, 750), None,
+                elementType = "Table", prob = Some(0.8))
+          } else {
+            val l = text.head.bbox
+            Seq(LayoutRegion((l._1 + 2, l._2 + 2, l._1 + 8, l._2 + 8), None,
+              elementType = "NarrativeText", prob = Some(0.5)))
+          }
+        }
+        val extracted = PdfHiRes.extractedPageLayouts(bytes)
+        val inferred = detector(extracted)
+        val els = PdfHiRes.partitionHiRes(bytes, detector)
+        Seq(PdfAnalysis.odLayoutDump(extracted, inferred, Some("yolox")),
+          PdfAnalysis.finalLayoutDump(els)).flatMap { dump =>
+          dump.pages.map(p => (d.docId, dump.layoutSource, p.number,
+            p.elements.size.toLong, p.elements.flatMap(_.elementType).mkString(",")))
+        }
+      }.toDF("doc_id", "layout_source", "page_number", "n_elements", "types")
+        .orderBy("doc_id", "layout_source", "page_number")
+    }),
+
     // PDF strategy auto-selection (`strategies.py:24-109` + `pdf.py:618-744`):
     // 11 scenarios per doc spanning auto-resolution (text → fast, no text →
     // ocr_only, tables → hi_res), the vector-drawing complexity probe, every
@@ -718,6 +763,23 @@ object BinaryFormatQueries {
          |    'page two ' || source, 2 FROM base)
          |SELECT doc_id, seq, element_type, category_depth, text, page_number
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
+
+    // same fake-detector geometry as q_partition_pdf_hires: page 1 dumps
+    // Headline+NarrativeText+Table from the detector, page 2 one small box;
+    // the final dump mirrors the emitted element stream
+    "q_pdf_analysis_dump" ->
+      s"""WITH base AS ($base),
+         |rows0 AS (
+         |  SELECT doc_id, 'object_detection' AS layout_source, 1 AS page_number,
+         |    3::BIGINT AS n_elements, 'Headline,NarrativeText,Table' AS types FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'object_detection', 2, 1::BIGINT, 'NarrativeText' FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'final', 1, 2::BIGINT, 'Title,NarrativeText' FROM base
+         |  UNION ALL
+         |  SELECT doc_id, 'final', 2, 1::BIGINT, 'UncategorizedText' FROM base)
+         |SELECT doc_id, layout_source, page_number, n_elements, types
+         |FROM rows0 ORDER BY doc_id, layout_source, page_number""".stripMargin,
 
     // fixed detector geometry + fixed XObject placement make every extracted
     // block's crop dimensions document-independent constants: the Picture box

@@ -391,13 +391,19 @@ object PdfHiRes {
    * extracted element actually lands on rasterize) at the same `dpi` the
    * element coordinates use.
    */
+  /** `partition_pdf(..., analysis=True)` options (`pdf.py:797,891-906`):
+    * where to save the per-stage layout dumps and bbox renders. */
+  final case class AnalysisOptions(outputDirPath: String, filename: String = "document.pdf",
+      skipBboxes: Boolean = false, skipDump: Boolean = false, drawCaption: Boolean = true)
+
   def partitionHiRes(bytes: Array[Byte], detector: Detector, dpi: Int = 72,
       includePageBreaks: Boolean = false,
       ocr: Option[OcrSource] = None,
       imageBlocks: PdfImages.ImageBlockOptions = PdfImages.ImageBlockOptions(),
       inferTableStructure: Boolean = false,
       tableAgent: Option[TableAgent] = None,
-      extractTableAsCells: Boolean = false): Seq[Element] = {
+      extractTableAsCells: Boolean = false,
+      analysis: Option[AnalysisOptions] = None): Seq[Element] = {
     val extracted = extractedPageLayouts(bytes, dpi)
     if (extracted.isEmpty) return Nil
     if (inferTableStructure && tableAgent.isEmpty)
@@ -416,12 +422,20 @@ object PdfHiRes {
         PdfImages.rasterizePage(w, h, coef, placements.getOrElse(page, Nil))
       })
     val inferred = detector(extracted)
+    // analysis processors accumulate alongside the per-page pipeline
+    // (pdf.py:891-906: od + extracted dumpers up front, ocr added per page)
+    // the reference instantiates its OCR dumper unconditionally but only OCRs
+    // when an agent is available; here the dump exists iff the OCR seam is wired
+    val ocrDumper =
+      if (analysis.isDefined && ocr.isDefined) Some(new PdfAnalysis.OcrLayoutDumper)
+      else None
     val out = mutable.ArrayBuffer.empty[Element]
     extracted.zipWithIndex.foreach { case (page, i) =>
       val inf = if (i < inferred.length) inferred(i) else Nil
       var merged = mergePage(inf, page)
       val ocrRegions = ocr.map(o => o(page))
       ocrRegions.foreach { regions =>
+        ocrDumper.foreach(_.addOcredPage(regions))
         merged = PdfminerGeometry.mergeOutLayoutWithOcrLayout(merged, regions)
       }
       if (inferTableStructure) tableAgent.foreach { agent =>
@@ -443,7 +457,21 @@ object PdfHiRes {
           graft.model.ElementMetadata(page_number = Some(page.pageNumber)))
     }
     val elements = out.toSeq.zipWithIndex.map { case (e, i) => e.copy(seq = i + 1L) }
-    if (!imageBlocks.enabled) elements
-    else PdfImages.applyImageBlocks(elements, imageBlocks, raster)
+    val withImages =
+      if (!imageBlocks.enabled) elements
+      else PdfImages.applyImageBlocks(elements, imageBlocks, raster)
+    analysis.foreach { opts =>
+      // pdf.py:1077-1102: od + extracted + ocr + final dumps, then artifacts
+      val dumps = Seq(
+        PdfAnalysis.odLayoutDump(extracted, inferred),
+        PdfAnalysis.extractedLayoutDump(extracted)) ++
+        ocrDumper.map(_.dump).toSeq :+
+        PdfAnalysis.finalLayoutDump(withImages)
+      PdfAnalysis.saveAnalysisArtifacts(dumps, opts.filename, opts.outputDirPath,
+        raster, pageCount = extracted.map(_.pageNumber).maxOption.getOrElse(0),
+        skipBboxes = opts.skipBboxes, skipDump = opts.skipDump,
+        drawCaption = opts.drawCaption)
+    }
+    withImages
   }
 }
