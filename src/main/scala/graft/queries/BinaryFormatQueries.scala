@@ -372,6 +372,19 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "kind")
     }),
 
+    // doctor capability registry (`doctor.py:224-241`
+    // partitionable_file_type_rows): one row per FileType member with its
+    // partitionability and partition_<shortname> route — the registry facts
+    // that do not depend on which model seams happen to be registered.
+    "q_doctor_filetypes" -> ((s, dir) => {
+      import s.implicits._
+      graft.sources.FileType.all.map { ft =>
+        (ft.name, ft.mimeType, graft.Doctor.isPartitionable(ft).toString,
+          graft.Doctor.partitionerShortname(ft).getOrElse("-"))
+      }.toDF("file_type", "mime", "partitionable", "partitioner")
+        .orderBy("file_type")
+    }),
+
     // partition(url=...) — `partition/auto.py:303-320`: URL → bytes +
     // content-type → detect → route. file:// exercises the filesystem fetcher
     // (temp file written and removed inside the task); data: URLs exercise
@@ -780,6 +793,48 @@ object BinaryFormatQueries {
          |  SELECT doc_id, 'final', 2, 1::BIGINT, 'UncategorizedText' FROM base)
          |SELECT doc_id, layout_source, page_number, n_elements, types
          |FROM rows0 ORDER BY doc_id, layout_source, page_number""".stripMargin,
+
+    // registry constants: FileType members with partitionability + route
+    "q_doctor_filetypes" ->
+      s"""SELECT * FROM (VALUES
+         |  ('bmp','image/bmp','true','image'),
+         |  ('csv','text/csv','true','csv'),
+         |  ('doc','application/msword','true','doc'),
+         |  ('docx','application/vnd.openxmlformats-officedocument.wordprocessingml.document','true','docx'),
+         |  ('eml','message/rfc822','true','email'),
+         |  ('epub','application/epub+zip','true','epub'),
+         |  ('flac','audio/flac','true','audio'),
+         |  ('gif','image/gif','true','image'),
+         |  ('heic','image/heic','true','image'),
+         |  ('html','text/html','true','html'),
+         |  ('jpg','image/jpeg','true','image'),
+         |  ('json','application/json','true','json'),
+         |  ('m4a','audio/mp4','true','audio'),
+         |  ('md','text/markdown','true','md'),
+         |  ('mp3','audio/mpeg','true','audio'),
+         |  ('msg','application/vnd.ms-outlook','true','msg'),
+         |  ('ndjson','application/x-ndjson','true','ndjson'),
+         |  ('odt','application/vnd.oasis.opendocument.text','true','odt'),
+         |  ('ogg','audio/ogg','true','audio'),
+         |  ('opus','audio/opus','true','audio'),
+         |  ('org','text/org','true','org'),
+         |  ('pdf','application/pdf','true','pdf'),
+         |  ('png','image/png','true','image'),
+         |  ('ppt','application/vnd.ms-powerpoint','true','ppt'),
+         |  ('pptx','application/vnd.openxmlformats-officedocument.presentationml.presentation','true','pptx'),
+         |  ('rst','text/x-rst','true','rst'),
+         |  ('rtf','text/rtf','true','rtf'),
+         |  ('tiff','image/tiff','true','image'),
+         |  ('tsv','text/tsv','true','tsv'),
+         |  ('txt','text/plain','true','text'),
+         |  ('wav','audio/wav','true','audio'),
+         |  ('webm','audio/webm','true','audio'),
+         |  ('xls','application/vnd.ms-excel','true','xls'),
+         |  ('xlsx','application/vnd.openxmlformats-officedocument.spreadsheetml.sheet','true','xlsx'),
+         |  ('xml','application/xml','true','xml'),
+         |  ('zip','application/zip','false','-')
+         |) AS t(file_type, mime, partitionable, partitioner)
+         |ORDER BY file_type""".stripMargin,
 
     // fixed detector geometry + fixed XObject placement make every extracted
     // block's crop dimensions document-independent constants: the Picture box
