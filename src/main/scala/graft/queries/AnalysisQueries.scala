@@ -182,6 +182,15 @@ object AnalysisQueries {
         .filter(col("n_docs") > 1)
         .orderBy("fp")),
 
+    // streaming MinHash-LSH near-dup candidates: the same signature/banding
+    // as q_lsh_near_dup folded per band-bucket under flatMapGroupsWithState
+    // (state = bucket doc list, pairs emitted not stored); the batch LSH
+    // oracle (per-band pair events) verifies the streaming result
+    "q_stream_lsh_near_dup" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .lshNearDupAvailableNow(s, s"$dir/documents.parquet")
+        .orderBy("band_idx", "doc_a", "doc_b")),
+
     "q_minhash_signature" -> ((s, dir) => one(s, dir)(
       concat_ws(",",
         TextAnalysis.minHashSignature(withNonBmp(col("text")), k = 8, shingleN = 3)),
@@ -610,6 +619,29 @@ object AnalysisQueries {
          |  SELECT doc_id + 1000000, ${fingerprint("text")} AS fp FROM documents
          |  WHERE doc_id % 3 = 0)
          |GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    // the q_lsh_near_dup pair set with per-band provenance and no cross-band
+    // dedup — exactly the candidate events the streaming bucket fold emits
+    "q_stream_lsh_near_dup" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, ${minhashSigSql("text")} AS sig FROM $nearDupUnion),
+         |bands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
+         |    {'band_idx': b,
+         |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
+         |    recursive := true)
+         |  FROM sig),
+         |safe AS (
+         |  SELECT band_idx, band_key FROM bands
+         |  GROUP BY band_idx, band_key HAVING count(*) <= 1000),
+         |bounded AS (
+         |  SELECT b.* FROM bands b JOIN safe s
+         |    ON b.band_idx = s.band_idx AND b.band_key = s.band_key)
+         |SELECT CAST(a.band_idx AS INTEGER) AS band_idx,
+         |  a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bounded a JOIN bounded b
+         |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY band_idx, doc_a, doc_b""".stripMargin,
 
     "q_minhash_signature" ->
       docSel(s"array_to_string(${minhashSigSql(withNonBmpSql("text"))}, ',')", "sig_str"),

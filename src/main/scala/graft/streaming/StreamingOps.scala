@@ -270,4 +270,101 @@ object StreamingOps {
           }
       }
   }
+
+  /** One LSH band-bucket's state: the doc ids seen so far (sorted within each
+    * batch for determinism) or a poisoned tombstone once the bucket exceeds
+    * the skew cap. */
+  final case class LshBucketState(docs: Vector[Long], poisoned: Boolean)
+
+  /**
+   * Streaming MinHash-LSH near-duplicate candidates — the streaming twin of
+   * the batch `q_lsh_near_dup` pipeline (signature → banded keys →
+   * within-bucket pairs). Keyed `flatMapGroupsWithState` per (band_idx,
+   * band_key): each arriving doc pairs with the bucket's previously-seen docs
+   * and with its batch-mates; state is the bucket's doc list, NOT pairs — at
+   * 100 TB state stays O(docs × bands), the quadratic pair set is only ever
+   * emitted, never stored. Hot buckets above `maxBandSize` poison the bucket
+   * and emit nothing (the streaming rendering of the batch hot-band drop —
+   * identical in the single-batch AvailableNow drain, conservatively
+   * under-emitting across later batches). Within a batch, docs are processed
+   * in doc_id order, so the emitted pair set is independent of file-split
+   * races. Output: one (band_idx, doc_a, doc_b) candidate event per shared
+   * band, doc_a < doc_b; exact Jaccard verification stays a batch join over
+   * candidates, as in `q_jaccard_near_dup`.
+   */
+  /** The per-bucket candidate fold over a (doc_id, band_idx, band_key)
+    * stream — see [[lshNearDupAvailableNow]] for the semantics. Exposed
+    * separately so any banded stream (MemoryStream in specs, Kafka in a real
+    * ingest) composes with it. */
+  def lshCandidateStream(bands: Dataset[(Long, Int, Long)],
+      maxBandSize: Int = 1000): DataFrame = {
+    val sp = bands.sparkSession
+    import sp.implicits._
+    bands
+      .groupByKey { case (_, bandIdx, bandKey) => (bandIdx, bandKey) }
+      .flatMapGroupsWithState[LshBucketState, (Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((bandIdx, _), rows, state) =>
+          val arrived = rows.map(_._1).toVector.distinct.sorted
+          val st = state.getOption.getOrElse(LshBucketState(Vector.empty, poisoned = false))
+          if (st.poisoned || st.docs.size + arrived.size > maxBandSize) {
+            state.update(LshBucketState(Vector.empty, poisoned = true))
+            Iterator.empty
+          } else {
+            state.update(LshBucketState(st.docs ++ arrived, poisoned = false))
+            val withinBatch = for {
+              i <- arrived.indices.iterator
+              j <- (i + 1) until arrived.size
+            } yield (bandIdx, arrived(i), arrived(j))
+            val withPrior = for {
+              e <- st.docs.iterator
+              a <- arrived
+            } yield (bandIdx, math.min(e, a), math.max(e, a))
+            withinBatch ++ withPrior
+          }
+      }
+      .toDF("band_idx", "doc_a", "doc_b")
+  }
+
+  def lshNearDupAvailableNow(spark: SparkSession, documentsPath: String,
+      maxBandSize: Int = 1000): DataFrame = {
+    import spark.implicits._
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-lsh")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
+    // the same near-dup derivation the batch queries use: every doc_id % 7
+    // re-emitted under id+10000 with an appended token
+    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (id % 7 == 0) Seq((id, text), (id + 10000L, text + " xtra"))
+        else Seq((id, text))
+      }.toDF("doc_id", "text")
+    val bands = docs
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis
+          .minHashSignature(col("text"), k = 8, shingleN = 3).as("sig"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysis.lshBands(col("sig"), rows = 2))
+          .as(Seq("band_idx", "band_key")))
+      .as[(Long, Int, Long)]
+    val pairs = lshCandidateStream(bands, maxBandSize)
+    val name = s"graft_stream_lsh_${sinkSeq.incrementAndGet()}"
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+    } finally {
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: Throwable => () }
+    }
+    spark.table(name)
+  }
 }

@@ -180,6 +180,27 @@ class FileTypeDetectionSpec extends AnyFunSuite {
     assert(!DetectFiletype.looksLikeCsv("a,b,c\n1,2"))
   }
 
+  // -- _TextFileDifferentiator edges (test_filetype.py:972-1045): the CSV rule
+  // -- needs a header plus one data row with 2+ columns; JSON must be a
+  // -- container, not a bare scalar; broken UTF-8 falls through to TXT
+  test("text differentiator edges: invalid UTF-8, scalar JSON, minimal CSV") {
+    assert(DetectFiletype.detect("",
+      Array('d'.toByte, 0xe2.toByte, 0x80.toByte)) == FileType.Txt)
+    assert(DetectFiletype.detect("", "\"This is not a JSON\"".getBytes) == FileType.Txt)
+    assert(DetectFiletype.detect("",
+      "column1,column2,column3\nvalue1,value2,value3\n".getBytes) == FileType.Csv)
+    assert(DetectFiletype.detect("", "[{\"key\": \"value\"}]".getBytes) == FileType.Json)
+  }
+
+  // -- _TextFileDifferentiator._is_eml on real example docs (:1019-1026)
+  test("EML distinguishes from plain text by content alone") {
+    assert(DetectFiletype.detect("", refDoc("eml/fake-email.eml")) == FileType.Eml)
+    assert(DetectFiletype.detect("", refDoc("norwich-city.txt")) == FileType.Txt)
+    // Describe_OleFileDetector/_ZipFileDetector: a non-container (README.org)
+    // resolves through the text chain, not the container detectors
+    assert(DetectFiletype.detect("", refDoc("README.org")) == FileType.Txt)
+  }
+
   // -- non-standard OPC prefix (test_filetype.py:1111-1115)
 
   test("office365 docx with non-standard archive prefix detects as DOCX") {

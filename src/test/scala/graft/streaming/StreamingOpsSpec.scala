@@ -183,4 +183,46 @@ class StreamingOpsSpec extends SparkSuiteBase {
       .orderBy("fp").collect().toSeq
     assert(out.orderBy("fp").collect().toSeq == batch)
   }
+
+  test("streaming LSH pairs across batches and poisons hot buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rows are (doc_id, band_idx, band_key)
+    val input = MemoryStream[(Long, Int, Long)]
+    val pairs = StreamingOps.lshCandidateStream(input.toDS(), maxBandSize = 3)
+    val query = pairs.writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Set[(Int, Long, Long)] =
+      spark.table("lsh_out").as[(Int, Long, Long)].collect().toSet
+    def awaitCount(n: Int): Set[(Int, Long, Long)] = {
+      val deadline = System.currentTimeMillis() + 120000
+      var r = rows()
+      while (r.size < n && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100); r = rows()
+      }
+      r
+    }
+    try {
+      // batch 1: bucket (0, 7) holds docs 2 and 5 (emitted sorted), bucket
+      // (1, 9) holds doc 2 alone (no pair yet)
+      input.addData((5L, 0, 7L), (2L, 0, 7L), (2L, 1, 9L))
+      query.processAllAvailable()
+      assert(awaitCount(1) === Set((0, 2L, 5L)))
+      // batch 2: doc 9 joins both buckets — pairs with the PRIOR state docs
+      input.addData((9L, 0, 7L), (9L, 1, 9L))
+      query.processAllAvailable()
+      assert(awaitCount(3) === Set((0, 2L, 5L), (0, 2L, 9L), (0, 5L, 9L), (1, 2L, 9L)))
+      // batch 3: bucket (0, 7) would exceed maxBandSize=3 -> poisoned, no new
+      // pairs from it, ever; the other bucket still pairs
+      input.addData((11L, 0, 7L), (11L, 1, 9L))
+      query.processAllAvailable()
+      val after = awaitCount(5)
+      assert(after.contains((1, 9L, 11L)) && after.contains((1, 2L, 11L)))
+      assert(!after.exists(p => p._1 == 0 && p._3 == 11L), "poisoned bucket emitted")
+      // batch 4: even a single doc into the poisoned bucket stays silent
+      input.addData((12L, 0, 7L))
+      query.processAllAvailable()
+      assert(!rows().exists(p => p._1 == 0 && (p._2 == 12L || p._3 == 12L)))
+    } finally query.stop()
+  }
 }
