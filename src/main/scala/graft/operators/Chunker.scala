@@ -121,6 +121,11 @@ object ChunkingOptions {
     newAfterNTokens.filter(_ < 0).foreach(t =>
       throw new IllegalArgumentException(
         s"'new_after_n_tokens' argument must be >= 0, got $t"))
+    // a negative new_after_n_chars is assumed to be a caller mistake
+    // (base.py:364-367) — rejected rather than clamped
+    newAfterNChars.filter(_ < 0).foreach(n =>
+      throw new IllegalArgumentException(
+        s"'new_after_n_chars' argument must be >= 0, got $n"))
     tokenizer.foreach(TokenCounter.resolve)
     ChunkingOptions(
       maxCharacters = maxCharacters.getOrElse(500),

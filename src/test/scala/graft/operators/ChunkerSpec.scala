@@ -950,4 +950,217 @@ class ChunkerSpec extends AnyFunSuite {
         "<th><table><tr><td>inner 1</td><td>inner 2</td></tr></table></th>" +
         "<th colspan=\"2\">Outer B</th></tr>")
   }
+
+  // -- DescribeChunkingOptions (test_base.py:51-250): the validation and
+  // derived-value table.
+  test("ChunkingOptions validation and derived values match the reference") {
+    import graft.operators.{ChunkingOptions => CO}
+    // it_rejects_max_characters_not_greater_than_zero
+    Seq(0, -1, -42).foreach(n =>
+      assertThrows[IllegalArgumentException](CO(maxCharacters = n)))
+    // it_rejects_new_after_n_chars_for_n_less_than_zero (validated entry)
+    val neg = intercept[IllegalArgumentException](
+      CO.validated(newAfterNChars = Some(-1)))
+    assert(neg.getMessage.contains("'new_after_n_chars' argument must be >= 0, got -1"))
+    // it_rejects_overlap_not_less_than_max_characters
+    assertThrows[IllegalArgumentException](CO(maxCharacters = 200, overlap = 300))
+    // it_does_not_complain_when_specifying_new_after_n_chars_by_itself
+    assert(CO.validated(newAfterNChars = Some(200)).softMax == 200)
+    // it_accepts_0_for_new_after_n_chars (each element its own pre-chunk)
+    assert(CO.validated(newAfterNChars = Some(0)).softMax == 0)
+    // it_silently_accepts_new_after_n_chars_greater_than_maxchars -> capped
+    assert(CO.validated(maxCharacters = Some(444), newAfterNChars = Some(555)).softMax == 444)
+    // overlap / inter_chunk_overlap / text_separator
+    assert(CO(overlap = 10).overlap == 10)
+    assert(CO(overlap = 10, overlapAll = true).interChunkOverlap == 10)
+    assert(CO(overlap = 10).interChunkOverlap == 0)
+    assert(CO().separator == "\n\n")
+    // token-mode validation (validated entry points)
+    assert(intercept[IllegalArgumentException](
+      CO.validated(maxTokens = Some(100), maxCharacters = Some(500)))
+      .getMessage.contains("mutually exclusive"))
+    assert(intercept[IllegalArgumentException](CO.validated(maxTokens = Some(100)))
+      .getMessage.contains("'tokenizer' is required"))
+    assertThrows[IllegalArgumentException](
+      CO.validated(maxTokens = Some(0), tokenizer = Some("cl100k_base")))
+    assert(intercept[IllegalArgumentException](
+      CO.validated(newAfterNTokens = Some(50)))
+      .getMessage.contains("requires 'max_tokens'"))
+    // it_knows_when_token_counting_is_enabled + hard/soft max in tokens
+    val tok = CO.validated(maxTokens = Some(100), newAfterNTokens = Some(80),
+      tokenizer = Some("cl100k_base"))
+    assert(tok.useTokenCounting && tok.hardMax == 100 && tok.softMax == 80)
+    // it_defaults_soft_max_to_hard_max_for_token_counting
+    assert(CO.validated(maxTokens = Some(100), tokenizer = Some("cl100k_base"))
+      .softMax == 100)
+    // it_measures_text_in_characters_by_default
+    assert(CO().measure("hello world") == 11)
+  }
+
+  // -- Describe_is_on_next_page (test_base.py:3577-3624): page boundaries
+  // fire on any page-number CHANGE (even to a lower number); None continues
+  // the current page; the first element never breaks and defaults to page 1.
+  test("page-boundary predicate: change detection, None continuation, lower pages") {
+    def pages(ps: Seq[Option[Int]]): Vector[Vector[String]] = {
+      val els = ps.zipWithIndex.map { case (p, i) =>
+        el(ElementType.NarrativeText, s"t$i", page = p)
+      }
+      byTitle(els, ChunkingOptions(multipageSections = false,
+        combineTextUnderNChars = Some(0), includeOrigElements = false))
+        .map(_.text.split("\n\n").toVector)
+    }
+    // 4, 2, 2, None, 3 -> breaks entering 2 and entering 3; None continues
+    assert(pages(Seq(Some(4), Some(2), Some(2), None, Some(3))) ==
+      Vector(Vector("t0"), Vector("t1", "t2", "t3"), Vector("t4")))
+    // first element with no page number assumes page 1
+    assert(pages(Seq(None, Some(1), Some(1))) == Vector(Vector("t0", "t1", "t2")))
+    // no page numbers at all -> no breaks
+    assert(pages(Seq(None, None, None)) == Vector(Vector("t0", "t1", "t2")))
+  }
+
+  // -- Describe_HtmlTableSplitter (test_base.py:2825-2985): the three
+  // reference subtable vectors — whole-row splits, oversized-row cell
+  // splits, oversized-cell word splits — with whitespace normalization,
+  // thead/tbody flattening, and `<td/>` void empties, exactly as upstream.
+  test("HtmlTableSplitter matches the reference subtable vectors") {
+    def subtables(max: Int, html: String): Vector[(String, String)] = {
+      val rows = Chunker.TableChunker.parseRows(html)
+      Chunker.TableChunker.syncSplits(rows, ChunkingOptions(maxCharacters = max))
+        ._1.map { case (t, h) => (t, h.getOrElse("")) }
+    }
+    assert(subtables(40,
+      """<table border="1" class="dataframe"><tbody>
+        |<tr><td>Stanley
+        |Cups</td><td></td><td></td></tr>
+        |<tr><td>Team</td><td>Location</td><td>Stanley Cups</td></tr>
+        |<tr><td>Blues</td><td>STL</td><td>1</td></tr>
+        |<tr><td>Flyers</td><td>PHI</td><td>2</td></tr>
+        |<tr><td>Maple Leafs</td><td>TOR</td><td>13</td></tr>
+        |</tbody></table>""".stripMargin) == Vector(
+      ("Stanley Cups Team Location Stanley Cups",
+        "<table><tr><td>Stanley Cups</td><td/><td/></tr>" +
+          "<tr><td>Team</td><td>Location</td><td>Stanley Cups</td></tr></table>"),
+      ("Blues STL 1 Flyers PHI 2",
+        "<table><tr><td>Blues</td><td>STL</td><td>1</td></tr>" +
+          "<tr><td>Flyers</td><td>PHI</td><td>2</td></tr></table>"),
+      ("Maple Leafs TOR 13",
+        "<table><tr><td>Maple Leafs</td><td>TOR</td><td>13</td></tr></table>")))
+    assert(subtables(93,
+      """<html><body><table>
+        |<tr><td>Lorem ipsum dolor sit amet.</td>
+        |<td>   Consectetur    adipiscing     elit.   </td>
+        |<td>
+        |Laboris nisi ut
+        |aliquip ex ea commodo.
+        |</td></tr>
+        |<tr><td>Duis</td><td>Dolor</td></tr>
+        |<tr><td>Duis</td><td>Cillum</td></tr>
+        |</table></body></html>""".stripMargin) == Vector(
+      ("Lorem ipsum dolor sit amet. Consectetur adipiscing elit.",
+        "<table><tr><td>Lorem ipsum dolor sit amet.</td>" +
+          "<td>Consectetur adipiscing elit.</td></tr></table>"),
+      ("Laboris nisi ut aliquip ex ea commodo.",
+        "<table><tr><td>Laboris nisi ut aliquip ex ea commodo.</td></tr></table>"),
+      ("Duis Dolor Duis Cillum",
+        "<table><tr><td>Duis</td><td>Dolor</td></tr>" +
+          "<tr><td>Duis</td><td>Cillum</td></tr></table>")))
+    assert(subtables(100,
+      """<table><thead>
+        |<tr><td>
+        |Lorem ipsum dolor sit amet,
+        |consectetur adipiscing elit.
+        |Sed do eiusmod tempor
+        |incididunt ut labore et dolore magna aliqua.
+        |</td>
+        |<td> Ut enim ad minim veniam.           </td>
+        |<td> Quis nostrud exercitation ullamco. </td></tr>
+        |</thead><tbody>
+        |<tr><td>Duis aute irure dolor</td></tr>
+        |<tr><td>In reprehenderit voluptate.</td></tr>
+        |</tbody></table>""".stripMargin) == Vector(
+      ("Lorem ipsum dolor sit amet, consectetur adipiscing elit. Sed do",
+        "<table><tr><td>Lorem ipsum dolor sit amet, consectetur adipiscing elit." +
+          " Sed do</td></tr></table>"),
+      ("eiusmod tempor incididunt ut labore et dolore magna aliqua.",
+        "<table><tr><td>eiusmod tempor incididunt ut labore et dolore magna" +
+          " aliqua.</td></tr></table>"),
+      ("Ut enim ad minim veniam. Quis nostrud exercitation ullamco.",
+        "<table><tr><td>Ut enim ad minim veniam.</td>" +
+          "<td>Quis nostrud exercitation ullamco.</td></tr></table>"),
+      ("Duis aute irure dolor In reprehenderit voluptate.",
+        "<table><tr><td>Duis aute irure dolor</td></tr>" +
+          "<tr><td>In reprehenderit voluptate.</td></tr></table>")))
+  }
+
+  // -- _TableChunker._iter_chunks fit/fallback gates (base.py:976-1006):
+  // below the 50-char html threshold an oversized table text-splits with NO
+  // text_as_html — the 33-char-per-chunk html overhead is impractical there.
+  test("table chunking falls back to text-only splits below the html threshold") {
+    val html = "<table><tr><td>alpha beta gamma delta epsilon zeta</td><td></td></tr>" +
+      "<tr><td>Team</td><td>Loc</td></tr></table>"
+    val t = el(ElementType.Table, "alpha beta gamma delta epsilon zeta Team Loc",
+      html = Some(html))
+    val chunks = basic(Seq(t), ChunkingOptions(maxCharacters = 40,
+      includeOrigElements = false))
+    assert(chunks.size > 1)
+    assert(chunks.forall(_.metadata.text_as_html.isEmpty))
+    assert(chunks.forall(_.`type` == ElementType.TableChunk))
+  }
+
+  // -- Describe_TextSplitter (test_base.py:3011-3110): the full reference
+  // split-vector table — preferred separator, next-separator fallback,
+  // arbitrary-character last resort, no-split short strings, window fill,
+  // whitespace stripping around the split, and the 10-char overlap prefix
+  // (9 chars + the joining space) carried into each remainder.
+  test("TextSplitter matches the reference split vectors") {
+    def walk(max: Int, text: String): Vector[(String, String)] = {
+      val split = new Chunker.TextSplitter(ChunkingOptions(maxCharacters = max, overlap = 10))
+      val out = Vector.newBuilder[(String, String)]
+      var t = text
+      while (t.nonEmpty) {
+        val (s, r) = split(t)
+        out += ((s, r))
+        t = if (r == t) "" else r
+      }
+      out.result()
+    }
+    // it_splits_on_a_preferred_separator_when_it_can
+    assert(walk(50,
+      "Lorem ipsum dolor amet consectetur adipiscing.  \n  In rhoncus ipsum sed lectus porta.") ==
+      Vector(
+        ("Lorem ipsum dolor amet consectetur adipiscing.",
+          "ipiscing. In rhoncus ipsum sed lectus porta."),
+        ("ipiscing. In rhoncus ipsum sed lectus porta.", "")))
+    // and_it_splits_on_the_next_available_separator_when_the_first_is_not_available
+    assert(walk(40,
+      "Lorem ipsum dolor amet consectetur adipiscing. In rhoncus ipsum sed lectus porta" +
+        " volutpat.") ==
+      Vector(
+        ("Lorem ipsum dolor amet consectetur",
+          "nsectetur adipiscing. In rhoncus ipsum sed lectus porta volutpat."),
+        ("nsectetur adipiscing. In rhoncus ipsum", "cus ipsum sed lectus porta volutpat."),
+        ("cus ipsum sed lectus porta volutpat.", "")))
+    // and_it_splits_on_an_arbitrary_character_as_a_last_resort
+    assert(walk(30,
+      "Loremipsumdolorametconsecteturadipiscingelit. In rhoncus ipsum sed lectus porta.")
+      .take(3) ==
+      Vector(
+        ("Loremipsumdolorametconsectetur",
+          "onsecteturadipiscingelit. In rhoncus ipsum sed lectus porta."),
+        ("onsecteturadipiscingelit. In", "gelit. In rhoncus ipsum sed lectus porta."),
+        ("gelit. In rhoncus ipsum sed", "ipsum sed lectus porta.")))
+    // it_does_not_split_a_string_that_is_not_longer_than_maxlen
+    Seq("Lorem ipsum dolor amet consectetur adipiscing.", "Lorem ipsum dolor.").foreach { t =>
+      assert(walk(46, t) == Vector((t, "")))
+    }
+    // it_fills_the_window_when_falling_back_to_an_arbitrary_character_split
+    val fill = walk(38,
+      "Loremipsumdolorametconsecteturadipiscingelit. In rhoncus ipsum sed lectus porta.")
+    assert(fill.head._1 == "Loremipsumdolorametconsecteturadipisci" && fill.head._1.length == 38)
+    // it_strips_whitespace_around_the_split
+    assert(walk(50,
+      "Lorem ipsum dolor amet consectetur adipiscing.   \n\n In rhoncus ipsum sed lectus.").head ==
+      (("Lorem ipsum dolor amet consectetur adipiscing.",
+        "ipiscing. In rhoncus ipsum sed lectus.")))
+  }
 }
