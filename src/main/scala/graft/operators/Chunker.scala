@@ -583,8 +583,17 @@ object Chunker {
       * preserves — colspan/rowspan are required to reconstruct merged-cell
       * layout; cosmetic attrs (class, style, data-*) drop
       * (`common/html_table.py:87-97`). */
-    final case class Cell(text: String, preserved: Vector[(String, String)] = Vector.empty) {
+    final case class Cell(text: String, preserved: Vector[(String, String)] = Vector.empty,
+        sourceInner: String = "") {
       def attrHtml: String = preserved.map { case (k, v) => s""" $k="$v"""" }.mkString
+      /** Cell content for re-serialization: plain text normally, but nested
+        * markup (an inner `<table>`) survives verbatim-normalized, matching
+        * `HtmlCell.html`'s preserve-nested-markup behavior
+        * (`common/html_table.py` DescribeHtmlCell
+        * `and_it_preserves_nested_markup_when_serializing_nonempty_cells`). */
+      def contentHtml: String =
+        if (sourceInner.contains("<table")) normalizeWs(sourceInner)
+        else escapeHtml(text)
     }
 
     /** One `<tr>`: cells (empty kept for `<td/>` slots), header flag, and the
@@ -598,7 +607,7 @@ object Chunker {
       def html: String =
         "<tr>" + cells.map(c =>
           if (c.text.isEmpty) s"<td${c.attrHtml}/>"
-          else s"<td${c.attrHtml}>${escapeHtml(c.text)}</td>").mkString + "</tr>"
+          else s"<td${c.attrHtml}>${c.contentHtml}</td>").mkString + "</tr>"
       /** `_as_header_row_html`: the SOURCE row with direct `<td>` converted to
         * `<th>`, all original attributes kept (`base.py:1366-1379`). Only
         * top-level cells of this `<tr>` are rewritten — cells of a nested
@@ -645,37 +654,94 @@ object Chunker {
       s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
         .replace("&#x27;", "'").replace("&apos;", "'").replace("&amp;", "&")
 
-    private val TrRe = "(?s)<tr\\b[^>]*>.*?</tr>".r
-    private val TheadRe = "(?s)<thead\\b[^>]*>.*?</thead>".r
-    private val CellRe = "(?s)<t([dh])\\b[^>]*?/>|<t([dh])\\b[^>]*>(.*?)</t[dh]>".r
     private val TagRe = "(?s)<[^>]*>".r
 
     private val PreservedAttrRe =
       "(?i)\\b(colspan|rowspan)\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|(\\S+))".r
 
-    /** All `<tr>` rows of an HTML table in order, header-flagged when inside `<thead>`
-      * or containing a `<th>` cell — `html_table.py:74-80`. Cell colspan/rowspan
-      * survive compactification; the raw `<tr>` markup rides along for header
-      * repetition. */
+    private def tagName(tag: String): String = {
+      val s = if (tag.startsWith("</")) tag.substring(2) else tag.substring(1)
+      s.takeWhile(Character.isLetterOrDigit).toLowerCase
+    }
+
+    /** All TOP-LEVEL `<tr>` rows of an HTML table in order, header-flagged when
+      * inside the table's `<thead>` or containing a `<th>` cell —
+      * `html_table.py:74-80` (lxml's `./tr | ./thead/tr | ...` XPath sees only
+      * direct-section rows). Rows and cells of a table NESTED inside a cell
+      * stay inside that cell's content — the scanner tracks `<table>` depth
+      * instead of regex-matching the first `</tr>`, which would truncate a
+      * nesting row. Cell colspan/rowspan survive compactification; the raw
+      * `<tr>` markup rides along for header repetition and reconstruction. */
     def parseRows(html: String): Vector[Row] = {
-      val theadSpans = TheadRe.findAllMatchIn(html).map(m => (m.start, m.end)).toVector
-      TrRe.findAllMatchIn(html).map { m =>
-        val inThead = theadSpans.exists { case (s, e) => m.start >= s && m.end <= e }
-        val rowHtml = m.matched
-        var hasTh = false
-        val cells = CellRe.findAllMatchIn(rowHtml).map { cm =>
-          val tag = if (cm.group(1) != null) cm.group(1) else cm.group(2)
-          if (tag == "h") hasTh = true
-          val openTag = cm.matched.takeWhile(_ != '>') + ">"
-          val preserved = PreservedAttrRe.findAllMatchIn(openTag).map { am =>
-            (am.group(1).toLowerCase,
-              Seq(am.group(2), am.group(3), am.group(4)).find(_ != null).getOrElse(""))
-          }.toVector
-          val inner = Option(cm.group(3)).getOrElse("")
-          Cell(normalizeWs(unescapeHtml(TagRe.replaceAllIn(inner, " "))), preserved)
+      val tags = TagRe.findAllMatchIn(html).toVector
+      val rows = Vector.newBuilder[Row]
+      var tableDepth = 0
+      var inThead = false
+      var rowStart = -1
+      var rowTagEnd = -1
+      var rowInThead = false
+      tags.foreach { m =>
+        val t = m.matched
+        val isClose = t.startsWith("</")
+        val isVoid = t.endsWith("/>")
+        tagName(t) match {
+          case "table" =>
+            if (isClose) tableDepth = math.max(0, tableDepth - 1)
+            else if (!isVoid) tableDepth += 1
+          case "thead" if tableDepth <= 1 && rowStart < 0 =>
+            inThead = !isClose && !isVoid
+          case "tr" if tableDepth <= 1 =>
+            if (!isClose && !isVoid && rowStart < 0) {
+              rowStart = m.start; rowTagEnd = m.end; rowInThead = inThead
+            } else if (isClose && rowStart >= 0) {
+              rows += buildRow(html.substring(rowStart, m.end),
+                html.substring(rowTagEnd, m.start), rowInThead)
+              rowStart = -1
+            }
+          case _ => ()
+        }
+      }
+      rows.result()
+    }
+
+    /** One row from its source markup: top-level `<td>`/`<th>` cells only
+      * (cells of a nested table belong to their outer cell's content). */
+    private def buildRow(sourceHtml: String, inner: String, inThead: Boolean): Row = {
+      val tags = TagRe.findAllMatchIn(inner).toVector
+      val cells = Vector.newBuilder[Cell]
+      var depth = 0
+      var openTag: String = null
+      var contentStart = -1
+      var hasTh = false
+      def mkCell(open: String, content: String): Cell = {
+        val preserved = PreservedAttrRe.findAllMatchIn(open).map { am =>
+          (am.group(1).toLowerCase,
+            Seq(am.group(2), am.group(3), am.group(4)).find(_ != null).getOrElse(""))
         }.toVector
-        Row(cells, inThead || hasTh, rowHtml)
-      }.toVector
+        Cell(normalizeWs(unescapeHtml(TagRe.replaceAllIn(content, " "))), preserved,
+          sourceInner = content)
+      }
+      tags.foreach { m =>
+        val t = m.matched
+        val isClose = t.startsWith("</")
+        val isVoid = t.endsWith("/>")
+        tagName(t) match {
+          case "table" =>
+            if (isClose) depth = math.max(0, depth - 1)
+            else if (!isVoid) depth += 1
+          case n @ ("td" | "th") if depth == 0 =>
+            if (!isClose && openTag == null) {
+              if (n == "th") hasTh = true
+              if (isVoid) cells += mkCell(t, "")
+              else { openTag = t; contentStart = m.end }
+            } else if (isClose && openTag != null) {
+              cells += mkCell(openTag, inner.substring(contentStart, m.start))
+              openTag = null
+            }
+          case _ => ()
+        }
+      }
+      Row(cells.result(), inThead || hasTh, sourceHtml)
     }
 
     def iterChunks(docId: String, table: Element, overlapPrefix: String,
@@ -963,7 +1029,11 @@ object Chunker {
             .map(rs => "<thead>" + rs.map(_.headerHtml).mkString + "</thead>").getOrElse("")
           val body = sorted.zipWithIndex.flatMap { case (c, i) =>
             val skip = if (i == 0 && canonical.isDefined) canonical.get.size else carriedOf(c)
-            rowsOf(c).drop(skip).map(_.html)
+            // append the SOURCE row markup, as the reference moves lxml row
+            // nodes verbatim (dispatch.py:207-215) — nested tables and
+            // user-provided attributes survive reconstruction
+            rowsOf(c).drop(skip).map(r =>
+              if (r.sourceHtml.nonEmpty) r.sourceHtml else r.html)
           }.mkString
           Some("<table>" + thead + body + "</table>")
         } else None

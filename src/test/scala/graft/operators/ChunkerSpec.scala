@@ -951,6 +951,91 @@ class ChunkerSpec extends AnyFunSuite {
         "<th colspan=\"2\">Outer B</th></tr>")
   }
 
+  // -- reconstruct_table_from_chunks edges (test_base.py:2313-2817) --
+
+  private def tchunk(text: String, idx: Option[Int], carried: Option[Int],
+      html: String): Element =
+    Element("", ElementType.TableChunk, text, "d", 1, ElementMetadata(
+      table_id = Some("tid"), chunk_index = idx,
+      num_carried_over_header_rows = carried, text_as_html = Some(html)))
+
+  // -- it_reconstructs_repeated_header_tables_without_duplication_using_chunk_
+  // metadata + and_it_reconstructs_a_single_canonical_thead_for_carried_headers
+  test("reconstruction builds one canonical thead from carried headers") {
+    val html = "<table><thead>" +
+      "<tr><th>Header A</th><th>Header B</th></tr>" +
+      "<tr><th>Subhead A</th><th>Subhead B</th></tr>" +
+      "</thead><tbody>" +
+      "<tr><td>Body 1</td><td>Alpha</td></tr>" +
+      "<tr><td>Body 2</td><td>Bravo</td></tr>" +
+      "<tr><td>Body 3</td><td>Charlie</td></tr>" +
+      "<tr><td>Body 4</td><td>Delta</td></tr>" +
+      "</tbody></table>"
+    val text = "Header A Header B\nSubhead A Subhead B\nBody 1 Alpha\nBody 2 Bravo\n" +
+      "Body 3 Charlie\nBody 4 Delta"
+    val chunks = basic(
+      Seq(el(ElementType.Table, text, html = Some(html))),
+      ChunkingOptions(maxCharacters = 55, includeOrigElements = false))
+    assert(chunks.map(_.metadata.num_carried_over_header_rows) ==
+      Vector(Some(0), Some(2), Some(2), Some(2)))
+    val table = Chunker.reconstructTable(chunks).get
+    assert(table.text.split("\\s+").toSeq == text.split("\\s+").toSeq)
+    assert(table.metadata.text_as_html.contains(
+      "<table><thead><tr><th>Header A</th><th>Header B</th></tr>" +
+        "<tr><th>Subhead A</th><th>Subhead B</th></tr></thead>" +
+        "<tr><td>Body 1</td><td>Alpha</td></tr>" +
+        "<tr><td>Body 2</td><td>Bravo</td></tr>" +
+        "<tr><td>Body 3</td><td>Charlie</td></tr>" +
+        "<tr><td>Body 4</td><td>Delta</td></tr></table>"))
+  }
+
+  // -- it_treats_missing_carried_header_row_counts_as_zero_during_reconstruction
+  test("reconstruction treats a missing carried-header count as zero") {
+    val table = Chunker.reconstructTable(Seq(
+      tchunk("Header Body 1", Some(0), Some(0),
+        "<table><tr><td>Header</td></tr><tr><td>Body 1</td></tr></table>"),
+      tchunk("Header Body 2", Some(1), None,
+        "<table><tr><td>Header</td></tr><tr><td>Body 2</td></tr></table>"))).get
+    assert(table.text == "Header Body 1 Header Body 2")
+    assert(table.metadata.text_as_html.contains(
+      "<table><tr><td>Header</td></tr><tr><td>Body 1</td></tr>" +
+        "<tr><td>Header</td></tr><tr><td>Body 2</td></tr></table>"))
+  }
+
+  // -- it_orders_chunks_with_missing_chunk_index_after_numbered_chunks
+  test("reconstruction orders index-less chunks after numbered ones") {
+    val table = Chunker.reconstructTable(Seq(
+      tchunk("third", None, None, "<table><tr><td>third</td></tr></table>"),
+      tchunk("second", Some(1), None, "<table><tr><td>second</td></tr></table>"),
+      tchunk("first", Some(0), None, "<table><tr><td>first</td></tr></table>"))).get
+    assert(table.text == "first second third")
+    assert(table.metadata.text_as_html.contains(
+      "<table><tr><td>first</td></tr><tr><td>second</td></tr>" +
+        "<tr><td>third</td></tr></table>"))
+  }
+
+  // -- it_preserves_nested_table_structure_when_reconstructing_html
+  test("reconstruction keeps nested tables nested") {
+    val nested =
+      "<table><tr><td><table><tr><td>Nested</td></tr></table></td></tr></table>"
+    val table = Chunker.reconstructTable(Seq(tchunk("Nested", Some(0), Some(0), nested))).get
+    assert(table.metadata.text_as_html.contains(nested))
+  }
+
+  // -- DescribeHtmlCell and_it_preserves_nested_markup_when_serializing_
+  // nonempty_cells: compactification keeps a nested table inside a cell while
+  // dropping the outer cell's cosmetic attributes; the nested text still
+  // contributes to the cell's text
+  test("compactification preserves nested markup inside a cell") {
+    val rows = Chunker.TableChunker.parseRows(
+      "<table><tr><td class=\"x\"><table><tr><td>Inner</td></tr></table></td>" +
+        "<td>B</td></tr></table>")
+    assert(rows.size == 1)
+    assert(rows.head.cells.map(_.text) == Vector("Inner", "B"))
+    assert(rows.head.html ==
+      "<tr><td><table><tr><td>Inner</td></tr></table></td><td>B</td></tr>")
+  }
+
   // -- DescribeChunkingOptions (test_base.py:51-250): the validation and
   // derived-value table.
   test("ChunkingOptions validation and derived values match the reference") {
