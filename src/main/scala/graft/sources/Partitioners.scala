@@ -464,12 +464,25 @@ object Partitioners {
 
   /** `partition()` — detect + route (`partition/auto.py:30-300`). Formats whose
     * parsers need external tools report `partitionerAvailable=false` upstream. */
+  /** `UnsupportedFileFormatError` (`partition/common/__init__.py`, raised
+    * `auto.py:364-366`) — the strict router's unpartitionable-type signal. */
+  final class UnsupportedFileFormatError(message: String)
+    extends IllegalArgumentException(message)
+
   def partitionAuto(filename: String, content: Array[Byte],
       contentType: Option[String] = None,
       skipInferTableTypes: Seq[String] = DefaultSkipInferTableTypes,
       pdfInferTableStructure: Boolean = false,
-      startingPageNumber: Int = 1): (FileType, Seq[RawPara]) = {
+      startingPageNumber: Int = 1,
+      strict: Boolean = false): (FileType, Seq[RawPara]) = {
     val ft = DetectFiletype.detect(filename, content, contentType)
+    // the reference raises for unpartitionable types (auto.py:364-366); a
+    // distributed sweep usually prefers skip-and-continue, so raising is
+    // opt-in via `strict` (an EMPTY file partitions to zero elements either
+    // way, matching partition() on an empty file)
+    if (strict && ft != FileType.Empty && !graft.Doctor.isPartitionable(ft))
+      throw new UnsupportedFileFormatError(
+        s"Partitioning is not supported for the FileType.${ft.name.toUpperCase} file type.")
     val inferTables = decideTableExtraction(ft, skipInferTableTypes, pdfInferTableStructure)
     graft.operators.Registries.partitioner(ft) match {
       case Some(custom) => return (ft, custom(content))

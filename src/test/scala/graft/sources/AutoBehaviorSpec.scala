@@ -199,4 +199,27 @@ class AutoBehaviorSpec extends SparkSuiteBase {
     assert(xlsShifted.head.pageNumber.contains(5))
     assert(xlsShifted.map(_.pageNumber.getOrElse(0)).max >= 6)
   }
+
+  // -- test_auto_partition_raises_with_bad_type (test_auto.py:943-960)
+  test("strict mode raises the reference error for unpartitionable types") {
+    val junk = Array[Byte](0x01, 0x02, 0x03, 0x00, 0x7f)
+    // lenient default: skip-and-continue for a distributed sweep
+    val (ft, paras) = Partitioners.partitionAuto("made-up.fake", junk)
+    assert(ft == FileType.Unknown && paras.isEmpty)
+    val e = intercept[Partitioners.UnsupportedFileFormatError](
+      Partitioners.partitionAuto("made-up.fake", junk, strict = true))
+    assert(e.getMessage ==
+      "Partitioning is not supported for the FileType.UNKNOWN file type.")
+    // zip containers are detected but not partitionable
+    val zipMagic = Array[Byte](0x50, 0x4b, 0x05, 0x06) ++ new Array[Byte](18)
+    assertThrows[Partitioners.UnsupportedFileFormatError](
+      Partitioners.partitionAuto("a.zip", zipMagic, strict = true))
+  }
+
+  // -- test_auto_partition_from_filename_works_on_empty_file (:1398-1404)
+  test("an empty file partitions to zero elements, even in strict mode") {
+    val (ft, paras) = Partitioners.partitionAuto("empty.txt", Array.emptyByteArray,
+      strict = true)
+    assert(ft == FileType.Empty && paras.isEmpty)
+  }
 }
