@@ -951,6 +951,40 @@ class ChunkerSpec extends AnyFunSuite {
         "<th colspan=\"2\">Outer B</th></tr>")
   }
 
+  // -- DescribePreChunkCombiner (test_base.py:3304-3504) ---------------------
+
+  // it_does_not_combine_when_either_pre_chunk_contains_a_table: table
+  // isolation holds through combination — small neighbors never absorb a table
+  test("combiner never merges a table pre-chunk with its neighbors") {
+    val els = Seq(
+      title("Section A"), text("Small body."),
+      table("Cell1 Cell2"),
+      title("Section B"), text("Another small body."))
+    val chunks = byTitle(els, ChunkingOptions(maxCharacters = 500,
+      combineTextUnderNChars = Some(500), includeOrigElements = false))
+    assert(chunks.map(_.`type`) == Vector(
+      ElementType.CompositeElement, ElementType.Table, ElementType.CompositeElement))
+    assert(chunks(1).text == "Cell1 Cell2")
+  }
+
+  // it_accommodates_and_isolates_an_oversized_pre_chunk: an oversized single
+  // element neither combines forward nor backward; its neighbors stay intact
+  test("combiner isolates an oversized pre-chunk between small ones") {
+    val big = "Lorem ipsum dolor sit amet consectetur adipiscing elit." +
+      " Mauris nec urna non augue vulputate consequat eget et nisi." +
+      " Sed orci quam, eleifend sit amet vehicula, elementum ultricies."
+    val els = Seq(title("Lorem Ipsum"), text(big), title("Vulputate Consequat"))
+    val chunks = byTitle(els, ChunkingOptions(maxCharacters = 150,
+      combineTextUnderNChars = Some(150), includeOrigElements = false))
+    // oversized middle splits into window-sized pieces; titles stay their own
+    // chunks on either side, exactly as the reference's three pre-chunks
+    assert(chunks.head.text == "Lorem Ipsum")
+    assert(chunks.last.text == "Vulputate Consequat")
+    assert(chunks.drop(1).dropRight(1).forall(_.text.length <= 150))
+    // space-boundary splits: the middle pieces reassemble the original text
+    assert(chunks.drop(1).dropRight(1).map(_.text).mkString(" ") == big)
+  }
+
   // -- reconstruct_table_from_chunks edges (test_base.py:2313-2817) --
 
   private def tchunk(text: String, idx: Option[Int], carried: Option[Int],
