@@ -75,8 +75,20 @@ object FileType {
     all.find(_.extensions.contains(e))
   }
 
+  /** `GOOGLE_DRIVE_EXPORT_TYPES` (`file_utils/google_filetype.py`): the native
+    * Google-Apps MIME types resolve to the format Drive exports them as. */
+  val GoogleDriveExportTypes: Map[String, String] = Map(
+    "application/vnd.google-apps.document" ->
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "application/vnd.google-apps.spreadsheet" ->
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "application/vnd.google-apps.presentation" ->
+      "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "application/vnd.google-apps.photo" -> "image/jpeg")
+
   def fromMimeType(mime: String): Option[FileType] = {
-    val m = mime.split(";").head.trim.toLowerCase
+    val m0 = mime.split(";").head.trim.toLowerCase
+    val m = GoogleDriveExportTypes.getOrElse(m0, m0)
     val aliases: Map[String, FileType] = Map(
       "text/plain" -> Txt, "text/html" -> Html, "application/xhtml+xml" -> Html,
       "text/csv" -> Csv, "application/csv" -> Csv, "text/tsv" -> Tsv,

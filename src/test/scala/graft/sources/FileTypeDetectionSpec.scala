@@ -201,6 +201,19 @@ class FileTypeDetectionSpec extends AnyFunSuite {
     assert(DetectFiletype.detect("", refDoc("README.org")) == FileType.Txt)
   }
 
+  // -- GOOGLE_DRIVE_EXPORT_TYPES (file_utils/google_filetype.py): native
+  // -- Google-Apps MIME types resolve to their Drive export format
+  test("google-apps content types resolve to their export file types") {
+    assert(FileType.fromMimeType("application/vnd.google-apps.document")
+      .contains(FileType.Docx))
+    assert(FileType.fromMimeType("application/vnd.google-apps.spreadsheet")
+      .contains(FileType.Xlsx))
+    assert(FileType.fromMimeType("application/vnd.google-apps.presentation")
+      .contains(FileType.Pptx))
+    assert(FileType.fromMimeType("application/vnd.google-apps.photo")
+      .contains(FileType.Jpg))
+  }
+
   // -- non-standard OPC prefix (test_filetype.py:1111-1115)
 
   test("office365 docx with non-standard archive prefix detects as DOCX") {
