@@ -237,6 +237,56 @@ object AnalysisQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // End-to-end corpus curation — the canonical training-data pipeline over
+    // the near-dup-augmented corpus in ONE query: exact dedup (fingerprint
+    // groupBy, keep-min), near-dup removal (banded LSH candidates → exact
+    // 3-shingle Jaccard ≥ 0.8 verify on candidates only → drop the later
+    // doc of each verified pair), then language/quality/token annotation with
+    // a quality floor. Every stage is the proven 100 TB shape: one shuffle
+    // per dedup key, banded never-all-pairs candidates, verification only on
+    // candidates, and a left_anti for the drop set.
+    "q_curate_corpus" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val inp = withNearDups(docs(s, dir))
+      // ONE annotation pass over the corpus: fingerprint, signature, shingle
+      // set, and the curation metrics all ride the same projection so no
+      // stage re-reads the text
+      val annotated = inp.select(col("doc_id"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"),
+        TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3).as("sig"),
+        array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("sh"),
+        TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCountWhitespace(col("text")).as("n_tokens"))
+      // exact dedup as a window keep-first — one shuffle on fp, no self-join
+      val kept = annotated
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn", "fp")
+      // banded LSH with the shingle set carried into the bucket, so candidate
+      // generation AND exact-Jaccard verification are one equi-self-join; the
+      // same-key count window is the hot-bucket skew cap
+      val bands = kept.select(col("doc_id"), col("sh"),
+        posexplode(TextAnalysis.lshBands(col("sig"), rows = 2))
+          .as(Seq("band_idx", "band_key")))
+      val bounded = bands
+        .withColumn("bc",
+          count(lit(1)).over(Window.partitionBy("band_idx", "band_key")))
+        .filter(col("bc") <= 1000).drop("bc")
+      val drops = bounded.as("a").join(bounded.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .filter(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double") >= 0.8)
+        .select(col("b.doc_id").as("doc_id")).distinct()
+      // the verified drop set is tiny — broadcast it into the anti-join
+      kept.join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang_pred"), col("quality"), col("n_tokens"))
+        .filter(col("quality") >= 0.6)
+        .orderBy("doc_id")
+    }),
+
     // 64-bit SimHash rendered as 16 hex chars (hi/lo halves, so the oracle's
     // BIGINT arithmetic never touches the sign bit)
     "q_simhash" -> ((s, dir) => {
@@ -665,6 +715,51 @@ object AnalysisQueries {
          |FROM bounded a JOIN bounded b
          |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the full curation pipeline composed from the proven stage oracles
+    "q_curate_corpus" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, text, ${fingerprint("text")} AS fp FROM $nearDupUnion),
+         |keep AS (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |exact_kept AS (
+         |  SELECT f.doc_id, f.text FROM fp f
+         |  JOIN keep k ON f.fp = k.fp AND f.doc_id = k.doc_id),
+         |sig AS (SELECT doc_id, ${minhashSigSql("text")} AS sig FROM exact_kept),
+         |bands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
+         |    {'band_idx': b,
+         |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
+         |    recursive := true)
+         |  FROM sig),
+         |safe AS (
+         |  SELECT band_idx, band_key FROM bands
+         |  GROUP BY band_idx, band_key HAVING count(*) <= 1000),
+         |bounded AS (
+         |  SELECT b.* FROM bands b JOIN safe s
+         |    ON b.band_idx = s.band_idx AND b.band_key = s.band_key),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bounded a JOIN bounded b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
+         |  FROM exact_kept),
+         |drops AS (
+         |  SELECT DISTINCT doc_b AS doc_id FROM cand
+         |  JOIN sh sa ON cand.doc_a = sa.doc_id
+         |  JOIN sh sb ON cand.doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.8),
+         |curated AS (
+         |  SELECT * FROM exact_kept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+         |SELECT doc_id, ${langIdSql("text")} AS lang_pred,
+         |  ${qualitySql("text")} AS quality,
+         |  CAST(len(${O.words("text")}) AS INT) AS n_tokens
+         |FROM curated
+         |WHERE ${qualitySql("text")} >= 0.6
+         |ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_near_dup" ->
       s"""WITH sig AS (

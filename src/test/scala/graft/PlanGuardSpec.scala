@@ -37,6 +37,11 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Shuffle-count caps above the default; everything else gets [[DefaultExchCap]]. */
   private val exchCapOverrides = Map(
     "q_embed_near_dup" -> 13, "q_jaccard_near_dup" -> 13, "q_lsh_near_dup" -> 8,
+    // the full curation pipeline: window dedup + banded self-join with the
+    // shingle payload carried + skew-cap window + broadcast anti + sort; the
+    // referenced-twice band subtree duplicates its upstream in the AQE-off
+    // textual plan (exchange reuse collapses them at runtime)
+    "q_curate_corpus" -> 16,
     "q_ann_ivf" -> 8, "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
     "q_bbox_overlap_pairs" -> 5,
