@@ -80,7 +80,9 @@ object PdfHiRes {
       """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(Td|TD)""" + // 7 tx, 8 ty, 9 op
       """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" + // 10 a, 11 d, 12 e, 13 f
       """|(-?[0-9.]+)\s+TL""" + // 14 leading
-      """|(T\*|BT)""").r // 15
+      """|(T\*|BT)""" + // 15
+      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 16-21 CTM
+      """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""").r // 22 gsave/grestore
 
   private val TjPartRe = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)""".r
 
@@ -109,14 +111,24 @@ object PdfHiRes {
     var curX = 0.0
     val run = new StringBuilder
     var runX0, runY, runSize = 0.0
+    // graphics-state CTM (translation + axis scale; skew/rotation out of
+    // scope) — content that positions text via `q a 0 0 d e f cm` instead of
+    // Tm (common in Quartz/macOS-produced PDFs) needs it for real geometry
+    var ctmA, ctmD = 1.0
+    var ctmE, ctmF = 0.0
+    var ctmStack = List.empty[(Double, Double, Double, Double)]
 
     def effSize: Double = fontSize * (if (scaleY == 0) 1.0 else math.abs(scaleY))
 
     def flush(): Unit = {
       val text = run.toString.trim
       if (text.nonEmpty && curX > runX0) {
-        val bbox: Bbox = (runX0 * coef, (pageHeight - runY - runSize) * coef,
-          curX * coef, (pageHeight - runY) * coef)
+        val devX0 = ctmA * runX0 + ctmE
+        val devX1 = ctmA * curX + ctmE
+        val devY = ctmD * runY + ctmF
+        val devSize = runSize * math.abs(ctmD)
+        val bbox: Bbox = (devX0 * coef, (pageHeight - devY - devSize) * coef,
+          devX1 * coef, (pageHeight - devY) * coef)
         if (PdfminerGeometry.validateBbox(Seq(bbox._1, bbox._2, bbox._3, bbox._4)))
           out += LayoutRegion(bbox, Some(text), classId = 0,
             elementType = ElementType.UncategorizedText, isExtracted = true,
@@ -174,6 +186,25 @@ object PdfHiRes {
         newlineTo(m.group(12).toDouble, m.group(13).toDouble)
       } else if (m.group(14) != null) { // TL
         leading = m.group(14).toDouble
+      } else if (m.group(16) != null) { // cm — compose onto the CTM
+        flush()
+        val a = m.group(16).toDouble
+        val d = m.group(19).toDouble
+        val e = m.group(20).toDouble
+        val f = m.group(21).toDouble
+        ctmE = ctmA * e + ctmE
+        ctmF = ctmD * f + ctmF
+        ctmA *= (if (a == 0) 1.0 else a)
+        ctmD *= (if (d == 0) 1.0 else d)
+      } else if (m.group(22) != null) { // q / Q
+        if (m.group(22) == "q") ctmStack = (ctmA, ctmD, ctmE, ctmF) :: ctmStack
+        else ctmStack match {
+          case (a, d, e, f) :: rest =>
+            flush()
+            ctmA = a; ctmD = d; ctmE = e; ctmF = f
+            ctmStack = rest
+          case Nil => ()
+        }
       }
     }
     flush()

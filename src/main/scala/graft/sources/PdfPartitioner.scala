@@ -674,6 +674,57 @@ object PdfPartitioner {
       }.toSeq
     }
 
+    /**
+     * `get_uris` / `get_uris_from_annots` (`pdfminer_processing.py:965-1064`):
+     * `/Annots` entries with `/Subtype /Link`, the `/Rect` flipped to the
+     * top-left frame, and the action dict's target — `/URI` string for
+     * S=/URI, destination name `/D` for S=/GoTo (how LaTeX cite links ship).
+     */
+    def linkAnnots(page: PdfObj, height: Double): Seq[((Double, Double, Double, Double), String)] = {
+      val annots = resolved(page.dict, "Annots").getOrElse(return Nil)
+      RefRe.findAllMatchIn(annots).flatMap(m => objs.get(m.group(1).toInt)).flatMap { a =>
+        val d = a.dict
+        if (!dictValue(d, "Subtype").exists(_.trim.startsWith("/Link"))) None
+        else {
+          val rect = dictValue(d, "Rect").toSeq.flatMap(r =>
+            """-?[0-9.]+""".r.findAllIn(r).toSeq.flatMap(s =>
+              scala.util.Try(s.toDouble).toOption))
+          def actionString(raw: String): String = {
+            val t = raw.trim
+            if (t.startsWith("(") && t.endsWith(")"))
+              utf16IfBom(decodePdfString(t.substring(1, t.length - 1)))
+            else if (t.startsWith("<") && t.endsWith(">"))
+              utf16IfBom(decodeHexString(t.substring(1, t.length - 1)))
+            else t.stripPrefix("/")
+          }
+          // the /URI KEY must be matched by its string (or indirect-ref)
+          // value following it — a bare name scan would hit the /S /URI
+          // action TYPE first; a ref value resolves to a string object
+          // (try_resolve twice, `pdfminer_processing.py:1049`)
+          val UriValRe =
+            """(?s)/URI\s*(\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|\d+\s+\d+\s+R)""".r
+          def resolveToken(tok: String): String =
+            if (tok.trim.endsWith("R"))
+              refTarget(tok.trim).map(_.dict.trim).getOrElse(tok)
+            else tok
+          val uri = dictValue(d, "A")
+            .map(v => refTarget(v).map(_.dict).getOrElse(v))
+            .flatMap { ad =>
+              val s = dictValue(ad, "S").map(_.trim)
+              if (s.exists(_.startsWith("/URI")))
+                UriValRe.findFirstMatchIn(ad)
+                  .map(m => actionString(resolveToken(m.group(1))))
+              else if (s.exists(_.startsWith("/GoTo")))
+                dictValue(ad, "D").map(v => actionString(resolveToken(v)))
+              else None
+            }
+          if (rect.length == 4 && uri.exists(_.nonEmpty))
+            Some(((rect(0), height - rect(3), rect(2), height - rect(1)), uri.get))
+          else None
+        }
+      }.toSeq
+    }
+
     /** `_decode_field_value` (`pdfminer_processing.py:1078-1106`): literal
       * strings, hex strings, name objects (choice export values), and arrays
       * of those (multi-select choice fields, newline-joined). */
@@ -881,6 +932,64 @@ object PdfPartitioner {
     }
   }
 
+  /** One word of a text line: text, estimated top-left-frame bbox (the line's
+    * span distributed uniformly over its characters — the object-model reader
+    * has no per-glyph widths), and the word's char offset within the line.
+    * Word boundaries follow `get_words_from_obj` (`pdfminer_processing
+    * .py:1234-1312`): whitespace separates, and a flip of the
+    * alphanumeric/punctuation class starts a new word. */
+  private[sources] def lineWords(lineText: String,
+      bbox: (Double, Double, Double, Double)): Seq[(String, (Double, Double, Double, Double), Int)] = {
+    val span = bbox._3 - bbox._1
+    val n = math.max(1, lineText.length)
+    def xAt(i: Int): Double = bbox._1 + span * i / n
+    val out = Seq.newBuilder[(String, (Double, Double, Double, Double), Int)]
+    var i = 0
+    while (i < lineText.length) {
+      if (lineText.charAt(i).isWhitespace) i += 1
+      else {
+        val start = i
+        val alnum = lineText.charAt(i).isLetterOrDigit
+        while (i < lineText.length && !lineText.charAt(i).isWhitespace &&
+            lineText.charAt(i).isLetterOrDigit == alnum) i += 1
+        out += ((lineText.substring(start, i), (xAt(start), bbox._2, xAt(i), bbox._4), start))
+      }
+    }
+    out.result()
+  }
+
+  /** `map_bbox_and_index` (`pdfminer_processing.py:1315-1356`): the annot maps
+    * to the span from the word whose start corner is nearest the annot's
+    * start corner through the word whose end corner is nearest its end. */
+  private[sources] def mapAnnotToWords(
+      words: Seq[(String, (Double, Double, Double, Double), Int)],
+      annot: (Double, Double, Double, Double)): Option[(String, Int)] = {
+    if (words.isEmpty) return None
+    def d(ax: Double, ay: Double, wx: Double, wy: Double): Double =
+      math.sqrt((ax - wx) * (ax - wx) + (ay - wy) * (ay - wy))
+    val start = words.indices.minBy(i => d(annot._1, annot._2, words(i)._2._1, words(i)._2._2))
+    val end = words.indices.minBy(i => d(annot._3, annot._4, words(i)._2._3, words(i)._2._4))
+    val text =
+      if (end >= start) words.slice(start, end + 1).map(_._1).mkString(" ")
+      else words(start)._1
+    Some((text.trim, words(start)._3))
+  }
+
+  /** `check_annotations_within_element` (`:1171-1204`) adapted to line
+    * regions: the overlap fraction of the annot's own area with the region.
+    * The reference tests annots against whole TEXTBOX bboxes at threshold
+    * 0.9; a link rect typically overhangs its single LINE by a point or two
+    * of leading, so line-level association takes the best-overlapping line
+    * above a majority floor instead. */
+  private def annotOverlap(annot: (Double, Double, Double, Double),
+      region: (Double, Double, Double, Double)): Double = {
+    val area = math.max(0, annot._3 - annot._1) * math.max(0, annot._4 - annot._2)
+    if (area <= 0) return 0.0
+    val ix = math.max(0, math.min(annot._3, region._3) - math.max(annot._1, region._1))
+    val iy = math.max(0, math.min(annot._4, region._4) - math.max(annot._2, region._2))
+    ix * iy / area
+  }
+
   /** The fast-strategy partitioner: page tree → per-page content + fonts →
     * text → paragraph split → classifier cascade (classifier="text"). */
   def partitionPdf(bytes: Array[Byte]): Seq[RawPara] = {
@@ -892,11 +1001,48 @@ object PdfPartitioner {
     if (pages.nonEmpty) {
       pages.zipWithIndex.foreach { case (page, i) =>
         val content = doc.pageContent(page)
+        val (_, hgt) = doc.mediaBox(page)
         if (content.contains("BT")) {
           val text = extractText(content, doc.pageFonts(page))
           if (text.nonEmpty) {
-            TextSource.splitParagraphs(text).foreach { p =>
-              out += RawPara(p, None, classifier = "text", pageNumber = Some(i + 1))
+            val paras = TextSource.splitParagraphs(text)
+            // hyperlink annotations -> per-paragraph links metadata
+            // (`pdf.py:508-550`): each /Link rect maps to the overlapping
+            // text line's words, then to the paragraph containing that line
+            val annots = doc.linkAnnots(page, hgt)
+            val paraLinks = Array.fill(paras.length)(
+              mutable.ArrayBuffer.empty[(String, String, Int)])
+            if (annots.nonEmpty) {
+              val regions = PdfHiRes.extractLineRegions(
+                content, doc.pageFonts(page), hgt, 1.0)
+              annots.foreach { case (abox, uri) =>
+                val best = regions
+                  .map(r => (r, annotOverlap(abox, r.bbox)))
+                  .filter(_._2 > 0.5)
+                  .sortBy(-_._2).headOption.map(_._1)
+                best.foreach { line =>
+                  val lt = line.text.getOrElse("")
+                  mapAnnotToWords(lineWords(lt, line.bbox), abox).foreach {
+                    case (linkText, startInLine) =>
+                      val pi = paras.indexWhere(_.contains(lt))
+                      val target =
+                        if (pi >= 0) Some((pi, paras(pi).indexOf(lt) + startInLine))
+                        else {
+                          val fi = paras.indexWhere(_.contains(linkText))
+                          if (fi >= 0) Some((fi, paras(fi).indexOf(linkText))) else None
+                        }
+                      target.foreach { case (idx, si) =>
+                        paraLinks(idx) += ((linkText, uri, si))
+                      }
+                  }
+                }
+              }
+            }
+            paras.zipWithIndex.foreach { case (p, pi) =>
+              val ls = paraLinks(pi)
+              out += RawPara(p, None, classifier = "text", pageNumber = Some(i + 1),
+                linkTexts = ls.map(_._1).toSeq, linkUrls = ls.map(_._2).toSeq,
+                linkStartIndexes = ls.map(_._3).toSeq)
             }
           }
         }
