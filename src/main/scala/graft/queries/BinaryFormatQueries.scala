@@ -246,6 +246,24 @@ object BinaryFormatQueries {
       }.toDF("doc_id", "kind", "value").orderBy("doc_id", "kind")
     }),
 
+    // PDF hyperlink annotations (`get_uris` + `map_bbox_and_index`,
+    // `pdfminer_processing.py:965-1356`; assembly `pdf.py:508-557`): the
+    // corpus PDF carries one /Link over the title line's first character
+    // cell, so the mapped word, url, and start index are pure functions of
+    // the document fields
+    "q_pdf_links" -> ((s, dir) => {
+      import s.implicits._
+      docBase(s, dir).flatMap { d =>
+        PdfPartitioner.partitionPdf(CorpusBytes.pdf(d)).zipWithIndex.flatMap {
+          case (p, i) =>
+            p.linkTexts.lazyZip(p.linkUrls).lazyZip(p.linkStartIndexes).map {
+              case (t, u, si) => (d.docId, (i + 1).toLong, t, u, si)
+            }
+        }
+      }.toDF("doc_id", "seq", "link_text", "url", "start_index")
+        .orderBy("doc_id", "seq", "start_index")
+    }),
+
     // hi_res analysis dumps (`partition_pdf(analysis=True)`,
     // `pdf_image/analysis/layout_dump.py`): the OD-model and final layout
     // dumps flattened to one row per (doc, source, page) with element counts
@@ -776,6 +794,17 @@ object BinaryFormatQueries {
          |    'page two ' || source, 2 FROM base)
          |SELECT doc_id, seq, element_type, category_depth, text, page_number
          |FROM rows0 ORDER BY doc_id, seq""".stripMargin,
+
+    // the /Link covers the title's first character cell -> the mapped span is
+    // the first alnum-or-punctuation run of the first word, at index 0 of the
+    // title paragraph (the page's first element)
+    "q_pdf_links" ->
+      s"""WITH base AS ($base)
+         |SELECT doc_id, 1::BIGINT AS seq,
+         |  regexp_extract(w1, '^[A-Za-z0-9]+|^[^A-Za-z0-9]+') AS link_text,
+         |  'https://corpus.example/doc' || doc_id AS url,
+         |  0 AS start_index
+         |FROM base ORDER BY doc_id, seq, start_index""".stripMargin,
 
     // same fake-detector geometry as q_partition_pdf_hires: page 1 dumps
     // Headline+NarrativeText+Table from the detector, page 2 one small box;

@@ -285,12 +285,17 @@ object CorpusBytes {
     w("%PDF-1.4\n")
     w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     w("2 0 obj << /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >> endobj\n")
-    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /Annots [7 0 R] >> endobj\n")
     w(s"4 0 obj << /Length ${page1.length} /Filter /FlateDecode >> stream\n")
     out.write(page1); w("endstream endobj\n")
     w("5 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
     w(s"6 0 obj << /Length ${page2.length} /Filter /FlateDecode >> stream\n")
     out.write(page2); w("endstream endobj\n")
+    // a /Link over the title line's first character cell (the 0.5em reader
+    // grid puts char 0 of the 12pt line at x [72,78), glyph box y [720,732])
+    // — the hyperlink path maps it to the title's first word run
+    w("7 0 obj << /Type /Annot /Subtype /Link /Rect [72 720 78 732] " +
+      s"/A << /S /URI /URI (https://corpus.example/doc${d.docId}) >> >> endobj\n")
     w("trailer << /Root 1 0 R >>\n%%EOF\n")
     out.toByteArray
   }
