@@ -135,6 +135,27 @@ object ImagePartitioner {
     else Some(ImageMeta("tiff", "image/tiff", w, h, spp))
   }
 
+  /** Number of pages in a TIFF: length of the IFD chain (each IFD's trailing
+    * 4 bytes point at the next; 0 terminates). 1 for anything non-TIFF. */
+  def tiffPageCount(b: Array[Byte]): Int = {
+    if (b.length < 8) return 1
+    val little =
+      if (b(0) == 'I'.toByte && b(1) == 'I'.toByte && u8(b, 2) == 42 && u8(b, 3) == 0) true
+      else if (b(0) == 'M'.toByte && b(1) == 'M'.toByte && u8(b, 2) == 0 && u8(b, 3) == 42) false
+      else return 1
+    def rd16(i: Int) = if (little) le16(b, i) else be16(b, i)
+    def rd32(i: Int) = if (little) le32(b, i) else be32(b, i)
+    var ifd = rd32(4)
+    var pages = 0
+    while (ifd >= 8 && ifd + 2 <= b.length && pages < 512) {
+      pages += 1
+      val n = rd16(ifd.toInt)
+      val nextAt = ifd.toInt + 2 + n * 12
+      ifd = if (nextAt + 4 <= b.length) rd32(nextAt) else 0
+    }
+    math.max(1, pages)
+  }
+
   /** Format-dispatching metadata decode — first magic that matches wins. */
   def imageMeta(b: Array[Byte]): Option[ImageMeta] =
     if (b == null) None
@@ -156,21 +177,30 @@ object ImagePartitioner {
    * with decoded metadata is emitted as before.
    */
   def partitionImage(b: Array[Byte],
-      ocr: Option[PdfHiRes.OcrSource]): Seq[RawPara] =
+      ocr: Option[PdfHiRes.OcrSource],
+      startingPageNumber: Int = 1): Seq[RawPara] =
     imageMeta(b).toSeq.flatMap { m =>
-      val imageEl = RawPara("", elementType = Some("Image"),
-        imageMime = Some(m.mime), pageNumber = Some(1), classifier = "image")
-      ocr match {
-        case Some(agent) =>
-          val page = PdfHiRes.PageLayout(1, m.width.toDouble, m.height.toDouble, Nil)
-          val regions = agent(page).map(r =>
-            graft.operators.PdfminerGeometry.LayoutRegion(r.bbox, r.text,
-              classId = 0, elementType = "UncategorizedText",
-              source = "ocr_tesseract"))
-          val ocrEls = PdfHiRes.pageToElements(PdfHiRes.sortBasic(regions), page)
-            .map(PdfHiRes.toRawPara)
-          if (ocrEls.nonEmpty) ocrEls else Seq(imageEl)
-        case None => Seq(imageEl)
+      // a multi-page TIFF partitions page by page, numbered from
+      // starting_page_number (`test_image.py:163-167,667-680`); every other
+      // format is a single page
+      val pages = if (m.format == "tiff") tiffPageCount(b) else 1
+      (0 until pages).flatMap { i =>
+        val pageNum = startingPageNumber + i
+        val imageEl = RawPara("", elementType = Some("Image"),
+          imageMime = Some(m.mime), pageNumber = Some(pageNum), classifier = "image")
+        ocr match {
+          case Some(agent) =>
+            val page = PdfHiRes.PageLayout(pageNum, m.width.toDouble, m.height.toDouble, Nil)
+            val regions = agent(page).map(r =>
+              graft.operators.PdfminerGeometry.LayoutRegion(r.bbox, r.text,
+                classId = 0, elementType = "UncategorizedText",
+                source = "ocr_tesseract"))
+            val ocrEls = PdfHiRes.pageToElements(PdfHiRes.sortBasic(regions), page)
+              .map(PdfHiRes.toRawPara)
+              .map(_.copy(pageNumber = Some(pageNum)))
+            if (ocrEls.nonEmpty) ocrEls else Seq(imageEl)
+          case None => Seq(imageEl)
+        }
       }
     }
 }

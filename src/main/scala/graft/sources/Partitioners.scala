@@ -546,7 +546,10 @@ object Partitioners {
       case FileType.Ppt => LegacyOfficePartitioner.partitionPpt(content)
       case FileType.Json | FileType.Ndjson => Nil // rehydrate path (ElementSink.readNdjson)
       case FileType.Png | FileType.Jpg | FileType.Bmp | FileType.Tiff | FileType.Gif =>
-        ImagePartitioner.partitionImage(content) // header-decode real, OCR kernel stubbed
+        // header-decode real, OCR kernel stubbed; multipage TIFF numbers
+        // pages from starting_page_number
+        ImagePartitioner.partitionImage(content,
+          graft.operators.Registries.ocrAgent, startingPageNumber)
       case _ => Nil // external-tool formats (pdf hi_res/ocr, heic, audio): pluggable stubs
     }
     (ft, paras)

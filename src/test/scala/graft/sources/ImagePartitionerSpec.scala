@@ -73,4 +73,27 @@ class ImagePartitionerSpec extends AnyFunSuite {
     assert(paras.map(p => (p.elementType, p.imageMime)) ==
       Seq((Some("Image"), Some("image/png"))))
   }
+
+  // -- test_partition_image_with_multipage_tiff (test_image.py:163) +
+  // test_multi_page_tiff_starts_on_starting_page_number (:667)
+  test("a multi-page TIFF partitions page by page from starting_page_number") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/example-docs/img/layout-parser-paper-combined.tiff"))
+    assert(ImagePartitioner.tiffPageCount(bytes) == 2)
+    val paras = ImagePartitioner.partitionImage(bytes, None)
+    assert(paras.last.pageNumber.contains(2))
+    // starting_page_number=2 -> pages {2, 3} (the reference's exact pin)
+    val shifted = ImagePartitioner.partitionImage(bytes, None, startingPageNumber = 2)
+    assert(shifted.flatMap(_.pageNumber).toSet == Set(2, 3))
+    // single-IFD tiff stays one page
+    assert(ImagePartitioner.tiffPageCount(
+      CorpusBytes.tiff(2, 2, bigEndian = false)) == 1)
+    // OCR agent runs once per page, each with its own page number
+    val ocr: PdfHiRes.OcrSource = p => Seq(
+      graft.operators.PdfminerGeometry.SourceRegion(
+        (10, 10, 200, 30), Some(s"page ${p.pageNumber} words"), isExtracted = false))
+    val withOcr = ImagePartitioner.partitionImage(bytes, Some(ocr))
+    assert(withOcr.map(p => (p.text, p.pageNumber.get)) ==
+      Seq(("page 1 words", 1), ("page 2 words", 2)))
+  }
 }
