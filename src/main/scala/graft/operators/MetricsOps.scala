@@ -37,6 +37,52 @@ object MetricsOps {
     df.join(broadcast(keys), Seq(filterBy), "left_semi")
   }
 
+  /** Aggregation fields per evaluated metric — `get_mean_grouping`
+    * (`evaluate.py:533-548`). */
+  def aggFieldsFor(evalName: String): Seq[String] = evalName match {
+    case "text_extraction" => Seq("cct-accuracy", "cct-%missing")
+    case "element_type" => Seq("element-type-accuracy")
+    case "object_detection" => Seq("f1_score", "m_ap")
+    case other => throw new IllegalArgumentException(
+      s"Unknown metric for eval $other. " +
+        "Expected `text_extraction` or `element_type` or `table_extraction`.")
+  }
+
+  /**
+   * `get_mean_grouping` (`evaluate.py:510-597`) as a DataFrame aggregation:
+   * mean / sample-stdev / population-stdev / count of each metric field,
+   * grouped by `doctype`/`connector` (or one global row for "all"). The
+   * reference's validations carry over: an invalid grouping category and an
+   * unknown eval name raise; a missing or all-null grouping column and an
+   * empty frame raise (its SystemExit branches).
+   */
+  def getMeanGrouping(df: org.apache.spark.sql.DataFrame, groupBy: String,
+      evalName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (groupBy != "doctype" && groupBy != "connector" && groupBy != "all")
+      throw new IllegalArgumentException(
+        "Invalid grouping category. Returning a non-group evaluation.")
+    val fields = aggFieldsFor(evalName).filter(df.columns.contains)
+    if (df.isEmpty)
+      throw new IllegalStateException("Data is empty. Exiting.")
+    if (groupBy != "all" && (!df.columns.contains(groupBy) ||
+        df.filter(col(groupBy).isNotNull).isEmpty))
+      throw new IllegalStateException(
+        s"Data cannot be aggregated by `$groupBy`." +
+          " Check if it's empty or the column is missing/empty.")
+    val keyed =
+      if (groupBy == "all") df.withColumn("grouping_key", lit(0)) else df
+    val key = if (groupBy == "all") "grouping_key" else groupBy
+    val aggs = fields.flatMap { f =>
+      Seq(round(avg(col(f)), 3).as(s"$f _mean"),
+        round(stddev_samp(col(f)), 3).as(s"$f _stdev"),
+        round(stddev_pop(col(f)), 4).as(s"$f _pstdev"),
+        count(col(f)).as(s"$f _count"))
+    }
+    val out = keyed.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    if (groupBy == "all") out.drop("grouping_key") else out
+  }
+
   def tableEvalScore(goldHtml: String, predHtml: String,
       contentOnly: Boolean = false): Double = {
     val gold = TableChunker.parseRows(goldHtml)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuiteBase
+
+/**
+ * `get_mean_grouping` behaviors ported from
+ * `test_unstructured/metrics/test_evaluate.py:410-570`.
+ */
+class MetricsOpsSpec extends SparkSuiteBase {
+
+  private def metricsDf: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("a.pdf", "pdf", "s3", 0.9, 0.1),
+      ("b.pdf", "pdf", "s3", 0.7, 0.3),
+      ("c.docx", "docx", "local", 0.8, 0.2))
+      .toDF("filename", "doctype", "connector", "cct-accuracy", "cct-%missing")
+  }
+
+  // -- test_get_mean_grouping_df_input (doctype: 2 groups, connector: 2)
+  test("mean grouping aggregates mean/stdev/pstdev/count per group") {
+    val byDoctype = MetricsOps.getMeanGrouping(metricsDf, "doctype", "text_extraction")
+    assert(byDoctype.count() == 2)
+    val pdf = byDoctype.filter(byDoctype("doctype") === "pdf").collect().head
+    assert(pdf.getAs[Double]("cct-accuracy _mean") == 0.8)
+    assert(pdf.getAs[Long]("cct-accuracy _count") == 2L)
+    assert(MetricsOps.getMeanGrouping(metricsDf, "connector", "text_extraction")
+      .count() == 2)
+  }
+
+  // -- test_get_mean_grouping_all_file: one global row, no grouping column
+  test("'all' grouping yields one global row") {
+    val all = MetricsOps.getMeanGrouping(metricsDf, "all", "text_extraction")
+    assert(all.count() == 1)
+    assert(!all.columns.contains("grouping_key"))
+    assert(all.collect().head.getAs[Double]("cct-accuracy _mean") == 0.8)
+  }
+
+  // -- test_get_mean_grouping_invalid_group
+  test("an invalid grouping category raises") {
+    val e = intercept[IllegalArgumentException](
+      MetricsOps.getMeanGrouping(metricsDf, "invalid", "text_extraction"))
+    assert(e.getMessage.contains("Invalid grouping category"))
+  }
+
+  // -- test_get_mean_grouping_invalid_eval_name
+  test("an unknown eval name raises") {
+    val e = intercept[IllegalArgumentException](
+      MetricsOps.getMeanGrouping(metricsDf, "doctype", "invalid"))
+    assert(e.getMessage.contains("Unknown metric"))
+  }
+
+  // -- test_get_mean_grouping_missing_grouping_column / _all_null /
+  // test_text_extraction_grouping_empty_df
+  test("missing column, all-null column, and empty data raise") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val noCol = metricsDf.drop("doctype")
+    assertThrows[IllegalStateException](
+      MetricsOps.getMeanGrouping(noCol, "doctype", "text_extraction"))
+    val allNull = metricsDf.withColumn("doctype", lit(null).cast("string"))
+    assertThrows[IllegalStateException](
+      MetricsOps.getMeanGrouping(allNull, "doctype", "text_extraction"))
+    val empty = metricsDf.filter(lit(false))
+    assertThrows[IllegalStateException](
+      MetricsOps.getMeanGrouping(empty, "doctype", "text_extraction"))
+  }
+}
