@@ -176,4 +176,20 @@ class HtmlParserPrecedenceSpec extends AnyFunSuite {
     assert(ps(0).linkTexts == Seq("one") && ps(0).linkUrls == Seq("http://u"))
     assert(ps(1).linkTexts.isEmpty)
   }
+
+  // -- DescribeBold/DescribeItalic (test_parser.py:1303-1405): emphasis
+  // annotations nest into compound tags ("bi"); an emphasis tag's TAIL text
+  // is not annotated
+  test("bold/italic emphasis nests to compound tags and skips tails") {
+    val nested = parts("<p><b>rhombus <i>pentagon</i></b> tail</p>")
+    assert(nested.head.emphasizedContents == Seq("rhombus", "pentagon"))
+    assert(nested.head.emphasizedTags == Seq("b", "bi"))
+    val tailCase = parts("<p><b>rhombus</b> pentagon</p>")
+    assert(tailCase.head.emphasizedContents == Seq("rhombus"))
+    assert(tailCase.head.emphasizedTags == Seq("b"))
+    // <strong> annotates as "b", <i> as "i"
+    val mixed = parts("<p><i>solo</i> and <strong>strong</strong></p>")
+    assert(mixed.head.emphasizedContents == Seq("solo", "strong"))
+    assert(mixed.head.emphasizedTags == Seq("i", "b"))
+  }
 }
