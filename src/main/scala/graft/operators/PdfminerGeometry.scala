@@ -38,6 +38,21 @@ object PdfminerGeometry {
     }
   }
 
+  /** `_rotate_bboxes` (`pdfminer_processing.py:62-81`): mirror a
+    * counter-clockwise page-image rotation (PIL convention, expand=True) onto
+    * a bbox so the pdfminer layer shares the object-detection layer's frame.
+    * `width`/`height` are the page dimensions in the UN-rotated frame. */
+  def rotateBbox(bbox: Bbox, angle: Int, width: Double, height: Double): Bbox = {
+    val a = ((angle % 360) + 360) % 360
+    val (x1, y1, x2, y2) = bbox
+    a match {
+      case 90 => (y1, width - x2, y2, width - x1)
+      case 180 => (width - x2, height - y2, width - x1, height - y1)
+      case 270 => (height - y2, x1, height - y1, x2)
+      case _ => bbox
+    }
+  }
+
   /** `_validate_bbox` (`:84-85`): four present values with positive extent
     * (NaN fails both comparisons, like None/np.nan upstream). */
   def validateBbox(bbox: Seq[Double]): Boolean =

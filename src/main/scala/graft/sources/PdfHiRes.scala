@@ -434,8 +434,27 @@ object PdfHiRes {
       inferTableStructure: Boolean = false,
       tableAgent: Option[TableAgent] = None,
       extractTableAsCells: Boolean = false,
-      analysis: Option[AnalysisOptions] = None): Seq[Element] = {
-    val extracted = extractedPageLayouts(bytes, dpi)
+      analysis: Option[AnalysisOptions] = None,
+      rotationCorrections: Seq[Int] = Nil): Seq[Element] = {
+    val extracted0 = extractedPageLayouts(bytes, dpi)
+    // `_rotation_corrections_from_layout` (`pdf.py:769-775`): per-page
+    // rotations the inference layer applied to make page images upright,
+    // mirrored onto the extracted coordinates so both layers share one frame
+    // (`pdfminer_processing.py:62-81`)
+    val extracted =
+      if (rotationCorrections.isEmpty) extracted0
+      else extracted0.zipWithIndex.map { case (p, i) =>
+        val angle = ((rotationCorrections.lift(i).getOrElse(0) % 360) + 360) % 360
+        if (angle == 0) p
+        else {
+          val rotated = p.regions.map(r => r.copy(
+            bbox = PdfminerGeometry.rotateBbox(r.bbox, angle, p.width, p.height)))
+          // expand=True swaps the canvas for quarter turns
+          if (angle == 90 || angle == 270)
+            p.copy(width = p.height, height = p.width, regions = rotated)
+          else p.copy(regions = rotated)
+        }
+      }
     if (extracted.isEmpty) return Nil
     if (inferTableStructure && tableAgent.isEmpty)
       throw new IllegalStateException("Unable to load table extraction agent.")

@@ -1,5 +1,7 @@
 package graft.operators
 
+/** See also: rotation vectors appended at the bottom of this suite. */
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.PdfminerGeometry._
@@ -374,5 +376,21 @@ class PdfminerGeometrySpec extends AnyFunSuite {
     // but 70%+ overlap at the same offset collapses
     val c = PdfminerGeometry.PChar("l", 10.5, 20.0, 13.5)
     assert(PdfminerGeometry.isDuplicateChar(a, c, 3.0))
+  }
+
+  // -- test_rotate_bboxes_matches_pil_rotation_directions
+  // (test_pdfminer_processing.py:93-112): PIL CCW rotation with expand=True
+  test("rotateBbox mirrors PIL rotation directions") {
+    import PdfminerGeometry.rotateBbox
+    val (w, h) = (100.0, 200.0)
+    val box = (10.0, 20.0, 30.0, 60.0)
+    assert(rotateBbox(box, 0, w, h) == box)
+    assert(rotateBbox(box, 360, w, h) == box)
+    val r90 = rotateBbox(box, 90, w, h)
+    assert(r90 == ((20.0, w - 30.0, 60.0, w - 10.0)))
+    assert(rotateBbox(box, 180, w, h) == ((w - 30.0, h - 60.0, w - 10.0, h - 20.0)))
+    assert(rotateBbox(box, 270, w, h) == ((h - 60.0, 10.0, h - 20.0, 30.0)))
+    // 90 then 270 about the post-rotation H x W canvas restores the box
+    assert(rotateBbox(r90, 270, h, w) == box)
   }
 }
