@@ -141,6 +141,13 @@ object DetectFiletype {
       }
       false
     }
+    // a password-protected OOXML document is a CFB container holding
+    // EncryptedPackage/EncryptionInfo streams, NOT a legacy Office file —
+    // resolve by extension (reference: the OLE detector abstains and the
+    // extension strategy answers; partitioning then fails as unprocessable)
+    if (hasU16("EncryptedPackage"))
+      return extOf(filename).flatMap(FileType.fromExtension)
+        .getOrElse(FileType.Unknown)
     extOf(filename).flatMap(FileType.fromExtension) match {
       case Some(t @ (FileType.Doc | FileType.Ppt | FileType.Xls | FileType.Msg)) => t
       // extension-less: sniff stream names; a whole-file scan could also hit an

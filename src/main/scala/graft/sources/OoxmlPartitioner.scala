@@ -244,8 +244,19 @@ object OoxmlPartitioner {
     * — prepended to the table text and rendered as a `<thead>`. Header
     * consumption precedes subtable detection, and a headed sheet reads as one
     * table (the pandas `read_excel(header=0)` shape). */
+  /** `UnprocessableEntityError` (`errors.py:14`) — raised for inputs the
+    * partitioner recognizes but cannot process, e.g. an encrypted workbook
+    * (`test_xlsx.py:172-175`). */
+  final class UnprocessableEntityError(message: String)
+    extends RuntimeException(message)
+
   def partitionXlsx(bytes: Array[Byte], findSubtable: Boolean,
       includeHeader: Boolean): Seq[RawPara] = {
+    // a password-protected workbook arrives as a CFB container wrapping an
+    // EncryptedPackage stream — recognizable, not processable
+    if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF)
+      throw new UnprocessableEntityError(
+        "File is encrypted. Please decrypt it with password.")
     val entries = zipEntries(bytes, n =>
       n == "xl/sharedStrings.xml" || n == "xl/workbook.xml" ||
         (n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml")))

@@ -491,7 +491,7 @@ object Partitioners {
     // encoding-aware decode (BOM / UTF-16 / Latin-1 fallback) — a blind UTF-8
     // read garbles wide text (`file_utils/encoding.py`)
     val text = Encodings.decodeText(content)
-    val paras = ft match {
+    val paras = try { ft match {
       case FileType.Txt =>
         TextSource.splitParagraphs(text).map(t => RawPara(t, None, classifier = "text"))
       case FileType.Html => HtmlPartitioner.partition(text)
@@ -551,6 +551,11 @@ object Partitioners {
         ImagePartitioner.partitionImage(content,
           graft.operators.Registries.ocrAgent, startingPageNumber)
       case _ => Nil // external-tool formats (pdf hi_res/ocr, heic, audio): pluggable stubs
+    } } catch {
+      // recognized-but-unprocessable inputs (e.g. an encrypted workbook):
+      // partition() propagates the error; a distributed sweep prefers
+      // skip-and-continue unless strict
+      case e: OoxmlPartitioner.UnprocessableEntityError if !strict => Nil
     }
     (ft, paras)
   }

@@ -216,6 +216,24 @@ class AutoBehaviorSpec extends SparkSuiteBase {
       Partitioners.partitionAuto("a.zip", zipMagic, strict = true))
   }
 
+  // -- test_partition_xlsx_password_protected_raises_exception
+  // (test_xlsx.py:172-175): an encrypted workbook is a CFB container wrapping
+  // EncryptedPackage — detected by extension as XLSX (not msg), raising
+  // UnprocessableEntityError from partition_xlsx, skipped by the lenient router
+  test("a password-protected xlsx detects as xlsx and is unprocessable") {
+    val bytes = Files.readAllBytes(Paths.get(
+      "/root/reference/example-docs/password_protected.xlsx"))
+    assert(DetectFiletype.detect("password_protected.xlsx", bytes) == FileType.Xlsx)
+    val e = intercept[OoxmlPartitioner.UnprocessableEntityError](
+      OoxmlPartitioner.partitionXlsx(bytes))
+    assert(e.getMessage.contains("encrypted"))
+    // lenient auto: skip-and-continue; strict: propagate
+    val (ft, paras) = Partitioners.partitionAuto("password_protected.xlsx", bytes)
+    assert(ft == FileType.Xlsx && paras.isEmpty)
+    assertThrows[OoxmlPartitioner.UnprocessableEntityError](
+      Partitioners.partitionAuto("password_protected.xlsx", bytes, strict = true))
+  }
+
   // -- test_auto_partition_from_filename_works_on_empty_file (:1398-1404)
   test("an empty file partitions to zero elements, even in strict mode") {
     val (ft, paras) = Partitioners.partitionAuto("empty.txt", Array.emptyByteArray,
