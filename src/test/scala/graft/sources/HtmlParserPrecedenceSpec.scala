@@ -177,6 +177,35 @@ class HtmlParserPrecedenceSpec extends AnyFunSuite {
     assert(ps(1).linkTexts.isEmpty)
   }
 
+  // -- DescribePre (test_parser.py:580-660): a single newline at the absolute
+  // edge of <pre> content strips (one per side); interior whitespace survives
+  test("pre strips exactly one absolute-edge newline per side") {
+    def pre(html: String): String = parts(html).head.text
+    assert(pre("<pre>\n  foo  </pre>") == "  foo  ")
+    assert(pre("<pre> \n  foo  </pre>") == " \n  foo  ")
+    assert(pre("<pre>\n\n  foo  </pre>") == "\n  foo  ")
+    assert(pre("<pre>  foo  \n</pre>") == "  foo  ")
+    assert(pre("<pre>  foo  \n </pre>") == "  foo  \n ")
+    assert(pre("<pre>  foo  \n\n</pre>") == "  foo  \n")
+    assert(pre("<pre>\n  foo  \n</pre>") == "  foo  ")
+    assert(pre("<pre> \n  foo  \n </pre>") == " \n  foo  \n ")
+  }
+
+  // -- DescribePre.it_assigns_emphasis_and_link_metadata_... +
+  // it_generates_CodeSnippet_elements_to_preserve_code_formatting
+  test("pre yields CodeSnippet with emphasis/link metadata from phrasing") {
+    val ps = parts(
+      "<pre>You're <b>turning</b> into a <a href=\"http://eie.io\">penguin</a>.</pre>")
+    assert(ps.head.elementType.contains("CodeSnippet"))
+    assert(ps.head.text == "You're turning into a penguin.")
+    assert(ps.head.emphasizedContents == Seq("turning"))
+    assert(ps.head.emphasizedTags == Seq("b"))
+    assert(ps.head.linkTexts == Seq("penguin") && ps.head.linkUrls == Seq("http://eie.io"))
+    val code = parts("<pre>def hello():\n    print('x')\n    return True</pre>")
+    assert(code.head.elementType.contains("CodeSnippet"))
+    assert(code.head.text == "def hello():\n    print('x')\n    return True")
+  }
+
   // -- DescribeBold/DescribeItalic (test_parser.py:1303-1405): emphasis
   // annotations nest into compound tags ("bi"); an emphasis tag's TAIL text
   // is not annotated
