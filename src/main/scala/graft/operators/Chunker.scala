@@ -79,9 +79,10 @@ final case class ChunkingOptions(
     "combineTextUnderNChars must be in [0, hardMax]")
   val interChunkOverlap: Int = if (overlapAll) overlap else 0
   val separator: String = "\n\n"
-  /** `measure` — base.py:320-326: size of `text` in the active unit. */
+  /** `measure` — base.py:320-326: size of `text` in the active unit. Char mode
+    * counts CODE POINTS (Python `len`), not UTF-16 units. */
   def measure(text: String): Int =
-    if (!useTokenCounting) text.length
+    if (!useTokenCounting) Chunker.cpLen(text)
     else if (tokenizer.isDefined) TokenCounter.countTokens(text)
     else Chunker.tokenCount(text)
 }
@@ -154,6 +155,27 @@ object Chunker {
     sb.toString
   }
 
+  /** Number of Unicode code points in `s`. The reference counts characters with
+    * Python `len()`, which is code points — Java's `String.length` is UTF-16
+    * units, so astral-plane characters (emoji, rare CJK) would count double and
+    * shift every window/overlap boundary (caught by `ChunkerDifferentialSpec`). */
+  @inline private[graft] def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** UTF-16 offset of code-point index `cp` (clamped to the string). */
+  private[graft] def cpOffset(s: String, cp: Int): Int =
+    if (cp <= 0) 0
+    else {
+      val total = s.codePointCount(0, s.length)
+      if (cp >= total) s.length else s.offsetByCodePoints(0, cp)
+    }
+
+  /** Python `s[-n:]` — last `n` code points. */
+  private[graft] def cpTakeRight(s: String, n: Int): String = {
+    if (n <= 0) return ""
+    val total = s.codePointCount(0, s.length)
+    if (n >= total) s else s.substring(s.offsetByCodePoints(0, total - n))
+  }
+
   /** Deterministic BPE-ish token count — letter runs, digit runs, and isolated
     * symbols each count once; mirrors [[graft.functions.TextAnalysis.tokenCountRegex]]
     * so SQL oracles can reproduce it (`regexp_extract_all` + `len`). */
@@ -192,17 +214,18 @@ object Chunker {
         if (opts.measure(s) <= maxlen) return (s, "")
         return splitByTokens(s)
       }
-      if (s.length <= maxlen) return (s, "")
+      val sLen = Chunker.cpLen(s)
+      if (sLen <= maxlen) return (s, "")
       for (sep <- Seq('\n', ' ')) {
         splitFromMaxlen(sep, s) match {
-          case Some((frag, rem)) if frag.nonEmpty && rem.length < s.length =>
+          case Some((frag, rem)) if frag.nonEmpty && Chunker.cpLen(rem) < sLen =>
             return (frag.stripTrailing(), rem.stripLeading())
           case _ => ()
         }
       }
       // arbitrary-character back-stop — no separator between tail and remainder
-      (s.substring(0, maxlen).stripTrailing(),
-        s.substring(maxlen - overlap).stripLeading())
+      (s.substring(0, Chunker.cpOffset(s, maxlen)).stripTrailing(),
+        s.substring(Chunker.cpOffset(s, maxlen - overlap)).stripLeading())
     }
 
     /**
@@ -273,14 +296,16 @@ object Chunker {
     }
 
     private def splitFromMaxlen(sep: Char, s: String): Option[(String, String)] = {
-      val i = s.lastIndexOf(sep.toInt, maxlen)
-      if (i < overlap + 1) None
+      // rightmost `sep` whose CODE-POINT index is in [overlap+1, maxlen]
+      // (`pattern.search(s, pos=overlap+1, endpos=maxlen+sep_len)`, base.py:1600)
+      val i = s.lastIndexOf(sep.toInt, Chunker.cpOffset(s, maxlen + 1) - 1)
+      if (i < 0 || i < Chunker.cpOffset(s, overlap + 1)) None
       else {
         val fragment = s.substring(0, i).stripTrailing()
         val rawRemainder = s.substring(i + 1).stripLeading()
         if (overlap <= 1) Some((fragment, rawRemainder))
         else {
-          val tail = fragment.takeRight(overlap - 1).stripLeading()
+          val tail = Chunker.cpTakeRight(fragment, overlap - 1).stripLeading()
           Some((fragment, tail + " " + rawRemainder))
         }
       }
@@ -387,7 +412,7 @@ object Chunker {
     /** Tail to prefix the next chunk — empty unless `overlapAll` (`base.py:723-732`). */
     def overlapTail: String =
       if (opts.interChunkOverlap > 0 && text.nonEmpty)
-        text.takeRight(opts.interChunkOverlap).strip()
+        Chunker.cpTakeRight(text, opts.interChunkOverlap).strip()
       else ""
 
     def combine(other: PreChunk): PreChunk =
@@ -411,7 +436,7 @@ object Chunker {
     private var elements = Vector.empty[Element]
     private var overlapPrefix = initialOverlapPrefix
     private var nSegs = if (initialOverlapPrefix.nonEmpty) 1 else 0
-    private var textLen = initialOverlapPrefix.length
+    private var textLen = Chunker.cpLen(initialOverlapPrefix)
     // token mode keeps the raw segments: sizes don't add, the join must be re-measured
     // (`_text_length`, base.py:628-650)
     private var segs =
@@ -436,7 +461,7 @@ object Chunker {
         return opts.measure(cand.mkString(opts.separator)) <= opts.hardMax
       }
       val remaining = opts.hardMax - textLen - sepLen * nSegs
-      val elLen = if (e.text == null) 0 else e.text.length
+      val elLen = if (e.text == null) 0 else Chunker.cpLen(e.text)
       remaining >= elLen
     }
 
@@ -447,7 +472,7 @@ object Chunker {
       }
       elements :+= e
       if (e.text != null && e.text.nonEmpty) {
-        nSegs += 1; textLen += e.text.length; segs :+= e.text
+        nSegs += 1; textLen += Chunker.cpLen(e.text); segs :+= e.text
       }
     }
 
@@ -461,7 +486,7 @@ object Chunker {
         overlapPrefix = overlapForNext
         elements = Vector.empty
         nSegs = if (overlapForNext.nonEmpty) 1 else 0
-        textLen = overlapForNext.length
+        textLen = Chunker.cpLen(overlapForNext)
         segs = if (overlapForNext.nonEmpty) Vector(overlapForNext) else Vector.empty
         Some(pc)
       }
@@ -839,7 +864,7 @@ object Chunker {
       def willFit(r: Row): Boolean =
         if (opts.useTokenCounting)
           opts.measure(((accRows :+ r).flatMap(_.nonEmptyTexts)).mkString(" ")) <= curMax
-        else curMax - accRows.size - accLen >= r.text.length
+        else curMax - accRows.size - accLen >= Chunker.cpLen(r.text)
       def flushAcc(): Unit = if (accRows.nonEmpty) {
         val text = accRows.flatMap(_.nonEmptyTexts).mkString(" ")
         val html = "<table>" + accRows.map(_.html).mkString + "</table>"
@@ -850,7 +875,7 @@ object Chunker {
 
       rows.foreach { row =>
         if (!willFit(row)) { flushAcc(); curMax = maxlenNow }
-        if (willFit(row)) { accRows :+= row; accLen += row.text.length }
+        if (willFit(row)) { accRows :+= row; accLen += Chunker.cpLen(row.text) }
         else {
           // single row bigger than the window: split on cell boundaries
           iterRowSplits(row, curMax, opts).foreach { case (t, h) =>
@@ -868,11 +893,11 @@ object Chunker {
         : Vector[(String, String)] = {
       val out = Vector.newBuilder[(String, String)]
       var cells = Vector.empty[String]
-      def remaining = maxlen - cells.size - cells.map(_.length).sum
+      def remaining = maxlen - cells.size - cells.map(Chunker.cpLen).sum
       def willFit(cell: String): Boolean =
         if (opts.useTokenCounting)
           opts.measure((cells :+ cell).filter(_.nonEmpty).mkString(" ")) <= maxlen
-        else remaining >= cell.length
+        else remaining >= Chunker.cpLen(cell)
       def flush(): Unit = if (cells.nonEmpty) {
         val t = cells.filter(_.nonEmpty).mkString(" ")
         val h = "<table><tr>" + cells.map(c =>
