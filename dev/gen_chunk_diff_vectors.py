@@ -60,6 +60,10 @@ WORDS = [
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
     "naïve", "café", "日本語", "δοκιμή", "Тест", "emoji🙂mid", "O'Neill",
     'he said "hi"', "tab\tsep", "trailing  double", "semi;colon", "percent%",
+    # whitespace Python recognizes but Java's Character.isWhitespace does not:
+    # NEL, NBSP, figure space, narrow NBSP — plus ideographic space (both do)
+    "nelsep", "nbsp join", "fig sp", "narrow nb",
+    "ideo　sp", " lead", "tail",
 ]
 
 CTORS = {

@@ -143,12 +143,36 @@ object Chunker {
 
   // ---------------------------------------------------------------- string helpers
 
-  /** Python `" ".join(s.strip().split())`: collapse all whitespace runs to one space. */
+  /** Python `str.isspace` for one UTF-16 unit: Java's `Character.isWhitespace`
+    * plus the no-break/NEL characters Python includes (U+0085, U+00A0, U+2007,
+    * U+202F). Exact union over the whole code space — no other code point
+    * differs between the two predicates. */
+  @inline private[graft] def pyIsSpace(c: Char): Boolean =
+    Character.isWhitespace(c) ||
+      c == '\u0085' || c == '\u00A0' || c == '\u2007' || c == '\u202F'
+
+  /** Python `str.lstrip()` / `rstrip()` / `strip()` — Java's `String.strip`
+    * family misses the four no-break/NEL whitespace characters above. */
+  implicit final class PyStringOps(private val s: String) {
+    def pyStripLeading: String = {
+      var i = 0
+      while (i < s.length && pyIsSpace(s.charAt(i))) i += 1
+      if (i == 0) s else s.substring(i)
+    }
+    def pyStripTrailing: String = {
+      var j = s.length
+      while (j > 0 && pyIsSpace(s.charAt(j - 1))) j -= 1
+      if (j == s.length) s else s.substring(0, j)
+    }
+    def pyStrip: String = s.pyStripLeading.pyStripTrailing
+  }
+
+  /** Python `" ".join(s.pyStrip.split())`: collapse all whitespace runs to one space. */
   private[graft] def normalizeWs(s: String): String = {
     val sb = new StringBuilder(s.length)
     var inWs = true // leading whitespace dropped
     s.foreach { c =>
-      if (Character.isWhitespace(c)) { if (!inWs) { sb.append(' '); inWs = true } }
+      if (pyIsSpace(c)) { if (!inWs) { sb.append(' '); inWs = true } }
       else { sb.append(c); inWs = false }
     }
     if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
@@ -219,13 +243,13 @@ object Chunker {
       for (sep <- Seq('\n', ' ')) {
         splitFromMaxlen(sep, s) match {
           case Some((frag, rem)) if frag.nonEmpty && Chunker.cpLen(rem) < sLen =>
-            return (frag.stripTrailing(), rem.stripLeading())
+            return (frag.pyStripTrailing, rem.pyStripLeading)
           case _ => ()
         }
       }
       // arbitrary-character back-stop — no separator between tail and remainder
-      (s.substring(0, Chunker.cpOffset(s, maxlen)).stripTrailing(),
-        s.substring(Chunker.cpOffset(s, maxlen - overlap)).stripLeading())
+      (s.substring(0, Chunker.cpOffset(s, maxlen)).pyStripTrailing,
+        s.substring(Chunker.cpOffset(s, maxlen - overlap)).pyStripLeading)
     }
 
     /**
@@ -242,10 +266,10 @@ object Chunker {
       for (sep <- Seq('\n', ' ')) {
         var i = s.lastIndexOf(sep.toInt)
         while (i >= 0) {
-          val fragment = s.substring(0, i).stripTrailing()
+          val fragment = s.substring(0, i).pyStripTrailing
           val m = opts.measure(fragment)
           if (m <= maxlen && m > 0)
-            return withTokenOverlap(fragment, s.substring(i + 1).stripLeading())
+            return withTokenOverlap(fragment, s.substring(i + 1).pyStripLeading)
           i = if (i == 0) -1 else s.lastIndexOf(sep.toInt, i - 1)
         }
       }
@@ -263,15 +287,15 @@ object Chunker {
       var i = bestPos
       var found = false
       while (!found && i > math.max(overlap, 0)) {
-        if (i < s.length && Character.isWhitespace(s.charAt(i))) { splitPos = i; found = true }
+        if (i < s.length && pyIsSpace(s.charAt(i))) { splitPos = i; found = true }
         i -= 1
       }
-      var fragment = s.substring(0, splitPos).stripTrailing()
+      var fragment = s.substring(0, splitPos).pyStripTrailing
       if (opts.measure(fragment) > maxlen && splitPos > overlap + 1) {
-        fragment = s.substring(0, bestPos).stripTrailing()
+        fragment = s.substring(0, bestPos).pyStripTrailing
         splitPos = bestPos
       }
-      withTokenOverlap(fragment, s.substring(splitPos).stripLeading())
+      withTokenOverlap(fragment, s.substring(splitPos).pyStripLeading)
     }
 
     private def withTokenOverlap(fragment: String, rawRemainder: String): (String, String) =
@@ -282,7 +306,7 @@ object Chunker {
     /** `_get_token_overlap_tail` — base.py:1534-1568: tail holding ~`target` tokens,
       * adjusted forward to a word boundary. */
     private def tokenOverlapTail(text: String, target: Int): String = {
-      if (opts.measure(text) <= target) return text.strip()
+      if (opts.measure(text) <= target) return text.pyStrip
       var low = 0
       var high = text.length
       while (low < high) {
@@ -290,9 +314,9 @@ object Chunker {
         if (opts.measure(text.substring(mid)) > target) low = mid + 1 else high = mid
       }
       var pos = low
-      while (pos < text.length && !Character.isWhitespace(text.charAt(pos))) pos += 1
-      while (pos < text.length && Character.isWhitespace(text.charAt(pos))) pos += 1
-      if (pos >= text.length) text.substring(low).stripLeading() else text.substring(pos)
+      while (pos < text.length && !pyIsSpace(text.charAt(pos))) pos += 1
+      while (pos < text.length && pyIsSpace(text.charAt(pos))) pos += 1
+      if (pos >= text.length) text.substring(low).pyStripLeading else text.substring(pos)
     }
 
     private def splitFromMaxlen(sep: Char, s: String): Option[(String, String)] = {
@@ -301,11 +325,11 @@ object Chunker {
       val i = s.lastIndexOf(sep.toInt, Chunker.cpOffset(s, maxlen + 1) - 1)
       if (i < 0 || i < Chunker.cpOffset(s, overlap + 1)) None
       else {
-        val fragment = s.substring(0, i).stripTrailing()
-        val rawRemainder = s.substring(i + 1).stripLeading()
+        val fragment = s.substring(0, i).pyStripTrailing
+        val rawRemainder = s.substring(i + 1).pyStripLeading
         if (overlap <= 1) Some((fragment, rawRemainder))
         else {
-          val tail = Chunker.cpTakeRight(fragment, overlap - 1).stripLeading()
+          val tail = Chunker.cpTakeRight(fragment, overlap - 1).pyStripLeading
           Some((fragment, tail + " " + rawRemainder))
         }
       }
@@ -412,7 +436,7 @@ object Chunker {
     /** Tail to prefix the next chunk — empty unless `overlapAll` (`base.py:723-732`). */
     def overlapTail: String =
       if (opts.interChunkOverlap > 0 && text.nonEmpty)
-        Chunker.cpTakeRight(text, opts.interChunkOverlap).strip()
+        Chunker.cpTakeRight(text, opts.interChunkOverlap).pyStrip
       else ""
 
     def combine(other: PreChunk): PreChunk =
@@ -775,8 +799,8 @@ object Chunker {
       if (tableText.isEmpty) return Iterator.empty
 
       val textWithOverlap =
-        if (overlapPrefix.nonEmpty) overlapPrefix + "\n" + table.text.strip()
-        else table.text.strip()
+        if (overlapPrefix.nonEmpty) overlapPrefix + "\n" + table.text.pyStrip
+        else table.text.pyStrip
       val rows = table.metadata.text_as_html.map(_.strip).filter(_.nonEmpty)
         .map(parseRows).getOrElse(Vector.empty)
       val compactHtml =
@@ -1022,10 +1046,10 @@ object Chunker {
         if (carried > rws.size) return c.text
         val headerText = rws.take(carried).flatMap(_.nonEmptyTexts).mkString(" ")
         if (headerText.isEmpty) return c.text
-        val t = c.text.stripLeading()
+        val t = c.text.pyStripLeading
         if (t == headerText) ""
         else if (t.startsWith(headerText + " ")) t.substring(headerText.length + 1)
-        else if (t.startsWith(headerText)) t.substring(headerText.length).stripLeading()
+        else if (t.startsWith(headerText)) t.substring(headerText.length).pyStripLeading
         else c.text
       }
       val text = sorted.map(strippedText).filter(_.nonEmpty).mkString(" ")
