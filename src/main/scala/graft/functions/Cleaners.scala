@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
 object Cleaners {
 
   /**
+   * Python whitespace as a Java regex character class: everything `str.isspace`
+   * accepts — ASCII controls (incl. the \\x1C-\\x1F file/group separators),
+   * NEL, NBSP, Ogham space, the Zs block, line/paragraph separators, narrow
+   * NBSP, math space, ideographic space. Java's bare `\\s` is ASCII-only and
+   * `(?U)\\s` (White_Space property) misses \\x1C-\\x1F, so the class is
+   * spelled out. Used wherever the reference strips or splits on `\\s`.
+   */
+  val PySpaceClass: String =
+    "[\\t\\n\\x0B\\f\\r\\x1C-\\x1F \\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}" +
+      "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+
+  /** Python `str.isspace` for one UTF-16 unit (see [[PySpaceClass]]). */
+  @inline def pyIsSpaceChar(c: Char): Boolean =
+    Character.isWhitespace(c) ||
+      c == '\u0085' || c == '\u00A0' || c == '\u2007' || c == '\u202F'
+
+  /** String-level Python `str.lstrip()` / `rstrip()` / `strip()`. */
+  def pyStripLeadingStr(s: String): String = {
+    var i = 0
+    while (i < s.length && pyIsSpaceChar(s.charAt(i))) i += 1
+    if (i == 0) s else s.substring(i)
+  }
+
+  def pyStripTrailingStr(s: String): String = {
+    var j = s.length
+    while (j > 0 && pyIsSpaceChar(s.charAt(j - 1))) j -= 1
+    if (j == s.length) s else s.substring(0, j)
+  }
+
+  def pyStripStr(s: String): String = pyStripLeadingStr(pyStripTrailingStr(s))
+
+  /**
    * Unicode bullet alternation — `nlp/patterns.py:29-55`. Includes the PUA bullet
    * (U+F0B7) emitted by some PDF extractors, `-`, en-dash and `*`.
    */
@@ -44,7 +76,8 @@ object Cleaners {
    * Python-`str.strip()` equivalent: trims ALL leading/trailing whitespace (Spark's `trim`
    * only removes spaces).
    */
-  def pyStrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+  def pyStrip(c: Column): Column =
+    regexp_replace(c, s"^$PySpaceClass+|$PySpaceClass+$$", "")
 
   /** `clean_extra_whitespace` — `core.py:325-334`: NBSP/newline -> space, collapse runs, strip. */
   def cleanExtraWhitespace(c: Column): Column =
@@ -63,7 +96,7 @@ object Cleaners {
    * 2 chars).
    */
   def cleanOrderedBullets(c: Column): Column = {
-    val parts = split(pyStrip(c), "\\s+")
+    val parts = split(pyStrip(c), PySpaceClass + "+")
     val t0 = element_at(parts, 1)
     val head = element_at(split(t0, "\\."), 1)
     val isBullet = t0.contains(".") && !t0.contains("..") && (length(head) <= 2)
@@ -159,7 +192,7 @@ object Cleaners {
       strip: Boolean = true): Column = {
     val p = (if (ignoreCase) "(?i)" else "") + "^(?:" + pattern + ")"
     val stripped = regexp_replace(c, p, "")
-    if (strip) regexp_replace(stripped, "^\\s+", "") else stripped
+    if (strip) regexp_replace(stripped, s"^$PySpaceClass+", "") else stripped
   }
 
   /** `clean_postfix` — `core.py:386-400`: strip a regex suffix; optional rstrip. */
@@ -167,7 +200,7 @@ object Cleaners {
       strip: Boolean = true): Column = {
     val p = (if (ignoreCase) "(?i)" else "") + "(?:" + pattern + ")$"
     val stripped = regexp_replace(c, p, "")
-    if (strip) regexp_replace(stripped, "\\s+$", "") else stripped
+    if (strip) regexp_replace(stripped, s"$PySpaceClass+$$", "") else stripped
   }
 
   /**

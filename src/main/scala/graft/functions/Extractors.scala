@@ -74,33 +74,22 @@ object Extractors {
     * match (0-based, `_get_indexed_match`); null when absent. */
   def extractTextBefore(c: Column, pattern: String, strip: Boolean = true,
       index: Int = 0): Column = {
-    val before =
-      if (index == 0) {
-        val pos = regexp_instr(c, lit(pattern)) // 1-based start of first match; 0 if none
-        when(pos > 0, substring(c, lit(1), pos - 1)).otherwise(lit(null))
-      } else {
-        val span = nthMatchSpan(c, pattern, index)
-        when(span.isNotNull,
-          substring(c, lit(1), element_at(span, 1) - 1)).otherwise(lit(null))
-      }
-    if (strip) regexp_replace(before, "\\s+$", "") else before
+    // always via NthMatch: regexp_instr counts UTF-16 units while substring
+    // counts code points, so they drift apart after astral characters
+    val span = nthMatchSpan(c, pattern, index)
+    val before = when(span.isNotNull,
+      substring(c, lit(1), element_at(span, 1) - 1)).otherwise(lit(null))
+    if (strip) regexp_replace(before, s"${Cleaners.PySpaceClass}+$$", "") else before
   }
 
   /** `extract_text_after` — `extract.py:46-58`: suffix after the `index`-th
     * match (0-based); null when absent. */
   def extractTextAfter(c: Column, pattern: String, strip: Boolean = true,
       index: Int = 0): Column = {
-    val after =
-      if (index == 0) {
-        val m = regexp_extract(c, pattern, 0)
-        val pos = regexp_instr(c, lit(pattern))
-        when(pos > 0, substring(c, pos + length(m), lit(1000000))).otherwise(lit(null))
-      } else {
-        val span = nthMatchSpan(c, pattern, index)
-        when(span.isNotNull,
-          substring(c, element_at(span, 2) + 1, lit(1000000))).otherwise(lit(null))
-      }
-    if (strip) regexp_replace(after, "^\\s+", "") else after
+    val span = nthMatchSpan(c, pattern, index)
+    val after = when(span.isNotNull,
+      substring(c, element_at(span, 2) + 1, lit(1000000))).otherwise(lit(null))
+    if (strip) regexp_replace(after, s"^${Cleaners.PySpaceClass}+", "") else after
   }
 
   /**
@@ -108,13 +97,20 @@ object Extractors {
    * into `(section, sub_section, sub_sub_section)` (nulls when not a bullet).
    */
   def extractOrderedBullets(c: Column): Column = {
-    val t0 = element_at(split(Cleaners.pyStrip(c), "\\s+"), 1)
-    val isBullet = t0.contains(".") && !t0.contains("..") &&
-      (length(element_at(split(t0, "\\."), 1)) <= 2)
-    val parts = filter(split(t0, "\\."), p => p =!= "")
-    val a = when(isBullet, element_at(parts, 1)).otherwise(lit(null))
-    val b = when(isBullet && size(parts) >= 2, element_at(parts, 2)).otherwise(lit(null))
-    val cc = when(isBullet && size(parts) >= 3, element_at(parts, 3)).otherwise(lit(null))
+    val t0 = get(split(Cleaners.pyStrip(c), Cleaners.PySpaceClass + "+"), lit(0))
+    // `re.split(r"[\.]", t0)`, then drop ONLY a trailing empty segment
+    // (`if not bullet[-1]: del bullet[-1]` — extract.py:126-128); the head-length
+    // gate reads the post-delete head, and an empty head (".x") still qualifies,
+    // so "." yields section="" — exactly the reference's tuple
+    val rawParts = split(t0, "\\.")
+    val parts =
+      when(element_at(rawParts, -1) === "", slice(rawParts, lit(1), size(rawParts) - 1))
+        .otherwise(rawParts)
+    val isBullet = t0.isNotNull && t0.contains(".") && !t0.contains("..") &&
+      (length(get(parts, lit(0))) <= 2)
+    val a = when(isBullet, get(parts, lit(0))).otherwise(lit(null))
+    val b = when(isBullet && size(parts) >= 2, get(parts, lit(1))).otherwise(lit(null))
+    val cc = when(isBullet && size(parts) >= 3, get(parts, lit(2))).otherwise(lit(null))
     struct(a.as("section"), b.as("sub_section"), cc.as("sub_sub_section"))
   }
 

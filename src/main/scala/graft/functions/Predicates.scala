@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
  */
 object Predicates {
 
-  /** `US_PHONE_NUMBERS_PATTERN` — `patterns.py:7-9`. */
+  /** `US_PHONE_NUMBERS_PATTERN` — `patterns.py:7-9`. The trailing `\s*$` uses
+    * Python semantics: unicode whitespace before `$`, and `$` recognizing only
+    * `\n` as a line terminator (Java's default `$` also stops before NEL/LS/PS,
+    * hence the `(?d)` UNIX_LINES flag). */
   val UsPhonePattern =
-    "(?:\\+?(\\d{1,3}))?[-. (]*(\\d{3})?[-. )]*(\\d{3})[-. ]*(\\d{4})(?: *x(\\d+))?\\s*$"
+    "(?d)(?:\\+?(\\d{1,3}))?[-. (]*(\\d{3})?[-. )]*(\\d{3})[-. ]*(\\d{4})(?: *x(\\d+))?" +
+      Cleaners.PySpaceClass + "*$"
 
   /** `EMAIL_ADDRESS_PATTERN` — `patterns.py:107`. */
   val EmailAddressPattern = "[a-z0-9\\.\\-+_]+@[a-z0-9\\.\\-+_]+\\.[a-z]+"

@@ -26,11 +26,17 @@ case class NthMatch(child: Expression, pattern: String, n: Int)
 
   def matchSpan(input: UTF8String): Any = {
     if (n < 0) return null
-    val m = compiled.matcher(input.toString)
+    val s = input.toString
+    val m = compiled.matcher(s)
     var i = 0
     while (m.find()) {
-      if (i == n)
-        return new GenericArrayData(Array[Any](m.start + 1, m.end))
+      if (i == n) {
+        // CODE-POINT offsets: Spark's `substring` counts code points, and the
+        // reference's spans are Python string indices — Java's UTF-16 m.start
+        // would drift by one per preceding astral character
+        return new GenericArrayData(Array[Any](
+          s.codePointCount(0, m.start) + 1, s.codePointCount(0, m.end)))
+      }
       i += 1
     }
     null

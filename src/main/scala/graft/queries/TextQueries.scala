@@ -434,8 +434,8 @@ object TextQueries {
     "q_contains_us_phone" ->
       s"""SELECT doc_id,
          |  regexp_matches(${O.strip("'call 215-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")},
-         |    '${Predicates.UsPhonePattern.replace("\\", "\\")}') AS phone_flag,
-         |  ${O.strip(s"regexp_extract('call 215-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '${Predicates.UsPhonePattern}')")}
+         |    '${Predicates.UsPhonePattern.stripPrefix("(?d)")}') AS phone_flag,
+         |  ${O.strip(s"regexp_extract('call 215-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '${Predicates.UsPhonePattern.stripPrefix("(?d)")}')")}
          |    AS phone
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -523,11 +523,14 @@ object TextQueries {
     "q_paragraph_grouper_auto" -> {
       val base = O.cleanExtraWhitespace("('w ' || text)")
       val nn = "chr(10) || chr(10)"
+      // new-line grouper pieces keep their trailing \n (LINE_BREAK_RE is a
+      // lookbehind split), so the even-doc branch joins with THREE newlines
+      val nn3 = "chr(10) || chr(10) || chr(10)"
       s"""WITH b AS (
          |  SELECT doc_id, $base AS base FROM documents)
          |SELECT doc_id,
          |  CASE WHEN doc_id % 2 = 0
-         |    THEN 'aa bb cc dd ee ff' || $nn || base || $nn || 'gg hh ii'
+         |    THEN 'aa bb cc dd ee ff' || $nn3 || base || $nn3 || 'gg hh ii'
          |    ELSE 'aa bb cc dd ee ff ' || base || $nn || 'gg hh ii' END AS grouped
          |FROM b ORDER BY doc_id""".stripMargin
     },

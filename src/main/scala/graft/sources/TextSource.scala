@@ -21,41 +21,81 @@ import graft.functions.{Cleaners, Predicates}
  */
 object TextSource {
 
-  private val LineBreak = "\\r?\\n".r
-  /** `PARAGRAPH_PATTERN`, `nlp/patterns.py:73`. */
-  private val ParagraphSplit = "\\s*\\n\\s*".r
-  private val DoubleParagraphSplit = "(\\s*\\n\\s*){2}".r
-  /** Leading unicode-bullet match (`nlp/patterns.py:29-55`). */
-  private val BulletRe = ("^(?:" + graft.functions.Cleaners.BulletsPattern + ")").r
+  private val PS = Cleaners.PySpaceClass
+  private def pyStrip(s: String): String = Cleaners.pyStripStr(s)
 
-  /** `new_line_grouper` — join non-blank lines with blank lines (`core.py:187-210`). */
+  /** `LINE_BREAK_RE = (?<=\n)` (`patterns.py:83-84`): pieces KEEP their trailing
+    * newline, and a trailing `\n` yields a final empty piece. */
+  private def lineBreakSplit(text: String): Array[String] = text.split("(?<=\n)", -1)
+
+  /** `PARAGRAPH_PATTERN`, `nlp/patterns.py:73` — with Python's unicode `\s`. */
+  private val ParagraphPattern = s"$PS*\\n$PS*"
+  private val ParagraphSplit = ParagraphPattern.r
+  /** `PARAGRAPH_PATTERN_RE` (`patterns.py:75-77`) — the broken-paragraph LINE
+    * splitter: bullets or line breaks, not before another bullet or the end.
+    * The capture group matters: Python `re.split` interleaves captured
+    * separators into the result. */
+  private val ParagraphPatternRe = java.util.regex.Pattern.compile(
+    s"((?:${Cleaners.BulletsPattern})|$ParagraphPattern)(?!${Cleaners.BulletsPattern}|$$)")
+  /** `DOUBLE_PARAGRAPH_PATTERN_RE` (`patterns.py:78`) — captured separator
+    * pieces are whitespace-only and get dropped by the empty-paragraph check. */
+  private val DoubleParagraphRe =
+    java.util.regex.Pattern.compile(s"($ParagraphPattern){2}")
+  /** Anchored `UNICODE_BULLETS_RE.match` (`patterns.py:55`): one bullet NOT
+    * followed by another (a doubled bullet is not a bullet paragraph). */
+  private val BulletRe = ("^" + Cleaners.UnicodeBulletsRegex).r
+  /** `E_BULLET_PATTERN` (`patterns.py:58`) — pytesseract's lone-`e` bullets. */
+  private val EBulletRe = java.util.regex.Pattern.compile(s"(?md)^e(?=$PS)")
+  /** `E_BULLET_PATTERN.match(...)` — anchored at the string start only. */
+  private val EBulletAnchor = java.util.regex.Pattern.compile(s"e(?=$PS)")
+
+  /** Python `re.split` with one capturing group: captured separator text is
+    * interleaved into the result list (bullet separators survive downstream
+    * filtering — whitespace ones don't). */
+  private def pySplitCapturing(re: java.util.regex.Pattern, s: String): Vector[String] = {
+    val m = re.matcher(s)
+    val out = Vector.newBuilder[String]
+    var last = 0
+    while (m.find()) {
+      out += s.substring(last, m.start())
+      out += m.group(1)
+      last = m.end()
+    }
+    out += s.substring(last)
+    out.result()
+  }
+
+  /** `new_line_grouper` (`core.py:187-210`): split AFTER each newline, keep
+    * non-blank pieces verbatim (trailing `\n` included), join with blank lines. */
   def newLineGrouper(text: String): String =
-    LineBreak.split(text).iterator.filter(_.strip.nonEmpty).mkString("\n\n")
+    lineBreakSplit(text).iterator.filter(p => pyStrip(p).nonEmpty).mkString("\n\n")
 
   /** `group_bullet_paragraph` — split a bullet paragraph at each bullet (zero-width
-    * lookahead keeps the bullet), rejoining wrapped lines; OCR `e`-bullet quirk
-    * (`core.py:107-134`). */
+    * lookahead/lookbehind keeps the bullet), rejoining wrapped lines; OCR
+    * `e`-bullet quirk (`core.py:107-134`). */
   def groupBulletParagraph(paragraph: String): Seq[String] = {
-    val p = paragraph.replaceAll("(?m)^e(?=\\s)", "·").strip
-    p.split(s"(?=${Cleaners.BulletsPattern})").toSeq
+    val p = pyStrip(EBulletRe.matcher(paragraph).replaceAll("·"))
+    p.split(s"(?=${Cleaners.BulletsPattern})(?<!${Cleaners.BulletsPattern})").toSeq
       .filter(_.nonEmpty)
       .map(b => ParagraphSplit.replaceAllIn(b, " "))
   }
 
   /** `group_broken_paragraphs` — merge line-broken paragraphs (`core.py:137-184`). */
   def groupBrokenParagraphs(text: String): String = {
-    val paragraphs = DoubleParagraphSplit.split(text)
+    val paragraphs = pySplitCapturing(DoubleParagraphRe, text)
     val out = Seq.newBuilder[String]
     paragraphs.foreach { paragraph =>
-      val stripped = paragraph.strip
+      val stripped = pyStrip(paragraph)
       if (stripped.nonEmpty) {
         if (BulletRe.findFirstIn(stripped).isDefined ||
-          stripped.matches("(?s)^e\\s.*")) {
+          EBulletAnchor.matcher(stripped).lookingAt()) {
           out ++= groupBulletParagraph(paragraph)
         } else {
-          val lines = ParagraphSplit.split(paragraph)
-          val allShort = lines.forall(_.strip.split(" ").length < 5)
-          if (allShort) out ++= lines.filter(_.strip.nonEmpty)
+          // line split interleaves captured bullet separators — they count in
+          // the all-short check and survive into the output when kept
+          val lines = pySplitCapturing(ParagraphPatternRe, paragraph)
+          val allShort = lines.forall(l => pyStrip(l).split(" ", -1).length < 5)
+          if (allShort) out ++= lines.filter(l => pyStrip(l).nonEmpty)
           else out += ParagraphSplit.replaceAllIn(paragraph, " ")
         }
       }
@@ -63,13 +103,14 @@ object TextSource {
     out.result().mkString("\n\n")
   }
 
-  /** `auto_paragraph_grouper` — empty-line-ratio routing (`core.py:233-268`). */
+  /** `auto_paragraph_grouper` — empty-line-ratio routing (`core.py:233-268`);
+    * lines come from the newline-keeping `LINE_BREAK_RE` split. */
   def autoParagraphGrouper(text: String, maxLineCount: Int = 2000,
       threshold: Double = 0.1): String = {
-    val lines = LineBreak.split(text)
+    val lines = lineBreakSplit(text)
     val n = math.min(lines.length, maxLineCount)
     if (n == 0) return text
-    val empty = lines.iterator.take(n).count(_.strip.isEmpty)
+    val empty = lines.iterator.take(n).count(l => pyStrip(l).isEmpty)
     val ratio = empty.toDouble / n
     if (ratio < threshold) newLineGrouper(text) else groupBrokenParagraphs(text)
   }
@@ -77,8 +118,8 @@ object TextSource {
   /** `_split_by_paragraph` + strip + empty/empty-bullet drop (`text.py:92-107`). */
   def splitParagraphs(fileText: String, autoGroup: Boolean = true): Seq[String] = {
     val grouped = if (autoGroup) autoParagraphGrouper(fileText) else fileText
-    ParagraphSplit.split(grouped.strip).toSeq
-      .map(_.strip)
+    ParagraphSplit.split(pyStrip(grouped)).toSeq
+      .map(pyStrip)
       .filter(p => p.nonEmpty && !(p.length == 1 && BulletRe.findFirstIn(p).isDefined))
   }
 

@@ -71,8 +71,10 @@ class CleanersStringSpec extends AnyFunSuite {
 
   test("auto grouper routes low newline-ratio text to the new-line grouper") {
     val text = "line one alpha beta gamma\nline two delta epsilon zeta\nline three"
+    // each LINE_BREAK_RE piece keeps its trailing \n (lookbehind split), so the
+    // blank-line join yields THREE newlines between lines — reference-verified
     assert(TextSource.autoParagraphGrouper(text)
-      == "line one alpha beta gamma\n\nline two delta epsilon zeta\n\nline three")
+      == "line one alpha beta gamma\n\n\nline two delta epsilon zeta\n\n\nline three")
   }
 
   test("auto grouper routes blank-line text to the broken-paragraph grouper") {
