@@ -64,6 +64,12 @@ object LayoutOps {
     val inter = intersectionArea(
       c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
       c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"))
+    // the reference gates pairs on STRICT corner comparisons (utils.py:491-492),
+    // which also admit degenerate inverted/zero-extent boxes whose area
+    // intersection is 0 — `inter > 0` would drop those pairs
+    val refOverlap =
+      c("a", "x1") < c("b", "x2") && c("a", "x2") > c("b", "x1") &&
+        c("a", "y1") < c("b", "y2") && c("a", "y2") > c("b", "y1")
     val aInB = isParentBox(c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"),
       c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"), nestedTolerancePx)
     val bInA = isParentBox(c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
@@ -72,7 +78,7 @@ object LayoutOps {
         c("a", "doc_id") === c("b", "doc_id") &&
           c("a", "page_number") === c("b", "page_number") &&
           c("a", "seq") < c("b", "seq"))
-      .filter(inter > 0)
+      .filter(refOverlap)
       .select(
         c("a", "doc_id").as("doc_id"),
         c("a", "page_number").as("page_number"),
@@ -145,6 +151,12 @@ object LayoutOps {
     val inter = intersectionArea(
       c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
       c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"))
+    // the reference gates pairs on STRICT corner comparisons (utils.py:491-492),
+    // which also admit degenerate inverted/zero-extent boxes whose area
+    // intersection is 0 — `inter > 0` would drop those pairs
+    val refOverlap =
+      c("a", "x1") < c("b", "x2") && c("a", "x2") > c("b", "x1") &&
+        c("a", "y1") < c("b", "y2") && c("a", "y2") > c("b", "y1")
     val aInB = isParentBox(c("b", "x1"), c("b", "y1"), c("b", "x2"), c("b", "y2"),
       c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"), nestedTolerancePx)
     val bInA = isParentBox(c("a", "x1"), c("a", "y1"), c("a", "x2"), c("a", "y2"),
@@ -159,7 +171,7 @@ object LayoutOps {
         c("a", "doc_id") === c("b", "doc_id") &&
           c("a", "page_number") === c("b", "page_number") &&
           c("a", "seq") < c("b", "seq"))
-      .filter(inter > 0)
+      .filter(refOverlap)
       .select(
         c("a", "doc_id").as("doc_id"),
         c("a", "page_number").as("page_number"),
