@@ -37,6 +37,44 @@ object MetricsOps {
     df.join(broadcast(keys), Seq(filterBy), "left_semi")
   }
 
+  /**
+   * `calculate_element_type_percent_match` (`metrics/element_type.py:43-94`) as
+   * a DataFrame aggregation. Inputs are (type, depth) frequency tables —
+   * `get_element_type_frequency` — with columns `element_type` STRING,
+   * `category_depth` nullable INT, `n` LONG. Two-stage match: exact
+   * (type, depth) pairs count fully; leftovers re-matched on type alone count
+   * at `categoryDepthWeight`; normalized by the source's total element count
+   * and clamped to [0, 1]. Empty output or source scores 0.0. Shape: tag-union
+   * of the two histograms + two-level aggregation — a full outer join would be
+   * un-broadcastable and cost an extra shuffle pair; the union aggregates with
+   * map-side partials instead, linear at any histogram size.
+   */
+  def elementTypePercentMatch(output: org.apache.spark.sql.DataFrame,
+      source: org.apache.spark.sql.DataFrame,
+      categoryDepthWeight: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tagged = output
+      .select(col("element_type"), col("category_depth"), col("n"), lit(true).as("is_o"))
+      .unionByName(source.select(col("element_type"), col("category_depth"),
+        col("n"), lit(false).as("is_o")))
+    val keyed = tagged.groupBy(col("element_type").as("t"), col("category_depth"))
+      .agg(sum(when(col("is_o"), col("n")).otherwise(0L)).as("o_n"),
+        sum(when(!col("is_o"), col("n")).otherwise(0L)).as("s_n"))
+      .withColumn("m", least(col("o_n"), col("s_n")))
+    val perType = keyed.groupBy("t").agg(
+      sum("m").as("exact"),
+      sum(col("o_n") - col("m")).as("o_left"),
+      sum(col("s_n") - col("m")).as("s_left"))
+    perType.agg(
+      (sum("exact") + lit(categoryDepthWeight) * sum(least(col("o_left"), col("s_left"))))
+        .as("num"),
+      (sum("exact") + sum("s_left")).as("den"))
+      .select(
+        when(col("den").isNull || col("den") === 0, lit(0.0))
+          .otherwise(least(greatest(col("num") / col("den"), lit(0.0)), lit(1.0)))
+          .as("percent_match"))
+  }
+
   /** Aggregation fields per evaluated metric — `get_mean_grouping`
     * (`evaluate.py:533-548`). */
   def aggFieldsFor(evalName: String): Seq[String] = evalName match {

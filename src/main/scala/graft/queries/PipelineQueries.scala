@@ -296,6 +296,26 @@ object PipelineQueries {
             sum(coalesce(col("gt_n"), lit(0L))).cast("double"), 4).as("accuracy"))
     }),
 
+    // calculate_element_type_percent_match (metrics/element_type.py:43-94):
+    // depth-weighted two-stage histogram match. Depths are synthesized
+    // deterministically (ListItem depth = seq mod 3; the output side is
+    // perturbed by one) so the exact-match and the 0.5-weighted
+    // type-only-leftover stages both fire.
+    "q_element_type_percent_match" -> ((s, dir) => {
+      def depth(off: Int) = when(col("element_type") === "ListItem",
+        ((col("seq") + off) % 3).cast("int"))
+      val src = partitioned(s, dir)
+        .groupBy(col("element_type"), depth(0).as("category_depth"))
+        .agg(count(lit(1)).as("n"))
+      val out = TextSource.partitionText(
+        withParagraphs(s, dir),
+        expr("substring(text, 1, greatest(length(text) - 5, 1))"))
+        .groupBy(col("element_type"), depth(1).as("category_depth"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.MetricsOps.elementTypePercentMatch(out, src)
+        .select(round(col("percent_match"), 6).as("percent_match"))
+    }),
+
     // convert_to_csv flat projection — staging/base.py:507-526,604-624
     "q_csv_flatten" -> ((s, dir) => {
       val els = graft.operators.MetadataOps.applyMetadata(
@@ -768,6 +788,43 @@ object PipelineQueries {
          |SELECT round(SUM(LEAST(coalesce(gt.n, 0), coalesce(outt.n, 0)))::DOUBLE /
          |  SUM(coalesce(gt.n, 0))::DOUBLE, 4) AS accuracy
          |FROM gt FULL JOIN outt ON gt.element_type = outt.element_type""".stripMargin
+    },
+
+    "q_element_type_percent_match" -> {
+      val replaced = "replace(text, ' merge ', chr(10)||chr(10))"
+      val trunc = s"substring($replaced, 1, greatest(length($replaced) - 5, 1))"
+      def parsOf(input: String) =
+        s"""SELECT doc_id, list_filter(list_transform(
+           |    string_split_regex(${O.strip(input)}, '\\s*\\n\\s*'),
+           |    p -> ${O.strip("p")}), p -> p <> '') AS ps
+           |  FROM documents""".stripMargin
+      def histOf(pars: String, off: Int) =
+        s"""SELECT element_type,
+           |    CASE WHEN element_type = 'ListItem'
+           |      THEN CAST((seq + $off) % 3 AS INT) END AS d,
+           |    count(*) AS n
+           |  FROM (SELECT ${O.classify("full_text")} AS element_type, seq
+           |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+           |      {'seq': i, 'full_text': ps[i]}), recursive := true) FROM $pars))
+           |  GROUP BY 1, 2""".stripMargin
+      s"""WITH parsA AS (${parsOf(O.strip(replaced))}),
+         |parsB AS (${parsOf(trunc)}),
+         |src AS (${histOf("parsA", 0)}),
+         |outt AS (${histOf("parsB", 1)}),
+         |j AS (
+         |  SELECT coalesce(o.element_type, s.element_type) AS t,
+         |    coalesce(o.n, 0) AS o_n, coalesce(s.n, 0) AS s_n,
+         |    LEAST(coalesce(o.n, 0), coalesce(s.n, 0)) AS m
+         |  FROM outt o FULL JOIN src s
+         |    ON o.element_type = s.element_type AND o.d IS NOT DISTINCT FROM s.d),
+         |pt AS (
+         |  SELECT t, sum(m) AS exact, sum(o_n - m) AS o_left, sum(s_n - m) AS s_left
+         |  FROM j GROUP BY t)
+         |SELECT CASE WHEN coalesce(sum(exact) + sum(s_left), 0) = 0 THEN 0.0
+         |  ELSE round(LEAST(GREATEST(
+         |    (sum(exact) + 0.5 * sum(LEAST(o_left, s_left)))::DOUBLE /
+         |    (sum(exact) + sum(s_left))::DOUBLE, 0.0), 1.0), 6) END AS percent_match
+         |FROM pt""".stripMargin
     },
 
     "q_csv_flatten" ->

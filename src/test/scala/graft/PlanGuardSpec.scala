@@ -44,6 +44,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_curate_corpus" -> 16,
     "q_ann_ivf" -> 8, "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
+    // two partition_text passes + (type,depth)/type/global aggregation levels
+    "q_element_type_percent_match" -> 7,
     "q_bbox_overlap_pairs" -> 5,
     "q_overlap_cases" -> 5) // pair self-join on the exploded case corpus
   private val DefaultExchCap = 4
