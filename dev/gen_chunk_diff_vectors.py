@@ -46,10 +46,12 @@ _stub("lxml.html", fragment_fromstring=_unavailable, HtmlElement=object)
 from unstructured.chunking.basic import chunk_elements  # noqa: E402
 from unstructured.chunking.title import chunk_by_title  # noqa: E402
 from unstructured.documents.elements import (  # noqa: E402
+    CheckBox,
     ElementMetadata,
     ListItem,
     NarrativeText,
     PageBreak,
+    Table,
     Text,
     Title,
 )
@@ -72,13 +74,17 @@ CTORS = {
     "ListItem": ListItem,
     "UncategorizedText": Text,
     "PageBreak": PageBreak,
+    # text-only Table (no text_as_html): exercises the table-isolation and
+    # text-mode TableChunk splitting paths without touching lxml
+    "Table": Table,
+    "CheckBox": CheckBox,
 }
 
 
 def rand_text(kind):
     """Element text with splitter-hostile shapes."""
     r = rng.random()
-    if kind == "PageBreak":
+    if kind in ("PageBreak", "CheckBox"):
         return ""
     if r < 0.05:
         return ""  # empty text
@@ -125,8 +131,9 @@ def gen_elements():
     out = []
     for _ in range(n):
         kind = rng.choices(
-            ["NarrativeText", "Title", "ListItem", "UncategorizedText", "PageBreak"],
-            weights=[50, 15, 15, 10, 10],
+            ["NarrativeText", "Title", "ListItem", "UncategorizedText", "PageBreak",
+             "Table", "CheckBox"],
+            weights=[42, 13, 13, 9, 9, 10, 4],
         )[0]
         if use_pages and rng.random() < 0.15:
             page += 1
@@ -171,7 +178,10 @@ def run_case(i, by_title):
     opts = gen_opts(by_title)
     elements = []
     for kind, text, meta in els_desc:
-        elements.append(CTORS[kind](text, metadata=ElementMetadata(**meta)))
+        if kind == "CheckBox":  # CheckBox's first positional arg is element_id
+            elements.append(CheckBox(metadata=ElementMetadata(**meta)))
+        else:
+            elements.append(CTORS[kind](text, metadata=ElementMetadata(**meta)))
     fn = chunk_by_title if by_title else chunk_elements
     chunks = fn(elements, **opts)
     out_chunks = []
