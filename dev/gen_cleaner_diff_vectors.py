@@ -178,6 +178,18 @@ def main():
             pattern="a", index=0, strip=True)
     for t in DATES:
         add("extract_datetimetz", extract.extract_datetimetz, t)
+    # quoted-printable / mojibake decoders and the index-run whitespace collapse
+    qp_inputs = ["hello=21", "caf=C3=A9 time", "a =3D b", "plain text", "100=25 sure",
+                 "bad =ZZ escape", "=C2=A0nbsp lead", "multi=0Aline"]
+    for t in qp_inputs:
+        add("replace_mime_encodings_utf8", core.replace_mime_encodings, t)
+    moji = ["caf\xc3\xa9", "na\xc3\xafve", "plain", "\xe2\x80\x99quoted\xe2\x80\x99"]
+    for t in moji:
+        add("bytes_string_to_string_utf8", core.bytes_string_to_string, t)
+    for t in inputs[::8]:
+        cleaned, moved = core.clean_extra_whitespace_with_index_run(t)
+        CASES.append({"fn": "ws_index_run", "input": t, "kind": "l",
+                      "out": [cleaned] + [str(int(v)) for v in moved]})
 
     out_path = os.path.join(
         os.path.dirname(__file__), "..",

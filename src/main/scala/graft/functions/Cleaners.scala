@@ -259,16 +259,22 @@ object Cleaners {
    * past the cleaned length carry the final distance (mirrors the numpy tail-fill).
    */
   def cleanExtraWhitespaceWithIndexRun(text: String): (String, Array[Long]) = {
-    val translated = text.map(c => if (c == '\u00A0' || c == '\n') ' ' else c)
-    val cleaned = translated.replaceAll(" {2,}", " ").strip
-    val moved = new Array[Long](text.length)
+    // CODE-POINT indexed throughout: the reference's moved array has one slot
+    // per Python character, and downstream link offsets are code-point indices
+    val cps = text.codePoints.toArray
+    val translated = new String(
+      cps.map(c => if (c == 0xA0 || c == '\n') ' '.toInt else c), 0, cps.length)
+    // Python str.strip(): also trims NEL/figure-space/narrow-NBSP etc.
+    val cleaned = pyStripStr(translated.replaceAll(" {2,}", " "))
+    val cleanedCps = cleaned.codePoints.toArray
+    val moved = new Array[Long](cps.length)
     var distance = 0L
     var oi = 0
     var ci = 0
-    while (ci < cleaned.length) {
-      val cOrig = text.charAt(oi)
-      val cClean = cleaned.charAt(ci)
-      if (cOrig == cClean || ((cOrig == '\u00A0' || cOrig == '\n') && cClean == ' ')) {
+    while (ci < cleanedCps.length) {
+      val cOrig = cps(oi)
+      val cClean = cleanedCps(ci)
+      if (cOrig == cClean || ((cOrig == 0xA0 || cOrig == '\n') && cClean == ' ')) {
         moved(ci) = distance
         oi += 1
         ci += 1
@@ -278,7 +284,7 @@ object Cleaners {
         oi += 1
       }
     }
-    java.util.Arrays.fill(moved, ci, text.length, distance)
+    java.util.Arrays.fill(moved, ci, cps.length, distance)
     (cleaned, moved)
   }
 

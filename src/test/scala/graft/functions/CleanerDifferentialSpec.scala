@@ -175,6 +175,26 @@ class CleanerDifferentialSpec extends SparkSuiteBase {
     runColumn("extract_text_after_bullet", c =>
       Extractors.extractTextAfter(c, "a", strip = true, index = 0)))
 
+  test("replace_mime_encodings matches the reference")(
+    runString("replace_mime_encodings_utf8", t => Cleaners.replaceMimeEncodings(t)))
+  test("bytes_string_to_string matches the reference")(
+    runString("bytes_string_to_string_utf8", t => Cleaners.bytesStringToString(t)))
+
+  test("clean_extra_whitespace_with_index_run matches the reference") {
+    val cases = byFn("ws_index_run")
+    val failures = mutable.ArrayBuffer[String]()
+    cases.zipWithIndex.foreach { case ((in, _, out), i) =>
+      val (cleaned, moved) = Cleaners.cleanExtraWhitespaceWithIndexRun(in)
+      val ours = Vector(Some(cleaned)) ++ moved.toVector.map(v => Some(v.toString))
+      if (ours != out)
+        failures += s"ws_index_run case $i: input <${esc(in.take(50))}> " +
+          s"ours <${esc(ours.take(8).map(_.getOrElse("null")).mkString("|"))}> " +
+          s"theirs <${esc(out.take(8).map(_.getOrElse("null")).mkString("|"))}>"
+    }
+    if (failures.nonEmpty)
+      fail(s"${failures.length}/${cases.length} divergences:\n" + failures.take(6).mkString("\n"))
+  }
+
   test("extract_datetimetz matches the reference") {
     import spark.implicits._
     val cases = byFn("extract_datetimetz")
