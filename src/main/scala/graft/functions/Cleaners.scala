@@ -77,7 +77,21 @@ object Cleaners {
    * only removes spaces).
    */
   def pyStrip(c: Column): Column =
-    regexp_replace(c, s"^$PySpaceClass+|$PySpaceClass+$$", "")
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.PyStrip(
+        org.apache.spark.sql.graft.bridge.expression(c)))
+
+  /** Python `str.lstrip()` as a column. */
+  def pyStripLeadingCol(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.PyStrip(
+        org.apache.spark.sql.graft.bridge.expression(c), trailing = false))
+
+  /** Python `str.rstrip()` as a column. */
+  def pyStripTrailingCol(c: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.functions.expr.PyStrip(
+        org.apache.spark.sql.graft.bridge.expression(c), leading = false))
 
   /** `clean_extra_whitespace` — `core.py:325-334`: NBSP/newline -> space, collapse runs, strip. */
   def cleanExtraWhitespace(c: Column): Column =
@@ -192,7 +206,7 @@ object Cleaners {
       strip: Boolean = true): Column = {
     val p = (if (ignoreCase) "(?i)" else "") + "^(?:" + pattern + ")"
     val stripped = regexp_replace(c, p, "")
-    if (strip) regexp_replace(stripped, s"^$PySpaceClass+", "") else stripped
+    if (strip) pyStripLeadingCol(stripped) else stripped
   }
 
   /** `clean_postfix` — `core.py:386-400`: strip a regex suffix; optional rstrip. */
@@ -200,7 +214,7 @@ object Cleaners {
       strip: Boolean = true): Column = {
     val p = (if (ignoreCase) "(?i)" else "") + "(?:" + pattern + ")$"
     val stripped = regexp_replace(c, p, "")
-    if (strip) regexp_replace(stripped, s"$PySpaceClass+$$", "") else stripped
+    if (strip) pyStripTrailingCol(stripped) else stripped
   }
 
   /**

@@ -79,7 +79,7 @@ object Extractors {
     val span = nthMatchSpan(c, pattern, index)
     val before = when(span.isNotNull,
       substring(c, lit(1), element_at(span, 1) - 1)).otherwise(lit(null))
-    if (strip) regexp_replace(before, s"${Cleaners.PySpaceClass}+$$", "") else before
+    if (strip) Cleaners.pyStripTrailingCol(before) else before
   }
 
   /** `extract_text_after` — `extract.py:46-58`: suffix after the `index`-th
@@ -89,7 +89,7 @@ object Extractors {
     val span = nthMatchSpan(c, pattern, index)
     val after = when(span.isNotNull,
       substring(c, element_at(span, 2) + 1, lit(1000000))).otherwise(lit(null))
-    if (strip) regexp_replace(after, s"^${Cleaners.PySpaceClass}+", "") else after
+    if (strip) Cleaners.pyStripLeadingCol(after) else after
   }
 
   /**

@@ -131,6 +131,23 @@ object MetadataOps {
   }
 
   /** One document's `apply_metadata` chain in normative order (`metadata.py:196-277`). */
+  /**
+   * `group_elements_by_parent_id(assign_orphans=True)` (`utils.py:645-686`):
+   * an element with no `parent_id` joins the group of the LAST non-null parent
+   * seen in document order; orphans before any parented element stay in the
+   * null group. Spark-first: a forward-fill window
+   * (`last(parent_id, ignoreNulls)` over doc order) — no fold, codegen'd,
+   * one shuffle on `doc_id`.
+   */
+  def fillOrphanParents(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.last
+    val w = Window.partitionBy("doc_id").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("parent_id",
+      last(col("metadata.parent_id"), ignoreNulls = true).over(w))
+  }
+
   def applyMetadataDoc(els: Seq[Element], filename: Option[String] = None,
       filetype: Option[String] = None, url: Option[String] = None,
       lastModified: Option[String] = None,

@@ -279,6 +279,21 @@ object PipelineQueries {
         .orderBy("parent_id")
     }),
 
+    // group_elements_by_parent_id(assign_orphans=True) — utils.py:645-686:
+    // orphans forward-fill into the last-seen parent's group (window
+    // last-non-null over doc order), pre-parent orphans stay unassigned.
+    "q_group_by_parent_orphans" -> ((s, dir) => {
+      val els = graft.operators.MetadataOps.applyMetadata(
+        fullElements(s, dir),
+        filetype = Some("text/plain"),
+        filenameFor = d => Some(s"doc_$d.txt"))
+      graft.operators.MetadataOps.fillOrphanParents(els.toDF())
+        .groupBy(col("parent_id"))
+        .agg(count(lit(1)).as("n_children"),
+          min("seq").as("first_child_seq"))
+        .orderBy(coalesce(col("parent_id"), lit("")))
+    }),
+
     // element-type frequency accuracy (metrics/element_type.py): histogram of
     // classified types for the corpus vs the truncated-text corpus, scored as
     // sum(min(freq_out, freq_gt)) / sum(freq_gt)
@@ -789,6 +804,16 @@ object PipelineQueries {
          |  SUM(coalesce(gt.n, 0))::DOUBLE, 4) AS accuracy
          |FROM gt FULL JOIN outt ON gt.element_type = outt.element_type""".stripMargin
     },
+
+    "q_group_by_parent_orphans" ->
+      s"""$applyMetaCtes, filled AS (
+         |  SELECT seq, last_value(parent_id IGNORE NULLS) OVER (
+         |    PARTITION BY doc_id ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS parent_id
+         |  FROM withparent)
+         |SELECT parent_id, CAST(count(*) AS BIGINT) AS n_children,
+         |  min(seq) AS first_child_seq
+         |FROM filled GROUP BY parent_id ORDER BY coalesce(parent_id, '')""".stripMargin,
 
     "q_element_type_percent_match" -> {
       val replaced = "replace(text, ' merge ', chr(10)||chr(10))"

@@ -46,6 +46,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
     // two partition_text passes + (type,depth)/type/global aggregation levels
     "q_element_type_percent_match" -> 7,
+    // metadata chain + forward-fill window + parent groupBy + output sort
+    "q_group_by_parent_orphans" -> 5,
     "q_bbox_overlap_pairs" -> 5,
     "q_overlap_cases" -> 5) // pair self-join on the exploded case corpus
   private val DefaultExchCap = 4
