@@ -152,6 +152,13 @@ def gen_opts(by_title):
         opts["overlap"] = rng.randint(1, max(1, max_characters // 3))
         opts["overlap_all"] = rng.random() < 0.5
     opts["include_orig_elements"] = rng.random() < 0.3
+    # table knobs (exposed by both strategies)
+    if rng.random() < 0.25:
+        opts["isolate_table"] = False
+    elif rng.random() < 0.15:
+        opts["skip_table_chunking"] = True
+    if rng.random() < 0.2:
+        opts["repeat_table_headers"] = False
     if by_title:
         if rng.random() < 0.6:
             cap = opts.get("new_after_n_chars", max_characters)

@@ -43,7 +43,10 @@ class ChunkerDifferentialSpec extends SparkSuiteBase {
       StructField("overlap", IntegerType),
       StructField("overlap_all", BooleanType),
       StructField("include_orig_elements", BooleanType),
-      StructField("multipage_sections", BooleanType)))),
+      StructField("multipage_sections", BooleanType),
+      StructField("isolate_table", BooleanType),
+      StructField("skip_table_chunking", BooleanType),
+      StructField("repeat_table_headers", BooleanType)))),
     StructField("elements", ArrayType(StructType(Seq(
       StructField("type", StringType),
       StructField("text", StringType),
@@ -161,6 +164,9 @@ class ChunkerDifferentialSpec extends SparkSuiteBase {
         overlapAll = !o.isNullAt(4) && o.getBoolean(4),
         includeOrigElements = !o.isNullAt(5) && o.getBoolean(5),
         multipageSections = o.isNullAt(6) || o.getBoolean(6),
+        isolateTable = o.isNullAt(7) || o.getBoolean(7),
+        skipTableChunking = !o.isNullAt(8) && o.getBoolean(8),
+        repeatTableHeaders = o.isNullAt(9) || o.getBoolean(9),
         byTitle = byTitle)
       val els = row.getSeq[org.apache.spark.sql.Row](3).zipWithIndex.map {
         case (er, idx) =>
