@@ -66,8 +66,18 @@ object Encodings {
       if (zeroEven > 0.6 * half && zeroOdd < 0.1 * half) return ("utf-16-be", 0)
     }
     if (isValidUtf8(bytes, 0)) ("utf-8", 0)
-    // first always-decoding fallback in COMMON_ENCODINGS order
-    else ("iso-8859-1", 0)
+    else {
+      // 0x80-0x9F are C1 controls in true latin-1 — never intentional text.
+      // charset_normalizer (the reference's statistical detector) resolves
+      // such content to cp1252, whose only difference from latin-1 is mapping
+      // that range to printable characters (Euro sign, smart quotes, ...)
+      var i = 0
+      var hasC1 = false
+      while (i < n && !hasC1) { if (b(i) >= 0x80 && b(i) <= 0x9f) hasC1 = true; i += 1 }
+      if (hasC1) ("windows-1252", 0)
+      // first always-decoding fallback in COMMON_ENCODINGS order
+      else ("iso-8859-1", 0)
+    }
   }
 
   private def charsetOf(name: String): Charset = name match {
@@ -76,6 +86,7 @@ object Encodings {
     case "utf-16-be" => StandardCharsets.UTF_16BE
     case "utf-32-le" => Charset.forName("UTF-32LE")
     case "utf-32-be" => Charset.forName("UTF-32BE")
+    case "windows-1252" => Charset.forName("windows-1252")
     case _ => StandardCharsets.ISO_8859_1
   }
 

@@ -42,12 +42,24 @@ object HtmlSource {
       .when(Predicates.isPossibleTitle(c), "Title")
       .otherwise("UncategorizedText")
 
+  /** The spreadsheet single-cell cascade (`xlsx.py:441-452` `_create_element`):
+    * bullet → numbered-list → narrative → title → `Text` — narrower than the
+    * text-file cascade (no email/address branches, so a lone e-mail cell
+    * classifies as Title exactly like the reference). */
+  def deriveTabular(c: Column): Column =
+    when(Predicates.isBulletedText(c), "ListItem")
+      .when(Predicates.isPossibleNumberedList(c), "ListItem")
+      .when(Predicates.isPossibleNarrativeText(c), "NarrativeText")
+      .when(Predicates.isPossibleTitle(c), "Title")
+      .otherwise("UncategorizedText")
+
   /** Untyped-paragraph routing by the RawPara `classifier` tag — the one place
     * every source (auto-router, format queries) resolves element types. */
   def classifierCascade(classifier: Column, text: Column): Column =
     when(classifier === "text", Predicates.classifyText(text))
       .when(classifier === "docx", deriveDocx(text))
       .when(classifier === "pptx", derivePptx(text))
+      .when(classifier === "tabular", deriveTabular(text))
       .otherwise(deriveElementType(text))
 
   /** PPTX text-derived Titles carry `category_depth = level + 1`

@@ -192,9 +192,10 @@ object OoxmlPartitioner {
         if (leading == rows.size) 0
         else singleCell.reverse.takeWhile(identity).size
       val out = mutable.ArrayBuffer.empty[RawPara]
-      // leading single-cell rows -> classified Text-family elements
+      // leading single-cell rows -> classified Text-family elements via the
+      // restricted spreadsheet cascade (`_create_element`, xlsx.py:441-452)
       (0 until leading).foreach { i =>
-        out += RawPara(rows(i).head, None, classifier = "text",
+        out += RawPara(rows(i).head, None, classifier = "tabular",
           pageNumber = Some(page), pageName = sheetName)
       }
       // core rectangle -> Table with html
@@ -212,7 +213,7 @@ object OoxmlPartitioner {
             pageNumber = Some(page), pageName = sheetName)
       }
       (0 until trailing).foreach { i =>
-        out += RawPara(rows(rows.size - trailing + i).head, None, classifier = "text",
+        out += RawPara(rows(rows.size - trailing + i).head, None, classifier = "tabular",
           pageNumber = Some(page), pageName = sheetName)
       }
       out.toSeq

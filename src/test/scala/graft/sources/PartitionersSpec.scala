@@ -271,7 +271,8 @@ class PartitionersSpec extends AnyFunSuite {
       "xl/worksheets/sheet1.xml" -> sheet), findSubtable = true)
     assert(ps.map(_.text) == Seq(
       "Sales Report", "h1 h2 a b", "x1 x2 c d", "note below"))
-    assert(ps(0).elementType.isEmpty && ps(0).classifier == "text") // classified downstream
+    // classified downstream via the restricted spreadsheet cascade
+    assert(ps(0).elementType.isEmpty && ps(0).classifier == "tabular")
     assert(ps(1).elementType.contains("Table"))
     assert(ps(1).textAsHtml.contains(
       "<table><tr><td>h1</td><td>h2</td></tr><tr><td>a</td><td>b</td></tr></table>"))
