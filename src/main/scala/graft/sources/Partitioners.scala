@@ -278,14 +278,110 @@ object Partitioners {
       .format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ssxxx")))
   }
 
+  /**
+   * `email.utils.getaddresses` over one decoded header value: split the
+   * address list on top-level commas (quoted strings and angle-addrs are
+   * atomic), then separate each mailbox into (display name, addr-spec).
+   * Display-name outer quotes are removed and `\"`/`\\` unescaped — exactly
+   * the state Python's parser hands to `formataddr`.
+   */
+  private[sources] def parseAddressList(value: String): Seq[(String, String)] = {
+    val parts = mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var depth = 0
+    var i = 0
+    while (i < value.length) {
+      val c = value.charAt(i)
+      c match {
+        case '\\' if inQ && i + 1 < value.length =>
+          cur.append(c).append(value.charAt(i + 1)); i += 1
+        case '"' => inQ = !inQ; cur.append(c)
+        case '<' if !inQ => depth += 1; cur.append(c)
+        case '>' if !inQ && depth > 0 => depth -= 1; cur.append(c)
+        case ',' if !inQ && depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { mb =>
+      val lt = {
+        // angle bracket outside any quoted string
+        var q = false; var idx = -1; var j = 0
+        while (j < mb.length && idx < 0) {
+          mb.charAt(j) match {
+            case '\\' if q => j += 1
+            case '"' => q = !q
+            case '<' if !q => idx = j
+            case _ => ()
+          }
+          j += 1
+        }
+        idx
+      }
+      if (lt >= 0) {
+        val gt = mb.lastIndexOf('>')
+        val addr = mb.substring(lt + 1, if (gt > lt) gt else mb.length).trim
+        var name = mb.substring(0, lt).trim
+        if (name.length >= 2 && name.head == '"' && name.last == '"')
+          name = name.substring(1, name.length - 1)
+            .replace("\\\"", "\"").replace("\\\\", "\\")
+        (name, addr)
+      } else ("", mb.trim)
+    }
+  }
+
+  /** `email.utils.formataddr` — quote ASCII names containing specials
+    * (escaping `\` and `"`); RFC-2047-encode non-ASCII names choosing the
+    * SHORTER of q/b forms exactly like `Charset('utf-8').header_encode`
+    * (quoprimime safe set `-!*+/` + alphanumerics, space as `_`, 3 chars per
+    * escaped byte vs `4*ceil(n/3)` for base64; ties go to q). */
+  private[sources] def formatAddr(name: String, addr: String): String = {
+    if (name.isEmpty) return addr
+    if (name.exists(_ > 127)) {
+      val bytes = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def qpSafe(b: Int): Boolean =
+        (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') ||
+          b == '-' || b == '!' || b == '*' || b == '+' || b == '/'
+      val qpLen = bytes.map(b => if (qpSafe(b & 0xff) || b == ' ') 1 else 3).sum
+      val b64Len = 4 * ((bytes.length + 2) / 3)
+      val encoded =
+        if (b64Len < qpLen)
+          "=?utf-8?b?" + java.util.Base64.getEncoder.encodeToString(bytes) + "?="
+        else {
+          val sb = new StringBuilder("=?utf-8?q?")
+          bytes.foreach { b =>
+            val ub = b & 0xff
+            if (ub == ' ') sb.append('_')
+            else if (qpSafe(ub)) sb.append(ub.toChar)
+            else sb.append(f"=$ub%02X")
+          }
+          sb.append("?=").toString
+        }
+      return s"$encoded <$addr>"
+    }
+    val escaped = name.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c => c.toString
+    }
+    val needsQuotes = name.exists("[]\\()<>@,:;\".".contains(_))
+    if (needsQuotes) s""""$escaped" <$addr>""" else s"$escaped <$addr>"
+  }
+
   /** Parse the RFC-822 message: headers → [[EmailMeta]], body part preference
     * html > plain (`email.py:152-160`), delegate body to the HTML or text path. */
   def partitionEmail(raw: String,
       contentSource: String = "text/html"): (EmailMeta, Seq[RawPara]) = {
     val msg = parsePart(raw)
+    // `policy.default` decodes encoded words on access; `getaddresses` +
+    // `formataddr` then re-parse and re-render each mailbox (email.py:125-147,
+    // 177-182, 268-272)
     def addrs(name: String): Seq[String] =
-      msg.header(name).toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-        .map(decodeEncodedWords)
+      msg.header(name).toSeq
+        .flatMap(v => parseAddressList(decodeEncodedWords(v)))
+        .map { case (n, a) => formatAddr(n, a) }
     val meta = EmailMeta(
       sentFrom = addrs("From"),
       sentTo = addrs("To"),
