@@ -70,7 +70,15 @@ object ElementsToHtml {
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-  private def escAttr(s: String): String = esc(s).replace("\"", "&quot;")
+
+  /** `saxutils.quoteattr` convention (what bs4's serializer emits): values
+    * containing `"` but no `'` render single-quoted with the `"` raw; all
+    * other values double-quoted with `"` as `&quot;`. */
+  private def quoteAttr(v: String): String = {
+    val base = esc(v)
+    if (base.contains("\"") && !base.contains("'")) s"'$base'"
+    else "\"" + base.replace("\"", "&quot;") + "\""
+  }
 
   private val VoidTags = Set("br", "img", "hr", "input", "meta", "link")
 
@@ -206,7 +214,7 @@ object ElementsToHtml {
   private def render(n: R, depth: Int, sb: StringBuilder): Unit = {
     val pad = " " * depth
     val attrs = n.attrs.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"""$k="${escAttr(v)}"""" }.mkString(" ")
+      .map { case (k, v) => s"$k=${quoteAttr(v)}" }.mkString(" ")
     val attrPart = if (attrs.isEmpty) "" else " " + attrs
     if (n.void) { sb.append(s"$pad<${n.tag}$attrPart/>\n"); return }
     sb.append(s"$pad<${n.tag}$attrPart>\n")
