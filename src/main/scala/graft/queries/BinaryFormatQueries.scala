@@ -360,6 +360,30 @@ object BinaryFormatQueries {
     // The `partition()` auto-router: 10 payload kinds per document spanning every
     // branch of the 4-strategy detection chain (binary magic, zip-member sniff,
     // OLE+extension, text differentiators, extension), then per-format routing.
+    // The plan-visible auto-router (`org.apache.spark.sql.graft.PartitionPlan`):
+    // three payload files per doc, a filetype filter written ABOVE the parse.
+    // `PushDocFilterThroughPartition` rewrites it onto a `detect_mime` head
+    // sniff BELOW `GraftPartitionDocs`, so the txt payloads are never parsed —
+    // the oracle pins that the pushed plan still yields exactly the html+csv rows.
+    "q_partition_plan_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      val docs = docBase(s, dir).flatMap { d =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        Seq(
+          (s"mem:/doc_${d.docId}.txt",
+            s"alpha beta gamma ${d.w1}\n\nsecond part ${d.source}".getBytes(utf8)),
+          (s"mem:/doc_${d.docId}.html",
+            (s"<html><body><h1>Doc ${d.docId}</h1>" +
+              s"<p>from ${d.source} comes html</p></body></html>").getBytes(utf8)),
+          (s"mem:/doc_${d.docId}.csv",
+            s"a,b\n${d.w1},${d.source}".getBytes(utf8)))
+      }.toDF("path", "content")
+      org.apache.spark.sql.graft.PartitionPlan.partitionDocs(docs)
+        .filter(col("filetype").isin("text/html", "text/csv"))
+        .select(col("doc_id"), col("filetype"), col("seq"), col("text"))
+        .orderBy("doc_id", "seq")
+    }),
+
     "q_partition_auto" -> ((s, dir) => {
       import s.implicits._
       docBase(s, dir).flatMap { d =>
@@ -918,6 +942,18 @@ object BinaryFormatQueries {
          |SELECT doc_id, kind, strategy, text_extractable, too_complex, err
          |FROM base CROSS JOIN k
          |ORDER BY doc_id, kind""".stripMargin,
+
+    "q_partition_plan_pushdown" ->
+      s"""WITH base AS ($base)
+         |SELECT * FROM (
+         |  SELECT 'mem:/doc_' || doc_id || '.html' AS doc_id,
+         |    'text/html' AS filetype, 1::BIGINT AS seq,
+         |    'Doc ' || doc_id AS text FROM base
+         |  UNION ALL SELECT 'mem:/doc_' || doc_id || '.html', 'text/html', 2,
+         |    'from ' || source || ' comes html' FROM base
+         |  UNION ALL SELECT 'mem:/doc_' || doc_id || '.csv', 'text/csv', 1,
+         |    'a b ' || w1 || ' ' || source FROM base)
+         |ORDER BY doc_id, seq""".stripMargin,
 
     "q_partition_auto" ->
       s"""WITH base AS ($base)

@@ -18,6 +18,45 @@ import graft.functions.Cleaners
  */
 object AutoSource {
 
+  /** One raw parse row, pre-classifier-cascade — the output contract of the
+    * per-file parse and of the plan-visible `GraftPartitionDocs` node. */
+  final case class RawPartitionRow(
+      doc_id: String, filetype: String, seq: Long, raw_type: Option[String],
+      category_depth: Option[Int], raw_text: String, text_as_html: Option[String],
+      page_number: Option[Int], page_name: Option[String],
+      attached_to_filename: Option[String], classifier: String)
+
+  /** Detect + route one document's bytes; optionally recurse into email
+    * attachments (bounded depth 1, `partition/email.py:372-441`). */
+  def parseDoc(path: String, content: Array[Byte],
+      processAttachments: Boolean): Seq[RawPartitionRow] = {
+    val (ft, paras) = Partitioners.partitionAuto(path, content)
+    val main = paras.zipWithIndex.map { case (p, i) =>
+      RawPartitionRow(path, ft.mimeType, i + 1L, p.elementType, p.categoryDepth,
+        p.text, p.textAsHtml, p.pageNumber, p.pageName, None, p.classifier)
+    }
+    val attached =
+      if (processAttachments && (ft == FileType.Eml || ft == FileType.Msg)) {
+        val items: Seq[(String, Array[Byte])] =
+          if (ft == FileType.Msg) MsgPartitioner.msgAttachments(content)
+          else {
+            val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+            Partitioners.emailAttachments(text).map { case (fn, body) =>
+              (fn, body.getBytes("UTF-8"))
+            }
+          }
+        items.flatMap { case (fn, body) =>
+          val (aft, aps) = Partitioners.partitionAuto(fn, body)
+          aps.zipWithIndex.map { case (p, i) =>
+            RawPartitionRow(path + "!" + fn, aft.mimeType, i + 1L, p.elementType,
+              p.categoryDepth, p.text, p.textAsHtml, p.pageNumber, p.pageName,
+              Some(path), p.classifier)
+          }
+        }
+      } else Nil
+    main ++ attached
+  }
+
   /**
    * Partition a directory of files of any supported type. Returns element rows:
    * `doc_id` (file path), `filetype` (MIME), `seq`, `element_type`,
@@ -35,35 +74,16 @@ object AutoSource {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
     val raw = files.flatMap { case (path, content) =>
-      val (ft, paras) = Partitioners.partitionAuto(path, content)
-      val main = paras.zipWithIndex.map { case (p, i) =>
-        (path, ft.mimeType, i + 1L, p.elementType.orNull, p.categoryDepth,
-          p.text, p.textAsHtml.orNull, p.pageNumber, p.pageName.orNull,
-          null.asInstanceOf[String], p.classifier)
-      }
-      val attached =
-        if (processAttachments && (ft == FileType.Eml || ft == FileType.Msg)) {
-          val items: Seq[(String, Array[Byte])] =
-            if (ft == FileType.Msg) MsgPartitioner.msgAttachments(content)
-            else {
-              val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
-              Partitioners.emailAttachments(text).map { case (fn, body) =>
-                (fn, body.getBytes("UTF-8"))
-              }
-            }
-          items.flatMap { case (fn, body) =>
-            val (aft, aps) = Partitioners.partitionAuto(fn, body)
-            aps.zipWithIndex.map { case (p, i) =>
-              (path + "!" + fn, aft.mimeType, i + 1L, p.elementType.orNull,
-                p.categoryDepth, p.text, p.textAsHtml.orNull, p.pageNumber,
-                p.pageName.orNull, path, p.classifier)
-            }
-          }
-        } else Nil
-      main ++ attached
-    }.toDF("doc_id", "filetype", "seq", "raw_type", "category_depth", "raw_text",
-      "text_as_html", "page_number", "page_name", "attached_to_filename", "classifier")
+      parseDoc(path, content, processAttachments)
+    }.toDF()
+    typedFromRaw(raw)
+  }
 
+  /** The declarative half of the auto-router: classifier cascade + empty-drop +
+    * resequence over the raw parse rows. Shared by the typed `flatMap` above and
+    * the plan-visible `GraftPartitionDocs` node
+    * (`org.apache.spark.sql.graft.PartitionPlan`). */
+  def typedFromRaw(raw: DataFrame): DataFrame = {
     // untyped paragraphs derive per their source's cascade: the text partitioner's
     // first-match classifier (has Title), the DOCX/PPTX variants, or the HTML
     // parser's derive rules
@@ -82,6 +102,6 @@ object AutoSource {
       // survive like the reference stream
       .filter(col("element_type").isNotNull &&
         (col("raw_type").isNotNull || col("text") =!= ""))
-    TextSource.resequence(typed)
+    TextSource.resequence(typed, "filetype")
   }
 }

@@ -149,7 +149,13 @@ object TextSource {
   }
 
   /** Re-sequence after any filtering so `seq` stays dense per doc. */
-  def resequence(df: DataFrame): DataFrame =
+  /** Contiguous per-doc `seq` after drops. `constantKeys` are columns known
+    * constant within a doc (e.g. `filetype`): adding them to the window's
+    * partition spec changes nothing semantically but lets Catalyst push
+    * predicates on them through the Window — which is what carries a
+    * `filetype` filter down to the `GraftPartitionDocs` pushdown rule. */
+  def resequence(df: DataFrame, constantKeys: String*): DataFrame =
     df.withColumn("seq",
-      row_number().over(Window.partitionBy("doc_id").orderBy("seq")).cast("long"))
+      row_number().over(
+        Window.partitionBy("doc_id", constantKeys: _*).orderBy("seq")).cast("long"))
 }

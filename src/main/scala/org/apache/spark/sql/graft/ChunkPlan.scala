@@ -186,5 +186,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => ChunkStrategy)
     ext.injectOptimizerRule(_ => PushDocFilterThroughChunk)
+    ext.injectPlannerStrategy(_ => PartitionStrategy)
+    ext.injectOptimizerRule(_ => PushDocFilterThroughPartition)
   }
 }
