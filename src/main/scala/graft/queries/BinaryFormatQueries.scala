@@ -384,6 +384,29 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "seq")
     }),
 
+    // `partition(..., chunking_strategy="basic")` as ONE composed plan
+    // (`chunking/dispatch.py:84-115`): GraftChunkElements over
+    // GraftPartitionDocs; the oracle predicts the chunk stream per payload.
+    "q_partition_then_chunk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = docBase(s, dir).flatMap { d =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        Seq(
+          (s"mem:/doc_${d.docId}.txt",
+            s"alpha beta gamma ${d.w1}\n\nsecond part ${d.source}".getBytes(utf8)),
+          (s"mem:/doc_${d.docId}.html",
+            (s"<html><body><h1>Doc ${d.docId}</h1>" +
+              s"<p>from ${d.source} comes html</p></body></html>").getBytes(utf8)),
+          (s"mem:/doc_${d.docId}.csv",
+            s"a,b\n${d.w1},${d.source}".getBytes(utf8)))
+      }.toDF("path", "content")
+      org.apache.spark.sql.graft.PartitionPlan
+        .partitionAndChunk(docs, chunkingStrategy = "basic",
+          chunkOpts = graft.operators.ChunkingOptions(includeOrigElements = false))
+        .select(col("doc_id"), col("seq").as("chunk_seq"), col("type"), col("text"))
+        .orderBy("doc_id", "chunk_seq")
+    }),
+
     "q_partition_auto" -> ((s, dir) => {
       import s.implicits._
       docBase(s, dir).flatMap { d =>
@@ -954,6 +977,19 @@ object BinaryFormatQueries {
          |  UNION ALL SELECT 'mem:/doc_' || doc_id || '.csv', 'text/csv', 1,
          |    'a b ' || w1 || ' ' || source FROM base)
          |ORDER BY doc_id, seq""".stripMargin,
+
+    "q_partition_then_chunk" ->
+      s"""WITH base AS ($base)
+         |SELECT * FROM (
+         |  SELECT 'mem:/doc_' || doc_id || '.csv' AS doc_id, 0::BIGINT AS chunk_seq,
+         |    'Table' AS type, 'a b ' || w1 || ' ' || source AS text FROM base
+         |  UNION ALL SELECT 'mem:/doc_' || doc_id || '.html', 0, 'CompositeElement',
+         |    'Doc ' || doc_id || chr(10) || chr(10) ||
+         |    'from ' || source || ' comes html' FROM base
+         |  UNION ALL SELECT 'mem:/doc_' || doc_id || '.txt', 0, 'CompositeElement',
+         |    'alpha beta gamma ' || w1 || chr(10) || chr(10) ||
+         |    'second part ' || source FROM base)
+         |ORDER BY doc_id, chunk_seq""".stripMargin,
 
     "q_partition_auto" ->
       s"""WITH base AS ($base)

@@ -129,6 +129,14 @@ object PartitionPlan {
       exp.extraStrategies = exp.extraStrategies :+ PartitionStrategy
     if (!exp.extraOptimizations.exists(_ eq PushDocFilterThroughPartition))
       exp.extraOptimizations = exp.extraOptimizations :+ PushDocFilterThroughPartition
+    // the user-rule batch runs AFTER the main optimizer, to its own fixed
+    // point — re-listing Catalyst's predicate pushdown there lets a filter our
+    // rules emit keep sinking through the projections/windows between the
+    // chunk fold, the parse, and the scan
+    if (!exp.extraOptimizations.exists(
+        _ eq org.apache.spark.sql.catalyst.optimizer.PushDownPredicates))
+      exp.extraOptimizations = exp.extraOptimizations :+
+        org.apache.spark.sql.catalyst.optimizer.PushDownPredicates
   }
 
   /** `partition()` over any `(path string, content binary)` DataFrame as a
@@ -155,4 +163,58 @@ object PartitionPlan {
       spark.read.format("binaryFile").load(pathGlob)
         .selectExpr("path", "content"),
       processAttachments)
+
+  /** Lift the router's element rows into the typed [[Element]] model as a pure
+    * projection (every unset metadata field a typed null) — declarative on
+    * purpose, so predicates keep commuting down the composed plan; a typed
+    * `map` here would wall off the pushdown rules below it. */
+  def toElements(parsed: DataFrame): org.apache.spark.sql.Dataset[_root_.graft.model.Element] = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    import org.apache.spark.sql.types.StructType
+    val enc = ExpressionEncoder[_root_.graft.model.Element]()
+    val metaType = enc.schema("metadata").dataType.asInstanceOf[StructType]
+    val provided: Map[String, org.apache.spark.sql.Column] = Map(
+      "filetype" -> col("filetype"),
+      "category_depth" -> col("category_depth"),
+      "text_as_html" -> col("text_as_html"),
+      "page_number" -> col("page_number"),
+      "page_name" -> col("page_name"),
+      "attached_to_filename" -> col("attached_to_filename"))
+    val meta = struct(metaType.fields.toSeq.map { f =>
+      provided.get(f.name).map(_.cast(f.dataType))
+        .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+    }: _*)
+    parsed.select(
+      lit("").as("element_id"),
+      col("element_type").as("type"),
+      col("text"),
+      col("doc_id"),
+      col("seq"),
+      meta.as("metadata"),
+      lit(null).cast(enc.schema("embeddings").dataType).as("embeddings"))
+      .as(enc)
+  }
+
+  /**
+   * The reference's one-call `partition(..., chunking_strategy=...)` pipeline
+   * (`chunking/dispatch.py:84-115` via `partition/auto.py`): detect + parse +
+   * chunk as ONE composed plan. Both stages are named nodes, so `explain()`
+   * shows `GraftChunkElements` over `GraftPartitionDocs`, and a `doc_id`
+   * filter written above the chunker pushes through BOTH — below the chunk
+   * fold, through the lift/resequence projections, below the parse, and into
+   * the file scan. Custom strategies registered via
+   * `Registries.registerChunkingStrategy` dispatch like the reference's.
+   */
+  def partitionAndChunk(docs: DataFrame, chunkingStrategy: String = "basic",
+      chunkOpts: _root_.graft.operators.ChunkingOptions =
+        _root_.graft.operators.ChunkingOptions(),
+      processAttachments: Boolean = false)
+      : org.apache.spark.sql.Dataset[_root_.graft.model.Element] = {
+    val els = toElements(partitionDocs(docs, processAttachments))
+    chunkingStrategy match {
+      case "basic" => ChunkPlan.chunkElements(els, chunkOpts.copy(byTitle = false))
+      case "by_title" => ChunkPlan.chunkElements(els, chunkOpts.copy(byTitle = true))
+      case other => _root_.graft.operators.Registries.chunk(els, other, chunkOpts)
+    }
+  }
 }

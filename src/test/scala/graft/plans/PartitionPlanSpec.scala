@@ -118,6 +118,67 @@ class PartitionPlanSpec extends SparkSuiteBase {
     }
   }
 
+  test("partitionAndChunk composes both named nodes in one plan") {
+    withCorpus { dir =>
+      val sp = spark
+      import sp.implicits._
+      val docs = sp.read.format("binaryFile").load(dir).selectExpr("path", "content")
+      val chunked = PartitionPlan.partitionAndChunk(docs,
+        chunkingStrategy = "by_title",
+        chunkOpts = graft.operators.ChunkingOptions(maxCharacters = 120,
+          includeOrigElements = false))
+      val plan = chunked.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftChunkElements"), plan)
+      assert(plan.contains("GraftPartitionDocs"), plan)
+      // equivalent to the separately-composed typed pipeline
+      val els = PartitionPlan.toElements(AutoSource.partitionFiles(sp, dir))
+      val expected = graft.operators.Chunker.chunkByTitle(els,
+        graft.operators.ChunkingOptions(maxCharacters = 120,
+          includeOrigElements = false, byTitle = true))
+        .collect().sortBy(e => (e.doc_id, e.seq)).toSeq
+      val got = chunked.collect().sortBy(e => (e.doc_id, e.seq)).toSeq
+      assert(got == expected)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("a doc_id filter above the composed pipeline reaches the file scan") {
+    withCorpus { dir =>
+      val sp = spark
+      import sp.implicits._
+      val docs = sp.read.format("binaryFile").load(dir).selectExpr("path", "content")
+      val chunked = PartitionPlan.partitionAndChunk(docs,
+        chunkOpts = graft.operators.ChunkingOptions(maxCharacters = 120,
+          includeOrigElements = false))
+        .toDF()
+        .filter($"doc_id".endsWith("a.txt"))
+      val optimized = chunked.queryExecution.optimizedPlan
+      // the predicate must sit below BOTH custom nodes, on the scan side
+      val partNodes = optimized.collect { case n: PartitionDocsNode => n }
+      assert(partNodes.length == 1, optimized.toString)
+      val belowParse = partNodes.head.child.toString
+      assert(belowParse.contains("a.txt"),
+        s"doc_id filter did not reach below the parse:\n$optimized")
+      val rows = chunked.collect()
+      assert(rows.nonEmpty && rows.forall(_.getAs[String]("doc_id").endsWith("a.txt")))
+    }
+  }
+
+  test("a registered custom chunking strategy dispatches through the registry") {
+    withCorpus { dir =>
+      graft.operators.Registries.registerChunkingStrategy("take_first",
+        (ds, _) => {
+          val sp2 = ds.sparkSession
+          import sp2.implicits._
+          ds.filter(_.seq == 1L)
+        })
+      val docs = spark.read.format("binaryFile").load(dir).selectExpr("path", "content")
+      val out = PartitionPlan.partitionAndChunk(docs, chunkingStrategy = "take_first")
+        .collect()
+      assert(out.nonEmpty && out.forall(_.seq == 1L))
+    }
+  }
+
   test("no pushdown under processAttachments (doc fan-out breaks the equality)") {
     withCorpus { dir =>
       val sp = spark
