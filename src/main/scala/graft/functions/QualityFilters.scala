@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Repetition- and rule-based corpus quality filters — the standard
+ * LLM-training-data cleaning passes published with Gopher/MassiveText
+ * (Rae et al. 2021, "Scaling Language Models", appendix A1.1) and C4
+ * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning", §2.2).
+ * The reference engine stops at per-document quality scoring; a 100 TB
+ * pre-training pipeline also prunes by intra-document repetition and
+ * line-level heuristics before dedup.
+ *
+ * Scale shape: [[repetitionSignals]] computes every n-gram order in ONE
+ * explode pass — grams for n=2..7 are tagged and unioned per row, so the
+ * whole stat family costs one shuffle on `(doc_id, n, gram)` plus one
+ * per-doc reduce, with map-side partial aggregation throughout; nothing is
+ * ever pairwise. [[c4LineFilter]] is a pure higher-order-function column
+ * (whole-stage codegen, no shuffle at all).
+ */
+object QualityFilters {
+
+  /** Exact fraction formulas (documented because published variants differ):
+    *  - `dup_line_frac`      = occurrences of non-unique lines / all lines
+    *  - `dup_line_char_frac` = chars in non-unique line occurrences / chars in all lines
+    *  - `top_<n>gram_frac`   = count*len of the most frequent n-gram / sum(count*len)
+    *                           (ties broken by count, then gram length, then gram text)
+    *  - `dup_<n>gram_frac`   = sum(count*len) over n-grams seen more than once /
+    *                           sum(count*len) over all n-grams
+    * All rounded to 4 places; a doc with no grams (or no lines) reports null.
+    * Unlike Gopher's positional char accounting, repeated-occurrence chars
+    * count every occurrence — deterministic and one-pass, same decision power.
+    */
+  def repetitionSignals(d: DataFrame, text: Column, lineSep: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7)
+
+    // ONE tagged explode feeds every stat family: n=1 rows are the trimmed
+    // raw lines, n>=2 rows the lowercased n-grams. The whole computation is
+    // explode -> groupBy(doc,n,token) -> groupBy(doc,n) -> groupBy(doc) ->
+    // one left join back to the doc ids — 4 shuffles total regardless of how
+    // many n-gram orders are measured.
+    val lines = transform(
+      filter(transform(split(text, java.util.regex.Pattern.quote(lineSep)),
+        l => trim(l)), l => l =!= ""),
+      l => struct(lit(1).as("n"), l.as("g")))
+    val gramArrays = (topNs ++ dupNs).map { n =>
+      transform(TextAnalysis.wordShingles(lower(text), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }
+    val counts = d.select(col("doc_id"), explode(concat(lines +: gramArrays: _*)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+
+    def nullIfZero(c: Column): Column = when(c === 0, lit(null)).otherwise(c)
+    val perN = counts.groupBy("doc_id", "n").agg(
+      max(struct(col("c"), length(col("g")).as("l"), col("g").as("g"))).as("top"),
+      sum(col("c")).as("cnt_tot"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("cnt_dup"),
+      sum(col("c") * length(col("g"))).as("tot"),
+      sum(when(col("c") > 1, col("c") * length(col("g"))).otherwise(0L)).as("dup"))
+      .select(col("doc_id"), col("n"), col("cnt_tot"),
+        round(col("cnt_dup").cast("double") / col("cnt_tot").cast("double"), 4)
+          .as("cntf"),
+        round((col("top.c") * col("top.l")).cast("double") /
+          nullIfZero(col("tot")).cast("double"), 4).as("topf"),
+        round(col("dup").cast("double") / nullIfZero(col("tot")).cast("double"), 4)
+          .as("dupf"))
+
+    val wideCols =
+      Seq(max(when(col("n") === 1, col("cnt_tot"))).as("n_lines"),
+        max(when(col("n") === 1, col("cntf"))).as("dup_line_frac"),
+        max(when(col("n") === 1, col("dupf"))).as("dup_line_char_frac")) ++
+        topNs.map(n => max(when(col("n") === n, col("topf"))).as(s"top_${n}gram_frac")) ++
+        dupNs.map(n => max(when(col("n") === n, col("dupf"))).as(s"dup_${n}gram_frac"))
+    val wide = perN.groupBy("doc_id").agg(wideCols.head, wideCols.tail: _*)
+
+    d.select(col("doc_id")).join(wide, Seq("doc_id"), "left")
+  }
+
+  /** C4's line-level cleaning (Raffel et al. 2020 §2.2) as one codegen'd
+    * column: keep lines that end in terminal punctuation (optionally followed
+    * by a closing quote), have at least 3 words, and do not mention
+    * "javascript"; flag documents containing "lorem ipsum" or a curly brace.
+    * Returns `struct(n_lines, n_kept, kept_text, has_lorem, has_brace)`. */
+  def c4LineFilter(text: Column, lineSep: String): Column = {
+    val lines = filter(transform(split(text, java.util.regex.Pattern.quote(lineSep)),
+      l => trim(l)), l => l =!= "")
+    val kept = filter(lines, t =>
+      t.rlike("[.!?][\"”']?$") &&
+        size(filter(split(t, "\\s+"), w => w =!= "")) >= 3 &&
+        !lower(t).contains("javascript"))
+    struct(
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      array_join(kept, "\n").as("kept_text"),
+      lower(text).contains("lorem ipsum").as("has_lorem"),
+      text.contains("{").as("has_brace"))
+  }
+}

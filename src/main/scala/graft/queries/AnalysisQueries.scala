@@ -12,7 +12,8 @@ import graft.queries.{OracleSql => O}
  * §2.9/§2.11): token counting, quality scoring, language ID, document fingerprinting,
  * exact dedup, MinHash+LSH near-dup, SimHash, embedding similarity search (brute-force
  * cosine top-k and an LSH-bucketed variant), bag-of-words, percent-missing-text and
- * n-gram overlap metrics.
+ * n-gram overlap metrics, Gopher-style repetition signals and the C4 line filter
+ * ([[graft.functions.QualityFilters]]).
  *
  * Scale shapes (the point at 100 TB):
  *  - exact dedup = `groupBy(fingerprint)` — one hash-partitioned shuffle, map-side
@@ -483,6 +484,21 @@ object AnalysisQueries {
 
     // shared n-gram percentage (reference `metrics/utils.py:213-246`): shared 2-gram
     // mass / source 2-gram mass, as a percentage rounded to 2dp.
+    // Gopher/MassiveText repetition signals (Rae et al. 2021 A1.1): duplicate
+    // lines + top/duplicated n-gram fractions, every n in ONE explode pass.
+    "q_repetition_signals" -> ((s, dir) =>
+      graft.functions.QualityFilters.repetitionSignals(
+        docs(s, dir), col("text"), " merge ").orderBy("doc_id")),
+
+    // C4 line-level cleaning (Raffel et al. 2020 2.2) as a pure codegen'd
+    // column: terminal punctuation, >= 3 words, no "javascript"; doc flags.
+    "q_c4_line_filter" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.QualityFilters.c4LineFilter(col("text"), " merge ").as("f"))
+        .select(col("doc_id"), col("f.n_lines"), col("f.n_kept"),
+          col("f.kept_text"), col("f.has_lorem"), col("f.has_brace"))
+        .orderBy("doc_id")),
+
     "q_ngram_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
       val src = gramCounts(d, col("text"), "sn")
@@ -924,6 +940,74 @@ object AnalysisQueries {
          |    AS pct_missing
          |FROM src LEFT JOIN outw ON src.doc_id = outw.doc_id AND src.w = outw.w
          |GROUP BY src.doc_id ORDER BY src.doc_id""".stripMargin,
+
+    "q_repetition_signals" -> {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7)
+      def gramCte(n: Int) =
+        s"""g$n AS (
+           |  SELECT doc_id, g, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(${O.shinglesN(wordsL("text"), n)}) AS g
+           |        FROM documents)
+           |  GROUP BY doc_id, g)""".stripMargin
+      def topCte(n: Int) =
+        s"""t$n AS (
+           |  SELECT doc_id, round(chars::DOUBLE / NULLIF(tot, 0)::DOUBLE, 4) AS topf
+           |  FROM (SELECT doc_id, c * length(g) AS chars,
+           |          sum(c * length(g)) OVER (PARTITION BY doc_id) AS tot,
+           |          row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+           |        FROM g$n)
+           |  WHERE rn = 1)""".stripMargin
+      def dupCte(n: Int) =
+        s"""d$n AS (
+           |  SELECT doc_id,
+           |    round(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)::DOUBLE /
+           |      NULLIF(sum(c * length(g)), 0)::DOUBLE, 4) AS dupf
+           |  FROM g$n GROUP BY doc_id)""".stripMargin
+      val lineCtes =
+        s"""ln0 AS (
+           |  SELECT doc_id, l, count(*) AS c
+           |  FROM (SELECT doc_id,
+           |          unnest(list_filter(list_transform(
+           |            string_split(text, ' merge '), x -> trim(x)), x -> x <> '')) AS l
+           |        FROM documents)
+           |  GROUP BY doc_id, l),
+           |lf AS (
+           |  SELECT doc_id, sum(c)::BIGINT AS n_lines,
+           |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE /
+           |      sum(c)::DOUBLE, 4) AS dup_line_frac,
+           |    round(sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END)::DOUBLE /
+           |      NULLIF(sum(c * length(l)), 0)::DOUBLE, 4) AS dup_line_char_frac
+           |  FROM ln0 GROUP BY doc_id)""".stripMargin
+      val ctes = ((topNs ++ dupNs).map(gramCte) ++ topNs.map(topCte) ++
+        dupNs.map(dupCte) :+ lineCtes).mkString(",\n")
+      val joins = (topNs.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+        dupNs.map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString(" ")
+      s"""WITH $ctes
+         |SELECT documents.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+         |  ${topNs.map(n => s"t$n.topf AS top_${n}gram_frac").mkString(", ")},
+         |  ${dupNs.map(n => s"d$n.dupf AS dup_${n}gram_frac").mkString(", ")}
+         |FROM documents LEFT JOIN lf USING (doc_id) $joins
+         |ORDER BY documents.doc_id""".stripMargin
+    },
+
+    "q_c4_line_filter" -> {
+      val lines =
+        "list_filter(list_transform(string_split(text, ' merge '), x -> trim(x))," +
+          " x -> x <> '')"
+      val keepCond =
+        """regexp_matches(t, '[.!?]["”'']?$') AND
+          |      len(list_filter(string_split_regex(t, '\s+'), w -> w <> '')) >= 3 AND
+          |      NOT contains(lower(t), 'javascript')""".stripMargin
+      s"""SELECT doc_id,
+         |  len($lines)::INT AS n_lines,
+         |  len(list_filter($lines, t -> $keepCond))::INT AS n_kept,
+         |  coalesce(array_to_string(list_filter($lines, t -> $keepCond), chr(10)), '') AS kept_text,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  contains(text, '{') AS has_brace
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_ngram_overlap" ->
       s"""WITH src AS (

@@ -152,6 +152,15 @@ object OracleSql {
       s"$ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2]) " +
       s"ELSE [array_to_string($ws, ' ')] END)"
 
+  /** General n-word shingles (mirrors `TextAnalysis.wordShingles`: fewer than
+    * n words yields the single space-joined gram). */
+  def shinglesN(ws: String, n: Int): String = {
+    val terms = (0 until n).map(k => s"$ws[i+$k]").mkString(" || ' ' || ")
+    s"(CASE WHEN len($ws) >= $n THEN " +
+      s"list_transform(range(1, len($ws) - ${n - 2}), i -> $terms) " +
+      s"ELSE [array_to_string($ws, ' ')] END)"
+  }
+
   /** 2-word shingles. */
   def shingles2(ws: String): String =
     s"(CASE WHEN len($ws) >= 2 THEN " +

@@ -43,6 +43,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // textual plan (exchange reuse collapses them at runtime)
     "q_curate_corpus" -> 16,
     "q_ann_ivf" -> 8, "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
+    // one tagged explode -> 3 aggregation levels + id join + output sort (the
+    // AQE-off textual plan re-lists the reused doc_id exchanges)
+    "q_repetition_signals" -> 7,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
     // two partition_text passes + (type,depth)/type/global aggregation levels
     "q_element_type_percent_match" -> 7,

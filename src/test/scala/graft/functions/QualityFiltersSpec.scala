@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** Gopher repetition signals + C4 line filter, pinned on hand-computed
+  * vectors (Rae et al. 2021 A1.1; Raffel et al. 2020 2.2). */
+class QualityFiltersSpec extends SparkSuiteBase {
+
+  private def signals(rows: (String, String)*): Map[String, Row] = {
+    val sp = spark
+    import sp.implicits._
+    val d = rows.toSeq.toDF("doc_id", "text")
+    QualityFilters.repetitionSignals(d, col("text"), "\n")
+      .collect().map(r => r.getString(0) -> r).toMap
+  }
+
+  test("duplicate-line fractions count every occurrence of a repeated line") {
+    // 4 lines, "same line" appears 3 times: dup_line_frac = 3/4; chars
+    // 3*9 dup / (3*9 + 6) total
+    val r = signals("a" -> "same line\nsame line\nsame line\nunique")("a")
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Double]("dup_line_frac") == 0.75)
+    assert(r.getAs[Double]("dup_line_char_frac") ==
+      math.rint(10000.0 * 27.0 / 33.0) / 10000.0)
+  }
+
+  test("a document with no repeated lines scores zero") {
+    val r = signals("a" -> "first line\nsecond line\nthird line")("a")
+    assert(r.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.0)
+  }
+
+  test("top-2gram fraction finds the dominant bigram deterministically") {
+    // words: the cat the cat sat -> bigrams: "the cat"(2) "cat the" "cat sat"
+    // top = "the cat": 2*7 = 14 chars of 7+7+7+7 = 28 total
+    val r = signals("a" -> "the cat the cat sat")("a")
+    assert(r.getAs[Double]("top_2gram_frac") == 0.5)
+  }
+
+  test("dup-5gram fraction is zero without repetition, positive with it") {
+    val clean = signals("a" -> "one two three four five six seven eight")("a")
+    assert(clean.getAs[Double]("dup_5gram_frac") == 0.0)
+    // "a b c d e" repeated: every 5-gram window that recurs counts each time
+    val loop = signals("a" -> "a b c d e a b c d e a b c d e")("a")
+    assert(loop.getAs[Double]("dup_5gram_frac") > 0.5)
+  }
+
+  test("grams lowercase before counting; lines do not") {
+    val r = signals("a" -> "The Cat\nthe cat")("a")
+    // lines differ (case-sensitive) but the bigram "the cat" repeats; grams
+    // span the line break, so "cat the" joins the denominator: 14/21
+    assert(r.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r.getAs[Double]("top_2gram_frac") ==
+      math.rint(10000.0 * 14.0 / 21.0) / 10000.0)
+  }
+
+  test("a doc with no lines and no words reports nulls, not failures") {
+    val r = signals("a" -> "   ")("a")
+    assert(r.isNullAt(r.fieldIndex("n_lines")))
+    assert(r.isNullAt(r.fieldIndex("top_2gram_frac")))
+  }
+
+  private def c4(text: String): Row = {
+    val sp = spark
+    import sp.implicits._
+    Seq(("a", text)).toDF("doc_id", "text")
+      .select(QualityFilters.c4LineFilter(col("text"), "\n").as("f"))
+      .select("f.*").collect().head
+  }
+
+  test("C4 keeps only terminal-punctuation lines with at least 3 words") {
+    val r = c4("This sentence is fine.\nno punct here\nShort one.\n" +
+      "Is this a question?\nShouting works too!")
+    assert(r.getAs[Int]("n_lines") == 5)
+    assert(r.getAs[Int]("n_kept") == 3)
+    assert(r.getAs[String]("kept_text") ==
+      "This sentence is fine.\nIs this a question?\nShouting works too!")
+  }
+
+  test("a closing quote after the terminal punctuation still counts") {
+    assert(c4("He said \"stop now.\"").getAs[Int]("n_kept") == 1)
+    assert(c4("He said stop now.”").getAs[Int]("n_kept") == 1)
+  }
+
+  test("javascript mentions drop the line; lorem ipsum and braces flag the doc") {
+    val r = c4("Please enable JavaScript to continue.\nA real sentence here.")
+    assert(r.getAs[Int]("n_kept") == 1)
+    assert(!r.getAs[Boolean]("has_lorem") && !r.getAs[Boolean]("has_brace"))
+    val flagged = c4("Lorem Ipsum dolor sit amet.\nfunction f() { return 1; }")
+    assert(flagged.getAs[Boolean]("has_lorem"))
+    assert(flagged.getAs[Boolean]("has_brace"))
+  }
+
+  test("blank and whitespace-only lines are not counted") {
+    val r = c4("First real sentence.\n\n   \nSecond real sentence.")
+    assert(r.getAs[Int]("n_lines") == 2)
+    assert(r.getAs[Int]("n_kept") == 2)
+  }
+
+  test("the whole gram family computes from one explode pass") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(("a", "x y z x y z")).toDF("doc_id", "text")
+    val plan = QualityFilters.repetitionSignals(d, col("text"), "\n")
+      .queryExecution.executedPlan.toString
+    // one generator for lines AND all six n-gram orders, not seven scans
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected ONE tagged explode:\n$plan")
+    // 4 shuffles: token counts, per-n stats, per-doc pivot, the id join
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"expected <= 4 exchanges:\n$plan")
+  }
+}
