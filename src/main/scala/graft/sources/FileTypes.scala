@@ -170,7 +170,8 @@ object DetectFiletype {
 
   /** Text differentiator for extension-less / ambiguous text (`filetype.py:728-843`). */
   private def sniffText(text: String, filename: String): FileType = {
-    val t = text.stripLeading()
+    // Python `lstrip()` strips NBSP/NEL etc. where Java `stripLeading` does not
+    val t = { import graft.operators.Chunker.PyStringOps; text.pyStripLeading }
     val firstLines = text.linesIterator.take(5).toVector
     if (t.startsWith("<!DOCTYPE html") || t.startsWith("<html") ||
       t.take(2048).contains("<html")) FileType.Html
@@ -189,7 +190,9 @@ object DetectFiletype {
     else extOf(filename).flatMap(FileType.fromExtension)
       .filter(TextExtTypes.contains) match {
       case Some(t2) => t2
-      case None => if (looksLikeCsv(text)) FileType.Csv else FileType.Txt
+      // the reference's `_is_csv` sees only `text_head` — the first 4096
+      // chars — so a divergence past the head must not change the verdict
+      case None => if (looksLikeCsv(text.take(4096))) FileType.Csv else FileType.Txt
     }
   }
 
@@ -333,25 +336,61 @@ object DetectFiletype {
     * 10 checked), every line holds at least one comma, and every line's
     * outside-quotes comma count equals the header's. */
   private[sources] def looksLikeCsv(text: String): Boolean = {
+    // the reference's lookahead regex `(?=(?:[^"]*"[^"]*")*[^"]*$),` counts a
+    // comma only when an EVEN number of quotes follows it to end-of-line — on
+    // a line with unbalanced quotes that is NOT the same as "outside quotes
+    // so far" (e.g. `a,b"` counts 0, `"a,b` counts 1). Scan from the right,
+    // tracking suffix quote parity.
     def countCommas(line: String): Int = {
-      // the reference's lookahead regex counts commas followed by an even number
-      // of quotes — i.e. commas outside double-quoted spans (escapes not handled)
-      var inQuotes = false
+      var quotesAfter = 0
       var count = 0
-      line.foreach {
-        case '"' => inQuotes = !inQuotes
-        case ',' if !inQuotes => count += 1
-        case _ => ()
+      var i = line.length - 1
+      while (i >= 0) {
+        line.charAt(i) match {
+          case '"' => quotesAfter += 1
+          case ',' if quotesAfter % 2 == 0 => count += 1
+          case _ => ()
+        }
+        i -= 1
       }
       count
     }
-    val lines = text.strip().linesIterator.take(10).toVector
+    val lines = pySplitLines(pyStripString(text)).take(10)
     if (lines.size < 2) false
     else if (lines.exists(!_.contains(','))) false
     else {
       val header = countCommas(lines.head)
       lines.tail.forall(countCommas(_) == header)
     }
+  }
+
+  /** Python `str.strip()` (the four extra no-break/NEL spaces included). */
+  private def pyStripString(s: String): String = {
+    import graft.operators.Chunker.PyStringOps
+    s.pyStrip
+  }
+
+  /** Python `str.splitlines()`: besides `\n`/`\r`/`\r\n`, Python breaks on
+    * VT, FF, FS, GS, RS, NEL, LS and PS — `linesIterator` does not. */
+  private[sources] def pySplitLines(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    def isBreak(c: Char): Boolean = c match {
+      case '\n' | '\r' | '\u000B' | '\u000C' | '\u001C' | '\u001D' |
+        '\u001E' | '\u0085' | '\u2028' | '\u2029' => true
+      case _ => false
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isBreak(c)) {
+        out += sb.toString; sb.clear()
+        if (c == '\r' && i + 1 < s.length && s.charAt(i + 1) == '\n') i += 1
+      } else sb.append(c)
+      i += 1
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result()
   }
 
   /** Types whose extensions the text differentiator honors directly
