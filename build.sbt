@@ -33,6 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // collection-bound and per-query times turn erratic (observed 3 s → 20 s on
   // the same query in one bench run at 8g); the box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Whole-document strings (a 3 MB book per parse task) are humongous
+  // objects at G1's default region size; 32 concurrent parses then spend
+  // the wall in region-reclaim (observed 94 s -> 23 s on a 32-file corpus).
+  "-XX:G1HeapRegionSize=32m",
   // Spark whole-stage codegen emits thousands of janino classes across a
   // 147-query bench; the JVM default 240m code cache fills, JIT disables, and
   // stages intermittently run interpreted (observed 3 s → 43 s on one query).

@@ -67,11 +67,43 @@ object AutoSource {
    * (bounded depth 1, like the reference) and unioned into the stream with the
    * `attached_to_filename` marker (`partition/email.py:372-441`).
    */
+  /**
+   * Fan a binary file scan out to the cluster when Spark's byte-based split
+   * packing would under-parallelize the PARSE. `binaryFile` rows are not
+   * splittable, and split planning packs files by size + open-cost — 32
+   * multi-MB books fit one 128 MB split, serializing a parse that is pure
+   * CPU per file. When the packed-split estimate is below the core count,
+   * redistribute round-robin (shuffle cost = the file bytes themselves,
+   * negligible against parse cost at that corpus size); a real lake with
+   * >= parallelism splits passes through untouched.
+   */
+  def fanoutFiles(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty) df
+    else {
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val totalBytes = files.map { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        try path.getFileSystem(hconf).getFileStatus(path).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+      val packed = (totalBytes + conf.filesOpenCostInBytes * files.length +
+        maxSplit - 1) / maxSplit
+      if (packed < p) df.repartition(math.min(p.toLong, files.length.toLong).toInt)
+      else df
+    }
+  }
+
   def partitionFiles(spark: SparkSession, pathGlob: String,
       processAttachments: Boolean = false): DataFrame = {
     import spark.implicits._
-    val files = spark.read.format("binaryFile").load(pathGlob)
-      .select(col("path"), col("content"))
+    val files = fanoutFiles(
+      spark.read.format("binaryFile").load(pathGlob)
+        .select(col("path"), col("content")))
       .as[(String, Array[Byte])]
     val raw = files.flatMap { case (path, content) =>
       parseDoc(path, content, processAttachments)

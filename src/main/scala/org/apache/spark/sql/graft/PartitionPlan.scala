@@ -156,12 +156,15 @@ object PartitionPlan {
     AutoSource.typedFromRaw(raw)
   }
 
-  /** [[partitionDocs]] over a `binaryFile` scan of `pathGlob`. */
+  /** [[partitionDocs]] over a `binaryFile` scan of `pathGlob`, fanned out
+    * past Spark's byte-based split packing when that would serialize the
+    * parse ([[AutoSource.fanoutFiles]]). */
   def partitionFiles(spark: SparkSession, pathGlob: String,
       processAttachments: Boolean = false): DataFrame =
     partitionDocs(
-      spark.read.format("binaryFile").load(pathGlob)
-        .selectExpr("path", "content"),
+      AutoSource.fanoutFiles(
+        spark.read.format("binaryFile").load(pathGlob)
+          .selectExpr("path", "content")),
       processAttachments)
 
   /** Lift the router's element rows into the typed [[Element]] model as a pure

@@ -64,15 +64,19 @@ class PartitionPlanSpec extends SparkSuiteBase {
     }
   }
 
-  test("the parse appears as a named node; only the resequence shuffles") {
+  test("the parse appears as a named node; resequence + small-corpus fanout shuffle") {
     withCorpus { dir =>
       val plan = PartitionPlan.partitionFiles(spark, dir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("GraftPartitionDocs"), plan)
-      // the parse itself is shuffle-free: the single Exchange is the shared
-      // per-doc resequence window, same as the typed flatMap source
+      // the parse itself is shuffle-free: one Exchange is the shared per-doc
+      // resequence window; the other is the deliberate fanoutFiles round-robin
+      // (this 4-file corpus packs into one split, which would serialize the
+      // parse) — a corpus with >= parallelism splits skips it
       val exchanges = "Exchange".r.findAllIn(plan).length
-      assert(exchanges == 1, s"expected only the resequence exchange:\n$plan")
+      assert(exchanges == 2, s"expected fanout + resequence exchanges:\n$plan")
+      assert(plan.contains("RoundRobinPartitioning") ||
+        plan.contains("Repartition"), plan)
     }
   }
 
