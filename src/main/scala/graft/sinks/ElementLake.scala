@@ -28,12 +28,20 @@ object ElementLake {
   val UnknownFiletype = "unknown"
 
   def write(ds: Dataset[Element], path: String): Unit =
+    writeMode(ds, path, "overwrite")
+
+  /** Append a new slice (a micro-batch, an incremental ingest) into the same
+    * layout — the partition directories accumulate files. */
+  def append(ds: Dataset[Element], path: String): Unit =
+    writeMode(ds, path, "append")
+
+  private def writeMode(ds: Dataset[Element], path: String, mode: String): Unit =
     ds.toDF()
       .withColumn(PartitionCol,
         coalesce(col("metadata.filetype"), lit(UnknownFiletype)))
       .repartition(col(PartitionCol), col("doc_id"))
       .sortWithinPartitions("doc_id", "seq")
-      .write.mode("overwrite").partitionBy(PartitionCol).parquet(path)
+      .write.mode(mode).partitionBy(PartitionCol).parquet(path)
 
   /** Full-lake read; `p_filetype` is dropped (the data files carry the real
     * `metadata.filetype`, nulls included). */

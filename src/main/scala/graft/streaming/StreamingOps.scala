@@ -52,6 +52,45 @@ object StreamingOps {
     }.toDF("doc_id", "filetype", "seq", "element_type", "text", "page_number")
   }
 
+  /**
+   * File-arrival ingestion into the filetype-partitioned element lake: each
+   * micro-batch of new files under `watchPath` runs the SAME plan-visible
+   * batch pipeline (`GraftPartitionDocs` + the declarative lift) inside
+   * `foreachBatch`, then appends to [[graft.sinks.ElementLake]]. The batch
+   * path is the single source of truth — streaming adds only arrival
+   * tracking (checkpointed file log) and append semantics.
+   *
+   * Exactly-once note: the file-source checkpoint makes each file processed
+   * once per committed batch; a crash between the lake append and the commit
+   * can replay one batch (at-least-once into the lake). Dedup downstream by
+   * `doc_id` (the path) is the standard corrective at scale.
+   */
+  def ingestToLake(spark: SparkSession, watchPath: String, lakePath: String,
+      checkpoint: String, maxFilesPerTrigger: Int = 100,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(watchPath)
+      .select(col("path"), col("content"))
+    files.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val parsed = org.apache.spark.sql.graft.PartitionPlan.partitionDocs(batch.toDF())
+        graft.sinks.ElementLake.append(
+          org.apache.spark.sql.graft.PartitionPlan.toElements(parsed), lakePath)
+      }
+      .start()
+  }
+
   private val sinkSeq = new AtomicInteger(0)
 
   /**
