@@ -79,6 +79,30 @@ object QualityFilters {
     d.select(col("doc_id")).join(wide, Seq("doc_id"), "left")
   }
 
+  /** The composed corpus-prune decision a Gopher/C4-style pipeline applies
+    * before dedup: repetition ceilings + document flags + at least one
+    * C4-clean line. Null signals (doc too small to measure) pass the
+    * repetition gates — tiny docs are pruned by other floors, not these.
+    * Returns `doc_id, repetitive, flagged, no_clean_lines, keep`. */
+  def pruneDecision(d: DataFrame, text: Column, lineSep: String,
+      maxDupLineFrac: Double = 0.30, maxTop2gramFrac: Double = 0.20,
+      maxDup5gramFrac: Double = 0.15): DataFrame = {
+    val rep = repetitionSignals(d, text, lineSep)
+    val c4 = d.select(col("doc_id"), c4LineFilter(text, lineSep).as("f"))
+    val repetitive =
+      coalesce(col("dup_line_frac"), lit(0.0)) > maxDupLineFrac ||
+        coalesce(col("top_2gram_frac"), lit(0.0)) > maxTop2gramFrac ||
+        coalesce(col("dup_5gram_frac"), lit(0.0)) > maxDup5gramFrac
+    val flagged = col("f.has_lorem") || col("f.has_brace")
+    val noClean = col("f.n_kept") === 0
+    rep.join(c4, Seq("doc_id"))
+      .select(col("doc_id"),
+        repetitive.as("repetitive"),
+        flagged.as("flagged"),
+        noClean.as("no_clean_lines"),
+        (!repetitive && !flagged && !noClean).as("keep"))
+  }
+
   /** C4's line-level cleaning (Raffel et al. 2020 §2.2) as one codegen'd
     * column: keep lines that end in terminal punctuation (optionally followed
     * by a closing quote), have at least 3 words, and do not mention

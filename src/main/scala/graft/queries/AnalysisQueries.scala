@@ -137,6 +137,76 @@ object AnalysisQueries {
     s"(CASE WHEN doc_id % 13 = 11 THEN NULL ELSE $latin END)"
   }
 
+  /** The q_repetition_signals oracle SELECT (shared with q_quality_prune). */
+  private def repetitionOracleSql(from: String = "documents"): String = {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7)
+      def gramCte(n: Int) =
+        s"""g$n AS (
+           |  SELECT doc_id, g, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(${O.shinglesN(wordsL("text"), n)}) AS g
+           |        FROM $from)
+           |  GROUP BY doc_id, g)""".stripMargin
+      def topCte(n: Int) =
+        s"""t$n AS (
+           |  SELECT doc_id, round(chars::DOUBLE / NULLIF(tot, 0)::DOUBLE, 4) AS topf
+           |  FROM (SELECT doc_id, c * length(g) AS chars,
+           |          sum(c * length(g)) OVER (PARTITION BY doc_id) AS tot,
+           |          row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY c DESC, length(g) DESC, g DESC) AS rn
+           |        FROM g$n)
+           |  WHERE rn = 1)""".stripMargin
+      def dupCte(n: Int) =
+        s"""d$n AS (
+           |  SELECT doc_id,
+           |    round(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)::DOUBLE /
+           |      NULLIF(sum(c * length(g)), 0)::DOUBLE, 4) AS dupf
+           |  FROM g$n GROUP BY doc_id)""".stripMargin
+      val lineCtes =
+        s"""ln0 AS (
+           |  SELECT doc_id, l, count(*) AS c
+           |  FROM (SELECT doc_id,
+           |          unnest(list_filter(list_transform(
+           |            string_split(text, ' merge '), x -> trim(x)), x -> x <> '')) AS l
+           |        FROM $from)
+           |  GROUP BY doc_id, l),
+           |lf AS (
+           |  SELECT doc_id, sum(c)::BIGINT AS n_lines,
+           |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE /
+           |      sum(c)::DOUBLE, 4) AS dup_line_frac,
+           |    round(sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END)::DOUBLE /
+           |      NULLIF(sum(c * length(l)), 0)::DOUBLE, 4) AS dup_line_char_frac
+           |  FROM ln0 GROUP BY doc_id)""".stripMargin
+      val ctes = ((topNs ++ dupNs).map(gramCte) ++ topNs.map(topCte) ++
+        dupNs.map(dupCte) :+ lineCtes).mkString(",\n")
+      val joins = (topNs.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+        dupNs.map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString(" ")
+      s"""WITH $ctes
+         |SELECT $from.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+         |  ${topNs.map(n => s"t$n.topf AS top_${n}gram_frac").mkString(", ")},
+         |  ${dupNs.map(n => s"d$n.dupf AS dup_${n}gram_frac").mkString(", ")}
+         |FROM $from LEFT JOIN lf USING (doc_id) $joins
+         |ORDER BY $from.doc_id""".stripMargin
+  }
+
+  /** The q_c4_line_filter oracle SELECT (shared with q_quality_prune). */
+  private def c4OracleSql(from: String = "documents"): String = {
+      val lines =
+        "list_filter(list_transform(string_split(text, ' merge '), x -> trim(x))," +
+          " x -> x <> '')"
+      val keepCond =
+        """regexp_matches(t, '[.!?]["”'']?$') AND
+          |      len(list_filter(string_split_regex(t, '\s+'), w -> w <> '')) >= 3 AND
+          |      NOT contains(lower(t), 'javascript')""".stripMargin
+      s"""SELECT doc_id,
+         |  len($lines)::INT AS n_lines,
+         |  len(list_filter($lines, t -> $keepCond))::INT AS n_kept,
+         |  coalesce(array_to_string(list_filter($lines, t -> $keepCond), chr(10)), '') AS kept_text,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  contains(text, '{') AS has_brace
+         |FROM $from ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_counts" -> ((s, dir) =>
       docs(s, dir).select(
@@ -498,6 +568,26 @@ object AnalysisQueries {
         .select(col("doc_id"), col("f.n_lines"), col("f.n_kept"),
           col("f.kept_text"), col("f.has_lorem"), col("f.has_brace"))
         .orderBy("doc_id")),
+
+    // the composed Gopher/C4 prune decision (repetition ceilings + flags +
+    // at least one clean line) — the pre-dedup gate of a training pipeline.
+    // The corpus is adversarially augmented so every gate fires somewhere:
+    // each doc gains one clean closing sentence, every 4th doc repeats its
+    // own text (repetition ceilings), every 7th gains a lorem-ipsum + brace
+    // tail (C4 flags) — mirrored verbatim in the oracle.
+    "q_quality_prune" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" merge This document ends with a proper sentence.")).as("text"))
+      val augmented = base.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" merge lorem ipsum tail {")))
+          .when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" merge "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.functions.QualityFilters.pruneDecision(
+        augmented, col("text"), " merge ").orderBy("doc_id")
+    }),
 
     "q_ngram_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -941,73 +1031,31 @@ object AnalysisQueries {
          |FROM src LEFT JOIN outw ON src.doc_id = outw.doc_id AND src.w = outw.w
          |GROUP BY src.doc_id ORDER BY src.doc_id""".stripMargin,
 
-    "q_repetition_signals" -> {
-      val topNs = Seq(2, 3, 4)
-      val dupNs = Seq(5, 6, 7)
-      def gramCte(n: Int) =
-        s"""g$n AS (
-           |  SELECT doc_id, g, count(*) AS c
-           |  FROM (SELECT doc_id, unnest(${O.shinglesN(wordsL("text"), n)}) AS g
-           |        FROM documents)
-           |  GROUP BY doc_id, g)""".stripMargin
-      def topCte(n: Int) =
-        s"""t$n AS (
-           |  SELECT doc_id, round(chars::DOUBLE / NULLIF(tot, 0)::DOUBLE, 4) AS topf
-           |  FROM (SELECT doc_id, c * length(g) AS chars,
-           |          sum(c * length(g)) OVER (PARTITION BY doc_id) AS tot,
-           |          row_number() OVER (PARTITION BY doc_id
-           |            ORDER BY c DESC, length(g) DESC, g DESC) AS rn
-           |        FROM g$n)
-           |  WHERE rn = 1)""".stripMargin
-      def dupCte(n: Int) =
-        s"""d$n AS (
-           |  SELECT doc_id,
-           |    round(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)::DOUBLE /
-           |      NULLIF(sum(c * length(g)), 0)::DOUBLE, 4) AS dupf
-           |  FROM g$n GROUP BY doc_id)""".stripMargin
-      val lineCtes =
-        s"""ln0 AS (
-           |  SELECT doc_id, l, count(*) AS c
-           |  FROM (SELECT doc_id,
-           |          unnest(list_filter(list_transform(
-           |            string_split(text, ' merge '), x -> trim(x)), x -> x <> '')) AS l
-           |        FROM documents)
-           |  GROUP BY doc_id, l),
-           |lf AS (
-           |  SELECT doc_id, sum(c)::BIGINT AS n_lines,
-           |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE /
-           |      sum(c)::DOUBLE, 4) AS dup_line_frac,
-           |    round(sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END)::DOUBLE /
-           |      NULLIF(sum(c * length(l)), 0)::DOUBLE, 4) AS dup_line_char_frac
-           |  FROM ln0 GROUP BY doc_id)""".stripMargin
-      val ctes = ((topNs ++ dupNs).map(gramCte) ++ topNs.map(topCte) ++
-        dupNs.map(dupCte) :+ lineCtes).mkString(",\n")
-      val joins = (topNs.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
-        dupNs.map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString(" ")
-      s"""WITH $ctes
-         |SELECT documents.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
-         |  ${topNs.map(n => s"t$n.topf AS top_${n}gram_frac").mkString(", ")},
-         |  ${dupNs.map(n => s"d$n.dupf AS dup_${n}gram_frac").mkString(", ")}
-         |FROM documents LEFT JOIN lf USING (doc_id) $joins
-         |ORDER BY documents.doc_id""".stripMargin
-    },
+    "q_repetition_signals" -> repetitionOracleSql(),
 
-    "q_c4_line_filter" -> {
-      val lines =
-        "list_filter(list_transform(string_split(text, ' merge '), x -> trim(x))," +
-          " x -> x <> '')"
-      val keepCond =
-        """regexp_matches(t, '[.!?]["”'']?$') AND
-          |      len(list_filter(string_split_regex(t, '\s+'), w -> w <> '')) >= 3 AND
-          |      NOT contains(lower(t), 'javascript')""".stripMargin
-      s"""SELECT doc_id,
-         |  len($lines)::INT AS n_lines,
-         |  len(list_filter($lines, t -> $keepCond))::INT AS n_kept,
-         |  coalesce(array_to_string(list_filter($lines, t -> $keepCond), chr(10)), '') AS kept_text,
-         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
-         |  contains(text, '{') AS has_brace
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "q_c4_line_filter" -> c4OracleSql(),
+
+    "q_quality_prune" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN base || ' merge lorem ipsum tail {'
+         |         WHEN doc_id % 4 = 0 THEN base || ' merge ' || base
+         |         ELSE base END AS text
+         |  FROM (SELECT doc_id,
+         |          text || ' merge This document ends with a proper sentence.' AS base
+         |        FROM documents)),
+         |rep AS (${repetitionOracleSql("aug")}), c4 AS (${c4OracleSql("aug")}),
+         |j AS (
+         |  SELECT rep.doc_id,
+         |    (coalesce(dup_line_frac, 0) > 0.30 OR
+         |     coalesce(top_2gram_frac, 0) > 0.20 OR
+         |     coalesce(dup_5gram_frac, 0) > 0.15) AS repetitive,
+         |    (has_lorem OR has_brace) AS flagged,
+         |    (n_kept = 0) AS no_clean_lines
+         |  FROM rep JOIN c4 USING (doc_id))
+         |SELECT doc_id, repetitive, flagged, no_clean_lines,
+         |  (NOT repetitive AND NOT flagged AND NOT no_clean_lines) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_ngram_overlap" ->
       s"""WITH src AS (

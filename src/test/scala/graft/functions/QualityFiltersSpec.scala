@@ -100,6 +100,34 @@ class QualityFiltersSpec extends SparkSuiteBase {
     assert(r.getAs[Int]("n_kept") == 2)
   }
 
+  test("pruneDecision composes the gates: repetition, flags, no-clean-lines") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      ("clean", "This is a perfectly ordinary sentence of prose.\nAnd here is another one for good measure."),
+      ("repet", Seq.fill(6)("The same line repeats verbatim every time here.").mkString("\n")),
+      ("flagd", "Lorem ipsum dolor sit amet is flagged here.\nA real closing sentence follows anyway."),
+      ("nokep", "no terminal punctuation here\nnor here either")
+    ).toDF("doc_id", "text")
+    val r = QualityFilters.pruneDecision(d, col("text"), "\n")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("clean").getAs[Boolean]("keep"))
+    assert(r("repet").getAs[Boolean]("repetitive") && !r("repet").getAs[Boolean]("keep"))
+    assert(r("flagd").getAs[Boolean]("flagged") && !r("flagd").getAs[Boolean]("keep"))
+    assert(r("nokep").getAs[Boolean]("no_clean_lines") && !r("nokep").getAs[Boolean]("keep"))
+  }
+
+  test("pruneDecision lets tiny docs pass the repetition gates via null coalesce") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(("tiny", "")).toDF("doc_id", "text")
+    val r = QualityFilters.pruneDecision(d, col("text"), "\n").collect()(0)
+    // empty doc: every fraction is null — the coalesce keeps the repetition
+    // gates quiet so the doc is pruned by no_clean_lines, not a null-trip
+    assert(!r.getAs[Boolean]("repetitive"))
+    assert(r.getAs[Boolean]("no_clean_lines") && !r.getAs[Boolean]("keep"))
+  }
+
   test("the whole gram family computes from one explode pass") {
     val sp = spark
     import sp.implicits._
