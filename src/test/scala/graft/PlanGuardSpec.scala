@@ -46,6 +46,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // one tagged explode -> 3 aggregation levels + id join + output sort (the
     // AQE-off textual plan re-lists the reused doc_id exchanges)
     "q_repetition_signals" -> 7,
+    // the repetition subtree above + the C4-flag doc_id join + output sort
+    // (both doc_id exchanges re-listed in the AQE-off textual plan)
+    "q_quality_prune" -> 10,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
     // two partition_text passes + (type,depth)/type/global aggregation levels
     "q_element_type_percent_match" -> 7,
