@@ -22,6 +22,7 @@ object SparkEntry {
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracles),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracles),
       (graft.queries.AnalysisQueries.queries, graft.queries.AnalysisQueries.oracles),
+      (graft.queries.CorpusQueries.queries, graft.queries.CorpusQueries.oracles),
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracles),
       (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracles),
       (graft.queries.FormatQueries.queries, graft.queries.FormatQueries.oracles),

@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-construction operators a large-scale LLM training-data pipeline needs
+ * beyond the reference's document-prep surface (beyond-reference; builder's
+ * brief "operations a large-scale training-data pipeline would need"):
+ *
+ *  - [[decontaminate]] — GPT-3-style benchmark decontamination (Brown et al.
+ *    2020, appendix C): flag training documents sharing any word n-gram with
+ *    an evaluation set. Scale shape: the benchmark gram set is small (eval
+ *    sets are MBs against a 100 TB corpus), so it is broadcast and the whole
+ *    pass is one map-side hash join + one `groupBy(doc_id)` shuffle.
+ *  - [[semanticDedup]] — SemDeDup-style embedding dedup (Abbas et al. 2023):
+ *    assign each vector to its nearest centroid, then drop near-exact cosine
+ *    duplicates *within* a cluster. Scale shape: the centroid probe is a
+ *    broadcast of k rows; the pairwise stage is an equi-join on cluster id,
+ *    so work is Σ cluster² — k is chosen so clusters stay bounded
+ *    (k ≈ n / target_cluster_size), never an all-pairs join.
+ *  - [[stratifiedSample]] — deterministic per-stratum sampling by hash
+ *    threshold (the standard reproducible corpus-mixing primitive): pure
+ *    codegen'd columns, zero shuffles, identical decisions on re-runs and
+ *    across engines.
+ *  - [[packSequences]] — GPT-style sequence packing: concatenate documents in
+ *    a deterministic per-bucket order and split every `ctxLen` tokens into
+ *    training examples. Scale shape: one window cumsum per bucket; buckets
+ *    are the parallel unit, so 100 TB packs with shard-level parallelism and
+ *    no global sequential dependency.
+ *  - [[piiScrub]] — redact emails / IPv4s / phone numbers with typed tags and
+ *    per-kind counts, composed from the reference's extraction patterns
+ *    (`nlp/patterns.py`); a pure per-row column expression.
+ */
+object CorpusOps {
+
+  /**
+   * Flag training docs sharing any `n`-word shingle (lowercased, whitespace
+   * words) with the benchmark corpus. `train` needs (`doc_id`, text); `bench`
+   * needs a text column of the same name. Returns
+   * `doc_id, n_contaminated_grams, contaminated` for every training doc.
+   */
+  def decontaminate(train: DataFrame, bench: DataFrame, text: Column,
+      n: Int = 13): DataFrame = {
+    def grams(d: DataFrame, cols: Column*) = d.select(
+      (cols :+ explode(array_distinct(
+        TextAnalysis.wordShingles(lower(text), n))).as("g")): _*)
+    val benchGrams = grams(bench).distinct()
+    val hits = grams(train, col("doc_id"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_contaminated_grams"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated_grams"), lit(0)).as("n_contaminated_grams"),
+        (coalesce(col("n_contaminated_grams"), lit(0)) > 0).as("contaminated"))
+  }
+
+  /** Σ aᵢ·bᵢ accumulated as DOUBLE — the one cosine definition (identical to
+    * the ANN queries' fold so oracle arithmetic matches bit-for-bit). */
+  private def dotCol(a: Column, b: Column): Column = aggregate(
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+    lit(0.0), (acc, v) => acc + v)
+
+  private def normCol(c: Column): Column = sqrt(aggregate(
+    transform(c, x => x.cast("double") * x.cast("double")),
+    lit(0.0), (acc, v) => acc + v))
+
+  private def cosineCol(a: Column, b: Column): Column =
+    dotCol(a, b) / (normCol(a) * normCol(b))
+
+  /**
+   * One-pass SemDeDup: centroids = the embeddings with `vec_id < k`
+   * (deterministic seed, no iteration — the published algorithm's cluster
+   * step is pluggable), nearest-centroid assignment by cosine (ties → lowest
+   * centroid id), then within each cluster every pair with
+   * `round(cos, 6) >= threshold` marks the *larger* `vec_id` as a duplicate.
+   * Input needs (`vec_id`, `embedding`); returns `vec_id, cluster, keep`.
+   */
+  def semanticDedup(e: DataFrame, k: Int, threshold: Double): DataFrame = {
+    val cents = e.filter(col("vec_id") < k)
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cv")))).as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+      (acc, c) => {
+        val sim = cosineCol(col("embedding"), c.getField("cv"))
+        when(sim > acc.getField("sim"),
+          struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
+      })
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), best.getField("cid").as("cluster"))
+    val a = assigned.select(col("cluster"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("cluster"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(cosineCol(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        (!coalesce(col("is_dup"), lit(false))).as("keep"))
+  }
+
+  /**
+   * Deterministic stratified sampling: a doc is kept iff
+   * `h(doc_id, salt) mod 10000 < rate(stratum) * 10000`. The rate comes from
+   * `rates` with `defaultRate` as fallback. Returns
+   * `doc_id, stratum, sample_bucket, keep`. Pure columns — no shuffle, no
+   * RNG state, bit-identical on re-runs and engine changes.
+   *
+   * The draw is a CASCADED polynomial hash: `polyHash` alone is affine in its
+   * last characters (salts "s1" vs "s2" shift every bucket by exactly 1, so
+   * nearly the same sample survives a salt change); re-hashing the decimal
+   * rendering of the first hash gives the avalanche a sampling hash needs
+   * while staying engine-mirrorable.
+   */
+  def stratifiedSample(d: DataFrame, stratum: Column,
+      rates: Seq[(String, Double)], defaultRate: Double,
+      salt: String): DataFrame = {
+    val inner =
+      TextAnalysis.polyHash(concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val bucket = pmod(TextAnalysis.polyHash(inner.cast("string")), lit(10000L))
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    d.select(col("doc_id"), stratum.as("stratum"),
+      bucket.as("sample_bucket"),
+      (bucket.cast("double") < rate * 10000.0).as("keep"))
+  }
+
+  /**
+   * GPT-style sequence packing: documents are sharded into `buckets` by
+   * `doc_id mod buckets`, concatenated within a bucket in `doc_id` order, and
+   * split every `ctxLen` tokens. Each doc learns which training example its
+   * first token lands in (`example_id`), at which offset, and whether it
+   * spans an example boundary. Returns
+   * `doc_id, bucket, n_tokens, example_id, offset_in_example,
+   * crosses_boundary`.
+   */
+  def packSequences(d: DataFrame, tokens: Column, buckets: Int,
+      ctxLen: Int): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    d.select(col("doc_id"), pmod(col("doc_id"), lit(buckets.toLong)).as("bucket"),
+        tokens.cast("long").as("n_tokens"))
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("cum_end") - col("n_tokens"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"start DIV $ctxLen").as("example_id"),
+        pmod(col("start"), lit(ctxLen.toLong)).as("offset_in_example"),
+        (col("n_tokens") > 0 &&
+          expr(s"(cum_end - 1) DIV $ctxLen") > expr(s"start DIV $ctxLen"))
+          .as("crosses_boundary"))
+  }
+
+  /** Scrub-oriented US phone shape (the reference's `US_PHONE_NUMBERS_PATTERN`
+    * is anchored to end-of-text for containment tests, so redaction uses the
+    * common dotted/dashed 3-3-4 form). */
+  val ScrubPhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** IPv4-only redaction shape (the loose IPv6 alternation in
+    * `IP_ADDRESS_PATTERN` matches ordinary hex-like words, so scrubbing
+    * keeps to the unambiguous dotted quad). */
+  val ScrubIpv4Pattern: String =
+    "(?:25[0-5]|2[0-4]\\d|1\\d{2}|[1-9]?\\d)(?:\\.(?:25[0-5]|2[0-4]\\d|1\\d{2}|[1-9]?\\d)){3}"
+
+  /**
+   * Redact PII with typed tags, counting as it goes: emails → `[EMAIL]`,
+   * then IPv4s → `[IP]` (counted on the email-scrubbed text so an address
+   * inside an email never double-counts), then phones → `[PHONE]`. Returns a
+   * struct `(scrubbed, n_emails, n_ips, n_phones)`.
+   */
+  def piiScrub(text: Column): Column = {
+    val emailRe = Predicates.EmailAddressPattern
+    val nEmails = size(regexp_extract_all(text, lit(emailRe), lit(0)))
+    val noEmail = regexp_replace(text, emailRe, "[EMAIL]")
+    val nIps = size(regexp_extract_all(noEmail, lit(ScrubIpv4Pattern), lit(0)))
+    val noIp = regexp_replace(noEmail, ScrubIpv4Pattern, "[IP]")
+    val nPhones = size(regexp_extract_all(noIp, lit(ScrubPhonePattern), lit(0)))
+    val scrubbed = regexp_replace(noIp, ScrubPhonePattern, "[PHONE]")
+    struct(scrubbed.as("scrubbed"), nEmails.as("n_emails"),
+      nIps.as("n_ips"), nPhones.as("n_phones"))
+  }
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CorpusOps, TextAnalysis}
+import graft.queries.{OracleSql => O}
+
+/**
+ * Declared queries for the corpus-construction operators in
+ * [[graft.functions.CorpusOps]]: benchmark decontamination, SemDeDup-style
+ * embedding dedup, deterministic stratified sampling, GPT-style sequence
+ * packing, and PII scrubbing. Corpus constructions (benchmark slices, verbatim
+ * vector copies, appended PII) are mirrored verbatim in the oracle SQL.
+ */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.readFanout(s, dir, "documents")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.readFanout(s, dir, "embeddings")
+
+  private val PiiTail =
+    " Contact jane.doe@corp.example or 10.0.0.7 or 555-123-4567."
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GPT-3 appendix-C decontamination: the "benchmark" is a middle 8-word
+    // slice of every 11th doc, so those docs (and any true collision) flag.
+    // Scale shape: bench grams broadcast, one groupBy(doc_id) shuffle.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 11 === 3)
+        .select(array_join(
+          slice(TextAnalysis.words(col("text")), 3, 8), " ").as("text"))
+      CorpusOps.decontaminate(d, bench, col("text"), n = 5).orderBy("doc_id")
+    }),
+
+    // SemDeDup over the embeddings ∪ verbatim copies of every 6th vector
+    // (ids +100000): copies land in their original's cluster with cosine
+    // exactly 1.0 and are dropped as the larger id of each pair.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val inp = e.unionByName(
+        e.filter(col("vec_id") % 6 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      CorpusOps.semanticDedup(inp, k = 8, threshold = 0.99).orderBy("vec_id")
+    }),
+
+    "q_stratified_sample" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(docs(s, dir), col("lang"),
+        Seq("en" -> 0.3, "zh" -> 0.7), defaultRate = 1.0, salt = "mix1")
+        .orderBy("doc_id")),
+
+    "q_pack_sequences" -> ((s, dir) =>
+      CorpusOps.packSequences(docs(s, dir),
+        TextAnalysis.tokenCountWhitespace(col("text")),
+        buckets = 8, ctxLen = 256).orderBy("doc_id")),
+
+    "q_pii_scrub" -> ((s, dir) => {
+      val withPii = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(PiiTail))).otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), CorpusOps.piiScrub(withPii).as("p"))
+        .select(col("doc_id"), col("p.scrubbed").as("scrubbed"),
+          col("p.n_emails").as("n_emails"), col("p.n_ips").as("n_ips"),
+          col("p.n_phones").as("n_phones"))
+        .orderBy("doc_id")
+    }))
+
+  private def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+
+  def oracles: Map[String, String] = Map(
+
+    "q_decontaminate" -> {
+      val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(${O.shinglesN(O.words(s"lower($benchText)"), 5)}) AS g
+         |  FROM documents WHERE doc_id % 11 = 3),
+         |tg AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(${O.shinglesN(O.words("lower(text)"), 5)}) AS g
+         |  FROM documents),
+         |hits AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n FROM tg JOIN bench USING (g)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n, 0) AS n_contaminated_grams,
+         |  coalesce(n, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |inp AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM base WHERE vec_id % 6 = 0),
+         |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT i.vec_id, i.embedding, c.cid, ${cosSql("i.embedding", "c.cv")} AS sim
+         |  FROM inp i, cents c),
+         |asg AS (
+         |  SELECT vec_id, embedding, cid AS cluster FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.99)
+         |SELECT vec_id, cluster,
+         |  vec_id NOT IN (SELECT vec_id FROM dups) AS keep
+         |FROM asg ORDER BY vec_id""".stripMargin,
+
+    "q_stratified_sample" -> {
+      val h = O.polyHash(
+        s"CAST(${O.polyHash("(CAST(doc_id AS VARCHAR) || ':mix1')")} AS VARCHAR)")
+      s"""SELECT doc_id, lang AS stratum,
+         |  $h % 10000 AS sample_bucket,
+         |  CAST($h % 10000 AS DOUBLE) <
+         |    (CASE WHEN lang = 'zh' THEN 0.7 WHEN lang = 'en' THEN 0.3
+         |          ELSE 1.0 END) * 10000.0 AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS bucket,
+         |    CAST(len(${O.words("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT)
+         |      AS cum_end
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tokens,
+         |  (cum_end - n_tokens) // 256 AS example_id,
+         |  (cum_end - n_tokens) % 256 AS offset_in_example,
+         |  (n_tokens > 0 AND (cum_end - 1) // 256 > (cum_end - n_tokens) // 256)
+         |    AS crosses_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" -> {
+      val withPii = s"(CASE WHEN doc_id % 3 = 0 THEN text || '$PiiTail' ELSE text END)"
+      val emailRe = graft.functions.Predicates.EmailAddressPattern
+      val ipRe = CorpusOps.ScrubIpv4Pattern
+      val phoneRe = CorpusOps.ScrubPhonePattern
+      s"""WITH t AS (SELECT doc_id, $withPii AS txt FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(txt, '$emailRe')) AS INT) AS n_emails,
+         |    regexp_replace(txt, '$emailRe', '[EMAIL]', 'g') AS txt
+         |  FROM t),
+         |i AS (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(txt, '$ipRe')) AS INT) AS n_ips,
+         |    regexp_replace(txt, '$ipRe', '[IP]', 'g') AS txt
+         |  FROM e)
+         |SELECT doc_id,
+         |  regexp_replace(txt, '$phoneRe', '[PHONE]', 'g') AS scrubbed,
+         |  n_emails, n_ips,
+         |  CAST(len(regexp_extract_all(txt, '$phoneRe')) AS INT) AS n_phones
+         |FROM i ORDER BY doc_id""".stripMargin
+    })
+}

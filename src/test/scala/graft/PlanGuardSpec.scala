@@ -26,8 +26,14 @@ class PlanGuardSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   /** Queries allowed a BroadcastNestedLoopJoin (broadcast tiny-frame probes). */
-  private val bnlAllowed = Map("q_ann_cosine_topk" -> 1, "q_ann_ivf" -> 2)
-  private val smjAllowed = Map("q_element_type_accuracy" -> 1)
+  private val bnlAllowed = Map("q_ann_cosine_topk" -> 1, "q_ann_ivf" -> 2,
+    // the ONE broadcast k-row centroid probe, re-listed per reference to the
+    // assignment subtree (pair-a, pair-b, output) in the AQE-off textual plan
+    "q_semantic_dedup" -> 3)
+  private val smjAllowed = Map("q_element_type_accuracy" -> 1,
+    // intra-cluster pair join: both sides are the full centroid assignment —
+    // SMJ on cluster id IS the scale-correct strategy (work = Σ cluster²)
+    "q_semantic_dedup" -> 1)
 
   /** Queries whose scan must show non-empty PushedFilters. */
   private val mustPushFilters = Seq("q1_pricing_summary", "q3_top_revenue_orders",
@@ -49,6 +55,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // the repetition subtree above + the C4-flag doc_id join + output sort
     // (both doc_id exchanges re-listed in the AQE-off textual plan)
     "q_quality_prune" -> 10,
+    // per-doc gram distinct + bench-gram distinct feeding the broadcast +
+    // hit groupBy + left join back + output sort (broadcast exchanges count)
+    "q_decontaminate" -> 8,
+    // the assignment subtree (scan + broadcast centroid probe) is re-listed
+    // 3x (pair-a, pair-b, output) in the AQE-off textual plan; runtime
+    // exchange reuse collapses them — same accounting as q_curate_corpus
+    "q_semantic_dedup" -> 20,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
     // two partition_text passes + (type,depth)/type/global aggregation levels
     "q_element_type_percent_match" -> 7,

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/** Corpus-construction operators: decontamination, SemDeDup, stratified
+  * sampling, sequence packing, PII scrub — hand-computed vectors. */
+class CorpusOpsSpec extends SparkSuiteBase {
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated words in this document"),
+      (3L, "prefix then alpha beta gamma delta tail")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("ALPHA beta GAMMA delta")).toDF("text")
+    val r = CorpusOps.decontaminate(train, bench, col("text"), n = 4)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("contaminated"))
+    assert(r(1L).getAs[Int]("n_contaminated_grams") == 1)
+    assert(!r(2L).getAs[Boolean]("contaminated"))
+    assert(r(3L).getAs[Boolean]("contaminated"))
+  }
+
+  test("decontaminate counts distinct shared grams once per doc") {
+    val sp = spark
+    import sp.implicits._
+    // the shared bigram occurs twice in the training doc -> counted once
+    val train = Seq((1L, "hot word hot word")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("hot word")).toDF("text")
+    val r = CorpusOps.decontaminate(train, bench, col("text"), n = 2).collect()(0)
+    assert(r.getAs[Int]("n_contaminated_grams") == 1)
+  }
+
+  test("semanticDedup drops the larger id of an exact-duplicate pair") {
+    val sp = spark
+    import sp.implicits._
+    val v = Array(1.0f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f)
+    val e = Seq(
+      (0L, v), (1L, w),                    // the two centroids (k = 2)
+      (5L, v.map(_ * 2.0f)),               // cosine 1.0 with vec 0's cluster
+      (9L, Array(0.1f, 0.9f, 0.0f))        // near w but below threshold vs 1
+    ).toDF("vec_id", "embedding")
+    val r = CorpusOps.semanticDedup(e, k = 2, threshold = 0.999)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Boolean]("keep") && r(5L).getAs[Long]("cluster") == 0L)
+    assert(!r(5L).getAs[Boolean]("keep")) // dup of 0, larger id dropped
+    assert(r(9L).getAs[Boolean]("keep") && r(9L).getAs[Long]("cluster") == 1L)
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val sp = spark
+    import sp.implicits._
+    val d = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val once = CorpusOps.stratifiedSample(d, col("lang"),
+      Seq("a" -> 0.0, "b" -> 1.0), 0.5, "s").collect()
+    val twice = CorpusOps.stratifiedSample(d, col("lang"),
+      Seq("a" -> 0.0, "b" -> 1.0), 0.5, "s").collect()
+    assert(once.map(_.toString).sorted.sameElements(twice.map(_.toString).sorted))
+    val byLang = once.groupBy(_.getAs[String]("stratum"))
+    assert(byLang("a").forall(!_.getAs[Boolean]("keep"))) // rate 0 drops all
+    assert(byLang("b").forall(_.getAs[Boolean]("keep")))  // rate 1 keeps all
+  }
+
+  test("stratifiedSample decisions change with the salt, not the run") {
+    val sp = spark
+    import sp.implicits._
+    val d = (0L until 500L).map(i => (i, "x")).toDF("doc_id", "lang")
+    def kept(salt: String) = CorpusOps.stratifiedSample(
+      d, col("lang"), Nil, 0.5, salt)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val k1 = kept("s1")
+    // a 0.5 rate keeps roughly half (hash-uniformity sanity, wide band)
+    assert(k1.size > 150 && k1.size < 350, s"kept ${k1.size} of 500 at rate 0.5")
+    assert(kept("s1") == k1)
+    assert(kept("s2") != k1) // overwhelmingly likely; salt changes the draw
+  }
+
+  test("packSequences splits the concatenated stream every ctxLen tokens") {
+    val sp = spark
+    import sp.implicits._
+    // one bucket: docs of 100, 100, 100 tokens with ctx 256:
+    // starts 0, 100, 200 -> examples 0, 0, 0; the third crosses into ex 1
+    val d = Seq((0L, 100L), (8L, 100L), (16L, 100L)).toDF("doc_id", "n")
+    val r = CorpusOps.packSequences(d, col("n"), buckets = 8, ctxLen = 256)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("example_id") == 0 &&
+      r(0L).getAs[Long]("offset_in_example") == 0)
+    assert(r(8L).getAs[Long]("offset_in_example") == 100)
+    assert(r(16L).getAs[Long]("example_id") == 0 &&
+      r(16L).getAs[Long]("offset_in_example") == 200 &&
+      r(16L).getAs[Boolean]("crosses_boundary"))
+    assert(!r(8L).getAs[Boolean]("crosses_boundary"))
+  }
+
+  test("packSequences: zero-token docs never cross a boundary") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((0L, 256L), (8L, 0L), (16L, 1L)).toDF("doc_id", "n")
+    val r = CorpusOps.packSequences(d, col("n"), buckets = 8, ctxLen = 256)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r(8L).getAs[Boolean]("crosses_boundary"))
+    assert(r(8L).getAs[Long]("example_id") == 1) // starts exactly at the seam
+    assert(r(16L).getAs[Long]("example_id") == 1 &&
+      r(16L).getAs[Long]("offset_in_example") == 0)
+  }
+
+  test("piiScrub redacts emails, IPv4s, and phones with counts") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(Tuple1(
+      "mail bob@x.org and jane.doe@corp.example, ip 10.0.0.7, tel 555-123-4567 end"
+    )).toDF("text")
+    val r = d.select(CorpusOps.piiScrub(col("text")).as("p"))
+      .select("p.scrubbed", "p.n_emails", "p.n_ips", "p.n_phones").collect()(0)
+    assert(r.getAs[String]("scrubbed") ==
+      "mail [EMAIL] and [EMAIL], ip [IP], tel [PHONE] end")
+    assert(r.getAs[Int]("n_emails") == 2)
+    assert(r.getAs[Int]("n_ips") == 1)
+    assert(r.getAs[Int]("n_phones") == 1)
+  }
+
+  test("piiScrub does not count the IPv4 inside an email host") {
+    val sp = spark
+    import sp.implicits._
+    val r = Seq(Tuple1("user@10.0.0.7.example stays one email"))
+      .toDF("text")
+      .select(CorpusOps.piiScrub(col("text")).as("p"))
+      .select("p.n_emails", "p.n_ips").collect()(0)
+    assert(r.getAs[Int]("n_emails") == 1)
+    assert(r.getAs[Int]("n_ips") == 0) // scrubbed with the email, not re-counted
+  }
+}
