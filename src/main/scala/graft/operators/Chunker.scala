@@ -61,7 +61,12 @@ final case class ChunkingOptions(
     tokenizer: Option[String] = None) {
   require(maxCharacters > 0, "maxCharacters must be > 0")
   require(maxTokens.forall(_ > 0), "maxTokens must be > 0")
-  tokenizer.foreach(TokenCounter.resolve) // fail fast on unknown names
+  // fail fast on unknown names; the resolved counter (derived vocabulary, or
+  // a user-supplied .tiktoken file loaded lazily per executor) does the
+  // measuring — @transient so the closure ships the name, not the vocab
+  @transient private lazy val tokenCounter: Option[String => Int] =
+    tokenizer.map(TokenCounter.resolve)
+  tokenizer.foreach(TokenCounter.resolve)
   require(!skipTableChunking || isolateTable,
     "'skip_table_chunking=True' requires 'isolate_table=True'") // base.py:151-156
   /** `use_token_counting` — base.py:316-318. */
@@ -83,8 +88,7 @@ final case class ChunkingOptions(
     * counts CODE POINTS (Python `len`), not UTF-16 units. */
   def measure(text: String): Int =
     if (!useTokenCounting) Chunker.cpLen(text)
-    else if (tokenizer.isDefined) TokenCounter.countTokens(text)
-    else Chunker.tokenCount(text)
+    else tokenCounter.fold(Chunker.tokenCount(text))(_.apply(text))
 }
 
 object ChunkingOptions {

@@ -93,6 +93,68 @@ object TokenCounter {
 
   def countTokens(text: String): Int = encode(text).length
 
+  // ---- user-supplied tiktoken vocabularies ---------------------------------
+
+  /** Per-JVM cache of loaded .tiktoken files: each EXECUTOR lazily reads the
+    * file itself (from a path visible cluster-wide, e.g. a distributed FS),
+    * so a 1000-executor job needs no driver-side registry or broadcast. */
+  private val fileVocabs =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
+
+  /** Parse the public tiktoken vocabulary format — one `<base64 token>
+    * <rank>` pair per line — into merged-byte-string → rank (bytes symbolized
+    * via [[byteChar]] so keys are plain strings). */
+  private[operators] def loadTiktokenFile(path: String): Map[String, Int] =
+    fileVocabs.computeIfAbsent(path, { p =>
+      val src = scala.io.Source.fromFile(p, "UTF-8")
+      try src.getLines().flatMap { line =>
+        val sp = line.indexOf(' ')
+        if (sp <= 0) None
+        else {
+          val bytes = java.util.Base64.getDecoder.decode(line.substring(0, sp))
+          Some(new String(bytes.map(byteChar)) -> line.substring(sp + 1).trim.toInt)
+        }
+      }.toMap
+      finally src.close()
+    })
+
+  /** Encode one piece against a tiktoken-style vocabulary: ranks key the
+    * MERGED byte string (tiktoken stores whole tokens, not merge pairs), so
+    * the greedy step merges the adjacent pair whose concatenation has the
+    * lowest whole-token rank. */
+  private[operators] def encodePieceTiktoken(
+      piece: String, rank: Map[String, Int]): Vector[String] = {
+    var syms: Vector[String] =
+      piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => byteChar(b).toString).toVector
+    while (syms.length > 1) {
+      var best = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse(syms(i) + syms(i + 1), Int.MaxValue)
+        if (r < best) { best = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) return syms
+      syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+        syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  /** Count tokens with a user-supplied .tiktoken vocabulary. */
+  def countTokensWith(path: String)(text: String): Int = {
+    val vocab = loadTiktokenFile(path)
+    var n = 0
+    val m = SplitRe.matcher(text)
+    while (m.find()) {
+      val piece = m.group()
+      if (piece.nonEmpty) n += encodePieceTiktoken(piece, vocab).length
+    }
+    n
+  }
+
   /** tiktoken's public model→encoding map (subset): model names resolve
     * first, encoding names second (`base.py:66-73`). All names resolve to the
     * derived stand-in vocabulary — the resolution logic, not the vocabulary,
@@ -105,10 +167,18 @@ object TokenCounter {
     "cl100k_base", "o200k_base", "p50k_base", "r50k_base", "gpt2", "graft_bpe")
 
   /** Validate a tokenizer name, returning the counting function. Throws for
-    * names tiktoken would also reject. */
+    * names tiktoken would also reject. A name ending in `.tiktoken` is
+    * treated as a path to a real vocabulary file (public base64-rank format)
+    * on storage visible to every executor — true count parity with tiktoken
+    * when the user supplies the actual model vocabulary. */
   def resolve(name: String): String => Int = {
-    if (!ModelNames.contains(name) && !EncodingNames.contains(name))
-      throw new IllegalArgumentException(s"Unknown tokenizer: $name")
-    countTokens
+    if (name.endsWith(".tiktoken")) {
+      require(new java.io.File(name).isFile, s"Vocabulary file not found: $name")
+      countTokensWith(name)
+    } else {
+      if (!ModelNames.contains(name) && !EncodingNames.contains(name))
+        throw new IllegalArgumentException(s"Unknown tokenizer: $name")
+      countTokens
+    }
   }
 }

@@ -188,4 +188,38 @@ class TokenCounterSpec extends AnyFunSuite {
       t = if (r5 == t) "" else r5
     }
   }
+
+  test("a user-supplied .tiktoken vocabulary file drives real whole-token ranks") {
+    // tiny vocabulary in the public base64-rank format: 256 byte tokens,
+    // then "ab" (256), "abc" (257), " x" (258)
+    val b64 = java.util.Base64.getEncoder
+    val lines = (0 until 256).map(b =>
+      s"${b64.encodeToString(Array(b.toByte))} $b") ++ Seq(
+      s"${b64.encodeToString("ab".getBytes)} 256",
+      s"${b64.encodeToString("abc".getBytes)} 257",
+      s"${b64.encodeToString(" x".getBytes)} 258")
+    val f = java.nio.file.Files.createTempFile("graft-vocab", ".tiktoken")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    val count = TokenCounter.resolve(f.toString)
+    assert(count("abc") == 1)  // ab (rank 256) then ab+c -> abc (rank 257)
+    assert(count("abq") == 2)  // ab + q: no "abq" or "bq" token
+    assert(count("q x") == 2)  // pre-split "q" / " x"; " x" is one token
+    // resolve validates the path early; the parsed file is cached per JVM
+    assertThrows[IllegalArgumentException](
+      TokenCounter.resolve("/nope/missing.tiktoken"))
+    assert(TokenCounter.loadTiktokenFile(f.toString) eq
+      TokenCounter.loadTiktokenFile(f.toString))
+  }
+
+  test("token-mode chunking accepts a .tiktoken path as the tokenizer") {
+    val b64 = java.util.Base64.getEncoder
+    val lines = (0 until 256).map(b => s"${b64.encodeToString(Array(b.toByte))} $b")
+    val f = java.nio.file.Files.createTempFile("graft-bytes", ".tiktoken")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    // byte-only vocabulary: every byte is one token -> measure = byte count
+    val opts = ChunkingOptions.validated(maxTokens = Some(4),
+      tokenizer = Some(f.toString))
+    assert(opts.measure("abcd") == 4)
+    assert(opts.measure("ab") == 2)
+  }
 }
