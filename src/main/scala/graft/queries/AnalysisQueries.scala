@@ -618,7 +618,7 @@ object AnalysisQueries {
       "SELECT doc_id + 10000 AS doc_id, text || ' xtra' AS text FROM documents WHERE doc_id % 7 = 0)"
 
   /** clean_extra_whitespace → lower → polyHash — mirrors `TextAnalysis.docFingerprint`. */
-  private def fingerprint(x: String): String =
+  private[queries] def fingerprint(x: String): String =
     ph(s"lower(${O.cleanExtraWhitespace(x)})")
 
   /** Two CTEs (`<alias>0`, `<alias>`) holding the reference bag_of_words
@@ -649,7 +649,7 @@ object AnalysisQueries {
 
   private def grams2(x: String): String = O.shingles2(O.words(s"lower($x)"))
 
-  private def qualitySql(x: String): String = {
+  private[queries] def qualitySql(x: String): String = {
     val ws = O.words(x)
     val nWords = s"len($ws)"
     val lenScore = s"least(length($x)::DOUBLE / 500.0, 1.0)"

@@ -58,6 +58,41 @@ object CorpusQueries {
         TextAnalysis.tokenCountWhitespace(col("text")),
         buckets = 8, ctxLen = 256).orderBy("doc_id")),
 
+    // The COMPLETE training-set construction in one declared DAG — every
+    // stage the proven 100 TB shape: exact dedup (one fingerprint window,
+    // keep-min), benchmark decontamination (bench grams broadcast), quality
+    // floor (pure column), stratified sampling (pure column), and sequence
+    // packing (per-bucket window cumsum). Output = the training-example
+    // manifest for the surviving corpus.
+    "q_curate_training_set" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val inp = base.unionByName(
+        base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("lang")))
+      val deduped = inp
+        .withColumn("fp", TextAnalysis.docFingerprint(col("text")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn", "fp")
+      val bench = base.filter(col("doc_id") % 11 === 3)
+        .select(array_join(
+          slice(TextAnalysis.words(col("text")), 3, 8), " ").as("text"))
+      val clean = deduped.join(
+        CorpusOps.decontaminate(deduped, bench, col("text"), n = 5)
+          .filter(!col("contaminated")).select("doc_id"),
+        Seq("doc_id"))
+      val qual = clean.filter(TextAnalysis.qualityScore(col("text")) >= 0.65)
+      val kept = qual.join(
+        CorpusOps.stratifiedSample(qual, col("lang"),
+          Seq("en" -> 0.5), defaultRate = 1.0, salt = "curate")
+          .filter(col("keep")).select("doc_id"),
+        Seq("doc_id"))
+      CorpusOps.packSequences(kept,
+        TextAnalysis.tokenCountWhitespace(col("text")),
+        buckets = 8, ctxLen = 256).orderBy("doc_id")
+    }),
+
     "q_pii_scrub" -> ((s, dir) => {
       val withPii = when(col("doc_id") % 3 === 0,
         concat(col("text"), lit(PiiTail))).otherwise(col("text"))
@@ -145,6 +180,50 @@ object CorpusQueries {
          |  (n_tokens > 0 AND (cum_end - 1) // 256 > (cum_end - n_tokens) // 256)
          |    AS crosses_boundary
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_curate_training_set" -> {
+      val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
+      val sampleHash = O.polyHash(
+        s"CAST(${O.polyHash("(CAST(doc_id AS VARCHAR) || ':curate')")} AS VARCHAR)")
+      s"""WITH inp AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id % 5 = 0),
+         |dd AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang, row_number() OVER (
+         |      PARTITION BY ${AnalysisQueries.fingerprint("text")}
+         |      ORDER BY doc_id) AS rn
+         |    FROM inp) WHERE rn = 1),
+         |bench AS (
+         |  SELECT DISTINCT unnest(${O.shinglesN(O.words(s"lower($benchText)"), 5)}) AS g
+         |  FROM documents WHERE doc_id % 11 = 3),
+         |tg AS (
+         |  SELECT DISTINCT doc_id, unnest(${O.shinglesN(O.words("lower(text)"), 5)}) AS g
+         |  FROM dd),
+         |cont AS (SELECT DISTINCT doc_id FROM tg JOIN bench USING (g)),
+         |kept AS (
+         |  SELECT doc_id, text FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |    AND ${AnalysisQueries.qualitySql("text")} >= 0.65
+         |    AND CAST($sampleHash % 10000 AS DOUBLE) <
+         |      (CASE WHEN lang = 'en' THEN 0.5 ELSE 1.0 END) * 10000.0),
+         |t AS (
+         |  SELECT doc_id, doc_id % 8 AS bucket,
+         |    CAST(len(${O.words("text")}) AS BIGINT) AS n_tokens
+         |  FROM kept),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT)
+         |      AS cum_end
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tokens,
+         |  (cum_end - n_tokens) // 256 AS example_id,
+         |  (cum_end - n_tokens) % 256 AS offset_in_example,
+         |  (n_tokens > 0 AND (cum_end - 1) // 256 > (cum_end - n_tokens) // 256)
+         |    AS crosses_boundary
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "q_pii_scrub" -> {
       val withPii = s"(CASE WHEN doc_id % 3 = 0 THEN text || '$PiiTail' ELSE text END)"

@@ -33,7 +33,10 @@ class PlanGuardSpec extends AnyFunSuite {
   private val smjAllowed = Map("q_element_type_accuracy" -> 1,
     // intra-cluster pair join: both sides are the full centroid assignment —
     // SMJ on cluster id IS the scale-correct strategy (work = Σ cluster²)
-    "q_semantic_dedup" -> 1)
+    "q_semantic_dedup" -> 1,
+    // the sampled-ids join back onto the quality-filtered corpus: both sides
+    // are corpus-sized, so SMJ on doc_id is the correct strategy
+    "q_curate_training_set" -> 1)
 
   /** Queries whose scan must show non-empty PushedFilters. */
   private val mustPushFilters = Seq("q1_pricing_summary", "q3_top_revenue_orders",
@@ -62,6 +65,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // 3x (pair-a, pair-b, output) in the AQE-off textual plan; runtime
     // exchange reuse collapses them — same accounting as q_curate_corpus
     "q_semantic_dedup" -> 20,
+    // five composed stages over one corpus: the deduped subtree (union +
+    // fingerprint window) is re-listed per downstream reference in the
+    // AQE-off textual plan — runtime exchange reuse collapses them
+    "q_curate_training_set" -> 28,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
     // two partition_text passes + (type,depth)/type/global aggregation levels
     "q_element_type_percent_match" -> 7,
