@@ -58,6 +58,14 @@ object CorpusQueries {
         TextAnalysis.tokenCountWhitespace(col("text")),
         buckets = 8, ctxLen = 256).orderBy("doc_id")),
 
+    // the streaming twin of q_pack_sequences: per-bucket running offset in
+    // group state (one long per bucket), verified by the BATCH oracle
+    "q_stream_pack_sequences" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .packSequencesAvailableNow(s, s"$dir/documents.parquet",
+          buckets = 8, ctxLen = 256)
+        .orderBy("doc_id")),
+
     // The COMPLETE training-set construction in one declared DAG — every
     // stage the proven 100 TB shape: exact dedup (one fingerprint window,
     // keep-min), benchmark decontamination (bench grams broadcast), quality
@@ -103,6 +111,25 @@ object CorpusQueries {
           col("p.n_phones").as("n_phones"))
         .orderBy("doc_id")
     }))
+
+  /** The packing oracle — shared by the batch query and its streaming twin
+    * (the streaming fold carries the same running offset per bucket). */
+  private val PackOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 8 AS bucket,
+       |    CAST(len(${O.words("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, bucket, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT)
+       |      AS cum_end
+       |  FROM t)
+       |SELECT doc_id, bucket, n_tokens,
+       |  (cum_end - n_tokens) // 256 AS example_id,
+       |  (cum_end - n_tokens) % 256 AS offset_in_example,
+       |  (n_tokens > 0 AND (cum_end - 1) // 256 > (cum_end - n_tokens) // 256)
+       |    AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
 
   private def cosSql(a: String, b: String): String =
     s"(list_sum(list_transform(range(1, len($a) + 1), " +
@@ -164,22 +191,10 @@ object CorpusQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
-    "q_pack_sequences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, doc_id % 8 AS bucket,
-         |    CAST(len(${O.words("text")}) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, bucket, n_tokens,
-         |    CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT)
-         |      AS cum_end
-         |  FROM t)
-         |SELECT doc_id, bucket, n_tokens,
-         |  (cum_end - n_tokens) // 256 AS example_id,
-         |  (cum_end - n_tokens) % 256 AS offset_in_example,
-         |  (n_tokens > 0 AND (cum_end - 1) // 256 > (cum_end - n_tokens) // 256)
-         |    AS crosses_boundary
-         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" -> PackOracleSql,
+
+    // identical packing semantics through the streaming fold
+    "q_stream_pack_sequences" -> PackOracleSql,
 
     "q_curate_training_set" -> {
       val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"

@@ -406,4 +406,74 @@ object StreamingOps {
     }
     spark.table(name)
   }
+
+  /**
+   * Streaming GPT-style sequence packing — the streaming twin of
+   * [[graft.functions.CorpusOps.packSequences]]: documents shard into
+   * `buckets` by `doc_id mod buckets`, and each bucket's group state carries
+   * ONE long — the cumulative token count, i.e. the running concatenation
+   * offset. Each arriving doc is assigned its training-example id, offset,
+   * and boundary flag immediately and never stored; state is O(buckets)
+   * total regardless of corpus size, so an ingest job packs 100 TB with a
+   * state store of a few kilobytes. Within a micro-batch docs fold in
+   * `doc_id` order (the batch definition's order); across batches the carried
+   * offset continues the concatenation, so arrival batching never changes
+   * example widths — only which docs land in them, exactly as a resumed
+   * batch pack would. Exposed on a (doc_id, n_tokens) stream so any source
+   * (MemoryStream in specs, Kafka in a real ingest) composes with it.
+   */
+  def packSequencesStream(docs: Dataset[(Long, Long)], buckets: Int,
+      ctxLen: Int): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs
+      .groupByKey { case (id, _) => java.lang.Math.floorMod(id, buckets.toLong) }
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = rows.toVector.sortBy(_._1).map { case (id, n) =>
+            val start = cum
+            cum += n
+            (id, bucket, n, start / ctxLen, start % ctxLen,
+              n > 0 && (cum - 1) / ctxLen > start / ctxLen)
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("doc_id", "bucket", "n_tokens", "example_id", "offset_in_example",
+        "crosses_boundary")
+  }
+
+  /** [[packSequencesStream]] drained over the corpus with AvailableNow; the
+    * batch `q_pack_sequences` oracle verifies the result row-for-row. */
+  def packSequencesAvailableNow(spark: SparkSession, documentsPath: String,
+      buckets: Int, ctxLen: Int): DataFrame = {
+    import spark.implicits._
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-pack")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
+    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TextAnalysis.tokenCountWhitespace(col("text"))
+          .cast("long").as("n_tokens"))
+      .as[(Long, Long)]
+    val packed = packSequencesStream(docs, buckets, ctxLen)
+    val name = s"graft_stream_pack_${sinkSeq.incrementAndGet()}"
+    val q = packed.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+    } finally {
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: Throwable => () }
+    }
+    spark.table(name)
+  }
 }

@@ -225,4 +225,40 @@ class StreamingOpsSpec extends SparkSuiteBase {
       assert(!rows().exists(p => p._1 == 0 && (p._2 == 12L || p._3 == 12L)))
     } finally query.stop()
   }
+
+  test("streaming pack carries the bucket offset across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rows are (doc_id, n_tokens); bucket = doc_id % 4, ctx = 100
+    val input = MemoryStream[(Long, Long)]
+    val packed = StreamingOps.packSequencesStream(input.toDS(), buckets = 4,
+      ctxLen = 100)
+    val query = packed.writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Map[Long, (Long, Long, Long, Long, Boolean)] =
+      spark.table("pack_out").as[(Long, Long, Long, Long, Long, Boolean)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    try {
+      // batch 1, bucket 0: docs 8 and 4 arrive out of order — folded sorted,
+      // so 4 starts at 0 (60 tokens) and 8 at 60 (30 tokens)
+      input.addData((8L, 30L), (4L, 60L))
+      query.processAllAvailable()
+      assert(rows()(4L) == ((0L, 60L, 0L, 0L, false)))
+      assert(rows()(8L) == ((0L, 30L, 0L, 60L, false)))
+      // batch 2: doc 12 continues the carried offset 90 and crosses into
+      // example 1; doc 5 opens bucket 1 at offset 0
+      input.addData((12L, 20L), (5L, 10L))
+      query.processAllAvailable()
+      assert(rows()(12L) == ((0L, 20L, 0L, 90L, true)))
+      assert(rows()(5L) == ((1L, 10L, 0L, 0L, false)))
+      // batch 3: the offset keeps running — doc 16 starts at 110 = example 1
+      input.addData((16L, 5L))
+      query.processAllAvailable()
+      assert(rows()(16L) == ((0L, 5L, 1L, 10L, false)))
+      // zero-token doc sitting exactly on a boundary never crosses
+      input.addData((20L, 0L))
+      query.processAllAvailable()
+      assert(rows()(20L) == ((0L, 0L, 1L, 15L, false)))
+    } finally query.stop()
+  }
 }
