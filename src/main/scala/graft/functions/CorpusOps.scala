@@ -157,6 +157,37 @@ object CorpusOps {
           .as("crosses_boundary"))
   }
 
+  /**
+   * CCNet-style cross-document paragraph deduplication (Wenzek et al. 2020
+   * §3.1): split each doc on `sep`, fingerprint each trimmed non-empty
+   * paragraph (lowercase + whitespace-normalized polyHash — the same key as
+   * exact doc dedup), keep only the FIRST occurrence corpus-wide (by doc_id,
+   * then position), and reassemble each doc from its surviving paragraphs.
+   * Returns `doc_id, n_paras, n_kept, text_kept`. Scale shape: one explode,
+   * one window shuffle on the paragraph hash, one `groupBy(doc_id)` — linear,
+   * never pairwise.
+   */
+  def paragraphDedup(d: DataFrame, text: Column, sep: String): DataFrame = {
+    val paras = d
+      .select(col("doc_id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("seq", "raw")))
+      .select(col("doc_id"), col("seq"), trim(col("raw")).as("para"))
+      .filter(col("para") =!= "")
+    val w = Window
+      .partitionBy(TextAnalysis.docFingerprint(col("para")))
+      .orderBy("doc_id", "seq")
+    paras
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_paras"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(when(col("kept"),
+            struct(col("seq"), col("para"))))),
+          _.getField("para")), "\n").as("text_kept"))
+  }
+
   /** Scrub-oriented US phone shape (the reference's `US_PHONE_NUMBERS_PATTERN`
     * is anchored to end-of-text for containment tests, so redaction uses the
     * common dotted/dashed 3-3-4 form). */

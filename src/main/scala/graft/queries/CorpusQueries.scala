@@ -58,6 +58,13 @@ object CorpusQueries {
         TextAnalysis.tokenCountWhitespace(col("text")),
         buckets = 8, ctxLen = 256).orderBy("doc_id")),
 
+    // CCNet-style cross-doc paragraph dedup over the corpus's natural
+    // " merge " separator (308 of 1362 sf0.01 paragraphs sit in duplicate
+    // groups, so the keep-first fires without augmentation)
+    "q_paragraph_dedup" -> ((s, dir) =>
+      CorpusOps.paragraphDedup(docs(s, dir), col("text"), " merge ")
+        .orderBy("doc_id")),
+
     // the streaming twin of q_pack_sequences: per-bucket running offset in
     // group state (one long per bucket), verified by the BATCH oracle
     "q_stream_pack_sequences" -> ((s, dir) =>
@@ -190,6 +197,25 @@ object CorpusQueries {
          |          ELSE 1.0 END) * 10000.0 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_paragraph_dedup" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, i - 1 AS seq, trim(l[i]) AS para
+         |  FROM (SELECT doc_id, string_split(text, ' merge ') AS l FROM documents),
+         |    unnest(range(1, len(l) + 1)) AS u(i)
+         |  WHERE trim(l[i]) <> ''),
+         |k AS (
+         |  SELECT doc_id, seq, para,
+         |    row_number() OVER (
+         |      PARTITION BY ${AnalysisQueries.fingerprint("para")}
+         |      ORDER BY doc_id, seq) = 1 AS kept
+         |  FROM p)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         |  coalesce(array_to_string(
+         |    list(CASE WHEN kept THEN para END ORDER BY seq)
+         |      .list_filter(x -> x IS NOT NULL), chr(10)), '') AS text_kept
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" -> PackOracleSql,
 

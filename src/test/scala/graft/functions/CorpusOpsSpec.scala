@@ -110,6 +110,38 @@ class CorpusOpsSpec extends SparkSuiteBase {
       r(16L).getAs[Long]("offset_in_example") == 0)
   }
 
+  test("paragraphDedup keeps first occurrences corpus-wide and reassembles") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "Shared boilerplate here.|Unique to one.|Shared boilerplate here."),
+      (2L, "Shared boilerplate here.|Unique to two.")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.paragraphDedup(d, col("text"), "|")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1 keeps its first copy of the boilerplate, drops its own repeat
+    assert(r(1L).getAs[Int]("n_paras") == 3 && r(1L).getAs[Int]("n_kept") == 2)
+    assert(r(1L).getAs[String]("text_kept") ==
+      "Shared boilerplate here.\nUnique to one.")
+    // doc 2's boilerplate was already seen in doc 1 -> dropped
+    assert(r(2L).getAs[Int]("n_kept") == 1)
+    assert(r(2L).getAs[String]("text_kept") == "Unique to two.")
+  }
+
+  test("paragraphDedup fingerprints case- and whitespace-insensitively") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "The  Same   Para"),
+      (2L, "the same para")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.paragraphDedup(d, col("text"), "|")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_kept") == 1)
+    assert(r(2L).getAs[Int]("n_kept") == 0)
+    assert(r(2L).getAs[String]("text_kept") == "")
+  }
+
   test("piiScrub redacts emails, IPv4s, and phones with counts") {
     val sp = spark
     import sp.implicits._
