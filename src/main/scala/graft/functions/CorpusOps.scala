@@ -57,6 +57,50 @@ object CorpusOps {
         (coalesce(col("n_contaminated_grams"), lit(0)) > 0).as("contaminated"))
   }
 
+  /**
+   * Span-level decontamination (the PaLM treatment: remove the contaminated
+   * WINDOW, keep the document): every `n`-word window whose lowercased join
+   * appears in the benchmark gram set has its word positions dropped, and the
+   * doc is reassembled from the surviving words. Docs with fewer than `n`
+   * words carry no full window and pass through untouched (unlike
+   * [[decontaminate]]'s flag semantics, a partial window cannot match).
+   * Returns `doc_id, n_words, n_dropped, text_clean`.
+   *
+   * Scale shape: grams and word positions are plain exploded relations —
+   * bench grams broadcast into the match join, covered positions anti-join
+   * the word positions, one `groupBy(doc_id)` reassembles. Linear in corpus
+   * size, no array recursion, no pairwise work.
+   */
+  def decontaminateSpans(train: DataFrame, bench: DataFrame, text: Column,
+      n: Int = 13): DataFrame = {
+    val benchGrams = bench.select(explode(array_distinct(
+      TextAnalysis.wordShingles(lower(text), n))).as("g")).distinct()
+    val words = train.select(col("doc_id"),
+      TextAnalysis.words(text).as("ws"))
+    val grams = words
+      .select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= n,
+          sequence(lit(0), size(col("ws")) - n)).otherwise(array()))
+          .as("start"))
+      .select(col("doc_id"), col("start"),
+        lower(array_join(slice(col("ws"), col("start") + 1, lit(n)), " ")).as("g"))
+    val covered = grams.join(broadcast(benchGrams), Seq("g"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("idx"))
+      .distinct()
+    val pos = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
+    val kept = pos.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(sort_array(collect_list(
+          struct(col("idx"), col("w")))), _.getField("w")), " ").as("text_clean"))
+    words.select(col("doc_id"), size(col("ws")).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0))).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Σ aᵢ·bᵢ accumulated as DOUBLE — the one cosine definition (identical to
     * the ANN queries' fold so oracle arithmetic matches bit-for-bit). */
   private def dotCol(a: Column, b: Column): Column = aggregate(

@@ -58,6 +58,17 @@ object CorpusQueries {
         TextAnalysis.tokenCountWhitespace(col("text")),
         buckets = 8, ctxLen = 256).orderBy("doc_id")),
 
+    // PaLM-style span-level decontamination: the matched 5-gram windows are
+    // REMOVED (positions dropped, doc reassembled), not the whole doc
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 11 === 3)
+        .select(array_join(
+          slice(TextAnalysis.words(col("text")), 3, 8), " ").as("text"))
+      CorpusOps.decontaminateSpans(d, bench, col("text"), n = 5)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style cross-doc paragraph dedup over the corpus's natural
     // " merge " separator (308 of 1362 sf0.01 paragraphs sit in duplicate
     // groups, so the keep-first fires without augmentation)
@@ -196,6 +207,33 @@ object CorpusQueries {
          |    (CASE WHEN lang = 'zh' THEN 0.7 WHEN lang = 'en' THEN 0.3
          |          ELSE 1.0 END) * 10000.0 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_decontaminate_spans" -> {
+      val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
+      s"""WITH bench AS (
+         |  SELECT DISTINCT unnest(${O.shinglesN(O.words(s"lower($benchText)"), 5)}) AS g
+         |  FROM documents WHERE doc_id % 11 = 3),
+         |w AS (SELECT doc_id, ${O.words("text")} AS ws FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS start,
+         |    lower(array_to_string(list_slice(ws, i, i + 4), ' ')) AS g
+         |  FROM w, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS u(i)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, start + o AS idx
+         |  FROM grams JOIN bench USING (g), unnest(range(0, 5)) AS v(o)),
+         |pos AS (
+         |  SELECT doc_id, i - 1 AS idx, ws[i] AS word
+         |  FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT p.doc_id, CAST(count(*) AS INT) AS n_kept,
+         |    string_agg(word, ' ' ORDER BY p.idx) AS text_clean
+         |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.idx = c.idx
+         |  WHERE c.idx IS NULL GROUP BY p.doc_id)
+         |SELECT w.doc_id, CAST(len(ws) AS INT) AS n_words,
+         |  CAST(len(ws) - coalesce(n_kept, 0) AS INT) AS n_dropped,
+         |  coalesce(text_clean, '') AS text_clean
+         |FROM w LEFT JOIN kept USING (doc_id) ORDER BY w.doc_id""".stripMargin
     },
 
     "q_paragraph_dedup" ->

@@ -61,6 +61,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // per-doc gram distinct + bench-gram distinct feeding the broadcast +
     // hit groupBy + left join back + output sort (broadcast exchanges count)
     "q_decontaminate" -> 8,
+    // the flag pipeline above plus covered-position distinct, the word
+    // anti-join, reassembly groupBy and the totals left join (the words
+    // subtree re-listed per reference in the AQE-off textual plan)
+    "q_decontaminate_spans" -> 11,
     // the assignment subtree (scan + broadcast centroid probe) is re-listed
     // 3x (pair-a, pair-b, output) in the AQE-off textual plan; runtime
     // exchange reuse collapses them — same accounting as q_curate_corpus

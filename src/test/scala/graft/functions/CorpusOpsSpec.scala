@@ -35,6 +35,44 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r.getAs[Int]("n_contaminated_grams") == 1)
   }
 
+  test("decontaminateSpans removes the matched windows, keeps the doc") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq(
+      (1L, "keep this ALPHA beta gamma keep that too"),
+      (2L, "nothing matches in here at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("alpha BETA gamma")).toDF("text")
+    val r = CorpusOps.decontaminateSpans(train, bench, col("text"), n = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_dropped") == 3)
+    assert(r(1L).getAs[String]("text_clean") == "keep this keep that too")
+    assert(r(2L).getAs[Int]("n_dropped") == 0)
+    assert(r(2L).getAs[String]("text_clean") == "nothing matches in here at all")
+  }
+
+  test("decontaminateSpans merges overlapping matched windows") {
+    val sp = spark
+    import sp.implicits._
+    // both "a b c" and "b c d" match: covered positions 0..3, not 6 drops
+    val train = Seq((1L, "a b c d tail")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c"), Tuple1("b c d")).toDF("text")
+    val r = CorpusOps.decontaminateSpans(train, bench, col("text"), n = 3)
+      .collect()(0)
+    assert(r.getAs[Int]("n_dropped") == 4)
+    assert(r.getAs[String]("text_clean") == "tail")
+  }
+
+  test("decontaminateSpans: a doc shorter than n has no window and passes") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b")).toDF("text")
+    val r = CorpusOps.decontaminateSpans(train, bench, col("text"), n = 3)
+      .collect()(0)
+    assert(r.getAs[Int]("n_dropped") == 0 && r.getAs[String]("text_clean") == "a b")
+  }
+
   test("semanticDedup drops the larger id of an exact-duplicate pair") {
     val sp = spark
     import sp.implicits._
