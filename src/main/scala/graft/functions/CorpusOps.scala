@@ -232,6 +232,68 @@ object CorpusOps {
           _.getField("para")), "\n").as("text_kept"))
   }
 
+  /**
+   * Star edges of the shared-paragraph graph: one edge from every doc to the
+   * MINIMUM doc_id sharing each paragraph fingerprint. Linear in paragraph
+   * count (one groupBy per fingerprint), never the quadratic within-group
+   * pair set — and yields the same connected components, since a star
+   * connects exactly what pairwise edges would.
+   */
+  def sharedParagraphEdges(d: DataFrame, text: Column, sep: String): DataFrame = {
+    val paras = d
+      .select(col("doc_id"),
+        explode(split(text, java.util.regex.Pattern.quote(sep))).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("para"))
+      .filter(col("para") =!= "")
+      .select(col("doc_id"), TextAnalysis.docFingerprint(col("para")).as("fp"))
+      .distinct()
+    val mins = paras.groupBy("fp").agg(min("doc_id").as("root"))
+    paras.join(mins, Seq("fp"))
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("src"), col("doc_id").as("dst"))
+      .distinct()
+  }
+
+  /**
+   * Connected components by iterative min-label propagation (hash-to-min,
+   * Rastogi et al. 2013 / the MapReduce CC family): every vertex starts as
+   * its own component and repeatedly adopts the minimum component id among
+   * itself and its neighbors, until a fixpoint — the unique labeling where
+   * each vertex carries its component's minimum id. Rounds are bounded by
+   * the graph diameter (O(log n) for the star-heavy dedup graphs this is
+   * built for); each round is one equi-join + one `groupBy` — no driver-side
+   * graph state, so components over billions of vertices run as a handful of
+   * shuffles. Input needs (`src`, `dst`); returns `doc_id, component`.
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val vertices = sym.select(col("a").as("doc_id")).distinct()
+    var comp = vertices.select(col("doc_id"), col("doc_id").as("component"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val viaNeighbor = sym
+        .join(comp.withColumnRenamed("doc_id", "b"), Seq("b"))
+        .select(col("a").as("doc_id"), col("component"))
+      // localCheckpoint truncates lineage each round — without it the plan
+      // telescopes (every iteration embeds the previous one) and a long run
+      // would overwhelm the optimizer; a production job on unreliable
+      // executors would use a reliable checkpoint dir instead
+      val next = comp.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(comp.withColumnRenamed("component", "prev"),
+        Seq("doc_id"))
+        .filter(col("component") =!= col("prev")).limit(1).count()
+      comp = next
+      converged = changed == 0
+      i += 1
+    }
+    comp
+  }
+
   /** Scrub-oriented US phone shape (the reference's `US_PHONE_NUMBERS_PATTERN`
     * is anchored to end-of-text for containment tests, so redaction uses the
     * common dotted/dashed 3-3-4 form). */

@@ -76,6 +76,15 @@ object CorpusQueries {
       CorpusOps.paragraphDedup(docs(s, dir), col("text"), " merge ")
         .orderBy("doc_id")),
 
+    // duplicate-cluster resolution: shared-paragraph star edges (linear,
+    // never within-group pairwise) -> min-label-propagation connected
+    // components, the canonical-representative step a dedup pipeline runs
+    // after pair generation
+    "q_dedup_components" -> ((s, dir) =>
+      CorpusOps.connectedComponents(
+        CorpusOps.sharedParagraphEdges(docs(s, dir), col("text"), " merge "))
+        .orderBy("doc_id")),
+
     // the streaming twin of q_pack_sequences: per-bucket running offset in
     // group state (one long per bucket), verified by the BATCH oracle
     "q_stream_pack_sequences" -> ((s, dir) =>
@@ -254,6 +263,27 @@ object CorpusQueries {
          |    list(CASE WHEN kept THEN para END ORDER BY seq)
          |      .list_filter(x -> x IS NOT NULL), chr(10)), '') AS text_kept
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE
+         |p AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${AnalysisQueries.fingerprint("trim(x)")} AS fp
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' merge ')) AS x
+         |        FROM documents)
+         |  WHERE trim(x) <> ''),
+         |m AS (SELECT fp, min(doc_id) AS root FROM p GROUP BY fp),
+         |e0 AS (
+         |  SELECT DISTINCT m.root AS src, p.doc_id AS dst
+         |  FROM p JOIN m USING (fp) WHERE p.doc_id <> m.root),
+         |es AS (SELECT src AS a, dst AS b FROM e0
+         |       UNION SELECT dst AS a, src AS b FROM e0),
+         |r AS (
+         |  SELECT DISTINCT a AS v, a AS c FROM es
+         |  UNION
+         |  SELECT es.b AS v, r.c AS c FROM r JOIN es ON es.a = r.v)
+         |SELECT v AS doc_id, min(c) AS component
+         |FROM r GROUP BY v ORDER BY v""".stripMargin,
 
     "q_pack_sequences" -> PackOracleSql,
 

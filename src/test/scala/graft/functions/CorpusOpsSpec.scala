@@ -180,6 +180,36 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r(2L).getAs[String]("text_kept") == "")
   }
 
+  test("connectedComponents resolves a chain needing multiple rounds") {
+    val sp = spark
+    import sp.implicits._
+    // 1-2-3-4-5 chain plus a separate 10-11 pair: min labels 1 and 10
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val r = CorpusOps.connectedComponents(edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((1L to 5L).forall(r(_) == 1L))
+    assert(r(10L) == 10L && r(11L) == 10L)
+  }
+
+  test("sharedParagraphEdges emits a star to the minimum sharer, never pairs") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (3L, "common footer|unique a"),
+      (7L, "common footer|unique b"),
+      (9L, "common footer|unique c"),
+      (12L, "loner paragraph")
+    ).toDF("doc_id", "text")
+    val edges = CorpusOps.sharedParagraphEdges(d, col("text"), "|")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(edges == Set((3L, 7L), (3L, 9L))) // star on doc 3; 12 isolated
+    val comps = CorpusOps.connectedComponents(
+      CorpusOps.sharedParagraphEdges(d, col("text"), "|"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(comps == Map(3L -> 3L, 7L -> 3L, 9L -> 3L))
+  }
+
   test("piiScrub redacts emails, IPv4s, and phones with counts") {
     val sp = spark
     import sp.implicits._
