@@ -266,9 +266,13 @@ object CorpusOps {
    * shuffles. Input needs (`src`, `dst`); returns `doc_id, component`.
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the symmetrized edge relation ONCE — it is joined every
+    // round, and leaving it lazy would re-run the upstream edge derivation
+    // (explode + shuffles) per iteration
     val sym = edges.select(col("src").as("a"), col("dst").as("b"))
       .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
       .distinct()
+      .localCheckpoint(true)
     val vertices = sym.select(col("a").as("doc_id")).distinct()
     var comp = vertices.select(col("doc_id"), col("doc_id").as("component"))
     var converged = false
@@ -277,12 +281,19 @@ object CorpusOps {
       val viaNeighbor = sym
         .join(comp.withColumnRenamed("doc_id", "b"), Seq("b"))
         .select(col("a").as("doc_id"), col("component"))
+      val viaMin = comp.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min("component").as("component"))
+      // pointer jumping: also adopt the label OF the label (labels are
+      // always vertex ids, so the self-join always finds its row) — rounds
+      // drop from O(diameter) to O(log diameter), the difference between a
+      // dozen shuffles and a few on chain-shaped duplicate clusters.
       // localCheckpoint truncates lineage each round — without it the plan
       // telescopes (every iteration embeds the previous one) and a long run
       // would overwhelm the optimizer; a production job on unreliable
       // executors would use a reliable checkpoint dir instead
-      val next = comp.unionByName(viaNeighbor)
-        .groupBy("doc_id").agg(min("component").as("component"))
+      val labels = viaMin.select(col("doc_id").as("ld"), col("component").as("lc"))
+      val next = viaMin.join(labels, col("component") === col("ld"), "left")
+        .select(col("doc_id"), coalesce(col("lc"), col("component")).as("component"))
         .localCheckpoint(true)
       val changed = next.join(comp.withColumnRenamed("component", "prev"),
         Seq("doc_id"))
