@@ -111,7 +111,7 @@ object CorpusOps {
     transform(c, x => x.cast("double") * x.cast("double")),
     lit(0.0), (acc, v) => acc + v))
 
-  private def cosineCol(a: Column, b: Column): Column =
+  private[graft] def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
   /**
@@ -304,6 +304,27 @@ object CorpusOps {
     }
     comp
   }
+
+  /**
+   * Symmetric int8 scalar quantization of an embedding column — the standard
+   * 4× storage/bandwidth reduction for a vector corpus (per-vector scale =
+   * max |x| / 127, q = round(x / scale)). Pure codegen'd columns, no shuffle.
+   * Returns `(scale, q)` as a struct; `scale = 0` (the all-zero vector)
+   * quantizes to zeros.
+   */
+  def quantizeInt8(embedding: Column): Column = {
+    val scale = aggregate(embedding,
+      lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / 127.0
+    val q = transform(embedding, x =>
+      when(lit(0.0) === scale, lit(0L))
+        .otherwise(round(x.cast("double") / scale)).cast("int"))
+    struct(scale.as("scale"), q.as("q"))
+  }
+
+  /** Dequantized vector from [[quantizeInt8]] output: `q * scale`. */
+  def dequantizeInt8(quant: Column): Column =
+    transform(quant.getField("q"),
+      v => v.cast("double") * quant.getField("scale"))
 
   /** Scrub-oriented US phone shape (the reference's `US_PHONE_NUMBERS_PATTERN`
     * is anchored to end-of-text for containment tests, so redaction uses the

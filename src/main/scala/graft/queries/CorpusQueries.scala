@@ -76,6 +76,40 @@ object CorpusQueries {
       CorpusOps.paragraphDedup(docs(s, dir), col("text"), " merge ")
         .orderBy("doc_id")),
 
+    // int8 scalar quantization of the embedding corpus (4x storage) — the
+    // per-vector scale and quantized codes, serialized for the compare
+    "q_embed_quantize" -> ((s, dir) =>
+      embs(s, dir)
+        .select(col("vec_id"), CorpusOps.quantizeInt8(col("embedding")).as("qt"))
+        .select(col("vec_id"), round(col("qt.scale"), 6).as("scale"),
+          array_join(col("qt.q"), ",").as("q_str"))
+        .orderBy("vec_id")),
+
+    // recall check: brute-force cosine top-10 on the DEQUANTIZED corpus vs
+    // the full-precision top-10 for the same query vector — one summary row
+    "q_embed_quant_recall" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val deq = e.select(col("vec_id"),
+        CorpusOps.dequantizeInt8(CorpusOps.quantizeInt8(col("embedding")))
+          .as("embedding"))
+      def top10(d: DataFrame): DataFrame = {
+        val qv = d.filter(col("vec_id") === 1)
+          .select(col("embedding").as("qv"))
+        d.filter(col("vec_id") =!= 1).crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(CorpusOps.cosineCol(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      }
+      val full = top10(e).select(col("vec_id").as("fid"))
+      val quant = top10(deq).agg(
+        sort_array(collect_list(col("vec_id"))).as("qids"))
+      full.agg(sort_array(collect_list(col("fid"))).as("fids"))
+        .crossJoin(quant)
+        .select(
+          size(array_intersect(col("fids"), col("qids"))).as("overlap_at_10"),
+          array_join(col("qids"), ",").as("quant_top_ids"))
+    }),
+
     // duplicate-cluster resolution: shared-paragraph star edges (linear,
     // never within-group pairwise) -> min-label-propagation connected
     // components, the canonical-representative step a dedup pipeline runs
@@ -263,6 +297,46 @@ object CorpusQueries {
          |    list(CASE WHEN kept THEN para END ORDER BY seq)
          |      .list_filter(x -> x IS NOT NULL), chr(10)), '') AS text_kept
          |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+         |      AS scale
+         |  FROM embeddings)
+         |SELECT vec_id, round(scale, 6) AS scale,
+         |  array_to_string(list_transform(embedding, x ->
+         |    CAST(CASE WHEN scale = 0 THEN 0
+         |              ELSE round(CAST(x AS DOUBLE) / scale) END AS INT)), ',')
+         |    AS q_str
+         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q_embed_quant_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |dq AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CASE WHEN scale = 0 THEN 0.0
+         |         ELSE round(CAST(x AS DOUBLE) / scale) * scale END) AS embedding
+         |  FROM (SELECT vec_id, embedding,
+         |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |            / 127.0 AS scale
+         |        FROM e)),
+         |qf AS (SELECT embedding AS qv FROM e WHERE vec_id = 1),
+         |qd AS (SELECT embedding AS qv FROM dq WHERE vec_id = 1),
+         |topf AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(${cosSql("e.embedding", "qf.qv")}, 6) AS sim
+         |    FROM e, qf WHERE e.vec_id <> 1)
+         |  ORDER BY sim DESC, vec_id LIMIT 10),
+         |topq AS (
+         |  SELECT vec_id FROM (
+         |    SELECT dq.vec_id, round(${cosSql("dq.embedding", "qd.qv")}, 6) AS sim
+         |    FROM dq, qd WHERE dq.vec_id <> 1)
+         |  ORDER BY sim DESC, vec_id LIMIT 10)
+         |SELECT CAST(len(list_intersect(f.l, t.l)) AS INT) AS overlap_at_10,
+         |  array_to_string(t.l, ',') AS quant_top_ids
+         |FROM (SELECT list_sort(list(vec_id)) AS l FROM topf) f,
+         |     (SELECT list_sort(list(vec_id)) AS l FROM topq) t""".stripMargin,
 
     "q_dedup_components" ->
       s"""WITH RECURSIVE

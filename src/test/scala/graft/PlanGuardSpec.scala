@@ -29,7 +29,10 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnlAllowed = Map("q_ann_cosine_topk" -> 1, "q_ann_ivf" -> 2,
     // the ONE broadcast k-row centroid probe, re-listed per reference to the
     // assignment subtree (pair-a, pair-b, output) in the AQE-off textual plan
-    "q_semantic_dedup" -> 3)
+    "q_semantic_dedup" -> 3,
+    // two broadcast single-query-vector probes (full + dequantized) plus the
+    // 1-row x 1-row summary crossJoin, all broadcast — never a CartesianProduct
+    "q_embed_quant_recall" -> 3)
   private val smjAllowed = Map("q_element_type_accuracy" -> 1,
     // intra-cluster pair join: both sides are the full centroid assignment —
     // SMJ on cluster id IS the scale-correct strategy (work = Σ cluster²)
@@ -65,6 +68,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // anti-join, reassembly groupBy and the totals left join (the words
     // subtree re-listed per reference in the AQE-off textual plan)
     "q_decontaminate_spans" -> 11,
+    // two single-partition top-10 sorts + their 1-row collect_list aggs and
+    // the broadcast summary join
+    "q_embed_quant_recall" -> 8,
     // the assignment subtree (scan + broadcast centroid probe) is re-listed
     // 3x (pair-a, pair-b, output) in the AQE-off textual plan; runtime
     // exchange reuse collapses them — same accounting as q_curate_corpus

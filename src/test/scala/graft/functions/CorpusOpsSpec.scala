@@ -180,6 +180,26 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r(2L).getAs[String]("text_kept") == "")
   }
 
+  test("quantizeInt8 round-trips within one scale step; zero vector is safe") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, Array(1.27f, -0.635f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = d.select(col("vec_id"),
+        CorpusOps.quantizeInt8(col("embedding")).as("qt"))
+      .select(col("vec_id"), col("qt.scale"), col("qt.q"),
+        CorpusOps.dequantizeInt8(col("qt")).as("deq"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("scale") == 1.27f.toDouble / 127.0)
+    assert(r(1L).getSeq[Int](r(1L).fieldIndex("q")) == Seq(127, -64, 0)) // -63.5 rounds away
+    val deq = r(1L).getSeq[Double](r(1L).fieldIndex("deq"))
+    assert(math.abs(deq.head - 1.27f.toDouble) < 1e-12) // exact: 127 * scale
+    assert(r(2L).getSeq[Int](r(2L).fieldIndex("q")) == Seq(0, 0, 0)) // scale 0, no NaN
+    assert(r(2L).getSeq[Double](r(2L).fieldIndex("deq")).forall(_ == 0.0))
+  }
+
   test("connectedComponents resolves a chain needing multiple rounds") {
     val sp = spark
     import sp.implicits._
