@@ -64,7 +64,10 @@ object CorpusOps {
    * doc is reassembled from the surviving words. Docs with fewer than `n`
    * words carry no full window and pass through untouched (unlike
    * [[decontaminate]]'s flag semantics, a partial window cannot match).
-   * Returns `doc_id, n_words, n_dropped, text_clean`.
+   * Returns `doc_id, n_words, n_dropped, text_clean`. Single-pass, like the
+   * published treatment: removal splices the surviving words together, and a
+   * splice can in principle form a NEW matching window — rerun on the output
+   * when that matters.
    *
    * Scale shape: grams and word positions are plain exploded relations —
    * bench grams broadcast into the match join, covered positions anti-join

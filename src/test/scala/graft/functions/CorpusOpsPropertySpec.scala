@@ -1,0 +1,146 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuiteBase
+
+/**
+ * Property fuzz for the corpus-construction operators: every invariant is
+ * recomputed independently in plain Scala over seeded random corpora and
+ * compared against the distributed result — shape bugs (a wrong window
+ * frame, a dropped tie-break, a non-root component label) surface here
+ * before any oracle run.
+ */
+class CorpusOpsPropertySpec extends SparkSuiteBase {
+
+  private val rng = new Random(20260815L)
+
+  private val Words =
+    Vector("alpha", "beta", "gamma", "delta", "omega", "lorem", "amet",
+      "table", "river", "stone", "cloud", "ember")
+
+  private def randDoc(maxWords: Int = 40): String =
+    Seq.fill(rng.nextInt(maxWords + 1))(Words(rng.nextInt(Words.size)))
+      .mkString(" ")
+
+  test("packSequences: every row recomputes from the per-bucket prefix sums") {
+    val sp = spark
+    import sp.implicits._
+    val ctx = 64
+    val buckets = 5
+    val corpus = Vector.tabulate(120)(i => (i.toLong, rng.nextInt(100).toLong))
+    val rows = CorpusOps.packSequences(
+      corpus.toDF("doc_id", "n"), col("n"), buckets, ctx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    corpus.groupBy(_._1 % buckets).foreach { case (bucket, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, n) =>
+        val (b, nt, ex, off, crosses) = rows(id)
+        assert(b == bucket && nt == n)
+        assert(ex == cum / ctx, s"doc $id example")
+        assert(off == cum % ctx, s"doc $id offset")
+        assert(crosses == (n > 0 && (cum + n - 1) / ctx > cum / ctx), s"doc $id crosses")
+        cum += n
+      }
+    }
+  }
+
+  test("paragraphDedup: kept total equals distinct fingerprints; kept text is a subsequence") {
+    val sp = spark
+    import sp.implicits._
+    // small paragraph alphabet so cross-doc duplicates are common
+    val paras = Vector("Alpha beta.", "Gamma delta.", "OMEGA zeta.", "Ember stone.")
+    val corpus = Vector.tabulate(60) { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(5))(paras(rng.nextInt(paras.size)))
+        .mkString("|"))
+    }
+    val out = CorpusOps.paragraphDedup(corpus.toDF("doc_id", "text"), col("text"), "|")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val distinctFps = corpus.flatMap(_._2.split('|')).map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).distinct.size
+    assert(out.values.map(_.getAs[Int]("n_kept")).sum == distinctFps)
+    corpus.foreach { case (id, text) =>
+      val original = text.split('|').map(_.trim).filter(_.nonEmpty).toVector
+      val kept = out(id).getAs[String]("text_kept") match {
+        case "" => Vector.empty
+        case t => t.split('\n').toVector
+      }
+      assert(out(id).getAs[Int]("n_paras") == original.size)
+      // kept is an in-order subsequence of the original paragraph list
+      var j = 0
+      kept.foreach { k =>
+        val at = original.indexOf(k, j)
+        assert(at >= j, s"doc $id: '$k' out of order")
+        j = at + 1
+      }
+    }
+  }
+
+  test("connectedComponents: labels are roots, minimal, and edge-consistent") {
+    val sp = spark
+    import sp.implicits._
+    val n = 80
+    val edges = Vector.fill(60)(
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong)).filter(e => e._1 != e._2)
+    val comp = CorpusOps.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.foreach { case (v, c) =>
+      assert(c <= v, s"label above id for $v")
+      assert(comp(c) == c, s"label $c of $v is not a root")
+    }
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) crosses components")
+    }
+  }
+
+  test("decontaminateSpans: counts are coherent and clean text is the kept words") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Vector.tabulate(80)(i => (i.toLong, randDoc()))
+    val bench = Vector.fill(6)(Seq.fill(3)(Words(rng.nextInt(Words.size)))
+      .mkString(" "))
+    val out = CorpusOps.decontaminateSpans(
+      corpus.toDF("doc_id", "text"),
+      bench.map(Tuple1(_)).toDF("text"), col("text"), n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    corpus.foreach { case (id, text) =>
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val r = out(id)
+      assert(r.getAs[Int]("n_words") == words.length)
+      val cleanWords = r.getAs[String]("text_clean") match {
+        case "" => Array.empty[String]
+        case t => t.split(' ')
+      }
+      assert(cleanWords.length == words.length - r.getAs[Int]("n_dropped"))
+      // independently recompute the covered set
+      val benchSet = bench.map(_.toLowerCase).toSet
+      val covered = words.indices.filter { i =>
+        i + 3 <= words.length &&
+          benchSet.contains(words.slice(i, i + 3).mkString(" ").toLowerCase)
+      }.flatMap(i => i until i + 3).toSet
+      val expected = words.indices.filterNot(covered).map(words)
+      assert(cleanWords.toSeq == expected, s"doc $id")
+    }
+  }
+
+  test("stratifiedSample: keep recomputes from the bucket, buckets in range") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Vector.tabulate(200)(i =>
+      (i.toLong, Seq("a", "b", "c")(rng.nextInt(3))))
+    val rates = Seq("a" -> 0.25, "b" -> 0.75)
+    val out = CorpusOps.stratifiedSample(
+      corpus.toDF("doc_id", "lang"), col("lang"), rates, 0.5, "prop")
+      .collect()
+    out.foreach { r =>
+      val bucket = r.getAs[Long]("sample_bucket")
+      assert(bucket >= 0 && bucket < 10000)
+      val rate = rates.toMap.getOrElse(r.getAs[String]("stratum"), 0.5)
+      assert(r.getAs[Boolean]("keep") == (bucket.toDouble < rate * 10000.0))
+    }
+  }
+}
