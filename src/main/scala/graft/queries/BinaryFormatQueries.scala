@@ -407,6 +407,41 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "chunk_seq")
     }),
 
+    // CAPSTONE: unstructured files IN -> packed training manifest OUT in one
+    // declared DAG. GraftPartitionDocs parses synthesized .txt files, the
+    // element stream reassembles into documents, exact dedup drops the
+    // boilerplate copies (every 4th file carries an identical payload, so
+    // only the lowest path survives), and the survivors sequence-pack into
+    // fixed-budget training examples — the document-ETL and corpus-curation
+    // halves of the engine composed end-to-end.
+    "q_ingest_curate" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val files = docBase(s, dir).map { d =>
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val body =
+          if (d.docId % 4 == 0)
+            "Shared boilerplate text body.\n\nIdentical second paragraph."
+          else s"alpha beta ${d.w1} gamma.\n\nsecond part ${d.source}."
+        (f"mem:/doc_${d.docId}%05d.txt", body.getBytes(utf8))
+      }.toDF("path", "content")
+      val els = org.apache.spark.sql.graft.PartitionPlan.partitionDocs(files)
+      val docs = els.groupBy("doc_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("seq"), col("text")))),
+          _.getField("text")), "\n\n").as("text"))
+      val deduped = docs
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(TextAnalysis.docFingerprint(col("text")))
+          .orderBy("doc_id")))
+        .filter(col("rn") === 1)
+        .select(regexp_extract(col("doc_id"), "doc_(\\d+)", 1)
+          .cast("long").as("doc_id"), col("text"))
+      graft.functions.CorpusOps.packSequences(deduped,
+        TextAnalysis.tokenCountWhitespace(col("text")), buckets = 4, ctxLen = 32)
+        .orderBy("doc_id")
+    }),
+
     "q_partition_auto" -> ((s, dir) => {
       import s.implicits._
       docBase(s, dir).flatMap { d =>
@@ -990,6 +1025,39 @@ object BinaryFormatQueries {
          |    'alpha beta gamma ' || w1 || chr(10) || chr(10) ||
          |    'second part ' || source FROM base)
          |ORDER BY doc_id, chunk_seq""".stripMargin,
+
+    "q_ingest_curate" ->
+      s"""WITH base AS ($base),
+         |f AS (
+         |  SELECT 'mem:/doc_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.txt' AS path,
+         |    CASE WHEN doc_id % 4 = 0
+         |      THEN 'Shared boilerplate text body.' || chr(10) || chr(10) ||
+         |        'Identical second paragraph.'
+         |      ELSE 'alpha beta ' || w1 || ' gamma.' || chr(10) || chr(10) ||
+         |        'second part ' || source || '.'
+         |    END AS text
+         |  FROM base),
+         |dd AS (
+         |  SELECT path, text FROM (
+         |    SELECT path, text, row_number() OVER (
+         |      PARTITION BY ${AnalysisQueries.fingerprint("text")}
+         |      ORDER BY path) AS rn
+         |    FROM f) WHERE rn = 1),
+         |t AS (
+         |  SELECT CAST(regexp_extract(path, 'doc_(\\d+)', 1) AS BIGINT) AS doc_id,
+         |    CAST(len(${O.words("text")}) AS BIGINT) AS n_tokens
+         |  FROM dd),
+         |c AS (
+         |  SELECT doc_id, doc_id % 4 AS bucket, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id)
+         |      AS BIGINT) AS cum_end
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tokens,
+         |  (cum_end - n_tokens) // 32 AS example_id,
+         |  (cum_end - n_tokens) % 32 AS offset_in_example,
+         |  (n_tokens > 0 AND (cum_end - 1) // 32 > (cum_end - n_tokens) // 32)
+         |    AS crosses_boundary
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q_partition_auto" ->
       s"""WITH base AS ($base)

@@ -64,6 +64,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // per-doc gram distinct + bench-gram distinct feeding the broadcast +
     // hit groupBy + left join back + output sort (broadcast exchanges count)
     "q_decontaminate" -> 8,
+    // parse -> doc reassembly groupBy -> fingerprint dedup window ->
+    // per-bucket packing window -> output sort, each its own key
+    "q_ingest_curate" -> 6,
     // the flag pipeline above plus covered-position distinct, the word
     // anti-join, reassembly groupBy and the totals left join (the words
     // subtree re-listed per reference in the AQE-off textual plan)
