@@ -8,10 +8,14 @@ import graft.queries.{OracleSql => O}
 
 /**
  * Declared queries for the corpus-construction operators in
- * [[graft.functions.CorpusOps]]: benchmark decontamination, SemDeDup-style
- * embedding dedup, deterministic stratified sampling, GPT-style sequence
- * packing, and PII scrubbing. Corpus constructions (benchmark slices, verbatim
- * vector copies, appended PII) are mirrored verbatim in the oracle SQL.
+ * [[graft.functions.CorpusOps]]: benchmark decontamination (doc-flag and
+ * span-removal), SemDeDup-style embedding dedup, CCNet paragraph dedup,
+ * duplicate-cluster connected components, deterministic stratified sampling,
+ * GPT-style sequence packing (batch and streaming twin), int8 embedding
+ * quantization with a recall gate, PII scrubbing, and the composed
+ * q_curate_training_set pipeline. Corpus constructions (benchmark slices,
+ * verbatim vector copies, appended PII) are mirrored verbatim in the oracle
+ * SQL; the components oracle is a recursive CTE.
  */
 object CorpusQueries {
 
