@@ -72,12 +72,14 @@ def main():
     out = "src/test/resources/graft/refvec/bow_diff.ndjson"
     n = 0
     with open(out, "w") as f:
-        for _ in range(500):
+        # retry until EXACTLY 500 vectors: the spec hard-asserts the corpus
+        # size, so a skipped out-of-contract case must be replaced, not lost
+        while n < 500:
             text = rand_text()
             try:
                 bow = bag_of_words(text)
             except Exception:
-                continue  # out of contract
+                continue  # out of contract; draw another case
             f.write(json.dumps({"input": text, "bow": bow}, ensure_ascii=False) + "\n")
             n += 1
     print(f"{n} vectors -> {out}")

@@ -214,17 +214,22 @@ object CorpusOps {
    * one window shuffle on the paragraph hash, one `groupBy(doc_id)` — linear,
    * never pairwise.
    */
-  def paragraphDedup(d: DataFrame, text: Column, sep: String): DataFrame = {
-    val paras = d
-      .select(col("doc_id"),
+  /** The one paragraph derivation [[paragraphDedup]] and
+    * [[sharedParagraphEdges]] share (the two must agree on what a paragraph
+    * is): split on `sep`, trim, drop empties, keep the position. */
+  private def paragraphsOf(d: DataFrame, text: Column, sep: String): DataFrame =
+    d.select(col("doc_id"),
         posexplode(split(text, java.util.regex.Pattern.quote(sep)))
           .as(Seq("seq", "raw")))
       .select(col("doc_id"), col("seq"), trim(col("raw")).as("para"))
       .filter(col("para") =!= "")
+
+  def paragraphDedup(d: DataFrame, text: Column, sep: String): DataFrame = {
+    val paras = paragraphsOf(d, text, sep)
     val w = Window
       .partitionBy(TextAnalysis.docFingerprint(col("para")))
       .orderBy("doc_id", "seq")
-    paras
+    val perDoc = paras
       .withColumn("kept", row_number().over(w) === 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_paras"),
@@ -233,6 +238,14 @@ object CorpusOps {
           sort_array(collect_list(when(col("kept"),
             struct(col("seq"), col("para"))))),
           _.getField("para")), "\n").as("text_kept"))
+    // docs whose text has NO non-empty paragraph still appear (zeros/empty),
+    // like every sibling operator — a curation pipeline must never lose docs
+    d.select(col("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0)).as("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
   /**
@@ -243,11 +256,7 @@ object CorpusOps {
    * connects exactly what pairwise edges would.
    */
   def sharedParagraphEdges(d: DataFrame, text: Column, sep: String): DataFrame = {
-    val paras = d
-      .select(col("doc_id"),
-        explode(split(text, java.util.regex.Pattern.quote(sep))).as("raw"))
-      .select(col("doc_id"), trim(col("raw")).as("para"))
-      .filter(col("para") =!= "")
+    val paras = paragraphsOf(d, text, sep)
       .select(col("doc_id"), TextAnalysis.docFingerprint(col("para")).as("fp"))
       .distinct()
     val mins = paras.groupBy("fp").agg(min("doc_id").as("root"))
@@ -305,6 +314,15 @@ object CorpusOps {
       converged = changed == 0
       i += 1
     }
+    // a non-converged labeling is WRONG (labels neither minimal nor roots)
+    // and indistinguishable from a converged one — fail loudly, never cap
+    // silently. Superseded rounds' localCheckpoint blocks are released by the
+    // ContextCleaner once unreferenced (comp is reassigned each round), so at
+    // most ~2 labelings are live at a time in steady state.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(pointer jumping needs ~log2(diameter); raise maxIter)")
     comp
   }
 
@@ -315,16 +333,26 @@ object CorpusOps {
    * Returns `(scale, q)` as a struct; `scale = 0` (the all-zero vector)
    * quantizes to zeros.
    */
-  def quantizeInt8(embedding: Column): Column = {
-    val scale = aggregate(embedding,
-      lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / 127.0
-    val q = transform(embedding, x =>
-      when(lit(0.0) === scale, lit(0L))
-        .otherwise(round(x.cast("double") / scale)).cast("int"))
-    struct(scale.as("scale"), q.as("q"))
-  }
+  def quantizeInt8(embedding: Column): Column = aggregate(
+    embedding,
+    lit(0.0), (m, x) => greatest(m, abs(x.cast("double"))),
+    // build the struct in the FINISH lambda so `m` (the max-abs fold result)
+    // binds once per row: referencing the aggregate as a sibling expression
+    // would re-evaluate the whole O(d) fold inside every per-element lambda
+    // step (higher-order functions cache nothing), turning quantization
+    // O(d^2) per row
+    m => {
+      val scale = m / 127.0
+      struct(scale.as("scale"),
+        transform(embedding, x =>
+          when(m === 0.0, lit(0L))
+            .otherwise(round(x.cast("double") / scale)).cast("int")).as("q"))
+    })
 
-  /** Dequantized vector from [[quantizeInt8]] output: `q * scale`. */
+  /** Dequantized vector from [[quantizeInt8]] output: `q * scale`.
+    * Materialize the struct in its own projection before calling this —
+    * passing the [[quantizeInt8]] expression directly would re-run the
+    * whole quantization per element (see the note there). */
   def dequantizeInt8(quant: Column): Column =
     transform(quant.getField("q"),
       v => v.cast("double") * quant.getField("scale"))

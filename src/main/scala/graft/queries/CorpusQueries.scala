@@ -93,9 +93,11 @@ object CorpusQueries {
     // the full-precision top-10 for the same query vector — one summary row
     "q_embed_quant_recall" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val deq = e.select(col("vec_id"),
-        CorpusOps.dequantizeInt8(CorpusOps.quantizeInt8(col("embedding")))
-          .as("embedding"))
+      // materialize the quantized struct before dequantizing — composing the
+      // two expressions inline re-runs the quantization per element
+      val deq = e
+        .select(col("vec_id"), CorpusOps.quantizeInt8(col("embedding")).as("qt"))
+        .select(col("vec_id"), CorpusOps.dequantizeInt8(col("qt")).as("embedding"))
       def top10(d: DataFrame): DataFrame = {
         val qv = d.filter(col("vec_id") === 1)
           .select(col("embedding").as("qv"))
@@ -294,13 +296,18 @@ object CorpusQueries {
          |    row_number() OVER (
          |      PARTITION BY ${AnalysisQueries.fingerprint("para")}
          |      ORDER BY doc_id, seq) = 1 AS kept
-         |  FROM p)
-         |SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
-         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
-         |  coalesce(array_to_string(
-         |    list(CASE WHEN kept THEN para END ORDER BY seq)
-         |      .list_filter(x -> x IS NOT NULL), chr(10)), '') AS text_kept
-         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  FROM p),
+         |perdoc AS (
+         |  SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+         |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         |    coalesce(array_to_string(
+         |      list(CASE WHEN kept THEN para END ORDER BY seq)
+         |        .list_filter(x -> x IS NOT NULL), chr(10)), '') AS text_kept
+         |  FROM k GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_paras, 0) AS n_paras,
+         |  coalesce(n_kept, 0) AS n_kept, coalesce(text_kept, '') AS text_kept
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH q AS (

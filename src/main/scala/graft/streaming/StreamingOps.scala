@@ -94,6 +94,42 @@ object StreamingOps {
   private val sinkSeq = new AtomicInteger(0)
 
   /**
+   * The one AvailableNow drain harness every `*AvailableNow` entry shares:
+   * expose the single source file through a staging directory
+   * (FileStreamSource wants a directory; a real deployment streams an
+   * arrival directory anyway), run `build(streamDir)` into a memory sink,
+   * and wait BOUNDED — an unbounded `awaitTermination` turned a contended
+   * environment into a hang (r7 bench rc=124). On expiry the query stops
+   * and the sink keeps whatever committed: the caller gets a table instead
+   * of a dead JVM (a partial drain is detectable as a row-count mismatch by
+   * the oracle compare, which is exactly where these surfaces are consumed).
+   * The staging dir is an input artifact only and is always cleaned up.
+   */
+  private def drainAvailableNow(spark: SparkSession, srcPath: String,
+      prefix: String, outputMode: String)(
+      build: String => DataFrame): DataFrame = {
+    val fileName = java.nio.file.Path.of(srcPath).getFileName.toString
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve(fileName), java.nio.file.Path.of(srcPath))
+    try {
+      val df = build(streamDir.toString)
+      val name = s"graft_stream_${prefix}_${sinkSeq.incrementAndGet()}"
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+      spark.table(name)
+    } finally {
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve(fileName))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /**
    * Tumbling event-time window aggregation run THROUGH the streaming engine:
    * `readStream` over the parquet → `window(ts, 1 hour)` groupBy → memory sink,
    * `Trigger.AvailableNow` draining the backlog to completion so the result is
@@ -106,37 +142,14 @@ object StreamingOps {
   def hourlyWindowAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
     graft.Tables.configure(spark) // legacy events.parquet carries TIMESTAMP(NANOS) — read as long
     val schema = spark.read.parquet(eventsPath).schema
-    // FileStreamSource wants a directory; expose the single file through one
-    // (a real deployment streams an arrival directory anyway)
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-events")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"), java.nio.file.Path.of(eventsPath))
-    val agg = graft.Tables.normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir.toString))
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("n_events"), col("sum_value"))
-    val name = s"graft_stream_hourly_${sinkSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    try {
-      // Bounded wait: AvailableNow drains a finite backlog, but an unbounded
-      // awaitTermination turned a contended environment into a hang (r7 bench
-      // rc=124). On expiry stop the query — the memory sink keeps whatever
-      // committed, and the caller still gets a table instead of a dead JVM.
-      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
-      if (!q.awaitTermination(timeoutMs)) q.stop()
-    } finally {
-      // The memory sink holds results driver-side; the staging dir is only an
-      // input artifact and must not accumulate across invocations.
-      try {
-        java.nio.file.Files.deleteIfExists(streamDir.resolve("events.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      } catch { case _: Throwable => () }
+    drainAvailableNow(spark, eventsPath, "hourly", "complete") { streamDir =>
+      graft.Tables.normalizeTs(
+        spark.readStream.schema(schema).parquet(streamDir))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n_events"), col("sum_value"))
     }
-    spark.table(name)
   }
 
   /**
@@ -153,35 +166,19 @@ object StreamingOps {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-docs")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
-    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (id % 3 == 0) Seq((id, text), (id + 1000000L, text))
-        else Seq((id, text))
-      }.toDF("doc_id", "text")
-    val agg = docs
-      .select(col("doc_id"),
-        graft.functions.TextAnalysis.docFingerprint(col("text")).as("fp"))
-      .groupBy("fp")
-      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
-    val name = s"graft_stream_dedup_${sinkSeq.incrementAndGet()}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    try {
-      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
-      if (!q.awaitTermination(timeoutMs)) q.stop()
-    } finally {
-      try {
-        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      } catch { case _: Throwable => () }
+    drainAvailableNow(spark, documentsPath, "dedup", "complete") { streamDir =>
+      spark.readStream.schema(schema).parquet(streamDir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          if (id % 3 == 0) Seq((id, text), (id + 1000000L, text))
+          else Seq((id, text))
+        }.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.docFingerprint(col("text")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
     }
-    spark.table(name)
   }
 
   /** Control-marker element type: a row of this type signals end-of-document
@@ -204,38 +201,23 @@ object StreamingOps {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-chunk")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
-    def docsStream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("doc_id"),
-        org.apache.spark.sql.functions.replace(
-          col("text"), lit(" merge "), lit("\n\n")).as("text"))
-    val els = graft.sources.TextSource.partitionText(docsStream, col("text"))
-      .select(col("doc_id"), col("seq"), col("element_type"),
-        org.apache.spark.sql.functions.substring(col("text"), 1, 100).as("text"))
-      .as[(String, Long, String, String)]
-      .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
-    val markers = docsStream
-      .select(col("doc_id").cast("string")).as[String]
-      .map(d => Element("", EndOfDocument, "", d, Long.MaxValue))
-    val chunks = chunkStream(els.union(markers), opts, useTimeout = false)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("seq").as("chunk_seq"), col("text"))
-    val name = s"graft_stream_chunk_${sinkSeq.incrementAndGet()}"
-    val q = chunks.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try {
-      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
-      if (!q.awaitTermination(timeoutMs)) q.stop()
-    } finally {
-      try {
-        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      } catch { case _: Throwable => () }
-    }
-    spark.table(name).orderBy("doc_id", "chunk_seq")
+    drainAvailableNow(spark, documentsPath, "chunk", "append") { streamDir =>
+      def docsStream = spark.readStream.schema(schema).parquet(streamDir)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.replace(
+            col("text"), lit(" merge "), lit("\n\n")).as("text"))
+      val els = graft.sources.TextSource.partitionText(docsStream, col("text"))
+        .select(col("doc_id"), col("seq"), col("element_type"),
+          org.apache.spark.sql.functions.substring(col("text"), 1, 100).as("text"))
+        .as[(String, Long, String, String)]
+        .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
+      val markers = docsStream
+        .select(col("doc_id").cast("string")).as[String]
+        .map(d => Element("", EndOfDocument, "", d, Long.MaxValue))
+      chunkStream(els.union(markers), opts, useTimeout = false)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("seq").as("chunk_seq"), col("text"))
+    }.orderBy("doc_id", "chunk_seq")
   }
 
   /** Resume state for the incremental streaming chunk fold: the still-open trailing
@@ -370,41 +352,26 @@ object StreamingOps {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-lsh")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
-    // the same near-dup derivation the batch queries use: every doc_id % 7
-    // re-emitted under id+10000 with an appended token
-    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        if (id % 7 == 0) Seq((id, text), (id + 10000L, text + " xtra"))
-        else Seq((id, text))
-      }.toDF("doc_id", "text")
-    val bands = docs
-      .select(col("doc_id"),
-        graft.functions.TextAnalysis
-          .minHashSignature(col("text"), k = 8, shingleN = 3).as("sig"))
-      .select(col("doc_id"),
-        posexplode(graft.functions.TextAnalysis.lshBands(col("sig"), rows = 2))
-          .as(Seq("band_idx", "band_key")))
-      .as[(Long, Int, Long)]
-    val pairs = lshCandidateStream(bands, maxBandSize)
-    val name = s"graft_stream_lsh_${sinkSeq.incrementAndGet()}"
-    val q = pairs.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try {
-      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
-      if (!q.awaitTermination(timeoutMs)) q.stop()
-    } finally {
-      try {
-        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      } catch { case _: Throwable => () }
+    drainAvailableNow(spark, documentsPath, "lsh", "append") { streamDir =>
+      // the same near-dup derivation the batch queries use: every doc_id % 7
+      // re-emitted under id+10000 with an appended token
+      val docs = spark.readStream.schema(schema).parquet(streamDir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          if (id % 7 == 0) Seq((id, text), (id + 10000L, text + " xtra"))
+          else Seq((id, text))
+        }.toDF("doc_id", "text")
+      val bands = docs
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis
+            .minHashSignature(col("text"), k = 8, shingleN = 3).as("sig"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextAnalysis.lshBands(col("sig"), rows = 2))
+            .as(Seq("band_idx", "band_key")))
+        .as[(Long, Int, Long)]
+      lshCandidateStream(bands, maxBandSize)
     }
-    spark.table(name)
   }
 
   /**
@@ -452,28 +419,14 @@ object StreamingOps {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream-pack")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("documents.parquet"), java.nio.file.Path.of(documentsPath))
-    val docs = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        graft.functions.TextAnalysis.tokenCountWhitespace(col("text"))
-          .cast("long").as("n_tokens"))
-      .as[(Long, Long)]
-    val packed = packSequencesStream(docs, buckets, ctxLen)
-    val name = s"graft_stream_pack_${sinkSeq.incrementAndGet()}"
-    val q = packed.writeStream.format("memory").queryName(name)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    try {
-      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
-      if (!q.awaitTermination(timeoutMs)) q.stop()
-    } finally {
-      try {
-        java.nio.file.Files.deleteIfExists(streamDir.resolve("documents.parquet"))
-        java.nio.file.Files.deleteIfExists(streamDir)
-      } catch { case _: Throwable => () }
+    drainAvailableNow(spark, documentsPath, "pack", "append") { streamDir =>
+      packSequencesStream(
+        spark.readStream.schema(schema).parquet(streamDir)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            graft.functions.TextAnalysis.tokenCountWhitespace(col("text"))
+              .cast("long").as("n_tokens"))
+          .as[(Long, Long)],
+        buckets, ctxLen)
     }
-    spark.table(name)
   }
 }

@@ -67,6 +67,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // parse -> doc reassembly groupBy -> fingerprint dedup window ->
     // per-bucket packing window -> output sort, each its own key
     "q_ingest_curate" -> 6,
+    // fingerprint window + reassembly groupBy + the all-docs left join that
+    // keeps paragraph-less docs + output sort (doc_id exchanges re-listed)
+    "q_paragraph_dedup" -> 7,
     // the flag pipeline above plus covered-position distinct, the word
     // anti-join, reassembly groupBy and the totals left join (the words
     // subtree re-listed per reference in the AQE-off textual plan)

@@ -166,6 +166,18 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r(2L).getAs[String]("text_kept") == "Unique to two.")
   }
 
+  test("paragraphDedup keeps docs with no non-empty paragraph (zeros, not dropped)") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((1L, "Real paragraph."), (2L, ""), (3L, " | | "))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.paragraphDedup(d, col("text"), "|")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L)) // a curation pipeline never loses docs
+    assert(r(2L).getAs[Int]("n_paras") == 0 && r(2L).getAs[String]("text_kept") == "")
+    assert(r(3L).getAs[Int]("n_kept") == 0)
+  }
+
   test("paragraphDedup fingerprints case- and whitespace-insensitively") {
     val sp = spark
     import sp.implicits._
