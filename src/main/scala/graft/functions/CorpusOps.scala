@@ -17,9 +17,11 @@ import org.apache.spark.sql.functions._
  *  - [[semanticDedup]] — SemDeDup-style embedding dedup (Abbas et al. 2023):
  *    assign each vector to its nearest centroid, then drop near-exact cosine
  *    duplicates *within* a cluster. Scale shape: the centroid probe is a
- *    broadcast of k rows; the pairwise stage is an equi-join on cluster id,
- *    so work is Σ cluster² — k is chosen so clusters stay bounded
- *    (k ≈ n / target_cluster_size), never an all-pairs join.
+ *    broadcast of k rows; the pairwise stage is an equi-join on
+ *    (cluster, sub-bucket), where clusters over `maxClusterSize` are hash
+ *    re-split — per-task work is capped at maxClusterSize² and total work at
+ *    n·maxClusterSize even on a degenerate (all-identical) corpus, never an
+ *    unbounded Σ cluster².
  *  - [[stratifiedSample]] — deterministic per-stratum sampling by hash
  *    threshold (the standard reproducible corpus-mixing primitive): pure
  *    codegen'd columns, zero shuffles, identical decisions on re-runs and
@@ -114,8 +116,11 @@ object CorpusOps {
     transform(c, x => x.cast("double") * x.cast("double")),
     lit(0.0), (acc, v) => acc + v))
 
+  /** Zero-norm vectors (all-zero embeddings) define cosine as 0.0 instead of
+    * NaN, so they cluster by centroid id and never silently escape dedup. */
   private[graft] def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    when(normCol(a) * normCol(b) === 0.0, lit(0.0))
+      .otherwise(dotCol(a, b) / (normCol(a) * normCol(b)))
 
   /**
    * One-pass SemDeDup: centroids = the embeddings with `vec_id < k`
@@ -124,8 +129,19 @@ object CorpusOps {
    * centroid id), then within each cluster every pair with
    * `round(cos, 6) >= threshold` marks the *larger* `vec_id` as a duplicate.
    * Input needs (`vec_id`, `embedding`); returns `vec_id, cluster, keep`.
+   *
+   * Skew cap: the intra-cluster pair join's work is Σ cluster², which is
+   * unbounded when one cluster runs hot (near-dup-heavy corpus, degenerate
+   * embeddings, fixed k on a growing corpus). A cluster exceeding
+   * `maxClusterSize` is re-split into ⌈size / maxClusterSize⌉ deterministic
+   * hash sub-buckets before the pair join — pairs straddling sub-buckets are
+   * not compared (bounded-recall trade, mirroring the LSH hot-band cap in
+   * `AnalysisQueries` and `StreamingOps.lshCandidateStream`'s bucket poison),
+   * so per-task work is ≤ maxClusterSize² and total work ≤ n·maxClusterSize.
    */
-  def semanticDedup(e: DataFrame, k: Int, threshold: Double): DataFrame = {
+  def semanticDedup(e: DataFrame, k: Int, threshold: Double,
+      maxClusterSize: Int = 10000): DataFrame = {
+    require(maxClusterSize >= 2, s"maxClusterSize must be >= 2: $maxClusterSize")
     val cents = e.filter(col("vec_id") < k)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
         col("embedding").as("cv")))).as("cents"))
@@ -139,11 +155,21 @@ object CorpusOps {
       })
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), best.getField("cid").as("cluster"))
-    val a = assigned.select(col("cluster"),
+    // the count window shuffles on the same key as the pair join, so the
+    // exchange is reused; sub = polyHash(vec_id) mod ⌈size/max⌉ (cascade-free:
+    // ids are distinct so the affine tail can't collapse the split)
+    val withSub = assigned
+      .withColumn("n_in_cluster",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("sub", pmod(
+        TextAnalysis.polyHash(col("vec_id").cast("string")),
+        ceil(col("n_in_cluster").cast("double") / maxClusterSize).cast("long")))
+      .drop("n_in_cluster")
+    val a = withSub.select(col("cluster"), col("sub"),
       col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = assigned.select(col("cluster"),
+    val b = withSub.select(col("cluster"), col("sub"),
       col("vec_id").as("id_b"), col("embedding").as("emb_b"))
-    val dups = a.join(b, Seq("cluster"))
+    val dups = a.join(b, Seq("cluster", "sub"))
       .filter(col("id_a") < col("id_b"))
       .filter(round(cosineCol(col("emb_a"), col("emb_b")), 6) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()

@@ -43,13 +43,16 @@ object CorpusQueries {
 
     // SemDeDup over the embeddings ∪ verbatim copies of every 6th vector
     // (ids +100000): copies land in their original's cluster with cosine
-    // exactly 1.0 and are dropped as the larger id of each pair.
+    // exactly 1.0 and are dropped as the larger id of each pair. The cap is
+    // set LOW (40 « the ~73-vector clusters) so the hash re-split path — the
+    // 100 TB skew guard — is itself oracle-verified, not just spec'd.
     "q_semantic_dedup" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
       val inp = e.unionByName(
         e.filter(col("vec_id") % 6 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-      CorpusOps.semanticDedup(inp, k = 8, threshold = 0.99).orderBy("vec_id")
+      CorpusOps.semanticDedup(inp, k = 8, threshold = 0.99,
+        maxClusterSize = 40).orderBy("vec_id")
     }),
 
     "q_stratified_sample" -> ((s, dir) =>
@@ -198,11 +201,15 @@ object CorpusQueries {
        |    AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
-  private def cosSql(a: String, b: String): String =
-    s"(list_sum(list_transform(range(1, len($a) + 1), " +
+  /** Mirrors `CorpusOps.cosineCol` incl. the zero-norm guard (cosine = 0.0). */
+  private def cosSql(a: String, b: String): String = {
+    def norm(x: String) =
+      s"sqrt(list_sum(list_transform($x, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"(CASE WHEN ${norm(a)} * ${norm(b)} = 0 THEN 0.0 ELSE " +
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
-      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
-      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+      s"(${norm(a)} * ${norm(b)}) END)"
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -224,7 +231,8 @@ object CorpusQueries {
          |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""".stripMargin
     },
 
-    "q_semantic_dedup" ->
+    "q_semantic_dedup" -> {
+      val subHash = O.polyHash("CAST(vec_id AS VARCHAR)")
       s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
          |inp AS (
          |  SELECT vec_id, embedding FROM base
@@ -239,13 +247,20 @@ object CorpusQueries {
          |    SELECT vec_id, embedding, cid,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
          |    FROM sims) WHERE rn = 1),
+         |split AS (
+         |  SELECT vec_id, embedding, cluster,
+         |    $subHash % CAST(ceil(
+         |      CAST(count(*) OVER (PARTITION BY cluster) AS DOUBLE) / 40.0)
+         |      AS BIGINT) AS sub
+         |  FROM asg),
          |dups AS (
-         |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
-         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  SELECT DISTINCT b.vec_id FROM split a JOIN split b
+         |  ON a.cluster = b.cluster AND a.sub = b.sub AND a.vec_id < b.vec_id
          |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.99)
          |SELECT vec_id, cluster,
          |  vec_id NOT IN (SELECT vec_id FROM dups) AS keep
-         |FROM asg ORDER BY vec_id""".stripMargin,
+         |FROM asg ORDER BY vec_id""".stripMargin
+    },
 
     "q_stratified_sample" -> {
       val h = O.polyHash(

@@ -35,7 +35,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embed_quant_recall" -> 3)
   private val smjAllowed = Map("q_element_type_accuracy" -> 1,
     // intra-cluster pair join: both sides are the full centroid assignment —
-    // SMJ on cluster id IS the scale-correct strategy (work = Σ cluster²)
+    // SMJ on (cluster, sub) IS the scale-correct strategy. Clusters over
+    // maxClusterSize are hash re-split into sub-buckets first (r12), so a
+    // task's pair work is ≤ maxClusterSize² even on a degenerate corpus —
+    // no unbounded Σ cluster² remains.
     "q_semantic_dedup" -> 1,
     // the sampled-ids join back onto the quality-filtered corpus: both sides
     // are corpus-sized, so SMJ on doc_id is the correct strategy

@@ -90,6 +90,50 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r(9L).getAs[Boolean]("keep") && r(9L).getAs[Long]("cluster") == 1L)
   }
 
+  test("semanticDedup bounds work on a degenerate all-identical corpus") {
+    val sp = spark
+    import sp.implicits._
+    // 2,000 identical vectors, one cluster: uncapped this is a C(2000,2) ≈ 2M
+    // pair join. With maxClusterSize = 50 the cluster re-splits into
+    // ceil(2000/50) = 40 hash sub-buckets, so pairs are only compared within
+    // a sub-bucket (~C(50,2) each) and exactly one survivor remains per
+    // nonempty sub-bucket (the min id — all pairwise cosines are 1.0).
+    val n = 2000L
+    val e = sp.range(n).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+    val r = CorpusOps.semanticDedup(e, k = 1, threshold = 0.99,
+      maxClusterSize = 50).cache()
+    try {
+      assert(r.count() == n)
+      assert(r.filter(col("cluster") =!= 0L).count() == 0)
+      val kept = r.filter(col("keep")).count()
+      val expectedBuckets = e.select(pmod(
+        TextAnalysis.polyHash(col("vec_id").cast("string")), lit(40L)).as("s"))
+        .distinct().count()
+      assert(kept == expectedBuckets,
+        s"one survivor per hash sub-bucket expected: kept=$kept buckets=$expectedBuckets")
+      assert(kept <= 40, "re-split must cap survivors at ceil(n/maxClusterSize)")
+      assert(kept > 1, "re-split did not trigger: whole cluster deduped to one")
+    } finally r.unpersist()
+  }
+
+  test("semanticDedup: a zero vector gets cosine 0.0, not NaN, and is kept") {
+    val sp = spark
+    import sp.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // centroids (k = 2)
+      (7L, Array(0.0f, 0.0f))                           // zero-norm vector
+    ).toDF("vec_id", "embedding")
+    val r = CorpusOps.semanticDedup(e, k = 2, threshold = 0.9)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // all-zero cosine is defined 0.0 everywhere: beats the -2.0 seed, so the
+    // vector lands in the FIRST centroid's cluster (not the -1 sentinel) and
+    // survives (0.0 < threshold against every neighbour)
+    assert(r(7L).getAs[Long]("cluster") == 0L)
+    assert(r(7L).getAs[Boolean]("keep"))
+    assert(r.values.forall(_.getAs[Long]("cluster") >= 0L))
+  }
+
   test("stratifiedSample is deterministic and respects per-stratum rates") {
     val sp = spark
     import sp.implicits._
