@@ -19,7 +19,11 @@ import graft.model.Element
  *  - file-level distribution is `repartition(p_filetype, doc_id)` — one
  *    filetype maps to MANY tasks (no single-writer bottleneck per format,
  *    no small-file explosion from per-doc writers);
- *  - rows sort by `(doc_id, seq)` within each file, so a per-doc reader
+ *  - rows sort by `(p_filetype, doc_id, seq)` within each task — leading
+ *    with the partition column satisfies FileFormatWriter's required
+ *    ordering EXPLICITLY (it would otherwise insert its own sort by
+ *    p_filetype alone, and the per-file (doc_id, seq) order would rest on
+ *    that sort's stability, which is not a contract), so a per-doc reader
  *    streams elements in reading order without a shuffle.
  */
 object ElementLake {
@@ -40,7 +44,7 @@ object ElementLake {
       .withColumn(PartitionCol,
         coalesce(col("metadata.filetype"), lit(UnknownFiletype)))
       .repartition(col(PartitionCol), col("doc_id"))
-      .sortWithinPartitions("doc_id", "seq")
+      .sortWithinPartitions(PartitionCol, "doc_id", "seq")
       .write.mode(mode).partitionBy(PartitionCol).parquet(path)
 
   /** Full-lake read; `p_filetype` is dropped (the data files carry the real

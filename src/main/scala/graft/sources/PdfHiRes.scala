@@ -111,18 +111,23 @@ object PdfHiRes {
     var curX = 0.0
     val run = new StringBuilder
     var runX0, runY, runSize = 0.0
-    // graphics-state CTM (translation + axis scale; skew/rotation out of
-    // scope) — content that positions text via `q a 0 0 d e f cm` instead of
-    // Tm (common in Quartz/macOS-produced PDFs) needs it for real geometry
+    // graphics-state CTM (translation + axis scale; skew out of scope) —
+    // content that positions text via `q a 0 0 d e f cm` instead of Tm
+    // (common in Quartz/macOS-produced PDFs) needs it for real geometry.
+    // A rotation-shaped cm (a==0 && d==0, b/c nonzero — a quarter-turn)
+    // cannot be represented in the diagonal model: rather than emit silently
+    // UNROTATED coordinates, geometry is skipped until the enclosing Q
+    // restores an axis-aligned state (ctmRotated).
     var ctmA, ctmD = 1.0
     var ctmE, ctmF = 0.0
-    var ctmStack = List.empty[(Double, Double, Double, Double)]
+    var ctmRotated = false
+    var ctmStack = List.empty[(Double, Double, Double, Double, Boolean)]
 
     def effSize: Double = fontSize * (if (scaleY == 0) 1.0 else math.abs(scaleY))
 
     def flush(): Unit = {
       val text = run.toString.trim
-      if (text.nonEmpty && curX > runX0) {
+      if (text.nonEmpty && curX > runX0 && !ctmRotated) {
         val devX0 = ctmA * runX0 + ctmE
         val devX1 = ctmA * curX + ctmE
         val devY = ctmD * runY + ctmF
@@ -189,19 +194,24 @@ object PdfHiRes {
       } else if (m.group(16) != null) { // cm — compose onto the CTM
         flush()
         val a = m.group(16).toDouble
+        val b = m.group(17).toDouble
+        val c = m.group(18).toDouble
         val d = m.group(19).toDouble
         val e = m.group(20).toDouble
         val f = m.group(21).toDouble
+        if (a == 0 && d == 0 && (b != 0 || c != 0))
+          ctmRotated = true // quarter-turn: no diagonal representation
         ctmE = ctmA * e + ctmE
         ctmF = ctmD * f + ctmF
         ctmA *= (if (a == 0) 1.0 else a)
         ctmD *= (if (d == 0) 1.0 else d)
       } else if (m.group(22) != null) { // q / Q
-        if (m.group(22) == "q") ctmStack = (ctmA, ctmD, ctmE, ctmF) :: ctmStack
+        if (m.group(22) == "q")
+          ctmStack = (ctmA, ctmD, ctmE, ctmF, ctmRotated) :: ctmStack
         else ctmStack match {
-          case (a, d, e, f) :: rest =>
+          case (a, d, e, f, rot) :: rest =>
             flush()
-            ctmA = a; ctmD = d; ctmE = e; ctmF = f
+            ctmA = a; ctmD = d; ctmE = e; ctmF = f; ctmRotated = rot
             ctmStack = rest
           case Nil => ()
         }

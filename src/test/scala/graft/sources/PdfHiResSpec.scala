@@ -48,6 +48,22 @@ class PdfHiResSpec extends AnyFunSuite {
     assert(rs(0).bbox._2 === rs(1).bbox._2)
   }
 
+  test("a rotation-shaped cm suppresses geometry until Q restores the state") {
+    // `0 1 -1 0 0 0 cm` is a quarter-turn: the diagonal CTM model cannot
+    // express it, so emitting unrotated coordinates would be silently wrong.
+    // Text inside the rotated q..Q is skipped; text after Q emits normally.
+    val content = "q 0 1 -1 0 100 50 cm " +
+      "BT /F1 10 Tf 72 700 Td (sideways) Tj ET Q " +
+      "BT /F1 10 Tf 72 600 Td (upright) Tj ET"
+    val rs = PdfHiRes.extractLineRegions(content, Map.empty, 792, 1.0)
+    assert(rs.map(_.text.get) === Seq("upright"))
+    assert(rs.head.bbox._1 === 72.0 && rs.head.bbox._4 === 792.0 - 600.0)
+    // a plain scale+translate cm still produces geometry (no over-skipping)
+    val scaled = "q 2 0 0 2 0 0 cm BT /F1 10 Tf 10 300 Td (kept) Tj ET Q"
+    assert(PdfHiRes.extractLineRegions(scaled, Map.empty, 792, 1.0)
+      .map(_.text.get) === Seq("kept"))
+  }
+
   test("removeControlCharacters mirrors the reference cleanup") {
     // tab/newline -> space; the zero-width space (Cf) and BEL (Cc) drop
     assert(PdfHiRes.removeControlCharacters("a\tb\ncd\u200b\u0007ef") === "a b cdef")
