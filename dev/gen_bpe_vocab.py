@@ -32,14 +32,16 @@ SOURCES = [
 OUT = "src/main/resources/graft/bpe-merges.txt"
 N_MERGES = 4000
 
+# the published cl100k whitespace clause \s+(?!\S) verbatim; letter/number
+# classes stay on the \w family (Python re lacks \p{L}) — kept IDENTICAL to
+# the Java runtime pattern in operators/TokenCounter.scala
 SPLIT = re.compile(
     r"(?i:'s|'t|'re|'ve|'m|'ll|'d)"
     r"|[^\r\n\w\d]?[^\W\d_]+"
     r"|\d{1,3}"
     r"| ?[^\s\w\d]+[\r\n]*"
     r"|\s*[\r\n]+"
-    r"|\s+$"
-    r"|\s+(?=\S)"
+    r"|\s+(?!\S)"
     r"|\s+",
 )
 

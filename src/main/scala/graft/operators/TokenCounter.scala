@@ -22,23 +22,24 @@ object TokenCounter {
     * convention: byte b ↦ U+0100+b). */
   @inline private def byteChar(b: Byte): Char = (0x100 + (b & 0xFF)).toChar
 
-  /** cl100k-style pre-tokenizer split — an APPROXIMATION of the pattern
-    * published in the tiktoken repository, adapted to Java regex: cl100k's
-    * `\s+(?!\S)` whitespace-run handling is expressed here as
-    * `\s+$|\s+(?=\S)|\s+`, which segments interior whitespace runs
-    * differently (e.g. "  abc" → ["  ", "abc"] where cl100k yields
-    * [" ", " abc"]). The generator (`dev/gen_bpe_vocab.py`) uses this same
-    * pattern, so training and runtime are self-consistent; counts are not
-    * expected to match tiktoken exactly (its vocab is a network download
-    * anyway — documented seam). */
+  /** cl100k-style pre-tokenizer split, using the pattern published in the
+    * tiktoken repository with its exact `\s+(?!\S)` whitespace-run clause
+    * (all-but-last whitespace of a run groups together; the final space
+    * attaches to the following word via the earlier alternatives). The
+    * letter/number classes are expressed with Java's Unicode `\w` family
+    * instead of `\p{L}`/`\p{N}` so the generator (`dev/gen_bpe_vocab.py`,
+    * Python `re`, which lacks `\p{}`) trains on the IDENTICAL segmentation —
+    * the one remaining documented divergence from cl100k (affects only `_`
+    * and rare non-letter word chars). Counts still differ from OpenAI
+    * vocabularies unless a real `.tiktoken` file is supplied (the merge table
+    * here is corpus-derived — documented seam). */
   private val SplitRe = java.util.regex.Pattern.compile(
     "(?i:'s|'t|'re|'ve|'m|'ll|'d)" +
       "|[^\\r\\n\\w\\d]?[^\\W\\d_]+" +
       "|\\d{1,3}" +
       "| ?[^\\s\\w\\d]+[\\r\\n]*" +
       "|\\s*[\\r\\n]+" +
-      "|\\s+$" +
-      "|\\s+(?=\\S)" +
+      "|\\s+(?!\\S)" +
       "|\\s+",
     java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
@@ -101,12 +102,26 @@ object TokenCounter {
   private val fileVocabs =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Int]]()
 
+  /** Open `path` through Hadoop's FileSystem API so local paths, `hdfs://`,
+    * `s3a://`, etc. all resolve — both on the driver (validation) and on each
+    * executor (lazy load). The active Spark session's Hadoop conf is used
+    * when one exists (credentials, FS impls); a fresh conf otherwise. */
+  private def hadoopPath(p: String): (org.apache.hadoop.fs.FileSystem,
+      org.apache.hadoop.fs.Path) = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(conf), path)
+  }
+
   /** Parse the public tiktoken vocabulary format — one `<base64 token>
     * <rank>` pair per line — into merged-byte-string → rank (bytes symbolized
     * via [[byteChar]] so keys are plain strings). */
   private[operators] def loadTiktokenFile(path: String): Map[String, Int] =
     fileVocabs.computeIfAbsent(path, { p =>
-      val src = scala.io.Source.fromFile(p, "UTF-8")
+      val (fs, hp) = hadoopPath(p)
+      val src = scala.io.Source.fromInputStream(fs.open(hp), "UTF-8")
       try src.getLines().flatMap { line =>
         val sp = line.indexOf(' ')
         if (sp <= 0) None
@@ -169,11 +184,14 @@ object TokenCounter {
   /** Validate a tokenizer name, returning the counting function. Throws for
     * names tiktoken would also reject. A name ending in `.tiktoken` is
     * treated as a path to a real vocabulary file (public base64-rank format)
-    * on storage visible to every executor — true count parity with tiktoken
+    * on storage visible to every executor — local, `hdfs://`, `s3a://`, any
+    * Hadoop-resolvable filesystem — giving true count parity with tiktoken
     * when the user supplies the actual model vocabulary. */
   def resolve(name: String): String => Int = {
     if (name.endsWith(".tiktoken")) {
-      require(new java.io.File(name).isFile, s"Vocabulary file not found: $name")
+      val (fs, hp) = hadoopPath(name)
+      require(fs.exists(hp) && fs.getFileStatus(hp).isFile,
+        s"Vocabulary file not found: $name")
       countTokensWith(name)
     } else {
       if (!ModelNames.contains(name) && !EncodingNames.contains(name))
