@@ -93,11 +93,16 @@ object PipelineQueries {
     // Structured-Streaming chunk_elements: same derivation and options as
     // q_chunk_basic, folded incrementally per doc with EndOfDocument control
     // markers flushing the open tail — verified by the SAME batch oracle (the
-    // incremental fold equals the batch fold, pinned in ChunkerSpec)
+    // incremental fold equals the batch fold, pinned in ChunkerSpec).
+    // splitBatches = 3 stages every document's elements across THREE
+    // micro-batches (maxFilesPerTrigger = 1), so the oracle gate verifies the
+    // carry/nextSeq/overlap state across real batch boundaries, not just the
+    // single-batch drain.
     "q_stream_chunk_basic" -> ((s, dir) =>
       graft.streaming.StreamingOps.chunkBasicAvailableNow(s,
         dir + "/documents.parquet",
-        ChunkingOptions(maxCharacters = 120, includeOrigElements = false))),
+        ChunkingOptions(maxCharacters = 120, includeOrigElements = false),
+        splitBatches = 3)),
 
     // by_title with small-chunk recombination ENABLED (PreChunkCombiner,
     // base.py:1734-1809): 30-char elements make most pre-chunks far under the

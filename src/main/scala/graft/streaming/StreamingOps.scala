@@ -112,21 +112,26 @@ object StreamingOps {
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve(fileName), java.nio.file.Path.of(srcPath))
-    try {
-      val df = build(streamDir.toString)
-      val name = s"graft_stream_${prefix}_${sinkSeq.incrementAndGet()}"
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
-        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
-      if (!q.awaitTermination(timeoutMs)) q.stop()
-      spark.table(name)
-    } finally {
+    try drainDir(spark, prefix, outputMode)(build(streamDir.toString))
+    finally {
       try {
         java.nio.file.Files.deleteIfExists(streamDir.resolve(fileName))
         java.nio.file.Files.deleteIfExists(streamDir)
       } catch { case _: Throwable => () }
     }
+  }
+
+  /** Start-drain-and-collect for an already-built streaming DataFrame: memory
+    * sink, AvailableNow, bounded wait (see [[drainAvailableNow]]'s rationale). */
+  private def drainDir(spark: SparkSession, prefix: String, outputMode: String)(
+      df: DataFrame): DataFrame = {
+    val name = s"graft_stream_${prefix}_${sinkSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+    if (!q.awaitTermination(timeoutMs)) q.stop()
+    spark.table(name)
   }
 
   /**
@@ -195,29 +200,115 @@ object StreamingOps {
    * [[EndOfDocument]] markers derived from the same source. Because the fold
    * is exactly the batch fold (ChunkerSpec pins the equivalence), the batch
    * chunk oracle verifies the streaming result.
+   *
+   * `splitBatches > 1` exercises the fold AT DEPTH: the derived element
+   * stream is staged as that many parquet slices — per-doc CONTIGUOUS seq
+   * ranges (ntile over seq), so reading order is preserved across batches —
+   * with strictly increasing modification times, and the drain runs with
+   * `maxFilesPerTrigger = 1`. Every document's elements then span
+   * `splitBatches` micro-batches, driving the carry/nextSeq/overlap state
+   * across real batch boundaries (markers ride in the last slice). The
+   * result is byte-identical to the batch fold, so the SAME oracle applies.
    */
   def chunkBasicAvailableNow(spark: SparkSession, documentsPath: String,
-      opts: ChunkingOptions): DataFrame = {
+      opts: ChunkingOptions, splitBatches: Int = 1): DataFrame = {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    drainAvailableNow(spark, documentsPath, "chunk", "append") { streamDir =>
-      def docsStream = spark.readStream.schema(schema).parquet(streamDir)
-        .select(col("doc_id"),
-          org.apache.spark.sql.functions.replace(
-            col("text"), lit(" merge "), lit("\n\n")).as("text"))
-      val els = graft.sources.TextSource.partitionText(docsStream, col("text"))
-        .select(col("doc_id"), col("seq"), col("element_type"),
+    def derive(docs: DataFrame): DataFrame = {
+      val paras = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.replace(
+          col("text"), lit(" merge "), lit("\n\n")).as("text"))
+      graft.sources.TextSource.partitionText(paras, col("text"))
+        .select(col("doc_id").cast("string").as("doc_id"), col("seq"),
+          col("element_type"),
           org.apache.spark.sql.functions.substring(col("text"), 1, 100).as("text"))
-        .as[(String, Long, String, String)]
+    }
+    def toElements(df: DataFrame): Dataset[Element] =
+      df.as[(String, Long, String, String)]
         .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
-      val markers = docsStream
-        .select(col("doc_id").cast("string")).as[String]
-        .map(d => Element("", EndOfDocument, "", d, Long.MaxValue))
-      chunkStream(els.union(markers), opts, useTimeout = false)
-        .select(col("doc_id").cast("long").as("doc_id"),
-          col("seq").as("chunk_seq"), col("text"))
-    }.orderBy("doc_id", "chunk_seq")
+    val result =
+      if (splitBatches <= 1)
+        drainAvailableNow(spark, documentsPath, "chunk", "append") { streamDir =>
+          val docsStream = spark.readStream.schema(schema).parquet(streamDir)
+          val markers = docsStream
+            .select(col("doc_id").cast("string")).as[String]
+            .map(d => Element("", EndOfDocument, "", d, Long.MaxValue))
+          chunkStream(toElements(derive(docsStream)).union(markers), opts,
+            useTimeout = false)
+            .select(col("doc_id").cast("long").as("doc_id"),
+              col("seq").as("chunk_seq"), col("text"))
+        }
+      else {
+        val docs = spark.read.parquet(documentsPath)
+        val sliced = derive(docs).withColumn("slice",
+          org.apache.spark.sql.functions.ntile(splitBatches).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id").orderBy("seq")))
+        val markers = docs.select(col("doc_id").cast("string").as("doc_id"),
+          lit(Long.MaxValue).as("seq"), lit(EndOfDocument).as("element_type"),
+          lit("").as("text"), lit(splitBatches).as("slice"))
+        val streamDir =
+          java.nio.file.Files.createTempDirectory("graft-stream-chunkmb")
+        try {
+          stageSlices(sliced.unionByName(markers), splitBatches, streamDir)
+          val elSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("seq",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("element_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType)))
+          val els = toElements(spark.readStream.schema(elSchema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
+          drainDir(spark, "chunkmb", "append")(
+            chunkStream(els, opts, useTimeout = false)
+              .select(col("doc_id").cast("long").as("doc_id"),
+                col("seq").as("chunk_seq"), col("text")))
+        } finally deleteRecursively(streamDir)
+      }
+    result.orderBy("doc_id", "chunk_seq")
+  }
+
+  /** Write each `slice` value of `df` (cols doc_id, seq, element_type, text,
+    * slice) as ONE parquet file `sliceNNN.parquet` in `dir`, modification
+    * times strictly increasing in slice order — FileStreamSource processes
+    * pending files oldest-first, so `maxFilesPerTrigger = 1` yields one
+    * micro-batch per slice, in slice order. */
+  private def stageSlices(df: DataFrame, splitBatches: Int,
+      dir: java.nio.file.Path): Unit = {
+    val base = System.currentTimeMillis() - (splitBatches + 2) * 60000L
+    (1 to splitBatches).foreach { s =>
+      val tmp = dir.resolve(s"_tmp$s")
+      df.filter(col("slice") === s)
+        .select("doc_id", "seq", "element_type", "text")
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val target = dir.resolve(f"slice$s%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      deleteRecursively(tmp)
+      target.toFile.setLastModified(base + s * 60000L)
+    }
+  }
+
+  private[streaming] def deleteRecursivelyForTest(p: java.nio.file.Path): Unit =
+    deleteRecursively(p)
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) deleteRecursively(it.next())
+        } finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: Throwable => () }
   }
 
   /** Resume state for the incremental streaming chunk fold: the still-open trailing

@@ -111,6 +111,58 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("a doc split across 3+ micro-batches chunks byte-identically to the batch fold") {
+    // the depth proof for the closed-tombstone/carry path: every document's
+    // elements are staged as per-doc contiguous seq slices in SEPARATE files,
+    // drained with maxFilesPerTrigger = 1 (one real micro-batch per slice,
+    // markers in the last), and the streamed chunk set must equal the batch
+    // fold EXACTLY — same chunk_seq sequence, same text bytes — across
+    // several option shapes (plain window, small window, overlap carrying a
+    // tail across a batch boundary).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mb-docs")
+    val docsPath = dir.resolve("documents.parquet").toString
+    // 3 docs x 9 paragraphs of varied lengths: slices land 3 elements per
+    // micro-batch and several pre-chunks straddle slice boundaries
+    val paras = (d: Long) => (1 to 9).map(i =>
+      s"Doc $d paragraph $i " + ("sentence word " * (i % 4 + 1)).trim + ".")
+    val docs = Seq(1L, 2L, 3L)
+      .map(d => (d, paras(d).mkString(" merge ")))
+      .toDF("doc_id", "text")
+    docs.write.parquet(docsPath)
+    try {
+      for (opts <- Seq(
+          ChunkingOptions(maxCharacters = 120, includeOrigElements = false),
+          ChunkingOptions(maxCharacters = 60, includeOrigElements = false),
+          ChunkingOptions(maxCharacters = 120, overlap = 15, overlapAll = true,
+            includeOrigElements = false))) {
+        val streamed = StreamingOps.chunkBasicAvailableNow(spark, docsPath,
+          opts, splitBatches = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        // the batch twin: identical derivation, batch Chunker fold
+        val els = graft.sources.TextSource.partitionText(
+            spark.read.parquet(docsPath).select(col("doc_id"),
+              replace(col("text"), lit(" merge "), lit("\n\n")).as("text")),
+            col("text"))
+          .select(col("doc_id").cast("string").as("doc_id"), col("seq"),
+            col("element_type"), substring(col("text"), 1, 100).as("text"))
+          .as[(String, Long, String, String)]
+          .map { case (d, q, tpe, t) => graft.model.Element("", tpe, t, d, q) }
+        val batch = graft.operators.Chunker.chunkElements(els, opts)
+          .select(col("doc_id").cast("long"), col("seq"), col("text"))
+          .orderBy("doc_id", "seq")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+        assert(streamed === batch,
+          s"multi-batch stream diverged from the batch fold for $opts")
+        assert(streamed.map(x => (x._1, x._2)).distinct.size == streamed.size,
+          "duplicate (doc_id, chunk_seq)")
+      }
+    } finally {
+      StreamingOps.deleteRecursivelyForTest(dir)
+    }
+  }
+
   test("file-arrival stream partitions new files into elements") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-stream").toString
