@@ -67,8 +67,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // per-doc gram distinct + bench-gram distinct feeding the broadcast +
     // hit groupBy + left join back + output sort (broadcast exchanges count)
     "q_decontaminate" -> 8,
-    // parse -> doc reassembly groupBy -> fingerprint dedup window ->
-    // per-bucket packing window -> output sort, each its own key
+    // pruned lake scan -> doc reassembly groupBy -> fingerprint dedup window
+    // -> per-bucket packing window -> output sort, each its own key (r12: the
+    // parse moved into the one-time ingestToLake materialization)
     "q_ingest_curate" -> 6,
     // fingerprint window + reassembly groupBy + the all-docs left join that
     // keeps paragraph-less docs + output sort (doc_id exchanges re-listed)
@@ -140,6 +141,17 @@ class PlanGuardSpec extends AnyFunSuite {
       !"PushedFilters: \\[[^\\]]".r.findFirstIn(plans(n)).isDefined
     }
     assert(missing.isEmpty, s"filters not pushed to scan in: $missing")
+  }
+
+  test("the ingest capstone reads the lake through a PRUNED partition scan") {
+    // q_ingest_curate pivots through the filetype-partitioned element lake:
+    // the text/plain filter must land in PartitionFilters (directory pruning
+    // before a byte is read), never as a post-scan Filter on p_filetype
+    val p = plans("q_ingest_curate")
+    assert("PartitionFilters: \\[[^\\]]*p_filetype".r.findFirstIn(p).isDefined,
+      "lake scan lost its partition-pruning filter")
+    assert(!"Filter [^\\n]*p_filetype".r.findFirstIn(p).isDefined,
+      "p_filetype filtered post-scan instead of pruning directories")
   }
 
   test("shuffle counts do not exceed the pinned caps") {
