@@ -231,6 +231,97 @@ class PdfHiResSpec extends AnyFunSuite {
     checkGolden("fake-memo-ocr.golden.txt", render(els))
   }
 
+  /** Deterministic grid agent: tokens cluster into rows on y-centers (new row
+    * when the center moves > 3 crop px down), columns are positional within a
+    * row in x order, first row is the header — the shape a TATR-style model
+    * yields on a clean grid, as a seam stand-in. */
+  private def gridAgent: PdfHiRes.TableAgent = (_, tokens) => {
+    import graft.operators.TableExtraction.TatrCell
+    val sorted = tokens.sortBy(t => ((t.bbox._2 + t.bbox._4) / 2, t.bbox._1))
+    val rows = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[PdfHiRes.TableToken]]
+    var lastY = Double.MinValue
+    sorted.foreach { t =>
+      val cy = (t.bbox._2 + t.bbox._4) / 2
+      if (rows.isEmpty || cy - lastY > 3) rows += mutable.ArrayBuffer(t)
+      else rows.last += t
+      lastY = cy
+    }
+    rows.zipWithIndex.flatMap { case (r, ri) =>
+      r.sortBy(_.bbox._1).zipWithIndex.map { case (t, ci) =>
+        TatrCell(Seq(ri), Seq(ci), t.text, columnHeader = ri == 0)
+      }
+    }.toSeq
+  }
+
+  test("embedded-images-tables.pdf: image crop + table structure in ONE hi_res pass") {
+    // the r11 image-block and table-structure paths composing on a real
+    // scientific page that carries BOTH: a polarization-curve figure (real
+    // DCT XObject) and the potentiodynamic-data table — plus the PageBreak
+    // closing the page
+    val bytes = refPdf("embedded-images-tables.pdf")
+    val placed = PdfImages.placedImages(bytes)
+    assert(placed.values.flatten.nonEmpty)
+    val det: PdfHiRes.Detector = pages => blockDetector(pages).zip(pages).map {
+      case (blocks, p) =>
+        val pics = placed.getOrElse(p.pageNumber, Nil).map(pi =>
+          LayoutRegion(pi.bbox, None, elementType = "Picture", prob = Some(0.95)))
+        val table =
+          if (p.pageNumber == 1)
+            Seq(LayoutRegion((250, 264, 520, 302), None,
+              elementType = "Table", prob = Some(0.9)))
+          else Nil
+        blocks ++ pics ++ table
+    }
+    val els = PdfHiRes.partitionHiRes(bytes, det,
+      includePageBreaks = true,
+      inferTableStructure = true, tableAgent = Some(gridAgent),
+      extractTableAsCells = true,
+      imageBlocks = PdfImages.ImageBlockOptions(types = Seq("Image"), toPayload = true))
+    assert(els.last.`type` == "PageBreak")
+    val table = els.find(_.`type` == "Table").get
+    assert(table.metadata.text_as_html.get.contains("Inhibitor"))
+    assert(table.metadata.text_as_html.get.startsWith("<table><thead>"))
+    assert(table.metadata.table_as_cells.get.nonEmpty)
+    val images = els.filter(e => e.`type` == "Image" &&
+      e.metadata.image_base64.isDefined)
+    assert(images.nonEmpty)
+    val dims = images.map { e =>
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        java.util.Base64.getDecoder.decode(e.metadata.image_base64.get)))
+      s"${e.metadata.page_number.get}|${dec.getWidth}x${dec.getHeight}"
+    }
+    checkGolden("embedded-images-tables.golden.txt",
+      render(els) + "\n--table--\n" + table.metadata.text_as_html.get +
+        "\n--payloads--\n" + dims.mkString("\n"))
+  }
+
+  test("layout-parser-paper-with-table.pdf: model-zoo table structure against the golden") {
+    // the paper page whose ingest-test twin ships reference
+    // expected-structured-output (local-single-file-with-pdf-infer-table-
+    // structure): the model-zoo table must come through structured, with the
+    // Dataset/Base Model/Large Model/Notes header row leading the grid
+    val bytes = refPdf("layout-parser-paper-with-table.pdf")
+    val det: PdfHiRes.Detector = pages => blockDetector(pages).zip(pages).map {
+      case (blocks, p) =>
+        if (p.pageNumber == 1)
+          blocks :+ LayoutRegion((133, 137, 556, 203), None,
+            elementType = "Table", prob = Some(0.9))
+        else blocks
+    }
+    val els = PdfHiRes.partitionHiRes(bytes, det,
+      includePageBreaks = true,
+      inferTableStructure = true, tableAgent = Some(gridAgent),
+      extractTableAsCells = true)
+    assert(els.count(_.`type` == "PageBreak") == 1)
+    val table = els.find(_.`type` == "Table").get
+    val html = table.metadata.text_as_html.get
+    assert(html.contains("<th>Dataset</th>"))
+    assert(html.contains("PubLayNet"))
+    assert(table.metadata.table_as_cells.get.exists(_.content == "HJDataset [31]"))
+    checkGolden("layout-parser-paper-with-table.golden.txt",
+      render(els) + "\n--table--\n" + html)
+  }
+
   test("embedded-images.pdf: real DCT XObjects place, rasterize, and crop") {
     val bytes = refPdf("embedded-images.pdf")
     val placed = PdfImages.placedImages(bytes)
