@@ -333,7 +333,12 @@ object PdfPartitioner {
   private[sources] final case class PdfFont(
       toUnicode: Map[Int, String],
       twoByte: Boolean,
-      differences: Map[Int, String])
+      differences: Map[Int, String],
+      /** code → glyph advance in 1/1000 text-space units: simple-font
+        * `/FirstChar`+`/Widths`, or the CID descendant's `/W` array. */
+      widths: Map[Int, Double] = Map.empty,
+      /** `/DW` (CID) or `/MissingWidth` fallback advance. */
+      defaultWidth: Double = 500.0)
 
   // compact Adobe-glyph-list subset: ligatures, punctuation, and the common
   // named glyphs that appear in /Differences arrays
@@ -482,6 +487,23 @@ object PdfPartitioner {
         sb.toString
     }
 
+  /** Advance of a raw (undecoded) shown string in 1/1000 text-space units. */
+  private[sources] def textAdvance(s: String, font: Option[PdfFont]): Double =
+    font match {
+      case None => s.length * 500.0
+      case Some(f) if f.twoByte =>
+        var i = 0
+        var a = 0.0
+        while (i + 1 < s.length) {
+          val code = (s.charAt(i) << 8) | (s.charAt(i + 1) & 0xFF)
+          a += f.widths.getOrElse(code, f.defaultWidth)
+          i += 2
+        }
+        a
+      case Some(f) =>
+        s.foldLeft(0.0)((a, c) => a + f.widths.getOrElse(c & 0xFF, f.defaultWidth))
+    }
+
   // ------------------------------------------------------------------ content
 
   // text-showing / positioning / font operator scan within content
@@ -489,59 +511,202 @@ object PdfPartitioner {
     ("""\(((?:[^()\\]|\\.)*)\)\s*(Tj|'|")""" + // (s) Tj / ' / "
       """|<([0-9A-Fa-f\s]+)>\s*Tj""" + // <hex> Tj
       """|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[-0-9.\s])*)\]\s*TJ""" + // [..] TJ
-      """|/([A-Za-z0-9.+_-]+)\s+[-0-9.]+\s+Tf""" + // font select
-      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(Td|TD)""" +
-      """|(?:-?[0-9.]+\s+){4}(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" +
+      """|/([A-Za-z0-9.+_-]+)\s+(-?[0-9.]+)\s+Tf""" + // 5 font, 6 size
+      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(Td|TD)""" + // 7 tx, 8 ty, 9 op
+      """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" + // 10 a, 11 d, 12 e, 13 f
+      """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 14 a, 15 d, 16 e, 17 f
+      """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""" + // 18 gsave/grestore
       """|T\*""").r
 
   private val TjPartRe = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)""".r
 
-  /** Extract reading text from one decompressed content stream: lines split on
-    * y-motion, strings decoded through the active font. */
+  /**
+   * Extract reading text from one decompressed content stream: lines split on
+   * y-motion, strings decoded through the active font.
+   *
+   * Two assembly models, chosen per stream:
+   *  - **width-aware** (any page font carries real glyph advances): the text
+   *    matrix is tracked as an absolute (lineX, lineY) + pen position, a show
+   *    starts a new line only when the EFFECTIVE y moved (so per-glyph
+   *    `BT … Tm Td Tj ET` layouts — one text object per glyph, common from
+   *    Skia/Chromium printing — reassemble into words), and an x-gap beyond
+   *    0.18 em inserts the word space the layout implied;
+   *  - **legacy** (no width data, e.g. minimal synthetic PDFs): y-delta
+   *    heuristics only, exactly the pre-width behavior.
+   */
   private[sources] def extractText(content: String,
       fonts: Map[String, PdfFont] = Map.empty): String = {
-    val lines = mutable.ArrayBuffer.empty[StringBuilder]
+    val widthAware = fonts.valuesIterator.exists(_.widths.nonEmpty)
+    // (line-text, separator-AFTER) pairs: "\n" within a text block, "\n\n"
+    // between blocks (a y-gap beyond normal leading — pdfminer's textbox cut);
+    // the separator is decided when the FOLLOWING line's position is known
+    val lines = mutable.ArrayBuffer.empty[(StringBuilder, String)]
     var cur = new StringBuilder
-    def newLine(): Unit = { if (cur.nonEmpty) lines += cur; cur = new StringBuilder }
+    def newLine(sep: String = "\n"): Unit = {
+      if (cur.nonEmpty) {
+        // a newline GLYPH at the end of the line (ToUnicode-mapped paragraph
+        // mark, e.g. TextEdit/Pages exports) is an authoritative block break —
+        // the trim below would otherwise silently eat it
+        val endsPara = cur.reverseIterator.takeWhile(_.isWhitespace).contains('\n')
+        lines += ((cur, if (endsPara) "\n\n" else sep))
+      }
+      cur = new StringBuilder
+    }
     var lastY = Double.NaN
     var font: Option[PdfFont] = None
+    var fontSize = 12.0
+    // width-aware state: text-space line origin, DEVICE-space pen x and the
+    // device y of the last show; diagonal CTM (q/Q-stacked) maps text → device
+    var lineX, lineY, penX = 0.0
+    var shownY = Double.NaN
+    var pendingMove = false
+    var ctmA, ctmD = 1.0
+    var ctmE, ctmF = 0.0
+    var ctmStack = List.empty[(Double, Double, Double, Double)]
+    var tmA, tmD = 1.0 // text-matrix scale (e.g. `11 0 0 11 x y Tm` at Tf 1)
+    def emScale: Double = fontSize * math.abs(tmA) * math.abs(ctmA)
+
+    // width-aware: place the pen for the next show, deciding between same
+    // line (x-gap → space), baseline wiggle (super/subscripts), a line break
+    // inside a text block, or a block break (y-gap beyond normal leading —
+    // pdfminer's textbox cut, which the paragraph splitter consumes as a
+    // blank line)
+    def place(): Unit = {
+      if (pendingMove) {
+        val devX = ctmA * lineX + ctmE
+        val devY = ctmD * lineY + ctmF
+        val yGap = if (shownY.isNaN) 0.0 else math.abs(devY - shownY)
+        if (!shownY.isNaN && yGap <= math.max(0.5, 0.45 * emScale)) {
+          val gap = devX - penX
+          if (gap > 0.18 * emScale || gap < -1.5 * emScale) cur.append(' ')
+        } else {
+          newLine(if (yGap > 1.8 * emScale) "\n\n" else "\n")
+        }
+        penX = devX
+        shownY = devY
+        pendingMove = false
+      }
+    }
+    def show(raw: String, decode: String => String): Unit = {
+      val bytes = decode(raw) // raw code string — widths key codes, not unicode
+      if (widthAware) place()
+      cur.append(decodeWithFont(bytes, font))
+      if (widthAware) penX += textAdvance(bytes, font) / 1000.0 * emScale
+    }
+
     TokenRe.findAllMatchIn(content).foreach { m =>
-      if (m.matched == "T*") newLine()
+      if (m.matched == "T*") { newLine(); pendingMove = false; shownY = Double.NaN }
       else if (m.group(1) != null) { // (s) Tj / ' / "
-        if (m.group(2) != "Tj") newLine()
-        cur.append(decodeWithFont(decodePdfString(m.group(1)), font))
+        if (m.group(2) != "Tj") { newLine(); pendingMove = false; shownY = Double.NaN }
+        show(m.group(1), decodePdfString)
       } else if (m.group(3) != null) { // <hex> Tj
-        cur.append(decodeWithFont(decodeHexString(m.group(3)), font))
+        show(m.group(3), decodeHexString)
       } else if (m.group(4) != null) { // [..] TJ — strings + kern numbers
         TjPartRe.findAllMatchIn(m.group(4)).foreach { p =>
-          if (p.group(1) != null)
-            cur.append(decodeWithFont(decodePdfString(p.group(1)), font))
-          else if (p.group(2) != null)
-            cur.append(decodeWithFont(decodeHexString(p.group(2)), font))
-          else if (p.group(3) != null && math.abs(p.group(3).toDouble) > 180)
-            cur.append(' ') // large negative kern ~ inter-word gap
+          if (p.group(1) != null) show(p.group(1), decodePdfString)
+          else if (p.group(2) != null) show(p.group(2), decodeHexString)
+          else if (p.group(3) != null) {
+            val n = p.group(3).toDouble
+            if (widthAware) penX -= n / 1000.0 * emScale
+            if (math.abs(n) > 180) cur.append(' ') // inter-word kern gap
+          }
         }
       } else if (m.group(5) != null) { // Tf
         font = fonts.get(m.group(5))
-      } else if (m.group(8) != null) { // Td/TD — y motion starts a new line
-        val dy = m.group(7).toDouble
-        if (dy != 0.0) newLine() else cur.append(' ')
-      } else if (m.group(9) != null) { // Tm — absolute: new line when y changes
-        val y = m.group(10).toDouble
-        if (lastY.isNaN || y != lastY) newLine()
-        lastY = y
+        m.group(6).toDoubleOption.filter(_ > 0).foreach(fontSize = _)
+      } else if (m.group(9) != null) { // Td/TD — translate the line matrix
+        val tx = m.group(7).toDouble
+        val ty = m.group(8).toDouble
+        if (widthAware) {
+          lineX += tx * tmA; lineY += ty * tmD; pendingMove = true
+        } else if (ty != 0.0) newLine()
+        else cur.append(' ')
+      } else if (m.group(12) != null) { // Tm — absolute reposition (+ scale)
+        val x = m.group(12).toDouble
+        val y = m.group(13).toDouble
+        if (widthAware) {
+          val a = m.group(10).toDouble
+          val d = m.group(11).toDouble
+          tmA = if (a == 0) 1.0 else a
+          tmD = if (d == 0) 1.0 else d
+          lineX = x; lineY = y; pendingMove = true
+        } else {
+          if (lastY.isNaN || y != lastY) newLine()
+          lastY = y
+        }
+      } else if (m.group(14) != null) { // cm — compose the diagonal CTM
+        if (widthAware) {
+          val a = m.group(14).toDouble
+          val d = m.group(15).toDouble
+          val e = m.group(16).toDouble
+          val f = m.group(17).toDouble
+          ctmE = ctmA * e + ctmE
+          ctmF = ctmD * f + ctmF
+          ctmA *= (if (a == 0) 1.0 else a)
+          ctmD *= (if (d == 0) 1.0 else d)
+        }
+      } else if (m.group(18) != null) { // q / Q
+        if (widthAware) {
+          if (m.group(18) == "q") ctmStack = (ctmA, ctmD, ctmE, ctmF) :: ctmStack
+          else ctmStack match {
+            case (a, d, e, f) :: rest =>
+              ctmA = a; ctmD = d; ctmE = e; ctmF = f
+              ctmStack = rest
+            case Nil => ()
+          }
+        }
       }
     }
     newLine()
-    lines.map(_.toString.trim).filter(_.nonEmpty).mkString("\n")
+    val kept = lines.map { case (sb, sep) => (sb.toString.trim, sep) }
+      .filter(_._1.nonEmpty)
+    kept.zipWithIndex.map { case ((text, sep), i) =>
+      if (i + 1 < kept.length) text + sep else text
+    }.mkString
   }
 
   // ------------------------------------------------------------------ document
 
   private final class PdfDoc(raw: String) {
-    val objList: Vector[PdfObj] = parseObjects(raw)
+    private val topObjs: Vector[PdfObj] = parseObjects(raw)
+    val decryptor: Option[Decryptor] =
+      setupDecryptor(raw, topObjs.map(o => o.num -> o).toMap)
+
+    /** PDF 1.5 compressed object streams (`/Type /ObjStm`): the stream body
+      * leads with `N` (objnum, offset) integer pairs, then the member objects
+      * themselves from byte `/First` on. Members (page tree, catalog, fonts —
+      * anything without a stream) are lifted into ordinary stream-less
+      * [[PdfObj]]s so references resolve like in an uncompressed file. An
+      * encrypted ObjStm is decrypted whole by [[streamData]], so member
+      * strings need no per-object pass (PDF 32000-1 §7.5.7). */
+    private def objStmMembers: Vector[PdfObj] =
+      topObjs.filter(_.dict.contains("/ObjStm")).flatMap { o =>
+        streamData(o).toVector.flatMap { bytes =>
+          val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val n = dictValue(o.dict, "N").flatMap(v =>
+            "\\d+".r.findFirstIn(v)).map(_.toInt).getOrElse(0)
+          val first = dictValue(o.dict, "First").flatMap(v =>
+            "\\d+".r.findFirstIn(v)).map(_.toInt).getOrElse(0)
+          if (first <= 0 || first > s.length) Vector.empty
+          else {
+            val pairs = "\\d+".r.findAllIn(s.substring(0, first))
+              .map(_.toInt).grouped(2)
+              .collect { case Seq(num, off) => (num, off) }.toVector.take(n)
+            pairs.zipWithIndex.map { case ((num, off), i) =>
+              val start = math.min(first + off, s.length)
+              val end =
+                if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
+                else s.length
+              PdfObj(num, 0, s.substring(start, math.max(end, start)), 0, 0)
+            }
+          }
+        }
+      }
+
+    // members first so a same-numbered TOP-LEVEL object wins in the map
+    // (incremental updates append replacements at the top level)
+    val objList: Vector[PdfObj] = objStmMembers ++ topObjs
     val objs: Map[Int, PdfObj] = objList.map(o => o.num -> o).toMap
-    val decryptor: Option[Decryptor] = setupDecryptor(raw, objs)
 
     def refTarget(v: String): Option[PdfObj] =
       RefRe.findPrefixMatchOf(v.trim).flatMap(m => objs.get(m.group(1).toInt))
@@ -580,16 +745,18 @@ object PdfPartitioner {
       val out = Vector.newBuilder[PdfObj]
       val seen = mutable.Set.empty[Int]
       def walk(node: PdfObj): Unit = {
-        if (seen.add(node.num)) {
-          if (node.dict.contains("/Kids")) {
+        if (node.dict.contains("/Kids")) {
+          // cycle guard applies to interior nodes only: a LEAF page listed
+          // twice in /Kids is a real duplicated page and must emit twice
+          if (seen.add(node.num)) {
             dictValue(node.dict, "Kids").foreach { kids =>
               RefRe.findAllMatchIn(kids).foreach { k =>
                 objs.get(k.group(1).toInt).foreach(walk)
               }
             }
-          } else if (node.dict.contains("/Page") || node.dict.contains("/Contents")) {
-            out += node
           }
+        } else if (node.dict.contains("/Page") || node.dict.contains("/Contents")) {
+          out += node
         }
       }
       rootDict.flatMap(d => dictValue(d, "Pages")).flatMap(refTarget) match {
@@ -891,8 +1058,64 @@ object PdfPartitioner {
       // 1-byte Encoding CMap makes even a Type0 font single-byte); only default
       // to 2-byte (Identity-H) when the font gives no codespace at all
       val twoByte = if (toUni.nonEmpty) two else isType0
-      PdfFont(toUni, twoByte, diffs)
+      // glyph advances: simple fonts carry /FirstChar + /Widths; Type0 fonts
+      // delegate to the descendant CIDFont's /W (+ /DW default)
+      val simpleWidths: Map[Int, Double] = (for {
+        fc <- dictValue(fo.dict, "FirstChar")
+          .flatMap(v => "\\d+".r.findFirstIn(v)).map(_.toInt)
+        ws <- resolved(fo.dict, "Widths")
+      } yield "-?[0-9.]+".r.findAllIn(ws).toVector.flatMap(_.toDoubleOption)
+        .zipWithIndex.map { case (w, i) => (fc + i) -> w }.toMap)
+        .getOrElse(Map.empty)
+      val descendant = dictValue(fo.dict, "DescendantFonts")
+        .flatMap(v => RefRe.findFirstMatchIn(v))
+        .flatMap(m => objs.get(m.group(1).toInt))
+      val cidWidths = descendant.flatMap(d => dictValue(d.dict, "W"))
+        .map(parseCidWidths).getOrElse(Map.empty[Int, Double])
+      val dw = descendant.flatMap(d => dictValue(d.dict, "DW"))
+        .flatMap(v => "[0-9.]+".r.findFirstIn(v)).flatMap(_.toDoubleOption)
+        .orElse(resolved(fo.dict, "FontDescriptor")
+          .flatMap(fd => dictValue(fd, "MissingWidth"))
+          .flatMap(v => "[0-9.]+".r.findFirstIn(v)).flatMap(_.toDoubleOption))
+        .getOrElse(if (descendant.isDefined) 1000.0 else 500.0)
+      PdfFont(toUni, twoByte, diffs,
+        if (cidWidths.nonEmpty) cidWidths else simpleWidths, dw)
     })
+  }
+
+  /** CID `/W` array (PDF 32000-1 §9.7.4.3): entries are either
+    * `c [w1 w2 …]` (consecutive codes from c) or `cFirst cLast w`. */
+  private[sources] def parseCidWidths(w: String): Map[Int, Double] = {
+    val out = Map.newBuilder[Int, Double]
+    val toks = """\[|\]|-?[0-9.]+""".r.findAllIn(w).toVector
+    // strip ONE outer bracket pair when present
+    val inner =
+      if (toks.headOption.contains("[") && toks.lastOption.contains("]"))
+        toks.slice(1, toks.length - 1)
+      else toks
+    var i = 0
+    while (i < inner.length) {
+      if (inner(i) == "[" || inner(i) == "]") i += 1
+      else {
+        val c = inner(i).toDouble.toInt
+        if (i + 1 < inner.length && inner(i + 1) == "[") {
+          var j = i + 2
+          var k = c
+          while (j < inner.length && inner(j) != "]") {
+            inner(j).toDoubleOption.foreach { v => out += k -> v; k += 1 }
+            j += 1
+          }
+          i = j + 1
+        } else if (i + 2 < inner.length) {
+          val cLast = inner(i + 1).toDouble.toInt
+          inner(i + 2).toDoubleOption.foreach { v =>
+            (c to math.min(cLast, c + 65535)).foreach(k => out += k -> v)
+          }
+          i += 3
+        } else i = inner.length
+      }
+    }
+    out.result()
   }
 
   // ------------------------------------------------------------------ main

@@ -104,4 +104,73 @@ class PdfBehaviorSpec extends AnyFunSuite {
     val ps = paras("chevron-page.pdf")
     assert(ps.exists(_.text.toLowerCase.contains("eastern mediterranean")))
   }
+
+  // -- adversarial fixtures (r12 tranche) -------------------------------------------
+
+  // -- test_partition_pdf_with_fast_finds_headers_footers (test_pdf.py:1419) --
+  test("header-test-doc: per-glyph text objects reassemble into the four lines") {
+    // one BT..ET per GLYPH (Skia/Chromium print output): words come from
+    // CID /W advances and effective-y tracking, exactly the reference texts
+    assert(paras("header-test-doc.pdf").map(_.text) == Seq(
+      "I Am A Header", "Title", "Here is a lovely sentences.", "I Am A Footer"))
+  }
+
+  // -- test_partition_pdf_requiring_recursive_text_grab (test_pdf.py:866) --
+  test("reliance: recursive text grab yields many elements over three pages") {
+    val ps = paras("reliance.pdf")
+    assert(ps.size > 50)
+    assert(ps.head.pageNumber.contains(1))
+    assert(ps.last.pageNumber.contains(3))
+  }
+
+  // -- test_partition_pdf_text_not_extractable (test_pdf.py:873) --
+  test("loremipsum-flat: rasterized text extracts zero elements, no crash") {
+    assert(paras("loremipsum-flat.pdf").isEmpty)
+  }
+
+  // -- test_partition_pdf_with_bad_color_profile (test_pdf.py:1413) --
+  test("pdf-bad-color-space partitions despite the broken color profile") {
+    val ps = paras("pdf-bad-color-space.pdf")
+    assert(ps.nonEmpty)
+    assert(ps.exists(_.text.contains("2023 Environmental Report")))
+  }
+
+  // -- test_properly_patch_pdfminer (test_pdf.py:1444) --
+  test("invalid-pdf-structure-one-page extracts both pages without repair") {
+    val ps = paras("invalid-pdf-structure-pdfminer-one-page.pdf")
+    assert(ps.nonEmpty)
+    assert(ps.flatMap(_.pageNumber).distinct.sorted == Seq(1, 2))
+    assert(ps.exists(_.text.contains("Cybersecurity")))
+  }
+
+  // -- test_partition_pdf_with_all_number_table_and_ocr_only_strategy (:1404) --
+  test("all-number-table partitions numeric-only content without error") {
+    val ps = paras("all-number-table.pdf")
+    assert(ps.nonEmpty)
+    assert(ps.exists(_.text.contains("200.01")))
+  }
+
+  // -- test_unique_and_deterministic_element_ids fixture (test_pdf.py:1585) --
+  test("duplicate-page memo: ObjStm page tree yields two identical pages") {
+    // the page tree, catalog, and fonts live in a PDF 1.5 compressed object
+    // stream (/ObjStm); both pages must surface with identical text streams
+    val ps = paras("fake-memo-with-duplicate-page.pdf")
+    val byPage = ps.groupBy(_.pageNumber)
+    assert(byPage.keySet == Set(Some(1), Some(2)))
+    assert(byPage(Some(1)).map(_.text) == byPage(Some(2)).map(_.text))
+    assert(ps.exists(_.text.startsWith("May 5, 2023")))
+    // wrapped body lines joined by width-aware assembly, not split per line
+    assert(ps.exists(_.text.contains("delivered on January 23, 2023. A total")))
+  }
+
+  // -- CID /W width-array parsing vectors (PDF 32000-1 §9.7.4.3) --
+  test("parseCidWidths handles both list and range entry forms") {
+    val w = "[0 [750] 17 [277.83203] 41 [610.83984 0 722.16797] 71 72 556.15234 76 79 222.16797]"
+    val m = PdfPartitioner.parseCidWidths(w)
+    assert(m(0) == 750.0 && m(17) == 277.83203)
+    assert(m(41) == 610.83984 && m(42) == 0.0 && m(43) == 722.16797)
+    assert(m(71) == 556.15234 && m(72) == 556.15234)
+    assert((76 to 79).forall(m(_) == 222.16797))
+    assert(!m.contains(80))
+  }
 }
