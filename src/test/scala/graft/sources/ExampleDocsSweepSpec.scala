@@ -32,7 +32,28 @@ class ExampleDocsSweepSpec extends SparkSuiteBase {
       .filter(Files.isRegularFile(_))
       .toSeq.sortBy(_.getFileName.toString)
     assert(files.size > 100)
+    sweep(files, checkEmpties = true)
+  }
 
+  test("every pdf/ eml/ img/ subdirectory doc routes without throwing") {
+    // the adversarial corpora live in subdirectories: every malformed /
+    // encrypted / rasterized / compressed-object PDF, the full eml charset
+    // matrix, and the image fixtures must never throw out of the router.
+    // The two stress fixtures over 2 MB (DA-619p, the 400-page memory-error
+    // regression doc) are sized out — wall-clock, not correctness.
+    val files = Seq("pdf", "eml", "img").map(docsDir.resolve)
+      .filter(Files.isDirectory(_))
+      .flatMap(d => Files.list(d).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter(Files.size(_) < 2L * 1024 * 1024)
+        .toSeq)
+      .sortBy(_.getFileName.toString)
+    assert(files.size > 50)
+    sweep(files)
+  }
+
+  /** Route every file; collect throws, and (top-level corpus only) empties. */
+  private def sweep(files: Seq[Path], checkEmpties: Boolean = false): Unit = {
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     val empties = scala.collection.mutable.ArrayBuffer.empty[String]
     files.foreach { f: Path =>
@@ -49,6 +70,7 @@ class ExampleDocsSweepSpec extends SparkSuiteBase {
       }
     }
     assert(failures.isEmpty, s"router threw on: ${failures.mkString("; ")}")
+    if (!checkEmpties) return
     // the corpus's deliberately content-free samples: encrypted containers
     // (guards yield nothing rather than throwing), whitespace-only text, and
     // picture-only decks (pictures need the injected sub-partitioner)
