@@ -276,23 +276,40 @@ object StreamingOps {
     * slice) as ONE parquet file `sliceNNN.parquet` in `dir`, modification
     * times strictly increasing in slice order — FileStreamSource processes
     * pending files oldest-first, so `maxFilesPerTrigger = 1` yields one
-    * micro-batch per slice, in slice order. */
+    * micro-batch per slice, in slice order. One job: `partitionBy(slice)`
+    * over a slice-repartitioned frame derives the elements once and writes
+    * one part file per slice directory, then the files are lifted out. */
   private def stageSlices(df: DataFrame, splitBatches: Int,
       dir: java.nio.file.Path): Unit = {
     val base = System.currentTimeMillis() - (splitBatches + 2) * 60000L
+    val tmp = dir.resolve("_tmp")
+    df.repartition(col("slice"))
+      .write.partitionBy("slice").parquet(tmp.toString)
     (1 to splitBatches).foreach { s =>
-      val tmp = dir.resolve(s"_tmp$s")
-      df.filter(col("slice") === s)
-        .select("doc_id", "seq", "element_type", "text")
-        .coalesce(1).write.parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).filter(p =>
-        p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val sliceDir = tmp.resolve(s"slice=$s")
       val target = dir.resolve(f"slice$s%03d.parquet")
-      java.nio.file.Files.move(part, target)
-      deleteRecursively(tmp)
-      target.toFile.setLastModified(base + s * 60000L)
+      if (java.nio.file.Files.isDirectory(sliceDir)) {
+        val parts = java.nio.file.Files.list(sliceDir)
+        try {
+          val it = parts.iterator()
+          var merged: Option[java.nio.file.Path] = None
+          while (it.hasNext) {
+            val p = it.next()
+            val n = p.getFileName.toString
+            if (n.startsWith("part-") && n.endsWith(".parquet")) {
+              // repartition(col("slice")) hashes each slice to one partition,
+              // so exactly one part file lands per directory
+              require(merged.isEmpty, s"multiple part files in $sliceDir")
+              java.nio.file.Files.move(p, target)
+              merged = Some(target)
+            }
+          }
+          require(merged.isDefined, s"no part file for slice $s")
+        } finally parts.close()
+        target.toFile.setLastModified(base + s * 60000L)
+      }
     }
+    deleteRecursively(tmp)
   }
 
   private[streaming] def deleteRecursivelyForTest(p: java.nio.file.Path): Unit =
