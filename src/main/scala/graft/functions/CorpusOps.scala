@@ -157,7 +157,10 @@ object CorpusOps {
       .select(col("vec_id"), col("embedding"), best.getField("cid").as("cluster"))
     // the count window shuffles on the same key as the pair join, so the
     // exchange is reused; sub = polyHash(vec_id) mod ⌈size/max⌉ (cascade-free:
-    // ids are distinct so the affine tail can't collapse the split)
+    // ids are distinct so the affine tail can't collapse the split). The
+    // per-row norm is projected ONCE here — recomputing it inside the pair
+    // predicate would cost O(dim) per PAIR instead of per row (CaseWhen
+    // branches are excluded from subexpression elimination).
     val withSub = assigned
       .withColumn("n_in_cluster",
         count(lit(1)).over(Window.partitionBy("cluster")))
@@ -165,13 +168,18 @@ object CorpusOps {
         TextAnalysis.polyHash(col("vec_id").cast("string")),
         ceil(col("n_in_cluster").cast("double") / maxClusterSize).cast("long")))
       .drop("n_in_cluster")
+      .withColumn("nrm", normCol(col("embedding")))
     val a = withSub.select(col("cluster"), col("sub"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      col("nrm").as("nrm_a"))
     val b = withSub.select(col("cluster"), col("sub"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      col("nrm").as("nrm_b"))
+    val pairCos = when(col("nrm_a") * col("nrm_b") === 0.0, lit(0.0))
+      .otherwise(dotCol(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
     val dups = a.join(b, Seq("cluster", "sub"))
       .filter(col("id_a") < col("id_b"))
-      .filter(round(cosineCol(col("emb_a"), col("emb_b")), 6) >= threshold)
+      .filter(round(pairCos, 6) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
       .withColumn("is_dup", lit(true))
     assigned.join(dups, Seq("vec_id"), "left")

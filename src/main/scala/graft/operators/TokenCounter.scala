@@ -28,11 +28,14 @@ object TokenCounter {
     * attaches to the following word via the earlier alternatives). The
     * letter/number classes are expressed with Java's Unicode `\w` family
     * instead of `\p{L}`/`\p{N}` so the generator (`dev/gen_bpe_vocab.py`,
-    * Python `re`, which lacks `\p{}`) trains on the IDENTICAL segmentation —
-    * the one remaining documented divergence from cl100k (affects only `_`
-    * and rare non-letter word chars). Counts still differ from OpenAI
-    * vocabularies unless a real `.tiktoken` file is supplied (the merge table
-    * here is corpus-derived — documented seam). */
+    * Python `re`, which lacks `\p{}`) trains on matching segmentation for
+    * the ASCII/Latin training corpus. Documented divergences from cl100k:
+    * `_` and rare non-letter word chars, and combining marks / join controls
+    * (Java's UNICODE_CHARACTER_CLASS `\w` includes Mn/Mc/Me where Python's
+    * excludes them, so NFD text like "café" can segment differently
+    * between this runtime and the Python generator/oracle). Counts still
+    * differ from OpenAI vocabularies unless a real `.tiktoken` file is
+    * supplied (the merge table here is corpus-derived — documented seam). */
   private val SplitRe = java.util.regex.Pattern.compile(
     "(?i:'s|'t|'re|'ve|'m|'ll|'d)" +
       "|[^\\r\\n\\w\\d]?[^\\W\\d_]+" +
@@ -104,13 +107,24 @@ object TokenCounter {
 
   /** Open `path` through Hadoop's FileSystem API so local paths, `hdfs://`,
     * `s3a://`, etc. all resolve — both on the driver (validation) and on each
-    * executor (lazy load). The active Spark session's Hadoop conf is used
-    * when one exists (credentials, FS impls); a fresh conf otherwise. */
+    * executor (lazy load). On the driver the session's full Hadoop conf is
+    * used; on executors (no SparkSession thread-local) the `spark.hadoop.*`
+    * overrides are replayed from SparkEnv's conf so credentials/FS impls
+    * still apply. */
   private def hadoopPath(p: String): (org.apache.hadoop.fs.FileSystem,
       org.apache.hadoop.fs.Path) = {
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
+      .getOrElse {
+        val c = new org.apache.hadoop.conf.Configuration()
+        Option(org.apache.spark.SparkEnv.get).map(_.conf).foreach { sc =>
+          sc.getAll.foreach { case (k, v) =>
+            if (k.startsWith("spark.hadoop."))
+              c.set(k.stripPrefix("spark.hadoop."), v)
+          }
+        }
+        c
+      }
     val path = new org.apache.hadoop.fs.Path(p)
     (path.getFileSystem(conf), path)
   }

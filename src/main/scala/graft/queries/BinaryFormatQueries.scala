@@ -46,6 +46,9 @@ object BinaryFormatQueries {
       val root = java.nio.file.Files.createTempDirectory("graft-ingest-curate")
       val watch = root.resolve("watch").toString
       java.nio.file.Files.createDirectories(java.nio.file.Path.of(watch))
+      // corpus staging writes to a DRIVER-LOCAL temp dir from task code —
+      // valid in local mode only (this is a test fixture synthesizing the
+      // arrival directory; a real deployment's files arrive externally)
       docBase(s, dir).foreachPartition { (it: Iterator[Doc]) =>
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         it.foreach { d =>
@@ -61,7 +64,14 @@ object BinaryFormatQueries {
       val q = graft.streaming.StreamingOps.ingestToLake(s, watch,
         root.resolve("lake").toString, root.resolve("ckpt").toString,
         maxFilesPerTrigger = 1000000)
-      if (!q.awaitTermination(120000L)) q.stop()
+      if (!q.awaitTermination(120000L)) {
+        // fail LOUDLY and cache nothing (computeIfAbsent discards the entry
+        // when the mapping function throws) — a memoized partial lake would
+        // silently corrupt every later run in this JVM
+        q.stop()
+        throw new IllegalStateException(
+          s"q_ingest_curate: lake ingest for $dir did not complete in 120s")
+      }
       root.resolve("lake").toString
     })
 

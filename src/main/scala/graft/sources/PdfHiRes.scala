@@ -82,7 +82,11 @@ object PdfHiRes {
       """|(-?[0-9.]+)\s+TL""" + // 14 leading
       """|(T\*|BT)""" + // 15
       """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 16-21 CTM
-      """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""").r // 22 gsave/grestore
+      """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""" + // 22 gsave/grestore
+      // CONSUME strings bound to other operators (BDC /ActualText, …) so a
+      // literal "q"/"Q" inside them can't corrupt the CTM stack
+      """|\((?:[^()\\]|\\.)*\)""" +
+      """|<[0-9A-Fa-f\s]*>""").r
 
   private val TjPartRe = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)""".r
 
@@ -111,17 +115,18 @@ object PdfHiRes {
     var curX = 0.0
     val run = new StringBuilder
     var runX0, runY, runSize = 0.0
-    // graphics-state CTM (translation + axis scale; skew out of scope) —
-    // content that positions text via `q a 0 0 d e f cm` instead of Tm
-    // (common in Quartz/macOS-produced PDFs) needs it for real geometry.
-    // A rotation-shaped cm (a==0 && d==0, b/c nonzero — a quarter-turn)
-    // cannot be represented in the diagonal model: rather than emit silently
-    // UNROTATED coordinates, geometry is skipped until the enclosing Q
-    // restores an axis-aligned state (ctmRotated).
+    // graphics-state CTM — content that positions text via `q a 0 0 d e f cm`
+    // instead of Tm (common in Quartz/macOS-produced PDFs) needs it for real
+    // geometry. The FULL 2x2 is composed so rotation/skew is detected
+    // robustly (including a rotation later cancelled by its inverse without
+    // q/Q); geometry uses the diagonal terms and is SKIPPED while the
+    // composed matrix is non-diagonal — emitting silently unrotated
+    // coordinates would be worse than emitting nothing.
     var ctmA, ctmD = 1.0
+    var ctmB, ctmC = 0.0
     var ctmE, ctmF = 0.0
-    var ctmRotated = false
-    var ctmStack = List.empty[(Double, Double, Double, Double, Boolean)]
+    def ctmRotated: Boolean = math.abs(ctmB) > 1e-9 || math.abs(ctmC) > 1e-9
+    var ctmStack = List.empty[(Double, Double, Double, Double, Double, Double)]
 
     def effSize: Double = fontSize * (if (scaleY == 0) 1.0 else math.abs(scaleY))
 
@@ -191,7 +196,7 @@ object PdfHiRes {
         newlineTo(m.group(12).toDouble, m.group(13).toDouble)
       } else if (m.group(14) != null) { // TL
         leading = m.group(14).toDouble
-      } else if (m.group(16) != null) { // cm — compose onto the CTM
+      } else if (m.group(16) != null) { // cm — compose the FULL matrix
         flush()
         val a = m.group(16).toDouble
         val b = m.group(17).toDouble
@@ -199,19 +204,25 @@ object PdfHiRes {
         val d = m.group(19).toDouble
         val e = m.group(20).toDouble
         val f = m.group(21).toDouble
-        if (a == 0 && d == 0 && (b != 0 || c != 0))
-          ctmRotated = true // quarter-turn: no diagonal representation
-        ctmE = ctmA * e + ctmE
-        ctmF = ctmD * f + ctmF
-        ctmA *= (if (a == 0) 1.0 else a)
-        ctmD *= (if (d == 0) 1.0 else d)
+        // new = [a b c d e f] × ctm (PDF row-vector convention)
+        val nA = a * ctmA + b * ctmC
+        val nB = a * ctmB + b * ctmD
+        val nC = c * ctmA + d * ctmC
+        val nD = c * ctmB + d * ctmD
+        val nE = e * ctmA + f * ctmC + ctmE
+        val nF = e * ctmB + f * ctmD + ctmF
+        // degenerate diagonal (a or d scaled to 0) keeps the previous axis
+        // scale so the pre-r12 behavior for `0 0 ...` fills is preserved
+        ctmB = nB; ctmC = nC; ctmE = nE; ctmF = nF
+        ctmA = if (nA == 0 && !ctmRotated) ctmA else nA
+        ctmD = if (nD == 0 && !ctmRotated) ctmD else nD
       } else if (m.group(22) != null) { // q / Q
         if (m.group(22) == "q")
-          ctmStack = (ctmA, ctmD, ctmE, ctmF, ctmRotated) :: ctmStack
+          ctmStack = (ctmA, ctmB, ctmC, ctmD, ctmE, ctmF) :: ctmStack
         else ctmStack match {
-          case (a, d, e, f, rot) :: rest =>
+          case (a, b, c, d, e, f) :: rest =>
             flush()
-            ctmA = a; ctmD = d; ctmE = e; ctmF = f; ctmRotated = rot
+            ctmA = a; ctmB = b; ctmC = c; ctmD = d; ctmE = e; ctmF = f
             ctmStack = rest
           case Nil => ()
         }

@@ -516,7 +516,12 @@ object PdfPartitioner {
       """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" + // 10 a, 11 d, 12 e, 13 f
       """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 14 a, 15 d, 16 e, 17 f
       """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""" + // 18 gsave/grestore
-      """|T\*""").r
+      """|T\*""" +
+      // CONSUME strings bound to other operators (BDC /ActualText, TJ-less
+      // arrays, …) so a literal "q"/"Q"/number run inside them can't corrupt
+      // the CTM state (non-capturing — group numbers above stay stable)
+      """|\((?:[^()\\]|\\.)*\)""" +
+      """|<[0-9A-Fa-f\s]*>""").r
 
   private val TjPartRe = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(-?[0-9.]+)""".r
 
@@ -683,15 +688,24 @@ object PdfPartitioner {
       topObjs.filter(_.dict.contains("/ObjStm")).flatMap { o =>
         streamData(o).toVector.flatMap { bytes =>
           val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+          // adversarial-input rule: oversized /N, /First, or pair-table
+          // numbers skip the stream instead of overflowing or throwing
+          def bounded(v: String): Option[Int] =
+            v.toLongOption.filter(x => x >= 0 && x <= s.length.toLong.max(65536))
+              .map(_.toInt)
           val n = dictValue(o.dict, "N").flatMap(v =>
-            "\\d+".r.findFirstIn(v)).map(_.toInt).getOrElse(0)
+            "\\d+".r.findFirstIn(v)).flatMap(bounded).getOrElse(0)
           val first = dictValue(o.dict, "First").flatMap(v =>
-            "\\d+".r.findFirstIn(v)).map(_.toInt).getOrElse(0)
+            "\\d+".r.findFirstIn(v)).flatMap(bounded).getOrElse(0)
           if (first <= 0 || first > s.length) Vector.empty
           else {
             val pairs = "\\d+".r.findAllIn(s.substring(0, first))
-              .map(_.toInt).grouped(2)
-              .collect { case Seq(num, off) => (num, off) }.toVector.take(n)
+              .flatMap(_.toLongOption).grouped(2)
+              .collect { case Seq(num, off)
+                if num >= 0 && num <= Int.MaxValue &&
+                  off >= 0 && off <= s.length - first =>
+                (num.toInt, off.toInt)
+              }.toVector.take(n)
             pairs.zipWithIndex.map { case ((num, off), i) =>
               val start = math.min(first + off, s.length)
               val end =
@@ -1095,24 +1109,29 @@ object PdfPartitioner {
       else toks
     var i = 0
     while (i < inner.length) {
-      if (inner(i) == "[" || inner(i) == "]") i += 1
-      else {
-        val c = inner(i).toDouble.toInt
-        if (i + 1 < inner.length && inner(i + 1) == "[") {
-          var j = i + 2
-          var k = c
-          while (j < inner.length && inner(j) != "]") {
-            inner(j).toDoubleOption.foreach { v => out += k -> v; k += 1 }
-            j += 1
-          }
-          i = j + 1
-        } else if (i + 2 < inner.length) {
-          val cLast = inner(i + 1).toDouble.toInt
-          inner(i + 2).toDoubleOption.foreach { v =>
-            (c to math.min(cLast, c + 65535)).foreach(k => out += k -> v)
-          }
-          i += 3
-        } else i = inner.length
+      // `-?[0-9.]+` admits unparseable runs ("." / "1.2.3") in a malformed
+      // /W — skip them rather than killing the task (adversarial-input rule)
+      val cOpt = if (inner(i) == "[" || inner(i) == "]") None
+        else inner(i).toDoubleOption.map(_.toInt)
+      cOpt match {
+        case None => i += 1
+        case Some(c) =>
+          if (i + 1 < inner.length && inner(i + 1) == "[") {
+            var j = i + 2
+            var k = c
+            while (j < inner.length && inner(j) != "]") {
+              inner(j).toDoubleOption.foreach { v => out += k -> v; k += 1 }
+              j += 1
+            }
+            i = j + 1
+          } else if (i + 2 < inner.length) {
+            (for {
+              cLast <- inner(i + 1).toDoubleOption.map(_.toInt)
+              v <- inner(i + 2).toDoubleOption
+            } yield (c to math.min(cLast, c + 65535)).foreach(k => out += k -> v))
+              .getOrElse(())
+            i += 3
+          } else i = inner.length
       }
     }
     out.result()

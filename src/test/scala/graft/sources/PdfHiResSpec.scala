@@ -62,6 +62,15 @@ class PdfHiResSpec extends AnyFunSuite {
     val scaled = "q 2 0 0 2 0 0 cm BT /F1 10 Tf 10 300 Td (kept) Tj ET Q"
     assert(PdfHiRes.extractLineRegions(scaled, Map.empty, 792, 1.0)
       .map(_.text.get) === Seq("kept"))
+    // a rotation cancelled by its INVERSE without q/Q restores a diagonal
+    // CTM — the full 2x2 composition clears the suppression (a sticky flag
+    // would silently drop the rest of the page)
+    val roundTrip = "0 1 -1 0 0 0 cm " +
+      "BT /F1 10 Tf 72 700 Td (rotated-skipped) Tj ET " +
+      "0 -1 1 0 0 0 cm " +
+      "BT /F1 10 Tf 72 500 Td (back upright) Tj ET"
+    assert(PdfHiRes.extractLineRegions(roundTrip, Map.empty, 792, 1.0)
+      .map(_.text.get) === Seq("back upright"))
   }
 
   test("removeControlCharacters mirrors the reference cleanup") {
