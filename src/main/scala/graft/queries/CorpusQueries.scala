@@ -136,6 +136,13 @@ object CorpusQueries {
           buckets = 8, ctxLen = 256)
         .orderBy("doc_id")),
 
+    // the streaming twin of q_decontaminate: a stream-STATIC broadcast join
+    // (bench grams static, corpus streaming) + per-doc aggregation — the
+    // canonical Structured-Streaming enrichment shape, batch-oracle-verified
+    "q_stream_decontaminate" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .decontaminateAvailableNow(s, s"$dir/documents.parquet", n = 5)),
+
     // The COMPLETE training-set construction in one declared DAG — every
     // stage the proven 100 TB shape: exact dedup (one fingerprint window,
     // keep-min), benchmark decontamination (bench grams broadcast), quality
@@ -211,25 +218,32 @@ object CorpusQueries {
       s"(${norm(a)} * ${norm(b)}) END)"
   }
 
+  /** The doc-flag decontamination oracle — shared by the batch query and its
+    * stream-static-join twin (identical gram rule, identical output shape). */
+  private val DecontaminateOracleSql: String = {
+    val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
+    s"""WITH bench AS (
+       |  SELECT DISTINCT unnest(${O.shinglesN(O.words(s"lower($benchText)"), 5)}) AS g
+       |  FROM documents WHERE doc_id % 11 = 3),
+       |tg AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(${O.shinglesN(O.words("lower(text)"), 5)}) AS g
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n FROM tg JOIN bench USING (g)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n, 0) AS n_contaminated_grams,
+       |  coalesce(n, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
 
-    "q_decontaminate" -> {
-      val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
-      s"""WITH bench AS (
-         |  SELECT DISTINCT unnest(${O.shinglesN(O.words(s"lower($benchText)"), 5)}) AS g
-         |  FROM documents WHERE doc_id % 11 = 3),
-         |tg AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(${O.shinglesN(O.words("lower(text)"), 5)}) AS g
-         |  FROM documents),
-         |hits AS (
-         |  SELECT doc_id, CAST(count(*) AS INT) AS n FROM tg JOIN bench USING (g)
-         |  GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(n, 0) AS n_contaminated_grams,
-         |  coalesce(n, 0) > 0 AS contaminated
-         |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""".stripMargin
-    },
+    "q_decontaminate" -> DecontaminateOracleSql,
+
+    // identical decontamination semantics through the stream-static join
+    "q_stream_decontaminate" -> DecontaminateOracleSql,
 
     "q_semantic_dedup" -> {
       val subHash = O.polyHash("CAST(vec_id AS VARCHAR)")

@@ -186,6 +186,44 @@ object StreamingOps {
     }
   }
 
+  /**
+   * Streaming benchmark decontamination — the stream-STATIC join rendering of
+   * `CorpusOps.decontaminate`: the benchmark gram set is a STATIC frame (eval
+   * sets are small and fixed while the corpus streams past), broadcast into
+   * every micro-batch; arriving docs explode their distinct n-grams (plus a
+   * null sentinel so zero-hit docs still emit a row), left-join the broadcast
+   * grams, and aggregate per doc in complete mode. At 100 TB the aggregation
+   * state is one row per doc seen — production would run update mode with a
+   * doc-completion watermark; the join side (the scale risk) stays broadcast
+   * either way. Verified by the BATCH decontamination oracle.
+   */
+  def decontaminateAvailableNow(spark: SparkSession, documentsPath: String,
+      n: Int = 5): DataFrame = {
+    import graft.functions.TextAnalysis
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val docsStatic = spark.read.parquet(documentsPath)
+    val bench = docsStatic.filter(col("doc_id") % 11 === 3)
+      .select(array_join(
+        slice(TextAnalysis.words(col("text")), 3, 8), " ").as("text"))
+    val benchGrams = bench.select(explode(array_distinct(
+        TextAnalysis.wordShingles(lower(col("text")), n))).as("g"))
+      .distinct().withColumn("hit", lit(1))
+    drainAvailableNow(spark, documentsPath, "decon", "complete") { streamDir =>
+      val stream = spark.readStream.schema(schema).parquet(streamDir)
+      val grams = stream.select(col("doc_id").cast("long").as("doc_id"),
+        explode(concat(array(lit(null).cast("string")),
+          array_distinct(TextAnalysis.wordShingles(lower(col("text")), n))))
+          .as("g"))
+      grams.join(broadcast(benchGrams), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("int")
+          .as("n_contaminated_grams"))
+        .select(col("doc_id"), col("n_contaminated_grams"),
+          (col("n_contaminated_grams") > 0).as("contaminated"))
+    }.orderBy("doc_id")
+  }
+
   /** Control-marker element type: a row of this type signals end-of-document
     * to the streaming chunk fold, flushing the group's open tail in-batch —
     * the deterministic alternative to wall-clock timeouts when the source can

@@ -236,6 +236,26 @@ class StreamingOpsSpec extends SparkSuiteBase {
     assert(out.orderBy("fp").collect().toSeq == batch)
   }
 
+  test("stream-static decontamination agrees with the batch operator exactly") {
+    import org.apache.spark.sql.functions._
+    val path = "/root/testdata/sf0.001/documents.parquet"
+    assume(new java.io.File(path).exists())
+    val streamed = StreamingOps.decontaminateAvailableNow(spark, path, n = 5)
+      .collect().toSeq
+    val docs = spark.read.parquet(path)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") % 11 === 3)
+      .select(array_join(slice(
+        graft.functions.TextAnalysis.words(col("text")), 3, 8), " ").as("text"))
+    val batch = graft.functions.CorpusOps
+      .decontaminate(docs, bench, col("text"), n = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    // the synthetic corpus rule guarantees contaminated docs exist
+    assert(streamed.exists(_.getBoolean(2)))
+    assert(streamed.exists(!_.getBoolean(2)))
+  }
+
   test("streaming LSH pairs across batches and poisons hot buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
