@@ -25,6 +25,16 @@ class EmailPartitionSpec extends SparkSuiteBase {
       .map(r => (r.getString(1), r.getString(2))).toSeq
   }
 
+  // -- DescribeEmailPartitioningContext.body_part (:437-459) --
+  test("html body preferred by default; text/plain preferred when requested") {
+    val htmlFirst = partitioned("mime-different-plain-html.eml")
+    assert(htmlFirst.map(_.text).mkString(" ").contains("text/html part"),
+      s"default should take the HTML body: ${htmlFirst.map(_.text)}")
+    val plainFirst = partitioned("mime-different-plain-html.eml", "text/plain")
+    assert(plainFirst.head.text.startsWith("This is the text/plain part"),
+      s"content_source=text/plain should take the plain body: ${plainFirst.map(_.text)}")
+  }
+
   // -- test_partition_email_from_filename_can_partition_an_RFC_822_email (:39) --
   test("RFC-822 plain email partitions to three NarrativeTexts") {
     val out = typed("simple-rfc-822.eml")
