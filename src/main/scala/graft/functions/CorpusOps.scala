@@ -142,19 +142,28 @@ object CorpusOps {
   def semanticDedup(e: DataFrame, k: Int, threshold: Double,
       maxClusterSize: Int = 10000): DataFrame = {
     require(maxClusterSize >= 2, s"maxClusterSize must be >= 2: $maxClusterSize")
+    // centroid norms ride in the broadcast struct and the row norm is a
+    // projected column, so the assignment fold does ONE O(dim) dot per
+    // centroid instead of three O(dim) folds (same arithmetic as cosineCol,
+    // including the zero-norm guard)
     val cents = e.filter(col("vec_id") < k)
       .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-        col("embedding").as("cv")))).as("cents"))
+        col("embedding").as("cv"),
+        normCol(col("embedding")).as("cnrm")))).as("cents"))
     val best = aggregate(
       col("cents"),
       struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
       (acc, c) => {
-        val sim = cosineCol(col("embedding"), c.getField("cv"))
+        val denom = col("nrm") * c.getField("cnrm")
+        val sim = when(denom === 0.0, lit(0.0))
+          .otherwise(dotCol(col("embedding"), c.getField("cv")) / denom)
         when(sim > acc.getField("sim"),
           struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
       })
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), best.getField("cid").as("cluster"))
+    val assigned = e.withColumn("nrm", normCol(col("embedding")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        best.getField("cid").as("cluster"))
     // the count window shuffles on the same key as the pair join, so the
     // exchange is reused; sub = polyHash(vec_id) mod ⌈size/max⌉ (cascade-free:
     // ids are distinct so the affine tail can't collapse the split). The
@@ -168,7 +177,6 @@ object CorpusOps {
         TextAnalysis.polyHash(col("vec_id").cast("string")),
         ceil(col("n_in_cluster").cast("double") / maxClusterSize).cast("long")))
       .drop("n_in_cluster")
-      .withColumn("nrm", normCol(col("embedding")))
     val a = withSub.select(col("cluster"), col("sub"),
       col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"))
