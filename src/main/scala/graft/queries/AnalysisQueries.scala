@@ -369,13 +369,19 @@ object AnalysisQueries {
         .orderBy("doc_id")
     }),
 
-    // Brute-force cosine top-k against a broadcast query vector — the ANN baseline.
+    // Brute-force cosine top-k against a broadcast query vector — the ANN
+    // baseline. The query-vector norm rides in the broadcast and the row norm
+    // is one projected column, so the scan does ONE O(dim) dot per row
+    // (identical arithmetic to cosineCol — same sums, same division).
     "q_ann_cosine_topk" -> ((s, dir) => {
       val e = embs(s, dir)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      e.crossJoin(broadcast(q))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), normCol(col("embedding")).as("qn"))
+      e.withColumn("nrm", normCol(col("embedding")))
+        .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosineCol(col("embedding"), col("qv")), 6).as("cos_sim"))
+          round(dotCol(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+            .as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -390,12 +396,15 @@ object AnalysisQueries {
         lit(0L),
         (acc, i) => acc + when(element_at(c, i + 1) > 0f,
           floor(pow(lit(2.0), i)).cast("long")).otherwise(lit(0L)))
-      val withB = e.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      val withB = e.select(col("vec_id"), col("embedding"),
+        normCol(col("embedding")).as("nrm"), bucket(col("embedding")).as("bucket"))
       val q = withB.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        .select(col("embedding").as("qv"), col("nrm").as("qn"),
+          col("bucket").as("qbucket"))
       withB.join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          round(cosineCol(col("embedding"), col("qv")), 6).as("cos_sim"))
+          round(dotCol(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+            .as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -409,25 +418,32 @@ object AnalysisQueries {
     // the sorted centroid array (first-max tie-break = lowest centroid id).
     "q_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-      val cos = cosineCol _
+      // centroid norms ride in the broadcast struct; the row norm is one
+      // projected column — assignment is ONE O(dim) dot per centroid
       val cents = e.filter(col("vec_id") < 8)
         .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
-          col("embedding").as("cv")))).as("cents"))
+          col("embedding").as("cv"),
+          normCol(col("embedding")).as("cnrm")))).as("cents"))
       val best = aggregate(
         col("cents"),
         struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
         (acc, c) => {
-          val sim = cos(col("embedding"), c.getField("cv"))
+          val sim = dotCol(col("embedding"), c.getField("cv")) /
+            (col("nrm") * c.getField("cnrm"))
           when(sim > acc.getField("sim"),
             struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
         })
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), best.getField("cid").as("cell"))
+      val assigned = e.withColumn("nrm", normCol(col("embedding")))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          best.getField("cid").as("cell"))
       val q = assigned.filter(col("vec_id") === 1)
-        .select(col("embedding").as("qv"), col("cell").as("qcell"))
+        .select(col("embedding").as("qv"), col("nrm").as("qn"),
+          col("cell").as("qcell"))
       assigned.join(broadcast(q), col("cell") === col("qcell"))
         .select(col("vec_id"), col("cell"),
-          round(cos(col("embedding"), col("qv")), 6).as("cos_sim"))
+          round(dotCol(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+            .as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -465,11 +481,16 @@ object AnalysisQueries {
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
+      // per-row norms join WITH the embeddings so the per-pair verify is one
+      // O(dim) dot, not three folds (identical arithmetic to cosineCol)
       cand
-        .join(inp.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
-        .join(inp.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+        .join(inp.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          normCol(col("embedding")).as("na")), Seq("vec_a"))
+        .join(inp.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          normCol(col("embedding")).as("nb")), Seq("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          round(cosineCol(col("ea"), col("eb")), 6).as("cos_sim"))
+          round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
         .filter(col("cos_sim") >= 0.999)
         .orderBy("vec_a", "vec_b")
     }),
