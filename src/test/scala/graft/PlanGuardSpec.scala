@@ -38,8 +38,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // SMJ on (cluster, sub) IS the scale-correct strategy. Clusters over
     // maxClusterSize are hash re-split into sub-buckets first (r12), so a
     // task's pair work is ≤ maxClusterSize² even on a degenerate corpus —
-    // no unbounded Σ cluster² remains.
-    "q_semantic_dedup" -> 1,
+    // no unbounded Σ cluster² remains. The second SMJ is the duplicate-ids
+    // left join back onto the assignment: on a near-dup-heavy corpus dups is
+    // O(n), so an equi-SMJ on vec_id — not a broadcast — is the right call
+    // at scale (pre-r12 it was a BHJ only via small-corpus size estimates).
+    "q_semantic_dedup" -> 2,
     // the sampled-ids join back onto the quality-filtered corpus: both sides
     // are corpus-sized, so SMJ on doc_id is the correct strategy
     "q_curate_training_set" -> 1)
