@@ -331,6 +331,22 @@ class PdfHiResSpec extends AnyFunSuite {
       render(els) + "\n--table--\n" + html)
   }
 
+  test("DA-1p.pdf: dense game-manual layout reading order against the golden") {
+    // the single-page fixture the reference's analysis tests use (test_pdf.py
+    // analysis_artifacts cases): 38 extracted line regions over a dense
+    // multi-block layout — block clustering, reading order, and the PageBreak
+    // pinned as a golden
+    val els = PdfHiRes.partitionHiRes(refPdf("DA-1p.pdf"),
+      blockDetector, includePageBreaks = true)
+    assert(els.nonEmpty)
+    assert(els.head.text == "MAIN GAME")
+    assert(els.count(_.`type` == "PageBreak") == 1)
+    // reading order: y strictly advances block to block on the one page
+    val texts = els.filter(_.`type` != "PageBreak").map(_.text)
+    assert(texts.exists(_.contains("Abomination")))
+    checkGolden("DA-1p.golden.txt", render(els))
+  }
+
   test("embedded-images.pdf: real DCT XObjects place, rasterize, and crop") {
     val bytes = refPdf("embedded-images.pdf")
     val placed = PdfImages.placedImages(bytes)
