@@ -547,35 +547,70 @@ object PdfPartitioner {
     // the separator is decided when the FOLLOWING line's position is known
     val lines = mutable.ArrayBuffer.empty[(StringBuilder, String)]
     var cur = new StringBuilder
+    var fontSize = 12.0
+    var tmA, tmD = 1.0 // text-matrix scale (e.g. `11 0 0 11 x y Tm` at Tf 1)
+    var ctmA, ctmD = 1.0
+    var ctmE, ctmF = 0.0
+    def emScale: Double = fontSize * math.abs(tmA) * math.abs(ctmA)
+    // width-aware mode collects per-line SEGMENTS (device x-extents + text):
+    // a show that jumps x starts a new segment, and the line assembles
+    // x-SORTED — sub/superscript runs and out-of-order emission land at
+    // their visual position, not at the end of the stream order (pdfminer's
+    // within-line x sort)
+    final class Seg(val startX: Double) {
+      var endX: Double = startX
+      val sb = new StringBuilder
+    }
+    val segs = mutable.ArrayBuffer.empty[Seg]
+    var curSeg: Seg = null
+    def startSeg(atX: Double): Unit = { curSeg = new Seg(atX); segs += curSeg }
+    def lineEndsPara(sb: StringBuilder): Boolean =
+      sb.reverseIterator.takeWhile(_.isWhitespace).contains('\n')
     def newLine(sep: String = "\n"): Unit = {
-      if (cur.nonEmpty) {
-        // a newline GLYPH at the end of the line (ToUnicode-mapped paragraph
-        // mark, e.g. TextEdit/Pages exports) is an authoritative block break —
-        // the trim below would otherwise silently eat it
-        val endsPara = cur.reverseIterator.takeWhile(_.isWhitespace).contains('\n')
-        lines += ((cur, if (endsPara) "\n\n" else sep))
+      if (widthAware) {
+        if (segs.nonEmpty) {
+          // a newline GLYPH at the STREAM end of the line (ToUnicode-mapped
+          // paragraph mark, e.g. TextEdit/Pages exports) is an authoritative
+          // block break — the trim below would otherwise silently eat it
+          val endsPara = curSeg != null && lineEndsPara(curSeg.sb)
+          val joined = new StringBuilder
+          val sorted = segs.sortBy(_.startX)
+          sorted.zipWithIndex.foreach { case (s, i) =>
+            if (i > 0) {
+              // direct-join only a true continuation; anything displaced in
+              // either direction gets the separating space it visually has
+              val gap = s.startX - sorted(i - 1).endX
+              if (math.abs(gap) > 0.18 * emScale) joined.append(' ')
+            }
+            joined.append(s.sb)
+          }
+          lines += ((joined, if (endsPara) "\n\n" else sep))
+        }
+        segs.clear()
+        curSeg = null
+      } else {
+        if (cur.nonEmpty) {
+          val endsPara = lineEndsPara(cur)
+          lines += ((cur, if (endsPara) "\n\n" else sep))
+        }
+        cur = new StringBuilder
       }
-      cur = new StringBuilder
     }
     var lastY = Double.NaN
     var font: Option[PdfFont] = None
-    var fontSize = 12.0
     // width-aware state: text-space line origin, DEVICE-space pen x and the
     // device y of the last show; diagonal CTM (q/Q-stacked) maps text → device
     var lineX, lineY, penX = 0.0
     var shownY = Double.NaN
     var pendingMove = false
-    var ctmA, ctmD = 1.0
-    var ctmE, ctmF = 0.0
     var ctmStack = List.empty[(Double, Double, Double, Double)]
-    var tmA, tmD = 1.0 // text-matrix scale (e.g. `11 0 0 11 x y Tm` at Tf 1)
-    def emScale: Double = fontSize * math.abs(tmA) * math.abs(ctmA)
 
     // width-aware: place the pen for the next show, deciding between same
-    // line (x-gap → space), baseline wiggle (super/subscripts), a line break
-    // inside a text block, or a block break (y-gap beyond normal leading —
-    // pdfminer's textbox cut, which the paragraph splitter consumes as a
-    // blank line)
+    // line (small x-gap → same segment; displaced → new segment, x-sorted at
+    // flush), baseline wiggle (super/subscripts join the line as their own
+    // segment), a line break inside a text block, or a block break (y-gap
+    // beyond normal leading — pdfminer's textbox cut, which the paragraph
+    // splitter consumes as a blank line)
     def place(): Unit = {
       if (pendingMove) {
         val devX = ctmA * lineX + ctmE
@@ -583,7 +618,7 @@ object PdfPartitioner {
         val yGap = if (shownY.isNaN) 0.0 else math.abs(devY - shownY)
         if (!shownY.isNaN && yGap <= math.max(0.5, 0.45 * emScale)) {
           val gap = devX - penX
-          if (gap > 0.18 * emScale || gap < -1.5 * emScale) cur.append(' ')
+          if (gap > 0.18 * emScale || gap < -1.5 * emScale) startSeg(devX)
         } else {
           newLine(if (yGap > 1.8 * emScale) "\n\n" else "\n")
         }
@@ -594,9 +629,13 @@ object PdfPartitioner {
     }
     def show(raw: String, decode: String => String): Unit = {
       val bytes = decode(raw) // raw code string — widths key codes, not unicode
-      if (widthAware) place()
-      cur.append(decodeWithFont(bytes, font))
-      if (widthAware) penX += textAdvance(bytes, font) / 1000.0 * emScale
+      if (widthAware) {
+        place()
+        if (curSeg == null) startSeg(penX)
+        curSeg.sb.append(decodeWithFont(bytes, font))
+        penX += textAdvance(bytes, font) / 1000.0 * emScale
+        curSeg.endX = penX
+      } else cur.append(decodeWithFont(bytes, font))
     }
 
     TokenRe.findAllMatchIn(content).foreach { m =>
@@ -613,7 +652,10 @@ object PdfPartitioner {
           else if (p.group(3) != null) {
             val n = p.group(3).toDouble
             if (widthAware) penX -= n / 1000.0 * emScale
-            if (math.abs(n) > 180) cur.append(' ') // inter-word kern gap
+            if (math.abs(n) > 180) { // inter-word kern gap
+              if (widthAware) { if (curSeg != null) curSeg.sb.append(' ') }
+              else cur.append(' ')
+            }
           }
         }
       } else if (m.group(5) != null) { // Tf

@@ -163,6 +163,16 @@ class PdfBehaviorSpec extends AnyFunSuite {
     assert(ps.exists(_.text.contains("delivered on January 23, 2023. A total")))
   }
 
+  // -- within-line x-sorted assembly (pdfminer's line ordering) --
+  test("embedded-images-tables: sub/superscript runs interleave at their x position") {
+    // the H2SO4 subscripts are emitted LATER in the content stream at a lower
+    // baseline; x-sorted segment assembly splices them back into reading
+    // order instead of appending them at the end of the line
+    val all = paras("embedded-images-tables.pdf").map(_.text).mkString(" ")
+    assert(all.contains("0.5 M H2SO4 solution"))
+    assert(all.contains("Corrosion rate (mm/year)"))
+  }
+
   // -- CID /W width-array parsing vectors (PDF 32000-1 §9.7.4.3) --
   test("parseCidWidths handles both list and range entry forms") {
     val w = "[0 [750] 17 [277.83203] 41 [610.83984 0 722.16797] 71 72 556.15234 76 79 222.16797]"
