@@ -28,23 +28,37 @@ object TokenCounter {
     * attaches to the following word via the earlier alternatives). The
     * letter/number classes are expressed with Java's Unicode `\w` family
     * instead of `\p{L}`/`\p{N}` so the generator (`dev/gen_bpe_vocab.py`,
-    * Python `re`, which lacks `\p{}`) trains on matching segmentation for
-    * the ASCII/Latin training corpus. Documented divergences from cl100k:
-    * `_` and rare non-letter word chars, and combining marks / join controls
-    * (Java's UNICODE_CHARACTER_CLASS `\w` includes Mn/Mc/Me where Python's
-    * excludes them, so NFD text like "café" can segment differently
-    * between this runtime and the Python generator/oracle). Counts still
+    * Python `re`, which lacks `\p{}`) trains on MATCHING segmentation:
+    * Java's UNICODE_CHARACTER_CLASS `\w` additionally contains combining
+    * marks (Mn/Mc/Me) and join controls, which Python's `\w` excludes, so
+    * those are subtracted from the word classes (and added to the
+    * punctuation classes) via class arithmetic -- NFD text and ZWJ
+    * sequences now segment identically in both engines
+    * (`BpeSplitDifferentialSpec` pins Python-generated vectors). The one
+    * remaining divergence from cl100k proper is the `\w`-vs-`\p{L}`
+    * treatment of `_`. Counts still
     * differ from OpenAI vocabularies unless a real `.tiktoken` file is
     * supplied (the merge table here is corpus-derived — documented seam). */
+  // Mn/Mc/Me + ZWNJ/ZWJ: in Java's \\w, not in Python's
+  private val Marks = "\\p{Mn}\\p{Mc}\\p{Me}\\u200c\\u200d"
   private val SplitRe = java.util.regex.Pattern.compile(
     "(?i:'s|'t|'re|'ve|'m|'ll|'d)" +
-      "|[^\\r\\n\\w\\d]?[^\\W\\d_]+" +
+      s"|[[^\\r\\n\\w\\d][$Marks]]?[[^\\W\\d_]&&[^$Marks]]+" +
       "|\\d{1,3}" +
-      "| ?[^\\s\\w\\d]+[\\r\\n]*" +
+      s"| ?[[^\\s\\w\\d][$Marks]]+[\\r\\n]*" +
       "|\\s*[\\r\\n]+" +
       "|\\s+(?!\\S)" +
       "|\\s+",
     java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Pre-tokenizer segmentation of `text` — exposed for the cross-language
+    * differential against the Python generator's identical pattern. */
+  private[operators] def splitPieces(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val m = SplitRe.matcher(text)
+    while (m.find()) if (m.group().nonEmpty) out += m.group()
+    out.result()
+  }
 
   /** merge pair → rank (lower = earlier = applied first). */
   private lazy val ranks: Map[(String, String), Int] = {
