@@ -187,15 +187,62 @@ object StreamingOps {
   }
 
   /**
+   * The per-doc decontamination fold over a (doc_id, gram) stream — the
+   * append-mode core of [[decontaminateAvailableNow]], exposed separately so
+   * any gram stream (MemoryStream in specs, Kafka in a real ingest) composes
+   * with it. `grams` has columns (doc_id long, g string); a NULL `g` is the
+   * end-of-document marker (the same control-row idea as [[EndOfDocument]] in
+   * the chunk fold — a doc's gram set is final once its source row is fully
+   * exploded, and the explode emits the marker alongside the grams).
+   *
+   * Gram rows left-join the broadcast static `benchGrams` (cols g, hit) —
+   * map-side, no shuffle for the join — then a keyed fold accumulates each
+   * doc's hit count and emits its single output row ONLY when the marker
+   * arrives, removing the state. Per-batch emission is O(docs finalized this
+   * batch) and state is O(open docs) — never O(all docs ever), unlike a
+   * complete-mode groupBy, which re-emits the whole accumulated result every
+   * micro-batch and holds one state row per doc for the stream's life.
+   */
+  def decontaminateStream(grams: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val sp = grams.sparkSession
+    import sp.implicits._
+    grams.join(broadcast(benchGrams), Seq("g"), "left")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("g").isNull.as("marker"),
+        coalesce(col("hit"), lit(0)).cast("long").as("hit"))
+      .as[(Long, Boolean, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: Long, rows: Iterator[(Long, Boolean, Long)], state: GroupState[Long]) =>
+          var hits = state.getOption.getOrElse(0L)
+          var finalized = false
+          rows.foreach { case (_, marker, h) =>
+            hits += h // marker rows join nothing, so their hit is always 0
+            if (marker) finalized = true
+          }
+          if (finalized) {
+            state.remove()
+            Iterator.single((doc, hits.toInt, hits > 0))
+          } else {
+            state.update(hits)
+            Iterator.empty
+          }
+      }
+      .toDF("doc_id", "n_contaminated_grams", "contaminated")
+  }
+
+  /**
    * Streaming benchmark decontamination — the stream-STATIC join rendering of
    * `CorpusOps.decontaminate`: the benchmark gram set is a STATIC frame (eval
    * sets are small and fixed while the corpus streams past), broadcast into
-   * every micro-batch; arriving docs explode their distinct n-grams (plus a
-   * null sentinel so zero-hit docs still emit a row), left-join the broadcast
-   * grams, and aggregate per doc in complete mode. At 100 TB the aggregation
-   * state is one row per doc seen — production would run update mode with a
-   * doc-completion watermark; the join side (the scale risk) stays broadcast
-   * either way. Verified by the BATCH decontamination oracle.
+   * every micro-batch; arriving docs explode their distinct n-grams plus one
+   * NULL end-of-document marker (a doc's grams are atomic with its source
+   * row, so the marker legitimately rides the same explode), and the
+   * append-mode [[decontaminateStream]] fold finalizes each doc exactly once.
+   * At 100 TB both axes are bounded: the join side stays broadcast, state is
+   * O(in-flight docs), and a long-lived stream never re-emits or re-holds the
+   * corpus. Verified by the BATCH decontamination oracle.
    */
   def decontaminateAvailableNow(spark: SparkSession, documentsPath: String,
       n: Int = 5): DataFrame = {
@@ -209,18 +256,13 @@ object StreamingOps {
     val benchGrams = bench.select(explode(array_distinct(
         TextAnalysis.wordShingles(lower(col("text")), n))).as("g"))
       .distinct().withColumn("hit", lit(1))
-    drainAvailableNow(spark, documentsPath, "decon", "complete") { streamDir =>
+    drainAvailableNow(spark, documentsPath, "decon", "append") { streamDir =>
       val stream = spark.readStream.schema(schema).parquet(streamDir)
       val grams = stream.select(col("doc_id").cast("long").as("doc_id"),
         explode(concat(array(lit(null).cast("string")),
           array_distinct(TextAnalysis.wordShingles(lower(col("text")), n))))
           .as("g"))
-      grams.join(broadcast(benchGrams), Seq("g"), "left")
-        .groupBy("doc_id")
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("int")
-          .as("n_contaminated_grams"))
-        .select(col("doc_id"), col("n_contaminated_grams"),
-          (col("n_contaminated_grams") > 0).as("contaminated"))
+      decontaminateStream(grams, benchGrams)
     }.orderBy("doc_id")
   }
 

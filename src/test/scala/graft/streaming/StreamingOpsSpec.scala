@@ -256,6 +256,37 @@ class StreamingOpsSpec extends SparkSuiteBase {
     assert(streamed.exists(!_.getBoolean(2)))
   }
 
+  test("streaming decontamination finalizes per doc and never re-emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // rows are (doc_id, Some(gram) | None = end-of-document marker)
+    val input = MemoryStream[(Long, Option[String])]
+    val benchGrams = Seq("g1", "g3").toDF("g").withColumn("hit", lit(1))
+    val out = StreamingOps.decontaminateStream(
+      input.toDS().toDF("doc_id", "g"), benchGrams)
+    val query = out.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Seq[(Long, Int, Boolean)] =
+      spark.table("decon_out").as[(Long, Int, Boolean)].collect().toSeq
+    try {
+      // batch 1: doc 1 completes (2 grams, 1 contaminated) and finalizes;
+      // doc 2 has a gram in flight but no marker yet -> stays in state
+      input.addData((1L, Some("g1")), (1L, Some("g2")), (1L, None),
+        (2L, Some("g3")))
+      query.processAllAvailable()
+      assert(rows().sorted == Seq((1L, 1, true)))
+      // batch 2: doc 2's remaining gram + marker finalize it with the count
+      // carried across the batch boundary; doc 3 is a zero-gram doc (marker
+      // only). Doc 1 must NOT be re-emitted — the append-mode contract that
+      // keeps per-batch output O(docs finalized this batch).
+      input.addData((2L, Some("g1")), (2L, None), (3L, None))
+      query.processAllAvailable()
+      assert(rows().sorted == Seq((1L, 1, true), (2L, 2, true), (3L, 0, false)))
+      assert(rows().count(_._1 == 1L) == 1, "first-batch doc re-emitted")
+    } finally query.stop()
+  }
+
   test("streaming LSH pairs across batches and poisons hot buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
