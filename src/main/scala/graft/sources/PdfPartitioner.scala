@@ -513,9 +513,9 @@ object PdfPartitioner {
       """|\[((?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>|[-0-9.\s])*)\]\s*TJ""" + // [..] TJ
       """|/([A-Za-z0-9.+_-]+)\s+(-?[0-9.]+)\s+Tf""" + // 5 font, 6 size
       """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(Td|TD)""" + // 7 tx, 8 ty, 9 op
-      """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" + // 10 a, 11 d, 12 e, 13 f
-      """|(-?[0-9.]+)\s+(?:-?[0-9.]+\s+){2}(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 14 a, 15 d, 16 e, 17 f
-      """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""" + // 18 gsave/grestore
+      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" + // 10-15 a b c d e f
+      """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 16-21 a b c d e f
+      """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""" + // 22 gsave/grestore
       """|T\*""" +
       // CONSUME strings bound to other operators (BDC /ActualText, TJ-less
       // arrays, …) so a literal "q"/"Q"/number run inside them can't corrupt
@@ -549,9 +549,27 @@ object PdfPartitioner {
     var cur = new StringBuilder
     var fontSize = 12.0
     var tmA, tmD = 1.0 // text-matrix scale (e.g. `11 0 0 11 x y Tm` at Tf 1)
+    var tmB, tmC = 0.0 // rotation/skew components — tracked for detection
     var ctmA, ctmD = 1.0
+    var ctmB, ctmC = 0.0
     var ctmE, ctmF = 0.0
     def emScale: Double = fontSize * math.abs(tmA) * math.abs(ctmA)
+    // rotation-shaped effective text→device 2x2 (Tm · CTM, row-vector
+    // convention): both diagonal terms vanish while the off-diagonals carry
+    // the run. Width-aware pen geometry is meaningless for such runs — the
+    // baseline advances along b/c, not x — so shows drop to the legacy
+    // stream-order line logic, mirroring hi_res's geometry skip
+    // (PdfHiRes ctmRotated). pdfminer composes the full matrix and gets
+    // rotated positions right (pdf.py:430-588); stream-order assembly is the
+    // honest fast-path equivalent — never silently-unrotated pen positions.
+    def effRotated: Boolean = {
+      val ea = tmA * ctmA + tmB * ctmC
+      val eb = tmA * ctmB + tmB * ctmD
+      val ec = tmC * ctmA + tmD * ctmC
+      val ed = tmC * ctmB + tmD * ctmD
+      math.abs(ea) < 1e-9 && math.abs(ed) < 1e-9 &&
+        (math.abs(eb) > 1e-9 || math.abs(ec) > 1e-9)
+    }
     // width-aware mode collects per-line SEGMENTS (device x-extents + text):
     // a show that jumps x starts a new segment, and the line assembles
     // x-SORTED — sub/superscript runs and out-of-order emission land at
@@ -599,11 +617,13 @@ object PdfPartitioner {
     var lastY = Double.NaN
     var font: Option[PdfFont] = None
     // width-aware state: text-space line origin, DEVICE-space pen x and the
-    // device y of the last show; diagonal CTM (q/Q-stacked) maps text → device
+    // device y of the last show; the full CTM (q/Q-stacked) is composed, pen
+    // geometry uses its diagonal terms and is skipped for rotated runs
     var lineX, lineY, penX = 0.0
     var shownY = Double.NaN
+    var rotLastX = Double.NaN // device-x line key while a run is rotated
     var pendingMove = false
-    var ctmStack = List.empty[(Double, Double, Double, Double)]
+    var ctmStack = List.empty[(Double, Double, Double, Double, Double, Double)]
 
     // width-aware: place the pen for the next show, deciding between same
     // line (small x-gap → same segment; displaced → new segment, x-sorted at
@@ -629,7 +649,13 @@ object PdfPartitioner {
     }
     def show(raw: String, decode: String => String): Unit = {
       val bytes = decode(raw) // raw code string — widths key codes, not unicode
-      if (widthAware) {
+      if (widthAware && effRotated) {
+        // rotated run: append in stream order, no pen/x-gap geometry (the
+        // line splits come from the legacy Tm/Td handling below)
+        if (curSeg == null) startSeg(penX)
+        curSeg.sb.append(decodeWithFont(bytes, font))
+        pendingMove = false
+      } else if (widthAware) {
         place()
         if (curSeg == null) startSeg(penX)
         curSeg.sb.append(decodeWithFont(bytes, font))
@@ -651,7 +677,14 @@ object PdfPartitioner {
           else if (p.group(2) != null) show(p.group(2), decodeHexString)
           else if (p.group(3) != null) {
             val n = p.group(3).toDouble
-            if (widthAware) penX -= n / 1000.0 * emScale
+            if (widthAware && !effRotated) {
+              // a kern BEFORE the first show of a moved line must adjust the
+              // PLACED pen — applying it to the stale penX and letting the
+              // later place() overwrite it would silently discard the
+              // displacement (and mis-decide the word-space x-gap)
+              place()
+              penX -= n / 1000.0 * emScale
+            }
             if (math.abs(n) > 180) { // inter-word kern gap
               if (widthAware) { if (curSeg != null) curSeg.sb.append(' ') }
               else cur.append(' ')
@@ -664,40 +697,68 @@ object PdfPartitioner {
       } else if (m.group(9) != null) { // Td/TD — translate the line matrix
         val tx = m.group(7).toDouble
         val ty = m.group(8).toDouble
-        if (widthAware) {
+        if (widthAware && effRotated) {
+          if (ty != 0.0) newLine()
+          else if (curSeg != null) curSeg.sb.append(' ')
+        } else if (widthAware) {
           lineX += tx * tmA; lineY += ty * tmD; pendingMove = true
         } else if (ty != 0.0) newLine()
         else cur.append(' ')
-      } else if (m.group(12) != null) { // Tm — absolute reposition (+ scale)
-        val x = m.group(12).toDouble
-        val y = m.group(13).toDouble
+      } else if (m.group(10) != null) { // Tm — absolute reposition (+ scale)
+        val x = m.group(14).toDouble
+        val y = m.group(15).toDouble
         if (widthAware) {
           val a = m.group(10).toDouble
-          val d = m.group(11).toDouble
-          tmA = if (a == 0) 1.0 else a
-          tmD = if (d == 0) 1.0 else d
-          lineX = x; lineY = y; pendingMove = true
+          val b = m.group(11).toDouble
+          val c = m.group(12).toDouble
+          val d = m.group(13).toDouble
+          tmB = b; tmC = c
+          // degenerate (not rotation-shaped) zero scale still substitutes
+          // 1.0; a rotation keeps its true zeros so effRotated can see it
+          tmA = if (a == 0 && b == 0) 1.0 else a
+          tmD = if (d == 0 && c == 0) 1.0 else d
+          if (effRotated) {
+            // rotated run: a rotation-shaped matrix maps the baseline onto
+            // the device y-axis, so consecutive rotated LINES differ in
+            // device x — that's the line-split key (legacy-style heuristic,
+            // no pen geometry)
+            val rotKey = x * ctmA + y * ctmC + ctmE
+            if (rotLastX.isNaN || rotKey != rotLastX) newLine()
+            rotLastX = rotKey
+            pendingMove = false
+          } else {
+            lineX = x; lineY = y; pendingMove = true
+            rotLastX = Double.NaN
+          }
         } else {
           if (lastY.isNaN || y != lastY) newLine()
           lastY = y
         }
-      } else if (m.group(14) != null) { // cm — compose the diagonal CTM
+      } else if (m.group(16) != null) { // cm — compose the full CTM
         if (widthAware) {
-          val a = m.group(14).toDouble
-          val d = m.group(15).toDouble
-          val e = m.group(16).toDouble
-          val f = m.group(17).toDouble
-          ctmE = ctmA * e + ctmE
-          ctmF = ctmD * f + ctmF
-          ctmA *= (if (a == 0) 1.0 else a)
-          ctmD *= (if (d == 0) 1.0 else d)
+          val a0 = m.group(16).toDouble
+          val b = m.group(17).toDouble
+          val c = m.group(18).toDouble
+          val d0 = m.group(19).toDouble
+          val e = m.group(20).toDouble
+          val f = m.group(21).toDouble
+          val a = if (a0 == 0 && b == 0) 1.0 else a0
+          val d = if (d0 == 0 && c == 0) 1.0 else d0
+          val nA = a * ctmA + b * ctmC
+          val nB = a * ctmB + b * ctmD
+          val nC = c * ctmA + d * ctmC
+          val nD = c * ctmB + d * ctmD
+          val nE = e * ctmA + f * ctmC + ctmE
+          val nF = e * ctmB + f * ctmD + ctmF
+          ctmA = nA; ctmB = nB; ctmC = nC; ctmD = nD; ctmE = nE; ctmF = nF
         }
-      } else if (m.group(18) != null) { // q / Q
+      } else if (m.group(22) != null) { // q / Q
         if (widthAware) {
-          if (m.group(18) == "q") ctmStack = (ctmA, ctmD, ctmE, ctmF) :: ctmStack
+          if (m.group(22) == "q")
+            ctmStack = (ctmA, ctmB, ctmC, ctmD, ctmE, ctmF) :: ctmStack
           else ctmStack match {
-            case (a, d, e, f) :: rest =>
-              ctmA = a; ctmD = d; ctmE = e; ctmF = f
+            case (a, b, c, d, e, f) :: rest =>
+              ctmA = a; ctmB = b; ctmC = c; ctmD = d; ctmE = e; ctmF = f
               ctmStack = rest
             case Nil => ()
           }

@@ -85,4 +85,53 @@ class PdfTextAssemblySpec extends AnyFunSuite {
       "BT /F1 10 Tf 1 0 0 1 56 698 Tm (2) Tj ET") // wiggle dy=2 < 4.5
     assert(PdfPartitioner.extractText(ops.mkString("\n"), fonts) == "H2SO")
   }
+
+  test("a rotation-shaped Tm extracts lines in stream order, words intact") {
+    // 90° rotated margin text (`0 1 -1 0 x y Tm`): x-pen geometry would see
+    // a zero advance for every glyph — the run must fall back to the legacy
+    // stream-order assembly (one line per Tm translation), not emit glyphs
+    // as if the matrix were unrotated
+    val ops = Seq(
+      "BT /F1 10 Tf 0 1 -1 0 30 100 Tm (rotated one) Tj ET",
+      "BT /F1 10 Tf 0 1 -1 0 42 100 Tm (rotated two) Tj ET")
+    assert(PdfPartitioner.extractText(ops.mkString("\n"), fonts) ==
+      "rotated one\nrotated two")
+  }
+
+  test("a rotation via cm is detected and confined by q/Q") {
+    // a watermark rotated through the CTM between normal paragraphs: the
+    // rotated show keeps its own line, and after Q the diagonal geometry
+    // (including word spacing) resumes exactly
+    val ops = Seq(
+      "BT /F1 10 Tf 1 0 0 1 50 700 Tm (before) Tj ET",
+      "q 0 1 -1 0 300 0 cm BT /F1 10 Tf 1 0 0 1 0 0 Tm (DRAFT) Tj ET Q",
+      "BT /F1 10 Tf 1 0 0 1 50 688 Tm (after) Tj ET",
+      "BT /F1 10 Tf 1 0 0 1 85 688 Tm (words) Tj ET")
+    assert(PdfPartitioner.extractText(ops.mkString("\n"), fonts) ==
+      "before\nDRAFT\nafter words")
+  }
+
+  test("a 180° rotation composed from two 90° cm steps is NOT rotation-shaped") {
+    // two quarter-turns compose to a diagonal (-1, -1) matrix — the full 2x2
+    // composition must see through the intermediate rotation and keep
+    // width-aware geometry for the (upside-down but axis-aligned) text
+    val ops = Seq(
+      "q 0 1 -1 0 0 0 cm 0 1 -1 0 0 0 cm " +
+        "BT /F1 10 Tf 1 0 0 1 -100 -700 Tm (upside) Tj ET " +
+        "BT /F1 10 Tf 1 0 0 1 -135 -700 Tm (down) Tj ET Q")
+    // the mirrored x maps -100 right of -135 in device space; the within-line
+    // x-sort reads device order, so "upside" (dev x 100) precedes "down" (135)
+    assert(PdfPartitioner.extractText(ops.mkString(""), fonts) ==
+      "upside down")
+  }
+
+  test("a TJ kern before the first show displaces the placed pen") {
+    // the -600 (0.6 em = 6 pt) leading kern pushes "two" 6 pt PAST the end
+    // of "one" — a word gap. Applying the kern to the stale pen and letting
+    // place() overwrite it would glue the words instead.
+    val ops = Seq(
+      "BT /F1 10 Tf 1 0 0 1 50 700 Tm [(one)] TJ ET",
+      "BT /F1 10 Tf 1 0 0 1 65 700 Tm [-600 (two)] TJ ET")
+    assert(PdfPartitioner.extractText(ops.mkString("\n"), fonts) == "one two")
+  }
 }
