@@ -44,11 +44,19 @@ object AnalysisQueries {
     transform(c, x => x.cast("double") * x.cast("double")),
     lit(0.0), (acc, v) => acc + v))
 
+  /** dot/(n1·n2) with the zero-norm guard (cosine against a zero vector is
+    * 0.0, matching `CorpusOps.cosineCol`): an unguarded division yields NaN,
+    * which Spark sorts GREATEST under desc — a zero-norm embedding would
+    * pollute every top-k. Shared by [[cosineCol]] and the ANN queries that
+    * hoist norms into projected columns. */
+  private def guardedCos(dot: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 === 0.0, lit(0.0)).otherwise(dot / (n1 * n2))
+
   /** Cosine similarity — the ONE definition every ANN/near-dup query (and, via
     * [[cosSql]], every oracle) derives from, so a precision/summation-order
     * change lands everywhere at once. */
   private def cosineCol(a: Column, b: Column): Column =
-    dotCol(a, b) / (normCol(a) * normCol(b))
+    guardedCos(dotCol(a, b), normCol(a), normCol(b))
 
   /** documents ∪ exact copies of every 5th doc (ids +10000) — the exact-dedup corpus. */
   private def withExactDups(d: DataFrame): DataFrame = {
@@ -380,8 +388,8 @@ object AnalysisQueries {
       e.withColumn("nrm", normCol(col("embedding")))
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(dotCol(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
-            .as("cos_sim"))
+          round(guardedCos(dotCol(col("embedding"), col("qv")),
+            col("nrm"), col("qn")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -403,8 +411,8 @@ object AnalysisQueries {
           col("bucket").as("qbucket"))
       withB.join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          round(dotCol(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
-            .as("cos_sim"))
+          round(guardedCos(dotCol(col("embedding"), col("qv")),
+            col("nrm"), col("qn")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -428,8 +436,8 @@ object AnalysisQueries {
         col("cents"),
         struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
         (acc, c) => {
-          val sim = dotCol(col("embedding"), c.getField("cv")) /
-            (col("nrm") * c.getField("cnrm"))
+          val sim = guardedCos(dotCol(col("embedding"), c.getField("cv")),
+            col("nrm"), c.getField("cnrm"))
           when(sim > acc.getField("sim"),
             struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
         })
@@ -442,8 +450,8 @@ object AnalysisQueries {
           col("cell").as("qcell"))
       assigned.join(broadcast(q), col("cell") === col("qcell"))
         .select(col("vec_id"), col("cell"),
-          round(dotCol(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
-            .as("cos_sim"))
+          round(guardedCos(dotCol(col("embedding"), col("qv")),
+            col("nrm"), col("qn")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -756,12 +764,16 @@ object AnalysisQueries {
 
   private val cosSimSql: String = s"round(${cosSql("embedding", "qv")}, 6)"
 
-  /** Unrounded cosine between two named list columns. */
-  private def cosSql(a: String, b: String): String =
-    s"(list_sum(list_transform(range(1, len($a) + 1), " +
+  /** Unrounded cosine between two named list columns — mirrors [[guardedCos]]
+    * incl. the zero-norm guard (cosine of a zero vector = 0.0). */
+  private def cosSql(a: String, b: String): String = {
+    def norm(x: String) =
+      s"sqrt(list_sum(list_transform($x, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"(CASE WHEN ${norm(a)} * ${norm(b)} = 0 THEN 0.0 ELSE " +
+      s"list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
-      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
-      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+      s"(${norm(a)} * ${norm(b)}) END)"
+  }
 
   def oracles: Map[String, String] = Map(
     "q_token_counts" ->

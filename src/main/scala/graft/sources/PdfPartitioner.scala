@@ -821,7 +821,13 @@ object PdfPartitioner {
       }
 
     // members first so a same-numbered TOP-LEVEL object wins in the map
-    // (incremental updates append replacements at the top level)
+    // (incremental updates append replacements at the top level).
+    // KNOWN LIMITATION: the converse update — an incremental save that moves
+    // the CURRENT definition INTO an object stream while a stale top-level
+    // copy remains in the file — resolves to the stale copy, because no
+    // xref/startxref ordering is consulted (a full xref walk would be needed
+    // to rank definitions; writers that compress objects this way are rare,
+    // and every fixture in the suite updates top-level-wards).
     val objList: Vector[PdfObj] = objStmMembers ++ topObjs
     val objs: Map[Int, PdfObj] = objList.map(o => o.num -> o).toMap
 

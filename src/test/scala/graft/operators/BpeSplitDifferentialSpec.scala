@@ -19,8 +19,8 @@ class BpeSplitDifferentialSpec extends AnyFunSuite {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\\' && i + 5 < s.length + 1 &&
-        i + 1 < s.length && s.charAt(i + 1) == 'u') {
+      if (s.charAt(i) == '\\' && i + 6 <= s.length &&
+        s.charAt(i + 1) == 'u') {
         sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
         i += 6
       } else { sb.append(s.charAt(i)); i += 1 }
