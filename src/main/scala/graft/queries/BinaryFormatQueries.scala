@@ -72,6 +72,10 @@ object BinaryFormatQueries {
         throw new IllegalStateException(
           s"q_ingest_curate: lake ingest for $dir did not complete in 120s")
       }
+      // post-drain maintenance: a long-lived ingest appends one file set per
+      // micro-batch — compaction bounds per-partition file counts before the
+      // lake is scanned (between drains = no readers racing the swap)
+      graft.sinks.ElementLake.compact(s, root.resolve("lake").toString)
       root.resolve("lake").toString
     })
 

@@ -63,4 +63,53 @@ object ElementLake {
     if (filetypes.isEmpty) df
     else df.filter(col(PartitionCol).isin(filetypes: _*))
   }
+
+  /**
+   * Small-file compaction: every [[append]] (one per micro-batch of a
+   * long-lived [[graft.streaming.StreamingOps.ingestToLake]] stream) lands a
+   * new file set in each touched partition directory, so file counts grow
+   * unbounded with stream lifetime — the classic lake small-file problem
+   * (NameNode/listing pressure, per-file open cost dominating scans).
+   *
+   * Any `p_filetype=…` directory holding more than `maxFilesPerPartition`
+   * parquet files is rewritten to `ceil(bytes / targetFileBytes)` files
+   * (128 MB default — a healthy scan-task size), range-distributed AND
+   * sorted by `(doc_id, seq)`, so the per-doc reading-order contract the
+   * writer establishes survives compaction and doc ranges never straddle
+   * more files than they must. The rewrite is per-partition read → temp dir
+   * → two renames (old aside, new in place) → delete old; readers racing the
+   * swap window see the old or the new file set, both complete (run it
+   * between drains, as the capstone does — this is a parquet lake, not a
+   * transaction log). Returns the rewritten partition directory names.
+   */
+  def compact(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int = 8,
+      targetFileBytes: Long = 128L << 20): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    val partDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartitionCol="))
+    partDirs.flatMap { d =>
+      val parts = fs.listStatus(d.getPath).toSeq
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      if (parts.size <= maxFilesPerPartition) None
+      else {
+        val bytes = parts.map(_.getLen).sum
+        val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+        val name = d.getPath.getName
+        val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$name")
+        val old = new org.apache.hadoop.fs.Path(root, s".compact_old_$name")
+        fs.delete(tmp, true); fs.delete(old, true)
+        spark.read.parquet(d.getPath.toString)
+          .repartitionByRange(nFiles, col("doc_id"), col("seq"))
+          .sortWithinPartitions("doc_id", "seq")
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(d.getPath, old), s"compact: cannot move $name aside")
+        require(fs.rename(tmp, d.getPath), s"compact: cannot land $name")
+        fs.delete(old, true)
+        Some(name)
+      }
+    }
+  }
 }

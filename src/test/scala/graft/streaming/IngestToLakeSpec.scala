@@ -64,4 +64,52 @@ class IngestToLakeSpec extends SparkSuiteBase {
       assert(rows.exists(_.doc_id.endsWith("two.txt")))
     } finally { rmTree(watch); rmTree(lake); rmTree(ckpt) }
   }
+
+  test("compaction bounds per-partition file counts and preserves the lake") {
+    val watch = tmp("compact-watch"); val lake = tmp("compact-lake")
+    val ckpt = tmp("compact-ckpt")
+    def partFiles(): Seq[Path] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(lake).iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+    }
+    try {
+      // N appends = N micro-batches of a long-lived stream: per-partition
+      // file count grows with stream lifetime
+      (1 to 6).foreach { i =>
+        Files.write(watch.resolve(s"doc$i.txt"),
+          s"paragraph $i alpha.\n\nparagraph $i beta.".getBytes(UTF_8))
+        StreamingOps.ingestToLake(spark, watch.toString, lake.toString,
+          ckpt.toString).awaitTermination(60000)
+      }
+      val before = ElementLake.read(spark, lake.toString).collect()
+        .sortBy(e => (e.doc_id, e.seq)).toSeq
+      val filesBefore = partFiles().size
+      assert(filesBefore > 4, s"expected >4 small files, got $filesBefore")
+
+      val rewritten = ElementLake.compact(spark, lake.toString,
+        maxFilesPerPartition = 4)
+      assert(rewritten.nonEmpty)
+      // bounded: each partition dir is now at/under the 128 MB-sizing result
+      // (one file at this scale), and nothing was lost or reordered
+      assert(partFiles().size < filesBefore)
+      assert(partFiles().groupBy(_.getParent).values.forall(_.size == 1))
+      val after = ElementLake.read(spark, lake.toString).collect()
+        .sortBy(e => (e.doc_id, e.seq)).toSeq
+      assert(after == before)
+      // the (doc_id, seq) reading-order contract holds WITHIN each file
+      partFiles().foreach { f =>
+        val keys = spark.read.parquet(f.toString)
+          .select("doc_id", "seq").collect().map(r => (r.getString(0), r.getLong(1)))
+        assert(keys.sameElements(keys.sortBy(identity)), s"unsorted $f")
+      }
+      // pruned scan still routes through the partition layout
+      assert(ElementLake.scan(spark, lake.toString, Seq("text/plain"))
+        .collect().forall(_.metadata.filetype.contains("text/plain")))
+      // a second pass is a no-op (already under the bound)
+      assert(ElementLake.compact(spark, lake.toString,
+        maxFilesPerPartition = 4).isEmpty)
+    } finally { rmTree(watch); rmTree(lake); rmTree(ckpt) }
+  }
 }
