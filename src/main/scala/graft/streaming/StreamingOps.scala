@@ -535,6 +535,62 @@ object StreamingOps {
       .toDF("band_idx", "doc_a", "doc_b")
   }
 
+  /**
+   * [[lshCandidateStream]] with an event-time TTL on the bucket state — the
+   * long-lived-deployment variant. Input rows carry an event timestamp
+   * (cols: doc_id, band_idx, band_key, ts); a watermark of `delayThreshold`
+   * is applied, and a bucket whose last event is older than the watermark is
+   * DROPPED (its docs can no longer pair). In a real ingest near-duplicates
+   * cluster in arrival time, so candidates are only expected within the
+   * watermark window anyway — the TTL trades unbounded O(all docs × bands)
+   * state for bounded O(docs in window × bands) with in-window recall
+   * intact, the same bounded-recall trade the hot-bucket cap makes.
+   * ([[packSequencesStream]] needs no TTL: its state is ONE long per bucket,
+   * O(buckets) constant for the stream's life.)
+   */
+  def lshCandidateStreamTtl(bands: DataFrame, maxBandSize: Int = 1000,
+      delayThreshold: String = "10 minutes"): DataFrame = {
+    val sp = bands.sparkSession
+    import sp.implicits._
+    bands.withWatermark("ts", delayThreshold)
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, bandIdx, bandKey, _) => (bandIdx, bandKey) }
+      .flatMapGroupsWithState[LshBucketState, (Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((bandIdx, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector
+            val arrived = batch.map(_._1).distinct.sorted
+            val maxTs = batch.map(_._4.getTime).max
+            // expire once the watermark passes this bucket's newest event
+            // (never set a timeout at/behind the current watermark — the
+            // engine rejects it; +1ms keeps a late-data bucket droppable
+            // at the very next watermark advance)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+            val st = state.getOption.getOrElse(
+              LshBucketState(Vector.empty, poisoned = false))
+            if (st.poisoned || st.docs.size + arrived.size > maxBandSize) {
+              state.update(LshBucketState(Vector.empty, poisoned = true))
+              Iterator.empty
+            } else {
+              state.update(LshBucketState(st.docs ++ arrived, poisoned = false))
+              val withinBatch = for {
+                i <- arrived.indices.iterator
+                j <- (i + 1) until arrived.size
+              } yield (bandIdx, arrived(i), arrived(j))
+              val withPrior = for {
+                e <- st.docs.iterator
+                a <- arrived
+              } yield (bandIdx, math.min(e, a), math.max(e, a))
+              withinBatch ++ withPrior
+            }
+          }
+      }
+      .toDF("band_idx", "doc_a", "doc_b")
+  }
+
   def lshNearDupAvailableNow(spark: SparkSession, documentsPath: String,
       maxBandSize: Int = 1000): DataFrame = {
     import spark.implicits._

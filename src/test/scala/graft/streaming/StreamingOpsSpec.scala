@@ -329,6 +329,50 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("LSH bucket TTL drops buckets silent past the watermark; state plateaus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1600000000000L
+    def ts(h: Double) = new java.sql.Timestamp(t0 + (h * 3600000L).toLong)
+    // rows are (doc_id, band_idx, band_key, event time); TTL = 10 min
+    val input = MemoryStream[(Long, Int, Long, java.sql.Timestamp)]
+    val pairs = StreamingOps.lshCandidateStreamTtl(
+      input.toDS().toDF("doc_id", "band_idx", "band_key", "ts"),
+      maxBandSize = 100, delayThreshold = "10 minutes")
+    val query = pairs.writeStream.format("memory").queryName("lsh_ttl_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Set[(Int, Long, Long)] =
+      spark.table("lsh_ttl_out").as[(Int, Long, Long)].collect().toSet
+    def stateRows(): Long =
+      Option(query.lastProgress).map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      // hour 0: bucket 100 pairs docs 1,2
+      input.addData((1L, 0, 100L, ts(0)), (2L, 0, 100L, ts(0)))
+      query.processAllAvailable()
+      assert(rows() == Set((0, 1L, 2L)))
+      // hour 1: bucket 200 pairs docs 3,4; watermark advances to 0:50
+      input.addData((3L, 0, 200L, ts(1)), (4L, 0, 200L, ts(1)))
+      query.processAllAvailable()
+      assert(rows() == Set((0, 1L, 2L), (0, 3L, 4L)))
+      // hours 2-3: fresh buckets keep the watermark moving; buckets 100 then
+      // 200 fall silent past it and their state is dropped
+      input.addData((6L, 0, 300L, ts(2)))
+      query.processAllAvailable()
+      input.addData((7L, 0, 400L, ts(3)))
+      query.processAllAvailable()
+      // hour 4: doc 8 lands in bucket 100 — the bucket was dropped, so it
+      // pairs with NOTHING (the documented bounded-recall trade; without the
+      // TTL this would emit (1,8) and (2,8))
+      input.addData((8L, 0, 100L, ts(4)))
+      query.processAllAvailable()
+      assert(rows() == Set((0, 1L, 2L), (0, 3L, 4L)))
+      // state has plateaued at the in-window buckets, NOT the 4 distinct
+      // buckets ever seen — the no-TTL fold would hold all of them forever
+      val st = stateRows()
+      assert(st >= 0 && st <= 3, s"state rows = $st")
+    } finally query.stop()
+  }
+
   test("streaming pack carries the bucket offset across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
