@@ -347,6 +347,34 @@ class PdfHiResSpec extends AnyFunSuite {
     checkGolden("DA-1p.golden.txt", render(els))
   }
 
+  test("rotated-page-90.pdf: rotation corrections keep words grouped (golden)") {
+    // the reference fixture carries `/Rotate 90` on the page dict: the
+    // inference layer uprights the raster and threads rotation_corrections
+    // = [90] into the pdfminer extraction (`pdf.py:769-775`, pinned by
+    // test_pdf.py::test_hi_res_groups_rotated_page_text_into_words) —
+    // extracted coordinates must land in the SAME rotated frame the
+    // detector sees, or every line shatters into stray characters
+    val bytes = Files.readAllBytes(
+      Paths.get("/root/reference/example-docs/rotated-page-90.pdf"))
+    val els = PdfHiRes.partitionHiRes(bytes, blockDetector,
+      rotationCorrections = Seq(90))
+    assert(els.nonEmpty)
+    // the reference's own assertions on this fixture
+    val texts = els.map(_.text).filter(_.length > 5)
+    assert(texts.exists(_.contains("Hello World")),
+      s"expected 'Hello World' grouped, got: ${els.map(_.text)}")
+    assert(!els.exists(_.text.length == 1),
+      "rotated page produced single-char elements")
+    // geometry actually rotated: the canvas swapped to landscape and every
+    // element's coordinates fit the rotated page box
+    els.flatMap(_.metadata.coordinates).foreach { c =>
+      val (w, h) = (c.layout_width.get, c.layout_height.get)
+      assert(w > h, "canvas did not swap for 90°")
+      assert(c.points.forall(p => p.x >= 0 && p.x <= w && p.y >= 0 && p.y <= h))
+    }
+    checkGolden("rotated-page-90.golden.txt", render(els))
+  }
+
   test("embedded-images.pdf: real DCT XObjects place, rasterize, and crop") {
     val bytes = refPdf("embedded-images.pdf")
     val placed = PdfImages.placedImages(bytes)
