@@ -167,7 +167,7 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "seq")),
 
     "q_partition_pdf" -> ((s, dir) =>
-      partitionBinary(docBase(s, dir), CorpusBytes.pdf, PdfPartitioner.partitionPdf)
+      partitionBinary(docBase(s, dir), CorpusBytes.pdf, PdfPartitioner.partitionPdf(_))
         .select(col("doc_id"), col("seq"), col("element_type"), col("text"),
           col("page_number"))
         .orderBy("doc_id", "seq")),

@@ -288,7 +288,26 @@ object PdfPartitioner {
     }
   }
 
-  private def setupDecryptor(raw: String, objs: Map[Int, PdfObj]): Option[Decryptor] = {
+  /** Raw RC4 (PDF-1.7 §7.6.2) — used for the /U verification round, where
+    * javax.crypto's provider-dependent minimum key sizes get in the way. */
+  private def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    var i = 0; j = 0
+    data.map { b =>
+      i = (i + 1) & 0xFF
+      j = (j + s(i)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      (b ^ s((s(i) + s(j)) & 0xFF)).toByte
+    }
+  }
+
+  private def setupDecryptor(raw: String, objs: Map[Int, PdfObj],
+      password: String = ""): Option[Decryptor] = {
     val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(raw).toSeq.lastOption
       .map(_.group(1).toInt)
     val enc = encRef.flatMap(objs.get).map(_.dict).getOrElse {
@@ -301,30 +320,56 @@ object PdfPartitioner {
     val lengthBits = dictValue(enc, "Length").flatMap(_.toIntOption).getOrElse(40)
     val p = dictValue(enc, "P").flatMap(_.toLongOption).getOrElse(-1L)
     val aes = enc.contains("AESV2")
-    val oVal = dictValue(enc, "O").getOrElse(return None)
-    val oBytes =
-      if (oVal.startsWith("<")) hexToBytes(oVal.stripPrefix("<").stripSuffix(">"))
-      else decodePdfString(oVal.stripPrefix("(").stripSuffix(")"))
-        .map(_.toByte).toArray
+    def encString(k: String): Option[Array[Byte]] = dictValue(enc, k).map { s =>
+      if (s.startsWith("<")) hexToBytes(s.stripPrefix("<").stripSuffix(">"))
+      else decodePdfString(s.stripPrefix("(").stripSuffix(")")).map(_.toByte).toArray
+    }
+    val oBytes = encString("O").getOrElse(return None)
+    val uBytes = encString("U").getOrElse(Array.emptyByteArray)
     // first file identifier from the last /ID entry
     val idHex = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findAllMatchIn(raw).toSeq.lastOption
       .map(_.group(1)).getOrElse("")
     val idBytes = hexToBytes(idHex)
     val keyLen = if (v <= 1) 5 else lengthBits / 8
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.update(PadBytes) // empty user password → pure padding
-    d.update(oBytes.take(32))
-    val pLe = Array[Byte]((p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
-      ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
-    d.update(pLe)
-    d.update(idBytes)
-    if (r >= 4 && !enc.contains("/EncryptMetadata true") && enc.contains("/EncryptMetadata"))
-      d.update(Array[Byte](-1, -1, -1, -1))
-    var key = d.digest().take(keyLen)
-    if (r >= 3) (0 until 50).foreach { _ =>
-      key = java.security.MessageDigest.getInstance("MD5").digest(key).take(keyLen)
+    // Algorithm 2: the file key from a (padded) user password
+    def fileKey(pw: String): Array[Byte] = {
+      val pwBytes = pw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.update((pwBytes ++ PadBytes).take(32))
+      d.update(oBytes.take(32))
+      val pLe = Array[Byte]((p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+        ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
+      d.update(pLe)
+      d.update(idBytes)
+      if (r >= 4 && !enc.contains("/EncryptMetadata true") && enc.contains("/EncryptMetadata"))
+        d.update(Array[Byte](-1, -1, -1, -1))
+      var key = d.digest().take(keyLen)
+      if (r >= 3) (0 until 50).foreach { _ =>
+        key = java.security.MessageDigest.getInstance("MD5").digest(key).take(keyLen)
+      }
+      key
     }
-    Some(new Decryptor(key, aes))
+    // Algorithms 4/5: does this key reproduce /U? (Absent or short /U —
+    // some minimal synthetic files — is accepted as unverifiable-but-usable,
+    // preserving the pre-verification behavior on the test corpus.)
+    def userMatches(key: Array[Byte]): Boolean =
+      if (uBytes.length < 16) true
+      else if (r <= 2) java.util.Arrays.equals(rc4(key, PadBytes), uBytes.take(32))
+      else {
+        val h = java.security.MessageDigest.getInstance("MD5")
+        h.update(PadBytes); h.update(idBytes)
+        var u = rc4(key, h.digest())
+        for (i <- 1 to 19) u = rc4(key.map(b => (b ^ i).toByte), u)
+        java.util.Arrays.equals(u, uBytes.take(16))
+      }
+    // try the supplied user password, then the empty one (owner-restricted
+    // files open with an empty user password); a file whose password is
+    // wrong yields NO decryptor — streams stay opaque and extraction is
+    // empty, never mojibake
+    Seq(password, "").distinct
+      .map(fileKey)
+      .find(userMatches)
+      .map(new Decryptor(_, aes))
   }
 
   // ------------------------------------------------------------------ fonts
@@ -775,10 +820,10 @@ object PdfPartitioner {
 
   // ------------------------------------------------------------------ document
 
-  private final class PdfDoc(raw: String) {
+  private final class PdfDoc(raw: String, password: String = "") {
     private val topObjs: Vector[PdfObj] = parseObjects(raw)
     val decryptor: Option[Decryptor] =
-      setupDecryptor(raw, topObjs.map(o => o.num -> o).toMap)
+      setupDecryptor(raw, topObjs.map(o => o.num -> o).toMap, password)
 
     /** PDF 1.5 compressed object streams (`/Type /ObjStm`): the stream body
       * leads with `N` (objnum, offset) integer pairs, then the member objects
@@ -1342,11 +1387,14 @@ object PdfPartitioner {
   }
 
   /** The fast-strategy partitioner: page tree → per-page content + fonts →
-    * text → paragraph split → classifier cascade (classifier="text"). */
-  def partitionPdf(bytes: Array[Byte]): Seq[RawPara] = {
+    * text → paragraph split → classifier cascade (classifier="text").
+    * `password` opens user-password-protected files (`partition_pdf`'s
+    * `password=` parameter, `pdf.py` + `test_pdf.py::
+    * test_partition_pdf_with_password`); a wrong password extracts nothing. */
+  def partitionPdf(bytes: Array[Byte], password: String = ""): Seq[RawPara] = {
     if (!isPdf(bytes)) return Nil
     val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val doc = new PdfDoc(raw)
+    val doc = new PdfDoc(raw, password)
     val out = mutable.ArrayBuffer.empty[RawPara]
     val pages = doc.pages
     if (pages.nonEmpty) {

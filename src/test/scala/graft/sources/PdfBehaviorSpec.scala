@@ -65,6 +65,20 @@ class PdfBehaviorSpec extends AnyFunSuite {
     assert(ps.exists(_.text.contains("LayoutParser")))
   }
 
+  // -- test_partition_pdf_with_password -------------------------------------------
+
+  test("password.pdf opens with its user password; wrong/absent stays opaque") {
+    val bytes = Files.readAllBytes(Paths.get(docs + "password.pdf"))
+    // the reference's exact expectation: ONE element, this text
+    val opened = PdfPartitioner.partitionPdf(bytes, password = "password")
+    assert(opened.size === 1)
+    assert(opened.head.text === "File with password")
+    // no password / a wrong password: the /U check fails, no decryptor is
+    // built, and extraction is EMPTY — opaque, never mojibake
+    assert(PdfPartitioner.partitionPdf(bytes).isEmpty)
+    assert(PdfPartitioner.partitionPdf(bytes, password = "wrong").isEmpty)
+  }
+
   // -- image-only pages -----------------------------------------------------------
 
   test("an image-only page yields no text elements (no compressed-byte leakage)") {
