@@ -383,7 +383,12 @@ object PdfPartitioner {
         * `/FirstChar`+`/Widths`, or the CID descendant's `/W` array. */
       widths: Map[Int, Double] = Map.empty,
       /** `/DW` (CID) or `/MissingWidth` fallback advance. */
-      defaultWidth: Double = 500.0)
+      defaultWidth: Double = 500.0,
+      /** `/Encoding /MacRomanEncoding` (direct or as `/BaseEncoding`): high
+        * bytes decode through the Mac OS Roman table instead of cp1252 —
+        * 0xDE/0xDF are the fi/fl ligatures there, not Þ/ß (PDF 32000-1
+        * Annex D.2; the layout-parser-paper PDFs ship MacRoman fonts). */
+      macRoman: Boolean = false)
 
   // compact Adobe-glyph-list subset: ligatures, punctuation, and the common
   // named glyphs that appear in /Differences arrays
@@ -505,6 +510,21 @@ object PdfPartitioner {
     0x98 -> '˜', 0x99 -> '™', 0x9A -> 'š', 0x9B -> '›',
     0x9C -> 'œ', 0x9E -> 'ž', 0x9F -> 'Ÿ')
 
+  // Mac OS Roman 0x80-0xFF (PDF 32000-1 Annex D.2 MacRomanEncoding high range)
+  private val MacRomanHigh: Map[Int, Char] = (
+    "\u00c4\u00c5\u00c7\u00c9\u00d1\u00d6\u00dc\u00e1\u00e0\u00e2\u00e4\u00e3" +
+    "\u00e5\u00e7\u00e9\u00e8\u00ea\u00eb\u00ed\u00ec\u00ee\u00ef\u00f1\u00f3" +
+    "\u00f2\u00f4\u00f6\u00f5\u00fa\u00f9\u00fb\u00fc\u2020\u00b0\u00a2\u00a3" +
+    "\u00a7\u2022\u00b6\u00df\u00ae\u00a9\u2122\u00b4\u00a8\u2260\u00c6\u00d8" +
+    "\u221e\u00b1\u2264\u2265\u00a5\u00b5\u2202\u2211\u220f\u03c0\u222b\u00aa" +
+    "\u00ba\u03a9\u00e6\u00f8\u00bf\u00a1\u00ac\u221a\u0192\u2248\u2206\u00ab" +
+    "\u00bb\u2026\u00a0\u00c0\u00c3\u00d5\u0152\u0153\u2013\u2014\u201c\u201d" +
+    "\u2018\u2019\u00f7\u25ca\u00ff\u0178\u2044\u20ac\u2039\u203a\ufb01\ufb02" +
+    "\u2021\u00b7\u201a\u201e\u2030\u00c2\u00ca\u00c1\u00cb\u00c8\u00cd\u00ce" +
+    "\u00cf\u00cc\u00d3\u00d4\uf8ff\u00d2\u00da\u00db\u00d9\u0131\u02c6\u02dc" +
+    "\u00af\u02d8\u02d9\u02da\u00b8\u02dd\u02db\u02c7")
+    .zipWithIndex.map { case (c, i) => (0x80 + i) -> c }.toMap
+
   /** Decode a byte-string through `font` (None → identity Latin-1). */
   private[sources] def decodeWithFont(s: String, font: Option[PdfFont]): String =
     font match {
@@ -522,9 +542,10 @@ object PdfPartitioner {
         val sb = new StringBuilder
         s.foreach { c =>
           val code = c & 0xFF
+          val high = if (f.macRoman) MacRomanHigh else WinAnsiHigh
           f.toUnicode.get(code)
             .orElse(f.differences.get(code))
-            .orElse(WinAnsiHigh.get(code).map(_.toString)) match {
+            .orElse(high.get(code).map(_.toString)) match {
             case Some(t) => sb.append(t)
             case None => sb.append(c)
           }
@@ -1222,6 +1243,13 @@ object PdfPartitioner {
       val diffs = resolved(fo.dict, "Encoding")
         .flatMap(enc => dictValue(enc, "Differences"))
         .map(parseDifferences).getOrElse(Map.empty)
+      // /Encoding /MacRomanEncoding directly, or /BaseEncoding inside an
+      // encoding dict (Differences then override individual codes)
+      val macRoman =
+        dictValue(fo.dict, "Encoding").exists(_.contains("/MacRomanEncoding")) ||
+        resolved(fo.dict, "Encoding")
+          .flatMap(enc => dictValue(enc, "BaseEncoding"))
+          .exists(_.contains("MacRomanEncoding"))
       // a ToUnicode codespace authoritatively fixes the code width (an embedded
       // 1-byte Encoding CMap makes even a Type0 font single-byte); only default
       // to 2-byte (Identity-H) when the font gives no codespace at all
@@ -1247,7 +1275,7 @@ object PdfPartitioner {
           .flatMap(v => "[0-9.]+".r.findFirstIn(v)).flatMap(_.toDoubleOption))
         .getOrElse(if (descendant.isDefined) 1000.0 else 500.0)
       PdfFont(toUni, twoByte, diffs,
-        if (cidWidths.nonEmpty) cidWidths else simpleWidths, dw)
+        if (cidWidths.nonEmpty) cidWidths else simpleWidths, dw, macRoman)
     })
   }
 

@@ -65,6 +65,16 @@ class PdfBehaviorSpec extends AnyFunSuite {
     assert(ps.exists(_.text.contains("LayoutParser")))
   }
 
+  test("MacRomanEncoding fonts decode fi/fl ligatures, not Latin-1 Þ/ß") {
+    // layout-parser-paper-with-empty-pages.pdf ships 14 /MacRomanEncoding
+    // fonts with no ToUnicode for the ligature codes: 0xDE must decode via
+    // the Mac OS Roman table (ﬁ), not the Latin-1/cp1252 fallback (Þ)
+    val ps = paras("layout-parser-paper-with-empty-pages.pdf")
+    val title = ps.map(_.text).find(_.contains("LayoutParser")).get
+    assert(title.contains("Uniﬁed"), s"ligature not decoded: $title")
+    assert(!ps.exists(_.text.contains("UniÞed")))
+  }
+
   // -- test_partition_pdf_with_password -------------------------------------------
 
   test("password.pdf opens with its user password; wrong/absent stays opaque") {
