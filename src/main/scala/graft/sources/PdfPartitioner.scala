@@ -582,6 +582,7 @@ object PdfPartitioner {
       """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+Tm""" + // 10-15 a b c d e f
       """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 16-21 a b c d e f
       """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""" + // 22 gsave/grestore
+      """|(-?[0-9.]+)\s+TL""" + // 23 leading
       """|T\*""" +
       // CONSUME strings bound to other operators (BDC /ActualText, TJ-less
       // arrays, …) so a literal "q"/"Q"/number run inside them can't corrupt
@@ -648,9 +649,13 @@ object PdfPartitioner {
     val segs = mutable.ArrayBuffer.empty[Seg]
     var curSeg: Seg = null
     def startSeg(atX: Double): Unit = { curSeg = new Seg(atX); segs += curSeg }
+    // fake-bold dedup state — see the comment at show(); line-scoped
+    var lastCh: String = null
+    var lastChX0, lastChX1, lastChY = 0.0
     def lineEndsPara(sb: StringBuilder): Boolean =
       sb.reverseIterator.takeWhile(_.isWhitespace).contains('\n')
     def newLine(sep: String = "\n"): Unit = {
+      lastCh = null // fake-bold dedup never crosses a line
       if (widthAware) {
         if (segs.nonEmpty) {
           // a newline GLYPH at the STREAM end of the line (ToUnicode-mapped
@@ -680,7 +685,6 @@ object PdfPartitioner {
         cur = new StringBuilder
       }
     }
-    var lastY = Double.NaN
     var font: Option[PdfFont] = None
     // width-aware state: text-space line origin, DEVICE-space pen x and the
     // device y of the last show; the full CTM (q/Q-stacked) is composed, pen
@@ -688,7 +692,17 @@ object PdfPartitioner {
     var lineX, lineY, penX = 0.0
     var shownY = Double.NaN
     var rotLastX = Double.NaN // device-x line key while a run is rotated
+    var leading = 0.0 // /TL text leading (TD sets it to -ty), consumed by T*
     var pendingMove = false
+    // legacy (no-widths) mode: positions are tracked at Tm/Td granularity
+    // and the line-break decision is DEFERRED to the next show — a per-glyph
+    // `Tm (c) Tj T* ET` layout emits position churn between shows that an
+    // eager break would shatter into one-char lines. The pending (x, y) also
+    // feeds the same fake-bold dedup the width-aware path runs, with a
+    // 0.5 em/char width approximation standing in for real advances.
+    var legacyPendX, legacyPendY = Double.NaN
+    var legacyLineY = Double.NaN
+    var legacyFreshTm = false
     var ctmStack = List.empty[(Double, Double, Double, Double, Double, Double)]
 
     // width-aware: place the pen for the next show, deciding between same
@@ -713,6 +727,13 @@ object PdfPartitioner {
         pendingMove = false
       }
     }
+    // fake-bold char dedup (`_is_duplicate_char`/`deduplicate_chars_in_text_
+    // line`, pdfminer_utils.py:370-458): some generators embolden by drawing
+    // every char twice at a ~0.3 pt offset. A char identical to the LAST
+    // emitted one, with both origin deltas under 2 pt AND >50% horizontal
+    // bbox overlap, is dropped — origins of legitimate doubles ("ll") sit a
+    // full advance apart, and thin glyphs that squeak under 2 pt fail the
+    // overlap test. Line-scoped, like the reference's per-LTTextLine pass.
     def show(raw: String, decode: String => String): Unit = {
       val bytes = decode(raw) // raw code string — widths key codes, not unicode
       if (widthAware && effRotated) {
@@ -724,16 +745,78 @@ object PdfPartitioner {
       } else if (widthAware) {
         place()
         if (curSeg == null) startSeg(penX)
-        curSeg.sb.append(decodeWithFont(bytes, font))
-        penX += textAdvance(bytes, font) / 1000.0 * emScale
+        val step = if (font.exists(_.twoByte)) 2 else 1
+        var i = 0
+        while (i + step <= bytes.length) {
+          val codeStr = bytes.substring(i, i + step)
+          val decoded = decodeWithFont(codeStr, font)
+          val w = textAdvance(codeStr, font) / 1000.0 * emScale
+          val x0 = penX
+          val x1 = penX + w
+          val dup = decoded.nonEmpty && decoded == lastCh &&
+            math.abs(x0 - lastChX0) < 2.0 && math.abs(shownY - lastChY) < 2.0 && {
+              val overlap = math.max(0.0,
+                math.min(x1, lastChX1) - math.max(x0, lastChX0))
+              val avgW = ((x1 - x0) + (lastChX1 - lastChX0)) / 2
+              avgW > 0 && overlap / avgW > 0.5
+            }
+          if (!dup) {
+            curSeg.sb.append(decoded)
+            if (decoded.nonEmpty) {
+              lastCh = decoded; lastChX0 = x0; lastChX1 = x1; lastChY = shownY
+            }
+          }
+          penX = x1
+          i += step
+        }
         curSeg.endX = penX
-      } else cur.append(decodeWithFont(bytes, font))
+      } else {
+        val decoded = decodeWithFont(bytes, font)
+        // deferred line break: does this show land beyond the wiggle band?
+        if (!legacyPendY.isNaN) {
+          if (legacyLineY.isNaN) legacyLineY = legacyPendY
+          else if (math.abs(legacyPendY - legacyLineY) >
+              math.max(0.5, 0.45 * fontSize)) {
+            newLine()
+            legacyLineY = legacyPendY
+          }
+        }
+        // fake-bold dedup at show granularity: an identical show re-placed
+        // by a fresh Tm within 2 pt on both axes is the double-draw pattern
+        // (consecutive Tjs with no repositioning are genuine repeats)
+        val dup = legacyFreshTm && decoded.nonEmpty && lastCh != null &&
+          decoded == lastCh && !legacyPendX.isNaN &&
+          math.abs(legacyPendX - lastChX0) < 2.0 &&
+          math.abs(legacyPendY - lastChY) < 2.0
+        if (!dup) cur.append(decoded)
+        if (decoded.nonEmpty) {
+          lastCh = decoded; lastChX0 = legacyPendX; lastChY = legacyPendY
+        }
+        legacyFreshTm = false
+      }
     }
 
+    // T* moves the pen to the next line per the tracked /TL leading; in the
+    // width-aware model place() then decides from the EFFECTIVE y whether the
+    // line actually broke — per-glyph `Tm (c) Tj T* ET` layouts emit a T*
+    // after every glyph that the following Tm immediately overrides, so a
+    // hard newLine() here would shatter such lines into one-char fragments
+    // (legacy mode keeps the hard break: it has no pen to re-place)
+    def nextLine(): Unit =
+      if (widthAware && !effRotated) {
+        lineY -= leading * tmD
+        pendingMove = true
+      } else if (!widthAware && leading != 0) {
+        // legacy: a T* with a real leading is a pen move; the next show's
+        // y-tolerance check decides whether the line actually broke
+        if (legacyPendY.isNaN) legacyPendY = 0
+        legacyPendY -= leading
+      } else { newLine(); pendingMove = false; shownY = Double.NaN
+               legacyLineY = Double.NaN }
     TokenRe.findAllMatchIn(content).foreach { m =>
-      if (m.matched == "T*") { newLine(); pendingMove = false; shownY = Double.NaN }
+      if (m.matched == "T*") nextLine()
       else if (m.group(1) != null) { // (s) Tj / ' / "
-        if (m.group(2) != "Tj") { newLine(); pendingMove = false; shownY = Double.NaN }
+        if (m.group(2) != "Tj") nextLine()
         show(m.group(1), decodePdfString)
       } else if (m.group(3) != null) { // <hex> Tj
         show(m.group(3), decodeHexString)
@@ -763,13 +846,17 @@ object PdfPartitioner {
       } else if (m.group(9) != null) { // Td/TD — translate the line matrix
         val tx = m.group(7).toDouble
         val ty = m.group(8).toDouble
+        if (m.group(9) == "TD") leading = -ty // TD = -ty TL + Td (§9.4.2)
         if (widthAware && effRotated) {
           if (ty != 0.0) newLine()
           else if (curSeg != null) curSeg.sb.append(' ')
         } else if (widthAware) {
           lineX += tx * tmA; lineY += ty * tmD; pendingMove = true
-        } else if (ty != 0.0) newLine()
-        else cur.append(' ')
+        } else if (ty != 0.0) {
+          if (legacyPendY.isNaN) legacyPendY = 0
+          legacyPendY += ty
+          if (!legacyPendX.isNaN) legacyPendX += tx
+        } else cur.append(' ')
       } else if (m.group(10) != null) { // Tm — absolute reposition (+ scale)
         val x = m.group(14).toDouble
         val y = m.group(15).toDouble
@@ -797,8 +884,7 @@ object PdfPartitioner {
             rotLastX = Double.NaN
           }
         } else {
-          if (lastY.isNaN || y != lastY) newLine()
-          lastY = y
+          legacyPendX = x; legacyPendY = y; legacyFreshTm = true
         }
       } else if (m.group(16) != null) { // cm — compose the full CTM
         if (widthAware) {
@@ -829,6 +915,8 @@ object PdfPartitioner {
             case Nil => ()
           }
         }
+      } else if (m.group(23) != null) { // TL — set the text leading
+        m.group(23).toDoubleOption.foreach(leading = _)
       }
     }
     newLine()

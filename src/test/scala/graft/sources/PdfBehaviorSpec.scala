@@ -97,13 +97,22 @@ class PdfBehaviorSpec extends AnyFunSuite {
 
   // -- fake-bold (ASCII85 + Flate filter chain) -----------------------------------
 
-  test("ASCII85+Flate filter chain decodes; fake-bold doubling passes through") {
+  test("ASCII85+Flate filter chain decodes; fake-bold doubles dedup away") {
     val ps = paras("fake-bold-sample.pdf")
     assert(ps.nonEmpty)
     assert(ps.head.text.contains("Fake Bold PDF Test Document"))
-    // positional char dedup is a documented non-goal: doubled glyphs remain,
-    // matching the reference's behavior at PDF_CHAR_DUPLICATE_THRESHOLD=0
-    assert(ps.map(_.text).mkString(" ").contains("BBOOLLDD"))
+    // each fake-bold char is drawn twice at a 0.3 pt offset; the positional
+    // dedup (pdfminer_utils.py:370-458 semantics: origin deltas < 2 pt AND
+    // >50% horizontal overlap) keeps one instance —
+    // test_fake_bold_pdf_with_deduplication_shows_clean_text
+    val all = ps.map(_.text).mkString(" ")
+    assert(all.contains("BOLD TEXT SAMPLE"), s"doubled glyphs survived: $all")
+    assert(all.contains("Testing Deduplication"))
+    // the doc's trailing NOTE legitimately quotes the literal 'BBOOLLDD' —
+    // it must survive verbatim (it is real text, not doubling)
+    assert(all.contains("doubled characters like 'BBOOLLDD'"))
+    // legitimate doubles are NOT collapsed: normal text keeps its "ll"
+    assert(all.contains("Hello World"))
   }
 
   // -- multi-page text PDFs -------------------------------------------------------
