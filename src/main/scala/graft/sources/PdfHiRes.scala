@@ -83,6 +83,7 @@ object PdfHiRes {
       """|(T\*|BT)""" + // 15
       """|(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+(-?[0-9.]+)\s+cm""" + // 16-21 CTM
       """|(?<![A-Za-z])([qQ])(?![A-Za-z0-9*])""" + // 22 gsave/grestore
+      """|(\d+)\s+Tr""" + // 23 text render mode
       // CONSUME strings bound to other operators (BDC /ActualText, …) so a
       // literal "q"/"Q" inside them can't corrupt the CTM stack
       """|\((?:[^()\\]|\\.)*\)""" +
@@ -115,6 +116,14 @@ object PdfHiRes {
     var curX = 0.0
     val run = new StringBuilder
     var runX0, runY, runSize = 0.0
+    // `Tr` text render mode — mode 3 is invisible (a scanned page's hidden
+    // OCR layer). Lines dominated by invisible chars are emitted with
+    // isExtracted = false, the reference's `text_is_embedded` rule
+    // (`pdfminer_processing.py:421-463`, ratio cap
+    // PDF_MAX_EMBED_LOW_FIDELITY_TEXT_RATIO = 0.1): the text still rides the
+    // region, but downstream treats it as NOT embedded — OCR-eligible.
+    var renderMode = 0
+    var runMode3Chars = 0
     // graphics-state CTM — content that positions text via `q a 0 0 d e f cm`
     // instead of Tm (common in Quartz/macOS-produced PDFs) needs it for real
     // geometry. The FULL 2x2 is composed so rotation/skew is detected
@@ -139,18 +148,23 @@ object PdfHiRes {
         val devSize = runSize * math.abs(ctmD)
         val bbox: Bbox = (devX0 * coef, (pageHeight - devY - devSize) * coef,
           devX1 * coef, (pageHeight - devY) * coef)
+        val lowFidelity = run.length > 0 &&
+          runMode3Chars.toDouble / run.length > 0.1
         if (PdfminerGeometry.validateBbox(Seq(bbox._1, bbox._2, bbox._3, bbox._4)))
           out += LayoutRegion(bbox, Some(text), classId = 0,
-            elementType = ElementType.UncategorizedText, isExtracted = true,
+            elementType = ElementType.UncategorizedText,
+            isExtracted = !lowFidelity,
             source = "pdfminer")
       }
       run.clear()
+      runMode3Chars = 0
     }
 
     def show(decoded: String): Unit = {
       if (decoded.nonEmpty) {
         if (run.isEmpty) { runX0 = curX; runY = lineY; runSize = effSize }
         run.append(decoded)
+        if (renderMode == 3) runMode3Chars += decoded.length
         curX += decoded.length * GlyphWidthEm * effSize
       }
     }
@@ -226,6 +240,9 @@ object PdfHiRes {
             ctmStack = rest
           case Nil => ()
         }
+      } else if (m.group(23) != null) { // Tr — render mode (3 = invisible)
+        flush() // a mode change mid-line splits the run, like pdfminer's chars
+        m.group(23).toIntOption.foreach(renderMode = _)
       }
     }
     flush()

@@ -48,6 +48,20 @@ class PdfHiResSpec extends AnyFunSuite {
     assert(rs(0).bbox._2 === rs(1).bbox._2)
   }
 
+  test("invisible text (render mode 3) marks its line region not-extracted") {
+    // a scanned page's hidden OCR layer: `3 Tr` text is not rendered, so the
+    // region carries the text but isExtracted=false (text_is_embedded,
+    // pdfminer_processing.py:421-463) — downstream OCR may replace it
+    val content = "BT /F1 10 Tf 3 Tr 72 700 Td (hidden ocr layer) Tj " +
+      "0 Tr 0 -20 Td (visible caption) Tj ET"
+    val regions = PdfHiRes.extractLineRegions(content, Map.empty, 792, 1.0)
+    assert(regions.size === 2)
+    val hidden = regions.find(_.text.contains("hidden ocr layer")).get
+    val visible = regions.find(_.text.contains("visible caption")).get
+    assert(!hidden.isExtracted, "mode-3 text must not count as embedded")
+    assert(visible.isExtracted)
+  }
+
   test("a rotation-shaped cm suppresses geometry until Q restores the state") {
     // `0 1 -1 0 0 0 cm` is a quarter-turn: the diagonal CTM model cannot
     // express it, so emitting unrotated coordinates would be silently wrong.
