@@ -42,16 +42,26 @@ object PdfPartitioner {
 
   // ------------------------------------------------------------------ filters
 
-  private[sources] def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+  /** Decompression-bomb ceiling for a single Flate stream. Real content
+    * streams top out in the tens of MB; a crafted stream expanding past this
+    * is REJECTED whole (None), never truncated — a silently-truncated stream
+    * would corrupt downstream parsing (the reference's
+    * `_decode_pdfstream_with_limit` makes the same reject-don't-mutate
+    * choice, pdfminer_utils.py:155-205). */
+  private[sources] val MaxInflatedBytes: Int = 256 << 20
+
+  private[sources] def inflate(data: Array[Byte],
+      maxBytes: Int = MaxInflatedBytes): Option[Array[Byte]] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val out = new java.io.ByteArrayOutputStream(math.min(data.length * 4, 1 << 20))
       val buf = new Array[Byte](8192)
       var n = inf.inflate(buf)
-      var guard = 0
-      while (n > 0 && guard < 100000) { out.write(buf, 0, n); n = inf.inflate(buf); guard += 1 }
-      if (out.size() == 0) None else Some(out.toByteArray)
+      while (n > 0 && out.size() <= maxBytes) { out.write(buf, 0, n); n = inf.inflate(buf) }
+      if (out.size() > maxBytes) None // bomb: reject before materializing more
+      else if (out.size() == 0) None
+      else Some(out.toByteArray)
     } catch { case _: Exception => None } finally inf.end()
   }
 
@@ -447,42 +457,55 @@ object PdfPartitioner {
     * bfchar/bfrange entries, not the codespacerange: subset-font ToUnicode
     * streams routinely declare `<0000> <FFFF>` while mapping 1-byte codes
     * (pdfminer keys on the font type the same way). */
+  /** Total-mapping budget for one ToUnicode CMap: a crafted stream stacking
+    * full-codespace bfranges would otherwise allocate without bound. When
+    * exceeded the WHOLE map is discarded (no partial map with holes) —
+    * mirroring the reference's `_MAX_CODE2CID_MAPPINGS` budget semantics. */
+  private[sources] val MaxToUnicodeMappings: Int = 131072
+
   private[sources] def parseToUnicode(cmap: String): (Map[Int, String], Boolean) = {
     val map = mutable.Map.empty[Int, String]
     var twoByte = false
+    var over = false // budget blown: stop allocating, discard at the end
+    def put(c: Int, text: String): Unit =
+      if (map.size >= MaxToUnicodeMappings) over = true
+      else map(c) = text
     BfCharRe.findAllMatchIn(cmap).foreach { m =>
       val toks = HexTokRe.findAllMatchIn(m.group(1)).map(_.group(1)).toVector
       toks.grouped(2).foreach {
-        case Vector(src, dst) =>
+        case Vector(src, dst) if !over =>
           if (src.length > 2) twoByte = true
-          map(Integer.parseInt(src, 16)) = utf16Hex(dst)
+          put(Integer.parseInt(src, 16), utf16Hex(dst))
         case _ => ()
       }
     }
     BfRangeRe.findAllMatchIn(cmap).foreach { m =>
       BfRangeEntryRe.findAllMatchIn(m.group(1)).foreach { e =>
-        val lo = Integer.parseInt(e.group(1), 16)
-        val hi = Integer.parseInt(e.group(2), 16)
-        if (e.group(1).length > 2) twoByte = true
-        val dst = e.group(3)
-        if (dst.startsWith("[")) {
-          val dsts = HexTokRe.findAllMatchIn(dst).map(_.group(1)).toVector
-          dsts.zipWithIndex.foreach { case (d, i) =>
-            if (lo + i <= hi) map(lo + i) = utf16Hex(d)
-          }
-        } else {
-          val base = dst.stripPrefix("<").stripSuffix(">")
-          val baseText = utf16Hex(base)
-          if (baseText.nonEmpty) {
-            val baseLast = baseText.last
-            (lo to math.min(hi, lo + 65535)).foreach { c =>
-              map(c) = baseText.dropRight(1) + (baseLast + (c - lo)).toChar
+        if (!over) {
+          val lo = Integer.parseInt(e.group(1), 16)
+          val hi = Integer.parseInt(e.group(2), 16)
+          if (e.group(1).length > 2) twoByte = true
+          val dst = e.group(3)
+          if (dst.startsWith("[")) {
+            val dsts = HexTokRe.findAllMatchIn(dst).map(_.group(1)).toVector
+            dsts.zipWithIndex.foreach { case (d, i) =>
+              if (lo + i <= hi && !over) put(lo + i, utf16Hex(d))
+            }
+          } else {
+            val base = dst.stripPrefix("<").stripSuffix(">")
+            val baseText = utf16Hex(base)
+            if (baseText.nonEmpty) {
+              val baseLast = baseText.last
+              (lo to math.min(hi, lo + 65535)).foreach { c =>
+                if (!over)
+                  put(c, baseText.dropRight(1) + (baseLast + (c - lo)).toChar)
+              }
             }
           }
         }
       }
     }
-    (map.toMap, twoByte)
+    if (over) (Map.empty, twoByte) else (map.toMap, twoByte)
   }
 
   private val DiffNameRe = "(\\d+)|/([A-Za-z0-9.]+)".r
