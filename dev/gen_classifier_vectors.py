@@ -313,6 +313,9 @@ BATTERY = [
     "3,14",
     "No. 5",
     "No 5.",
+    # astral (non-BMP) chars must survive the surrogate-pair escape round-trip
+    "Rocket launches are genuinely exciting events \U0001f680 today.",
+    "\U0001f600 emoji-lead fragment",
 ]
 
 
@@ -325,9 +328,13 @@ def main():
     for text in BATTERY:
         kind = type(element_from_text(text)).__name__
         kind = rename.get(kind, kind)
+        # one escape per UTF-16 code unit: astral chars become surrogate
+        # pairs (two \uXXXX), which Java/Scala's UTF-16 strings reassemble
+        b = text.encode("utf-16-be")
+        units = [int.from_bytes(b[i : i + 2], "big") for i in range(0, len(b), 2)]
         esc = "".join(
-            c if 0x20 <= ord(c) < 0x7F and c != "\\" else "\\u%04x" % ord(c)
-            for c in text
+            chr(u) if 0x20 <= u < 0x7F and u != 0x5C else "\\u%04x" % u
+            for u in units
         )
         lines.append(f"{kind}\t{esc}")
     with open(OUT, "w", encoding="ascii") as f:

@@ -765,14 +765,16 @@ object AnalysisQueries {
   private val cosSimSql: String = s"round(${cosSql("embedding", "qv")}, 6)"
 
   /** Unrounded cosine between two named list columns — mirrors [[guardedCos]]
-    * incl. the zero-norm guard (cosine of a zero vector = 0.0). */
+    * incl. the zero-norm guard (cosine of a zero vector = 0.0). The guard is
+    * `dot / nullif(norms, 0)` + coalesce so each O(dim) norm fold appears
+    * ONCE in the generated SQL (a CASE would inline them twice — DuckDB does
+    * not reliably CSE across CASE branches). */
   private def cosSql(a: String, b: String): String = {
     def norm(x: String) =
       s"sqrt(list_sum(list_transform($x, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    s"(CASE WHEN ${norm(a)} * ${norm(b)} = 0 THEN 0.0 ELSE " +
-      s"list_sum(list_transform(range(1, len($a) + 1), " +
+    s"coalesce(list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
-      s"(${norm(a)} * ${norm(b)}) END)"
+      s"nullif(${norm(a)} * ${norm(b)}, 0), 0.0)"
   }
 
   def oracles: Map[String, String] = Map(

@@ -208,14 +208,15 @@ object CorpusQueries {
        |    AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
-  /** Mirrors `CorpusOps.cosineCol` incl. the zero-norm guard (cosine = 0.0). */
+  /** Mirrors `CorpusOps.cosineCol` incl. the zero-norm guard (cosine = 0.0);
+    * `dot / nullif(norms, 0)` + coalesce keeps each O(dim) norm fold to one
+    * appearance in the generated SQL (CASE would inline them twice). */
   private def cosSql(a: String, b: String): String = {
     def norm(x: String) =
       s"sqrt(list_sum(list_transform($x, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    s"(CASE WHEN ${norm(a)} * ${norm(b)} = 0 THEN 0.0 ELSE " +
-      s"list_sum(list_transform(range(1, len($a) + 1), " +
+    s"coalesce(list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
-      s"(${norm(a)} * ${norm(b)}) END)"
+      s"nullif(${norm(a)} * ${norm(b)}, 0), 0.0)"
   }
 
   /** The doc-flag decontamination oracle — shared by the batch query and its

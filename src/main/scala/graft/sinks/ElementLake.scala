@@ -80,7 +80,10 @@ object ElementLake {
    * → two renames (old aside, new in place) → delete old; readers racing the
    * swap window see the old or the new file set, both complete (run it
    * between drains, as the capstone does — this is a parquet lake, not a
-   * transaction log). Returns the rewritten partition directory names.
+   * transaction log). A crash between the two renames leaves the live data
+   * stranded as `.compact_old_<name>`; the next compact() call RESTORES it
+   * before doing anything else, so no window loses a partition permanently.
+   * Returns the rewritten partition directory names.
    */
   def compact(spark: SparkSession, path: String,
       maxFilesPerPartition: Int = 8,
@@ -88,6 +91,25 @@ object ElementLake {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
+    // crash recovery BEFORE anything else: a previous compact that died
+    // between its two renames leaves the live partition stranded as
+    // `.compact_old_<name>` (dotted — invisible to Spark reads). If the
+    // partition dir is missing, the old file set is still the authoritative
+    // one: restore it. If the partition exists, the old copy is a completed
+    // swap's leftover: drop it. Incomplete `.compact_tmp_*` rewrites are
+    // always garbage.
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_old_"))
+      .foreach { old =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          old.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(live)) require(fs.rename(old.getPath, live),
+          s"compact: cannot restore stranded partition ${old.getPath}")
+        else fs.delete(old.getPath, true)
+      }
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_tmp_"))
+      .foreach(t => fs.delete(t.getPath, true))
     val partDirs = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartitionCol="))
     partDirs.flatMap { d =>
@@ -100,7 +122,6 @@ object ElementLake {
         val name = d.getPath.getName
         val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$name")
         val old = new org.apache.hadoop.fs.Path(root, s".compact_old_$name")
-        fs.delete(tmp, true); fs.delete(old, true)
         spark.read.parquet(d.getPath.toString)
           .repartitionByRange(nFiles, col("doc_id"), col("seq"))
           .sortWithinPartitions("doc_id", "seq")

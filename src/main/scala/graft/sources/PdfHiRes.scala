@@ -241,8 +241,15 @@ object PdfHiRes {
           case Nil => ()
         }
       } else if (m.group(23) != null) { // Tr — render mode (3 = invisible)
-        flush() // a mode change mid-line splits the run, like pdfminer's chars
-        m.group(23).toIntOption.foreach(renderMode = _)
+        m.group(23).toIntOption.foreach { mode =>
+          if (mode != renderMode) {
+            // an ACTUAL mode change mid-line splits the run (pdfminer tags
+            // per char); a redundant re-assert of the current mode — common
+            // generator noise — must not fragment the line region
+            flush()
+            renderMode = mode
+          }
+        }
       }
     }
     flush()

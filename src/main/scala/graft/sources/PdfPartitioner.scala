@@ -359,12 +359,9 @@ object PdfPartitioner {
       }
       key
     }
-    // Algorithms 4/5: does this key reproduce /U? (Absent or short /U —
-    // some minimal synthetic files — is accepted as unverifiable-but-usable,
-    // preserving the pre-verification behavior on the test corpus.)
+    // Algorithms 4/5: does this key reproduce /U?
     def userMatches(key: Array[Byte]): Boolean =
-      if (uBytes.length < 16) true
-      else if (r <= 2) java.util.Arrays.equals(rc4(key, PadBytes), uBytes.take(32))
+      if (r <= 2) java.util.Arrays.equals(rc4(key, PadBytes), uBytes.take(32))
       else {
         val h = java.security.MessageDigest.getInstance("MD5")
         h.update(PadBytes); h.update(idBytes)
@@ -375,8 +372,12 @@ object PdfPartitioner {
     // try the supplied user password, then the empty one (owner-restricted
     // files open with an empty user password); a file whose password is
     // wrong yields NO decryptor — streams stay opaque and extraction is
-    // empty, never mojibake
-    Seq(password, "").distinct
+    // empty, never mojibake. When /U is absent or short (minimal synthetic
+    // files) the key is UNVERIFIABLE: only the empty-password key is
+    // accepted (the pre-verification behavior) — accepting an unverifiable
+    // caller-supplied password would decrypt to mojibake on a wrong guess.
+    if (uBytes.length < 16) Some(new Decryptor(fileKey(""), aes))
+    else Seq(password, "").distinct
       .map(fileKey)
       .find(userMatches)
       .map(new Decryptor(_, aes))
@@ -463,6 +464,13 @@ object PdfPartitioner {
     * mirroring the reference's `_MAX_CODE2CID_MAPPINGS` budget semantics. */
   private[sources] val MaxToUnicodeMappings: Int = 131072
 
+  /** Bounded hex-code parse: ToUnicode source codes are at most 3 bytes in
+    * any real font; a crafted token like `<FFFFFFFF>` must be SKIPPED, not
+    * crash the task with NumberFormatException (the budget below guards
+    * allocation; this guards the parse itself). */
+  private def hexCode(s: String): Option[Int] =
+    if (s.isEmpty || s.length > 6) None else Some(Integer.parseInt(s, 16))
+
   private[sources] def parseToUnicode(cmap: String): (Map[Int, String], Boolean) = {
     val map = mutable.Map.empty[Int, String]
     var twoByte = false
@@ -474,16 +482,16 @@ object PdfPartitioner {
       val toks = HexTokRe.findAllMatchIn(m.group(1)).map(_.group(1)).toVector
       toks.grouped(2).foreach {
         case Vector(src, dst) if !over =>
-          if (src.length > 2) twoByte = true
-          put(Integer.parseInt(src, 16), utf16Hex(dst))
+          hexCode(src).foreach { code =>
+            if (src.length > 2) twoByte = true
+            put(code, utf16Hex(dst))
+          }
         case _ => ()
       }
     }
     BfRangeRe.findAllMatchIn(cmap).foreach { m =>
       BfRangeEntryRe.findAllMatchIn(m.group(1)).foreach { e =>
-        if (!over) {
-          val lo = Integer.parseInt(e.group(1), 16)
-          val hi = Integer.parseInt(e.group(2), 16)
+        for (lo <- hexCode(e.group(1)); hi <- hexCode(e.group(2)); if !over) {
           if (e.group(1).length > 2) twoByte = true
           val dst = e.group(3)
           if (dst.startsWith("[")) {
@@ -546,7 +554,11 @@ object PdfPartitioner {
     "\u2021\u00b7\u201a\u201e\u2030\u00c2\u00ca\u00c1\u00cb\u00c8\u00cd\u00ce" +
     "\u00cf\u00cc\u00d3\u00d4\uf8ff\u00d2\u00da\u00db\u00d9\u0131\u02c6\u02dc" +
     "\u00af\u02d8\u02d9\u02da\u00b8\u02dd\u02db\u02c7")
-    .zipWithIndex.map { case (c, i) => (0x80 + i) -> c }.toMap
+    .zipWithIndex.map { case (c, i) => (0x80 + i) -> c }.toMap ++ Map(
+    // PDF Annex D.2 diverges from the modern Mac OS Roman charset on two
+    // codes (pdfminer's latin_enc agrees): 0xCA is the glyph `space`, not
+    // NBSP, and 0xDB is `currency` (¤), not the euro Apple later assigned
+    0xCA -> ' ', 0xDB -> '¤')
 
   /** Decode a byte-string through `font` (None → identity Latin-1). */
   private[sources] def decodeWithFont(s: String, font: Option[PdfFont]): String =
@@ -805,11 +817,17 @@ object PdfPartitioner {
           }
         }
         // fake-bold dedup at show granularity: an identical show re-placed
-        // by a fresh Tm within 2 pt on both axes is the double-draw pattern
-        // (consecutive Tjs with no repositioning are genuine repeats)
+        // by a fresh Tm within the duplicate band on both axes is the
+        // double-draw pattern (consecutive Tjs with no repositioning are
+        // genuine repeats). Without real advances the overlap test uses an
+        // em-fraction band: a doubled draw offsets by a few percent of an
+        // em, while even the thinnest legitimate glyph advances ~0.22 em —
+        // so the x band is a tenth-em per char (capped at the reference's
+        // 2 pt), keeping small-font "ll"/"ii" intact.
+        val dupBandX = math.min(2.0, 0.1 * fontSize * math.max(1, decoded.length))
         val dup = legacyFreshTm && decoded.nonEmpty && lastCh != null &&
           decoded == lastCh && !legacyPendX.isNaN &&
-          math.abs(legacyPendX - lastChX0) < 2.0 &&
+          math.abs(legacyPendX - lastChX0) < dupBandX &&
           math.abs(legacyPendY - lastChY) < 2.0
         if (!dup) cur.append(decoded)
         if (decoded.nonEmpty) {

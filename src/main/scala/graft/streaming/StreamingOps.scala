@@ -485,6 +485,31 @@ object StreamingOps {
     * the skew cap. */
   final case class LshBucketState(docs: Vector[Long], poisoned: Boolean)
 
+  /** One micro-batch step of the banded candidate fold — the ONE body both
+    * [[lshCandidateStream]] and [[lshCandidateStreamTtl]] run, so the subtle
+    * semantics (poisoning, in-batch ordering, pair emission) cannot diverge.
+    * A doc id re-delivered across batches (at-least-once sources) neither
+    * self-pairs nor re-counts toward the cap. */
+  private def lshBucketStep(bandIdx: Int, batch: Vector[Long],
+      st: LshBucketState, maxBandSize: Int)
+      : (LshBucketState, Iterator[(Int, Long, Long)]) = {
+    val arrived = batch.distinct.sorted.filterNot(st.docs.contains)
+    if (st.poisoned || st.docs.size + arrived.size > maxBandSize)
+      (LshBucketState(Vector.empty, poisoned = true), Iterator.empty)
+    else {
+      val withinBatch = for {
+        i <- arrived.indices.iterator
+        j <- (i + 1) until arrived.size
+      } yield (bandIdx, arrived(i), arrived(j))
+      val withPrior = for {
+        e <- st.docs.iterator
+        a <- arrived
+      } yield (bandIdx, math.min(e, a), math.max(e, a))
+      (LshBucketState(st.docs ++ arrived, poisoned = false),
+        withinBatch ++ withPrior)
+    }
+  }
+
   /**
    * Streaming MinHash-LSH near-duplicate candidates — the streaming twin of
    * the batch `q_lsh_near_dup` pipeline (signature → banded keys →
@@ -514,23 +539,12 @@ object StreamingOps {
       .flatMapGroupsWithState[LshBucketState, (Int, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((bandIdx, _), rows, state) =>
-          val arrived = rows.map(_._1).toVector.distinct.sorted
-          val st = state.getOption.getOrElse(LshBucketState(Vector.empty, poisoned = false))
-          if (st.poisoned || st.docs.size + arrived.size > maxBandSize) {
-            state.update(LshBucketState(Vector.empty, poisoned = true))
-            Iterator.empty
-          } else {
-            state.update(LshBucketState(st.docs ++ arrived, poisoned = false))
-            val withinBatch = for {
-              i <- arrived.indices.iterator
-              j <- (i + 1) until arrived.size
-            } yield (bandIdx, arrived(i), arrived(j))
-            val withPrior = for {
-              e <- st.docs.iterator
-              a <- arrived
-            } yield (bandIdx, math.min(e, a), math.max(e, a))
-            withinBatch ++ withPrior
-          }
+          val st = state.getOption.getOrElse(
+            LshBucketState(Vector.empty, poisoned = false))
+          val (next, out) =
+            lshBucketStep(bandIdx, rows.map(_._1).toVector, st, maxBandSize)
+          state.update(next)
+          out
       }
       .toDF("band_idx", "doc_a", "doc_b")
   }
@@ -561,7 +575,6 @@ object StreamingOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toVector
-            val arrived = batch.map(_._1).distinct.sorted
             val maxTs = batch.map(_._4.getTime).max
             // expire once the watermark passes this bucket's newest event
             // (never set a timeout at/behind the current watermark — the
@@ -571,21 +584,10 @@ object StreamingOps {
               math.max(maxTs, state.getCurrentWatermarkMs() + 1))
             val st = state.getOption.getOrElse(
               LshBucketState(Vector.empty, poisoned = false))
-            if (st.poisoned || st.docs.size + arrived.size > maxBandSize) {
-              state.update(LshBucketState(Vector.empty, poisoned = true))
-              Iterator.empty
-            } else {
-              state.update(LshBucketState(st.docs ++ arrived, poisoned = false))
-              val withinBatch = for {
-                i <- arrived.indices.iterator
-                j <- (i + 1) until arrived.size
-              } yield (bandIdx, arrived(i), arrived(j))
-              val withPrior = for {
-                e <- st.docs.iterator
-                a <- arrived
-              } yield (bandIdx, math.min(e, a), math.max(e, a))
-              withinBatch ++ withPrior
-            }
+            val (next, out) =
+              lshBucketStep(bandIdx, batch.map(_._1), st, maxBandSize)
+            state.update(next)
+            out
           }
       }
       .toDF("band_idx", "doc_a", "doc_b")

@@ -15,18 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class BpeSplitDifferentialSpec extends AnyFunSuite {
 
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      if (s.charAt(i) == '\\' && i + 6 <= s.length &&
-        s.charAt(i + 1) == 'u') {
-        sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-        i += 6
-      } else { sb.append(s.charAt(i)); i += 1 }
-    }
-    sb.toString
-  }
+  private def unescape(s: String): String = graft.TestEscapes.unescape(s)
 
   private val vectors: Seq[(String, Vector[String])] = {
     val in = getClass.getResourceAsStream("/graft/bpe-split-vectors.txt")

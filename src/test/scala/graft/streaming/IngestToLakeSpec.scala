@@ -110,6 +110,22 @@ class IngestToLakeSpec extends SparkSuiteBase {
       // a second pass is a no-op (already under the bound)
       assert(ElementLake.compact(spark, lake.toString,
         maxFilesPerPartition = 4).isEmpty)
+
+      // crash-window recovery: simulate a compact that died between its two
+      // renames (live partition moved aside, rewrite never landed) — the
+      // next compact() restores the stranded partition before anything else
+      import scala.jdk.CollectionConverters._
+      val partDir = Files.list(lake).iterator().asScala
+        .find(_.getFileName.toString.startsWith("p_filetype=")).get
+      val stranded = lake.resolve(s".compact_old_${partDir.getFileName}")
+      Files.move(partDir, stranded)
+      assert(!Files.exists(partDir))
+      ElementLake.compact(spark, lake.toString, maxFilesPerPartition = 4)
+      assert(Files.exists(partDir), "stranded partition was not restored")
+      assert(!Files.exists(stranded))
+      val recovered = ElementLake.read(spark, lake.toString).collect()
+        .sortBy(e => (e.doc_id, e.seq)).toSeq
+      assert(recovered == before)
     } finally { rmTree(watch); rmTree(lake); rmTree(ckpt) }
   }
 }
