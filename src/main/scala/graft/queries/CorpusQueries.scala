@@ -55,6 +55,23 @@ object CorpusQueries {
         maxClusterSize = 40).orderBy("vec_id")
     }),
 
+    // Crawl-over-crawl incremental dedup: history = the even docs, the
+    // incoming delta = the odd docs plus re-crawled copies of every 6th doc
+    // (shifted ids, identical text) — exactly the copies must drop. Scale
+    // shape: history rides as a broadcast Bloom bitset; only bloom hits
+    // (true dups + fpp) reach the exact anti-join.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      val history = d.filter(col("doc_id") % 2 === 0)
+      val incoming = d.filter(col("doc_id") % 2 === 1).unionByName(
+        history.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+      CorpusOps.incrementalDedup(history, incoming, col("text"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    }),
+
     "q_stratified_sample" -> ((s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), col("lang"),
         Seq("en" -> 0.3, "zh" -> 0.7), defaultRate = 1.0, salt = "mix1")
@@ -245,6 +262,23 @@ object CorpusQueries {
 
     // identical decontamination semantics through the stream-static join
     "q_stream_decontaminate" -> DecontaminateOracleSql,
+
+    // the Bloom prefilter is exact-by-construction (no false negatives; hits
+    // are confirmed by the anti-join), so the oracle is the plain anti-join
+    "q_incremental_dedup" -> {
+      val fp = AnalysisQueries.fingerprint("text")
+      s"""WITH hist AS (
+         |  SELECT $fp AS fp FROM documents WHERE doc_id % 2 = 0),
+         |inc AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $fp AS fp
+         |  FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) + 500000, $fp
+         |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 6 = 0)
+         |SELECT doc_id, fp FROM inc
+         |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = inc.fp)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_semantic_dedup" -> {
       val subHash = O.polyHash("CAST(vec_id AS VARCHAR)")

@@ -70,6 +70,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // per-doc gram distinct + bench-gram distinct feeding the broadcast +
     // hit groupBy + left join back + output sort (broadcast exchanges count)
     "q_decontaminate" -> 8,
+    // the tagged (fingerprint + bloom-probe) incoming subtree is re-listed
+    // in BOTH union branches of the AQE-off textual plan, and the confirm
+    // anti-join's history distinct adds its own exchange; at runtime the
+    // bloom-cleared branch has NO join — that's the operator's point
+    "q_incremental_dedup" -> 10,
     // pruned lake scan -> doc reassembly groupBy -> fingerprint dedup window
     // -> per-bucket packing window -> output sort, each its own key (r12: the
     // parse moved into the one-time ingestToLake materialization)

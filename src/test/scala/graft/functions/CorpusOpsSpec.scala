@@ -301,6 +301,30 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r.getAs[Int]("n_phones") == 1)
   }
 
+  test("incrementalDedup equals a plain anti-join and has no false negatives") {
+    val sp = spark
+    import sp.implicits._
+    val history = (0 until 200)
+      .map(i => (i.toLong, s"history document number $i body"))
+      .toDF("doc_id", "text")
+    // delta: 100 new docs + 50 re-crawled copies of history texts
+    val incoming = (0 until 100)
+      .map(i => (1000L + i, s"fresh delta document $i payload"))
+      .toDF("doc_id", "text")
+      .unionByName((0 until 50)
+        .map(i => (2000L + i, s"history document number ${i * 2} body"))
+        .toDF("doc_id", "text"))
+    // a deliberately tiny/over-saturated bloom (high fpp) must still be
+    // EXACT: false positives only route more rows through the confirm join
+    for (expected <- Seq(8L, 1L << 20)) {
+      val got = CorpusOps.incrementalDedup(history, incoming, col("text"),
+          expectedHistoryDocs = expected, fpp = 0.2)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got.toSeq == (0 until 100).map(1000L + _),
+        s"expectedHistoryDocs=$expected")
+    }
+  }
+
   test("piiScrub does not count the IPv4 inside an email host") {
     val sp = spark
     import sp.implicits._
