@@ -377,6 +377,56 @@ object AnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash hamming near-dup (Manku et al. 2007): 64-bit signatures split
+    // into four 16-bit bands — two docs within hamming distance 3 agree on
+    // at least one band (pigeonhole), so the candidate set is a per-band
+    // equi-join, never all pairs; candidates verify with bit_count(xor).
+    // Corpus: every 9th doc re-emitted with one appended token (near-dup in
+    // signature space when few vote flips result) and every 15th as an exact
+    // copy (hamming 0 — guaranteed hits). A count window caps degenerate hot
+    // bands (boilerplate/empty docs) exactly like the MinHash LSH path. The
+    // two 32-bit halves are handled separately end-to-end — no sign games.
+    "q_simhash_near_dup" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val inp = base
+        .unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 30000).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text")))
+        .unionByName(base.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 60000).as("doc_id"), col("text")))
+      val h = TextAnalysis.simHash64(withNonBmp(col("text")))
+      val sigs = inp.select(col("doc_id"),
+        shiftrightunsigned(h, 32).as("h32"),
+        h.bitwiseAND(lit(0xFFFFFFFFL)).as("h0"))
+      val bands = sigs.select(col("doc_id"), col("h32"), col("h0"),
+        posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h32").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("h32"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_idx", "band_key")))
+      val capped = bands.withColumn("bc", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("band_idx", "band_key")))
+        .filter(col("bc") <= 1000)
+      val cand = capped.as("a").join(capped.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.h32").as("a32"), col("a.h0").as("a0"),
+          col("b.h32").as("b32"), col("b.h0").as("b0"))
+        .distinct()
+      cand
+        .select(col("doc_a"), col("doc_b"),
+          (bit_count(col("a32").bitwiseXOR(col("b32"))) +
+            bit_count(col("a0").bitwiseXOR(col("b0")))).cast("int")
+            .as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Brute-force cosine top-k against a broadcast query vector — the ANN
     // baseline. The query-vector norm rides in the broadcast and the row norm
     // is one projected column, so the scan does ONE O(dim) dot per row
@@ -941,6 +991,40 @@ object AnalysisQueries {
          |        list_transform(${wordsL(withNonBmpSql("text"))}, w -> ${ph("w")}) AS hs
          |      FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_near_dup" ->
+      s"""WITH inp AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) + 30000, text || ' xtra'
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) + 60000, text
+         |  FROM documents WHERE doc_id % 15 = 0),
+         |sigs AS (
+         |  SELECT doc_id, ${simhashHalf(32)} AS h32, ${simhashHalf(0)} AS h0
+         |  FROM (SELECT doc_id,
+         |          list_transform(${wordsL(withNonBmpSql("text"))}, w -> ${ph("w")}) AS hs
+         |        FROM inp)),
+         |bands AS (
+         |  SELECT doc_id, h32, h0, i AS band_idx,
+         |    CASE i WHEN 0 THEN h0 & 65535 WHEN 1 THEN (h0 >> 16) & 65535
+         |           WHEN 2 THEN h32 & 65535 ELSE (h32 >> 16) & 65535 END AS band_key
+         |  FROM sigs, range(0, 4) t(i)),
+         |capped AS (
+         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bc
+         |                 FROM bands) WHERE bc <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.h32 AS a32, a.h0 AS a0, b.h32 AS b32, b.h0 AS b0
+         |  FROM capped a JOIN capped b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(a32, b32)) + bit_count(xor(a0, b0)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(a32, b32)) + bit_count(xor(a0, b0)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

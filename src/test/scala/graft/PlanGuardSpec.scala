@@ -55,6 +55,10 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Shuffle-count caps above the default; everything else gets [[DefaultExchCap]]. */
   private val exchCapOverrides = Map(
     "q_embed_near_dup" -> 13, "q_jaccard_near_dup" -> 13, "q_lsh_near_dup" -> 8,
+    // the banded (window-capped) subtree is re-listed on BOTH sides of the
+    // self-join in the AQE-off textual plan, plus candidate distinct and the
+    // output sort; runtime exchange reuse collapses the duplicated side
+    "q_simhash_near_dup" -> 9,
     // the full curation pipeline: window dedup + banded self-join with the
     // shingle payload carried + skew-cap window + broadcast anti + sort; the
     // referenced-twice band subtree duplicates its upstream in the AQE-off
