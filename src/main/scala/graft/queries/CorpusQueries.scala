@@ -160,6 +160,12 @@ object CorpusQueries {
       graft.streaming.StreamingOps
         .decontaminateAvailableNow(s, s"$dir/documents.parquet", n = 5)),
 
+    // the streaming twin of q_incremental_dedup: Bloom map-side prefilter +
+    // stream-static anti-join confirm, zero state — batch-oracle-verified
+    "q_stream_incremental_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .incrementalDedupAvailableNow(s, s"$dir/documents.parquet")),
+
     // The COMPLETE training-set construction in one declared DAG — every
     // stage the proven 100 TB shape: exact dedup (one fingerprint window,
     // keep-min), benchmark decontamination (bench grams broadcast), quality
@@ -238,6 +244,24 @@ object CorpusQueries {
 
   /** The doc-flag decontamination oracle — shared by the batch query and its
     * stream-static-join twin (identical gram rule, identical output shape). */
+  /** Shared by the batch q_incremental_dedup and its streaming twin: the
+    * Bloom prefilter is exact-by-construction, so both reduce to this plain
+    * anti-join over identical (doc_id, text) relations. */
+  private val IncrementalDedupOracleSql: String = {
+    val fp = AnalysisQueries.fingerprint("text")
+    s"""WITH hist AS (
+       |  SELECT $fp AS fp FROM documents WHERE doc_id % 2 = 0),
+       |inc AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $fp AS fp
+       |  FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT) + 500000, $fp
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 6 = 0)
+       |SELECT doc_id, fp FROM inc
+       |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = inc.fp)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private val DecontaminateOracleSql: String = {
     val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
     s"""WITH bench AS (
@@ -265,20 +289,10 @@ object CorpusQueries {
 
     // the Bloom prefilter is exact-by-construction (no false negatives; hits
     // are confirmed by the anti-join), so the oracle is the plain anti-join
-    "q_incremental_dedup" -> {
-      val fp = AnalysisQueries.fingerprint("text")
-      s"""WITH hist AS (
-         |  SELECT $fp AS fp FROM documents WHERE doc_id % 2 = 0),
-         |inc AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, $fp AS fp
-         |  FROM documents WHERE doc_id % 2 = 1
-         |  UNION ALL
-         |  SELECT CAST(doc_id AS BIGINT) + 500000, $fp
-         |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 6 = 0)
-         |SELECT doc_id, fp FROM inc
-         |WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = inc.fp)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_incremental_dedup" -> IncrementalDedupOracleSql,
+
+    // identical semantics through the stream-static rendering
+    "q_stream_incremental_dedup" -> IncrementalDedupOracleSql,
 
     "q_semantic_dedup" -> {
       val subHash = O.polyHash("CAST(vec_id AS VARCHAR)")

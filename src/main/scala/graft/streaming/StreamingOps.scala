@@ -266,6 +266,58 @@ object StreamingOps {
     }.orderBy("doc_id")
   }
 
+  /**
+   * Streaming twin of [[graft.functions.CorpusOps.incrementalDedup]] — the
+   * live-ingest rendering of crawl-over-crawl dedup: the PRIOR snapshot is
+   * static, the delta streams past. The broadcast Bloom bitset probes every
+   * arriving row map-side; bloom-cleared rows (definitely new — no false
+   * negatives) pass with NO join, and bloom hits confirm against the static
+   * fingerprint frame via a stream-static left join + null filter (the
+   * anti-join rendering streaming supports). Per-batch work is O(batch) and
+   * state is ZERO — the op needs no store at all, so it runs forever at any
+   * scale. Same corpus derivation as the batch `q_incremental_dedup`, so the
+   * SAME oracle verifies both.
+   */
+  def incrementalDedupAvailableNow(spark: SparkSession,
+      documentsPath: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val history = spark.read.parquet(documentsPath)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
+    val histFps = history
+      .select(TextAnalysis.docFingerprint(col("text")).as("fp")).distinct()
+      .withColumn("hit", lit(1))
+    val bloom = histFps.stat.bloomFilter("fp", 1L << 20, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+    drainAvailableNow(spark, documentsPath, "incdedup", "append") { streamDir =>
+      val delta = spark.readStream.schema(schema).parquet(streamDir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          // the batch query's delta: odd docs + re-crawled copies of every
+          // 6th (even) doc under shifted ids
+          val odd = if (id % 2 == 1) Seq((id, text)) else Nil
+          val recrawl = if (id % 2 == 0 && id % 6 == 0)
+            Seq((id + 500000L, text)) else Nil
+          odd ++ recrawl
+        }.toDF("doc_id", "text")
+      val tagged = delta
+        .withColumn("fp", TextAnalysis.docFingerprint(col("text")))
+        .withColumn("maybe_dup", mightContain(col("fp")))
+      val cleared = tagged.filter(!col("maybe_dup"))
+        .select(col("doc_id"), col("fp"))
+      val confirmed = tagged.filter(col("maybe_dup"))
+        .join(broadcast(histFps), Seq("fp"), "left")
+        .filter(col("hit").isNull)
+        .select(col("doc_id"), col("fp"))
+      cleared.unionByName(confirmed)
+    }.orderBy("doc_id")
+  }
+
   /** Control-marker element type: a row of this type signals end-of-document
     * to the streaming chunk fold, flushing the group's open tail in-batch —
     * the deterministic alternative to wall-clock timeouts when the source can
