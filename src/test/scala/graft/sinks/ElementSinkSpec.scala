@@ -126,4 +126,31 @@ class ElementSinkSpec extends SparkSuiteBase {
     assert(ElementJson.elementJson(again.copy(doc_id = e.doc_id, seq = e.seq)) ==
       ElementJson.elementJson(e))
   }
+
+  test("simple.json rehydrates preserving its original elements (auto route)") {
+    // test_auto_partition_json_from_file_preserves_original_elements: a
+    // partition() over an elements-payload JSON must return the ORIGINAL
+    // elements, not re-partitioned text
+    val path = "/root/reference/example-docs/simple.json"
+    import org.apache.spark.sql.{functions => F}
+    val els = ElementSink.fromWire(
+      ElementSink.readWireJson(spark, path, multiLine = true)
+        .withColumn("doc_id", F.coalesce(F.col("doc_id"), F.lit("simple.json")))
+        .withColumn("seq",
+          F.row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(F.monotonically_increasing_id())).cast("long")))
+      .collect().toSeq
+    assert(els.nonEmpty)
+    // ids, types, and texts come through verbatim from the payload
+    assert(els.head.element_id == "a06d2d9e65212d4aa955c3ab32950ffa")
+    assert(els.forall(e => ElementSink.KnownWireTypes.contains(e.`type`)))
+    assert(els.forall(_.metadata.filename.contains("simple.docx")))
+    // serialize → re-read is a fixpoint on every element
+    els.foreach { e =>
+      val again = ElementSink.parseNdjson(spark,
+        Seq(ElementJson.elementJson(e))).collect().head
+      assert(ElementJson.elementJson(again.copy(doc_id = e.doc_id, seq = e.seq))
+        == ElementJson.elementJson(e))
+    }
+  }
 }
