@@ -412,12 +412,23 @@ object Partitioners {
   }
 
   /** Attachment parts (filename + decoded content) for the recursion union
-    * (`email.py:372-441`). */
+    * (`email.py:372-441`). Besides Content-Disposition:attachment parts,
+    * `message/rfc822` parts count as attachments even WITHOUT a disposition —
+    * Python's `iter_attachments()` yields every part of a multipart/digest
+    * (none is a text/html|plain body candidate), and the reference partitions
+    * each digest message recursively; filenames are synthesized positionally
+    * since digest parts carry none. */
   def emailAttachments(raw: String): Seq[(String, String)] =
-    flattenParts(parsePart(raw)).flatMap { p =>
-      p.header("Content-Disposition").filter(_.toLowerCase.startsWith("attachment")).flatMap { cd =>
-        "filename=\"?([^\";]+)\"?".r.findFirstMatchIn(cd).map(_.group(1))
-      }.map(fn => (fn, p.decoded))
+    flattenParts(parsePart(raw)).zipWithIndex.flatMap { case (p, i) =>
+      val declared = p.header("Content-Disposition")
+        .filter(_.toLowerCase.startsWith("attachment")).flatMap { cd =>
+          "filename=\"?([^\";]+)\"?".r.findFirstMatchIn(cd).map(_.group(1))
+        }
+      val digestMessage =
+        if (declared.isEmpty && p.contentType == "message/rfc822")
+          Some(s"digest-part-${i + 1}.eml")
+        else None
+      declared.orElse(digestMessage).map(fn => (fn, p.decoded))
     }
 
   // ------------------------------------------------------------------- markdown

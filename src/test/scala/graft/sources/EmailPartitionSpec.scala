@@ -182,6 +182,56 @@ class EmailPartitionSpec extends SparkSuiteBase {
   }
 
   // -- test_partition_email_silently_skips_attachments_it_cannot_partition (:374) --
+  test("multipart/digest messages partition as recursive eml attachments") {
+    // a multipart/digest has NO text/html|plain body candidate — Python's
+    // get_body returns None and iter_attachments yields every message/rfc822
+    // part; with attachment processing on (partition_email's default) the
+    // digest messages partition recursively
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/example-docs/eml/mime-multipart-digest.eml"))
+    val rows = AutoSource.parseDoc("mime-multipart-digest.eml", bytes,
+      processAttachments = true)
+    assert(rows.map(_.raw_text) == Seq(
+      "This is the first message in the digest.",
+      "This is the second message in the digest.",
+      "This is the third message in the digest."))
+    assert(rows.forall(_.attached_to_filename.contains("mime-multipart-digest.eml")))
+    assert(rows.map(_.doc_id).distinct.size == 3)
+  }
+
+  test("legacy eml fixtures partition without crashing, bodies found") {
+    // encoding-error regression fixtures + UTF-16 variants + inline images:
+    // every one must find a body (never zero elements, never an exception)
+    val dir = "/root/reference/example-docs/eml/"
+    val expectNonEmpty = Seq(
+      "email-no-html-content-1.eml", "email-replace-mime-encodings-error-1.eml",
+      "email-replace-mime-encodings-error-2.eml",
+      "email-replace-mime-encodings-error-3.eml",
+      "email-replace-mime-encodings-error-4.eml",
+      "email-replace-mime-encodings-error-5.eml",
+      "email-with-image.eml", "fake-email-header.eml",
+      "fake-email-image-embedded.eml", "family-day.eml",
+      "fake-email-utf-16.eml", "fake-email-utf-16-le.eml",
+      "fake-email-utf-16-be.eml")
+    expectNonEmpty.foreach { n =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir + n))
+      val (ft, paras) = Partitioners.partitionAuto(n, bytes)
+      assert(ft == FileType.Eml, n)
+      assert(paras.nonEmpty, n)
+    }
+    // the UTF-16 email variants all decode to the same body as the UTF-8 one
+    val expected = Partitioners.partitionAuto("fake-email-header.eml",
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir + "fake-email.eml")))._2.map(_.text)
+    for (v <- Seq("fake-email-utf-16.eml", "fake-email-utf-16-le.eml",
+        "fake-email-utf-16-be.eml")) {
+      val got = Partitioners.partitionAuto(v, java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir + v)))._2.map(_.text)
+      assert(got == expected, v)
+    }
+  }
+
   test("unpartitionable attachment (mp3) is skipped, body still partitions") {
     val raw = eml("mime-attach-mp3.eml")
     val body = Partitioners.partitionEmail(raw)._2.map(_.text)
