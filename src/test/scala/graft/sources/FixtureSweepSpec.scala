@@ -100,4 +100,23 @@ class FixtureSweepSpec extends AnyFunSuite {
     assert(els.nonEmpty)
     assert(els.head.text.startsWith("Jahresabschluss zum Gesch"))
   }
+
+  test("real img fixtures parse header metadata exactly") {
+    // dimensions cross-checked against an independent SOF/IHDR parse
+    val expected = Seq(
+      ("chi_sim_image.jpeg", "jpeg", 449, 110),
+      ("double-column-A.jpg", "jpeg", 1248, 1664),
+      ("english-and-korean.png", "png", 650, 814),
+      ("example.jpg", "jpeg", 480, 360),
+      ("jpn-vert.jpeg", "jpeg", 169, 350),
+      ("layout-parser-paper-fast.jpg", "jpeg", 612, 792),
+      ("table-multi-row-column-cells.png", "png", 1377, 648),
+      ("embedded-images-tables.jpg", "jpeg", 1300, 1890))
+    expected.foreach { case (name, fmt, w, h) =>
+      val m = ImagePartitioner.imageMeta(Files.readAllBytes(
+        Paths.get(docs + "img/" + name)))
+      assert(m.exists(i => i.format == fmt && i.width == w && i.height == h),
+        s"$name -> $m")
+    }
+  }
 }
