@@ -702,9 +702,15 @@ object PdfPartitioner {
           sorted.zipWithIndex.foreach { case (s, i) =>
             if (i > 0) {
               // direct-join only a true continuation; anything displaced in
-              // either direction gets the separating space it visually has
+              // either direction gets the separating space it visually has —
+              // unless a SPACE GLYPH already sits on the boundary (a shown
+              // trailing space plus the word gap it produces is ONE space)
               val gap = s.startX - sorted(i - 1).endX
-              if (math.abs(gap) > 0.18 * emScale) joined.append(' ')
+              val glyphSpace =
+                (joined.nonEmpty && joined.last.isWhitespace) ||
+                  (s.sb.nonEmpty && s.sb.charAt(0).isWhitespace)
+              if (math.abs(gap) > 0.18 * emScale && !glyphSpace)
+                joined.append(' ')
             }
             joined.append(s.sb)
           }
@@ -876,8 +882,12 @@ object PdfPartitioner {
               penX -= n / 1000.0 * emScale
             }
             if (math.abs(n) > 180) { // inter-word kern gap
-              if (widthAware) { if (curSeg != null) curSeg.sb.append(' ') }
-              else cur.append(' ')
+              // synthetic separator — skip when a space glyph is already there
+              if (widthAware) {
+                if (curSeg != null &&
+                  (curSeg.sb.isEmpty || !curSeg.sb.last.isWhitespace))
+                  curSeg.sb.append(' ')
+              } else if (cur.isEmpty || !cur.last.isWhitespace) cur.append(' ')
             }
           }
         }
@@ -890,14 +900,16 @@ object PdfPartitioner {
         if (m.group(9) == "TD") leading = -ty // TD = -ty TL + Td (§9.4.2)
         if (widthAware && effRotated) {
           if (ty != 0.0) newLine()
-          else if (curSeg != null) curSeg.sb.append(' ')
+          else if (curSeg != null &&
+            (curSeg.sb.isEmpty || !curSeg.sb.last.isWhitespace))
+            curSeg.sb.append(' ')
         } else if (widthAware) {
           lineX += tx * tmA; lineY += ty * tmD; pendingMove = true
         } else if (ty != 0.0) {
           if (legacyPendY.isNaN) legacyPendY = 0
           legacyPendY += ty
           if (!legacyPendX.isNaN) legacyPendX += tx
-        } else cur.append(' ')
+        } else if (cur.isEmpty || !cur.last.isWhitespace) cur.append(' ')
       } else if (m.group(10) != null) { // Tm — absolute reposition (+ scale)
         val x = m.group(14).toDouble
         val y = m.group(15).toDouble
