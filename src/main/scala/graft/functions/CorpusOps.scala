@@ -69,8 +69,11 @@ object CorpusOps {
     // public API with no Catalyst expression surface, the probe is a bitset
     // lookup, and every row it clears skips the join entirely
     val mightContain = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+    // a NULL text (hence NULL fp) matches nothing in history — it is NEW.
+    // Without the coalesce the primitive-Long UDF returns null and the row
+    // would fall out of BOTH filter branches (silent loss).
     val tagged = incoming.withColumn("fp", TextAnalysis.docFingerprint(text))
-      .withColumn("maybe_dup", mightContain(col("fp")))
+      .withColumn("maybe_dup", coalesce(mightContain(col("fp")), lit(false)))
     val definitelyNew = tagged.filter(!col("maybe_dup"))
     val confirmed = tagged.filter(col("maybe_dup"))
       .join(histFps.distinct(), Seq("fp"), "left_anti")

@@ -242,8 +242,6 @@ object CorpusQueries {
       s"nullif(${norm(a)} * ${norm(b)}, 0), 0.0)"
   }
 
-  /** The doc-flag decontamination oracle — shared by the batch query and its
-    * stream-static-join twin (identical gram rule, identical output shape). */
   /** Shared by the batch q_incremental_dedup and its streaming twin: the
     * Bloom prefilter is exact-by-construction, so both reduce to this plain
     * anti-join over identical (doc_id, text) relations. */
@@ -262,6 +260,8 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The doc-flag decontamination oracle — shared by the batch query and its
+    * stream-static-join twin (identical gram rule, identical output shape). */
   private val DecontaminateOracleSql: String = {
     val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
     s"""WITH bench AS (

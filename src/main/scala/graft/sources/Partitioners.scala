@@ -232,7 +232,18 @@ object Partitioners {
           .map(_.dropWhile(c => c == '\r' || c == '\n'))
           .filter(_.trim.nonEmpty)
           .filterNot(_.trim == "--")
-          .map(parsePart).flatMap(flattenParts)
+          .map(parsePart)
+          .map { child =>
+            // RFC 2046 §5.1.5: within multipart/digest the DEFAULT part
+            // content type is message/rfc822, not text/plain — a digest
+            // part without an explicit Content-Type is a message
+            if (p.contentType == "multipart/digest" &&
+                child.header("Content-Type").isEmpty)
+              child.copy(headers =
+                child.headers :+ ("Content-Type" -> "message/rfc822"))
+            else child
+          }
+          .flatMap(flattenParts)
       case None => Seq(p)
     }
 
@@ -418,18 +429,21 @@ object Partitioners {
     * (none is a text/html|plain body candidate), and the reference partitions
     * each digest message recursively; filenames are synthesized positionally
     * since digest parts carry none. */
-  def emailAttachments(raw: String): Seq[(String, String)] =
-    flattenParts(parsePart(raw)).zipWithIndex.flatMap { case (p, i) =>
+  def emailAttachments(raw: String): Seq[(String, String)] = {
+    var nMessages = 0 // numbered over the rfc822 parts, not all MIME parts
+    flattenParts(parsePart(raw)).flatMap { p =>
       val declared = p.header("Content-Disposition")
         .filter(_.toLowerCase.startsWith("attachment")).flatMap { cd =>
           "filename=\"?([^\";]+)\"?".r.findFirstMatchIn(cd).map(_.group(1))
         }
-      val digestMessage =
-        if (declared.isEmpty && p.contentType == "message/rfc822")
-          Some(s"digest-part-${i + 1}.eml")
-        else None
-      declared.orElse(digestMessage).map(fn => (fn, p.decoded))
+      val embeddedMessage =
+        if (declared.isEmpty && p.contentType == "message/rfc822") {
+          nMessages += 1
+          Some(s"embedded-message-$nMessages.eml")
+        } else None
+      declared.orElse(embeddedMessage).map(fn => (fn, p.decoded))
     }
+  }
 
   // ------------------------------------------------------------------- markdown
 

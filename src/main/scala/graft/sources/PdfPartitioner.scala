@@ -687,6 +687,19 @@ object PdfPartitioner {
     // fake-bold dedup state — see the comment at show(); line-scoped
     var lastCh: String = null
     var lastChX0, lastChX1, lastChY = 0.0
+    // synthetic word separators (TJ kern gaps, zero-ty Td) must never double
+    // a REAL space glyph on either side: the append helper skips when one
+    // already trails, and the absorb helper retracts the synthetic space
+    // when the NEXT shown string turns out to lead with whitespace
+    var synthSpaceIn: StringBuilder = null
+    def appendSynthSpace(sb: StringBuilder): Unit =
+      if (sb.isEmpty || !sb.last.isWhitespace) { sb.append(' '); synthSpaceIn = sb }
+    def absorbSynth(sb: StringBuilder, decoded: String): Unit = {
+      if ((synthSpaceIn eq sb) && decoded.nonEmpty && decoded.head.isWhitespace &&
+          sb.nonEmpty && sb.last == ' ')
+        sb.deleteCharAt(sb.length - 1)
+      synthSpaceIn = null
+    }
     def lineEndsPara(sb: StringBuilder): Boolean =
       sb.reverseIterator.takeWhile(_.isWhitespace).contains('\n')
     def newLine(sep: String = "\n"): Unit = {
@@ -781,7 +794,9 @@ object PdfPartitioner {
         // rotated run: append in stream order, no pen/x-gap geometry (the
         // line splits come from the legacy Tm/Td handling below)
         if (curSeg == null) startSeg(penX)
-        curSeg.sb.append(decodeWithFont(bytes, font))
+        val decoded = decodeWithFont(bytes, font)
+        absorbSynth(curSeg.sb, decoded)
+        curSeg.sb.append(decoded)
         pendingMove = false
       } else if (widthAware) {
         place()
@@ -802,6 +817,7 @@ object PdfPartitioner {
               avgW > 0 && overlap / avgW > 0.5
             }
           if (!dup) {
+            absorbSynth(curSeg.sb, decoded)
             curSeg.sb.append(decoded)
             if (decoded.nonEmpty) {
               lastCh = decoded; lastChX0 = x0; lastChX1 = x1; lastChY = shownY
@@ -835,7 +851,7 @@ object PdfPartitioner {
           decoded == lastCh && !legacyPendX.isNaN &&
           math.abs(legacyPendX - lastChX0) < dupBandX &&
           math.abs(legacyPendY - lastChY) < 2.0
-        if (!dup) cur.append(decoded)
+        if (!dup) { absorbSynth(cur, decoded); cur.append(decoded) }
         if (decoded.nonEmpty) {
           lastCh = decoded; lastChX0 = legacyPendX; lastChY = legacyPendY
         }
@@ -883,11 +899,8 @@ object PdfPartitioner {
             }
             if (math.abs(n) > 180) { // inter-word kern gap
               // synthetic separator — skip when a space glyph is already there
-              if (widthAware) {
-                if (curSeg != null &&
-                  (curSeg.sb.isEmpty || !curSeg.sb.last.isWhitespace))
-                  curSeg.sb.append(' ')
-              } else if (cur.isEmpty || !cur.last.isWhitespace) cur.append(' ')
+              if (widthAware) { if (curSeg != null) appendSynthSpace(curSeg.sb) }
+              else appendSynthSpace(cur)
             }
           }
         }
@@ -900,16 +913,14 @@ object PdfPartitioner {
         if (m.group(9) == "TD") leading = -ty // TD = -ty TL + Td (§9.4.2)
         if (widthAware && effRotated) {
           if (ty != 0.0) newLine()
-          else if (curSeg != null &&
-            (curSeg.sb.isEmpty || !curSeg.sb.last.isWhitespace))
-            curSeg.sb.append(' ')
+          else if (curSeg != null) appendSynthSpace(curSeg.sb)
         } else if (widthAware) {
           lineX += tx * tmA; lineY += ty * tmD; pendingMove = true
         } else if (ty != 0.0) {
           if (legacyPendY.isNaN) legacyPendY = 0
           legacyPendY += ty
           if (!legacyPendX.isNaN) legacyPendX += tx
-        } else if (cur.isEmpty || !cur.last.isWhitespace) cur.append(' ')
+        } else appendSynthSpace(cur)
       } else if (m.group(10) != null) { // Tm — absolute reposition (+ scale)
         val x = m.group(14).toDouble
         val y = m.group(15).toDouble

@@ -287,13 +287,17 @@ object StreamingOps {
     val history = spark.read.parquet(documentsPath)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .filter(col("doc_id") % 2 === 0)
+    // persist the static side: the stream-static join re-evaluates it every
+    // micro-batch, and re-scanning + re-distincting the history each batch
+    // would make per-batch work O(history), not O(batch)
     val histFps = history
       .select(TextAnalysis.docFingerprint(col("text")).as("fp")).distinct()
       .withColumn("hit", lit(1))
+      .persist()
     val bloom = histFps.stat.bloomFilter("fp", 1L << 20, 0.01)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
-    drainAvailableNow(spark, documentsPath, "incdedup", "append") { streamDir =>
+    try drainAvailableNow(spark, documentsPath, "incdedup", "append") { streamDir =>
       val delta = spark.readStream.schema(schema).parquet(streamDir)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[(Long, String)]
@@ -307,7 +311,8 @@ object StreamingOps {
         }.toDF("doc_id", "text")
       val tagged = delta
         .withColumn("fp", TextAnalysis.docFingerprint(col("text")))
-        .withColumn("maybe_dup", mightContain(col("fp")))
+        // NULL text → NULL fp → new (see CorpusOps.incrementalDedup)
+        .withColumn("maybe_dup", coalesce(mightContain(col("fp")), lit(false)))
       val cleared = tagged.filter(!col("maybe_dup"))
         .select(col("doc_id"), col("fp"))
       val confirmed = tagged.filter(col("maybe_dup"))
@@ -316,6 +321,7 @@ object StreamingOps {
         .select(col("doc_id"), col("fp"))
       cleared.unionByName(confirmed)
     }.orderBy("doc_id")
+    finally histFps.unpersist()
   }
 
   /** Control-marker element type: a row of this type signals end-of-document

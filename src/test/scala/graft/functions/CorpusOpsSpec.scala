@@ -323,6 +323,14 @@ class CorpusOpsSpec extends SparkSuiteBase {
       assert(got.toSeq == (0 until 100).map(1000L + _),
         s"expectedHistoryDocs=$expected")
     }
+    // a NULL text (NULL fingerprint) matches nothing in history: the row is
+    // NEW and must be kept, not silently dropped by the null-propagating
+    // bloom probe
+    val withNull = incoming.unionByName(
+      Seq((3000L, Option.empty[String])).toDF("doc_id", "text"))
+    val keptIds = CorpusOps.incrementalDedup(history, withNull, col("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptIds.contains(3000L), "null-text row was dropped")
   }
 
   test("piiScrub does not count the IPv4 inside an email host") {

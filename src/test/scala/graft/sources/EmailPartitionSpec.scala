@@ -221,7 +221,7 @@ class EmailPartitionSpec extends SparkSuiteBase {
       assert(paras.nonEmpty, n)
     }
     // the UTF-16 email variants all decode to the same body as the UTF-8 one
-    val expected = Partitioners.partitionAuto("fake-email-header.eml",
+    val expected = Partitioners.partitionAuto("fake-email.eml",
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dir + "fake-email.eml")))._2.map(_.text)
     for (v <- Seq("fake-email-utf-16.eml", "fake-email-utf-16-le.eml",

@@ -125,6 +125,16 @@ class PdfTextAssemblySpec extends AnyFunSuite {
       "upside down")
   }
 
+  test("a TJ kern never doubles a space glyph on either side") {
+    // a trailing space glyph before the kern, and a leading space glyph
+    // after it, each yield exactly ONE separator
+    val ops = Seq(
+      "BT /F1 10 Tf 1 0 0 1 50 700 Tm [(foo ) -250 (bar)] TJ ET",
+      "BT /F1 10 Tf 1 0 0 1 50 688 Tm [(baz) -250 ( qux)] TJ ET")
+    assert(PdfPartitioner.extractText(ops.mkString("\n"), fonts) ==
+      "foo bar\nbaz qux")
+  }
+
   test("a TJ kern before the first show displaces the placed pen") {
     // the -600 (0.6 em = 6 pt) leading kern pushes "two" 6 pt PAST the end
     // of "one" — a word gap. Applying the kern to the stale pen and letting
