@@ -52,6 +52,15 @@ class LanguageDocsSweepSpec extends AnyFunSuite {
     assert(mixed.contains("spa"), mixed.toString)
   }
 
+  test("fr_olap.pdf: accented French extracts through the fast path") {
+    val ps = PdfPartitioner.partitionPdf(Files.readAllBytes(
+      Paths.get(dir + "fr_olap.pdf")))
+    assert(ps.size > 100)
+    assert(ps.exists(_.text.contains("Julien Aligon")))
+    val all = ps.map(_.text).mkString(" ")
+    assert(all.exists(c => "éèêàçù".contains(c)), "accented chars missing")
+  }
+
   test("UDHR_first_article_all.txt partitions every translation, no crash") {
     val (_, paras) = Partitioners.partitionAuto("UDHR_first_article_all.txt",
       Files.readAllBytes(Paths.get(dir + "UDHR_first_article_all.txt")))
