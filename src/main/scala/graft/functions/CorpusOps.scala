@@ -266,6 +266,49 @@ object CorpusOps {
   }
 
   /**
+   * Temperature-based corpus mixing (Conneau & Lample 2019 §3.1; mT5's
+   * α-sampling): a stratum with natural share p_s = n_s/N is drawn with
+   * probability q_s ∝ p_s^α — α < 1 up-samples low-resource strata. To
+   * target `targetFrac`·N kept docs, stratum s keeps
+   * `min(1, q_s·targetFrac·N / n_s)` of its docs, decided by the same
+   * deterministic cascaded-hash draw as [[stratifiedSample]].
+   *
+   * Engine-determinism: stratum weights are computed on the k-row aggregate
+   * and normalized through a SCALED-INTEGER sum (round(w·1e9) as a long) —
+   * a floating sum over strata would depend on summation order and could
+   * diverge between engines at the last ulp; integer sums cannot. α = 0.5
+   * (the common published setting) uses `sqrt`, which IEEE 754 rounds
+   * correctly everywhere, keeping the whole rate bit-identical on any
+   * engine. Scale shape: one `groupBy(stratum)` to k rows + a broadcast
+   * join back — never a full-frame window.
+   *
+   * Returns `doc_id, stratum, rate (6 dp), keep`.
+   */
+  def temperatureSample(d: DataFrame, stratum: Column, alpha: Double,
+      targetFrac: Double, salt: String): DataFrame = {
+    val sized = d.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_s"))
+    val p = col("n_s").cast("double") / col("n_total").cast("double")
+    val w = if (alpha == 0.5) sqrt(p) else pow(p, alpha)
+    val rates = sized
+      .withColumn("n_total", sum("n_s").over(Window.partitionBy(lit(1))))
+      .withColumn("w_int", round(w * 1e9).cast("long"))
+      .withColumn("w_sum", sum("w_int").over(Window.partitionBy(lit(1))))
+      .withColumn("rate", least(lit(1.0),
+        (col("w_int").cast("double") / col("w_sum").cast("double")) *
+          lit(targetFrac) * col("n_total").cast("double") /
+          col("n_s").cast("double")))
+      .select(col("stratum"), col("rate"))
+    val inner =
+      TextAnalysis.polyHash(concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val bucket = pmod(TextAnalysis.polyHash(inner.cast("string")), lit(10000L))
+    d.select(col("doc_id"), stratum.as("stratum"))
+      .join(broadcast(rates), Seq("stratum"))
+      .select(col("doc_id"), col("stratum"), round(col("rate"), 6).as("rate"),
+        (bucket.cast("double") < col("rate") * 10000.0).as("keep"))
+  }
+
+  /**
    * GPT-style sequence packing: documents are sharded into `buckets` by
    * `doc_id mod buckets`, concatenated within a bucket in `doc_id` order, and
    * split every `ctxLen` tokens. Each doc learns which training example its

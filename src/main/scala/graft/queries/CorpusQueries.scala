@@ -77,6 +77,14 @@ object CorpusQueries {
         Seq("en" -> 0.3, "zh" -> 0.7), defaultRate = 1.0, salt = "mix1")
         .orderBy("doc_id")),
 
+    // XLM/mT5 temperature mixing: α = 0.5 up-samples low-resource languages;
+    // stratum rates derive from the k-row count aggregate (scaled-integer
+    // normalization for cross-engine determinism) and broadcast back
+    "q_temperature_sample" -> ((s, dir) =>
+      CorpusOps.temperatureSample(docs(s, dir), col("lang"),
+        alpha = 0.5, targetFrac = 0.5, salt = "temp1")
+        .orderBy("doc_id")),
+
     "q_pack_sequences" -> ((s, dir) =>
       CorpusOps.packSequences(docs(s, dir),
         TextAnalysis.tokenCountWhitespace(col("text")),
@@ -334,6 +342,32 @@ object CorpusQueries {
          |    (CASE WHEN lang = 'zh' THEN 0.7 WHEN lang = 'en' THEN 0.3
          |          ELSE 1.0 END) * 10000.0 AS keep
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_temperature_sample" -> {
+      val h = O.polyHash(
+        s"CAST(${O.polyHash("(CAST(doc_id AS VARCHAR) || ':temp1')")} AS VARCHAR)")
+      s"""WITH sized AS (
+         |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_s
+         |  FROM documents GROUP BY lang),
+         |agg AS (
+         |  SELECT stratum, n_s, CAST(sum(n_s) OVER () AS BIGINT) AS n_total
+         |  FROM sized),
+         |wgt AS (
+         |  SELECT stratum, n_s, n_total,
+         |    CAST(round(sqrt(CAST(n_s AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |      * 1e9) AS BIGINT) AS w_int
+         |  FROM agg),
+         |rates AS (
+         |  SELECT stratum,
+         |    least(1.0, (CAST(w_int AS DOUBLE) /
+         |      CAST(CAST(sum(w_int) OVER () AS BIGINT) AS DOUBLE))
+         |      * 0.5 * CAST(n_total AS DOUBLE) / CAST(n_s AS DOUBLE)) AS rate
+         |  FROM wgt)
+         |SELECT d.doc_id, d.lang AS stratum, round(r.rate, 6) AS rate,
+         |  CAST($h % 10000 AS DOUBLE) < r.rate * 10000.0 AS keep
+         |FROM documents d JOIN rates r ON r.stratum = d.lang
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_decontaminate_spans" -> {

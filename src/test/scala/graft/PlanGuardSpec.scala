@@ -59,6 +59,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // self-join in the AQE-off textual plan, plus candidate distinct and the
     // output sort; runtime exchange reuse collapses the duplicated side
     "q_simhash_near_dup" -> 9,
+    // the k-row stratum aggregate (groupBy + two 1-partition windows over k
+    // rows) feeds the broadcast rate join; plus the output sort
+    "q_temperature_sample" -> 6,
     // the full curation pipeline: window dedup + banded self-join with the
     // shingle payload carried + skew-cap window + broadcast anti + sort; the
     // referenced-twice band subtree duplicates its upstream in the AQE-off

@@ -333,6 +333,31 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(keptIds.contains(3000L), "null-text row was dropped")
   }
 
+  test("temperatureSample up-samples low-resource strata at alpha = 0.5") {
+    val sp = spark
+    import sp.implicits._
+    // 900 'en' docs vs 100 'xh': p = (0.9, 0.1), q ∝ sqrt(p) = (0.75, 0.25),
+    // so at targetFrac 0.5 the rates are (0.75*500/900, min(1, 0.25*500/100))
+    // = (~0.4167, 1.0) — the low-resource stratum is kept WHOLE
+    val d = ((0 until 900).map(i => (i.toLong, "en")) ++
+      (1000 until 1100).map(i => (i.toLong, "xh"))).toDF("doc_id", "lang")
+    val r = CorpusOps.temperatureSample(d, col("lang"), alpha = 0.5,
+      targetFrac = 0.5, salt = "t")
+    val rates = r.select("stratum", "rate").distinct().collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(rates("en") - 0.416667) < 1e-5, rates.toString)
+    assert(rates("xh") == 1.0)
+    // every low-resource doc kept; the big stratum lands near its rate
+    val kept = r.filter(col("keep")).groupBy("stratum").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(kept("xh") == 100L)
+    assert(math.abs(kept("en") - 900 * 0.416667) < 60, kept.toString)
+    // deterministic: a second invocation decides identically
+    assert(r.collect().sortBy(_.getLong(0)).toSeq ==
+      CorpusOps.temperatureSample(d, col("lang"), 0.5, 0.5, "t")
+        .collect().sortBy(_.getLong(0)).toSeq)
+  }
+
   test("piiScrub does not count the IPv4 inside an email host") {
     val sp = spark
     import sp.implicits._
