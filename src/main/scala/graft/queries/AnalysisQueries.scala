@@ -437,9 +437,12 @@ object AnalysisQueries {
         .select(col("embedding").as("qv"), normCol(col("embedding")).as("qn"))
       e.withColumn("nrm", normCol(col("embedding")))
         .crossJoin(broadcast(q))
+        // the O(dim) dot is PROJECTED before the zero-norm CASE: CaseWhen
+        // branches are excluded from codegen subexpression elimination, so
+        // a fold inside the branch would leave whole-stage codegen
+        .withColumn("dot", dotCol(col("embedding"), col("qv")))
         .select(col("vec_id"),
-          round(guardedCos(dotCol(col("embedding"), col("qv")),
-            col("nrm"), col("qn")), 6).as("cos_sim"))
+          round(guardedCos(col("dot"), col("nrm"), col("qn")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -460,9 +463,9 @@ object AnalysisQueries {
         .select(col("embedding").as("qv"), col("nrm").as("qn"),
           col("bucket").as("qbucket"))
       withB.join(broadcast(q), col("bucket") === col("qbucket"))
+        .withColumn("dot", dotCol(col("embedding"), col("qv")))
         .select(col("vec_id"), col("bucket"),
-          round(guardedCos(dotCol(col("embedding"), col("qv")),
-            col("nrm"), col("qn")), 6).as("cos_sim"))
+          round(guardedCos(col("dot"), col("nrm"), col("qn")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
@@ -499,9 +502,9 @@ object AnalysisQueries {
         .select(col("embedding").as("qv"), col("nrm").as("qn"),
           col("cell").as("qcell"))
       assigned.join(broadcast(q), col("cell") === col("qcell"))
+        .withColumn("dot", dotCol(col("embedding"), col("qv")))
         .select(col("vec_id"), col("cell"),
-          round(guardedCos(dotCol(col("embedding"), col("qv")),
-            col("nrm"), col("qn")), 6).as("cos_sim"))
+          round(guardedCos(col("dot"), col("nrm"), col("qn")), 6).as("cos_sim"))
         .orderBy(desc("cos_sim"), asc("vec_id"))
         .limit(10)
     }),
