@@ -52,6 +52,19 @@ class LanguageDocsSweepSpec extends AnyFunSuite {
     assert(mixed.contains("spa"), mixed.toString)
   }
 
+  test("eng_spa.xlsx and eng_afr_spa.txt carry their languages through") {
+    val (_, xlsx) = Partitioners.partitionAuto("eng_spa.xlsx",
+      Files.readAllBytes(Paths.get(dir + "eng_spa.xlsx")))
+    val xlsxAll = xlsx.map(_.text).mkString(" ")
+    assert(xlsxAll.contains("All human beings") && xlsxAll.contains("Todos los seres"))
+    val (_, tri) = Partitioners.partitionAuto("eng_afr_spa.txt",
+      Files.readAllBytes(Paths.get(dir + "eng_afr_spa.txt")))
+    val triAll = tri.map(_.text).mkString(" ")
+    assert(triAll.contains("All human beings"))
+    assert(triAll.contains("Todos los seres"))
+    assert(triAll.contains("menslike")) // the Afrikaans article
+  }
+
   test("fr_olap.pdf: accented French extracts through the fast path") {
     val ps = PdfPartitioner.partitionPdf(Files.readAllBytes(
       Paths.get(dir + "fr_olap.pdf")))
