@@ -158,21 +158,57 @@ object StreamingOps {
   }
 
   /**
+   * The update-mode streaming exact-dedup fold over (doc_id long, fp long)
+   * rows — exposed separately so any fingerprint stream (MemoryStream in
+   * specs, Kafka in a real ingest) composes with it. Keyed by fingerprint;
+   * state is one (count, min doc_id) pair per DISTINCT fingerprint — the
+   * same O(uniques) bound a production `dropDuplicates`-with-watermark
+   * pipeline carries, and irreducible for exact dedup. Each micro-batch
+   * emits a row ONLY for the fingerprints that batch actually touched
+   * (flatMapGroupsWithState invokes untouched groups never, absent a
+   * timeout), so per-batch emission is O(batch keys) — a long-lived stream
+   * never re-emits its whole unique set the way the previous complete-mode
+   * `groupBy(fp)` did every micro-batch. min(doc_id) keeps the winner
+   * order-independent, so the result is identical however file splits race.
+   */
+  def exactDedupStream(rows: DataFrame): DataFrame = {
+    val sp = rows.sparkSession
+    import sp.implicits._
+    rows.select(col("fp").cast("long").as("fp"),
+        col("doc_id").cast("long").as("doc_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, first) = state.getOption.getOrElse((0L, Long.MaxValue))
+          rows.foreach { case (_, id) =>
+            n += 1
+            if (id < first) first = id
+          }
+          state.update((n, first))
+          Iterator.single((fp, n, first))
+      }
+      .toDF("fp", "n_docs", "first_doc")
+  }
+
+  /**
    * Streaming exact deduplication: `readStream` over the corpus → content
-   * fingerprint → `groupBy(fp)` keep-first aggregation, drained with
+   * fingerprint → the update-mode [[exactDedupStream]] fold, drained with
    * `Trigger.AvailableNow` into a memory sink. Every third document is
    * re-emitted under a shifted id so duplicate groups exist deterministically
-   * (mirrored in the batch oracle). State is one row per DISTINCT fingerprint
-   * — the same O(uniques) bound a production `dropDuplicates`-with-watermark
-   * pipeline carries; min(doc_id) keeps the winner order-independent, so the
-   * result is identical however the file splits race.
+   * (mirrored in the batch oracle). The memory sink APPENDS update-mode rows
+   * rather than upserting, so the drain result is compacted to the newest
+   * emission per fingerprint (strictly-growing n_docs orders emissions) —
+   * exactly the last-write-wins merge a real update-mode sink (key-value
+   * store, Delta MERGE) performs on write.
    */
   def exactDedupAvailableNow(spark: SparkSession, documentsPath: String): DataFrame = {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    drainAvailableNow(spark, documentsPath, "dedup", "complete") { streamDir =>
-      spark.readStream.schema(schema).parquet(streamDir)
+    val drained = drainAvailableNow(spark, documentsPath, "dedup", "update") { streamDir =>
+      val fps = spark.readStream.schema(schema).parquet(streamDir)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
@@ -181,9 +217,12 @@ object StreamingOps {
         }.toDF("doc_id", "text")
         .select(col("doc_id"),
           graft.functions.TextAnalysis.docFingerprint(col("text")).as("fp"))
-        .groupBy("fp")
-        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      exactDedupStream(fps)
     }
+    drained.groupBy("fp")
+      .agg(max(struct(col("n_docs"), col("first_doc"))).as("latest"))
+      .select(col("fp"), col("latest.n_docs").as("n_docs"),
+        col("latest.first_doc").as("first_doc"))
   }
 
   /**

@@ -26,8 +26,13 @@ class BenchTripwireSpec extends AnyFunSuite {
     pb.directory(root)
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+    // Drain as raw bytes first and decode explicitly as UTF-8: the script's
+    // drift notes contain multibyte characters (em-dashes), and the JVM
+    // default charset on this box is not UTF-8, so a Source-based read threw
+    // MalformedInputException and masked the (green) comparison verdict.
+    val raw = proc.getInputStream.readAllBytes()
     val code = proc.waitFor()
+    val out = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
     out.linesIterator.foreach(info(_))
     assert(code == 0,
       s"bench_compare flagged a plan-level regression (exit $code):\n$out")

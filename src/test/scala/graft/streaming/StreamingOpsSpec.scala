@@ -236,6 +236,39 @@ class StreamingOpsSpec extends SparkSuiteBase {
     assert(out.orderBy("fp").collect().toSeq == batch)
   }
 
+  test("streaming exact-dedup never re-emits fingerprints a batch didn't touch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // rows are (doc_id, fp)
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingOps.exactDedupStream(input.toDS().toDF("doc_id", "fp"))
+    val query = out.writeStream.format("memory").queryName("dedup_upd_out")
+      .outputMode("update").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Seq[(Long, Long, Long)] =
+      spark.table("dedup_upd_out").as[(Long, Long, Long)].collect().toSeq
+    try {
+      // batch 1: fp 10 is a duplicate pair, fp 20 a singleton
+      input.addData((5L, 10L), (7L, 10L), (9L, 20L))
+      query.processAllAvailable()
+      assert(rows().sorted == Seq((10L, 2L, 5L), (20L, 1L, 9L)))
+      // batch 2 touches ONLY fp 20: fp 10 must not be re-emitted — the
+      // update-mode contract that keeps per-batch output O(batch keys),
+      // never O(all uniques) the way the old complete-mode groupBy was.
+      input.addData((3L, 20L))
+      query.processAllAvailable()
+      val after = rows()
+      assert(after.count(_._1 == 10L) == 1, "untouched fingerprint re-emitted")
+      // fp 20's state carried: count grew and the winner re-minimized
+      assert(after.filter(_._1 == 20L).sorted == Seq((20L, 1L, 9L), (20L, 2L, 3L)))
+      // last-write-wins compaction (what exactDedupAvailableNow applies to
+      // the drained sink) yields exactly the batch-groupBy answer
+      val compacted = after.groupBy(_._1).map { case (fp, rs) =>
+        val latest = rs.maxBy(_._2); (fp, latest._2, latest._3)
+      }.toSeq.sorted
+      assert(compacted == Seq((10L, 2L, 5L), (20L, 2L, 3L)))
+    } finally query.stop()
+  }
+
   test("stream-static decontamination agrees with the batch operator exactly") {
     import org.apache.spark.sql.functions._
     val path = "/root/testdata/sf0.001/documents.parquet"
