@@ -35,9 +35,13 @@ object ElementLake {
     writeMode(ds, path, "overwrite")
 
   /** Append a new slice (a micro-batch, an incremental ingest) into the same
-    * layout — the partition directories accumulate files. */
-  def append(ds: Dataset[Element], path: String): Unit =
+    * layout — the partition directories accumulate files. Runs crash recovery
+    * first (see [[recoverIfCrashed]]) so a compaction that died mid-swap
+    * never leaves the slice landing beside a stranded partition. */
+  def append(ds: Dataset[Element], path: String): Unit = {
+    recoverIfCrashed(ds.sparkSession, path)
     writeMode(ds, path, "append")
+  }
 
   private def writeMode(ds: Dataset[Element], path: String, mode: String): Unit =
     ds.toDF()
@@ -59,10 +63,107 @@ object ElementLake {
 
   private def scanDf(spark: SparkSession, path: String,
       filetypes: Seq[String]): DataFrame = {
+    recoverIfCrashed(spark, path)
     val df = spark.read.parquet(path)
     if (filetypes.isEmpty) df
     else df.filter(col(PartitionCol).isin(filetypes: _*))
   }
+
+  /** Advisory compaction lock at the lake root: held for the life of a
+    * [[compact]] call; read/append-path recovery no-ops while it exists so
+    * recovery never races an in-flight swap. A crashed compaction leaves it
+    * behind — delete it manually (it is advisory, not a lease). */
+  val LockName = "_graft_compact.lock"
+
+  private val SnapshotManifest = "_compact_snapshot"
+
+  /**
+   * Crash recovery for a compaction that died mid-flight, callable from any
+   * path (compact itself, [[append]], reads). No-ops when [[LockName]] is
+   * present — the dirs then belong to a LIVE compaction, not a crashed one
+   * (a reader racing the lock's creation can still slip through; the lock is
+   * advisory, which is as strong as a plain parquet lake gets). States, by
+   * what survived (`old` = `.compact_old_<name>`, `live` = the partition
+   * dir, `tmp` = `.compact_tmp_<name>`):
+   *
+   *  - live missing, old present — died between the two swap renames: old is
+   *    authoritative, restore it;
+   *  - live present WITH the `_compact_snapshot` manifest, old present — the
+   *    swap landed but cleanup didn't finish: files in old NOT named by the
+   *    manifest are appends that raced the rewrite window (the first rename
+   *    carried them aside with the snapshot); move them into live, drop old;
+   *  - live present WITHOUT the manifest, old present — a concurrent append
+   *    recreated live mid-swap and the land failed: live holds only those
+   *    fresh appends, so ALL of old's files move in (part-file names are
+   *    UUID-unique across jobs — no collisions), then old drops;
+   *  - any `tmp` — an unlanded rewrite, always garbage.
+   */
+  def recoverIfCrashed(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, LockName))) return
+    recoverInner(fs, root)
+  }
+
+  /** The recovery walk itself, lock-check-free — [[compact]] calls this while
+    * HOLDING the lock (the dirs it finds then are a prior crash's, since the
+    * lock guarantees no other live compaction). */
+  private def recoverInner(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val entries = fs.listStatus(root).toSeq
+    if (!entries.exists(_.getPath.getName.startsWith(".compact_"))) return
+    entries.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact_old_"))
+      .foreach { old =>
+        val live = new org.apache.hadoop.fs.Path(root,
+          old.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(live)) {
+          require(fs.rename(old.getPath, live),
+            s"compact recovery: cannot restore stranded partition ${old.getPath}")
+        } else {
+          val manifest = new org.apache.hadoop.fs.Path(live, SnapshotManifest)
+          val snapshot: Set[String] =
+            if (fs.exists(manifest)) readManifest(fs, manifest) else Set.empty
+          mergeInto(fs, old.getPath, live, excluding = snapshot)
+          fs.delete(old.getPath, true)
+          fs.delete(manifest, false)
+        }
+      }
+    entries.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".compact_tmp_"))
+      .foreach(t => fs.delete(t.getPath, true))
+    // a completed compact whose crash hit after old was dropped but before
+    // the manifest was — the manifest is read-invisible (underscore) but
+    // should not accumulate
+    entries.filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"$PartitionCol="))
+      .foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(d.getPath, SnapshotManifest), false)
+      }
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      manifest: org.apache.hadoop.fs.Path): Set[String] = {
+    val in = fs.open(manifest)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator
+      .filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** Move every part-file of `src` not named in `excluding` into `dst`. */
+  private def mergeInto(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      excluding: Set[String]): Unit =
+    fs.listStatus(src).toSeq
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-") &&
+        !excluding.contains(f.getPath.getName))
+      .foreach { f =>
+        require(fs.rename(f.getPath,
+          new org.apache.hadoop.fs.Path(dst, f.getPath.getName)),
+          s"compact: cannot carry ${f.getPath} into $dst")
+      }
 
   /**
    * Small-file compaction: every [[append]] (one per micro-batch of a
@@ -76,61 +177,110 @@ object ElementLake {
    * (128 MB default — a healthy scan-task size), range-distributed AND
    * sorted by `(doc_id, seq)`, so the per-doc reading-order contract the
    * writer establishes survives compaction and doc ranges never straddle
-   * more files than they must. The rewrite is per-partition read → temp dir
-   * → two renames (old aside, new in place) → delete old; readers racing the
-   * swap window see the old or the new file set, both complete (run it
-   * between drains, as the capstone does — this is a parquet lake, not a
-   * transaction log). A crash between the two renames leaves the live data
-   * stranded as `.compact_old_<name>`; the next compact() call RESTORES it
-   * before doing anything else, so no window loses a partition permanently.
+   * more files than they must.
+   *
+   * Durability/concurrency contract (this is a parquet lake, not a
+   * transaction log):
+   *  - one compactor at a time: an advisory [[LockName]] file is created
+   *    atomically at the root and held for the call; a second concurrent
+   *    compact() fails fast instead of double-swapping;
+   *  - the rewrite is per-partition read(snapshot) → temp dir → two renames
+   *    (old aside, new in place) → carry late appends over → delete old.
+   *    Readers racing the swap see the old or the new file set, both
+   *    complete;
+   *  - appends landing DURING the rewrite window are not lost: the first
+   *    rename carries them aside inside `.compact_old_`, and the
+   *    `_compact_snapshot` manifest (written into the rewrite before the
+   *    swap) names exactly the files the rewrite covered, so everything
+   *    else moves into the new live dir before old is dropped;
+   *  - if the land rename fails because a concurrent append recreated the
+   *    live dir mid-swap, the partition self-heals: old's files merge back
+   *    into live (UUID part names — no collisions), the rewrite is
+   *    abandoned, and the partition is skipped this pass;
+   *  - a crash anywhere leaves a state [[recoverIfCrashed]] maps back to a
+   *    complete partition — and recovery runs from [[append]] and the read
+   *    paths too, so no window waits for the next compact() call.
    * Returns the rewritten partition directory names.
    */
   def compact(spark: SparkSession, path: String,
       maxFilesPerPartition: Int = 8,
-      targetFileBytes: Long = 128L << 20): Seq[String] = {
+      targetFileBytes: Long = 128L << 20): Seq[String] =
+    compactImpl(spark, path, maxFilesPerPartition, targetFileBytes, _ => ())
+
+  /** [[compact]] with a test seam invoked between a partition's rewrite and
+    * its swap — how the concurrent-append specs stage writes into the exact
+    * race window deterministically. */
+  private[graft] def compactImpl(spark: SparkSession, path: String,
+      maxFilesPerPartition: Int, targetFileBytes: Long,
+      beforeSwap: String => Unit): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
-    // crash recovery BEFORE anything else: a previous compact that died
-    // between its two renames leaves the live partition stranded as
-    // `.compact_old_<name>` (dotted — invisible to Spark reads). If the
-    // partition dir is missing, the old file set is still the authoritative
-    // one: restore it. If the partition exists, the old copy is a completed
-    // swap's leftover: drop it. Incomplete `.compact_tmp_*` rewrites are
-    // always garbage.
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_old_"))
-      .foreach { old =>
-        val live = new org.apache.hadoop.fs.Path(root,
-          old.getPath.getName.stripPrefix(".compact_old_"))
-        if (!fs.exists(live)) require(fs.rename(old.getPath, live),
-          s"compact: cannot restore stranded partition ${old.getPath}")
-        else fs.delete(old.getPath, true)
+    val lock = new org.apache.hadoop.fs.Path(root, LockName)
+    val lockStream =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"compact: another compaction holds $lock (delete it if stale)", e)
       }
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_tmp_"))
-      .foreach(t => fs.delete(t.getPath, true))
-    val partDirs = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartitionCol="))
-    partDirs.flatMap { d =>
-      val parts = fs.listStatus(d.getPath).toSeq
-        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
-      if (parts.size <= maxFilesPerPartition) None
-      else {
-        val bytes = parts.map(_.getLen).sum
-        val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-        val name = d.getPath.getName
-        val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$name")
-        val old = new org.apache.hadoop.fs.Path(root, s".compact_old_$name")
-        spark.read.parquet(d.getPath.toString)
-          .repartitionByRange(nFiles, col("doc_id"), col("seq"))
-          .sortWithinPartitions("doc_id", "seq")
-          .write.mode("overwrite").parquet(tmp.toString)
-        require(fs.rename(d.getPath, old), s"compact: cannot move $name aside")
-        require(fs.rename(tmp, d.getPath), s"compact: cannot land $name")
-        fs.delete(old, true)
-        Some(name)
+    lockStream.close()
+    try {
+      // recovery BEFORE anything else — under our lock, so any .compact_*
+      // dirs found are a prior crash's, never a live peer's
+      recoverInner(fs, root)
+      val partDirs = fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$PartitionCol="))
+      partDirs.flatMap { d =>
+        val parts = fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        if (parts.size <= maxFilesPerPartition) None
+        else {
+          val snapshot = parts.map(_.getPath.getName).toSet
+          val bytes = parts.map(_.getLen).sum
+          val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val name = d.getPath.getName
+          val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$name")
+          val old = new org.apache.hadoop.fs.Path(root, s".compact_old_$name")
+          // read ONLY the snapshot files, not "whatever is in the dir by
+          // scan time" — the late-append carry-over below is exact only if
+          // the rewrite and the manifest cover the same file set
+          spark.read.parquet(parts.map(_.getPath.toString): _*)
+            .repartitionByRange(nFiles, col("doc_id"), col("seq"))
+            .sortWithinPartitions("doc_id", "seq")
+            .write.mode("overwrite").parquet(tmp.toString)
+          val manifestOut = fs.create(
+            new org.apache.hadoop.fs.Path(tmp, SnapshotManifest), true)
+          manifestOut.write(snapshot.toSeq.sorted.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          manifestOut.close()
+          beforeSwap(name)
+          require(fs.rename(d.getPath, old), s"compact: cannot move $name aside")
+          val landed =
+            try fs.rename(tmp, d.getPath)
+            catch { case _: java.io.IOException => false }
+          if (!landed) {
+            // a concurrent append recreated the live dir inside the swap
+            // window (or the rename failed outright). Self-heal: abandon the
+            // rewrite, merge the complete old file set back into live.
+            if (!fs.exists(d.getPath)) {
+              require(fs.rename(old, d.getPath),
+                s"compact: cannot land $name and cannot roll back — restore .compact_old_$name manually")
+            } else {
+              mergeInto(fs, old, d.getPath, excluding = Set.empty)
+              fs.delete(old, true)
+            }
+            fs.delete(tmp, true)
+            None
+          } else {
+            // carry appends that raced the rewrite window: the first rename
+            // moved them aside along with the snapshot files
+            mergeInto(fs, old, d.getPath, excluding = snapshot)
+            fs.delete(old, true)
+            fs.delete(new org.apache.hadoop.fs.Path(d.getPath, SnapshotManifest), false)
+            Some(name)
+          }
+        }
       }
-    }
+    } finally fs.delete(lock, false)
   }
 }

@@ -70,6 +70,76 @@ class ElementLakeSpec extends SparkSuiteBase {
     }
   }
 
+  test("crash recovery runs from the read path, not only the next compact()") {
+    withLake { dir =>
+      import scala.jdk.CollectionConverters._
+      val before = ElementLake.read(spark, dir).collect()
+        .sortBy(e => (e.doc_id, e.seq)).toSeq
+      val root = java.nio.file.Paths.get(dir)
+      val partDir = Files.list(root).iterator().asScala
+        .find(_.getFileName.toString.startsWith("p_filetype=")).get
+      val stranded = root.resolve(s".compact_old_${partDir.getFileName}")
+      Files.move(partDir, stranded) // = died between the two swap renames
+      val recovered = ElementLake.read(spark, dir).collect()
+        .sortBy(e => (e.doc_id, e.seq)).toSeq
+      assert(recovered == before, "read did not restore the stranded partition")
+      assert(!Files.exists(stranded) && Files.exists(partDir))
+    }
+  }
+
+  test("recovery merges a failed-land partition: old's files join the fresh appends") {
+    withLake { dir =>
+      import scala.jdk.CollectionConverters._
+      val before = ElementLake.read(spark, dir).count()
+      val root = java.nio.file.Paths.get(dir)
+      val partDir = Files.list(root).iterator().asScala
+        .find(_.getFileName.toString.startsWith("p_filetype=")).get
+      // construct the failed-land crash state: a concurrent append recreated
+      // the live dir mid-swap (holds only its fresh file), the complete old
+      // set sits aside, NO manifest (the rewrite never landed)
+      val old = root.resolve(s".compact_old_${partDir.getFileName}")
+      Files.createDirectory(old)
+      val parts = Files.list(partDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      assert(parts.nonEmpty)
+      parts.tail.foreach(p => Files.move(p, old.resolve(p.getFileName)))
+      ElementLake.recoverIfCrashed(spark, dir)
+      assert(!Files.exists(old))
+      assert(ElementLake.read(spark, dir).count() == before,
+        "failed-land merge lost rows")
+    }
+  }
+
+  test("recovery with a snapshot manifest carries ONLY the late appends over") {
+    withLake { dir =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      val partDir = Files.list(root).iterator().asScala
+        .find(_.getFileName.toString.startsWith("p_filetype=")).get
+      val parts = Files.list(partDir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      // construct the landed-but-uncleaned crash state: old holds the
+      // snapshot files PLUS one late append; live is the compacted rewrite
+      // with the manifest naming exactly the snapshot
+      val old = root.resolve(s".compact_old_${partDir.getFileName}")
+      Files.createDirectory(old)
+      val snapshotName = "part-00000-snapshotted.parquet"
+      Files.write(old.resolve(snapshotName), Array[Byte](1, 2, 3))
+      val lateName = "part-00099-late-append.parquet"
+      val lateBytes = Files.readAllBytes(parts.head) // a real parquet file
+      Files.write(old.resolve(lateName), lateBytes)
+      Files.write(partDir.resolve("_compact_snapshot"),
+        snapshotName.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ElementLake.recoverIfCrashed(spark, dir)
+      assert(!Files.exists(old))
+      assert(Files.exists(partDir.resolve(lateName)),
+        "late append was not carried into the live partition")
+      assert(!Files.exists(partDir.resolve(snapshotName)),
+        "snapshot file leaked back in — it is already covered by the rewrite")
+      assert(!Files.exists(partDir.resolve("_compact_snapshot")))
+    }
+  }
+
   test("rows inside each file are sorted by (doc_id, seq)") {
     withLake { dir =>
       import scala.jdk.CollectionConverters._

@@ -128,4 +128,64 @@ class IngestToLakeSpec extends SparkSuiteBase {
       assert(recovered == before)
     } finally { rmTree(watch); rmTree(lake); rmTree(ckpt) }
   }
+
+  test("an append racing the rewrite window survives compaction") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    val lake = tmp("race-lake")
+    val sp = spark
+    import sp.implicits._
+    def slice(tag: String, n: Int): Seq[Element] = (1 to n).map { i =>
+      Element("", ElementType.NarrativeText, s"$tag row $i", s"doc-$tag", i.toLong,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      // 6 appends = 6 micro-batches: one partition, many small files
+      (1 to 6).foreach(i => ElementLake.append(slice(s"b$i", 2).toDS(), lake.toString))
+      val before = ElementLake.read(spark, lake.toString).collect().toSet
+      // the seam fires between the partition's rewrite and its swap — the
+      // exact window where a concurrent ingestToLake micro-batch would land
+      var fired = 0
+      val rewritten = ElementLake.compactImpl(spark, lake.toString,
+        maxFilesPerPartition = 4, targetFileBytes = 128L << 20,
+        beforeSwap = { _ =>
+          fired += 1
+          ElementLake.append(slice("late", 3).toDS(), lake.toString)
+        })
+      assert(fired == 1 && rewritten.nonEmpty)
+      val after = ElementLake.read(spark, lake.toString).collect().toSet
+      assert(after == before ++ slice("late", 3).toSet,
+        "the racing append's rows were lost by the swap")
+      // and the lake is clean: no stranded compact dirs, no manifest, no lock
+      import scala.jdk.CollectionConverters._
+      val leftovers = Files.walk(lake).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(".compact_") || n == "_compact_snapshot" ||
+          n == ElementLake.LockName).toSeq
+      assert(leftovers.isEmpty, s"leftovers: $leftovers")
+    } finally rmTree(lake)
+  }
+
+  test("a second concurrent compaction fails fast on the advisory lock") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    val lake = tmp("lock-lake")
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 10).map { i =>
+      Element("", ElementType.NarrativeText, s"row $i", s"doc$i", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      (1 to 6).foreach(_ => ElementLake.append(rows.toDS(), lake.toString))
+      Files.write(lake.resolve(ElementLake.LockName), Array.empty[Byte])
+      val e = intercept[IllegalStateException] {
+        ElementLake.compact(spark, lake.toString, maxFilesPerPartition = 4)
+      }
+      assert(e.getMessage.contains("another compaction"))
+      Files.delete(lake.resolve(ElementLake.LockName))
+      // lock released: compaction proceeds and cleans up after itself
+      assert(ElementLake.compact(spark, lake.toString,
+        maxFilesPerPartition = 4).nonEmpty)
+      assert(!Files.exists(lake.resolve(ElementLake.LockName)))
+    } finally rmTree(lake)
+  }
 }
