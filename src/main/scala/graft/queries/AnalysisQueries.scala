@@ -270,6 +270,14 @@ object AnalysisQueries {
         .lshNearDupAvailableNow(s, s"$dir/documents.parquet")
         .orderBy("band_idx", "doc_a", "doc_b")),
 
+    // streaming SimHash near-dup: the four 16-bit simhash bands run through
+    // the SAME streaming bucket fold as the MinHash path (a band key space is
+    // a band key space), then the exact bit_count(xor) hamming verify joins
+    // the drained candidates batch-side; the per-band batch oracle verifies it
+    "q_stream_simhash_near_dup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.simhashNearDupAvailableNow(
+        s, s"$dir/documents.parquet", nonBmpSuffix = NonBmpSuffix)),
+
     "q_minhash_signature" -> ((s, dir) => one(s, dir)(
       concat_ws(",",
         TextAnalysis.minHashSignature(withNonBmp(col("text")), k = 8, shingleN = 3)),
@@ -1028,6 +1036,44 @@ object AnalysisQueries {
          |FROM cand
          |WHERE bit_count(xor(a32, b32)) + bit_count(xor(a0, b0)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q_simhash_near_dup's pair set with per-band provenance and no
+    // cross-band dedup — exactly the candidate events the streaming bucket
+    // fold emits, hamming-verified
+    "q_stream_simhash_near_dup" ->
+      s"""WITH inp AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) + 30000, text || ' xtra'
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) + 60000, text
+         |  FROM documents WHERE doc_id % 15 = 0),
+         |sigs AS (
+         |  SELECT doc_id, ${simhashHalf(32)} AS h32, ${simhashHalf(0)} AS h0
+         |  FROM (SELECT doc_id,
+         |          list_transform(${wordsL(withNonBmpSql("text"))}, w -> ${ph("w")}) AS hs
+         |        FROM inp)),
+         |bands AS (
+         |  SELECT doc_id, h32, h0, i AS band_idx,
+         |    CASE i WHEN 0 THEN h0 & 65535 WHEN 1 THEN (h0 >> 16) & 65535
+         |           WHEN 2 THEN h32 & 65535 ELSE (h32 >> 16) & 65535 END AS band_key
+         |  FROM sigs, range(0, 4) t(i)),
+         |capped AS (
+         |  SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bc
+         |                 FROM bands) WHERE bc <= 1000),
+         |cand AS (
+         |  SELECT CAST(a.band_idx AS INTEGER) AS band_idx,
+         |    a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.h32 AS a32, a.h0 AS a0, b.h32 AS b32, b.h0 AS b0
+         |  FROM capped a JOIN capped b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT band_idx, doc_a, doc_b,
+         |  CAST(bit_count(xor(a32, b32)) + bit_count(xor(a0, b0)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(a32, b32)) + bit_count(xor(a0, b0)) <= 3
+         |ORDER BY band_idx, doc_a, doc_b""".stripMargin,
 
     "q_ann_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

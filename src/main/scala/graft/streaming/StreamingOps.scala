@@ -582,6 +582,12 @@ object StreamingOps {
     * the skew cap. */
   final case class LshBucketState(docs: Vector[Long], poisoned: Boolean)
 
+  /** [[LshBucketState]] plus the bucket's running-max event time, so the TTL
+    * variant's timeout never rewinds when a late (in-watermark) row arrives
+    * after a newer batch already advanced the bucket's newest event. */
+  final case class LshBucketTtlState(docs: Vector[Long], poisoned: Boolean,
+    maxEventMs: Long)
+
   /** One micro-batch step of the banded candidate fold — the ONE body both
     * [[lshCandidateStream]] and [[lshCandidateStreamTtl]] run, so the subtle
     * semantics (poisoning, in-batch ordering, pair emission) cannot diverge.
@@ -666,24 +672,29 @@ object StreamingOps {
     bands.withWatermark("ts", delayThreshold)
       .as[(Long, Int, Long, java.sql.Timestamp)]
       .groupByKey { case (_, bandIdx, bandKey, _) => (bandIdx, bandKey) }
-      .flatMapGroupsWithState[LshBucketState, (Int, Long, Long)](
+      .flatMapGroupsWithState[LshBucketTtlState, (Int, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((bandIdx, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toVector
-            val maxTs = batch.map(_._4.getTime).max
+            val prior = state.getOption
+            // the bucket's TRUE newest event rides in the state: a
+            // late-but-within-watermark row arriving after a newer batch
+            // must not rewind the timeout below events already seen
+            val maxTs = math.max(batch.map(_._4.getTime).max,
+              prior.map(_.maxEventMs).getOrElse(Long.MinValue))
             // expire once the watermark passes this bucket's newest event
             // (never set a timeout at/behind the current watermark — the
             // engine rejects it; +1ms keeps a late-data bucket droppable
             // at the very next watermark advance)
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1))
-            val st = state.getOption.getOrElse(
-              LshBucketState(Vector.empty, poisoned = false))
+            val st = prior.map(p => LshBucketState(p.docs, p.poisoned))
+              .getOrElse(LshBucketState(Vector.empty, poisoned = false))
             val (next, out) =
               lshBucketStep(bandIdx, batch.map(_._1), st, maxBandSize)
-            state.update(next)
+            state.update(LshBucketTtlState(next.docs, next.poisoned, maxTs))
             out
           }
       }
@@ -715,6 +726,79 @@ object StreamingOps {
         .as[(Long, Int, Long)]
       lshCandidateStream(bands, maxBandSize)
     }
+  }
+
+  /** The four 16-bit SimHash bands of a (doc_id, text) frame — shared by the
+    * streaming candidate path and its batch verify join so the band space
+    * cannot drift between them. 32-bit halves end-to-end, no sign games. */
+  private def simhashBands(docs: DataFrame, textCol: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val h = graft.functions.TextAnalysis.simHash64(textCol)
+    docs.select(col("doc_id"),
+        shiftrightunsigned(h, 32).as("h32"),
+        h.bitwiseAND(lit(0xFFFFFFFFL)).as("h0"))
+      .select(col("doc_id"), col("h32"), col("h0"),
+        posexplode(array(
+          col("h0").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("h0"), 16).bitwiseAND(lit(65535L)),
+          col("h32").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("h32"), 16).bitwiseAND(lit(65535L))))
+          .as(Seq("band_idx", "band_key")))
+  }
+
+  /**
+   * Streaming SimHash hamming near-dup — the streaming twin of the batch
+   * `q_simhash_near_dup` pipeline. SimHash's four 16-bit bands are just
+   * another banded key space, so the candidate stage IS
+   * [[lshCandidateStream]] — the one `lshBucketStep` fold serves MinHash-LSH
+   * and SimHash alike (and [[lshCandidateStreamTtl]] is the shared TTL
+   * variant for long-lived deployments of either). The exact
+   * `bit_count(xor)` hamming verification stays a BATCH join over the
+   * drained candidates only, as in the batch pipeline: cheap recall stage
+   * streams, exact precision stage joins — never all pairs. Corpus
+   * derivation mirrors the batch query (every 9th doc re-emitted with an
+   * appended token, every 15th as an exact copy), so the batch oracle
+   * verifies the streaming result.
+   */
+  def simhashNearDupAvailableNow(spark: SparkSession, documentsPath: String,
+      maxBandSize: Int = 1000, nonBmpSuffix: String = ""): DataFrame = {
+    import spark.implicits._
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    def derive(ds: Dataset[(Long, String)]): DataFrame = ds
+      .flatMap { case (id, text) =>
+        val xtra = if (id % 9 == 0) Seq((id + 30000L, text + " xtra")) else Nil
+        val copy = if (id % 15 == 0) Seq((id + 60000L, text)) else Nil
+        (id, text) +: (xtra ++ copy)
+      }.toDF("doc_id", "text")
+    def salted = when(col("doc_id") % 9 === 0,
+      concat(col("text"), lit(nonBmpSuffix))).otherwise(col("text"))
+    val candidates = drainAvailableNow(spark, documentsPath, "simhash", "append") {
+      streamDir =>
+        val docs = derive(spark.readStream.schema(schema).parquet(streamDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .as[(Long, String)])
+        val bands = simhashBands(docs, salted)
+          .filter(col("band_key").isNotNull)
+          .select(col("doc_id"), col("band_idx"), col("band_key"))
+          .as[(Long, Int, Long)]
+        lshCandidateStream(bands, maxBandSize)
+    }
+    val sigs = simhashBands(
+      derive(spark.read.parquet(documentsPath)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]), salted)
+      .select(col("doc_id"), col("h32"), col("h0")).distinct()
+    candidates
+      .join(sigs.withColumnRenamed("doc_id", "doc_a")
+        .withColumnsRenamed(Map("h32" -> "a32", "h0" -> "a0")), Seq("doc_a"))
+      .join(sigs.withColumnRenamed("doc_id", "doc_b")
+        .withColumnsRenamed(Map("h32" -> "b32", "h0" -> "b0")), Seq("doc_b"))
+      .select(col("band_idx"), col("doc_a"), col("doc_b"),
+        (bit_count(col("a32").bitwiseXOR(col("b32"))) +
+          bit_count(col("a0").bitwiseXOR(col("b0")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("band_idx", "doc_a", "doc_b")
   }
 
   /**

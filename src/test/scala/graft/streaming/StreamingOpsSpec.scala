@@ -406,6 +406,46 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("a late in-watermark row does not rewind a bucket's TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1600000000000L
+    def ts(h: Double) = new java.sql.Timestamp(t0 + (h * 3600000L).toLong)
+    val input = MemoryStream[(Long, Int, Long, java.sql.Timestamp)]
+    val pairs = StreamingOps.lshCandidateStreamTtl(
+      input.toDS().toDF("doc_id", "band_idx", "band_key", "ts"),
+      maxBandSize = 100, delayThreshold = "1 hour")
+    val query = pairs.writeStream.format("memory").queryName("lsh_ttl_rewind")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Set[(Int, Long, Long)] =
+      spark.table("lsh_ttl_rewind").as[(Int, Long, Long)].collect().toSet
+    try {
+      // bucket 100's newest event is hour 2.0; watermark -> 1.0
+      input.addData((1L, 0, 100L, ts(2.0)))
+      query.processAllAvailable()
+      // a LATE but in-watermark row (hour 1.5 > wm 1.0) joins the bucket.
+      // The regression: setting the timeout from only THIS batch's max
+      // (1.5) rewinds it below the bucket's true newest event (2.0)
+      input.addData((2L, 0, 100L, ts(1.5)))
+      query.processAllAvailable()
+      assert(rows() == Set((0, 1L, 2L)))
+      // unrelated traffic advances the watermark to 1.6 — past the rewound
+      // 1.5 timeout but NOT past the bucket's true newest event 2.0; the
+      // second empty-for-this-bucket batch is where a wrong timeout fires
+      input.addData((6L, 1, 900L, ts(2.6)))
+      query.processAllAvailable()
+      input.addData((7L, 1, 901L, ts(2.6)))
+      query.processAllAvailable()
+      // hour 1.9 (> wm 1.6) arrives in bucket 100: the bucket must still
+      // hold docs 1 and 2 — 'watermark passes the bucket's newest event'
+      // has not happened yet
+      input.addData((3L, 0, 100L, ts(1.9)))
+      query.processAllAvailable()
+      assert(rows() == Set((0, 1L, 2L), (0, 1L, 3L), (0, 2L, 3L)),
+        "bucket state expired early — TTL was rewound by the late row")
+    } finally query.stop()
+  }
+
   test("streaming pack carries the bucket offset across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
