@@ -826,16 +826,20 @@ object AnalysisQueries {
   private val cosSimSql: String = s"round(${cosSql("embedding", "qv")}, 6)"
 
   /** Unrounded cosine between two named list columns — mirrors [[guardedCos]]
-    * incl. the zero-norm guard (cosine of a zero vector = 0.0). The guard is
-    * `dot / nullif(norms, 0)` + coalesce so each O(dim) norm fold appears
-    * ONCE in the generated SQL (a CASE would inline them twice — DuckDB does
-    * not reliably CSE across CASE branches). */
+    * incl. BOTH its edge semantics: zero-norm → 0.0, NULL input → NULL (a
+    * bare `coalesce(…, 0.0)` would rank a NULL-embedding row as 0.0 while
+    * Spark leaves it NULL). The guard stays `dot / nullif(norms, 0)` so each
+    * O(dim) norm fold appears ONCE in the generated SQL (a CASE on the norms
+    * would inline them twice — DuckDB does not reliably CSE across CASE
+    * branches); the coalesce fallback is 0.0 only when both inputs are
+    * non-NULL, which costs two cheap IS NULL checks, not a fold. */
   private def cosSql(a: String, b: String): String = {
     def norm(x: String) =
       s"sqrt(list_sum(list_transform($x, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     s"coalesce(list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
-      s"nullif(${norm(a)} * ${norm(b)}, 0), 0.0)"
+      s"nullif(${norm(a)} * ${norm(b)}, 0), " +
+      s"CASE WHEN $a IS NULL OR $b IS NULL THEN NULL ELSE 0.0 END)"
   }
 
   def oracles: Map[String, String] = Map(

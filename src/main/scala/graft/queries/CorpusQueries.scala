@@ -239,15 +239,18 @@ object CorpusQueries {
        |    AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
-  /** Mirrors `CorpusOps.cosineCol` incl. the zero-norm guard (cosine = 0.0);
-    * `dot / nullif(norms, 0)` + coalesce keeps each O(dim) norm fold to one
-    * appearance in the generated SQL (CASE would inline them twice). */
+  /** Mirrors `CorpusOps.cosineCol` incl. BOTH edge semantics: zero-norm →
+    * 0.0, NULL input → NULL (a bare `coalesce(…, 0.0)` would diverge from
+    * Spark on NULL embeddings); `dot / nullif(norms, 0)` keeps each O(dim)
+    * norm fold to one appearance in the generated SQL (CASE on the norms
+    * would inline them twice), and the fallback's IS NULL checks are cheap. */
   private def cosSql(a: String, b: String): String = {
     def norm(x: String) =
       s"sqrt(list_sum(list_transform($x, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     s"coalesce(list_sum(list_transform(range(1, len($a) + 1), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
-      s"nullif(${norm(a)} * ${norm(b)}, 0), 0.0)"
+      s"nullif(${norm(a)} * ${norm(b)}, 0), " +
+      s"CASE WHEN $a IS NULL OR $b IS NULL THEN NULL ELSE 0.0 END)"
   }
 
   /** Shared by the batch q_incremental_dedup and its streaming twin: the
