@@ -135,7 +135,13 @@ object PdfHiRes {
     var ctmB, ctmC = 0.0
     var ctmE, ctmF = 0.0
     def ctmRotated: Boolean = math.abs(ctmB) > 1e-9 || math.abs(ctmC) > 1e-9
-    var ctmStack = List.empty[(Double, Double, Double, Double, Double, Double)]
+    // q/Q saves the render mode alongside the CTM: Tr is part of the graphics
+    // state (PDF 32000 §9.3.1 Table 104), so `3 Tr` inside a q..Q block must
+    // not leak past Q and mark subsequent visible text OCR-eligible. (It is
+    // NOT reset at BT — text state persists across text objects, matching
+    // pdfminer's PDFTextState.)
+    var ctmStack =
+      List.empty[(Double, Double, Double, Double, Double, Double, Int)]
 
     def effSize: Double = fontSize * (if (scaleY == 0) 1.0 else math.abs(scaleY))
 
@@ -232,11 +238,12 @@ object PdfHiRes {
         ctmD = if (nD == 0 && !ctmRotated) ctmD else nD
       } else if (m.group(22) != null) { // q / Q
         if (m.group(22) == "q")
-          ctmStack = (ctmA, ctmB, ctmC, ctmD, ctmE, ctmF) :: ctmStack
+          ctmStack = (ctmA, ctmB, ctmC, ctmD, ctmE, ctmF, renderMode) :: ctmStack
         else ctmStack match {
-          case (a, b, c, d, e, f) :: rest =>
+          case (a, b, c, d, e, f, rm) :: rest =>
             flush()
             ctmA = a; ctmB = b; ctmC = c; ctmD = d; ctmE = e; ctmF = f
+            renderMode = rm
             ctmStack = rest
           case Nil => ()
         }

@@ -263,7 +263,10 @@ object PdfPartitioner {
     0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
 
   /** Standard security handler with the empty user password (PDF-1.7 §7.6.3). */
-  private final class Decryptor(fileKey: Array[Byte], aes: Boolean) {
+  /** `v5` = AES-256 (R5/R6): objects encrypt with the 32-byte file key
+    * directly — no per-object MD5 derivation (ISO 32000-2 §7.6.3.3). */
+  private final class Decryptor(fileKey: Array[Byte], aes: Boolean,
+      v5: Boolean = false) {
     private def md5(parts: Array[Byte]*): Array[Byte] = {
       val d = java.security.MessageDigest.getInstance("MD5")
       parts.foreach(d.update)
@@ -274,7 +277,9 @@ object PdfPartitioner {
       val ext = Array[Byte]((num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
         ((num >> 16) & 0xFF).toByte, (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte)
       val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
-      val objKey = md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+      val objKey =
+        if (v5) fileKey
+        else md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
       try {
         if (aes) {
           if (data.length < 16) return Array.emptyByteArray
@@ -336,6 +341,12 @@ object PdfPartitioner {
     }
     val oBytes = encString("O").getOrElse(return None)
     val uBytes = encString("U").getOrElse(Array.emptyByteArray)
+    // R5 (deprecated AESV3 extension) / R6 (PDF 2.0): SHA-2 password
+    // verification + AES-256, a different world from the MD5/RC4 algorithms
+    // below — handled whole in [[setupDecryptorV5]] (pdfminer likewise
+    // branches in `pdfdocument.py` PDFStandardSecurityHandlerV5)
+    if (r >= 5) return setupDecryptorV5(enc, r, oBytes, uBytes, password,
+      encString)
     // first file identifier from the last /ID entry
     val idHex = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findAllMatchIn(raw).toSeq.lastOption
       .map(_.group(1)).getOrElse("")
@@ -381,6 +392,82 @@ object PdfPartitioner {
       .map(fileKey)
       .find(userMatches)
       .map(new Decryptor(_, aes))
+  }
+
+  /**
+   * R5/R6 (AES-256) password verification and file-key recovery — ISO
+   * 32000-2 §7.6.4.3.3/.4 (Algorithms 2.A/2.B) and §7.6.4.4.9/.10/.11/.12;
+   * pdfminer's `PDFStandardSecurityHandlerV5` is the behavioral spec. `/U`
+   * and `/O` are 48 bytes: hash(32) ‖ validation salt(8) ‖ key salt(8); the
+   * file key is AES-256-CBC-decrypted out of `/UE` (user) or `/OE` (owner,
+   * with the whole 48-byte `/U` as extra hash input). R5 hashes once with
+   * SHA-256; R6 runs the hardened Algorithm 2.B iteration. V5 objects
+   * encrypt with the file key DIRECTLY (no per-object MD5 derivation).
+   * A password that verifies as neither user nor owner yields no decryptor —
+   * opaque extraction, never mojibake, same contract as R2-R4.
+   */
+  private def setupDecryptorV5(enc: String, r: Int, oBytes: Array[Byte],
+      uBytes: Array[Byte], password: String,
+      encString: String => Option[Array[Byte]]): Option[Decryptor] = {
+    if (uBytes.length < 48 || oBytes.length < 48) return None
+    val ueBytes = encString("UE").getOrElse(return None)
+    val oeBytes = encString("OE").getOrElse(Array.emptyByteArray)
+    val u48 = uBytes.take(48)
+    def sha(bits: Int, data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(s"SHA-$bits").digest(data)
+    def aesCbc(mode: Int, key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+    // Algorithm 2.B (R6 hardened hash); for R5 a single SHA-256 round.
+    // `udata` is the 48-byte /U string when verifying the OWNER password,
+    // empty otherwise.
+    def hash2(pw: Array[Byte], salt: Array[Byte],
+        udata: Array[Byte]): Array[Byte] = {
+      var k = sha(256, pw ++ salt ++ udata)
+      if (r == 5) return k
+      var i = 0
+      var e = Array.emptyByteArray
+      while (i < 64 || (e.last & 0xFF) > i - 32) {
+        val k1Unit = pw ++ k ++ udata
+        val k1 = Array.fill(64)(k1Unit).flatten
+        e = aesCbc(javax.crypto.Cipher.ENCRYPT_MODE,
+          k.take(16), k.slice(16, 32), k1)
+        (e.take(16).map(_ & 0xFF).sum % 3) match {
+          case 0 => k = sha(256, e)
+          case 1 => k = sha(384, e)
+          case 2 => k = sha(512, e)
+        }
+        i += 1
+      }
+      k.take(32)
+    }
+    // UTF-8, truncated to 127 bytes (§7.6.4.3.2; SASLprep is a no-op for
+    // the ASCII passwords this path sees)
+    def pwBytes(pw: String): Array[Byte] =
+      pw.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127)
+    def tryPassword(pw: String): Option[Array[Byte]] = {
+      val p = pwBytes(pw)
+      val zeroIv = new Array[Byte](16)
+      if (java.util.Arrays.equals(
+          hash2(p, uBytes.slice(32, 40), Array.emptyByteArray),
+          uBytes.take(32))) {
+        // user password: intermediate key from the key salt unlocks /UE
+        Some(aesCbc(javax.crypto.Cipher.DECRYPT_MODE,
+          hash2(p, uBytes.slice(40, 48), Array.emptyByteArray),
+          zeroIv, ueBytes.take(32)))
+      } else if (oeBytes.length >= 32 && java.util.Arrays.equals(
+          hash2(p, oBytes.slice(32, 40), u48), oBytes.take(32))) {
+        Some(aesCbc(javax.crypto.Cipher.DECRYPT_MODE,
+          hash2(p, oBytes.slice(40, 48), u48), zeroIv, oeBytes.take(32)))
+      } else None
+    }
+    try Seq(password, "").distinct.iterator.flatMap(tryPassword(_)).nextOption()
+      .map(new Decryptor(_, aes = true, v5 = true))
+    catch { case _: java.security.GeneralSecurityException => None }
   }
 
   // ------------------------------------------------------------------ fonts

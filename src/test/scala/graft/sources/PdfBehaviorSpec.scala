@@ -89,6 +89,35 @@ class PdfBehaviorSpec extends AnyFunSuite {
     assert(PdfPartitioner.partitionPdf(bytes, password = "wrong").isEmpty)
   }
 
+  // -- AES-256 (V5: R5/R6) — fixtures from dev/gen_aes256_pdf.py, an
+  // -- independent Python rendering of ISO 32000-2 Algorithms 2.B/8/9 ------------
+
+  private def aesFixture(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get("src/test/resources/graft/pdf/" + name))
+
+  test("AES-256 R6 opens with its user password; wrong/absent stays opaque") {
+    val bytes = aesFixture("aes256-r6-password.pdf")
+    val opened = PdfPartitioner.partitionPdf(bytes, password = "graft")
+    assert(opened.size === 1)
+    assert(opened.head.text === "AES-256 R6 secured text")
+    // same contract as R2-R4: wrong password -> no decryptor -> empty, never
+    // mojibake (the hardened 2.B hash rejects it, it does not garble)
+    assert(PdfPartitioner.partitionPdf(bytes).isEmpty)
+    assert(PdfPartitioner.partitionPdf(bytes, password = "wrong").isEmpty)
+  }
+
+  test("AES-256 R6 with an empty user password opens unprompted") {
+    val ps = PdfPartitioner.partitionPdf(aesFixture("aes256-r6-empty.pdf"))
+    assert(ps.size === 1)
+    assert(ps.head.text === "AES-256 R6 copy-protected text")
+  }
+
+  test("AES-256 R5 (deprecated single-round SHA-256) opens") {
+    val ps = PdfPartitioner.partitionPdf(aesFixture("aes256-r5-empty.pdf"))
+    assert(ps.size === 1)
+    assert(ps.head.text === "AES-256 R5 legacy text")
+  }
+
   // -- image-only pages -----------------------------------------------------------
 
   test("an image-only page yields no text elements (no compressed-byte leakage)") {

@@ -62,6 +62,25 @@ class PdfHiResSpec extends AnyFunSuite {
     assert(visible.isExtracted)
   }
 
+  test("render mode is graphics state: `3 Tr` inside q..Q does not leak past Q") {
+    // Tr is saved/restored by q/Q (PDF 32000 §9.3.1) — a hidden layer scoped
+    // inside a q..Q block must not mark the page's subsequent REAL embedded
+    // text OCR-eligible
+    val content = "q BT /F1 10 Tf 3 Tr 72 700 Td (scoped hidden) Tj ET Q " +
+      "BT /F1 10 Tf 72 600 Td (real embedded text) Tj ET"
+    val rs = PdfHiRes.extractLineRegions(content, Map.empty, 792, 1.0)
+    val hidden = rs.find(_.text.contains("scoped hidden")).get
+    val real = rs.find(_.text.contains("real embedded text")).get
+    assert(!hidden.isExtracted)
+    assert(real.isExtracted, "mode 3 leaked past Q onto visible text")
+    // and the unscoped form still persists across text objects (BT does NOT
+    // reset text state)
+    val unscoped = "BT /F1 10 Tf 3 Tr 72 700 Td (h1) Tj ET " +
+      "BT /F1 10 Tf 72 600 Td (h2) Tj ET"
+    assert(PdfHiRes.extractLineRegions(unscoped, Map.empty, 792, 1.0)
+      .forall(!_.isExtracted))
+  }
+
   test("a rotation-shaped cm suppresses geometry until Q restores the state") {
     // `0 1 -1 0 0 0 cm` is a quarter-turn: the diagonal CTM model cannot
     // express it, so emitting unrotated coordinates would be silently wrong.
