@@ -65,6 +65,45 @@ object PdfPartitioner {
     } catch { case _: Exception => None } finally inf.end()
   }
 
+  /** Reverse the PNG row predictor (filter byte + Columns data bytes per
+    * row, 1 byte/pixel — the shape xref streams use, ISO 32000-1 §7.4.4.4):
+    * None/Sub/Up/Average/Paeth. Malformed tails (short rows) are dropped. */
+  private[sources] def unpredictPng(data: Array[Byte], columns: Int): Array[Byte] = {
+    if (columns <= 0) return data
+    val rowLen = columns + 1
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var prev = new Array[Byte](columns)
+    data.grouped(rowLen).filter(_.length == rowLen).foreach { row =>
+      val cur = java.util.Arrays.copyOfRange(row, 1, rowLen)
+      (row(0) & 0xFF) match {
+        case 0 => ()
+        case 1 => // Sub: left neighbor (bpp = 1)
+          for (i <- 1 until columns) cur(i) = (cur(i) + cur(i - 1)).toByte
+        case 2 => // Up
+          for (i <- 0 until columns) cur(i) = (cur(i) + prev(i)).toByte
+        case 3 => // Average
+          for (i <- 0 until columns) {
+            val left = if (i > 0) cur(i - 1) & 0xFF else 0
+            cur(i) = (cur(i) + ((left + (prev(i) & 0xFF)) >> 1)).toByte
+          }
+        case 4 => // Paeth
+          for (i <- 0 until columns) {
+            val a = if (i > 0) cur(i - 1) & 0xFF else 0
+            val b = prev(i) & 0xFF
+            val c = if (i > 0) prev(i - 1) & 0xFF else 0
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            cur(i) = (cur(i) + pred).toByte
+          }
+        case _ => ()
+      }
+      out.write(cur, 0, columns)
+      prev = cur
+    }
+    out.toByteArray
+  }
+
   /** ASCII85 (base-85) decode, `z` shorthand and `~>` terminator handled. */
   private[sources] def ascii85(data: Array[Byte]): Option[Array[Byte]] = {
     try {
@@ -155,7 +194,10 @@ object PdfPartitioner {
   // ------------------------------------------------------------------ objects
 
   private final case class PdfObj(num: Int, gen: Int, dict: String,
-      dataStart: Int, dataEnd: Int) {
+      dataStart: Int, dataEnd: Int,
+      /** byte offset of the `N G obj` header in the raw file (-1 for ObjStm
+        * members) — how an xref entry's offset maps back to a parsed object */
+      objStart: Int = -1) {
     def hasStream: Boolean = dataEnd > dataStart
   }
 
@@ -190,10 +232,12 @@ object PdfPartitioner {
           val e = raw.indexOf("endstream", dataStart)
           if (e < 0) dataStart else e
         }
-        out += PdfObj(m.group(1).toInt, m.group(2).toInt, dict, dataStart, dataEnd)
+        out += PdfObj(m.group(1).toInt, m.group(2).toInt, dict, dataStart,
+          dataEnd, m.start)
       } else {
         val end = if (endObj < 0) raw.length else endObj
-        out += PdfObj(m.group(1).toInt, m.group(2).toInt, raw.substring(start, end), 0, 0)
+        out += PdfObj(m.group(1).toInt, m.group(2).toInt,
+          raw.substring(start, end), 0, 0, m.start)
       }
     }
     out.result()
@@ -1092,7 +1136,7 @@ object PdfPartitioner {
       * [[PdfObj]]s so references resolve like in an uncompressed file. An
       * encrypted ObjStm is decrypted whole by [[streamData]], so member
       * strings need no per-object pass (PDF 32000-1 §7.5.7). */
-    private def objStmMembers: Vector[PdfObj] =
+    private def objStmMembers: Vector[(Int, PdfObj)] =
       topObjs.filter(_.dict.contains("/ObjStm")).flatMap { o =>
         streamData(o).toVector.flatMap { bytes =>
           val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -1119,22 +1163,153 @@ object PdfPartitioner {
               val end =
                 if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
                 else s.length
-              PdfObj(num, 0, s.substring(start, math.max(end, start)), 0, 0)
+              o.num -> PdfObj(num, 0, s.substring(start, math.max(end, start)), 0, 0)
             }
           }
         }
       }
 
-    // members first so a same-numbered TOP-LEVEL object wins in the map
-    // (incremental updates append replacements at the top level).
-    // KNOWN LIMITATION: the converse update — an incremental save that moves
-    // the CURRENT definition INTO an object stream while a stale top-level
-    // copy remains in the file — resolves to the stale copy, because no
-    // xref/startxref ordering is consulted (a full xref walk would be needed
-    // to rank definitions; writers that compress objects this way are rare,
-    // and every fixture in the suite updates top-level-wards).
-    val objList: Vector[PdfObj] = objStmMembers ++ topObjs
-    val objs: Map[Int, PdfObj] = objList.map(o => o.num -> o).toMap
+    /**
+     * Authoritative definition site per object number, from the NEWEST xref
+     * in the startxref → /Prev chain that mentions it (pdfminer's
+     * `pdfdocument.py` xref walk): `Right(stmNum)` = compressed member of
+     * ObjStm `stmNum` (type-2 entry), `Left(offset)` = ordinary top-level
+     * object (type-1 / classic-table entry). The walk starts at the LAST
+     * `startxref`, follows `/Prev` (and hybrid `/XRefStm`) links, and keeps
+     * the first definition seen per number — newest revision wins. Empty for
+     * files whose xref is missing/corrupt; resolution then falls back to the
+     * file-order default below.
+     */
+    private def xrefAuthority: Map[Int, Either[Long, Int]] = {
+      val auth = mutable.Map.empty[Int, Either[Long, Int]]
+      def add(num: Int, v: Either[Long, Int]): Unit =
+        if (!auth.contains(num)) auth(num) = v
+      val queue = mutable.Queue.empty[Long]
+      """startxref\s+(\d+)""".r.findAllMatchIn(raw).toSeq.lastOption
+        .foreach(m => queue.enqueue(m.group(1).toLong))
+      val visited = mutable.Set.empty[Long]
+      var guard = 0
+      while (queue.nonEmpty && guard < 64) {
+        guard += 1
+        val off = queue.dequeue()
+        if (!visited(off) && off >= 0 && off < raw.length) {
+          visited += off
+          var i = off.toInt
+          while (i < raw.length && raw.charAt(i).isWhitespace) i += 1
+          if (raw.startsWith("xref", i)) {
+            // classic cross-reference table: sections of "start count" then
+            // 20-byte entries; 'n' entries are top-level definitions
+            i += 4
+            val tail = raw.substring(i, math.min(raw.length, i + (1 << 20)))
+            val section = """(?s)\A(\s*\d+\s+\d+\s*[\r\n]+(?:\d{10} \d{5} [nf][ \r\n]{2})+)+""".r
+              .findFirstIn(tail).getOrElse("")
+            """(\d+)\s+(\d+)\s*[\r\n]+((?:\d{10} \d{5} [nf][ \r\n]{2})+)""".r
+              .findAllMatchIn(section).foreach { sec =>
+                val start = sec.group(1).toInt
+                """(\d{10}) (\d{5}) ([nf])""".r.findAllMatchIn(sec.group(3))
+                  .zipWithIndex.foreach { case (e, k) =>
+                    if (e.group(3) == "n")
+                      add(start + k, Left(e.group(1).toLong))
+                  }
+              }
+            val trailerAt = raw.indexOf("trailer", i)
+            if (trailerAt >= 0) {
+              val tdict = raw.substring(trailerAt,
+                math.min(raw.length, trailerAt + 4096))
+              // hybrid files: the /XRefStm supplements THIS revision, so it
+              // is consulted before the previous revision's table
+              dictValue(tdict, "XRefStm").flatMap(_.trim.toLongOption)
+                .foreach(queue.enqueue)
+              dictValue(tdict, "Prev").flatMap(_.trim.toLongOption)
+                .foreach(queue.enqueue)
+            }
+          } else {
+            // cross-reference STREAM (/Type /XRef) at this offset
+            topObjs.find(o => o.objStart >= i - 1 && o.objStart <= i + 16 &&
+                o.dict.contains("/XRef"))
+              .foreach { o =>
+                decodeXrefStream(o).foreach { case (num, site) => add(num, site) }
+                dictValue(o.dict, "Prev").flatMap(_.trim.toLongOption)
+                  .foreach(queue.enqueue)
+              }
+          }
+        }
+      }
+      auth.toMap
+    }
+
+    /** Decode a /Type /XRef stream's (objnum → definition site) entries:
+      * `/W`-wide big-endian fields, `/Index` subsections, optional PNG
+      * predictor (ISO 32000-1 §7.5.8). Xref streams are never encrypted. */
+    private def decodeXrefStream(o: PdfObj): Seq[(Int, Either[Long, Int])] = {
+      val data0 = streamData(o, decrypt = false).getOrElse(return Nil)
+      val parms = dictValue(o.dict, "DecodeParms")
+        .orElse(dictValue(o.dict, "DP")).getOrElse("")
+      val predictor = """/Predictor\s+(\d+)""".r.findFirstMatchIn(parms)
+        .map(_.group(1).toInt).getOrElse(1)
+      val columns = """/Columns\s+(\d+)""".r.findFirstMatchIn(parms)
+        .map(_.group(1).toInt).getOrElse(1)
+      val data = if (predictor >= 10) unpredictPng(data0, columns) else data0
+      val w = dictValue(o.dict, "W").toSeq
+        .flatMap(v => """\d+""".r.findAllIn(v).map(_.toInt))
+      if (w.length < 3 || w.exists(x => x < 0 || x > 8)) return Nil
+      val rowLen = w.sum
+      if (rowLen <= 0) return Nil
+      val size = dictValue(o.dict, "Size")
+        .flatMap(v => """\d+""".r.findFirstIn(v)).map(_.toInt).getOrElse(0)
+      val index = {
+        val nums = dictValue(o.dict, "Index").toSeq
+          .flatMap(v => """\d+""".r.findAllIn(v).map(_.toInt))
+        if (nums.length >= 2) nums.grouped(2).collect {
+          case Seq(a, b) => (a, b) }.toSeq
+        else Seq((0, size))
+      }
+      def field(row: Array[Byte], skip: Int, len: Int): Long =
+        (0 until len).foldLeft(0L)((acc, k) => (acc << 8) | (row(skip + k) & 0xFF))
+      val rows = data.grouped(rowLen).filter(_.length == rowLen).toVector
+      val out = Vector.newBuilder[(Int, Either[Long, Int])]
+      var rowIdx = 0
+      index.foreach { case (start, count) =>
+        (0 until count).foreach { k =>
+          if (rowIdx < rows.length) {
+            val row = rows(rowIdx); rowIdx += 1
+            val typ = if (w(0) == 0) 1L else field(row, 0, w(0))
+            val f2 = field(row, w(0), w(1))
+            typ match {
+              case 1 => out += ((start + k, Left(f2)))
+              case 2 if f2 <= Int.MaxValue => out += ((start + k, Right(f2.toInt)))
+              case _ => () // type 0 (free) and unknown types define nothing
+            }
+          }
+        }
+      }
+      out.result()
+    }
+
+    // Same-numbered definitions resolve through the xref when it speaks:
+    // incremental updates normally append replacements at the TOP level
+    // (file-order default: top-level wins — members precede topObjs in
+    // objList, later map entries overwrite), but the converse update — a
+    // save that moves the current definition INTO an object stream while a
+    // stale top-level copy remains — is only visible through the newest
+    // xref's type-2 entry, which here promotes the member over the stale
+    // top-level copy (pdfminer resolves identically through its xref walk).
+    private val memberPairs = objStmMembers
+    val objList: Vector[PdfObj] = memberPairs.map(_._2) ++ topObjs
+    val objs: Map[Int, PdfObj] = {
+      val base = objList.map(o => o.num -> o).toMap
+      val topNums = topObjs.iterator.map(_.num).toSet
+      val auth: Map[Int, Either[Long, Int]] =
+        if (memberPairs.exists(p => topNums.contains(p._2.num)))
+          try xrefAuthority
+          catch { case _: Exception => Map.empty[Int, Either[Long, Int]] }
+        else Map.empty // no collisions — skip the walk
+      if (auth.isEmpty) base
+      else base ++ memberPairs.collect {
+        case (stm, m) if topNums.contains(m.num) &&
+          auth.get(m.num).contains(Right(stm): Either[Long, Int]) => m.num -> m
+      }
+    }
 
     def refTarget(v: String): Option[PdfObj] =
       RefRe.findPrefixMatchOf(v.trim).flatMap(m => objs.get(m.group(1).toInt))
@@ -1145,11 +1320,11 @@ object PdfPartitioner {
         refTarget(v).map(_.dict).getOrElse(v)
       }
 
-    def streamData(o: PdfObj): Option[Array[Byte]] = {
+    def streamData(o: PdfObj, decrypt: Boolean = true): Option[Array[Byte]] = {
       if (!o.hasStream) return None
       var data = raw.substring(o.dataStart, o.dataEnd)
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-      decryptor.foreach(d => data = d.decrypt(o.num, o.gen, data))
+      if (decrypt) decryptor.foreach(d => data = d.decrypt(o.num, o.gen, data))
       val filters = dictValue(o.dict, "Filter").toSeq.flatMap { f =>
         "/([A-Za-z0-9]+)".r.findAllMatchIn(f).map(_.group(1)).toSeq
       }
@@ -1203,7 +1378,7 @@ object PdfPartitioner {
         if (o.hasStream) streamData(o).toSeq
         else // `/Contents 73 0 R` where 73 is an array object `[ 18 0 R ]`
           RefRe.findAllMatchIn(o.dict).map(_.group(1).toInt).toSeq
-            .flatMap(objs.get).flatMap(streamData)
+            .flatMap(objs.get).flatMap(streamData(_))
       }.map(new String(_, java.nio.charset.StandardCharsets.ISO_8859_1))
         .mkString("\n")
       spliceForms(base, resourcesOf(page), 0)
@@ -1475,7 +1650,7 @@ object PdfPartitioner {
 
     private def parseFont(fo: PdfObj): PdfFont = fontCache.getOrElseUpdate(fo.num, {
       val (toUni, two) = dictValue(fo.dict, "ToUnicode").flatMap(refTarget)
-        .flatMap(streamData)
+        .flatMap(streamData(_))
         .map(b => parseToUnicode(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)))
         .getOrElse((Map.empty[Int, String], false))
       val isType0 = fo.dict.contains("/Type0")

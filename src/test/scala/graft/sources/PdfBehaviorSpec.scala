@@ -235,6 +235,108 @@ class PdfBehaviorSpec extends AnyFunSuite {
     assert(all.contains("Corrosion rate (mm/year)"))
   }
 
+  // -- xref-ordered ObjStm collision resolution --------------------------------
+  // An incremental save can move an object INTO an object stream while the
+  // stale top-level copy remains in the file; only the newest xref's type-2
+  // entry says which definition is current (pdfminer resolves through its
+  // xref walk in pdfdocument.py). The builder writes: rev 1 = page 3 with
+  // /Contents 4 ("OLD stale content") + classic xref; rev 2 appends content 7
+  // ("NEW updated content"), an ObjStm carrying the REPLACEMENT page 3, and
+  // an xref stream (type-2 entry for 3, /Prev -> the classic table).
+
+  private def buildIncrementalObjStmPdf(flatePredictor: Boolean): Array[Byte] = {
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val out = new java.io.ByteArrayOutputStream()
+    def off = out.size()
+    def w(s: String): Unit = out.write(s.getBytes(latin1))
+    w("%PDF-1.5\n")
+    val o1 = off; w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    val o2 = off; w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    val o3 = off
+    w("3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    val oldContent = "BT /F1 12 Tf 72 700 Td (OLD stale content) Tj ET"
+    val o4 = off
+    w(s"4 0 obj << /Length ${oldContent.length} >> stream\n" +
+      oldContent + "\nendstream endobj\n")
+    val o5 = off
+    w("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n")
+    val x1 = off
+    w("xref\n0 6\n0000000000 65535 f \n")
+    Seq(o1, o2, o3, o4, o5).foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer << /Size 6 /Root 1 0 R >>\nstartxref\n$x1\n%%%%EOF\n")
+    // ---- revision 2: the incremental update
+    val newContent = "BT /F1 12 Tf 72 700 Td (NEW updated content) Tj ET"
+    val o7 = off
+    w(s"7 0 obj << /Length ${newContent.length} >> stream\n" +
+      newContent + "\nendstream endobj\n")
+    val member = "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 7 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+    val pairTable = "3 0 "
+    val stmBody = pairTable + member
+    val o6 = off
+    w(s"6 0 obj << /Type /ObjStm /N 1 /First ${pairTable.length} " +
+      s"/Length ${stmBody.length} >> stream\n" + stmBody +
+      "\nendstream endobj\n")
+    val o8 = off
+    // rows (W = [1 2 1]), Index = [3 1 6 3]: obj 3 -> type 2 in stm 6;
+    // objs 6,7,8 -> type 1 at their offsets
+    def row(t: Int, mid: Int, last: Int): Array[Byte] =
+      Array(t.toByte, ((mid >> 8) & 0xFF).toByte, (mid & 0xFF).toByte, last.toByte)
+    val rawRows = Array(row(2, 6, 0), row(1, o6, 0), row(1, o7, 0), row(1, o8, 0))
+    val (rowBytes, filterClause) =
+      if (!flatePredictor) (rawRows.flatten, "")
+      else {
+        // forward-apply PNG Up (type-2) predictor, then deflate
+        val encoded = new java.io.ByteArrayOutputStream()
+        var prev = new Array[Byte](4)
+        rawRows.foreach { r =>
+          encoded.write(2)
+          (0 until 4).foreach(i => encoded.write((r(i) - prev(i)) & 0xFF))
+          prev = r
+        }
+        val d = new java.util.zip.Deflater()
+        d.setInput(encoded.toByteArray); d.finish()
+        val buf = new Array[Byte](256)
+        val comp = new java.io.ByteArrayOutputStream()
+        while (!d.finished()) comp.write(buf, 0, d.deflate(buf))
+        (comp.toByteArray,
+          " /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
+      }
+    w(s"8 0 obj << /Type /XRef /Size 9 /W [1 2 1] /Index [3 1 6 3] " +
+      s"/Root 1 0 R /Prev $x1$filterClause /Length ${rowBytes.length} " +
+      ">> stream\n")
+    out.write(rowBytes)
+    w(s"\nendstream endobj\nstartxref\n$o8\n%%%%EOF\n")
+    out.toByteArray
+  }
+
+  test("incremental update moving a page into an ObjStm extracts the NEW content") {
+    val ps = PdfPartitioner.partitionPdf(buildIncrementalObjStmPdf(false))
+    assert(ps.map(_.text) === Seq("NEW updated content"),
+      s"stale top-level definition won: ${ps.map(_.text)}")
+  }
+
+  test("xref streams decode through FlateDecode + PNG Up predictor") {
+    val ps = PdfPartitioner.partitionPdf(buildIncrementalObjStmPdf(true))
+    assert(ps.map(_.text) === Seq("NEW updated content"))
+  }
+
+  test("without a type-2 xref entry the top-level definition still wins") {
+    // strip revision 2's xref stream: the walk finds only the classic table,
+    // whose type-1 entry keeps the top-level page 3 authoritative — the
+    // pre-existing incremental-update-top-level-wards behavior is unchanged
+    val full = new String(buildIncrementalObjStmPdf(false),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val cut = full.lastIndexOf("8 0 obj")
+    val sx1 = full.indexOf("startxref")
+    val firstStart = full.substring(sx1, full.indexOf("%%EOF", sx1))
+    val truncated = (full.substring(0, cut) + firstStart + "\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val ps = PdfPartitioner.partitionPdf(truncated)
+    assert(ps.map(_.text) === Seq("OLD stale content"))
+  }
+
   // -- CID /W width-array parsing vectors (PDF 32000-1 §9.7.4.3) --
   test("parseCidWidths handles both list and range entry forms") {
     val w = "[0 [750] 17 [277.83203] 41 [610.83984 0 722.16797] 71 72 556.15234 76 79 222.16797]"
