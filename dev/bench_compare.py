@@ -36,6 +36,27 @@ def load(path):
 
 
 def main():
+    # --flagged: machine mode for dev/bench_quiet.sh — print only the flagged
+    # query names (one per line), no prose, always exit 0
+    argv = [a for a in sys.argv[1:] if a != "--flagged"]
+    flagged_only = len(argv) != len(sys.argv) - 1
+    if flagged_only:
+        if len(argv) == 2:
+            old_p, new_p = argv
+        else:
+            arts = sorted(glob.glob("BENCH_r*.json"),
+                          key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+            if len(arts) < 2:
+                return 0
+            old_p, new_p = arts[-2], arts[-1]
+        old_total, old_q = load(old_p)
+        new_total, new_q = load(new_p)
+        common = set(old_q) & set(new_q)
+        for q in sorted(common):
+            if (max(old_q[q], new_q[q]) >= MIN_SECONDS and old_q[q] > 0
+                    and new_q[q] / old_q[q] > REGRESSION_X):
+                print(q)
+        return 0
     if len(sys.argv) == 3:
         old_p, new_p = sys.argv[1], sys.argv[2]
     else:
