@@ -961,7 +961,7 @@ object BinaryFormatQueries {
          |  ('doc','application/msword','true','doc'),
          |  ('docx','application/vnd.openxmlformats-officedocument.wordprocessingml.document','true','docx'),
          |  ('eml','message/rfc822','true','email'),
-         |  ('epub','application/epub+zip','true','epub'),
+         |  ('epub','application/epub','true','epub'),
          |  ('flac','audio/flac','true','audio'),
          |  ('gif','image/gif','true','image'),
          |  ('heic','image/heic','true','image'),

@@ -24,7 +24,10 @@ object FileType {
   case object Docx extends FileType("docx",
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document", Seq(".docx"))
   case object Eml extends FileType("eml", "message/rfc822", Seq(".eml", ".p7s"))
-  case object Epub extends FileType("epub", "application/epub+zip", Seq(".epub"))
+  // canonical mime "application/epub" matches what the reference RECORDS in
+  // metadata.filetype (model.py FileType.EPUB's primary mime); the container
+  // mimetype member inside the zip stays "application/epub+zip" (EPUB OCF)
+  case object Epub extends FileType("epub", "application/epub", Seq(".epub"))
   case object Html extends FileType("html", "text/html", Seq(".html", ".htm"))
   case object Json extends FileType("json", "application/json", Seq(".json"))
   case object Md extends FileType("md", "text/markdown", Seq(".md", ".markdown"))
@@ -97,7 +100,7 @@ object FileType {
       "application/ld+json" -> Json,
       "message/rfc822" -> Eml, "application/pdf" -> Pdf,
       "text/xml" -> Xml, "application/xml" -> Xml, "application/rtf" -> Rtf,
-      "text/rtf" -> Rtf)
+      "text/rtf" -> Rtf, "application/epub+zip" -> Epub)
     aliases.get(m).orElse(all.find(_.mimeType == m))
   }
 }

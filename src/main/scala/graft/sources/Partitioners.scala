@@ -590,6 +590,20 @@ object Partitioners {
   final class UnsupportedFileFormatError(message: String)
     extends IllegalArgumentException(message)
 
+  /**
+   * The `metadata.filetype` value `partition()` records (`auto.py:204-208`),
+   * applied AFTER the file-specific partitioner ran — it unconditionally
+   * overwrites anything that partitioner set: a caller-supplied content type
+   * wins when it maps to a known type (recorded as that type's CANONICAL
+   * mime, not the alias as supplied), an unrecognized content type records
+   * NULL, and only an absent one defers to the detected type's mime.
+   */
+  def recordedFiletype(contentType: Option[String],
+      detected: FileType): Option[String] = contentType match {
+    case Some(ct) => FileType.fromMimeType(ct).map(_.mimeType)
+    case None => Some(detected.mimeType)
+  }
+
   def partitionAuto(filename: String, content: Array[Byte],
       contentType: Option[String] = None,
       skipInferTableTypes: Seq[String] = DefaultSkipInferTableTypes,

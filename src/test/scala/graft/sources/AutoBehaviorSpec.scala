@@ -240,4 +240,125 @@ class AutoBehaviorSpec extends SparkSuiteBase {
       strict = true)
     assert(ft == FileType.Empty && paras.isEmpty)
   }
+
+  // -- test_auto_partition_adds_filetype_to_metadata (:1202-1232) — the
+  // -- recorded metadata.filetype per (content_type, detected) combination
+  test("a recognized content-type records its canonical mime, overriding detection") {
+    assert(Partitioners.recordedFiletype(Some("text/csv"), FileType.Pdf)
+      .contains("text/csv"))
+    assert(Partitioners.recordedFiletype(Some("text/html"), FileType.Pdf)
+      .contains("text/html"))
+  }
+
+  test("an unrecognized content-type records NULL filetype") {
+    assert(Partitioners.recordedFiletype(Some("jdsfjdfsjkds"), FileType.Pdf).isEmpty)
+  }
+
+  test("a content-type alias records the CANONICAL mime, not the alias") {
+    // auto.py:204-206: FileType.from_mime_type(content_type).mime_type
+    assert(Partitioners.recordedFiletype(Some("application/x-markdown"), FileType.Md)
+      .isEmpty) // not an alias the reference knows either
+    assert(Partitioners.recordedFiletype(Some("text/x-markdown"), FileType.Txt)
+      .contains("text/markdown"))
+    assert(Partitioners.recordedFiletype(Some("application/epub+zip"), FileType.Epub)
+      .contains("application/epub"))
+    // RFC 9110 parameters are stripped before the lookup
+    assert(Partitioners.recordedFiletype(Some("text/plain; charset=utf-8"),
+      FileType.Pdf).contains("text/plain"))
+  }
+
+  // -- test_auto_partition_overwrites_any_filetype_applied_by_file_specific_partitioner
+  test("absent a content-type, the DETECTED type's mime is recorded unconditionally") {
+    // the overwrite applies whatever a file-specific partitioner set — the
+    // recorded value is a pure function of (content_type, detected), with no
+    // partitioner-provided input at all
+    assert(Partitioners.recordedFiletype(None, FileType.Pdf)
+      .contains("application/pdf"))
+    assert(Partitioners.recordedFiletype(None, FileType.Unknown)
+      .contains("application/octet-stream"))
+  }
+
+  // -- test_auto_partition_applies_the_correct_filetype_for_all_filetypes
+  // -- (:1265-1306), re-expressed detection-true: the router's detected type
+  // -- and its recorded mime for every example doc in the matrix. (The
+  // -- reference parametrizes tests-example.xls as XLSX because it calls
+  // -- partition_xlsx DIRECTLY — pandas reads both; detection yields XLS.)
+  private val filetypeMatrix = Seq(
+    ("stanley-cups.csv", FileType.Csv, "text/csv"),
+    ("simple.doc", FileType.Doc, "application/msword"),
+    ("simple.docx", FileType.Docx,
+      "application/vnd.openxmlformats-officedocument.wordprocessingml.document"),
+    ("eml/fake-email.eml", FileType.Eml, "message/rfc822"),
+    ("winter-sports.epub", FileType.Epub, "application/epub"),
+    ("example-10k-1p.html", FileType.Html, "text/html"),
+    ("README.md", FileType.Md, "text/markdown"),
+    ("fake-email.msg", FileType.Msg, "application/vnd.ms-outlook"),
+    ("simple.odt", FileType.Odt, "application/vnd.oasis.opendocument.text"),
+    ("pdf/DA-1p.pdf", FileType.Pdf, "application/pdf"),
+    ("fake-power-point.ppt", FileType.Ppt, "application/vnd.ms-powerpoint"),
+    ("simple.pptx", FileType.Pptx,
+      "application/vnd.openxmlformats-officedocument.presentationml.presentation"),
+    ("README.rst", FileType.Rst, "text/x-rst"),
+    ("fake-doc.rtf", FileType.Rtf, "text/rtf"),
+    ("stanley-cups.tsv", FileType.Tsv, "text/tsv"),
+    ("fake-text.txt", FileType.Txt, "text/plain"),
+    ("tests-example.xls", FileType.Xls, "application/vnd.ms-excel"),
+    ("stanley-cups.xlsx", FileType.Xlsx,
+      "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"),
+    ("factbook.xml", FileType.Xml, "application/xml"))
+
+  filetypeMatrix.foreach { case (name, expectedFt, expectedMime) =>
+    test(s"filetype matrix: $name routes as ${expectedFt.name} recording $expectedMime") {
+      val (ft, paras) = route(name)
+      assert(ft == expectedFt)
+      assert(paras.nonEmpty, s"$name produced no elements")
+      assert(Partitioners.recordedFiletype(None, ft).contains(expectedMime))
+    }
+  }
+
+  // -- test_auto_partition_html_from_filename / _pdf_from_filename content-type
+  // -- permutations (:230-268, :493-543): an asserted matching content-type
+  // -- must not change the routed element stream
+  test("html routes identically with and without an asserted text/html content-type") {
+    val bytes = Files.readAllBytes(Paths.get(docs + "example-10k-1p.html"))
+    val plain = Partitioners.partitionAuto("example-10k-1p.html", bytes)
+    val asserted = Partitioners.partitionAuto("example-10k-1p.html", bytes,
+      contentType = Some("text/html"))
+    assert(plain._1 == FileType.Html && asserted._1 == FileType.Html)
+    assert(plain._2.nonEmpty && plain._2 == asserted._2)
+  }
+
+  test("pdf routes identically with and without an asserted application/pdf content-type") {
+    val bytes = Files.readAllBytes(Paths.get(docs + "pdf/layout-parser-paper-fast.pdf"))
+    val plain = Partitioners.partitionAuto("layout-parser-paper-fast.pdf", bytes)
+    val asserted = Partitioners.partitionAuto("layout-parser-paper-fast.pdf", bytes,
+      contentType = Some("application/pdf"))
+    assert(plain._1 == FileType.Pdf && asserted._1 == FileType.Pdf)
+    assert(plain._2.nonEmpty && plain._2 == asserted._2)
+  }
+
+  // -- content-type vs detection DISAGREEMENT --
+  test("binary magic beats a junk asserted content-type (pdf stays pdf)") {
+    val bytes = Files.readAllBytes(Paths.get(docs + "pdf/layout-parser-paper-fast.pdf"))
+    val (ft, paras) = Partitioners.partitionAuto("layout-parser-paper-fast.pdf",
+      bytes, contentType = Some("jdsfjdfsjkds"))
+    assert(ft == FileType.Pdf && paras.nonEmpty)
+    // ...but the RECORDED filetype is NULL: the caller's assertion was junk
+    assert(Partitioners.recordedFiletype(Some("jdsfjdfsjkds"), ft).isEmpty)
+  }
+
+  test("a recognized asserted type beats extension for magicless text (csv as html)") {
+    // strategy order (filetype.py:200-231): magic, ASSERTED type, sniff,
+    // extension — a caller asserting text/html on a .csv routes to the HTML
+    // partitioner (the reference trusts the caller for non-container types)
+    val bytes = Files.readAllBytes(Paths.get(docs + "stanley-cups.csv"))
+    val (ft, paras) = Partitioners.partitionAuto("stanley-cups.csv", bytes,
+      contentType = Some("text/html"))
+    assert(ft == FileType.Html && paras.nonEmpty)
+    // and a container-type assertion on non-container bytes is RULED OUT by
+    // the missing magic: the CSV still sniffs as CSV (filetype.py refinement)
+    val (ft2, _) = Partitioners.partitionAuto("stanley-cups.csv", bytes,
+      contentType = Some("application/vnd.ms-excel"))
+    assert(ft2 == FileType.Csv)
+  }
 }
