@@ -728,23 +728,27 @@ object StreamingOps {
     }
   }
 
-  /** The four 16-bit SimHash bands of a (doc_id, text) frame — shared by the
-    * streaming candidate path and its batch verify join so the band space
-    * cannot drift between them. 32-bit halves end-to-end, no sign games. */
-  private def simhashBands(docs: DataFrame, textCol: org.apache.spark.sql.Column)
+  /** (doc_id, h32, h0) SimHash signatures of a (doc_id, text) frame — one row
+    * per doc, 32-bit halves end-to-end (no sign games). Shared by the
+    * streaming candidate path and its batch verify join so the signature
+    * space cannot drift between them. */
+  private def simhashSigs(docs: DataFrame, textCol: org.apache.spark.sql.Column)
       : DataFrame = {
     val h = graft.functions.TextAnalysis.simHash64(textCol)
     docs.select(col("doc_id"),
-        shiftrightunsigned(h, 32).as("h32"),
-        h.bitwiseAND(lit(0xFFFFFFFFL)).as("h0"))
-      .select(col("doc_id"), col("h32"), col("h0"),
-        posexplode(array(
-          col("h0").bitwiseAND(lit(65535L)),
-          shiftrightunsigned(col("h0"), 16).bitwiseAND(lit(65535L)),
-          col("h32").bitwiseAND(lit(65535L)),
-          shiftrightunsigned(col("h32"), 16).bitwiseAND(lit(65535L))))
-          .as(Seq("band_idx", "band_key")))
+      shiftrightunsigned(h, 32).as("h32"),
+      h.bitwiseAND(lit(0xFFFFFFFFL)).as("h0"))
   }
+
+  /** The four 16-bit SimHash bands of a [[simhashSigs]] frame. */
+  private def simhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("h32"), col("h0"),
+      posexplode(array(
+        col("h0").bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col("h0"), 16).bitwiseAND(lit(65535L)),
+        col("h32").bitwiseAND(lit(65535L)),
+        shiftrightunsigned(col("h32"), 16).bitwiseAND(lit(65535L))))
+        .as(Seq("band_idx", "band_key")))
 
   /**
    * Streaming SimHash hamming near-dup — the streaming twin of the batch
@@ -778,17 +782,17 @@ object StreamingOps {
         val docs = derive(spark.readStream.schema(schema).parquet(streamDir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .as[(Long, String)])
-        val bands = simhashBands(docs, salted)
+        val bands = simhashBands(simhashSigs(docs, salted))
           .filter(col("band_key").isNotNull)
           .select(col("doc_id"), col("band_idx"), col("band_key"))
           .as[(Long, Int, Long)]
         lshCandidateStream(bands, maxBandSize)
     }
-    val sigs = simhashBands(
+    // one row per doc by construction — no distinct (and no shuffle) needed
+    val sigs = simhashSigs(
       derive(spark.read.parquet(documentsPath)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[(Long, String)]), salted)
-      .select(col("doc_id"), col("h32"), col("h0")).distinct()
     candidates
       .join(sigs.withColumnRenamed("doc_id", "doc_a")
         .withColumnsRenamed(Map("h32" -> "a32", "h0" -> "a0")), Seq("doc_a"))

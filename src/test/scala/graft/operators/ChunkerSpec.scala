@@ -261,6 +261,19 @@ class ChunkerSpec extends AnyFunSuite {
       Vector(Some(0), Some(0)))
   }
 
+  // -- Describe_chunk_elements option defaults (test_basic.py:232-305): the
+  // -- None/omitted cases of the four parametrized option tests — each
+  // -- unset option resolves to the reference default
+  test("chunk_elements option defaults mirror the reference") {
+    val o = ChunkingOptions()
+    assert(o.includeOrigElements, "include_orig_elements defaults True")
+    assert(o.repeatTableHeaders, "repeat_table_headers defaults True")
+    assert(!o.skipTableChunking, "skip_table_chunking defaults False")
+    assert(o.isolateTable, "isolate_table defaults True")
+    assert(o.maxCharacters == 500 && o.overlap == 0 && !o.overlapAll)
+    assert(o.multipageSections, "multipage_sections defaults True")
+  }
+
   // -- it_rejects_skip_table_chunking_when_isolation_is_disabled (test_base.py:151) --
   test("skip_table_chunking=true without isolate_table is rejected") {
     val e = intercept[IllegalArgumentException] {

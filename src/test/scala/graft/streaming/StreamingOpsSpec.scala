@@ -406,6 +406,68 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("simhash bands run through the shared TTL fold: pairs in-window, expiry after") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1600000000000L
+    def ts(h: Double) = new java.sql.Timestamp(t0 + (h * 3600000L).toLong)
+    // REAL simhash band keys, with the near-dup GUARANTEED by construction:
+    // the base text repeats 20×, so every word's bit vote is ±20 and the
+    // single appended token (±1) cannot flip any vote's sign — the near-copy
+    // hashes identically and must share every band with the original
+    val textA = Seq.fill(20)(
+      "the quick brown fox jumps over the lazy dog in the morning sun")
+      .mkString(" ")
+    val bandsOf: Map[Long, Seq[(Int, Long)]] = Seq(
+      1L -> textA, 2L -> textA, 3L -> (textA + " xtra"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextAnalysis.simHash64(col("text")).as("h"))
+      .select(col("doc_id"),
+        posexplode(array(
+          col("h").bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("h"), 16).bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("h"), 32).bitwiseAND(lit(65535L)),
+          shiftrightunsigned(col("h"), 48).bitwiseAND(lit(65535L))))
+          .as(Seq("band_idx", "band_key")))
+      .as[(Long, Int, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    val input = MemoryStream[(Long, Int, Long, java.sql.Timestamp)]
+    val pairs = StreamingOps.lshCandidateStreamTtl(
+      input.toDS().toDF("doc_id", "band_idx", "band_key", "ts"),
+      maxBandSize = 100, delayThreshold = "1 hour")
+    val query = pairs.writeStream.format("memory").queryName("simhash_ttl_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Set[(Int, Long, Long)] =
+      spark.table("simhash_ttl_out").as[(Int, Long, Long)].collect().toSet
+    try {
+      // batch 1: doc 1's four bands arrive
+      input.addData(bandsOf(1L).map { case (bi, bk) => (1L, bi, bk, ts(0)) }: _*)
+      query.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 2 (in window): the exact copy pairs on all four bands, the
+      // near-copy on at least one
+      input.addData((bandsOf(2L).map { case (bi, bk) => (2L, bi, bk, ts(0.5)) } ++
+        bandsOf(3L).map { case (bi, bk) => (3L, bi, bk, ts(0.5)) }): _*)
+      query.processAllAvailable()
+      val got = rows()
+      assert(got.count { case (_, a, b) => a == 1L && b == 2L } == 4,
+        s"exact copy must pair on all 4 bands: $got")
+      assert(got.exists { case (_, a, b) => b == 3L },
+        s"near-copy shares no band: $got")
+      // advance the watermark far past the window; a re-arrival of doc 1's
+      // bands pairs with NOTHING — the buckets were dropped
+      input.addData((9L, 99, 999999L, ts(5.0)))
+      query.processAllAvailable()
+      input.addData((9L, 99, 999998L, ts(5.0)))
+      query.processAllAvailable()
+      val before = rows()
+      input.addData(bandsOf(1L).map { case (bi, bk) => (7L, bi, bk, ts(4.5)) }: _*)
+      query.processAllAvailable()
+      assert(rows() == before, "expired simhash buckets still paired")
+    } finally query.stop()
+  }
+
   test("a late in-watermark row does not rewind a bucket's TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
