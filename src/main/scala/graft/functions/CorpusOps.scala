@@ -81,6 +81,56 @@ object CorpusOps {
   }
 
   /**
+   * Incremental NEAR-dup of a delta against a PRIOR corpus snapshot — the
+   * MinHash twin of [[incrementalDedup]] for the recurring-crawl case where
+   * re-crawled pages drift (boilerplate churn, timestamps) and exact
+   * fingerprints no longer match. `history` and `delta` need (`doc_id`,
+   * `text`). Returns one row per delta doc that near-duplicates some history
+   * doc: `doc_id, hist_doc, jaccard` with the best match kept (highest
+   * Jaccard, ties → lowest history id — deterministic).
+   *
+   * Scale shape: both sides band their MinHash signatures; the candidate
+   * stage is ONE equi-join on `(band_idx, band_key)` — never delta×history.
+   * Hot bands (boilerplate keys) are capped on the history side before the
+   * join, the same skew guard as the intra-corpus LSH path. Exact 3-shingle
+   * Jaccard verifies only the joined candidates. At 100 TB the history band
+   * index is computed once per snapshot and persisted (bucketed by band key),
+   * so each new crawl pays only the delta's signature pass plus one shuffle
+   * sized by the candidate fraction.
+   */
+  def incrementalNearDup(history: DataFrame, delta: DataFrame, k: Int = 8,
+      shingleN: Int = 3, maxBandSize: Int = 1000,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bandsOf(d: DataFrame, out: String) = d.select(
+      col("doc_id").as(out),
+      posexplode(TextAnalysis.lshBands(
+        TextAnalysis.minHashSignature(col("text"), k, shingleN), rows = 2))
+        .as(Seq("band_idx", "band_key")))
+    val histBands = bandsOf(history, "hist_doc")
+      .withColumn("bc", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_key")))
+      .filter(col("bc") <= maxBandSize).drop("bc")
+    val cand = bandsOf(delta, "doc_id")
+      .join(histBands, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("hist_doc")).distinct()
+    def shinglesOf(d: DataFrame, out: String, sh: String) = d.select(
+      col("doc_id").as(out),
+      array_distinct(TextAnalysis.wordShingles(col("text"), shingleN)).as(sh))
+    cand
+      .join(shinglesOf(delta, "doc_id", "dsh"), Seq("doc_id"))
+      .join(shinglesOf(history, "hist_doc", "hsh"), Seq("hist_doc"))
+      .select(col("doc_id"), col("hist_doc"),
+        round(size(array_intersect(col("dsh"), col("hsh"))).cast("double") /
+          size(array_union(col("dsh"), col("hsh"))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("jaccard").desc, col("hist_doc"))))
+      .filter(col("rk") === 1).drop("rk")
+  }
+
+  /**
    * Flag training docs sharing any `n`-word shingle (lowercased, whitespace
    * words) with the benchmark corpus. `train` needs (`doc_id`, text); `bench`
    * needs a text column of the same name. Returns

@@ -804,7 +804,7 @@ object AnalysisQueries {
   /** `sig` SQL: k=8 minhash over 3-shingles of lowercased words — mirrors
     * `minHashSignature(c, 8, 3)`. NB the Spark side shingles the RAW text's words;
     * mirror exactly (no lowercase). */
-  private def minhashSigSql(x: String): String = {
+  private[queries] def minhashSigSql(x: String): String = {
     val ws = O.words(x)
     val sh3 = O.shingles3(ws)
     s"list_transform(range(0, 8), j -> list_min(list_transform(" +

@@ -72,6 +72,22 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // crawl-over-crawl NEAR-dup: re-crawled pages drift (here: one appended
+    // token on every 10th history doc), so exact fingerprints miss them; the
+    // delta's MinHash bands probe the history band index, candidates verify
+    // with exact Jaccard, best history match kept per delta doc
+    "q_incremental_near_dup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      val history = d.filter(col("doc_id") % 2 === 0)
+      val delta = d.filter(col("doc_id") % 2 === 1).unionByName(
+        history.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            concat(col("text"), lit(" xtra")).as("text")))
+      CorpusOps.incrementalNearDup(history, delta)
+        .orderBy("doc_id", "hist_doc")
+    }),
+
     "q_stratified_sample" -> ((s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), col("lang"),
         Seq("en" -> 0.3, "zh" -> 0.7), defaultRate = 1.0, salt = "mix1")
@@ -304,6 +320,63 @@ object CorpusQueries {
 
     // identical semantics through the stream-static rendering
     "q_stream_incremental_dedup" -> IncrementalDedupOracleSql,
+
+    // delta bands × history bands equi-join (history hot-band cap), exact
+    // Jaccard on candidates, best match per delta doc
+    "q_incremental_near_dup" ->
+      s"""WITH hist AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |delta AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) + 700000, text || ' xtra'
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |hsig AS (SELECT doc_id, ${AnalysisQueries.minhashSigSql("text")} AS sig FROM hist),
+         |dsig AS (SELECT doc_id, ${AnalysisQueries.minhashSigSql("text")} AS sig FROM delta),
+         |hbands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
+         |    {'band_idx': b,
+         |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
+         |    recursive := true)
+         |  FROM hsig),
+         |dbands AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
+         |    {'band_idx': b,
+         |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
+         |    recursive := true)
+         |  FROM dsig),
+         |safe AS (
+         |  SELECT band_idx, band_key FROM hbands
+         |  GROUP BY band_idx, band_key HAVING count(*) <= 1000),
+         |hb AS (
+         |  SELECT h.* FROM hbands h JOIN safe s
+         |    ON h.band_idx = s.band_idx AND h.band_key = s.band_key),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id, h.doc_id AS hist_doc
+         |  FROM dbands d JOIN hb h
+         |    ON d.band_idx = h.band_idx AND d.band_key = h.band_key),
+         |dsh AS (
+         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
+         |  FROM delta),
+         |hsh AS (
+         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
+         |  FROM hist)
+         |SELECT doc_id, hist_doc, jaccard FROM (
+         |  SELECT doc_id, hist_doc, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, hist_doc) AS rk
+         |  FROM (
+         |    SELECT cand.doc_id, cand.hist_doc,
+         |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |    FROM cand
+         |    JOIN dsh a ON cand.doc_id = a.doc_id
+         |    JOIN hsh b ON cand.hist_doc = b.doc_id)
+         |  WHERE jaccard >= 0.8)
+         |WHERE rk = 1
+         |ORDER BY doc_id, hist_doc""".stripMargin,
 
     "q_semantic_dedup" -> {
       val subHash = O.polyHash("CAST(vec_id AS VARCHAR)")

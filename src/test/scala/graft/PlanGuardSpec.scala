@@ -55,6 +55,12 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Shuffle-count caps above the default; everything else gets [[DefaultExchCap]]. */
   private val exchCapOverrides = Map(
     "q_embed_near_dup" -> 13, "q_jaccard_near_dup" -> 13, "q_lsh_near_dup" -> 8,
+    // two-sided (history + delta) rendering of the jaccard shape: each side's
+    // band subtree (explode + hot-band window) and shingle subtree appear
+    // separately in the AQE-off textual plan, plus the candidate distinct,
+    // the best-match row_number window, and the output sort; runtime
+    // exchange reuse collapses the repeated delta-union upstream
+    "q_incremental_near_dup" -> 15,
     // the banded (window-capped) subtree is re-listed on BOTH sides of the
     // self-join in the AQE-off textual plan, plus candidate distinct and the
     // output sort; runtime exchange reuse collapses the duplicated side

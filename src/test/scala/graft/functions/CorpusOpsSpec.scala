@@ -333,6 +333,43 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(keptIds.contains(3000L), "null-text row was dropped")
   }
 
+  test("incrementalNearDup flags drifted re-crawls, not genuinely new docs") {
+    val sp = spark
+    import sp.implicits._
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val history = Seq(
+      (10L, base),
+      (20L, "completely different content about mineral extraction and " +
+        "geological survey methods across twenty distinct field sites"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      // drifted re-crawl of 10: one appended token — high Jaccard
+      (100L, base + " zulu"),
+      // short overlap with 10 only: shares a few shingles, below 0.8
+      (200L, "alpha bravo charlie delta but then an entirely new tail " +
+        "with unrelated vocabulary covering botanical taxonomy topics"),
+      // genuinely new
+      (300L, "fresh document with no relation to anything in the prior " +
+        "snapshot at all, discussing maritime navigation techniques"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.incrementalNearDup(history, delta)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((100L, 10L)),
+      s"expected only the drifted re-crawl to flag: $got")
+    assert(got.head._3 >= 0.8 && got.head._3 < 1.0)
+    // exactness of the verify stage: an EXACT re-crawl scores 1.0
+    val exact = Seq((400L, base)).toDF("doc_id", "text")
+    val g2 = CorpusOps.incrementalNearDup(history, exact).collect()
+    assert(g2.length == 1 && g2.head.getDouble(2) == 1.0)
+    // best-match rule: a delta doc near-dupping TWO history docs keeps the
+    // highest-Jaccard (here the identical one), not both
+    val twin = history.unionByName(Seq((30L, base + " zulu")).toDF("doc_id", "text"))
+    val g3 = CorpusOps.incrementalNearDup(twin, Seq((500L, base + " zulu"))
+      .toDF("doc_id", "text")).collect()
+    assert(g3.length == 1 && g3.head.getLong(1) == 30L && g3.head.getDouble(2) == 1.0)
+  }
+
   test("temperatureSample up-samples low-resource strata at alpha = 0.5") {
     val sp = spark
     import sp.implicits._
