@@ -88,6 +88,14 @@ object CorpusQueries {
         .orderBy("doc_id", "hist_doc")
     }),
 
+    // zero-state streaming rendering: the history band index and shingle
+    // sets are static (persisted once per snapshot), arriving docs carry
+    // their own shingles through the stream-static band join — verified by
+    // the SAME oracle as the batch twin
+    "q_stream_incremental_near_dup" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .incrementalNearDupAvailableNow(s, s"$dir/documents.parquet")),
+
     "q_stratified_sample" -> ((s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), col("lang"),
         Seq("en" -> 0.3, "zh" -> 0.7), defaultRate = 1.0, salt = "mix1")
@@ -287,44 +295,11 @@ object CorpusQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** The doc-flag decontamination oracle — shared by the batch query and its
-    * stream-static-join twin (identical gram rule, identical output shape). */
-  private val DecontaminateOracleSql: String = {
-    val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
-    s"""WITH bench AS (
-       |  SELECT DISTINCT unnest(${O.shinglesN(O.words(s"lower($benchText)"), 5)}) AS g
-       |  FROM documents WHERE doc_id % 11 = 3),
-       |tg AS (
-       |  SELECT DISTINCT doc_id,
-       |    unnest(${O.shinglesN(O.words("lower(text)"), 5)}) AS g
-       |  FROM documents),
-       |hits AS (
-       |  SELECT doc_id, CAST(count(*) AS INT) AS n FROM tg JOIN bench USING (g)
-       |  GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  coalesce(n, 0) AS n_contaminated_grams,
-       |  coalesce(n, 0) > 0 AS contaminated
-       |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""".stripMargin
-  }
-
-  def oracles: Map[String, String] = Map(
-
-    "q_decontaminate" -> DecontaminateOracleSql,
-
-    // identical decontamination semantics through the stream-static join
-    "q_stream_decontaminate" -> DecontaminateOracleSql,
-
-    // the Bloom prefilter is exact-by-construction (no false negatives; hits
-    // are confirmed by the anti-join), so the oracle is the plain anti-join
-    "q_incremental_dedup" -> IncrementalDedupOracleSql,
-
-    // identical semantics through the stream-static rendering
-    "q_stream_incremental_dedup" -> IncrementalDedupOracleSql,
-
-    // delta bands × history bands equi-join (history hot-band cap), exact
-    // Jaccard on candidates, best match per delta doc
-    "q_incremental_near_dup" ->
-      s"""WITH hist AS (
+  /** Shared by the batch q_incremental_near_dup and its zero-state streaming
+    * twin: delta bands probe the hot-band-capped history band index, exact
+    * Jaccard verifies candidates, best history match kept per delta doc. */
+  private lazy val IncrementalNearDupOracleSql: String =
+    s"""WITH hist AS (
          |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
          |  WHERE doc_id % 2 = 0),
          |delta AS (
@@ -376,7 +351,50 @@ object CorpusQueries {
          |    JOIN hsh b ON cand.hist_doc = b.doc_id)
          |  WHERE jaccard >= 0.8)
          |WHERE rk = 1
-         |ORDER BY doc_id, hist_doc""".stripMargin,
+         |ORDER BY doc_id, hist_doc""".stripMargin
+
+
+  /** The doc-flag decontamination oracle — shared by the batch query and its
+    * stream-static-join twin (identical gram rule, identical output shape). */
+  private val DecontaminateOracleSql: String = {
+    val benchText = s"array_to_string(list_slice(${O.words("text")}, 3, 10), ' ')"
+    s"""WITH bench AS (
+       |  SELECT DISTINCT unnest(${O.shinglesN(O.words(s"lower($benchText)"), 5)}) AS g
+       |  FROM documents WHERE doc_id % 11 = 3),
+       |tg AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(${O.shinglesN(O.words("lower(text)"), 5)}) AS g
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n FROM tg JOIN bench USING (g)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n, 0) AS n_contaminated_grams,
+       |  coalesce(n, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    "q_decontaminate" -> DecontaminateOracleSql,
+
+    // identical decontamination semantics through the stream-static join
+    "q_stream_decontaminate" -> DecontaminateOracleSql,
+
+    // the Bloom prefilter is exact-by-construction (no false negatives; hits
+    // are confirmed by the anti-join), so the oracle is the plain anti-join
+    "q_incremental_dedup" -> IncrementalDedupOracleSql,
+
+    // identical semantics through the stream-static rendering
+    "q_stream_incremental_dedup" -> IncrementalDedupOracleSql,
+
+    // delta bands × history bands equi-join (history hot-band cap), exact
+    // Jaccard on candidates, best match per delta doc
+    "q_incremental_near_dup" -> IncrementalNearDupOracleSql,
+
+    // identical semantics through the zero-state stream-static rendering
+    "q_stream_incremental_near_dup" -> IncrementalNearDupOracleSql,
+
 
     "q_semantic_dedup" -> {
       val subHash = O.polyHash("CAST(vec_id AS VARCHAR)")

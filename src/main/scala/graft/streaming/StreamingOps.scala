@@ -363,6 +363,76 @@ object StreamingOps {
     finally histFps.unpersist()
   }
 
+  /**
+   * Streaming twin of [[graft.functions.CorpusOps.incrementalNearDup]] — the
+   * live-crawl rendering: the PRIOR snapshot's hot-band-capped MinHash band
+   * index and shingle sets are STATIC frames (computed once per snapshot,
+   * persisted so per-batch work is O(batch), not O(history)); arriving delta
+   * docs band their signatures and equi-join the index on
+   * `(band_idx, band_key)` — never delta×history — carrying their own
+   * shingle set through the join so the exact Jaccard verify needs no second
+   * stream pass. State is ZERO: both joins are stream-static, so the op runs
+   * forever at any scale. Per-pair candidates may emit once per shared band;
+   * the drain-side distinct + best-match window (batch ops over the small
+   * verified set) reduce them, so the SAME oracle verifies batch and stream.
+   */
+  def incrementalNearDupAvailableNow(spark: SparkSession,
+      documentsPath: String, maxBandSize: Int = 1000,
+      threshold: Double = 0.8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextAnalysis
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val history = spark.read.parquet(documentsPath)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
+    val histBands = history.select(col("doc_id").as("hist_doc"),
+        posexplode(TextAnalysis.lshBands(
+          TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3),
+          rows = 2)).as(Seq("band_idx", "band_key")))
+      .withColumn("bc", count(lit(1)).over(
+        Window.partitionBy("band_idx", "band_key")))
+      .filter(col("bc") <= maxBandSize).drop("bc")
+      .persist()
+    val histSh = history.select(col("doc_id").as("hist_doc"),
+        array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("hsh"))
+      .persist()
+    try {
+      val drained = drainAvailableNow(spark, documentsPath, "incneardup",
+        "append") { streamDir =>
+        val delta = spark.readStream.schema(schema).parquet(streamDir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .as[(Long, String)]
+          .flatMap { case (id, text) =>
+            // the batch query's delta: odd docs + drifted re-crawls of every
+            // 10th (even) doc under shifted ids
+            val odd = if (id % 2 == 1) Seq((id, text)) else Nil
+            val drift = if (id % 2 == 0 && id % 10 == 0)
+              Seq((id + 700000L, text + " xtra")) else Nil
+            odd ++ drift
+          }.toDF("doc_id", "text")
+        val banded = delta.select(col("doc_id"),
+          array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("dsh"),
+          posexplode(TextAnalysis.lshBands(
+            TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3),
+            rows = 2)).as(Seq("band_idx", "band_key")))
+        banded.join(histBands, Seq("band_idx", "band_key"))
+          .join(histSh, Seq("hist_doc"))
+          .select(col("doc_id"), col("hist_doc"),
+            round(size(array_intersect(col("dsh"), col("hsh"))).cast("double") /
+              size(array_union(col("dsh"), col("hsh"))).cast("double"), 4)
+              .as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      }
+      drained.distinct()
+        .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("jaccard").desc, col("hist_doc"))))
+        .filter(col("rk") === 1).drop("rk")
+        .orderBy("doc_id", "hist_doc")
+    } finally { histBands.unpersist(); histSh.unpersist() }
+  }
+
   /** Control-marker element type: a row of this type signals end-of-document
     * to the streaming chunk fold, flushing the group's open tail in-batch —
     * the deterministic alternative to wall-clock timeouts when the source can
