@@ -81,6 +81,72 @@ object CorpusOps {
   }
 
   /**
+   * CCNet-style language-model quality scoring (Wenzek et al. 2020 §3.3)
+   * with the model TRAINED IN-PLANE: `ref` (a reference-domain slice — CCNet
+   * uses Wikipedia) supplies add-one-smoothed bigram statistics, every doc
+   * scores by its mean bigram log-probability, and fixed thresholds bucket
+   * the corpus head/middle/tail. CCNet ships a pretrained KenLM (a model
+   * artifact); the bigram LM here is the same decision procedure with the
+   * training step expressed as two aggregations, so the pipeline stays
+   * engine-native and oracle-checkable end-to-end.
+   *
+   * Cross-engine determinism: each bigram's log-prob is scaled to an integer
+   * (micro-nats) BEFORE the per-doc sum, so aggregation is exact long
+   * addition (order-free), never float summation; the only float ops are the
+   * per-value `ln` and the final `sum/count` threshold compare, identical
+   * given identical integers. Buckets order by mean log-prob DESCENDING
+   * (head = least perplex, as in CCNet).
+   *
+   * Scale shape: the LM is ref-sized (domain slices are tiny vs a 100 TB
+   * corpus) and BROADCASTS to both probe joins; scoring is one explode + two
+   * broadcast joins + one `groupBy(doc_id)`; bucketing is a pure column — no
+   * global sort or window anywhere. Returns
+   * `doc_id, n_bigrams, lp_micro_sum, bucket`.
+   */
+  def lmQualityScore(docs: DataFrame, ref: DataFrame, text: Column,
+      headMinAvgLp: Double, midMinAvgLp: Double): DataFrame = {
+    val ws = TextAnalysis.words(lower(text))
+    // word bigrams: zip the word list with its own tail (zip_with pads the
+    // shorter side with null — the padded final pair filters out)
+    val bg = filter(
+      zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+    val refBi = ref.select(explode(bg).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    // predecessor counts derive from the bigram table (not raw unigrams), so
+    // numerators and denominators stay consistent by construction
+    val refC1 = refBi.groupBy("w1").agg(sum("c").as("c1"))
+    // smoothing vocabulary: distinct ref words — a one-off scalar of the
+    // LM-build step (like sizing a Bloom filter), not per-row driver work
+    val vocab = ref.select(explode(ws).as("w"))
+      .agg(countDistinct(col("w"))).head.getLong(0)
+    val probes = docs.select(col("doc_id"), explode(bg).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(broadcast(refBi), Seq("w1", "w2"), "left")
+      .join(broadcast(refC1), Seq("w1"), "left")
+      .select(col("doc_id"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double")) * 1e6)
+          .cast("long").as("lp_micro"))
+    val scored = probes.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("lp_micro_sum"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_micro_sum"), lit(0L)).as("lp_micro_sum"))
+      .withColumn("bucket", {
+        val avg = col("lp_micro_sum").cast("double") / col("n_bigrams")
+        when(col("n_bigrams") === 0, lit("unscored"))
+          .when(avg >= headMinAvgLp, lit("head"))
+          .when(avg >= midMinAvgLp, lit("middle"))
+          .otherwise(lit("tail"))
+      })
+  }
+
+  /**
    * Incremental NEAR-dup of a delta against a PRIOR corpus snapshot — the
    * MinHash twin of [[incrementalDedup]] for the recurring-crawl case where
    * re-crawled pages drift (boilerplate churn, timestamps) and exact

@@ -96,6 +96,20 @@ object CorpusQueries {
       graft.streaming.StreamingOps
         .incrementalNearDupAvailableNow(s, s"$dir/documents.parquet")),
 
+    // CCNet-style LM quality bucketing with the bigram LM trained in-plane on
+    // the reference-domain slice (every 11th doc ≡ 5); integer micro-nat
+    // log-prob sums keep the per-doc aggregation exact across engines
+    "q_lm_quality" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      val ref = d.filter(col("doc_id") % 11 === 5)
+      // thresholds sit inside the corpus's observed mean-log-prob range
+      // (≈ -3.74..-3.10 nats at sf0.01) so all three buckets exercise
+      CorpusOps.lmQualityScore(d, ref, col("text"),
+        headMinAvgLp = -3.47e6, midMinAvgLp = -3.54e6)
+        .orderBy("doc_id")
+    }),
+
     "q_stratified_sample" -> ((s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), col("lang"),
         Seq("en" -> 0.3, "zh" -> 0.7), defaultRate = 1.0, salt = "mix1")
@@ -387,6 +401,52 @@ object CorpusQueries {
 
     // identical semantics through the stream-static rendering
     "q_stream_incremental_dedup" -> IncrementalDedupOracleSql,
+
+    // the in-plane bigram LM mirrored end-to-end: add-one-smoothed
+    // probabilities from the ref slice, integer micro-nat log-probs (exact
+    // long sums — no float aggregation), threshold bucketing on sum/count
+    "q_lm_quality" -> {
+      def bigramsOf(src: String) =
+        s"""SELECT doc_id, unnest(list_transform(
+           |    range(1, greatest(len(ws), 1)),
+           |    i -> {'w1': ws[i], 'w2': ws[i + 1]}), recursive := true)
+           |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM $src)""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         |ref AS (SELECT doc_id, text FROM corpus WHERE doc_id % 11 = 5),
+         |refbg0 AS (${bigramsOf("ref")}),
+         |refbg AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM refbg0
+         |  GROUP BY w1, w2),
+         |refc1 AS (
+         |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM refbg GROUP BY w1),
+         |vocab AS (
+         |  SELECT count(DISTINCT w) AS v FROM (
+         |    SELECT unnest(ws) AS w
+         |    FROM (SELECT ${O.words("lower(text)")} AS ws FROM ref))),
+         |docbg AS (${bigramsOf("corpus")}),
+         |probes AS (
+         |  SELECT d.doc_id,
+         |    CAST(round(ln(CAST(coalesce(b.c, 0) + 1 AS DOUBLE) /
+         |      (coalesce(u.c1, 0) + (SELECT v FROM vocab))) * 1e6) AS BIGINT)
+         |      AS lp
+         |  FROM docbg d
+         |  LEFT JOIN refbg b ON d.w1 = b.w1 AND d.w2 = b.w2
+         |  LEFT JOIN refc1 u ON d.w1 = u.w1),
+         |scored AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(lp) AS BIGINT) AS lp_micro_sum
+         |  FROM probes GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(lp_micro_sum, 0) AS lp_micro_sum,
+         |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 'unscored'
+         |       WHEN lp_micro_sum / CAST(n_bigrams AS DOUBLE) >= -3470000.0 THEN 'head'
+         |       WHEN lp_micro_sum / CAST(n_bigrams AS DOUBLE) >= -3540000.0 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM corpus c LEFT JOIN scored USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // delta bands × history bands equi-join (history hot-band cap), exact
     // Jaccard on candidates, best match per delta doc

@@ -55,6 +55,12 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Shuffle-count caps above the default; everything else gets [[DefaultExchCap]]. */
   private val exchCapOverrides = Map(
     "q_embed_near_dup" -> 13, "q_jaccard_near_dup" -> 13, "q_lsh_near_dup" -> 8,
+    // LM train + score in one DAG: the ref slice's bigram/predecessor
+    // aggregations (the refBi subtree is re-listed feeding refC1 AND the
+    // probe join in the AQE-off textual plan), two broadcast probe
+    // exchanges, the per-doc groupBy, the corpus left join, and the output
+    // sort — all equi-keyed or broadcast, no global window
+    "q_lm_quality" -> 13,
     // two-sided (history + delta) rendering of the jaccard shape: each side's
     // band subtree (explode + hot-band window) and shingle subtree appear
     // separately in the AQE-off textual plan, plus the candidate distinct,

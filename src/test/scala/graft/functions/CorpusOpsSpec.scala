@@ -370,6 +370,28 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(g3.length == 1 && g3.head.getLong(1) == 30L && g3.head.getDouble(2) == 1.0)
   }
 
+  test("lmQualityScore: add-one bigram math, exact micro-nat sums, bucketing") {
+    val sp = spark
+    import sp.implicits._
+    // ref: "a b a b c" -> bigrams (a,b)x2 (b,a)x1 (b,c)x1; c1: a=2 b=2; V=3
+    val ref = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"), // (a,b): ln(3/5); (b,c): ln(2/5)
+      (20L, "z z"),   // unseen everything: ln(1/3)
+      (30L, "q"))     // no bigrams -> unscored
+      .toDF("doc_id", "text")
+    val got = CorpusOps.lmQualityScore(docs, ref, col("text"),
+        headMinAvgLp = -6.0e5, midMinAvgLp = -8.0e5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // hand-computed micro-nats: ln(0.6)=-0.5108256 -> -510826;
+    // ln(0.4)=-0.9162907 -> -916291; ln(1/3)=-1.0986123 -> -1098612
+    assert(got(0) == ((10L, 2L, -510826L - 916291L, "middle")),
+      s"got ${got(0)}") // avg -713558.5: below head(-6e5), above mid(-8e5)
+    assert(got(1) == ((20L, 1L, -1098612L, "tail")))
+    assert(got(2) == ((30L, 0L, 0L, "unscored")))
+  }
+
   test("temperatureSample up-samples low-resource strata at alpha = 0.5") {
     val sp = spark
     import sp.implicits._
