@@ -81,6 +81,36 @@ object CorpusOps {
   }
 
   /**
+   * URL canonicalization — the first dedup stage of a web-crawl pipeline
+   * (C4/RefinedWeb dedup by normalized URL before any content pass): strip
+   * the fragment, lowercase scheme+authority, drop default ports (443/80),
+   * root an empty path at `/`, remove tracking parameters
+   * (`utm_*`/`fbclid`/`gclid`/`ref`), and sort the survivors so parameter
+   * order cannot split a page's identity. A pure column expression — at
+   * 100 TB this is free inside the scan projection, and the follow-on dedup
+   * is one hash shuffle on the canonical string.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val schemeHost = regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    val hostNorm = regexp_replace(
+      regexp_replace(lower(schemeHost), "^(https://[^/?]*):443$", "$1"),
+      "^(http://[^/?]*):80$", "$1")
+    val rest = noFrag.substr(length(schemeHost) + 1, length(noFrag))
+    val parts = split(rest, "\\?", 2)
+    val path0 = element_at(parts, 1)
+    val query = when(size(parts) > 1, element_at(parts, 2)).otherwise(lit(""))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("fbclid=") &&
+        !p.startsWith("gclid=") && !p.startsWith("ref=")))
+    concat(hostNorm, path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /**
    * CCNet-style language-model quality scoring (Wenzek et al. 2020 §3.3)
    * with the model TRAINED IN-PLANE: `ref` (a reference-domain slice — CCNet
    * uses Wikipedia) supplies add-one-smoothed bigram statistics, every doc

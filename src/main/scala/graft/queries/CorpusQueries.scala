@@ -96,6 +96,31 @@ object CorpusQueries {
       graft.streaming.StreamingOps
         .incrementalNearDupAvailableNow(s, s"$dir/documents.parquet")),
 
+    // URL canonicalization + canonical-URL dedup (C4/RefinedWeb stage 1):
+    // synthetic raw URLs vary scheme case, host case, default port, tracking
+    // params, param order, and fragments — canonicalization collapses each
+    // (source, page) group and the keeper is the min doc_id, one window
+    // shuffle on the canonical string
+    "q_url_canonical_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("source"))
+      val raw = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".example.com"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/page/"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .otherwise(lit("?a=1&b=2")),
+        when(col("doc_id") % 4 === 0, lit("#sec")).otherwise(lit("")))
+      d.select(col("doc_id"), raw.as("raw_url"),
+          CorpusOps.canonicalizeUrl(raw).as("canonical_url"))
+        .withColumn("keep", col("doc_id") === min("doc_id").over(
+          Window.partitionBy("canonical_url")))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style LM quality bucketing with the bigram LM trained in-plane on
     // the reference-domain slice (every 11th doc ≡ 5); integer micro-nat
     // log-prob sums keep the per-doc aggregation exact across engines
@@ -401,6 +426,54 @@ object CorpusQueries {
 
     // identical semantics through the stream-static rendering
     "q_stream_incremental_dedup" -> IncrementalDedupOracleSql,
+
+    // the canonicalization mirrored step-by-step (fragment strip, authority
+    // lowercase + default-port drop, tracking-param filter, param sort)
+    "q_url_canonical_dedup" ->
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+         |     CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END ||
+         |     '.example.com' ||
+         |     CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+         |     '/page/' || CAST(doc_id % 7 AS VARCHAR) ||
+         |     CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+         |          ELSE '?a=1&b=2' END ||
+         |     CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS raw_url
+         |  FROM documents),
+         |canon AS (
+         |  SELECT doc_id, raw_url, hostnorm ||
+         |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+         |    (CASE WHEN len(params) > 0
+         |          THEN '?' || array_to_string(params, '&') ELSE '' END)
+         |    AS canonical_url
+         |  FROM (
+         |    SELECT doc_id, raw_url,
+         |      regexp_replace(regexp_replace(lower(schemehost),
+         |        '^(https://[^/?]*):443$$', '\\1'),
+         |        '^(http://[^/?]*):80$$', '\\1') AS hostnorm,
+         |      CASE WHEN strpos(rest, '?') > 0
+         |           THEN substr(rest, 1, strpos(rest, '?') - 1) ELSE rest END
+         |        AS path0,
+         |      list_sort(list_filter(string_split(
+         |        CASE WHEN strpos(rest, '?') > 0
+         |             THEN substr(rest, strpos(rest, '?') + 1) ELSE '' END, '&'),
+         |        p -> p <> '' AND NOT starts_with(p, 'utm_')
+         |          AND NOT starts_with(p, 'fbclid=')
+         |          AND NOT starts_with(p, 'gclid=')
+         |          AND NOT starts_with(p, 'ref='))) AS params
+         |    FROM (
+         |      SELECT doc_id, raw_url,
+         |        regexp_extract(nofrag, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)
+         |          AS schemehost,
+         |        substr(nofrag, len(regexp_extract(nofrag,
+         |          '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)) + 1) AS rest
+         |      FROM (SELECT doc_id, raw_url,
+         |              regexp_replace(raw_url, '#.*$$', '') AS nofrag
+         |            FROM d))))
+         |SELECT doc_id, raw_url, canonical_url,
+         |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS keep
+         |FROM canon ORDER BY doc_id""".stripMargin,
 
     // the in-plane bigram LM mirrored end-to-end: add-one-smoothed
     // probabilities from the ref slice, integer micro-nat log-probs (exact

@@ -370,6 +370,32 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(g3.length == 1 && g3.head.getLong(1) == 30L && g3.head.getDouble(2) == 1.0)
   }
 
+  test("canonicalizeUrl: fragment, case, ports, tracking params, param order") {
+    val sp = spark
+    import sp.implicits._
+    val cases = Seq(
+      // scheme+host lowercase; path case preserved
+      ("HTTPS://WWW.Example.COM/Path/To", "https://www.example.com/Path/To"),
+      // default ports drop; non-default ports stay
+      ("https://a.com:443/x", "https://a.com/x"),
+      ("http://a.com:80/x", "http://a.com/x"),
+      ("https://a.com:8443/x", "https://a.com:8443/x"),
+      // fragment strips; empty path roots at /
+      ("https://a.com#top", "https://a.com/"),
+      ("https://a.com/p#sec?notaquery=1", "https://a.com/p"),
+      // tracking params drop, survivors sort; all-tracking query vanishes
+      ("https://a.com/p?z=9&utm_source=x&a=1&fbclid=F&gclid=G&ref=r",
+        "https://a.com/p?a=1&z=9"),
+      ("https://a.com/p?utm_campaign=c", "https://a.com/p"),
+      // a second '?' is part of the query, not a re-split point
+      ("https://a.com/p?b=2?c=3&a=1", "https://a.com/p?a=1&b=2?c=3"))
+    val got = cases.map(_._1).toDF("u")
+      .select(CorpusOps.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == cases.map(_._2), got.zip(cases).filter {
+      case (g, (_, e)) => g != e
+    }.toString)
+  }
+
   test("lmQualityScore: add-one bigram math, exact micro-nat sums, bucketing") {
     val sp = spark
     import sp.implicits._
