@@ -601,6 +601,40 @@ object CorpusOps {
   }
 
   /**
+   * Leakage-safe train/val/test split: assignment is by DUPLICATE CLUSTER,
+   * never by individual doc — hashing doc ids puts near-identical docs on
+   * both sides of the split and leaks training data into evaluation. Docs
+   * sharing content (the `edges` relation — [[sharedParagraphEdges]], or
+   * verified near-dup pairs from the LSH path) collapse into connected
+   * components; every member inherits its component's split, drawn from the
+   * cascaded hash of the COMPONENT id (the affine polyHash is cascaded
+   * exactly as in [[stratifiedSample]] — see the pitfalls note there).
+   * Edge-free docs are their own singleton component. `trainFrac`/`valFrac`
+   * are fractions of the 10k-bucket space; the remainder is test.
+   *
+   * Scale shape: [[connectedComponents]]' O(log diameter) rounds over the
+   * edge relation (dedup graphs are star-heavy and shallow), one left join
+   * to spread labels, then pure hash columns — the split decision itself
+   * costs no shuffle. Returns `doc_id, component, split`.
+   */
+  def leakageSafeSplit(docs: DataFrame, edges: DataFrame,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      salt: String = "split"): DataFrame = {
+    val comps = connectedComponents(edges)
+    val assigned = docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val inner = TextAnalysis.polyHash(
+      concat(col("component").cast("string"), lit(":" + salt)))
+    val bucket = pmod(TextAnalysis.polyHash(inner.cast("string")), lit(10000L))
+    assigned.withColumn("split",
+      when(bucket < math.round(trainFrac * 10000), lit("train"))
+        .when(bucket < math.round((trainFrac + valFrac) * 10000), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /**
    * Symmetric int8 scalar quantization of an embedding column — the standard
    * 4× storage/bandwidth reduction for a vector corpus (per-vector scale =
    * max |x| / 127, q = round(x / scale)). Pure codegen'd columns, no shuffle.

@@ -216,6 +216,16 @@ object CorpusQueries {
         CorpusOps.sharedParagraphEdges(docs(s, dir), col("text"), " merge "))
         .orderBy("doc_id")),
 
+    // leakage-safe splitting: docs sharing any paragraph collapse into one
+    // component and the whole component lands in one split — hashing doc ids
+    // directly would put near-identical docs in train AND test
+    "q_leakage_safe_split" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CorpusOps.leakageSafeSplit(d,
+        CorpusOps.sharedParagraphEdges(d, col("text"), " merge "))
+        .orderBy("doc_id")
+    }),
+
     // the streaming twin of q_pack_sequences: per-bucket running offset in
     // group state (one long per bucket), verified by the BATCH oracle
     "q_stream_pack_sequences" -> ((s, dir) =>
@@ -708,6 +718,39 @@ object CorpusQueries {
          |  SELECT es.b AS v, r.c AS c FROM r JOIN es ON es.a = r.v)
          |SELECT v AS doc_id, min(c) AS component
          |FROM r GROUP BY v ORDER BY v""".stripMargin,
+
+    // the recursive-CTE component labeling + the stratifiedSample hash
+    // cascade over the COMPONENT id
+    "q_leakage_safe_split" -> {
+      val h = O.polyHash(
+        s"CAST(${O.polyHash("(CAST(component AS VARCHAR) || ':split')")} AS VARCHAR)")
+      s"""WITH RECURSIVE
+         |p AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${AnalysisQueries.fingerprint("trim(x)")} AS fp
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' merge ')) AS x
+         |        FROM documents)
+         |  WHERE trim(x) <> ''),
+         |m AS (SELECT fp, min(doc_id) AS root FROM p GROUP BY fp),
+         |e0 AS (
+         |  SELECT DISTINCT m.root AS src, p.doc_id AS dst
+         |  FROM p JOIN m USING (fp) WHERE p.doc_id <> m.root),
+         |es AS (SELECT src AS a, dst AS b FROM e0
+         |       UNION SELECT dst AS a, src AS b FROM e0),
+         |r AS (
+         |  SELECT DISTINCT a AS v, a AS c FROM es
+         |  UNION
+         |  SELECT es.b AS v, r.c AS c FROM r JOIN es ON es.a = r.v),
+         |comp AS (SELECT v AS doc_id, min(c) AS component FROM r GROUP BY v),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id)
+         |SELECT doc_id, component,
+         |  CASE WHEN $h % 10000 < 8000 THEN 'train'
+         |       WHEN $h % 10000 < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM assigned ORDER BY doc_id""".stripMargin
+    },
 
     "q_pack_sequences" -> PackOracleSql,
 

@@ -45,7 +45,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_semantic_dedup" -> 2,
     // the sampled-ids join back onto the quality-filtered corpus: both sides
     // are corpus-sized, so SMJ on doc_id is the correct strategy
-    "q_curate_training_set" -> 1)
+    "q_curate_training_set" -> 1,
+    // the component-label spread onto the corpus: on a dup-heavy corpus the
+    // labeled side is O(n) docs, so an equi-SMJ on doc_id — not a broadcast
+    // — is the scale-correct strategy
+    "q_leakage_safe_split" -> 1)
 
   /** Queries whose scan must show non-empty PushedFilters. */
   private val mustPushFilters = Seq("q1_pricing_summary", "q3_top_revenue_orders",

@@ -370,6 +370,35 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(g3.length == 1 && g3.head.getLong(1) == 30L && g3.head.getDouble(2) == 1.0)
   }
 
+  test("leakageSafeSplit: a duplicate CHAIN lands whole in one split") {
+    val sp = spark
+    import sp.implicits._
+    // 1-2-3 chain via shared paragraphs (1 never shares with 3 directly —
+    // only transitive closure keeps the chain together); 10/11 singletons
+    val docs = Seq(
+      (1L, "alpha paragraph one merge bridge one"),
+      (2L, "bridge one merge bridge two"),
+      (3L, "bridge two merge omega paragraph"),
+      (10L, "standalone content ten"),
+      (11L, "standalone content eleven"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.leakageSafeSplit(docs,
+        CorpusOps.sharedParagraphEdges(docs, col("text"), " merge "))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the whole chain shares component 1 and therefore ONE split — a
+    // doc-id-hash split would scatter it across train/val/test
+    assert(Seq(1L, 2L, 3L).map(got(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).distinct.size == 1,
+      s"chain split apart: $got")
+    // singletons are their own components
+    assert(got(10L)._1 == 10L && got(11L)._1 == 11L)
+    // deterministic: the same salt reproduces the same assignment
+    val again = CorpusOps.leakageSafeSplit(docs,
+        CorpusOps.sharedParagraphEdges(docs, col("text"), " merge "))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.view.mapValues(_._2).toMap == again)
+  }
+
   test("canonicalizeUrl: fragment, case, ports, tracking params, param order") {
     val sp = spark
     import sp.implicits._
