@@ -601,6 +601,39 @@ object CorpusOps {
   }
 
   /**
+   * Per-source quota (RefinedWeb/C4-style per-domain caps): spam and SEO
+   * farms concentrate in single domains, so curation caps each source at
+   * `quota` docs, keeping the best by `preference` (descending; doc_id
+   * breaks ties so the cut is deterministic). Returns the kept docs with
+   * their per-source rank.
+   *
+   * Scale shape — grouped top-N without a monster-source sort: a naive
+   * `row_number() over (partition by source)` sorts EVERY doc of the
+   * largest domain in one task (a 100M-doc SEO farm = one straggler).
+   * Instead stage 1 ranks within (source, hash sub-bucket) and keeps each
+   * sub-bucket's top `quota` — any global top-quota doc is necessarily in
+   * its sub-bucket's top quota, so no survivor is lost and per-task sort
+   * size divides by `subBuckets`; stage 2 ranks the ≤ subBuckets·quota
+   * survivors per source exactly.
+   */
+  def sourceQuota(docs: DataFrame, source: Column, preference: Column,
+      quota: Int, subBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = pmod(TextAnalysis.polyHash(
+      concat(col("doc_id").cast("string"), lit(":quota"))), lit(subBuckets.toLong))
+    val partial = docs
+      .withColumn("quota_sub", sub)
+      .withColumn("prk", row_number().over(
+        Window.partitionBy(source, col("quota_sub"))
+          .orderBy(preference.desc, col("doc_id"))))
+      .filter(col("prk") <= quota)
+      .drop("quota_sub", "prk")
+    partial.withColumn("rk", row_number().over(
+        Window.partitionBy(source).orderBy(preference.desc, col("doc_id"))))
+      .filter(col("rk") <= quota)
+  }
+
+  /**
    * Leakage-safe train/val/test split: assignment is by DUPLICATE CLUSTER,
    * never by individual doc — hashing doc ids puts near-identical docs on
    * both sides of the split and leaks training data into evaluation. Docs

@@ -216,6 +216,17 @@ object CorpusQueries {
         CorpusOps.sharedParagraphEdges(docs(s, dir), col("text"), " merge "))
         .orderBy("doc_id")),
 
+    // RefinedWeb-style per-source cap: keep each source's 15 longest docs;
+    // the two-stage grouped top-N bounds any single task's sort even when
+    // one source dominates the corpus
+    "q_source_quota" -> ((s, dir) =>
+      CorpusOps.sourceQuota(
+        docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          col("source"), col("n_chars")),
+        col("source"), col("n_chars"), quota = 15)
+        .select(col("doc_id"), col("source"), col("rk"))
+        .orderBy("doc_id")),
+
     // leakage-safe splitting: docs sharing any paragraph collapse into one
     // component and the whole component lands in one split — hashing doc ids
     // directly would put near-identical docs in train AND test
@@ -718,6 +729,16 @@ object CorpusQueries {
          |  SELECT es.b AS v, r.c AS c FROM r JOIN es ON es.a = r.v)
          |SELECT v AS doc_id, min(c) AS component
          |FROM r GROUP BY v ORDER BY v""".stripMargin,
+
+    // the two-stage grouped top-N reduces to the naive per-source window
+    // top-N (stage 1 never drops a global top-quota member)
+    "q_source_quota" ->
+      s"""SELECT doc_id, source, rk FROM (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 15 ORDER BY doc_id""".stripMargin,
 
     // the recursive-CTE component labeling + the stratifiedSample hash
     // cascade over the COMPONENT id

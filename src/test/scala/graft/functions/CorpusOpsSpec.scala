@@ -370,6 +370,36 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(g3.length == 1 && g3.head.getLong(1) == 30L && g3.head.getDouble(2) == 1.0)
   }
 
+  test("sourceQuota: two-stage grouped top-N equals the naive window top-N") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    // one monster source (200 docs) + two small ones; preferences collide so
+    // the doc_id tiebreak is exercised
+    val docs = ((1 to 200).map(i => (i.toLong, "big", (i % 7).toLong)) ++
+      (301 to 305).map(i => (i.toLong, "s1", 5L)) ++
+      (401 to 402).map(i => (i.toLong, "s2", 1L)))
+      .toDF("doc_id", "source", "pref")
+    for (buckets <- Seq(1, 4, 32)) {
+      val got = CorpusOps.sourceQuota(docs, col("source"), col("pref"),
+          quota = 10, subBuckets = buckets)
+        .select("doc_id", "source", "rk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val naive = docs.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("pref").desc, col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == naive, s"subBuckets=$buckets")
+    }
+    // under-quota sources keep everything
+    val kept = CorpusOps.sourceQuota(docs, col("source"), col("pref"), quota = 10)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("big" -> 10L, "s1" -> 5L, "s2" -> 2L))
+  }
+
   test("leakageSafeSplit: a duplicate CHAIN lands whole in one split") {
     val sp = spark
     import sp.implicits._
