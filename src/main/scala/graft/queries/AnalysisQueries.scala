@@ -517,6 +517,60 @@ object AnalysisQueries {
         .limit(10)
     }),
 
+    // IVF with nprobe = 2 — the standard recall knob: the query probes its
+    // TWO nearest centroids' cells (a runner-up fold over the same broadcast
+    // centroid struct), trading 2× the scanned fraction for the recall lost
+    // when the true neighbor sits just across a Voronoi boundary. The probe
+    // frame is still a broadcast (2 rows), the join still an equi-join.
+    "q_ann_ivf_multiprobe" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val cents = e.filter(col("vec_id") < 8)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv"),
+          normCol(col("embedding")).as("cnrm")))).as("cents"))
+      val best = aggregate(
+        col("cents"),
+        struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+        (acc, c) => {
+          val sim = guardedCos(dotCol(col("embedding"), c.getField("cv")),
+            col("nrm"), c.getField("cnrm"))
+          when(sim > acc.getField("sim"),
+            struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
+        })
+      val assigned = e.withColumn("nrm", normCol(col("embedding")))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          best.getField("cid").as("cell"))
+      // top-2 fold: strict > keeps the earliest (lowest-cid) centroid on
+      // ties, matching the oracle's (sim DESC, cid) ranking
+      val top2 = aggregate(
+        col("cents"),
+        struct(struct(lit(-1L).as("cid"), lit(-2.0).as("sim")).as("b1"),
+          struct(lit(-1L).as("cid"), lit(-2.0).as("sim")).as("b2")),
+        (acc, c) => {
+          val sim = guardedCos(dotCol(col("embedding"), c.getField("cv")),
+            col("nrm"), c.getField("cnrm"))
+          val cand = struct(c.getField("cid").as("cid"), sim.as("sim"))
+          when(sim > acc.getField("b1").getField("sim"),
+            struct(cand.as("b1"), acc.getField("b1").as("b2")))
+            .when(sim > acc.getField("b2").getField("sim"),
+              struct(acc.getField("b1").as("b1"), cand.as("b2")))
+            .otherwise(acc)
+        })
+      val qrows = e.filter(col("vec_id") === 1)
+        .withColumn("nrm", normCol(col("embedding")))
+        .crossJoin(broadcast(cents))
+        .select(col("embedding").as("qv"), col("nrm").as("qn"),
+          explode(array(top2.getField("b1").getField("cid"),
+            top2.getField("b2").getField("cid"))).as("qcell"))
+      assigned.join(broadcast(qrows), col("cell") === col("qcell"))
+        .withColumn("dot", dotCol(col("embedding"), col("qv")))
+        .select(col("vec_id"), col("cell"),
+          round(guardedCos(col("dot"), col("nrm"), col("qn")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Embedding-cosine near-dup dedup (scale path): 4 OR-ed sign-bit LSH bands
     // (8 dims each over dims 0-31) -> per-band self-equi-join -> distinct
     // candidate pairs -> cosine >= 0.999 verify. A single band drops any true
@@ -1112,6 +1166,27 @@ object AnalysisQueries {
          |q AS (SELECT embedding AS qv, cell AS qcell FROM cells WHERE vec_id = 1)
          |SELECT vec_id, cell, $cosSimSql AS cos_sim
          |FROM cells, q WHERE cell = qcell
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf_multiprobe" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e, cents c),
+         |cells AS (
+         |  SELECT vec_id, embedding, cid AS cell FROM (
+         |    SELECT vec_id, embedding, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |qcells AS (
+         |  SELECT cid AS qcell FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY sim DESC, cid) AS rn
+         |    FROM sims WHERE vec_id = 1) WHERE rn <= 2),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 1)
+         |SELECT vec_id, cell, $cosSimSql AS cos_sim
+         |FROM cells, q WHERE cell IN (SELECT qcell FROM qcells)
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_embed_near_dup" ->
