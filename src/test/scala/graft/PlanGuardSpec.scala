@@ -27,6 +27,9 @@ class PlanGuardSpec extends AnyFunSuite {
 
   /** Queries allowed a BroadcastNestedLoopJoin (broadcast tiny-frame probes). */
   private val bnlAllowed = Map("q_ann_cosine_topk" -> 1, "q_ann_ivf" -> 2,
+    // the same broadcast 1-row centroid-struct crossJoins as q_ann_ivf, once
+    // for the assignment subtree and once for the query's top-2 probe
+    "q_ann_ivf_multiprobe" -> 2,
     // the ONE broadcast k-row centroid probe, re-listed per reference to the
     // assignment subtree (pair-a, pair-b, output) in the AQE-off textual plan
     "q_semantic_dedup" -> 3,
@@ -83,7 +86,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // referenced-twice band subtree duplicates its upstream in the AQE-off
     // textual plan (exchange reuse collapses them at runtime)
     "q_curate_corpus" -> 16,
-    "q_ann_ivf" -> 8, "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
+    "q_ann_ivf" -> 8,
+    // q_ann_ivf's exchange shape (assignment + probe broadcasts re-listed in
+    // the AQE-off textual plan) — identical cells, nprobe=2 probe frame
+    "q_ann_ivf_multiprobe" -> 8,
+    "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
     // one tagged explode -> 3 aggregation levels + id join + output sort (the
     // AQE-off textual plan re-lists the reused doc_id exchanges)
     "q_repetition_signals" -> 7,
