@@ -322,6 +322,37 @@ class PdfBehaviorSpec extends AnyFunSuite {
     assert(ps.map(_.text) === Seq("NEW updated content"))
   }
 
+  test("hybrid-reference files consult /XRefStm before /Prev") {
+    // Acrobat-style hybrid: revision 2's AUTHORITATIVE table is classic and
+    // lists only the new top-level objects; the type-2 entry that moves page
+    // 3 into the ObjStm lives in the /XRefStm stream the trailer points at.
+    // The walk must consult that stream BEFORE following /Prev to revision
+    // 1's table (whose stale type-1 entry for 3 would otherwise win).
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    val base = new String(buildIncrementalObjStmPdf(false), latin1)
+    // locate revision 2's xref STREAM object and the first classic table
+    val xrefStmAt = base.lastIndexOf("8 0 obj")
+    val x1 = base.indexOf("xref\n")
+    // rebuild the tail: keep everything through the xref stream's endobj,
+    // then append a classic rev-2 table with /XRefStm instead of pointing
+    // startxref at the stream directly
+    val streamEndObj = base.indexOf("endobj", xrefStmAt) + "endobj".length
+    val head = base.substring(0, streamEndObj) + "\n"
+    val o6 = base.lastIndexOf("6 0 obj")
+    val o7 = base.lastIndexOf("7 0 obj")
+    val x2 = head.length
+    val table2 = "xref\n6 3\n" +
+      f"$o6%010d 00000 n \n$o7%010d 00000 n \n$xrefStmAt%010d 00000 n \n" +
+      s"trailer << /Size 9 /Root 1 0 R /XRefStm $xrefStmAt /Prev $x1 >>\n" +
+      s"startxref\n$x2\n%%EOF\n"
+    // the embedded xref stream must not re-point at rev 1 via its own /Prev
+    // AND the hybrid table — drop the stream's startxref trailer from `head`
+    val hybrid = (head + table2).getBytes(latin1)
+    val ps = PdfPartitioner.partitionPdf(hybrid)
+    assert(ps.map(_.text) === Seq("NEW updated content"),
+      s"/XRefStm was not consulted: ${ps.map(_.text)}")
+  }
+
   test("without a type-2 xref entry the top-level definition still wins") {
     // strip revision 2's xref stream: the walk finds only the classic table,
     // whose type-1 entry keeps the top-level page 3 authoritative — the
