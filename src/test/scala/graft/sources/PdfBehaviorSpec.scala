@@ -106,6 +106,15 @@ class PdfBehaviorSpec extends AnyFunSuite {
     assert(PdfPartitioner.partitionPdf(bytes, password = "wrong").isEmpty)
   }
 
+  test("AES-256 R6 opens with the OWNER password (Algorithm 2.A owner path)") {
+    // the owner hash mixes the 48-byte /U string into Algorithm 2.B and the
+    // file key unwraps from /OE — a distinct code path from the user check
+    val opened = PdfPartitioner.partitionPdf(
+      aesFixture("aes256-r6-password.pdf"), password = "owner-secret")
+    assert(opened.size === 1)
+    assert(opened.head.text === "AES-256 R6 secured text")
+  }
+
   test("AES-256 R6 with an empty user password opens unprompted") {
     val ps = PdfPartitioner.partitionPdf(aesFixture("aes256-r6-empty.pdf"))
     assert(ps.size === 1)
