@@ -52,7 +52,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // the component-label spread onto the corpus: on a dup-heavy corpus the
     // labeled side is O(n) docs, so an equi-SMJ on doc_id — not a broadcast
     // — is the scale-correct strategy
-    "q_leakage_safe_split" -> 1)
+    "q_leakage_safe_split" -> 1,
+    // five composed crawl-refresh stages joining corpus-sized survivor sets
+    // on doc_id (near-dup anti, LM-bucket join, and their re-listed
+    // references): equi-SMJ is the scale-correct strategy for each
+    "q_crawl_refresh" -> 6)
 
   /** Queries whose scan must show non-empty PushedFilters. */
   private val mustPushFilters = Seq("q1_pricing_summary", "q3_top_revenue_orders",
@@ -127,6 +131,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // fingerprint window) is re-listed per downstream reference in the
     // AQE-off textual plan — runtime exchange reuse collapses them
     "q_curate_training_set" -> 28,
+    // the crawl-refresh capstone: survivor sets materialize between stages
+    // (lineage-truncating checkpoints — 2.9x runtime, see the query), so the
+    // visible plan is the post-materialization tail (LM probes + bucket join
+    // + quota windows + sort); the per-stage plans are individually pinned
+    // by their standalone queries
+    "q_crawl_refresh" -> 18,
     "q5_region_nation_revenue" -> 6, "q_element_type_accuracy" -> 6,
     // two partition_text passes + (type,depth)/type/global aggregation levels
     "q_element_type_percent_match" -> 7,
