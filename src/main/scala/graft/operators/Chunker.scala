@@ -805,10 +805,20 @@ object Chunker {
       val textWithOverlap =
         if (overlapPrefix.nonEmpty) overlapPrefix + "\n" + table.text.pyStrip
         else table.text.pyStrip
-      val rows = table.metadata.text_as_html.map(_.strip).filter(_.nonEmpty)
-        .map(parseRows).getOrElse(Vector.empty)
+      val rawHtml = table.metadata.text_as_html.map(_.strip).filter(_.nonEmpty)
+      val rows = rawHtml.map(parseRows).getOrElse(Vector.empty)
       val compactHtml =
-        if (rows.isEmpty) "" else "<table>" + rows.map(_.html).mkString + "</table>"
+        if (rows.nonEmpty) "<table>" + rows.map(_.html).mkString + "</table>"
+        else rawHtml.filter(_.toLowerCase.contains("<table")) match {
+          // a row-less but genuine <table> survives compactification with its
+          // flattened inner text (HtmlTable.from_html_text(...).html keeps it,
+          // base.py:982-994); invalid/non-table html falls back to None, the
+          // reference's logged-warning text-only path (base.py:976-981)
+          case Some(raw) =>
+            val inner = normalizeWs(TagRe.replaceAllIn(raw, " "))
+            if (inner.isEmpty) "<table/>" else "<table>" + escapeHtml(inner) + "</table>"
+          case None => ""
+        }
       val baseMeta = tableChunkMetadata(table)
       val origEls =
         if (opts.includeOrigElements) Some(ElementJson.encodeOrigElements(Seq(table)))
@@ -826,7 +836,7 @@ object Chunker {
       // html is impractical below ~50 chars / ~15 tokens of window (base.py:996-1003)
       val minHtmlThreshold = if (opts.useTokenCounting) 15 else 50
       val (pairs, carried) =
-        if (compactHtml.isEmpty || opts.hardMax < minHtmlThreshold)
+        if (rows.isEmpty || opts.hardMax < minHtmlThreshold)
           (textOnlySplits(textWithOverlap, split), 0)
         else syncSplits(rows, opts)
 
