@@ -295,6 +295,69 @@ object CorpusOps {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /**
+   * Exact-substring self-deduplication — the EXACTSUBSTR treatment of Lee et
+   * al. 2022 ("Deduplicating Training Data Makes Language Models Better"):
+   * every `n`-word window whose lowercased join occurs MORE THAN ONCE across
+   * the corpus (across documents or repeated inside one) keeps only its
+   * canonical occurrence — smallest doc_id, then earliest start — and every
+   * other occurrence's word positions are dropped, the document reassembled
+   * from the survivors. Overlapping duplicated windows coalesce through the
+   * covered-position distinct, so a long shared passage is cut once, not once
+   * per gram. Returns `doc_id, n_words, n_dropped, text_clean` for every
+   * input document (untouched docs pass through with n_dropped = 0).
+   *
+   * Beyond-reference corpus operator (the reference dedups whole elements via
+   * hash ids); span semantics mirror [[decontaminateSpans]], with the corpus
+   * itself as the benchmark side.
+   *
+   * Scale shape: occurrences are one exploded relation. Pass 1 groups the
+   * 8-byte `xxhash64` of each gram alone, so singleton grams — the
+   * overwhelming majority of a real corpus — are eliminated in a narrow
+   * fixed-width shuffle and never ship their text. Only hash-duplicated
+   * candidates enter pass 2's exact string inventory, so the wide shuffle is
+   * proportional to the DUPLICATED token mass, not the corpus. Keeper
+   * selection is two equi-keyed aggregations (min doc, then min start within
+   * it) — no corpus-wide window, no pairwise work, no driver collect.
+   */
+  def selfSubstringDedup(d: DataFrame, text: Column, n: Int = 50): DataFrame = {
+    val words = d.select(col("doc_id"), TextAnalysis.words(text).as("ws"))
+    val occ = words
+      .select(col("doc_id"), col("ws"),
+        explode(when(size(col("ws")) >= n,
+          sequence(lit(0), size(col("ws")) - n)).otherwise(array())).as("start"))
+      .select(col("doc_id"), col("start"),
+        lower(array_join(slice(col("ws"), col("start") + 1, lit(n)), " ")).as("g"))
+      .withColumn("h", xxhash64(col("g")))
+    // pass 1: fingerprint-duplicated grams only (superset of string-duplicated)
+    val dupHash = occ.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val cand = occ.join(dupHash, Seq("h")).select("doc_id", "start", "g")
+    // pass 2: exact inventory — duplicated grams and the smallest holder doc
+    val dup = cand.groupBy("g")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("kdoc"))
+      .filter(col("cnt") >= 2)
+      .select("g", "kdoc")
+    val keeper = cand.join(dup, Seq("g"))
+      .filter(col("doc_id") === col("kdoc"))
+      .groupBy("g", "kdoc").agg(min(col("start")).as("kstart"))
+    val removals = cand.join(keeper, Seq("g"))
+      .filter(!(col("doc_id") === col("kdoc") && col("start") === col("kstart")))
+    val covered = removals.select(col("doc_id"),
+      explode(sequence(col("start"), col("start") + (n - 1))).as("idx")).distinct()
+    val pos = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
+    val kept = pos.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(sort_array(collect_list(
+          struct(col("idx"), col("w")))), _.getField("w")), " ").as("text_clean"))
+    words.select(col("doc_id"), size(col("ws")).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0))).as("n_dropped"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Σ aᵢ·bᵢ accumulated as DOUBLE — the one cosine definition (identical to
     * the ANN queries' fold so oracle arithmetic matches bit-for-bit). */
   private def dotCol(a: Column, b: Column): Column = aggregate(

@@ -171,6 +171,13 @@ object CorpusQueries {
       CorpusOps.paragraphDedup(docs(s, dir), col("text"), " merge ")
         .orderBy("doc_id")),
 
+    // Lee et al. 2022 EXACTSUBSTR self-dedup: 6-word windows repeated anywhere
+    // in the corpus keep only the smallest-(doc_id, start) occurrence; the
+    // other occurrences' spans are spliced out of their documents
+    "q_self_substring_dedup" -> ((s, dir) =>
+      CorpusOps.selfSubstringDedup(docs(s, dir), col("text"), n = 6)
+        .orderBy("doc_id")),
+
     // int8 scalar quantization of the embedding corpus (4x storage) — the
     // per-vector scale and quantized codes, serialized for the compare
     "q_embed_quantize" -> ((s, dir) =>
@@ -732,6 +739,37 @@ object CorpusQueries {
          |  coalesce(n_kept, 0) AS n_kept, coalesce(text_kept, '') AS text_kept
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN perdoc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q_self_substring_dedup" ->
+      s"""WITH w AS (SELECT doc_id, ${O.words("text")} AS ws FROM documents),
+         |occ AS (
+         |  SELECT doc_id, i - 1 AS start,
+         |    lower(array_to_string(list_slice(ws, i, i + 5), ' ')) AS g
+         |  FROM w, unnest(range(1, greatest(len(ws) - 5, 0) + 1)) AS u(i)),
+         |dup AS (
+         |  SELECT g, min(doc_id) AS kdoc FROM occ GROUP BY g HAVING count(*) >= 2),
+         |ks AS (
+         |  SELECT o.g, d.kdoc, min(o.start) AS kstart
+         |  FROM occ o JOIN dup d ON o.g = d.g AND o.doc_id = d.kdoc
+         |  GROUP BY o.g, d.kdoc),
+         |rem AS (
+         |  SELECT o.doc_id, o.start FROM occ o JOIN ks ON o.g = ks.g
+         |  WHERE NOT (o.doc_id = ks.kdoc AND o.start = ks.kstart)),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, start + o AS idx
+         |  FROM rem, unnest(range(0, 6)) AS v(o)),
+         |pos AS (
+         |  SELECT doc_id, i - 1 AS idx, ws[i] AS word
+         |  FROM w, unnest(range(1, len(ws) + 1)) AS u(i)),
+         |kept AS (
+         |  SELECT p.doc_id, CAST(count(*) AS INT) AS n_kept,
+         |    string_agg(word, ' ' ORDER BY p.idx) AS text_clean
+         |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.idx = c.idx
+         |  WHERE c.idx IS NULL GROUP BY p.doc_id)
+         |SELECT w.doc_id, CAST(len(ws) AS INT) AS n_words,
+         |  CAST(len(ws) - coalesce(n_kept, 0) AS INT) AS n_dropped,
+         |  coalesce(text_clean, '') AS text_clean
+         |FROM w LEFT JOIN kept USING (doc_id) ORDER BY w.doc_id""".stripMargin,
 
     "q_embed_quantize" ->
       s"""WITH q AS (

@@ -222,6 +222,63 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r(3L).getAs[Int]("n_kept") == 0)
   }
 
+  test("selfSubstringDedup keeps the smallest (doc_id, start) occurrence only") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "unique head alpha beta gamma unique tail"),
+      (2L, "other intro ALPHA beta GAMMA other outro"),
+      (3L, "no shared windows live in this document")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.selfSubstringDedup(d, col("text"), n = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1 holds the canonical copy — untouched
+    assert(r(1L).getAs[Int]("n_dropped") == 0)
+    assert(r(1L).getAs[String]("text_clean") == "unique head alpha beta gamma unique tail")
+    // doc 2's (case-insensitively) identical window is spliced out
+    assert(r(2L).getAs[Int]("n_dropped") == 3)
+    assert(r(2L).getAs[String]("text_clean") == "other intro other outro")
+    assert(r(3L).getAs[Int]("n_dropped") == 0)
+  }
+
+  test("selfSubstringDedup coalesces overlapping duplicated windows into one span") {
+    val sp = spark
+    import sp.implicits._
+    // a 4-word shared passage under n=3 duplicates two overlapping 3-grams;
+    // the covered-position distinct removes 4 words, not 6
+    val d = Seq(
+      (1L, "a b c d first"),
+      (2L, "x a b c d y")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.selfSubstringDedup(d, col("text"), n = 3)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_dropped") == 0)
+    assert(r(2L).getAs[Int]("n_dropped") == 4)
+    assert(r(2L).getAs[String]("text_clean") == "x y")
+  }
+
+  test("selfSubstringDedup removes in-document repetition too") {
+    val sp = spark
+    import sp.implicits._
+    // the same 3-gram twice within one doc: the earlier start is canonical
+    val d = Seq((1L, "p q r mid p q r")).toDF("doc_id", "text")
+    val r = CorpusOps.selfSubstringDedup(d, col("text"), n = 3).collect()(0)
+    assert(r.getAs[Int]("n_dropped") == 3)
+    assert(r.getAs[String]("text_clean") == "p q r mid")
+  }
+
+  test("selfSubstringDedup passes short docs through and never loses a doc") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq((1L, "too short"), (2L, ""), (3L, "also just short"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.selfSubstringDedup(d, col("text"), n = 5)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r.values.forall(_.getAs[Int]("n_dropped") == 0))
+    assert(r(1L).getAs[String]("text_clean") == "too short")
+  }
+
   test("paragraphDedup fingerprints case- and whitespace-insensitively") {
     val sp = spark
     import sp.implicits._
