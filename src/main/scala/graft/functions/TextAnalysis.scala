@@ -221,6 +221,47 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing: Local
+   * Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS algorithm):
+   * lowercase, strip every non-alphanumeric, hash each `k`-char gram, slide a
+   * `w`-hash window and select each window's minimum. Returns the sorted
+   * distinct selected hashes.
+   *
+   * Guarantee (the paper's Theorem): any shared substring of length
+   * `>= w + k - 1` between two documents shares at least one fingerprint, and
+   * no shared substring shorter than `k` produces one. The rightmost-min tie
+   * rule in the paper only changes which *position* is recorded — the selected
+   * VALUE set (what this column emits) is tie-rule independent.
+   *
+   * Shapes: the char array enters every zip as the fold INPUT so it is
+   * evaluated O(k + w) times, never per-gram (no O(len²) re-evaluation); window
+   * minima are a `least`-fold over shifted slices of the hash array, exactly
+   * the [[wordShingles]] construction. Fewer than `k` alphanumeric chars →
+   * empty set; fewer than `w` grams → one window over all grams.
+   */
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
+    val cs = filter(split(regexp_replace(lower(c), "[^a-z0-9]", ""), ""), ch => ch =!= "")
+    val grams = filter(
+      (2 to k).foldLeft(cs) { (acc, j) =>
+        zip_with(acc, slice(cs, lit(j), greatest(size(cs) - (j - 1), lit(0))),
+          (a, b) => concat(a, b))
+      }, g => g.isNotNull)
+    val hashes = transform(grams, g => polyHash(g))
+    // full-window minima: zip_with pads the shorter (shifted) side with NULL, and
+    // the explicit NULL propagation (least() would *skip* nulls and admit partial
+    // tail windows) keeps only the len-w+1 complete windows
+    val fullMins = filter(
+      (2 to w).foldLeft(hashes) { (acc, j) =>
+        zip_with(acc, slice(hashes, lit(j), greatest(size(hashes) - (j - 1), lit(0))),
+          (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(least(a, b)))
+      }, v => v.isNotNull)
+    val sel = when(size(fullMins) > 0, fullMins)
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<bigint>"))
+    array_sort(array_distinct(sel))
+  }
+
+  /**
    * MinHash signature over `n`-word shingles with `k` keyed hash functions:
    * `sig[j] = min over shingles of h_j(shingle)`. The standard scale path for
    * near-dup detection: LSH-band the signature and bucket-join (no O(n^2) pairs).

@@ -240,6 +240,44 @@ object AnalysisQueries {
     "q_doc_fingerprint" -> ((s, dir) => one(s, dir)(
       TextAnalysis.docFingerprint(withNonBmp(col("text"))), "fp")),
 
+    // Winnowing (MOSS) fingerprint profile per document: count + the full sorted
+    // selected-hash set (string-joined into one hashable column). Pure codegen'd
+    // columns inside the scan projection — no shuffle, no UDF.
+    "q_winnow_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("int").as("n_fp"),
+          concat_ws(",", col("fps")).as("fp_str"))
+        .orderBy("doc_id")),
+
+    // Winnowing near-dup: docs sharing >= 80% of the smaller side's selected
+    // fingerprints (the plagiarism-detection join). Scale shape: explode the
+    // per-doc sets, drop boilerplate fingerprints shared by > 1000 docs (the
+    // same hot-key guard as LSH banding — a stop-gram is otherwise a quadratic
+    // blowup inside one join key), one fingerprint equi-join, pair groupBy.
+    // Never an all-pairs comparison; the 80% floor is integer arithmetic
+    // (5*shared >= 4*min) so both engines decide identically.
+    "q_winnow_near_dup" -> ((s, dir) => {
+      val sets = withNearDups(docs(s, dir)).select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
+      val fps = sets.select(col("doc_id"), size(col("fps")).as("n_fp"),
+        explode(col("fps")).as("fp"))
+      val hot = Window.partitionBy("fp")
+      val bounded = fps.withColumn("fp_n", count(lit(1)).over(hot))
+        .filter(col("fp_n") <= 1000).drop("fp_n")
+      val a = bounded.alias("a")
+      val b = bounded.alias("b")
+      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_fp").as("n_fp_a"), col("b.n_fp").as("n_fp_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") * 5 >= least(col("n_fp_a"), col("n_fp_b")) * 4)
+        .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Exact dedup: fingerprint → groupBy → keep collision groups. One shuffle on the
     // hash key; at 100 TB this is the canonical dedup plan (no pairwise compare).
     "q_exact_dedup" -> ((s, dir) =>
@@ -912,6 +950,53 @@ object AnalysisQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" -> docSel(fingerprint(withNonBmpSql("text")), "fp"),
+
+    // winnowing re-derived: k-gram polyHashes over the alnum-stripped text,
+    // full-window minima (one window over everything when grams < w), distinct
+    // set. The outer lambda vars (gi, p) dodge the polyHash helper's own (i).
+    "q_winnow_fingerprint" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN length(s) >= 8
+         |    THEN list_transform(range(1, length(s) - 6),
+         |           gi -> ${O.polyHash("substring(s, gi, 8)")})
+         |    ELSE []::BIGINT[] END AS hs FROM n),
+         |m AS (
+         |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+         |    WHEN len(hs) < 4 THEN [list_min(hs)]
+         |    ELSE list_transform(range(1, len(hs) - 2), p -> list_min(hs[p:p+3]))
+         |    END AS mins FROM g),
+         |f AS (SELECT doc_id, list_sort(list_distinct(mins)) AS fps FROM m)
+         |SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+         |  array_to_string(fps, ',') AS fp_str
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_winnow_near_dup" ->
+      s"""WITH n AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+         |  FROM $nearDupUnion),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN length(s) >= 8
+         |    THEN list_transform(range(1, length(s) - 6),
+         |           gi -> ${O.polyHash("substring(s, gi, 8)")})
+         |    ELSE []::BIGINT[] END AS hs FROM n),
+         |m AS (
+         |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+         |    WHEN len(hs) < 4 THEN [list_min(hs)]
+         |    ELSE list_transform(range(1, len(hs) - 2), p -> list_min(hs[p:p+3]))
+         |    END AS mins FROM g),
+         |f AS (SELECT doc_id, list_distinct(mins) AS fps FROM m),
+         |e AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f),
+         |safe AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000),
+         |b AS (SELECT e.* FROM e JOIN safe USING (fp))
+         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  CAST(count(*) AS INT) AS n_shared
+         |FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+         |GROUP BY a.doc_id, b2.doc_id, a.n_fp, b2.n_fp
+         |HAVING 5 * count(*) >= 4 * least(a.n_fp, b2.n_fp)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_exact_dedup" ->
       s"""SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,

@@ -53,6 +53,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // labeled side is O(n) docs, so an equi-SMJ on doc_id — not a broadcast
     // — is the scale-correct strategy
     "q_leakage_safe_split" -> 1,
+    // the covered-position anti-join back onto the exploded word positions:
+    // both sides are corpus-sized (every word position vs every removed
+    // window position), so an equi-SMJ on (doc_id, idx) is the right call
+    "q_self_substring_dedup" -> 1,
     // five composed crawl-refresh stages joining corpus-sized survivor sets
     // on doc_id (near-dup anti, LM-bucket join, and their re-listed
     // references): equi-SMJ is the scale-correct strategy for each
@@ -143,6 +147,16 @@ class PlanGuardSpec extends AnyFunSuite {
     // metadata chain + forward-fill window + parent groupBy + output sort
     "q_group_by_parent_orphans" -> 5,
     "q_bbox_overlap_pairs" -> 5,
+    // EXACTSUBSTR two-pass inventory: the occurrence subtree (scan + window
+    // explode + xxhash) is re-listed under dupHash/cand, and cand under
+    // dup/keeper/removals, in the AQE-off textual plan — runtime exchange
+    // reuse collapses the duplicates; the live chain is hash groupBy →
+    // exact groupBy → keeper min-agg → anti-join → reassembly groupBy
+    "q_self_substring_dedup" -> 23,
+    // fingerprint explode + hot-fp window + self equi-join + pair groupBy +
+    // output sort; the bounded subtree is re-listed on BOTH sides of the
+    // self-join in the AQE-off textual plan (exchange reuse collapses it)
+    "q_winnow_near_dup" -> 8,
     "q_overlap_cases" -> 5) // pair self-join on the exploded case corpus
   private val DefaultExchCap = 4
 
