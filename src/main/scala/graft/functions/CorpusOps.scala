@@ -177,6 +177,145 @@ object CorpusOps {
   }
 
   /**
+   * In-plane-trained quality classifier — the engine-native twin of the
+   * linear/fastText quality filters used for GPT-3/LLaMA-style corpus
+   * curation (positive = a reference-domain slice, negative = a random
+   * corpus slice), rendered as multinomial Naive Bayes over HASHED word
+   * features. The fastText hashing trick bounds the model at `buckets`
+   * rows BY CONSTRUCTION, so the trained model always broadcasts no matter
+   * how large the training slices are.
+   *
+   * Per-bucket log-likelihood ratio (add-one smoothing over the bucket
+   * space): `llr(b) = ln((cPos+1)/(totPos+B)) - ln((cNeg+1)/(totNeg+B))`;
+   * a doc's score is the sum of its tokens' llr, `quality = hi` iff the
+   * sum is >= 0 (balanced class prior — the slices are sampled, not
+   * population-weighted, so a prior term would be noise).
+   *
+   * Cross-engine determinism: each bucket's llr is scaled to integer
+   * micro-nats BEFORE the per-doc sum (exact long addition, order-free),
+   * the same discipline as [[lmQualityScore]]. The two slice totals are
+   * one-off scalars of the model-build step, like the LM's vocab size.
+   *
+   * Scale shape: training = one explode + groupBy per slice (slices are
+   * tiny vs the corpus); the <= `buckets`-row model broadcasts; scoring =
+   * one explode + ONE broadcast join + `groupBy(doc_id)` — no window, no
+   * self-join. Returns `doc_id, n_tokens, llr_micro_sum, quality`.
+   */
+  def nbQualityClassifier(docs: DataFrame, pos: DataFrame, neg: DataFrame,
+      text: Column, buckets: Int = 1024): DataFrame = {
+    val ws = TextAnalysis.words(lower(text))
+    // both classes' bucket counts through ONE tagged union + groupBy — a
+    // full-outer join of the two count frames would be an SMJ (full outer
+    // cannot broadcast), pure waste on <= `buckets`-row frames
+    def tagged(d: DataFrame, isPos: Boolean) =
+      d.select(explode(ws).as("w"))
+        .select((TextAnalysis.polyHash(col("w")) % buckets).as("b"),
+          lit(if (isPos) 1L else 0L).as("pc"), lit(if (isPos) 0L else 1L).as("nc"))
+    val counts = tagged(pos, isPos = true).unionByName(tagged(neg, isPos = false))
+      .groupBy("b").agg(sum("pc").as("cp"), sum("nc").as("cn"))
+    val totRow = counts.agg(sum("cp"), sum("cn")).head
+    def tot(i: Int): Long =
+      Option(totRow.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (totP, totN) = (tot(0), tot(1))
+    val llrMicro = round((
+      log((coalesce(col("cp"), lit(0L)) + 1L).cast("double") /
+        lit((totP + buckets).toDouble)) -
+      log((coalesce(col("cn"), lit(0L)) + 1L).cast("double") /
+        lit((totN + buckets).toDouble))) * 1e6).cast("long")
+    val model = counts.select(col("b"), llrMicro.as("llr_micro"))
+    // buckets unseen in BOTH slices: cP = cN = 0 -> a constant llr
+    val llr0 = math.round((math.log(1.0 / (totP + buckets)) -
+      math.log(1.0 / (totN + buckets))) * 1e6)
+    val scored = docs.select(col("doc_id"), explode(ws).as("w"))
+      .select(col("doc_id"), (TextAnalysis.polyHash(col("w")) % buckets).as("b"))
+      .join(broadcast(model), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("llr_micro"), lit(llr0))).as("llr_micro_sum"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("llr_micro_sum"), lit(0L)).as("llr_micro_sum"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit("unscored"))
+          .when(coalesce(col("llr_micro_sum"), lit(0L)) >= 0L, lit("hi"))
+          .otherwise(lit("lo")).as("quality"))
+  }
+
+  /**
+   * DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+   * arXiv:2302.03169): score every raw doc by the log importance weight
+   * `log w(x) = Σ_f log(p_target(f)/p_raw(f))` under hashed n-gram bag
+   * models (the paper uses unigrams+bigrams hashed to 10k buckets; here
+   * both orders hash into `buckets`), then resample WITHOUT replacement by
+   * Gumbel top-k: `key = log w + g`, `g = -ln(-ln(u))`. The paper draws
+   * `u ~ Uniform(0,1)`; here `u` derives from the salted cascaded hash of
+   * `doc_id` (the [[stratifiedSample]] draw — the polynomial hash is affine
+   * in its final chars, so the cascade, not the raw hash, feeds the draw),
+   * making the selection deterministic across engines and retries — a
+   * speculative-execution requirement a seeded RNG cannot meet.
+   *
+   * The feature llr table reuses the [[nbQualityClassifier]] construction
+   * (add-one smoothing, integer micro-nats, broadcast <= `buckets` rows);
+   * `log w` in nats recovers as `llr_micro_sum / 1e6` only in the final
+   * key, after the exact long sum.
+   *
+   * Scale shape: scoring = explode + broadcast join + groupBy(doc_id);
+   * selection = global top-k with k << n, which Spark executes as
+   * TakeOrdered (per-partition heap + driver merge), never a full sort
+   * shuffle. Returns the k selected docs:
+   * `doc_id, n_feats, llr_micro_sum, key_micro`.
+   */
+  def dsirSelect(raw: DataFrame, target: DataFrame, text: Column, k: Int,
+      buckets: Int = 1024, salt: String = "dsir"): DataFrame = {
+    val feats = {
+      val lw = lower(text)
+      concat(TextAnalysis.words(lw), TextAnalysis.wordShingles(lw, 2))
+    }
+    // both distributions' bucket counts via ONE tagged union + groupBy (a
+    // full-outer count join would be an un-broadcastable SMJ — see
+    // [[nbQualityClassifier]])
+    def tagged(d: DataFrame, isTgt: Boolean) =
+      d.select(explode(feats).as("f"))
+        .select((TextAnalysis.polyHash(col("f")) % buckets).as("b"),
+          lit(if (isTgt) 1L else 0L).as("tc"), lit(if (isTgt) 0L else 1L).as("rc"))
+    val counts = tagged(target, isTgt = true).unionByName(tagged(raw, isTgt = false))
+      .groupBy("b").agg(sum("tc").as("ct"), sum("rc").as("cr"))
+    val totRow = counts.agg(sum("ct"), sum("cr")).head
+    def tot(i: Int): Long =
+      Option(totRow.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (totT, totR) = (tot(0), tot(1))
+    val llrMicro = round((
+      log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+        lit((totT + buckets).toDouble)) -
+      log((coalesce(col("cr"), lit(0L)) + 1L).cast("double") /
+        lit((totR + buckets).toDouble))) * 1e6).cast("long")
+    val model = counts.select(col("b"), llrMicro.as("llr_micro"))
+    val llr0 = math.round((math.log(1.0 / (totT + buckets)) -
+      math.log(1.0 / (totR + buckets))) * 1e6)
+    val scored = raw.select(col("doc_id"), explode(feats).as("f"))
+      .select(col("doc_id"), (TextAnalysis.polyHash(col("f")) % buckets).as("b"))
+      .join(broadcast(model), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("llr_micro"), lit(llr0))).as("llr_micro_sum"))
+    // deterministic Gumbel: u = (cascadedHash % 2^20 + 0.5) / 2^20 — never 0
+    // or 1, so both ln() calls are finite. The Gumbel term is rounded to
+    // integer micro-nats per doc and added to the (already integer) llr sum
+    // with exact long arithmetic — the selection key is engine-exact, never
+    // a chained-libm double
+    val inner = TextAnalysis.polyHash(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val u = (pmod(TextAnalysis.polyHash(inner.cast("string")), lit(1048576L))
+      .cast("double") + 0.5) / 1048576.0
+    val keyMicro = col("llr_micro_sum") + round(-log(-log(u)) * 1e6).cast("long")
+    scored.select(col("doc_id"), col("n_feats"), col("llr_micro_sum"),
+        keyMicro.as("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * Incremental NEAR-dup of a delta against a PRIOR corpus snapshot — the
    * MinHash twin of [[incrementalDedup]] for the recurring-crawl case where
    * re-crawled pages drift (boilerplate churn, timestamps) and exact

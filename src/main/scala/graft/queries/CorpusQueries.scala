@@ -135,6 +135,28 @@ object CorpusQueries {
         .orderBy("doc_id")
     }),
 
+    // fastText-style quality filter (the GPT-3/LLaMA curation classifier)
+    // rendered as hashed-feature Naive Bayes trained in-plane: positive =
+    // the reference-domain slice (doc_id % 11 = 5, same as the CCNet LM),
+    // negative = a disjoint random slice (doc_id % 11 = 7)
+    "q_nb_quality" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      CorpusOps.nbQualityClassifier(d,
+        d.filter(col("doc_id") % 11 === 5),
+        d.filter(col("doc_id") % 11 === 7),
+        col("text")).orderBy("doc_id")
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram llr
+    // vs the target slice, deterministic Gumbel top-k (k = 50)
+    "q_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("text"))
+      CorpusOps.dsirSelect(d, d.filter(col("doc_id") % 11 === 5),
+        col("text"), k = 50)
+    }),
+
     "q_stratified_sample" -> ((s, dir) =>
       CorpusOps.stratifiedSample(docs(s, dir), col("lang"),
         Seq("en" -> 0.3, "zh" -> 0.7), defaultRate = 1.0, salt = "mix1")
@@ -611,6 +633,93 @@ object CorpusQueries {
          |       ELSE 'tail' END AS bucket
          |FROM corpus c LEFT JOIN scored USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // hashed-feature NB re-derived: per-slice bucket counts, add-one-smoothed
+    // llr in integer micro-nats, per-doc exact long sums
+    "q_nb_quality" -> {
+      val bh = s"${O.polyHash("w")} % 1024"
+      s"""WITH corpus AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS w
+         |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM corpus)),
+         |posb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cp FROM tok
+         |  WHERE doc_id % 11 = 5 GROUP BY 1),
+         |negb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cn FROM tok
+         |  WHERE doc_id % 11 = 7 GROUP BY 1),
+         |tots AS (
+         |  SELECT (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) FROM posb) AS tp,
+         |         (SELECT CAST(coalesce(sum(cn), 0) AS BIGINT) FROM negb) AS tn),
+         |model AS (
+         |  SELECT coalesce(p.b, n.b) AS b,
+         |    CAST(round((ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tp FROM tots) + 1024)) -
+         |      ln(CAST(coalesce(cn, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tn FROM tots) + 1024))) * 1e6) AS BIGINT) AS llr
+         |  FROM posb p FULL OUTER JOIN negb n ON p.b = n.b),
+         |dflt AS (
+         |  SELECT CAST(round((ln(1.0 / (tp + 1024)) -
+         |    ln(1.0 / (tn + 1024))) * 1e6) AS BIGINT) AS llr0 FROM tots),
+         |scored AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(coalesce(m.llr, (SELECT llr0 FROM dflt))) AS BIGINT)
+         |      AS llr_micro_sum
+         |  FROM (SELECT doc_id, $bh AS b FROM tok) t
+         |  LEFT JOIN model m ON t.b = m.b GROUP BY t.doc_id)
+         |SELECT c.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+         |  coalesce(llr_micro_sum, 0) AS llr_micro_sum,
+         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 'unscored'
+         |       WHEN coalesce(llr_micro_sum, 0) >= 0 THEN 'hi'
+         |       ELSE 'lo' END AS quality
+         |FROM corpus c LEFT JOIN scored USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // DSIR re-derived: hashed uni+bigram llr vs the target slice, integer
+    // micro-nat Gumbel keys from the cascaded doc_id hash, top-50
+    "q_dsir_select" -> {
+      val bh = s"${O.polyHash("f")} % 1024"
+      val gh = O.polyHash(
+        s"CAST(${O.polyHash("(CAST(doc_id AS VARCHAR) || ':dsir')")} AS VARCHAR)")
+      s"""WITH corpus AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+         |fx AS (
+         |  SELECT doc_id, list_concat(ws, ${O.shingles2("ws")}) AS fs
+         |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM corpus)),
+         |feat AS (SELECT doc_id, unnest(fs) AS f FROM fx),
+         |tgtb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS ct FROM feat
+         |  WHERE doc_id % 11 = 5 GROUP BY 1),
+         |rawb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cr FROM feat GROUP BY 1),
+         |tots AS (
+         |  SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgtb) AS tt,
+         |         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rawb) AS tr),
+         |model AS (
+         |  SELECT coalesce(t.b, r.b) AS b,
+         |    CAST(round((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tt FROM tots) + 1024)) -
+         |      ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tr FROM tots) + 1024))) * 1e6) AS BIGINT) AS llr
+         |  FROM tgtb t FULL OUTER JOIN rawb r ON t.b = r.b),
+         |dflt AS (
+         |  SELECT CAST(round((ln(1.0 / (tt + 1024)) -
+         |    ln(1.0 / (tr + 1024))) * 1e6) AS BIGINT) AS llr0 FROM tots),
+         |scored AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(coalesce(m.llr, (SELECT llr0 FROM dflt))) AS BIGINT)
+         |      AS llr_micro_sum
+         |  FROM (SELECT doc_id, $bh AS b FROM feat) t
+         |  LEFT JOIN model m ON t.b = m.b GROUP BY t.doc_id)
+         |SELECT doc_id, n_feats, llr_micro_sum,
+         |  llr_micro_sum + CAST(round(-ln(-ln(
+         |    (CAST($gh % 1048576 AS DOUBLE) + 0.5) / 1048576.0)) * 1e6)
+         |    AS BIGINT) AS key_micro
+         |FROM scored
+         |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin
     },
 
     // delta bands × history bands equi-join (history hot-band cap), exact

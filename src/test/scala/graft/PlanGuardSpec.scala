@@ -147,6 +147,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // metadata chain + forward-fill window + parent groupBy + output sort
     "q_group_by_parent_orphans" -> 5,
     "q_bbox_overlap_pairs" -> 5,
+    // tagged-union model groupBy (its two explode branches re-listed in the
+    // AQE-off textual plan) + the broadcast model probe + groupBy(doc_id) +
+    // the corpus left join + output sort; the model is <= 1024 rows by the
+    // hashing-trick bound, so the probe join is always broadcast
+    "q_nb_quality" -> 9,
+    // same model shape over uni+bigram features; no corpus join back — the
+    // tail is the TakeOrdered top-k, which adds no exchange
+    "q_dsir_select" -> 6,
     // EXACTSUBSTR two-pass inventory: the occurrence subtree (scan + window
     // explode + xxhash) is re-listed under dupHash/cand, and cand under
     // dup/keeper/removals, in the AQE-off textual plan — runtime exchange

@@ -559,6 +559,68 @@ class CorpusOpsSpec extends SparkSuiteBase {
         .collect().sortBy(_.getLong(0)).toSeq)
   }
 
+  test("nbQualityClassifier separates pos-like from neg-like docs") {
+    val sp = spark
+    import sp.implicits._
+    val pos = Seq(Tuple1("curated encyclopedia prose with citations and structure"),
+      Tuple1("curated reference prose citations structure encyclopedia")).toDF("text")
+    val neg = Seq(Tuple1("click here buy now spam casino jackpot winner"),
+      Tuple1("spam casino click jackpot buy winner now here")).toDF("text")
+    val d = Seq(
+      (1L, "encyclopedia prose with citations"),
+      (2L, "buy now casino jackpot spam"),
+      (3L, "")).toDF("doc_id", "text")
+    val r = CorpusOps.nbQualityClassifier(d, pos, neg, col("text"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("quality") == "hi")
+    assert(r(1L).getAs[Long]("llr_micro_sum") > 0)
+    assert(r(2L).getAs[String]("quality") == "lo")
+    assert(r(2L).getAs[Long]("llr_micro_sum") < 0)
+    assert(r(3L).getAs[String]("quality") == "unscored")
+    assert(r(3L).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("nbQualityClassifier words unseen in either slice score the constant llr") {
+    val sp = spark
+    import sp.implicits._
+    val pos = Seq(Tuple1("alpha")).toDF("text")
+    val neg = Seq(Tuple1("beta")).toDF("text")
+    // totP = totN = 1 -> llr0 = ln(1/1025) - ln(1/1025) = 0 for unseen buckets
+    val d = Seq((1L, "zeta theta kappa")).toDF("doc_id", "text")
+    val r = CorpusOps.nbQualityClassifier(d, pos, neg, col("text")).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("llr_micro_sum") == 0L)
+    assert(r.getAs[String]("quality") == "hi") // >= 0 ties to hi
+  }
+
+  test("dsirSelect prefers target-like docs and is deterministic") {
+    val sp = spark
+    import sp.implicits._
+    val target = Seq(Tuple1("solar physics magnetic reconnection plasma dynamics"),
+      Tuple1("plasma dynamics solar magnetic physics reconnection")).toDF("text")
+    val raw = (1L to 20L).map { i =>
+      if (i <= 5) (i, "solar plasma physics magnetic dynamics notes")
+      else (i, s"misc chatter number $i about shopping lists and errands")
+    }.toDF("doc_id", "text")
+    val sel = CorpusOps.dsirSelect(raw, target, col("text"), k = 5)
+    val rows = sel.collect()
+    assert(rows.length == 5)
+    // the Gumbel noise can let one off-target doc in, but the target-like
+    // docs dominate a k=5 draw from 5 on-target / 15 off-target
+    val onTarget = rows.map(_.getLong(0)).count(_ <= 5L)
+    assert(onTarget >= 4, rows.map(_.getLong(0)).mkString(","))
+    assert(sel.collect().map(_.getLong(0)).toSeq ==
+      rows.map(_.getLong(0)).toSeq) // deterministic re-run
+  }
+
+  test("dsirSelect caps the selection at k even when all docs qualify") {
+    val sp = spark
+    import sp.implicits._
+    val t = Seq(Tuple1("same words everywhere")).toDF("text")
+    val raw = (1L to 8L).map(i => (i, "same words everywhere")).toDF("doc_id", "text")
+    assert(CorpusOps.dsirSelect(raw, t, col("text"), k = 3).count() == 3L)
+  }
+
   test("piiScrub does not count the IPv4 inside an email host") {
     val sp = spark
     import sp.implicits._
