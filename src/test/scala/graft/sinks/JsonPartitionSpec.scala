@@ -34,6 +34,51 @@ class JsonPartitionSpec extends SparkSuiteBase {
     assert(back.forall(_.metadata.filename.contains("fake-text.txt")))
   }
 
+  // -- test_partition_json_from_filename/from_file/from_text parametrize over
+  // the reference's `test_files` (fake-text.txt, fake-html.html,
+  // eml/fake-email.eml): real docs partition -> JSON array -> rehydrate to
+  // the identical (type, text) stream
+  test("real example docs survive the JSON round trip (test_files sweep)") {
+    val sp = spark
+    import sp.implicits._
+    import java.nio.file.{Files, Paths}
+    for (name <- Seq("fake-text.txt", "fake-html.html", "eml/fake-email.eml")) {
+      val raw = Files.readAllBytes(
+        Paths.get("/root/reference/example-docs/" + name))
+      val (_, ps) = graft.sources.Partitioners
+        .partitionAuto(name.split('/').last, raw)
+      assert(ps.nonEmpty, name)
+      // resolve untyped paragraphs through the same classifier cascade the
+      // DataFrame pipeline applies
+      val typed = {
+        val df = ps.zipWithIndex
+          .map { case (p, i) => (i, p.elementType.orNull, p.text, p.classifier) }
+          .toDF("i", "raw_type", "text", "classifier")
+        val derived = graft.sources.HtmlSource.classifierCascade(
+          org.apache.spark.sql.functions.col("classifier"),
+          org.apache.spark.sql.functions.col("text"))
+        df.select(org.apache.spark.sql.functions.col("i"),
+            org.apache.spark.sql.functions.coalesce(
+              org.apache.spark.sql.functions.col("raw_type"), derived).as("t"),
+            org.apache.spark.sql.functions.col("text"))
+          .orderBy("i").collect().toSeq
+          .map(r => (r.getString(1), r.getString(2)))
+          .filter(_._1 != null)
+      }
+      val els = typed.zipWithIndex.map { case ((t, txt), i) =>
+        Element(s"e$i", t, txt, name, i.toLong,
+          ElementMetadata(filename = Some(name.split('/').last)))
+      }
+      val lines = ElementSink.toNdjson(els.toDS()).collect()
+      val arrayText = lines.mkString("[\n  ", ",\n  ", "\n]")
+      val back = ElementSink.partitionJson(sp, arrayText)
+        .collect().toSeq.sortBy(_.seq)
+      assert(back.map(e => (e.`type`, e.text)) == els.map(e => (e.`type`, e.text)),
+        name)
+      assert(back.forall(_.metadata.filename.contains(name.split('/').last)), name)
+    }
+  }
+
   test("empty string partitions to no elements") {
     assert(ElementSink.partitionJson(spark, "").count() == 0)
     assert(ElementSink.partitionJson(spark, "   ").count() == 0)
@@ -88,6 +133,18 @@ class JsonPartitionSpec extends SparkSuiteBase {
   test("ndjson with no recognizable elements raises") {
     intercept[IllegalArgumentException] {
       ElementSink.partitionNdjsonText(spark, """{"invalid": "schema"}""")
+    }
+  }
+
+  // -- test_partition_ndjson_works_with_empty_string / _fails_with_empty_item /
+  // _fails_with_empty_list (test_ndjson.py:188-199)
+  test("ndjson: empty text yields nothing; '{}' and '[]' lines raise") {
+    assert(ElementSink.partitionNdjsonText(spark, "").count() == 0)
+    intercept[IllegalArgumentException] {
+      ElementSink.partitionNdjsonText(spark, "{}")
+    }
+    intercept[IllegalArgumentException] {
+      ElementSink.partitionNdjsonText(spark, "[]")
     }
   }
 

@@ -63,6 +63,27 @@ class MsgBehaviorSpec extends SparkSuiteBase {
     assert((meta.cc ++ meta.bcc).forall(_.contains("@")))
   }
 
+  // -- DescribeMsgPartitionerOptions.extra_msg_metadata (test_msg.py:462-478) ------
+
+  test("cc-and-bcc message pins the reference's exact extra metadata") {
+    val (m, _) = MsgPartitioner.partitionMsg(bytes("fake-email-with-cc-and-bcc.msg"))
+    assert(m.bcc == Seq("hello@unstructured.io"))
+    assert(m.cc == Seq("steve@unstructured.io"))
+    // angle brackets stripped (msg.py:98-99)
+    assert(m.messageId.contains("14DDEF33-2BA7-4CDD-A4D8-E7C5873B37F2@gmail.com"))
+    assert(m.sentFrom == Seq("\"John\" <johnjennings702@gmail.com>"))
+    assert(m.sentTo == Seq("john-ctr@unstructured.io", "steve@unstructured.io",
+      "hello@unstructured.io"))
+    assert(m.subject.contains("Fake email with cc and bcc recipients"))
+  }
+
+  // -- DescribeMsgPartitionerOptions.is_encrypted parametrize (test_msg.py:482-491)
+
+  test("encryption detection contrasts: encrypted empty, plain non-empty") {
+    assert(MsgPartitioner.partitionMsg(bytes("fake-encrypted.msg"))._2.isEmpty)
+    assert(MsgPartitioner.partitionMsg(bytes("fake-email.msg"))._2.nonEmpty)
+  }
+
   // -- test_partition_msg_with_pgp_encrypted_message ------------------------------
 
   test("encrypted message partitions to zero elements") {
