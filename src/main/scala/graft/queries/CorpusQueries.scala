@@ -148,6 +148,13 @@ object CorpusQueries {
         col("text")).orderBy("doc_id")
     }),
 
+    // streaming twin: the SAME classifier trains batch-side, bakes into a
+    // per-row array-literal column, and scores the arriving corpus with zero
+    // keyed state; verified by the batch oracle
+    "q_stream_nb_quality" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .nbQualityAvailableNow(s, s"$dir/documents.parquet")),
+
     // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram llr
     // vs the target slice, deterministic Gumbel top-k (k = 50)
     "q_dsir_select" -> ((s, dir) => {
@@ -527,6 +534,50 @@ object CorpusQueries {
        |FROM documents d LEFT JOIN hits USING (doc_id) ORDER BY d.doc_id""".stripMargin
   }
 
+  /** hashed-feature NB re-derived: per-slice bucket counts, add-one-smoothed
+    * llr in integer micro-nats, per-doc exact long sums — shared by the
+    * batch and streaming renderings. */
+  private lazy val NbQualityOracleSql: String = {
+    val bh = s"${O.polyHash("w")} % 1024"
+    s"""WITH corpus AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(ws) AS w
+       |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM corpus)),
+       |posb AS (
+       |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cp FROM tok
+       |  WHERE doc_id % 11 = 5 GROUP BY 1),
+       |negb AS (
+       |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cn FROM tok
+       |  WHERE doc_id % 11 = 7 GROUP BY 1),
+       |tots AS (
+       |  SELECT (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) FROM posb) AS tp,
+       |         (SELECT CAST(coalesce(sum(cn), 0) AS BIGINT) FROM negb) AS tn),
+       |model AS (
+       |  SELECT coalesce(p.b, n.b) AS b,
+       |    CAST(round((ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) /
+       |        ((SELECT tp FROM tots) + 1024)) -
+       |      ln(CAST(coalesce(cn, 0) + 1 AS DOUBLE) /
+       |        ((SELECT tn FROM tots) + 1024))) * 1e6) AS BIGINT) AS llr
+       |  FROM posb p FULL OUTER JOIN negb n ON p.b = n.b),
+       |dflt AS (
+       |  SELECT CAST(round((ln(1.0 / (tp + 1024)) -
+       |    ln(1.0 / (tn + 1024))) * 1e6) AS BIGINT) AS llr0 FROM tots),
+       |scored AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(coalesce(m.llr, (SELECT llr0 FROM dflt))) AS BIGINT)
+       |      AS llr_micro_sum
+       |  FROM (SELECT doc_id, $bh AS b FROM tok) t
+       |  LEFT JOIN model m ON t.b = m.b GROUP BY t.doc_id)
+       |SELECT c.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       |  coalesce(llr_micro_sum, 0) AS llr_micro_sum,
+       |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 'unscored'
+       |       WHEN coalesce(llr_micro_sum, 0) >= 0 THEN 'hi'
+       |       ELSE 'lo' END AS quality
+       |FROM corpus c LEFT JOIN scored USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
 
     "q_decontaminate" -> DecontaminateOracleSql,
@@ -637,46 +688,11 @@ object CorpusQueries {
 
     // hashed-feature NB re-derived: per-slice bucket counts, add-one-smoothed
     // llr in integer micro-nats, per-doc exact long sums
-    "q_nb_quality" -> {
-      val bh = s"${O.polyHash("w")} % 1024"
-      s"""WITH corpus AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
-         |tok AS (
-         |  SELECT doc_id, unnest(ws) AS w
-         |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM corpus)),
-         |posb AS (
-         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cp FROM tok
-         |  WHERE doc_id % 11 = 5 GROUP BY 1),
-         |negb AS (
-         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cn FROM tok
-         |  WHERE doc_id % 11 = 7 GROUP BY 1),
-         |tots AS (
-         |  SELECT (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) FROM posb) AS tp,
-         |         (SELECT CAST(coalesce(sum(cn), 0) AS BIGINT) FROM negb) AS tn),
-         |model AS (
-         |  SELECT coalesce(p.b, n.b) AS b,
-         |    CAST(round((ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) /
-         |        ((SELECT tp FROM tots) + 1024)) -
-         |      ln(CAST(coalesce(cn, 0) + 1 AS DOUBLE) /
-         |        ((SELECT tn FROM tots) + 1024))) * 1e6) AS BIGINT) AS llr
-         |  FROM posb p FULL OUTER JOIN negb n ON p.b = n.b),
-         |dflt AS (
-         |  SELECT CAST(round((ln(1.0 / (tp + 1024)) -
-         |    ln(1.0 / (tn + 1024))) * 1e6) AS BIGINT) AS llr0 FROM tots),
-         |scored AS (
-         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |    CAST(sum(coalesce(m.llr, (SELECT llr0 FROM dflt))) AS BIGINT)
-         |      AS llr_micro_sum
-         |  FROM (SELECT doc_id, $bh AS b FROM tok) t
-         |  LEFT JOIN model m ON t.b = m.b GROUP BY t.doc_id)
-         |SELECT c.doc_id, coalesce(n_tokens, 0) AS n_tokens,
-         |  coalesce(llr_micro_sum, 0) AS llr_micro_sum,
-         |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 'unscored'
-         |       WHEN coalesce(llr_micro_sum, 0) >= 0 THEN 'hi'
-         |       ELSE 'lo' END AS quality
-         |FROM corpus c LEFT JOIN scored USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_nb_quality" -> NbQualityOracleSql,
+
+    // the streaming twin scores the same corpus through the same model —
+    // one oracle pins both renderings
+    "q_stream_nb_quality" -> NbQualityOracleSql,
 
     // DSIR re-derived: hashed uni+bigram llr vs the target slice, integer
     // micro-nat Gumbel keys from the cascaded doc_id hash, top-50

@@ -364,6 +364,48 @@ object StreamingOps {
   }
 
   /**
+   * Streaming twin of [[graft.functions.CorpusOps.nbQualityClassifier]] —
+   * live quality scoring of an arriving corpus. The classifier trains
+   * BATCH-side (the model is a snapshot artifact), then collapses to a
+   * `buckets`-wide llr ARRAY LITERAL baked into the scoring expression:
+   * each micro-batch scores every doc as one pure codegen'd per-row column —
+   * zero keyed state, zero stream-side join, append mode, so the op runs
+   * forever at any scale and per-batch work is O(batch). Collecting the
+   * model is O(buckets) by the hashing-trick bound — the same artifact
+   * discipline as [[incrementalDedupAvailableNow]]'s Bloom bitset.
+   * Constant-folding turns the array literal into one shared ArrayData, not
+   * a per-row allocation. The batch oracle verifies the streamed result.
+   */
+  def nbQualityAvailableNow(spark: SparkSession, documentsPath: String,
+      buckets: Int = 1024): DataFrame = {
+    import graft.functions.{CorpusOps, TextAnalysis}
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    val d = spark.read.parquet(documentsPath)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val (modelDf, llr0) = CorpusOps.nbModel(
+      d.filter(col("doc_id") % 11 === 5), d.filter(col("doc_id") % 11 === 7),
+      col("text"), buckets)
+    val llrByBucket = Array.fill(buckets)(llr0)
+    modelDf.collect().foreach(r => llrByBucket(r.getLong(0).toInt) = r.getLong(1))
+    val llrArr = array(llrByBucket.toSeq.map(lit(_)): _*)
+    drainAvailableNow(spark, documentsPath, "nbquality", "append") { dir =>
+      val ws = TextAnalysis.words(lower(col("text")))
+      val perTok = transform(ws, w =>
+        element_at(llrArr, (TextAnalysis.polyHash(w) % buckets).cast("int") + 1))
+      spark.readStream.schema(schema).parquet(dir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          coalesce(size(ws), lit(0)).cast("long").as("n_tokens"),
+          coalesce(aggregate(perTok, lit(0L), (a, v) => a + v), lit(0L))
+            .as("llr_micro_sum"))
+        .withColumn("quality",
+          when(col("n_tokens") === 0L, lit("unscored"))
+            .when(col("llr_micro_sum") >= 0L, lit("hi"))
+            .otherwise(lit("lo")))
+    }.orderBy("doc_id")
+  }
+
+  /**
    * Streaming twin of [[graft.functions.CorpusOps.incrementalNearDup]] — the
    * live-crawl rendering: the PRIOR snapshot's hot-band-capped MinHash band
    * index and shingle sets are STATIC frames (computed once per snapshot,

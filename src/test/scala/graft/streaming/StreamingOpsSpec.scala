@@ -543,4 +543,18 @@ class StreamingOpsSpec extends SparkSuiteBase {
       assert(rows()(20L) == ((0L, 0L, 1L, 15L, false)))
     } finally query.stop()
   }
+
+  test("streaming NB quality scoring equals the batch classifier exactly") {
+    import org.apache.spark.sql.functions._
+    val sfDocs = "/root/testdata/sf0.001/documents.parquet"
+    val d = spark.read.parquet(sfDocs)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val batch = graft.functions.CorpusOps.nbQualityClassifier(d,
+        d.filter(col("doc_id") % 11 === 5), d.filter(col("doc_id") % 11 === 7),
+        col("text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val streamed = StreamingOps.nbQualityAvailableNow(spark, sfDocs)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
