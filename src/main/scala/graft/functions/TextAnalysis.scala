@@ -22,6 +22,15 @@ object TextAnalysis {
   /** Word tokens: split on whitespace, drop empties. */
   def words(c: Column): Column = filter(split(c, "\\s+"), w => w =!= "")
 
+  /** Let-binding for HOF pipelines: binds `x` as the lambda variable of a
+    * single-element `transform`, so the body can reference it any number of
+    * times while it is EVALUATED exactly once. HOF expressions run
+    * interpreted (no codegen, no common-subexpression elimination), so a
+    * subtree referenced k times is otherwise re-computed k times per row —
+    * the winnowing fingerprint was 10x slower before let-binding. */
+  private[graft] def letCol(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
   /**
    * Polynomial rolling hash of a string: `h = fold(h * 31 + codepoint) mod 1e9+7`
    * — a native codegen'd Catalyst expression ([[graft.functions.expr.PolyHash]]);
@@ -210,9 +219,8 @@ object TextAnalysis {
    * Built by zipping the word array with its own shifted tails (each input array
    * evaluated once — no per-shingle `slice` copies, no O(words²) re-evaluation).
    */
-  def wordShingles(c: Column, n: Int): Column = {
-    val ws = words(c)
-    val zipped = (2 to n).foldLeft(ws) { (acc, k) =>
+  def wordShingles(c: Column, n: Int): Column = letCol(words(c)) { ws =>
+    val zipped = (2 to n).foldLeft(ws: Column) { (acc, k) =>
       zip_with(acc, slice(ws, lit(k), greatest(size(ws) - (k - 1), lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
@@ -247,8 +255,7 @@ object TextAnalysis {
     // once no matter how many times the next stage references them. Without
     // this the inlined tree re-derives the char split O(k·w) times per doc —
     // measured 10x slower at sf0.1.
-    def let(x: Column)(body: Column => Column): Column =
-      element_at(transform(array(x), body), 1)
+    def let(x: Column)(body: Column => Column): Column = letCol(x)(body)
     val csExpr =
       filter(split(regexp_replace(lower(c), "[^a-z0-9]", ""), ""), ch => ch =!= "")
     let(csExpr) { cs =>
