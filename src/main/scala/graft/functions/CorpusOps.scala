@@ -679,6 +679,86 @@ object CorpusOps {
    * `doc_id, bucket, n_tokens, example_id, offset_in_example,
    * crosses_boundary`.
    */
+  /**
+   * TF-IDF top-`k` terms per document (the smooth sklearn-style idf:
+   * `ln((N+1)/(df+1)) + 1`), the classic corpus-analytics primitive for
+   * keyword extraction / doc profiling. Scores are exact longs: idf scales
+   * to integer micro-nats once per TERM (round(ln·1e6) + 1e6), then
+   * `score = tf · idf_micro` is integer multiplication — no float ever
+   * aggregates, so top-k ties resolve identically on any engine (rank by
+   * score desc, term asc).
+   *
+   * Scale shape: tf = one explode + groupBy(doc_id, term) with map-side
+   * combine; df derives from tf by a groupBy(term) (never a second corpus
+   * pass); the idf join back is equi on term (vocabulary-sized — SMJ is the
+   * scale-correct strategy, a broadcast would assume a bounded vocabulary);
+   * top-k is a window partitioned by doc_id. N (corpus size) is a one-off
+   * scalar of the model-build step. Returns `doc_id, rank, term,
+   * score_micro`.
+   */
+  def tfIdfTopTerms(d: DataFrame, text: Column, k: Int): DataFrame = {
+    val n = d.count()
+    val tf = d.select(col("doc_id"), explode(TextAnalysis.words(lower(text))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        (round(log((lit(n) + 1.0) / (col("df") + lit(1.0))) * 1e6).cast("long") +
+          1000000L).as("idf_micro"))
+    val ranked = tf.join(idf, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * col("idf_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("term"))))
+    ranked.filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score_micro"))
+  }
+
+  /**
+   * Deterministic token-budget head selection — "take the first `budget`
+   * tokens worth of documents" in a seeded shuffle order, the standard way a
+   * training run pins its corpus slice to a token count. The order is the
+   * salted CASCADED doc hash (uniform, identical across engines and retries;
+   * the raw polynomial hash is affine in its last chars — see
+   * [[stratifiedSample]]). A doc is kept iff the running token total BEFORE
+   * it is < `budget`: the boundary doc that crosses the budget is kept
+   * ("fill then close on overflow"); callers wanting a hard cap filter
+   * `cum_start + n_tokens <= budget`.
+   *
+   * Scale shape — an exact GLOBAL prefix sum with NO global sort: the sort
+   * key's high bits split the corpus into `buckets` ranges, stage 1
+   * aggregates per-bucket token sums (one groupBy to a k-row frame) and
+   * computes cross-bucket running offsets with a window over those k rows
+   * only, stage 2 computes within-bucket prefixes with a window PARTITIONED
+   * by bucket (parallel, each task sees corpus/k rows) and adds the
+   * broadcast bucket offset. No task ever materializes a global order.
+   * Returns `doc_id, n_tokens, sort_key, cum_start, keep`.
+   */
+  def tokenBudgetHead(d: DataFrame, tokens: Column, budget: Long,
+      salt: String = "budget", buckets: Int = 256): DataFrame = {
+    val inner = TextAnalysis.polyHash(
+      concat(col("doc_id").cast("string"), lit(":" + salt)))
+    val key = TextAnalysis.polyHash(inner.cast("string"))
+    // bucket = the key's range index — a MONOTONE function of the key, so
+    // bucket boundaries respect the global (key, doc_id) order
+    val span = (TextAnalysis.HashMod + buckets - 1) / buckets
+    val keyed = d.select(col("doc_id"),
+      coalesce(tokens.cast("long"), lit(0L)).as("n_tokens"),
+      key.as("sort_key"), (key / span).cast("long").as("bucket"))
+    val offsets = keyed.groupBy("bucket").agg(sum("n_tokens").as("bucket_sum"))
+      .withColumn("bucket_start",
+        coalesce(sum("bucket_sum").over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bucket_start")
+    val local = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    keyed
+      .withColumn("local_end", sum("n_tokens").over(local))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), col("n_tokens"), col("sort_key"),
+        (col("bucket_start") + col("local_end") - col("n_tokens")).as("cum_start"))
+      .withColumn("keep", col("cum_start") < budget)
+  }
+
   def packSequences(d: DataFrame, tokens: Column, buckets: Int,
       ctxLen: Int): DataFrame = {
     val w = Window.partitionBy("bucket").orderBy("doc_id")

@@ -177,6 +177,20 @@ object CorpusQueries {
         alpha = 0.5, targetFrac = 0.5, salt = "temp1")
         .orderBy("doc_id")),
 
+    // TF-IDF top-3 terms per doc: integer micro-nat idf, exact long scores,
+    // deterministic (score desc, term asc) ranking
+    "q_tfidf_top_terms" -> ((s, dir) =>
+      CorpusOps.tfIdfTopTerms(docs(s, dir), col("text"), k = 3)
+        .orderBy("doc_id", "rank")),
+
+    // exact-token-budget corpus head: seeded-hash order, two-stage global
+    // prefix sum (per-bucket sums + a k-row offset window) — no global sort
+    "q_token_budget_head" -> ((s, dir) =>
+      CorpusOps.tokenBudgetHead(docs(s, dir),
+        graft.functions.TextAnalysis.tokenCountWhitespace(col("text")),
+        budget = 10000L, salt = "tb1")
+        .orderBy("doc_id")),
+
     "q_pack_sequences" -> ((s, dir) =>
       CorpusOps.packSequences(docs(s, dir),
         TextAnalysis.tokenCountWhitespace(col("text")),
@@ -1107,6 +1121,48 @@ object CorpusQueries {
          |       WHEN $h % 10000 < 9000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM assigned ORDER BY doc_id""".stripMargin
+    },
+
+    // tf from unnested lowercase tokens, df from tf, smooth idf in integer
+    // micro-nats, rank by (score desc, term asc)
+    "q_tfidf_top_terms" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${O.words("lower(text)")}) AS w
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |idf AS (
+         |  SELECT term,
+         |    CAST(round(ln(((SELECT count(*) FROM documents) + 1.0) /
+         |      (count(*) + 1.0)) * 1e6) AS BIGINT) + 1000000 AS idf_micro
+         |  FROM tf GROUP BY term),
+         |s AS (
+         |  SELECT doc_id, term, tf * idf_micro AS score_micro,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * idf_micro DESC, term) AS rnk
+         |  FROM tf JOIN idf USING (term))
+         |SELECT doc_id, CAST(rnk AS INT) AS rank, term, score_micro
+         |FROM s WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // the two-stage bucket prefix sum re-derived as ONE global window cumsum
+    // (the oracle may afford a global sort; the engine must not)
+    "q_token_budget_head" -> {
+      val h = O.polyHash(
+        s"CAST(${O.polyHash("(CAST(doc_id AS VARCHAR) || ':tb1')")} AS VARCHAR)")
+      s"""WITH keyed AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(len(${O.words("text")}), 0) AS BIGINT) AS n_tokens,
+         |    $h AS sort_key
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens, sort_key,
+         |    CAST(sum(n_tokens) OVER (ORDER BY sort_key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_end
+         |  FROM keyed)
+         |SELECT doc_id, n_tokens, sort_key, cum_end - n_tokens AS cum_start,
+         |  (cum_end - n_tokens) < 10000 AS keep
+         |FROM c ORDER BY doc_id""".stripMargin
     },
 
     "q_pack_sequences" -> PackOracleSql,

@@ -147,6 +147,14 @@ class PlanGuardSpec extends AnyFunSuite {
     // metadata chain + forward-fill window + parent groupBy + output sort
     "q_group_by_parent_orphans" -> 5,
     "q_bbox_overlap_pairs" -> 5,
+    // the tf subtree (explode + groupBy) is re-listed under the df aggregate
+    // AND the tf side of the idf join in the AQE-off textual plan (runtime
+    // exchange reuse collapses them); plus the doc_id top-k window and sort
+    "q_tfidf_top_terms" -> 9,
+    // the keyed subtree re-listed under the bucket-offset aggregate (k-row
+    // single-partition window) and the bucket-local window; broadcast join
+    // back + output sort
+    "q_token_budget_head" -> 7,
     // tagged-union model groupBy (its two explode branches re-listed in the
     // AQE-off textual plan) + the broadcast model probe + groupBy(doc_id) +
     // the corpus left join + output sort; the model is <= 1024 rows by the

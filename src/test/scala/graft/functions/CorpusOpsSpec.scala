@@ -621,6 +621,59 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(CorpusOps.dsirSelect(raw, t, col("text"), k = 3).count() == 3L)
   }
 
+  test("tokenBudgetHead's bucketed prefix sum equals a global window cumsum") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = (1L to 200L).map(i => (i, ("w " * (i % 13 + 1).toInt).trim))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.tokenBudgetHead(d,
+      TextAnalysis.tokenCountWhitespace(col("text")), budget = 300L, salt = "s1")
+    val viaGlobal = r.select(col("doc_id"), col("n_tokens"), col("sort_key"))
+      .withColumn("cum_start",
+        coalesce(sum("n_tokens").over(Window.orderBy("sort_key", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("keep", col("cum_start") < 300L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(r.orderBy("doc_id").collect().map(_.toSeq).toSeq == viaGlobal)
+    // the kept set fills the budget: max kept cum_start < budget <= kept sum
+    val kept = r.filter(col("keep"))
+      .agg(sum("n_tokens"), max("cum_start")).collect()(0)
+    assert(kept.getLong(1) < 300L && kept.getLong(0) >= 300L)
+  }
+
+  test("tokenBudgetHead is salt-deterministic and budget-monotone") {
+    val sp = spark
+    import sp.implicits._
+    val d = (1L to 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    def keepSet(budget: Long) = CorpusOps.tokenBudgetHead(d,
+        TextAnalysis.tokenCountWhitespace(col("text")), budget, salt = "s2")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val k60 = keepSet(60L)
+    val k90 = keepSet(90L)
+    assert(k60.size == 20 && k90.size == 30) // 3 tokens/doc; boundary doc kept
+    assert(k60.subsetOf(k90)) // growing the budget only adds docs
+    assert(keepSet(60L) == k60) // deterministic re-run
+  }
+
+  test("tfIdfTopTerms ranks by exact integer score with term tie-break") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "apple cherry cherry")).toDF("doc_id", "text")
+    val r = CorpusOps.tfIdfTopTerms(d, col("text"), k = 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getLong(3)))
+    // N=3, every term df=2 -> idf_micro = round(ln(4/3)*1e6) + 1e6 = 1287682
+    val idf = math.round(math.log(4.0 / 3.0) * 1e6) + 1000000L
+    assert(r.toSeq == Seq(
+      (1L, 1, "apple", 2 * idf), (1L, 2, "banana", idf),
+      (2L, 1, "banana", idf), (2L, 2, "cherry", idf), // tie -> term asc
+      (3L, 1, "cherry", 2 * idf), (3L, 2, "apple", idf)))
+  }
+
   test("piiScrub does not count the IPv4 inside an email host") {
     val sp = spark
     import sp.implicits._
