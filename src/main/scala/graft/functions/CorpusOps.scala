@@ -680,6 +680,51 @@ object CorpusOps {
    * crosses_boundary`.
    */
   /**
+   * BM25 top-`k` document search (Robertson/Sparck-Jones Okapi BM25 with the
+   * Lucene-style non-negative idf `ln(1 + (N - df + 0.5)/(df + 0.5))`) for a
+   * fixed bag of query terms — the classic lexical retrieval primitive next
+   * to the ANN queries' dense retrieval.
+   *
+   * Engine-exact scoring: each (doc, term) partial
+   * `idf_t · tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl))` is computed in one
+   * fixed float-op order and rounded to integer micro-units BEFORE the
+   * per-doc sum (exact long addition — a float sum over terms would depend
+   * on aggregation order). Ranking ties: doc_id asc.
+   *
+   * Scale shape: the explode filters to the query's terms IMMEDIATELY (the
+   * tf frame is O(matching postings), not O(corpus tokens)); df derives
+   * from tf; idf is a |query|-row broadcast; N and avgdl are one-off
+   * scalars; top-k is TakeOrdered, never a full sort. Returns
+   * `doc_id, n_terms_hit, score_micro`.
+   */
+  def bm25TopK(d: DataFrame, text: Column, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ws = TextAnalysis.words(lower(text))
+    val stats = d.agg(count(lit(1)), sum(size(ws).cast("long"))).head
+    val n = stats.getLong(0)
+    val avgdl = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      .toDouble / math.max(n, 1L)
+    val tf = d.select(col("doc_id"), size(ws).cast("double").as("dl"),
+        explode(ws).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .select(col("term"),
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          .as("idf"))
+    val partial = tf.join(broadcast(idf), Seq("term"))
+      .select(col("doc_id"),
+        round(col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)) *
+          1e6).cast("long").as("score_micro_t"))
+    partial.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms_hit"),
+        sum("score_micro_t").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /**
    * TF-IDF top-`k` terms per document (the smooth sklearn-style idf:
    * `ln((N+1)/(df+1)) + 1`), the classic corpus-analytics primitive for
    * keyword extraction / doc profiling. Scores are exact longs: idf scales

@@ -177,6 +177,12 @@ object CorpusQueries {
         alpha = 0.5, targetFrac = 0.5, salt = "temp1")
         .orderBy("doc_id")),
 
+    // BM25 lexical retrieval: Okapi scoring for a 3-term query, per-term
+    // partials rounded to micro-units before the exact per-doc long sum
+    "q_bm25_search" -> ((s, dir) =>
+      CorpusOps.bm25TopK(docs(s, dir), col("text"),
+        Seq("spark", "table", "scan"), k = 10)),
+
     // TF-IDF top-3 terms per doc: integer micro-nat idf, exact long scores,
     // deterministic (score desc, term asc) ranking
     "q_tfidf_top_terms" -> ((s, dir) =>
@@ -1122,6 +1128,38 @@ object CorpusQueries {
          |       ELSE 'test' END AS split
          |FROM assigned ORDER BY doc_id""".stripMargin
     },
+
+    // Okapi BM25 re-derived; constants written as the same UNFOLDED float
+    // ops the engine computes ((1.2 + 1.0), (1.0 - 0.75)) so both engines
+    // fold to bit-identical doubles
+    "q_bm25_search" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${O.words("lower(text)")} AS ws FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM base),
+         |tf AS (
+         |  SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, w AS term,
+         |    CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, ws, unnest(ws) AS w FROM base)
+         |  WHERE w IN ('spark', 'table', 'scan')
+         |  GROUP BY 1, 2, 3),
+         |idf AS (
+         |  SELECT term,
+         |    ln((CAST((SELECT n FROM stats) AS DOUBLE) -
+         |        CAST(count(*) AS DOUBLE) + 0.5) /
+         |      (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+         |  FROM tf GROUP BY term),
+         |p AS (
+         |  SELECT doc_id,
+         |    CAST(round(idf * (tf * (1.2 + 1.0)) /
+         |      (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl /
+         |        (SELECT avgdl FROM stats))) * 1e6) AS BIGINT) AS s
+         |  FROM tf JOIN idf USING (term))
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_terms_hit,
+         |  CAST(sum(s) AS BIGINT) AS score_micro
+         |FROM p GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin,
 
     // tf from unnested lowercase tokens, df from tf, smooth idf in integer
     // micro-nats, rank by (score desc, term asc)

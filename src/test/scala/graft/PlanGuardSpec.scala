@@ -147,6 +147,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // metadata chain + forward-fill window + parent groupBy + output sort
     "q_group_by_parent_orphans" -> 5,
     "q_bbox_overlap_pairs" -> 5,
+    // the query-term tf subtree is re-listed under the df/idf aggregate and
+    // the tf side of the broadcast idf join in the AQE-off textual plan;
+    // plus the per-doc groupBy and the TakeOrdered tail
+    "q_bm25_search" -> 8,
     // the tf subtree (explode + groupBy) is re-listed under the df aggregate
     // AND the tf side of the idf join in the AQE-off textual plan (runtime
     // exchange reuse collapses them); plus the doc_id top-k window and sort

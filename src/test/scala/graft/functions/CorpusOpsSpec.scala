@@ -656,6 +656,32 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(keepSet(60L) == k60) // deterministic re-run
   }
 
+  test("bm25TopK ranks full matches over partial, skips non-matching docs") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      (1L, "spark table scan"), // all three terms, shortest doc
+      (2L, "spark spark spark filler filler filler filler filler"),
+      (3L, "one mention of table buried in a much longer document body here"),
+      (4L, "nothing relevant at all in this one")).toDF("doc_id", "text")
+    val r = CorpusOps.bm25TopK(d, col("text"), Seq("spark", "table", "scan"),
+      k = 10).collect().map(x => (x.getLong(0), x.getInt(1))).toSeq
+    assert(r.map(_._1).head == 1L) // 3 distinct terms, minimal length
+    assert(r.map(_._1).toSet == Set(1L, 2L, 3L)) // doc 4 never scores
+    assert(r.toMap == Map(1L -> 3, 2L -> 1, 3L -> 1))
+    // tf saturation: three repeats of one term can't outrank three distinct terms
+    assert(r.map(_._1).indexOf(2L) > r.map(_._1).indexOf(1L))
+  }
+
+  test("bm25TopK caps at k by score with doc_id tie-break") {
+    val sp = spark
+    import sp.implicits._
+    val d = (1L to 9L).map(i => (i, "common term doc")).toDF("doc_id", "text")
+    val r = CorpusOps.bm25TopK(d, col("text"), Seq("common"), k = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(1L, 2L, 3L, 4L)) // identical scores -> doc_id order
+  }
+
   test("tfIdfTopTerms ranks by exact integer score with term tie-break") {
     val sp = spark
     import sp.implicits._
