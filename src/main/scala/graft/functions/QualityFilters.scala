@@ -109,17 +109,24 @@ object QualityFilters {
     * "javascript"; flag documents containing "lorem ipsum" or a curly brace.
     * Returns `struct(n_lines, n_kept, kept_text, has_lorem, has_brace)`. */
   def c4LineFilter(text: Column, lineSep: String): Column = {
-    val lines = filter(transform(split(text, java.util.regex.Pattern.quote(lineSep)),
+    // lines is referenced once directly and once under kept, kept twice —
+    // let-bound so interpreted HOF eval splits/filters the document once
+    // (see TextAnalysis.letCol)
+    val linesExpr = filter(transform(split(text, java.util.regex.Pattern.quote(lineSep)),
       l => trim(l)), l => l =!= "")
-    val kept = filter(lines, t =>
-      t.rlike("[.!?][\"”']?$") &&
-        size(filter(split(t, "\\s+"), w => w =!= "")) >= 3 &&
-        !lower(t).contains("javascript"))
-    struct(
-      size(lines).as("n_lines"),
-      size(kept).as("n_kept"),
-      array_join(kept, "\n").as("kept_text"),
-      lower(text).contains("lorem ipsum").as("has_lorem"),
-      text.contains("{").as("has_brace"))
+    TextAnalysis.letCol(linesExpr) { lines =>
+      val keptExpr = filter(lines, t =>
+        t.rlike("[.!?][\"”']?$") &&
+          size(filter(split(t, "\\s+"), w => w =!= "")) >= 3 &&
+          !lower(t).contains("javascript"))
+      TextAnalysis.letCol(keptExpr) { kept =>
+        struct(
+          size(lines).as("n_lines"),
+          size(kept).as("n_kept"),
+          array_join(kept, "\n").as("kept_text"),
+          lower(text).contains("lorem ipsum").as("has_lorem"),
+          text.contains("{").as("has_brace"))
+      }
+    }
   }
 }
