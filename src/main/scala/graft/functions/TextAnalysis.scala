@@ -308,11 +308,15 @@ object TextAnalysis {
    * combined into one band hash -> `k/2` band keys per document. Docs sharing any
    * band key are near-dup candidates.
    */
-  def lshBands(sig: Column, rows: Int = 2): Column =
+  def lshBands(sig: Column, rows: Int = 2): Column = letCol(sig) { s =>
+    // let-bound: callers often compose lshBands(minHashSignature(...))
+    // directly, and the un-bound lambda would re-derive the whole signature
+    // once per band element
     transform(
-      sequence(lit(0), (size(sig) / lit(rows)).cast("int") - 1),
+      sequence(lit(0), (size(s) / lit(rows)).cast("int") - 1),
       b => {
         val i = b * rows
-        (element_at(sig, i + 1) * 31L + element_at(sig, i + 2)) % HashMod
+        (element_at(s, i + 1) * 31L + element_at(s, i + 2)) % HashMod
       })
+  }
 }
