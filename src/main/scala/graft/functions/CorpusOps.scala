@@ -522,10 +522,14 @@ object CorpusOps {
     lit(0.0), (acc, v) => acc + v))
 
   /** Zero-norm vectors (all-zero embeddings) define cosine as 0.0 instead of
-    * NaN, so they cluster by centroid id and never silently escape dedup. */
+    * NaN, so they cluster by centroid id and never silently escape dedup.
+    * The norm product is let-bound (guard + divisor) so the two O(dim) norm
+    * folds run once per pair, not twice (interpreted HOFs re-evaluate every
+    * reference — see [[TextAnalysis.letCol]]). */
   private[graft] def cosineCol(a: Column, b: Column): Column =
-    when(normCol(a) * normCol(b) === 0.0, lit(0.0))
-      .otherwise(dotCol(a, b) / (normCol(a) * normCol(b)))
+    TextAnalysis.letCol(normCol(a) * normCol(b)) { nn =>
+      when(nn === 0.0, lit(0.0)).otherwise(dotCol(a, b) / nn)
+    }
 
   /**
    * One-pass SemDeDup: centroids = the embeddings with `vec_id < k`

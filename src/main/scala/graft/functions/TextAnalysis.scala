@@ -68,9 +68,9 @@ object TextAnalysis {
   def upperRatio(c: Column): Column =
     ratio(length(c) - length(regexp_replace(c, "[A-Z]", "")), length(c))
 
-  def meanWordLength(c: Column): Column =
-    ratio(aggregate(words(c), lit(0L), (acc, w) => acc + length(w)),
-      tokenCountWhitespace(c))
+  def meanWordLength(c: Column): Column = letCol(words(c)) { ws =>
+    ratio(aggregate(ws, lit(0L), (acc, w) => acc + length(w)), size(ws))
+  }
 
   /** English stopwords used by the quality score and the language-ID heuristic. */
   val StopwordsEn: Seq[String] = Seq(
