@@ -557,6 +557,76 @@ object AnalysisQueries {
         .limit(10)
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk 2019 — the LASER/CCMatrix
+    // criterion): margin(x,y) = cos(x,y) / ((avgk_x + avgk_y)/2), the pair's
+    // similarity relative to its two local neighborhood densities, which
+    // suppresses the hub vectors a plain cosine threshold mis-mines. This
+    // rendering is CELL-LOCAL — both sides assign to the same seed-centroid
+    // IVF cells (CCMatrix mines within FAISS cells at corpus scale), so the
+    // candidate stage is ONE equi-join on cell with a per-side hot-cell cap,
+    // never |A|×|B|. Per-pair cosine rounds to micro BEFORE aggregation,
+    // neighborhood sums are exact longs, the margin is one double expression
+    // over them — engine-deterministic end to end. Sides: even/odd label.
+    "q_margin_align" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+      val cents = e.filter(col("vec_id") < 8)
+        .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+          col("embedding").as("cv"),
+          normCol(col("embedding")).as("cnrm")))).as("cents"))
+      val best = aggregate(
+        col("cents"),
+        struct(lit(-1L).as("cid"), lit(-2.0).as("sim")),
+        (acc, c) => {
+          val sim = guardedCos(dotCol(col("embedding"), c.getField("cv")),
+            col("nrm"), c.getField("cnrm"))
+          when(sim > acc.getField("sim"),
+            struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
+        })
+      val assigned = e.withColumn("nrm", normCol(col("embedding")))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
+          best.getField("cid").as("cell"))
+      // per-side hot-cell cap — a degenerate cell is otherwise a quadratic
+      // blowup inside one join key (the semanticDedup re-split is the
+      // heavier-duty alternative when capped rows must not be dropped)
+      val capped = assigned.withColumn("cn", count(lit(1)).over(
+          Window.partitionBy(col("cell"), pmod(col("label"), lit(2)))))
+        .filter(col("cn") <= 1000).drop("cn")
+      val aSide = capped.filter(pmod(col("label"), lit(2)) === 0)
+        .select(col("cell"), col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+      val bSide = capped.filter(pmod(col("label"), lit(2)) === 1)
+        .select(col("cell"), col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+      val pairs = aSide.join(bSide, Seq("cell"))
+        .select(col("cell"), col("vec_a"), col("vec_b"),
+          round(guardedCos(dotCol(col("ea"), col("eb")),
+            col("na"), col("nb")) * 1e6).cast("long").as("cos_micro"))
+      val wx = Window.partitionBy("vec_a")
+        .orderBy(col("cos_micro").desc, col("vec_b"))
+      val wy = Window.partitionBy("vec_b")
+        .orderBy(col("cos_micro").desc, col("vec_a"))
+      val ranked = pairs
+        .withColumn("rx", row_number().over(wx))
+        .withColumn("ry", row_number().over(wy))
+      val nx = ranked.filter(col("rx") <= 4).groupBy("vec_a")
+        .agg(sum("cos_micro").as("sx"), count(lit(1)).as("kx"))
+      val ny = ranked.filter(col("ry") <= 4).groupBy("vec_b")
+        .agg(sum("cos_micro").as("sy"), count(lit(1)).as("ky"))
+      val denom = (col("sx").cast("double") / col("kx") +
+        col("sy").cast("double") / col("ky")) / 2.0
+      val margins = pairs.join(nx, Seq("vec_a")).join(ny, Seq("vec_b"))
+        .withColumn("margin_micro",
+          when(denom > 0.0,
+            round(col("cos_micro").cast("double") / denom * 1e6).cast("long")))
+      val bw = Window.partitionBy("vec_a")
+        .orderBy(col("margin_micro").desc, col("vec_b"))
+      margins.withColumn("rn", row_number().over(bw))
+        .filter(col("rn") === 1 && col("margin_micro") >= 1000000L)
+        .select(col("vec_a"), col("vec_b"), col("cell"), col("margin_micro"))
+        .orderBy("vec_a")
+    }),
+
     // IVF with nprobe = 2 — the standard recall knob: the query probes its
     // TWO nearest centroids' cells (a runner-up fold over the same broadcast
     // centroid struct), trading 2× the scanned fraction for the recall lost
@@ -1275,6 +1345,60 @@ object AnalysisQueries {
          |SELECT vec_id, cell, $cosSimSql AS cos_sim
          |FROM cells, q WHERE cell IN (SELECT qcell FROM qcells)
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // margin criterion re-derived: same cell assignment as q_ann_ivf, capped
+    // cell equi-join, micro-rounded cosines, exact-long neighborhood sums
+    "q_margin_align" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT e.vec_id, e.embedding, e.label, c.cid,
+         |    ${cosSql("e.embedding", "c.cv")} AS sim
+         |  FROM embeddings e, cents c),
+         |cells0 AS (
+         |  SELECT vec_id, embedding, label, cid AS cell FROM (
+         |    SELECT vec_id, embedding, label, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+         |    FROM sims) WHERE rn = 1),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY cell, label % 2) AS cn
+         |    FROM cells0) WHERE cn <= 1000),
+         |pairs AS (
+         |  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(round(${cosSql("a.embedding", "b.embedding")} * 1e6) AS BIGINT)
+         |      AS cos_micro
+         |  FROM capped a JOIN capped b
+         |    ON a.cell = b.cell AND a.label % 2 = 0 AND b.label % 2 = 1),
+         |ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY vec_a ORDER BY cos_micro DESC, vec_b)
+         |      AS rx,
+         |    row_number() OVER (PARTITION BY vec_b ORDER BY cos_micro DESC, vec_a)
+         |      AS ry
+         |  FROM pairs),
+         |nx AS (
+         |  SELECT vec_a, CAST(sum(cos_micro) AS BIGINT) AS sx,
+         |    CAST(count(*) AS BIGINT) AS kx
+         |  FROM ranked WHERE rx <= 4 GROUP BY vec_a),
+         |ny AS (
+         |  SELECT vec_b, CAST(sum(cos_micro) AS BIGINT) AS sy,
+         |    CAST(count(*) AS BIGINT) AS ky
+         |  FROM ranked WHERE ry <= 4 GROUP BY vec_b),
+         |m AS (
+         |  SELECT p.vec_a, p.vec_b, p.cell,
+         |    CASE WHEN (CAST(sx AS DOUBLE) / kx + CAST(sy AS DOUBLE) / ky) / 2.0
+         |           > 0.0 THEN
+         |      CAST(round(CAST(cos_micro AS DOUBLE) /
+         |        ((CAST(sx AS DOUBLE) / kx + CAST(sy AS DOUBLE) / ky) / 2.0)
+         |        * 1e6) AS BIGINT) END AS margin_micro
+         |  FROM pairs p JOIN nx USING (vec_a) JOIN ny USING (vec_b)),
+         |best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_a
+         |    ORDER BY margin_micro DESC, vec_b) AS rn FROM m)
+         |SELECT vec_a, vec_b, cell, margin_micro FROM best
+         |WHERE rn = 1 AND margin_micro >= 1000000
+         |ORDER BY vec_a""".stripMargin,
 
     "q_embed_near_dup" ->
       s"""WITH inp AS (

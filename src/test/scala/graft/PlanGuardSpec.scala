@@ -35,7 +35,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_semantic_dedup" -> 3,
     // two broadcast single-query-vector probes (full + dequantized) plus the
     // 1-row x 1-row summary crossJoin, all broadcast — never a CartesianProduct
-    "q_embed_quant_recall" -> 3)
+    "q_embed_quant_recall" -> 3,
+    // the same broadcast 1-row centroid-struct assignment probe as q_ann_ivf
+    "q_margin_align" -> 1)
   private val smjAllowed = Map("q_element_type_accuracy" -> 1,
     // intra-cluster pair join: both sides are the full centroid assignment —
     // SMJ on (cluster, sub) IS the scale-correct strategy. Clusters over
@@ -53,6 +55,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // labeled side is O(n) docs, so an equi-SMJ on doc_id — not a broadcast
     // — is the scale-correct strategy
     "q_leakage_safe_split" -> 1,
+    // the A-side×B-side cell equi-join (both sides corpus-sized, hot-cell
+    // capped) and the margin join back onto the pair frame: equi-SMJ is the
+    // scale-correct strategy for both
+    "q_margin_align" -> 2,
     // the covered-position anti-join back onto the exploded word positions:
     // both sides are corpus-sized (every word position vs every removed
     // window position), so an equi-SMJ on (doc_id, idx) is the right call
@@ -147,6 +153,13 @@ class PlanGuardSpec extends AnyFunSuite {
     // metadata chain + forward-fill window + parent groupBy + output sort
     "q_group_by_parent_orphans" -> 5,
     "q_bbox_overlap_pairs" -> 5,
+    // the assigned/capped subtree (broadcast centroid probe + hot-cell
+    // window) is re-listed under BOTH join sides, and the pair subtree under
+    // the two neighborhood aggregates AND the margin join, in the AQE-off
+    // textual plan — runtime exchange reuse collapses the duplicates; the
+    // live chain is assign → cap window → cell join → 2 rank windows → 2
+    // groupBys → margin join → best window → sort
+    "q_margin_align" -> 23,
     // the query-term tf subtree is re-listed under the df/idf aggregate and
     // the tf side of the broadcast idf join in the AQE-off textual plan;
     // plus the per-doc groupBy and the TakeOrdered tail
