@@ -280,6 +280,14 @@ object AnalysisQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // streaming winnow near-dup: the per-doc fingerprint sets run through
+    // the SAME streaming bucket fold as the MinHash/SimHash bands (a
+    // fingerprint is a band key), then the drained candidate events reduce
+    // to shared counts + the 80% floor; the batch oracle verifies it
+    "q_stream_winnow_near_dup" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .winnowNearDupAvailableNow(s, s"$dir/documents.parquet")),
+
     // Exact dedup: fingerprint → groupBy → keep collision groups. One shuffle on the
     // hash key; at 100 TB this is the canonical dedup plan (no pairwise compare).
     "q_exact_dedup" -> ((s, dir) =>
@@ -860,6 +868,33 @@ object AnalysisQueries {
   private val ph: String => String = O.polyHash
   private def wordsL(x: String): String = O.words(s"lower($x)")
 
+  /** Winnowing near-dup re-derived (hot-posting cap 100, 80% shared floor) —
+    * shared by the batch and streaming renderings. */
+  private lazy val WinnowNearDupOracleSql: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |  FROM $nearDupUnion),
+       |g AS (
+       |  SELECT doc_id, CASE WHEN length(s) >= 8
+       |    THEN list_transform(range(1, length(s) - 6),
+       |           gi -> ${O.polyHash("substring(s, gi, 8)")})
+       |    ELSE []::BIGINT[] END AS hs FROM n),
+       |m AS (
+       |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+       |    WHEN len(hs) < 4 THEN [list_min(hs)]
+       |    ELSE list_transform(range(1, len(hs) - 2), p -> list_min(hs[p:p+3]))
+       |    END AS mins FROM g),
+       |f AS (SELECT doc_id, list_distinct(mins) AS fps FROM m),
+       |e AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f),
+       |safe AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 100),
+       |b AS (SELECT e.* FROM e JOIN safe USING (fp))
+       |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |  CAST(count(*) AS INT) AS n_shared
+       |FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+       |GROUP BY a.doc_id, b2.doc_id, a.n_fp, b2.n_fp
+       |HAVING 5 * count(*) >= 4 * least(a.n_fp, b2.n_fp)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private def docSel(expr: String, name: String): String =
     s"SELECT doc_id, $expr AS $name FROM documents ORDER BY doc_id"
 
@@ -1045,30 +1080,11 @@ object AnalysisQueries {
          |  array_to_string(fps, ',') AS fp_str
          |FROM f ORDER BY doc_id""".stripMargin,
 
-    "q_winnow_near_dup" ->
-      s"""WITH n AS (
-         |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-         |  FROM $nearDupUnion),
-         |g AS (
-         |  SELECT doc_id, CASE WHEN length(s) >= 8
-         |    THEN list_transform(range(1, length(s) - 6),
-         |           gi -> ${O.polyHash("substring(s, gi, 8)")})
-         |    ELSE []::BIGINT[] END AS hs FROM n),
-         |m AS (
-         |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN []::BIGINT[]
-         |    WHEN len(hs) < 4 THEN [list_min(hs)]
-         |    ELSE list_transform(range(1, len(hs) - 2), p -> list_min(hs[p:p+3]))
-         |    END AS mins FROM g),
-         |f AS (SELECT doc_id, list_distinct(mins) AS fps FROM m),
-         |e AS (SELECT doc_id, len(fps) AS n_fp, unnest(fps) AS fp FROM f),
-         |safe AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 100),
-         |b AS (SELECT e.* FROM e JOIN safe USING (fp))
-         |SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |  CAST(count(*) AS INT) AS n_shared
-         |FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
-         |GROUP BY a.doc_id, b2.doc_id, a.n_fp, b2.n_fp
-         |HAVING 5 * count(*) >= 4 * least(a.n_fp, b2.n_fp)
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_winnow_near_dup" -> WinnowNearDupOracleSql,
+
+    // the streaming twin reduces the drained per-fingerprint candidate
+    // events to the same shared counts — one oracle pins both renderings
+    "q_stream_winnow_near_dup" -> WinnowNearDupOracleSql,
 
     "q_exact_dedup" ->
       s"""SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,

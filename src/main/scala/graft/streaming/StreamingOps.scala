@@ -876,6 +876,53 @@ object StreamingOps {
    * appended token, every 15th as an exact copy), so the batch oracle
    * verifies the streaming result.
    */
+  /**
+   * Streaming twin of the winnowing near-dup: per-doc winnowed fingerprint
+   * sets stream through the SAME bucket fold as the MinHash and SimHash
+   * bands (a fingerprint IS a band key — the fold's third client), with the
+   * batch query's hot-posting cap; the drained per-fingerprint candidate
+   * events reduce batch-side to shared counts and the 80%-of-smaller-side
+   * floor, so the batch oracle verifies the streamed result exactly.
+   */
+  def winnowNearDupAvailableNow(spark: SparkSession, documentsPath: String,
+      maxBucket: Int = 100): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextAnalysis
+    graft.Tables.configure(spark)
+    val schema = spark.read.parquet(documentsPath).schema
+    // the batch query's near-dup corpus: every 7th doc re-emitted (+10000)
+    // with one appended token
+    def derive(ds: Dataset[(Long, String)]): DataFrame = ds.flatMap {
+      case (id, t) =>
+        val near = if (id % 7 == 0) Seq((id + 10000L, t + " xtra")) else Nil
+        (id, t) +: near
+    }.toDF("doc_id", "text")
+    val candidates = drainAvailableNow(spark, documentsPath, "winnow", "append") {
+      dir =>
+        val docs = derive(spark.readStream.schema(schema).parquet(dir)
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+          .as[(Long, String)])
+        val bands = docs.select(col("doc_id"), lit(0).as("band_idx"),
+            explode(TextAnalysis.winnowFingerprints(col("text"))).as("band_key"))
+          .as[(Long, Int, Long)]
+        lshCandidateStream(bands, maxBucket)
+    }
+    val sizes = derive(spark.read.parquet(documentsPath)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)])
+      .select(col("doc_id"),
+        size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fp"))
+    candidates
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_a", "n_fp" -> "n_fp_a")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(
+        Map("doc_id" -> "doc_b", "n_fp" -> "n_fp_b")), Seq("doc_b"))
+      .filter(col("shared") * 5 >= least(col("n_fp_a"), col("n_fp_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("n_shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def simhashNearDupAvailableNow(spark: SparkSession, documentsPath: String,
       maxBandSize: Int = 1000, nonBmpSuffix: String = ""): DataFrame = {
     import spark.implicits._
