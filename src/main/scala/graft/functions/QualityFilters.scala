@@ -103,6 +103,66 @@ object QualityFilters {
         (!repetitive && !flagged && !noClean).as("keep"))
   }
 
+  /**
+   * The Gopher document-level quality rules (Rae et al. 2021 Appendix A1.1)
+   * — the half of the Gopher filter [[repetitionSignals]] doesn't cover:
+   * word-count bounds, mean word length in [3, 10], symbol-to-word ratio
+   * ('#', '...', '…') <= 0.1, <= 10% of lines bullet-started, <= 30%
+   * ellipsis-ended, >= 80% of words containing an alphabetic char, and >= 2
+   * hits from the 8-word stopword probe. All pure per-row columns over
+   * let-bound word/line arrays — no shuffle, no UDF; ratios round to 6
+   * decimals for stable cross-engine hashing. Returns
+   * `struct(n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+   * ellipsis_line_frac, alpha_word_frac, n_stop_hits, keep)`.
+   */
+  def gopherRules(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    import TextAnalysis.letCol
+    val stopProbe = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    letCol(TextAnalysis.words(text)) { ws =>
+      letCol(filter(transform(split(text, "\n"), l => trim(l)),
+          l => l =!= "")) { lines =>
+        letCol(transform(ws, w => lower(w))) { lws =>
+          val nWords = size(ws)
+          val nLines = size(lines)
+          val meanLen = when(nWords > 0,
+            aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / nWords)
+            .otherwise(lit(0.0))
+          def removed(pat: String, width: Int): Column =
+            (length(text) - length(regexp_replace(text, pat, ""))) / lit(width)
+          val symbols = removed("#", 1) + removed("\\.\\.\\.", 3) + removed("…", 1)
+          val symbolRatio =
+            when(nWords > 0, symbols / nWords).otherwise(lit(0.0))
+          val bulletFrac = when(nLines > 0,
+            size(filter(lines, l => l.rlike("^[-•*‣▪]"))).cast("double") / nLines)
+            .otherwise(lit(0.0))
+          val ellipsisFrac = when(nLines > 0,
+            size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") /
+              nLines).otherwise(lit(0.0))
+          val alphaFrac = when(nWords > 0,
+            size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+            .otherwise(lit(0.0))
+          val stopHits = stopProbe
+            .map(sw => when(array_contains(lws, sw), 1).otherwise(0))
+            .reduce(_ + _)
+          val keep = nWords >= minWords && nWords <= maxWords &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            symbolRatio <= 0.1 && bulletFrac <= 0.1 && ellipsisFrac <= 0.3 &&
+            alphaFrac >= 0.8 && stopHits >= 2
+          struct(
+            nWords.cast("int").as("n_words"),
+            round(meanLen, 6).as("mean_word_len"),
+            round(symbolRatio, 6).as("symbol_ratio"),
+            round(bulletFrac, 6).as("bullet_line_frac"),
+            round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+            round(alphaFrac, 6).as("alpha_word_frac"),
+            stopHits.cast("int").as("n_stop_hits"),
+            keep.as("keep"))
+        }
+      }
+    }
+  }
+
   /** C4's line-level cleaning (Raffel et al. 2020 §2.2) as one codegen'd
     * column: keep lines that end in terminal punctuation (optionally followed
     * by a closing quote), have at least 3 words, and do not mention

@@ -851,6 +851,27 @@ object AnalysisQueries {
         augmented, col("text"), " merge ").orderBy("doc_id")
     }),
 
+    // Gopher document-level rules (Rae et al. 2021 A1.1) over a corpus
+    // augmented so every rule fires somewhere: residue 0 = symbol spam,
+    // 1 = bullet-started lines, 2 = ellipsis-ended lines, 3 = numeric
+    // (non-alphabetic) words; pure per-row columns, no shuffle
+    "q_gopher_rules" -> ((s, dir) => {
+      val aug = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\n### # ## spam ... more ... and ...")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("• first\n• second\n• third\n"), col("text")))
+        .when(col("doc_id") % 5 === 2,
+          concat(col("text"), lit("\ntrailing thought...\nanother one…\nmore...")))
+        .when(col("doc_id") % 5 === 3,
+          concat(col("text"),
+            lit(" 101 202 303 404 505 606 707 808 909 111 222 333")))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.QualityFilters.gopherRules(aug, minWords = 20).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
+    }),
+
     "q_ngram_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
       val src = gramCounts(d, col("text"), "sn")
@@ -1530,6 +1551,67 @@ object AnalysisQueries {
          |SELECT doc_id, repetitive, flagged, no_clean_lines,
          |  (NOT repetitive AND NOT flagged AND NOT no_clean_lines) AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    // every Gopher rule re-derived from the same augmented text; `keep`
+    // decides on the UN-rounded signals exactly as the engine does
+    "q_gopher_rules" -> {
+      val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(sw => s"(CASE WHEN list_contains(list_transform(ws, " +
+          s"w -> lower(w)), '$sw') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH aug AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 5 = 0 THEN text || chr(10) ||
+         |      '### # ## spam ... more ... and ...'
+         |    WHEN doc_id % 5 = 1 THEN '• first' || chr(10) || '• second' ||
+         |      chr(10) || '• third' || chr(10) || text
+         |    WHEN doc_id % 5 = 2 THEN text || chr(10) || 'trailing thought...' ||
+         |      chr(10) || 'another one…' || chr(10) || 'more...'
+         |    WHEN doc_id % 5 = 3 THEN text ||
+         |      ' 101 202 303 404 505 606 707 808 909 111 222 333'
+         |    ELSE text END AS t
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, t, ${O.words("t")} AS ws,
+         |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+         |      l -> l <> '') AS ls
+         |  FROM aug),
+         |sig AS (
+         |  SELECT doc_id, len(ws) AS nw, len(ls) AS nl,
+         |    CASE WHEN len(ws) > 0 THEN
+         |      CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) /
+         |        len(ws) ELSE 0.0 END AS mean_len,
+         |    (length(t) - length(replace(t, '#', ''))) / 1 +
+         |      (length(t) - length(replace(t, '...', ''))) / 3 +
+         |      (length(t) - length(replace(t, '…', ''))) / 1 AS symbols,
+         |    len(list_filter(ls, l -> regexp_matches(l, '^[-•*‣▪]'))) AS n_bullet,
+         |    len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$$')))
+         |      AS n_ell,
+         |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         |    ($stopHits) AS stop_hits
+         |  FROM f),
+         |r AS (
+         |  SELECT doc_id, nw, stop_hits, mean_len,
+         |    CASE WHEN nw > 0 THEN symbols / nw ELSE 0.0 END AS symbol_ratio,
+         |    CASE WHEN nl > 0 THEN CAST(n_bullet AS DOUBLE) / nl ELSE 0.0 END
+         |      AS bullet_frac,
+         |    CASE WHEN nl > 0 THEN CAST(n_ell AS DOUBLE) / nl ELSE 0.0 END
+         |      AS ell_frac,
+         |    CASE WHEN nw > 0 THEN CAST(n_alpha AS DOUBLE) / nw ELSE 0.0 END
+         |      AS alpha_frac
+         |  FROM sig)
+         |SELECT doc_id, CAST(nw AS INT) AS n_words,
+         |  round(mean_len, 6) AS mean_word_len,
+         |  round(symbol_ratio, 6) AS symbol_ratio,
+         |  round(bullet_frac, 6) AS bullet_line_frac,
+         |  round(ell_frac, 6) AS ellipsis_line_frac,
+         |  round(alpha_frac, 6) AS alpha_word_frac,
+         |  CAST(stop_hits AS INT) AS n_stop_hits,
+         |  (nw >= 20 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND ell_frac <= 0.3
+         |    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
 
     "q_ngram_overlap" ->
       s"""WITH src AS (

@@ -141,4 +141,36 @@ class QualityFiltersSpec extends SparkSuiteBase {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 4, s"expected <= 4 exchanges:\n$plan")
   }
+
+  test("gopherRules fires each document-level rule on its trigger") {
+    val sp = spark
+    import sp.implicits._
+    val clean = "the quick brown fox jumps over and over with steady prose " +
+      "that would be entirely ordinary in any corpus of real документы text " +
+      "and keeps going long enough to clear the word floor set for the test"
+    val d = Seq(
+      (1L, clean),
+      (2L, "too short to pass"),
+      (3L, clean + "\n### ## # " + ("... " * 12).trim),          // symbols
+      (4L, "• a\n• b\n• c\n" + clean),                          // bullets
+      (5L, clean + "\nfirst...\nsecond...\nthird...\nmore..."), // ellipses
+      (6L, clean + " " + (1 to 40).map(_.toString).mkString(" ")), // non-alpha
+      (7L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh " * 3)) // no stopwords
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        QualityFilters.gopherRules(col("text"), minWords = 20).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(!r(2L).getAs[Boolean]("keep") && r(2L).getAs[Int]("n_words") < 20)
+    assert(!r(3L).getAs[Boolean]("keep") &&
+      r(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!r(4L).getAs[Boolean]("keep") &&
+      r(4L).getAs[Double]("bullet_line_frac") > 0.1)
+    assert(!r(5L).getAs[Boolean]("keep") &&
+      r(5L).getAs[Double]("ellipsis_line_frac") > 0.3)
+    assert(!r(6L).getAs[Boolean]("keep") &&
+      r(6L).getAs[Double]("alpha_word_frac") < 0.8)
+    assert(!r(7L).getAs[Boolean]("keep") && r(7L).getAs[Int]("n_stop_hits") < 2)
+  }
 }
