@@ -143,4 +143,39 @@ class CorpusOpsPropertySpec extends SparkSuiteBase {
       assert(r.getAs[Boolean]("keep") == (bucket.toDouble < rate * 10000.0))
     }
   }
+
+  test("winnowing guarantee: shared runs >= w+k-1 always share a fingerprint") {
+    val sp = spark
+    import sp.implicits._
+    // 60 random doc pairs, each sharing a random >= 11-char alnum run planted
+    // at random positions inside otherwise independent random text
+    val abc = "abcdefghijklmnopqrstuvwxyz0123456789"
+    def randStr(n: Int) = Seq.fill(n)(abc(rng.nextInt(abc.size))).mkString
+    val pairs = Vector.tabulate(60) { i =>
+      val common = randStr(11 + rng.nextInt(20))
+      val a = randStr(rng.nextInt(80)) + common + randStr(rng.nextInt(80))
+      val b = randStr(rng.nextInt(80)) + common + randStr(rng.nextInt(80))
+      (i.toLong, a, b)
+    }
+    val fps = pairs.flatMap { case (i, a, b) => Seq((i * 2, a), (i * 2 + 1, b)) }
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.winnowFingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    pairs.foreach { case (i, _, _) =>
+      assert(fps(i * 2).intersect(fps(i * 2 + 1)).nonEmpty, s"pair $i")
+    }
+  }
+
+  test("winnowing never fingerprints below k: sub-k overlap shares nothing forced") {
+    val sp = spark
+    import sp.implicits._
+    // two docs over DISJOINT alphabets share zero grams, hence zero fingerprints
+    val a = Seq.fill(150)("abcdabcdabcd"(rng.nextInt(12))).mkString
+    val b = Seq.fill(150)("wxyzwxyzwxyz"(rng.nextInt(12))).mkString
+    val r = Seq((0L, a), (1L, b)).toDF("id", "text")
+      .select(col("id"), TextAnalysis.winnowFingerprints(col("text")).as("f"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1).toSet).toMap
+    assert(r(0L).nonEmpty && r(1L).nonEmpty)
+    assert(r(0L).intersect(r(1L)).isEmpty)
+  }
 }
