@@ -263,6 +263,29 @@ object CorpusQueries {
           array_join(col("qids"), ",").as("quant_top_ids"))
     }),
 
+    // Matryoshka (MRL, Kusupati et al. 2022) truncation recall: keep the
+    // embedding's FIRST 16 of 64 dims (MRL checkpoints order information
+    // into prefixes), brute-force cosine top-10 vs the full-precision
+    // top-10 for the same probe — the storage/recall knob dense retrieval
+    // ships; cosine over the truncated prefix re-normalizes implicitly
+    "q_mrl_recall" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+      val trunc = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      def top10(d: DataFrame): DataFrame = {
+        val qv = d.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
+        d.filter(col("vec_id") =!= 1).crossJoin(broadcast(qv))
+          .select(col("vec_id"),
+            round(CorpusOps.cosineCol(col("embedding"), col("qv")), 6).as("sim"))
+          .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      }
+      val full = top10(e).agg(sort_array(collect_list(col("vec_id"))).as("fids"))
+      val tr = top10(trunc).agg(sort_array(collect_list(col("vec_id"))).as("tids"))
+      full.crossJoin(tr).select(
+        size(array_intersect(col("fids"), col("tids"))).as("overlap_at_10"),
+        array_join(col("tids"), ",").as("trunc_top_ids"))
+    }),
+
     // duplicate-cluster resolution: shared-paragraph star edges (linear,
     // never within-group pairwise) -> min-label-propagation connected
     // components, the canonical-representative step a dedup pipeline runs
@@ -955,6 +978,28 @@ object CorpusQueries {
          |  array_to_string(t.l, ',') AS quant_top_ids
          |FROM (SELECT list_sort(list(vec_id)) AS l FROM topf) f,
          |     (SELECT list_sort(list(vec_id)) AS l FROM topq) t""".stripMargin,
+
+    // MRL recall re-derived with 1-based inclusive list slicing for the
+    // 16-dim prefix
+    "q_mrl_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |tr AS (SELECT vec_id, embedding[1:16] AS embedding FROM e),
+         |qf AS (SELECT embedding AS qv FROM e WHERE vec_id = 1),
+         |qt AS (SELECT embedding AS qv FROM tr WHERE vec_id = 1),
+         |topf AS (
+         |  SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(${cosSql("e.embedding", "qf.qv")}, 6) AS sim
+         |    FROM e, qf WHERE e.vec_id <> 1)
+         |  ORDER BY sim DESC, vec_id LIMIT 10),
+         |topt AS (
+         |  SELECT vec_id FROM (
+         |    SELECT tr.vec_id, round(${cosSql("tr.embedding", "qt.qv")}, 6) AS sim
+         |    FROM tr, qt WHERE tr.vec_id <> 1)
+         |  ORDER BY sim DESC, vec_id LIMIT 10)
+         |SELECT CAST(len(list_intersect(f.l, t.l)) AS INT) AS overlap_at_10,
+         |  array_to_string(t.l, ',') AS trunc_top_ids
+         |FROM (SELECT list_sort(list(vec_id)) AS l FROM topf) f,
+         |     (SELECT list_sort(list(vec_id)) AS l FROM topt) t""".stripMargin,
 
     "q_dedup_components" ->
       s"""WITH RECURSIVE

@@ -37,7 +37,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // 1-row x 1-row summary crossJoin, all broadcast — never a CartesianProduct
     "q_embed_quant_recall" -> 3,
     // the same broadcast 1-row centroid-struct assignment probe as q_ann_ivf
-    "q_margin_align" -> 1)
+    "q_margin_align" -> 1,
+    // q_embed_quant_recall's shape: two broadcast single-probe scans (full +
+    // truncated) plus the 1-row x 1-row summary crossJoin
+    "q_mrl_recall" -> 3)
   private val smjAllowed = Map("q_element_type_accuracy" -> 1,
     // intra-cluster pair join: both sides are the full centroid assignment —
     // SMJ on (cluster, sub) IS the scale-correct strategy. Clusters over
@@ -133,6 +136,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // two single-partition top-10 sorts + their 1-row collect_list aggs and
     // the broadcast summary join
     "q_embed_quant_recall" -> 8,
+    // identical exchange shape over the truncated corpus
+    "q_mrl_recall" -> 8,
     // the assignment subtree (scan + broadcast centroid probe) is re-listed
     // 3x (pair-a, pair-b, output) in the AQE-off textual plan; runtime
     // exchange reuse collapses them — same accounting as q_curate_corpus
