@@ -107,7 +107,7 @@ object QualityFilters {
    * The Gopher document-level quality rules (Rae et al. 2021 Appendix A1.1)
    * — the half of the Gopher filter [[repetitionSignals]] doesn't cover:
    * word-count bounds, mean word length in [3, 10], symbol-to-word ratio
-   * ('#', '...', '…') <= 0.1, <= 10% of lines bullet-started, <= 30%
+   * ('#', '...', '…') <= 0.1, <= 90% of lines bullet-started, <= 30%
    * ellipsis-ended, >= 80% of words containing an alphabetic char, and >= 2
    * hits from the 8-word stopword probe. All pure per-row columns over
    * let-bound word/line arrays — no shuffle, no UDF; ratios round to 6
@@ -147,7 +147,7 @@ object QualityFilters {
             .reduce(_ + _)
           val keep = nWords >= minWords && nWords <= maxWords &&
             meanLen >= 3.0 && meanLen <= 10.0 &&
-            symbolRatio <= 0.1 && bulletFrac <= 0.1 && ellipsisFrac <= 0.3 &&
+            symbolRatio <= 0.1 && bulletFrac <= 0.9 && ellipsisFrac <= 0.3 &&
             alphaFrac >= 0.8 && stopHits >= 2
           struct(
             nWords.cast("int").as("n_words"),

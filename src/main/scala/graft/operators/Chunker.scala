@@ -815,7 +815,10 @@ object Chunker {
           // base.py:982-994); invalid/non-table html falls back to None, the
           // reference's logged-warning text-only path (base.py:976-981)
           case Some(raw) =>
-            val inner = normalizeWs(TagRe.replaceAllIn(raw, " "))
+            // unescape THEN re-escape, like the cell path: the reference's
+            // lxml parse/serialize round-trip leaves `a &amp; b` as-is, so
+            // escaping the raw source would double-escape entities
+            val inner = normalizeWs(unescapeHtml(TagRe.replaceAllIn(raw, " ")))
             if (inner.isEmpty) "<table/>" else "<table>" + escapeHtml(inner) + "</table>"
           case None => ""
         }
@@ -836,7 +839,13 @@ object Chunker {
       // html is impractical below ~50 chars / ~15 tokens of window (base.py:996-1003)
       val minHtmlThreshold = if (opts.useTokenCounting) 15 else 50
       val (pairs, carried) =
-        if (rows.isEmpty || opts.hardMax < minHtmlThreshold)
+        if (rows.isEmpty && compactHtml.nonEmpty && opts.hardMax >= minHtmlThreshold)
+          // a genuine but row-less <table> that is oversized: the reference's
+          // `if not self._html` check is FALSE (compact html is non-empty), so
+          // it enters the html-sync splitter, which iterates zero rows and
+          // yields zero chunks (base.py:996-1009) — parity means no output
+          (Vector.empty[(String, Option[String])], 0)
+        else if (rows.isEmpty || opts.hardMax < minHtmlThreshold)
           (textOnlySplits(textWithOverlap, split), 0)
         else syncSplits(rows, opts)
 

@@ -858,8 +858,13 @@ object AnalysisQueries {
     "q_gopher_rules" -> ((s, dir) => {
       val aug = when(col("doc_id") % 5 === 0,
           concat(col("text"), lit("\n### # ## spam ... more ... and ...")))
+        // Gopher drops docs with MORE than 90% bullet lines (Rae et al. 2021
+        // A1.1), so the bullet residue must swamp the doc's own lines: 40
+        // bullet lines + the doc's first line keeps frac > 0.9 for the short
+        // synthetic docs while the rule still sees real text
         .when(col("doc_id") % 5 === 1,
-          concat(lit("• first\n• second\n• third\n"), col("text")))
+          concat(concat_ws("", array_repeat(lit("•item number four\n"), 40)),
+            element_at(split(col("text"), "\n"), 1)))
         .when(col("doc_id") % 5 === 2,
           concat(col("text"), lit("\ntrailing thought...\nanother one…\nmore...")))
         .when(col("doc_id") % 5 === 3,
@@ -1563,8 +1568,8 @@ object AnalysisQueries {
          |  SELECT doc_id, CASE
          |    WHEN doc_id % 5 = 0 THEN text || chr(10) ||
          |      '### # ## spam ... more ... and ...'
-         |    WHEN doc_id % 5 = 1 THEN '• first' || chr(10) || '• second' ||
-         |      chr(10) || '• third' || chr(10) || text
+         |    WHEN doc_id % 5 = 1 THEN repeat('•item number four' || chr(10), 40)
+         |      || string_split(text, chr(10))[1]
          |    WHEN doc_id % 5 = 2 THEN text || chr(10) || 'trailing thought...' ||
          |      chr(10) || 'another one…' || chr(10) || 'more...'
          |    WHEN doc_id % 5 = 3 THEN text ||
@@ -1608,7 +1613,7 @@ object AnalysisQueries {
          |  round(alpha_frac, 6) AS alpha_word_frac,
          |  CAST(stop_hits AS INT) AS n_stop_hits,
          |  (nw >= 20 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
-         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1 AND ell_frac <= 0.3
+         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ell_frac <= 0.3
          |    AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
          |FROM r ORDER BY doc_id""".stripMargin
     },

@@ -152,7 +152,10 @@ class QualityFiltersSpec extends SparkSuiteBase {
       (1L, clean),
       (2L, "too short to pass"),
       (3L, clean + "\n### ## # " + ("... " * 12).trim),          // symbols
-      (4L, "• a\n• b\n• c\n" + clean),                          // bullets
+      // >90% of lines bullet-started (Gopher removes docs with MORE than 90%
+      // bullet lines, so the trigger needs 30/31, not a mere trio)
+      (4L, (1 to 30).map(_ => "•item number four").mkString("\n") +
+        "\n" + clean),
       (5L, clean + "\nfirst...\nsecond...\nthird...\nmore..."), // ellipses
       (6L, clean + " " + (1 to 40).map(_.toString).mkString(" ")), // non-alpha
       (7L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh " * 3)) // no stopwords
@@ -166,7 +169,7 @@ class QualityFiltersSpec extends SparkSuiteBase {
     assert(!r(3L).getAs[Boolean]("keep") &&
       r(3L).getAs[Double]("symbol_ratio") > 0.1)
     assert(!r(4L).getAs[Boolean]("keep") &&
-      r(4L).getAs[Double]("bullet_line_frac") > 0.1)
+      r(4L).getAs[Double]("bullet_line_frac") > 0.9)
     assert(!r(5L).getAs[Boolean]("keep") &&
       r(5L).getAs[Double]("ellipsis_line_frac") > 0.3)
     assert(!r(6L).getAs[Boolean]("keep") &&

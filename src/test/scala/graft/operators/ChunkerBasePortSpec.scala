@@ -292,6 +292,26 @@ class ChunkerBasePortSpec extends AnyFunSuite {
     assert(orig.contains("foo bar"))
   }
 
+  // The reference's lxml parse/serialize round-trip preserves entities in a
+  // row-less table's flattened text: `a &amp; b` must NOT double-escape to
+  // `a &amp;amp; b` (unescape-then-re-escape, like the cell path).
+  test("row-less table html preserves entities without double-escaping") {
+    val t = table("a & b", Some("<table>a &amp; b</table>"))
+    val out = tableChunks(t, "", ChunkingOptions())
+    assert(out.size == 1)
+    assert(out.head.metadata.text_as_html.contains("<table>a &amp; b</table>"))
+  }
+
+  // An OVERSIZED row-less but genuine <table>: the reference's
+  // `if not self._html` check is false (compact html is non-empty), so it
+  // enters the html-sync splitter, which iterates zero rows and yields zero
+  // chunks (base.py:996-1009) — not text-only chunks.
+  test("oversized row-less genuine table yields no chunks (html splitter over zero rows)") {
+    val words = (1 to 80).map(i => s"word$i").mkString(" ")
+    val t = table(words, Some("<table>" + words + "</table>"))
+    assert(tableChunks(t, "", ChunkingOptions(maxCharacters = 100)).isEmpty)
+  }
+
   // -- but_not_when_instructed_not_to (test_base.py:2019) --
   test("orig_elements omitted from table chunk when instructed") {
     val out = tableChunks(table("foobar"), "",
