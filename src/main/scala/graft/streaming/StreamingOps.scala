@@ -883,9 +883,21 @@ object StreamingOps {
    * batch query's hot-posting cap; the drained per-fingerprint candidate
    * events reduce batch-side to shared counts and the 80%-of-smaller-side
    * floor, so the batch oracle verifies the streamed result exactly.
+   *
+   * The candidate stage runs through [[lshCandidateStreamTtl]], NOT the
+   * no-TTL fold: winnowing emits ~one fingerprint per `w` characters, so
+   * distinct band keys grow with corpus CHARACTERS (orders of magnitude past
+   * MinHash's k/2 keys per doc) — without expiry a long-lived stream's
+   * bucket state is O(corpus size). The documents table carries no event
+   * time, so the bounded drain rides one constant in-window timestamp: the
+   * watermark can never pass it, no bucket expires mid-drain, and the result
+   * is exactly the no-TTL fold's (which the batch oracle checks). A real
+   * ingest supplies its own event time and `delayThreshold` bounds state at
+   * O(fingerprints in window); the expiry/recall semantics are pinned by the
+   * winnow TTL spec in StreamingOpsSpec.
    */
   def winnowNearDupAvailableNow(spark: SparkSession, documentsPath: String,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, delayThreshold: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     import graft.functions.TextAnalysis
     graft.Tables.configure(spark)
@@ -903,9 +915,9 @@ object StreamingOps {
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .as[(Long, String)])
         val bands = docs.select(col("doc_id"), lit(0).as("band_idx"),
-            explode(TextAnalysis.winnowFingerprints(col("text"))).as("band_key"))
-          .as[(Long, Int, Long)]
-        lshCandidateStream(bands, maxBucket)
+            explode(TextAnalysis.winnowFingerprints(col("text"))).as("band_key"),
+            lit(new java.sql.Timestamp(1600000000000L)).as("ts"))
+        lshCandidateStreamTtl(bands, maxBucket, delayThreshold)
     }
     val sizes = derive(spark.read.parquet(documentsPath)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))

@@ -468,6 +468,74 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("winnow fingerprints run through the TTL fold: in-window recall, expiry after") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1600000000000L
+    def ts(h: Double) = new java.sql.Timestamp(t0 + (h * 3600000L).toLong)
+    // REAL winnow fingerprints as band keys (the fold's third client): docs
+    // 1 and 2 are exact copies (every fingerprint shared), doc 3 appends one
+    // token (all but the tail-window fingerprints shared)
+    val textA = "the quick brown fox jumps over the lazy dog in the morning " +
+      "sun while the river runs quietly past the old stone mill"
+    val fpOf: Map[Long, Seq[Long]] = Seq(1L -> textA, 2L -> textA,
+        3L -> (textA + " xtra"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.TextAnalysis.winnowFingerprints(col("text")))
+          .as("fp"))
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val nShared = fpOf(1L).toSet.intersect(fpOf(3L).toSet).size
+    assert(fpOf(1L) == fpOf(2L) && nShared > 0, "fixture lost its planted overlap")
+    val input = MemoryStream[(Long, Int, Long, java.sql.Timestamp)]
+    val pairs = StreamingOps.lshCandidateStreamTtl(
+      input.toDS().toDF("doc_id", "band_idx", "band_key", "ts"),
+      maxBandSize = 100, delayThreshold = "1 hour")
+    val query = pairs.writeStream.format("memory").queryName("winnow_ttl_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    // all winnow buckets share band_idx 0, so per-fingerprint pairs are
+    // duplicate ROWS — the downstream shared-count aggregation depends on
+    // their multiplicity, so count rows, never a Set
+    def rows(): Seq[(Int, Long, Long)] =
+      spark.table("winnow_ttl_out").as[(Int, Long, Long)].collect().toSeq
+    def stateRows(): Long =
+      Option(query.lastProgress).map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    try {
+      // batch 1: doc 1's fingerprints arrive alone — nothing to pair with
+      input.addData(fpOf(1L).map(fp => (1L, 0, fp, ts(0))): _*)
+      query.processAllAvailable()
+      assert(rows().isEmpty)
+      // batch 2 (in window): the exact copy pairs on EVERY fingerprint, the
+      // near-copy on exactly the shared prefix fingerprints — in-window
+      // recall is the batch fold's, undiminished by the TTL
+      input.addData((fpOf(2L).map(fp => (2L, 0, fp, ts(0.5))) ++
+        fpOf(3L).map(fp => (3L, 0, fp, ts(0.5)))): _*)
+      query.processAllAvailable()
+      val got = rows()
+      assert(got.count { case (_, a, b) => a == 1L && b == 2L } == fpOf(1L).size,
+        s"exact copy must pair on all ${fpOf(1L).size} fingerprints: $got")
+      assert(got.count { case (_, a, b) => a < 3L && b == 3L } == 2 * nShared,
+        s"near-copy must pair on the $nShared shared fingerprints with each twin")
+      // unrelated traffic advances the watermark far past the window; the
+      // fingerprint buckets fall silent and are DROPPED — state plateaus at
+      // the in-window buckets instead of growing with corpus characters
+      input.addData((9L, 99, 999999L, ts(5.0)))
+      query.processAllAvailable()
+      input.addData((9L, 99, 999998L, ts(5.0)))
+      query.processAllAvailable()
+      val before = rows()
+      val st = stateRows()
+      assert(st >= 0 && st <= 2, s"expired winnow buckets still held: $st rows")
+      // a re-arrival of doc 1's full fingerprint set pairs with NOTHING —
+      // the buckets were expired (the documented bounded-recall trade)
+      input.addData(fpOf(1L).map(fp => (7L, 0, fp, ts(4.5))): _*)
+      query.processAllAvailable()
+      assert(rows().size == before.size, "expired winnow buckets still paired")
+    } finally query.stop()
+  }
+
   test("a late in-watermark row does not rewind a bucket's TTL") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
