@@ -511,6 +511,47 @@ object CorpusOps {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /**
+   * Winnowing (MOSS) near-duplicate pairs: documents sharing >= 80% of the
+   * smaller side's selected fingerprints (the plagiarism-detection join),
+   * over [[TextAnalysis.winnowFingerprints]] with window `w` and gram `k`.
+   * Returns `doc_a, doc_b, n_shared` with `doc_a < doc_b`.
+   *
+   * `maxPosting` is the hot-key guard and the operator's one recall trade:
+   * winnowing postings are heavy-tailed (boilerplate runs — headers, license
+   * blocks — fingerprint identically in thousands of docs), so fingerprints
+   * shared by more than `maxPosting` documents are dropped BEFORE the
+   * equi-join. At sf0.1 a 1000 cap admits 37M pair events where 100 admits
+   * 3.7M; a TRUE near-dup pair is unaffected because its shared fingerprints
+   * sit in 2-doc postings — what the cap removes is precisely the
+   * boilerplate-only evidence, which is the evidence that would otherwise
+   * pair every doc carrying the same header (the property spec pins this:
+   * planted-copy recall is cap-invariant while boilerplate-swamped corpora
+   * drop from O(n²) pairs to the planted ones). The 80% floor is integer
+   * arithmetic (5·shared >= 4·min) so engines decide identically.
+   *
+   * Scale shape: explode per-doc sets, one windowed posting-count filter,
+   * one fingerprint equi-join, pair groupBy — never an all-pairs comparison.
+   */
+  def winnowNearDup(d: DataFrame, text: Column, maxPosting: Int = 100,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    val sets = d.select(col("doc_id"),
+      TextAnalysis.winnowFingerprints(text, k, w).as("fps"))
+    val fps = sets.select(col("doc_id"), size(col("fps")).as("n_fp"),
+      explode(col("fps")).as("fp"))
+    val hot = Window.partitionBy("fp")
+    val bounded = fps.withColumn("fp_n", count(lit(1)).over(hot))
+      .filter(col("fp_n") <= maxPosting).drop("fp_n")
+    val a = bounded.alias("a")
+    val b = bounded.alias("b")
+    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_fp").as("n_fp_a"), col("b.n_fp").as("n_fp_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") * 5 >= least(col("n_fp_a"), col("n_fp_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("n_shared"))
+  }
+
   /** Σ aᵢ·bᵢ accumulated as DOUBLE — the one cosine definition (identical to
     * the ANN queries' fold so oracle arithmetic matches bit-for-bit). */
   private def dotCol(a: Column, b: Column): Column = aggregate(

@@ -253,32 +253,13 @@ object AnalysisQueries {
         .orderBy("doc_id")),
 
     // Winnowing near-dup: docs sharing >= 80% of the smaller side's selected
-    // fingerprints (the plagiarism-detection join). Scale shape: explode the
-    // per-doc sets, drop boilerplate fingerprints shared by > 100 docs (the
-    // hot-key guard: winnowing postings are heavy-tailed — at sf0.1 a 1000
-    // cap admits 37M pair events, 100 admits 3.7M, and a TRUE near-dup pair
-    // is unaffected because its shared fingerprints sit in 2-doc postings),
-    // one fingerprint equi-join, pair groupBy. Never an all-pairs
-    // comparison; the 80% floor is integer arithmetic (5*shared >= 4*min)
-    // so both engines decide identically.
-    "q_winnow_near_dup" -> ((s, dir) => {
-      val sets = withNearDups(docs(s, dir)).select(col("doc_id"),
-        TextAnalysis.winnowFingerprints(col("text")).as("fps"))
-      val fps = sets.select(col("doc_id"), size(col("fps")).as("n_fp"),
-        explode(col("fps")).as("fp"))
-      val hot = Window.partitionBy("fp")
-      val bounded = fps.withColumn("fp_n", count(lit(1)).over(hot))
-        .filter(col("fp_n") <= 100).drop("fp_n")
-      val a = bounded.alias("a")
-      val b = bounded.alias("b")
-      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.n_fp").as("n_fp_a"), col("b.n_fp").as("n_fp_b"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") * 5 >= least(col("n_fp_a"), col("n_fp_b")) * 4)
-        .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("n_shared"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // fingerprints — [[CorpusOps.winnowNearDup]] with the default hot-posting
+    // cap (100); the cap's recall trade is documented and property-pinned at
+    // the operator.
+    "q_winnow_near_dup" -> ((s, dir) =>
+      graft.functions.CorpusOps
+        .winnowNearDup(withNearDups(docs(s, dir)), col("text"))
+        .orderBy("doc_a", "doc_b")),
 
     // streaming winnow near-dup: the per-doc fingerprint sets run through
     // the SAME streaming bucket fold as the MinHash/SimHash bands (a

@@ -166,6 +166,39 @@ class CorpusOpsPropertySpec extends SparkSuiteBase {
     }
   }
 
+  test("winnowNearDup hot-posting cap: planted-copy recall is cap-invariant, " +
+      "boilerplate-only pairs are what the cap removes") {
+    val sp = spark
+    import sp.implicits._
+    val abc = "abcdefghijklmnopqrstuvwxyz0123456789"
+    def randStr(n: Int) = Seq.fill(n)(abc(rng.nextInt(abc.size))).mkString
+    // 30 docs dominated by one shared boilerplate block (short unique tails,
+    // so each pair shares > 80% of fingerprints THROUGH the boilerplate), plus
+    // a planted near-identical pair of fully unique text
+    val boiler = randStr(400)
+    val herd = Vector.tabulate(30)(i => (i.toLong, boiler + randStr(8)))
+    val unique = randStr(300)
+    val planted = Vector((100L, unique), (101L, unique + randStr(8)))
+    val corpus = (herd ++ planted).toDF("doc_id", "text")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      CorpusOps.winnowNearDup(corpus, col("text"), maxPosting = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped: the 30-doc boilerplate postings are dropped (30 > 5), so the
+    // herd yields NO pairs; the planted pair's fingerprints sit in 2-doc
+    // postings and survive untouched
+    val capped = pairs(5)
+    assert(capped.contains((100L, 101L)), s"planted pair lost under the cap: $capped")
+    assert(!capped.exists { case (a, b) => a < 100L && b < 100L },
+      s"boilerplate-only pair survived the cap: $capped")
+    // uncapped: the same corpus explodes into the full boilerplate clique —
+    // the O(n^2) evidence the cap exists to remove — while the planted pair
+    // is present either way (recall on true near-dups is cap-invariant)
+    val uncapped = pairs(1000)
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.count { case (a, b) => a < 100L && b < 100L } == 30 * 29 / 2,
+      s"expected the full herd clique without the cap, got ${uncapped.size} pairs")
+  }
+
   test("winnowing never fingerprints below k: sub-k overlap shares nothing forced") {
     val sp = spark
     import sp.implicits._
