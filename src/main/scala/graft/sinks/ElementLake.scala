@@ -70,10 +70,19 @@ object ElementLake {
   }
 
   /** Advisory compaction lock at the lake root: held for the life of a
-    * [[compact]] call; read/append-path recovery no-ops while it exists so
-    * recovery never races an in-flight swap. A crashed compaction leaves it
-    * behind — delete it manually (it is advisory, not a lease). */
+    * [[compact]] call; read/append-path recovery no-ops while a LIVE lock
+    * exists so recovery never races an in-flight swap. The lock is a LEASE,
+    * not a tombstone: the holder writes `pid=… token=… created_ms=…` into
+    * it, and a lock whose filesystem mtime is older than the lease age is
+    * presumed to belong to a crashed compactor — the next [[compact]] takes
+    * it over (atomic re-create is the gate, so two racing takers resolve to
+    * one), and read/append recovery treats it as absent. Size the lease
+    * above the longest plausible partition rewrite: a hung-but-alive
+    * compactor past its lease can be overtaken, the inherent lease trade. */
   val LockName = "_graft_compact.lock"
+
+  /** Default lock lease: a compactor silent this long is presumed dead. */
+  val DefaultLockLeaseMs: Long = 15L * 60 * 1000
 
   private val SnapshotManifest = "_compact_snapshot"
 
@@ -102,7 +111,15 @@ object ElementLake {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, LockName))) return
+    // a lock within its lease belongs to a live compaction — stand down; a
+    // stale one is a crash remnant and must not block recovery forever (the
+    // lock itself is left for the next compact()'s takeover to consume)
+    val lockAlive =
+      try System.currentTimeMillis() - fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, LockName)).getModificationTime <=
+        DefaultLockLeaseMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (lockAlive) return
     recoverInner(fs, root)
   }
 
@@ -183,7 +200,11 @@ object ElementLake {
    * transaction log):
    *  - one compactor at a time: an advisory [[LockName]] file is created
    *    atomically at the root and held for the call; a second concurrent
-   *    compact() fails fast instead of double-swapping;
+   *    compact() fails fast instead of double-swapping — unless the lock is
+   *    older than `lockLeaseMs` (holder presumed crashed), in which case it
+   *    is taken over, recovery runs under the new lock, and release is
+   *    token-checked so the overtaken holder's finally cannot delete the
+   *    new holder's lock;
    *  - the rewrite is per-partition read(snapshot) → temp dir → two renames
    *    (old aside, new in place) → carry late appends over → delete old.
    *    Readers racing the swap see the old or the new file set, both
@@ -204,26 +225,57 @@ object ElementLake {
    */
   def compact(spark: SparkSession, path: String,
       maxFilesPerPartition: Int = 8,
-      targetFileBytes: Long = 128L << 20): Seq[String] =
-    compactImpl(spark, path, maxFilesPerPartition, targetFileBytes, _ => ())
+      targetFileBytes: Long = 128L << 20,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Seq[String] =
+    compactImpl(spark, path, maxFilesPerPartition, targetFileBytes, _ => (),
+      lockLeaseMs)
 
   /** [[compact]] with a test seam invoked between a partition's rewrite and
     * its swap — how the concurrent-append specs stage writes into the exact
     * race window deterministically. */
   private[graft] def compactImpl(spark: SparkSession, path: String,
       maxFilesPerPartition: Int, targetFileBytes: Long,
-      beforeSwap: String => Unit): Seq[String] = {
+      beforeSwap: String => Unit,
+      lockLeaseMs: Long = DefaultLockLeaseMs): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
     val lock = new org.apache.hadoop.fs.Path(root, LockName)
-    val lockStream =
-      try fs.create(lock, false)
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"compact: another compaction holds $lock (delete it if stale)", e)
-      }
-    lockStream.close()
+    // the lock carries holder identity: pid/created for diagnostics, token
+    // so release only ever deletes OUR lock (a post-takeover holder's lock
+    // must survive the overtaken compactor's finally block)
+    val token = java.util.UUID.randomUUID().toString
+    def tryAcquire(): Boolean =
+      try {
+        val s = fs.create(lock, false)
+        s.write((s"pid=${ProcessHandle.current().pid()} token=$token " +
+          s"created_ms=${System.currentTimeMillis()}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def lockContent(): String =
+      try {
+        val in = fs.open(lock)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch { case _: Exception => "" }
+    if (!tryAcquire()) {
+      // holder crashed? the lease is judged on filesystem mtime, not the
+      // holder's self-reported clock
+      val staleOrGone =
+        try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > lockLeaseMs
+        catch { case _: java.io.FileNotFoundException => true }
+      if (!staleOrGone) throw new IllegalStateException(
+        s"compact: a live compaction holds $lock (${lockContent()}); " +
+          s"takeover only after ${lockLeaseMs} ms of silence")
+      fs.delete(lock, false)
+      // atomic create(false) stays the gate: of N racing takers, one wins
+      if (!tryAcquire()) throw new IllegalStateException(
+        s"compact: lost the takeover race for stale $lock (now ${lockContent()})")
+    }
     try {
       // recovery BEFORE anything else — under our lock, so any .compact_*
       // dirs found are a prior crash's, never a live peer's
@@ -281,6 +333,10 @@ object ElementLake {
           }
         }
       }
-    } finally fs.delete(lock, false)
+    } finally {
+      // release only if the lock is still ours — after a lease takeover the
+      // file belongs to the new holder and must survive this finally
+      if (lockContent().contains(s"token=$token")) fs.delete(lock, false)
+    }
   }
 }

@@ -180,12 +180,110 @@ class IngestToLakeSpec extends SparkSuiteBase {
       val e = intercept[IllegalStateException] {
         ElementLake.compact(spark, lake.toString, maxFilesPerPartition = 4)
       }
-      assert(e.getMessage.contains("another compaction"))
+      assert(e.getMessage.contains("live compaction"))
       Files.delete(lake.resolve(ElementLake.LockName))
       // lock released: compaction proceeds and cleans up after itself
       assert(ElementLake.compact(spark, lake.toString,
         maxFilesPerPartition = 4).nonEmpty)
       assert(!Files.exists(lake.resolve(ElementLake.LockName)))
+    } finally rmTree(lake)
+  }
+
+  test("a stale lock from a crashed compactor is taken over, no manual step") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    import scala.jdk.CollectionConverters._
+    val lake = tmp("stale-lock-lake")
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 10).map { i =>
+      Element("", ElementType.NarrativeText, s"row $i", s"doc$i", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      (1 to 6).foreach(_ => ElementLake.append(rows.toDS(), lake.toString))
+      val before = ElementLake.read(spark, lake.toString).collect().toSet
+      // simulate the full crash footprint: the dead compactor's lock PLUS a
+      // partition stranded between the two swap renames
+      val lock = lake.resolve(ElementLake.LockName)
+      Files.write(lock, "pid=99999 token=dead created_ms=0\n".getBytes)
+      val partDir = Files.list(lake).iterator().asScala
+        .find(_.getFileName.toString.startsWith("p_filetype=")).get
+      val stranded = lake.resolve(s".compact_old_${partDir.getFileName}")
+      Files.move(partDir, stranded)
+      // age the lock past the lease (mtime is the lease clock)
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ElementLake.DefaultLockLeaseMs - 60000))
+      // within the lease a read-path recovery must stand down...
+      // (the stranded dir is older than any live-lock scenario here, so we
+      // only assert the takeover path end-to-end below)
+      assert(ElementLake.compact(spark, lake.toString,
+        maxFilesPerPartition = 4).nonEmpty)
+      assert(Files.exists(partDir) && !Files.exists(stranded),
+        "takeover did not run recovery under the new lock")
+      assert(!Files.exists(lock), "taken-over lock not released")
+      assert(ElementLake.read(spark, lake.toString).collect().toSet == before)
+    } finally rmTree(lake)
+  }
+
+  test("a stale lock no longer blocks read/append-path recovery; a live one does") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    import scala.jdk.CollectionConverters._
+    val lake = tmp("stale-lock-recovery")
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 6).map { i =>
+      Element("", ElementType.NarrativeText, s"row $i", s"doc$i", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      ElementLake.append(rows.toDS(), lake.toString)
+      val before = ElementLake.read(spark, lake.toString).collect().toSet
+      val lock = lake.resolve(ElementLake.LockName)
+      val partDir = Files.list(lake).iterator().asScala
+        .find(_.getFileName.toString.startsWith("p_filetype=")).get
+      val stranded = lake.resolve(s".compact_old_${partDir.getFileName}")
+      // live lock: recovery stands down, the stranded dir stays
+      Files.move(partDir, stranded)
+      Files.write(lock, "pid=1 token=x created_ms=0\n".getBytes)
+      ElementLake.recoverIfCrashed(spark, lake.toString)
+      assert(Files.exists(stranded), "recovery ran under a live lock")
+      // stale lock: recovery proceeds (lock left for compact()'s takeover)
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ElementLake.DefaultLockLeaseMs - 60000))
+      ElementLake.recoverIfCrashed(spark, lake.toString)
+      assert(Files.exists(partDir) && !Files.exists(stranded))
+      assert(Files.exists(lock), "read-path recovery must not consume the lock")
+      Files.delete(lock)
+      assert(ElementLake.read(spark, lake.toString).collect().toSet == before)
+    } finally rmTree(lake)
+  }
+
+  test("release is token-checked: a takeover's lock survives the old holder's finally") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    val lake = tmp("token-lock-lake")
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 10).map { i =>
+      Element("", ElementType.NarrativeText, s"row $i", s"doc$i", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      (1 to 6).foreach(_ => ElementLake.append(rows.toDS(), lake.toString))
+      val lock = lake.resolve(ElementLake.LockName)
+      // mid-compact, a (simulated) lease takeover replaces the lock with a
+      // NEW holder's: the finishing compactor's finally must leave it alone
+      val rewritten = ElementLake.compactImpl(spark, lake.toString,
+        maxFilesPerPartition = 4, targetFileBytes = 128L << 20,
+        beforeSwap = { _ =>
+          Files.delete(lock)
+          Files.write(lock, "pid=777 token=new-holder created_ms=1\n".getBytes)
+        })
+      assert(rewritten.nonEmpty)
+      assert(Files.exists(lock), "old holder deleted the new holder's lock")
+      assert(new String(Files.readAllBytes(lock)).contains("token=new-holder"))
+      Files.delete(lock)
     } finally rmTree(lake)
   }
 }
