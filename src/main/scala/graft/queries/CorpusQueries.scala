@@ -28,6 +28,20 @@ object CorpusQueries {
   private val PiiTail =
     " Contact jane.doe@corp.example or 10.0.0.7 or 555-123-4567."
 
+  /** The planted-domain corpus for the selection-QUALITY gates
+    * (q_nb_select_precision / q_dsir_select_precision): every 13th doc
+    * carries a distinctive 40-token block no real doc contains, so
+    * target-domain membership is known ground truth and "did the classifier
+    * select well" is a measurable fraction, the same discipline as
+    * q_embed_quant_recall / q_mrl_recall. */
+  private val PlantTokens = "zyqvor flembra quindax drazzet vorplim"
+  private val PlantSuffix = (" " + PlantTokens) * 8
+  private def plantedCorpus(d: DataFrame): DataFrame =
+    d.select(col("doc_id").cast("long").as("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 13 === 3, lit(PlantSuffix)).otherwise(lit("")))
+        .as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // GPT-3 appendix-C decontamination: the "benchmark" is a middle 8-word
@@ -162,6 +176,44 @@ object CorpusQueries {
         col("text"))
       CorpusOps.dsirSelect(d, d.filter(col("doc_id") % 11 === 5),
         col("text"), k = 50)
+    }),
+
+    // Selection-quality gate for the NB classifier: train on HALF the
+    // planted target docs (odd ids) vs a disjoint negative slice, score the
+    // held-out corpus, and count how many of the held-out planted docs the
+    // top-k (k = their true count) recovers. Arithmetic is the oracle's;
+    // the ≥-floor assertion lives in SelectionPrecisionSpec.
+    "q_nb_select_precision" -> ((s, dir) => {
+      val d = plantedCorpus(docs(s, dir))
+      val isPlanted = col("doc_id") % 13 === 3
+      val isPosSeed = isPlanted && col("doc_id") % 2 === 1
+      val isNegSeed = !isPlanted && col("doc_id") % 11 === 7
+      val held = d.filter(!isPosSeed && !isNegSeed)
+      val k = held.filter(isPlanted).count().toInt
+      CorpusOps.nbQualityClassifier(held,
+          d.filter(isPosSeed), d.filter(isNegSeed), col("text"))
+        .orderBy(col("llr_micro_sum").desc, col("doc_id"))
+        .limit(k)
+        .agg(count(lit(1)).cast("int").as("n_selected"),
+          sum(when(isPlanted, 1).otherwise(0)).cast("int").as("n_hits"))
+        .select(lit(k).cast("int").as("n_planted"),
+          col("n_selected"), col("n_hits"))
+    }),
+
+    // Selection-quality gate for DSIR: target = half the planted docs,
+    // raw = the whole corpus, k = the full planted count; count planted
+    // docs among the Gumbel top-k (signal ≈ 200 micro-nats·10⁶ vs ≈ 1
+    // Gumbel noise, so a working sampler recovers nearly all of them)
+    "q_dsir_select_precision" -> ((s, dir) => {
+      val d = plantedCorpus(docs(s, dir))
+      val isPlanted = col("doc_id") % 13 === 3
+      val k = d.filter(isPlanted).count().toInt
+      CorpusOps.dsirSelect(d,
+          d.filter(isPlanted && col("doc_id") % 2 === 1), col("text"), k = k)
+        .agg(count(lit(1)).cast("int").as("n_selected"),
+          sum(when(isPlanted, 1).otherwise(0)).cast("int").as("n_hits"))
+        .select(lit(k).cast("int").as("n_planted"),
+          col("n_selected"), col("n_hits"))
     }),
 
     "q_stratified_sample" -> ((s, dir) =>
@@ -779,6 +831,118 @@ object CorpusQueries {
          |    AS BIGINT) AS key_micro
          |FROM scored
          |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin
+    },
+
+    // NB selection precision re-derived end-to-end: planted corpus, seed
+    // slices, hashed-NB scoring of the held-out docs, top-k by (llr, id),
+    // hit count against the planted ground truth
+    "q_nb_select_precision" -> {
+      val bh = s"${O.polyHash("w")} % 1024"
+      s"""WITH corpus AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    text || CASE WHEN doc_id % 13 = 3
+         |      THEN repeat(' $PlantTokens', 8) ELSE '' END AS text
+         |  FROM documents),
+         |held AS (
+         |  SELECT doc_id FROM corpus
+         |  WHERE NOT (doc_id % 13 = 3 AND doc_id % 2 = 1)
+         |    AND NOT (doc_id % 13 <> 3 AND doc_id % 11 = 7)),
+         |tok AS (
+         |  SELECT doc_id, unnest(ws) AS w
+         |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM corpus)),
+         |posb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cp FROM tok
+         |  WHERE doc_id % 13 = 3 AND doc_id % 2 = 1 GROUP BY 1),
+         |negb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cn FROM tok
+         |  WHERE doc_id % 13 <> 3 AND doc_id % 11 = 7 GROUP BY 1),
+         |tots AS (
+         |  SELECT (SELECT CAST(coalesce(sum(cp), 0) AS BIGINT) FROM posb) AS tp,
+         |         (SELECT CAST(coalesce(sum(cn), 0) AS BIGINT) FROM negb) AS tn),
+         |model AS (
+         |  SELECT coalesce(p.b, n.b) AS b,
+         |    CAST(round((ln(CAST(coalesce(cp, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tp FROM tots) + 1024)) -
+         |      ln(CAST(coalesce(cn, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tn FROM tots) + 1024))) * 1e6) AS BIGINT) AS llr
+         |  FROM posb p FULL OUTER JOIN negb n ON p.b = n.b),
+         |dflt AS (
+         |  SELECT CAST(round((ln(1.0 / (tp + 1024)) -
+         |    ln(1.0 / (tn + 1024))) * 1e6) AS BIGINT) AS llr0 FROM tots),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(sum(coalesce(m.llr, (SELECT llr0 FROM dflt))) AS BIGINT)
+         |      AS llr_micro_sum
+         |  FROM (SELECT doc_id, $bh AS b FROM tok
+         |        WHERE doc_id IN (SELECT doc_id FROM held)) t
+         |  LEFT JOIN model m ON t.b = m.b GROUP BY t.doc_id),
+         |kk AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k FROM held WHERE doc_id % 13 = 3),
+         |topk AS (
+         |  SELECT doc_id FROM scored
+         |  QUALIFY row_number() OVER (ORDER BY llr_micro_sum DESC, doc_id)
+         |    <= (SELECT k FROM kk))
+         |SELECT CAST((SELECT k FROM kk) AS INT) AS n_planted,
+         |  CAST(count(*) AS INT) AS n_selected,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 13 = 3 THEN 1 ELSE 0 END), 0)
+         |    AS INT) AS n_hits
+         |FROM topk""".stripMargin
+    },
+
+    // DSIR selection precision re-derived: planted corpus, target = planted
+    // odd half, hashed uni+bigram llr, Gumbel top-k, planted hit count
+    "q_dsir_select_precision" -> {
+      val bh = s"${O.polyHash("f")} % 1024"
+      val gh = O.polyHash(
+        s"CAST(${O.polyHash("(CAST(doc_id AS VARCHAR) || ':dsir')")} AS VARCHAR)")
+      s"""WITH corpus AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |    text || CASE WHEN doc_id % 13 = 3
+         |      THEN repeat(' $PlantTokens', 8) ELSE '' END AS text
+         |  FROM documents),
+         |fx AS (
+         |  SELECT doc_id, list_concat(ws, ${O.shingles2("ws")}) AS fs
+         |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM corpus)),
+         |feat AS (SELECT doc_id, unnest(fs) AS f FROM fx),
+         |tgtb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS ct FROM feat
+         |  WHERE doc_id % 13 = 3 AND doc_id % 2 = 1 GROUP BY 1),
+         |rawb AS (
+         |  SELECT $bh AS b, CAST(count(*) AS BIGINT) AS cr FROM feat GROUP BY 1),
+         |tots AS (
+         |  SELECT (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgtb) AS tt,
+         |         (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) FROM rawb) AS tr),
+         |model AS (
+         |  SELECT coalesce(t.b, r.b) AS b,
+         |    CAST(round((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tt FROM tots) + 1024)) -
+         |      ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE) /
+         |        ((SELECT tr FROM tots) + 1024))) * 1e6) AS BIGINT) AS llr
+         |  FROM tgtb t FULL OUTER JOIN rawb r ON t.b = r.b),
+         |dflt AS (
+         |  SELECT CAST(round((ln(1.0 / (tt + 1024)) -
+         |    ln(1.0 / (tr + 1024))) * 1e6) AS BIGINT) AS llr0 FROM tots),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |    CAST(sum(coalesce(m.llr, (SELECT llr0 FROM dflt))) AS BIGINT)
+         |      AS llr_micro_sum
+         |  FROM (SELECT doc_id, $bh AS b FROM feat) t
+         |  LEFT JOIN model m ON t.b = m.b GROUP BY t.doc_id),
+         |kk AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS k FROM corpus WHERE doc_id % 13 = 3),
+         |topk AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, llr_micro_sum + CAST(round(-ln(-ln(
+         |      (CAST($gh % 1048576 AS DOUBLE) + 0.5) / 1048576.0)) * 1e6)
+         |      AS BIGINT) AS key_micro
+         |    FROM scored)
+         |  QUALIFY row_number() OVER (ORDER BY key_micro DESC, doc_id)
+         |    <= (SELECT k FROM kk))
+         |SELECT CAST((SELECT k FROM kk) AS INT) AS n_planted,
+         |  CAST(count(*) AS INT) AS n_selected,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 13 = 3 THEN 1 ELSE 0 END), 0)
+         |    AS INT) AS n_hits
+         |FROM topk""".stripMargin
     },
 
     // delta bands × history bands equi-join (history hot-band cap), exact
