@@ -1002,6 +1002,50 @@ object CorpusOps {
    * size divides by `subBuckets`; stage 2 ranks the ≤ subBuckets·quota
    * survivors per source exactly.
    */
+  /**
+   * The recurring-crawl REFRESH pipeline (the q_crawl_refresh capstone) as a
+   * reusable composition — five proven-shape stages in one DAG:
+   * canonical-URL dedup inside the crawl → exact incremental dedup vs
+   * history (broadcast Bloom + anti-join) → near-dup vs history (banded
+   * probe + exact Jaccard) → LM quality floor → per-source quota.
+   *
+   * `materialize(name, df)` pins a stage's survivor set before downstream
+   * stages reference it repeatedly (bands, shingles, LM probes, quota) —
+   * without it every reference re-runs the whole upstream pipeline
+   * (measured 20.5 s → ~8 s at sf0.1). Two callers, two durability
+   * stories:
+   *  - `(_, df) => df.localCheckpoint(true)` — executor-memory lineage
+   *    truncation, right for a single job that owns its driver;
+   *  - [[graft.sinks.StageStore]] — each stage lands in parquet behind a
+   *    done-marker, so a refresh killed between stages RESUMES from the
+   *    last completed stage instead of recomputing (the 100 TB durability
+   *    story: stage outputs are restart currency, not scratch).
+   * Stage names are stable: "exact_new", "near_new".
+   */
+  def crawlRefresh(history: DataFrame, delta: DataFrame, rawUrl: Column,
+      lmRef: DataFrame, headMinAvgLp: Double, midMinAvgLp: Double,
+      quota: Int,
+      materialize: (String, DataFrame) => DataFrame): DataFrame = {
+    val urlKept = delta
+      .withColumn("canonical_url", canonicalizeUrl(rawUrl))
+      .withColumn("u_min",
+        min("doc_id").over(Window.partitionBy("canonical_url")))
+      .filter(col("doc_id") === col("u_min"))
+      .drop("u_min", "canonical_url")
+    val exactNew = materialize("exact_new",
+      incrementalDedup(history, urlKept, col("text")).drop("fp"))
+    val nearFlagged = incrementalNearDup(history,
+      exactNew.select(col("doc_id"), col("text"))).select(col("doc_id"))
+    val nearNew = materialize("near_new",
+      exactNew.join(nearFlagged, Seq("doc_id"), "left_anti"))
+    val scored = lmQualityScore(nearNew, lmRef, col("text"),
+      headMinAvgLp, midMinAvgLp)
+    val kept = nearNew.join(
+      scored.filter(col("bucket") =!= "tail").select("doc_id", "bucket"),
+      Seq("doc_id"))
+    sourceQuota(kept, col("source"), col("n_chars"), quota)
+  }
+
   def sourceQuota(docs: DataFrame, source: Column, preference: Column,
       quota: Int, subBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

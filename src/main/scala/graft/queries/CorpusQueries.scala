@@ -34,6 +34,36 @@ object CorpusQueries {
     * target-domain membership is known ground truth and "did the classifier
     * select well" is a measurable fraction, the same discipline as
     * q_embed_quant_recall / q_mrl_recall. */
+  /** The crawl-refresh capstone's synthetic inputs, shared by the
+    * localCheckpoint and persisted renderings (and mirrored in their one
+    * oracle): history = even docs; the crawl = odd docs + exact re-crawls
+    * (+500000) + drifted re-crawls (+700000, one appended token); every 9th
+    * ≡ 1 crawled page shares the URL of the odd doc two below it (so the
+    * collision partner IS in the crawl), host case and tracking params vary
+    * on top. */
+  private def crawlRefreshInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+      col("text"), col("source"), col("n_chars"))
+    val history = d.filter(col("doc_id") % 2 === 0)
+    val delta0 = d.filter(col("doc_id") % 2 === 1)
+      .unionByName(history.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"),
+          col("source"), col("n_chars")))
+      .unionByName(history.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 700000).as("doc_id"),
+          concat(col("text"), lit(" xtra")).as("text"),
+          col("source"), col("n_chars")))
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("https://CRAWL.example.com/p/"))
+        .otherwise(lit("https://crawl.example.com/p/")),
+      (col("doc_id") - when(col("doc_id") % 9 === 1, 2L).otherwise(0L))
+        .cast("string"),
+      when(col("doc_id") % 3 === 0, lit("?utm_source=x&a=1"))
+        .otherwise(lit("?a=1")))
+    (history, delta0, raw)
+  }
+
   private val PlantTokens = "zyqvor flembra quindax drazzet vorplim"
   private val PlantSuffix = (" " + PlantTokens) * 8
   private def plantedCorpus(d: DataFrame): DataFrame =
@@ -359,56 +389,37 @@ object CorpusQueries {
     // re-derives the whole pipeline (URL stage construction-predicting, the
     // rest mirrored), so the COMPOSITION is gate-checked, not just the parts.
     "q_crawl_refresh" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
-        col("text"), col("source"), col("n_chars"))
-      val history = d.filter(col("doc_id") % 2 === 0)
-      val delta0 = d.filter(col("doc_id") % 2 === 1)
-        .unionByName(history.filter(col("doc_id") % 6 === 0)
-          .select((col("doc_id") + 500000).as("doc_id"), col("text"),
-            col("source"), col("n_chars")))
-        .unionByName(history.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 700000).as("doc_id"),
-            concat(col("text"), lit(" xtra")).as("text"),
-            col("source"), col("n_chars")))
-      // every 9th ≡ 1 crawled page shares the URL of the odd doc two below
-      // it (so the collision partner IS in the crawl); host case and
-      // tracking params vary on top
-      val raw = concat(
-        when(col("doc_id") % 2 === 0, lit("https://CRAWL.example.com/p/"))
-          .otherwise(lit("https://crawl.example.com/p/")),
-        (col("doc_id") - when(col("doc_id") % 9 === 1, 2L).otherwise(0L))
-          .cast("string"),
-        when(col("doc_id") % 3 === 0, lit("?utm_source=x&a=1"))
-          .otherwise(lit("?a=1")))
-      val urlKept = delta0
-        .withColumn("canonical_url", CorpusOps.canonicalizeUrl(raw))
-        .withColumn("u_min", min("doc_id").over(
-          Window.partitionBy("canonical_url")))
-        .filter(col("doc_id") === col("u_min"))
-        .drop("u_min", "canonical_url")
-      // each stage's survivor set is MATERIALIZED (lineage-truncating local
-      // checkpoint): downstream stages reference it for bands, shingles, LM
-      // probes, and the quota — without materialization every reference
-      // re-runs the whole upstream pipeline (measured 20.5 s -> ~8 s at
-      // sf0.1). A production refresh persists stage outputs between crawl
-      // stages for the same reason (and for restartability).
-      val exactNew = CorpusOps.incrementalDedup(history, urlKept, col("text"))
-        .drop("fp")
-        .localCheckpoint(true)
-      val nearFlagged = CorpusOps.incrementalNearDup(history,
-        exactNew.select(col("doc_id"), col("text"))).select(col("doc_id"))
-      val nearNew = exactNew.join(nearFlagged, Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
-      val scored = CorpusOps.lmQualityScore(nearNew,
-        history.filter(col("doc_id") % 11 === 5), col("text"),
-        headMinAvgLp = -3.47e6, midMinAvgLp = -3.54e6)
-      val kept = nearNew.join(
-        scored.filter(col("bucket") =!= "tail").select("doc_id", "bucket"),
-        Seq("doc_id"))
-      CorpusOps.sourceQuota(kept, col("source"), col("n_chars"), quota = 12)
+      val (history, delta0, raw) = crawlRefreshInputs(s, dir)
+      // single-job rendering: stage survivor sets pinned by
+      // lineage-truncating localCheckpoint (see CorpusOps.crawlRefresh for
+      // why materialization matters and the persisted twin for durability)
+      CorpusOps.crawlRefresh(history, delta0, raw,
+          history.filter(col("doc_id") % 11 === 5),
+          headMinAvgLp = -3.47e6, midMinAvgLp = -3.54e6, quota = 12,
+          materialize = (_, df) => df.localCheckpoint(true))
         .select(col("doc_id"), col("source"), col("bucket"), col("rk"))
         .orderBy("doc_id")
+    }),
+
+    // the SAME refresh through durable parquet stage outputs (StageStore):
+    // each survivor set lands behind a done-marker, so a refresh killed
+    // between stages resumes instead of recomputing — the production
+    // durability story the localCheckpoint rendering can't give (executor
+    // memory dies with the driver). Identical oracle as q_crawl_refresh:
+    // the persisted path must change WHERE stage outputs live, never WHAT
+    // they contain.
+    "q_crawl_refresh_persisted" -> ((s, dir) => {
+      val (history, delta0, raw) = crawlRefreshInputs(s, dir)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-refresh-stages").toString
+      val store = new graft.sinks.StageStore(s, root)
+      val out = CorpusOps.crawlRefresh(history, delta0, raw,
+          history.filter(col("doc_id") % 11 === 5),
+          headMinAvgLp = -3.47e6, midMinAvgLp = -3.54e6, quota = 12,
+          materialize = store.apply)
+        .select(col("doc_id"), col("source"), col("bucket"), col("rk"))
+        .orderBy("doc_id")
+      out
     }),
 
     // RefinedWeb-style per-source cap: keep each source's 15 longest docs;
@@ -671,6 +682,112 @@ object CorpusQueries {
        |       ELSE 'lo' END AS quality
        |FROM corpus c LEFT JOIN scored USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** the five-stage refresh re-derived end-to-end (see map comment). */
+  private lazy val CrawlRefreshOracleSql: String = {
+      val fp = AnalysisQueries.fingerprint("text")
+      def bigramsOf(src: String) =
+        s"""SELECT doc_id, unnest(list_transform(
+           |    range(1, greatest(len(ws), 1)),
+           |    i -> {'w1': ws[i], 'w2': ws[i + 1]}), recursive := true)
+           |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM $src)""".stripMargin
+      def bandsOf(src: String) =
+        s"""SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
+           |    {'band_idx': b,
+           |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
+           |    recursive := true)
+           |  FROM (SELECT doc_id, ${AnalysisQueries.minhashSigSql("text")} AS sig
+           |        FROM $src)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source, n_chars
+         |  FROM documents),
+         |hist AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+         |delta0 AS (
+         |  SELECT * FROM d WHERE doc_id % 2 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 500000, text, source, n_chars FROM hist
+         |  WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000, text || ' xtra', source, n_chars FROM hist
+         |  WHERE doc_id % 10 = 0),
+         |urlkept AS (
+         |  SELECT doc_id, text, source, n_chars FROM (
+         |    SELECT *, min(doc_id) OVER (PARTITION BY canon) AS u_min FROM (
+         |      SELECT *, 'https://crawl.example.com/p/' ||
+         |        CAST(doc_id - CASE WHEN doc_id % 9 = 1 THEN 2 ELSE 0 END
+         |          AS VARCHAR) || '?a=1' AS canon
+         |      FROM delta0))
+         |  WHERE doc_id = u_min),
+         |histfp AS (SELECT DISTINCT $fp AS fp FROM hist),
+         |exactnew AS (
+         |  SELECT u.doc_id, u.text, u.source, u.n_chars FROM
+         |    (SELECT *, $fp AS fp FROM urlkept) u
+         |  LEFT JOIN histfp h USING (fp) WHERE h.fp IS NULL),
+         |hbands AS (${bandsOf("hist")}),
+         |dbands AS (${bandsOf("exactnew")}),
+         |safe AS (
+         |  SELECT band_idx, band_key FROM hbands
+         |  GROUP BY band_idx, band_key HAVING count(*) <= 1000),
+         |hb AS (
+         |  SELECT h.* FROM hbands h JOIN safe s
+         |    ON h.band_idx = s.band_idx AND h.band_key = s.band_key),
+         |cand AS (
+         |  SELECT DISTINCT db.doc_id, hb.doc_id AS hist_doc
+         |  FROM dbands db JOIN hb
+         |    ON db.band_idx = hb.band_idx AND db.band_key = hb.band_key),
+         |dsh AS (
+         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
+         |  FROM exactnew),
+         |hsh AS (
+         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
+         |  FROM hist),
+         |flagged AS (
+         |  SELECT DISTINCT cand.doc_id FROM cand
+         |  JOIN dsh a ON cand.doc_id = a.doc_id
+         |  JOIN hsh b ON cand.hist_doc = b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8),
+         |nearnew AS (
+         |  SELECT e.* FROM exactnew e LEFT JOIN flagged f USING (doc_id)
+         |  WHERE f.doc_id IS NULL),
+         |lmref AS (SELECT doc_id, text FROM hist WHERE doc_id % 11 = 5),
+         |refbg AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+         |  FROM (${bigramsOf("lmref")}) GROUP BY w1, w2),
+         |refc1 AS (
+         |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM refbg GROUP BY w1),
+         |vocab AS (
+         |  SELECT count(DISTINCT w) AS v FROM (
+         |    SELECT unnest(ws) AS w
+         |    FROM (SELECT ${O.words("lower(text)")} AS ws FROM lmref))),
+         |docbg AS (${bigramsOf("nearnew")}),
+         |probes AS (
+         |  SELECT dg.doc_id,
+         |    CAST(round(ln(CAST(coalesce(b.c, 0) + 1 AS DOUBLE) /
+         |      (coalesce(u.c1, 0) + (SELECT v FROM vocab))) * 1e6) AS BIGINT)
+         |      AS lp
+         |  FROM docbg dg
+         |  LEFT JOIN refbg b ON dg.w1 = b.w1 AND dg.w2 = b.w2
+         |  LEFT JOIN refc1 u ON dg.w1 = u.w1),
+         |lmscored AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(lp) AS BIGINT) AS lp_micro_sum
+         |  FROM probes GROUP BY doc_id),
+         |bucketed AS (
+         |  SELECT n.doc_id, n.source, n.n_chars,
+         |    CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 'unscored'
+         |         WHEN s.lp_micro_sum / CAST(s.n_bigrams AS DOUBLE)
+         |           >= -3470000.0 THEN 'head'
+         |         WHEN s.lp_micro_sum / CAST(s.n_bigrams AS DOUBLE)
+         |           >= -3540000.0 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM nearnew n LEFT JOIN lmscored s USING (doc_id))
+         |SELECT doc_id, source, bucket, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM bucketed WHERE bucket <> 'tail')
+         |WHERE rk <= 12 ORDER BY doc_id""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -1190,110 +1307,11 @@ object CorpusQueries {
     // construction-predicting (canonicalizing THESE urls provably reduces to
     // lowercase host + utm drop), the dedup/near-dup/LM stages mirror their
     // standalone oracles over the composed intermediate sets
-    "q_crawl_refresh" -> {
-      val fp = AnalysisQueries.fingerprint("text")
-      def bigramsOf(src: String) =
-        s"""SELECT doc_id, unnest(list_transform(
-           |    range(1, greatest(len(ws), 1)),
-           |    i -> {'w1': ws[i], 'w2': ws[i + 1]}), recursive := true)
-           |  FROM (SELECT doc_id, ${O.words("lower(text)")} AS ws FROM $src)""".stripMargin
-      def bandsOf(src: String) =
-        s"""SELECT doc_id, unnest(list_transform(range(0, len(sig) // 2), b ->
-           |    {'band_idx': b,
-           |     'band_key': (sig[2*b+1] * 31 + sig[2*b+2]) % 1000000007}),
-           |    recursive := true)
-           |  FROM (SELECT doc_id, ${AnalysisQueries.minhashSigSql("text")} AS sig
-           |        FROM $src)""".stripMargin
-      s"""WITH d AS (
-         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, source, n_chars
-         |  FROM documents),
-         |hist AS (SELECT * FROM d WHERE doc_id % 2 = 0),
-         |delta0 AS (
-         |  SELECT * FROM d WHERE doc_id % 2 = 1
-         |  UNION ALL
-         |  SELECT doc_id + 500000, text, source, n_chars FROM hist
-         |  WHERE doc_id % 6 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 700000, text || ' xtra', source, n_chars FROM hist
-         |  WHERE doc_id % 10 = 0),
-         |urlkept AS (
-         |  SELECT doc_id, text, source, n_chars FROM (
-         |    SELECT *, min(doc_id) OVER (PARTITION BY canon) AS u_min FROM (
-         |      SELECT *, 'https://crawl.example.com/p/' ||
-         |        CAST(doc_id - CASE WHEN doc_id % 9 = 1 THEN 2 ELSE 0 END
-         |          AS VARCHAR) || '?a=1' AS canon
-         |      FROM delta0))
-         |  WHERE doc_id = u_min),
-         |histfp AS (SELECT DISTINCT $fp AS fp FROM hist),
-         |exactnew AS (
-         |  SELECT u.doc_id, u.text, u.source, u.n_chars FROM
-         |    (SELECT *, $fp AS fp FROM urlkept) u
-         |  LEFT JOIN histfp h USING (fp) WHERE h.fp IS NULL),
-         |hbands AS (${bandsOf("hist")}),
-         |dbands AS (${bandsOf("exactnew")}),
-         |safe AS (
-         |  SELECT band_idx, band_key FROM hbands
-         |  GROUP BY band_idx, band_key HAVING count(*) <= 1000),
-         |hb AS (
-         |  SELECT h.* FROM hbands h JOIN safe s
-         |    ON h.band_idx = s.band_idx AND h.band_key = s.band_key),
-         |cand AS (
-         |  SELECT DISTINCT db.doc_id, hb.doc_id AS hist_doc
-         |  FROM dbands db JOIN hb
-         |    ON db.band_idx = hb.band_idx AND db.band_key = hb.band_key),
-         |dsh AS (
-         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
-         |  FROM exactnew),
-         |hsh AS (
-         |  SELECT doc_id, list_distinct(${O.shingles3(O.words("text"))}) AS sh
-         |  FROM hist),
-         |flagged AS (
-         |  SELECT DISTINCT cand.doc_id FROM cand
-         |  JOIN dsh a ON cand.doc_id = a.doc_id
-         |  JOIN hsh b ON cand.hist_doc = b.doc_id
-         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.8),
-         |nearnew AS (
-         |  SELECT e.* FROM exactnew e LEFT JOIN flagged f USING (doc_id)
-         |  WHERE f.doc_id IS NULL),
-         |lmref AS (SELECT doc_id, text FROM hist WHERE doc_id % 11 = 5),
-         |refbg AS (
-         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
-         |  FROM (${bigramsOf("lmref")}) GROUP BY w1, w2),
-         |refc1 AS (
-         |  SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM refbg GROUP BY w1),
-         |vocab AS (
-         |  SELECT count(DISTINCT w) AS v FROM (
-         |    SELECT unnest(ws) AS w
-         |    FROM (SELECT ${O.words("lower(text)")} AS ws FROM lmref))),
-         |docbg AS (${bigramsOf("nearnew")}),
-         |probes AS (
-         |  SELECT dg.doc_id,
-         |    CAST(round(ln(CAST(coalesce(b.c, 0) + 1 AS DOUBLE) /
-         |      (coalesce(u.c1, 0) + (SELECT v FROM vocab))) * 1e6) AS BIGINT)
-         |      AS lp
-         |  FROM docbg dg
-         |  LEFT JOIN refbg b ON dg.w1 = b.w1 AND dg.w2 = b.w2
-         |  LEFT JOIN refc1 u ON dg.w1 = u.w1),
-         |lmscored AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(lp) AS BIGINT) AS lp_micro_sum
-         |  FROM probes GROUP BY doc_id),
-         |bucketed AS (
-         |  SELECT n.doc_id, n.source, n.n_chars,
-         |    CASE WHEN coalesce(s.n_bigrams, 0) = 0 THEN 'unscored'
-         |         WHEN s.lp_micro_sum / CAST(s.n_bigrams AS DOUBLE)
-         |           >= -3470000.0 THEN 'head'
-         |         WHEN s.lp_micro_sum / CAST(s.n_bigrams AS DOUBLE)
-         |           >= -3540000.0 THEN 'middle'
-         |         ELSE 'tail' END AS bucket
-         |  FROM nearnew n LEFT JOIN lmscored s USING (doc_id))
-         |SELECT doc_id, source, bucket, rk FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY source
-         |    ORDER BY n_chars DESC, doc_id) AS rk
-         |  FROM bucketed WHERE bucket <> 'tail')
-         |WHERE rk <= 12 ORDER BY doc_id""".stripMargin
-    },
+    "q_crawl_refresh" -> CrawlRefreshOracleSql,
+
+    // the persisted rendering changes WHERE stage outputs live (parquet
+    // behind done-markers), never WHAT they contain — one oracle pins both
+    "q_crawl_refresh_persisted" -> CrawlRefreshOracleSql,
 
     // the two-stage grouped top-N reduces to the naive per-source window
     // top-N (stage 1 never drops a global top-quota member)
