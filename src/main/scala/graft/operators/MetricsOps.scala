@@ -38,6 +38,70 @@ object MetricsOps {
   }
 
   /**
+   * `TextExtractionMetricsCalculator` (`metrics/evaluate.py:342-455`) as a
+   * DataFrame evaluation: inputs are `(path, text)` frames — `outputs` holds
+   * each document's extracted clean-concatenated text under its output path
+   * (e.g. `connector_a/Report.pdf.json`), `groundTruths` the gold CCT under
+   * the same relative path with a `.txt` suffix. One row per output doc:
+   * `filename, doctype, connector, cct_accuracy, cct_pct_missing` —
+   *  - `filename` = path stem ("Report.pdf"), `doctype` = second-to-last
+   *    suffix (".pdf"), `connector` = first path segment when nested, else
+   *    null (evaluate.py:409-412);
+   *  - accuracy = `calculate_accuracy` with the calculator's (1,1,1)
+   *    weights, rounded 3 — UNLESS the output/source byte-length ratio
+   *    falls outside (0.5, 2.0), where the reference pins 0.01 instead of
+   *    paying a hopeless Levenshtein (evaluate.py:417-421);
+   *  - pct missing = `calculate_percent_missing_text`, rounded 3.
+   * Rows are ordered by path for determinism. Scale shape: one equi-join on
+   * the path stem + a per-row map — the quadratic Levenshtein cost is
+   * per-document and distributed, never a corpus-wide comparison.
+   */
+  def textExtractionEvaluation(outputs: org.apache.spark.sql.DataFrame,
+      groundTruths: org.apache.spark.sql.DataFrame,
+      documentType: String = "json"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (documentType != "json" && documentType != "txt")
+      throw new IllegalArgumentException(
+        "Specified file type under `documents_dir` or `output_list` should " +
+          s"be one of `json` or `txt`. The given file type is $documentType, " +
+          "exiting.") // evaluate.py:386-391
+    val sp = outputs.sparkSession
+    import sp.implicits._
+    def stem(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "\\.[^./]+$", "")
+    val o = outputs
+      .filter(col("path").endsWith(s".$documentType")) // inconsistent types skip
+      .select(stem(col("path")).as("k"), col("path"), col("text").as("o_text"))
+    val g = groundTruths.select(stem(col("path")).as("k"), col("text").as("s_text"))
+    o.join(g, Seq("k"))
+      .select(col("path"), col("o_text"), col("s_text"))
+      .as[(String, String, String)]
+      .map { case (path, oText, sText) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val stemName = name.substring(0, name.lastIndexOf('.'))
+        val doctype =
+          if (stemName.contains('.')) stemName.substring(stemName.lastIndexOf('.'))
+          else ""
+        val connector =
+          if (path.contains('/')) Some(path.substring(0, path.indexOf('/'))) else None
+        val oBytes = oText.getBytes("UTF-8").length.toDouble
+        val sBytes = sText.getBytes("UTF-8").length.toDouble
+        val accuracy =
+          if (sBytes > 0 && oBytes / sBytes > 0.5 && oBytes / sBytes < 2.0)
+            BigDecimal(TextExtractionMetrics.calculateAccuracy(
+              oText, sText, weights = (1, 1, 1)))
+              .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+          else if (sBytes == 0 && oBytes == 0) 1.0
+          else 0.01 // the reference's skip-the-hopeless-Levenshtein pin
+        val missing = TextExtractionMetrics.calculatePercentMissingText(oText, sText)
+        (path, stemName, doctype, connector, accuracy, missing)
+      }
+      .toDF("path", "filename", "doctype", "connector",
+        "cct-accuracy", "cct-%missing") // the reference's exact tsv headers,
+      .orderBy("path").drop("path")     // so getMeanGrouping composes directly
+  }
+
+  /**
    * `calculate_element_type_percent_match` (`metrics/element_type.py:43-94`) as
    * a DataFrame aggregation. Inputs are (type, depth) frequency tables —
    * `get_element_type_frequency` — with columns `element_type` STRING,

@@ -52,9 +52,42 @@ object TextExtractionMetrics {
     }
   }
 
-  /** `calculate_accuracy` (`text_extraction.py:123-130`): the score form. */
+  /** `calculate_accuracy` (`text_extraction.py:123-130`): the score form.
+    * `weights` = (insertion, deletion, substitution), reference default
+    * (2, 1, 1); the evaluation calculator passes (1, 1, 1). */
   def calculateAccuracy(output: String, source: String,
-      standardizeWhitespaces: Boolean = true): Double =
-    calculateEditDistance(output, source, returnAs = "score",
-      standardizeWhitespaces = standardizeWhitespaces)
+      standardizeWhitespaces: Boolean = true,
+      weights: (Int, Int, Int) = (2, 1, 1)): Double = {
+    val o = standardizeQuotes(prepareStr(output, standardizeWhitespaces))
+    val s = standardizeQuotes(prepareStr(source, standardizeWhitespaces))
+    val distance = graft.functions.expr.WeightedLevenshtein
+      .distance(o, s, weights._1, weights._2, weights._3).toDouble
+    1.0 - math.min(math.max(distance / math.max(s.length, 1.0), 0.0), 1.0)
+  }
+
+  /**
+   * `calculate_percent_missing_text` (`text_extraction.py:160-203`): bag of
+   * words on both sides ([[graft.functions.expr.BagOfWordsTokens]] — the one
+   * tokenizer, so the scalar and the q_percent_missing_text DataFrame path
+   * cannot drift), missing = Σ max(source_count − output_count, 0), fraction
+   * rounded to 3 (banker's, matching Python `round`), clamped to 1; empty
+   * source → 0 (nothing to miss). Duplication in the output is never
+   * penalized.
+   */
+  def calculatePercentMissingText(output: String, source: String): Double = {
+    def bow(s: String): Map[String, Int] =
+      graft.functions.expr.BagOfWordsTokens.tokenSeq(prepareStr(s))
+        .groupBy(identity).map { case (w, g) => w -> g.size }
+    val ob = bow(output)
+    val sb = bow(source)
+    val totalSource = sb.values.sum
+    if (totalSource == 0) 0.0
+    else {
+      val missing = sb.iterator
+        .map { case (w, c) => math.max(c - ob.getOrElse(w, 0), 0) }.sum
+      val frac = BigDecimal(missing.toDouble / totalSource)
+        .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      math.min(frac, 1.0)
+    }
+  }
 }

@@ -795,6 +795,25 @@ object AnalysisQueries {
         .orderBy("doc_id")
     }),
 
+    // TextExtractionMetricsCalculator end-to-end (evaluate.py:342-455) as an
+    // oracle row: outputs = source with every 'e'-word dropped (the
+    // q_percent_missing_text derivation), except every 9th doc whose output
+    // triples the source so the size-ratio guard pins accuracy to 0.01;
+    // paths nest under two connectors so filename/doctype/connector
+    // derivation is exercised. Weights (1,1,1) = plain levenshtein in the
+    // oracle; both sides round half-even.
+    "q_text_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val outT = when(col("doc_id") % 9 === 0,
+          concat_ws(" ", col("text"), col("text"), col("text")))
+        .otherwise(missingWordsOut(col("text")))
+      def path(ext: String) = concat(lit("c"), (col("doc_id") % 2).cast("string"),
+        lit("/doc"), col("doc_id").cast("string"), lit(s".pdf.$ext"))
+      graft.operators.MetricsOps.textExtractionEvaluation(
+        d.select(path("json").as("path"), outT.as("text")),
+        d.select(path("txt").as("path"), col("text").as("text")))
+    }),
+
     // shared n-gram percentage (reference `metrics/utils.py:213-246`): shared 2-gram
     // mass / source 2-gram mass, as a percentage rounded to 2dp.
     // Gopher/MassiveText repetition signals (Rae et al. 2021 A1.1): duplicate
@@ -1511,6 +1530,54 @@ object AnalysisQueries {
          |    AS pct_missing
          |FROM src LEFT JOIN outw ON src.doc_id = outw.doc_id AND src.w = outw.w
          |GROUP BY src.doc_id ORDER BY src.doc_id""".stripMargin,
+
+    // the calculator re-derived: prepare_str = split+join (whitespace
+    // standardization), accuracy = 1 − bounded levenshtein/len(prepared
+    // source) with the byte-ratio guard on the RAW ccts, %missing = the BOW
+    // missing-mass rule; round_even matches the Spark side's HALF_EVEN
+    "q_text_eval" -> {
+      val outSql = s"(CASE WHEN doc_id % 9 = 0 THEN text || ' ' || text || ' ' " +
+        s"|| text ELSE $missingOutSql END)"
+      def prep(x: String) =
+        s"array_to_string(list_filter(string_split_regex($x, '\\s+'), w -> w <> ''), ' ')"
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $outSql AS otext,
+         |    ${prep(outSql)} AS po, ${prep("text")} AS ps
+         |  FROM documents),
+         |acc AS (
+         |  SELECT doc_id,
+         |    CASE WHEN strlen(otext) = 0 AND strlen(text) = 0 THEN 1.0
+         |         WHEN strlen(text) > 0
+         |           AND strlen(otext)::DOUBLE / strlen(text) > 0.5
+         |           AND strlen(otext)::DOUBLE / strlen(text) < 2.0
+         |         THEN round_even(1.0 - least(greatest(
+         |           levenshtein(po, ps)::DOUBLE / greatest(length(ps), 1),
+         |           0.0), 1.0), 3)
+         |         ELSE 0.01 END AS acc
+         |  FROM base),
+         |${bowKeptSql("text", "srck")},
+         |${bowKeptSql(outSql, "outk")},
+         |src AS (SELECT doc_id, w, count(*) AS sn FROM srck GROUP BY doc_id, w),
+         |outw AS (SELECT doc_id, w, count(*) AS onn FROM outk GROUP BY doc_id, w),
+         |msum AS (
+         |  SELECT src.doc_id,
+         |    SUM(GREATEST(sn - coalesce(onn, 0), 0))::DOUBLE AS missing,
+         |    SUM(sn)::DOUBLE AS total
+         |  FROM src LEFT JOIN outw ON src.doc_id = outw.doc_id AND src.w = outw.w
+         |  GROUP BY src.doc_id)
+         |SELECT 'doc' || CAST(d.doc_id AS VARCHAR) || '.pdf' AS filename,
+         |  '.pdf' AS doctype,
+         |  'c' || CAST(d.doc_id % 2 AS VARCHAR) AS connector,
+         |  a.acc AS "cct-accuracy",
+         |  CASE WHEN m.total IS NULL OR m.total = 0 THEN 0.0
+         |       ELSE least(round_even(m.missing / m.total, 3), 1.0)
+         |       END AS "cct-%missing"
+         |FROM documents d
+         |JOIN acc a USING (doc_id)
+         |LEFT JOIN msum m ON d.doc_id = m.doc_id
+         |ORDER BY 'c' || CAST(d.doc_id % 2 AS VARCHAR) || '/doc' ||
+         |  CAST(d.doc_id AS VARCHAR) || '.pdf.json'""".stripMargin
+    },
 
     "q_repetition_signals" -> repetitionOracleSql(),
 

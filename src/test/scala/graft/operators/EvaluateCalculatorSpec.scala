@@ -1,0 +1,154 @@
+package graft.operators
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuiteBase
+
+/**
+ * Ports of `test_unstructured/metrics/test_evaluate.py` — the
+ * TextExtractionMetricsCalculator surface — run against the REFERENCE'S OWN
+ * fixture files (`example-docs/test_evaluate_files`): real unstructured
+ * output JSON rehydrated through our wire decoder, real gold CCT text.
+ */
+class EvaluateCalculatorSpec extends SparkSuiteBase {
+
+  private val FixtureDir =
+    Path.of("/root/reference/example-docs/test_evaluate_files")
+
+  private def goldDf: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Files.list(FixtureDir.resolve("gold_standard_cct")).iterator().asScala
+      .map(p => (p.getFileName.toString, Files.readString(p)))
+      .toSeq.toDF("path", "text")
+  }
+
+  /** The output side: every .json under unstructured_output rehydrated
+    * (elements_from_json → elements_to_text); files that fail to rehydrate
+    * are dropped, as the reference calculator drops per-doc failures. */
+  private def outputDf: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Files.list(FixtureDir.resolve("unstructured_output")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .flatMap { p =>
+        Try {
+          val els = graft.sinks.ElementSink.partitionJson(spark, Files.readString(p))
+          val cct = graft.sinks.ElementSink.convertToText(els)
+            .collect().headOption.map(_.getString(1)).getOrElse("")
+          (p.getFileName.toString, cct)
+        }.toOption
+      }.toSeq.toDF("path", "text")
+  }
+
+  // -- test_text_extraction_evaluation (test_evaluate.py:135) --
+  test("text extraction evaluation over the reference fixtures: 3 docs, 5 columns") {
+    val df = MetricsOps.textExtractionEvaluation(outputDf, goldDf)
+    val rows = df.collect()
+    assert(rows.length == 3, s"expected the 3 gold-matched docs, got ${rows.length}")
+    assert(df.columns.toSeq ==
+      Seq("filename", "doctype", "connector", "cct-accuracy", "cct-%missing"))
+    assert(rows.head.getString(0) == "Bank Good Credit Loan.pptx")
+    assert(rows.head.getString(1) == ".pptx")
+    // flat paths → no connector
+    assert(rows.forall(_.isNullAt(2)))
+    // real outputs against real golds: high but imperfect accuracy
+    rows.foreach { r =>
+      val acc = r.getDouble(3)
+      val miss = r.getDouble(4)
+      assert(acc > 0.3 && acc <= 1.0, s"${r.getString(0)}: acc $acc")
+      assert(miss >= 0.0 && miss < 0.5, s"${r.getString(0)}: missing $miss")
+    }
+  }
+
+  // -- test_text_extraction_evaluation_type_txt (:298) --
+  test("document_type=txt evaluates txt outputs; json files are skipped") {
+    val sp = spark
+    import sp.implicits._
+    // gold texts act as their own .txt outputs → perfect scores
+    val txtOutputs = goldDf.collect().map(r => (r.getString(0), r.getString(1)))
+      .toSeq.toDF("path", "text")
+    val df = MetricsOps.textExtractionEvaluation(
+      txtOutputs.unionByName(Seq(("stray.pdf.json", "ignored")).toDF("path", "text")),
+      goldDf, documentType = "txt")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getDouble(3) == 1.0))
+    assert(rows.forall(_.getDouble(4) == 0.0))
+  }
+
+  // -- test_text_extraction_wrong_type (:397) --
+  test("an invalid document_type raises the reference's ValueError") {
+    val e = intercept[IllegalArgumentException] {
+      MetricsOps.textExtractionEvaluation(goldDf, goldDf,
+        documentType = "invalid type")
+    }
+    assert(e.getMessage.contains("should be one of `json` or `txt`"))
+  }
+
+  // -- TextExtractionMetricsCalculator._process_document doctype/connector
+  // -- derivation (:205, :409-412) --
+  test("doctype is the second-to-last suffix; connector is the first path part") {
+    val sp = spark
+    import sp.implicits._
+    val outs = Seq(
+      ("connector1/Report.pdf.json", "same text here"),
+      ("Plain.pptx.json", "same text here")).toDF("path", "text")
+    val golds = Seq(
+      ("connector1/Report.pdf.txt", "same text here"),
+      ("Plain.pptx.txt", "same text here")).toDF("path", "text")
+    val rows = MetricsOps.textExtractionEvaluation(outs, golds).collect()
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("Report.pdf").getString(1) == ".pdf")
+    assert(byName("Report.pdf").getString(2) == "connector1")
+    assert(byName("Plain.pptx").getString(1) == ".pptx")
+    assert(byName("Plain.pptx").isNullAt(2))
+    assert(rows.forall(_.getDouble(3) == 1.0))
+  }
+
+  // -- the size-ratio guard (evaluate.py:417-421): a wildly different output
+  // -- never pays the Levenshtein; accuracy pins to the sentinel 0.01 --
+  test("output/source byte ratio outside (0.5, 2.0) pins accuracy to 0.01") {
+    val sp = spark
+    import sp.implicits._
+    val src = "a modest source text"
+    val outs = Seq(("big.pdf.json", src * 30)).toDF("path", "text")
+    val golds = Seq(("big.pdf.txt", src)).toDF("path", "text")
+    val row = MetricsOps.textExtractionEvaluation(outs, golds).collect().head
+    assert(row.getDouble(3) == 0.01)
+    // %missing is still computed for real (all source words present → 0)
+    assert(row.getDouble(4) == 0.0)
+  }
+
+  // -- test_text_extraction_with_grouping (:380): calculator output composes
+  // -- with get_mean_grouping on the reference headers --
+  test("evaluation output feeds mean grouping by doctype directly") {
+    val grouped = MetricsOps.getMeanGrouping(
+      MetricsOps.textExtractionEvaluation(outputDf, goldDf),
+      "doctype", "text_extraction")
+    assert(grouped.count() == 3) // .pptx, .pdf, .csv
+    assert(grouped.columns.contains("cct-accuracy _mean"))
+  }
+
+  // -- test_calculate_percent_missing_text (test_text_extraction.py:443-477),
+  // -- all five reference parameter rows --
+  test("calculate_percent_missing_text matches the reference vectors") {
+    val cases = Seq(
+      ("extra", "", 0.0),
+      ("", "Source text has a sentence.", 1.0),
+      ("The original s e n t e n c e is normal.",
+        "The original sentence is normal...", 0.2),
+      ("We saw 23% improvement in this quarter.",
+        "We saw 23% improvement in sales this quarter.", 0.125),
+      ("no", "Is it possible to have more than everything missing?", 1.0))
+    cases.foreach { case (out, src, expected) =>
+      assert(TextExtractionMetrics.calculatePercentMissingText(out, src) == expected,
+        s"output=$out source=$src")
+    }
+  }
+}
