@@ -269,7 +269,7 @@ object CorpusBytes {
     def content(lines: Seq[String]): Array[Byte] = {
       val body = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
       lines.zipWithIndex.foreach { case (l, i) =>
-        if (i > 0) body.append("0 -16 TD ")
+        if (i > 0) body.append("0 -24 TD ")
         body.append("(").append(l).append(") Tj ")
       }
       body.append("ET")
@@ -323,7 +323,7 @@ object CorpusBytes {
     val imgData = deflate(rgb)
     val body = "q 150 0 0 100 100 500 cm /Im1 Do Q\n" +
       "BT /F1 12 Tf 72 720 Td (" + pdfStr(d.t3) + ") Tj " +
-      "0 -16 TD (figure caption line) Tj ET"
+      "0 -24 TD (figure caption line) Tj ET"
     val content = deflate(body.getBytes(ISO_8859_1))
     val page2 = deflate(("BT /F1 12 Tf 72 720 Td (page two " +
       pdfStr(d.source) + ") Tj ET").getBytes(ISO_8859_1))

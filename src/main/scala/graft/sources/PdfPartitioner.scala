@@ -905,7 +905,7 @@ object PdfPartitioner {
           val gap = devX - penX
           if (gap > 0.18 * emScale || gap < -1.5 * emScale) startSeg(devX)
         } else {
-          newLine(if (yGap > 1.8 * emScale) "\n\n" else "\n")
+          newLine(if (yGap > 1.5 * emScale) "\n\n" else "\n")
         }
         penX = devX
         shownY = devY
@@ -963,10 +963,16 @@ object PdfPartitioner {
         // deferred line break: does this show land beyond the wiggle band?
         if (!legacyPendY.isNaN) {
           if (legacyLineY.isNaN) legacyLineY = legacyPendY
-          else if (math.abs(legacyPendY - legacyLineY) >
-              math.max(0.5, 0.45 * fontSize)) {
-            newLine()
-            legacyLineY = legacyPendY
+          else {
+            val yGap = math.abs(legacyPendY - legacyLineY)
+            if (yGap > math.max(0.5, 0.45 * fontSize)) {
+              // same block-cut rule as the width-aware path: a y jump beyond
+              // normal leading is a textbox boundary (the "\n\n" the
+              // block-level elementization consumes), a normal advance is a
+              // line break within the box
+              newLine(if (yGap > 1.5 * fontSize) "\n\n" else "\n")
+              legacyLineY = legacyPendY
+            }
           }
         }
         // fake-bold dedup at show granularity: an identical show re-placed
@@ -1828,8 +1834,21 @@ object PdfPartitioner {
     ix * iy / area
   }
 
+  /** One element per extracted TEXT BLOCK, the reference's fast-path
+    * elementization (`pdf.py:480-560`): each pdfminer LTTextBox becomes one
+    * element via `clean_extra_whitespace_with_index_run` (newlines → spaces,
+    * runs collapsed) — never a paragraph re-grouper over the page text. Our
+    * block cuts are [[extractText]]'s "\n\n" separators (y-gap beyond normal
+    * leading — the textbox-boundary signal), so a multi-column paper yields
+    * column/paragraph boxes, not shattered lines. */
+  private def blockElements(text: String): Seq[String] =
+    text.split("\n{2,}").toSeq
+      .map(b => graft.functions.Cleaners.cleanExtraWhitespaceWithIndexRun(b)._1)
+      .filter(_.nonEmpty)
+
   /** The fast-strategy partitioner: page tree → per-page content + fonts →
-    * text → paragraph split → classifier cascade (classifier="text").
+    * text → per-textbox elements ([[blockElements]]) → classifier cascade
+    * (classifier="text").
     * `password` opens user-password-protected files (`partition_pdf`'s
     * `password=` parameter, `pdf.py` + `test_pdf.py::
     * test_partition_pdf_with_password`); a wrong password extracts nothing. */
@@ -1846,7 +1865,7 @@ object PdfPartitioner {
         if (content.contains("BT")) {
           val text = extractText(content, doc.pageFonts(page))
           if (text.nonEmpty) {
-            val paras = TextSource.splitParagraphs(text)
+            val paras = blockElements(text)
             // hyperlink annotations -> per-paragraph links metadata
             // (`pdf.py:508-550`): each /Link rect maps to the overlapping
             // text line's words, then to the paragraph containing that line
@@ -1908,7 +1927,7 @@ object PdfPartitioner {
           val text = extractText(content)
           if (text.nonEmpty) {
             page += 1
-            TextSource.splitParagraphs(text).foreach { p =>
+            blockElements(text).foreach { p =>
               out += RawPara(p, None, classifier = "text", pageNumber = Some(page))
             }
           }

@@ -108,6 +108,18 @@ class PlanGuardSpec extends AnyFunSuite {
     // the AQE-off textual plan) — identical cells, nprobe=2 probe frame
     "q_ann_ivf_multiprobe" -> 8,
     "q_ngram_overlap" -> 7, "q_percent_missing_text" -> 7,
+    // NB train (tagged-union bucket groupBy) + held-out scoring groupBy +
+    // the top-k sort + the final global agg, with the broadcast model
+    // exchange re-listed in the AQE-off textual plan
+    "q_nb_select_precision" -> 8,
+    // DSIR scoring (tagged-union bucket groupBy + per-doc groupBy) +
+    // Gumbel top-k + final agg; broadcast model exchange re-listed
+    "q_dsir_select_precision" -> 7,
+    // the tail of the five-stage refresh below the PERSISTED near_new scan
+    // (LM train/score + bucket join + quota windows + sort): upstream
+    // stages' exchanges are gone — they ran once into parquet — but the LM
+    // ref-slice subtrees are re-listed in the AQE-off textual plan
+    "q_crawl_refresh_persisted" -> 14,
     // one tagged explode -> 3 aggregation levels + id join + output sort (the
     // AQE-off textual plan re-lists the reused doc_id exchanges)
     "q_repetition_signals" -> 7,
