@@ -554,7 +554,24 @@ object PdfPartitioner {
     "trademark" -> "™", "copyright" -> "©", "registered" -> "®",
     "degree" -> "°", "eacute" -> "é", "egrave" -> "è", "agrave" -> "à",
     "ccedilla" -> "ç", "adieresis" -> "ä", "odieresis" -> "ö",
-    "udieresis" -> "ü", "ntilde" -> "ñ")
+    "udieresis" -> "ü", "ntilde" -> "ñ",
+    // spacing accents (TeX/Nimbus /Differences use the modifier forms)
+    "breve" -> "˘", "ring" -> "˚", "caron" -> "ˇ", "circumflex" -> "ˆ",
+    "dieresis" -> "¨", "acute" -> "´", "cedilla" -> "¸", "tilde" -> "˜",
+    "macron" -> "¯", "dotaccent" -> "˙", "hungarumlaut" -> "˝",
+    "ogonek" -> "˛", "dotlessi" -> "ı",
+    // TeX math/symbol glyphs (CMSY/CMMI builtin encodings carry these at
+    // ASCII code points — without the names a dagger decodes as 'y')
+    "asteriskmath" -> "∗", "minus" -> "−", "multiply" -> "×",
+    "plusminus" -> "±", "arrowright" -> "→", "arrowleft" -> "←",
+    "arrowup" -> "↑", "arrowdown" -> "↓", "angbracketleft" -> "⟨",
+    "angbracketright" -> "⟩", "element" -> "∈", "lambda" -> "λ",
+    "infinity" -> "∞", "lessequal" -> "≤", "greaterequal" -> "≥",
+    "approxequal" -> "≈", "equivalence" -> "≡", "periodcentered" -> "·",
+    "section" -> "§", "paragraph" -> "¶", "sterling" -> "£",
+    "germandbls" -> "ß", "oslash" -> "ø", "ae" -> "æ", "oe" -> "œ",
+    "AE" -> "Æ", "OE" -> "Œ", "aring" -> "å", "exclamdown" -> "¡",
+    "questiondown" -> "¿", "cent" -> "¢", "florin" -> "ƒ")
 
   private def glyphToText(name: String): Option[String] = {
     if (name.length == 1) return Some(name)
@@ -648,6 +665,10 @@ object PdfPartitioner {
   }
 
   private val DiffNameRe = "(\\d+)|/([A-Za-z0-9.]+)".r
+
+  /** `dup 121 /dagger put` entries in a Type1 program's cleartext header. */
+  private val Type1EncodingPutRe =
+    """dup\s+(\d+)\s*/([A-Za-z0-9._]+)\s+put""".r
 
   private def parseDifferences(arr: String): Map[Int, String] = {
     val out = mutable.Map.empty[Int, String]
@@ -1660,9 +1681,31 @@ object PdfPartitioner {
         .map(b => parseToUnicode(new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)))
         .getOrElse((Map.empty[Int, String], false))
       val isType0 = fo.dict.contains("/Type0")
-      val diffs = resolved(fo.dict, "Encoding")
+      val dictDiffs = resolved(fo.dict, "Encoding")
         .flatMap(enc => dictValue(enc, "Differences"))
-        .map(parseDifferences).getOrElse(Map.empty)
+        .map(parseDifferences).getOrElse(Map.empty[Int, String])
+      // a simple font with NO /Encoding and NO ToUnicode (TeX CMSY/CMMI
+      // subsets) keeps its encoding only inside the embedded Type1 program:
+      // the CLEARTEXT header (before eexec) builds it with `dup <code>
+      // /<glyph> put` — pdfminer reads the same table (its T1 font parser),
+      // so a dagger at code 0x79 decodes as †, not 'y'
+      val diffs =
+        if (dictDiffs.nonEmpty || toUni.nonEmpty || isType0) dictDiffs
+        else resolved(fo.dict, "FontDescriptor")
+          .flatMap(fd => dictValue(fd, "FontFile"))
+          .flatMap(refTarget).flatMap(streamData(_))
+          .map { b =>
+            val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+            val clear = s.indexOf("eexec") match {
+              case -1 => s
+              case i => s.substring(0, i)
+            }
+            if (!clear.contains("/Encoding")) Map.empty[Int, String]
+            else Type1EncodingPutRe.findAllMatchIn(clear).flatMap { m =>
+              m.group(1).toIntOption.filter(c => c >= 0 && c < 256).flatMap(c =>
+                glyphToText(m.group(2)).map(c -> _))
+            }.toMap
+          }.getOrElse(Map.empty)
       // /Encoding /MacRomanEncoding directly, or /BaseEncoding inside an
       // encoding dict (Differences then override individual codes)
       val macRoman =

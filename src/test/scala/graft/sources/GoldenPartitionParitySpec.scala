@@ -141,8 +141,10 @@ class GoldenPartitionParitySpec extends SparkSuiteBase {
     // stream chunked to 22). Text parity is held at the document level (the
     // cct-accuracy discipline): >= 0.95 edit-distance accuracy over the
     // concatenated chunk text. The known residuals are (a) the rotated arXiv
-    // margin stamp box (pdfminer extracts rotated glyphs; the fast reader
-    // documents rotated runs as a seam), (b) TeX-font glyph slots without
+    // margin stamp: this reader extracts it READABLY in stream order
+    // ("arXiv:2004.04906v3 …", last on the page) where pdfminer explodes it
+    // into per-glyph vertical fragments placed first ("0 2 0 2 p e S…") —
+    // a deliberate divergence, (b) TeX-font glyph slots without
     // ToUnicode (∗ † ‡ { } decode as their raw codes), and (c) pdfminer's
     // finer box splits inside a column (author/footnote boxes merge here),
     // which also shift a few chunk boundaries — hence document-level, not
