@@ -102,6 +102,71 @@ object MetricsOps {
   }
 
   /**
+   * `ElementTypeMetricsCalculator` (`metrics/evaluate.py:444-509`) as a
+   * DataFrame evaluation — the element-type twin of
+   * [[textExtractionEvaluation]]: inputs are ELEMENT-level `(path,
+   * element_type, category_depth)` frames (one row per element of each
+   * document's output/ground-truth), output is one row per document —
+   * `filename, doctype, connector, element-type-accuracy` — where accuracy
+   * is the per-doc [[elementTypePercentMatch]] (exact (type, depth) matches
+   * count fully, type-only leftovers at weight 0.5, normalized by the
+   * source's total, clamped to [0,1], rounded 3). A document whose output
+   * or source side has zero elements scores 0.0
+   * (`calculate_element_type_percent_match`'s empty rule); documents
+   * missing a ground truth drop (the reference's per-doc failure drop).
+   * Scale shape: the whole evaluation is ONE tagged union + three grouped
+   * aggregations keyed by the path stem — per-doc python loops become
+   * map-side-combinable group-bys, linear at any corpus size.
+   */
+  def elementTypeEvaluation(outputs: org.apache.spark.sql.DataFrame,
+      groundTruths: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def stem(c: org.apache.spark.sql.Column) = regexp_replace(c, "\\.[^./]+$", "")
+    def tag(d: org.apache.spark.sql.DataFrame, isO: Boolean) =
+      d.select(stem(col("path")).as("k"),
+        (if (isO) col("path") else lit(null).cast("string")).as("path"),
+        col("element_type").as("t"), col("category_depth").cast("int").as("d"),
+        lit(isO).as("is_o"))
+    val tagged = tag(outputs, isO = true).unionByName(tag(groundTruths, isO = false))
+    val keyed = tagged.groupBy("k", "t", "d")
+      .agg(min("path").as("path"),
+        sum(when(col("is_o"), 1L).otherwise(0L)).as("o_n"),
+        sum(when(!col("is_o"), 1L).otherwise(0L)).as("s_n"))
+      .withColumn("m", least(col("o_n"), col("s_n")))
+    val perType = keyed.groupBy("k", "t")
+      .agg(min("path").as("path"), sum("m").as("exact"),
+        sum(col("o_n") - col("m")).as("o_left"),
+        sum(col("s_n") - col("m")).as("s_left"),
+        sum("o_n").as("o_tot"), sum("s_n").as("s_tot"))
+    val perDoc = perType.groupBy("k")
+      .agg(min("path").as("path"),
+        (sum("exact") + lit(0.5) * sum(least(col("o_left"), col("s_left"))))
+          .as("num"),
+        (sum("exact") + sum("s_left")).as("den"),
+        sum("o_tot").as("o_all"), sum("s_tot").as("s_all"))
+      // inner-join semantics: a doc needs an output row (path != null) AND a
+      // ground truth (s_all > 0 — a missing gt FILE drops the doc, the
+      // reference's per-doc failure drop; element frames cannot represent
+      // an existing-but-empty file, the one case the reference scores 0.0)
+      .filter(col("path").isNotNull && col("s_all") > 0)
+    val name = element_at(split(col("path"), "/"), -1)
+    val stemName = regexp_replace(name, "\\.[^./]+$", "")
+    perDoc.select(
+        col("path"),
+        stemName.as("filename"),
+        when(stemName.contains("."),
+          regexp_extract(stemName, "(\\.[^.]*)$", 1)).otherwise(lit(""))
+          .as("doctype"),
+        when(col("path").contains("/"), element_at(split(col("path"), "/"), 1))
+          .as("connector"),
+        when(col("o_all") === 0 || col("s_all") === 0 || col("den") === 0, lit(0.0))
+          .otherwise(round(
+            least(greatest(col("num") / col("den"), lit(0.0)), lit(1.0)), 3))
+          .as("element-type-accuracy"))
+      .orderBy("path").drop("path")
+  }
+
+  /**
    * `calculate_element_type_percent_match` (`metrics/element_type.py:43-94`) as
    * a DataFrame aggregation. Inputs are (type, depth) frequency tables —
    * `get_element_type_frequency` — with columns `element_type` STRING,

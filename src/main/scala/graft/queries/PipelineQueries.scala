@@ -336,6 +336,26 @@ object PipelineQueries {
         .select(round(col("percent_match"), 6).as("percent_match"))
     }),
 
+    // ElementTypeMetricsCalculator end-to-end (evaluate.py:444-509): per-DOC
+    // rows (filename/doctype/connector from the output path, depth-weighted
+    // percent match rounded 3) over the same truncated-output derivation the
+    // corpus-level rows use; paths nest under two connectors
+    "q_element_type_eval" -> ((s, dir) => {
+      def depth(off: Int) = when(col("element_type") === "ListItem",
+        ((col("seq") + off) % 3).cast("int"))
+      def path(ext: String) = concat(lit("c"), (col("doc_id") % 2).cast("string"),
+        lit("/doc"), col("doc_id").cast("string"), lit(s".pdf.$ext"))
+      val src = partitioned(s, dir)
+        .select(path("json").as("path"), col("element_type"),
+          depth(0).as("category_depth"))
+      val out = TextSource.partitionText(
+          withParagraphs(s, dir),
+          expr("substring(text, 1, greatest(length(text) - 5, 1))"))
+        .select(path("json").as("path"), col("element_type"),
+          depth(1).as("category_depth"))
+      graft.operators.MetricsOps.elementTypeEvaluation(out, src)
+    }),
+
     // convert_to_csv flat projection — staging/base.py:507-526,604-624
     "q_csv_flatten" -> ((s, dir) => {
       val els = graft.operators.MetadataOps.applyMetadata(
@@ -855,6 +875,58 @@ object PipelineQueries {
          |    (sum(exact) + 0.5 * sum(LEAST(o_left, s_left)))::DOUBLE /
          |    (sum(exact) + sum(s_left))::DOUBLE, 0.0), 1.0), 6) END AS percent_match
          |FROM pt""".stripMargin
+    },
+
+    // per-doc depth-weighted histogram match re-derived with the same
+    // synthetic paths; both engines round(x, 3) positive values identically
+    "q_element_type_eval" -> {
+      val replaced = "replace(text, ' merge ', chr(10)||chr(10))"
+      val trunc = s"substring($replaced, 1, greatest(length($replaced) - 5, 1))"
+      def parsOf(input: String) =
+        s"""SELECT doc_id, list_filter(list_transform(
+           |    string_split_regex(${O.strip(input)}, '\\s*\\n\\s*'),
+           |    p -> ${O.strip("p")}), p -> p <> '') AS ps
+           |  FROM documents""".stripMargin
+      def histOf(pars: String, off: Int) =
+        s"""SELECT doc_id, element_type,
+           |    CASE WHEN element_type = 'ListItem'
+           |      THEN CAST((seq + $off) % 3 AS INT) END AS d,
+           |    count(*) AS n
+           |  FROM (SELECT doc_id, ${O.classify("full_text")} AS element_type, seq
+           |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+           |      {'seq': i, 'full_text': ps[i]}), recursive := true) FROM $pars))
+           |  GROUP BY 1, 2, 3""".stripMargin
+      s"""WITH parsA AS (${parsOf(O.strip(replaced))}),
+         |parsB AS (${parsOf(trunc)}),
+         |src AS (${histOf("parsA", 0)}),
+         |outt AS (${histOf("parsB", 1)}),
+         |j AS (
+         |  SELECT coalesce(o.doc_id, s.doc_id) AS doc_id,
+         |    coalesce(o.element_type, s.element_type) AS t,
+         |    coalesce(o.n, 0) AS o_n, coalesce(s.n, 0) AS s_n,
+         |    LEAST(coalesce(o.n, 0), coalesce(s.n, 0)) AS m
+         |  FROM outt o FULL JOIN src s
+         |    ON o.doc_id = s.doc_id AND o.element_type = s.element_type
+         |    AND o.d IS NOT DISTINCT FROM s.d),
+         |pt AS (
+         |  SELECT doc_id, t, sum(m) AS exact, sum(o_n - m) AS o_left,
+         |    sum(s_n - m) AS s_left, sum(o_n) AS o_tot, sum(s_n) AS s_tot
+         |  FROM j GROUP BY doc_id, t),
+         |pd AS (
+         |  SELECT doc_id,
+         |    sum(exact) + 0.5 * sum(LEAST(o_left, s_left)) AS num,
+         |    sum(exact) + sum(s_left) AS den,
+         |    sum(o_tot) AS o_all, sum(s_tot) AS s_all
+         |  FROM pt GROUP BY doc_id)
+         |SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+         |  '.pdf' AS doctype,
+         |  'c' || CAST(doc_id % 2 AS VARCHAR) AS connector,
+         |  CASE WHEN o_all = 0 OR s_all = 0 OR den = 0 THEN 0.0
+         |    ELSE round(LEAST(GREATEST(num::DOUBLE / den::DOUBLE, 0.0), 1.0), 3)
+         |    END AS "element-type-accuracy"
+         |FROM pd WHERE o_all > 0 AND s_all > 0
+         |ORDER BY 'c' || CAST(doc_id % 2 AS VARCHAR) || '/doc' ||
+         |  CAST(doc_id AS VARCHAR) || '.pdf.json'""".stripMargin
     },
 
     "q_csv_flatten" ->

@@ -115,6 +115,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // DSIR scoring (tagged-union bucket groupBy + per-doc groupBy) +
     // Gumbel top-k + final agg; broadcast model exchange re-listed
     "q_dsir_select_precision" -> 7,
+    // one tagged union then THREE grouped aggregation levels (per-(doc,t,d),
+    // per-(doc,t), per-doc) + the output sort; each level is a map-side-
+    // combinable equi-key — the per-doc python loop rendered relationally
+    "q_element_type_eval" -> 7,
     // the tail of the five-stage refresh below the PERSISTED near_new scan
     // (LM train/score + bucket join + quota windows + sort): upstream
     // stages' exchanges are gone — they ran once into parquet — but the LM

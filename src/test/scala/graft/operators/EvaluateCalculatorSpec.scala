@@ -135,6 +135,49 @@ class EvaluateCalculatorSpec extends SparkSuiteBase {
     assert(grouped.columns.contains("cct-accuracy _mean"))
   }
 
+  // -- test_element_type_evaluation (test_evaluate.py:315): the real fixture
+  // -- pair — output JSON vs gold element-type JSON, one row, 4 columns --
+  test("element-type evaluation over the reference fixtures: 1 doc, 4 columns") {
+    val sp = spark
+    import sp.implicits._
+    def elementRows(p: Path, tag: String) = {
+      val els = graft.sinks.ElementSink.partitionJson(spark, Files.readString(p))
+        .collect()
+      els.map(e => (tag, e.`type`,
+        e.metadata.category_depth.map(_.toString).orNull)).toSeq
+    }
+    val out = elementRows(
+      FixtureDir.resolve("unstructured_output/IRS-form-1987.pdf.json"),
+      "IRS-form-1987.pdf.json")
+    val gold = elementRows(
+      FixtureDir.resolve("gold_standard_element_type/IRS-form-1987.pdf.json"),
+      "IRS-form-1987.pdf.json")
+    def df(rows: Seq[(String, String, String)]) =
+      rows.toDF("path", "element_type", "category_depth")
+    val r = MetricsOps.elementTypeEvaluation(df(out), df(gold)).collect()
+    assert(r.length == 1)
+    assert(r.head.schema.fieldNames.toSeq ==
+      Seq("filename", "doctype", "connector", "element-type-accuracy"))
+    assert(r.head.getString(0) == "IRS-form-1987.pdf")
+    assert(r.head.getString(1) == ".pdf")
+    val acc = r.head.getDouble(3)
+    assert(acc > 0.0 && acc <= 1.0, s"accuracy $acc")
+  }
+
+  // -- test_get_mean_grouping_element_type (:501): calculator output feeds
+  // -- mean grouping under the element_type eval name --
+  test("element-type rows group by doctype/connector under the element_type eval") {
+    val sp = spark
+    import sp.implicits._
+    val dummy = Seq(
+      ("Bank Good Credit Loan.pptx", "pptx", "connector1", 0.812),
+      ("Performance-Audit-Discussion.pdf", "pdf", "connector1", 0.994),
+      ("currency.csv", "csv", "connector2", 0.887))
+      .toDF("filename", "doctype", "connector", "element-type-accuracy")
+    assert(MetricsOps.getMeanGrouping(dummy, "doctype", "element_type").count() == 3)
+    assert(MetricsOps.getMeanGrouping(dummy, "connector", "element_type").count() == 2)
+  }
+
   // -- test_calculate_percent_missing_text (test_text_extraction.py:443-477),
   // -- all five reference parameter rows --
   test("calculate_percent_missing_text matches the reference vectors") {
