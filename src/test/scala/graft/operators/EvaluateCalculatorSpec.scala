@@ -164,6 +164,59 @@ class EvaluateCalculatorSpec extends SparkSuiteBase {
     assert(acc > 0.0 && acc <= 1.0, s"accuracy $acc")
   }
 
+  // -- test_process_document_returns_the_correct_amount_of_values (:180),
+  // -- TableStructureMetricsCalculator branch: the real fixture pair yields
+  // -- the 14-value row (filename, doctype, connector,
+  // -- total_predicted_tables + the 10 supported metrics) --
+  test("table-structure calculator row over the reference fixtures: 14 values") {
+    import graft.sinks.RawJsonBridge
+    import graft.operators.TableExtraction.{Cell, DCell}
+    def unq(s: String): String =
+      if (s.startsWith("\"")) s.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+      else s
+    def cellsOf(arrayJson: String): Seq[Cell] =
+      RawJsonBridge.split(arrayJson).map { o =>
+        val t = RawJsonBridge.tokens(o)
+        Cell(t("y").toInt, t("x").toInt, unq(t("content")))
+      }
+    val predJson = Files.readString(FixtureDir.resolve(
+      "unstructured_output_table_structure/IRS-2023-Form-1095-A.pdf.json"))
+    val pred = RawJsonBridge.split(predJson)
+      .filter(o => RawJsonBridge.tokens(o).get("type").map(unq).contains("Table"))
+      .flatMap(o => RawJsonBridge.tokens(o).get("metadata")
+        .flatMap(m => RawJsonBridge.tokens(m).get("table_as_cells"))
+        .map(cellsOf))
+    val goldJson = Files.readString(FixtureDir.resolve(
+      "gold_standard_table_structure/IRS-2023-Form-1095-A.pdf.json"))
+    val gold = RawJsonBridge.split(goldJson)
+      .filter(o => RawJsonBridge.tokens(o).get("type").map(unq).contains("Table"))
+      .flatMap(o => RawJsonBridge.tokens(o).get("text").map(cellsOf))
+    assert(pred.nonEmpty && gold.nonEmpty, "fixture lost its tables")
+    val e = TableEval.processFile(pred, gold)
+    // the calculator's row (evaluate.py:270-288): path meta + 11 metric
+    // fields = 14 values, doctype from the second-to-last suffix
+    val doc = "IRS-2023-Form-1095-A.pdf.json"
+    val stemName = doc.substring(0, doc.lastIndexOf('.'))
+    val row: Seq[Any] = Seq(stemName,
+      stemName.substring(stemName.lastIndexOf('.')), null,
+      e.totalPredictedTables, e.totalTables, e.tableLevelAcc,
+      e.tableDetectionRecall, e.tableDetectionPrecision, e.tableDetectionF1,
+      e.compositeStructureAcc, e.elementColLevelIndexAcc,
+      e.elementRowLevelIndexAcc, e.elementColLevelContentAcc,
+      e.elementRowLevelContentAcc)
+    assert(row.length == 14)
+    assert(row(1) == ".pdf")
+    assert(e.totalTables == 2 && e.totalPredictedTables == 3)
+    Seq(e.tableLevelAcc, e.tableDetectionRecall, e.tableDetectionPrecision,
+      e.tableDetectionF1, e.elementColLevelIndexAcc, e.elementRowLevelIndexAcc,
+      e.elementColLevelContentAcc, e.elementRowLevelContentAcc).foreach(v =>
+      assert(v >= 0.0 && v <= 1.0, s"metric out of range: $v"))
+    // real tables against real golds on a filled IRS form: detection finds
+    // the true tables (recall positive) with an extra prediction
+    assert(e.tableDetectionRecall > 0.0)
+  }
+
   // -- test_get_mean_grouping_element_type (:501): calculator output feeds
   // -- mean grouping under the element_type eval name --
   test("element-type rows group by doctype/connector under the element_type eval") {
