@@ -74,7 +74,8 @@ object Registries {
   def chunk(ds: Dataset[Element], strategy: String,
       opts: ChunkingOptions = ChunkingOptions()): Dataset[Element] =
     chunkers.getOrElse(strategy,
-      throw new IllegalArgumentException(s"unknown chunking strategy: $strategy"))(ds, opts)
+      throw new IllegalArgumentException(
+        s"unrecognized chunking strategy '$strategy'"))(ds, opts) // dispatch.py:108-111
 
   // -------------------------------------------------------------- layout detector
 

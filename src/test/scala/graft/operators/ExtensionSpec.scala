@@ -29,6 +29,10 @@ class ExtensionSpec extends SparkSuiteBase {
     assert(Registries.chunk(ds, "by_title").collect().length == 1)
     Registries.registerChunkingStrategy("noop", (d, _) => d)
     assert(Registries.chunk(ds, "noop").collect().length == 2)
+    // -- it_raises_when_the_requested_chunking_strategy_is_not_registered
+    // -- (chunking/test_dispatch.py:53-58), reference's exact message --
+    val e = intercept[IllegalArgumentException](Registries.chunk(ds, "foobar"))
+    assert(e.getMessage.contains("unrecognized chunking strategy 'foobar'"))
   }
 
   test("partitioner registry overrides the auto router") {

@@ -121,6 +121,34 @@ class TableEvalSpec extends AnyFunSuite {
     assert(r2 == 0.5 && p2 == 0.5 && f2 == 0.5)
   }
 
+  // -- test_calculate_table_metrics (metrics/test_table_detection_metrics.py:25),
+  // -- the full reference parameter matrix incl. duplicate matches (only ONE
+  // -- prediction matched to the same gt index can be correct) and empties --
+  test("detection metrics match the reference's full parameter matrix") {
+    val cases = Seq(
+      (Seq(0, 1, 2), 3, (1.0, 1.0, 1.0)),
+      (Seq(2, 1, 0), 3, (1.0, 1.0, 1.0)),
+      (Seq(-1, 2, -1, 1, 0, -1), 3, (1.0, 0.5, 0.66)),
+      (Seq(2, 2, 1, 1), 8, (0.25, 0.5, 0.33)),
+      (Seq(1, -1), 2, (0.5, 0.5, 0.5)),
+      (Seq(-1, -1, -1), 2, (0.0, 0.0, 0.0)),
+      (Seq(-1, -1, -1), 0, (0.0, 0.0, 0.0)),
+      (Seq.empty[Int], 0, (0.0, 0.0, 0.0)))
+    cases.foreach { case (matched, gtN, (er, ep, ef)) =>
+      val (r, p, f) = detectionMetrics(matched, gtN)
+      assert(r == er && p == ep, s"($matched, $gtN): got ($r, $p, $f)")
+      assert(math.abs(f - ef) <= 0.01, s"($matched, $gtN): f1 $f != $ef")
+    }
+  }
+
+  // -- test_get_element_level_alignment_when_no_match (test_table_alignment.py:4) --
+  test("element-level alignment with no matched index scores zero on all four") {
+    val t = Seq(graft.operators.TableExtraction.Cell(0, 0, "a"))
+    val m = elementLevelAlignment(Seq(t), Seq(t), matched = Seq(-1))
+    assert(m("col_index_acc") == 0.0 && m("row_index_acc") == 0.0)
+    assert(m("row_content_acc") == 0.0 && m("col_content_acc") == 0.0)
+  }
+
   test("difflib ratio kernel matches known vectors") {
     // values from Python difflib.SequenceMatcher(None, a, b).ratio()
     assert(sequenceRatio("abcd", "bcde") == 0.75)
