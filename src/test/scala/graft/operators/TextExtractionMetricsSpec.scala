@@ -85,4 +85,29 @@ class TextExtractionMetricsSpec extends AnyFunSuite {
     assert(TextExtractionMetrics.calculateEditDistance("", "",
       returnAs = "score") == 1.0)
   }
+
+  // -- test_standardize_quotes_every_codepoint (test_text_extraction.py:427):
+  // -- every codepoint in both translation tables maps to its ASCII form --
+  test("standardize_quotes maps every table codepoint to its ASCII quote") {
+    def cps(s: String): Seq[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
+    val doubles = cps(graft.functions.Cleaners.DoubleQuoteCodepoints)
+    val singles = cps(graft.functions.Cleaners.SingleQuoteCodepoints)
+    // the reference tables hold 19 double and 20 single codepoints
+    assert(doubles.size == 19 && singles.size == 20)
+    doubles.foreach(cp =>
+      assert(TextExtractionMetrics.standardizeQuotes(cp) == "\"",
+        f"U+${cp.codePointAt(0)}%04X did not map to a double quote"))
+    singles.foreach(cp =>
+      assert(TextExtractionMetrics.standardizeQuotes(cp) == "'",
+        f"U+${cp.codePointAt(0)}%04X did not map to a single quote"))
+  }
 }
