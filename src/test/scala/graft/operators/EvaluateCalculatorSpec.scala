@@ -82,6 +82,18 @@ class EvaluateCalculatorSpec extends SparkSuiteBase {
     assert(rows.forall(_.getDouble(4) == 0.0))
   }
 
+  // -- test_text_extraction_takes_list (:361): restricting the document list
+  // -- evaluates only those files (the on_files() equivalent is a filter on
+  // -- the outputs frame) --
+  test("an explicit document list restricts the evaluation to those files") {
+    import org.apache.spark.sql.functions.col
+    val restricted = MetricsOps.textExtractionEvaluation(
+      outputDf.filter(col("path") === "currency.csv.json"), goldDf)
+    val rows = restricted.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getString(0) == "currency.csv")
+  }
+
   // -- test_text_extraction_wrong_type (:397) --
   test("an invalid document_type raises the reference's ValueError") {
     val e = intercept[IllegalArgumentException] {
