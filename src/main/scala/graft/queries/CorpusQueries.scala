@@ -330,7 +330,7 @@ object CorpusQueries {
       def top10(d: DataFrame): DataFrame = {
         val qv = d.filter(col("vec_id") === 1)
           .select(col("embedding").as("qv"))
-        d.filter(col("vec_id") =!= 1).crossJoin(broadcast(qv))
+        CorpusOps.attachBroadcast(d.filter(col("vec_id") =!= 1), qv)
           .select(col("vec_id"),
             round(CorpusOps.cosineCol(col("embedding"), col("qv")), 6).as("sim"))
           .orderBy(desc("sim"), asc("vec_id")).limit(10)
@@ -338,8 +338,8 @@ object CorpusQueries {
       val full = top10(e).select(col("vec_id").as("fid"))
       val quant = top10(deq).agg(
         sort_array(collect_list(col("vec_id"))).as("qids"))
-      full.agg(sort_array(collect_list(col("fid"))).as("fids"))
-        .crossJoin(quant)
+      CorpusOps.attachBroadcast(
+          full.agg(sort_array(collect_list(col("fid"))).as("fids")), quant)
         .select(
           size(array_intersect(col("fids"), col("qids"))).as("overlap_at_10"),
           array_join(col("qids"), ",").as("quant_top_ids"))
@@ -356,14 +356,14 @@ object CorpusQueries {
         slice(col("embedding"), 1, 16).as("embedding"))
       def top10(d: DataFrame): DataFrame = {
         val qv = d.filter(col("vec_id") === 1).select(col("embedding").as("qv"))
-        d.filter(col("vec_id") =!= 1).crossJoin(broadcast(qv))
+        CorpusOps.attachBroadcast(d.filter(col("vec_id") =!= 1), qv)
           .select(col("vec_id"),
             round(CorpusOps.cosineCol(col("embedding"), col("qv")), 6).as("sim"))
           .orderBy(desc("sim"), asc("vec_id")).limit(10)
       }
       val full = top10(e).agg(sort_array(collect_list(col("vec_id"))).as("fids"))
       val tr = top10(trunc).agg(sort_array(collect_list(col("vec_id"))).as("tids"))
-      full.crossJoin(tr).select(
+      CorpusOps.attachBroadcast(full, tr).select(
         size(array_intersect(col("fids"), col("tids"))).as("overlap_at_10"),
         array_join(col("tids"), ",").as("trunc_top_ids"))
     }),

@@ -8,8 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
  * a plan fails CI instead of shipping:
  *
  *  - no `CartesianProduct` anywhere;
- *  - `BroadcastNestedLoopJoin` only in the two ANN probes whose build side is
- *    a broadcast single-row / 8-row frame (q_ann_cosine_topk, q_ann_ivf);
+ *  - no `BroadcastNestedLoopJoin` anywhere: broadcast tiny-probe attaches go
+ *    through `CorpusOps.attachBroadcast` (constant-key BroadcastHashJoin);
  *  - `SortMergeJoin` only where both sides are genuinely large
  *    (q_element_type_accuracy's gold×pred join);
  *  - parquet filter pushdown (`PushedFilters`) present on the queries that
@@ -25,22 +25,6 @@ class PlanGuardSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  /** Queries allowed a BroadcastNestedLoopJoin (broadcast tiny-frame probes). */
-  private val bnlAllowed = Map("q_ann_cosine_topk" -> 1, "q_ann_ivf" -> 2,
-    // the same broadcast 1-row centroid-struct crossJoins as q_ann_ivf, once
-    // for the assignment subtree and once for the query's top-2 probe
-    "q_ann_ivf_multiprobe" -> 2,
-    // the ONE broadcast k-row centroid probe, re-listed per reference to the
-    // assignment subtree (pair-a, pair-b, output) in the AQE-off textual plan
-    "q_semantic_dedup" -> 3,
-    // two broadcast single-query-vector probes (full + dequantized) plus the
-    // 1-row x 1-row summary crossJoin, all broadcast — never a CartesianProduct
-    "q_embed_quant_recall" -> 3,
-    // the same broadcast 1-row centroid-struct assignment probe as q_ann_ivf
-    "q_margin_align" -> 1,
-    // q_embed_quant_recall's shape: two broadcast single-probe scans (full +
-    // truncated) plus the 1-row x 1-row summary crossJoin
-    "q_mrl_recall" -> 3)
   private val smjAllowed = Map("q_element_type_accuracy" -> 1,
     // intra-cluster pair join: both sides are the full centroid assignment —
     // SMJ on (cluster, sub) IS the scale-correct strategy. Clusters over
@@ -238,10 +222,13 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.keys.toSeq.sorted}")
   }
 
-  test("BroadcastNestedLoopJoin only in the broadcast-tiny ANN probes") {
+  test("no BroadcastNestedLoopJoin anywhere (repo-wide bnl=0 invariant)") {
+    // Every broadcast tiny-probe attach goes through
+    // CorpusOps.attachBroadcast (a constant-key BroadcastHashJoin), so a BNL
+    // appearing in ANY plan means a crossJoin / non-equi join crept back in.
     val offenders = plans.flatMap { case (n, p) =>
       val c = count(p, "BroadcastNestedLoopJoin")
-      if (c > bnlAllowed.getOrElse(n, 0)) Some(s"$n=$c") else None
+      if (c > 0) Some(s"$n=$c") else None
     }
     assert(offenders.isEmpty, s"unexpected BNL joins: ${offenders.toSeq.sorted}")
   }
