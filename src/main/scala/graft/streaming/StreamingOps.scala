@@ -689,38 +689,53 @@ object StreamingOps {
       }
   }
 
-  /** One LSH band-bucket's state: the doc ids seen so far (sorted within each
-    * batch for determinism) or a poisoned tombstone once the bucket exceeds
-    * the skew cap. */
-  final case class LshBucketState(docs: Vector[Long], poisoned: Boolean)
+  /** One LSH band-bucket's state: the doc ids seen so far (sorted within
+    * each batch for determinism) with a PARALLEL per-doc payload vector, or
+    * a poisoned tombstone once the bucket exceeds the skew cap. The payload
+    * is an opaque per-doc long (0 for the plain candidate folds; the winnow
+    * pipeline rides its per-doc fingerprint count here so the verify stage
+    * needs no second corpus pass) — it MUST be deterministic per doc id,
+    * since dedup and ordering are by doc id alone. Two parallel primitive
+    * vectors, NOT a Vector[(Long, Long)]: the state encoder writes
+    * Vector[Long] as an UnsafeArrayData of primitives, while an array of
+    * tuples is an array of structs — one InternalRow allocation per element
+    * per (de)serialization, across EVERY touched bucket EVERY micro-batch;
+    * the tuple shape measured ~1.4x the whole winnow query's cost. */
+  final case class LshBucketState(docs: Vector[Long], payloads: Vector[Long],
+    poisoned: Boolean)
 
   /** [[LshBucketState]] plus the bucket's running-max event time, so the TTL
     * variant's timeout never rewinds when a late (in-watermark) row arrives
     * after a newer batch already advanced the bucket's newest event. */
-  final case class LshBucketTtlState(docs: Vector[Long], poisoned: Boolean,
-    maxEventMs: Long)
+  final case class LshBucketTtlState(docs: Vector[Long], payloads: Vector[Long],
+    poisoned: Boolean, maxEventMs: Long)
 
   /** One micro-batch step of the banded candidate fold — the ONE body both
     * [[lshCandidateStream]] and [[lshCandidateStreamTtl]] run, so the subtle
     * semantics (poisoning, in-batch ordering, pair emission) cannot diverge.
     * A doc id re-delivered across batches (at-least-once sources) neither
     * self-pairs nor re-counts toward the cap. */
-  private def lshBucketStep(bandIdx: Int, batch: Vector[Long],
+  private def lshBucketStep(bandIdx: Int, batch: Vector[(Long, Long)],
       st: LshBucketState, maxBandSize: Int)
-      : (LshBucketState, Iterator[(Int, Long, Long)]) = {
-    val arrived = batch.distinct.sorted.filterNot(st.docs.contains)
+      : (LshBucketState, Iterator[(Int, (Long, Long), (Long, Long))]) = {
+    val seen = st.docs.toSet
+    val arrived = batch.distinctBy(_._1).sortBy(_._1)
+      .filterNot(d => seen(d._1))
     if (st.poisoned || st.docs.size + arrived.size > maxBandSize)
-      (LshBucketState(Vector.empty, poisoned = true), Iterator.empty)
+      (LshBucketState(Vector.empty, Vector.empty, poisoned = true),
+        Iterator.empty)
     else {
       val withinBatch = for {
         i <- arrived.indices.iterator
         j <- (i + 1) until arrived.size
       } yield (bandIdx, arrived(i), arrived(j))
+      val prior = st.docs.lazyZip(st.payloads)
       val withPrior = for {
-        e <- st.docs.iterator
+        e <- prior.iterator
         a <- arrived
-      } yield (bandIdx, math.min(e, a), math.max(e, a))
-      (LshBucketState(st.docs ++ arrived, poisoned = false),
+      } yield if (e._1 < a._1) (bandIdx, e, a) else (bandIdx, a, e)
+      (LshBucketState(st.docs ++ arrived.map(_._1),
+        st.payloads ++ arrived.map(_._2), poisoned = false),
         withinBatch ++ withPrior)
     }
   }
@@ -755,11 +770,12 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((bandIdx, _), rows, state) =>
           val st = state.getOption.getOrElse(
-            LshBucketState(Vector.empty, poisoned = false))
+            LshBucketState(Vector.empty, Vector.empty, poisoned = false))
           val (next, out) =
-            lshBucketStep(bandIdx, rows.map(_._1).toVector, st, maxBandSize)
+            lshBucketStep(bandIdx, rows.map(r => (r._1, 0L)).toVector,
+              st, maxBandSize)
           state.update(next)
-          out
+          out.map { case (bi, a, b) => (bi, a._1, b._1) }
       }
       .toDF("band_idx", "doc_a", "doc_b")
   }
@@ -778,13 +794,41 @@ object StreamingOps {
    * O(buckets) constant for the stream's life.)
    */
   def lshCandidateStreamTtl(bands: DataFrame, maxBandSize: Int = 1000,
-      delayThreshold: String = "10 minutes"): DataFrame = {
-    val sp = bands.sparkSession
+      delayThreshold: String = "10 minutes"): DataFrame =
+    ttlBucketFold(
+      bands.select(col("doc_id"), lit(0L).as("payload"), col("band_idx"),
+        col("band_key"), col("ts")),
+      maxBandSize, delayThreshold)
+      .select(col("band_idx"), col("doc_a"), col("doc_b"))
+
+  /**
+   * [[lshCandidateStreamTtl]] that threads an opaque per-doc long payload
+   * (cols: doc_id, payload, band_idx, band_key, ts) through the bucket state
+   * and out on BOTH sides of every candidate pair. The winnow near-dup rides
+   * its per-doc fingerprint count here, so the batch verify stage reads the
+   * sizes off the drained candidates instead of re-running the whole
+   * fingerprint pass over the corpus a second time (plus two corpus-sized
+   * joins) — the payload must be deterministic per doc id (dedup and
+   * ordering are by doc id alone; a re-delivered doc keeps its first-seen
+   * payload). State cost: one extra long per doc per bucket.
+   */
+  def lshCandidateStreamTtlSized(bands: DataFrame, maxBandSize: Int = 1000,
+      delayThreshold: String = "10 minutes"): DataFrame =
+    ttlBucketFold(bands.select(col("doc_id"), col("payload"), col("band_idx"),
+        col("band_key"), col("ts")),
+      maxBandSize, delayThreshold)
+
+  /** The one TTL'd bucket fold both TTL variants run — watermark, event-time
+    * timeout bookkeeping, and the shared [[lshBucketStep]] body. Input cols:
+    * (doc_id, payload, band_idx, band_key, ts). */
+  private def ttlBucketFold(rows: DataFrame, maxBandSize: Int,
+      delayThreshold: String): DataFrame = {
+    val sp = rows.sparkSession
     import sp.implicits._
-    bands.withWatermark("ts", delayThreshold)
-      .as[(Long, Int, Long, java.sql.Timestamp)]
-      .groupByKey { case (_, bandIdx, bandKey, _) => (bandIdx, bandKey) }
-      .flatMapGroupsWithState[LshBucketTtlState, (Int, Long, Long)](
+    rows.withWatermark("ts", delayThreshold)
+      .as[(Long, Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, _, bandIdx, bandKey, _) => (bandIdx, bandKey) }
+      .flatMapGroupsWithState[LshBucketTtlState, (Int, Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((bandIdx, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -794,7 +838,7 @@ object StreamingOps {
             // the bucket's TRUE newest event rides in the state: a
             // late-but-within-watermark row arriving after a newer batch
             // must not rewind the timeout below events already seen
-            val maxTs = math.max(batch.map(_._4.getTime).max,
+            val maxTs = math.max(batch.map(_._5.getTime).max,
               prior.map(_.maxEventMs).getOrElse(Long.MinValue))
             // expire once the watermark passes this bucket's newest event
             // (never set a timeout at/behind the current watermark — the
@@ -802,15 +846,19 @@ object StreamingOps {
             // at the very next watermark advance)
             state.setTimeoutTimestamp(
               math.max(maxTs, state.getCurrentWatermarkMs() + 1))
-            val st = prior.map(p => LshBucketState(p.docs, p.poisoned))
-              .getOrElse(LshBucketState(Vector.empty, poisoned = false))
+            val st = prior
+              .map(p => LshBucketState(p.docs, p.payloads, p.poisoned))
+              .getOrElse(
+                LshBucketState(Vector.empty, Vector.empty, poisoned = false))
             val (next, out) =
-              lshBucketStep(bandIdx, batch.map(_._1), st, maxBandSize)
-            state.update(LshBucketTtlState(next.docs, next.poisoned, maxTs))
-            out
+              lshBucketStep(bandIdx, batch.map(t => (t._1, t._2)), st,
+                maxBandSize)
+            state.update(
+              LshBucketTtlState(next.docs, next.payloads, next.poisoned, maxTs))
+            out.map { case (bi, a, b) => (bi, a._1, a._2, b._1, b._2) }
           }
       }
-      .toDF("band_idx", "doc_a", "doc_b")
+      .toDF("band_idx", "doc_a", "payload_a", "doc_b", "payload_b")
   }
 
   def lshNearDupAvailableNow(spark: SparkSession, documentsPath: String,
@@ -884,7 +932,7 @@ object StreamingOps {
    * events reduce batch-side to shared counts and the 80%-of-smaller-side
    * floor, so the batch oracle verifies the streamed result exactly.
    *
-   * The candidate stage runs through [[lshCandidateStreamTtl]], NOT the
+   * The candidate stage runs through [[lshCandidateStreamTtlSized]], NOT the
    * no-TTL fold: winnowing emits ~one fingerprint per `w` characters, so
    * distinct band keys grow with corpus CHARACTERS (orders of magnitude past
    * MinHash's k/2 keys per doc) — without expiry a long-lived stream's
@@ -892,14 +940,14 @@ object StreamingOps {
    * time, so the bounded drain rides one constant in-window timestamp: the
    * watermark can never pass it, no bucket expires mid-drain, and the result
    * is exactly the no-TTL fold's (which the batch oracle checks). A real
-   * ingest supplies its own event time and `delayThreshold` bounds state at
-   * O(fingerprints in window); the expiry/recall semantics are pinned by the
-   * winnow TTL spec in StreamingOpsSpec.
+   * ingest supplies its own event time through [[winnowCandidateStream]]
+   * and `delayThreshold` bounds state at O(fingerprints in window); the
+   * expiry/recall semantics are pinned by the winnow TTL + event-time specs
+   * in StreamingOpsSpec.
    */
   def winnowNearDupAvailableNow(spark: SparkSession, documentsPath: String,
       maxBucket: Int = 100, delayThreshold: String = "10 minutes"): DataFrame = {
     import spark.implicits._
-    import graft.functions.TextAnalysis
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
     // the batch query's near-dup corpus: every 7th doc re-emitted (+10000)
@@ -914,26 +962,55 @@ object StreamingOps {
         val docs = derive(spark.readStream.schema(schema).parquet(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .as[(Long, String)])
-        val bands = docs.select(col("doc_id"), lit(0).as("band_idx"),
-            explode(TextAnalysis.winnowFingerprints(col("text"))).as("band_key"),
-            lit(new java.sql.Timestamp(1600000000000L)).as("ts"))
-        lshCandidateStreamTtl(bands, maxBucket, delayThreshold)
+          .withColumn("ts", lit(new java.sql.Timestamp(1600000000000L)))
+        winnowCandidateStream(docs, maxBucket, delayThreshold)
     }
-    val sizes = derive(spark.read.parquet(documentsPath)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        .as[(Long, String)])
-      .select(col("doc_id"),
-        size(TextAnalysis.winnowFingerprints(col("text"))).as("n_fp"))
-    candidates
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnsRenamed(
-        Map("doc_id" -> "doc_a", "n_fp" -> "n_fp_a")), Seq("doc_a"))
-      .join(sizes.withColumnsRenamed(
-        Map("doc_id" -> "doc_b", "n_fp" -> "n_fp_b")), Seq("doc_b"))
-      .filter(col("shared") * 5 >= least(col("n_fp_a"), col("n_fp_b")) * 4)
-      .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("n_shared"))
-      .orderBy("doc_a", "doc_b")
+    winnowVerify(candidates).orderBy("doc_a", "doc_b")
   }
+
+  /**
+   * The streaming side of the winnow near-dup, with a REAL event-time
+   * column: `docs` needs (doc_id, text, ts). Each doc's winnowed fingerprint
+   * set is computed ONCE — the fingerprint count rides the fold's per-doc
+   * payload, so the verify stage ([[winnowVerify]]) reads both sides' sizes
+   * off the drained candidates instead of re-running the fingerprint pass
+   * over the whole corpus a second time and joining it back twice (the r15
+   * shape; the re-pass plus two corpus-sized shuffles were ~40% of the
+   * query's cost). Buckets silent past the `delayThreshold` watermark are
+   * dropped — late out-of-watermark fingerprints pair with nothing, state
+   * stays O(fingerprints in window).
+   */
+  def winnowCandidateStream(docs: DataFrame, maxBucket: Int = 100,
+      delayThreshold: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextAnalysis
+    // (band_key, payload=n_fp) packed in ONE letCol-bound expression and
+    // exploded directly. NOT `explode(col("fps"))` over a projected alias:
+    // InferFiltersFromGenerate infers `size(fps) > 0 AND isnotnull(fps)`
+    // below a Generate over an ATTRIBUTE, and predicate pushdown then
+    // substitutes the alias — duplicating the whole winnow HOF into the
+    // filter, a measured 3x evaluation (the rule skips non-attribute
+    // generator input, which this shape is)
+    val bands = docs.select(col("doc_id"), lit(0).as("band_idx"),
+        explode(TextAnalysis.letCol(
+          TextAnalysis.winnowFingerprints(col("text"))) { fps =>
+          transform(fps, f =>
+            struct(f.as("band_key"), size(fps).cast("long").as("payload")))
+        }).as("bk"), col("ts"))
+      .select(col("doc_id"), col("bk.payload").as("payload"),
+        col("band_idx"), col("bk.band_key").as("band_key"), col("ts"))
+    lshCandidateStreamTtlSized(bands, maxBucket, delayThreshold)
+  }
+
+  /** Batch verify over drained [[winnowCandidateStream]] candidates:
+    * shared-fingerprint counts against the batch query's 80%-of-smaller-side
+    * floor, both docs' fingerprint-set sizes read off the candidate payloads
+    * (no second corpus pass, no joins). */
+  def winnowVerify(candidates: DataFrame): DataFrame =
+    candidates
+      .groupBy("doc_a", "doc_b", "payload_a", "payload_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") * 5 >= least(col("payload_a"), col("payload_b")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("n_shared"))
 
   def simhashNearDupAvailableNow(spark: SparkSession, documentsPath: String,
       maxBandSize: Int = 1000, nonBmpSuffix: String = ""): DataFrame = {

@@ -576,6 +576,55 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("winnowCandidateStream with REAL event time: in-window recall intact, " +
+      "late out-of-watermark copies drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1600000000000L
+    def ts(h: Double) = new java.sql.Timestamp(t0 + (h * 3600000L).toLong)
+    val textA = "the quick brown fox jumps over the lazy dog in the morning " +
+      "sun while the river runs quietly past the old stone mill"
+    val textB = "completely different content about catalyst optimizer rules " +
+      "and the tungsten execution engine powering whole stage codegen"
+    val textC = "a third unrelated passage describing parquet column pruning " +
+      "predicate pushdown and adaptive query execution at scale"
+    // the production entry itself: (doc_id, text, ts) rows, fingerprints
+    // computed in-stream, counts riding the fold payload
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val cands = StreamingOps.winnowCandidateStream(
+      input.toDS().toDF("doc_id", "text", "ts"),
+      maxBucket = 100, delayThreshold = "1 hour")
+    val query = cands.writeStream.format("memory").queryName("winnow_evt_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def verified(): Seq[(Long, Long)] =
+      StreamingOps.winnowVerify(spark.table("winnow_evt_out"))
+        .as[(Long, Long, Int)].collect().toSeq.map(r => (r._1, r._2)).sorted
+    try {
+      // hour 0: doc 1 arrives alone — nothing to pair with
+      input.addData((1L, textA, ts(0)))
+      query.processAllAvailable()
+      assert(verified().isEmpty)
+      // hour 0.5 (in window): an exact copy — the verified near-dup pair
+      // comes out of the drained candidates alone (sizes off the payloads)
+      input.addData((2L, textA, ts(0.5)))
+      query.processAllAvailable()
+      assert(verified() == Seq((1L, 2L)))
+      // unrelated traffic advances the watermark far past hour 0; doc 1/2's
+      // fingerprint buckets fall silent and expire
+      input.addData((50L, textB, ts(5.0)))
+      query.processAllAvailable()
+      input.addData((51L, textC, ts(5.0)))
+      query.processAllAvailable()
+      // hour 4.2 — admitted (> watermark 4.0) but the textA buckets are
+      // gone: a third exact copy pairs with NOTHING, the documented
+      // bounded-recall trade that keeps state O(fingerprints in window)
+      input.addData((3L, textA, ts(4.2)))
+      query.processAllAvailable()
+      assert(verified() == Seq((1L, 2L)),
+        "expired buckets paired with a late out-of-watermark copy")
+    } finally query.stop()
+  }
+
   test("streaming pack carries the bucket offset across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
