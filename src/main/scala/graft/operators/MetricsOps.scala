@@ -76,7 +76,7 @@ object MetricsOps {
     o.join(g, Seq("k"))
       .select(col("path"), col("o_text"), col("s_text"))
       .as[(String, String, String)]
-      .map { case (path, oText, sText) =>
+      .flatMap { case (path, oText, sText) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
         val stemName = name.substring(0, name.lastIndexOf('.'))
         val doctype =
@@ -86,15 +86,21 @@ object MetricsOps {
           if (path.contains('/')) Some(path.substring(0, path.indexOf('/'))) else None
         val oBytes = oText.getBytes("UTF-8").length.toDouble
         val sBytes = sText.getBytes("UTF-8").length.toDouble
-        val accuracy =
-          if (sBytes > 0 && oBytes / sBytes > 0.5 && oBytes / sBytes < 2.0)
-            BigDecimal(TextExtractionMetrics.calculateAccuracy(
-              oText, sText, weights = (1, 1, 1)))
-              .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
-          else if (sBytes == 0 && oBytes == 0) 1.0
-          else 0.01 // the reference's skip-the-hopeless-Levenshtein pin
-        val missing = TextExtractionMetrics.calculatePercentMissingText(oText, sText)
-        (path, stemName, doctype, connector, accuracy, missing)
+        // an EMPTY ground truth drops the document: the reference's byte
+        // ratio divides by the source size (`evaluate.py` _process_document),
+        // so sBytes == 0 raises ZeroDivisionError there and the doc is
+        // recorded as a per-doc failure, never a row
+        if (sBytes == 0) None
+        else {
+          val accuracy =
+            if (oBytes / sBytes > 0.5 && oBytes / sBytes < 2.0)
+              BigDecimal(TextExtractionMetrics.calculateAccuracy(
+                oText, sText, weights = (1, 1, 1)))
+                .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+            else 0.01 // the reference's skip-the-hopeless-Levenshtein pin
+          val missing = TextExtractionMetrics.calculatePercentMissingText(oText, sText)
+          Some((path, stemName, doctype, connector, accuracy, missing))
+        }
       }
       .toDF("path", "filename", "doctype", "connector",
         "cct-accuracy", "cct-%missing") // the reference's exact tsv headers,
@@ -160,7 +166,10 @@ object MetricsOps {
         when(col("path").contains("/"), element_at(split(col("path"), "/"), 1))
           .as("connector"),
         when(col("o_all") === 0 || col("s_all") === 0 || col("den") === 0, lit(0.0))
-          .otherwise(round(
+          // bround = HALF_EVEN, matching Python round() (banker's) and the
+          // sibling textExtractionEvaluation; Spark round() is HALF_UP and
+          // diverges from the reference on exact ties (1/16 -> .063 vs .062)
+          .otherwise(bround(
             least(greatest(col("num") / col("den"), lit(0.0)), lit(1.0)), 3))
           .as("element-type-accuracy"))
       .orderBy("path").drop("path")

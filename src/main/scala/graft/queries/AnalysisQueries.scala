@@ -1546,15 +1546,16 @@ object AnalysisQueries {
          |  FROM documents),
          |acc AS (
          |  SELECT doc_id,
-         |    CASE WHEN strlen(otext) = 0 AND strlen(text) = 0 THEN 1.0
-         |         WHEN strlen(text) > 0
-         |           AND strlen(otext)::DOUBLE / strlen(text) > 0.5
+         |    CASE WHEN strlen(otext)::DOUBLE / strlen(text) > 0.5
          |           AND strlen(otext)::DOUBLE / strlen(text) < 2.0
          |         THEN round_even(1.0 - least(greatest(
          |           levenshtein(po, ps)::DOUBLE / greatest(length(ps), 1),
          |           0.0), 1.0), 3)
          |         ELSE 0.01 END AS acc
-         |  FROM base),
+         |  -- strlen(text) = 0 docs DROP: the reference's byte-ratio guard
+         |  -- divides by the source size, so an empty ground truth raises
+         |  -- ZeroDivisionError there and the doc is a per-doc failure
+         |  FROM base WHERE strlen(text) > 0),
          |${bowKeptSql("text", "srck")},
          |${bowKeptSql(outSql, "outk")},
          |src AS (SELECT doc_id, w, count(*) AS sn FROM srck GROUP BY doc_id, w),

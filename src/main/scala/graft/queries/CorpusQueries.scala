@@ -41,6 +41,38 @@ object CorpusQueries {
     * ≡ 1 crawled page shares the URL of the odd doc two below it (so the
     * collision partner IS in the crawl), host case and tracking params vary
     * on top. */
+  /** A self-cleaning scratch root for q_crawl_refresh_persisted's stage
+    * store. The query is LAZY — stages materialize at execution, after this
+    * builder returns — so a try/finally cannot bracket the writes; instead
+    * the dir is removed by a JVM shutdown hook (normal harness exits), and
+    * leftovers from crashed runs are swept here on the next invocation
+    * (everything under one fixed parent older than an hour), so repeated
+    * verify/bench passes never accumulate stage output in /tmp. */
+  private def refreshScratchDir(): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val parent = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft-refresh-stages")
+    Files.createDirectories(parent)
+    def rmTree(p: Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      try Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(q => Files.deleteIfExists(q))
+      catch { case _: Exception => () }
+    }
+    val staleMs = 60L * 60 * 1000
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.list(parent).iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          System.currentTimeMillis() -
+            Files.getLastModifiedTime(d).toMillis > staleMs)
+        .foreach(rmTree)
+    } catch { case _: Exception => () }
+    val dir = Files.createTempDirectory(parent, "run-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+    dir.toString
+  }
+
   private def crawlRefreshInputs(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
@@ -410,9 +442,7 @@ object CorpusQueries {
     // they contain.
     "q_crawl_refresh_persisted" -> ((s, dir) => {
       val (history, delta0, raw) = crawlRefreshInputs(s, dir)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-refresh-stages").toString
-      val store = new graft.sinks.StageStore(s, root)
+      val store = new graft.sinks.StageStore(s, refreshScratchDir())
       val out = CorpusOps.crawlRefresh(history, delta0, raw,
           history.filter(col("doc_id") % 11 === 5),
           headMinAvgLp = -3.47e6, midMinAvgLp = -3.54e6, quota = 12,

@@ -878,7 +878,8 @@ object PipelineQueries {
     },
 
     // per-doc depth-weighted histogram match re-derived with the same
-    // synthetic paths; both engines round(x, 3) positive values identically
+    // synthetic paths; round_even matches the Spark side's bround (Python
+    // round() is banker's -- HALF_UP diverges on exact decimal ties)
     "q_element_type_eval" -> {
       val replaced = "replace(text, ' merge ', chr(10)||chr(10))"
       val trunc = s"substring($replaced, 1, greatest(length($replaced) - 5, 1))"
@@ -922,7 +923,7 @@ object PipelineQueries {
          |  '.pdf' AS doctype,
          |  'c' || CAST(doc_id % 2 AS VARCHAR) AS connector,
          |  CASE WHEN o_all = 0 OR s_all = 0 OR den = 0 THEN 0.0
-         |    ELSE round(LEAST(GREATEST(num::DOUBLE / den::DOUBLE, 0.0), 1.0), 3)
+         |    ELSE round_even(LEAST(GREATEST(num::DOUBLE / den::DOUBLE, 0.0), 1.0), 3)
          |    END AS "element-type-accuracy"
          |FROM pd WHERE o_all > 0 AND s_all > 0
          |ORDER BY 'c' || CAST(doc_id % 2 AS VARCHAR) || '/doc' ||

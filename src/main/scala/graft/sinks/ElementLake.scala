@@ -75,8 +75,10 @@ object ElementLake {
     * not a tombstone: the holder writes `pid=… token=… created_ms=…` into
     * it, and a lock whose filesystem mtime is older than the lease age is
     * presumed to belong to a crashed compactor — the next [[compact]] takes
-    * it over (atomic re-create is the gate, so two racing takers resolve to
-    * one), and read/append recovery treats it as absent. Size the lease
+    * it over (the stale lock is CONSUMED by an atomic rename to a
+    * token-unique tombstone, so of N racing takers exactly one wins; atomic
+    * re-create then gates the new lock), and read/append recovery treats it
+    * as absent. Size the lease
     * above the longest plausible partition rewrite: a hung-but-alive
     * compactor past its lease can be overtaken, the inherent lease trade. */
   val LockName = "_graft_compact.lock"
@@ -254,13 +256,14 @@ object ElementLake {
         s.close()
         true
       } catch { case _: java.io.IOException => false }
-    def lockContent(): String =
+    def contentOf(p: org.apache.hadoop.fs.Path): String =
       try {
-        val in = fs.open(lock)
+        val in = fs.open(p)
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
       } catch { case _: Exception => "" }
+    def lockContent(): String = contentOf(lock)
     if (!tryAcquire()) {
       // holder crashed? the lease is judged on filesystem mtime, not the
       // holder's self-reported clock
@@ -271,8 +274,33 @@ object ElementLake {
       if (!staleOrGone) throw new IllegalStateException(
         s"compact: a live compaction holds $lock (${lockContent()}); " +
           s"takeover only after ${lockLeaseMs} ms of silence")
-      fs.delete(lock, false)
-      // atomic create(false) stays the gate: of N racing takers, one wins
+      // consume the stale lock ATOMICALLY by renaming it to a token-unique
+      // tombstone: of N racing takers exactly one rename succeeds.
+      // delete-then-create was a double-acquire: taker B's delete could
+      // remove taker A's FRESHLY CREATED lock and both would compact. If
+      // our rename instead grabbed a lock a faster peer already re-created
+      // (src was live again), the preserved mtime exposes it: restore and
+      // lose the race. (Residual: the restored lock is briefly absent — a
+      // third taker slipping a create() into that window strands the peer;
+      // microseconds and three actors, vs the old two-actor macro race.)
+      val tomb = new org.apache.hadoop.fs.Path(root, s"$LockName.takeover.$token")
+      val consumed =
+        try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+      if (consumed) {
+        val grabbedLive =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(tomb).getModificationTime <= lockLeaseMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (grabbedLive) {
+          if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
+          throw new IllegalStateException(
+            s"compact: lost the takeover race for $lock — a peer already " +
+              "re-created it")
+        }
+        fs.delete(tomb, false)
+      }
+      // whether we consumed the stale lock or a peer did, atomic
+      // create(false) stays the final gate
       if (!tryAcquire()) throw new IllegalStateException(
         s"compact: lost the takeover race for stale $lock (now ${lockContent()})")
     }
@@ -335,8 +363,20 @@ object ElementLake {
       }
     } finally {
       // release only if the lock is still ours — after a lease takeover the
-      // file belongs to the new holder and must survive this finally
-      if (lockContent().contains(s"token=$token")) fs.delete(lock, false)
+      // file belongs to the new holder and must survive this finally. The
+      // read-then-delete pair had the same TOCTOU as takeover (a taker
+      // swapping locks between our read and our delete loses ITS lock), so
+      // the delete is a rename-consume too: grab to a token-unique
+      // tombstone, verify it is really ours, restore a successor's.
+      if (lockContent().contains(s"token=$token")) {
+        val tomb = new org.apache.hadoop.fs.Path(root, s"$LockName.release.$token")
+        val consumed =
+          try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
+        if (consumed) {
+          if (contentOf(tomb).contains(s"token=$token")) fs.delete(tomb, false)
+          else if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
+        }
+      }
     }
   }
 }

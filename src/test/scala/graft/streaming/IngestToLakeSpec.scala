@@ -286,4 +286,59 @@ class IngestToLakeSpec extends SparkSuiteBase {
       Files.delete(lock)
     } finally rmTree(lake)
   }
+
+  test("two compactors racing a stale lease: the taker wins atomically and " +
+      "the overtaken holder's release cannot delete the winner's lock") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val lake = tmp("race-takeover-lake")
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 10).map { i =>
+      Element("", ElementType.NarrativeText, s"row $i", s"doc$i", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      (1 to 6).foreach(_ => ElementLake.append(rows.toDS(), lake.toString))
+      val before = ElementLake.read(spark, lake.toString).collect().toSet
+      val lock = lake.resolve(ElementLake.LockName)
+      // zombie Z: acquires the lock, then hangs between rewrite and swap —
+      // the real thread, not a simulated footprint
+      val zInSwap = new CountDownLatch(1); val zGo = new CountDownLatch(1)
+      val z = new Thread(() =>
+        try ElementLake.compactImpl(spark, lake.toString, 4, 128L << 20,
+          beforeSwap = { _ => zInSwap.countDown(); zGo.await() })
+        catch { case _: Throwable => () }) // Z may legitimately self-heal
+      z.start()
+      assert(zInSwap.await(120, TimeUnit.SECONDS), "zombie never reached swap")
+      val zContent = new String(Files.readAllBytes(lock))
+      // Z hangs past its lease (mtime is the lease clock)
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ElementLake.DefaultLockLeaseMs - 60000))
+      // taker T: consumes the stale lease by atomic rename while Z is still
+      // ALIVE, then hangs in ITS swap window holding the fresh lock
+      val tInSwap = new CountDownLatch(1); val tGo = new CountDownLatch(1)
+      @volatile var tErr: Option[Throwable] = None
+      val t = new Thread(() =>
+        try ElementLake.compactImpl(spark, lake.toString, 4, 128L << 20,
+          beforeSwap = { _ => tInSwap.countDown(); tGo.await() })
+        catch { case e: Throwable => tErr = Some(e) })
+      t.start()
+      assert(tInSwap.await(120, TimeUnit.SECONDS), s"taker never took over: $tErr")
+      val tContent = new String(Files.readAllBytes(lock))
+      assert(tContent != zContent, "takeover did not replace the lock")
+      // Z finishes while T still holds: Z's finally must NOT delete T's lock
+      zGo.countDown(); z.join(120000)
+      assert(Files.exists(lock), "overtaken holder deleted the winner's lock")
+      assert(new String(Files.readAllBytes(lock)) == tContent,
+        "winner's lock was replaced by the overtaken holder")
+      // T finishes normally: self-heals its (Z-disturbed) swap if needed,
+      // releases its own lock, and the data survives both compactors
+      tGo.countDown(); t.join(120000)
+      assert(tErr.isEmpty, s"winner failed: $tErr")
+      assert(!Files.exists(lock), "winner's release did not remove its lock")
+      assert(ElementLake.read(spark, lake.toString).collect().toSet == before)
+    } finally rmTree(lake)
+  }
 }
