@@ -259,6 +259,40 @@ object MetricsOps {
     if (groupBy == "all") out.drop("grouping_key") else out
   }
 
+  /**
+   * The calculators' aggregate frame (`_generate_dataframes`,
+   * `evaluate.py:437-443,497-507`): one row per metric field under
+   * AGG_HEADERS — `metric, average, sample_sd, population_sd, count`.
+   * average / sample_sd / population_sd round half-even at 3 (Python
+   * round); fewer than two scores yield null deviations
+   * (`statistics.stdev` needs n >= 2 — and Spark's stddev_samp(1) is NaN,
+   * stddev_pop(1) is 0.0, both wrong here), zero scores a null mean. An
+   * empty `text_extraction` frame aggregates to an EMPTY frame (the
+   * reference emits headers only, `evaluate.py:439-440`), while an empty
+   * `element_type` frame keeps its single count-0 row — the exact shape
+   * committed in the reference's own golden
+   * `test_unstructured_ingest/metrics/element-type/aggregate-scores-element-type.tsv`.
+   */
+  def aggregateScores(df: org.apache.spark.sql.DataFrame,
+      evalName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fields = aggFieldsFor(evalName)
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) => Seq(
+      bround(avg(col(f)), 3).as(s"avg_$i"),
+      bround(stddev_samp(col(f)), 3).as(s"sd_$i"),
+      bround(stddev_pop(col(f)), 3).as(s"psd_$i"),
+      count(col(f)).as(s"n_$i")) }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = fields.zipWithIndex.map { case (f, i) =>
+      one.select(lit(f).as("metric"),
+        col(s"avg_$i").as("average"),
+        when(col(s"n_$i") > 1, col(s"sd_$i")).as("sample_sd"),
+        when(col(s"n_$i") > 1, col(s"psd_$i")).as("population_sd"),
+        col(s"n_$i").cast("long").as("count")) }
+    val out = rows.reduce(_.unionByName(_))
+    if (evalName == "text_extraction") out.filter(col("count") > 0) else out
+  }
+
   def tableEvalScore(goldHtml: String, predHtml: String,
       contentOnly: Boolean = false): Double = {
     val gold = TableChunker.parseRows(goldHtml)

@@ -356,6 +356,26 @@ object PipelineQueries {
       graft.operators.MetricsOps.elementTypeEvaluation(out, src)
     }),
 
+    // the evaluation capstone — the composition test_unstructured_ingest/
+    // evaluation-metrics.sh runs: BOTH metric strategies' per-doc frames
+    // (the same derivations as q_text_eval / q_element_type_eval) fold into
+    // the calculators' aggregate-scores TSV shape (AGG_HEADERS — metric,
+    // average, sample_sd, population_sd, count; evaluate.py:437-443,497-507),
+    // one row set per eval, exactly what the harness writes to
+    // aggregate-scores-cct.tsv / aggregate-scores-element-type.tsv
+    "q_eval_capstone" -> ((s, dir) => {
+      val text = graft.queries.AnalysisQueries.queries("q_text_eval")(s, dir)
+      val elem = queries("q_element_type_eval")(s, dir)
+      graft.operators.MetricsOps.aggregateScores(text, "text_extraction")
+        .withColumn("eval", lit("text_extraction"))
+        .unionByName(
+          graft.operators.MetricsOps.aggregateScores(elem, "element_type")
+            .withColumn("eval", lit("element_type")))
+        .select(col("eval"), col("metric"), col("average"),
+          col("sample_sd"), col("population_sd"), col("count"))
+        .orderBy("eval", "metric")
+    }),
+
     // convert_to_csv flat projection — staging/base.py:507-526,604-624
     "q_csv_flatten" -> ((s, dir) => {
       val els = graft.operators.MetadataOps.applyMetadata(
@@ -572,6 +592,58 @@ object PipelineQueries {
        |  string_agg(regexp_replace(${O.strip("text")}, '\\s+', ' ', 'g'),
        |             chr(10)||chr(10) ORDER BY seq) AS text
        |FROM walk GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_seq""".stripMargin
+
+  /** q_element_type_eval's oracle SQL — a val so the capstone oracle can
+    * embed it as a CTE without re-entering the (self-referencing) map. */
+  private lazy val ElementTypeEvalOracleSql: String = {
+      val replaced = "replace(text, ' merge ', chr(10)||chr(10))"
+      val trunc = s"substring($replaced, 1, greatest(length($replaced) - 5, 1))"
+      def parsOf(input: String) =
+        s"""SELECT doc_id, list_filter(list_transform(
+           |    string_split_regex(${O.strip(input)}, '\\s*\\n\\s*'),
+           |    p -> ${O.strip("p")}), p -> p <> '') AS ps
+           |  FROM documents""".stripMargin
+      def histOf(pars: String, off: Int) =
+        s"""SELECT doc_id, element_type,
+           |    CASE WHEN element_type = 'ListItem'
+           |      THEN CAST((seq + $off) % 3 AS INT) END AS d,
+           |    count(*) AS n
+           |  FROM (SELECT doc_id, ${O.classify("full_text")} AS element_type, seq
+           |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
+           |      {'seq': i, 'full_text': ps[i]}), recursive := true) FROM $pars))
+           |  GROUP BY 1, 2, 3""".stripMargin
+      s"""WITH parsA AS (${parsOf(O.strip(replaced))}),
+         |parsB AS (${parsOf(trunc)}),
+         |src AS (${histOf("parsA", 0)}),
+         |outt AS (${histOf("parsB", 1)}),
+         |j AS (
+         |  SELECT coalesce(o.doc_id, s.doc_id) AS doc_id,
+         |    coalesce(o.element_type, s.element_type) AS t,
+         |    coalesce(o.n, 0) AS o_n, coalesce(s.n, 0) AS s_n,
+         |    LEAST(coalesce(o.n, 0), coalesce(s.n, 0)) AS m
+         |  FROM outt o FULL JOIN src s
+         |    ON o.doc_id = s.doc_id AND o.element_type = s.element_type
+         |    AND o.d IS NOT DISTINCT FROM s.d),
+         |pt AS (
+         |  SELECT doc_id, t, sum(m) AS exact, sum(o_n - m) AS o_left,
+         |    sum(s_n - m) AS s_left, sum(o_n) AS o_tot, sum(s_n) AS s_tot
+         |  FROM j GROUP BY doc_id, t),
+         |pd AS (
+         |  SELECT doc_id,
+         |    sum(exact) + 0.5 * sum(LEAST(o_left, s_left)) AS num,
+         |    sum(exact) + sum(s_left) AS den,
+         |    sum(o_tot) AS o_all, sum(s_tot) AS s_all
+         |  FROM pt GROUP BY doc_id)
+         |SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+         |  '.pdf' AS doctype,
+         |  'c' || CAST(doc_id % 2 AS VARCHAR) AS connector,
+         |  CASE WHEN o_all = 0 OR s_all = 0 OR den = 0 THEN 0.0
+         |    ELSE round_even(LEAST(GREATEST(num::DOUBLE / den::DOUBLE, 0.0), 1.0), 3)
+         |    END AS "element-type-accuracy"
+         |FROM pd WHERE o_all > 0 AND s_all > 0
+         |ORDER BY 'c' || CAST(doc_id % 2 AS VARCHAR) || '/doc' ||
+         |  CAST(doc_id AS VARCHAR) || '.pdf.json'""".stripMargin
+    }
 
   def oracles: Map[String, String] = Map(
     "q_partition_text" ->
@@ -880,54 +952,28 @@ object PipelineQueries {
     // per-doc depth-weighted histogram match re-derived with the same
     // synthetic paths; round_even matches the Spark side's bround (Python
     // round() is banker's -- HALF_UP diverges on exact decimal ties)
-    "q_element_type_eval" -> {
-      val replaced = "replace(text, ' merge ', chr(10)||chr(10))"
-      val trunc = s"substring($replaced, 1, greatest(length($replaced) - 5, 1))"
-      def parsOf(input: String) =
-        s"""SELECT doc_id, list_filter(list_transform(
-           |    string_split_regex(${O.strip(input)}, '\\s*\\n\\s*'),
-           |    p -> ${O.strip("p")}), p -> p <> '') AS ps
-           |  FROM documents""".stripMargin
-      def histOf(pars: String, off: Int) =
-        s"""SELECT doc_id, element_type,
-           |    CASE WHEN element_type = 'ListItem'
-           |      THEN CAST((seq + $off) % 3 AS INT) END AS d,
-           |    count(*) AS n
-           |  FROM (SELECT doc_id, ${O.classify("full_text")} AS element_type, seq
-           |    FROM (SELECT doc_id, unnest(list_transform(range(1, len(ps)+1), i ->
-           |      {'seq': i, 'full_text': ps[i]}), recursive := true) FROM $pars))
-           |  GROUP BY 1, 2, 3""".stripMargin
-      s"""WITH parsA AS (${parsOf(O.strip(replaced))}),
-         |parsB AS (${parsOf(trunc)}),
-         |src AS (${histOf("parsA", 0)}),
-         |outt AS (${histOf("parsB", 1)}),
-         |j AS (
-         |  SELECT coalesce(o.doc_id, s.doc_id) AS doc_id,
-         |    coalesce(o.element_type, s.element_type) AS t,
-         |    coalesce(o.n, 0) AS o_n, coalesce(s.n, 0) AS s_n,
-         |    LEAST(coalesce(o.n, 0), coalesce(s.n, 0)) AS m
-         |  FROM outt o FULL JOIN src s
-         |    ON o.doc_id = s.doc_id AND o.element_type = s.element_type
-         |    AND o.d IS NOT DISTINCT FROM s.d),
-         |pt AS (
-         |  SELECT doc_id, t, sum(m) AS exact, sum(o_n - m) AS o_left,
-         |    sum(s_n - m) AS s_left, sum(o_n) AS o_tot, sum(s_n) AS s_tot
-         |  FROM j GROUP BY doc_id, t),
-         |pd AS (
-         |  SELECT doc_id,
-         |    sum(exact) + 0.5 * sum(LEAST(o_left, s_left)) AS num,
-         |    sum(exact) + sum(s_left) AS den,
-         |    sum(o_tot) AS o_all, sum(s_tot) AS s_all
-         |  FROM pt GROUP BY doc_id)
-         |SELECT 'doc' || CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
-         |  '.pdf' AS doctype,
-         |  'c' || CAST(doc_id % 2 AS VARCHAR) AS connector,
-         |  CASE WHEN o_all = 0 OR s_all = 0 OR den = 0 THEN 0.0
-         |    ELSE round_even(LEAST(GREATEST(num::DOUBLE / den::DOUBLE, 0.0), 1.0), 3)
-         |    END AS "element-type-accuracy"
-         |FROM pd WHERE o_all > 0 AND s_all > 0
-         |ORDER BY 'c' || CAST(doc_id % 2 AS VARCHAR) || '/doc' ||
-         |  CAST(doc_id AS VARCHAR) || '.pdf.json'""".stripMargin
+    "q_element_type_eval" -> ElementTypeEvalOracleSql,
+
+    "q_eval_capstone" -> {
+      def aggOf(src: String, evalTag: String, field: String) =
+        s"""SELECT '$evalTag' AS eval, '$field' AS metric,
+           |  round_even(avg("$field"), 3) AS average,
+           |  CASE WHEN count(*) > 1
+           |    THEN round_even(stddev_samp("$field"), 3) END AS sample_sd,
+           |  CASE WHEN count(*) > 1
+           |    THEN round_even(stddev_pop("$field"), 3) END AS population_sd,
+           |  count(*) AS "count"
+           |FROM $src""".stripMargin
+      s"""WITH text_rows AS (
+         |${graft.queries.AnalysisQueries.oracles("q_text_eval")}),
+         |elem_rows AS (
+         |$ElementTypeEvalOracleSql)
+         |${aggOf("elem_rows", "element_type", "element-type-accuracy")}
+         |UNION ALL
+         |${aggOf("text_rows", "text_extraction", "cct-accuracy")}
+         |UNION ALL
+         |${aggOf("text_rows", "text_extraction", "cct-%missing")}
+         |ORDER BY eval, metric""".stripMargin
     },
 
     "q_csv_flatten" ->

@@ -63,6 +63,12 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Shuffle-count caps above the default; everything else gets [[DefaultExchCap]]. */
   private val exchCapOverrides = Map(
     "q_embed_near_dup" -> 13, "q_jaccard_near_dup" -> 13, "q_lsh_near_dup" -> 8,
+    // the union of BOTH eval pipelines' per-doc frames (text: stem join +
+    // distributed Levenshtein map; element-type: tag-union three-level agg),
+    // each folded to the 1-row aggregate-scores shape and re-listed once per
+    // AGG_HEADERS metric row in the AQE-off textual plan — runtime exchange
+    // reuse collapses the duplicates
+    "q_eval_capstone" -> 19,
     // LM train + score in one DAG: the ref slice's bigram/predecessor
     // aggregations (the refBi subtree is re-listed feeding refC1 AND the
     // probe join in the AQE-off textual plan), two broadcast probe

@@ -259,4 +259,67 @@ class EvaluateCalculatorSpec extends SparkSuiteBase {
         s"output=$out source=$src")
     }
   }
+
+  // -- the aggregate-scores frame (AGG_HEADERS) the calculators write as
+  // -- aggregate-scores-*.tsv, pinned against the reference's OWN committed
+  // -- golden for the empty element-type case --
+  test("an empty element_type evaluation aggregates to the reference's golden TSV") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(String, String, Int)]
+      .toDF("path", "element_type", "category_depth")
+    val agg = MetricsOps.aggregateScores(
+      MetricsOps.elementTypeEvaluation(empty, empty), "element_type")
+    // render as the TSV the harness writes and diff against the golden
+    val golden = Files.readString(Path.of(
+      "/root/reference/test_unstructured_ingest/metrics/element-type/" +
+        "aggregate-scores-element-type.tsv")).stripTrailing()
+    def cell(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "" else r.get(i).toString
+    val rendered = (agg.columns.mkString("\t") +:
+      agg.collect().toSeq.map(r =>
+        (0 until r.length).map(cell(r, _)).mkString("\t"))).mkString("\n")
+    assert(rendered == golden,
+      s"aggregate TSV diverged from the reference golden:\n$rendered\nvs\n$golden")
+  }
+
+  test("an empty text_extraction evaluation aggregates to headers only") {
+    val sp = spark
+    import sp.implicits._
+    val empty = Seq.empty[(String, String)].toDF("path", "text")
+    val agg = MetricsOps.aggregateScores(
+      MetricsOps.textExtractionEvaluation(empty, empty), "text_extraction")
+    assert(agg.columns.toSeq ==
+      Seq("metric", "average", "sample_sd", "population_sd", "count"))
+    assert(agg.isEmpty, "evaluate.py:439-440 emits headers only when empty")
+  }
+
+  test("aggregate scores match hand-computed statistics over the fixtures") {
+    val df = MetricsOps.textExtractionEvaluation(outputDf, goldDf)
+    val agg = MetricsOps.aggregateScores(df, "text_extraction")
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(1), if (r.isNullAt(1)) 0.0 else r.getDouble(1),
+          r.getLong(4)))).toMap
+    val accs = df.collect().map(_.getDouble(3)).toSeq
+    val mean = BigDecimal(accs.sum / accs.size)
+      .setScale(3, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(agg("cct-accuracy")._3 == 3 && agg("cct-%missing")._3 == 3)
+    assert(!agg("cct-accuracy")._1 && agg("cct-accuracy")._2 == mean)
+    // n = 3 scores: both deviations are present (n > 1)
+    val sds = MetricsOps.aggregateScores(df, "text_extraction").collect()
+    assert(sds.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
+  test("a single-score aggregate keeps the mean but nulls both deviations") {
+    val sp = spark
+    import sp.implicits._
+    val one = Seq(("a.pdf.json", "x", "c0", 0.5, 0.1))
+      .toDF("filename", "doctype", "connector", "cct-accuracy", "cct-%missing")
+    val rows = MetricsOps.aggregateScores(one, "text_extraction").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.getLong(4) == 1,
+        s"statistics.stdev needs n >= 2; got $r")
+    }
+  }
 }
