@@ -106,8 +106,17 @@ object ChunkingOptions {
       combineTextUnderNChars: Option[Int] = None,
       overlap: Int = 0,
       overlapAll: Boolean = false,
-      multipageSections: Boolean = true,
+      multipageSections: Option[Boolean] = None,
       byTitle: Boolean = false,
+      // the four table-behavior kwargs resolve absent/None to their
+      // defaults, exactly as both entry points' parametrized option
+      // matrices pin (test_basic.py:232-301, test_title.py:557-630):
+      // include_orig_elements None -> True, repeat_table_headers None ->
+      // True, skip_table_chunking None -> False, isolate_table None -> True
+      includeOrigElements: Option[Boolean] = None,
+      repeatTableHeaders: Option[Boolean] = None,
+      skipTableChunking: Option[Boolean] = None,
+      isolateTable: Option[Boolean] = None,
       maxTokens: Option[Int] = None,
       newAfterNTokens: Option[Int] = None,
       tokenizer: Option[String] = None): ChunkingOptions = {
@@ -137,7 +146,12 @@ object ChunkingOptions {
       newAfterNChars = newAfterNChars,
       combineTextUnderNChars = combineTextUnderNChars,
       overlap = overlap, overlapAll = overlapAll,
-      multipageSections = multipageSections, byTitle = byTitle,
+      multipageSections = multipageSections.getOrElse(true),
+      includeOrigElements = includeOrigElements.getOrElse(true),
+      repeatTableHeaders = repeatTableHeaders.getOrElse(true),
+      skipTableChunking = skipTableChunking.getOrElse(false),
+      isolateTable = isolateTable.getOrElse(true),
+      byTitle = byTitle,
       maxTokens = maxTokens, newAfterNTokens = newAfterNTokens,
       tokenizer = tokenizer)
   }
