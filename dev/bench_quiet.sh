@@ -6,10 +6,12 @@
 # a flagged query whose quiet minimum returns to the old cost was noise;
 # one that stays slow is a plan-level regression.
 #
-# Usage: dev/bench_quiet.sh [-n RUNS] [-o OUT.json] [query ...]
+# Usage: dev/bench_quiet.sh [-n RUNS] [-o OUT.json] [query ... | all]
 #   queries default to `dev/bench_compare.py --flagged` over the two newest
-#   BENCH_r*.json artifacts; OUT defaults to BENCH_QUIET.json in the repo
-#   root; RUNS defaults to 3.
+#   BENCH_r*.json artifacts; the literal `all` runs the FULL query set (the
+#   end-of-round sweep that gives the next round's tripwire a quiet minimum
+#   for every query); OUT defaults to BENCH_QUIET.json in the repo root;
+#   RUNS defaults to 3.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -32,7 +34,11 @@ if [ ${#QUERIES[@]} -eq 0 ]; then
   echo "[bench_quiet] nothing flagged by bench_compare; nothing to re-run"
   exit 0
 fi
-ONLY=$(IFS=,; echo "${QUERIES[*]}")
+if [ ${#QUERIES[@]} -eq 1 ] && [ "${QUERIES[0]}" = "all" ]; then
+  ONLY=""
+else
+  ONLY=$(IFS=,; echo "${QUERIES[*]}")
+fi
 SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 
 # best-effort isolation: raise priority when permitted, pin the CPU set

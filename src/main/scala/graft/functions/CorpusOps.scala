@@ -66,6 +66,32 @@ object CorpusOps {
   }
 
   /**
+   * One-pass per-source corpus profile — the first report a large-scale
+   * training pipeline runs over a new crawl: document / char / token
+   * volumes, exact-duplicate mass, and mean document length per source.
+   * Shape: a per-doc projection into ONE (source, fingerprint) aggregation
+   * and a per-source rollup — two map-side-combinable shuffles, no joins,
+   * no windows. At 100 TB the first aggregation's key space is O(distinct
+   * documents) with partial aggregation doing the heavy lifting scan-side,
+   * and duplicate detection fingerprints with xxhash64 so document TEXT
+   * never shuffles — only 8-byte fingerprints and pre-summed counters do.
+   */
+  def corpusProfile(d: DataFrame, text: Column, source: Column): DataFrame = {
+    val perDoc = d.select(source.as("source"), xxhash64(text).as("fp"),
+      length(text).cast("long").as("chars"),
+      TextAnalysis.tokenCountWhitespace(text).cast("long").as("tokens"))
+    val perFp = perDoc.groupBy("source", "fp").agg(
+      count(lit(1)).as("n"), sum("chars").as("chars"), sum("tokens").as("tokens"))
+    perFp.groupBy("source").agg(
+      sum("n").as("n_docs"),
+      count(lit(1)).as("n_distinct_docs"),
+      sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"),
+      sum("chars").as("n_chars"),
+      sum("tokens").as("n_tokens"),
+      round(sum("chars") / sum("n"), 2).as("avg_chars"))
+  }
+
+  /**
    * Incremental exact dedup of a delta against a PRIOR corpus snapshot — the
    * recurring-crawl shape: `history` is the already-curated corpus (100 TB),
    * `incoming` today's delta. The naive plan anti-joins the full history

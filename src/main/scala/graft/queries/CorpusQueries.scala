@@ -452,6 +452,18 @@ object CorpusQueries {
       out
     }),
 
+    // the one-pass per-source corpus profile (volumes, exact-dup mass, mean
+    // length) — every 10th doc re-emitted as an exact copy so the duplicate
+    // counters fire; mirrored verbatim in the oracle
+    "q_corpus_profile" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        col("source"), col("text"))
+      val aug = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 90000L).as("doc_id"), col("source"), col("text")))
+      CorpusOps.corpusProfile(aug, col("text"), col("source"))
+        .orderBy("source")
+    }),
+
     // RefinedWeb-style per-source cap: keep each source's 15 longest docs;
     // the two-stage grouped top-N bounds any single task's sort even when
     // one source dominates the corpus
@@ -1342,6 +1354,25 @@ object CorpusQueries {
     // the persisted rendering changes WHERE stage outputs live (parquet
     // behind done-markers), never WHAT they contain — one oracle pins both
     "q_crawl_refresh_persisted" -> CrawlRefreshOracleSql,
+
+    // the per-(source, text) grouping is the fingerprint aggregation made
+    // naive: grouping by the text itself gives identical counts to the
+    // engine's xxhash64 fingerprints (which exist so text never shuffles)
+    "q_corpus_profile" ->
+      s"""WITH aug AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT source, text FROM documents WHERE doc_id % 10 = 0),
+         |pertext AS (
+         |  SELECT source, text, count(*) AS n FROM aug GROUP BY source, text)
+         |SELECT source,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_distinct_docs,
+         |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(length(text) * n) AS BIGINT) AS n_chars,
+         |  CAST(sum(len(${O.words("text")}) * n) AS BIGINT) AS n_tokens,
+         |  round(sum(length(text) * n)::DOUBLE / sum(n), 2) AS avg_chars
+         |FROM pertext GROUP BY source ORDER BY source""".stripMargin,
 
     // the two-stage grouped top-N reduces to the naive per-source window
     // top-N (stage 1 never drops a global top-quota member)

@@ -69,6 +69,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // AGG_HEADERS metric row in the AQE-off textual plan — runtime exchange
     // reuse collapses the duplicates
     "q_eval_capstone" -> 19,
+    // base scan re-listed under the union's dup-augmentation side, then the
+    // (source, fp) agg, the per-source rollup, and the output sort
+    "q_corpus_profile" -> 5,
     // LM train + score in one DAG: the ref slice's bigram/predecessor
     // aggregations (the refBi subtree is re-listed feeding refC1 AND the
     // probe join in the AQE-off textual plan), two broadcast probe

@@ -710,4 +710,28 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r.getAs[Int]("n_emails") == 1)
     assert(r.getAs[Int]("n_ips") == 0) // scrubbed with the email, not re-counted
   }
+
+  test("corpusProfile: one-pass per-source volumes and exact-dup mass") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq(
+      // source a: 3 docs, one exact-dup pair -> 2 dup docs, 2 distinct
+      (1L, "a", "hello world"),        // 11 chars, 2 tokens
+      (2L, "a", "hello world"),        // exact copy
+      (3L, "a", "three ws tokens x"),  // 17 chars, 4 tokens
+      // source b: 1 doc, no dups
+      (4L, "b", "solo")                // 4 chars, 1 token
+    ).toDF("doc_id", "source", "text")
+    val rows = CorpusOps.corpusProfile(d, col("text"), col("source"))
+      .orderBy("source").collect()
+    assert(rows.length == 2)
+    val a = rows(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 3 && a.getLong(2) == 2 &&
+      a.getLong(3) == 2 && a.getLong(4) == 11 + 11 + 17 &&
+      a.getLong(5) == 2 + 2 + 4 && a.getDouble(6) == 13.0)
+    val b = rows(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1 && b.getLong(2) == 1 &&
+      b.getLong(3) == 0 && b.getLong(4) == 4 && b.getLong(5) == 1 &&
+      b.getDouble(6) == 4.0)
+  }
 }
