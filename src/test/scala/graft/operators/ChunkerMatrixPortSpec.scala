@@ -365,4 +365,85 @@ class ChunkerMatrixPortSpec extends AnyFunSuite {
     assert(s == "Lorem ipsum dolor amet consectetur adipiscing.")
     assert(remainder == "ipiscing. In rhoncus ipsum sed lectus.")
   }
+
+  // ==============================================================================
+  // _RowAccumulator / _CellAccumulator will-fit boundary rows —
+  // test_base.py:3128-3260, observed through the table splitter: a row/cell
+  // that fits stays in the current subtable, one that does not starts (or
+  // word-splits into) the next.
+  // ==============================================================================
+
+  private def splits(html: String, maxChars: Int): Vector[String] =
+    Chunker.TableChunker.syncSplits(Chunker.TableChunker.parseRows(html),
+      ChunkingOptions(maxCharacters = maxChars))._1.map(_._1)
+
+  // -- it_will_fit_a_row_with_text_shorter_than_maxlen_when_empty (maxlen=21) --
+  private val rowEmptyRows = Seq(
+    ("<tr><td>Lorem Ipsum.</td></tr>", Vector("Lorem Ipsum.")),          // 12
+    ("<tr><td>Lorem Ipsum dolor sit</td></tr>",
+      Vector("Lorem Ipsum dolor sit")),                                  // 21
+    ("<tr><td>Lorem</td><td>Sit amet</td></tr>", Vector("Lorem Sit amet"))) // 14
+  for (((html, expected), i) <- rowEmptyRows.zipWithIndex) {
+    test(s"row accumulator (empty, maxlen=21) fits row $i whole") {
+      assert(splits(s"<table>$html</table>", 21) == expected)
+    }
+  }
+  test("row accumulator (empty, maxlen=21): a 27-char row word-splits") {
+    val got = splits("<table><tr><td>Lorem Ipsum dolor sit amet.</td></tr></table>", 21)
+    assert(got.size > 1 && got.head != "Lorem Ipsum dolor sit amet.")
+  }
+  test("row accumulator (empty, maxlen=21): a 22-char 2-cell row splits on the cell boundary") {
+    assert(splits(
+      "<table><tr><td>Lorem Ipsum</td><td>Dolor sit.</td></tr></table>", 21) ==
+      Vector("Lorem Ipsum", "Dolor sit."))
+  }
+
+  // -- and_it_will_fit_a_row_with_text_shorter_than_remaining_space_when_not_
+  // -- empty (maxlen=48; 26-char filler row leaves 48-26-1 = 21) --
+  private val filler = "<tr><td>abcdefghijklmnopqrstuvwxyz</td></tr>"
+  private val rowJoinRows = Seq(
+    ("<tr/>", 1),                                               // 0 chars
+    ("<tr><td/></tr>", 1),                                      // 0 chars
+    ("<tr><td>Lorem Ipsum.</td></tr>", 1),                      // 12
+    ("<tr><td>Lorem Ipsum dolor sit</td></tr>", 1),             // 21 == remaining
+    ("<tr><td>Lorem</td><td>Sit amet</td></tr>", 1),            // 14
+    ("<tr><td>Lorem Ipsum dolor sit amet.</td></tr>", 2),       // 27 > 21
+    ("<tr><td>Lorem Ipsum</td><td>Dolor sit.</td></tr>", 2))    // 22 > 21
+  for (((rowHtml, expectedChunks), i) <- rowJoinRows.zipWithIndex) {
+    test(s"row accumulator (26-char row held, maxlen=48) row $i -> " +
+        s"$expectedChunks subtable(s)") {
+      val got = splits(s"<table>$filler$rowHtml</table>", 48)
+      assert(got.size == expectedChunks, got)
+      assert(got.head.startsWith("abcdefghijklmnopqrstuvwxyz"), got)
+    }
+  }
+
+  // -- _CellAccumulator boundaries: an oversized row falls to per-cell
+  // -- accumulation; a cell over the window word-splits (maxlen=25) --
+  test("cell accumulator: a 22-char cell fits the 25-char window whole") {
+    assert(splits("<table><tr><td>Lorem Ipsum dolor sit.</td></tr></table>", 25) ==
+      Vector("Lorem Ipsum dolor sit."))
+  }
+  // (an oversized cell below a ~33-char window is outside the operator's
+  // domain: the reference word-split budget is maxlen minus 33 chars of html
+  // scaffolding, base.py:1277 — the even-word-boundary behavior is pinned at
+  // maxlen=100 by the reference-vector test in ChunkerSpec)
+
+  // -- and_it_will_fit_a_cell_with_text_shorter_than_remaining_space_when_not_
+  // -- empty (maxlen=44; a 26-char cell held leaves 44-26-1 = 17) --
+  private val cellJoinRows = Seq(
+    ("Lorem Ipsum.", 1),        // 12 <= 17 (whole row fits too: 39 <= 44)
+    ("Lorem Ipsum amet.", 1),   // 17 == remaining (row 44 == maxlen)
+    ("Lorem Ipsum dolor.", 2),  // 18 > 17 -> flush, second subtable
+    ("Lorem Ipsum dolor sit amet.", 2)) // 27 > 17
+  for (((cell, expectedChunks), i) <- cellJoinRows.zipWithIndex) {
+    test(s"cell accumulator (26-char cell held, maxlen=44) cell $i -> " +
+        s"$expectedChunks subtable(s)") {
+      val got = splits(
+        s"<table><tr><td>abcdefghijklmnopqrstuvwxyz</td><td>$cell</td></tr></table>", 44)
+      assert(got.size == expectedChunks, got)
+      assert(got.head.startsWith("abcdefghijklmnopqrstuvwxyz"), got)
+      assert(got.last.endsWith(cell.split(' ').last), got)
+    }
+  }
 }
