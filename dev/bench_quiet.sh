@@ -52,10 +52,14 @@ fi
 run_files=()
 for i in $(seq 1 "$RUNS"); do
   f=$(mktemp /tmp/bench_quiet.XXXXXX.json)
-  echo "[bench_quiet] run $i/$RUNS over: $ONLY" >&2
+  echo "[bench_quiet] run $i/$RUNS over: ${ONLY:-ALL}" >&2
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$ONLY" \
     $NICE $ISOLATE sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep '"metric"' | tail -1 > "$f" || true
+  # the stdout headline line is capped at ~900 chars (the driver keeps only
+  # a stdout tail) — the COMPLETE per-query record is bench_result.json,
+  # flushed after every query; prefer it whenever it exists
+  if [ -s bench_result.json ]; then cp bench_result.json "$f"; fi
   run_files+=("$f")
 done
 
