@@ -22,9 +22,11 @@ within REGRESSION_X of its OLD cost demonstrably still runs at the old cost
 when the box is quiet — the bench-artifact slowness was contention, and the
 query is reported as NOISE instead of failing. A flagged query whose quiet
 minimum is still past the threshold (or that the quiet artifact does not
-cover) stays a failure. Only quiet artifacts from the OLD artifact's round
-or later are consulted, so a stale record cannot whitewash a later
-regression; `--quiet` overrides discovery (for tests).
+cover) stays a failure. Only quiet artifacts from the NEW artifact's round
+or later are consulted — a quiet record can only attest noise for an
+artifact built from the same code it measured, so a stale record cannot
+whitewash a regression introduced after it; `--quiet` overrides discovery
+(for tests).
 
 The driver artifact shape is {"parsed": {"value": sec, "queries": {...}}};
 a raw Bench stdout line {"metric": "total", ...} is accepted too. The quiet
@@ -64,17 +66,20 @@ def newest_artifacts():
     return (arts[-2], arts[-1]) if len(arts) >= 2 else None
 
 
-def find_quiet(old_round):
-    """Newest committed quiet-isolation record usable against OLD.
+def find_quiet(new_round):
+    """Newest committed quiet-isolation record usable against NEW.
 
-    A quiet record re-measures the CODE, so a record from round >= old_round
-    can attest that a query's floor cost never left the old cost's band; an
-    older record could predate a real regression and is ignored.
+    A quiet record can only attest noise for an artifact built from the SAME
+    code it measured, so only records from the NEW artifact's round or later
+    are consulted (the round-N sweep is measured on round-N code, the code
+    that produces BENCH_rN). A record from an earlier round would auto-clear
+    a genuine regression introduced after it was measured — silently
+    disabling the tripwire for the whole next round.
     """
     quiets = [(artifact_round(p), p) for p in glob.glob("BENCH_QUIET_r*.json")
               if re.fullmatch(r"BENCH_QUIET_r\d+\.json", os.path.basename(p))]
     quiets = [(r, p) for r, p in quiets if r is not None
-              and (old_round is None or r >= old_round)]
+              and (new_round is None or r >= new_round)]
     return max(quiets)[1] if quiets else None
 
 
@@ -151,7 +156,7 @@ def main():
         return 0
 
     if quiet_p is None:
-        quiet_p = find_quiet(artifact_round(old_p))
+        quiet_p = find_quiet(artifact_round(new_p))
     quiet_q = load_quiet(quiet_p) if quiet_p else {}
 
     real = {}
@@ -170,7 +175,7 @@ def main():
                f"{REGRESSION_X}x" if qmin is not None
                else "no quiet re-measurement covers it"
                + (f" in {quiet_p}" if quiet_p else
-                  " (no BENCH_QUIET_r*.json from the old round or later)"))
+                  " (no BENCH_QUIET_r*.json from the new round or later)"))
         print(f"  REGRESSED {q}: {old_q[q]:.2f}s -> {new_q[q]:.2f}s "
               f"({flagged[q]:.2f}x; {why}) — check `sbt \"runMain "
               f"graft.PlanAudit /root/testdata/sf0.001 {q}\"` against the "

@@ -53,6 +53,9 @@ run_files=()
 for i in $(seq 1 "$RUNS"); do
   f=$(mktemp /tmp/bench_quiet.XXXXXX.json)
   echo "[bench_quiet] run $i/$RUNS over: ${ONLY:-ALL}" >&2
+  # a stale record from an earlier (different-code, different-query-set)
+  # Bench run must never be adopted as this run's measurement when sbt fails
+  rm -f bench_result.json
   SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_ONLY="$ONLY" \
     $NICE $ISOLATE sbt -batch "runMain graft.Bench" 2>/dev/null \
     | grep '"metric"' | tail -1 > "$f" || true

@@ -45,9 +45,12 @@ object CorpusQueries {
     * store. The query is LAZY — stages materialize at execution, after this
     * builder returns — so a try/finally cannot bracket the writes; instead
     * the dir is removed by a JVM shutdown hook (normal harness exits), and
-    * leftovers from crashed runs are swept here on the next invocation
-    * (everything under one fixed parent older than an hour), so repeated
-    * verify/bench passes never accumulate stage output in /tmp. */
+    * leftovers from CRASHED runs are swept here on the next invocation, so
+    * repeated verify/bench passes never accumulate stage output in /tmp.
+    * Each run dir records its owner's pid; the sweep only removes dirs whose
+    * owning process is DEAD (plus an hour's grace) — age alone must never
+    * delete the stage store of a live long-running session that still holds
+    * the lazy DataFrame. */
   private def refreshScratchDir(): String = {
     import java.nio.file.{Files, Path, Paths}
     val parent = Paths.get(System.getProperty("java.io.tmpdir"),
@@ -55,20 +58,34 @@ object CorpusQueries {
     Files.createDirectories(parent)
     def rmTree(p: Path): Unit = {
       import scala.jdk.CollectionConverters._
-      try Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(q => Files.deleteIfExists(q))
-      catch { case _: Exception => () }
+      try {
+        val walk = Files.walk(p)
+        val all = try walk.iterator().asScala.toSeq finally walk.close()
+        all.reverse.foreach(q => Files.deleteIfExists(q))
+      } catch { case _: Exception => () }
     }
+    def ownerDead(d: Path): Boolean =
+      try {
+        val pid = new String(Files.readAllBytes(d.resolve("owner.pid")),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        val h = ProcessHandle.of(pid)
+        !h.isPresent || !h.get.isAlive
+      } catch { case _: Exception => true } // unreadable pid = crashed mid-create
     val staleMs = 60L * 60 * 1000
     try {
       import scala.jdk.CollectionConverters._
-      Files.list(parent).iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
+      val list = Files.list(parent)
+      val dirs = try list.iterator().asScala.toSeq finally list.close()
+      dirs.filter(d => Files.isDirectory(d) &&
           System.currentTimeMillis() -
-            Files.getLastModifiedTime(d).toMillis > staleMs)
+            Files.getLastModifiedTime(d).toMillis > staleMs &&
+          ownerDead(d))
         .foreach(rmTree)
     } catch { case _: Exception => () }
     val dir = Files.createTempDirectory(parent, "run-")
+    Files.write(dir.resolve("owner.pid"),
+      ProcessHandle.current().pid().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
     dir.toString
   }

@@ -292,7 +292,7 @@ object ElementLake {
             fs.getFileStatus(tomb).getModificationTime <= lockLeaseMs
           catch { case _: java.io.FileNotFoundException => false }
         if (grabbedLive) {
-          if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
+          restoreLock(fs, tomb, lock)
           throw new IllegalStateException(
             s"compact: lost the takeover race for $lock — a peer already " +
               "re-created it")
@@ -374,9 +374,32 @@ object ElementLake {
           try fs.rename(lock, tomb) catch { case _: java.io.IOException => false }
         if (consumed) {
           if (contentOf(tomb).contains(s"token=$token")) fs.delete(tomb, false)
-          else if (!fs.rename(tomb, lock)) fs.delete(tomb, false)
+          else restoreLock(fs, tomb, lock)
         }
       }
+    }
+  }
+
+  /** Put a CONSUMED-by-mistake peer lock back at the canonical path. The
+    * rename can fail only if a third party created a fresh lock inside the
+    * brief absence window; retry a few times (the third party's own release
+    * may clear the path), and if the restore never lands, LEAVE the
+    * tombstone in place — it is the displaced peer's lock content, and
+    * deleting it would erase the only evidence of the displacement. The
+    * displaced peer is stranded either way (its canonical lock is gone; its
+    * own token-checked release will correctly no-op), which is the residual
+    * three-actor window an advisory lock without compare-and-swap cannot
+    * close — but no code path may DESTROY a peer's live lock content. */
+  private def restoreLock(fs: org.apache.hadoop.fs.FileSystem,
+      tomb: org.apache.hadoop.fs.Path,
+      lock: org.apache.hadoop.fs.Path): Unit = {
+    var attempts = 0
+    var restored = false
+    while (!restored && attempts < 5) {
+      restored = try fs.rename(tomb, lock)
+        catch { case _: java.io.IOException => false }
+      attempts += 1
+      if (!restored && attempts < 5) Thread.sleep(10L << attempts)
     }
   }
 }
