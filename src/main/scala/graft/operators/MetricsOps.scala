@@ -249,10 +249,12 @@ object MetricsOps {
     val keyed =
       if (groupBy == "all") df.withColumn("grouping_key", lit(0)) else df
     val key = if (groupBy == "all") "grouping_key" else groupBy
+    // bround = HALF_EVEN, matching Python round(); _mean/_stdev/_pstdev all
+    // default to 3 decimals in the reference (`metrics/utils.py:178-231`)
     val aggs = fields.flatMap { f =>
-      Seq(round(avg(col(f)), 3).as(s"$f _mean"),
-        round(stddev_samp(col(f)), 3).as(s"$f _stdev"),
-        round(stddev_pop(col(f)), 4).as(s"$f _pstdev"),
+      Seq(bround(avg(col(f)), 3).as(s"$f _mean"),
+        bround(stddev_samp(col(f)), 3).as(s"$f _stdev"),
+        bround(stddev_pop(col(f)), 3).as(s"$f _pstdev"),
         count(col(f)).as(s"$f _count"))
     }
     val out = keyed.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
