@@ -60,8 +60,18 @@ object CorpusOps {
    */
   def attachBroadcast(big: DataFrame, tiny: DataFrame): DataFrame = {
     val key = "__attach_key"
-    def keyed(d: DataFrame): DataFrame =
-      d.withColumn(key, pmod(xxhash64(col(d.columns.head)), lit(1L)))
+    def keyed(d: DataFrame): DataFrame = {
+      require(!d.columns.contains(key),
+        s"attachBroadcast: input already has a '$key' column")
+      // xxhash64 cannot hash MapType — anchor the non-foldable key to the
+      // first hashable column instead of blind columns.head
+      val anchor = d.schema.fields
+        .find(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .getOrElse(throw new IllegalArgumentException(
+          "attachBroadcast: no hashable (non-map) column to anchor the join key"))
+        .name
+      d.withColumn(key, pmod(xxhash64(col(anchor)), lit(1L)))
+    }
     keyed(big).join(broadcast(keyed(tiny)), Seq(key)).drop(key)
   }
 
@@ -77,9 +87,16 @@ object CorpusOps {
    * never shuffles — only 8-byte fingerprints and pre-summed counters do.
    */
   def corpusProfile(d: DataFrame, text: Column, source: Column): DataFrame = {
+    // null text: chars is NULL (length(null)), tokens must match — the raw
+    // size(split(null)) is -1 under Spark's legacy sizeOfNull, which would
+    // DEFLATE the sum; the oracle's NULL-skipping sum is the contract. The
+    // doc still counts toward n_docs (and nulls fingerprint together, the
+    // same grouping the oracle's GROUP BY text gives them).
     val perDoc = d.select(source.as("source"), xxhash64(text).as("fp"),
       length(text).cast("long").as("chars"),
-      TextAnalysis.tokenCountWhitespace(text).cast("long").as("tokens"))
+      when(text.isNull, lit(null))
+        .otherwise(TextAnalysis.tokenCountWhitespace(text))
+        .cast("long").as("tokens"))
     val perFp = perDoc.groupBy("source", "fp").agg(
       count(lit(1)).as("n"), sum("chars").as("chars"), sum("tokens").as("tokens"))
     perFp.groupBy("source").agg(

@@ -689,26 +689,39 @@ object StreamingOps {
       }
   }
 
-  /** One LSH band-bucket's state: the doc ids seen so far (sorted within
-    * each batch for determinism) with a PARALLEL per-doc payload vector, or
-    * a poisoned tombstone once the bucket exceeds the skew cap. The payload
-    * is an opaque per-doc long (0 for the plain candidate folds; the winnow
-    * pipeline rides its per-doc fingerprint count here so the verify stage
-    * needs no second corpus pass) — it MUST be deterministic per doc id,
-    * since dedup and ordering are by doc id alone. Two parallel primitive
-    * vectors, NOT a Vector[(Long, Long)]: the state encoder writes
-    * Vector[Long] as an UnsafeArrayData of primitives, while an array of
-    * tuples is an array of structs — one InternalRow allocation per element
-    * per (de)serialization, across EVERY touched bucket EVERY micro-batch;
-    * the tuple shape measured ~1.4x the whole winnow query's cost. */
-  final case class LshBucketState(docs: Vector[Long], payloads: Vector[Long],
-    poisoned: Boolean)
+  /** In-memory kernel state of one LSH band-bucket: the doc ids seen so far
+    * (sorted within each batch for determinism) with a PARALLEL per-doc
+    * payload vector, or a poisoned tombstone once the bucket exceeds the
+    * skew cap. The payload is an opaque per-doc long (0 for the plain
+    * candidate folds; the winnow pipeline rides its per-doc fingerprint
+    * count here so the verify stage needs no second corpus pass) — it MUST
+    * be deterministic per doc id, since dedup and ordering are by doc id
+    * alone. Two parallel primitive vectors, NOT a Vector[(Long, Long)]: the
+    * state encoders write Vector[Long] as an UnsafeArrayData of primitives,
+    * while an array of tuples is an array of structs — one InternalRow
+    * allocation per element per (de)serialization, across EVERY touched
+    * bucket EVERY micro-batch; the tuple shape measured ~1.4x the whole
+    * winnow query's cost. Never persisted itself: each fold stores the
+    * smallest schema it needs (see the three state classes below). */
+  private final case class BucketKernel(docs: Vector[Long],
+    payloads: Vector[Long], poisoned: Boolean)
+
+  /** Persisted state of the PLAIN candidate folds — docs only, the exact
+    * pre-payload schema (array<long>, boolean), so an existing deployment's
+    * checkpoint restarts cleanly across this upgrade and a stream that never
+    * reads payloads never stores them. */
+  final case class LshBucketState(docs: Vector[Long], poisoned: Boolean)
 
   /** [[LshBucketState]] plus the bucket's running-max event time, so the TTL
     * variant's timeout never rewinds when a late (in-watermark) row arrives
     * after a newer batch already advanced the bucket's newest event. */
-  final case class LshBucketTtlState(docs: Vector[Long], payloads: Vector[Long],
-    poisoned: Boolean, maxEventMs: Long)
+  final case class LshBucketTtlState(docs: Vector[Long], poisoned: Boolean,
+    maxEventMs: Long)
+
+  /** [[LshBucketTtlState]] plus the parallel per-doc payload vector — the
+    * persisted state of the SIZED fold only (one extra long per doc). */
+  final case class LshBucketSizedTtlState(docs: Vector[Long],
+    payloads: Vector[Long], poisoned: Boolean, maxEventMs: Long)
 
   /** One micro-batch step of the banded candidate fold — the ONE body both
     * [[lshCandidateStream]] and [[lshCandidateStreamTtl]] run, so the subtle
@@ -716,13 +729,13 @@ object StreamingOps {
     * A doc id re-delivered across batches (at-least-once sources) neither
     * self-pairs nor re-counts toward the cap. */
   private def lshBucketStep(bandIdx: Int, batch: Vector[(Long, Long)],
-      st: LshBucketState, maxBandSize: Int)
-      : (LshBucketState, Iterator[(Int, (Long, Long), (Long, Long))]) = {
+      st: BucketKernel, maxBandSize: Int)
+      : (BucketKernel, Iterator[(Int, (Long, Long), (Long, Long))]) = {
     val seen = st.docs.toSet
     val arrived = batch.distinctBy(_._1).sortBy(_._1)
       .filterNot(d => seen(d._1))
     if (st.poisoned || st.docs.size + arrived.size > maxBandSize)
-      (LshBucketState(Vector.empty, Vector.empty, poisoned = true),
+      (BucketKernel(Vector.empty, Vector.empty, poisoned = true),
         Iterator.empty)
     else {
       val withinBatch = for {
@@ -734,7 +747,7 @@ object StreamingOps {
         e <- prior.iterator
         a <- arrived
       } yield if (e._1 < a._1) (bandIdx, e, a) else (bandIdx, a, e)
-      (LshBucketState(st.docs ++ arrived.map(_._1),
+      (BucketKernel(st.docs ++ arrived.map(_._1),
         st.payloads ++ arrived.map(_._2), poisoned = false),
         withinBatch ++ withPrior)
     }
@@ -769,12 +782,14 @@ object StreamingOps {
       .flatMapGroupsWithState[LshBucketState, (Int, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((bandIdx, _), rows, state) =>
-          val st = state.getOption.getOrElse(
-            LshBucketState(Vector.empty, Vector.empty, poisoned = false))
-          val (next, out) =
-            lshBucketStep(bandIdx, rows.map(r => (r._1, 0L)).toVector,
-              st, maxBandSize)
-          state.update(next)
+          val prior = state.getOption.getOrElse(
+            LshBucketState(Vector.empty, poisoned = false))
+          val (next, out) = lshBucketStep(bandIdx,
+            rows.map(r => (r._1, 0L)).toVector,
+            BucketKernel(prior.docs,
+              Vector.fill(prior.docs.size)(0L), prior.poisoned),
+            maxBandSize)
+          state.update(LshBucketState(next.docs, next.poisoned))
           out.map { case (bi, a, b) => (bi, a._1, b._1) }
       }
       .toDF("band_idx", "doc_a", "doc_b")
@@ -794,12 +809,35 @@ object StreamingOps {
    * O(buckets) constant for the stream's life.)
    */
   def lshCandidateStreamTtl(bands: DataFrame, maxBandSize: Int = 1000,
-      delayThreshold: String = "10 minutes"): DataFrame =
-    ttlBucketFold(
-      bands.select(col("doc_id"), lit(0L).as("payload"), col("band_idx"),
-        col("band_key"), col("ts")),
-      maxBandSize, delayThreshold)
-      .select(col("band_idx"), col("doc_a"), col("doc_b"))
+      delayThreshold: String = "10 minutes"): DataFrame = {
+    val sp = bands.sparkSession
+    import sp.implicits._
+    bands.select(col("doc_id"), col("band_idx"), col("band_key"), col("ts"))
+      .withWatermark("ts", delayThreshold)
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+      .groupByKey { case (_, bandIdx, bandKey, _) => (bandIdx, bandKey) }
+      .flatMapGroupsWithState[LshBucketTtlState, (Int, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((bandIdx, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toVector
+            val prior = state.getOption
+            val maxTs = ttlAdvance(state, batch.map(_._4.getTime).max,
+              prior.map(_.maxEventMs))
+            val st = prior
+              .map(p => BucketKernel(p.docs,
+                Vector.fill(p.docs.size)(0L), p.poisoned))
+              .getOrElse(BucketKernel(Vector.empty, Vector.empty,
+                poisoned = false))
+            val (next, out) = lshBucketStep(bandIdx,
+              batch.map(t => (t._1, 0L)), st, maxBandSize)
+            state.update(LshBucketTtlState(next.docs, next.poisoned, maxTs))
+            out.map { case (bi, a, b) => (bi, a._1, b._1) }
+          }
+      }
+      .toDF("band_idx", "doc_a", "doc_b")
+  }
 
   /**
    * [[lshCandidateStreamTtl]] that threads an opaque per-doc long payload
@@ -813,52 +851,53 @@ object StreamingOps {
    * payload). State cost: one extra long per doc per bucket.
    */
   def lshCandidateStreamTtlSized(bands: DataFrame, maxBandSize: Int = 1000,
-      delayThreshold: String = "10 minutes"): DataFrame =
-    ttlBucketFold(bands.select(col("doc_id"), col("payload"), col("band_idx"),
-        col("band_key"), col("ts")),
-      maxBandSize, delayThreshold)
-
-  /** The one TTL'd bucket fold both TTL variants run — watermark, event-time
-    * timeout bookkeeping, and the shared [[lshBucketStep]] body. Input cols:
-    * (doc_id, payload, band_idx, band_key, ts). */
-  private def ttlBucketFold(rows: DataFrame, maxBandSize: Int,
-      delayThreshold: String): DataFrame = {
-    val sp = rows.sparkSession
+      delayThreshold: String = "10 minutes"): DataFrame = {
+    val sp = bands.sparkSession
     import sp.implicits._
-    rows.withWatermark("ts", delayThreshold)
+    bands.select(col("doc_id"), col("payload"), col("band_idx"),
+        col("band_key"), col("ts"))
+      .withWatermark("ts", delayThreshold)
       .as[(Long, Long, Int, Long, java.sql.Timestamp)]
       .groupByKey { case (_, _, bandIdx, bandKey, _) => (bandIdx, bandKey) }
-      .flatMapGroupsWithState[LshBucketTtlState, (Int, Long, Long, Long, Long)](
+      .flatMapGroupsWithState[LshBucketSizedTtlState,
+        (Int, Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((bandIdx, _), rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val batch = rows.toVector
             val prior = state.getOption
-            // the bucket's TRUE newest event rides in the state: a
-            // late-but-within-watermark row arriving after a newer batch
-            // must not rewind the timeout below events already seen
-            val maxTs = math.max(batch.map(_._5.getTime).max,
-              prior.map(_.maxEventMs).getOrElse(Long.MinValue))
-            // expire once the watermark passes this bucket's newest event
-            // (never set a timeout at/behind the current watermark — the
-            // engine rejects it; +1ms keeps a late-data bucket droppable
-            // at the very next watermark advance)
-            state.setTimeoutTimestamp(
-              math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+            val maxTs = ttlAdvance(state, batch.map(_._5.getTime).max,
+              prior.map(_.maxEventMs))
             val st = prior
-              .map(p => LshBucketState(p.docs, p.payloads, p.poisoned))
-              .getOrElse(
-                LshBucketState(Vector.empty, Vector.empty, poisoned = false))
+              .map(p => BucketKernel(p.docs, p.payloads, p.poisoned))
+              .getOrElse(BucketKernel(Vector.empty, Vector.empty,
+                poisoned = false))
             val (next, out) =
               lshBucketStep(bandIdx, batch.map(t => (t._1, t._2)), st,
                 maxBandSize)
-            state.update(
-              LshBucketTtlState(next.docs, next.payloads, next.poisoned, maxTs))
+            state.update(LshBucketSizedTtlState(next.docs, next.payloads,
+              next.poisoned, maxTs))
             out.map { case (bi, a, b) => (bi, a._1, a._2, b._1, b._2) }
           }
       }
       .toDF("band_idx", "doc_a", "payload_a", "doc_b", "payload_b")
+  }
+
+  /** Shared event-time timeout bookkeeping of the two TTL folds: the
+    * bucket's TRUE newest event rides in the state — a late-but-within-
+    * watermark row arriving after a newer batch must not rewind the timeout
+    * below events already seen — and the timeout is never set at/behind the
+    * current watermark (the engine rejects it; +1ms keeps a late-data
+    * bucket droppable at the very next watermark advance). Returns the new
+    * running-max event time to persist. The bucket SEMANTICS stay in the
+    * one [[lshBucketStep]] body. */
+  private def ttlAdvance(state: GroupState[_], batchMaxTs: Long,
+      priorMaxTs: Option[Long]): Long = {
+    val maxTs = math.max(batchMaxTs, priorMaxTs.getOrElse(Long.MinValue))
+    state.setTimeoutTimestamp(
+      math.max(maxTs, state.getCurrentWatermarkMs() + 1))
+    maxTs
   }
 
   def lshNearDupAvailableNow(spark: SparkSession, documentsPath: String,

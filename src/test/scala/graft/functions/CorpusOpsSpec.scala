@@ -734,4 +734,18 @@ class CorpusOpsSpec extends SparkSuiteBase {
       b.getLong(3) == 0 && b.getLong(4) == 4 && b.getLong(5) == 1 &&
       b.getDouble(6) == 4.0)
   }
+
+  test("corpusProfile: null-text docs count toward volume but add no chars/tokens") {
+    val sp = spark
+    import sp.implicits._
+    val d = Seq[(Long, String, String)](
+      (1L, "a", null), (2L, "a", null), (3L, "a", "x y"))
+      .toDF("doc_id", "source", "text")
+    val r = CorpusOps.corpusProfile(d, col("text"), col("source")).collect()(0)
+    // 3 docs; the two nulls fingerprint together (the oracle's GROUP BY text
+    // groups NULLs too) -> 2 distinct, 2 dup docs; sums skip NULLs exactly
+    // like the oracle's SQL aggregates
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getLong(4) == 3 && r.getLong(5) == 2)
+  }
 }
