@@ -322,4 +322,35 @@ class EvaluateCalculatorSpec extends SparkSuiteBase {
         s"statistics.stdev needs n >= 2; got $r")
     }
   }
+
+  // -- test_calculate_edit_distance_with_filename
+  // -- (test_text_extraction.py:108-138): end-to-end on the reference's own
+  // -- fake-text.txt — partition through the production auto surface, join
+  // -- element texts with newlines, score against the raw file --
+  test("edit distance over partitioned fake-text.txt matches the pinned scores") {
+    val src = java.nio.file.Paths.get("/root/reference/example-docs/fake-text.txt")
+    val sourceCct = new String(java.nio.file.Files.readAllBytes(src),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val dir = java.nio.file.Files.createTempDirectory("edit-dist")
+    try {
+      java.nio.file.Files.copy(src, dir.resolve("fake-text.txt"))
+      val outputCct = graft.sources.AutoSource.partitionFiles(spark, dir.toString)
+        .select("seq", "text").collect().sortBy(_.getLong(0))
+        .map(_.getString(1)).mkString("\n")
+      def sc(std: Boolean) = BigDecimal(
+        TextExtractionMetrics.calculateEditDistance(outputCct, sourceCct,
+          returnAs = "score", standardizeWhitespaces = std))
+        .setScale(2, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      def di(std: Boolean) = TextExtractionMetrics.calculateEditDistance(
+        outputCct, sourceCct, returnAs = "distance", standardizeWhitespaces = std)
+      assert(sc(std = false) == 0.78 && di(std = false) == 38.0,
+        s"raw: ${sc(std = false)} / ${di(std = false)}")
+      assert(sc(std = true) == 0.92 && di(std = true) == 12.0,
+        s"standardized: ${sc(std = true)} / ${di(std = true)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -38,7 +38,23 @@ class TextExtractionMetricsSpec extends AnyFunSuite {
       ("Hello    my\tname\tis H a r p e r, \nwhat's your\u000Bname?",
         "Hello my name is H a r p e r, what's your name?"),
       ("I have a\t\n\tdog and a\tcat,\fI love my\n\n\n\ndog.",
-        "I have a dog and a cat, I love my dog."))
+        "I have a dog and a cat, I love my dog."),
+      // the two table-shaped rows: space-aligned vs tab-separated, and
+      // tab-separated vs the same rows with a blank-line gap
+      ("\n  Name    Age City           Occupation\n" +
+        "  Alice   30  New York       Engineer\n" +
+        "  Bob     25  Los Angeles    Designer\n" +
+        "  Charlie 35  Chicago        Teacher\n" +
+        "  David   40  San Francisco  Developer\n  ",
+        "\n  Name\tAge\tCity\tOccupation\n  Alice\t30\tNew York\tEngineer\n" +
+        "  Bob\t25\tLos Angeles\tDesigner\n  Charlie\t35\tChicago\tTeacher\n" +
+        "  David\t40\tSan Francisco\tDeveloper\n  "),
+      ("\n  Name\tAge\tCity\tOccupation\n  Alice\t30\tNew York\tEngineer\n" +
+        "  Bob\t25\tLos Angeles\tDesigner\n  Charlie\t35\tChicago\tTeacher\n" +
+        "  David\t40\tSan Francisco\tDeveloper\n  ",
+        "Name\tAge\tCity\tOccupation\n\n \nAlice\t30\tNew York\tEngineer\n" +
+        "Bob\t25\tLos Angeles\tDesigner\nCharlie\t35\tChicago\tTeacher\n" +
+        "David\t40\tSan Francisco\tDeveloper"))
     pairs.foreach { case (a, b) =>
       assert(TextExtractionMetrics.calculateEditDistance(a, b,
         returnAs = "score", standardizeWhitespaces = true) == 1.0)
@@ -110,4 +126,5 @@ class TextExtractionMetricsSpec extends AnyFunSuite {
       assert(TextExtractionMetrics.standardizeQuotes(cp) == "'",
         f"U+${cp.codePointAt(0)}%04X did not map to a single quote"))
   }
+
 }
