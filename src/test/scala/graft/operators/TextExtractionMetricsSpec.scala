@@ -127,4 +127,39 @@ class TextExtractionMetricsSpec extends AnyFunSuite {
         f"U+${cp.codePointAt(0)}%04X did not map to a single quote"))
   }
 
+
+  // -- test_prepare_string (test_text_extraction.py:303-341): the 5-row
+  // -- whitespace-standardization matrix; without the flag the string
+  // -- passes through untouched --
+  test("prepare_str standardization matches the reference's five vectors") {
+    val rows = Seq(
+      ("The  dog\rloved the cat, but\t\n    the cat\tloved the\n cow\n\n",
+        "The dog loved the cat, but the cat loved the cow"),
+      ("\n\nHello    my\tname\tis H a r p e r, \nwhat's your\u000Bname?",
+        "Hello my name is H a r p e r, what's your name?"),
+      ("I have a\t\n\tdog and a\tcat,\fI love my\n\n\n\ndog.",
+        "I have a dog and a cat, I love my dog."),
+      ("L     is for the way you look at me\n" +
+        "            O    is for the only one I see\n" +
+        "            V    is very, very extraordinary\n" +
+        "            E    is even more than anyone that you adore can",
+        "L is for the way you look at me O is for the only one I see " +
+        "V is very, very extraordinary " +
+        "E is even more than anyone that you adore can"),
+      ("\n            | Name    | Age | City         | Occupation     |\n" +
+        "            |---------|-----|--------------|----------------|\n" +
+        "            | Alice   | 30  | New York     | Engineer       |\n" +
+        "            | Bob     | 25  | Los Angeles  | Designer       |\n" +
+        "            | Charlie | 35  | Chicago      | Teacher        |\n" +
+        "            | David   | 40  | San Francisco| Developer      |\n            ",
+        "| Name | Age | City | Occupation | " +
+        "|---------|-----|--------------|----------------| " +
+        "| Alice | 30 | New York | Engineer | | Bob | 25 | Los Angeles | Designer | " +
+        "| Charlie | 35 | Chicago | Teacher | | David | 40 | San Francisco| Developer |"))
+    rows.foreach { case (text, expected) =>
+      assert(TextExtractionMetrics.prepareStr(text,
+        standardizeWhitespaces = true) == expected)
+      assert(TextExtractionMetrics.prepareStr(text) == text)
+    }
+  }
 }
