@@ -90,9 +90,7 @@ object RefDocsBench {
     val fleetAvg = math.rint(1000.0 * fleetBest) / 1000.0
     val perDoc = math.rint(1000.0 * fleetAvg / FleetCopies) / 1000.0
     System.err.println(f"[refdocs] fleet ${FleetCopies}x book-1225p: $fleetAvg%.3f s total, $perDoc%.3f s/doc ($fleetEls elements)")
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(fleetDir).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
+    graft.FsUtil.deleteRecursively(fleetDir)
 
     println(s"""{"engine":"graft(GraftPartitionDocs, local[32])","iterations":$Iterations,"docs":{${results.mkString(",")}},"fleet":{"doc":"book-war-and-peace-1225p.txt","copies":$FleetCopies,"min_total_sec":$fleetAvg,"sec_per_doc":$perDoc,"n_elements":$fleetEls}}""")
   }

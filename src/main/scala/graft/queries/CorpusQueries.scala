@@ -51,19 +51,23 @@ object CorpusQueries {
     * owning process is DEAD (plus an hour's grace) — age alone must never
     * delete the stage store of a live long-running session that still holds
     * the lazy DataFrame. */
+  /** Run dirs awaiting exit-time cleanup — ONE static shutdown hook drains
+    * the queue, instead of registering (and retaining) a new hook thread per
+    * query build: a long session rebuilding the query N times would
+    * otherwise hold N hook threads and N undeleted dirs until exit. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      var d = scratchDirs.poll()
+      while (d != null) { graft.FsUtil.deleteRecursively(d); d = scratchDirs.poll() }
+    }, "graft-refresh-scratch-cleanup"))
+
   private def refreshScratchDir(): String = {
     import java.nio.file.{Files, Path, Paths}
     val parent = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft-refresh-stages")
     Files.createDirectories(parent)
-    def rmTree(p: Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      try {
-        val walk = Files.walk(p)
-        val all = try walk.iterator().asScala.toSeq finally walk.close()
-        all.reverse.foreach(q => Files.deleteIfExists(q))
-      } catch { case _: Exception => () }
-    }
     def ownerDead(d: Path): Boolean =
       try {
         val pid = new String(Files.readAllBytes(d.resolve("owner.pid")),
@@ -80,13 +84,14 @@ object CorpusQueries {
           System.currentTimeMillis() -
             Files.getLastModifiedTime(d).toMillis > staleMs &&
           ownerDead(d))
-        .foreach(rmTree)
+        .foreach(graft.FsUtil.deleteRecursively)
     } catch { case _: Exception => () }
     val dir = Files.createTempDirectory(parent, "run-")
     Files.write(dir.resolve("owner.pid"),
       ProcessHandle.current().pid().toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(dir)))
+    scratchHook
+    scratchDirs.add(dir)
     dir.toString
   }
 

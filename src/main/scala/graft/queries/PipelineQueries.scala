@@ -955,7 +955,13 @@ object PipelineQueries {
     "q_element_type_eval" -> ElementTypeEvalOracleSql,
 
     "q_eval_capstone" -> {
-      def aggOf(src: String, evalTag: String, field: String) =
+      // keepEmpty mirrors aggregateScores: an empty text_extraction frame
+      // aggregates to NO rows (the reference emits headers only) while an
+      // empty element_type frame keeps its count-0 row — without the HAVING
+      // guard an aggregate over an empty CTE still yields one row and the
+      // two sides would disagree on an all-empty-ground-truth corpus
+      def aggOf(src: String, evalTag: String, field: String,
+          keepEmpty: Boolean = false) =
         s"""SELECT '$evalTag' AS eval, '$field' AS metric,
            |  round_even(avg("$field"), 3) AS average,
            |  CASE WHEN count(*) > 1
@@ -963,12 +969,13 @@ object PipelineQueries {
            |  CASE WHEN count(*) > 1
            |    THEN round_even(stddev_pop("$field"), 3) END AS population_sd,
            |  count(*) AS "count"
-           |FROM $src""".stripMargin
+           |FROM $src""".stripMargin +
+          (if (keepEmpty) "" else "\nHAVING count(*) > 0")
       s"""WITH text_rows AS (
          |${graft.queries.AnalysisQueries.oracles("q_text_eval")}),
          |elem_rows AS (
          |$ElementTypeEvalOracleSql)
-         |${aggOf("elem_rows", "element_type", "element-type-accuracy")}
+         |${aggOf("elem_rows", "element_type", "element-type-accuracy", keepEmpty = true)}
          |UNION ALL
          |${aggOf("text_rows", "text_extraction", "cct-accuracy")}
          |UNION ALL

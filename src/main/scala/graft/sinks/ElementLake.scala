@@ -380,23 +380,28 @@ object ElementLake {
     }
   }
 
-  /** Put a CONSUMED-by-mistake peer lock back at the canonical path. The
-    * rename can fail only if a third party created a fresh lock inside the
-    * brief absence window; retry a few times (the third party's own release
-    * may clear the path), and if the restore never lands, LEAVE the
+  /** Put a CONSUMED-by-mistake peer lock back at the canonical path. A
+    * third party may have created a fresh lock inside the brief absence
+    * window — and on LocalFileSystem `fs.rename` is POSIX rename(2), which
+    * silently REPLACES an existing destination (HDFS returns false), so the
+    * restore must check for an occupant before each attempt rather than
+    * trust the rename to fail. If the path stays occupied, LEAVE the
     * tombstone in place — it is the displaced peer's lock content, and
     * deleting it would erase the only evidence of the displacement. The
     * displaced peer is stranded either way (its canonical lock is gone; its
     * own token-checked release will correctly no-op), which is the residual
     * three-actor window an advisory lock without compare-and-swap cannot
-    * close — but no code path may DESTROY a peer's live lock content. */
+    * close — but no code path may DESTROY a peer's live lock content. (The
+    * exists-then-rename pair is itself a small TOCTOU against a fourth
+    * create; the alternative — blind rename — loses a peer's lock on EVERY
+    * occupied restore on local filesystems, strictly worse.) */
   private def restoreLock(fs: org.apache.hadoop.fs.FileSystem,
       tomb: org.apache.hadoop.fs.Path,
       lock: org.apache.hadoop.fs.Path): Unit = {
     var attempts = 0
     var restored = false
     while (!restored && attempts < 5) {
-      restored = try fs.rename(tomb, lock)
+      restored = try !fs.exists(lock) && fs.rename(tomb, lock)
         catch { case _: java.io.IOException => false }
       attempts += 1
       if (!restored && attempts < 5) Thread.sleep(10L << attempts)

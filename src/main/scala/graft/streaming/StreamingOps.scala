@@ -604,18 +604,8 @@ object StreamingOps {
   private[streaming] def deleteRecursivelyForTest(p: java.nio.file.Path): Unit =
     deleteRecursively(p)
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    try {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try {
-          val it = s.iterator()
-          while (it.hasNext) deleteRecursively(it.next())
-        } finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    } catch { case _: Throwable => () }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.FsUtil.deleteRecursively(p)
 
   /** Resume state for the incremental streaming chunk fold: the still-open trailing
     * pre-chunk's elements (O(window), never the whole document), the next chunk seq,
