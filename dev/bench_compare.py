@@ -70,17 +70,27 @@ def find_quiet(new_round):
     """Newest committed quiet-isolation record usable against NEW.
 
     A quiet record can only attest noise for an artifact built from the SAME
-    code it measured, so only records from the NEW artifact's round or later
-    are consulted (the round-N sweep is measured on round-N code, the code
-    that produces BENCH_rN). A record from an earlier round would auto-clear
-    a genuine regression introduced after it was measured — silently
-    disabling the tripwire for the whole next round.
+    code it measured, so only the record from the NEW artifact's exact round
+    is consulted (the round-N sweep is measured on round-N code, the code
+    that produces BENCH_rN). An earlier round's record would auto-clear a
+    genuine regression introduced after it was measured; a LATER round's
+    record is measured on changed code and could just as silently whitewash
+    an rN regression that round N+1 happens to fix — neither may adjudicate.
     """
     quiets = [(artifact_round(p), p) for p in glob.glob("BENCH_QUIET_r*.json")
               if re.fullmatch(r"BENCH_QUIET_r\d+\.json", os.path.basename(p))]
-    quiets = [(r, p) for r, p in quiets if r is not None
-              and (new_round is None or r >= new_round)]
-    return max(quiets)[1] if quiets else None
+    quiets = [(r, p) for r, p in quiets if r is not None]
+    if new_round is None:
+        return max(quiets)[1] if quiets else None
+    exact = [p for r, p in quiets if r == new_round]
+    if exact:
+        return exact[0]
+    later = [p for r, p in quiets if r > new_round]
+    if later:
+        print("note: no BENCH_QUIET_r%d.json; ignoring later-round quiet "
+              "record(s) %s (measured on different code)"
+              % (new_round, ", ".join(sorted(later))), file=sys.stderr)
+    return None
 
 
 def load_quiet(path):
@@ -175,7 +185,7 @@ def main():
                f"{REGRESSION_X}x" if qmin is not None
                else "no quiet re-measurement covers it"
                + (f" in {quiet_p}" if quiet_p else
-                  " (no BENCH_QUIET_r*.json from the new round or later)"))
+                  " (no BENCH_QUIET_r*.json from the new artifact's round)"))
         print(f"  REGRESSED {q}: {old_q[q]:.2f}s -> {new_q[q]:.2f}s "
               f"({flagged[q]:.2f}x; {why}) — check `sbt \"runMain "
               f"graft.PlanAudit /root/testdata/sf0.001 {q}\"` against the "

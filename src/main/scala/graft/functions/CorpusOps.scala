@@ -63,12 +63,20 @@ object CorpusOps {
     def keyed(d: DataFrame): DataFrame = {
       require(!d.columns.contains(key),
         s"attachBroadcast: input already has a '$key' column")
-      // xxhash64 cannot hash MapType — anchor the non-foldable key to the
-      // first hashable column instead of blind columns.head
+      // xxhash64 cannot hash MapType, including one nested inside an array
+      // or struct — anchor the non-foldable key to the first column whose
+      // ENTIRE type tree is map-free instead of blind columns.head
+      import org.apache.spark.sql.types._
+      def hashable(t: DataType): Boolean = t match {
+        case _: MapType         => false
+        case ArrayType(e, _)    => hashable(e)
+        case StructType(fields) => fields.forall(f => hashable(f.dataType))
+        case _                  => true
+      }
       val anchor = d.schema.fields
-        .find(f => !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .find(f => hashable(f.dataType))
         .getOrElse(throw new IllegalArgumentException(
-          "attachBroadcast: no hashable (non-map) column to anchor the join key"))
+          "attachBroadcast: no hashable (map-free) column to anchor the join key"))
         .name
       d.withColumn(key, pmod(xxhash64(col(anchor)), lit(1L)))
     }

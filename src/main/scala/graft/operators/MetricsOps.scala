@@ -250,11 +250,14 @@ object MetricsOps {
       if (groupBy == "all") df.withColumn("grouping_key", lit(0)) else df
     val key = if (groupBy == "all") "grouping_key" else groupBy
     // bround = HALF_EVEN, matching Python round(); _mean/_stdev/_pstdev all
-    // default to 3 decimals in the reference (`metrics/utils.py:178-231`)
+    // default to 3 decimals in the reference (`metrics/utils.py:178-231`).
+    // Both deviations are None under 2 scores there (`_stdev`/`_pstdev`
+    // docstrings) — Spark's stddev_samp(1)=NaN / stddev_pop(1)=0.0 are both
+    // wrong, so gate them on the group's non-null count like aggregateScores.
     val aggs = fields.flatMap { f =>
       Seq(bround(avg(col(f)), 3).as(s"$f _mean"),
-        bround(stddev_samp(col(f)), 3).as(s"$f _stdev"),
-        bround(stddev_pop(col(f)), 3).as(s"$f _pstdev"),
+        when(count(col(f)) > 1, bround(stddev_samp(col(f)), 3)).as(s"$f _stdev"),
+        when(count(col(f)) > 1, bround(stddev_pop(col(f)), 3)).as(s"$f _pstdev"),
         count(col(f)).as(s"$f _count"))
     }
     val out = keyed.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)

@@ -31,8 +31,20 @@ object ElementLake {
   val PartitionCol = "p_filetype"
   val UnknownFiletype = "unknown"
 
-  def write(ds: Dataset[Element], path: String): Unit =
+  def write(ds: Dataset[Element], path: String): Unit = {
+    checkRenameContract(ds.sparkSession, path)
     writeMode(ds, path, "overwrite")
+  }
+
+  /** The lake's protocols (compaction swap, lock lease, crash recovery —
+    * all reachable from every read/write entry point) are built on atomic
+    * rename; see [[RenameContract]]. */
+  private def checkRenameContract(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    RenameContract.requireAtomicRename(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(conf), conf,
+      "ElementLake")
+  }
 
   /** Append a new slice (a micro-batch, an incremental ingest) into the same
     * layout — the partition directories accumulate files. Runs crash recovery
@@ -110,6 +122,7 @@ object ElementLake {
    *  - any `tmp` — an unlanded rewrite, always garbage.
    */
   def recoverIfCrashed(spark: SparkSession, path: String): Unit = {
+    checkRenameContract(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return
@@ -206,7 +219,11 @@ object ElementLake {
    *    older than `lockLeaseMs` (holder presumed crashed), in which case it
    *    is taken over, recovery runs under the new lock, and release is
    *    token-checked so the overtaken holder's finally cannot delete the
-   *    new holder's lock;
+   *    new holder's lock; the swap itself is epoch-fenced — the canonical
+   *    lock is re-read immediately before each of the two renames, so a
+   *    compactor displaced mid-rewrite ABORTS (restoring the partition it
+   *    had moved aside) instead of landing stale files on the successor's
+   *    work;
    *  - the rewrite is per-partition read(snapshot) → temp dir → two renames
    *    (old aside, new in place) → carry late appends over → delete old.
    *    Readers racing the swap see the old or the new file set, both
@@ -238,11 +255,30 @@ object ElementLake {
   private[graft] def compactImpl(spark: SparkSession, path: String,
       maxFilesPerPartition: Int, targetFileBytes: Long,
       beforeSwap: String => Unit,
-      lockLeaseMs: Long = DefaultLockLeaseMs): Seq[String] = {
+      lockLeaseMs: Long = DefaultLockLeaseMs,
+      betweenRenames: String => Unit = _ => ()): Seq[String] = {
+    checkRenameContract(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
     val lock = new org.apache.hadoop.fs.Path(root, LockName)
+    // best-effort sweep of EXPIRED takeover/release tombstones: when
+    // restoreLock exhausts its attempts, a displaced peer's lock content is
+    // stranded as `_graft_compact.lock.{takeover,release}.<token>`; once
+    // older than the lease it is evidence of a long-dead actor, not anything
+    // live, and nothing else ever deletes it — sweep here so failed restores
+    // cannot accumulate in the lake root. Fresh tombstones are left alone
+    // (their owner may still be mid-restore).
+    try fs.listStatus(root).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile &&
+          (n.startsWith(s"$LockName.takeover.") ||
+            n.startsWith(s"$LockName.release.")) &&
+          System.currentTimeMillis() - s.getModificationTime > lockLeaseMs
+      }
+      .foreach(s => fs.delete(s.getPath, false))
+    catch { case _: java.io.IOException => () }
     // the lock carries holder identity: pid/created for diagnostics, token
     // so release only ever deletes OUR lock (a post-takeover holder's lock
     // must survive the overtaken compactor's finally block)
@@ -319,8 +355,23 @@ object ElementLake {
           val bytes = parts.map(_.getLen).sum
           val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
           val name = d.getPath.getName
-          val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$name")
+          // the lease token is stamped into the rewrite dir's name: a
+          // displaced compactor's tmp is then attributable at a glance, and
+          // can never be mistaken for (or collide with) the dir a takeover
+          // successor is writing for the same partition. Recovery deletes
+          // any `.compact_tmp_*` regardless of suffix.
+          val tmp = new org.apache.hadoop.fs.Path(root, s".compact_tmp_$name.$token")
           val old = new org.apache.hadoop.fs.Path(root, s".compact_old_$name")
+          // epoch fence: verify the canonical lock still carries OUR token
+          // immediately before each of the two swap renames — a compactor
+          // that outlived its lease and was taken over must not land its
+          // swap on top of the successor's work.
+          def fenceOrNull(stage: String): String = {
+            val held = lockContent()
+            if (held.contains(s"token=$token")) null
+            else s"compact: lease lost before $stage for $name — " +
+              s"$LockName now reads '$held'; aborting the swap"
+          }
           // read ONLY the snapshot files, not "whatever is in the dir by
           // scan time" — the late-append carry-over below is exact only if
           // the rewrite and the manifest cover the same file set
@@ -334,7 +385,27 @@ object ElementLake {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           manifestOut.close()
           beforeSwap(name)
+          val fence1 = fenceOrNull("the aside rename")
+          if (fence1 != null) {
+            // nothing has moved yet: drop our rewrite and stop compacting —
+            // every remaining partition belongs to the successor now
+            fs.delete(tmp, true)
+            throw new IllegalStateException(fence1)
+          }
           require(fs.rename(d.getPath, old), s"compact: cannot move $name aside")
+          betweenRenames(name)
+          val fence2 = fenceOrNull("the land rename")
+          if (fence2 != null) {
+            // displaced INSIDE the swap window: the successor's recovery may
+            // already be restoring old → live, so ours is best-effort (one
+            // of the two renames wins, both produce a complete live dir)
+            if (!fs.exists(d.getPath)) {
+              try fs.rename(old, d.getPath)
+              catch { case _: java.io.IOException => () }
+            }
+            fs.delete(tmp, true)
+            throw new IllegalStateException(fence2)
+          }
           val landed =
             try fs.rename(tmp, d.getPath)
             catch { case _: java.io.IOException => false }

@@ -30,6 +30,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 final class StageStore(spark: SparkSession, root: String) {
 
+  // marker-last commit leans on the job committer's atomic renames (a
+  // half-renamed overwrite with a SURVIVING old marker would be read back
+  // as complete) — enforce the contract at construction; see RenameContract
+  locally {
+    val conf = spark.sessionState.newHadoopConf()
+    RenameContract.requireAtomicRename(
+      new org.apache.hadoop.fs.Path(root).getFileSystem(conf), conf,
+      "StageStore")
+  }
+
   @volatile var writes: Int = 0
 
   private val DoneMarker = "_stage_done"

@@ -96,4 +96,58 @@ object Encodings {
     val (enc, off) = detect(bytes)
     new String(bytes, off, bytes.length - off, charsetOf(enc))
   }
+
+  /**
+   * Explicit-encoding decode for `partition(..., encoding=...)` — the
+   * reference's `read_txt_file` filename branch
+   * (`file_utils/encoding.py:118-133`): the caller's encoding is applied
+   * STRICTLY, surfacing decode failures (Python `UnicodeDecodeError`) as
+   * [[java.nio.charset.CharacterCodingException]] instead of silently
+   * replacing bytes, and Python's text-mode `utf-16`/`utf-32` codecs demand
+   * a BOM ("UTF-16 stream does not start with BOM", a `UnicodeError`) —
+   * mirrored as IllegalArgumentException with that message. A present BOM
+   * is consumed, as a text-mode read's would be.
+   */
+  def decodeTextStrict(bytes: Array[Byte], encoding: String): String = {
+    if (bytes == null || bytes.isEmpty) return ""
+    val fe = formatEncodingStr(encoding)
+    def b(i: Int) = bytes(i) & 0xff
+    def strict(cs: Charset): String = {
+      val dec = cs.newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    }
+    // CPython's unmarked utf-16/utf-32 codec (encodings/utf_16.py
+    // _buffer_decode): without a BOM it first ATTEMPTS a native-order (LE)
+    // decode — a malformed LE stream raises UnicodeDecodeError — and only a
+    // stream that decodes cleanly yet carries no BOM raises the
+    // "does not start with BOM" UnicodeError.
+    val out = fe match {
+      case "utf-16" =>
+        val hasBom = bytes.length >= 2 && ((b(0) == 0xff && b(1) == 0xfe) ||
+          (b(0) == 0xfe && b(1) == 0xff))
+        if (hasBom) strict(StandardCharsets.UTF_16)
+        else {
+          strict(StandardCharsets.UTF_16LE)
+          throw new IllegalArgumentException(
+            "UTF-16 stream does not start with BOM")
+        }
+      case "utf-32" =>
+        val hasBom = bytes.length >= 4 &&
+          ((b(0) == 0xff && b(1) == 0xfe && b(2) == 0 && b(3) == 0) ||
+            (b(0) == 0 && b(1) == 0 && b(2) == 0xfe && b(3) == 0xff))
+        if (hasBom) strict(Charset.forName("UTF-32"))
+        else {
+          strict(Charset.forName("UTF-32LE"))
+          throw new IllegalArgumentException(
+            "UTF-32 stream does not start with BOM")
+        }
+      case other =>
+        strict(try Charset.forName(other)
+          catch { case _: Exception => charsetOf(other) })
+    }
+    // a BOM surviving a BE/LE-suffixed decode is text-mode-stripped too
+    if (out.nonEmpty && out.charAt(0) == '\uFEFF') out.substring(1) else out
+  }
 }

@@ -609,7 +609,8 @@ object Partitioners {
       skipInferTableTypes: Seq[String] = DefaultSkipInferTableTypes,
       pdfInferTableStructure: Boolean = false,
       startingPageNumber: Int = 1,
-      strict: Boolean = false): (FileType, Seq[RawPara]) = {
+      strict: Boolean = false,
+      encoding: Option[String] = None): (FileType, Seq[RawPara]) = {
     val ft = DetectFiletype.detect(filename, content, contentType)
     // the reference raises for unpartitionable types (auto.py:364-366); a
     // distributed sweep usually prefers skip-and-continue, so raising is
@@ -624,8 +625,13 @@ object Partitioners {
       case None => ()
     }
     // encoding-aware decode (BOM / UTF-16 / Latin-1 fallback) — a blind UTF-8
-    // read garbles wide text (`file_utils/encoding.py`)
-    val text = Encodings.decodeText(content)
+    // read garbles wide text (`file_utils/encoding.py`); a caller-supplied
+    // encoding decodes STRICTLY and raises on mismatch, the `read_txt_file`
+    // filename branch (`encoding.py:118-133`)
+    val text = encoding match {
+      case Some(e) => Encodings.decodeTextStrict(content, e)
+      case None => Encodings.decodeText(content)
+    }
     val paras = try { ft match {
       case FileType.Txt =>
         TextSource.splitParagraphs(text).map(t => RawPara(t, None, classifier = "text"))

@@ -110,6 +110,31 @@ class BenchTripwireSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
   }
 
+  test("auto-discovery ignores a LATER round's quiet record (exact-round only), exit 1") {
+    // A BENCH_QUIET_r(N+1).json is measured on round-N+1 code; letting it
+    // adjudicate a round-N artifact could whitewash an rN regression that
+    // rN+1 happens to fix. find_quiet must consult ONLY the exact round.
+    assume(python.isDefined, "python3 not available on this box")
+    val dir = java.nio.file.Files.createTempDirectory("tripwire")
+    try {
+      val stable = (1 to 9).map(i => s"q_stable_$i" -> 1.0).toMap
+      writeArtifact(dir, "BENCH_r5.json", stable + ("q_hot" -> 2.0))
+      writeArtifact(dir, "BENCH_r6.json", stable + ("q_hot" -> 4.0))
+      // Later-round quiet record says q_hot is fine — must NOT be consulted.
+      writeQuiet(dir, "BENCH_QUIET_r7.json", Map("q_hot" -> 2.0))
+      val script = new java.io.File("dev/bench_compare.py").getCanonicalFile
+      val pb = new ProcessBuilder(python.get, script.getPath)
+      pb.directory(dir.toFile)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val raw = proc.getInputStream.readAllBytes()
+      val code = proc.waitFor()
+      val out = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+      assert(code == 1, s"later-round quiet record must not adjudicate:\n$out")
+      assert(out.contains("ignoring later-round quiet"), out)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("a flagged query the quiet artifact does not cover still fails, exit 1") {
     assume(python.isDefined, "python3 not available on this box")
     val dir = java.nio.file.Files.createTempDirectory("tripwire")

@@ -30,6 +30,24 @@ class MetricsOpsSpec extends SparkSuiteBase {
       .count() == 2)
   }
 
+  // -- metrics/utils.py _stdev/_pstdev: "Returns None if only 0 or 1 element
+  // in the list" — a single-doc group must emit null deviations, not Spark's
+  // stddev_samp=NaN / stddev_pop=0.0
+  test("a single-doc group yields null deviations, matching _stdev/_pstdev") {
+    val byDoctype = MetricsOps.getMeanGrouping(metricsDf, "doctype", "text_extraction")
+    val docx = byDoctype.filter(byDoctype("doctype") === "docx").collect().head
+    assert(docx.getAs[Long]("cct-accuracy _count") == 1L)
+    assert(docx.getAs[Double]("cct-accuracy _mean") == 0.8)
+    assert(docx.isNullAt(docx.fieldIndex("cct-accuracy _stdev")),
+      s"n=1 sample stdev must be null, got ${docx.get(docx.fieldIndex("cct-accuracy _stdev"))}")
+    assert(docx.isNullAt(docx.fieldIndex("cct-accuracy _pstdev")),
+      s"n=1 population stdev must be null, got ${docx.get(docx.fieldIndex("cct-accuracy _pstdev"))}")
+    // and a 2-doc group still gets real deviations
+    val pdf = byDoctype.filter(byDoctype("doctype") === "pdf").collect().head
+    assert(!pdf.isNullAt(pdf.fieldIndex("cct-accuracy _stdev")))
+    assert(!pdf.isNullAt(pdf.fieldIndex("cct-accuracy _pstdev")))
+  }
+
   // -- test_get_mean_grouping_all_file: one global row, no grouping column
   test("'all' grouping yields one global row") {
     val all = MetricsOps.getMeanGrouping(metricsDf, "all", "text_extraction")

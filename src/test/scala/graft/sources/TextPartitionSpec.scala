@@ -33,6 +33,70 @@ class TextPartitionSpec extends SparkSuiteBase {
       ("ListItem", "I love fuzzy blankets")))
   }
 
+  private val CanonicalTexts = Seq(
+    "This is a test document to use for unit tests.",
+    "Doylestown, PA 18901",
+    "Important points:",
+    "Hamburgers are delicious",
+    "Dogs are the best",
+    "I love fuzzy blankets")
+
+  // -- test_partition_text_from_filename (:55-71) — the explicit-encoding
+  // matrix: (fake-text.txt, utf-8), (fake-text.txt, None),
+  // (fake-text-utf-16-be.txt, utf-16-be) all yield EXPECTED_OUTPUT --
+  test("explicit-encoding matrix decodes to the canonical paragraphs") {
+    val cases = Seq(
+      ("fake-text.txt", Some("utf-8")),
+      ("fake-text.txt", None),
+      ("fake-text-utf-16-be.txt", Some("utf-16-be")))
+    cases.foreach { case (name, enc) =>
+      val (ft, paras) = Partitioners.partitionAuto(name, refDoc(name), encoding = enc)
+      assert(ft == FileType.Txt, s"$name routed as $ft")
+      // raw paragraphs still carry their "- " bullets — the strip happens at
+      // element construction (pinned by the canonical-six test above)
+      assert(paras.map(_.text) == CanonicalTexts.map(t =>
+        if (t.startsWith("Hamburgers") || t.startsWith("Dogs") ||
+          t.startsWith("I love")) s"- $t" else t),
+        s"$name with encoding=$enc")
+    }
+  }
+
+  // -- test_partition_text_from_filename_default_encoding (:84-94) +
+  // test_partition_text_from_bytes_file_default_encoding (:157-169): BOM'd
+  // utf-16/utf-16-le/utf-32 fixtures detect and decode with NO encoding arg,
+  // end-to-end through the distributed auto path --
+  test("utf-16/utf-16-le/utf-32 fixtures partition to the canonical six " +
+      "typed elements with no encoding argument") {
+    Seq("fake-text-utf-16.txt", "fake-text-utf-16-le.txt", "fake-text-utf-32.txt")
+      .foreach { name =>
+        val out = partitionDir(name -> refDoc(name))
+        assert(out.map(_._2) == CanonicalTexts, name)
+        assert(out.map(_._1) == Seq("NarrativeText", "Address", "Title",
+          "ListItem", "ListItem", "ListItem"), name)
+      }
+  }
+
+  // -- test_partition_text_from_filename_raises_econding_error (:97-111):
+  // (fake-text.txt, utf-16) → UnicodeDecodeError (strict decode failure);
+  // (fake-text-utf-16-be.txt, utf-16) → UnicodeError (text-mode utf-16
+  // demands a BOM) --
+  test("a wrong explicit encoding raises instead of garbling") {
+    // fake-text.txt as utf-16: CPython attempts the native-order decode
+    // first, and the odd-length utf-8 bytes are malformed LE → the
+    // UnicodeDecodeError branch, CharacterCodingException here
+    intercept[java.nio.charset.CharacterCodingException] {
+      Partitioners.partitionAuto("fake-text.txt", refDoc("fake-text.txt"),
+        encoding = Some("utf-16"))
+    }
+    // the BE fixture decodes cleanly as LE garbage but carries no BOM → the
+    // UnicodeError("UTF-16 stream does not start with BOM") branch
+    val e2 = intercept[IllegalArgumentException] {
+      Partitioners.partitionAuto("fake-text-utf-16-be.txt",
+        refDoc("fake-text-utf-16-be.txt"), encoding = Some("utf-16"))
+    }
+    assert(e2.getMessage == "UTF-16 stream does not start with BOM")
+  }
+
   // -- test_partition_text_from_text_works_with_empty_string (:190) --
   test("empty text yields no elements") {
     assert(TextSource.splitParagraphs("").isEmpty)

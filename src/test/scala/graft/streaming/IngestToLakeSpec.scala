@@ -260,7 +260,8 @@ class IngestToLakeSpec extends SparkSuiteBase {
     } finally rmTree(lake)
   }
 
-  test("release is token-checked: a takeover's lock survives the old holder's finally") {
+  test("epoch fence: a compactor displaced before the swap ABORTS — no rename " +
+      "lands, and the successor's lock survives the old holder's finally") {
     import graft.model.{Element, ElementMetadata, ElementType}
     val lake = tmp("token-lock-lake")
     val sp = spark
@@ -271,18 +272,76 @@ class IngestToLakeSpec extends SparkSuiteBase {
     }
     try {
       (1 to 6).foreach(_ => ElementLake.append(rows.toDS(), lake.toString))
+      val before = ElementLake.read(spark, lake.toString).collect().toSet
       val lock = lake.resolve(ElementLake.LockName)
+      val partDir = { import scala.jdk.CollectionConverters._
+        Files.list(lake).iterator().asScala
+          .find(_.getFileName.toString.startsWith("p_filetype=")).get }
+      def partFiles(): Int = { import scala.jdk.CollectionConverters._
+        Files.list(partDir).iterator().asScala
+          .count(_.getFileName.toString.startsWith("part-")) }
+      val filesBefore = partFiles()
       // mid-compact, a (simulated) lease takeover replaces the lock with a
-      // NEW holder's: the finishing compactor's finally must leave it alone
-      val rewritten = ElementLake.compactImpl(spark, lake.toString,
-        maxFilesPerPartition = 4, targetFileBytes = 128L << 20,
-        beforeSwap = { _ =>
-          Files.delete(lock)
-          Files.write(lock, "pid=777 token=new-holder created_ms=1\n".getBytes)
-        })
-      assert(rewritten.nonEmpty)
+      // NEW holder's: the displaced compactor must refuse to swap at all
+      val ex = intercept[IllegalStateException] {
+        ElementLake.compactImpl(spark, lake.toString,
+          maxFilesPerPartition = 4, targetFileBytes = 128L << 20,
+          beforeSwap = { _ =>
+            Files.delete(lock)
+            Files.write(lock, "pid=777 token=new-holder created_ms=1\n".getBytes)
+          })
+      }
+      assert(ex.getMessage.contains("lease lost"), ex.getMessage)
+      // the swap was rejected: live partition untouched, rewrite discarded
+      assert(partFiles() == filesBefore, "displaced compactor landed its swap")
+      locally { import scala.jdk.CollectionConverters._
+        val leftovers = Files.list(lake).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith(".compact_tmp_") || n.startsWith(".compact_old_"))
+          .toSeq
+        assert(leftovers.isEmpty, s"abort left debris: $leftovers") }
+      assert(ElementLake.read(spark, lake.toString).collect().toSet == before)
+      // and the old holder's finally left the successor's lock alone
       assert(Files.exists(lock), "old holder deleted the new holder's lock")
       assert(new String(Files.readAllBytes(lock)).contains("token=new-holder"))
+      Files.delete(lock)
+    } finally rmTree(lake)
+  }
+
+  test("epoch fence: displacement INSIDE the swap window restores the " +
+      "partition it had moved aside, then aborts") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    val lake = tmp("fence2-lake")
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 10).map { i =>
+      Element("", ElementType.NarrativeText, s"row $i", s"doc$i", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      (1 to 6).foreach(_ => ElementLake.append(rows.toDS(), lake.toString))
+      val before = ElementLake.read(spark, lake.toString).collect().toSet
+      val lock = lake.resolve(ElementLake.LockName)
+      // takeover lands between the aside rename and the land rename — the
+      // narrowest window; the displaced compactor must roll its aside back
+      val ex = intercept[IllegalStateException] {
+        ElementLake.compactImpl(spark, lake.toString,
+          maxFilesPerPartition = 4, targetFileBytes = 128L << 20,
+          beforeSwap = _ => (),
+          betweenRenames = { _ =>
+            Files.delete(lock)
+            Files.write(lock, "pid=888 token=other created_ms=1\n".getBytes)
+          })
+      }
+      assert(ex.getMessage.contains("lease lost"), ex.getMessage)
+      locally { import scala.jdk.CollectionConverters._
+        val leftovers = Files.list(lake).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith(".compact_tmp_") || n.startsWith(".compact_old_"))
+          .toSeq
+        assert(leftovers.isEmpty, s"mid-swap abort left debris: $leftovers") }
+      assert(ElementLake.read(spark, lake.toString).collect().toSet == before,
+        "mid-swap abort lost data")
       Files.delete(lock)
     } finally rmTree(lake)
   }
@@ -339,6 +398,39 @@ class IngestToLakeSpec extends SparkSuiteBase {
       assert(tErr.isEmpty, s"winner failed: $tErr")
       assert(!Files.exists(lock), "winner's release did not remove its lock")
       assert(ElementLake.read(spark, lake.toString).collect().toSet == before)
+    } finally rmTree(lake)
+  }
+
+  test("expired takeover/release tombstones are swept on the next compact; " +
+      "fresh ones survive") {
+    import graft.model.{Element, ElementMetadata, ElementType}
+    val lake = tmp("tombstone-lake")
+    val sp = spark
+    import sp.implicits._
+    val rows = (1 to 10).map { i =>
+      Element("", ElementType.NarrativeText, s"row $i", s"doc$i", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))
+    }
+    try {
+      (1 to 2).foreach(_ => ElementLake.append(rows.toDS(), lake.toString))
+      // a failed restoreLock strands the displaced peer's lock content as a
+      // tombstone; nothing but the sweep ever deletes it
+      val expired1 = lake.resolve(s"${ElementLake.LockName}.takeover.dead-a")
+      val expired2 = lake.resolve(s"${ElementLake.LockName}.release.dead-b")
+      val fresh = lake.resolve(s"${ElementLake.LockName}.takeover.live-c")
+      Seq(expired1, expired2, fresh).foreach(p =>
+        Files.write(p, "pid=1 token=x created_ms=0\n".getBytes))
+      val past = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ElementLake.DefaultLockLeaseMs - 60000)
+      Files.setLastModifiedTime(expired1, past)
+      Files.setLastModifiedTime(expired2, past)
+      ElementLake.compact(spark, lake.toString, maxFilesPerPartition = 64)
+      assert(!Files.exists(expired1) && !Files.exists(expired2),
+        "expired tombstones were not swept")
+      assert(Files.exists(fresh),
+        "a fresh tombstone (owner may be mid-restore) must survive the sweep")
+      assert(!Files.exists(lake.resolve(ElementLake.LockName)),
+        "compact did not release its own lock")
     } finally rmTree(lake)
   }
 }
