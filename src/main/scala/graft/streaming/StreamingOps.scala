@@ -121,17 +121,91 @@ object StreamingOps {
     }
   }
 
+  /**
+   * [[drainAvailableNow]] for HIGH-VOLUME intermediate streams: instead of a
+   * memory sink materializing every event on the driver (the winnow drain
+   * emits ~3.7M candidate events at sf0.1 — collecting them single-threaded
+   * was the query's wall-clock, measured via SPARK_GRAFT_STREAM_DEBUG), each
+   * micro-batch is REDUCED distributed by `agg` inside `foreachBatch` and
+   * only the aggregated partial (shared counts per pair here — a few
+   * thousand rows) is collected. The caller re-combines partials, so the
+   * result is batch-count independent. At 100 TB this is the only shape
+   * that works at all: the full candidate event set never exists in one
+   * place.
+   */
+  private def drainAvailableNowAgg(spark: SparkSession, srcPath: String,
+      prefix: String)(build: String => DataFrame)(
+      agg: DataFrame => DataFrame): DataFrame = {
+    val fileName = java.nio.file.Path.of(srcPath).getFileName.toString
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve(fileName), java.nio.file.Path.of(srcPath))
+    try {
+      val t0 = System.nanoTime()
+      def mark(what: String): Unit =
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          System.err.println(f"[stream-debug] $what at ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val stream = build(streamDir.toString)
+      mark("built")
+      // the partial schema, computed eagerly on an empty frame of the
+      // stream's shape so a zero-batch drain still returns a typed frame
+      val schema = agg(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), stream.schema)).schema
+      mark("schema")
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val q = stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          agg(batch).collect().foreach(buf.add)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      mark("started")
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+      mark(s"drained (${buf.size} partial rows)")
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(s"[stream-debug] ${p.json}"))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.List.copyOf(buf)), schema)
+    } finally {
+      try {
+        java.nio.file.Files.deleteIfExists(streamDir.resolve(fileName))
+        java.nio.file.Files.deleteIfExists(streamDir)
+      } catch { case _: Throwable => () }
+    }
+  }
+
   /** Start-drain-and-collect for an already-built streaming DataFrame: memory
     * sink, AvailableNow, bounded wait (see [[drainAvailableNow]]'s rationale). */
-  private def drainDir(spark: SparkSession, prefix: String, outputMode: String)(
+  private def drainDir(spark: SparkSession, prefix: String, outputMode: String,
+      statePartitions: Option[Int] = None)(
       df: DataFrame): DataFrame = {
     val name = s"graft_stream_${prefix}_${sinkSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-    val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
-      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
-    if (!q.awaitTermination(timeoutMs)) q.stop()
-    spark.table(name)
+    // a stateful operator's partition count is fixed at stream start from
+    // spark.sql.shuffle.partitions, and EVERY micro-batch pays a fixed
+    // per-partition state-store load/commit cost (measured ~0.4 s each on
+    // HDFS-backed stores) — a small bounded drain with kilobytes of state
+    // wants FEW stores, a 100 TB deployment many; let the caller size it
+    val prev = statePartitions.map { n =>
+      val p = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      p
+    }
+    // the conf is captured into the stream's OffsetSeqMetadata at its FIRST
+    // batch, which runs async after start() — restore only after the drain
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      val timeoutMs = sys.env.get("SPARK_GRAFT_STREAM_TIMEOUT_MS")
+        .flatMap(s => scala.util.Try(s.trim.toLong).toOption).getOrElse(120000L)
+      if (!q.awaitTermination(timeoutMs)) q.stop()
+      // SPARK_GRAFT_STREAM_DEBUG=1 dumps per-micro-batch progress (durationMs
+      // split, state rows) — how drain costs get attributed when iterating
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(s"[stream-debug] ${p.json}"))
+      spark.table(name)
+    } finally prev.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
   }
 
   /**
@@ -552,7 +626,9 @@ object StreamingOps {
               org.apache.spark.sql.types.StringType)))
           val els = toElements(spark.readStream.schema(elSchema)
             .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
-          drainDir(spark, "chunkmb", "append")(
+          // kilobytes of chunk-fold state over 3 micro-batches: 8 stores
+          // amortize the fixed per-store commit far better than 32
+          drainDir(spark, "chunkmb", "append", statePartitions = Some(8))(
             chunkStream(els, opts, useTimeout = false)
               .select(col("doc_id").cast("long").as("doc_id"),
                 col("seq").as("chunk_seq"), col("text")))
@@ -708,6 +784,11 @@ object StreamingOps {
   final case class LshBucketTtlState(docs: Vector[Long], poisoned: Boolean,
     maxEventMs: Long)
 
+  /** [[LshBucketState]] plus the parallel per-doc payload vector — the
+    * persisted state of the NoTimeout sized fold (constant-ts drains). */
+  final case class LshBucketSizedState(docs: Vector[Long],
+    payloads: Vector[Long], poisoned: Boolean)
+
   /** [[LshBucketTtlState]] plus the parallel per-doc payload vector — the
     * persisted state of the SIZED fold only (one extra long per doc). */
   final case class LshBucketSizedTtlState(docs: Vector[Long],
@@ -827,6 +908,46 @@ object StreamingOps {
           }
       }
       .toDF("band_idx", "doc_a", "doc_b")
+  }
+
+  /**
+   * [[lshCandidateStream]] threading the per-doc long payload (cols: doc_id,
+   * payload, band_idx, band_key) — the NoTimeout twin of
+   * [[lshCandidateStreamTtlSized]]. This is the fold for a BOUNDED drain
+   * whose event time is constant (the AvailableNow oracle surfaces): with
+   * one timestamp the watermark can never pass it, so the TTL fold's result
+   * is identical — but the TTL machinery is not free even when it cannot
+   * fire: `setTimeoutTimestamp` writes per GROUP per batch, and the
+   * watermark advance after the data batch schedules one more micro-batch
+   * whose only work is scanning every state entry for timed-out groups —
+   * O(distinct fingerprints) state touched twice. Winnow buckets are ~one
+   * per corpus fingerprint (millions at scale), so the constant-ts drain
+   * skips the registration entirely. Long-lived deployments with real event
+   * time use the TTL fold.
+   */
+  def lshCandidateStreamSized(bands: DataFrame,
+      maxBandSize: Int = 1000): DataFrame = {
+    val sp = bands.sparkSession
+    import sp.implicits._
+    bands.select(col("doc_id"), col("payload"), col("band_idx"), col("band_key"))
+      .as[(Long, Long, Int, Long)]
+      .groupByKey { case (_, _, bandIdx, bandKey) => (bandIdx, bandKey) }
+      .flatMapGroupsWithState[LshBucketSizedState,
+        (Int, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((bandIdx, _), rows, state) =>
+          val prior = state.getOption
+          val st = prior
+            .map(p => BucketKernel(p.docs, p.payloads, p.poisoned))
+            .getOrElse(BucketKernel(Vector.empty, Vector.empty,
+              poisoned = false))
+          val (next, out) = lshBucketStep(bandIdx,
+            rows.map(t => (t._1, t._2)).toVector, st, maxBandSize)
+          state.update(LshBucketSizedState(next.docs, next.payloads,
+            next.poisoned))
+          out.map { case (bi, a, b) => (bi, a._1, a._2, b._1, b._2) }
+      }
+      .toDF("band_idx", "doc_a", "payload_a", "doc_b", "payload_b")
   }
 
   /**
@@ -975,7 +1096,7 @@ object StreamingOps {
    * in StreamingOpsSpec.
    */
   def winnowNearDupAvailableNow(spark: SparkSession, documentsPath: String,
-      maxBucket: Int = 100, delayThreshold: String = "10 minutes"): DataFrame = {
+      maxBucket: Int = 100): DataFrame = {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
@@ -986,15 +1107,30 @@ object StreamingOps {
         val near = if (id % 7 == 0) Seq((id + 10000L, t + " xtra")) else Nil
         (id, t) +: near
     }.toDF("doc_id", "text")
-    val candidates = drainAvailableNow(spark, documentsPath, "winnow", "append") {
+    // the candidate events are reduced to the VERIFIED near-dup pairs INSIDE
+    // each micro-batch (distributed) and only survivors cross to the driver
+    // (~10² rows, vs 3.7M candidate events / 2.7M distinct pairs at sf0.1 —
+    // the memory-sink collect of those was the query's wall-clock). Running
+    // the whole verify per batch is exact, not approximate: a doc's
+    // fingerprints all derive from ONE input row (never split across
+    // batches), a pair's events therefore all emit in the later doc's batch,
+    // and the fold never re-pairs a re-delivered doc — so per-pair shared
+    // counts are complete within the emitting batch and the 80%-of-smaller-
+    // side floor filters correctly before anything is collected.
+    val verified = drainAvailableNowAgg(spark, documentsPath, "winnow") {
       dir =>
         val docs = derive(spark.readStream.schema(schema).parquet(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
           .as[(Long, String)])
-          .withColumn("ts", lit(new java.sql.Timestamp(1600000000000L)))
-        winnowCandidateStream(docs, maxBucket, delayThreshold)
-    }
-    winnowVerify(candidates).orderBy("doc_a", "doc_b")
+        // bounded drain, constant event time: the TTL fold's result would be
+        // identical (the watermark can never pass the one timestamp), so run
+        // the NoTimeout sized fold and skip the per-group timeout writes AND
+        // the post-watermark timeout-scan micro-batch over O(fingerprints)
+        // state — see [[lshCandidateStreamSized]]. Real ingests take the TTL
+        // path through [[winnowCandidateStream]].
+        lshCandidateStreamSized(winnowBands(docs), maxBucket)
+    }(winnowVerify)
+    verified.orderBy("doc_a", "doc_b")
   }
 
   /**
@@ -1010,24 +1146,30 @@ object StreamingOps {
    * stays O(fingerprints in window).
    */
   def winnowCandidateStream(docs: DataFrame, maxBucket: Int = 100,
-      delayThreshold: String = "10 minutes"): DataFrame = {
+      delayThreshold: String = "10 minutes"): DataFrame =
+    lshCandidateStreamTtlSized(winnowBands(docs, withTs = true), maxBucket,
+      delayThreshold)
+
+  /** The (doc_id, payload=n_fp, band_idx, band_key[, ts]) band frame of a
+    * (doc_id, text[, ts]) doc frame — one row per winnowed fingerprint.
+    * (band_key, payload) packed in ONE letCol-bound expression and
+    * exploded directly. NOT `explode(col("fps"))` over a projected alias:
+    * InferFiltersFromGenerate infers `size(fps) > 0 AND isnotnull(fps)`
+    * below a Generate over an ATTRIBUTE, and predicate pushdown then
+    * substitutes the alias — duplicating the whole winnow HOF into the
+    * filter, a measured 3x evaluation (the rule skips non-attribute
+    * generator input, which this shape is). */
+  private def winnowBands(docs: DataFrame, withTs: Boolean = false): DataFrame = {
     import graft.functions.TextAnalysis
-    // (band_key, payload=n_fp) packed in ONE letCol-bound expression and
-    // exploded directly. NOT `explode(col("fps"))` over a projected alias:
-    // InferFiltersFromGenerate infers `size(fps) > 0 AND isnotnull(fps)`
-    // below a Generate over an ATTRIBUTE, and predicate pushdown then
-    // substitutes the alias — duplicating the whole winnow HOF into the
-    // filter, a measured 3x evaluation (the rule skips non-attribute
-    // generator input, which this shape is)
-    val bands = docs.select(col("doc_id"), lit(0).as("band_idx"),
+    val ts = if (withTs) Seq(col("ts")) else Nil
+    docs.select(Seq(col("doc_id"), lit(0).as("band_idx"),
         explode(TextAnalysis.letCol(
           TextAnalysis.winnowFingerprints(col("text"))) { fps =>
           transform(fps, f =>
             struct(f.as("band_key"), size(fps).cast("long").as("payload")))
-        }).as("bk"), col("ts"))
-      .select(col("doc_id"), col("bk.payload").as("payload"),
-        col("band_idx"), col("bk.band_key").as("band_key"), col("ts"))
-    lshCandidateStreamTtlSized(bands, maxBucket, delayThreshold)
+        }).as("bk")) ++ ts: _*)
+      .select(Seq(col("doc_id"), col("bk.payload").as("payload"),
+        col("band_idx"), col("bk.band_key").as("band_key")) ++ ts: _*)
   }
 
   /** Batch verify over drained [[winnowCandidateStream]] candidates:

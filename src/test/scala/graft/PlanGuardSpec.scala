@@ -200,9 +200,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // reuse collapses the duplicates; the live chain is hash groupBy →
     // exact groupBy → keeper min-agg → anti-join → reassembly groupBy
     "q_self_substring_dedup" -> 23,
-    // drained-candidate pair groupBy + two n_fp joins + output sort (the
-    // fold's emission already happened in the drain; this is the batch tail)
-    "q_stream_winnow_near_dup" -> 5,
+    // the whole verify now runs distributed INSIDE the drain's foreachBatch;
+    // the batch tail is only the output sort over the collected survivors
+    "q_stream_winnow_near_dup" -> 1,
     // fingerprint explode + hot-fp window + self equi-join + pair groupBy +
     // output sort; the bounded subtree is re-listed on BOTH sides of the
     // self-join in the AQE-off textual plan (exchange reuse collapses it)
