@@ -1011,6 +1011,44 @@ object StreamingOps {
     maxTs
   }
 
+  /**
+   * Production MinHash-LSH candidate stream with REAL event time — the
+   * long-lived-ingest twin of [[lshNearDupAvailableNow]]'s recall stage,
+   * the same contract [[winnowCandidateStream]] gives winnowing: `docs`
+   * carries (doc_id, text, ts), the k-hash signature and banded keys are
+   * computed in-stream, and `ts` rides to the shared TTL fold so buckets
+   * silent past `delayThreshold` drop — state O(docs in window × bands),
+   * in-window recall exactly the batch fold's.
+   */
+  def minhashCandidateStream(docs: DataFrame, k: Int = 8, shingleN: Int = 3,
+      bandRows: Int = 2, maxBandSize: Int = 1000,
+      delayThreshold: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextAnalysis
+    val bands = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.lshBands(
+          TextAnalysis.minHashSignature(col("text"), k, shingleN), bandRows))
+          .as(Seq("band_idx", "band_key")),
+        col("ts"))
+    lshCandidateStreamTtl(bands, maxBandSize, delayThreshold)
+  }
+
+  /**
+   * Production SimHash candidate stream with REAL event time — the third
+   * client of the shared TTL fold (SimHash's four 16-bit bands are just
+   * another banded key space): `docs` carries (doc_id, text, ts). Exact
+   * hamming verification stays a batch join over the drained candidates,
+   * as in the batch pipeline.
+   */
+  def simhashCandidateStream(docs: DataFrame, maxBandSize: Int = 1000,
+      delayThreshold: String = "10 minutes"): DataFrame = {
+    val bands = simhashBands(
+        simhashSigs(docs, col("text"), extra = Seq(col("ts"))),
+        extra = Seq(col("ts")))
+      .filter(col("band_key").isNotNull)
+      .select(col("doc_id"), col("band_idx"), col("band_key"), col("ts"))
+    lshCandidateStreamTtl(bands, maxBandSize, delayThreshold)
+  }
+
   def lshNearDupAvailableNow(spark: SparkSession, documentsPath: String,
       maxBandSize: Int = 1000): DataFrame = {
     import spark.implicits._
@@ -1042,23 +1080,24 @@ object StreamingOps {
     * per doc, 32-bit halves end-to-end (no sign games). Shared by the
     * streaming candidate path and its batch verify join so the signature
     * space cannot drift between them. */
-  private def simhashSigs(docs: DataFrame, textCol: org.apache.spark.sql.Column)
-      : DataFrame = {
+  private def simhashSigs(docs: DataFrame, textCol: org.apache.spark.sql.Column,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val h = graft.functions.TextAnalysis.simHash64(textCol)
-    docs.select(col("doc_id"),
+    docs.select(Seq(col("doc_id"),
       shiftrightunsigned(h, 32).as("h32"),
-      h.bitwiseAND(lit(0xFFFFFFFFL)).as("h0"))
+      h.bitwiseAND(lit(0xFFFFFFFFL)).as("h0")) ++ extra: _*)
   }
 
   /** The four 16-bit SimHash bands of a [[simhashSigs]] frame. */
-  private def simhashBands(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("h32"), col("h0"),
+  private def simhashBands(sigs: DataFrame,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+    sigs.select(Seq(col("doc_id"), col("h32"), col("h0"),
       posexplode(array(
         col("h0").bitwiseAND(lit(65535L)),
         shiftrightunsigned(col("h0"), 16).bitwiseAND(lit(65535L)),
         col("h32").bitwiseAND(lit(65535L)),
         shiftrightunsigned(col("h32"), 16).bitwiseAND(lit(65535L))))
-        .as(Seq("band_idx", "band_key")))
+        .as(Seq("band_idx", "band_key"))) ++ extra: _*)
 
   /**
    * Streaming SimHash hamming near-dup — the streaming twin of the batch

@@ -625,6 +625,97 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("minhashCandidateStream with REAL event time: in-window recall intact, " +
+      "late out-of-watermark copies drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1600000000000L
+    def ts(h: Double) = new java.sql.Timestamp(t0 + (h * 3600000L).toLong)
+    val textA = "the quick brown fox jumps over the lazy dog in the morning " +
+      "sun while the river runs quietly past the old stone mill"
+    val textB = "completely different content about catalyst optimizer rules " +
+      "and the tungsten execution engine powering whole stage codegen"
+    val textC = "a third unrelated passage describing parquet column pruning " +
+      "predicate pushdown and adaptive query execution at scale"
+    // the production entry itself: (doc_id, text, ts) rows, signature and
+    // bands computed in-stream, ts riding to the shared TTL fold
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val cands = StreamingOps.minhashCandidateStream(
+      input.toDS().toDF("doc_id", "text", "ts"),
+      maxBandSize = 100, delayThreshold = "1 hour")
+    val query = cands.writeStream.format("memory").queryName("minhash_evt_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def pairs(): Set[(Long, Long)] =
+      spark.table("minhash_evt_out").as[(Int, Long, Long)].collect()
+        .map(r => (r._2, r._3)).toSet
+    try {
+      // hour 0: doc 1 arrives alone — nothing to pair with
+      input.addData((1L, textA, ts(0)))
+      query.processAllAvailable()
+      assert(pairs().isEmpty)
+      // hour 0.5 (in window): an exact copy shares the whole signature, so
+      // it pairs in every band — the batch recall, undiminished by the TTL
+      input.addData((2L, textA, ts(0.5)))
+      query.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)))
+      // unrelated traffic advances the watermark far past hour 0
+      input.addData((50L, textB, ts(5.0)))
+      query.processAllAvailable()
+      input.addData((51L, textC, ts(5.0)))
+      query.processAllAvailable()
+      // hour 4.2 — admitted (> watermark 4.0) but textA's band buckets have
+      // expired: a third exact copy pairs with NOTHING, the bounded-recall
+      // trade that keeps state O(docs in window × bands)
+      input.addData((3L, textA, ts(4.2)))
+      query.processAllAvailable()
+      assert(pairs() == Set((1L, 2L)),
+        "expired minhash buckets paired with a late out-of-watermark copy")
+    } finally query.stop()
+  }
+
+  test("simhashCandidateStream with REAL event time: in-window recall intact, " +
+      "late out-of-watermark copies drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1600000000000L
+    def ts(h: Double) = new java.sql.Timestamp(t0 + (h * 3600000L).toLong)
+    val textA = "the quick brown fox jumps over the lazy dog in the morning " +
+      "sun while the river runs quietly past the old stone mill"
+    val textB = "completely different content about catalyst optimizer rules " +
+      "and the tungsten execution engine powering whole stage codegen"
+    val textC = "a third unrelated passage describing parquet column pruning " +
+      "predicate pushdown and adaptive query execution at scale"
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val cands = StreamingOps.simhashCandidateStream(
+      input.toDS().toDF("doc_id", "text", "ts"),
+      maxBandSize = 100, delayThreshold = "1 hour")
+    val query = cands.writeStream.format("memory").queryName("simhash_evt_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+    def rows(): Seq[(Int, Long, Long)] =
+      spark.table("simhash_evt_out").as[(Int, Long, Long)].collect().toSeq
+    try {
+      input.addData((1L, textA, ts(0)))
+      query.processAllAvailable()
+      assert(rows().isEmpty)
+      // an identical text has the identical 64-bit SimHash: the in-window
+      // copy pairs in all FOUR 16-bit bands
+      input.addData((2L, textA, ts(0.5)))
+      query.processAllAvailable()
+      assert(rows().count { case (_, a, b) => a == 1L && b == 2L } == 4,
+        s"exact copy must pair in all 4 simhash bands: ${rows()}")
+      // watermark moves far past hour 0; the four band buckets expire
+      input.addData((50L, textB, ts(5.0)))
+      query.processAllAvailable()
+      input.addData((51L, textC, ts(5.0)))
+      query.processAllAvailable()
+      val before = rows().size
+      input.addData((3L, textA, ts(4.2)))
+      query.processAllAvailable()
+      assert(rows().size == before,
+        "expired simhash buckets paired with a late out-of-watermark copy")
+    } finally query.stop()
+  }
+
   test("streaming pack carries the bucket offset across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
