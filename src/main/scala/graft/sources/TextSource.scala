@@ -81,8 +81,17 @@ object TextSource {
   }
 
   /** `group_broken_paragraphs` — merge line-broken paragraphs (`core.py:137-184`). */
-  def groupBrokenParagraphs(text: String): String = {
-    val paragraphs = pySplitCapturing(DoubleParagraphRe, text)
+  def groupBrokenParagraphs(text: String): String =
+    groupBrokenParagraphs(text, ParagraphPatternRe, DoubleParagraphRe)
+
+  /** `group_broken_paragraphs(text, line_split, paragraph_split)` with the
+    * reference's injectable split patterns (`core.py:187-231`) — a caller
+    * whose corpus separates paragraphs differently (e.g. three blank lines,
+    * `test_core.py:220-238`) supplies its own compiled patterns. */
+  def groupBrokenParagraphs(text: String,
+      lineSplit: java.util.regex.Pattern,
+      paragraphSplit: java.util.regex.Pattern): String = {
+    val paragraphs = pySplitCapturing(paragraphSplit, text)
     val out = Seq.newBuilder[String]
     paragraphs.foreach { paragraph =>
       val stripped = pyStrip(paragraph)
@@ -93,7 +102,7 @@ object TextSource {
         } else {
           // line split interleaves captured bullet separators — they count in
           // the all-short check and survive into the output when kept
-          val lines = pySplitCapturing(ParagraphPatternRe, paragraph)
+          val lines = pySplitCapturing(lineSplit, paragraph)
           val allShort = lines.forall(l => pyStrip(l).split(" ", -1).length < 5)
           if (allShort) out ++= lines.filter(l => pyStrip(l).nonEmpty)
           else out += ParagraphSplit.replaceAllIn(paragraph, " ")

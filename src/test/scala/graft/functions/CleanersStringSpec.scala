@@ -7,6 +7,12 @@ import graft.sources.TextSource
 /**
  * Behavior tests for the string-level (parser-side) cleaners, ported from
  * `/root/reference/test_unstructured/cleaners/test_core.py`.
+ *
+ * File mapping (20 reference fns): every `test_core.py` case is pinned —
+ * the per-cleaner vector tables and the composite `clean()` option matrix
+ * live in `CleanersVectorsSpec` (column-level, through the codegen'd
+ * expressions); mime-encoding charsets, byte repair, paragraph/bullet
+ * grouping (default and custom `paragraph_split`) here.
  */
 class CleanersStringSpec extends AnyFunSuite {
 
@@ -47,6 +53,24 @@ class CleanersStringSpec extends AnyFunSuite {
     val text = "Apache License\nVersion 2.0, January 2004\nhttp://www.apache.org/licenses/"
     assert(TextSource.groupBrokenParagraphs(text)
       == "Apache License\n\nVersion 2.0, January 2004\n\nhttp://www.apache.org/licenses/")
+  }
+
+  // --- test_group_broken_paragraphs_non_default_settings (test_core.py:220) --------
+  test("group_broken_paragraphs accepts a custom paragraph_split pattern") {
+    // paragraphs separated by THREE newline runs; single blank lines are
+    // in-paragraph formatting under the custom split
+    val text = "The big red fox\n\nis walking down the lane.\n\n\n" +
+      "At the end of the lane\n\nthe fox met a friendly bear."
+    val paraSplit = java.util.regex.Pattern.compile("(\\s*\\n\\s*){3}")
+    val lineSplit = java.util.regex.Pattern.compile(
+      // PARAGRAPH_PATTERN_RE, as the reference test leaves line_split default
+      "((?:" + graft.functions.Cleaners.BulletsPattern + ")|" +
+        graft.functions.Cleaners.PySpaceClass + "*\\n" +
+        graft.functions.Cleaners.PySpaceClass + "*)" +
+        "(?!" + graft.functions.Cleaners.BulletsPattern + "|$)")
+    assert(TextSource.groupBrokenParagraphs(text, lineSplit, paraSplit)
+      == "The big red fox is walking down the lane.\n\n" +
+        "At the end of the lane the fox met a friendly bear.")
   }
 
   // --- group_bullet_paragraph (test_core.py:241-262) -------------------------------

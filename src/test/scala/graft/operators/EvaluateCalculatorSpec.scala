@@ -14,6 +14,19 @@ import graft.SparkSuiteBase
  * TextExtractionMetricsCalculator surface — run against the REFERENCE'S OWN
  * fixture files (`example-docs/test_evaluate_files`): real unstructured
  * output JSON rehydrated through our wire decoder, real gold CCT text.
+ *
+ * File mapping (22 reference fns): evaluation drivers, doctype/connector
+ * derivation, size-ratio guard, grouping composition, element-type and
+ * table-structure rows, and the aggregate-scores frames are pinned here;
+ * `get_mean_grouping` validation/statistics cases in `MetricsOpsSpec`
+ * (including the `_all_file` 0.903/0.129/0.091 vector). NOT ported, with
+ * reasons: the three `*Calculator_process_document_returns_the_correct_
+ * doctype` fns assert unittest.mock CALL COUNTS of monkey-patched Python
+ * internals (the real behavior they guard — doctype derivation and the
+ * per-document metric row — is pinned directly above), and
+ * `get_mean_grouping_tsv_input` exercises pandas TSV file I/O plumbing (the
+ * engine's equivalent surface is the DataFrame path, pinned; TSV export is
+ * a sink concern covered by the AGG_HEADERS frame tests).
  */
 class EvaluateCalculatorSpec extends SparkSuiteBase {
 

@@ -56,6 +56,26 @@ class MetricsOpsSpec extends SparkSuiteBase {
     assert(all.collect().head.getAs[Double]("cct-accuracy _mean") == 0.8)
   }
 
+  // -- test_get_mean_grouping_all_file / _all_file_txt (:538, :570): filter
+  // the dummy CCT frame to two filenames, then 'all'-group — the reference
+  // pins mean 0.903, sample sd 0.129, population sd 0.091 for cct-accuracy
+  test("filter-by-filename then 'all' grouping matches the pinned statistics") {
+    import spark.implicits._
+    val dummy = Seq(
+      ("Bank Good Credit Loan.pptx", "pptx", "connector1", 0.812, 0.001),
+      ("Performance-Audit-Discussion.pdf", "pdf", "connector1", 0.994, 0.002),
+      ("currency.csv", "csv", "connector2", 0.887, 0.041))
+      .toDF("filename", "doctype", "connector", "cct-accuracy", "cct-%missing")
+    val filtered = MetricsOps.filterMetrics(dummy,
+      Seq("Bank Good Credit Loan.pptx", "Performance-Audit-Discussion.pdf"))
+    assert(filtered.count() == 2)
+    val all = MetricsOps.getMeanGrouping(filtered, "all", "text_extraction")
+      .collect().head
+    assert(all.getAs[Double]("cct-accuracy _mean") == 0.903)
+    assert(all.getAs[Double]("cct-accuracy _stdev") == 0.129)
+    assert(all.getAs[Double]("cct-accuracy _pstdev") == 0.091)
+  }
+
   // -- test_get_mean_grouping_invalid_group
   test("an invalid grouping category raises") {
     val e = intercept[IllegalArgumentException](

@@ -6,7 +6,19 @@ import graft.SparkSuiteBase
 
 /** `partition_text` behavior ports (`test_unstructured/partition/test_text.py`)
   * driven end-to-end through `AutoSource.partitionFiles` on the reference's own
-  * example docs. */
+  * example docs.
+  *
+  * File mapping (39 reference fns): the encoding matrices, error cases, JSON
+  * round trip, hash-id vector and paragraph behaviors are pinned here; the
+  * `from_file`/`from_bytes` variants collapse onto the same byte-array entry
+  * (`partitionAuto`) this spec drives; `metadata_filename`/`last_modified`
+  * preference chains are pinned in `MetadataArgsSpec` (shared `applyMetadata`
+  * pass, not per-format); languages arg/per-element/UDHR cases in
+  * `MetadataArgsSpec` + `LanguageDocsSweepSpec`; `unique_element_ids=True`
+  * (UUID mode) in `ElementModelSpec`; `metadata.filetype` recording in
+  * `AutoBehaviorSpec` (`recordedFiletype`); `add_chunking_strategy` equality
+  * is the Chunker suite's partition-then-chunk contract (`ChunkerSpec`,
+  * `BookGoldenSpec`). */
 class TextPartitionSpec extends SparkSuiteBase {
 
   private def partitionDir(files: (String, Array[Byte])*): Seq[(String, String)] = {
@@ -95,6 +107,44 @@ class TextPartitionSpec extends SparkSuiteBase {
         refDoc("fake-text-utf-16-be.txt"), encoding = Some("utf-16"))
     }
     assert(e2.getMessage == "UTF-16 stream does not start with BOM")
+  }
+
+  // -- test_Text_element_assigns_id_hashes_that_are_unique_and_deterministic
+  // (:374): partition_text(text="hello\nhello\nhello") assigns EXACTLY these
+  // three digests (sha256("{filename}{text}{page}{seq}")[:32] with filename
+  // and page both absent) --
+  test("text-partition hash ids match the reference's exact hello digests") {
+    val paras = TextSource.splitParagraphs("hello\nhello\nhello")
+    assert(paras == Seq("hello", "hello", "hello"))
+    val els = paras.zipWithIndex.map { case (t, i) =>
+      graft.model.Element("", "Title", t, "d", i.toLong + 1,
+        graft.model.ElementMetadata.empty)
+    }
+    val out = graft.operators.MetadataOps.assignHashIds(els)
+    assert(out.map(_.element_id) == Seq(
+      "8657c0ec31a4cfc822f6cd4a5684cafd",
+      "72aefb4a12be063ad160931fdb380163",
+      "ba8c1a216ca585aecdd365a72e6124f1"))
+  }
+
+  // -- test_partition_text_with_json (:393): elements from every encoding
+  // fixture round-trip through the JSON wire format unchanged --
+  test("partitioned elements round-trip through JSON for each encoding fixture") {
+    val sp = spark
+    val dir = Files.createTempDirectory("graft-text-json").toString
+    Seq("fake-text.txt", "fake-text-utf-16-be.txt", "fake-text-utf-16.txt")
+      .foreach(n => Files.write(Paths.get(dir, n), refDoc(n)))
+    try {
+      val els = org.apache.spark.sql.graft.PartitionPlan.toElements(
+        org.apache.spark.sql.graft.PartitionPlan.partitionFiles(sp, dir))
+      val before = els.collect().sortBy(e => (e.doc_id, e.seq)).toSeq
+      assert(before.size == 18, s"3 fixtures x 6 elements, got ${before.size}")
+      val json = "[" + graft.sinks.ElementSink.toNdjson(els)
+        .collect().mkString(",") + "]"
+      val back = graft.sinks.ElementSink.partitionJson(sp, json)
+        .collect().sortBy(e => (e.doc_id, e.seq)).toSeq
+      assert(back == before, "JSON round trip changed the elements")
+    } finally graft.FsUtil.deleteRecursively(Paths.get(dir))
   }
 
   // -- test_partition_text_from_text_works_with_empty_string (:190) --
