@@ -69,9 +69,43 @@ object FileType {
   case object Empty extends FileType("empty", "inode/x-empty", Nil, false)
   case object Unknown extends FileType("unknown", "application/octet-stream", Nil, false)
 
-  lazy val all: Seq[FileType] = Seq(Csv, Doc, Docx, Eml, Epub, Html, Json, Md, Msg, Ndjson,
+  /** A runtime-registered type — `create_file_type`
+    * (`file_utils/model.py:559-585`): external formats (proprietary logs, a
+    * team's internal container) join extension/mime resolution and, once a
+    * partitioner is registered for them
+    * (`graft.operators.Registries.registerPartitioner`, the reference's
+    * `register_partitioner` decorator), the `partition()` router. */
+  final class Custom private[FileType] (name: String, mimeType: String,
+    extensions: Seq[String]) extends FileType(name, mimeType, extensions)
+
+  private val customTypes =
+    scala.collection.concurrent.TrieMap.empty[String, Custom]
+
+  /** `create_file_type(name, canonical_mime_type, extensions)` — registers
+    * and returns a [[Custom]] type; re-registration under the same name
+    * replaces (module-lifetime registry, like the reference's). Built-in
+    * names are protected: detection for the 36 shipped formats must stay
+    * deterministic. */
+  def createFileType(name: String, canonicalMimeType: String,
+      extensions: Seq[String]): FileType = {
+    val n = name.toLowerCase
+    require(builtin.forall(_.name != n),
+      s"create_file_type: '$n' is a built-in FileType")
+    val ft = new Custom(n,
+      canonicalMimeType.toLowerCase,
+      extensions.map(e => if (e.startsWith(".")) e.toLowerCase else "." + e.toLowerCase))
+    customTypes(n) = ft
+    ft
+  }
+
+  private lazy val builtin: Seq[FileType] = Seq(Csv, Doc, Docx, Eml, Epub, Html,
+    Json, Md, Msg, Ndjson,
     Odt, Org, Pdf, Ppt, Pptx, Rst, Rtf, Tsv, Txt, Wav, Xls, Xlsx, Xml, Zip,
     Png, Jpg, Bmp, Tiff, Gif, Heic, Flac, Mp3, M4a, Ogg, Opus, Webm)
+
+  /** Built-ins first, then runtime-registered customs — custom types extend
+    * resolution, never shadow a shipped format. */
+  def all: Seq[FileType] = builtin ++ customTypes.values
 
   def fromExtension(ext: String): Option[FileType] = {
     val e = if (ext.startsWith(".")) ext.toLowerCase else "." + ext.toLowerCase

@@ -42,6 +42,31 @@ class ExtensionSpec extends SparkSuiteBase {
     assert(ft == FileType.Rst && ps.head.text == "custom rst")
   }
 
+  // -- test_auto_partition_works_with_custom_types (test_auto.py:1444) +
+  // -- create_file_type/register_partitioner (file_utils/model.py:559) --
+  test("a created custom FileType resolves and routes through partition()") {
+    val foo = FileType.createFileType("foo", "application/foo", Seq(".foo"))
+    // the custom type joins extension and mime resolution (params stripped)
+    assert(FileType.fromExtension(".foo").contains(foo))
+    assert(FileType.fromExtension("FOO").contains(foo))
+    assert(FileType.fromMimeType("application/foo; charset=utf-8").contains(foo))
+    // and its canonical mime is what partition() records
+    assert(Partitioners.recordedFiletype(None, foo).contains("application/foo"))
+    // register_partitioner: the loader returns it, and the router dispatches
+    // on an asserted content type (the reference detector's first strategy)
+    Registries.registerPartitioner(foo, bytes =>
+      Seq(HtmlPartitioner.RawPara(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8).toUpperCase,
+        Some("Title"))))
+    assert(Registries.partitioner(foo).isDefined)
+    val (ft, ps) = Partitioners.partitionAuto("report.foo", "hello foo".getBytes,
+      contentType = Some("application/foo"))
+    assert(ft == foo && ps.head.text == "HELLO FOO")
+    // built-in names stay protected — shipped-format detection is invariant
+    intercept[IllegalArgumentException](
+      FileType.createFileType("pdf", "application/x-not-pdf", Seq(".pdf2")))
+  }
+
   test("stage_for_transformers splits long narrative text by attention window") {
     import spark.implicits._
     val out = Staging.stageForTransformers(els.toDS(), maxInputSize = 102, buffer = 2)
