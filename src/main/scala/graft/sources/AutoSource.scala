@@ -46,12 +46,18 @@ object AutoSource {
             }
           }
         items.flatMap { case (fn, body) =>
-          val (aft, aps) = Partitioners.partitionAuto(fn, body)
-          aps.zipWithIndex.map { case (p, i) =>
-            RawPartitionRow(path + "!" + fn, aft.mimeType, i + 1L, p.elementType,
-              p.categoryDepth, p.text, p.textAsHtml, p.pageNumber, p.pageName,
-              Some(path), p.classifier)
-          }
+          // an attachment that cannot be partitioned (unsupported format, a
+          // parser crash on corrupt bytes) is SILENTLY skipped — the host
+          // message's own elements must never be lost to a poisoned
+          // attachment (`test_msg.py:163-181`, `email.py:418-427`)
+          scala.util.Try(Partitioners.partitionAuto(fn, body)).toOption.toSeq
+            .flatMap { case (aft, aps) =>
+              aps.zipWithIndex.map { case (p, i) =>
+                RawPartitionRow(path + "!" + fn, aft.mimeType, i + 1L, p.elementType,
+                  p.categoryDepth, p.text, p.textAsHtml, p.pageNumber, p.pageName,
+                  Some(path), p.classifier)
+              }
+            }
         }
       } else Nil
     main ++ attached

@@ -671,6 +671,52 @@ class ChunkerSpec extends AnyFunSuite {
       Vector(ElementType.Table, ElementType.CompositeElement))
   }
 
+  // -- test_it_splits_oversized_table (:55) and
+  // -- test_skip_table_chunking_passes_oversized_table_through_unchanged (:63),
+  // -- on the reference's OWN table_2000.json fixture (one 1887-char Table) --
+  test("the reference's 2000-char table fixture splits to 5 TableChunks; " +
+      "skip_table_chunking passes it through whole") {
+    val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Path.of(
+      "/root/reference/test_unstructured/testfiles/chunking/table_2000.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val els = graft.sinks.ElementSink.partitionJson(
+      graft.SparkSuiteBase.session, raw).collect().toSeq
+    assert(els.size == 1 && els.head.`type` == ElementType.Table)
+    val split = byTitle(els, ChunkingOptions())
+    assert(split.size == 5, s"expected 5 TableChunks, got ${split.size}")
+    assert(split.forall(_.`type` == ElementType.TableChunk),
+      split.map(_.`type`).mkString(","))
+    val whole = byTitle(els, ChunkingOptions(skipTableChunking = true))
+    assert(whole.size == 1 && whole.head.`type` == ElementType.Table)
+    assert(whole.head.text == els.head.text)
+  }
+
+  // -- the four text/table boundary cases (:38-58, :145-160) re-pinned on the
+  // -- reference's OWN fixture files instead of reconstructed texts --
+  test("the four text/table boundary fixtures chunk to the reference's shapes") {
+    def fixture(name: String): Seq[Element] = {
+      val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Path.of(
+        s"/root/reference/test_unstructured/testfiles/chunking/$name")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      graft.sinks.ElementSink.partitionJson(graft.SparkSuiteBase.session, raw)
+        .collect().toSeq
+    }
+    val noCombine = ChunkingOptions(combineTextUnderNChars = Some(0))
+    val a = byTitle(fixture("title_table_200.json"), noCombine)
+    assert(a.map(_.`type`) ==
+      Vector(ElementType.CompositeElement, ElementType.Table), "title_table_200")
+    val b = byTitle(fixture("table_text_200.json"), noCombine)
+    assert(b.map(_.`type`) ==
+      Vector(ElementType.Table, ElementType.CompositeElement), "table_text_200")
+    val at250 = ChunkingOptions(maxCharacters = 250)
+    val c = byTitle(fixture("long_text_table_200.json"), at250)
+    assert(c.map(_.`type`) ==
+      Vector(ElementType.CompositeElement, ElementType.Table), "long_text_table_200")
+    val d = byTitle(fixture("full_table_long_text_250.json"), at250)
+    assert(d.map(_.`type`) ==
+      Vector(ElementType.Table, ElementType.CompositeElement), "full_table_long_text_250")
+  }
+
   // -- test_it_starts_new_chunk_for_table_after_full_text_chunk (:145) and
   // -- text_after_full_table_chunk (:154), fixtures long_text_table_200 /
   // -- full_table_long_text_250 at max_characters=250 --

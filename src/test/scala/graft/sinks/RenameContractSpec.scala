@@ -75,4 +75,25 @@ class RenameContractSpec extends SparkSuiteBase {
       assert(ex.getMessage.contains("StageStore requires"), ex.getMessage)
     } finally graft.FsUtil.deleteRecursively(dir)
   }
+
+  test("the unsafe override opens the escape hatch end-to-end") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.fakeobj.impl", classOf[FakeObjectStoreFs].getName)
+    hc.setBoolean(RenameContract.OverrideKey, true)
+    val dir = Files.createTempDirectory("fakeobj-override")
+    try {
+      val sp = spark
+      import sp.implicits._
+      val ds = Seq(Element("", ElementType.Title, "t", "d1", 1L,
+        ElementMetadata.empty.copy(filetype = Some("text/plain")))).toDS()
+      // the guard stands down; the write lands through the foreign scheme
+      ElementLake.append(ds, s"fakeobj:$dir/lake")
+      assert(ElementLake.read(spark, s"fakeobj:$dir/lake").count() == 1)
+      val store = new StageStore(spark, s"fakeobj:$dir/stages")
+      assert(store.apply("s1", ds.toDF().select("doc_id")).count() == 1)
+    } finally {
+      hc.unset(RenameContract.OverrideKey)
+      graft.FsUtil.deleteRecursively(dir)
+    }
+  }
 }

@@ -43,6 +43,22 @@ class EncodingsSpec extends AnyFunSuite {
     assert(Encodings.decodeText(latin) == "café")
   }
 
+  test("strict decode round-trips every explicit charset it accepts") {
+    val text = "Ünïcode — מאיה и русский 中文 done."
+    val cases = Seq(
+      ("utf-8", text.getBytes("UTF-8")),
+      ("utf-16-le", text.getBytes("UTF-16LE")),
+      ("utf-16-be", text.getBytes("UTF-16BE")),
+      ("utf-16", text.getBytes("UTF-16")), // java UTF-16 writes a BE BOM
+      ("utf-32-le", text.getBytes("UTF-32LE")),
+      ("utf-32-be", text.getBytes("UTF-32BE")))
+    cases.foreach { case (enc, bytes) =>
+      assert(Encodings.decodeTextStrict(bytes, enc) == text, enc)
+    }
+    // underscores/case normalize through format_encoding_str first
+    assert(Encodings.decodeTextStrict(text.getBytes("UTF-8"), "UTF_8") == text)
+  }
+
   test("auto-router sniffs UTF-16 HTML as html, not garbled text") {
     val html = "<html><body><p>wide markup</p></body></html>"
     val bytes = bom(0xFF, 0xFE) ++ html.getBytes(UTF_16LE)

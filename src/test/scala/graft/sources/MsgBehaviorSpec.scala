@@ -102,6 +102,51 @@ class MsgBehaviorSpec extends SparkSuiteBase {
     assert(ps.head.text == "Hey this is a fake attachment!")
   }
 
+  // -- test_partition_msg_silently_skips_attachments_it_cannot_partition
+  // (test_msg.py:163-181; same contract for eml, email.py:418-427): a
+  // poisoned attachment — ZIP-magic garbage routed by its .msg extension
+  // into the CFB reader, which throws — is dropped without sinking the host
+  // message's elements --
+  test("an attachment that cannot partition is silently skipped; the body survives") {
+    val corrupt = ("PK" + "garbage not a real zip").getBytes("ISO-8859-1")
+    val b64 = java.util.Base64.getEncoder.encodeToString(corrupt)
+    val eml =
+      s"""From: a@example.com
+         |To: b@example.com
+         |Subject: attachments
+         |MIME-Version: 1.0
+         |Content-Type: multipart/mixed; boundary="BBB"
+         |
+         |--BBB
+         |Content-Type: text/plain
+         |
+         |Here are those documents.
+         |--BBB
+         |Content-Type: text/plain
+         |Content-Disposition: attachment; filename="ok.txt"
+         |
+         |Hey this is a fake attachment!
+         |--BBB
+         |Content-Type: application/vnd.ms-outlook
+         |Content-Transfer-Encoding: base64
+         |Content-Disposition: attachment; filename="broken.msg"
+         |
+         |$b64
+         |--BBB--
+         |""".stripMargin.replace("\n", "\r\n")
+    // the poisoned attachment REALLY throws when partitioned directly — the
+    // skip below is the Try at work, not a vacuous empty parse
+    intercept[Exception](Partitioners.partitionAuto("broken.msg", corrupt))
+    val rows = AutoSource.parseDoc("mail.eml", eml.getBytes("UTF-8"),
+      processAttachments = true)
+    assert(rows.exists(r => r.raw_text == "Here are those documents." &&
+      r.attached_to_filename.isEmpty), rows.map(_.raw_text).mkString("|"))
+    assert(rows.exists(r => r.raw_text == "Hey this is a fake attachment!" &&
+      r.attached_to_filename.contains("mail.eml")))
+    assert(!rows.exists(_.doc_id.endsWith("broken.msg")),
+      "the corrupt attachment's rows should have been skipped")
+  }
+
   // -- Describe_AttachmentPartitioner filename sanitization (test_msg.py:315-460) --
 
   test("attachment filenames sanitize path traversal, separators, and null bytes") {

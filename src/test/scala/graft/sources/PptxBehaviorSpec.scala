@@ -114,6 +114,30 @@ class PptxBehaviorSpec extends SparkSuiteBase {
     assert(ps.count(_.elementType.contains("Image")) >= 1)
   }
 
+  // -- test_partition_pptx_uses_registered_picture_partitioner (test_pptx.py:290):
+  // -- the reference's FakePicturePartitioner hashes the picture BLOB — its
+  // -- pinned sha1 proves the media callback hands over the image bytes
+  // -- byte-exactly --
+  test("the picture partitioner's media callback delivers the exact image blob") {
+    object HashPicture extends PptxPartitioner.PptxPicturePartitioner {
+      def elements(pictureXml: String,
+          media: String => Option[Array[Byte]]): Seq[RawPara] = {
+        val rid = """r:embed="([^"]+)"""".r
+          .findFirstMatchIn(pictureXml).map(_.group(1))
+        val sha1 = rid.flatMap(media).map(b =>
+          java.security.MessageDigest.getInstance("SHA-1").digest(b)
+            .map("%02x".format(_)).mkString)
+        Seq(RawPara(s"Image with hash ${sha1.getOrElse("missing")}, " +
+          "strategy: fast", Some("Image")))
+      }
+    }
+    val ps = PptxPartitioner.partition(bytes("picture.pptx"), pictures = HashPicture)
+    val imgs = ps.filter(_.elementType.contains("Image"))
+    assert(imgs.size == 1)
+    assert(imgs.head.text ==
+      "Image with hash b0a1e6cf904691e6fa42bd9e72acc2b05280dc86, strategy: fast")
+  }
+
   // -- test_partition_pptx_title_shape_detection ----------------------------------
 
   private def zipDeck(entries: (String, String)*): Array[Byte] = {

@@ -716,6 +716,36 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("an empty corpus drains to an EMPTY typed frame, not a crash " +
+      "(zero-batch foreachBatch aggregation)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("winnow-empty")
+    try {
+      val empty = dir.resolve("documents.parquet")
+      Seq.empty[(Long, String)].toDF("doc_id", "text")
+        .write.parquet(empty.toString)
+      val out = StreamingOps.winnowNearDupAvailableNow(spark, empty.toString)
+      assert(out.columns.toSeq == Seq("doc_a", "doc_b", "n_shared"))
+      assert(out.count() == 0)
+    } finally graft.FsUtil.deleteRecursively(dir)
+  }
+
+  test("a drain-local statePartitions override never leaks into the session") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val dir = java.nio.file.Files.createTempDirectory("chunk-conf")
+    try {
+      val docs = dir.resolve("documents.parquet")
+      Seq((1L, "alpha beta. merge gamma delta.")).toDF("doc_id", "text")
+        .write.parquet(docs.toString)
+      StreamingOps.chunkBasicAvailableNow(spark, docs.toString,
+        graft.operators.ChunkingOptions(maxCharacters = 120,
+          includeOrigElements = false), splitBatches = 3).collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == before,
+        "drain-scoped shuffle-partition override leaked")
+    } finally graft.FsUtil.deleteRecursively(dir)
+  }
+
   test("streaming pack carries the bucket offset across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
