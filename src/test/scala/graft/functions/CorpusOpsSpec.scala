@@ -8,6 +8,34 @@ import graft.SparkSuiteBase
   * sampling, sequence packing, PII scrub — hand-computed vectors. */
 class CorpusOpsSpec extends SparkSuiteBase {
 
+  test("attachBroadcast anchors its join key past map-typed columns, nested included") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // first columns are unhashable by xxhash64: a top-level map AND an
+    // array<map> — the anchor must recurse into the type tree and land on
+    // the plain long column
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+      .select(
+        map(col("tag"), col("id")).as("m"),
+        array(map(col("tag"), col("id"))).as("am"),
+        struct(map(col("tag"), col("id")).as("inner")).as("sm"),
+        col("id"), col("tag"))
+    val tiny = Seq(42L).toDF("probe")
+    val out = graft.functions.CorpusOps.attachBroadcast(big, tiny)
+    assert(out.count() == 3)
+    assert(out.select("probe").distinct().as[Long].collect().toSeq == Seq(42L))
+    // and the plan is the zero-BNL constant-key BroadcastHashJoin
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // an all-unhashable frame fails loudly, not at analysis time downstream
+    val allMaps = Seq((1L, "a")).toDF("id", "tag")
+      .select(map(col("tag"), col("id")).as("m"),
+        array(map(col("tag"), col("id"))).as("am"))
+    val e = intercept[IllegalArgumentException](
+      graft.functions.CorpusOps.attachBroadcast(allMaps, tiny))
+    assert(e.getMessage.contains("map-free"), e.getMessage)
+  }
+
   test("decontaminate flags docs sharing an n-gram with the benchmark") {
     val sp = spark
     import sp.implicits._

@@ -41,6 +41,20 @@ class RenameContractSpec extends SparkSuiteBase {
     RenameContract.requireAtomicRename(local, conf, "ElementLake")
   }
 
+  test("every scheme in the atomic-rename allowlist passes; object-store " +
+      "schemes are rejected") {
+    class SchemeFs(scheme: String) extends org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = scheme
+      override def getUri: java.net.URI = java.net.URI.create(s"$scheme:///")
+    }
+    Seq("hdfs", "viewfs", "webhdfs", "swebhdfs", "ofs", "o3fs", "alluxio", "file")
+      .foreach(s =>
+        RenameContract.requireAtomicRename(new SchemeFs(s), conf, "ElementLake"))
+    Seq("s3a", "s3", "gs", "abfs", "abfss", "wasb", "oss", "cos", "swift")
+      .foreach(s => intercept[IllegalStateException](
+        RenameContract.requireAtomicRename(new SchemeFs(s), conf, "ElementLake")))
+  }
+
   test("ElementLake refuses an object-store path end-to-end (append and compact)") {
     spark.sparkContext.hadoopConfiguration
       .set("fs.fakeobj.impl", classOf[FakeObjectStoreFs].getName)

@@ -115,6 +115,34 @@ class EmailPartitionSpec extends SparkSuiteBase {
   private def meta(name: String) = Partitioners.partitionEmail(eml(name))._1
 
   // -- test_partition_email_augments_message_body_elements_with_email_metadata (:182) --
+  // -- test_partition_email_round_trips_via_json (test_email.py): elements
+  // WITH their email-specific metadata (sent_from/sent_to/subject/message
+  // id) survive the JSON wire format unchanged --
+  test("email elements round-trip through JSON with their email metadata") {
+    val sp = graft.SparkSuiteBase.session
+    import sp.implicits._
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of("/root/reference/example-docs/fake-email.eml")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val (meta, paras) = Partitioners.partitionEmail(raw)
+    assert(meta.sentFrom.nonEmpty && meta.subject.isDefined)
+    val before = paras.zipWithIndex.map { case (p, i) =>
+      graft.model.Element(s"e$i", p.elementType.getOrElse("NarrativeText"),
+        p.text, "fake-email.eml", i.toLong + 1,
+        graft.model.ElementMetadata.empty.copy(
+          filename = Some("fake-email.eml"),
+          sent_from = Some(meta.sentFrom), sent_to = Some(meta.sentTo),
+          subject = meta.subject, email_message_id = meta.messageId))
+    }
+    val json = "[" + graft.sinks.ElementSink.toNdjson(before.toDS())
+      .collect().mkString(",") + "]"
+    val back = graft.sinks.ElementSink.partitionJson(sp, json)
+      .collect().sortBy(_.seq).toSeq
+    assert(back == before, "JSON round trip changed the email elements")
+    assert(back.forall(_.metadata.sent_from.contains(meta.sentFrom)))
+    assert(back.forall(_.metadata.email_message_id == meta.messageId))
+  }
+
   test("multi to/cc/bcc headers parse into address lists with message id") {
     val m = meta("mime-multi-to-cc-bcc.eml")
     assert(m.sentFrom == Seq("sender@example.com"))

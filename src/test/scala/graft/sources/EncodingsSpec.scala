@@ -59,6 +59,14 @@ class EncodingsSpec extends AnyFunSuite {
     assert(Encodings.decodeTextStrict(text.getBytes("UTF-8"), "UTF_8") == text)
   }
 
+  test("strict decode accepts the annotated RTL charsets via format_encoding_str") {
+    // iso-8859-8-i/-e direction annotations strip to the base charset
+    // (encoding.py:35-48); the Hebrew bytes from test_core.py:119 decode
+    val hebrew = Array[Byte](0xEE.toByte, 0xE0.toByte, 0xE9.toByte, 0xE4.toByte)
+    assert(Encodings.decodeTextStrict(hebrew, "iso-8859-8") == "מאיה")
+    assert(Encodings.decodeTextStrict(hebrew, "ISO_8859_8-I") == "מאיה")
+  }
+
   test("auto-router sniffs UTF-16 HTML as html, not garbled text") {
     val html = "<html><body><p>wide markup</p></body></html>"
     val bytes = bom(0xFF, 0xFE) ++ html.getBytes(UTF_16LE)

@@ -716,6 +716,38 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("the NoTimeout sized fold equals the TTL sized fold under a constant " +
+      "timestamp — the equivalence the bounded drain rides on") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new java.sql.Timestamp(1600000000000L)
+    // two batches of banded events, duplicate doc deliveries included
+    val batch1 = Seq((1L, 10L, 0, 100L), (2L, 20L, 0, 100L), (3L, 30L, 1, 200L))
+    val batch2 = Seq((3L, 30L, 0, 100L), (2L, 20L, 0, 100L), (4L, 40L, 1, 200L))
+    def drain(ttl: Boolean): Seq[(Int, Long, Long, Long, Long)] = {
+      val input = MemoryStream[(Long, Long, Int, Long, java.sql.Timestamp)]
+      val bands = input.toDS()
+        .toDF("doc_id", "payload", "band_idx", "band_key", "ts")
+      val cands =
+        if (ttl) StreamingOps.lshCandidateStreamTtlSized(bands, maxBandSize = 100)
+        else StreamingOps.lshCandidateStreamSized(bands, maxBandSize = 100)
+      val name = s"fold_equiv_${if (ttl) "ttl" else "plain"}"
+      val q = cands.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        input.addData(batch1.map { case (d, p, bi, bk) => (d, p, bi, bk, ts) }: _*)
+        q.processAllAvailable()
+        input.addData(batch2.map { case (d, p, bi, bk) => (d, p, bi, bk, ts) }: _*)
+        q.processAllAvailable()
+        spark.table(name).as[(Int, Long, Long, Long, Long)].collect().toSeq.sorted
+      } finally q.stop()
+    }
+    val plain = drain(ttl = false)
+    val withTtl = drain(ttl = true)
+    assert(plain.nonEmpty && plain == withTtl,
+      s"folds diverged:\nplain=$plain\nttl  =$withTtl")
+  }
+
   test("an empty corpus drains to an EMPTY typed frame, not a crash " +
       "(zero-batch foreachBatch aggregation)") {
     import spark.implicits._
