@@ -1235,7 +1235,19 @@ object StreamingOps {
       }.toDF("doc_id", "text")
     def salted = when(col("doc_id") % 9 === 0,
       concat(col("text"), lit(nonBmpSuffix))).otherwise(col("text"))
-    val candidates = drainAvailableNow(spark, documentsPath, "simhash", "append") {
+    // one row per doc by construction — no distinct (and no shuffle) needed
+    val sigs = simhashSigs(
+      derive(spark.read.parquet(documentsPath)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .as[(Long, String)]), salted)
+    // the hamming verify runs distributed INSIDE each micro-batch (both
+    // joins broadcast the one-row-per-doc signature frame) and only the
+    // verified pairs cross to the driver — the memory sink was collecting
+    // ~1.1M candidate events at sf0.1 and re-shuffling them for the joins.
+    // Per-batch is exact: all four bands of a doc arrive in its batch, so a
+    // pair's candidate events complete in the later doc's batch, and the
+    // hamming verdict is per-event (no cross-batch counting at all).
+    val verified = drainAvailableNowAgg(spark, documentsPath, "simhash") {
       streamDir =>
         val docs = derive(spark.readStream.schema(schema).parquet(streamDir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -1245,22 +1257,18 @@ object StreamingOps {
           .select(col("doc_id"), col("band_idx"), col("band_key"))
           .as[(Long, Int, Long)]
         lshCandidateStream(bands, maxBandSize)
+    } { batch =>
+      batch
+        .join(broadcast(sigs.withColumnRenamed("doc_id", "doc_a")
+          .withColumnsRenamed(Map("h32" -> "a32", "h0" -> "a0"))), Seq("doc_a"))
+        .join(broadcast(sigs.withColumnRenamed("doc_id", "doc_b")
+          .withColumnsRenamed(Map("h32" -> "b32", "h0" -> "b0"))), Seq("doc_b"))
+        .select(col("band_idx"), col("doc_a"), col("doc_b"),
+          (bit_count(col("a32").bitwiseXOR(col("b32"))) +
+            bit_count(col("a0").bitwiseXOR(col("b0")))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 3)
     }
-    // one row per doc by construction — no distinct (and no shuffle) needed
-    val sigs = simhashSigs(
-      derive(spark.read.parquet(documentsPath)
-        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-        .as[(Long, String)]), salted)
-    candidates
-      .join(sigs.withColumnRenamed("doc_id", "doc_a")
-        .withColumnsRenamed(Map("h32" -> "a32", "h0" -> "a0")), Seq("doc_a"))
-      .join(sigs.withColumnRenamed("doc_id", "doc_b")
-        .withColumnsRenamed(Map("h32" -> "b32", "h0" -> "b0")), Seq("doc_b"))
-      .select(col("band_idx"), col("doc_a"), col("doc_b"),
-        (bit_count(col("a32").bitwiseXOR(col("b32"))) +
-          bit_count(col("a0").bitwiseXOR(col("b0")))).cast("int").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .orderBy("band_idx", "doc_a", "doc_b")
+    verified.orderBy("band_idx", "doc_a", "doc_b")
   }
 
   /**
