@@ -155,7 +155,7 @@ object BinaryFormatQueries {
         .orderBy("doc_id", "seq")),
 
     "q_partition_odt" -> ((s, dir) =>
-      partitionBinary(docBase(s, dir), CorpusBytes.odt, ConvertedFormats.partitionOdt)
+      partitionBinary(docBase(s, dir), CorpusBytes.odt, ConvertedFormats.partitionOdt(_))
         .select(col("doc_id"), col("seq"), col("element_type"), col("category_depth"),
           col("text"), col("text_as_html"))
         .orderBy("doc_id", "seq")),

@@ -182,7 +182,8 @@ object ConvertedFormats {
    * directly: `text:h` -> Title (outline level -> depth), `text:list` ->
    * ListItems, `table:table` -> Table with HTML, `text:p` -> classifier.
    */
-  def partitionOdt(bytes: Array[Byte]): Seq[RawPara] = {
+  def partitionOdt(bytes: Array[Byte],
+      inferTableStructure: Boolean = true): Seq[RawPara] = {
     val content = zipMembers(bytes, _ == "content.xml").headOption.map(_._2).getOrElse("")
     if (content.isEmpty) return Nil
     val bodyStart = content.indexOf("<office:body>")
@@ -196,7 +197,11 @@ object ConvertedFormats {
         val text = Partitioners.tableText(rows)
         if (text.nonEmpty)
           out += RawPara(text, Some("Table"),
-            textAsHtml = Some(Partitioners.htmlifyMatrix(rows, escapeQuotes = true)))
+            // `infer_table_structure=False` suppresses text_as_html, text
+            // stays (`test_odt.py:108-126`, via the docx broker)
+            textAsHtml = if (inferTableStructure)
+              Some(Partitioners.htmlifyMatrix(rows, escapeQuotes = true))
+            else None)
       } else if (block.startsWith("<text:list")) {
         OdtListItemRe.findAllIn(block).foreach { li =>
           val text = odtText(li)

@@ -120,10 +120,21 @@ object Partitioners {
     * selects the legacy pandas render for wire-compat with old archives. */
   def partitionCsv(text: String, delimiter: Option[Char] = None,
       pandasHtml: Boolean = false,
-      inferTableStructure: Boolean = true): Seq[RawPara] = {
+      inferTableStructure: Boolean = true,
+      includeHeader: Boolean = false): Seq[RawPara] = {
     val d = delimiter.orElse(sniffDelimiter(text)).getOrElse(',')
-    val rows = text.linesIterator.filter(_.nonEmpty).map(parseCsvLine(_, d)).toVector
-    if (rows.isEmpty) return Nil
+    val raw = text.linesIterator.filter(_.nonEmpty).map(parseCsvLine(_, d)).toVector
+    if (raw.isEmpty) return Nil
+    // `include_header=True` reads the first line as pandas column labels —
+    // an EMPTY label becomes `Unnamed: <positional index>` — and the labels
+    // participate in text and text_as_html (`csv.py:28-68`,
+    // `test_csv.py:204-211`); the default drops nothing but treats every
+    // line as data (pandas `header=None`)
+    val rows =
+      if (!includeHeader) raw
+      else raw.head.zipWithIndex.map { case (c, i) =>
+        if (c.trim.isEmpty) s"Unnamed: $i" else c
+      } +: raw.tail
     // `infer_table_structure=False` drops text_as_html (`partition/csv.py:64-99`)
     val html =
       if (!inferTableStructure) None

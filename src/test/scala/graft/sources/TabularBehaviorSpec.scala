@@ -139,6 +139,24 @@ class TabularBehaviorSpec extends AnyFunSuite {
     assert(els.head.textAsHtml.exists(_.contains("<th>Unnamed: 1</th>")))
   }
 
+  // -- test_partition_csv_header (test_csv.py:204-211): the CSV twin of the
+  // xlsx header behavior — pandas column labels join text and html, empty
+  // labels becoming `Unnamed: <index>` --
+  test("csv include_header=true prepends pandas-style column headings") {
+    val text = new String(bytes("stanley-cups.csv"),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val els = Partitioners.partitionCsv(text, includeHeader = true)
+    assert(els.size == 1 && els.head.elementType.contains("Table"))
+    assert(els.head.text ==
+      "Stanley Cups Unnamed: 1 Unnamed: 2 " +
+        "Team Location Stanley Cups Blues STL 1 Flyers PHI 2 Maple Leafs TOR 13")
+    assert(els.head.textAsHtml.isDefined)
+    assert(els.head.textAsHtml.exists(_.contains("Unnamed: 1")))
+    // and the default stays header-less (header=None), unchanged
+    val plain = Partitioners.partitionCsv(text)
+    assert(plain.head.text.startsWith("Stanley Cups Team Location"))
+  }
+
   // -- test_partition_xlsx_with_more_than_1k_cells (test_xlsx.py:291): the
   //    connected-component walk must not blow the stack on a dense sheet --
   test("a worksheet with more than 1k cells partitions without stack overflow") {

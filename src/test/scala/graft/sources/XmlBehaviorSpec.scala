@@ -39,6 +39,32 @@ class XmlBehaviorSpec extends AnyFunSuite {
     assert(texts.contains("Trinidad & Tobado"))
   }
 
+  // -- test_partition_xml_with_narrative_line_breaks (test_xml.py:192-204):
+  // leading text with INTERNAL line breaks stays one element and classifies
+  // through the text cascade — Title for the name, NarrativeText for prose --
+  test("narrative leaf text with internal line breaks stays one NarrativeText") {
+    val xml = """<xml>
+        <parrot>
+            <name>Conure</name>
+            <description>A conure is a very friendly bird.
+            Conures are feathery and like to dance.
+            </description>
+        </parrot>
+    </xml>"""
+    val paras = Partitioners.partitionXml(xml)
+    assert(paras.size == 2, paras.map(_.text))
+    val sp = SparkSuiteBase.session
+    import org.apache.spark.sql.functions.trim
+    val typed = sp.range(1).select(
+      Predicates.classifyText(trim(lit(paras(0).text))).as("a"),
+      Predicates.classifyText(trim(lit(paras(1).text))).as("b"))
+      .collect().head
+    assert(paras(0).text == "Conure" && typed.getString(0) == "Title")
+    assert(paras(1).text.startsWith("A conure is a very friendly bird.") &&
+      paras(1).text.contains("\n"))
+    assert(typed.getString(1) == "NarrativeText")
+  }
+
   test("xml_keep_tags=True keeps the raw markup as one Text element") {
     Seq("factbook.xml", "factbook-utf-16.xml").foreach { f =>
       val paras = Partitioners.partitionXmlKeepTags(decode(f))
