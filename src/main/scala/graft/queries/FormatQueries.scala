@@ -69,6 +69,13 @@ object FormatQueries {
     lit("\"say \"\"hi\"\"\","), w1, lit("\n"),
     lit("plain,"), col("n_chars").cast("string"))
 
+  /** CSV whose header line has EMPTY labels — the `include_header=True`
+    * pandas rendering must surface them as `Unnamed: <index>`. */
+  private def csvHeaderPayload: Column = concat(
+    lit("hdr,,\n"),
+    lit("\"a,"), col("source"), lit("\",w"), col("doc_id").cast("string"), lit(",x\n"),
+    lit("plain,"), col("n_chars").cast("string"), lit(",y"))
+
   /** TSV with an empty middle cell (renders `<td/>`, drops from row text). */
   private def tsvPayload: Column = concat(
     lit("k\tv\tz\n"),
@@ -165,6 +172,16 @@ object FormatQueries {
       partitionRows(
         docs(s, dir).select(col("doc_id"), csvPayload.as("payload")),
         t => Partitioners.partitionCsv(t))
+        .select(col("doc_id"), col("element_type"), col("text"), col("text_as_html"))
+        .orderBy("doc_id")),
+
+    // include_header=True: the first line becomes pandas column labels,
+    // empty labels rendering `Unnamed: <index>`, labels joining text and
+    // html (`csv.py:28-68`, `test_csv.py:204-211`)
+    "q_partition_csv_header" -> ((s, dir) =>
+      partitionRows(
+        docs(s, dir).select(col("doc_id"), csvHeaderPayload.as("payload")),
+        t => Partitioners.partitionCsv(t, includeHeader = true))
         .select(col("doc_id"), col("element_type"), col("text"), col("text_as_html"))
         .orderBy("doc_id")),
 
@@ -290,6 +307,17 @@ object FormatQueries {
          |    '</td><td>w' || doc_id || '</td></tr><tr><td>say "hi"</td><td>' || w1 ||
          |    '</td></tr><tr><td>plain</td><td>' || n_chars || '</td></tr></table>'
          |    AS text_as_html
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_partition_csv_header" ->
+      s"""WITH base AS ($base)
+         |SELECT doc_id, 'Table' AS element_type,
+         |  'hdr Unnamed: 1 Unnamed: 2 a,' || source || ' w' || doc_id ||
+         |    ' x plain ' || n_chars || ' y' AS text,
+         |  '<table><tr><td>hdr</td><td>Unnamed: 1</td><td>Unnamed: 2</td></tr>' ||
+         |    '<tr><td>a,' || source || '</td><td>w' || doc_id ||
+         |    '</td><td>x</td></tr><tr><td>plain</td><td>' || n_chars ||
+         |    '</td><td>y</td></tr></table>' AS text_as_html
          |FROM base ORDER BY doc_id""".stripMargin,
 
     "q_partition_csv_no_html" ->
