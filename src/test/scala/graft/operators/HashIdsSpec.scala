@@ -45,6 +45,20 @@ class HashIdsSpec extends AnyFunSuite {
     assert(ids.intersect(Seq("p0", "c1", "c2")).isEmpty)
   }
 
+  // -- test_assign_hash_ids_leaves_unknown_parent_id_unchanged
+  // (partition/common/test_metadata.py:506-518): a parent filtered out of
+  // the input must not KeyError OR be rewritten --
+  test("an unknown (external/filtered) parent_id survives hash assignment unchanged") {
+    val orphan = text("Orphan", id = "o1",
+      parent = Some("some-external-or-filtered-id"), filename = Some("foo.bar"))
+    val out = MetadataOps.assignHashIds(Seq(orphan))
+    assert(out.head.metadata.parent_id.contains("some-external-or-filtered-id"))
+    // and the id itself is a 32-hex content hash, never a 36-char UUID
+    // (test_metadata.py:521-540's length pin)
+    assert(out.head.element_id.length == 32 &&
+      out.head.element_id.forall(c => c.isDigit || ('a' to 'f').contains(c)))
+  }
+
   // -- test_id_to_hash_calculates (:758) — the parametrized digest table --
   test("id_to_hash digest table: pdf with pages, txt without") {
     def one(t: String, seqOnPage: Int, filename: String, page: Option[Int]): String = {
