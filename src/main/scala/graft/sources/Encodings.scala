@@ -105,8 +105,11 @@ object Encodings {
    * [[java.nio.charset.CharacterCodingException]] instead of silently
    * replacing bytes, and Python's text-mode `utf-16`/`utf-32` codecs demand
    * a BOM ("UTF-16 stream does not start with BOM", a `UnicodeError`) —
-   * mirrored as IllegalArgumentException with that message. A present BOM
-   * is consumed, as a text-mode read's would be.
+   * mirrored as IllegalArgumentException with that message. The unmarked
+   * codecs consume a present BOM; the suffixed (-le/-be) and utf-8 codecs
+   * keep it as content U+FEFF, exactly as Python does — all pinned by the
+   * 2,210-vector `EncodingDifferentialSpec` corpus generated from Python's
+   * own text-mode decode machinery.
    */
   def decodeTextStrict(bytes: Array[Byte], encoding: String): String = {
     if (bytes == null || bytes.isEmpty) return ""
@@ -143,11 +146,29 @@ object Encodings {
           throw new IllegalArgumentException(
             "UTF-32 stream does not start with BOM")
         }
+      case "utf-32-le" | "utf-32-be" =>
+        // JDK quirk: the suffixed UTF-32 decoders CONSUME a leading BOM,
+        // where Python (and the suffixed UTF-16 decoders) keep it as
+        // content U+FEFF — reinstate it
+        val bomLen =
+          if (fe == "utf-32-le" && bytes.length >= 4 && b(0) == 0xff &&
+            b(1) == 0xfe && b(2) == 0 && b(3) == 0) 4
+          else if (fe == "utf-32-be" && bytes.length >= 4 && b(0) == 0 &&
+            b(1) == 0 && b(2) == 0xfe && b(3) == 0xff) 4
+          else 0
+        val dec = strict(charsetOf(fe))
+        if (bomLen > 0 && (dec.isEmpty || dec.charAt(0) != '\uFEFF'))
+          "\uFEFF" + dec
+        else dec
       case other =>
         strict(try Charset.forName(other)
           catch { case _: Exception => charsetOf(other) })
     }
-    // a BOM surviving a BE/LE-suffixed decode is text-mode-stripped too
-    if (out.nonEmpty && out.charAt(0) == '\uFEFF') out.substring(1) else out
+    // NO post-hoc BOM stripping: Python consumes the BOM only in the
+    // unmarked utf-16/utf-32 codecs (which Java's UTF-16/UTF-32 charsets
+    // mirror); a BOM under an explicit -le/-be/utf-8 decode is CONTENT
+    // (U+FEFF), exactly as b"\xef\xbb\xbfx".decode("utf-8") keeps it \u2014
+    // pinned by the 2,210-vector EncodingDifferentialSpec corpus
+    out
   }
 }
