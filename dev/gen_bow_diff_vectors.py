@@ -68,6 +68,38 @@ def rand_text():
     return sep.join(parts)
 
 
+# Phase-2 pools (appended r17): the places a UTF-16 port silently diverges —
+# astral words (surrogate pairs make Java String.length() 2 for a 1-code-point
+# word, flipping the single-char-run logic), Python str.split() whitespace
+# wider than Java regex \\s, and isalnum() edge chars (Nl/No: Java
+# isLetterOrDigit drops them).
+ASTRAL_WORDS = ["\U0001f980", "\U0001f980\U0001f980", "a\U0001f980b",
+                "\U0001d54f", "\U0001d7d8", "\U0001f600", "\U00020000",
+                "\U0001f600\U0001f680", "crab\U0001f980", "\U00010100"]
+ALNUM_EDGE = ["\u00b2", "\u00bd", "\u2162", "\u3007", "\u02b0", "\u2460",
+              "\u00a9", "_", "\u5341"]
+WIDE_WS = ["\u00a0", "\u2009", "\u3000", "\x1c", "\x85", "\u2028", "\u205f"]
+
+
+def rand_text2(rng2):
+    parts = []
+    for _ in range(rng2.randint(1, 10)):
+        r = rng2.random()
+        if r < 0.35:
+            parts.append(rng2.choice(ASTRAL_WORDS))
+        elif r < 0.55:
+            parts.append(rng2.choice(ALNUM_EDGE))
+        elif r < 0.75:
+            parts.append(rng2.choice(WORDS))
+        elif r < 0.85:
+            parts.append(rng2.choice(SPACED))
+        else:
+            parts.append(rng2.choice(BULLETS) + " " + rng2.choice(ASTRAL_WORDS))
+    sep = rng2.choice([" ", rng2.choice(WIDE_WS),
+                       rng2.choice(WIDE_WS) + rng2.choice(WIDE_WS)])
+    return sep.join(parts)
+
+
 def main():
     out = "src/test/resources/graft/refvec/bow_diff.ndjson"
     n = 0
@@ -80,6 +112,17 @@ def main():
                 bow = bag_of_words(text)
             except Exception:
                 continue  # out of contract; draw another case
+            f.write(json.dumps({"input": text, "bow": bow}, ensure_ascii=False) + "\n")
+            n += 1
+        # phase 2: 150 astral / wide-whitespace / isalnum-edge vectors (the
+        # first 500 stay byte-identical — rng untouched)
+        rng2 = random.Random(20260817)
+        while n < 650:
+            text = rand_text2(rng2)
+            try:
+                bow = bag_of_words(text)
+            except Exception:
+                continue
             f.write(json.dumps({"input": text, "bow": bow}, ensure_ascii=False) + "\n")
             n += 1
     print(f"{n} vectors -> {out}")

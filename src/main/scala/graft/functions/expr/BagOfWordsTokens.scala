@@ -38,7 +38,7 @@ case class BagOfWordsTokens(child: Expression) extends UnaryExpression {
 
 object BagOfWordsTokens {
 
-  private def isPunct(c: Char): Boolean = Character.getType(c) match {
+  private def isPunct(cp: Int): Boolean = Character.getType(cp) match {
     case Character.CONNECTOR_PUNCTUATION | Character.DASH_PUNCTUATION |
         Character.START_PUNCTUATION | Character.END_PUNCTUATION |
         Character.INITIAL_QUOTE_PUNCTUATION | Character.FINAL_QUOTE_PUNCTUATION |
@@ -46,22 +46,42 @@ object BagOfWordsTokens {
     case _ => false
   }
 
+  /** Python `str.isalnum()` for one code point: `isalpha` (category L*) or
+    * any of the numeric predicates (categories Nd/Nl/No — `isdecimal`,
+    * `isdigit`, `isnumeric`). Java's `isLetterOrDigit` is narrower (it drops
+    * Nl/No: '²', 'Ⅲ', …) and char-based (astral digits like
+    * U+1D7D8 would misreport as non-alnum). */
+  private def pyIsAlnum(cp: Int): Boolean =
+    Character.isLetter(cp) || (Character.getType(cp) match {
+      case Character.DECIMAL_DIGIT_NUMBER | Character.LETTER_NUMBER |
+          Character.OTHER_NUMBER => true
+      case _ => false
+    })
+
   def tokenSeq(s: String): Seq[String] = {
+    // the reference works on Python code-point strings throughout: lower(),
+    // category-P removal, str.split() whitespace, and len(word) all count
+    // code points — surrogate pairs must never be split or double-counted
     val lowered = s.toLowerCase(java.util.Locale.ROOT)
-    val sb = new StringBuilder(lowered.length)
-    lowered.foreach { c =>
-      if (c == '-' || c == '\'' || !isPunct(c)) sb.append(c)
+    val sb = new java.lang.StringBuilder(lowered.length)
+    var k = 0
+    while (k < lowered.length) {
+      val cp = lowered.codePointAt(k)
+      if (cp == '-' || cp == '\'' || !isPunct(cp)) sb.appendCodePoint(cp)
+      k += Character.charCount(cp)
     }
     val cleaned = graft.functions.Cleaners.cleanBulletsStr(sb.toString)
-    val words = cleaned.split("\\s+").filter(_.nonEmpty)
+    val words = cleaned.split(graft.functions.Cleaners.PySpaceClass + "+")
+      .filter(_.nonEmpty)
+    def cpLen(w: String): Int = w.codePointCount(0, w.length)
     val out = Vector.newBuilder[String]
     var i = 0
     while (i < words.length) {
-      if (words(i).length > 1) { out += words(i); i += 1 }
+      if (cpLen(words(i)) > 1) { out += words(i); i += 1 }
       else {
         var j = i
-        while (j < words.length && words(j).length == 1) j += 1
-        if (j - i == 1 && Character.isLetterOrDigit(words(i).charAt(0)))
+        while (j < words.length && cpLen(words(j)) == 1) j += 1
+        if (j - i == 1 && pyIsAlnum(words(i).codePointAt(0)))
           out += words(i)
         i = j
       }

@@ -40,10 +40,18 @@ case class WeightedLevenshtein(left: Expression, right: Expression,
 object WeightedLevenshtein {
 
   /** Transform `a` INTO `b`: inserting a char of `b` costs `ins`, deleting a char
-    * of `a` costs `del`, substitution costs `sub` (python-Levenshtein semantics). */
+    * of `a` costs `del`, substitution costs `sub` (python-Levenshtein semantics).
+    *
+    * Computed over CODE POINTS, not UTF-16 units — Python strings are
+    * code-point sequences, so a surrogate pair (emoji, the U+1F676..78 quote
+    * ornaments `standardize_quotes` itself translates) must count as ONE
+    * position or every astral char inflates the distance and the
+    * `len(source)` score denominator. */
   def distance(a: String, b: String, ins: Int, del: Int, sub: Int): Long = {
-    val n = a.length
-    val m = b.length
+    val aa = a.codePoints().toArray
+    val bb = b.codePoints().toArray
+    val n = aa.length
+    val m = bb.length
     if (n == 0) return ins.toLong * m
     if (m == 0) return del.toLong * n
     var prev = new Array[Long](m + 1)
@@ -53,10 +61,10 @@ object WeightedLevenshtein {
     var i = 1
     while (i <= n) {
       cur(0) = del.toLong * i
-      val ca = a.charAt(i - 1)
+      val ca = aa(i - 1)
       j = 1
       while (j <= m) {
-        val costSub = prev(j - 1) + (if (ca == b.charAt(j - 1)) 0L else sub.toLong)
+        val costSub = prev(j - 1) + (if (ca == bb(j - 1)) 0L else sub.toLong)
         val costDel = prev(j) + del
         val costIns = cur(j - 1) + ins
         cur(j) = math.min(costSub, math.min(costDel, costIns))

@@ -13,10 +13,13 @@ import graft.functions.expr.WeightedLevenshtein
 object TextExtractionMetrics {
 
   /** `prepare_str` (`text_extraction.py:206-211`): null-safe; optionally
-    * collapses all whitespace runs to single spaces and trims. */
+    * collapses all whitespace runs to single spaces and trims. The collapse is
+    * Python `str.split()` — its whitespace set ([[Cleaners.PySpaceClass]]:
+    * \x1C-\x1F, NEL, NBSP, U+2028/29, …) is wider than Java regex `\s`. */
   def prepareStr(s: String, standardizeWhitespaces: Boolean = false): String =
     if (s == null || s.isEmpty) ""
-    else if (standardizeWhitespaces) s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    else if (standardizeWhitespaces)
+      s.split(Cleaners.PySpaceClass + "+").filter(_.nonEmpty).mkString(" ")
     else s
 
   /** `standardize_quotes` (`text_extraction.py:214-224`) at the string level —
@@ -39,15 +42,19 @@ object TextExtractionMetrics {
     * source scores 0 rather than dividing by zero). */
   def calculateEditDistance(output: String, source: String,
       returnAs: String = "distance",
-      standardizeWhitespaces: Boolean = true): Double = {
+      standardizeWhitespaces: Boolean = true,
+      weights: (Int, Int, Int) = (2, 1, 1)): Double = {
     require(returnAs == "score" || returnAs == "distance",
       s"Invalid return value type. Expected one of: score, distance; got $returnAs")
     val o = standardizeQuotes(prepareStr(output, standardizeWhitespaces))
     val s = standardizeQuotes(prepareStr(source, standardizeWhitespaces))
-    val distance = WeightedLevenshtein.distance(o, s, 2, 1, 1).toDouble
+    val distance = WeightedLevenshtein
+      .distance(o, s, weights._1, weights._2, weights._3).toDouble
     if (returnAs == "distance") distance
     else {
-      val bounded = math.min(math.max(distance / math.max(s.length, 1.0), 0.0), 1.0)
+      // len(source) is CODE POINTS in Python — codePointCount, not length
+      val srcLen = s.codePointCount(0, s.length)
+      val bounded = math.min(math.max(distance / math.max(srcLen, 1.0), 0.0), 1.0)
       1.0 - bounded
     }
   }
@@ -62,7 +69,8 @@ object TextExtractionMetrics {
     val s = standardizeQuotes(prepareStr(source, standardizeWhitespaces))
     val distance = graft.functions.expr.WeightedLevenshtein
       .distance(o, s, weights._1, weights._2, weights._3).toDouble
-    1.0 - math.min(math.max(distance / math.max(s.length, 1.0), 0.0), 1.0)
+    val srcLen = s.codePointCount(0, s.length)
+    1.0 - math.min(math.max(distance / math.max(srcLen, 1.0), 0.0), 1.0)
   }
 
   /**

@@ -8,18 +8,22 @@ import graft.SparkSuiteBase
 /**
  * Differential fuzz against the reference `bag_of_words`
  * (`metrics/text_extraction.py:123`): `dev/gen_bow_diff_vectors.py` ran the
- * reference over 500 seeded adversarial inputs (bullets, spaced-out
+ * reference over 650 seeded adversarial inputs (bullets, spaced-out
  * single-char runs, in-word apostrophes/hyphens, unicode words, sentence
- * punctuation) and pinned (input, bag) pairs to `refvec/bow_diff.ndjson`.
+ * punctuation; plus an astral / wide-whitespace / isalnum-edge phase — the
+ * code-point traps a UTF-16 port can miss: surrogate-pair words flip the
+ * single-char-run logic, Python str.split() whitespace is wider than Java
+ * regex \s, and Nl/No chars are isalnum) and pinned (input, bag) pairs to
+ * `refvec/bow_diff.ndjson`.
  * This spec replays every case through the native
- * [[graft.functions.expr.BagOfWordsTokens]] expression (one job for all 500)
+ * [[graft.functions.expr.BagOfWordsTokens]] expression (one job for all 650)
  * and asserts identical bags.
  */
 class BagOfWordsDifferentialSpec extends SparkSuiteBase {
 
   private val vecPath = "src/test/resources/graft/refvec/bow_diff.ndjson"
 
-  test("500 reference bag_of_words vectors reproduce exactly") {
+  test("650 reference bag_of_words vectors reproduce exactly") {
     val sp = spark
     val schema = StructType(Seq(
       StructField("input", StringType),
@@ -28,7 +32,7 @@ class BagOfWordsDifferentialSpec extends SparkSuiteBase {
       .collect().map(r => r.getString(0) ->
         (if (r.isNullAt(1)) Map.empty[String, Int]
          else r.getMap[String, Int](1).toMap))
-    assert(expected.length == 500)
+    assert(expected.length == 650)
     val inputs = expected.map(_._1)
     val got = sp.createDataFrame(
         sp.sparkContext.parallelize(
