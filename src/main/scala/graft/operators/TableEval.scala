@@ -54,12 +54,23 @@ object TableEval {
   // ------------------------------------------------------------ difflib kernel
 
   /** `difflib.SequenceMatcher(None, a, b).ratio()` — Ratcliff-Obershelp with
-    * the autojunk popularity rule on `b`. */
+    * the autojunk popularity rule on `b`. Elements are CODE POINTS (Python
+    * strings), not UTF-16 units: unit-level matching would let two different
+    * astral chars "half-match" through a shared high surrogate, and the
+    * ratio denominator / autojunk length threshold would both miscount. */
   def sequenceRatio(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
-    val b2j = mutable.Map.empty[Char, mutable.ArrayBuffer[Int]]
-    b.zipWithIndex.foreach { case (c, i) =>
-      b2j.getOrElseUpdate(c, mutable.ArrayBuffer.empty) += i
+    val aCp = a.codePoints().toArray
+    val bCp = b.codePoints().toArray
+    sequenceRatioCp(aCp, bCp)
+  }
+
+  private def sequenceRatioCp(a: Array[Int], b: Array[Int]): Double = {
+    val b2j = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+    var bi = 0
+    while (bi < b.length) {
+      b2j.getOrElseUpdate(b(bi), mutable.ArrayBuffer.empty) += bi
+      bi += 1
     }
     if (b.length >= 200) { // autojunk: drop elements above 1% popularity
       val ntest = b.length / 100 + 1
@@ -75,7 +86,7 @@ object TableEval {
       var i = alo
       while (i < ahi) {
         val newj2len = mutable.Map.empty[Int, Int]
-        b2j.getOrElse(a.charAt(i), Nil).foreach { j =>
+        b2j.getOrElse(a(i), Nil).foreach { j =>
           if (j >= blo && j < bhi) {
             val k = j2len.getOrElse(j - 1, 0) + 1
             newj2len(j) = k
@@ -84,6 +95,21 @@ object TableEval {
         }
         j2len = newj2len.toMap
         i += 1
+      }
+      // CPython find_longest_match's extension phases (difflib.py): an
+      // autojunk-POPULAR element is removed from b2j so it cannot SEED a
+      // match, but an anchored match (or the empty anchor at (alo, blo))
+      // still EXTENDS through equal elements missing from b2j — without
+      // this, two long strings of all-popular chars score 0.0 where the
+      // reference scores their common run. With junk=None the b-junk set is
+      // empty, so the "non-junk then junk" extension pair collapses to one
+      // unconditional equal-extension in each direction.
+      while (besti > alo && bestj > blo && a(besti - 1) == b(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+          a(besti + bestsize) == b(bestj + bestsize)) {
+        bestsize += 1
       }
       (besti, bestj, bestsize)
     }
@@ -102,24 +128,50 @@ object TableEval {
     2.0 * matches / (a.length + b.length)
   }
 
-  /** `difflib.get_close_matches(word, possibilities, n=1, cutoff)` — index of
-    * the best possibility with ratio >= cutoff, or -1. Ties keep the earliest
-    * (Python's heapq.nlargest is stable). */
+  /** `difflib.get_close_matches(word, possibilities, n=1, cutoff)` followed by
+    * `possibilities.index(match)` — the reference's alignment idiom. The
+    * winner is the max by `(ratio, candidate)` tuple (heapq.nlargest compares
+    * the CANDIDATE STRING on ratio ties, code-point order — not first-wins),
+    * and `.index` then returns that string's FIRST occurrence. -1 when
+    * nothing reaches the cutoff. */
   def closestIndex(word: String, possibilities: Seq[String], cutoff: Double): Int = {
-    var best = -1
-    var bestRatio = 0.0
-    possibilities.zipWithIndex.foreach { case (p, i) =>
+    var bestStr: String = null
+    var bestRatio = -1.0
+    possibilities.foreach { p =>
       val r = sequenceRatio(p, word)
-      if (r >= cutoff && r > bestRatio) { best = i; bestRatio = r }
+      if (r >= cutoff &&
+          (r > bestRatio || (r == bestRatio && cpCompare(p, bestStr) > 0))) {
+        bestStr = p
+        bestRatio = r
+      }
     }
-    best
+    if (bestStr == null) -1 else possibilities.indexOf(bestStr)
   }
 
   /** `fuzz.token_sort_ratio` on 0..100: ratio over whitespace-token-sorted
-    * strings. */
+    * strings. The split is Python whitespace ([[graft.functions.Cleaners.PySpaceClass]]
+    * — an HTML table's NBSP cells must tokenize as the reference does). */
   def tokenSortRatio(a: String, b: String): Double = {
-    def norm(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty).sorted.mkString(" ")
+    def norm(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+      .split(graft.functions.Cleaners.PySpaceClass + "+")
+      .filter(_.nonEmpty).sortWith(cpCompare(_, _) < 0).mkString(" ")
     sequenceRatio(norm(a), norm(b)) * 100.0
+  }
+
+  /** Python `sorted()` compares strings by CODE POINT; Java's natural String
+    * ordering compares UTF-16 units, which ranks every astral char BELOW
+    * U+E000..FFFF instead of above. */
+  private def cpCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
   }
 
   // ------------------------------------------------------------ alignment
