@@ -180,12 +180,33 @@ def main():
         add("extract_datetimetz", extract.extract_datetimetz, t)
     # quoted-printable / mojibake decoders and the index-run whitespace collapse
     qp_inputs = ["hello=21", "caf=C3=A9 time", "a =3D b", "plain text", "100=25 sure",
-                 "bad =ZZ escape", "=C2=A0nbsp lead", "multi=0Aline"]
+                 "bad =ZZ escape", "=C2=A0nbsp lead", "multi=0Aline",
+                 # binascii.a2b_qp edge semantics (r17): '==' consumes both
+                 # and emits one '=', trailing '=' drops, invalid escapes emit
+                 # '=' and re-examine, '=\r' swallows through the next LF,
+                 # lowercase hex decodes, non-ASCII literals re-encode in the
+                 # target charset first, strict final decode can raise
+                 "==41AB", "=", "x=", "=A", "= A", "=3", "a=\rjunk\nb",
+                 "a=\r\nb", "soft=\nbreak", "=e2=80=99low", "\u00e9=C3=A9",
+                 "\U0001f980=21", "=FF bad utf8", "==", "===41"]
     for t in qp_inputs:
         add("replace_mime_encodings_utf8", core.replace_mime_encodings, t)
-    moji = ["caf\xc3\xa9", "na\xc3\xafve", "plain", "\xe2\x80\x99quoted\xe2\x80\x99"]
+    for t in qp_inputs:
+        add("replace_mime_encodings_latin1", core.replace_mime_encodings, t,
+            encoding="latin-1")
+    heb = ["=EE=E0=E9=E4 shalom", "\u05e9=E9", "plain", "=", "==E0"]
+    for t in heb:
+        add("replace_mime_encodings_iso8859_8", core.replace_mime_encodings, t,
+            encoding="iso-8859-8")
+    moji = ["caf\xc3\xa9", "na\xc3\xafve", "plain", "\xe2\x80\x99quoted\xe2\x80\x99",
+            # ord(c) > 255 raises ValueError; invalid utf-8 bytes raise
+            # UnicodeDecodeError; both must be errors, not silent garbage
+            "\u0100high", "\U0001f980astral", "bad\xff utf8", "\xc3"]
     for t in moji:
         add("bytes_string_to_string_utf8", core.bytes_string_to_string, t)
+    for t in moji:
+        add("bytes_string_to_string_latin1", core.bytes_string_to_string, t,
+            encoding="latin-1")
     for t in inputs[::8]:
         cleaned, moved = core.clean_extra_whitespace_with_index_run(t)
         CASES.append({"fn": "ws_index_run", "input": t, "kind": "l",

@@ -253,16 +253,54 @@ object Cleaners {
     java.nio.charset.Charset.forName(e)
   }
 
+  /** Python `str.encode(cs)` / `bytes.decode(cs)` are STRICT — Java's
+    * `getBytes(cs)` silently writes `?` for unencodable chars and
+    * `new String(bytes, cs)` writes U+FFFD for malformed input, so both
+    * round-trip legs go through REPORT-mode coders (UnicodeEncodeError /
+    * UnicodeDecodeError surface as CharacterCodingException). */
+  private def encodeStrict(text: String, cs: java.nio.charset.Charset): Array[Byte] = {
+    val buf = cs.newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      .encode(java.nio.CharBuffer.wrap(text))
+    val out = new Array[Byte](buf.remaining())
+    buf.get(out)
+    out
+  }
+
+  private def decodeStrict(bytes: Array[Byte], cs: java.nio.charset.Charset): String =
+    cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+
+  /** `replace_mime_encodings` — `core.py:358-366`:
+    * `quopri.decodestring(text.encode(enc)).decode(enc)` — the text is
+    * re-encoded in the TARGET encoding before QP decode (a latin-1 literal
+    * 'é' must contribute the byte E9, not its UTF-8 pair), and both legs are
+    * strict. */
   def replaceMimeEncodings(text: String, encoding: String = "utf-8"): String = {
-    val raw = graft.sources.Partitioners.decodeQuotedPrintableBytes(text)
-    new String(raw, formatEncodingStr(encoding))
+    val cs = formatEncodingStr(encoding)
+    decodeStrict(
+      graft.sources.Partitioners.quopriDecode(encodeStrict(text, cs)), cs)
   }
 
   /** `bytes_string_to_string` — mojibake repair: chars reinterpreted as raw bytes
-    * then decoded with `encoding` (`core.py:432-437`). */
+    * then decoded with `encoding` (`core.py:432-437`). `bytes([ord(c) ...])`
+    * raises ValueError for any char above U+00FF — truncating would decode
+    * garbage where the reference errors. */
   def bytesStringToString(text: String, encoding: String = "utf-8"): String = {
-    val bytes = text.map(_.toByte).toArray
-    new String(bytes, formatEncodingStr(encoding))
+    val bytes = new Array[Byte](text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c > 0xFF)
+        throw new IllegalArgumentException(
+          s"bytes must be in range(0, 256): ${c.toInt}")
+      bytes(i) = c.toByte
+      i += 1
+    }
+    decodeStrict(bytes, formatEncodingStr(encoding))
   }
 
   /**

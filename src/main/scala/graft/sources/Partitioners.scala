@@ -188,23 +188,41 @@ object Partitioners {
     }
   }
 
-  def decodeQuotedPrintableBytes(s: String): Array[Byte] = {
-    val src = s.replace("=\r\n", "").replace("=\n", "")
-    val bytes = mutable.ArrayBuffer.empty[Byte]
+  def decodeQuotedPrintableBytes(s: String): Array[Byte] =
+    quopriDecode(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** `binascii.a2b_qp(data, header=False)` — the kernel under Python's
+    * `quopri.decodestring` and the email package's QP body decode. The edge
+    * semantics matter: a trailing `=` is DROPPED, `==` emits one `=` without
+    * consuming what follows (so `==AB` is `=AB`, not `=\xAB`), `=` before
+    * CR/LF swallows the soft line break through the next LF, and `=` before
+    * anything that is not two hex digits emits `=` and re-examines the next
+    * byte. */
+  def quopriDecode(data: Array[Byte]): Array[Byte] = {
+    @inline def isHex(b: Byte): Boolean =
+      (b >= '0' && b <= '9') || (b >= 'A' && b <= 'F') || (b >= 'a' && b <= 'f')
+    @inline def hexVal(b: Byte): Int =
+      if (b <= '9') b - '0' else (b | 0x20) - 'a' + 10
+    val out = mutable.ArrayBuffer.empty[Byte]
     var i = 0
-    while (i < src.length) {
-      val c = src.charAt(i)
-      if (c == '=' && i + 3 <= src.length) {
-        scala.util.Try(Integer.parseInt(src.substring(i + 1, i + 3), 16)) match {
-          case scala.util.Success(v) => bytes += v.toByte; i += 3
-          case _ => bytes += c.toByte; i += 1
-        }
-      } else {
-        bytes ++= c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = data.length
+    while (i < n) {
+      val c = data(i)
+      if (c == '=') {
         i += 1
-      }
+        if (i >= n) ()                       // trailing '=' dropped
+        else if (data(i) == '\n') i += 1     // soft break
+        else if (data(i) == '\r') {          // soft break, CRLF or bare CR+junk
+          while (i < n && data(i) != '\n') i += 1
+          if (i < n) i += 1
+        } else if (data(i) == '=') { out += '='.toByte; i += 1 }
+        else if (i + 1 < n && isHex(data(i)) && isHex(data(i + 1))) {
+          out += ((hexVal(data(i)) << 4) | hexVal(data(i + 1))).toByte
+          i += 2
+        } else out += '='.toByte             // invalid escape: '=' only, re-examine next
+      } else { out += c; i += 1 }
     }
-    bytes.toArray
+    out.toArray
   }
 
   def decodeQuotedPrintable(s: String): String =

@@ -180,6 +180,47 @@ class CleanerDifferentialSpec extends SparkSuiteBase {
   test("bytes_string_to_string matches the reference")(
     runString("bytes_string_to_string_utf8", t => Cleaners.bytesStringToString(t)))
 
+  // r17: binascii.a2b_qp edge semantics ('==', trailing '=', '=\r' soft
+  // breaks, lowercase hex) and the target-charset literal re-encode — pinned
+  // across three encodings
+  test("replace_mime_encodings (latin-1) matches the reference")(
+    runString("replace_mime_encodings_latin1",
+      t => Cleaners.replaceMimeEncodings(t, "latin-1")))
+  test("replace_mime_encodings (iso-8859-8) matches the reference")(
+    runString("replace_mime_encodings_iso8859_8",
+      t => Cleaners.replaceMimeEncodings(t, "iso-8859-8")))
+  test("bytes_string_to_string (latin-1) matches the reference")(
+    runString("bytes_string_to_string_latin1",
+      t => Cleaners.bytesStringToString(t, "latin-1")))
+
+  test("mime/bytes error rows raise here too (UnicodeError <-> " +
+      "CharacterCodingException, ValueError <-> IllegalArgumentException)") {
+    val fns: Map[String, String => String] = Map(
+      "replace_mime_encodings_utf8" -> (t => Cleaners.replaceMimeEncodings(t)),
+      "replace_mime_encodings_latin1" ->
+        (t => Cleaners.replaceMimeEncodings(t, "latin-1")),
+      "replace_mime_encodings_iso8859_8" ->
+        (t => Cleaners.replaceMimeEncodings(t, "iso-8859-8")),
+      "bytes_string_to_string_utf8" -> (t => Cleaners.bytesStringToString(t)),
+      "bytes_string_to_string_latin1" ->
+        (t => Cleaners.bytesStringToString(t, "latin-1")))
+    var checked = 0
+    fns.foreach { case (fn, f) =>
+      byFn.getOrElse(fn, Vector.empty).filter(_._2 == "error").foreach {
+        case (in, _, out) =>
+          val e = intercept[Exception](f(in))
+          val ok = out.head.getOrElse("") match {
+            case "ValueError" => e.isInstanceOf[IllegalArgumentException]
+            case _ => e.isInstanceOf[java.nio.charset.CharacterCodingException]
+          }
+          assert(ok, s"$fn <${esc(in.take(40))}>: expected ${out.head} " +
+            s"analogue, got ${e.getClass.getName}")
+          checked += 1
+      }
+    }
+    assert(checked == 8) // the corpus pins exactly 8 raising rows
+  }
+
   test("clean_extra_whitespace_with_index_run matches the reference") {
     val cases = byFn("ws_index_run")
     val failures = mutable.ArrayBuffer[String]()
