@@ -24,6 +24,10 @@ import graft.model._
 object ElementJson {
 
   def esc(s: String): String = {
+    // exact python json.dumps(ensure_ascii=False) escape set: the five
+    // C-escape shorthands (incl. \b and \f — not /), \uXXXX for
+    // the remaining C0 controls, DEL and above raw; astral chars ride as
+    // surrogate pairs here and become 4-byte UTF-8 at the write
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -31,6 +35,8 @@ object ElementJson {
       case '\n' => sb.append("\\n")
       case '\r' => sb.append("\\r")
       case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
       case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }

@@ -42,6 +42,36 @@ class ElementSinkSpec extends SparkSuiteBase {
     assert(byId("id1").metadata.is_continuation.isEmpty)
   }
 
+  // r17: the wire under astral + control content. Python json.dumps
+  // (ensure_ascii=False) writes \b \f shorthands, \uXXXX for other C0
+  // controls, DEL and astral RAW (4-byte UTF-8 via the surrogate pair) —
+  // esc must match byte-for-byte and the parser must invert it.
+  test("astral and control chars survive the ndjson wire and codec byte-exactly") {
+    import spark.implicits._
+    val gnarly = "crab 🦀 bell\b feed\f del unit " +
+      "clef 𝄞 quote” nbsp end"
+    assert(ElementJson.esc(gnarly) ==
+      "crab 🦀 bell\\b feed\\f del unit\\u0001 " +
+        "clef 𝄞 quote” nbsp end")
+    val els = Seq(
+      Element("a1", ElementType.NarrativeText, gnarly, "d9", 1,
+        ElementMetadata(filename = Some("emoji-🦀.txt"),
+          link_texts = Some(Seq("😀 link")))),
+      Element("a2", ElementType.Title, "plain", "d9", 2, ElementMetadata()))
+    val dir = Files.createTempDirectory("graft-astral").toString
+    ElementSink.writeNdjson(els.toDS(), dir)
+    val back = ElementSink.readNdjson(spark, dir).collect().sortBy(_.element_id)
+    assert(back(0).text == gnarly)
+    assert(back(0).metadata.filename.contains("emoji-🦀.txt"))
+    assert(back(0).metadata.link_texts.contains(Seq("😀 link")))
+    // re-serialization is a fixpoint (byte-identical lines)
+    assert(els.map(ElementJson.elementJson).sorted.toSeq ==
+      ElementSink.toNdjson(back.toSeq.toDS()).collect().sorted.toSeq)
+    // the zlib orig_elements codec carries the same bytes
+    val enc = ElementJson.encodeOrigElements(els)
+    assert(ElementJson.decodeOrigElementsJson(enc).contains("🦀"))
+  }
+
   test("sparse json omits unpopulated fields") {
     val j = ElementJson.elementJson(sampleElements.head)
     assert(!j.contains("parent_id") && !j.contains("is_continuation"))
