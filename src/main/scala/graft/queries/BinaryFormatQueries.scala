@@ -669,7 +669,11 @@ object BinaryFormatQueries {
       val typed = raw.select(
         col("doc_id"), col("seq"),
         coalesce(col("raw_type"), derived).as("element_type"),
-        col("raw_text").as("text"),
+        // element_from_text bullet-cleans ListItems (text.py:124-127), same
+        // as the eml route — the msg body rides the identical text cascade
+        when(col("raw_type").isNull && derived === "ListItem",
+          graft.functions.Cleaners.cleanBullets(col("raw_text")))
+          .otherwise(col("raw_text")).as("text"),
         col("subject"), col("sent_from"), col("sent_to"))
         .filter(col("element_type").isNotNull && col("text") =!= "")
       TextSource.resequence(typed).orderBy("doc_id", "seq")

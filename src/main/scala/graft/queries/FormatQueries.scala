@@ -162,10 +162,14 @@ object FormatQueries {
             }
           }
           main ++ atts
-        }.toDF("doc_id", "part", "seq", "text", "attached_to")
+        }.toDF("doc_id", "part", "seq", "raw_text", "attached_to")
+      val tpe = graft.functions.Predicates.classifyText(col("raw_text"))
       raw.select(col("doc_id"), col("part"), col("seq"),
-        graft.functions.Predicates.classifyText(col("text")).as("element_type"),
-        col("text"), col("attached_to"))
+        tpe.as("element_type"),
+        when(tpe === "ListItem",
+          graft.functions.Cleaners.cleanBullets(col("raw_text")))
+          .otherwise(col("raw_text")).as("text"),
+        col("attached_to"))
         .orderBy("doc_id", "part", "seq")
     }),
     "q_partition_csv" -> ((s, dir) =>
@@ -266,7 +270,11 @@ object FormatQueries {
       val typed = raw.select(
         col("doc_id"), col("seq"),
         coalesce(col("raw_type"), derived).as("element_type"),
-        col("raw_text").as("text"),
+        // element_from_text bullet-cleans ListItems (text.py:124-127) — the
+        // whole-message differential corpus pins this leg of the pipeline
+        when(col("raw_type").isNull && derived === "ListItem",
+          graft.functions.Cleaners.cleanBullets(col("raw_text")))
+          .otherwise(col("raw_text")).as("text"),
         col("subject"), col("sent_from"), col("sent_to"), col("message_id"))
         .filter(col("element_type").isNotNull && col("text") =!= "")
       TextSource.resequence(typed).orderBy("doc_id", "seq")
