@@ -96,6 +96,12 @@ def find_quiet(new_round):
 def load_quiet(path):
     try:
         d = json.load(open(path))
+        # provenance breadcrumb (records written by bench_quiet.sh since r17
+        # carry the tree they measured — minima are only comparable across
+        # identical code, and "same round" is weaker than "same tree")
+        if d.get("tree"):
+            print("quiet record %s measured tree %s" % (path, d["tree"]),
+                  file=sys.stderr)
         return {k: float(v) for k, v in d.get("queries", {}).items()}
     except Exception:
         return {}

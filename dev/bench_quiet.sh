@@ -83,8 +83,19 @@ queries = {}
 for r in runs:
     for q, s in r.get("queries", {}).items():
         queries[q] = min(queries.get(q, float("inf")), float(s))
+# record WHICH tree these minima measured: per-query minima are only
+# mergeable/comparable across runs of identical code, and "same round" is
+# a weaker check than "same tree" (this round nearly merged two sweeps
+# that differed by three queries' code)
+import subprocess
+try:
+    tree = subprocess.run(["git", "describe", "--always", "--dirty"],
+                          capture_output=True, text=True).stdout.strip()
+except Exception:
+    tree = None
 rec = {"metric": "quiet_min", "unit": "sec", "runs": len(runs),
-       "sf": runs[0].get("sf"), "value": round(sum(queries.values()), 3),
+       "sf": runs[0].get("sf"), "tree": tree,
+       "value": round(sum(queries.values()), 3),
        "queries": {q: round(s, 3) for q, s in sorted(queries.items())}}
 with open(out, "w") as fh:
     json.dump(rec, fh, indent=1)
