@@ -187,23 +187,53 @@ def esc(s):
                    for i in range(0, len(units), 2))
 
 
+def build_alternative(rng):
+    """multipart/alternative with BOTH text/plain and text/html parts — used
+    with content_source="text/plain" so the preference logic (not the stubbed
+    html partitioner) is what gets exercised: the reference must pick the
+    plain part even though html is present and listed second."""
+    frm = rng.choice(FROMS)
+    subj = rng.choice(SUBJECTS)
+    body = rng.choice([b for b in BODY_TEXTS if b.strip()])
+    boundary = f"ALT{rng.randrange(10**6)}"
+    charset = "utf-8"
+    enc = rng.choice(["quoted-printable", "base64"])
+    payload = (qp_encode(body, charset) if enc == "quoted-printable"
+               else b64_encode(body, charset))
+    html = "<html><body><p>ignored html twin</p></body></html>"
+    order_plain_first = rng.random() < 0.5
+    plain_part = [f"--{boundary}",
+                  f"Content-Type: text/plain; charset={charset}",
+                  f"Content-Transfer-Encoding: {enc}", "", payload]
+    html_part = [f"--{boundary}", "Content-Type: text/html", "", html]
+    parts = (plain_part + html_part) if order_plain_first else (html_part + plain_part)
+    lines = [f"From: {frm}", "To: dest@example.com", f"Subject: {subj}",
+             "Date: Mon, 17 Aug 2026 10:00:00 +0000", "MIME-Version: 1.0",
+             f'Content-Type: multipart/alternative; boundary="{boundary}"', ""]
+    return "\r\n".join(lines + parts + [f"--{boundary}--", ""])
+
+
 def main():
     rng = random.Random(20260821)
-    msgs = [build_message(rng) for _ in range(160)]
+    msgs = [(build_message(rng), "text/html") for _ in range(160)]
+    rng2 = random.Random(20260822)
+    msgs += [(build_alternative(rng2), "text/plain") for _ in range(40)]
     n = 0
     with open(OUT, "w") as fh:
-        for raw in msgs:
+        for raw, content_source in msgs:
             # process_attachments=False: the attachment recursion routes
             # through partition.auto (filetype lib, unavailable) and is
             # pinned separately by the attachment queries — this corpus pins
             # the MESSAGE pipeline, incl. skipping attachment parts when
             # selecting the body
             els = partition_email(file=io.BytesIO(raw.encode("ascii")),
+                                  content_source=content_source,
                                   process_attachments=False,
                                   languages=[""])
             md = els[0].metadata if els else None
             rec = {
                 "raw": esc(raw),
+                "content_source": content_source,
                 "elements": [[e.category, esc(e.text)] for e in els],
                 "sent_from": [esc(x) for x in (md.sent_from or [])] if md else [],
                 "sent_to": [esc(x) for x in (md.sent_to or [])] if md else [],

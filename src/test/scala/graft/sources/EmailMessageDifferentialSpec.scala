@@ -12,7 +12,10 @@ import graft.{SparkSuiteBase, TestEscapes}
  * body-part selection skipping attachment parts, content-transfer decode
  * (7bit/QP/base64 × utf-8/latin-1/iso-8859-8), partition_text over the
  * body, RFC-2047 header decoding into per-element message metadata — over
- * 160 seeded ASCII-wire messages and pinned the element stream plus
+ * 200 seeded ASCII-wire messages (160 single/mixed-part plus 40
+ * multipart/alternative replayed with content_source="text/plain", pinning
+ * the body-preference logic: the plain part wins in either part order even
+ * though html is present) and pinned the element stream plus
  * sent_from/sent_to/cc/bcc/subject/message_id.
  *
  * The header corpus pins field decoding and the QP rows pin the transfer
@@ -25,7 +28,7 @@ class EmailMessageDifferentialSpec extends SparkSuiteBase {
 
   private val vecPath = "src/test/resources/graft/refvec/email_message_diff.ndjson"
 
-  test("160 whole-message partition_email vectors reproduce exactly") {
+  test("200 whole-message partition_email vectors reproduce exactly") {
     val sp = spark
     import sp.implicits._
     val schema = StructType(Seq(
@@ -36,16 +39,18 @@ class EmailMessageDifferentialSpec extends SparkSuiteBase {
       StructField("cc", ArrayType(StringType)),
       StructField("bcc", ArrayType(StringType)),
       StructField("subject", StringType),
-      StructField("message_id", StringType)))
+      StructField("message_id", StringType),
+      StructField("content_source", StringType)))
     val rows = sp.read.schema(schema).json(vecPath).collect()
-    assert(rows.length == 160)
+    assert(rows.length == 200)
     def arr(r: org.apache.spark.sql.Row, i: Int): Vector[String] =
       if (r.isNullAt(i)) Vector.empty
       else r.getSeq[String](i).toVector.map(TestEscapes.unescape)
 
     // metadata + untyped paragraphs, scalar side
     val parsed = rows.map { r => Partitioners.partitionEmail(
-      TestEscapes.unescape(r.getString(0))) }
+      TestEscapes.unescape(r.getString(0)),
+      contentSource = r.getString(8)) }
 
     // classify every paragraph in ONE job through the production cascade,
     // with the reference's ListItem bullet-clean
@@ -95,7 +100,7 @@ class EmailMessageDifferentialSpec extends SparkSuiteBase {
       }
     }
     if (failures.nonEmpty)
-      fail(s"${failures.length} divergences over 160 messages:\n" +
+      fail(s"${failures.length} divergences over 200 messages:\n" +
         failures.take(6).mkString("\n"))
   }
 }
