@@ -85,7 +85,7 @@ def ratio_cases():
     ]
     out = list(hand)
     for _ in range(220):
-        pool = random.choice(POOLS) if rng.random() < 0.5 else None
+        pool = rng.choice(POOLS) if rng.random() < 0.5 else None
         a = rand_text(rng, rng.randrange(0, 40), pool)
         b = mutate(rng, a) if rng.random() < 0.6 else rand_text(
             rng, rng.randrange(0, 40), pool)

@@ -194,10 +194,32 @@ def build_eml(case):
     return "\r\n".join(h) + "\r\n\r\n" + body
 
 
+# r17: malformed RFC-2047 Q-runs — the stdlib header decoder is
+# email._encoded_words.decode_q (a plain =HH regex substitution), NOT the
+# body's a2b_qp: '==41' decodes to '=A', a trailing '=' survives, '=4'
+# stays literal. A port that shares one QP kernel between headers and
+# bodies diverges on every one of these.
+MALFORMED_Q = ["=?utf-8?q?==41?=", "=?utf-8?q?abc=?=", "=?utf-8?q?=4?=",
+               "=?utf-8?q?=G5x?=", "=?utf-8?q?a_b=e9?=", "=?utf-8?q?==?=",
+               "=?iso-8859-1?q?=E9==E9?=", "=?utf-8?q?=e2=80=99low?="]
+
+
+def build_malformed_eml(j, qw):
+    h = ["From: " + qw + " <weird@example.com>",
+         "To: dest@example.com",
+         "Subject: " + qw,
+         "Date: Fri, 23 Dec 2022 12:08:48 -0600",
+         f"Message-ID: <malformed-{j}@mail.example>",
+         "Content-Type: text/plain; charset=utf-8"]
+    body = "\u2022 bullet line one\r\n\r\n\u2022 bullet line two"
+    return "\r\n".join(h) + "\r\n\r\n" + body
+
+
 def main():
     cases = []
-    for i in range(120):
-        eml = build_eml(i)
+    for i in range(120 + len(MALFORMED_Q)):
+        eml = (build_eml(i) if i < 120
+               else build_malformed_eml(i, MALFORMED_Q[i - 120]))
         els = partition_email(file=io.BytesIO(eml.encode("utf-8")))
         m = els[0].metadata if els else None
         cases.append({

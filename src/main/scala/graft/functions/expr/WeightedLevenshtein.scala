@@ -11,9 +11,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * (`/root/reference/unstructured/metrics/text_extraction.py:57-121`, which uses
  * python-Levenshtein's weighted variant). Spark's built-in `levenshtein` is
  * unweighted, so this is a native codegen'd expression: one O(|a|·|b|) DP with two
- * rolling rows, no per-row allocation beyond them.
+ * rolling rows plus the two O(n) code-point arrays.
  *
  * Weights are fixed at plan time (the reference's default `(2, 1, 1)` tuple).
+ * BMP-only inputs (the overwhelmingly common case) run the DP directly over
+ * the char array; a surrogate anywhere switches to code-point arrays so
+ * astral chars count as one position like Python strings.
  */
 case class WeightedLevenshtein(left: Expression, right: Expression,
     insWeight: Int = 2, delWeight: Int = 1, subWeight: Int = 1)
@@ -48,8 +51,10 @@ object WeightedLevenshtein {
     * position or every astral char inflates the distance and the
     * `len(source)` score denominator. */
   def distance(a: String, b: String, ins: Int, del: Int, sub: Int): Long = {
-    val aa = a.codePoints().toArray
-    val bb = b.codePoints().toArray
+    // fast path: no surrogates anywhere → UTF-16 units ARE the code points,
+    // skip the per-row array conversion in the codegen'd hot path
+    val aa = toCodePoints(a)
+    val bb = toCodePoints(b)
     val n = aa.length
     val m = bb.length
     if (n == 0) return ins.toLong * m
@@ -74,5 +79,20 @@ object WeightedLevenshtein {
       i += 1
     }
     prev(m)
+  }
+
+  private def toCodePoints(s: String): Array[Int] = {
+    var hasSurrogate = false
+    var i = 0
+    while (i < s.length && !hasSurrogate) {
+      if (Character.isSurrogate(s.charAt(i))) hasSurrogate = true
+      i += 1
+    }
+    if (!hasSurrogate) {
+      val out = new Array[Int](s.length)
+      var j = 0
+      while (j < s.length) { out(j) = s.charAt(j); j += 1 }
+      out
+    } else s.codePoints().toArray
   }
 }

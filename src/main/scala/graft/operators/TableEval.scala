@@ -60,23 +60,33 @@ object TableEval {
     * ratio denominator / autojunk length threshold would both miscount. */
   def sequenceRatio(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
-    val aCp = a.codePoints().toArray
-    val bCp = b.codePoints().toArray
-    sequenceRatioCp(aCp, bCp)
+    sequenceRatioCp(a.codePoints().toArray, new BSide(b.codePoints().toArray))
   }
 
-  private def sequenceRatioCp(a: Array[Int], b: Array[Int]): Double = {
-    val b2j = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
-    var bi = 0
-    while (bi < b.length) {
-      b2j.getOrElseUpdate(b(bi), mutable.ArrayBuffer.empty) += bi
-      bi += 1
+  /** Precomputed b-side matcher state — Python's `SequenceMatcher.set_seq2`:
+    * the element→positions index with the autojunk popularity rule applied.
+    * Built ONCE per `word` in [[closestIndex]] (get_close_matches sets seq2
+    * once and only swaps seq1 per candidate). */
+  private final class BSide(val b: Array[Int]) {
+    val b2j: mutable.Map[Int, mutable.ArrayBuffer[Int]] = {
+      val m = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+      var bi = 0
+      while (bi < b.length) {
+        m.getOrElseUpdate(b(bi), mutable.ArrayBuffer.empty) += bi
+        bi += 1
+      }
+      if (b.length >= 200) { // autojunk: drop elements above 1% popularity
+        val ntest = b.length / 100 + 1
+        val popular = m.collect { case (c, idxs) if idxs.length > ntest => c }
+        popular.foreach(m.remove)
+      }
+      m
     }
-    if (b.length >= 200) { // autojunk: drop elements above 1% popularity
-      val ntest = b.length / 100 + 1
-      val popular = b2j.collect { case (c, idxs) if idxs.length > ntest => c }
-      popular.foreach(b2j.remove)
-    }
+  }
+
+  private def sequenceRatioCp(a: Array[Int], bs: BSide): Double = {
+    val b = bs.b
+    val b2j = bs.b2j
 
     def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
       var besti = alo
@@ -135,10 +145,13 @@ object TableEval {
     * and `.index` then returns that string's FIRST occurrence. -1 when
     * nothing reaches the cutoff. */
   def closestIndex(word: String, possibilities: Seq[String], cutoff: Double): Int = {
+    val bside = new BSide(word.codePoints().toArray) // set_seq2: built ONCE
     var bestStr: String = null
     var bestRatio = -1.0
     possibilities.foreach { p =>
-      val r = sequenceRatio(p, word)
+      val r =
+        if (p.isEmpty && word.isEmpty) 1.0
+        else sequenceRatioCp(p.codePoints().toArray, bside)
       if (r >= cutoff &&
           (r > bestRatio || (r == bestRatio && cpCompare(p, bestStr) > 0))) {
         bestStr = p
@@ -239,13 +252,16 @@ object TableEval {
         contentDiffRows += groupRatio(byCol = false)
 
         // index accuracy: duplicate-aware closest-content matching
-        val gtContents = gtTd.map(_.content.toLowerCase)
+        // (Locale.ROOT like Python str.lower() — default-locale lowercase
+        // turns "ID" into dotless-i under tr-TR)
+        val gtContents = gtTd.map(_.content.toLowerCase(java.util.Locale.ROOT))
         val used = mutable.Set.empty[Int]
         var alignedRow = 0
         var alignedCol = 0
         var total = 0
         td.foreach { cell =>
-          val m = closestIndex(cell.content.toLowerCase, gtContents, cutoff)
+          val m = closestIndex(
+            cell.content.toLowerCase(java.util.Locale.ROOT), gtContents, cutoff)
           if (m >= 0) {
             val matchContent = gtContents(m)
             var candidates = gtContents.zipWithIndex

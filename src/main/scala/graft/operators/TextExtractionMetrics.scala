@@ -64,14 +64,8 @@ object TextExtractionMetrics {
     * (2, 1, 1); the evaluation calculator passes (1, 1, 1). */
   def calculateAccuracy(output: String, source: String,
       standardizeWhitespaces: Boolean = true,
-      weights: (Int, Int, Int) = (2, 1, 1)): Double = {
-    val o = standardizeQuotes(prepareStr(output, standardizeWhitespaces))
-    val s = standardizeQuotes(prepareStr(source, standardizeWhitespaces))
-    val distance = graft.functions.expr.WeightedLevenshtein
-      .distance(o, s, weights._1, weights._2, weights._3).toDouble
-    val srcLen = s.codePointCount(0, s.length)
-    1.0 - math.min(math.max(distance / math.max(srcLen, 1.0), 0.0), 1.0)
-  }
+      weights: (Int, Int, Int) = (2, 1, 1)): Double =
+    calculateEditDistance(output, source, "score", standardizeWhitespaces, weights)
 
   /**
    * `calculate_percent_missing_text` (`text_extraction.py:160-203`): bag of

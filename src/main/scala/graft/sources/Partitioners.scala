@@ -191,6 +191,32 @@ object Partitioners {
   def decodeQuotedPrintableBytes(s: String): Array[Byte] =
     quopriDecode(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** RFC-2047 Q-run decode — `email._encoded_words.decode_q`, which is a
+    * DIFFERENT kernel from the body's a2b_qp: a plain regex substitution of
+    * `=HH` (exactly two hex digits) with the byte. Everything else — a
+    * trailing `=`, `==`, invalid escapes — stays literal (`'==41'` is
+    * `'=A'` here but `'=41'` under a2b_qp; a trailing `'='` survives here
+    * but is dropped there). Headers and bodies must not share a decoder. */
+  def decodeQHeader(s: String): Array[Byte] = {
+    @inline def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    @inline def hexVal(c: Char): Int =
+      if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+    val out = mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '=' && i + 3 <= s.length && isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        out += ((hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))).toByte
+        i += 3
+      } else {
+        out ++= c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
   /** `binascii.a2b_qp(data, header=False)` — the kernel under Python's
     * `quopri.decodestring` and the email package's QP body decode. The edge
     * semantics matter: a trailing `=` is DROPPED, `==` emits one `=` without
@@ -286,14 +312,26 @@ object Partitioners {
   def decodeEncodedWords(value: String): String = {
     // collapse whitespace between adjacent encoded words first
     val joined = """\?=\s+=\?""".r.replaceAllIn(value, "?==?")
+    @inline def isHex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
     EncodedWordRe.replaceAllIn(joined, m => {
       val cs = partCharset(Some(m.group(1)))
-      val decoded = m.group(2).toUpperCase match {
-        case "B" => scala.util.Try(new String(
-          java.util.Base64.getMimeDecoder.decode(m.group(3)), cs)).getOrElse(m.matched)
-        case _ => new String(
-          decodeQuotedPrintableBytes(m.group(3).replace('_', ' ')), cs)
-      }
+      val content = m.group(3)
+      // stdlib parser quirk (email/_header_value_parser.py get_encoded_word):
+      // the raw header is split at the FIRST "?=", so content STARTING with
+      // '=' splits inside "?q?=" and fails with a 4-field ValueError — the
+      // word stays VERBATIM — unless the '=' opens a "=HH" escape (the
+      // parser's hexdigit fixup re-joins exactly that case). '=?utf-8?q?==41?='
+      // is verbatim; '=?utf-8?q?=41=?=' decodes to 'A='.
+      val verbatim = content.startsWith("=") &&
+        !(content.length >= 3 && isHex(content(1)) && isHex(content(2)))
+      val decoded =
+        if (verbatim) m.matched
+        else m.group(2).toUpperCase match {
+          case "B" => scala.util.Try(new String(
+            java.util.Base64.getMimeDecoder.decode(content), cs)).getOrElse(m.matched)
+          case _ => new String(decodeQHeader(content.replace('_', ' ')), cs)
+        }
       java.util.regex.Matcher.quoteReplacement(decoded)
     })
   }
@@ -427,7 +465,9 @@ object Partitioners {
       sentTo = addrs("To"),
       cc = addrs("Cc"),
       bcc = addrs("Bcc"),
-      subject = msg.header("Subject").map(decodeEncodedWords),
+      // `if not subject: return None` (email.py:258-263) — an empty
+      // Subject: header yields None, not the empty string
+      subject = msg.header("Subject").map(decodeEncodedWords).filter(_.nonEmpty),
       messageId = msg.header("Message-ID").map(_.strip.stripPrefix("<").stripSuffix(">")),
       date = msg.header("Date"))
 

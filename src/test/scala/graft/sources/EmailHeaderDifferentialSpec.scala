@@ -8,7 +8,7 @@ import graft.SparkSuiteBase
 
 /**
  * Differential harness for RFC-822 header parsing:
- * `dev/gen_email_diff_vectors.py` ran the reference `partition_email` over 120
+ * `dev/gen_email_diff_vectors.py` ran the reference `partition_email` over 128
  * seeded messages with adversarial headers — quoted display names containing
  * commas, RFC-2047 encoded words (valid and over-length-invalid), folded
  * subjects, multiple recipients, bare and bracketed Message-IDs, date-zone
@@ -34,7 +34,7 @@ class EmailHeaderDifferentialSpec extends SparkSuiteBase {
     val rows = spark.read.schema(schema)
       .json("src/test/resources/graft/refvec/email_header_diff.ndjson")
       .collect().sortBy(_.getLong(0))
-    assert(rows.length == 120)
+    assert(rows.length == 128)
     val failures = mutable.ArrayBuffer[String]()
     rows.foreach { r =>
       val caseId = r.getLong(0)

@@ -92,7 +92,7 @@ class EmailMessageDifferentialSpec extends SparkSuiteBase {
       if (meta.bcc.toVector != arr(r, 5))
         failures += s"msg $mi bcc: ours ${meta.bcc} theirs ${arr(r, 5)}"
       val wantSubject = Option(r.getString(6)).map(TestEscapes.unescape)
-      if (meta.subject != wantSubject && !(meta.subject.contains("") && wantSubject.isEmpty))
+      if (meta.subject != wantSubject)
         failures += s"msg $mi subject: ours ${meta.subject} theirs $wantSubject"
       val wantMsgId = Option(r.getString(7)).map(TestEscapes.unescape)
       if (meta.messageId != wantMsgId)
