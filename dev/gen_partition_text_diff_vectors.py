@@ -118,13 +118,22 @@ def hand_docs():
 
 def main():
     rng = random.Random(20260820)
-    docs = hand_docs() + [rand_doc(rng) for _ in range(240)]
+    docs = [(d, True) for d in hand_docs()]
+    docs += [(rand_doc(rng), True) for _ in range(240)]
+    # paragraph_grouper=False phase: the grouper is BYPASSED entirely
+    # (text.py:84-85) — single newlines become paragraph boundaries that the
+    # auto route would have merged; replayed with autoGroup=false
+    rng2 = random.Random(20260823)
+    docs += [(rand_doc(rng2), False) for _ in range(60)]
     n = 0
     with open(OUT, "w") as fh:
-        for doc in docs:
-            els = partition_text(text=doc, languages=[""])
+        for doc, auto in docs:
+            els = partition_text(
+                text=doc, languages=[""],
+                **({} if auto else {"paragraph_grouper": False}))
             fh.write(json.dumps({
                 "input": doc,
+                "auto": auto,
                 "elements": [[e.category, e.text] for e in els],
             }, ensure_ascii=False) + "\n")
             n += 1
