@@ -218,9 +218,14 @@ object CorpusOps {
       zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2"))),
       p => p.getField("w2").isNotNull)
+    // the LM model artifact: bounded by the ref slice's bigram vocabulary
+    // and referenced twice (probe join + predecessor rollup) — materialized
+    // once like the `vocab` scalar below, so the ref slice is scanned once
+    // for bigrams instead of twice
     val refBi = ref.select(explode(bg).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     // predecessor counts derive from the bigram table (not raw unigrams), so
     // numerators and denominators stay consistent by construction
     val refC1 = refBi.groupBy("w1").agg(sum("c").as("c1"))
@@ -228,21 +233,28 @@ object CorpusOps {
     // LM-build step (like sizing a Bloom filter), not per-row driver work
     val vocab = ref.select(explode(ws).as("w"))
       .agg(countDistinct(col("w"))).head.getLong(0)
-    val probes = docs.select(col("doc_id"), explode(bg).as("bg"))
+    // one NULL-marker bigram rides ahead of each doc's real bigrams, so the
+    // per-doc groupBy covers bigram-less docs too — the former
+    // docs-side re-join to re-attach them cost a second corpus scan plus a
+    // corpus-sized join (and with refBi materialized, the join's size
+    // estimate degraded it to a sort-merge join)
+    val bgType = "array<struct<w1:string,w2:string>>"
+    val marked = concat(
+      array(struct(lit(null).cast("string").as("w1"),
+        lit(null).cast("string").as("w2"))),
+      coalesce(bg, array().cast(bgType)))
+    val probes = docs.select(col("doc_id"), explode(marked).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .join(broadcast(refBi), Seq("w1", "w2"), "left")
       .join(broadcast(refC1), Seq("w1"), "left")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("w1"),
         round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("c1"), lit(0L)) + lit(vocab)).cast("double")) * 1e6)
           .cast("long").as("lp_micro"))
-    val scored = probes.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("lp_micro_sum"))
-    docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("lp_micro_sum"), lit(0L)).as("lp_micro_sum"))
+    probes.groupBy("doc_id")
+      .agg(count(col("w1")).as("n_bigrams"),
+        sum(when(col("w1").isNull, lit(0L)).otherwise(col("lp_micro")))
+          .as("lp_micro_sum"))
       .withColumn("bucket", {
         val avg = col("lp_micro_sum").cast("double") / col("n_bigrams")
         when(col("n_bigrams") === 0, lit("unscored"))
@@ -549,7 +561,8 @@ object CorpusOps {
    * selection is two equi-keyed aggregations (min doc, then min start within
    * it) — no corpus-wide window, no pairwise work, no driver collect.
    */
-  def selfSubstringDedup(d: DataFrame, text: Column, n: Int = 50): DataFrame = {
+  def selfSubstringDedup(d: DataFrame, text: Column, n: Int = 50,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
     val words = d.select(col("doc_id"), TextAnalysis.words(text).as("ws"))
     val occ = words
       .select(col("doc_id"), col("ws"),
@@ -561,15 +574,20 @@ object CorpusOps {
     // pass 1: fingerprint-duplicated grams only (superset of string-duplicated)
     val dupHash = occ.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
-    val cand = occ.join(dupHash, Seq("h")).select("doc_id", "start", "g")
-    // pass 2: exact inventory — duplicated grams and the smallest holder doc
-    val dup = cand.groupBy("g")
-      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("kdoc"))
+    // `cand` is referenced by BOTH pass-2 sides (keeper inventory + removal
+    // scan): materialized once, sized by the DUPLICATED gram mass only. The
+    // unmaterialized DAG re-derived occ (scan → word split → gram build) per
+    // reference — 16 parquet scans in the r17 before-plan.
+    val cand = materialize(
+      occ.join(dupHash, Seq("h")).select("doc_id", "start", "g"))
+    // pass 2: exact inventory — ONE aggregation: min(struct(doc_id, start))
+    // IS "smallest holder doc, then earliest start within it" (the former
+    // dup→keeper join pair re-derived cand twice to compute the same thing)
+    val keeper = cand.groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("start"))).as("k"))
       .filter(col("cnt") >= 2)
-      .select("g", "kdoc")
-    val keeper = cand.join(dup, Seq("g"))
-      .filter(col("doc_id") === col("kdoc"))
-      .groupBy("g", "kdoc").agg(min(col("start")).as("kstart"))
+      .select(col("g"), col("k.doc_id").as("kdoc"), col("k.start").as("kstart"))
     val removals = cand.join(keeper, Seq("g"))
       .filter(!(col("doc_id") === col("kdoc") && col("start") === col("kstart")))
     val covered = removals.select(col("doc_id"),
@@ -611,18 +629,48 @@ object CorpusOps {
    */
   def winnowNearDup(d: DataFrame, text: Column, maxPosting: Int = 100,
       k: Int = 8, w: Int = 4): DataFrame = {
-    val sets = d.select(col("doc_id"),
-      TextAnalysis.winnowFingerprints(text, k, w).as("fps"))
-    val fps = sets.select(col("doc_id"), size(col("fps")).as("n_fp"),
-      explode(col("fps")).as("fp"))
+    // ONE fingerprint pass: (fp, n_fp) packed per event inside a single
+    // letCol-bound expression and exploded DIRECTLY. Exploding a projected
+    // alias instead lets InferFiltersFromGenerate put `size(fps) > 0` below
+    // the Generate and predicate pushdown substitute the alias — duplicating
+    // the whole winnow HOF into the filter (2 evaluations per scan branch in
+    // the r17 before-plan), and the former self-join doubled THAT (4 full
+    // fingerprint passes + a corpus-half broadcast).
+    val events = d.select(col("doc_id"),
+      explode(TextAnalysis.letCol(
+          TextAnalysis.winnowFingerprints(text, k, w)) { fps =>
+        transform(fps, fp => struct(fp.as("fp"), size(fps).as("n_fp")))
+      }).as("e"))
+      .select(col("doc_id"), col("e.fp").as("fp"), col("e.n_fp").as("n_fp"))
+    // hot-posting cap as a window count: hot events are DROPPED before any
+    // list materializes (a groupBy-then-filter would collect the unbounded
+    // hot posting first), and the posting-list groupBy below shuffles on the
+    // same key so the exchange is reused.
     val hot = Window.partitionBy("fp")
-    val bounded = fps.withColumn("fp_n", count(lit(1)).over(hot))
+    val bounded = events.withColumn("fp_n", count(lit(1)).over(hot))
       .filter(col("fp_n") <= maxPosting).drop("fp_n")
-    val a = bounded.alias("a")
-    val b = bounded.alias("b")
-    a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_fp").as("n_fp_a"), col("b.n_fp").as("n_fp_b"))
+    val postings = bounded.groupBy("fp")
+      .agg(collect_list(struct(col("doc_id"), col("n_fp"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    // pair events generated map-side within each ≤ maxPosting posting list
+    // (every i < j element pair, ordered doc_a < doc_b) — replaces the
+    // fp-equi self-join, whose build side was the entire event relation.
+    val pairs = postings.select(explode(flatten(
+      transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))), y =>
+          struct(
+            least(x.getField("doc_id"), y.getField("doc_id")).as("doc_a"),
+            greatest(x.getField("doc_id"), y.getField("doc_id")).as("doc_b"),
+            when(x.getField("doc_id") < y.getField("doc_id"),
+              x.getField("n_fp")).otherwise(y.getField("n_fp")).as("n_fp_a"),
+            when(x.getField("doc_id") < y.getField("doc_id"),
+              y.getField("n_fp")).otherwise(x.getField("n_fp")).as("n_fp_b")))))
+    ).as("p"))
+      // the self-join's strict `a.doc_id < b.doc_id` never paired an id with
+      // itself — drop the degenerate pair a duplicated doc_id would form
+      .filter(col("p.doc_a") =!= col("p.doc_b"))
+    pairs.groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_fp_a").as("n_fp_a"), col("p.n_fp_b").as("n_fp_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") * 5 >= least(col("n_fp_a"), col("n_fp_b")) * 4)
       .select(col("doc_a"), col("doc_b"), col("shared").cast("int").as("n_shared"))
@@ -992,11 +1040,18 @@ object CorpusOps {
    * connects exactly what pairwise edges would.
    */
   def sharedParagraphEdges(d: DataFrame, text: Column, sep: String): DataFrame = {
+    // no pre-distinct: the window min is duplicate-insensitive and the edge
+    // set is distinct'd below — the old (doc_id, fp) distinct was a third
+    // full exchange buying nothing
     val paras = paragraphsOf(d, text, sep)
       .select(col("doc_id"), TextAnalysis.docFingerprint(col("para")).as("fp"))
-      .distinct()
-    val mins = paras.groupBy("fp").agg(min("doc_id").as("root"))
-    paras.join(mins, Seq("fp"))
+    // star root as a window MIN over the fp partitioning: one paragraph
+    // pass and one exchange — the former distinct+groupBy+self-join
+    // re-derived the whole paragraph explode for each side and paid two
+    // more exchanges (same skew bound either way: a hot paragraph's rows
+    // land in one task)
+    paras
+      .withColumn("root", min("doc_id").over(Window.partitionBy("fp")))
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("src"), col("doc_id").as("dst"))
       .distinct()
@@ -1102,12 +1157,16 @@ object CorpusOps {
       lmRef: DataFrame, headMinAvgLp: Double, midMinAvgLp: Double,
       quota: Int,
       materialize: (String, DataFrame) => DataFrame): DataFrame = {
-    val urlKept = delta
+    // materialized: [[incrementalDedup]]'s Bloom split references its
+    // incoming frame TWICE (definitely-new filter + confirm anti-join), and
+    // an unmaterialized urlKept re-ran the canonical-URL window + delta
+    // union for each reference
+    val urlKept = materialize("url_kept", delta
       .withColumn("canonical_url", canonicalizeUrl(rawUrl))
       .withColumn("u_min",
         min("doc_id").over(Window.partitionBy("canonical_url")))
       .filter(col("doc_id") === col("u_min"))
-      .drop("u_min", "canonical_url")
+      .drop("u_min", "canonical_url"))
     val exactNew = materialize("exact_new",
       incrementalDedup(history, urlKept, col("text")).drop("fp"))
     val nearFlagged = incrementalNearDup(history,

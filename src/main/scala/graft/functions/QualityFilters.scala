@@ -32,7 +32,15 @@ object QualityFilters {
     * Unlike Gopher's positional char accounting, repeated-occurrence chars
     * count every occurrence — deterministic and one-pass, same decision power.
     */
-  def repetitionSignals(d: DataFrame, text: Column, lineSep: String): DataFrame = {
+  def repetitionSignals(d: DataFrame, text: Column, lineSep: String): DataFrame =
+    repetitionSignalsWith(d, text, lineSep, Nil)
+
+  /** [[repetitionSignals]] carrying extra PER-ROW columns of `d` through the
+    * final doc-id join — a composed decision (e.g. [[pruneDecision]]) rides
+    * its pure columns on the join repetitionSignals already pays instead of
+    * re-scanning `d` and joining a second per-doc frame. */
+  private[graft] def repetitionSignalsWith(d: DataFrame, text: Column,
+      lineSep: String, extra: Seq[Column]): DataFrame = {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7)
 
@@ -76,7 +84,7 @@ object QualityFilters {
         dupNs.map(n => max(when(col("n") === n, col("dupf"))).as(s"dup_${n}gram_frac"))
     val wide = perN.groupBy("doc_id").agg(wideCols.head, wideCols.tail: _*)
 
-    d.select(col("doc_id")).join(wide, Seq("doc_id"), "left")
+    d.select(col("doc_id") +: extra: _*).join(wide, Seq("doc_id"), "left")
   }
 
   /** The composed corpus-prune decision a Gopher/C4-style pipeline applies
@@ -87,16 +95,15 @@ object QualityFilters {
   def pruneDecision(d: DataFrame, text: Column, lineSep: String,
       maxDupLineFrac: Double = 0.30, maxTop2gramFrac: Double = 0.20,
       maxDup5gramFrac: Double = 0.15): DataFrame = {
-    val rep = repetitionSignals(d, text, lineSep)
-    val c4 = d.select(col("doc_id"), c4LineFilter(text, lineSep).as("f"))
+    val rep = repetitionSignalsWith(d, text, lineSep,
+      Seq(c4LineFilter(text, lineSep).as("f")))
     val repetitive =
       coalesce(col("dup_line_frac"), lit(0.0)) > maxDupLineFrac ||
         coalesce(col("top_2gram_frac"), lit(0.0)) > maxTop2gramFrac ||
         coalesce(col("dup_5gram_frac"), lit(0.0)) > maxDup5gramFrac
     val flagged = col("f.has_lorem") || col("f.has_brace")
     val noClean = col("f.n_kept") === 0
-    rep.join(c4, Seq("doc_id"))
-      .select(col("doc_id"),
+    rep.select(col("doc_id"),
         repetitive.as("repetitive"),
         flagged.as("flagged"),
         noClean.as("no_clean_lines"),

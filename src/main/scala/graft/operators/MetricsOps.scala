@@ -287,7 +287,12 @@ object MetricsOps {
       bround(stddev_samp(col(f)), 3).as(s"sd_$i"),
       bround(stddev_pop(col(f)), 3).as(s"psd_$i"),
       count(col(f)).as(s"n_$i")) }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // one physical aggregation: the per-metric rows below each reference
+    // this ONE-ROW frame, and without materialization every union branch
+    // re-runs the whole upstream per-doc eval pipeline (k× scans in the
+    // r17 q_eval_capstone before-plan); checkpointing one row is free at
+    // any scale
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     val rows = fields.zipWithIndex.map { case (f, i) =>
       one.select(lit(f).as("metric"),
         col(s"avg_$i").as("average"),

@@ -70,14 +70,17 @@ class CrawlRefreshRestartSpec extends SparkSuiteBase {
       }
     }
     assert(crash.getMessage == "simulated kill")
-    assert(store1.completed() == Seq("exact_new"))
+    // url_kept commits before exact_new (r17: the canonical-URL survivor set
+    // is its own materialized stage so the Bloom split's two references
+    // don't re-run the URL window)
+    assert(store1.completed().toSet == Set("url_kept", "exact_new"))
 
     // resume: exact_new is read back (zero recomputes), only near_new runs
     val store2 = new StageStore(spark, root)
     val resumed = run(store2.apply)
     assert(store2.writes == 1,
       s"resume recomputed ${store2.writes} stages, expected only near_new")
-    assert(store2.completed().toSet == Set("exact_new", "near_new"))
+    assert(store2.completed().toSet == Set("url_kept", "exact_new", "near_new"))
     assert(resumed == expected,
       "persisted-resume result diverged from the single-job rendering")
   }
@@ -89,7 +92,7 @@ class CrawlRefreshRestartSpec extends SparkSuiteBase {
     Files.write(junk.resolve("part-00000-junk.parquet"), Array[Byte](1, 2, 3))
     val store = new StageStore(spark, root)
     val out = run(store.apply)
-    assert(store.writes == 2, "unmarked stage dir was trusted")
+    assert(store.writes == 3, "unmarked stage dir was trusted")
     assert(out == run((_, df) => df.localCheckpoint(true)))
   }
 }
