@@ -58,13 +58,20 @@ object Predicates {
   def isBulletedText(c: Column): Column =
     regexp_like(pyStrip(c), lit("^" + Cleaners.UnicodeBulletsRegex))
 
-  /** `is_email_address` — `text_type.py:318-320` (anchored match on stripped text). */
+  /** `is_email_address` — `text_type.py:318-320` (anchored match on stripped
+    * text). The `contains("@")` prefilter is a necessary condition of the
+    * pattern (it demands a literal `@` after the local part): an anchored
+    * regex fails fast on a non-matching FIRST char, but a paragraph starting
+    * with address-class chars scans its whole leading run before failing at
+    * the missing `@` — the guard skips that scan for ~every paragraph. */
   def isEmailAddress(c: Column): Column =
-    regexp_like(pyStrip(c), lit("^" + EmailAddressPattern))
+    c.contains("@") && regexp_like(pyStrip(c), lit("^" + EmailAddressPattern))
 
-  /** `is_us_city_state_zip` — `text_type.py:306-315`. */
+  /** `is_us_city_state_zip` — `text_type.py:306-315`. `contains(",")` is a
+    * necessary condition (the pattern demands the comma after the city
+    * words) — it skips the big state-alternation regex on comma-less text. */
   def isUsCityStateZip(c: Column): Column =
-    regexp_like(pyStrip(c), lit("^(?:" + UsCityStateZipPattern + ")"))
+    c.contains(",") && regexp_like(pyStrip(c), lit("^(?:" + UsCityStateZipPattern + ")"))
 
   /** `is_possible_numbered_list` — `text_type.py:323-325`. */
   def isPossibleNumberedList(c: Column): Column =
@@ -109,13 +116,21 @@ object Predicates {
    * all-caps always does; otherwise the fraction of capitalized alpha tokens must
    * exceed `threshold` (empty token list counts as exceeding).
    */
-  def exceedsCapRatio(c: Column, threshold: Double = 0.5): Column = {
+  def exceedsCapRatio(c: Column, threshold: Double = 0.5): Column =
+    when(sentenceCount(c, 3) > 1, lit(false))
+      .otherwise(exceedsCapRatioSingleSentence(c, threshold))
+
+  /** [[exceedsCapRatio]] under the already-established premise
+    * `sentenceCount(c, 3) <= 1` — the capitalization-fraction half without
+    * the multi-sentence gate, so callers that branch on the sentence count
+    * themselves (the narrative cascade) evaluate it exactly once. */
+  private def exceedsCapRatioSingleSentence(c: Column,
+      threshold: Double): Column = {
     val tokens = filter(split(c, "[^\\p{L}]+"), w => w =!= "")
     // `word.istitle() or word.isupper()` — Unicode-aware like Python's
     val capped = filter(tokens,
       w => regexp_like(w, lit("^\\p{Lu}\\p{Ll}*$|^\\p{Lu}+$")))
-    when(sentenceCount(c, 3) > 1, lit(false))
-      .when(isUpperText(c), lit(true))
+    when(isUpperText(c), lit(true))
       .when(size(tokens) === 0, lit(true))
       .otherwise(size(capped).cast("double") / size(tokens).cast("double") > threshold)
   }
@@ -404,12 +419,26 @@ object Predicates {
     // both the vocabulary gate and the sentence/verb gate apply only when
     // "eng" is among the document languages (`text_type.py:66,83`)
     val eng = languages.contains("eng")
-    (length(c) > 0) &&
+    val base = (length(c) > 0) &&
       !isNumericText(c) &&
-      (if (languageChecks && eng) containsEnglishWord(c) else lit(true)) &&
-      !exceedsCapRatio(c, capThreshold) &&
-      !underNonAlphaRatio(c, nonAlphaThreshold) &&
-      (if (eng) (sentenceCount(c, 3) >= 2) || containsVerb(c) else lit(true))
+      (if (languageChecks && eng) containsEnglishWord(c) else lit(true))
+    if (!eng)
+      base && !exceedsCapRatio(c, capThreshold) &&
+        !underNonAlphaRatio(c, nonAlphaThreshold)
+    else
+      // one sentenceCount evaluation instead of two: the cap-ratio gate
+      // (`sentenceCount > 1` → never exceeds) and the sentence/verb gate
+      // (`sentenceCount >= 2` → no verb needed) test the SAME predicate, so
+      // branch on it once — sentence splitting is the cascade's most
+      // expensive piece and CaseWhen branches get no common-subexpression
+      // elimination. Expansion of the original conjunction:
+      //   sc >= 2: capRatio = false, sentence gate = true → just the
+      //            non-alpha bound;
+      //   sc <= 1: cap ratio's single-sentence half + non-alpha + verb.
+      base && when(sentenceCount(c, 3) >= 2,
+          !underNonAlphaRatio(c, nonAlphaThreshold))
+        .otherwise(!exceedsCapRatioSingleSentence(c, capThreshold) &&
+          !underNonAlphaRatio(c, nonAlphaThreshold) && containsVerb(c))
   }
 
   /**
