@@ -134,12 +134,22 @@ object StreamingOps {
    * place.
    */
   private def drainAvailableNowAgg(spark: SparkSession, srcPath: String,
-      prefix: String)(build: String => DataFrame)(
+      prefix: String, statePartitions: Option[Int] = None)(
+      build: String => DataFrame)(
       agg: DataFrame => DataFrame): DataFrame = {
     val fileName = java.nio.file.Path.of(srcPath).getFileName.toString
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve(fileName), java.nio.file.Path.of(srcPath))
+    // same caller-sized state-store count as [[drainDir]]: a bounded drain's
+    // fixed per-store load/commit cost dominates megabyte-scale state, a
+    // 100 TB deployment wants many stores — restore only after the drain
+    // (the conf is captured into the stream's OffsetSeqMetadata at batch 0)
+    val prev = statePartitions.map { n =>
+      val p = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      p
+    }
     try {
       val t0 = System.nanoTime()
       def mark(what: String): Unit =
@@ -169,6 +179,7 @@ object StreamingOps {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           java.util.List.copyOf(buf)), schema)
     } finally {
+      prev.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
       try {
         java.nio.file.Files.deleteIfExists(streamDir.resolve(fileName))
         java.nio.file.Files.deleteIfExists(streamDir)
@@ -1156,7 +1167,10 @@ object StreamingOps {
     // and the fold never re-pairs a re-delivered doc — so per-pair shared
     // counts are complete within the emitting batch and the 80%-of-smaller-
     // side floor filters correctly before anything is collected.
-    val verified = drainAvailableNowAgg(spark, documentsPath, "winnow") {
+    // megabytes of bucket state over one bounded drain: 8 stores amortize
+    // the fixed per-store commit far better than 32 (measured 6.1 -> 5.3 s)
+    val verified = drainAvailableNowAgg(spark, documentsPath, "winnow",
+        statePartitions = Some(8)) {
       dir =>
         val docs = derive(spark.readStream.schema(schema).parquet(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -1247,7 +1261,8 @@ object StreamingOps {
     // Per-batch is exact: all four bands of a doc arrive in its batch, so a
     // pair's candidate events complete in the later doc's batch, and the
     // hamming verdict is per-event (no cross-batch counting at all).
-    val verified = drainAvailableNowAgg(spark, documentsPath, "simhash") {
+    val verified = drainAvailableNowAgg(spark, documentsPath, "simhash",
+        statePartitions = Some(8)) {
       streamDir =>
         val docs = derive(spark.readStream.schema(schema).parquet(streamDir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
