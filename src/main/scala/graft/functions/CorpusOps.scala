@@ -677,14 +677,12 @@ object CorpusOps {
   }
 
   /** Σ aᵢ·bᵢ accumulated as DOUBLE — the one cosine definition (identical to
-    * the ANN queries' fold so oracle arithmetic matches bit-for-bit). */
-  private def dotCol(a: Column, b: Column): Column = aggregate(
-    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+    * the ANN queries' fold so oracle arithmetic matches bit-for-bit); native
+    * [[graft.functions.expr.DotProduct]], one compiled loop per pair. */
+  private def dotCol(a: Column, b: Column): Column =
+    graft.functions.expr.DotProduct.dotProduct(a, b)
 
-  private def normCol(c: Column): Column = sqrt(aggregate(
-    transform(c, x => x.cast("double") * x.cast("double")),
-    lit(0.0), (acc, v) => acc + v))
+  private def normCol(c: Column): Column = sqrt(dotCol(c, c))
 
   /** Zero-norm vectors (all-zero embeddings) define cosine as 0.0 instead of
     * NaN, so they cluster by centroid id and never silently escape dedup.

@@ -35,14 +35,13 @@ object AnalysisQueries {
   private def one(s: SparkSession, dir: String)(c: Column, name: String): DataFrame =
     docs(s, dir).select(col("doc_id"), c.as(name)).orderBy("doc_id")
 
-  /** Σ aᵢ·bᵢ over two float-array columns, accumulated as DOUBLE. */
-  private def dotCol(a: Column, b: Column): Column = aggregate(
-    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-    lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ over two float-array columns, accumulated as DOUBLE — native
+    * [[graft.functions.expr.DotProduct]], one compiled loop per pair with
+    * the fold's exact arithmetic (cast-to-double, left-to-right sum). */
+  private def dotCol(a: Column, b: Column): Column =
+    graft.functions.expr.DotProduct.dotProduct(a, b)
 
-  private def normCol(c: Column): Column = sqrt(aggregate(
-    transform(c, x => x.cast("double") * x.cast("double")),
-    lit(0.0), (acc, v) => acc + v))
+  private def normCol(c: Column): Column = sqrt(dotCol(c, c))
 
   /** dot/(n1·n2) with the zero-norm guard (cosine against a zero vector is
     * 0.0, matching `CorpusOps.cosineCol`): an unguarded division yields NaN,
