@@ -523,18 +523,35 @@ object CorpusOps {
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (n - 1))).as("idx"))
       .distinct()
-    val pos = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
-    val kept = pos.join(covered, Seq("doc_id", "idx"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_kept"),
-        array_join(transform(sort_array(collect_list(
-          struct(col("idx"), col("w")))), _.getField("w")), " ").as("text_clean"))
-    words.select(col("doc_id"), size(col("ws")).as("n_words"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0))).as("n_dropped"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    spliceCovered(words, covered)
   }
+
+  /** Shared tail of [[decontaminateSpans]] / [[selfSubstringDedup]]: drop the
+    * `covered` `(doc_id, idx)` word positions from `words` `(doc_id, ws)` and
+    * reassemble, returning `doc_id, n_words, n_dropped, text_clean`.
+    *
+    * ONE pass over the word positions: n_words rides the posexplode_outer
+    * rows (ws is a projected attribute, so the split itself is not re-run)
+    * and the splice aggregation counts and rebuilds from the same rows — the
+    * former pos/n_words split re-derived `words` (scan → word split) twice
+    * and paid a corpus-wide re-join of the two halves. The outer explode
+    * keeps word-less docs as a single null-idx row, so their
+    * `n_words = size(ws)` (0-word and null-text semantics included) and
+    * empty text_clean come out of the same aggregation the former
+    * words-side left join produced. */
+  private def spliceCovered(words: DataFrame, covered: DataFrame): DataFrame =
+    words
+      .select(col("doc_id"), size(col("ws")).as("nw"),
+        posexplode_outer(col("ws")).as(Seq("idx", "w")))
+      .join(covered.withColumn("cov", lit(true)), Seq("doc_id", "idx"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("nw")).as("n_words"),
+        count(when(col("cov").isNull, col("idx"))).cast("int").as("n_kept"),
+        array_join(transform(sort_array(collect_list(
+            when(col("cov").isNull, struct(col("idx"), col("w"))))),
+          _.getField("w")), " ").as("text_clean"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - col("n_kept")).as("n_dropped"), col("text_clean"))
 
   /**
    * Exact-substring self-deduplication — the EXACTSUBSTR treatment of Lee et
@@ -592,17 +609,7 @@ object CorpusOps {
       .filter(!(col("doc_id") === col("kdoc") && col("start") === col("kstart")))
     val covered = removals.select(col("doc_id"),
       explode(sequence(col("start"), col("start") + (n - 1))).as("idx")).distinct()
-    val pos = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
-    val kept = pos.join(covered, Seq("doc_id", "idx"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_kept"),
-        array_join(transform(sort_array(collect_list(
-          struct(col("idx"), col("w")))), _.getField("w")), " ").as("text_clean"))
-    words.select(col("doc_id"), size(col("ws")).as("n_words"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0))).as("n_dropped"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    spliceCovered(words, covered)
   }
 
   /**
@@ -1076,12 +1083,27 @@ object CorpusOps {
       .localCheckpoint(true)
     val vertices = sym.select(col("a").as("doc_id")).distinct()
     var comp = vertices.select(col("doc_id"), col("doc_id").as("component"))
+    // convergence probe: labels are per-vertex NON-INCREASING (min-adoption
+    // and pointer jumping only ever lower them, and labels are vertex ids),
+    // so "any vertex changed" ⟺ "Σ component strictly decreased". The sum is
+    // exact decimal(38) arithmetic (63 + log2(n) bits fits for any real n),
+    // one 1-row aggregation over the just-checkpointed labeling — the former
+    // probe re-joined next against comp and counted, a full extra join
+    // per round
+    def labelSum(d: DataFrame): Option[java.math.BigDecimal] =
+      Option(d.agg(sum(col("component").cast("decimal(20,0)")))
+        .head.getDecimal(0))
+    var prevSum = labelSum(comp)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val viaNeighbor = sym
-        .join(comp.withColumnRenamed("doc_id", "b"), Seq("b"))
-        .select(col("a").as("doc_id"), col("component"))
+      // round 1's labeling is the identity map, so the neighbor's label IS
+      // the neighbor — the join would only look ids up in themselves
+      val viaNeighbor =
+        if (i == 0) sym.select(col("a").as("doc_id"), col("b").as("component"))
+        else sym
+          .join(comp.withColumnRenamed("doc_id", "b"), Seq("b"))
+          .select(col("a").as("doc_id"), col("component"))
       val viaMin = comp.unionByName(viaNeighbor)
         .groupBy("doc_id").agg(min("component").as("component"))
       // pointer jumping: also adopt the label OF the label (labels are
@@ -1096,11 +1118,10 @@ object CorpusOps {
       val next = viaMin.join(labels, col("component") === col("ld"), "left")
         .select(col("doc_id"), coalesce(col("lc"), col("component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.join(comp.withColumnRenamed("component", "prev"),
-        Seq("doc_id"))
-        .filter(col("component") =!= col("prev")).limit(1).count()
+      val nextSum = labelSum(next)
       comp = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     // a non-converged labeling is WRONG (labels neither minimal nor roots)

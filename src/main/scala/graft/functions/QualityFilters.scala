@@ -53,11 +53,18 @@ object QualityFilters {
       filter(transform(split(text, java.util.regex.Pattern.quote(lineSep)),
         l => trim(l)), l => l =!= ""),
       l => struct(lit(1).as("n"), l.as("g")))
-    val gramArrays = (topNs ++ dupNs).map { n =>
-      transform(TextAnalysis.wordShingles(lower(text), n),
-        g => struct(lit(n).as("n"), g.as("g")))
+    // ONE word split for all six shingle orders: the per-order wordShingles
+    // calls each re-ran words(lower(text)) — six regex splits per row inside
+    // one expression, invisible to subexpression elimination because each
+    // sits under its own HOF lambda
+    val gramArrays = TextAnalysis.letCol(TextAnalysis.words(lower(text))) {
+      ws =>
+        concat((topNs ++ dupNs).map { n =>
+          transform(TextAnalysis.shinglesOfWords(ws, n),
+            g => struct(lit(n).as("n"), g.as("g")))
+        }: _*)
     }
-    val counts = d.select(col("doc_id"), explode(concat(lines +: gramArrays: _*)).as("x"))
+    val counts = d.select(col("doc_id"), explode(concat(lines, gramArrays)).as("x"))
       .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
       .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
 

@@ -219,7 +219,14 @@ object TextAnalysis {
    * Built by zipping the word array with its own shifted tails (each input array
    * evaluated once — no per-shingle `slice` copies, no O(words²) re-evaluation).
    */
-  def wordShingles(c: Column, n: Int): Column = letCol(words(c)) { ws =>
+  def wordShingles(c: Column, n: Int): Column =
+    letCol(words(c))(shinglesOfWords(_, n))
+
+  /** [[wordShingles]] over an already-bound word array — for callers that
+    * build shingles of SEVERAL orders from one text: bind `words(c)` once
+    * (letCol / a projected column) and derive each order from it, instead of
+    * re-splitting the text per order. */
+  def shinglesOfWords(ws: Column, n: Int): Column = {
     val zipped = (2 to n).foldLeft(ws: Column) { (acc, k) =>
       zip_with(acc, slice(ws, lit(k), greatest(size(ws) - (k - 1), lit(0))),
         (a, b) => concat(a, lit(" "), b))
@@ -290,8 +297,16 @@ object TextAnalysis {
    * `sig[j] = min over shingles of h_j(shingle)`. The standard scale path for
    * near-dup detection: LSH-band the signature and bucket-join (no O(n^2) pairs).
    */
-  def minHashSignature(c: Column, k: Int, shingleN: Int = 3): Column = {
-    val shingles = wordShingles(c, shingleN)
+  def minHashSignature(c: Column, k: Int, shingleN: Int = 3): Column =
+    minHashOfShingles(wordShingles(c, shingleN), k)
+
+  /** [[minHashSignature]] from an already-computed shingle column — for
+    * callers that also need the shingle set itself (exact-Jaccard verify):
+    * shingling runs once and both derive from it. The signature is invariant
+    * to duplicate shingles (per-hash MIN over a multiset equals the min over
+    * its set), so a deduplicated shingle array yields the identical
+    * signature. */
+  def minHashOfShingles(shingles: Column, k: Int): Column = {
     val baseHashes = transform(shingles, s => polyHash(s))
     // one pass over the hashes with a k-wide running-min state: the expensive
     // shingle+hash input is evaluated ONCE (a k-pass transform would re-evaluate

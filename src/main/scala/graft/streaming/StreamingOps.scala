@@ -106,13 +106,14 @@ object StreamingOps {
    * The staging dir is an input artifact only and is always cleaned up.
    */
   private def drainAvailableNow(spark: SparkSession, srcPath: String,
-      prefix: String, outputMode: String)(
+      prefix: String, outputMode: String,
+      statePartitions: Option[Int] = None)(
       build: String => DataFrame): DataFrame = {
     val fileName = java.nio.file.Path.of(srcPath).getFileName.toString
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$prefix")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve(fileName), java.nio.file.Path.of(srcPath))
-    try drainDir(spark, prefix, outputMode)(build(streamDir.toString))
+    try drainDir(spark, prefix, outputMode, statePartitions)(build(streamDir.toString))
     finally {
       try {
         java.nio.file.Files.deleteIfExists(streamDir.resolve(fileName))
@@ -232,7 +233,8 @@ object StreamingOps {
   def hourlyWindowAvailableNow(spark: SparkSession, eventsPath: String): DataFrame = {
     graft.Tables.configure(spark) // legacy events.parquet carries TIMESTAMP(NANOS) — read as long
     val schema = spark.read.parquet(eventsPath).schema
-    drainAvailableNow(spark, eventsPath, "hourly", "complete") { streamDir =>
+    drainAvailableNow(spark, eventsPath, "hourly", "complete",
+        statePartitions = Some(8)) { streamDir =>
       graft.Tables.normalizeTs(
         spark.readStream.schema(schema).parquet(streamDir))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -292,7 +294,8 @@ object StreamingOps {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    val drained = drainAvailableNow(spark, documentsPath, "dedup", "update") { streamDir =>
+    val drained = drainAvailableNow(spark, documentsPath, "dedup", "update",
+      statePartitions = Some(8)) { streamDir =>
       val fps = spark.readStream.schema(schema).parquet(streamDir)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .as[(Long, String)]
@@ -514,16 +517,20 @@ object StreamingOps {
     val history = spark.read.parquet(documentsPath)
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
       .filter(col("doc_id") % 2 === 0)
-    val histBands = history.select(col("doc_id").as("hist_doc"),
+    // ONE history pass: the shingle sets are the persisted base and the band
+    // index derives from them (the signature over the deduplicated set is
+    // bit-identical — per-hash MIN is duplicate-invariant), so history text
+    // is scanned and shingled once, not once per static frame
+    val histSh = history.select(col("doc_id").as("hist_doc"),
+        array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("hsh"))
+      .persist()
+    val histBands = histSh.select(col("hist_doc"),
         posexplode(TextAnalysis.lshBands(
-          TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3),
+          TextAnalysis.minHashOfShingles(col("hsh"), k = 8),
           rows = 2)).as(Seq("band_idx", "band_key")))
       .withColumn("bc", count(lit(1)).over(
         Window.partitionBy("band_idx", "band_key")))
       .filter(col("bc") <= maxBandSize).drop("bc")
-      .persist()
-    val histSh = history.select(col("doc_id").as("hist_doc"),
-        array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("hsh"))
       .persist()
     try {
       val drained = drainAvailableNow(spark, documentsPath, "incneardup",
@@ -539,11 +546,23 @@ object StreamingOps {
               Seq((id + 700000L, text + " xtra")) else Nil
             odd ++ drift
           }.toDF("doc_id", "text")
+        // one shingling per delta row: the shingle set and the band keys both
+        // derive from a single letCol-bound wordShingles (the former separate
+        // dsh + signature columns shingled every row twice); (band_key, dsh)
+        // pairs are packed per element and posexploded DIRECTLY — position =
+        // band_idx — so no projected alias invites the inferred-filter
+        // duplication documented in the verify notes
         val banded = delta.select(col("doc_id"),
-          array_distinct(TextAnalysis.wordShingles(col("text"), 3)).as("dsh"),
-          posexplode(TextAnalysis.lshBands(
-            TextAnalysis.minHashSignature(col("text"), k = 8, shingleN = 3),
-            rows = 2)).as(Seq("band_idx", "band_key")))
+          posexplode(TextAnalysis.letCol(
+              array_distinct(TextAnalysis.wordShingles(col("text"), 3))) {
+            dsh =>
+              transform(
+                TextAnalysis.lshBands(
+                  TextAnalysis.minHashOfShingles(dsh, k = 8), rows = 2),
+                bk => struct(bk.as("band_key"), dsh.as("dsh")))
+          }).as(Seq("band_idx", "e")))
+          .select(col("doc_id"), col("e.dsh").as("dsh"),
+            col("band_idx"), col("e.band_key").as("band_key"))
         banded.join(histBands, Seq("band_idx", "band_key"))
           .join(histSh, Seq("hist_doc"))
           .select(col("doc_id"), col("hist_doc"),
@@ -603,7 +622,8 @@ object StreamingOps {
         .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
     val result =
       if (splitBatches <= 1)
-        drainAvailableNow(spark, documentsPath, "chunk", "append") { streamDir =>
+        drainAvailableNow(spark, documentsPath, "chunk", "append",
+          statePartitions = Some(8)) { streamDir =>
           val docsStream = spark.readStream.schema(schema).parquet(streamDir)
           val markers = docsStream
             .select(col("doc_id").cast("string")).as[String]
@@ -1065,7 +1085,8 @@ object StreamingOps {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    drainAvailableNow(spark, documentsPath, "lsh", "append") { streamDir =>
+    drainAvailableNow(spark, documentsPath, "lsh", "append",
+      statePartitions = Some(8)) { streamDir =>
       // the same near-dup derivation the batch queries use: every doc_id % 7
       // re-emitted under id+10000 with an appended token
       val docs = spark.readStream.schema(schema).parquet(streamDir)
@@ -1331,7 +1352,8 @@ object StreamingOps {
     import spark.implicits._
     graft.Tables.configure(spark)
     val schema = spark.read.parquet(documentsPath).schema
-    drainAvailableNow(spark, documentsPath, "pack", "append") { streamDir =>
+    drainAvailableNow(spark, documentsPath, "pack", "append",
+      statePartitions = Some(8)) { streamDir =>
       packSequencesStream(
         spark.readStream.schema(schema).parquet(streamDir)
           .select(col("doc_id").cast("long").as("doc_id"),
