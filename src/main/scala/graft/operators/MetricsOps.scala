@@ -134,10 +134,20 @@ object MetricsOps {
         col("element_type").as("t"), col("category_depth").cast("int").as("d"),
         lit(isO).as("is_o"))
     val tagged = tag(outputs, isO = true).unionByName(tag(groundTruths, isO = false))
-    val keyed = tagged.groupBy("k", "t", "d")
+    // two-level rollup so the ELEMENT-grain aggregation hash-aggregates:
+    // min(path) is a string aggregate, unsupported by HashAggregate, and one
+    // min(path) at (k,t,d) grain forced the whole element-level pass (and its
+    // map-side partial) through Sort+SortAggregate. Grouping path/is_o as
+    // KEYS (strings are fine as grouping keys) keeps level 1 a pure count —
+    // whole-stage hash — and the min(path)/count merge runs over the
+    // collapsed (k,t,d,path,is_o) rows, a few per document. Same totals by
+    // construction: min over per-group mins, sums over partial counts.
+    val keyed = tagged.groupBy("k", "t", "d", "path", "is_o")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("k", "t", "d")
       .agg(min("path").as("path"),
-        sum(when(col("is_o"), 1L).otherwise(0L)).as("o_n"),
-        sum(when(!col("is_o"), 1L).otherwise(0L)).as("s_n"))
+        sum(when(col("is_o"), col("c")).otherwise(0L)).as("o_n"),
+        sum(when(!col("is_o"), col("c")).otherwise(0L)).as("s_n"))
       .withColumn("m", least(col("o_n"), col("s_n")))
     val perType = keyed.groupBy("k", "t")
       .agg(min("path").as("path"), sum("m").as("exact"),
