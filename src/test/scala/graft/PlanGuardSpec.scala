@@ -108,10 +108,15 @@ class PlanGuardSpec extends AnyFunSuite {
     // DSIR scoring (tagged-union bucket groupBy + per-doc groupBy) +
     // Gumbel top-k + final agg; broadcast model exchange re-listed
     "q_dsir_select_precision" -> 7,
-    // one tagged union then THREE grouped aggregation levels (per-(doc,t,d),
-    // per-(doc,t), per-doc) + the output sort; each level is a map-side-
-    // combinable equi-key — the per-doc python loop rendered relationally
-    "q_element_type_eval" -> 7,
+    // one tagged union then FOUR grouped aggregation levels (r17: the
+    // element-grain level split into count-by-(k,t,d,path,is_o) then a
+    // merge-to-(k,t,d) — one exchange more, but the element-level pass and
+    // its map-side partial hash-aggregate instead of sorting; the former
+    // single-level min(path) string aggregate forced SortAggregate) + the
+    // per-(doc,t) and per-doc levels + the output sort; each level is a
+    // map-side-combinable equi-key — the per-doc python loop rendered
+    // relationally
+    "q_element_type_eval" -> 8,
     // the tail of the five-stage refresh below the PERSISTED near_new scan
     // (LM train/score + bucket join + quota windows + sort): upstream
     // stages' exchanges are gone — they ran once into parquet — but the LM
