@@ -657,9 +657,12 @@ object StreamingOps {
               org.apache.spark.sql.types.StringType)))
           val els = toElements(spark.readStream.schema(elSchema)
             .option("maxFilesPerTrigger", 1).parquet(streamDir.toString))
-          // kilobytes of chunk-fold state over 3 micro-batches: 8 stores
-          // amortize the fixed per-store commit far better than 32
-          drainDir(spark, "chunkmb", "append", statePartitions = Some(8))(
+          // kilobytes of chunk-fold state over 3 micro-batches: few stores
+          // amortize the fixed per-store commit far better than 32 — the
+          // r17 curve (same-methodology quiet minima) is 8→6.23 s,
+          // 4→5.32 s, 2→5.74 s: 4 balances commit count against fold
+          // parallelism
+          drainDir(spark, "chunkmb", "append", statePartitions = Some(4))(
             chunkStream(els, opts, useTimeout = false)
               .select(col("doc_id").cast("long").as("doc_id"),
                 col("seq").as("chunk_seq"), col("text")))
@@ -1188,10 +1191,12 @@ object StreamingOps {
     // and the fold never re-pairs a re-delivered doc — so per-pair shared
     // counts are complete within the emitting batch and the 80%-of-smaller-
     // side floor filters correctly before anything is collected.
-    // megabytes of bucket state over one bounded drain: 8 stores amortize
-    // the fixed per-store commit far better than 32 (measured 6.1 -> 5.3 s)
+    // megabytes of bucket state over one bounded drain: few stores amortize
+    // the fixed per-store commit far better than 32 (measured 6.1 → 5.3 s
+    // at 8; the r17 curve puts 4 another ~5% lower and 2 clearly worse —
+    // fold parallelism starts to bite below 4)
     val verified = drainAvailableNowAgg(spark, documentsPath, "winnow",
-        statePartitions = Some(8)) {
+        statePartitions = Some(4)) {
       dir =>
         val docs = derive(spark.readStream.schema(schema).parquet(dir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
@@ -1283,7 +1288,7 @@ object StreamingOps {
     // pair's candidate events complete in the later doc's batch, and the
     // hamming verdict is per-event (no cross-batch counting at all).
     val verified = drainAvailableNowAgg(spark, documentsPath, "simhash",
-        statePartitions = Some(8)) {
+        statePartitions = Some(4)) {
       streamDir =>
         val docs = derive(spark.readStream.schema(schema).parquet(streamDir)
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
