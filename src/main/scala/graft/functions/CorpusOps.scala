@@ -1090,9 +1090,25 @@ object CorpusOps {
     // one 1-row aggregation over the just-checkpointed labeling — the former
     // probe re-joined next against comp and counted, a full extra join
     // per round
-    def labelSum(d: DataFrame): Option[java.math.BigDecimal] =
-      Option(d.agg(sum(col("component").cast("decimal(20,0)")))
-        .head.getDecimal(0))
+    // decimal(28,0) inputs sum as decimal(38,0): overflow (→ null under
+    // non-ANSI sum) would need ~10^19 max-long labels, not the ~10^11 the
+    // former decimal(20,0)→decimal(30,0) sum allowed — exactly the 100 TB
+    // regime. A null sum over a NON-EMPTY labeling (overflow, or component
+    // ids that cast to decimal as null) must fail loudly: None == None
+    // would otherwise read as converged after round 1 and return an
+    // unconverged labeling, bypassing the fail-loud guard below.
+    def labelSum(d: DataFrame): Option[java.math.BigDecimal] = {
+      val row = d.agg(
+        sum(col("component").cast("decimal(28,0)")).as("s"),
+        count(lit(1)).as("n")).head
+      val s = Option(row.getDecimal(0))
+      if (s.isEmpty && row.getLong(1) > 0L)
+        throw new IllegalStateException(
+          "connectedComponents convergence sum is null over a non-empty " +
+            "labeling (non-numeric component ids, or decimal overflow) — " +
+            "cannot probe convergence")
+      s
+    }
     var prevSum = labelSum(comp)
     var converged = false
     var i = 0
@@ -1170,7 +1186,7 @@ object CorpusOps {
    *    done-marker, so a refresh killed between stages RESUMES from the
    *    last completed stage instead of recomputing (the 100 TB durability
    *    story: stage outputs are restart currency, not scratch).
-   * Stage names are stable: "exact_new", "near_new".
+   * Stage names are stable: "url_kept", "exact_new", "near_new".
    */
   def crawlRefresh(history: DataFrame, delta: DataFrame, rawUrl: Column,
       lmRef: DataFrame, headMinAvgLp: Double, midMinAvgLp: Double,

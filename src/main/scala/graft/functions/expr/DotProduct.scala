@@ -27,6 +27,24 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
+  // fail at ANALYSIS time for element types the accessors below don't
+  // handle (array<short>, array<byte>, array<decimal> — the replaced fold
+  // Cast-widened those; this expression would otherwise throw
+  // IllegalStateException from `accessor` only at eval/codegen time)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def supported(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (supported(left.dataType) && supported(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "dot_product requires array<float|double|int|bigint> inputs, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   private def accessor(e: Expression): Int = e.dataType match {
     case ArrayType(FloatType, _) => 0
     case ArrayType(DoubleType, _) => 1

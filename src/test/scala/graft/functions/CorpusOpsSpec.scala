@@ -353,6 +353,40 @@ class CorpusOpsSpec extends SparkSuiteBase {
     assert(r(10L) == 10L && r(11L) == 10L)
   }
 
+  test("connectedComponents converges with ids near Long.MaxValue") {
+    val sp = spark
+    import sp.implicits._
+    // labels near 2^63: the old decimal(20,0)→decimal(30,0) convergence sum
+    // overflowed to null past ~10^11 vertices; decimal(28,0)→decimal(38,0)
+    // keeps the probe exact, and max-long ids must work at any count
+    val m = Long.MaxValue
+    val edges = Seq((m - 1, m - 3), (m - 3, m - 5), (m, m - 2))
+      .toDF("src", "dst")
+    val r = CorpusOps.connectedComponents(edges)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Seq(m - 1, m - 3, m - 5).forall(r(_) == m - 5))
+    assert(r(m) == m - 2 && r(m - 2) == m - 2)
+  }
+
+  test("connectedComponents fails loudly when the convergence sum is null") {
+    val sp = spark
+    import sp.implicits._
+    // component ids that cast to decimal as null (non-numeric strings) must
+    // throw, never silently read None == None as converged-after-round-1.
+    // Under ANSI (the session default) the cast itself throws; the silent
+    // null-sum hazard is the NON-ANSI mode production clusters commonly run
+    // with — pin that config for the probe's own guard to fire.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val edges = Seq(("docA", "docB"), ("docB", "docC")).toDF("src", "dst")
+      val e = intercept[IllegalStateException] {
+        CorpusOps.connectedComponents(edges).collect()
+      }
+      assert(e.getMessage.contains("convergence sum is null"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("sharedParagraphEdges emits a star to the minimum sharer, never pairs") {
     val sp = spark
     import sp.implicits._

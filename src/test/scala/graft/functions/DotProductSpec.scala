@@ -60,6 +60,20 @@ class DotProductSpec extends SparkSuiteBase {
     assert(got.last.getDouble(0) == 0.0)
   }
 
+  test("unsupported element types fail at analysis time, not eval time") {
+    val sp = spark
+    import sp.implicits._
+    // array<smallint> is not one of the four accessors — the error must be
+    // an AnalysisException naming the type, not an IllegalStateException
+    // thrown from codegen mid-query
+    val d = Seq((Seq(1.toShort, 2.toShort), Seq(3.toShort, 4.toShort)))
+      .toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      d.select(dotProduct(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("dot_product requires"))
+  }
+
   test("double and int arrays dot exactly like the fold") {
     val sp = spark
     import sp.implicits._
