@@ -157,6 +157,39 @@ object TextSource {
         .otherwise(col("ptext")).as("text"))
   }
 
+  /**
+   * [[partitionText]] plus an `n_elements` column — the doc's TOTAL element
+   * count, free to emit from the per-doc flatMap (the paragraph list is
+   * already materialized per document). With the count on every row, any
+   * per-doc contiguous range split (the streaming staging slices, file
+   * packing) becomes a pure projection instead of a window — the
+   * `ntile() over (partition by doc_id order by seq)` it replaces cost a
+   * full exchange + sort of the element stream. A separate flatMap (not a
+   * carry column in [[partitionText]]) so the 20+ batch consumers' rows
+   * don't grow by a serialized long each.
+   */
+  private[graft] def partitionTextCounted(df: DataFrame, textCol: Column,
+      autoGroup: Boolean = true): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val pars = df.select(col("doc_id").cast("string").as("doc_id"), textCol.as("t"))
+      .as[(String, String)]
+      .flatMap { case (d, t) =>
+        val text = if (t == null) "" else t
+        val ps = splitParagraphs(text, autoGroup)
+        val n = ps.length.toLong
+        ps.zipWithIndex.map { case (p, i) => (d, i + 1L, p, n) }
+      }
+      .toDF("doc_id", "seq", "ptext", "n_elements")
+    pars.select(
+      col("doc_id"),
+      col("seq"),
+      Predicates.classifyText(col("ptext")).as("element_type"),
+      when(Predicates.isBulletedText(col("ptext")), Cleaners.cleanBullets(col("ptext")))
+        .otherwise(col("ptext")).as("text"),
+      col("n_elements"))
+  }
+
   /** Re-sequence after any filtering so `seq` stays dense per doc. */
   /** Contiguous per-doc `seq` after drops. `constantKeys` are columns known
     * constant within a doc (e.g. `filetype`): adding them to the window's

@@ -617,6 +617,19 @@ object StreamingOps {
           col("element_type"),
           org.apache.spark.sql.functions.substring(col("text"), 1, 100).as("text"))
     }
+    // the staging derive: same element rows as `derive` plus the per-doc
+    // element count the parser emits for free — which turns the slice
+    // assignment below into a pure projection
+    def deriveCounted(docs: DataFrame): DataFrame = {
+      val paras = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.replace(
+          col("text"), lit(" merge "), lit("\n\n")).as("text"))
+      graft.sources.TextSource.partitionTextCounted(paras, col("text"))
+        .select(col("doc_id").cast("string").as("doc_id"), col("seq"),
+          col("element_type"),
+          org.apache.spark.sql.functions.substring(col("text"), 1, 100).as("text"),
+          col("n_elements"))
+    }
     def toElements(df: DataFrame): Dataset[Element] =
       df.as[(String, Long, String, String)]
         .map { case (d, q, tpe, t) => Element("", tpe, t, d, q) }
@@ -635,10 +648,14 @@ object StreamingOps {
         }
       else {
         val docs = spark.read.parquet(documentsPath)
-        val sliced = derive(docs).withColumn("slice",
-          org.apache.spark.sql.functions.ntile(splitBatches).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("doc_id").orderBy("seq")))
+        // closed-form ntile: `seq` is dense 1..n per doc and n rides every
+        // row, so the tile is pure arithmetic — the former
+        // `ntile(k) over (partition by doc_id order by seq)` paid a full
+        // exchange + sort of the element stream for the same assignment
+        val sliced = deriveCounted(docs)
+          .withColumn("slice",
+            sliceOfSeq(col("seq"), col("n_elements"), splitBatches))
+          .drop("n_elements")
         val markers = docs.select(col("doc_id").cast("string").as("doc_id"),
           lit(Long.MaxValue).as("seq"), lit(EndOfDocument).as("element_type"),
           lit("").as("text"), lit(splitBatches).as("slice"))
@@ -669,6 +686,25 @@ object StreamingOps {
         } finally deleteRecursively(streamDir)
       }
     result.orderBy("doc_id", "chunk_seq")
+  }
+
+  /**
+   * SQL `NTILE(k) OVER (PARTITION BY doc ORDER BY seq)` as a closed form
+   * over a dense 1-based `seq` and the group's row count `n`: k buckets,
+   * sizes differing by at most one, larger buckets first — bucket sizes are
+   * `q+1` for the first `r = n mod k` tiles and `q = n div k` after. Byte-
+   * identical to the window function it replaces, at zero shuffles.
+   */
+  private[graft] def sliceOfSeq(seq: Column, n: Column, k: Int): Column = {
+    val kL = lit(k.toLong)
+    val j = seq - 1 // 0-based row index within the doc
+    val r = pmod(n, kL)
+    val q = ((n - r) / kL).cast("long") // exact: k divides (n - n mod k)
+    val cut = r * (q + 1)
+    // j < cut covers ALL rows whenever q == 0 (n < k), so the `otherwise`
+    // divisor is guarded only to keep ANSI-mode codegen total
+    (when(j < cut, floor(j / (q + 1)))
+      .otherwise(r + floor((j - cut) / greatest(q, lit(1L)))) + 1).cast("int")
   }
 
   /** Write each `slice` value of `df` (cols doc_id, seq, element_type, text,

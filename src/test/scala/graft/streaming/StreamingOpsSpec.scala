@@ -111,6 +111,29 @@ class StreamingOpsSpec extends SparkSuiteBase {
     } finally query.stop()
   }
 
+  test("closed-form staging slice is byte-identical to ntile over every (n, k)") {
+    // the staging split replaced `ntile(k) over (partition by doc order by
+    // seq)` with pure arithmetic over (seq, n) — sweep group sizes around
+    // and below k to pin the exact tile boundaries (larger tiles first,
+    // n < k giving one row per tile)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (k <- Seq(2, 3, 4, 7)) {
+      val rows = for (n <- 1 to 23; s <- 1 to n) yield (n.toLong, s.toLong)
+      val df = rows.toDF("n", "seq")
+      val got = df.select(col("n"), col("seq"),
+          StreamingOps.sliceOfSeq(col("seq"), col("n"), k).as("closed"),
+          ntile(k).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("n").orderBy("seq")).as("window"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getInt(2) == r.getInt(3),
+          s"k=$k n=${r.getLong(0)} seq=${r.getLong(1)}: " +
+            s"closed=${r.getInt(2)} ntile=${r.getInt(3)}")
+      }
+    }
+  }
+
   test("a doc split across 3+ micro-batches chunks byte-identically to the batch fold") {
     // the depth proof for the closed-tombstone/carry path: every document's
     // elements are staged as per-doc contiguous seq slices in SEPARATE files,
